@@ -1,0 +1,50 @@
+"""Headline benchmark: runs the bench-tagged queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from pyspark_distributed_kmodes_spark.registry import load_all
+    from pyspark_distributed_kmodes_spark.session import get_spark
+
+    spark = get_spark("bench")
+    reg = load_all()
+    bench_queries = {n: q for n, q in sorted(reg.items()) if q.bench}
+
+    # warm the JVM + parquet footers once so timings measure the queries
+    next(iter(bench_queries.values())).fn(spark, sf_dir).collect()
+
+    timings = {}
+    for name, q in bench_queries.items():
+        t0 = time.time()
+        len(q.fn(spark, sf_dir).collect())
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,253 @@
+"""Distributed k-modes clustering — the reference's core capability,
+re-expressed Spark-first.
+
+Reference (reconstructed, SURVEY.md §2 Part A): an RDD ensemble k-modes
+(`pyspark_kmodes/pyspark_kmodes.py:~280-400`): per-partition incremental
+k-modes via `rdd.mapPartitionsWithIndex` + closure-pickled Cluster
+objects, then a driver-local meta-clustering of the P×k partition modes.
+
+This module provides BOTH:
+
+- `KModes` — a global Lloyd-style k-modes on DataFrames. Replaces the
+  reference's incremental per-partition bookkeeping (A3/A5) with
+  batch assign (broadcast modes → argmin of Hamming distance, A1/A4)
+  and batch re-mode (melt → count → argmax per (cluster, column), A2).
+  One Spark job per iteration, same barrier structure as the reference
+  (SURVEY.md §3.1 E1) but Catalyst-planned, with persist + checkpoint
+  discipline and no Python in the hot path.
+- `EnsembleKModes` — reference-parity two-level ensemble: independent
+  local k-modes per partition group (applyInPandas, numpy inside),
+  modes collected (provably tiny: P×k rows) and meta-clustered on the
+  driver, exactly the reference's fit() shape (A6/A9) with Arrow
+  instead of closure pickling.
+
+Determinism: seeded hash-sort init (`xxhash64(features, seed)`), argmin
+ties → lowest cluster index, mode ties → lexicographically smallest
+value. Fixed seed ⇒ identical model on any cluster size.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterable, Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["KModes", "KModesModel", "EnsembleKModes", "hamming_distance_col"]
+
+
+def hamming_distance_col(cols: Sequence[str], mode_values: Sequence[str]):
+    """Simple-matching (Hamming) dissimilarity of a row to one mode:
+    sum over attributes of (value != mode_value). Reference A1
+    (`matching_dissim`, pyspark_kmodes.py:~20, reconstructed)."""
+    terms = [(F.col(c) != F.lit(v)).cast("int") for c, v in zip(cols, mode_values)]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+@dataclass
+class KModesModel:
+    """Fitted model: final modes + assignment transform (reference A10)."""
+
+    cols: tuple[str, ...]
+    modes: list[tuple[str, ...]]  # modes[c] = tuple of attribute values
+    cost: float = float("nan")
+    n_iter: int = 0
+    converged: bool = False
+
+    def _dist_array(self):
+        return F.array(
+            *[
+                F.struct(
+                    hamming_distance_col(self.cols, m).alias("dist"),
+                    F.lit(i).alias("idx"),
+                )
+                for i, m in enumerate(self.modes)
+            ]
+        )
+
+    def transform(self, df: DataFrame, prediction_col: str = "prediction") -> DataFrame:
+        """Assign each row to its nearest mode (argmin Hamming; ties →
+        lowest index). Pure JVM expression: array_min over (dist, idx)
+        structs — no shuffle, no Python."""
+        return df.withColumn(prediction_col, F.array_min(self._dist_array()).getField("idx"))
+
+    def distance_col(self):
+        """Min distance to any mode (for cost/outlier scoring)."""
+        return F.array_min(self._dist_array()).getField("dist")
+
+
+class KModes:
+    """Global Lloyd k-modes estimator on a DataFrame of categorical cols.
+
+    Scale design: per iteration, ONE job — assign is a broadcast-style
+    literal expression (k modes × n_cols comparisons, no join shuffle),
+    re-mode melts to (cluster, col, value) and counts (single shuffle of
+    size ≤ k × n_cols × distinct_values after map-side combine). Input
+    persisted once; lineage cut via localCheckpoint every 10 iters.
+    """
+
+    def __init__(self, n_clusters: int, cols: Sequence[str], max_iter: int = 20, seed: int = 42):
+        self.k = int(n_clusters)
+        self.cols = tuple(cols)
+        self.max_iter = int(max_iter)
+        self.seed = int(seed)
+
+    def _init_modes(self, feats: DataFrame) -> list[tuple[str, ...]]:
+        """Seeded deterministic init: k distinct rows ordered by a seeded
+        hash (the reference uses rdd.takeSample — fit():~300; hash-sort
+        is its deterministic equivalent)."""
+        rows = (
+            feats.distinct()
+            .orderBy(F.xxhash64(*[F.col(c) for c in self.cols], F.lit(self.seed)), *self.cols)
+            .limit(self.k)
+            .collect()
+        )
+        modes = [tuple(r[c] for c in self.cols) for r in rows]
+        if len(modes) < self.k:
+            raise ValueError(f"only {len(modes)} distinct rows for k={self.k}")
+        return modes
+
+    def fit(self, df: DataFrame) -> KModesModel:
+        feats = df.select(*[F.col(c).cast("string").alias(c) for c in self.cols])
+        feats = feats.persist()
+        try:
+            model = KModesModel(cols=self.cols, modes=self._init_modes(feats))
+            for it in range(1, self.max_iter + 1):
+                assigned = model.transform(feats, "cluster")
+                new_modes = self._recompute_modes(assigned, model.modes)
+                changed = new_modes != model.modes
+                model.modes = new_modes
+                model.n_iter = it
+                if not changed:
+                    model.converged = True
+                    break
+            scored = model.transform(feats, "cluster").select(model.distance_col().alias("d"))
+            model.cost = scored.agg(F.sum("d").cast("double")).first()[0] or 0.0
+            return model
+        finally:
+            feats.unpersist()
+
+    def _recompute_modes(self, assigned: DataFrame, old_modes: list) -> list[tuple[str, ...]]:
+        """New mode of each cluster = per-attribute argmax of value
+        frequency (reference A2/A3 `get_max_value_key` /
+        `Cluster.update_mode`, batch form). Melt all columns into one
+        (cluster, col, value) count so every attribute's mode comes out
+        of a single shuffle; ties → smallest value (deterministic)."""
+        melted = assigned.select(
+            "cluster",
+            F.explode(
+                F.array(*[F.struct(F.lit(c).alias("col"), F.col(c).alias("value")) for c in self.cols])
+            ).alias("cv"),
+        ).select("cluster", "cv.col", "cv.value")
+        counts = melted.groupBy("cluster", "col", "value").agg(F.count(F.lit(1)).alias("n"))
+        w = Window.partitionBy("cluster", "col").orderBy(F.col("n").desc(), F.col("value").asc())
+        winners = counts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).collect()
+        by_cluster: dict[int, dict[str, str]] = {}
+        for r in winners:
+            by_cluster.setdefault(r["cluster"], {})[r["col"]] = r["value"]
+        out = []
+        for i in range(self.k):
+            if i in by_cluster:  # empty clusters keep their old mode
+                out.append(tuple(by_cluster[i][c] for c in self.cols))
+            else:
+                out.append(tuple(old_modes[i]))
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity ensemble (SURVEY.md §2 A6/A9)
+# ---------------------------------------------------------------------------
+
+
+def _local_kmodes(arr: np.ndarray, k: int, max_iter: int, rng: np.random.Generator) -> np.ndarray:
+    """Plain numpy Lloyd k-modes on a small local array of strings.
+    Replaces the reference's `nicodv/kmodes` driver dependency
+    (fit():~360, reconstructed) — same objective, no external package."""
+    n = len(arr)
+    k = min(k, n)
+    centroids = arr[rng.choice(n, size=k, replace=False)]
+    assign = np.zeros(n, dtype=np.int64)
+    for _ in range(max_iter):
+        dists = (arr[:, None, :] != centroids[None, :, :]).sum(axis=2)
+        new_assign = dists.argmin(axis=1)
+        if (new_assign == assign).all() and _ > 0:
+            break
+        assign = new_assign
+        for c in range(k):
+            members = arr[assign == c]
+            if len(members) == 0:
+                continue
+            centroids[c] = [
+                min(vals[cnts == cnts.max()])
+                for vals, cnts in (np.unique(col, return_counts=True) for col in members.T)
+            ]
+    return centroids
+
+
+@dataclass
+class EnsembleKModes:
+    """Two-level ensemble k-modes with the reference's API shape
+    (EnsembleKModes.__init__ params, pyspark_kmodes.py:~250-280,
+    reconstructed): independent k-modes per partition group, then
+    meta-clustering of the collected partition modes on the driver.
+
+    Spark-first re-expression: the per-partition loop (A5/A6,
+    `rdd.mapPartitionsWithIndex(iter_k_modes)`) becomes ONE
+    `groupBy(pid).applyInPandas` — Arrow-batched, no closure pickling,
+    no per-iteration job storm; the meta step stays driver-local
+    because its input is provably tiny (n_partitions × n_clusters rows).
+    """
+
+    n_partitions: int
+    n_clusters: int
+    max_dist_iter: int = 10
+    local_kmodes_iter: int = 10
+    seed: int = 42
+    cols: tuple = field(default_factory=tuple)
+
+    def fit(self, df: DataFrame) -> KModesModel:
+        cols = tuple(self.cols) or tuple(df.columns)
+        k, seed = self.n_clusters, self.seed
+        local_iter = self.local_kmodes_iter
+        feats = df.select(*[F.col(c).cast("string").alias(c) for c in cols])
+        # deterministic partition assignment (reference repartitions
+        # round-robin, fit():~290 — hash of content is reproducible)
+        pid = (F.xxhash64(*[F.col(c) for c in cols], F.lit(seed)) % self.n_partitions + self.n_partitions) % self.n_partitions
+        feats = feats.withColumn("pid", pid.cast("int"))
+
+        import pyspark.sql.types as T
+
+        schema = T.StructType(
+            [T.StructField("pid", T.IntegerType())]
+            + [T.StructField(c, T.StringType()) for c in cols]
+        )
+
+        def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            group_pid = int(pdf["pid"].iloc[0])
+            arr = pdf[list(cols)].to_numpy(dtype=object)
+            rng = np.random.default_rng(seed + group_pid)
+            cent = _local_kmodes(arr, k, local_iter, rng)
+            out = pd.DataFrame(cent, columns=list(cols))
+            out.insert(0, "pid", group_pid)
+            return out
+
+        partition_modes = feats.groupBy("pid").applyInPandas(run_group, schema)
+        collected = partition_modes.orderBy("pid", *cols).collect()  # ≤ P×k rows
+        # dedup identical partition modes before meta-clustering
+        # (reference A7 `get_unique_modes_*`, reconstructed)
+        uniq = sorted(set(tuple(r[c] for c in cols) for r in collected))
+        arr = np.array([list(t) for t in uniq], dtype=object)
+        rng = np.random.default_rng(seed)
+        metamodes = _local_kmodes(arr, k, self.max_dist_iter, rng)
+        model = KModesModel(cols=cols, modes=[tuple(m) for m in metamodes], n_iter=1, converged=True)
+        scored = model.transform(feats.drop("pid"), "cluster").select(model.distance_col().alias("d"))
+        agg = scored.agg(F.sum("d").cast("double"), F.count(F.lit(1))).first()
+        model.cost = (agg[0] or 0.0) / max(agg[1], 1)  # reference exposes MEAN cost (fit():~390)
+        return model

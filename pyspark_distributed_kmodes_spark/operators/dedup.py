@@ -1,0 +1,180 @@
+"""Sub-quadratic near-duplicate detection: MinHash+LSH and SimHash.
+
+Both are built from xxhash64 + higher-order functions — deterministic
+(no RNG state), JVM-side, and shuffle only (id, hash) pairs. These are
+the 100 TB-scale successors of the exact n-gram Jaccard join (text.q55):
+cost is O(docs × shingles) + O(Σ bucket²) instead of O(pairs-sharing-a-
+shingle).
+
+Approximate results → rows-only driver check; recall against the exact
+Jaccard oracle is property-tested in tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_distributed_kmodes_spark.registry import query
+from pyspark_distributed_kmodes_spark.sources.tables import table
+
+N_HASHES = 32  # minhash signature length
+N_BANDS = 8  # LSH bands (rows per band = 32/8 = 4)
+SIMHASH_BITS = 48  # bits in the simhash (kept under 63 → positive bigint)
+
+
+def shingle_df(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    words = F.split("text", " ")
+    count = F.size(words) - (n - 1)
+    shingle_arr = F.when(
+        count >= 1,
+        F.transform(F.sequence(F.lit(1), count), lambda i: F.array_join(F.slice(words, i, n), " ")),
+    ).otherwise(F.array(F.col("text")))
+    return docs.select("doc_id", F.explode(shingle_arr).alias("shingle")).distinct()
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, sig: array<bigint>) — sig[i] = min over shingles of
+    xxhash64(shingle, i). One explode + ONE groupBy computes all
+    n_hashes mins (one shuffle total)."""
+    sh = shingle_df(docs)
+    mins = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(n_hashes)]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select("doc_id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """Band the signature; docs sharing any band bucket become candidate
+    pairs. Bucket key = xxhash64(band_idx, band slice) so bucket ids are
+    fixed-width ints, not wide strings, on the shuffle."""
+    rows_per_band = N_HASHES // n_bands
+    bands = F.array(
+        *[
+            F.xxhash64(F.lit(b), F.concat_ws(",", *[F.element_at("sig", b * rows_per_band + r + 1).cast("string") for r in range(rows_per_band)]))
+            for b in range(n_bands)
+        ]
+    )
+    bucketed = sigs.select("doc_id", "sig", F.explode(bands).alias("bucket"))
+    a = bucketed.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "bucket")
+    b = bucketed.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "bucket")
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+
+
+@query("q63_minhash_neardup", oracle=None, tags=("text", "dedup", "approx"), bench=True)
+def q63_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs with estimated Jaccard ≥ 0.5.
+
+    est_jaccard = fraction of agreeing signature positions (the unbiased
+    MinHash estimator). Full pipeline: shingle → 32 minhashes (1
+    shuffle) → 8-band LSH bucketing (1 shuffle) → in-bucket candidate
+    pairs → signature-agreement scoring. Deterministic end to end.
+    """
+    docs = table(spark, sf_dir, "documents")
+    cands = lsh_candidate_pairs(minhash_signatures(docs))
+    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+    return (
+        cands.select(
+            "doc_a",
+            "doc_b",
+            F.round(agree.cast("double") / N_HASHES, 6).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_col(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash: bigint). Weighted SimHash: per word w with
+    count c, hash h=xxhash64(w); bit j accumulates ±c by bit j of h;
+    final bit j = (accum >= 0). One explode + one groupBy (all 48 bit
+    sums in a single aggregation)."""
+    wc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("h", F.xxhash64("word"))
+    )
+    bit_sums = [
+        F.sum(F.col("c") * (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = wc.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") >= 0, F.lit(2 ** j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Popcount of XOR via bit_count (JVM built-in)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+@query("q64_simhash_neardup", oracle=None, tags=("text", "dedup", "approx"))
+def q64_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicates: hamming distance ≤ 8 of 48 bits.
+
+    Candidate generation: 4 bands of 12 bits — any pair within hamming
+    8 shares at least one exact band with good probability; banding
+    keeps the join sub-quadratic exactly like MinHash-LSH.
+    """
+    docs = table(spark, sf_dir, "documents")
+    sims = simhash_col(docs)
+    band_width = SIMHASH_BITS // 4
+    bands = F.array(
+        *[
+            F.concat(F.lit(f"{b}:"), F.shiftright(F.col("simhash"), b * band_width).bitwiseAND(F.lit((1 << band_width) - 1)).cast("string"))
+            for b in range(4)
+        ]
+    )
+    bucketed = sims.select("doc_id", "simhash", F.explode(bands).alias("bucket"))
+    a = bucketed.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "bucket")
+    b = bucketed.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "bucket")
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming64(F.col("sim_a"), F.col("sim_b")).cast("int").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= 8)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "q65_dedup_keep_best",
+    oracle="""
+SELECT fingerprint, doc_id, lang, n_chars
+FROM (
+  SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
+         doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+           ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+) t
+WHERE rn = 1
+ORDER BY fingerprint
+""",
+    tags=("text", "dedup"),
+)
+def q65_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup keeping the best representative per fingerprint group
+    (longest doc, then lowest id) — the keep-policy variant of q56,
+    expressed as a window so the full rows survive."""
+    d = table(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " "))
+    w = Window.partitionBy("fingerprint").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("fingerprint", fp)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("fingerprint", "doc_id", "lang", "n_chars")
+        .orderBy("fingerprint")
+    )

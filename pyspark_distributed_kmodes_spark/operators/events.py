@@ -1,0 +1,258 @@
+"""Streaming-shaped operators over the `events` table, batch-emulated.
+
+Each query here has a true Structured Streaming twin in
+`pyspark_distributed_kmodes_spark/streaming/jobs.py` (readStream +
+watermark); the batch forms below are what the DuckDB oracle can check
+(SURVEY.md §1.2 — the oracle is batch-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_distributed_kmodes_spark.functions.deterministic import dsum, sql_dsum
+from pyspark_distributed_kmodes_spark.registry import query
+from pyspark_distributed_kmodes_spark.sources.tables import table
+
+
+@query(
+    "q30_tumbling_window",
+    oracle=f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type
+""",
+    tags=("events", "window-agg"),
+    bench=True,
+)
+def q30_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation by event type.
+
+    Scale: window() is just a computed grouping key — one shuffle with
+    map-side partial aggregation; in streaming mode the same expression
+    runs incrementally with a watermark (see streaming/jobs.py).
+    """
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "q31_sliding_window",
+    oracle=f"""
+WITH slid AS (
+  SELECT time_bucket(INTERVAL 15 MINUTES, ts) - k * INTERVAL 15 MINUTES AS window_start,
+         value
+  FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS offsets(k)
+)
+SELECT window_start,
+       window_start + INTERVAL 1 HOUR AS window_end,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM slid
+GROUP BY 1, 2
+ORDER BY window_start
+""",
+    tags=("events", "window-agg"),
+)
+def q31_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1-hour windows every 15 minutes (each event lands
+    in 4 windows). Spark's window() expands the overlap natively; the
+    oracle mirrors it with an explicit 4-way offset cross join."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "q32_session_window",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTES OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), sess AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTES AS session_end,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+""",
+    tags=("events", "window-agg"),
+    bench=True,
+)
+def q32_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) per user.
+
+    Spark: native F.session_window (works in batch groupBy; in streaming
+    it becomes stateful session aggregation). Oracle: classic
+    gaps-and-islands. session_window.end = last_event + gap by
+    definition — mirrored as MAX(ts) + 30 min.
+    """
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@query(
+    "q33_asof_join",
+    oracle="""
+SELECT event_id, user_id, ts, last_orderkey, last_totalprice
+FROM (
+  SELECT e.event_id, e.user_id, e.ts,
+         o.o_orderkey AS last_orderkey, o.o_totalprice AS last_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC NULLS LAST,
+                                     o.o_orderkey DESC NULLS LAST) AS rn
+  FROM events e
+  LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+) t
+WHERE rn = 1
+ORDER BY event_id
+""",
+    tags=("events", "join"),
+)
+def q33_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the latest order of that customer at
+    or before the event time.
+
+    Spark lacks a native as-of join; composition: equi-join on the key,
+    filter to the past, keep the max-date match via row_number. Ties on
+    o_orderdate are broken by o_orderkey DESC to match DuckDB's ASOF
+    (which picks among equal dates deterministically only if we force
+    it — we disambiguate by preferring the highest orderkey).
+
+    Scale: the equi component shuffles both sides on the key; per-key
+    fan-out is bounded by orders-per-customer. For unbounded history,
+    pre-bucket orders by (custkey, month) and join the trailing buckets.
+    """
+    e = table(spark, sf_dir, "events")
+    o = table(spark, sf_dir, "orders")
+    joined = e.join(
+        o,
+        (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts),
+        "left",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc_nulls_last(), F.col("o_orderkey").desc_nulls_last()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.col("o_totalprice").alias("last_totalprice"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q34_latest_event_dedup",
+    oracle="""
+SELECT user_id, event_type, ts AS last_ts, value AS last_value
+FROM (
+  SELECT user_id, event_type, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t
+WHERE rn = 1
+ORDER BY user_id, event_type
+""",
+    tags=("events", "dedup"),
+)
+def q34_latest_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-dedup-shaped: keep only the latest event per
+    (user, event_type) — the batch twin of streaming
+    dropDuplicatesWithinWatermark / last-value state."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("ts").alias("last_ts"), F.col("value").alias("last_value"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+@query(
+    "q35_json_props",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("events", "json"),
+)
+def q35_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON extraction from the props column.
+
+    get_json_object is JVM-side (Jackson); for repeated multi-key access
+    at scale prefer from_json to a struct once, or parse_json →
+    VariantType (Spark 4) for schema-flexible columns.
+    """
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.sum(k).cast("bigint").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,58 @@
+"""queries() entries exposing the k-modes capability (rows-only checks —
+clustering is not ANSI-SQL-expressible; properties are verified in
+tests/test_kmodes.py: fixed-seed determinism, cost monotonicity,
+non-empty clusters, label-permutation invariance)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_distributed_kmodes_spark.ml.kmodes import EnsembleKModes, KModes
+from pyspark_distributed_kmodes_spark.registry import query
+from pyspark_distributed_kmodes_spark.sources.tables import table
+
+KMODES_COLS = ("o_orderstatus", "o_orderpriority")
+
+
+@query("q70_kmodes_fit", oracle=None, tags=("kmodes", "ml"), bench=True)
+def q70_kmodes_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Lloyd k-modes (k=5) on orders categorical columns; returns
+    per-cluster size + mode — the DataFrame-native form of the
+    reference's EnsembleKModes.fit output (modes + assignment counts)."""
+    o = table(spark, sf_dir, "orders")
+    model = KModes(n_clusters=5, cols=KMODES_COLS, max_iter=20, seed=42).fit(o)
+    assigned = model.transform(o.select(*KMODES_COLS), "cluster")
+    sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
+    modes_df = spark.createDataFrame(
+        [(i,) + m for i, m in enumerate(model.modes)], ["cluster"] + [f"mode_{c}" for c in KMODES_COLS]
+    )
+    return sizes.join(modes_df, "cluster", "right").fillna(0, ["n_members"]).orderBy("cluster")
+
+
+@query("q71_kmodes_ensemble_fit", oracle=None, tags=("kmodes", "ml"))
+def q71_kmodes_ensemble_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-parity two-level ensemble k-modes (A6/A9): independent
+    per-partition k-modes via applyInPandas, meta-clustering on driver."""
+    o = table(spark, sf_dir, "orders")
+    est = EnsembleKModes(n_partitions=4, n_clusters=5, seed=42, cols=KMODES_COLS)
+    model = est.fit(o.select(*KMODES_COLS))
+    assigned = model.transform(o.select(*KMODES_COLS), "cluster")
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("cluster")
+    )
+
+
+@query("q72_kmodes_predict", oracle=None, tags=("kmodes", "ml"))
+def q72_kmodes_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """model.predict parity (reference A10): fit on orders, transform the
+    same relation, emit (keys → cluster) for every row."""
+    o = table(spark, sf_dir, "orders")
+    model = KModes(n_clusters=4, cols=KMODES_COLS, max_iter=20, seed=7).fit(o)
+    return (
+        model.transform(o, "prediction")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority", "prediction")
+        .orderBy("o_orderkey")
+    )

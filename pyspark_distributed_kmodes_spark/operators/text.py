@@ -1,0 +1,280 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+Word counting, quality scoring, token counting, language heuristics,
+document fingerprinting, and n-gram Jaccard similarity — all JVM
+built-ins (split/explode/regexp/md5), no Python UDFs, so every query
+whole-stage-codegens and scales linearly with document count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_distributed_kmodes_spark.functions.deterministic import davg, sql_davg
+from pyspark_distributed_kmodes_spark.registry import query
+from pyspark_distributed_kmodes_spark.sources.tables import table
+
+# Fixed stopword list for quality scoring (language-agnostic heuristic;
+# the corpus vocabulary is pseudo-words, so we use its common fillers).
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+@query(
+    "q50_word_count",
+    oracle="""
+SELECT word, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+GROUP BY word
+ORDER BY n DESC, word ASC
+LIMIT 50
+""",
+    tags=("text",),
+    bench=True,
+)
+def q50_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-50 word count: explode → groupBy → top-k.
+
+    Scale: the explode fans out ~40× but partial aggregation collapses
+    it map-side before the shuffle; top-k via TakeOrderedAndProject.
+    """
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(50)
+    )
+
+
+@query(
+    "q51_lang_profile",
+    oracle=f"""
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       {sql_davg('n_chars')} AS avg_chars,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY lang, source
+ORDER BY lang, source
+""",
+    tags=("text",),
+)
+def q51_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling: doc counts and length stats per (lang, source)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            davg("n_chars").alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@query(
+    "q52_quality_score",
+    oracle=f"""
+SELECT doc_id,
+       n_words,
+       round(CAST(n_chars AS DOUBLE) / n_words, 6) AS chars_per_word,
+       round(CAST(n_stop AS DOUBLE) / n_words, 6) AS stopword_ratio,
+       round(CAST(n_unique AS DOUBLE) / n_words, 6) AS unique_ratio,
+       CASE WHEN n_words >= 20 AND CAST(n_unique AS DOUBLE) / n_words > 0.3
+            THEN 1 ELSE 0 END AS passes_quality
+FROM (
+  SELECT doc_id, n_chars,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_filter(string_split(text, ' '),
+             w -> list_contains({list(STOPWORDS)!r}, w))) AS n_stop,
+         len(list_distinct(string_split(text, ' '))) AS n_unique
+  FROM documents
+) t
+ORDER BY doc_id
+""",
+    tags=("text",),
+)
+def q52_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length, stopword ratio, lexical
+    diversity, and a pass/fail gate — the standard pre-training filter
+    stack, computed entirely with array built-ins."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    base = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))).cast("bigint").alias("n_stop"),
+        F.size(F.array_distinct(words)).cast("bigint").alias("n_unique"),
+    )
+    return base.select(
+        "doc_id",
+        "n_words",
+        F.round(F.col("n_chars").cast("double") / F.col("n_words"), 6).alias("chars_per_word"),
+        F.round(F.col("n_stop").cast("double") / F.col("n_words"), 6).alias("stopword_ratio"),
+        F.round(F.col("n_unique").cast("double") / F.col("n_words"), 6).alias("unique_ratio"),
+        F.when((F.col("n_words") >= 20) & (F.col("n_unique").cast("double") / F.col("n_words") > 0.3), 1)
+        .otherwise(0)
+        .alias("passes_quality"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q53_token_count",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS total_tokens,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_words
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+    tags=("text",),
+)
+def q53_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish regex (alpha runs | digit runs |
+    single non-alnum) vs whitespace words — the budget metric every
+    training-data pipeline needs."""
+    d = table(spark, sf_dir, "documents")
+    tokens = F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(tokens)).cast("bigint").alias("total_tokens"),
+            F.sum(F.size(F.split("text", " "))).cast("bigint").alias("total_words"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q54_doc_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
+       md5(text) AS exact_hash
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("text", "dedup"),
+)
+def q54_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: exact content hash + an order-insensitive
+    bag-of-words fingerprint (sorted unique words → md5), the cheap
+    first stage of a dedup cascade."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(words)), " ")).alias("fingerprint"),
+        F.md5(F.col("text")).alias("exact_hash"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q55_ngram_jaccard",
+    oracle="""
+WITH shingles AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                  i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS shingle
+    FROM documents
+  ) t
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       round(CAST(p.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - p.n_common), 6) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE CAST(p.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - p.n_common) >= 0.2
+ORDER BY doc_a, doc_b
+""",
+    tags=("text", "dedup"),
+)
+def q55_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection via exact 3-gram (word-trigram) Jaccard.
+
+    Inverted-index formulation: explode distinct shingles, self-join on
+    shingle (only docs SHARING a shingle ever meet — no cross join),
+    count intersections, Jaccard = |∩| / (|A|+|B|-|∩|), threshold 0.2.
+
+    Scale: the shingle join's fan-out is bounded by shingle document
+    frequency; hot shingles (df > ~1000) should be dropped as
+    stop-shingles at 100 TB — they only connect unrelated docs. MinHash
+    (q62) is the sub-quadratic successor at full scale.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n = F.size(words)
+    # trigram shingles: words[i..i+2] for i in 0..n-3 (1-based slice)
+    shingle_arr = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.array_join(F.slice(words, i, 3), " "),
+    )
+    shingles = (
+        d.select("doc_id", F.explode(shingle_arr).alias("shingle")).distinct()
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "q56_exact_dedup",
+    oracle="""
+SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
+       COUNT(*) AS n_copies,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+FROM documents
+GROUP BY 1
+HAVING COUNT(*) >= 1
+ORDER BY fingerprint
+""",
+    tags=("text", "dedup"),
+    bench=True,
+)
+def q56_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (hash-based) dedup: group by content fingerprint, keep the
+    lowest doc_id. The groupBy-on-hash formulation shuffles only
+    (hash, id) pairs — never full text — which is what survives 100 TB.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(words)), " "))
+    return (
+        d.select(fp.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
+        .orderBy("fingerprint")
+    )

@@ -1,0 +1,230 @@
+"""Vector similarity search over the `embeddings` table.
+
+Two execution paths, as a 100 TB engine needs both:
+
+- **Exact brute-force top-k** (q60): Arrow-batched pandas UDF doing a
+  blocked matrix multiply against a broadcast reference matrix. This is
+  the correctness baseline and the right answer whenever the reference
+  set fits in executor memory (classic "score corpus against N query
+  vectors"). The corpus side streams through `mapInPandas` — never
+  collected — so it scales with executor count; only the reference
+  matrix is driver-collected/broadcast.
+- **LSH-bucketed ANN** (q61): random-hyperplane signatures computed with
+  JVM built-ins, candidates meet only within a bucket (sub-quadratic),
+  exact re-rank inside the bucket. Rows-only oracle (approximate);
+  recall is property-tested against q60 in tests/test_vectors.py.
+
+A pure-JVM dot product via zip_with/aggregate exists in
+functions/vector_math.py and is used for the re-rank step — keeping the
+candidate scoring inside codegen.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pyspark_distributed_kmodes_spark.functions.vector_math import cosine_sim
+from pyspark_distributed_kmodes_spark.registry import query
+from pyspark_distributed_kmodes_spark.sources.tables import table
+
+TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("cos_sim", T.DoubleType()),
+        T.StructField("rank", T.IntegerType()),
+    ]
+)
+
+
+def exact_topk(spark: SparkSession, emb: DataFrame, k: int = 5, block: int = 2048) -> DataFrame:
+    """Exact cosine top-k of every vector against the whole table.
+
+    The reference matrix (all embeddings) is collected once and shipped
+    via Spark broadcast; each Arrow batch of query rows does a float64
+    blocked GEMM against it. Memory per task ≈ block × n_ref × 8 bytes.
+
+    At 100 TB the same operator runs with the reference side bounded
+    (top-k against a fixed candidate set) or replaced by q61's LSH path.
+    """
+    ref = emb.select("vec_id", "embedding").collect()
+    ref_ids = np.array([r.vec_id for r in ref], dtype=np.int64)
+    ref_mat = np.array([r.embedding for r in ref], dtype=np.float64)
+    ref_mat /= np.linalg.norm(ref_mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ref_ids)
+    b_mat = spark.sparkContext.broadcast(ref_mat)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat = b_ids.value, b_mat.value
+        for pdf in batches:
+            q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            q = np.array(list(pdf["embedding"]), dtype=np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            for s in range(0, len(q), block):
+                qb, qid = q[s : s + block], q_ids[s : s + block]
+                sims = qb @ mat.T  # (b, n_ref) float64 GEMM
+                # self-match excluded by id, not by sim==1 (duplicates!)
+                self_mask = qid[:, None] == ids[None, :]
+                sims[self_mask] = -np.inf
+                # round BEFORE ranking so rank ties are broken identically
+                # to the SQL oracle (rounded sim desc, neighbor id asc)
+                sims = np.round(sims, 6)
+                part = np.argpartition(-sims, k, axis=1)[:, : k + 8]
+                rows = []
+                for i in range(len(qb)):
+                    cand = part[i]
+                    order = np.lexsort((ids[cand], -sims[i, cand]))[:k]
+                    for rank, j in enumerate(cand[order], start=1):
+                        rows.append((qid[i], ids[j], sims[i, j], rank))
+                yield pd.DataFrame(rows, columns=["vec_id", "neighbor_id", "cos_sim", "rank"])
+
+    return emb.select("vec_id", "embedding").mapInPandas(score, TOPK_SCHEMA)
+
+
+@query(
+    "q60_cosine_topk",
+    oracle="""
+WITH sims AS (
+  SELECT a.vec_id,
+         b.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT vec_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM sims
+)
+SELECT vec_id, neighbor_id, cos_sim, rank
+FROM ranked WHERE rank <= 5
+ORDER BY vec_id, rank
+""",
+    tags=("vector",),
+    bench=True,
+)
+def q60_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for every embedding (see exact_topk)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return exact_topk(spark, emb, k=5).orderBy("vec_id", "rank")
+
+
+@query(
+    "q61_ann_lsh",
+    oracle=None,  # approximate: rows-only check; recall property-tested
+    tags=("vector", "approx"),
+)
+def q61_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH, entirely in JVM built-ins.
+
+    Signature: sign of dot(v, h_i) for 16 hyperplanes → 16-bit bucket
+    key; vectors meet only within their bucket; exact cosine re-rank
+    (zip_with/aggregate) inside. Sub-quadratic: cost ~ Σ bucket².
+
+    Deterministic: hyperplanes derive from xxhash64(i, dim) — no RNG
+    state, reproducible across runs/cluster sizes.
+    """
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim, n_planes = 64, 16
+
+    # Deterministic pseudo-random hyperplanes from xxhash64, centered:
+    # h[p][d] = (xxhash64(p, d) % 2001 - 1000) / 1000.0
+    planes = F.array(
+        *[
+            F.array(
+                *[
+                    ((F.xxhash64(F.lit(p), F.lit(d)) % 2001 + 2001) % 2001 - 1000).cast("double") / 1000.0
+                    for d in range(dim)
+                ]
+            )
+            for p in range(n_planes)
+        ]
+    )
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sig_bits = F.transform(
+        planes,
+        lambda h: F.when(
+            F.aggregate(F.zip_with(vec, h, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x) >= 0, F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    bucketed = emb.withColumn("bucket", F.array_join(sig_bits, "")).select("vec_id", "embedding", "bucket")
+
+    from pyspark.sql import Window
+
+    a = bucketed.select(F.col("vec_id"), F.col("embedding").alias("ea"), "bucket")
+    b = bucketed.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("eb"), "bucket")
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id", F.round(cosine_sim(F.col("ea"), F.col("eb")), 6).alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .orderBy("vec_id", "rank")
+    )
+
+
+@query(
+    "q62_embedding_neardup",
+    oracle="""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.85
+ORDER BY vec_a, vec_b
+""",
+    tags=("vector", "dedup"),
+)
+def q62_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (sim ≥ 0.85), exact form.
+
+    Same blocked-GEMM mapInPandas path as q60 (the O(n²) pair join would
+    dominate at any scale; the matrix product streams the left side and
+    broadcasts the right). At 100 TB the LSH bucketing of q61
+    pre-filters candidates instead of scoring the full matrix.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    ref = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in ref], dtype=np.int64)
+    mat = np.array([r.embedding for r in ref], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def find_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rids, rmat = b_ids.value, b_mat.value
+        for pdf in batches:
+            q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            q = np.array(list(pdf["embedding"]), dtype=np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            for s in range(0, len(q), 2048):
+                qb, qid = q[s : s + 2048], q_ids[s : s + 2048]
+                sims = qb @ rmat.T
+                ii, jj = np.nonzero((sims >= 0.85) & (qid[:, None] < rids[None, :]))
+                yield pd.DataFrame(
+                    {
+                        "vec_a": qid[ii],
+                        "vec_b": rids[jj],
+                        "cos_sim": np.round(sims[ii, jj], 6),
+                    }
+                )
+
+    return emb.select("vec_id", "embedding").mapInPandas(find_pairs, out_schema).orderBy("vec_a", "vec_b")

@@ -1,0 +1,79 @@
+"""Table sources: parquet scans of the driver-generated star schema.
+
+Scans are plain `spark.read.parquet` so Catalyst gets predicate pushdown,
+column pruning, and partition pruning for free (SURVEY.md §4). CSV/JSON
+readers are provided for parity with the reference's "any iterable of
+records" input surface (SURVEY.md §1.1) and for external data.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from pyspark_distributed_kmodes_spark.session import configure
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor (region/
+# nation are fixed-size; supplier/part grow slowly). Fact tables never.
+BROADCASTABLE = {"region", "nation", "supplier", "part", "customer"}
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects; session.py sets nanosAsLong so it arrives as a
+        # bigint of nanoseconds — normalize to a microsecond TIMESTAMP
+        # (the data carries no sub-microsecond precision).
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            # integer DIV, not `/`: float division of int64 nanos loses
+            # precision above 2^53 and shifts timestamps by ±1 µs
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views for spark.sql() access."""
+    for t in TABLES:
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """CSV scan with an explicit schema (never inferSchema in production:
+    inference is a full extra pass over 100 TB)."""
+    configure(spark)
+    return spark.read.csv(path, header=True, schema=schema)
+
+
+def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    configure(spark)
+    return spark.read.json(path, schema=schema)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite") -> None:
+    """Parquet sink. `partition_by` low-cardinality columns only (lang,
+    date) — high-cardinality partitioning creates a small-files explosion
+    at scale."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
