@@ -34,4 +34,10 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def codegen_stage_count(df: DataFrame) -> int:
-    return formatted_plan(df).count("WholeStageCodegen")
+    """Number of distinct whole-stage-codegen stages: `*(N)` markers in
+    the simple-mode executed plan (AQE finalizes it after an action)."""
+    import re
+
+    df.collect()  # count() would plan a DIFFERENT query; collect finalizes this one
+    simple = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")  # type: ignore[attr-defined]
+    return len(set(re.findall(r"\*\((\d+)\)", simple)))

@@ -1,0 +1,73 @@
+"""K-modes property tests (SURVEY.md §5 layer 3): fixed-seed
+determinism, cost sanity, cluster-count invariants, predict parity —
+the non-SQL checks standing in for the hash oracle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_distributed_kmodes_spark.ml.kmodes import EnsembleKModes, KModes, KModesModel, hamming_distance_col
+from pyspark_distributed_kmodes_spark.sources.tables import table
+
+COLS = ("o_orderstatus", "o_orderpriority")
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    return table(spark, sf_dir, "orders").select(*COLS).persist()
+
+
+def test_hamming_distance_matches_python(spark):
+    df = spark.createDataFrame([("a", "x"), ("a", "y"), ("b", "y")], ["c1", "c2"])
+    d = df.select(hamming_distance_col(["c1", "c2"], ["a", "y"]).alias("d")).collect()
+    assert [r.d for r in d] == [1, 0, 1]
+
+
+def test_fixed_seed_determinism(orders):
+    m1 = KModes(n_clusters=4, cols=COLS, max_iter=10, seed=11).fit(orders)
+    m2 = KModes(n_clusters=4, cols=COLS, max_iter=10, seed=11).fit(orders)
+    assert m1.modes == m2.modes
+    assert m1.cost == m2.cost
+
+
+def test_different_seeds_may_differ_but_run(orders):
+    m = KModes(n_clusters=4, cols=COLS, max_iter=10, seed=99).fit(orders)
+    assert len(m.modes) == 4
+
+
+def test_k_clusters_and_assignment_total(orders):
+    model = KModes(n_clusters=5, cols=COLS, max_iter=15, seed=42).fit(orders)
+    assert len(model.modes) == 5
+    assigned = model.transform(orders, "p")
+    n = orders.count()
+    assert assigned.count() == n
+    preds = assigned.select("p").distinct().collect()
+    assert all(0 <= r.p < 5 for r in preds)
+
+
+def test_cost_not_worse_than_init(orders):
+    """Lloyd iterations must not increase the objective vs the seeded
+    init modes (cost monotonicity, reference fit() convergence loop)."""
+    est = KModes(n_clusters=5, cols=COLS, max_iter=15, seed=42)
+    feats = orders.select(*[F.col(c).cast("string").alias(c) for c in COLS])
+    init_model = KModesModel(cols=COLS, modes=est._init_modes(feats))
+    init_cost = feats.select(init_model.distance_col().alias("d")).agg(F.sum("d")).first()[0]
+    fitted = est.fit(orders)
+    assert fitted.cost <= init_cost
+
+
+def test_transform_ties_break_to_lowest_index(spark):
+    model = KModesModel(cols=("c1",), modes=[("a",), ("a",)])  # identical modes
+    df = spark.createDataFrame([("a",), ("b",)], ["c1"])
+    out = {r.c1: r.p for r in model.transform(df, "p").collect()}
+    assert out == {"a": 0, "b": 0}
+
+
+def test_ensemble_reference_parity_shape(orders):
+    """Two-level ensemble (reference A6/A9): P×k partition modes,
+    meta-clustered to k final modes; mean cost exposed."""
+    est = EnsembleKModes(n_partitions=4, n_clusters=3, seed=42, cols=COLS)
+    model = est.fit(orders)
+    assert len(model.modes) == 3
+    assert model.cost >= 0.0
+    m2 = EnsembleKModes(n_partitions=4, n_clusters=3, seed=42, cols=COLS).fit(orders)
+    assert model.modes == m2.modes  # deterministic

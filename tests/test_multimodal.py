@@ -1,0 +1,41 @@
+"""Multimodal plumbing: binary payload column, Arrow-batched decode UDF,
+stubbed codecs."""
+
+import pandas as pd
+import pytest
+
+from pyspark_distributed_kmodes_spark.multimodal.binary import (
+    decode_audio,
+    decode_image,
+    fake_decode_meta,
+    q80_multimodal_decode,
+    with_blob,
+)
+from pyspark_distributed_kmodes_spark.sources.tables import table
+
+
+def test_real_codecs_are_explicit_stubs():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"RIFF")
+
+
+def test_blob_column_is_binary(spark, sf_dir):
+    df = with_blob(table(spark, sf_dir, "documents"))
+    assert dict(df.dtypes)["payload"] == "binary"
+
+
+def test_fake_decode_deterministic():
+    out1 = fake_decode_meta(pd.Series([1]), pd.Series([b"x" * 100]))
+    out2 = fake_decode_meta(pd.Series([1]), pd.Series([b"x" * 100]))
+    assert out1.equals(out2)
+    assert out1.loc[0, "width"] == 100 % 640
+
+
+def test_decode_pipeline_schema_and_rows(spark, sf_dir):
+    out = q80_multimodal_decode(spark, sf_dir)
+    assert [f.name for f in out.schema.fields] == ["doc_id", "byte_len", "width", "height", "n_frames"]
+    rows = out.collect()
+    assert len(rows) == table(spark, sf_dir, "documents").count()
+    assert all(0 <= r.width < 640 and 0 <= r.height < 480 for r in rows)

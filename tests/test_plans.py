@@ -1,0 +1,58 @@
+"""Physical-plan shape assertions: the scale-hygiene gate (SURVEY.md §4).
+
+Correct results at sf0.01 with a bad plan is a 100 TB failure; these
+tests pin the properties that matter at scale.
+"""
+
+from pyspark.sql import functions as F
+
+from pyspark_distributed_kmodes_spark.operators.relational import (
+    q01_pricing_summary,
+    q04_broadcast_join_dims,
+    q15_sort_limit,
+    q16_top_spenders,
+)
+from pyspark_distributed_kmodes_spark.plans.inspect import (
+    codegen_stage_count,
+    formatted_plan,
+    has_broadcast_join,
+    pushed_filters,
+    read_schema,
+)
+from pyspark_distributed_kmodes_spark.sources.tables import table
+
+
+def test_q01_filter_pushed_to_scan(spark, sf_dir):
+    plan = pushed_filters(q01_pricing_summary(spark, sf_dir))
+    assert "l_shipdate" in plan, f"shipdate filter not pushed: {plan}"
+
+
+def test_q01_prunes_columns(spark, sf_dir):
+    rs = read_schema(q01_pricing_summary(spark, sf_dir))
+    assert "l_comment" not in rs
+    assert "l_partkey" not in rs  # only the 7 needed columns read
+
+
+def test_q04_broadcasts_dims(spark, sf_dir):
+    assert has_broadcast_join(q04_broadcast_join_dims(spark, sf_dir))
+
+
+def test_q16_no_cartesian(spark, sf_dir):
+    plan = formatted_plan(q16_top_spenders(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q15_topk_not_global_sort(spark, sf_dir):
+    plan = formatted_plan(q15_sort_limit(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    df = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    rs = read_schema(df)
+    assert "l_orderkey" in rs and "l_quantity" not in rs
+
+
+def test_queries_use_whole_stage_codegen(spark, sf_dir):
+    assert codegen_stage_count(q01_pricing_summary(spark, sf_dir)) >= 1

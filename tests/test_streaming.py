@@ -1,0 +1,50 @@
+"""True Structured Streaming twins must agree with the batch-emulated
+forms the oracle checks (SURVEY.md §1.2)."""
+
+import pytest
+
+from pyspark_distributed_kmodes_spark.operators.events import q30_tumbling_window, q34_latest_event_dedup
+from pyspark_distributed_kmodes_spark.streaming.jobs import (
+    dedup_stream,
+    events_stream,
+    run_available_now,
+    tumbling_counts_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def stream(spark, sf_dir):
+    return events_stream(spark, sf_dir)
+
+
+def test_stream_source_is_streaming(stream):
+    assert stream.isStreaming
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, stream):
+    run_available_now(tumbling_counts_stream(stream), "t_tumbling")
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM t_tumbling").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): r.n_events
+        for r in q30_tumbling_window(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_dedup_stream_counts(spark, sf_dir, stream):
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_stream = spark.sql("SELECT COUNT(*) AS n FROM t_dedup").first().n
+    n_batch = q34_latest_event_dedup(spark, sf_dir).count()
+    # both keep exactly one row per (user_id, event_type)
+    assert n_stream == n_batch

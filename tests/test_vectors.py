@@ -1,0 +1,49 @@
+"""Similarity-search property tests: exact top-k sanity + LSH recall."""
+
+import numpy as np
+import pytest
+from pyspark.sql import types as T
+
+from pyspark_distributed_kmodes_spark.operators.vectors import exact_topk, q60_cosine_topk, q61_ann_lsh
+from pyspark_distributed_kmodes_spark.sources.tables import table
+
+VEC_SCHEMA = T.StructType(
+    [T.StructField("vec_id", T.LongType()), T.StructField("embedding", T.ArrayType(T.FloatType()))]
+)
+
+
+def test_planted_duplicate_is_top1(spark):
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(20, 8)).astype(np.float32)
+    vecs[7] = vecs[3]  # plant an exact duplicate
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, VEC_SCHEMA)
+    top = {(r.vec_id, r.rank): r.neighbor_id for r in exact_topk(spark, df, k=1).collect()}
+    assert top[(3, 1)] == 7 and top[(7, 1)] == 3
+
+
+def test_topk_is_symmetric_on_duplicate_sim(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    out = q60_cosine_topk(spark, sf_dir).collect()
+    assert len(out) == emb.count() * 5
+    by_vec = {}
+    for r in out:
+        by_vec.setdefault(r.vec_id, []).append(r)
+    for vid, rows in by_vec.items():
+        sims = [r.cos_sim for r in sorted(rows, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True), f"ranks unordered for {vid}"
+        assert all(r.neighbor_id != vid for r in rows)
+
+
+def test_lsh_recall_of_exact_top1(spark, sf_dir):
+    """The LSH path must recover a decent share of true top-1 neighbors
+    (random-hyperplane LSH, 1 table × 16 bits — recall is limited by
+    design; the scale win is the sub-quadratic candidate set)."""
+    exact = {r.vec_id: r.neighbor_id for r in q60_cosine_topk(spark, sf_dir).collect() if r.rank == 1}
+    approx = {}
+    for r in q61_ann_lsh(spark, sf_dir).collect():
+        if r.rank == 1:
+            approx[r.vec_id] = r.neighbor_id
+    hits = sum(1 for v, n in approx.items() if exact.get(v) == n)
+    assert len(approx) > 0
+    assert hits / max(len(approx), 1) > 0.3
