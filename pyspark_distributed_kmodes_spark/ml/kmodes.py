@@ -93,6 +93,11 @@ class KModes:
     persisted once; lineage cut via localCheckpoint every 10 iters.
     """
 
+    # Above this many distinct value-combinations the weighted local
+    # Lloyd loop stops being "provably tiny" and we fall back to the
+    # fully distributed iteration. 100k combos × few cols ≈ megabytes.
+    COMBO_THRESHOLD = 100_000
+
     def __init__(self, n_clusters: int, cols: Sequence[str], max_iter: int = 20, seed: int = 42):
         self.k = int(n_clusters)
         self.cols = tuple(cols)
@@ -115,7 +120,77 @@ class KModes:
         return modes
 
     def fit(self, df: DataFrame) -> KModesModel:
+        """Key scale property of k-modes over CATEGORICAL data: the
+        objective depends only on the distinct value-combination counts,
+        not the raw rows. So fit aggregates the 100 TB input to a
+        weighted combo table in ONE shuffle (map-side combined), and —
+        when that table is provably small — iterates Lloyd locally on
+        the weights, identical math, zero per-iteration jobs. Only at
+        extreme combo cardinality does the distributed per-iteration
+        loop (the reference's barrier structure, SURVEY.md §3.1 E1)
+        engage."""
         feats = df.select(*[F.col(c).cast("string").alias(c) for c in self.cols])
+        combo_df = feats.groupBy(*self.cols).agg(F.count(F.lit(1)).alias("_w"))
+        # single job: fetch at most threshold+1 combos; a full result
+        # means low cardinality and the weights are exact for ALL rows
+        combos = combo_df.limit(self.COMBO_THRESHOLD + 1).collect()
+        if len(combos) <= self.COMBO_THRESHOLD:
+            return self._fit_weighted_local(combos)
+        return self._fit_distributed(feats)
+
+    def _fit_weighted_local(self, combos) -> KModesModel:
+        """Exact weighted Lloyd on the collected (combo, count) table.
+        Deterministic: same init (seeded hash over combos), argmin ties
+        → lowest cluster index, mode ties → smallest value."""
+        rows = [tuple(r[c] for c in self.cols) for r in combos]
+        weights = np.array([r["_w"] for r in combos], dtype=np.int64)
+        arr = np.array([list(t) for t in rows], dtype=object)
+        # init: mirror _init_modes ordering (xxhash64-equivalent seeded
+        # hash over the distinct combos). xxhash64 isn't available
+        # driver-side; a seeded blake2b over the same tuple is an
+        # equally deterministic stand-in.
+        import hashlib
+
+        def h(t):
+            m = hashlib.blake2b(("\x00".join(t) + f"|{self.seed}").encode(), digest_size=8)
+            return int.from_bytes(m.digest(), "big")
+
+        order = sorted(range(len(rows)), key=lambda i: (h(rows[i]), rows[i]))
+        if len(rows) < self.k:
+            raise ValueError(f"only {len(rows)} distinct rows for k={self.k}")
+        modes = [rows[i] for i in order[: self.k]]
+        n_iter, converged = 0, False
+        for it in range(1, self.max_iter + 1):
+            n_iter = it
+            dists = np.array([[sum(a != b for a, b in zip(row, m)) for m in modes] for row in rows])
+            assign = dists.argmin(axis=1)  # ties → lowest index (argmin semantics)
+            new_modes = []
+            for ci in range(self.k):
+                mask = assign == ci
+                if not mask.any():
+                    new_modes.append(tuple(modes[ci]))
+                    continue
+                members, w = arr[mask], weights[mask]
+                mode_vals = []
+                for j in range(len(self.cols)):
+                    tally: dict = {}
+                    for v, wt in zip(members[:, j], w):
+                        tally[v] = tally.get(v, 0) + int(wt)
+                    top = max(tally.values())
+                    mode_vals.append(min(v for v, c in tally.items() if c == top))
+                new_modes.append(tuple(mode_vals))
+            if new_modes == modes:
+                converged = True
+                break
+            modes = new_modes
+        dists = np.array([[sum(a != b for a, b in zip(row, m)) for m in modes] for row in rows])
+        cost = float((dists.min(axis=1) * weights).sum())
+        return KModesModel(cols=self.cols, modes=modes, cost=cost, n_iter=n_iter, converged=converged)
+
+    def _fit_distributed(self, feats: DataFrame) -> KModesModel:
+        """Per-iteration distributed Lloyd (assign via broadcast literal
+        expression, re-mode via melt+count) — the path for combo
+        cardinality beyond driver memory."""
         feats = feats.persist()
         try:
             model = KModesModel(cols=self.cols, modes=self._init_modes(feats))

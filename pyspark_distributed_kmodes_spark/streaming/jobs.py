@@ -12,14 +12,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyspark_distributed_kmodes_spark.sources.tables import table
-
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (schema pinned from the
-    batch read — streaming sources must declare schemas up front)."""
-    schema = table(spark, sf_dir, "events").schema
-    return spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parquet")
+    """File-source stream over the events parquet.
+
+    FileStreamSource requires a DIRECTORY (it tails new files), so the
+    single parquet file is staged into a temp dir — in production the
+    source is simply the landing directory. The schema must be declared
+    up front; ts arrives as nanosecond int64 (see sources.tables) and is
+    converted to a microsecond timestamp in-stream.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stage = tempfile.mkdtemp(prefix="events_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", stage)
+    stream = spark.readStream.schema(raw_schema).parquet(stage)
+    from pyspark.sql import types as T
+
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return stream
 
 
 def tumbling_counts_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:

@@ -46,12 +46,10 @@ def test_k_clusters_and_assignment_total(orders):
 
 def test_cost_not_worse_than_init(orders):
     """Lloyd iterations must not increase the objective vs the seeded
-    init modes (cost monotonicity, reference fit() convergence loop)."""
-    est = KModes(n_clusters=5, cols=COLS, max_iter=15, seed=42)
-    feats = orders.select(*[F.col(c).cast("string").alias(c) for c in COLS])
-    init_model = KModesModel(cols=COLS, modes=est._init_modes(feats))
-    init_cost = feats.select(init_model.distance_col().alias("d")).agg(F.sum("d")).first()[0]
-    fitted = est.fit(orders)
+    init modes (cost monotonicity, reference fit() convergence loop).
+    max_iter=0 returns the init modes themselves with their cost."""
+    init_cost = KModes(n_clusters=5, cols=COLS, max_iter=0, seed=42).fit(orders).cost
+    fitted = KModes(n_clusters=5, cols=COLS, max_iter=15, seed=42).fit(orders)
     assert fitted.cost <= init_cost
 
 
