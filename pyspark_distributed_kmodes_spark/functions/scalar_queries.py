@@ -210,3 +210,27 @@ def q45_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q36_variant_json",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_variant,
+       json_extract_string(props, '$.k') AS k_string
+FROM events
+ORDER BY event_id
+""",
+    tags=("scalar", "json", "variant"),
+)
+def q36_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VariantType (Spark 4): parse_json once, variant_get typed paths —
+    the schema-flexible semi-structured column type. DuckDB has no
+    variant; the oracle checks the extracted TYPED values instead."""
+    e = table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_variant"),
+        F.variant_get(v, "$.k", "string").alias("k_string"),
+    ).orderBy("event_id")

@@ -178,3 +178,29 @@ def q65_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("fingerprint", "doc_id", "lang", "n_chars")
         .orderBy("fingerprint")
     )
+
+
+@query("q66_minhash_mllib", oracle=None, tags=("text", "dedup", "approx"))
+def q66_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library-based near-dedup: pyspark.ml MinHashLSH over HashingTF
+    shingle vectors (approxSimilarityJoin) — the off-the-shelf
+    alternative to the hand-rolled q63 pipeline, kept for API parity.
+    Rows-only (hash seeds differ from q63's)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = table(spark, sf_dir, "documents")
+    sh = shingle_df(docs).groupBy("doc_id").agg(F.collect_list("shingle").alias("shingles"))
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(sh)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+    return (
+        joined.select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1 - F.col("jaccard_dist"), 6).alias("est_jaccard"),
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .orderBy("doc_a", "doc_b")
+    )

@@ -278,3 +278,53 @@ def q56_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
         .orderBy("fingerprint")
     )
+
+
+@query(
+    "q57_tfidf_top_terms",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY doc_id, word
+), df AS (
+  SELECT word, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY word
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.word,
+         round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN df USING (word) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, word, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, word, tfidf, CAST(rn AS INTEGER) AS rn
+FROM ranked WHERE rn <= 3
+ORDER BY doc_id, rn
+""",
+    tags=("text",),
+)
+def q57_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document, smooth-idf variant
+    (idf = ln((N+1)/(df+1)) + 1, scikit-style), all relational:
+    explode → two aggregations → join → window top-k. No ml-lib state;
+    the idf table is a reusable artifact at scale (broadcastable).
+    """
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar; at scale keep as a crossJoin'd 1-row DF
+    tfidf = F.round(F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 6)
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word").asc())
+    return (
+        tf.join(F.broadcast(df_), "word")
+        .select("doc_id", "word", tfidf.alias("tfidf"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .orderBy("doc_id", "rn")
+    )
