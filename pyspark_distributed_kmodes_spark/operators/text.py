@@ -328,3 +328,50 @@ def q57_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .orderBy("doc_id", "rn")
     )
+
+
+@query("q58_language_id", oracle=None, tags=("text", "ml"))
+def q58_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification via character-trigram profiles, fully
+    relational: train per-lang top-50 trigram weights on a deterministic
+    80% split (doc_id % 10 < 8), classify the rest by weighted trigram
+    overlap (argmax lang; ties → lang asc).
+
+    NOTE: this synthetic corpus shares one vocabulary across langs, so
+    accuracy ≈ chance here; the operator is the real langid shape
+    (profiles broadcast; test side scales linearly). Rows-only; the
+    property tests pin determinism and total coverage.
+    """
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    trigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(1))),
+        lambda i: F.col("text").substr(i, F.lit(3)),
+    )
+    exploded = d.select("doc_id", "lang", F.explode(trigrams).alias("tri"))
+    train = exploded.filter(F.col("doc_id") % 10 < 8)
+    test = d.filter(F.col("doc_id") % 10 >= 8)
+
+    counts = train.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("cnt"))
+    w_top = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("tri").asc())
+    profile = (
+        counts.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= 50)
+        .select("lang", "tri", F.log(F.col("cnt") + 1).alias("weight"))
+        .withColumnRenamed("lang", "cand_lang")
+    )
+
+    test_tris = test.select("doc_id", F.col("lang").alias("true_lang"), F.explode(trigrams).alias("tri"))
+    scored = (
+        test_tris.join(F.broadcast(profile), "tri")
+        .groupBy("doc_id", "true_lang", "cand_lang")
+        .agg(F.sum("weight").alias("score"))
+    )
+    w_pick = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand_lang").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "true_lang", F.col("cand_lang").alias("predicted_lang"), F.round("score", 6).alias("score"))
+        .orderBy("doc_id")
+    )

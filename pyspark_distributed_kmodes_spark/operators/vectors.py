@@ -226,3 +226,45 @@ def q62_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
 
     return emb.select("vec_id", "embedding").mapInPandas(find_pairs, out_schema).orderBy("vec_a", "vec_b")
+
+
+@query(
+    "q67_embedding_stats",
+    oracle="""
+SELECT label,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(CAST(round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6)
+                AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_norm,
+       CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_e0,
+       CAST(MIN(CAST(embedding[1] AS DOUBLE)) AS DOUBLE) AS min_e0,
+       CAST(MAX(CAST(embedding[1] AS DOUBLE)) AS DOUBLE) AS max_e0
+FROM embeddings
+GROUP BY label
+ORDER BY label
+""",
+    tags=("vector", "agg"),
+)
+def q67_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector statistics: counts, mean L2 norm (JVM
+    higher-order fold — sequential, so bit-identical to the oracle's
+    list_sum), mean/min/max of the first component.
+
+    Observed: this corpus's embeddings are pre-normalized (norm≈1.0);
+    the operator still guards against un-normalized future data.
+    """
+    from pyspark_distributed_kmodes_spark.functions.deterministic import davg
+    from pyspark_distributed_kmodes_spark.functions.vector_math import norm
+
+    emb = table(spark, sf_dir, "embeddings")
+    e0 = F.element_at("embedding", 1).cast("double")
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            davg(F.round(norm(F.col("embedding")), 6)).alias("avg_norm"),
+            davg(e0).alias("avg_e0"),
+            F.min(e0).alias("min_e0"),
+            F.max(e0).alias("max_e0"),
+        )
+        .orderBy("label")
+    )

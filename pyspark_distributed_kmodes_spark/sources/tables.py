@@ -77,3 +77,17 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_bucketed(df: DataFrame, table_name: str, bucket_col: str, n_buckets: int = 16) -> None:
+    """Persist as a bucketed+sorted native table: co-locates rows by
+    `bucket_col` at WRITE time so later equi-joins/aggregations on that
+    key run with NO exchange — the pre-shuffled-layout strategy for
+    repeatedly-joined 100 TB facts (e.g. lineitem⋈orders on orderkey)."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )

@@ -83,3 +83,27 @@ def run_available_now(stream_df: DataFrame, query_name: str):
     )
     q.awaitTermination()
     return query_name
+
+
+def running_user_totals_stream(events: DataFrame):
+    """Custom stateful operator: per-user running event count + value sum
+    via applyInPandasWithState — the arbitrary-state API for semantics
+    window aggregations can't express (cross-batch accumulators)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id BIGINT, n_events BIGINT, total_value DOUBLE"
+    state_schema = "n BIGINT, total DOUBLE"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout)
+    )

@@ -1,0 +1,44 @@
+"""Bucketed-table co-located join: the write-time shuffle elimination
+strategy. Asserts the join plan over bucketed tables has NO Exchange."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pyspark_distributed_kmodes_spark.plans.inspect import formatted_plan
+from pyspark_distributed_kmodes_spark.sources.tables import table, write_bucketed
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "li_bucketed", "l_orderkey", 8)
+    write_bucketed(o, "o_bucketed", "o_orderkey", 8)
+    yield "li_bucketed", "o_bucketed"
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
+
+
+def test_bucketed_join_has_no_shuffle_exchange(spark, bucketed_tables):
+    li_t, o_t = bucketed_tables
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        li, o = spark.table(li_t), spark.table(o_t)
+        joined = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+        plan = formatted_plan(joined)
+        assert "Exchange hashpartitioning" not in plan, f"bucketed join still shuffles:\n{plan}"
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_join_correct(spark, sf_dir, bucketed_tables):
+    li_t, o_t = bucketed_tables
+    li, o = spark.table(li_t), spark.table(o_t)
+    n_bucketed = li.join(o, li.l_orderkey == o.o_orderkey).count()
+    li2 = table(spark, sf_dir, "lineitem")
+    o2 = table(spark, sf_dir, "orders")
+    n_plain = li2.join(o2, li2.l_orderkey == o2.o_orderkey).count()
+    assert n_bucketed == n_plain

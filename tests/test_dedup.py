@@ -77,3 +77,16 @@ def test_simhash_identical_zero_hamming(planted):
     sims = {r.doc_id: r.simhash for r in simhash_col(planted).collect()}
     assert sims[0] == sims[1]
     assert bin(sims[0] ^ sims[2]).count("1") < bin(sims[0] ^ sims[10]).count("1")
+
+
+def test_language_id_deterministic_and_total(spark, sf_dir):
+    from pyspark_distributed_kmodes_spark.operators.text import q58_language_id
+
+    out1 = q58_language_id(spark, sf_dir).collect()
+    out2 = q58_language_id(spark, sf_dir).collect()
+    assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
+    # every held-out doc gets exactly one prediction from the known langs
+    langs = {"en", "fr", "es", "de", "zh"}
+    assert all(r.predicted_lang in langs for r in out1)
+    ids = [r.doc_id for r in out1]
+    assert len(ids) == len(set(ids)) > 0

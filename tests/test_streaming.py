@@ -48,3 +48,25 @@ def test_dedup_stream_counts(spark, sf_dir, stream):
     n_batch = q34_latest_event_dedup(spark, sf_dir).count()
     # both keep exactly one row per (user_id, event_type)
     assert n_stream == n_batch
+
+
+def test_stateful_running_totals(spark, sf_dir, stream):
+    from pyspark_distributed_kmodes_spark.operators.events import q30_tumbling_window  # noqa: F401
+    from pyspark_distributed_kmodes_spark.sources.tables import table
+    from pyspark_distributed_kmodes_spark.streaming.jobs import running_user_totals_stream
+
+    q = (
+        running_user_totals_stream(stream)
+        .writeStream.format("memory")
+        .queryName("t_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.user_id: r.n_events for r in spark.sql("SELECT * FROM t_state").collect()}
+    want = {
+        r.user_id: r.n
+        for r in table(spark, sf_dir, "events").groupBy("user_id").count().withColumnRenamed("count", "n").collect()
+    }
+    assert got == want
