@@ -22,14 +22,20 @@ def main():
     reg = load_all()
     bench_queries = {n: q for n, q in sorted(reg.items()) if q.bench}
 
-    # warm the JVM + parquet footers once so timings measure the queries
+    # Warm one-time subsystems so timings measure queries, not session
+    # init: JVM/codegen (a query), Python workers + Arrow (mapInPandas),
+    # local-relation path (createDataFrame).
     next(iter(bench_queries.values())).fn(spark, sf_dir).collect()
+    spark.createDataFrame([(1,)], ["x"]).mapInPandas(lambda it: it, "x long").collect()
 
     timings = {}
     for name, q in bench_queries.items():
-        t0 = time.time()
-        len(q.fn(spark, sf_dir).collect())
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: absorbs first-run plan compile + machine noise
+            t0 = time.time()
+            len(q.fn(spark, sf_dir).collect())
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(

@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspark_distributed_kmodes_spark.registry import query
-from pyspark_distributed_kmodes_spark.sources.tables import table
+from pyspark_distributed_kmodes_spark.sources.tables import spread, table
 
 N_HASHES = 32  # minhash signature length
 N_BANDS = 8  # LSH bands (rows per band = 32/8 = 4)
@@ -31,7 +31,7 @@ def shingle_df(docs: DataFrame, n: int = 3) -> DataFrame:
         count >= 1,
         F.transform(F.sequence(F.lit(1), count), lambda i: F.array_join(F.slice(words, i, n), " ")),
     ).otherwise(F.array(F.col("text")))
-    return docs.select("doc_id", F.explode(shingle_arr).alias("shingle")).distinct()
+    return spread(docs, "doc_id").select("doc_id", F.explode(shingle_arr).alias("shingle")).distinct()
 
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
@@ -55,15 +55,21 @@ def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
             for b in range(n_bands)
         ]
     )
-    bucketed = sigs.select("doc_id", "sig", F.explode(bands).alias("bucket"))
-    a = bucketed.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "bucket")
-    b = bucketed.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "bucket")
-    return (
+    # Shuffle hygiene: the bucket self-join and pair-dedup move ONLY
+    # (id, bucket) pairs; the 32-element signatures rejoin afterwards
+    # (signature table is one row per doc — the cheap side).
+    bucketed = sigs.select("doc_id", F.explode(bands).alias("bucket"))
+    a = bucketed.select(F.col("doc_id").alias("doc_a"), "bucket")
+    b = bucketed.select(F.col("doc_id").alias("doc_b"), "bucket")
+    pairs = (
         a.join(b, ["bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .select("doc_a", "doc_b")
         .distinct()
     )
+    sig_a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    return pairs.join(sig_a, "doc_a").join(sig_b, "doc_b")
 
 
 @query("q63_minhash_neardup", oracle=None, tags=("text", "dedup", "approx"), bench=True)
@@ -76,7 +82,11 @@ def q63_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs → signature-agreement scoring. Deterministic end to end.
     """
     docs = table(spark, sf_dir, "documents")
-    cands = lsh_candidate_pairs(minhash_signatures(docs))
+    # signatures feed three consumers (two band sides + per-pair rejoin):
+    # materialize once — they are small (n_docs × 32 longs) — instead of
+    # recomputing the shingle+hash pipeline per consumer
+    sigs = minhash_signatures(docs).localCheckpoint(eager=True)
+    cands = lsh_candidate_pairs(sigs)
     agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
     return (
         cands.select(
@@ -95,7 +105,7 @@ def simhash_col(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     final bit j = (accum >= 0). One explode + one groupBy (all 48 bit
     sums in a single aggregation)."""
     wc = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        spread(docs, "doc_id").select("doc_id", F.explode(F.split("text", " ")).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("c"))
         .withColumn("h", F.xxhash64("word"))

@@ -24,10 +24,17 @@ def q70_kmodes_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = KModes(n_clusters=5, cols=KMODES_COLS, max_iter=20, seed=42).fit(o)
     assigned = model.transform(o.select(*KMODES_COLS), "cluster")
     sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
-    modes_df = spark.createDataFrame(
-        [(i,) + m for i, m in enumerate(model.modes)], ["cluster"] + [f"mode_{c}" for c in KMODES_COLS]
-    )
-    return sizes.join(modes_df, "cluster", "right").fillna(0, ["n_members"]).orderBy("cluster")
+    # modes are driver-side constants — attach them as literal map
+    # lookups (zero extra jobs; createDataFrame/broadcast-join of a tiny
+    # frame costs seconds of fixed overhead per session)
+    mode_cols = []
+    for j, c in enumerate(KMODES_COLS):
+        m = F.map_from_arrays(
+            F.array(*[F.lit(i) for i in range(len(model.modes))]),
+            F.array(*[F.lit(mode[j]) for mode in model.modes]),
+        )
+        mode_cols.append(F.element_at(m, F.col("cluster")).alias(f"mode_{c}"))
+    return sizes.select("cluster", "n_members", *mode_cols).orderBy("cluster")
 
 
 @query("q71_kmodes_ensemble_fit", oracle=None, tags=("kmodes", "ml"))

@@ -227,8 +227,10 @@ def q55_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), n - 2),
         lambda i: F.array_join(F.slice(words, i, 3), " "),
     )
+    from pyspark_distributed_kmodes_spark.sources.tables import spread
+
     shingles = (
-        d.select("doc_id", F.explode(shingle_arr).alias("shingle")).distinct()
+        spread(d, "doc_id").select("doc_id", F.explode(shingle_arr).alias("shingle")).distinct()
     )
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = shingles.alias("a")
@@ -349,6 +351,9 @@ def q58_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(1))),
         lambda i: F.col("text").substr(i, F.lit(3)),
     )
+    from pyspark_distributed_kmodes_spark.sources.tables import spread
+
+    d = spread(d, "doc_id")
     exploded = d.select("doc_id", "lang", F.explode(trigrams).alias("tri"))
     train = exploded.filter(F.col("doc_id") % 10 < 8)
     test = d.filter(F.col("doc_id") % 10 >= 8)

@@ -85,7 +85,9 @@ def exact_topk(spark: SparkSession, emb: DataFrame, k: int = 5, block: int = 204
                         rows.append((qid[i], ids[j], sims[i, j], rank))
                 yield pd.DataFrame(rows, columns=["vec_id", "neighbor_id", "cos_sim", "rank"])
 
-    return emb.select("vec_id", "embedding").mapInPandas(score, TOPK_SCHEMA)
+    from pyspark_distributed_kmodes_spark.sources.tables import spread
+
+    return spread(emb.select("vec_id", "embedding"), "vec_id").mapInPandas(score, TOPK_SCHEMA)
 
 
 @query(

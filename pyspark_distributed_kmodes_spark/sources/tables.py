@@ -91,3 +91,18 @@ def write_bucketed(df: DataFrame, table_name: str, bucket_col: str, n_buckets: i
         .format("parquet")
         .saveAsTable(table_name)
     )
+
+
+def spread(df: DataFrame, partition_col: str | None = None) -> DataFrame:
+    """Repartition ONLY when the scan is under-parallelized (small local
+    files → 1-2 partitions → explode/UDF stages run on one core).
+
+    At 100 TB inputs arrive in thousands of partitions and this is a
+    no-op; on small inputs it costs one tiny shuffle and buys full CPU
+    fan-out for the compute-heavy stage that follows.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 >= target:
+        return df
+    return df.repartition(target, partition_col) if partition_col else df.repartition(target)
