@@ -294,3 +294,73 @@ def q49_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q37_lateral_join",
+    oracle="""
+SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+         WHERE o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
+ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+""",
+    tags=("join", "lateral"),
+)
+def q37_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: top-2 orders per customer.
+
+    Catalyst rewrites the correlated limit into a window/join plan —
+    semantically the per-group top-k pattern, written the SQL-standard
+    way. (The row_number formulation is q22.)
+    """
+    from pyspark_distributed_kmodes_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
+        ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+        """
+    )
+
+
+@query(
+    "q38_full_outer_join",
+    oracle="""
+SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+       COALESCE(c.n_cust, 0) AS n_cust,
+       COALESCE(s.n_supp, 0) AS n_supp
+FROM (SELECT CAST(c_nationkey AS INTEGER) AS nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+FULL OUTER JOIN (SELECT CAST(s_nationkey AS INTEGER) AS nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+  USING (nationkey)
+ORDER BY nationkey
+""",
+    tags=("join",),
+)
+def q38_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join preserving unmatched rows on both sides."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").cast("int").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").cast("int").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        c.join(s, ["nationkey"], "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+            F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )

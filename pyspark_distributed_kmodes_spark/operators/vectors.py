@@ -270,3 +270,69 @@ def q67_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def _ivf_centroids(mat: np.ndarray, n_lists: int, seed: int = 7, iters: int = 5) -> np.ndarray:
+    """Tiny spherical k-means coarse quantizer (driver-side numpy — the
+    training sample at 100 TB is a bounded takeSample, not the corpus)."""
+    rng = np.random.default_rng(seed)
+    cents = mat[rng.choice(len(mat), size=n_lists, replace=False)]
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    for _ in range(iters):
+        assign = (mat @ cents.T).argmax(axis=1)
+        for c in range(n_lists):
+            members = mat[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+@query("q68_ann_ivf", oracle=None, tags=("vector", "approx"))
+def q68_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF (inverted-file) index: coarse k-means centroids → each
+    vector posted to its nearest list → queries probe the `nprobe`
+    nearest lists → exact re-rank inside the probed lists.
+
+    Distribution shape: centroids are a small broadcast matrix; list
+    assignment and probe assignment are Arrow-batched GEMMs; the
+    candidate join is a JVM equi-join on list id. Cost ~ nprobe/n_lists
+    of brute force. Deterministic (seeded centroids).
+    """
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_lists, nprobe = 16, 4
+
+    sample = emb.orderBy(F.xxhash64("vec_id", F.lit(7))).limit(4096).collect()
+    mat = np.array([r.embedding for r in sample], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    cents = _ivf_centroids(mat, n_lists)
+    b_cents = spark.sparkContext.broadcast(cents)
+
+    @F.pandas_udf("int")
+    def list_of(emb_s: pd.Series) -> pd.Series:
+        m = np.array(list(emb_s), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.Series((m @ b_cents.value.T).argmax(axis=1).astype("int32"))
+
+    @F.pandas_udf("array<int>")
+    def probes_of(emb_s: pd.Series) -> pd.Series:
+        m = np.array(list(emb_s), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        top = np.argsort(-(m @ b_cents.value.T), axis=1)[:, :nprobe].astype("int32")
+        return pd.Series(list(top))
+
+    posted = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("eb"), list_of("embedding").alias("list_id"))
+    queries_df = emb.select("vec_id", F.col("embedding").alias("ea"), F.explode(probes_of("embedding")).alias("list_id"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        queries_df.join(posted, ["list_id"])
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select("vec_id", "neighbor_id", F.round(cosine_sim(F.col("ea"), F.col("eb")), 6).alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .orderBy("vec_id", "rank")
+    )

@@ -1,0 +1,27 @@
+"""Salted join must be result-identical to the plain join."""
+
+from pyspark.sql import functions as F
+
+from pyspark_distributed_kmodes_spark.functions.skew import salted_join
+from pyspark_distributed_kmodes_spark.sources.tables import table
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_quantity")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name").withColumnRenamed("s_suppkey", "l_suppkey")
+    plain = li.join(s, "l_suppkey").groupBy("s_name").agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+    salted = (
+        salted_join(li, s, "l_suppkey")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+    )
+    a = {(r.s_name): (r.n, r.q) for r in plain.collect()}
+    b = {(r.s_name): (r.n, r.q) for r in salted.collect()}
+    assert a == b
+
+
+def test_salted_join_spreads_keys(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey").withColumnRenamed("s_suppkey", "l_suppkey")
+    joined = salted_join(li, s, "l_suppkey")
+    assert joined.count() == li.join(s, "l_suppkey").count()

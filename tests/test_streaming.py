@@ -70,3 +70,27 @@ def test_stateful_running_totals(spark, sf_dir, stream):
         for r in table(spark, sf_dir, "events").groupBy("user_id").count().withColumnRenamed("count", "n").collect()
     }
     assert got == want
+
+
+def test_session_stream_matches_batch(spark, sf_dir, stream):
+    from pyspark_distributed_kmodes_spark.operators.events import q32_session_window
+    from pyspark_distributed_kmodes_spark.streaming.jobs import session_stream
+
+    q = (
+        session_stream(stream, watermark="40 days")  # watermark > data span: no session dropped
+        .writeStream.format("memory")
+        .queryName("t_session")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start): r.n_events
+        for r in spark.sql("SELECT * FROM t_session").collect()
+    }
+    want = {
+        (r.user_id, r.session_start): r.n_events
+        for r in q32_session_window(spark, sf_dir).collect()
+    }
+    assert got == want
