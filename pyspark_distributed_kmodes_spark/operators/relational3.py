@@ -1,0 +1,122 @@
+"""Relational surface, part 3: correlated subqueries and funnel
+analytics — the query shapes Catalyst must decorrelate into joins."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_distributed_kmodes_spark.functions.deterministic import dsum, sql_dsum
+from pyspark_distributed_kmodes_spark.registry import query
+from pyspark_distributed_kmodes_spark.sources.tables import table
+
+
+@query(
+    "q85_min_price_per_brand",
+    oracle="""
+SELECT p.p_partkey, p.p_brand, p.p_retailprice
+FROM part p
+WHERE p.p_retailprice = (SELECT MIN(p2.p_retailprice) FROM part p2
+                         WHERE p2.p_brand = p.p_brand)
+ORDER BY p.p_brand, p.p_partkey
+""",
+    tags=("subquery",),
+)
+def q85_min_price_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar MIN subquery — cheapest part(s)
+    per brand. DataFrame form: min-over-window equality (the plan
+    Catalyst decorrelates the subquery into anyway: one shuffle on
+    brand, no self-join)."""
+    p = table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    return (
+        p.withColumn("_min", F.min("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") == F.col("_min"))
+        .select("p_partkey", "p_brand", "p_retailprice")
+        .orderBy("p_brand", "p_partkey")
+    )
+
+
+@query(
+    "q86_small_quantity_revenue",
+    oracle=f"""
+SELECT l.l_partkey,
+       {sql_dsum('l.l_extendedprice')} AS small_lot_revenue,
+       COUNT(*) AS n_small_lots
+FROM lineitem l
+WHERE l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+                      WHERE l2.l_partkey = l.l_partkey)
+GROUP BY l.l_partkey
+ORDER BY l.l_partkey
+""",
+    tags=("subquery", "agg"),
+)
+def q86_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated AVG subquery — revenue from lots
+    under half the part's average quantity.
+
+    DataFrame form: avg-over-window then filter — one shuffle on
+    partkey instead of the naive per-row subquery. AVG determinism:
+    only used as a comparison threshold; values ~25±, the < comparison
+    is stable because l_quantity is integral-valued while the threshold
+    is fractional (both engines compute the same double from the same
+    per-key sums — DuckDB's AVG and ours differ only when summation
+    order differs, and the comparison sits far from the boundary).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    avg_qty = (F.sum(F.col("l_quantity").cast("decimal(25,6)")).over(w) / F.count(F.lit(1)).over(w)).cast("double")
+    return (
+        li.withColumn("_thresh", 0.5 * avg_qty)
+        .filter(F.col("l_quantity") < F.col("_thresh"))
+        .groupBy("l_partkey")
+        .agg(dsum("l_extendedprice").alias("small_lot_revenue"), F.count(F.lit(1)).alias("n_small_lots"))
+        .orderBy("l_partkey")
+    )
+
+
+@query(
+    "q87_event_funnel",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase,
+         COUNT(*) AS n_events
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id, first_signup, first_purchase, n_events,
+       CASE WHEN first_signup IS NOT NULL AND first_purchase > first_signup
+            THEN 1 ELSE 0 END AS converted,
+       CASE WHEN first_signup IS NOT NULL AND first_purchase > first_signup
+            THEN CAST(date_diff('second', first_signup, first_purchase) AS BIGINT) END AS secs_to_convert
+FROM firsts
+ORDER BY user_id
+""",
+    tags=("events", "funnel"),
+)
+def q87_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analytics: first signup → first purchase per user,
+    conversion flag and time-to-convert — one conditional aggregation
+    pass (no joins, no self-joins)."""
+    e = table(spark, sf_dir, "events")
+    first_signup = F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+    first_purchase = F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    agg = e.groupBy("user_id").agg(
+        first_signup.alias("first_signup"),
+        first_purchase.alias("first_purchase"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    converted = F.col("first_signup").isNotNull() & (F.col("first_purchase") > F.col("first_signup"))
+    return agg.select(
+        "user_id",
+        "first_signup",
+        "first_purchase",
+        "n_events",
+        F.when(converted, 1).otherwise(0).alias("converted"),
+        F.when(
+            converted,
+            (F.unix_timestamp("first_purchase") - F.unix_timestamp("first_signup")).cast("bigint"),
+        ).alias("secs_to_convert"),
+    ).orderBy("user_id")

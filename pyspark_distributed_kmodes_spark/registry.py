@@ -51,6 +51,7 @@ def load_all() -> dict[str, Query]:
     """Import every operator module so the registry is fully populated."""
     import pyspark_distributed_kmodes_spark.operators.relational  # noqa: F401
     import pyspark_distributed_kmodes_spark.operators.relational2  # noqa: F401
+    import pyspark_distributed_kmodes_spark.operators.relational3  # noqa: F401
     import pyspark_distributed_kmodes_spark.operators.window  # noqa: F401
     import pyspark_distributed_kmodes_spark.operators.setops  # noqa: F401
     import pyspark_distributed_kmodes_spark.operators.events  # noqa: F401

@@ -107,3 +107,13 @@ def running_user_totals_stream(events: DataFrame):
         events.groupBy("user_id")
         .applyInPandasWithState(update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout)
     )
+
+
+def sliding_counts_stream(events: DataFrame, watermark: str = "40 days") -> DataFrame:
+    """Streaming sliding-window counts (1h window / 15m slide)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )

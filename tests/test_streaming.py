@@ -94,3 +94,21 @@ def test_session_stream_matches_batch(spark, sf_dir, stream):
         for r in q32_session_window(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_sliding_stream_matches_batch(spark, sf_dir, stream):
+    from pyspark_distributed_kmodes_spark.operators.events import q31_sliding_window
+    from pyspark_distributed_kmodes_spark.streaming.jobs import sliding_counts_stream
+
+    q = (
+        sliding_counts_stream(stream)
+        .writeStream.format("memory")
+        .queryName("t_sliding")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.window_start: r.n_events for r in spark.sql("SELECT * FROM t_sliding").collect()}
+    want = {r.window_start: r.n_events for r in q31_sliding_window(spark, sf_dir).collect()}
+    assert got == want
