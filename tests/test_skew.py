@@ -25,3 +25,13 @@ def test_salted_join_spreads_keys(spark, sf_dir):
     s = table(spark, sf_dir, "supplier").select("s_suppkey").withColumnRenamed("s_suppkey", "l_suppkey")
     joined = salted_join(li, s, "l_suppkey")
     assert joined.count() == li.join(s, "l_suppkey").count()
+
+
+def test_merge_upsert_semantics(spark, sf_dir):
+    """Updated keys replaced, unmatched kept, new keys inserted."""
+    from pyspark_distributed_kmodes_spark.operators.cdc import merge_upsert
+
+    target = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    updates = spark.createDataFrame([(2, "B"), (3, "C")], ["k", "v"])
+    out = {r.k: r.v for r in merge_upsert(target, updates, ["k"]).collect()}
+    assert out == {1: "a", 2: "B", 3: "C"}
