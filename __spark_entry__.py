@@ -11,11 +11,18 @@ is a thin adapter over its registry.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from pyspark_distributed_kmodes_spark.registry import load_all
+# the driver may import this file from any CWD — anchor the package path
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from pyspark_distributed_kmodes_spark.registry import load_all  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

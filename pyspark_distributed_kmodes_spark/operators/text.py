@@ -380,3 +380,55 @@ def q58_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "true_lang", F.col("cand_lang").alias("predicted_lang"), F.round("score", 6).alias("score"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q59_rolling_hash",
+    oracle="""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(7 AS BIGINT),
+           list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+                          c -> CAST(ascii(c) AS BIGINT))),
+         (acc, h) -> (acc * 131 + h) % 2147483647) AS poly_hash,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ' '),
+             w -> list_reduce(
+                    list_prepend(CAST(7 AS BIGINT),
+                      list_transform(list_filter(string_split(w, ''), c -> c <> ''),
+                                     c -> CAST(ascii(c) AS BIGINT))),
+                    (acc, h) -> (acc * 131 + h) % 2147483647))),
+         (acc, h) -> (acc + h) % 2147483647) AS bag_hash
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("text", "dedup"),
+)
+def q59_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprints, engine-portable exact
+    integer math (base-131 char fold mod 2^31-1):
+
+    - poly_hash: order-sensitive Rabin-Karp-style hash of the full text
+      (chunk-boundary detection at scale uses this same fold windowed).
+    - bag_hash: order-INSENSITIVE sum of per-word poly hashes — the
+      cheap commutative fingerprint for shuffled near-duplicates.
+    """
+    M = 2147483647
+
+    def char_fold(col):
+        chars = F.filter(F.split(col, ""), lambda c: c != "")
+        return F.aggregate(
+            F.transform(chars, lambda c: F.ascii(c).cast("bigint")),
+            F.lit(7).cast("bigint"),
+            lambda acc, h: (acc * 131 + h) % M,
+        )
+
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    bag = F.aggregate(
+        F.transform(words, char_fold),
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc + h) % M,
+    )
+    return d.select("doc_id", char_fold(F.col("text")).alias("poly_hash"), bag.alias("bag_hash")).orderBy("doc_id")
