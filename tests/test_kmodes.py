@@ -69,3 +69,26 @@ def test_ensemble_reference_parity_shape(orders):
     assert model.cost >= 0.0
     m2 = EnsembleKModes(n_partitions=4, n_clusters=3, seed=42, cols=COLS).fit(orders)
     assert model.modes == m2.modes  # deterministic
+
+
+def test_distributed_path_matches_local_path(orders):
+    """Forcing the distributed per-iteration Lloyd (COMBO_THRESHOLD=0)
+    must converge to an equally-good clustering as the weighted-local
+    path — same k, same cost-quality class. (Inits differ: xxhash64 vs
+    blake2b seeded hash, so modes may differ; cost must be comparable
+    and the invariants identical.)"""
+    local_model = KModes(n_clusters=4, cols=COLS, max_iter=15, seed=3).fit(orders)
+
+    est = KModes(n_clusters=4, cols=COLS, max_iter=15, seed=3)
+    est.COMBO_THRESHOLD = 0  # force _fit_distributed
+    dist_model = est.fit(orders)
+
+    assert len(dist_model.modes) == 4
+    assert dist_model.cost >= 0
+    # both paths must reach the same objective neighborhood on this
+    # low-cardinality data (15 combos; Lloyd converges to a local opt)
+    assert abs(dist_model.cost - local_model.cost) / max(local_model.cost, 1) < 0.25
+    # distributed path is also deterministic
+    est2 = KModes(n_clusters=4, cols=COLS, max_iter=15, seed=3)
+    est2.COMBO_THRESHOLD = 0
+    assert est2.fit(orders).modes == dist_model.modes
