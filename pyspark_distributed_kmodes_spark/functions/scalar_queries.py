@@ -234,3 +234,43 @@ def q36_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.k", "int").alias("k_variant"),
         F.variant_get(v, "$.k", "string").alias("k_string"),
     ).orderBy("event_id")
+
+
+@query(
+    "q90_posexplode",
+    oracle="""
+SELECT doc_id,
+       CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INTEGER) AS pos,
+       unnest(string_split(text, ' ')) AS word
+FROM documents
+WHERE doc_id < 25
+ORDER BY doc_id, pos
+""",
+    tags=("scalar", "array"),
+)
+def q90_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode: (pos, word) pairs per document — the
+    order-preserving flatten used for windowed shingling and
+    position-aware tokenization."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 25)
+    return (
+        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
+        .orderBy("doc_id", "pos")
+    )
+
+
+@query("q91_approx_percentiles", oracle=None, tags=("agg", "approx"))
+def q91_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch percentiles: percentile_approx (one-pass mergeable) beside
+    the exact values — the 100 TB path where exact per-group sorts are
+    unaffordable. Rows-only; accuracy bound property-tested."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+            F.median("l_extendedprice").alias("exact_median"),
+            F.percentile_approx("l_extendedprice", [0.25, 0.75], 10000).alias("approx_quartiles"),
+        )
+        .orderBy("l_returnflag")
+    )
