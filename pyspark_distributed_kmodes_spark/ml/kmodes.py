@@ -78,6 +78,24 @@ class KModesModel:
         structs — no shuffle, no Python."""
         return df.withColumn(prediction_col, F.array_min(self._dist_array()).getField("idx"))
 
+    # ---- reference API parity (README usage, reconstructed) ----------
+    def predict(self, df: DataFrame) -> DataFrame:
+        """Reference `model.predict(rdd)` equivalent (A10): DataFrame in,
+        assignments out."""
+        return self.transform(df)
+
+    @property
+    def clusters(self) -> list[tuple[str, ...]]:
+        """Reference `model.clusters`: the final modes."""
+        return self.modes
+
+    @property
+    def mean_cost(self) -> float:
+        """Reference `.mean_cost` exposes the MEAN distance; `cost` here
+        stores whichever the fitter computed (KModes: total;
+        EnsembleKModes: mean, matching the reference)."""
+        return self.cost
+
     def distance_col(self):
         """Min distance to any mode (for cost/outlier scoring)."""
         return F.array_min(self._dist_array()).getField("dist")
@@ -325,4 +343,6 @@ class EnsembleKModes:
         scored = model.transform(feats.drop("pid"), "cluster").select(model.distance_col().alias("d"))
         agg = scored.agg(F.sum("d").cast("double"), F.count(F.lit(1))).first()
         model.cost = (agg[0] or 0.0) / max(agg[1], 1)  # reference exposes MEAN cost (fit():~390)
+        # reference `.predictions`: training-set assignments (lazy DF)
+        self.predictions = model.transform(feats.drop("pid"))
         return model

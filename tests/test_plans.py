@@ -56,3 +56,18 @@ def test_projection_prunes_scan(spark, sf_dir):
 
 def test_queries_use_whole_stage_codegen(spark, sf_dir):
     assert codegen_stage_count(q01_pricing_summary(spark, sf_dir)) >= 1
+
+
+def test_partition_pruning_on_partitioned_sink(spark, sf_dir, tmp_path_factory):
+    """Filters on partition columns must prune directories, not scan
+    them (PartitionFilters in the scan node)."""
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path_factory.mktemp("pruned") / "docs")
+    docs = table(spark, sf_dir, "documents")
+    docs.write.partitionBy("lang").parquet(base)
+    df = spark.read.parquet(base).filter(F.col("lang") == "en").select("doc_id")
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert df.count() == n_en

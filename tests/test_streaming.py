@@ -112,3 +112,21 @@ def test_sliding_stream_matches_batch(spark, sf_dir, stream):
     got = {r.window_start: r.n_events for r in spark.sql("SELECT * FROM t_sliding").collect()}
     want = {r.window_start: r.n_events for r in q31_sliding_window(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_stream_parquet_sink_with_checkpoint(spark, sf_dir, stream, tmp_path_factory):
+    """writeStream → parquet sink with checkpointing (the production
+    landing pattern); output must contain every input row."""
+    base = tmp_path_factory.mktemp("stream_sink")
+    out, ckpt = str(base / "out"), str(base / "ckpt")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark_distributed_kmodes_spark.sources.tables import table
+
+    assert spark.read.parquet(out).count() == table(spark, sf_dir, "events").count()
