@@ -1,0 +1,31 @@
+"""Partition-count invariance: the driver runs our queries under ITS
+session config, so results must be identical under any shuffle
+partitioning (summation order, partition-local ops, bucket joins)."""
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tools.check_correctness import rows_key
+
+QUERIES = [
+    "q01_pricing_summary",  # decimal-sum aggregation
+    "q10_agg_family",  # min_by/collect_list determinism
+    "q21_lag_lead_running",  # window frames
+    "q63_minhash_neardup",  # multi-stage shuffle pipeline
+]
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_result_invariant_to_shuffle_partitions(name, spark, sf_dir):
+    fn = entrymod.queries()[name]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        df = fn(spark, sf_dir)
+        a = rows_key(df.columns, df.collect())
+        spark.conf.set("spark.sql.shuffle.partitions", "67")
+        df = fn(spark, sf_dir)
+        b = rows_key(df.columns, df.collect())
+        assert a == b, f"{name}: results depend on partition count"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
