@@ -160,36 +160,38 @@ def q33_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each event, the latest order of that customer at
     or before the event time.
 
-    Spark lacks a native as-of join; composition: equi-join on the key,
-    filter to the past, keep the max-date match via row_number. Ties on
-    o_orderdate are broken by o_orderkey DESC to match DuckDB's ASOF
-    (which picks among equal dates deterministically only if we force
-    it — we disambiguate by preferring the highest orderkey).
+    Spark lacks a native as-of join; this is the scalable union-merge
+    form: tag both relations, union them on a common (key, ts) spine,
+    and carry the most recent order forward with last_value(ignore
+    nulls) over one window. NO join fan-out — each input row appears
+    exactly once, and the only shuffle is the window's partition on the
+    key. (The naive equi-join + filter-to-past + row_number form blows
+    up by orders-per-customer at 100 TB.)
 
-    Scale: the equi component shuffles both sides on the key; per-key
-    fan-out is bounded by orders-per-customer. For unbounded history,
-    pre-bucket orders by (custkey, month) and join the trailing buckets.
+    Tie semantics: an order AT the event timestamp counts (≤), so
+    orders sort before events at equal ts (is_order DESC); equal-date
+    orders resolve to the highest o_orderkey (last in orderkey ASC).
     """
-    e = table(spark, sf_dir, "events")
-    o = table(spark, sf_dir, "orders")
-    joined = e.join(
-        o,
-        (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts),
-        "left",
-    )
-    w = Window.partitionBy("event_id").orderBy(
-        F.col("o_orderdate").desc_nulls_last(), F.col("o_orderkey").desc_nulls_last()
+    from pyspark_distributed_kmodes_spark.functions.asof import asof_join
+
+    e = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderdate",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_totalprice").alias("last_totalprice"),
     )
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "event_id",
-            "user_id",
-            "ts",
-            F.col("o_orderkey").alias("last_orderkey"),
-            F.col("o_totalprice").alias("last_totalprice"),
+        asof_join(
+            e,
+            o,
+            on="user_id",
+            left_ts="ts",
+            right_ts="o_orderdate",
+            payload=["last_orderkey", "last_totalprice"],
+            right_tie_break="last_orderkey",
         )
+        .select("event_id", "user_id", "ts", "last_orderkey", "last_totalprice")
         .orderBy("event_id")
     )
 

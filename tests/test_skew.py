@@ -35,3 +35,16 @@ def test_merge_upsert_semantics(spark, sf_dir):
     updates = spark.createDataFrame([(2, "B"), (3, "C")], ["k", "v"])
     out = {r.k: r.v for r in merge_upsert(target, updates, ["k"]).collect()}
     assert out == {1: "a", 2: "B", 3: "C"}
+
+
+def test_asof_join_exclusive_and_unmatched(spark):
+    """Generic as-of: exclusive bound ignores same-instant rows; keys
+    with no earlier right rows get NULL payload."""
+    from pyspark_distributed_kmodes_spark.functions.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, "e1"), (1, 20, "e2"), (2, 5, "e3")], ["k", "t", "name"])
+    right = spark.createDataFrame([(1, 10, 100.0), (1, 15, 150.0)], ["k", "rt", "px"])
+    inc = {r.name: r.px for r in asof_join(left, right, "k", "t", "rt", ["px"]).collect()}
+    assert inc == {"e1": 100.0, "e2": 150.0, "e3": None}
+    exc = {r.name: r.px for r in asof_join(left, right, "k", "t", "rt", ["px"], inclusive=False).collect()}
+    assert exc == {"e1": None, "e2": 150.0, "e3": None}
