@@ -346,3 +346,59 @@ class EnsembleKModes:
         # reference `.predictions`: training-set assignments (lazy DF)
         self.predictions = model.transform(feats.drop("pid"))
         return model
+
+
+# ---------------------------------------------------------------------------
+# pyspark.ml pipeline integration (SURVEY.md §1.1: Estimator/Model with
+# params via pyspark.ml.param — lets k-modes sit inside ml Pipelines)
+# ---------------------------------------------------------------------------
+
+try:  # pyspark.ml is part of pyspark; guarded for minimal builds
+    from pyspark.ml import Estimator, Model
+    from pyspark.ml.param import Param, Params, TypeConverters
+
+    class SparkKModes(Estimator):
+        """pyspark.ml Estimator facade over KModes: fits on the
+        configured input columns, yields a SparkKModesModel whose
+        transform() appends `predictionCol`."""
+
+        k = Param(Params._dummy(), "k", "number of clusters", TypeConverters.toInt)
+        inputCols = Param(Params._dummy(), "inputCols", "categorical feature columns", TypeConverters.toListString)
+        maxIter = Param(Params._dummy(), "maxIter", "max Lloyd iterations", TypeConverters.toInt)
+        seed = Param(Params._dummy(), "seed", "deterministic init seed", TypeConverters.toInt)
+        predictionCol = Param(Params._dummy(), "predictionCol", "output column", TypeConverters.toString)
+
+        def __init__(self, k=8, inputCols=None, maxIter=20, seed=42, predictionCol="prediction"):
+            super().__init__()
+            self._setDefault(k=8, maxIter=20, seed=42, predictionCol="prediction")
+            self._set(k=k, maxIter=maxIter, seed=seed, predictionCol=predictionCol)
+            if inputCols is not None:
+                self._set(inputCols=inputCols)
+
+        def _fit(self, dataset: DataFrame) -> "SparkKModesModel":
+            cols = self.getOrDefault(self.inputCols)
+            inner = KModes(
+                n_clusters=self.getOrDefault(self.k),
+                cols=cols,
+                max_iter=self.getOrDefault(self.maxIter),
+                seed=self.getOrDefault(self.seed),
+            ).fit(dataset)
+            model = SparkKModesModel(inner=inner, prediction_col=self.getOrDefault(self.predictionCol))
+            return model
+
+    class SparkKModesModel(Model):
+        def __init__(self, inner: KModesModel = None, prediction_col: str = "prediction"):
+            super().__init__()
+            self.inner = inner
+            self.prediction_col = prediction_col
+
+        def _transform(self, dataset: DataFrame) -> DataFrame:
+            return self.inner.transform(dataset, self.prediction_col)
+
+        @property
+        def clusters(self):
+            return self.inner.clusters
+
+except ImportError:  # pragma: no cover
+    SparkKModes = None
+    SparkKModesModel = None

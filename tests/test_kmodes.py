@@ -92,3 +92,19 @@ def test_distributed_path_matches_local_path(orders):
     est2 = KModes(n_clusters=4, cols=COLS, max_iter=15, seed=3)
     est2.COMBO_THRESHOLD = 0
     assert est2.fit(orders).modes == dist_model.modes
+
+
+def test_pyspark_ml_estimator_facade(orders):
+    """KModes as a pyspark.ml Estimator: fit via the ml API, transform
+    in a Pipeline-compatible way."""
+    from pyspark.ml import Pipeline
+
+    from pyspark_distributed_kmodes_spark.ml.kmodes import SparkKModes
+
+    est = SparkKModes(k=4, inputCols=list(COLS), maxIter=10, seed=11)
+    pipe_model = Pipeline(stages=[est]).fit(orders)
+    out = pipe_model.transform(orders)
+    assert "prediction" in out.columns
+    preds = {r.prediction for r in out.select("prediction").distinct().collect()}
+    assert preds <= set(range(4))
+    assert len(pipe_model.stages[0].clusters) == 4
