@@ -55,10 +55,10 @@ def q20_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_id, user_id, ts, value,
        LAG(value) OVER w AS prev_value,
        LEAD(value) OVER w AS next_value,
-       CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
-       CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id
-            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum3
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS running_total,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS moving_sum3
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ORDER BY user_id, ts, event_id
@@ -69,12 +69,15 @@ ORDER BY user_id, ts, event_id
 def q21_lag_lead_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic functions + running/moving frames per user.
 
-    Determinism: frame sums use the decimal-exact pattern; order key
-    (ts, event_id) is a total order. Scale: one shuffle on user_id.
+    Determinism: frame sums run in exact integer cents (value is
+    2-decimal money — round(value*100) is lossless) so summation order
+    can't drift; the final /100.0 is one identical float op per row.
+    Integer window sums are also measurably cheaper than decimal ones.
+    Scale: one shuffle on user_id.
     """
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    dec = F.col("value").cast("decimal(25,6)")
+    cents = F.round(F.col("value") * 100).cast("bigint")
     return (
         e.select(
             "event_id",
@@ -83,8 +86,8 @@ def q21_lag_lead_running(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
             F.lag("value").over(w).alias("prev_value"),
             F.lead("value").over(w).alias("next_value"),
-            F.sum(dec).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("double").alias("running_total"),
-            F.sum(dec).over(w.rowsBetween(-2, Window.currentRow)).cast("double").alias("moving_sum3"),
+            (F.sum(cents).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("double") / 100.0).alias("running_total"),
+            (F.sum(cents).over(w.rowsBetween(-2, Window.currentRow)).cast("double") / 100.0).alias("moving_sum3"),
         )
         .orderBy("user_id", "ts", "event_id")
     )

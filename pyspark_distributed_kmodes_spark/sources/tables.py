@@ -33,8 +33,24 @@ TABLES = (
 BROADCASTABLE = {"region", "nation", "supplier", "part", "customer"}
 
 
+# Analyzed-DataFrame cache: re-reading the same parquet footer for every
+# query call costs ~100 ms each; DataFrames are immutable so reuse within
+# a session is safe. Weak-keyed by the session so a stopped/collected
+# session's entries vanish with it (no stale-session reuse).
+import weakref
+
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure(spark)
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    cached = per_session.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
@@ -48,6 +64,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer DIV, not `/`: float division of int64 nanos loses
             # precision above 2^53 and shifts timestamps by ±1 µs
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    per_session[key] = df
     return df
 
 
