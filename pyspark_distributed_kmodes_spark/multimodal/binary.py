@@ -128,3 +128,57 @@ def q81_multimodal_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_large"), F.sum("byte_len").cast("bigint").alias("total_bytes"))
         .orderBy("lang")
     )
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("byte_hist", T.ArrayType(T.LongType())),
+        T.StructField("sampled_frames", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def extract_features(doc_ids: pd.Series, payloads: pd.Series) -> pd.DataFrame:
+    """Deterministic byte-level feature extraction: 8-bin histogram of
+    byte values (numpy bincount per Arrow batch) + every-2nd-frame
+    sample indexes from the fake decoder's frame count. The real
+    image/audio featurizer replaces only this function body."""
+    import numpy as np
+
+    hists, frames = [], []
+    for p in payloads:
+        arr = np.frombuffer(p, dtype=np.uint8)
+        hists.append(np.bincount(arr >> 5, minlength=8).astype("int64").tolist())
+        n_frames = len(p) % 16
+        frames.append(list(range(0, n_frames, 2)))
+    return pd.DataFrame({"doc_id": doc_ids, "byte_hist": hists, "sampled_frames": frames})
+
+
+@query(
+    "q82_multimodal_features",
+    oracle="""
+SELECT doc_id,
+       list_transform(range(0, 8),
+         b -> CAST(len(list_filter(list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+                                                  c -> ascii(c) // 32),
+                                   v -> v = b)) AS BIGINT)) AS byte_hist,
+       list_transform(range(0, CAST(ceil((n_chars % 16) / 2.0) AS BIGINT)),
+                      i -> CAST(i * 2 AS INTEGER)) AS sampled_frames
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("multimodal",),
+)
+def q82_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads: Arrow-batched numpy
+    histogramming + frame-index sampling via mapInPandas. The oracle
+    reproduces both from the text (ASCII payload: byte == ascii(char),
+    byte>>5 == ascii//32; frame count == n_chars % 16)."""
+    docs = with_blob(table(spark, sf_dir, "documents"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield extract_features(pdf["doc_id"], pdf["payload"])
+
+    return docs.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA).orderBy("doc_id")
