@@ -29,7 +29,7 @@ value. Fixed seed ⇒ identical model on any cluster size.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Iterable, Sequence
+from typing import Sequence
 
 import numpy as np
 import pandas as pd

@@ -182,3 +182,30 @@ def q82_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield extract_features(pdf["doc_id"], pdf["payload"])
 
     return docs.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA).orderBy("doc_id")
+
+
+def resize_image(payload: bytes, width: int, height: int):
+    """Real image resize — requires a codec/imaging library not present
+    in this container (same contract as decode_image)."""
+    raise NotImplementedError("imaging library not available; use fake_resize_meta")
+
+
+def fake_resize_meta(meta: pd.DataFrame, scale_num: int = 1, scale_den: int = 2) -> pd.DataFrame:
+    """Deterministic resize stand-in over decoded metadata: integer
+    rescale of width/height (floor), preserving ids. Real resize swaps
+    this body and additionally rewrites the payload column."""
+    out = meta.copy()
+    out["width"] = (out["width"] * scale_num // scale_den).astype("int32")
+    out["height"] = (out["height"] * scale_num // scale_den).astype("int32")
+    return out
+
+
+def resized_meta(docs: DataFrame) -> DataFrame:
+    """decode → resize pipeline as one mapInPandas pass (decode and
+    transform fuse into a single Python stage — no extra exchange)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield fake_resize_meta(fake_decode_meta(pdf["doc_id"], pdf["payload"]))
+
+    return with_blob(docs).select("doc_id", "payload").mapInPandas(run, META_SCHEMA)

@@ -39,3 +39,18 @@ def test_decode_pipeline_schema_and_rows(spark, sf_dir):
     rows = out.collect()
     assert len(rows) == table(spark, sf_dir, "documents").count()
     assert all(0 <= r.width < 640 and 0 <= r.height < 480 for r in rows)
+
+
+def test_resize_pipeline(spark, sf_dir):
+    from pyspark_distributed_kmodes_spark.multimodal.binary import fake_decode_meta, resize_image, resized_meta
+    import pandas as pd
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        resize_image(b"\x89PNG", 10, 10)
+    docs = table(spark, sf_dir, "documents")
+    out = {r.doc_id: (r.width, r.height) for r in resized_meta(docs).collect()}
+    base = fake_decode_meta(
+        pd.Series([0]), pd.Series([docs.filter("doc_id = 0").first().text.encode()])
+    ).iloc[0]
+    assert out[0] == (base.width // 2, base.height // 2)
