@@ -1,0 +1,102 @@
+"""Scale probe: replicate the sf0.1 tables K× (key-shifted, so joins
+stay valid and cardinalities really grow) into a temp dir, then time the
+headline queries at both scales. Near-linear growth = the plans hold;
+super-linear growth = a shuffle/crossjoin bottleneck to fix.
+
+    python tools/scale_probe.py [K]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from pyspark_distributed_kmodes_spark.registry import load_all
+from pyspark_distributed_kmodes_spark.session import get_spark
+from pyspark_distributed_kmodes_spark.sources.tables import TABLES, table
+
+# key columns to shift per replica so fact/dim relationships scale
+KEY_SHIFTS = {
+    "orders": {"o_orderkey": 10_000_000, "o_custkey": 0},
+    "lineitem": {"l_orderkey": 10_000_000},
+    "events": {"event_id": 10_000_000},
+    "documents": {"doc_id": 10_000_000},
+    "embeddings": {"vec_id": 10_000_000},
+}
+REPLICATED = set(KEY_SHIFTS)  # dims stay fixed size
+
+PROBE_QUERIES = [
+    "q01_pricing_summary",
+    "q16_top_spenders",
+    "q21_lag_lead_running",
+    "q32_session_window",
+    "q50_word_count",
+    "q56_exact_dedup",
+    "q63_minhash_neardup",
+]
+
+
+def replicate(spark, src_dir: str, dst_dir: str, k: int) -> None:
+    for t in TABLES:
+        df = table(spark, src_dir, t)
+        if t in REPLICATED:
+            parts = []
+            for i in range(k):
+                rep = df
+                for col, stride in KEY_SHIFTS[t].items():
+                    if stride:
+                        rep = rep.withColumn(col, F.col(col) + F.lit(i * stride))
+                parts.append(rep)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        else:
+            out = df
+        out.write.mode("overwrite").parquet(f"{dst_dir}/{t}.parquet")
+
+
+def time_queries(spark, reg, sf_dir: str) -> dict:
+    out = {}
+    for name in PROBE_QUERIES:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            reg[name].fn(spark, sf_dir).collect()
+            best = min(best, time.time() - t0)
+        out[name] = round(best, 2)
+    return out
+
+
+def main():
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("scale-probe")
+    reg = load_all()
+    base = "/root/testdata/sf0.1"
+    big = tempfile.mkdtemp(prefix="scale_probe_")
+    try:
+        replicate(spark, base, big, k)
+        t_small = time_queries(spark, reg, base)
+        t_big = time_queries(spark, reg, big)
+        report = {
+            "k": k,
+            "sf0.1_sec": t_small,
+            f"sf0.1x{k}_sec": t_big,
+            "scaling_factor": {
+                q: round(t_big[q] / max(t_small[q], 0.05), 1) for q in PROBE_QUERIES
+            },
+        }
+        print(json.dumps(report, indent=2))
+    finally:
+        shutil.rmtree(big, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
