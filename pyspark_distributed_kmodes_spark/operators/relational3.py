@@ -120,3 +120,79 @@ def q87_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_timestamp("first_purchase") - F.unix_timestamp("first_signup")).cast("bigint"),
         ).alias("secs_to_convert"),
     ).orderBy("user_id")
+
+
+@query(
+    "q92_histogram",
+    oracle=f"""
+SELECT o_orderstatus,
+       CAST(floor(o_totalprice / 50000.0) AS INTEGER) AS bucket,
+       COUNT(*) AS n,
+       {sql_dsum('o_totalprice')} AS bucket_revenue
+FROM orders
+GROUP BY 1, 2
+ORDER BY o_orderstatus, bucket
+""",
+    tags=("agg", "histogram"),
+)
+def q92_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value histogram: fixed-width 50k price buckets per status — the
+    binning aggregation behind distribution profiling. Bucketing is a
+    computed grouping key, so the plan is a plain map-side-combined
+    hash aggregate."""
+    o = table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000.0).cast("int")
+    return (
+        o.groupBy("o_orderstatus", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("bucket_revenue"))
+        .orderBy("o_orderstatus", "bucket")
+    )
+
+
+@query(
+    "q93_exact_stats",
+    oracle="""
+WITH moments AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS p1,
+         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sp
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round(s1 / n, 6) AS mean_qty,
+       round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS stddev_qty,
+       round((sp - s1 * p1 / n) / (n - 1), 6) AS covar_qty_price
+FROM moments
+ORDER BY l_returnflag
+""",
+    tags=("agg", "stats"),
+)
+def q93_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (mean / sample stddev / sample covariance)
+    computed from EXACT decimal moment sums, then one identical float
+    formula per group — engine-portable where the built-in stddev/covar
+    (order-dependent float accumulation) is not. The moment-sums form is
+    also the mergeable one (combine partial moments across partitions).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    dec = "decimal(25,6)"
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q.cast(dec)).cast("double").alias("s1"),
+        F.sum((q * q).cast(dec)).cast("double").alias("s2"),
+        F.sum(p.cast(dec)).cast("double").alias("p1"),
+        F.sum((q * p).cast(dec)).cast("double").alias("sp"),
+    )
+    n, s1, s2, p1, sp = F.col("n"), F.col("s1"), F.col("s2"), F.col("p1"), F.col("sp")
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(s1 / n, 6).alias("mean_qty"),
+        F.round(F.sqrt((s2 - s1 * s1 / n) / (n - 1)), 6).alias("stddev_qty"),
+        F.round((sp - s1 * p1 / n) / (n - 1), 6).alias("covar_qty_price"),
+    ).orderBy("l_returnflag")
