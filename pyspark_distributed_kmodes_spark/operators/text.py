@@ -432,3 +432,78 @@ def q59_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, h: (acc + h) % M,
     )
     return d.select("doc_id", char_fold(F.col("text")).alias("poly_hash"), bag.alias("bag_hash")).orderBy("doc_id")
+
+
+@query(
+    "q95_stratified_sample",
+    oracle="""
+SELECT lang, COUNT(*) AS n_sampled,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id, CAST(MAX(doc_id) AS BIGINT) AS max_id
+FROM documents
+WHERE (lang = 'en' AND doc_id % 100 < 50)
+   OR (lang <> 'en' AND doc_id % 100 < 10)
+GROUP BY lang
+ORDER BY lang
+""",
+    tags=("text", "sampling"),
+)
+def q95_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep 50% of English, 10% of
+    everything else, selected by a stable key-mod predicate (id-hash
+    sampling — reproducible across runs/engines/cluster sizes, unlike
+    rand()-based Bernoulli sampling). The upsampling/downsampling
+    primitive of training-data mixture construction."""
+    d = table(spark, sf_dir, "documents")
+    keep = ((F.col("lang") == "en") & (F.col("doc_id") % 100 < 50)) | (
+        (F.col("lang") != "en") & (F.col("doc_id") % 100 < 10)
+    )
+    return (
+        d.filter(keep)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q96_source_mixture",
+    oracle="""
+WITH quotas AS (
+  SELECT * FROM (VALUES ('src0', 40), ('src1', 20), ('src2', 10)) AS q(source, quota)
+), ranked AS (
+  SELECT d.doc_id, d.source, d.n_chars, q.quota,
+         ROW_NUMBER() OVER (PARTITION BY d.source
+                            ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+  FROM documents d JOIN quotas q USING (source)
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+FROM ranked
+WHERE rn <= quota
+GROUP BY source
+ORDER BY source
+""",
+    tags=("text", "sampling"),
+)
+def q96_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture construction: per-source quotas filled with the
+    best documents (longest first, deterministic tie-break) — the
+    weighted-mixing step that turns a raw corpus into a training mix.
+    Quota table broadcasts; selection is the windowed top-k pattern."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    quotas = spark.createDataFrame([("src0", 40), ("src1", 20), ("src2", 10)], ["source", "quota"])
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    return (
+        d.join(F.broadcast(quotas), "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("quota"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").cast("bigint").alias("total_chars"))
+        .orderBy("source")
+    )
