@@ -158,14 +158,21 @@ def extract_features(doc_ids: pd.Series, payloads: pd.Series) -> pd.DataFrame:
 @query(
     "q82_multimodal_features",
     oracle="""
+WITH feats AS (
+  SELECT doc_id,
+         list_transform(range(0, 8),
+           b -> CAST(len(list_filter(list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+                                                    c -> ascii(c) // 32),
+                                     v -> v = b)) AS BIGINT)) AS byte_hist,
+         list_transform(range(0, CAST(ceil((n_chars % 16) / 2.0) AS BIGINT)),
+                        i -> i * 2) AS sampled_frames
+  FROM documents
+)
 SELECT doc_id,
-       list_transform(range(0, 8),
-         b -> CAST(len(list_filter(list_transform(list_filter(string_split(text, ''), c -> c <> ''),
-                                                  c -> ascii(c) // 32),
-                                   v -> v = b)) AS BIGINT)) AS byte_hist,
-       list_transform(range(0, CAST(ceil((n_chars % 16) / 2.0) AS BIGINT)),
-                      i -> CAST(i * 2 AS INTEGER)) AS sampled_frames
-FROM documents
+       byte_hist[1] AS h0, byte_hist[2] AS h1, byte_hist[3] AS h2, byte_hist[4] AS h3,
+       byte_hist[5] AS h4, byte_hist[6] AS h5, byte_hist[7] AS h6, byte_hist[8] AS h7,
+       COALESCE(array_to_string(sampled_frames, ','), '') AS frames
+FROM feats
 ORDER BY doc_id
 """,
     tags=("multimodal",),
@@ -174,14 +181,21 @@ def q82_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads: Arrow-batched numpy
     histogramming + frame-index sampling via mapInPandas. The oracle
     reproduces both from the text (ASCII payload: byte == ascii(char),
-    byte>>5 == ascii//32; frame count == n_chars % 16)."""
+    byte>>5 == ascii//32; frame count == n_chars % 16). Output is
+    flattened to scalar columns (histogram bins h0..h7, frames as a
+    joined string) so the hash oracle compares scalars, not arrays."""
     docs = with_blob(table(spark, sf_dir, "documents"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield extract_features(pdf["doc_id"], pdf["payload"])
 
-    return docs.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA).orderBy("doc_id")
+    feats = docs.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+    return feats.select(
+        "doc_id",
+        *[F.element_at("byte_hist", i + 1).alias(f"h{i}") for i in range(8)],
+        F.array_join(F.transform("sampled_frames", lambda x: x.cast("string")), ",").alias("frames"),
+    ).orderBy("doc_id")
 
 
 def resize_image(payload: bytes, width: int, height: int):
