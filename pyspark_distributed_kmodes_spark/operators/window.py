@@ -19,10 +19,10 @@ from pyspark_distributed_kmodes_spark.sources.tables import table
     "q20_rank_family",
     oracle="""
 SELECT o_orderkey, o_orderstatus, o_totalprice,
-       ROW_NUMBER() OVER w AS rn,
-       RANK() OVER w AS rnk,
-       DENSE_RANK() OVER w AS drnk,
-       NTILE(4) OVER w AS quartile,
+       CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+       CAST(RANK() OVER w AS INTEGER) AS rnk,
+       CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
+       CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
        CAST(PERCENT_RANK() OVER w AS DOUBLE) AS pct_rank
 FROM orders
 WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC)
@@ -96,7 +96,7 @@ def q21_lag_lead_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q22_topk_per_group",
     oracle="""
-SELECT o_orderpriority, o_orderkey, o_totalprice, rn
+SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
 FROM (
   SELECT o_orderpriority, o_orderkey, o_totalprice,
          ROW_NUMBER() OVER (PARTITION BY o_orderpriority
