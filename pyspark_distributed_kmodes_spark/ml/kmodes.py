@@ -266,11 +266,11 @@ def _local_kmodes(arr: np.ndarray, k: int, max_iter: int, rng: np.random.Generat
     n = len(arr)
     k = min(k, n)
     centroids = arr[rng.choice(n, size=k, replace=False)]
-    assign = np.zeros(n, dtype=np.int64)
-    for _ in range(max_iter):
+    assign = np.full(n, -1, dtype=np.int64)
+    for _it in range(max_iter):
         dists = (arr[:, None, :] != centroids[None, :, :]).sum(axis=2)
         new_assign = dists.argmin(axis=1)
-        if (new_assign == assign).all() and _ > 0:
+        if (new_assign == assign).all():
             break
         assign = new_assign
         for c in range(k):
