@@ -214,3 +214,151 @@ def q66_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "q97_dup_clusters",
+    oracle="""
+WITH RECURSIVE
+shingles AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                  i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS shingle
+    FROM documents
+  ) t
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), edges AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairs p
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+  WHERE CAST(p.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - p.n_common) >= 0.2
+), sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM edges UNION SELECT doc_b, doc_a FROM edges
+), reach(v, r) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.v
+), cc AS (
+  SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v
+)
+SELECT doc_id, component,
+       CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS component_size
+FROM cc
+ORDER BY doc_id
+""",
+    tags=("text", "dedup", "graph"),
+)
+def q97_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: exact-Jaccard pairs (≥0.2, as q55) →
+    connected components → (doc, component, component size). The step
+    every dedup pipeline needs after pair detection — pairs are not
+    groups (A~B, B~C ⇒ {A,B,C} must keep ONE representative).
+
+    Spark side: iterative min-label propagation
+    (functions/graph.py::connected_components — two shuffles per round,
+    rounds ≈ component diameter); oracle: DuckDB recursive CTE
+    transitive closure. Both deterministic (min vertex id = label).
+    """
+    from pyspark.sql import Window as W
+
+    from pyspark_distributed_kmodes_spark.functions.graph import connected_components
+    from pyspark_distributed_kmodes_spark.operators.text import q55_ngram_jaccard
+
+    pairs = q55_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    return (
+        cc.select(F.col("vertex").alias("doc_id"), "component")
+        .withColumn("component_size", F.count(F.lit(1)).over(W.partitionBy("component")).cast("bigint"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q98_dedup_canonical",
+    oracle="""
+WITH RECURSIVE
+shingles AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                  i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS shingle
+    FROM documents
+  ) t
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), edges AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairs p
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+  WHERE CAST(p.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - p.n_common) >= 0.2
+), sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM edges UNION SELECT doc_b, doc_a FROM edges
+), reach(v, r) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.v
+), cc AS (
+  SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v
+), labeled AS (
+  SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS component, d.n_chars
+  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+)
+SELECT doc_id, component, n_chars
+FROM (
+  SELECT doc_id, component, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY component ORDER BY n_chars DESC, doc_id) AS rn
+  FROM labeled
+)
+WHERE rn = 1
+ORDER BY doc_id
+""",
+    tags=("text", "dedup", "graph"),
+)
+def q98_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduplicated corpus: near-dup clusters (q97's connected
+    components) collapsed to ONE canonical document each — the longest
+    (`n_chars` desc, doc_id tie-break) — with singleton docs (no
+    near-dup pair) kept as their own cluster. This is the end-to-end
+    dedup pipeline output: pairs → groups → keep-one.
+
+    Scale shape: CC runs on the (tiny) near-dup edge list only; the full
+    corpus joins in ONCE via a left join on doc_id, then one window
+    rank per component. The corpus-sized stages are a single shuffle
+    each — no per-iteration touch of the big table.
+    """
+    from pyspark.sql import Window as W
+
+    from pyspark_distributed_kmodes_spark.functions.graph import connected_components
+    from pyspark_distributed_kmodes_spark.operators.text import q55_ngram_jaccard
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = q55_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("vertex").alias("doc_id"), "component"
+    )
+    labeled = (
+        docs.select("doc_id", "n_chars")
+        .join(F.broadcast(cc), "doc_id", "left")
+        .withColumn("component", F.coalesce("component", F.col("doc_id")))
+    )
+    rn = F.row_number().over(W.partitionBy("component").orderBy(F.desc("n_chars"), F.asc("doc_id")))
+    return (
+        labeled.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "component", "n_chars")
+        .orderBy("doc_id")
+    )

@@ -90,3 +90,22 @@ def test_language_id_deterministic_and_total(spark, sf_dir):
     assert all(r.predicted_lang in langs for r in out1)
     ids = [r.doc_id for r in out1]
     assert len(ids) == len(set(ids)) > 0
+
+
+def test_connected_components_basic(spark):
+    from pyspark_distributed_kmodes_spark.functions.graph import connected_components
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (5, 6), (7, 7)], ["src", "dst"])
+    cc = {r.vertex: r.component for r in connected_components(edges).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_connected_components_chain_diameter(spark):
+    """A 12-node chain needs multiple propagation rounds — exercises the
+    iteration, not just one hop."""
+    from pyspark_distributed_kmodes_spark.functions.graph import connected_components
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(12)], ["src", "dst"])
+    cc = {r.vertex: r.component for r in connected_components(edges).collect()}
+    assert set(cc.values()) == {0}
+    assert len(cc) == 13
