@@ -507,3 +507,101 @@ def q96_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").cast("bigint").alias("total_chars"))
         .orderBy("source")
     )
+
+
+@query(
+    "q94_normalized_dedup",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_text
+  FROM documents
+)
+SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY norm_text) AS canonical_doc_id,
+       CAST(COUNT(*) OVER (PARTITION BY norm_text) AS BIGINT) AS n_variants
+FROM norm
+ORDER BY doc_id
+""",
+    tags=("text", "dedup"),
+)
+def q94_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-invariant exact dedup: lowercase, strip
+    punctuation, collapse whitespace, then group identical normalized
+    forms — catches the case/punctuation variants that byte-exact
+    dedup (q56) misses. Canonical = min doc_id per group.
+
+    All JVM built-ins (lower/regexp_replace/trim + two window
+    functions over one shuffle on the normalized text); regex class
+    `[^a-z0-9 ]` behaves identically in Java and RE2, so Spark and the
+    DuckDB oracle normalize byte-for-byte alike.
+    """
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", ""), r" +", " ")
+    )
+    w = W.partitionBy("norm_text")
+    return (
+        d.select("doc_id", norm.alias("norm_text"))
+        .select(
+            "doc_id",
+            F.min("doc_id").over(w).alias("canonical_doc_id"),
+            F.count(F.lit(1)).over(w).cast("bigint").alias("n_variants"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q99_repetition_ratio",
+    oracle="""
+WITH bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(string_split(text, ' '))),
+                i -> array_to_string(string_split(text, ' ')[i:i+1], ' '))) AS bigram
+  FROM documents
+), cnt AS (
+  SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_bigram_frac,
+       CASE WHEN CAST(MAX(c) AS DOUBLE) / SUM(c) > 0.1 THEN 1 ELSE 0 END AS repetitive
+FROM cnt
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    tags=("text", "quality"),
+)
+def q99_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (Gopher-style): fraction of a
+    document's bigrams occupied by its single most frequent bigram;
+    high values flag boilerplate/spam for pre-training removal.
+
+    Shape: explode bigrams → (doc, bigram) count → per-doc max/sum.
+    Both aggregations partial-combine map-side, so the shuffles move
+    counts, not bigram text fan-out.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 1),
+        lambda i: F.array_join(F.slice(words, i, 2), " "),
+    )
+    cnt = (
+        d.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    frac = F.max("c").cast("double") / F.sum("c")
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            F.round(frac, 6).alias("top_bigram_frac"),
+            F.when(frac > 0.1, 1).otherwise(0).alias("repetitive"),
+        )
+        .orderBy("doc_id")
+    )
