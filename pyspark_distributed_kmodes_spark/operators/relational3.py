@@ -196,3 +196,46 @@ def q93_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt((s2 - s1 * s1 / n) / (n - 1)), 6).alias("stddev_qty"),
         F.round((sp - s1 * p1 / n) / (n - 1), 6).alias("covar_qty_price"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "q39_salted_skew_join",
+    oracle=f"""
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       round({sql_dsum('l.l_extendedprice * (1 - l.l_discount)')}, 2) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("join", "skew"),
+)
+def q39_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient fact-to-fact join: lineitem ⋈ orders executed
+    through `functions/skew.py::salted_join` (8-way key spreading on
+    the big side, 8× replication of the probe side), then revenue per
+    order priority. Results are provably identical to the plain join —
+    the oracle IS the plain join — which is the point: salting changes
+    the shuffle distribution, never the semantics.
+
+    At 100 TB this is the explicit fallback when one join key dominates
+    so heavily that even AQE's skew-split partitions bottleneck
+    (null-key / celebrity-key joins).
+    """
+    from pyspark_distributed_kmodes_spark.functions.skew import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, "l_orderkey", salt=8)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
