@@ -239,3 +239,79 @@ def q39_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q73_market_share",
+    oracle=f"""
+WITH all_sales AS (
+  SELECT CAST(YEAR(o.o_orderdate) AS INTEGER) AS o_year,
+         n2.n_name AS supp_nation,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n1.n_regionkey
+  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'MEDIUM'
+    AND o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1998-01-01'
+), nat AS (
+  SELECT o_year, supp_nation, {sql_dsum('volume')} AS nation_volume
+  FROM all_sales GROUP BY o_year, supp_nation
+)
+SELECT o_year, supp_nation,
+       round(nation_volume, 2) AS nation_volume,
+       round(nation_volume / SUM(nation_volume) OVER (PARTITION BY o_year), 6) AS mkt_share
+FROM nat
+ORDER BY o_year, supp_nation
+""",
+    tags=("join", "tpch"),
+)
+def q73_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shape national market share: every supplier nation's
+    slice of ASIA customers' MEDIUM-part revenue, per year — the
+    nested-aggregate ratio pattern (group total ÷ window grand total).
+
+    Plan shape at scale: lineitem is the only big input; part/supplier/
+    customer/nation/region all broadcast, so the 7-table join is
+    shuffle-free until the final (year, nation) aggregation — tiny —
+    and the share window runs over dozens of rows.
+    """
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_type") == "MEDIUM")
+    supp = table(spark, sf_dir, "supplier")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    cust = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").alias("n1")
+    n2 = table(spark, sf_dir, "nation").alias("n2")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+
+    sales = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(region), F.col("n1.n_regionkey") == region.r_regionkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2.n_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            F.col("n2.n_name").alias("supp_nation"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+    )
+    nat = sales.groupBy("o_year", "supp_nation").agg(dsum("volume").alias("nation_volume"))
+    w = W.partitionBy("o_year")
+    return nat.select(
+        "o_year",
+        "supp_nation",
+        F.round("nation_volume", 2).alias("nation_volume"),
+        F.round(F.col("nation_volume") / F.sum("nation_volume").over(w), 6).alias("mkt_share"),
+    ).orderBy("o_year", "supp_nation")
