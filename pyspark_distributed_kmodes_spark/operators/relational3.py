@@ -315,3 +315,61 @@ def q73_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("nation_volume", 2).alias("nation_volume"),
         F.round(F.col("nation_volume") / F.sum("nation_volume").over(w), 6).alias("mkt_share"),
     ).orderBy("o_year", "supp_nation")
+
+
+@query(
+    "q74_waiting_suppliers",
+    oracle="""
+WITH per AS (
+  SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS supp_max
+  FROM lineitem GROUP BY l_orderkey, l_suppkey
+), per2 AS (
+  SELECT *, MAX(supp_max) OVER (PARTITION BY l_orderkey) AS ord_max,
+         COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supps
+  FROM per
+), per3 AS (
+  SELECT *, SUM(CASE WHEN supp_max = ord_max THEN 1 ELSE 0 END)
+              OVER (PARTITION BY l_orderkey) AS n_at_max
+  FROM per2
+)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM per3 p JOIN supplier s ON s.s_suppkey = p.l_suppkey
+WHERE p.supp_max = p.ord_max AND p.n_supps >= 2 AND p.n_at_max = 1
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+    tags=("join", "tpch", "window"),
+)
+def q74_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shape: suppliers who were the SOLE latest shipper in
+    multi-supplier orders (everyone else finished earlier), top 20 by
+    count. Q21's EXISTS (another supplier on the order) / NOT EXISTS
+    (another supplier as late as me) pair is expressed as per-order
+    window counts — one pass instead of two correlated self-joins.
+
+    Scale: one (orderkey, suppkey) aggregation, windows over the same
+    orderkey partitioning (no extra shuffle), then a broadcast join to
+    supplier and a tiny top-k.
+    """
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    per = li.groupBy("l_orderkey", "l_suppkey").agg(F.max("l_shipdate").alias("supp_max"))
+    w = W.partitionBy("l_orderkey")
+    per3 = (
+        per.withColumn("ord_max", F.max("supp_max").over(w))
+        .withColumn("n_supps", F.count(F.lit(1)).over(w))
+        .withColumn("n_at_max", F.sum(F.when(F.col("supp_max") == F.col("ord_max"), 1).otherwise(0)).over(w))
+    )
+    waiting = per3.filter(
+        (F.col("supp_max") == F.col("ord_max")) & (F.col("n_supps") >= 2) & (F.col("n_at_max") == 1)
+    )
+    return (
+        waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
