@@ -362,3 +362,78 @@ def q98_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "component", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q75_decontamination",
+    oracle="""
+WITH shingles AS (
+  SELECT DISTINCT doc_id, source, shingle
+  FROM (
+    SELECT doc_id, source,
+           unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                  i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS shingle
+    FROM documents
+  ) t
+), tr AS (
+  SELECT doc_id, shingle FROM shingles WHERE source != 'src2'
+), ev AS (
+  SELECT doc_id, shingle FROM shingles WHERE source = 'src2'
+), hits AS (
+  SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc, t.shingle
+  FROM tr t JOIN ev e ON t.shingle = e.shingle
+), per_train AS (
+  SELECT train_doc, COUNT(DISTINCT shingle) AS n_shared
+  FROM hits GROUP BY train_doc
+), pairw AS (
+  SELECT train_doc, eval_doc, COUNT(DISTINCT shingle) AS c
+  FROM hits GROUP BY train_doc, eval_doc
+), top AS (
+  SELECT train_doc, eval_doc,
+         ROW_NUMBER() OVER (PARTITION BY train_doc ORDER BY c DESC, eval_doc) AS rn
+  FROM pairw
+)
+SELECT p.train_doc AS doc_id,
+       CAST(p.n_shared AS BIGINT) AS n_shared_shingles,
+       t.eval_doc AS top_eval_doc
+FROM per_train p JOIN top t ON t.train_doc = p.train_doc AND t.rn = 1
+WHERE p.n_shared >= 3
+ORDER BY doc_id
+""",
+    tags=("text", "dedup", "decontamination"),
+)
+def q75_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: treat `source='src2'` documents as a
+    held-out benchmark and flag every training document sharing ≥3
+    distinct word trigrams with it, plus the single most-overlapping
+    eval document (ties → min eval doc_id). The standard n-gram
+    contamination sweep run before pre-training.
+
+    Scale shape: both sides shuffle only (doc_id, shingle) pairs on the
+    shingle key — the same join profile as the exact-Jaccard dedup — and
+    both aggregates reuse the train_doc partitioning. For a real
+    benchmark (tiny vs 100 TB corpus) the eval shingle set broadcasts
+    instead, making the sweep a map-only scan over the corpus.
+    """
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    sh = shingle_df(docs).join(docs.select("doc_id", "source"), "doc_id")
+    tr = sh.filter(F.col("source") != "src2").select(F.col("doc_id").alias("train_doc"), "shingle")
+    ev = sh.filter(F.col("source") == "src2").select(F.col("doc_id").alias("eval_doc"), "shingle")
+    hits = tr.join(ev, "shingle")
+    per_train = hits.groupBy("train_doc").agg(F.count_distinct("shingle").alias("n_shared"))
+    pairw = hits.groupBy("train_doc", "eval_doc").agg(F.count_distinct("shingle").alias("c"))
+    top = pairw.withColumn(
+        "rn", F.row_number().over(W.partitionBy("train_doc").orderBy(F.desc("c"), F.asc("eval_doc")))
+    ).filter(F.col("rn") == 1)
+    return (
+        per_train.filter(F.col("n_shared") >= 3)
+        .join(top.select("train_doc", "eval_doc"), "train_doc")
+        .select(
+            F.col("train_doc").alias("doc_id"),
+            F.col("n_shared").cast("bigint").alias("n_shared_shingles"),
+            F.col("eval_doc").alias("top_eval_doc"),
+        )
+        .orderBy("doc_id")
+    )
