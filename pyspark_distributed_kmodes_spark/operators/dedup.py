@@ -437,3 +437,73 @@ def q75_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q69_neardup_graph_stats",
+    oracle="""
+WITH RECURSIVE
+shingles AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                  i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS shingle
+    FROM documents
+  ) t
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), edges AS (
+  SELECT p.doc_a, p.doc_b
+  FROM pairs p
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+  WHERE CAST(p.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - p.n_common) >= 0.2
+), sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM edges UNION SELECT doc_b, doc_a FROM edges
+), reach(v, r) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.v
+), cc AS (
+  SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v
+), comp_sizes AS (
+  SELECT component, COUNT(*) AS component_size FROM cc GROUP BY component
+)
+SELECT CAST(component_size AS INTEGER) AS component_size,
+       CAST(COUNT(*) AS BIGINT) AS n_components,
+       CAST(SUM(component_size) AS BIGINT) AS n_docs
+FROM comp_sizes
+GROUP BY component_size
+ORDER BY component_size
+""",
+    tags=("text", "dedup", "graph"),
+)
+def q69_neardup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram: how many near-dup components
+    exist at each size, and how many documents they absorb — the
+    monitoring metric that tells a pipeline whether dedup is removing a
+    long tail of pairs or a few giant templated clusters (which shift
+    strategy: giant components usually mean boilerplate, not true dups).
+
+    Reuses the q97 component labeling; everything after is two tiny
+    aggregations.
+    """
+    from pyspark_distributed_kmodes_spark.functions.graph import connected_components
+    from pyspark_distributed_kmodes_spark.operators.text import q55_ngram_jaccard
+
+    pairs = q55_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    comp_sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("component_size"))
+    return (
+        comp_sizes.groupBy(F.col("component_size").cast("int").alias("component_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_components"),
+            F.sum("component_size").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("component_size")
+    )
