@@ -33,21 +33,28 @@ def asof_join(
 
     `right_tie_break`: column ordering rows that share right_ts — the
     LAST one in ascending order wins (pass e.g. a monotone id).
+
+    The payload travels as ONE struct carried by a single
+    last(ignorenulls=True): carrying each column independently would
+    back-fill a NULL in the latest right row from an OLDER right row,
+    emitting a payload stitched from different rows.
     """
     tb = right_tie_break or right_ts
+    payload_struct = F.struct(*[F.col(c) for c in payload])
     right_side = right.select(
         F.col(on),
         F.col(right_ts).alias("_ts"),
         F.lit(1).alias("_is_right"),
         F.col(tb).alias("_tb"),
-        *[F.col(c) for c in payload],
+        payload_struct.alias("_payload"),
     )
+    struct_type = right_side.schema["_payload"].dataType
     left_side = left.select(
         F.col(on),
         F.col(left_ts).alias("_ts"),
         F.lit(0).alias("_is_right"),
         F.lit(None).cast(right.schema[tb].dataType).alias("_tb"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
+        F.lit(None).cast(struct_type).alias("_payload"),
         *[F.col(c) for c in left.columns if c not in {on}],
     )
     # at equal timestamps: right rows first if inclusive (they count),
@@ -58,8 +65,10 @@ def asof_join(
         .orderBy(F.col("_ts").asc(), right_order, F.col("_tb").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = left_side.unionByName(right_side, allowMissingColumns=True)
-    for c in payload:
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    out = left_side.unionByName(right_side, allowMissingColumns=True).withColumn(
+        "_payload", F.last("_payload", ignorenulls=True).over(w)
+    )
     keep = [c for c in left.columns if c != on]
-    return out.filter(F.col("_is_right") == 0).select(on, *keep, *payload)
+    return out.filter(F.col("_is_right") == 0).select(
+        on, *keep, *[F.col(f"_payload.{c}").alias(c) for c in payload]
+    )

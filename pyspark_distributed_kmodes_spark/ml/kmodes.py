@@ -39,12 +39,26 @@ from pyspark.sql import functions as F
 
 __all__ = ["KModes", "KModesModel", "EnsembleKModes", "hamming_distance_col"]
 
+# NULL categorical values are folded to this sentinel string everywhere
+# (fit AND transform): a raw (col != lit(v)) comparison yields SQL NULL
+# for null inputs — silently dropping the attribute from the Hamming
+# distance — and driver-side tuple hashing would crash on None.
+NULL_SENTINEL = "\x00null"
+
+
+def _feat(c: str):
+    return F.coalesce(F.col(c).cast("string"), F.lit(NULL_SENTINEL))
+
 
 def hamming_distance_col(cols: Sequence[str], mode_values: Sequence[str]):
     """Simple-matching (Hamming) dissimilarity of a row to one mode:
     sum over attributes of (value != mode_value). Reference A1
-    (`matching_dissim`, pyspark_kmodes.py:~20, reconstructed)."""
-    terms = [(F.col(c) != F.lit(v)).cast("int") for c, v in zip(cols, mode_values)]
+    (`matching_dissim`, pyspark_kmodes.py:~20, reconstructed).
+    Null-safe on both sides via the sentinel fold."""
+    terms = [
+        (_feat(c) != F.lit(NULL_SENTINEL if v is None else v)).cast("int")
+        for c, v in zip(cols, mode_values)
+    ]
     out = terms[0]
     for t in terms[1:]:
         out = out + t
@@ -100,6 +114,39 @@ class KModesModel:
         """Min distance to any mode (for cost/outlier scoring)."""
         return F.array_min(self._dist_array()).getField("dist")
 
+    # ---- persistence (model state is provably tiny: k modes × n_cols
+    # strings — a JSON document, not a distributed dataset) -----------
+    def save(self, path: str) -> None:
+        import json
+        import os
+
+        os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "cols": list(self.cols),
+                    "modes": [list(m) for m in self.modes],
+                    "cost": self.cost,
+                    "n_iter": self.n_iter,
+                    "converged": self.converged,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "KModesModel":
+        import json
+
+        with open(path) as f:
+            d = json.load(f)
+        return cls(
+            cols=tuple(d["cols"]),
+            modes=[tuple(m) for m in d["modes"]],
+            cost=d["cost"],
+            n_iter=d["n_iter"],
+            converged=d["converged"],
+        )
+
 
 class KModes:
     """Global Lloyd k-modes estimator on a DataFrame of categorical cols.
@@ -147,7 +194,7 @@ class KModes:
         extreme combo cardinality does the distributed per-iteration
         loop (the reference's barrier structure, SURVEY.md §3.1 E1)
         engage."""
-        feats = df.select(*[F.col(c).cast("string").alias(c) for c in self.cols])
+        feats = df.select(*[_feat(c).alias(c) for c in self.cols])
         combo_df = feats.groupBy(*self.cols).agg(F.count(F.lit(1)).alias("_w"))
         # single job: fetch at most threshold+1 combos; a full result
         # means low cardinality and the weights are exact for ALL rows
@@ -296,23 +343,36 @@ class EnsembleKModes:
     `groupBy(pid).applyInPandas` — Arrow-batched, no closure pickling,
     no per-iteration job storm; the meta step stays driver-local
     because its input is provably tiny (n_partitions × n_clusters rows).
+
+    `n_partitions`: None or 0 → derived from the input row count so each
+    applyInPandas group holds ≤ MAX_GROUP_ROWS rows. A fixed partition
+    count would make group size grow with the corpus — an executor OOM
+    at 100 TB; the derived count keeps the per-group pandas frame
+    bounded no matter the input size.
     """
 
-    n_partitions: int
+    n_partitions: int | None
     n_clusters: int
     max_dist_iter: int = 10
     local_kmodes_iter: int = 10
     seed: int = 42
     cols: tuple = field(default_factory=tuple)
 
+    # target upper bound on rows materialized per applyInPandas group
+    MAX_GROUP_ROWS = 1_000_000
+
     def fit(self, df: DataFrame) -> KModesModel:
         cols = tuple(self.cols) or tuple(df.columns)
         k, seed = self.n_clusters, self.seed
         local_iter = self.local_kmodes_iter
-        feats = df.select(*[F.col(c).cast("string").alias(c) for c in cols])
+        feats = df.select(*[_feat(c).alias(c) for c in cols])
+        n_parts = self.n_partitions
+        if not n_parts:
+            n_rows = feats.count()
+            n_parts = max(1, -(-n_rows // self.MAX_GROUP_ROWS))  # ceil
         # deterministic partition assignment (reference repartitions
         # round-robin, fit():~290 — hash of content is reproducible)
-        pid = (F.xxhash64(*[F.col(c) for c in cols], F.lit(seed)) % self.n_partitions + self.n_partitions) % self.n_partitions
+        pid = (F.xxhash64(*[F.col(c) for c in cols], F.lit(seed)) % n_parts + n_parts) % n_parts
         feats = feats.withColumn("pid", pid.cast("int"))
 
         import pyspark.sql.types as T
@@ -343,8 +403,10 @@ class EnsembleKModes:
         scored = model.transform(feats.drop("pid"), "cluster").select(model.distance_col().alias("d"))
         agg = scored.agg(F.sum("d").cast("double"), F.count(F.lit(1))).first()
         model.cost = (agg[0] or 0.0) / max(agg[1], 1)  # reference exposes MEAN cost (fit():~390)
-        # reference `.predictions`: training-set assignments (lazy DF)
+        # reference `.predictions`: training-set assignments (lazy DF);
+        # `.indexes` (A9): the bare cluster-index column of the same
         self.predictions = model.transform(feats.drop("pid"))
+        self.indexes = self.predictions.select("prediction")
         return model
 
 
@@ -398,6 +460,25 @@ try:  # pyspark.ml is part of pyspark; guarded for minimal builds
         @property
         def clusters(self):
             return self.inner.clusters
+
+        def save(self, path: str) -> None:
+            import json
+            import os
+
+            os.makedirs(path, exist_ok=True)
+            self.inner.save(os.path.join(path, "model.json"))
+            with open(os.path.join(path, "meta.json"), "w") as f:
+                json.dump({"prediction_col": self.prediction_col}, f)
+
+        @classmethod
+        def load(cls, path: str) -> "SparkKModesModel":
+            import json
+            import os
+
+            inner = KModesModel.load(os.path.join(path, "model.json"))
+            with open(os.path.join(path, "meta.json")) as f:
+                meta = json.load(f)
+            return cls(inner=inner, prediction_col=meta["prediction_col"])
 
 except ImportError:  # pragma: no cover
     SparkKModes = None

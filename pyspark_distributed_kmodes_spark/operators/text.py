@@ -179,9 +179,7 @@ def q54_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@query(
-    "q55_ngram_jaccard",
-    oracle="""
+_Q55_ORACLE = """
 WITH shingles AS (
   SELECT DISTINCT doc_id, shingle
   FROM (
@@ -204,34 +202,49 @@ JOIN sizes sa ON sa.doc_id = p.doc_a
 JOIN sizes sb ON sb.doc_id = p.doc_b
 WHERE CAST(p.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - p.n_common) >= 0.2
 ORDER BY doc_a, doc_b
-""",
-    tags=("text", "dedup"),
-)
-def q55_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate detection via exact 3-gram (word-trigram) Jaccard.
+"""
+
+
+def ngram_jaccard_pairs(d: DataFrame, threshold: float = 0.2, max_df: int | None = None) -> DataFrame:
+    """Exact word-trigram Jaccard pairs over a `documents`-shaped DataFrame.
 
     Inverted-index formulation: explode distinct shingles, self-join on
     shingle (only docs SHARING a shingle ever meet — no cross join),
-    count intersections, Jaccard = |∩| / (|A|+|B|-|∩|), threshold 0.2.
+    count intersections, Jaccard = |∩| / (|A|+|B|-|∩|).
 
-    Scale: the shingle join's fan-out is bounded by shingle document
-    frequency; hot shingles (df > ~1000) should be dropped as
-    stop-shingles at 100 TB — they only connect unrelated docs. MinHash
-    (q62) is the sub-quadratic successor at full scale.
+    `max_df` — stop-shingle cap: a shingle appearing in more than max_df
+    documents is removed from the universe (sizes AND intersections)
+    before the pair join. At 100 TB a single boilerplate trigram shared
+    by 1M docs would otherwise create a 10^12-pair bucket; hot shingles
+    only connect unrelated docs. The hot set is tiny by construction
+    (df > max_df) so it broadcasts into a left-anti join. MinHash (q63)
+    is the sub-quadratic successor at full scale.
+
+    Short docs (< 3 words) yield no shingles — same as the SQL oracle,
+    where the slice range is empty; the unguarded sequence(1, n-2) would
+    instead go DESCENDING through 0 and crash F.slice.
     """
-    d = table(spark, sf_dir, "documents")
     words = F.split("text", " ")
     n = F.size(words)
-    # trigram shingles: words[i..i+2] for i in 0..n-3 (1-based slice)
-    shingle_arr = F.transform(
-        F.sequence(F.lit(1), n - 2),
-        lambda i: F.array_join(F.slice(words, i, 3), " "),
-    )
+    # trigram shingles: words[i..i+2] for i in 0..n-3 (1-based slice);
+    # guarded so docs with <3 words produce an empty array, not a crash
+    shingle_arr = F.when(
+        n >= 3,
+        F.transform(F.sequence(F.lit(1), n - 2), lambda i: F.array_join(F.slice(words, i, 3), " ")),
+    ).otherwise(F.array().cast("array<string>"))
     from pyspark_distributed_kmodes_spark.sources.tables import spread
 
     shingles = (
         spread(d, "doc_id").select("doc_id", F.explode(shingle_arr).alias("shingle")).distinct()
     )
+    if max_df is not None:
+        hot = (
+            shingles.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        shingles = shingles.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = shingles.alias("a")
     b = shingles.alias("b")
@@ -246,10 +259,19 @@ def q55_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .filter(jac >= 0.2)
+        .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query("q55_ngram_jaccard", oracle=_Q55_ORACLE, tags=("text", "dedup"))
+def q55_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection via exact 3-gram Jaccard (see
+    ngram_jaccard_pairs). max_df=100_000 leaves test-scale results
+    untouched (corpus df max ≪ 100k) while capping the join fan-out."""
+    d = table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, threshold=0.2, max_df=100_000)
 
 
 @query(
@@ -586,10 +608,12 @@ def q99_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     words = F.split("text", " ")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(words) - 1),
-        lambda i: F.array_join(F.slice(words, i, 2), " "),
-    )
+    # guarded: single-word docs yield no bigrams (the oracle's range is
+    # empty); unguarded sequence(1, 0) would descend through 0 and crash
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(words) - 1), lambda i: F.array_join(F.slice(words, i, 2), " ")),
+    ).otherwise(F.array().cast("array<string>"))
     cnt = (
         d.select("doc_id", F.explode(bigrams).alias("bigram"))
         .groupBy("doc_id", "bigram")

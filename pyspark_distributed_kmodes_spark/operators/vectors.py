@@ -44,50 +44,95 @@ TOPK_SCHEMA = T.StructType(
 )
 
 
-def exact_topk(spark: SparkSession, emb: DataFrame, k: int = 5, block: int = 2048) -> DataFrame:
+def _collect_ref_blocks(emb: DataFrame, max_block_rows: int):
+    """Yield (ids, normalized matrix) numpy blocks of the reference side,
+    never holding more than max_block_rows on the driver at once.
+
+    Block membership is a deterministic key-mod over vec_id; block count
+    comes from one cheap COUNT aggregate (id column only). Driver peak
+    memory is ONE block regardless of corpus size — the scale guard that
+    replaces the previous whole-table collect."""
+    n_ref = emb.select("vec_id").count()
+    n_blocks = max(1, -(-n_ref // max_block_rows))  # ceil
+    for b in range(n_blocks):
+        rows = (
+            emb.select("vec_id", "embedding")
+            .filter(F.pmod(F.col("vec_id"), F.lit(n_blocks)) == b)
+            .collect()
+        )
+        if not rows:
+            continue
+        ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+        mat = np.array([r.embedding for r in rows], dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        yield ids, mat
+
+
+def exact_topk(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int = 5,
+    block: int = 2048,
+    max_block_rows: int = 100_000,
+) -> DataFrame:
     """Exact cosine top-k of every vector against the whole table.
 
-    The reference matrix (all embeddings) is collected once and shipped
-    via Spark broadcast; each Arrow batch of query rows does a float64
-    blocked GEMM against it. Memory per task ≈ block × n_ref × 8 bytes.
-
-    At 100 TB the same operator runs with the reference side bounded
-    (top-k against a fixed candidate set) or replaced by q61's LSH path.
+    Block-partitioned exact scheme: the reference side is split into
+    broadcastable blocks of ≤ max_block_rows; each block is broadcast in
+    turn, every Arrow batch of query rows does a float64 blocked GEMM
+    against it and emits a TIE-COMPLETE per-block candidate set (every
+    neighbor whose rounded sim >= the in-block kth value — an
+    argpartition prefix would drop tied neighbors with smaller ids and
+    diverge from the oracle's `ORDER BY sim DESC, neighbor_id ASC`).
+    The per-block partial top-ks union and one window re-ranks. No
+    single driver materialization of the corpus; memory per task ≈
+    block × block_rows × 8 bytes. At 100 TB q61's LSH path replaces the
+    quadratic compute; this stays the exactness baseline.
     """
-    ref = emb.select("vec_id", "embedding").collect()
-    ref_ids = np.array([r.vec_id for r in ref], dtype=np.int64)
-    ref_mat = np.array([r.embedding for r in ref], dtype=np.float64)
-    ref_mat /= np.linalg.norm(ref_mat, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(ref_ids)
-    b_mat = spark.sparkContext.broadcast(ref_mat)
-
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids, mat = b_ids.value, b_mat.value
-        for pdf in batches:
-            q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            q = np.array(list(pdf["embedding"]), dtype=np.float64)
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
-            for s in range(0, len(q), block):
-                qb, qid = q[s : s + block], q_ids[s : s + block]
-                sims = qb @ mat.T  # (b, n_ref) float64 GEMM
-                # self-match excluded by id, not by sim==1 (duplicates!)
-                self_mask = qid[:, None] == ids[None, :]
-                sims[self_mask] = -np.inf
-                # round BEFORE ranking so rank ties are broken identically
-                # to the SQL oracle (rounded sim desc, neighbor id asc)
-                sims = np.round(sims, 6)
-                part = np.argpartition(-sims, k, axis=1)[:, : k + 8]
-                rows = []
-                for i in range(len(qb)):
-                    cand = part[i]
-                    order = np.lexsort((ids[cand], -sims[i, cand]))[:k]
-                    for rank, j in enumerate(cand[order], start=1):
-                        rows.append((qid[i], ids[j], sims[i, j], rank))
-                yield pd.DataFrame(rows, columns=["vec_id", "neighbor_id", "cos_sim", "rank"])
+    from pyspark.sql import Window
 
     from pyspark_distributed_kmodes_spark.sources.tables import spread
 
-    return spread(emb.select("vec_id", "embedding"), "vec_id").mapInPandas(score, TOPK_SCHEMA)
+    queries_df = spread(emb.select("vec_id", "embedding"), "vec_id")
+    partials = []
+    for ids_np, mat_np in _collect_ref_blocks(emb, max_block_rows):
+        b_ids = spark.sparkContext.broadcast(ids_np)
+        b_mat = spark.sparkContext.broadcast(mat_np)
+
+        def score(batches: Iterator[pd.DataFrame], b_ids=b_ids, b_mat=b_mat) -> Iterator[pd.DataFrame]:
+            ids, mat = b_ids.value, b_mat.value
+            kth = min(k, len(ids)) - 1
+            for pdf in batches:
+                q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                q = np.array(list(pdf["embedding"]), dtype=np.float64)
+                q /= np.linalg.norm(q, axis=1, keepdims=True)
+                for s in range(0, len(q), block):
+                    qb, qid = q[s : s + block], q_ids[s : s + block]
+                    sims = qb @ mat.T  # (b, n_block) float64 GEMM
+                    # self-match excluded by id, not by sim==1 (duplicates!)
+                    self_mask = qid[:, None] == ids[None, :]
+                    sims[self_mask] = -np.inf
+                    # round BEFORE ranking so rank ties are broken identically
+                    # to the SQL oracle (rounded sim desc, neighbor id asc)
+                    sims = np.round(sims, 6)
+                    # tie-complete candidates: everything >= the kth value
+                    thresh = -np.partition(-sims, kth, axis=1)[:, kth : kth + 1]
+                    ii, jj = np.nonzero((sims >= thresh) & ~self_mask)
+                    yield pd.DataFrame(
+                        {"vec_id": qid[ii], "neighbor_id": ids[jj], "cos_sim": sims[ii, jj]}
+                    )
+
+        partials.append(queries_df.mapInPandas(score, "vec_id bigint, neighbor_id bigint, cos_sim double"))
+
+    cand = partials[0]
+    for p in partials[1:]:
+        cand = cand.unionByName(p)
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cos_sim", "rank")
+    )
 
 
 @query(
@@ -189,18 +234,14 @@ ORDER BY vec_a, vec_b
 def q62_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (sim ≥ 0.85), exact form.
 
-    Same blocked-GEMM mapInPandas path as q60 (the O(n²) pair join would
-    dominate at any scale; the matrix product streams the left side and
-    broadcasts the right). At 100 TB the LSH bucketing of q61
+    Same block-partitioned GEMM path as q60: the reference side streams
+    through broadcastable blocks (driver holds ≤ max_block_rows at a
+    time — never the corpus), the query side streams through
+    mapInPandas, each block emits its threshold-passing pairs and the
+    per-block outputs union. At 100 TB the LSH bucketing of q61
     pre-filters candidates instead of scoring the full matrix.
     """
     emb = table(spark, sf_dir, "embeddings")
-    ref = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r.vec_id for r in ref], dtype=np.int64)
-    mat = np.array([r.embedding for r in ref], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
     out_schema = T.StructType(
         [
             T.StructField("vec_a", T.LongType()),
@@ -209,25 +250,35 @@ def q62_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
-    def find_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rids, rmat = b_ids.value, b_mat.value
-        for pdf in batches:
-            q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            q = np.array(list(pdf["embedding"]), dtype=np.float64)
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
-            for s in range(0, len(q), 2048):
-                qb, qid = q[s : s + 2048], q_ids[s : s + 2048]
-                sims = qb @ rmat.T
-                ii, jj = np.nonzero((sims >= 0.85) & (qid[:, None] < rids[None, :]))
-                yield pd.DataFrame(
-                    {
-                        "vec_a": qid[ii],
-                        "vec_b": rids[jj],
-                        "cos_sim": np.round(sims[ii, jj], 6),
-                    }
-                )
+    partials = []
+    for ids_np, mat_np in _collect_ref_blocks(emb, max_block_rows=100_000):
+        b_ids = spark.sparkContext.broadcast(ids_np)
+        b_mat = spark.sparkContext.broadcast(mat_np)
 
-    return emb.select("vec_id", "embedding").mapInPandas(find_pairs, out_schema).orderBy("vec_a", "vec_b")
+        def find_pairs(batches: Iterator[pd.DataFrame], b_ids=b_ids, b_mat=b_mat) -> Iterator[pd.DataFrame]:
+            rids, rmat = b_ids.value, b_mat.value
+            for pdf in batches:
+                q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                q = np.array(list(pdf["embedding"]), dtype=np.float64)
+                q /= np.linalg.norm(q, axis=1, keepdims=True)
+                for s in range(0, len(q), 2048):
+                    qb, qid = q[s : s + 2048], q_ids[s : s + 2048]
+                    sims = qb @ rmat.T
+                    ii, jj = np.nonzero((sims >= 0.85) & (qid[:, None] < rids[None, :]))
+                    yield pd.DataFrame(
+                        {
+                            "vec_a": qid[ii],
+                            "vec_b": rids[jj],
+                            "cos_sim": np.round(sims[ii, jj], 6),
+                        }
+                    )
+
+        partials.append(emb.select("vec_id", "embedding").mapInPandas(find_pairs, out_schema))
+
+    out = partials[0]
+    for p in partials[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("vec_a", "vec_b")
 
 
 @query(

@@ -138,16 +138,32 @@ ORDER BY o_orderdate, o_orderkey
 def q23_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame over time: trailing 30-day order count.
 
-    Implemented via a cast-to-epoch-seconds rangeBetween (Spark range
-    frames need a numeric/interval order key; epoch seconds keeps it
-    engine-portable). Unpartitioned window on purpose — documented cost:
-    this globally sorts; at 100 TB partition by a coarse time bucket
-    first or use a stream-style windowed aggregation.
+    Scale-safe partitioned form (an unpartitioned rangeBetween window
+    moves ALL data to one partition — Spark warns exactly that): rows
+    are bucketed by coarse time bucket (30-day epoch buckets, == the
+    lookback, so a trailing frame spans at most the previous bucket),
+    and each row within 30 days of its bucket's end is ALSO carried
+    into the next bucket as a count-only shadow row. The range frame
+    then runs partitioned by bucket — every row a target's frame needs
+    is present in the target's partition exactly once — and shadow rows
+    are dropped on output. One shuffle on (bucket), no global sort.
     """
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_totalprice")
+    lookback = 30 * 86400
+    bucket_len = lookback  # any length >= the lookback keeps span <= 2 buckets
     sec = F.unix_timestamp("o_orderdate")
-    w = Window.orderBy(sec.alias("sec")).rangeBetween(-30 * 86400, 0)
+    base = o.withColumn("sec", sec).withColumn("bucket", F.floor(F.col("sec") / bucket_len))
+    native = base.withColumn("_shadow", F.lit(0))
+    carried = (
+        base.filter(F.col("sec") >= (F.col("bucket") + 1) * bucket_len - lookback)
+        .withColumn("bucket", F.col("bucket") + 1)
+        .withColumn("_shadow", F.lit(1))
+    )
+    w = Window.partitionBy("bucket").orderBy("sec").rangeBetween(-lookback, 0)
     return (
-        o.select("o_orderkey", "o_orderdate", "o_totalprice", F.count(F.lit(1)).over(w).alias("n_last_30d"))
+        native.unionByName(carried)
+        .withColumn("n_last_30d", F.count(F.lit(1)).over(w))
+        .filter(F.col("_shadow") == 0)
+        .select("o_orderkey", "o_orderdate", "o_totalprice", "n_last_30d")
         .orderBy("o_orderdate", "o_orderkey")
     )

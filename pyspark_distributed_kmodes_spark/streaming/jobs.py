@@ -70,14 +70,24 @@ def dedup_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["user_id", "event_type"])
 
 
-def run_available_now(stream_df: DataFrame, query_name: str):
+def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str | None = None):
     """Drain everything currently available through the streaming engine
     into an in-memory sink and stop (the batch-verifiable execution
-    mode). Returns the owning SparkSession's view name."""
+    mode). Returns the owning SparkSession's view name.
+
+    Output mode is derived from the plan when not given: `complete` is
+    only legal for aggregated streams — a non-aggregated stream (e.g.
+    dropDuplicatesWithinWatermark output) must run in `append`, and
+    passing complete for it fails at start().
+    """
+    if output_mode is None:
+        plan = stream_df._jdf.queryExecution().analyzed().toString()
+        aggregated = "Aggregate" in plan
+        output_mode = "complete" if aggregated else "append"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete" if stream_df.isStreaming else "append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
