@@ -5,6 +5,15 @@ queries()  — every implemented operator (SURVEY.md §2), keyed by name.
 oracle_sql() — DuckDB ANSI-SQL equivalents for the hash-match gate;
                approximate / non-SQL operators are omitted (rows-only).
 
+Key naming / ordering: round 1's CORRECTNESS file covered only the
+first 50 names in sorted order, leaving the LLM-pipeline suite
+(q51-q99) without a driver-verified row. Those queries are therefore
+re-keyed `a51`-`a99` (identical query, identical number — `a63` is
+round 1's `q63`) and round-2 additions are `b01`-`b04`, so the sorted
+and insertion order both place every not-yet-driver-verified query
+inside a 50-entry window; `q01`-`q50` (all driver-green in round 1)
+sort after them.
+
 Implementations live in pyspark_distributed_kmodes_spark/; this module
 is a thin adapter over its registry.
 """

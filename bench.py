@@ -30,12 +30,12 @@ def main():
 
     timings = {}
     for name, q in bench_queries.items():
-        best = float("inf")
-        for _ in range(2):  # best-of-2: absorbs first-run plan compile + machine noise
+        runs = []
+        for _ in range(3):  # median-of-3: robust round-over-round comparison
             t0 = time.time()
             len(q.fn(spark, sf_dir).collect())
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(

@@ -30,11 +30,22 @@ def main():
         print(f"  {i}: {m}")
     print(f"mean_cost: {model.mean_cost:.4f}")
     method.predictions.show(5)
+    method.indexes.show(5)  # reference `.indexes`: bare cluster indices
     model.predict(orders).groupBy("prediction").count().orderBy("prediction").show()
 
     # Spark-first global Lloyd variant
     model2 = KModes(n_clusters=5, cols=("o_orderstatus", "o_orderpriority"), seed=42).fit(orders)
     print(f"global-Lloyd cost: {model2.cost:.1f} (converged={model2.converged} in {model2.n_iter} iters)")
+
+    # persistence round-trip (model state = k modes, a JSON document)
+    import tempfile
+
+    path = tempfile.mktemp(suffix=".json")
+    model2.save(path)
+    from pyspark_distributed_kmodes_spark.ml.kmodes import KModesModel
+
+    reloaded = KModesModel.load(path)
+    print(f"reloaded modes == fitted modes: {reloaded.modes == model2.modes}")
     spark.stop()
 
 

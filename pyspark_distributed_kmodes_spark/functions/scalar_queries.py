@@ -237,7 +237,7 @@ def q36_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q90_posexplode",
+    "a90_posexplode",
     oracle="""
 SELECT doc_id,
        CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INTEGER) AS pos,
@@ -259,7 +259,7 @@ def q90_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q91_approx_percentiles", oracle=None, tags=("agg", "approx"))
+@query("a91_approx_percentiles", oracle=None, tags=("agg", "approx"))
 def q91_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch percentiles: percentile_approx (one-pass mergeable) beside
     the exact values — the 100 TB path where exact per-group sorts are

@@ -72,7 +72,7 @@ def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     return pairs.join(sig_a, "doc_a").join(sig_b, "doc_b")
 
 
-@query("q63_minhash_neardup", oracle=None, tags=("text", "dedup", "approx"), bench=True)
+@query("a63_minhash_neardup", oracle=None, tags=("text", "dedup", "approx"), bench=True)
 def q63_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with estimated Jaccard ≥ 0.5.
 
@@ -127,7 +127,7 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-@query("q64_simhash_neardup", oracle=None, tags=("text", "dedup", "approx"))
+@query("a64_simhash_neardup", oracle=None, tags=("text", "dedup", "approx"))
 def q64_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicates: hamming distance ≤ 8 of 48 bits.
 
@@ -158,7 +158,7 @@ def q64_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q65_dedup_keep_best",
+    "a65_dedup_keep_best",
     oracle="""
 SELECT fingerprint, doc_id, lang, n_chars
 FROM (
@@ -190,7 +190,7 @@ def q65_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q66_minhash_mllib", oracle=None, tags=("text", "dedup", "approx"))
+@query("a66_minhash_mllib", oracle=None, tags=("text", "dedup", "approx"))
 def q66_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Library-based near-dedup: pyspark.ml MinHashLSH over HashingTF
     shingle vectors (approxSimilarityJoin) — the off-the-shelf
@@ -217,7 +217,8 @@ def q66_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q97_dup_clusters",
+    "a97_dup_clusters",
+    bench=True,
     oracle="""
 WITH RECURSIVE
 shingles AS (
@@ -282,7 +283,7 @@ def q97_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q98_dedup_canonical",
+    "a98_dedup_canonical",
     oracle="""
 WITH RECURSIVE
 shingles AS (
@@ -365,7 +366,7 @@ def q98_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q75_decontamination",
+    "a75_decontamination",
     oracle="""
 WITH shingles AS (
   SELECT DISTINCT doc_id, source, shingle
@@ -440,7 +441,7 @@ def q75_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q69_neardup_graph_stats",
+    "a69_neardup_graph_stats",
     oracle="""
 WITH RECURSIVE
 shingles AS (

@@ -185,7 +185,6 @@ def q05_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey, "left_semi")
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_active_customers"))
-        .withColumnRenamed("c_mktsegment", "c_mktsegment")
         .orderBy("c_mktsegment")
     )
 

@@ -49,7 +49,7 @@ def q50_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q51_lang_profile",
+    "a51_lang_profile",
     oracle=f"""
 SELECT lang, source,
        COUNT(*) AS n_docs,
@@ -78,7 +78,7 @@ def q51_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q52_quality_score",
+    "a52_quality_score",
     oracle=f"""
 SELECT doc_id,
        n_words,
@@ -126,7 +126,7 @@ def q52_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q53_token_count",
+    "a53_token_count",
     oracle="""
 SELECT lang,
        COUNT(*) AS n_docs,
@@ -156,7 +156,7 @@ def q53_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q54_doc_fingerprint",
+    "a54_doc_fingerprint",
     oracle="""
 SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
@@ -265,7 +265,7 @@ def ngram_jaccard_pairs(d: DataFrame, threshold: float = 0.2, max_df: int | None
     )
 
 
-@query("q55_ngram_jaccard", oracle=_Q55_ORACLE, tags=("text", "dedup"))
+@query("a55_ngram_jaccard", oracle=_Q55_ORACLE, tags=("text", "dedup"))
 def q55_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate detection via exact 3-gram Jaccard (see
     ngram_jaccard_pairs). max_df=100_000 leaves test-scale results
@@ -275,7 +275,7 @@ def q55_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q56_exact_dedup",
+    "a56_exact_dedup",
     oracle="""
 SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
        COUNT(*) AS n_copies,
@@ -305,7 +305,7 @@ def q56_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q57_tfidf_top_terms",
+    "a57_tfidf_top_terms",
     oracle="""
 WITH words AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
@@ -342,11 +342,14 @@ def q57_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     df_ = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()  # scalar; at scale keep as a crossJoin'd 1-row DF
-    tfidf = F.round(F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 6)
+    # corpus size as a 1-row DF cross-joined into the idf table: keeps
+    # the whole computation one lazy plan (no separate driver action)
+    n_docs_df = d.groupBy().agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    idf = F.broadcast(df_.crossJoin(F.broadcast(n_docs_df)))
+    tfidf = F.round(F.col("tf") * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0), 6)
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word").asc())
     return (
-        tf.join(F.broadcast(df_), "word")
+        tf.join(idf, "word")
         .select("doc_id", "word", tfidf.alias("tfidf"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
@@ -354,7 +357,7 @@ def q57_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q58_language_id", oracle=None, tags=("text", "ml"))
+@query("a58_language_id", oracle=None, tags=("text", "ml"))
 def q58_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language identification via character-trigram profiles, fully
     relational: train per-lang top-50 trigram weights on a deterministic
@@ -405,7 +408,7 @@ def q58_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q59_rolling_hash",
+    "a59_rolling_hash",
     oracle="""
 SELECT doc_id,
        list_reduce(
@@ -457,7 +460,7 @@ def q59_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q95_stratified_sample",
+    "a95_stratified_sample",
     oracle="""
 SELECT lang, COUNT(*) AS n_sampled,
        CAST(MIN(doc_id) AS BIGINT) AS min_id, CAST(MAX(doc_id) AS BIGINT) AS max_id
@@ -492,7 +495,7 @@ def q95_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q96_source_mixture",
+    "a96_source_mixture",
     oracle="""
 WITH quotas AS (
   SELECT * FROM (VALUES ('src0', 40), ('src1', 20), ('src2', 10)) AS q(source, quota)
@@ -532,7 +535,7 @@ def q96_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q94_normalized_dedup",
+    "a94_normalized_dedup",
     oracle="""
 WITH norm AS (
   SELECT doc_id,
@@ -577,7 +580,7 @@ def q94_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q99_repetition_ratio",
+    "a99_repetition_ratio",
     oracle="""
 WITH bg AS (
   SELECT doc_id,

@@ -38,8 +38,8 @@ PROBE_QUERIES = [
     "q21_lag_lead_running",
     "q32_session_window",
     "q50_word_count",
-    "q56_exact_dedup",
-    "q63_minhash_neardup",
+    "a56_exact_dedup",
+    "a63_minhash_neardup",
 ]
 
 
