@@ -1,0 +1,218 @@
+"""Training-data preparation operators: the steps between a cleaned
+corpus and a training run — context-window chunking, sequence packing,
+incremental (cross-snapshot) dedup, embedding centroids, and int8
+embedding quantization.
+
+All JVM built-ins (sequence/transform/aggregate/posexplode + windows);
+no Python in any hot path, so every operator whole-stage-codegens and
+shuffles only what the grouping key requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_distributed_kmodes_spark.registry import query
+from pyspark_distributed_kmodes_spark.sources.tables import table
+
+CHUNK_WORDS = 32  # context-window size in words
+CHUNK_STRIDE = 24  # stride (8-word overlap) — standard sliding chunking
+PACK_TARGET = 256  # words per packed training sequence
+
+
+@query(
+    "b05_context_chunks",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words, len(string_split(text, ' ')) AS n
+  FROM documents
+)
+SELECT doc_id,
+       CAST((s - 1) // {CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+       array_to_string(words[s:s + {CHUNK_WORDS - 1}], ' ') AS chunk_text,
+       CAST(len(words[s:s + {CHUNK_WORDS - 1}]) AS BIGINT) AS n_words
+FROM w, (SELECT unnest(range(1, (SELECT MAX(n) FROM w) + 1, {CHUNK_STRIDE})) AS s)
+WHERE s <= n
+ORDER BY doc_id, chunk_idx
+""",
+    tags=("training", "text"),
+)
+def b05_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding context-window chunking: each document becomes overlapping
+    {CHUNK_WORDS}-word chunks at stride {CHUNK_STRIDE} — the
+    tokenize-and-window step that turns documents into model inputs.
+
+    Shape: per-row array ops (sequence of start offsets → slice) +
+    posexplode; no shuffle at all until a downstream consumer groups.
+    The final orderBy exists only for the deterministic oracle hash.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n = F.size(words)
+    starts = F.sequence(F.lit(1), n, F.lit(CHUNK_STRIDE))
+    chunks = F.transform(starts, lambda s: F.slice(words, s, CHUNK_WORDS))
+    return (
+        d.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.array_join("chunk", " ").alias("chunk_text"),
+            F.size("chunk").cast("bigint").alias("n_words"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@query(
+    "b06_sequence_packing",
+    oracle=f"""
+SELECT doc_id, source,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(start_offset // {PACK_TARGET} AS BIGINT) AS pack_id
+FROM (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n_words,
+         SUM(len(string_split(text, ' '))) OVER (PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - len(string_split(text, ' ')) AS start_offset
+  FROM documents
+) t
+ORDER BY source, doc_id
+""",
+    tags=("training", "text"),
+)
+def b06_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate documents in deterministic order and
+    cut every {PACK_TARGET} words — each doc gets the pack id of its
+    start offset (concat-and-chunk packing, the standard pre-training
+    batch construction).
+
+    Scale: packing is PER SOURCE SHARD (window partitioned by source,
+    ordered by doc_id) — a single global cumulative sum would serialize
+    onto one partition; per-shard packing is what a real pipeline does
+    anyway (shards are the unit of data loading). Integer word counts →
+    exact cumsum, no float drift.
+    """
+    d = table(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " ")).cast("bigint")
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        d.select("doc_id", "source", n_words.alias("n_words"))
+        .withColumn("start_offset", F.sum("n_words").over(w) - F.col("n_words"))
+        .withColumn("pack_id", F.floor(F.col("start_offset") / PACK_TARGET).cast("bigint"))
+        .orderBy("source", "doc_id")
+    )
+
+
+@query(
+    "b07_incremental_dedup",
+    oracle="""
+WITH corpus AS (
+  SELECT md5(text) AS h FROM documents WHERE source <> 'src2'
+), batch AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE source = 'src2'
+)
+SELECT b.doc_id, b.h AS content_hash
+FROM batch b
+WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h)
+ORDER BY b.doc_id
+""",
+    tags=("training", "dedup"),
+)
+def b07_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-snapshot) dedup: which docs of an incoming
+    batch (source src2) are NOT already in the accepted corpus (other
+    sources) — the admission check a continuously-ingesting training
+    pipeline runs per batch, as opposed to q56's within-corpus dedup.
+
+    Shape: anti join on content hash — shuffles (hash, id) only. At
+    100 TB the corpus side is a bucketed hash table on disk, so the
+    anti join co-locates without a corpus-side shuffle.
+    """
+    d = table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("source") != "src2").select(F.md5("text").alias("content_hash"))
+    batch = d.filter(F.col("source") == "src2").select("doc_id", F.md5("text").alias("content_hash"))
+    return batch.join(corpus, "content_hash", "left_anti").select("doc_id", "content_hash").orderBy("doc_id")
+
+
+@query(
+    "b08_embedding_centroids",
+    oracle="""
+SELECT label,
+       CAST(t.pos AS INTEGER) AS pos,
+       round(CAST(SUM(CAST(CAST(t.val AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6) AS centroid
+FROM (
+  SELECT label,
+         unnest(list_transform(range(1, len(embedding) + 1),
+                i -> {'pos': i - 1, 'val': embedding[i]})) AS t
+  FROM embeddings
+) s
+GROUP BY label, t.pos
+ORDER BY label, pos
+""",
+    tags=("training", "vector"),
+)
+def b08_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, dimension-wise: posexplode the
+    vector → one (label, pos) aggregation. The distributed mean-vector
+    primitive behind IVF list training, class prototypes, and drift
+    monitoring.
+
+    Determinism: per-dimension sums run in DECIMAL(25,6) (exact) and
+    divide once — float accumulation order can't drift the hash.
+    Scale: ONE shuffle keyed (label, pos) — dims × labels cells, each
+    partially aggregated map-side.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("double").cast("decimal(25,6)")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("centroid")
+        )
+        .select("label", F.col("pos").cast("int").alias("pos"), "centroid")
+        .orderBy("label", "pos")
+    )
+
+
+@query(
+    "b09_int8_quantization",
+    oracle="""
+SELECT vec_id,
+       round(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 6) AS max_abs,
+       CAST(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+            x -> CAST(round(x * 127.0 / list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y)))) AS BIGINT)
+                 * CAST(round(x * 127.0 / list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y)))) AS BIGINT)))
+            AS BIGINT) AS q_sq_sum
+FROM embeddings
+ORDER BY vec_id
+""",
+    tags=("training", "vector"),
+)
+def b09_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization: per-vector scale =
+    127/max|x|, codes = round(x·scale) — storage compression every
+    vector store applies before ANN serving. Emits the scale basis and
+    the integer square-sum of the codes (the norm a quantized dot
+    product uses), all exact integers so the oracle hash can't drift.
+
+    Shape: pure per-row higher-order folds (transform/aggregate), no
+    shuffle, whole-stage codegen end to end.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    xs = F.transform("embedding", lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(xs, lambda x: F.abs(x)))
+    codes = F.transform(xs, lambda x: F.round(x * 127.0 / max_abs).cast("bigint"))
+    q_sq_sum = F.aggregate(codes, F.lit(0).cast("bigint"), lambda acc, c: acc + c * c)
+    return (
+        emb.select(
+            "vec_id",
+            F.round(max_abs, 6).alias("max_abs"),
+            q_sq_sum.alias("q_sq_sum"),
+        )
+        .orderBy("vec_id")
+    )
