@@ -119,6 +119,47 @@ def running_user_totals_stream(events: DataFrame):
     )
 
 
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Same running per-user totals on the transformWithStateInPandas
+    API (Spark 4 arbitrary-state v2): typed ValueState handles instead
+    of one opaque state tuple, per-processor init/close lifecycle, and
+    (unlike applyInPandasWithState) composable timers/TTL. Kept
+    alongside the v1 operator so both stateful APIs stay exercised.
+
+    Environment note: execution needs the RocksDB state store provider
+    AND google.protobuf (the v2 state server's wire format). This
+    container lacks protobuf, so tests build/plan-check the operator
+    and skip execution — same honest-stub policy as multimodal codecs.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n BIGINT, total DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType="user_id BIGINT, n_events BIGINT, total_value DOUBLE",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def sliding_counts_stream(events: DataFrame, watermark: str = "40 days") -> DataFrame:
     """Streaming sliding-window counts (1h window / 15m slide)."""
     return (
