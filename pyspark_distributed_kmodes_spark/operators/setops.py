@@ -63,6 +63,48 @@ def q27_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "b10_intersect_except_all",
+    oracle="""
+SELECT op, nationkey, COUNT(*) AS n
+FROM (
+  SELECT 'intersect_all' AS op, nationkey FROM (
+    SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT CAST(s_nationkey AS INTEGER) FROM supplier
+  )
+  UNION ALL
+  SELECT 'except_all' AS op, nationkey FROM (
+    SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT CAST(s_nationkey AS INTEGER) FROM supplier
+  )
+) t
+GROUP BY op, nationkey
+ORDER BY op, nationkey
+""",
+    tags=("setop",),
+)
+def b10_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL (bag semantics): per nation,
+    min(customer-count, supplier-count) copies survive intersectAll and
+    max(customer-count − supplier-count, 0) survive exceptAll; the
+    result aggregates multiplicities so the oracle hash is order-free.
+
+    Scale: Catalyst plans both as a single aggregate computing per-side
+    counts then replicating — one shuffle on the compare key, no join.
+    """
+    c, s = _cust_nations(spark, sf_dir), _supp_nations(spark, sf_dir)
+    ia = c.intersectAll(s).select(F.lit("intersect_all").alias("op"), "nationkey")
+    ea = c.exceptAll(s).select(F.lit("except_all").alias("op"), "nationkey")
+    return (
+        ia.unionByName(ea)
+        .groupBy("op", "nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("op", "nationkey")
+    )
+
+
+@query(
     "q28_union_all_tagged",
     oracle="""
 SELECT 'customer' AS side, CAST(c_nationkey AS INTEGER) AS nationkey, COUNT(*) AS n

@@ -216,3 +216,117 @@ def b09_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+NGRAM_SPAN = 8  # span length for duplicate-substring detection
+
+
+@query(
+    "b11_duplicate_spans",
+    oracle=f"""
+WITH grams AS (
+  SELECT doc_id, s AS start_pos,
+         array_to_string(string_split(text, ' ')[s:s + {NGRAM_SPAN - 1}], ' ') AS gram
+  FROM documents,
+       (SELECT unnest(range(1, (SELECT MAX(len(string_split(text, ' '))) FROM documents) + 1)) AS s)
+  WHERE s <= len(string_split(text, ' ')) - {NGRAM_SPAN - 1}
+), shared AS (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(COUNT(s.gram) AS BIGINT) AS n_dup_spans,
+       round(CAST(COUNT(s.gram) AS DOUBLE) / COUNT(*), 6) AS dup_frac
+FROM grams g LEFT JOIN shared s ON g.gram = s.gram
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+""",
+    tags=("training", "dedup"),
+)
+def b11_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-substring metric: fraction of each document's
+    {NGRAM_SPAN}-gram start positions whose span also appears in
+    ANOTHER document — the per-doc signal behind exact-substring dedup
+    ("train-on-it-once" policies) and memorization audits.
+
+    Shape: positional n-gram explode → document-frequency of each span
+    (map-side combined) → semi-join back. The shared-span table is tiny
+    relative to the corpus (only cross-doc repeats) so the back-join
+    broadcasts at scale. Docs shorter than {NGRAM_SPAN} words emit no
+    spans (guarded sequence) and drop out — same as the oracle.
+    """
+    from pyspark_distributed_kmodes_spark.sources.tables import spread
+
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    words = F.split("text", " ")
+    n = F.size(words)
+    starts = F.when(
+        n >= NGRAM_SPAN, F.sequence(F.lit(1), n - (NGRAM_SPAN - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = d.select(
+        "doc_id",
+        F.explode(F.transform(starts, lambda s: F.array_join(F.slice(words, s, NGRAM_SPAN), " "))).alias("gram"),
+    )
+    shared = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("gram", F.lit(1).alias("is_dup"))
+    )
+    return (
+        grams.join(F.broadcast(shared), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count("is_dup").alias("n_dup_spans"),
+            F.round(F.count("is_dup").cast("double") / F.count(F.lit(1)), 6).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "b12_unigram_logprob",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), freq AS (
+  SELECT word, COUNT(*) AS cnt FROM words GROUP BY word
+), total AS (
+  SELECT COUNT(*) AS n FROM words
+)
+SELECT w.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       round(CAST(SUM(CAST(round(ln(CAST(f.cnt AS DOUBLE) / t.n), 6) AS DECIMAL(25,6))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_logprob
+FROM words w JOIN freq f USING (word) CROSS JOIN total t
+GROUP BY w.doc_id
+ORDER BY w.doc_id
+""",
+    tags=("training", "quality"),
+)
+def b12_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: mean per-word log-probability of
+    each document under the corpus unigram distribution — the cheap
+    KenLM-style perplexity proxy used to quality-filter pre-training
+    data (low avg logprob = gibberish, high = boilerplate).
+
+    Shape: one explode, one word-frequency aggregate (broadcast back —
+    vocabulary ≪ corpus), corpus total as a 1-row cross join, one
+    per-doc aggregation. Determinism: each term rounds to 6 before an
+    exact DECIMAL sum, one division at the end.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = words.groupBy().agg(F.count(F.lit(1)).cast("double").alias("n"))
+    lp = F.round(F.log(F.col("cnt").cast("double") / F.col("n")), 6)
+    return (
+        words.join(F.broadcast(freq.crossJoin(F.broadcast(total))), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(F.sum(lp.cast("decimal(25,6)")).cast("double") / F.count(F.lit(1)), 6).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
