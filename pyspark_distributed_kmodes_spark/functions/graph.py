@@ -37,10 +37,13 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst", m
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # fused round 0: label(v) = min(v, min neighbor) straight from the
+    # edge aggregation — one shuffle replaces a full propagate round
+    # (identity-label round 1 would also make pointer doubling a no-op)
     labels = (
-        sym.select(F.col("a").alias("v"))
-        .distinct()
-        .withColumn("label", F.col("v"))
+        sym.groupBy("a")
+        .agg(F.least(F.col("a"), F.min("b")).alias("label"))
+        .select(F.col("a").alias("v"), "label")
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):

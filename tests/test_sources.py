@@ -47,3 +47,39 @@ def test_partitioned_parquet_sink(spark, sf_dir):
         assert langs == {r.lang for r in docs.select("lang").distinct().collect()}
         back = spark.read.parquet(path)
         assert back.count() == docs.count()
+
+
+def test_jsonl_python_datasource(spark, tmp_path):
+    """Custom Python Data Source: file-per-partition JSONL reads with
+    schema-driven projection."""
+    import json
+
+    from pyspark_distributed_kmodes_spark.sources import jsonl
+
+    for shard in range(3):
+        with open(tmp_path / f"shard-{shard}.jsonl", "w") as f:
+            for i in range(10):
+                doc = {"doc_id": shard * 10 + i, "text": f"doc {shard} {i}", "lang": "en", "extra": "ignored"}
+                f.write(json.dumps(doc) + "\n")
+
+    jsonl.register(spark)
+    df = (
+        spark.read.format("jsonl_docs")
+        .schema("doc_id long, text string, lang string")
+        .option("path", str(tmp_path / "shard-*.jsonl"))
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3  # one partition per shard file
+    rows = df.orderBy("doc_id").collect()
+    assert len(rows) == 30
+    assert rows[0].doc_id == 0 and rows[0].text == "doc 0 0" and rows[0].lang == "en"
+    assert rows[29].doc_id == 29
+    # missing fields in the narrowed schema surface as NULL, extras drop
+    df2 = (
+        spark.read.format("jsonl_docs")
+        .schema("doc_id long, source string")
+        .option("path", str(tmp_path / "shard-*.jsonl"))
+        .load()
+    )
+    r = df2.orderBy("doc_id").first()
+    assert r.doc_id == 0 and r.source is None
