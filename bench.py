@@ -28,6 +28,8 @@ def main():
     next(iter(bench_queries.values())).fn(spark, sf_dir).collect()
     spark.createDataFrame([(1,)], ["x"]).mapInPandas(lambda it: it, "x long").collect()
 
+    import gc
+
     timings = {}
     for name, q in bench_queries.items():
         runs = []
@@ -36,6 +38,9 @@ def main():
             len(q.fn(spark, sf_dir).collect())
             runs.append(time.time() - t0)
         timings[name] = round(sorted(runs)[1], 3)
+        # release dropped localCheckpoint RDDs between queries so one
+        # query's lineage cuts don't occupy memory during the next
+        gc.collect()
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(

@@ -3,12 +3,12 @@
 Two execution paths, as a 100 TB engine needs both:
 
 - **Exact brute-force top-k** (q60): Arrow-batched pandas UDF doing a
-  blocked matrix multiply against a broadcast reference matrix. This is
-  the correctness baseline and the right answer whenever the reference
-  set fits in executor memory (classic "score corpus against N query
-  vectors"). The corpus side streams through `mapInPandas` — never
-  collected — so it scales with executor count; only the reference
-  matrix is driver-collected/broadcast.
+  blocked matrix multiply against the reference side streamed through
+  ≤100k-row broadcast blocks (`_collect_ref_blocks`) — the driver
+  never materializes more than one block, the query side streams
+  through `mapInPandas`, and per-block partial top-ks merge in one
+  window. Exact all-pairs compute is inherently quadratic; this path
+  is the correctness baseline and the bounded-memory exact scheme.
 - **LSH-bucketed ANN** (q61): random-hyperplane signatures computed with
   JVM built-ins, candidates meet only within a bucket (sub-quadratic),
   exact re-rank inside the bucket. Rows-only oracle (approximate);
