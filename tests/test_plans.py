@@ -71,3 +71,46 @@ def test_partition_pruning_on_partitioned_sink(spark, sf_dir, tmp_path_factory):
     assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
     n_en = docs.filter(F.col("lang") == "en").count()
     assert df.count() == n_en
+
+
+def test_b02_right_join_broadcasts(spark, sf_dir):
+    """Right outer join with a small preserved side must broadcast."""
+    from pyspark_distributed_kmodes_spark.operators.udfs import b02_right_join
+
+    assert has_broadcast_join(b02_right_join(spark, sf_dir))
+
+
+def test_b07_incremental_dedup_no_cartesian(spark, sf_dir):
+    from pyspark_distributed_kmodes_spark.operators.training import b07_incremental_dedup
+
+    plan = formatted_plan(b07_incremental_dedup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_b11_shared_spans_broadcast_back(spark, sf_dir):
+    """The tiny shared-span table must broadcast into the back-join."""
+    from pyspark_distributed_kmodes_spark.operators.training import b11_duplicate_spans
+
+    assert has_broadcast_join(b11_duplicate_spans(spark, sf_dir))
+
+
+def test_b05_chunking_no_shuffle_before_sort(spark, sf_dir):
+    """Chunk generation itself is shuffle-free; the only exchange comes
+    from the oracle-determinism orderBy."""
+    from pyspark_distributed_kmodes_spark.operators.training import b05_context_chunks
+
+    plan = formatted_plan(b05_context_chunks(spark, sf_dir))
+    import re
+
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exchanges <= 1, f"chunking should add no exchange beyond the final sort: {n_exchanges}"
+
+
+def test_q55_stop_shingle_filter_in_plan(spark, sf_dir):
+    """The max_df hot-shingle filter must appear as a broadcast anti
+    join feeding the pair self-join."""
+    from pyspark_distributed_kmodes_spark.operators.text import q55_ngram_jaccard
+
+    plan = formatted_plan(q55_ngram_jaccard(spark, sf_dir))
+    assert "LeftAnti" in plan
