@@ -52,10 +52,21 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 
-    import __spark_entry__ as entrymod
-    from pyspark_distributed_kmodes_spark.session import get_spark
+    import os
 
-    spark = get_spark("check-correctness")
+    import __spark_entry__ as entrymod
+
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # driver-fidelity mode: a bare session exactly like the harness
+        # builds — any conf the engine needs must come from
+        # sources.tables/session.configure() hooks, not from here
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[32]").appName("check-vanilla").getOrCreate()
+    else:
+        from pyspark_distributed_kmodes_spark.session import get_spark
+
+        spark = get_spark("check-correctness")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 

@@ -40,6 +40,10 @@ PROBE_QUERIES = [
     "q50_word_count",
     "a56_exact_dedup",
     "a63_minhash_neardup",
+    "a97_dup_clusters",
+    "b05_context_chunks",
+    "b11_duplicate_spans",
+    "b12_unigram_logprob",
 ]
 
 
@@ -68,7 +72,10 @@ def time_queries(spark, reg, sf_dir: str) -> dict:
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
-            reg[name].fn(spark, sf_dir).collect()
+            # noop sink: full distributed execution without driver
+            # collect, so wide results (b05's chunk text) measure
+            # compute scaling, not result-transfer bandwidth
+            reg[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.time() - t0)
         out[name] = round(best, 2)
     return out
