@@ -76,3 +76,98 @@ def test_minhash_identity_property(sparkm, text):
     df = sparkm.createDataFrame([(0, text), (1, text)], ["doc_id", "text"])
     sigs = {r.doc_id: tuple(r.sig) for r in minhash_signatures(df).collect()}
     assert sigs[0] == sigs[1]
+
+
+WORDS = st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]), min_size=1, max_size=80)
+DOCS = st.lists(WORDS, min_size=1, max_size=10)
+
+
+@given(docs=DOCS)
+@SLOW
+def test_context_chunks_cover_and_reconstruct(sparkm, docs):
+    """For arbitrary documents: chunk_idx is dense from 0, stride-aligned
+    chunks reconstruct the document exactly, and every chunk except the
+    last per doc has the full window size."""
+    from pyspark_distributed_kmodes_spark.operators.training import (
+        CHUNK_STRIDE,
+        CHUNK_WORDS,
+        b05_context_chunks,
+    )
+    from pyspark_distributed_kmodes_spark.operators import training as tr
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = sparkm.createDataFrame(rows, ["doc_id", "text"])
+    # reuse the operator body via a monkeypatched table()
+    orig = tr.table
+    tr.table = lambda spark, sf_dir, name: df
+    try:
+        out = b05_context_chunks(sparkm, "ignored").collect()
+    finally:
+        tr.table = orig
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, ws in enumerate(docs):
+        chunks = sorted(by_doc[doc_id], key=lambda r: r.chunk_idx)
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        # stride-aligned reconstruction: first stride words of each chunk
+        # + full tail of the last chunk == original document
+        rebuilt = []
+        for c in chunks[:-1]:
+            rebuilt.extend(c.chunk_text.split(" ")[:CHUNK_STRIDE])
+        rebuilt.extend(chunks[-1].chunk_text.split(" "))
+        assert rebuilt == ws
+        for c in chunks[:-1]:
+            if (c.chunk_idx * CHUNK_STRIDE + CHUNK_WORDS) <= len(ws):
+                assert c.n_words == CHUNK_WORDS
+
+
+@given(docs=DOCS)
+@SLOW
+def test_sequence_packing_offsets_consistent(sparkm, docs):
+    """Start offsets are the exclusive prefix sum of document lengths
+    within each shard and pack ids are non-decreasing."""
+    from pyspark_distributed_kmodes_spark.operators import training as tr
+
+    rows = [(i, "src%d" % (i % 2), " ".join(ws)) for i, ws in enumerate(docs)]
+    df = sparkm.createDataFrame(rows, ["doc_id", "source", "text"])
+    orig = tr.table
+    tr.table = lambda spark, sf_dir, name: df
+    try:
+        out = tr.b06_sequence_packing(sparkm, "ignored").collect()
+    finally:
+        tr.table = orig
+    for src in {r.source for r in out}:
+        shard = sorted((r for r in out if r.source == src), key=lambda r: r.doc_id)
+        offset = 0
+        prev_pack = -1
+        for r in shard:
+            assert r.start_offset == offset
+            offset += r.n_words
+            assert r.pack_id >= prev_pack
+            prev_pack = r.pack_id
+
+
+def test_stop_shingle_max_df_zero_drops_everything(spark):
+    """max_df=0 removes every shingle → no pairs at all."""
+    from pyspark_distributed_kmodes_spark.operators.text import ngram_jaccard_pairs
+
+    d = spark.createDataFrame([(1, "x y z w"), (2, "x y z w")], ["doc_id", "text"])
+    assert ngram_jaccard_pairs(d, threshold=0.0, max_df=0).count() == 0
+
+
+def test_int8_quantization_error_bound(spark, sf_dir):
+    """Dequantized codes must be within half a quantization step of the
+    original values: |x - q*max_abs/127| <= max_abs/254 + eps."""
+    from pyspark.sql import functions as F
+
+    from pyspark_distributed_kmodes_spark.sources.tables import table
+
+    emb = table(spark, sf_dir, "embeddings").limit(50)
+    xs = F.transform("embedding", lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(xs, lambda x: F.abs(x)))
+    codes = F.transform(xs, lambda x: F.round(x * 127.0 / max_abs))
+    dequant = F.zip_with(xs, codes, lambda x, q: F.abs(x - q * max_abs / 127.0))
+    worst = emb.select(F.array_max(dequant).alias("err"), max_abs.alias("m")).collect()
+    for r in worst:
+        assert r.err <= r.m / 254.0 + 1e-9
