@@ -216,6 +216,62 @@ def q66_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def near_dup_components(docs: DataFrame, threshold: float = 0.2, max_df: int = 100_000) -> DataFrame:
+    """(doc_id, component) for every document with at least one exact or
+    near (trigram-Jaccard ≥ threshold) duplicate; component = min doc_id
+    of the duplicate cluster.
+
+    Scale-critical cascade: byte-identical texts are collapsed to ONE
+    representative (min doc_id per content hash) BEFORE shingling, so
+    the quadratic in-bucket pair join and the CC iteration run on
+    distinct texts only. Without this, a corpus where one document has
+    N copies generates N² Jaccard pairs — the 10× scale probe measured
+    26× growth on the naive form. Exact copies rejoin afterward via
+    their content hash: a group of identical docs is a clique (pairwise
+    Jaccard 1.0), so the expansion assigns every member its
+    representative's component — provably the same labels as the
+    uncollapsed computation, since every member id ≥ its rep id and the
+    cluster minimum is therefore a rep id.
+
+    Membership parity: an exact-dup group whose text has <3 words emits
+    no shingles, hence no pairs in the uncollapsed form — such groups
+    are excluded here too (n_words >= 3 gate on the rep).
+    """
+    from pyspark_distributed_kmodes_spark.functions.graph import connected_components
+    from pyspark_distributed_kmodes_spark.operators.text import ngram_jaccard_pairs
+
+    groups = docs.select(
+        "doc_id", "text", F.md5("text").alias("_h"), F.size(F.split("text", " ")).alias("_nw")
+    )
+    reps = groups.groupBy("_h").agg(
+        F.min("doc_id").alias("_rep"),
+        F.count(F.lit(1)).alias("_n_members"),
+        F.min("_nw").alias("_nw"),  # identical text → identical n_words
+    )
+    rep_docs = groups.join(
+        reps.select(F.col("_rep").alias("doc_id")), "doc_id", "left_semi"
+    ).select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(rep_docs, threshold=threshold, max_df=max_df).select("doc_a", "doc_b")
+    cc = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("vertex").alias("_rep"), "component"
+    )
+    # expand: cc component where the rep has a cross-text edge; else the
+    # rep id itself for isolated exact-dup cliques of shingled texts
+    rep_comp = (
+        reps.join(cc, "_rep", "left")
+        .withColumn(
+            "component",
+            F.coalesce(
+                "component",
+                F.when((F.col("_n_members") >= 2) & (F.col("_nw") >= 3), F.col("_rep")),
+            ),
+        )
+        .filter(F.col("component").isNotNull())
+        .select("_h", "component")
+    )
+    return groups.join(F.broadcast(rep_comp), "_h").select("doc_id", "component")
+
+
 @query(
     "a97_dup_clusters",
     bench=True,
@@ -263,21 +319,16 @@ def q97_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     every dedup pipeline needs after pair detection — pairs are not
     groups (A~B, B~C ⇒ {A,B,C} must keep ONE representative).
 
-    Spark side: iterative min-label propagation
-    (functions/graph.py::connected_components — two shuffles per round,
-    rounds ≈ component diameter); oracle: DuckDB recursive CTE
-    transitive closure. Both deterministic (min vertex id = label).
+    Spark side: exact-dup collapse → rep-level Jaccard pairs → iterative
+    min-label propagation (see near_dup_components); oracle: DuckDB
+    recursive CTE transitive closure. Both deterministic (min vertex id
+    = label).
     """
     from pyspark.sql import Window as W
 
-    from pyspark_distributed_kmodes_spark.functions.graph import connected_components
-    from pyspark_distributed_kmodes_spark.operators.text import q55_ngram_jaccard
-
-    pairs = q55_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    cc = connected_components(pairs, "doc_a", "doc_b")
+    cc = near_dup_components(table(spark, sf_dir, "documents"))
     return (
-        cc.select(F.col("vertex").alias("doc_id"), "component")
-        .withColumn("component_size", F.count(F.lit(1)).over(W.partitionBy("component")).cast("bigint"))
+        cc.withColumn("component_size", F.count(F.lit(1)).over(W.partitionBy("component")).cast("bigint"))
         .orderBy("doc_id")
     )
 
@@ -343,14 +394,8 @@ def q98_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    from pyspark_distributed_kmodes_spark.functions.graph import connected_components
-    from pyspark_distributed_kmodes_spark.operators.text import q55_ngram_jaccard
-
     docs = table(spark, sf_dir, "documents")
-    pairs = q55_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    cc = connected_components(pairs, "doc_a", "doc_b").select(
-        F.col("vertex").alias("doc_id"), "component"
-    )
+    cc = near_dup_components(docs)
     labeled = (
         docs.select("doc_id", "n_chars")
         .join(F.broadcast(cc), "doc_id", "left")
@@ -494,11 +539,7 @@ def q69_neardup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reuses the q97 component labeling; everything after is two tiny
     aggregations.
     """
-    from pyspark_distributed_kmodes_spark.functions.graph import connected_components
-    from pyspark_distributed_kmodes_spark.operators.text import q55_ngram_jaccard
-
-    pairs = q55_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    cc = connected_components(pairs, "doc_a", "doc_b")
+    cc = near_dup_components(table(spark, sf_dir, "documents"))
     comp_sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("component_size"))
     return (
         comp_sizes.groupBy(F.col("component_size").cast("int").alias("component_size"))

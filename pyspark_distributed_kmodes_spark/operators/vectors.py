@@ -170,7 +170,8 @@ def q60_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("vector", "approx"),
 )
 def q61_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via random-hyperplane LSH: L=4 tables × 12 bits.
+    """ANN via random-hyperplane LSH: L=8 tables × 5 bits (see tuning
+    note below).
 
     Signatures come from one Arrow-batched pandas UDF (a 64×48 GEMM per
     batch — trying to express 4×12×64 hyperplane dot products as literal
