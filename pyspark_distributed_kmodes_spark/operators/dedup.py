@@ -460,20 +460,34 @@ def q75_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     both aggregates reuse the train_doc partitioning. For a real
     benchmark (tiny vs 100 TB corpus) the eval shingle set broadcasts
     instead, making the sweep a map-only scan over the corpus.
+
+    Exact-dup collapse on BOTH sides (same cascade as
+    near_dup_components): identical texts share shingle sets, so the
+    shingle join runs on distinct (text, side) representatives and
+    per-rep results rejoin train copies by content hash. Labels are
+    unchanged — the top_eval_doc tie-break (min eval doc_id) is itself
+    a representative id.
     """
     from pyspark.sql import Window as W
 
     docs = table(spark, sf_dir, "documents")
-    sh = shingle_df(docs).join(docs.select("doc_id", "source"), "doc_id")
-    tr = sh.filter(F.col("source") != "src2").select(F.col("doc_id").alias("train_doc"), "shingle")
-    ev = sh.filter(F.col("source") == "src2").select(F.col("doc_id").alias("eval_doc"), "shingle")
+    hashed = docs.select("doc_id", "text", "source", F.md5("text").alias("_h"))
+    train_all = hashed.filter(F.col("source") != "src2")
+    eval_all = hashed.filter(F.col("source") == "src2")
+
+    def _reps(side: DataFrame) -> DataFrame:
+        rep = side.groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
+        return side.join(rep, ["_h", "doc_id"], "left_semi").select("doc_id", "text")
+
+    tr = shingle_df(_reps(train_all)).select(F.col("doc_id").alias("train_doc"), "shingle")
+    ev = shingle_df(_reps(eval_all)).select(F.col("doc_id").alias("eval_doc"), "shingle")
     hits = tr.join(ev, "shingle")
     per_train = hits.groupBy("train_doc").agg(F.count_distinct("shingle").alias("n_shared"))
     pairw = hits.groupBy("train_doc", "eval_doc").agg(F.count_distinct("shingle").alias("c"))
     top = pairw.withColumn(
         "rn", F.row_number().over(W.partitionBy("train_doc").orderBy(F.desc("c"), F.asc("eval_doc")))
     ).filter(F.col("rn") == 1)
-    return (
+    per_rep = (
         per_train.filter(F.col("n_shared") >= 3)
         .join(top.select("train_doc", "eval_doc"), "train_doc")
         .select(
@@ -481,6 +495,15 @@ def q75_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_shared").cast("bigint").alias("n_shared_shingles"),
             F.col("eval_doc").alias("top_eval_doc"),
         )
+    )
+    # expand rep-level results to every exact train copy via content hash
+    expanded = per_rep.join(train_all.select("doc_id", "_h"), "doc_id").select(
+        "_h", "n_shared_shingles", "top_eval_doc"
+    )
+    return (
+        train_all.select("doc_id", "_h")
+        .join(F.broadcast(expanded), "_h")
+        .select("doc_id", "n_shared_shingles", "top_eval_doc")
         .orderBy("doc_id")
     )
 
