@@ -77,26 +77,64 @@ def q63_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with estimated Jaccard ≥ 0.5.
 
     est_jaccard = fraction of agreeing signature positions (the unbiased
-    MinHash estimator). Full pipeline: shingle → 32 minhashes (1
-    shuffle) → 8-band LSH bucketing (1 shuffle) → in-bucket candidate
-    pairs → signature-agreement scoring. Deterministic end to end.
+    MinHash estimator). Full pipeline: exact-dup collapse → shingle →
+    32 minhashes (1 shuffle) → 8-band LSH bucketing (1 shuffle) →
+    in-bucket candidate pairs → signature-agreement scoring → expansion
+    to exact copies. Deterministic end to end.
+
+    The collapse/expand is output-identical to running on all docs —
+    signatures are a pure function of text, so copies of one text have
+    est 1.0 with each other and their rep's estimate with everyone else
+    — but the bucket self-join never sees an N-copy group as N bucket
+    entries (the N² hazard the 10× scale probe exposed on the exact
+    pipeline). The expansion joins materialize only output rows.
     """
     docs = table(spark, sf_dir, "documents")
+    groups = docs.select("doc_id", "text", F.md5("text").alias("_h"))
+    reps = groups.groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
+    rep_docs = groups.join(reps, ["_h", "doc_id"], "left_semi").select("_h", "doc_id", "text")
+
     # signatures feed three consumers (two band sides + per-pair rejoin):
-    # materialize once — they are small (n_docs × 32 longs) — instead of
+    # materialize once — they are small (n_reps × 32 longs) — instead of
     # recomputing the shingle+hash pipeline per consumer
-    sigs = minhash_signatures(docs).localCheckpoint(eager=True)
+    sigs = minhash_signatures(rep_docs.select("doc_id", "text")).localCheckpoint(eager=True)
     cands = lsh_candidate_pairs(sigs)
     agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
-    return (
+    rep_pairs = (
         cands.select(
             "doc_a",
             "doc_b",
             F.round(agree.cast("double") / N_HASHES, 6).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= 0.5)
-        .orderBy("doc_a", "doc_b")
     )
+
+    members = groups.select("_h", "doc_id")
+    rep_h = rep_docs.select(F.col("doc_id").alias("rep"), "_h")
+    # cross-group expansion: every (copy of A) × (copy of B) pair
+    cross = (
+        rep_pairs.join(rep_h.select(F.col("rep").alias("doc_a"), F.col("_h").alias("_ha")), "doc_a")
+        .join(rep_h.select(F.col("rep").alias("doc_b"), F.col("_h").alias("_hb")), "doc_b")
+        .join(members.select(F.col("_h").alias("_ha"), F.col("doc_id").alias("da")), "_ha")
+        .join(members.select(F.col("_h").alias("_hb"), F.col("doc_id").alias("db")), "_hb")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "est_jaccard",
+        )
+    )
+    # within-group expansion: copies of one text are pairwise est 1.0
+    within = (
+        members.alias("x")
+        .join(members.alias("y"), "_h")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("est_jaccard"),
+        )
+    )
+    return cross.unionByName(within).orderBy("doc_a", "doc_b")
 
 
 def simhash_col(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
