@@ -72,6 +72,38 @@ def lsh_candidate_pairs(sigs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     return pairs.join(sig_a, "doc_a").join(sig_b, "doc_b")
 
 
+def _expand_copy_pairs(groups: DataFrame, rep_h: DataFrame, rep_pairs: DataFrame, within_row) -> DataFrame:
+    """Expand representative-level pairs back to every exact copy.
+
+    `groups` = (_h, doc_id) for all docs; `rep_h` = (rep, _h);
+    `rep_pairs` = (doc_a, doc_b, value) between reps; `within_row` =
+    the value column literal copies of ONE text pair at (sim/est of a
+    text with itself). Output-identical to running the pair pipeline on
+    all docs when the pairing metric is a pure function of text; the
+    expansion joins materialize only output rows.
+    """
+    value_cols = [c for c in rep_pairs.columns if c not in ("doc_a", "doc_b")]
+    members = groups.select("_h", "doc_id")
+    cross = (
+        rep_pairs.join(rep_h.select(F.col("rep").alias("doc_a"), F.col("_h").alias("_ha")), "doc_a")
+        .join(rep_h.select(F.col("rep").alias("doc_b"), F.col("_h").alias("_hb")), "doc_b")
+        .join(members.select(F.col("_h").alias("_ha"), F.col("doc_id").alias("da")), "_ha")
+        .join(members.select(F.col("_h").alias("_hb"), F.col("doc_id").alias("db")), "_hb")
+        .select(F.least("da", "db").alias("doc_a"), F.greatest("da", "db").alias("doc_b"), *value_cols)
+    )
+    within = (
+        members.alias("x")
+        .join(members.alias("y"), "_h")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            *[within_row[c].alias(c) for c in value_cols],
+        )
+    )
+    return cross.unionByName(within)
+
+
 @query("a63_minhash_neardup", oracle=None, tags=("text", "dedup", "approx"), bench=True)
 def q63_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with estimated Jaccard ≥ 0.5.
@@ -109,32 +141,10 @@ def q63_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("est_jaccard") >= 0.5)
     )
 
-    members = groups.select("_h", "doc_id")
     rep_h = rep_docs.select(F.col("doc_id").alias("rep"), "_h")
-    # cross-group expansion: every (copy of A) × (copy of B) pair
-    cross = (
-        rep_pairs.join(rep_h.select(F.col("rep").alias("doc_a"), F.col("_h").alias("_ha")), "doc_a")
-        .join(rep_h.select(F.col("rep").alias("doc_b"), F.col("_h").alias("_hb")), "doc_b")
-        .join(members.select(F.col("_h").alias("_ha"), F.col("doc_id").alias("da")), "_ha")
-        .join(members.select(F.col("_h").alias("_hb"), F.col("doc_id").alias("db")), "_hb")
-        .select(
-            F.least("da", "db").alias("doc_a"),
-            F.greatest("da", "db").alias("doc_b"),
-            "est_jaccard",
-        )
-    )
-    # within-group expansion: copies of one text are pairwise est 1.0
-    within = (
-        members.alias("x")
-        .join(members.alias("y"), "_h")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.lit(1.0).alias("est_jaccard"),
-        )
-    )
-    return cross.unionByName(within).orderBy("doc_a", "doc_b")
+    return _expand_copy_pairs(
+        groups, rep_h, rep_pairs, {"est_jaccard": F.lit(1.0)}
+    ).orderBy("doc_a", "doc_b")
 
 
 def simhash_col(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
@@ -171,10 +181,16 @@ def q64_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Candidate generation: 4 bands of 12 bits — any pair within hamming
     8 shares at least one exact band with good probability; banding
-    keeps the join sub-quadratic exactly like MinHash-LSH.
+    keeps the join sub-quadratic exactly like MinHash-LSH. Same
+    exact-dup collapse/expand as a63 (simhash is a pure function of
+    text; copies pair at hamming 0).
     """
     docs = table(spark, sf_dir, "documents")
-    sims = simhash_col(docs)
+    groups = docs.select("doc_id", "text", F.md5("text").alias("_h"))
+    reps = groups.groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
+    rep_docs = groups.join(reps, ["_h", "doc_id"], "left_semi").select("_h", "doc_id", "text")
+
+    sims = simhash_col(rep_docs.select("doc_id", "text"))
     band_width = SIMHASH_BITS // 4
     bands = F.array(
         *[
@@ -185,14 +201,17 @@ def q64_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = sims.select("doc_id", "simhash", F.explode(bands).alias("bucket"))
     a = bucketed.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "bucket")
     b = bucketed.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "bucket")
-    return (
+    rep_pairs = (
         a.join(b, ["bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", hamming64(F.col("sim_a"), F.col("sim_b")).cast("int").alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= 8)
-        .orderBy("doc_a", "doc_b")
     )
+    rep_h = rep_docs.select(F.col("doc_id").alias("rep"), "_h")
+    return _expand_copy_pairs(
+        groups, rep_h, rep_pairs, {"hamming": F.lit(0).cast("int")}
+    ).orderBy("doc_a", "doc_b")
 
 
 @query(
