@@ -1,0 +1,106 @@
+"""Composable training-data pipeline stages — the library API behind
+the registry queries, for users assembling their own cleaning cascade:
+
+    from pyspark_distributed_kmodes_spark import pipeline as P
+
+    docs = spark.read.parquet(".../documents.parquet")
+    clean = P.pack_sequences(
+        P.decontaminate(
+            P.near_dedup(P.exact_dedup(P.quality_filter(docs))),
+            eval_docs,
+        )
+    )
+
+Every stage takes and returns a DataFrame with at least (doc_id, text)
+— stages compose in any order and stay lazy (one job at the end, with
+the documented exceptions below). The registry queries (a52, a56, a63,
+a97, a98, a75, b06) are the oracle-gated forms of the same logic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def quality_filter(
+    docs: DataFrame,
+    min_words: int = 20,
+    min_unique_ratio: float = 0.3,
+    max_top_bigram_frac: float | None = None,
+) -> DataFrame:
+    """Length + lexical-diversity gate (a52), optionally with the
+    Gopher-style repetition cap (a99). Pure filters — no shuffle."""
+    words = F.split("text", " ")
+    keep = (F.size(words) >= min_words) & (
+        F.size(F.array_distinct(words)).cast("double") / F.size(words) > min_unique_ratio
+    )
+    out = docs.filter(keep)
+    if max_top_bigram_frac is not None:
+        bigrams = F.when(
+            F.size(words) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - 1),
+                lambda i: F.array_join(F.slice(words, i, 2), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        # per-row top-bigram fraction via higher-order folds (no explode)
+        top = F.array_max(
+            F.transform(
+                F.array_distinct(bigrams),
+                lambda b: F.size(F.filter(bigrams, lambda x: x == b)),
+            )
+        )
+        frac = top.cast("double") / F.size(bigrams)
+        out = out.filter((F.size(bigrams) == 0) | (frac <= max_top_bigram_frac))
+    return out
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Keep the lowest doc_id per byte-identical text (q56). One shuffle
+    on the content hash."""
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return docs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def near_dedup(docs: DataFrame, threshold: float = 0.2, max_df: int = 100_000) -> DataFrame:
+    """Drop every non-canonical member of each near-duplicate cluster
+    (trigram Jaccard ≥ threshold, connected components — a97/a98 with
+    the exact-dup collapse cascade). Keeps the minimum doc_id per
+    cluster. NOTE: runs the iterative CC loop — executes jobs eagerly.
+    """
+    from pyspark_distributed_kmodes_spark.operators.dedup import near_dup_components
+
+    cc = near_dup_components(docs, threshold=threshold, max_df=max_df)
+    losers = cc.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    return docs.join(losers, "doc_id", "left_anti")
+
+
+def decontaminate(train: DataFrame, eval_docs: DataFrame, min_shared_shingles: int = 1) -> DataFrame:
+    """Remove training docs sharing ≥ min_shared_shingles distinct word
+    trigrams with the eval set (a75). Eval shingles broadcast — for a
+    real benchmark the sweep is a map-side scan of the corpus."""
+    from pyspark_distributed_kmodes_spark.operators.dedup import shingle_df
+
+    tr_sh = shingle_df(train)
+    ev_sh = shingle_df(eval_docs).select("shingle").distinct()
+    hits = (
+        tr_sh.join(F.broadcast(ev_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_shared_shingles)
+        .select("doc_id")
+    )
+    return train.join(hits, "doc_id", "left_anti")
+
+
+def pack_sequences(docs: DataFrame, target_words: int = 256, shard_col: str = "source") -> DataFrame:
+    """Assign each doc a pack_id by concat-and-chunk packing within its
+    shard (b06). Adds n_words, start_offset, pack_id columns."""
+    n_words = F.size(F.split("text", " ")).cast("bigint")
+    w = Window.partitionBy(shard_col).orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        docs.withColumn("n_words", n_words)
+        .withColumn("start_offset", F.sum("n_words").over(w) - F.col("n_words"))
+        .withColumn("pack_id", F.floor(F.col("start_offset") / target_words).cast("bigint"))
+    )

@@ -196,3 +196,47 @@ def test_q23_window_is_partitioned(spark, sf_dir):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "bucket" in line  # partition key present in every spec
+
+
+# ------------------------------------------------------------ pipeline
+
+
+def test_pipeline_stages_compose(spark, sf_dir):
+    """The composable pipeline API: each stage shrinks (or keeps) the
+    corpus, ids remain unique, and packing covers every surviving doc."""
+    from pyspark.sql import functions as F
+
+    from pyspark_distributed_kmodes_spark import pipeline as P
+    from pyspark_distributed_kmodes_spark.sources.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    n0 = docs.count()
+    q = P.quality_filter(docs)
+    n1 = q.count()
+    assert 0 < n1 <= n0
+    d1 = P.exact_dedup(q)
+    n2 = d1.count()
+    assert 0 < n2 <= n1
+    assert d1.select("doc_id").distinct().count() == n2
+    d2 = P.near_dedup(d1)
+    n3 = d2.count()
+    assert 0 < n3 <= n2
+    train = d2.filter(F.col("source") != "src2")
+    ev = d2.filter(F.col("source") == "src2")
+    clean = P.decontaminate(train, ev, min_shared_shingles=3)
+    assert clean.count() <= train.count()
+    packed = P.pack_sequences(clean)
+    assert packed.count() == clean.count()
+    assert packed.filter(F.col("pack_id") < 0).count() == 0
+
+
+def test_pipeline_quality_repetition_cap(spark):
+    from pyspark_distributed_kmodes_spark import pipeline as P
+
+    rows = [
+        (1, " ".join(["spam ham"] * 30)),          # one bigram dominates
+        (2, " ".join(f"w{i} x{i}" for i in range(30))),  # diverse
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = P.quality_filter(d, min_words=5, min_unique_ratio=0.0, max_top_bigram_frac=0.5)
+    assert [r.doc_id for r in out.collect()] == [2]
