@@ -306,13 +306,36 @@ class KModes:
 # ---------------------------------------------------------------------------
 
 
-def _local_kmodes(arr: np.ndarray, k: int, max_iter: int, rng: np.random.Generator) -> np.ndarray:
+def _cao_init(arr: np.ndarray, k: int) -> np.ndarray:
+    """Cao et al. (2009) density init, the reference meta-step's default
+    (`nicodv/kmodes` KModes init='Cao', SURVEY A9): first center = the
+    highest-density point (mean matching similarity to all points);
+    each next center maximizes density × Hamming distance to its
+    nearest chosen center. Fully deterministic — no RNG — with ties
+    broken by row order. O(n²) in the candidate count, used only where
+    that count is provably small (P×k collected partition modes)."""
+    n, d = arr.shape
+    sim = (arr[:, None, :] == arr[None, :, :]).sum(axis=2)  # matching attrs
+    dens = sim.sum(axis=1).astype(np.float64) / (n * d)
+    centers = [int(dens.argmax())]
+    for _ in range(1, min(k, n)):
+        dist = (arr[:, None, :] != arr[None, centers, :]).sum(axis=2).min(axis=1)
+        score = dens * dist  # zero at already-chosen points (dist 0)
+        centers.append(int(score.argmax()))
+    return arr[centers].copy()
+
+
+def _local_kmodes(
+    arr: np.ndarray, k: int, max_iter: int, rng: np.random.Generator, init: str = "random"
+) -> np.ndarray:
     """Plain numpy Lloyd k-modes on a small local array of strings.
     Replaces the reference's `nicodv/kmodes` driver dependency
-    (fit():~360, reconstructed) — same objective, no external package."""
+    (fit():~360, reconstructed) — same objective, no external package.
+    init='random' mirrors the reference's per-partition takeSample
+    seeding; init='cao' mirrors its nicodv meta-clustering default."""
     n = len(arr)
     k = min(k, n)
-    centroids = arr[rng.choice(n, size=k, replace=False)]
+    centroids = _cao_init(arr, k) if init == "cao" else arr[rng.choice(n, size=k, replace=False)]
     assign = np.full(n, -1, dtype=np.int64)
     for _it in range(max_iter):
         dists = (arr[:, None, :] != centroids[None, :, :]).sum(axis=2)
@@ -398,7 +421,9 @@ class EnsembleKModes:
         uniq = sorted(set(tuple(r[c] for c in cols) for r in collected))
         arr = np.array([list(t) for t in uniq], dtype=object)
         rng = np.random.default_rng(seed)
-        metamodes = _local_kmodes(arr, k, self.max_dist_iter, rng)
+        # meta step uses Cao density init — the reference's nicodv
+        # KModes default (SURVEY A9) and deterministic without a seed
+        metamodes = _local_kmodes(arr, k, self.max_dist_iter, rng, init="cao")
         model = KModesModel(cols=cols, modes=[tuple(m) for m in metamodes], n_iter=1, converged=True)
         scored = model.transform(feats.drop("pid"), "cluster").select(model.distance_col().alias("d"))
         agg = scored.agg(F.sum("d").cast("double"), F.count(F.lit(1))).first()

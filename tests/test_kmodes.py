@@ -108,3 +108,20 @@ def test_pyspark_ml_estimator_facade(orders):
     preds = {r.prediction for r in out.select("prediction").distinct().collect()}
     assert preds <= set(range(4))
     assert len(pipe_model.stages[0].clusters) == 4
+
+
+def test_cao_init_deterministic_and_spread():
+    """Cao density init: no RNG, picks the densest point first, never
+    repeats a center, and spreads across distinct values."""
+    import numpy as np
+
+    from pyspark_distributed_kmodes_spark.ml.kmodes import _cao_init
+
+    arr = np.array(
+        [["a", "x"]] * 5 + [["b", "y"]] * 3 + [["c", "z"]] * 2, dtype=object
+    )
+    c1 = _cao_init(arr, 3)
+    c2 = _cao_init(arr, 3)
+    assert (c1 == c2).all()  # deterministic
+    assert tuple(c1[0]) == ("a", "x")  # densest point first
+    assert len({tuple(r) for r in c1}) == 3  # three distinct centers
