@@ -10,6 +10,8 @@ shuffles only what the grouping key requires.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -327,6 +329,125 @@ def b12_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_words"),
             F.round(F.sum(lp.cast("decimal(25,6)")).cast("double") / F.count(F.lit(1)), 6).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "b13_model_quality_scores",
+    oracle="""
+SELECT doc_id,
+       round(CAST(list_reduce(
+         list_prepend(CAST(7 AS BIGINT),
+           list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+                          c -> CAST(ascii(c) AS BIGINT))),
+         (acc, h) -> (acc * 131 + h) % 2147483647) % 1000 AS DOUBLE) / 1000.0, 6) AS score,
+       CASE WHEN (list_reduce(
+         list_prepend(CAST(7 AS BIGINT),
+           list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+                          c -> CAST(ascii(c) AS BIGINT))),
+         (acc, h) -> (acc * 131 + h) % 2147483647) % 1000) >= 200 THEN 1 ELSE 0 END AS keep
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("training", "udf", "quality"),
+)
+def b13_model_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring, the batched-inference shape: an
+    Arrow-batched pandas UDF scores each document and a threshold gates
+    it — exactly how a fastText/BERT quality classifier plugs into the
+    pipeline (swap the scorer body for tokenizer+model.forward; batch
+    size and partitioning stay identical).
+
+    The stand-in "model" is the corpus's portable polynomial hash
+    (a59's base-131 fold) so the driver can hash-gate the plumbing
+    against SQL — deterministic across engines, batches, and partition
+    counts, which a real model's floats on varying hardware are not.
+    """
+    M = 2147483647
+
+    @F.pandas_udf("double")
+    def score_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            acc = 7
+            for ch in t:
+                acc = (acc * 131 + ord(ch)) % M
+            out.append(round((acc % 1000) / 1000.0, 6))
+        return pd.Series(out)
+
+    from pyspark_distributed_kmodes_spark.sources.tables import spread
+
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    return (
+        d.select("doc_id", score_udf("text").alias("score"))
+        .withColumn("keep", F.when(F.col("score") >= 0.2, 1).otherwise(0))
+        .orderBy("doc_id")
+    )
+
+
+VOCAB_SIZE = 100  # top-N words kept; everything else maps to UNK_ID
+UNK_ID = 100
+
+
+@query(
+    "b14_tokenize_ids",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' ')) + 1),
+         i -> {{'pos': i, 'word': string_split(text, ' ')[i]}})) AS w
+  FROM documents
+), freq AS (
+  SELECT w.word, COUNT(*) AS cnt FROM words GROUP BY w.word
+), vocab AS (
+  SELECT word, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, word ASC) - 1 AS INTEGER) AS id
+  FROM freq ORDER BY id LIMIT {VOCAB_SIZE}
+)
+SELECT w.doc_id,
+       list(COALESCE(v.id, {UNK_ID}) ORDER BY w.pos) AS token_ids,
+       CAST(SUM(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+FROM words w LEFT JOIN vocab v ON v.word = w.w.word
+GROUP BY w.doc_id
+ORDER BY w.doc_id
+""",
+    tags=("training", "text"),
+)
+def b14_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary tokenization: build the top-{VOCAB_SIZE} word vocab
+    (rank by corpus frequency, deterministic tie-break), map every
+    document to its token-id sequence with OOV → UNK — the final step
+    before sequence packing writes model input.
+
+    Scale shape: vocab is a tiny broadcast table (it IS the model
+    artifact); the corpus side is one explode + broadcast join + one
+    per-doc aggregation. Order restored via array_sort on (pos, id)
+    structs — no assumption that collect_list preserves order.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window as W
+
+    vocab = (
+        freq.withColumn(
+            "id", (F.row_number().over(W.orderBy(F.desc("cnt"), F.asc("word"))) - 1).cast("int")
+        )
+        .filter(F.col("id") < VOCAB_SIZE)
+        .select("word", "id")
+    )
+    tok = words.join(F.broadcast(vocab), "word", "left").select(
+        "doc_id", "pos", F.coalesce("id", F.lit(UNK_ID)).alias("id")
+    )
+    return (
+        tok.groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "id"))), lambda s: s["id"]
+            ).alias("token_ids"),
+            F.sum(F.when(F.col("id") == UNK_ID, 1).otherwise(0)).cast("bigint").alias("n_unk"),
         )
         .orderBy("doc_id")
     )
