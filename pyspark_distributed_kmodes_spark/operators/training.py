@@ -451,3 +451,57 @@ def b14_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "b15_packed_sequences",
+    oracle=f"""
+WITH packed AS (
+  SELECT doc_id, source, text,
+         (SUM(len(string_split(text, ' '))) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - len(string_split(text, ' '))) // {PACK_TARGET} AS pack_id
+  FROM documents
+)
+SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(len(string_split(string_agg(text, ' ' ORDER BY doc_id), ' ')) AS BIGINT) AS n_words,
+       md5(string_agg(text, ' ' ORDER BY doc_id)) AS content_hash
+FROM packed
+GROUP BY source, pack_id
+ORDER BY source, pack_id
+""",
+    tags=("training", "text"),
+)
+def b15_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized packed sequences: concatenate each pack's documents
+    in doc_id order into one training-sequence text (emitted here as
+    its md5 + stats so the oracle hash stays compact) — the writer
+    stage after b06's pack assignment.
+
+    Shape: b06's per-shard cumsum window, then ONE aggregation per
+    (source, pack_id) whose concat order is pinned by sorting (doc_id,
+    text) structs — no reliance on collect_list ordering. At scale each
+    pack is a bounded handful of documents (target words / avg doc
+    words), so per-group state stays small no matter the corpus size.
+    """
+    d = table(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " ")).cast("bigint")
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    packed = (
+        d.select("doc_id", "source", "text", n_words.alias("n_words"))
+        .withColumn("pack_id", F.floor((F.sum("n_words").over(w) - F.col("n_words")) / PACK_TARGET))
+    )
+    seq_text = F.array_join(
+        F.transform(F.array_sort(F.collect_list(F.struct("doc_id", "text"))), lambda s: s["text"]),
+        " ",
+    )
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.size(F.split(seq_text, " ")).cast("bigint").alias("n_words"),
+            F.md5(seq_text).alias("content_hash"),
+        )
+        .orderBy("source", "pack_id")
+    )
