@@ -375,3 +375,136 @@ def q74_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+
+
+@query(
+    "b16_volume_shipping",
+    oracle=f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+    tags=("join", "tpch"),
+)
+def b16_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral shipping volume between two nations by
+    year — a 6-table join where the same dimension (nation) enters
+    twice under different roles.
+
+    Scale: nation/supplier/customer broadcast; the only fact-sized
+    shuffle is lineitem⋈orders on orderkey; the nation-pair filter
+    prunes before aggregation. Revenue in exact decimal sums.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(dsum(vol).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "b17_promo_revenue",
+    oracle=f"""
+SELECT CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+       CAST(month(l.l_shipdate) AS INTEGER) AS l_month,
+       round(100.0 * {sql_dsum("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
+             / {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')}, 6) AS promo_pct
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY l_year, l_month
+ORDER BY l_year, l_month
+""",
+    tags=("join", "tpch"),
+)
+def b17_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: monthly share of revenue from promotional parts
+    — conditional aggregation as a ratio of two decimal-exact sums.
+
+    Scale: part is the broadcast side; one fact shuffle on the
+    (year, month) grouping after map-side partial aggregation.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_vol = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            F.year("l_shipdate").cast("int").alias("l_year"),
+            F.month("l_shipdate").cast("int").alias("l_month"),
+        )
+        .agg(F.round(100.0 * dsum(promo_vol) / dsum(vol), 6).alias("promo_pct"))
+        .orderBy("l_year", "l_month")
+    )
+
+
+@query(
+    "b18_brand_band_revenue",
+    oracle=f"""
+SELECT p.p_brand,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 15)
+   OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 25)
+   OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 35)
+GROUP BY p.p_brand
+ORDER BY p.p_brand
+""",
+    tags=("join", "tpch"),
+)
+def b18_brand_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from brand-specific quantity bands — a
+    disjunctive join-filter Catalyst must keep OUT of the join condition
+    (it references both sides; naive placement forces a nested-loop).
+
+    Scale: equi-join on partkey with part broadcast; the OR predicate
+    applies post-join as a filter, so no BroadcastNestedLoopJoin
+    appears (asserted by the no-cartesian plan test family).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    band = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 15))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 25))
+        | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 35))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(band)
+        .groupBy("p_brand")
+        .agg(dsum(vol).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+        .orderBy("p_brand")
+    )
