@@ -258,3 +258,64 @@ def q35_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "b19_retention_cohorts",
+    oracle="""
+WITH weekly AS (
+  SELECT DISTINCT user_id, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week_idx
+  FROM events
+), cohorts AS (
+  SELECT user_id, MIN(week_idx) AS cohort_week FROM weekly GROUP BY user_id
+), joined AS (
+  SELECT c.cohort_week, w.week_idx - c.cohort_week AS weeks_since, w.user_id
+  FROM weekly w JOIN cohorts c USING (user_id)
+), sizes AS (
+  SELECT cohort_week, COUNT(*) AS cohort_size FROM cohorts GROUP BY cohort_week
+)
+SELECT j.cohort_week,
+       CAST(j.weeks_since AS INTEGER) AS weeks_since,
+       COUNT(DISTINCT j.user_id) AS n_active,
+       s.cohort_size,
+       round(CAST(COUNT(DISTINCT j.user_id) AS DOUBLE) / s.cohort_size, 6) AS retention
+FROM joined j JOIN sizes s USING (cohort_week)
+GROUP BY j.cohort_week, j.weeks_since, s.cohort_size
+ORDER BY cohort_week, weeks_since
+""",
+    tags=("events", "analytics"),
+)
+def b19_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort analysis: users grouped by first-active week,
+    tracked by distinct activity in each subsequent week — the standard
+    product-analytics rollup (and, for training pipelines, the shape of
+    contributor/source freshness tracking).
+
+    Scale: one distinct over (user, week) — the only corpus-sized
+    shuffle; cohorts and sizes are per-user aggregates that reuse the
+    same key; the cohort-size join broadcasts (≤ one row per week).
+    Week index is floor(epoch/604800) — integer math both engines
+    compute identically.
+    """
+    e = table(spark, sf_dir, "events")
+    weekly = e.select(
+        "user_id", F.floor(F.unix_timestamp("ts") / 604800).cast("bigint").alias("week_idx")
+    ).distinct()
+    cohorts = weekly.groupBy("user_id").agg(F.min("week_idx").alias("cohort_week"))
+    joined = weekly.join(cohorts, "user_id").select(
+        "cohort_week", (F.col("week_idx") - F.col("cohort_week")).cast("int").alias("weeks_since"), "user_id"
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        joined.groupBy("cohort_week", "weeks_since")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "weeks_since",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active").cast("double") / F.col("cohort_size"), 6).alias("retention"),
+        )
+        .orderBy("cohort_week", "weeks_since")
+    )
