@@ -218,6 +218,48 @@ def q61_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_neardup_pairs(spark: SparkSession, emb: DataFrame, threshold: float = 0.85) -> DataFrame:
+    """Exact embedding near-duplicate pairs (cos >= threshold) via the
+    block-partitioned GEMM path — see q62 docstring."""
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    partials = []
+    for ids_np, mat_np in _collect_ref_blocks(emb, max_block_rows=100_000):
+        b_ids = spark.sparkContext.broadcast(ids_np)
+        b_mat = spark.sparkContext.broadcast(mat_np)
+
+        def find_pairs(batches: Iterator[pd.DataFrame], b_ids=b_ids, b_mat=b_mat) -> Iterator[pd.DataFrame]:
+            rids, rmat = b_ids.value, b_mat.value
+            for pdf in batches:
+                q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                q = np.array(list(pdf["embedding"]), dtype=np.float64)
+                q /= np.linalg.norm(q, axis=1, keepdims=True)
+                for s in range(0, len(q), 2048):
+                    qb, qid = q[s : s + 2048], q_ids[s : s + 2048]
+                    sims = qb @ rmat.T
+                    ii, jj = np.nonzero((sims >= threshold) & (qid[:, None] < rids[None, :]))
+                    yield pd.DataFrame(
+                        {
+                            "vec_a": qid[ii],
+                            "vec_b": rids[jj],
+                            "cos_sim": np.round(sims[ii, jj], 6),
+                        }
+                    )
+
+        partials.append(emb.select("vec_id", "embedding").mapInPandas(find_pairs, out_schema))
+
+    out = partials[0]
+    for p in partials[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 @query(
     "a62_embedding_neardup",
     oracle="""
@@ -243,43 +285,7 @@ def q62_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-filters candidates instead of scoring the full matrix.
     """
     emb = table(spark, sf_dir, "embeddings")
-    out_schema = T.StructType(
-        [
-            T.StructField("vec_a", T.LongType()),
-            T.StructField("vec_b", T.LongType()),
-            T.StructField("cos_sim", T.DoubleType()),
-        ]
-    )
-
-    partials = []
-    for ids_np, mat_np in _collect_ref_blocks(emb, max_block_rows=100_000):
-        b_ids = spark.sparkContext.broadcast(ids_np)
-        b_mat = spark.sparkContext.broadcast(mat_np)
-
-        def find_pairs(batches: Iterator[pd.DataFrame], b_ids=b_ids, b_mat=b_mat) -> Iterator[pd.DataFrame]:
-            rids, rmat = b_ids.value, b_mat.value
-            for pdf in batches:
-                q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-                q = np.array(list(pdf["embedding"]), dtype=np.float64)
-                q /= np.linalg.norm(q, axis=1, keepdims=True)
-                for s in range(0, len(q), 2048):
-                    qb, qid = q[s : s + 2048], q_ids[s : s + 2048]
-                    sims = qb @ rmat.T
-                    ii, jj = np.nonzero((sims >= 0.85) & (qid[:, None] < rids[None, :]))
-                    yield pd.DataFrame(
-                        {
-                            "vec_a": qid[ii],
-                            "vec_b": rids[jj],
-                            "cos_sim": np.round(sims[ii, jj], 6),
-                        }
-                    )
-
-        partials.append(emb.select("vec_id", "embedding").mapInPandas(find_pairs, out_schema))
-
-    out = partials[0]
-    for p in partials[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("vec_a", "vec_b")
+    return embedding_neardup_pairs(spark, emb, threshold=0.85).orderBy("vec_a", "vec_b")
 
 
 @query(
@@ -387,4 +393,57 @@ def q68_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
         .orderBy("vec_id", "rank")
+    )
+
+
+@query(
+    "b20_embedding_vs_text_dedup",
+    oracle="""
+WITH pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.30
+)
+SELECT p.vec_a, p.vec_b, p.cos_sim,
+       CASE WHEN da.text = db.text THEN 1 ELSE 0 END AS same_text,
+       CASE WHEN md5(da.text) = md5(db.text) THEN 1 ELSE 0 END AS same_hash
+FROM pairs p
+JOIN documents da ON da.doc_id = p.vec_a
+JOIN documents db ON db.doc_id = p.vec_b
+ORDER BY vec_a, vec_b
+""",
+    tags=("vector", "dedup", "multimodal"),
+)
+def b20_embedding_vs_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup audit: embedding near-duplicate pairs (cosine
+    ≥ 0.30 — this synthetic corpus's similarity ceiling is ~0.4; real
+    embedding corpora use ~0.85 — via q62's blocked exact path) joined
+    against the text modality
+    — does semantic similarity agree with byte/hash equality? The
+    precision-audit query run before trusting embedding dedup at scale.
+
+    Scale: the pair list is small (near-dups only); both document
+    joins hit it with the corpus on the build side streamed — at 100 TB
+    the pair side broadcasts instead (pairs ≪ corpus).
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(spark, emb, threshold=0.30)
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", F.md5("text").alias("h"))
+    da = d.select(F.col("doc_id").alias("vec_a"), F.col("text").alias("ta"), F.col("h").alias("ha"))
+    db = d.select(F.col("doc_id").alias("vec_b"), F.col("text").alias("tb"), F.col("h").alias("hb"))
+    return (
+        pairs.join(da, "vec_a")
+        .join(db, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            "cos_sim",
+            F.when(F.col("ta") == F.col("tb"), 1).otherwise(0).alias("same_text"),
+            F.when(F.col("ha") == F.col("hb"), 1).otherwise(0).alias("same_hash"),
+        )
+        .orderBy("vec_a", "vec_b")
     )
