@@ -196,9 +196,13 @@ class KModes:
         engage."""
         feats = df.select(*[_feat(c).alias(c) for c in self.cols])
         combo_df = feats.groupBy(*self.cols).agg(F.count(F.lit(1)).alias("_w"))
+        # a clear error beats "only 0 distinct rows for k=…" downstream
+        # (the limit-collect below already pays the one job either way)
         # single job: fetch at most threshold+1 combos; a full result
         # means low cardinality and the weights are exact for ALL rows
         combos = combo_df.limit(self.COMBO_THRESHOLD + 1).collect()
+        if not combos:
+            raise ValueError("KModes.fit: input DataFrame is empty")
         if len(combos) <= self.COMBO_THRESHOLD:
             return self._fit_weighted_local(combos)
         return self._fit_distributed(feats)

@@ -379,6 +379,7 @@ def q74_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "b16_volume_shipping",
+    bench=True,
     oracle=f"""
 SELECT n1.n_name AS supp_nation,
        n2.n_name AS cust_nation,

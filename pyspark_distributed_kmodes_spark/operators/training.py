@@ -225,6 +225,7 @@ NGRAM_SPAN = 8  # span length for duplicate-substring detection
 
 @query(
     "b11_duplicate_spans",
+    bench=True,
     oracle=f"""
 WITH grams AS (
   SELECT doc_id, s AS start_pos,
