@@ -174,7 +174,7 @@ def q61_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     note below).
 
     Signatures come from one Arrow-batched pandas UDF (a 64×48 GEMM per
-    batch — trying to express 4×12×64 hyperplane dot products as literal
+    batch — trying to express the 8×5×64 hyperplane dot products as literal
     column expressions blows up codegen); bucketing, the candidate join,
     and the exact cosine re-rank (zip_with/aggregate) stay JVM-side.
     Sub-quadratic: candidates meet only inside a (table, bucket) pair.

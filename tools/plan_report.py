@@ -55,8 +55,8 @@ def main():
     lines += [
         "",
         "Notes: shuffle counts are pre-AQE static plans (AQE coalesces/",
-        "re-plans at runtime); Python-stage queries (q60/q63/q70) include",
-        "their candidate-join or aggregation exchanges by design — see",
+        "re-plans at runtime); Python-stage queries (a60/a63/a70/a97) include",
+        "their candidate-join, CC-iteration, or aggregation exchanges by design — see",
         "operator docstrings for the scale rationale.",
     ]
     with open("/root/repo/PLANS.md", "w") as f:
