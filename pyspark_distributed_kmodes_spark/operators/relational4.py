@@ -1,0 +1,278 @@
+"""Relational surface, part 4: the remaining TPC-H query shapes the
+testdata schema can express faithfully (Q10, Q13, Q18, and reshaped
+Q4/Q12/Q22 — the schema lacks partsupp and l_commitdate/l_receiptdate/
+l_shipmode, so those predicates are re-anchored on l_shipdate vs
+o_orderdate; the *shape* of each plan — correlated EXISTS, conditional
+aggregation, HAVING-subquery, scalar-subquery + anti-join — is the
+TPC-H one).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_distributed_kmodes_spark.functions.deterministic import dsum, sql_dsum
+from pyspark_distributed_kmodes_spark.registry import query
+from pyspark_distributed_kmodes_spark.sources.tables import table
+
+
+@query(
+    "b21_returned_items",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       round({sql_dsum('l.l_extendedprice * (1 - l.l_discount)')}, 2) AS revenue,
+       c.c_acctbal
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1997-01-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""",
+    tags=("join", "tpch"),
+)
+def b21_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by lost revenue from returned
+    items in a one-year window.
+
+    Scale: the returnflag + orderdate filters push to the scans; customer
+    and nation broadcast; the only fact-sized shuffle is
+    lineitem⋈orders on orderkey, then a customer-keyed aggregation whose
+    cardinality is bounded by |customer|; top-20 is
+    TakeOrderedAndProject.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.round(dsum(rev), 2).alias("revenue"))
+        .select("c_custkey", "c_name", "n_name", "revenue", "c_acctbal")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "b22_order_priority_count",
+    oracle="""
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+    tags=("join", "tpch", "subquery"),
+)
+def b22_order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order count per priority among orders with at
+    least one slow lineitem — a correlated EXISTS whose predicate
+    references BOTH sides (ship > order date + 60d), i.e. an equi semi
+    join with a residual inequality. (Q4's commitdate/receiptdate pair
+    is re-anchored on shipdate vs orderdate; same plan shape.)
+
+    Scale: left-semi join keeps at most one match per order, so no
+    fan-out before the tiny priority aggregation; the orderdate filter
+    prunes the orders scan.
+    """
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    cond = (li["l_orderkey"] == o["o_orderkey"]) & (
+        li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "b23_late_line_priority",
+    oracle="""
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 30 DAY
+  AND l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1997-01-01'
+GROUP BY l.l_linestatus
+ORDER BY l.l_linestatus
+""",
+    tags=("join", "tpch"),
+)
+def b23_late_line_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: high- vs low-priority line counts among
+    slow-shipped lines — conditional aggregation over a join with a
+    residual cross-side inequality. (Q12's shipmode/commit/receipt
+    columns are re-anchored: "late" = shipped ≥30 days after order.)
+
+    Scale: shipdate range filter pushes to the lineitem scan; one
+    orderkey shuffle; two-value grouping keeps the final agg trivial.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "b24_large_volume_customers",
+    oracle=f"""
+WITH per AS (
+  SELECT l_orderkey, {sql_dsum('l_quantity')} AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       per.total_qty
+FROM per
+JOIN orders o ON o.o_orderkey = per.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE per.total_qty > 150
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+""",
+    tags=("join", "tpch", "subquery"),
+)
+def b24_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers with orders whose total quantity
+    exceeds a threshold — the HAVING-subquery pattern, expressed as
+    aggregate-then-filter-then-join (exactly what Catalyst rewrites the
+    IN (GROUP BY ... HAVING) subquery into, minus the redundant second
+    lineitem join TPC-H's phrasing implies).
+
+    Scale: one orderkey aggregation over lineitem (map-side combined),
+    the >150 filter collapses it to a sliver, then broadcast-joinable
+    lookups against orders/customer and a top-100.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    per = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        per.join(o, per["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "b25_customer_distribution",
+    oracle="""
+WITH per AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    tags=("join", "tpch", "agg"),
+)
+def b25_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of orders-per-customer, including
+    zero-order customers (the left join is the point — COUNT(col) counts
+    only matched rows).
+
+    Scale: custkey shuffle for the first aggregation (bounded by
+    |customer|), then a tiny re-aggregation on the count value itself.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "b26_quiet_rich_customers",
+    oracle=f"""
+SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+       {sql_dsum('c.c_acctbal')} AS totacctbal
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE c.c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)
+                     FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY n.n_name
+ORDER BY n.n_name
+""",
+    tags=("join", "tpch", "subquery"),
+)
+def b26_quiet_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no urgent
+    orders, aggregated by nation — an uncorrelated scalar subquery
+    (global average as a filter threshold) plus a correlated NOT EXISTS
+    (anti join). (Q22's phone-prefix predicate has no schema twin; the
+    urgent-order anti condition keeps the identical plan shape.)
+
+    Scale: the scalar average is a 1-row aggregate cross-joined in
+    (broadcast, no collect); the anti join shuffles on custkey against a
+    pre-filtered orders projection; nation broadcasts.
+    """
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    urgent = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg((F.sum(F.col("c_acctbal").cast("decimal(25,6)")).cast("double") / F.count(F.lit(1))).alias("_avg"))
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(urgent, F.col("c_custkey") == urgent["o_custkey"], "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("numcust"), dsum("c_acctbal").alias("totacctbal"))
+        .orderBy("n_name")
+    )

@@ -632,3 +632,62 @@ def q99_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# PII patterns kept dialect-portable: the same regex must mean the same
+# thing to Java's regex engine (Spark) and DuckDB's RE2.
+EMAIL_RE = r"[a-z0-9._]+@[a-z0-9]+\.[a-z]+"
+PHONE_RE = r"\d{3}-\d{4}"
+
+
+@query(
+    "b27_pii_redaction",
+    oracle=f"""
+WITH planted AS (
+  SELECT doc_id,
+         text
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                   ELSE '' END
+           || CASE WHEN doc_id % 11 = 0 THEN ' call 555-0142' ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS INTEGER) AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+FROM planted
+ORDER BY doc_id
+""",
+    tags=("text", "pii"),
+)
+def b27_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: count and redact email /
+    phone patterns per document. The synthetic corpus carries no PII, so
+    deterministic spans are planted first (doc_id-keyed, identically in
+    the oracle) — the redaction itself is the operator under test, and
+    the md5 of the redacted text pins the full output byte-for-byte.
+
+    Scale: pure JVM regexp_replace/extract_all per row — whole-stage
+    codegen, no shuffle at all before the presentation sort; at 100 TB
+    this is the cheapest kind of pass (embarrassingly parallel scan).
+    """
+    d = table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-0142")).otherwise(F.lit("")),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(planted, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(planted, F.lit(EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(planted, F.lit(PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.md5(redacted.cast("binary")).alias("redacted_md5"),
+    ).orderBy("doc_id")

@@ -52,6 +52,7 @@ def load_all() -> dict[str, Query]:
     import pyspark_distributed_kmodes_spark.operators.relational  # noqa: F401
     import pyspark_distributed_kmodes_spark.operators.relational2  # noqa: F401
     import pyspark_distributed_kmodes_spark.operators.relational3  # noqa: F401
+    import pyspark_distributed_kmodes_spark.operators.relational4  # noqa: F401
     import pyspark_distributed_kmodes_spark.operators.cdc  # noqa: F401
     import pyspark_distributed_kmodes_spark.operators.window  # noqa: F401
     import pyspark_distributed_kmodes_spark.operators.setops  # noqa: F401
