@@ -1,36 +1,102 @@
 """Connected components over an edge list — the clustering step that
 turns near-duplicate PAIRS into dedup GROUPS (keep one doc per
-component). Implemented as iterative min-label propagation PLUS
-pointer doubling:
+component). Two execution strategies behind one function:
 
-    label(v) ← min(label(v),                 # keep
-                   min over neighbors u of label(u),   # propagate 1 hop
-                   label(label(v)))          # pointer doubling
+1. **Driver union-find** (edge list ≤ `driver_edge_limit`): the edge
+   list is the OUTPUT of pair detection — orders of magnitude smaller
+   than the corpus (a 100 TB corpus with 1% near-dup rate yields
+   ~10⁸ edges ≈ a few GB; the default limit stays well under that).
+   One bounded collect + union-by-min with path compression + one
+   parallelize back replaces O(log diameter) shuffle rounds, each of
+   which costs 3 shuffles + a convergence-count action + an eager
+   checkpoint in fixed job overhead.
 
-repeated until fixpoint. Plain propagation needs O(diameter) rounds; the
-label(label(v)) term halves remaining path length each round, giving
-O(log diameter) — the same convergence class as the large-star/small-star
-map-reduce CC algorithm (Kiveris et al.), with simpler per-round plans
-(one edge→label join + one label→label join + one min-agg: 3 shuffles).
+2. **Distributed pointer-doubling label propagation** (larger lists):
+   iterative min-label propagation PLUS pointer doubling:
 
-Scale notes: every round ends in `localCheckpoint(eager=True)` — without
-it each iteration's plan embeds the previous plan several times and the
-Catalyst tree grows exponentially (analysis stack overflow long before
-data size matters). Checkpointing also bounds recovery lineage on a real
-cluster. Deterministic: labels are vertex ids, min is total.
+       label(v) ← min(label(v),                 # keep
+                      min over neighbors u of label(u),   # propagate 1 hop
+                      label(label(v)))          # pointer doubling
+
+   repeated until fixpoint. Plain propagation needs O(diameter) rounds;
+   the label(label(v)) term halves remaining path length each round,
+   giving O(log diameter) — the same convergence class as the
+   large-star/small-star map-reduce CC algorithm (Kiveris et al.), with
+   simpler per-round plans (one edge→label join + one label→label join
+   + one min-agg: 3 shuffles).
+
+Scale notes (distributed path): every round ends in
+`localCheckpoint(eager=True)` — without it each iteration's plan embeds
+the previous plan several times and the Catalyst tree grows
+exponentially (analysis stack overflow long before data size matters).
+Checkpointing also bounds recovery lineage on a real cluster. Both
+paths are deterministic and produce IDENTICAL labels: component = min
+vertex id in the set (union-by-min keeps the set root at the minimum;
+propagation converges to the same minimum).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
-def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25) -> DataFrame:
+def _driver_union_find(rows, vertex_type) -> list:
+    """Union-find with union-by-min + path compression over collected
+    (a, b) edge rows. Returns [(vertex, min-id component)]."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    verts = set()
+    for r in rows:
+        a, b = r[0], r[1]
+        verts.add(a)
+        verts.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            # attach the larger root under the smaller: the root of any
+            # set is therefore always its minimum vertex id
+            parent[rb] = ra
+    return [(v, find(v)) for v in sorted(verts)]
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    driver_edge_limit: int = 4_000_000,
+) -> DataFrame:
     """(vertex, component) for every vertex appearing in `edges`;
     component = min vertex id reachable. Undirected (edges symmetrized
-    internally). Converges in O(log diameter) rounds via pointer
-    doubling; `max_iter` is a safety bound, not the expected count."""
+    internally). Edge lists within `driver_edge_limit` run as a single
+    bounded-collect union-find (see module docstring); larger ones use
+    the distributed loop, converging in O(log diameter) rounds via
+    pointer doubling; `max_iter` is a safety bound, not the expected
+    count. Set ``driver_edge_limit=0`` to force the distributed path."""
+    if driver_edge_limit > 0:
+        head = (
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .limit(driver_edge_limit + 1)
+            .collect()
+        )
+        if len(head) <= driver_edge_limit:
+            vt = edges.schema[src].dataType
+            out_schema = T.StructType(
+                [T.StructField("vertex", vt), T.StructField("component", vt)]
+            )
+            spark = edges.sparkSession
+            return spark.createDataFrame(_driver_union_find(head, vt), out_schema)
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))

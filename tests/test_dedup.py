@@ -102,10 +102,36 @@ def test_connected_components_basic(spark):
 
 def test_connected_components_chain_diameter(spark):
     """A 12-node chain needs multiple propagation rounds — exercises the
-    iteration, not just one hop."""
+    distributed iteration (driver_edge_limit=0 disables union-find),
+    not just one hop."""
     from pyspark_distributed_kmodes_spark.functions.graph import connected_components
 
     edges = spark.createDataFrame([(i, i + 1) for i in range(12)], ["src", "dst"])
-    cc = {r.vertex: r.component for r in connected_components(edges).collect()}
+    cc = {
+        r.vertex: r.component
+        for r in connected_components(edges, driver_edge_limit=0).collect()
+    }
     assert set(cc.values()) == {0}
     assert len(cc) == 13
+
+
+def test_connected_components_paths_agree(spark):
+    """Driver union-find and distributed pointer doubling must emit
+    IDENTICAL labels on the same graph (chains, cliques, isolates,
+    self-loops, reversed edge directions)."""
+    from pyspark_distributed_kmodes_spark.functions.graph import connected_components
+
+    raw = (
+        [(i, i + 1) for i in range(10, 20)]      # chain
+        + [(a, b) for a in (30, 31, 32, 33) for b in (30, 31, 32, 33) if a < b]  # clique
+        + [(41, 40), (43, 42), (42, 41)]          # reversed directions
+        + [(50, 50)]                              # self-loop isolate
+    )
+    edges = spark.createDataFrame(raw, ["src", "dst"])
+    fast = {r.vertex: r.component for r in connected_components(edges).collect()}
+    slow = {
+        r.vertex: r.component
+        for r in connected_components(edges, driver_edge_limit=0).collect()
+    }
+    assert fast == slow
+    assert fast[43] == 40 and fast[33] == 30 and fast[50] == 50
