@@ -447,3 +447,105 @@ def b20_embedding_vs_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_a", "vec_b")
     )
+
+
+@query(
+    "b28_semantic_dedup",
+    oracle="""
+WITH RECURSIVE
+edges AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.85
+), sym AS (
+  SELECT va AS a, vb AS b FROM edges UNION SELECT vb, va FROM edges
+), reach(v, r) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.v
+), cc AS (
+  SELECT v, MIN(r) AS component FROM reach GROUP BY v
+)
+SELECT e.vec_id,
+       COALESCE(cc.component, e.vec_id) AS component,
+       CAST(COUNT(*) OVER (PARTITION BY COALESCE(cc.component, e.vec_id)) AS BIGINT)
+         AS component_size,
+       (e.vec_id = MIN(e.vec_id) OVER (PARTITION BY COALESCE(cc.component, e.vec_id)))
+         AS keep
+FROM embeddings e LEFT JOIN cc ON cc.v = e.vec_id
+ORDER BY vec_id
+""",
+    tags=("vector", "dedup", "graph"),
+)
+def b28_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication, end to end: exact cosine
+    near-dup pairs (>= 0.85) -> connected components -> one canonical
+    vector (min vec_id) kept per semantic cluster, singletons kept as
+    their own cluster. The embedding-space twin of a98's text dedup:
+    pairs are not groups, so transitive closure decides what "one copy"
+    means before anything is dropped.
+
+    Scale shape: pair generation is the block-partitioned GEMM of q62
+    (driver holds <= one block, never the corpus; at 100 TB the q61 LSH
+    buckets pre-filter candidates instead). CC runs on the tiny pair
+    list (driver union-find under the bounded limit, pointer-doubling
+    loop beyond it). The corpus-sized stage is ONE broadcast join of
+    labels back to vec_ids plus one window — same single-shuffle
+    discipline as a98.
+    """
+    from pyspark.sql import Window as W
+
+    from pyspark_distributed_kmodes_spark.functions.graph import connected_components
+
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(spark, emb, threshold=0.85).select("vec_a", "vec_b")
+    cc = connected_components(pairs, "vec_a", "vec_b").select(
+        F.col("vertex").alias("vec_id"), "component"
+    )
+    w = W.partitionBy("component")
+    return (
+        emb.select("vec_id")
+        .join(F.broadcast(cc), "vec_id", "left")
+        .withColumn("component", F.coalesce("component", F.col("vec_id")))
+        .select(
+            "vec_id",
+            "component",
+            F.count(F.lit(1)).over(w).cast("bigint").alias("component_size"),
+            (F.col("vec_id") == F.min("vec_id").over(w)).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "b29_kmeans_embeddings",
+    oracle=None,  # iterative fit: rows-only + property tests (test_vectors)
+    tags=("vector", "ml"),
+)
+def b29_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embedding column (k=8, 5
+    fixed iterations) -> (vec_id, cluster, sq_dist) plus per-cluster
+    size. The coarse-clustering stage that bounds semantic dedup and
+    IVF-style ANN at scale; see ml/kmeans.py for the per-iteration
+    plan (literal-centroid JVM argmin, one shuffle per iteration,
+    grouped-agg pandas UDAF mean).
+
+    Not SQL-expressible (iterative); property tests pin determinism
+    under repartitioning, monotone nonincreasing cost, and
+    transform/fit assignment agreement.
+    """
+    from pyspark.sql import Window as W
+
+    from pyspark_distributed_kmodes_spark.ml.kmeans import kmeans_fit
+
+    emb = table(spark, sf_dir, "embeddings")
+    model = kmeans_fit(emb, k=8, iters=5)
+    out = model.transform(emb)
+    w = W.partitionBy("cluster")
+    return out.select(
+        "vec_id",
+        "cluster",
+        F.round("sq_dist", 6).alias("sq_dist"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
+    ).orderBy("vec_id")

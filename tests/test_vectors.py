@@ -60,3 +60,52 @@ def test_ivf_recall_beats_lsh_floor(spark, sf_dir):
     hits = sum(1 for v, n in approx.items() if exact.get(v) == n)
     assert len(approx) >= 400  # nearly all vectors produce candidates
     assert hits / len(approx) > 0.5
+
+
+def test_kmeans_fit_properties(spark, sf_dir):
+    """Lloyd invariants: nonincreasing cost, exactly-k centroid slots,
+    bit-identical centroids and assignments under repartitioning (the
+    decimal-sum update makes the mean reduction-order independent)."""
+    from pyspark_distributed_kmodes_spark.ml.kmeans import kmeans_fit
+    from pyspark_distributed_kmodes_spark.sources.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    m = kmeans_fit(emb, k=4, iters=4)
+    assert len(m.centroids) == 4 and len(m.costs) == 4
+    assert all(m.costs[i + 1] <= m.costs[i] + 1e-9 for i in range(3))
+    m2 = kmeans_fit(emb.repartition(17), k=4, iters=4)
+    assert m.centroids == m2.centroids and m.costs == m2.costs
+    a1 = {r.vec_id: r.cluster for r in m.transform(emb).collect()}
+    a2 = {r.vec_id: r.cluster for r in m2.transform(emb.repartition(5)).collect()}
+    assert a1 == a2
+
+
+def test_kmeans_transform_is_nearest_centroid(spark, sf_dir):
+    """Each assignment must actually be the argmin centroid (ties to the
+    lowest index), cross-checked in numpy."""
+    import numpy as np
+
+    from pyspark_distributed_kmodes_spark.ml.kmeans import kmeans_fit
+    from pyspark_distributed_kmodes_spark.sources.tables import table
+
+    emb = table(spark, sf_dir, "embeddings").limit(100)
+    m = kmeans_fit(emb, k=3, iters=2)
+    cents = np.array(m.centroids)
+    vecs = {x.vec_id: np.array(x.embedding, dtype=np.float64) for x in emb.collect()}
+    for r in m.transform(emb).collect():
+        d = ((vecs[r.vec_id][None, :] - cents) ** 2).sum(axis=1)
+        assert r.cluster == int(np.argmin(d))
+        assert abs(r.sq_dist - d[r.cluster]) < 1e-6
+
+
+def test_kmeans_rejects_bad_params(spark, sf_dir):
+    import pytest
+
+    from pyspark_distributed_kmodes_spark.ml.kmeans import kmeans_fit
+    from pyspark_distributed_kmodes_spark.sources.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError):
+        kmeans_fit(emb, k=0)
+    with pytest.raises(ValueError):
+        kmeans_fit(emb.limit(2), k=5)
