@@ -549,3 +549,64 @@ def b29_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sq_dist", 6).alias("sq_dist"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
     ).orderBy("vec_id")
+
+
+@query(
+    "b30_semantic_dedup_scaled",
+    oracle=None,  # approximate-by-design: recall property-tested vs exact b28
+    tags=("vector", "dedup", "ml"),
+)
+def b30_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for semantic dedup (SemDeDup proper): k-means
+    coarse clusters bound the candidate space, cosine pairs are scored
+    WITHIN a cluster only, then components -> keep-one — so pair
+    generation is corpus²/k instead of corpus², and each cluster's
+    pair join is an equi-join on the cluster id rather than a global
+    cross product. Misses only cross-cluster near-dups (pairs whose
+    members quantize apart); recall vs the exact b28 labeling is
+    property-tested.
+
+    Plan: one k-means fit (iters bounded shuffles), one (cluster,
+    vec) shuffle for the self-join, JVM cosine on the joined rows, CC
+    on the surviving pair list, one broadcast join back. No stage
+    holds more than one cluster's candidates per task.
+    """
+    from pyspark.sql import Window as W
+
+    from pyspark_distributed_kmodes_spark.functions.graph import connected_components
+    from pyspark_distributed_kmodes_spark.ml.kmeans import kmeans_fit
+
+    emb = table(spark, sf_dir, "embeddings")
+    model = kmeans_fit(emb, k=8, iters=3)
+    assigned = model.transform(emb).select("vec_id", "cluster").join(
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("vec")), "vec_id"
+    )
+    a = assigned.select(
+        F.col("cluster"), F.col("vec_id").alias("vec_a"), F.col("vec").alias("va")
+    )
+    b = assigned.select(
+        F.col("cluster"), F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb")
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine_sim(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.85)
+        .select("vec_a", "vec_b")
+    )
+    cc = connected_components(pairs, "vec_a", "vec_b").select(
+        F.col("vertex").alias("vec_id"), "component"
+    )
+    w = W.partitionBy("component")
+    return (
+        emb.select("vec_id")
+        .join(F.broadcast(cc), "vec_id", "left")
+        .withColumn("component", F.coalesce("component", F.col("vec_id")))
+        .select(
+            "vec_id",
+            "component",
+            F.count(F.lit(1)).over(w).cast("bigint").alias("component_size"),
+            (F.col("vec_id") == F.min("vec_id").over(w)).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )

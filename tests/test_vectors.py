@@ -109,3 +109,36 @@ def test_kmeans_rejects_bad_params(spark, sf_dir):
         kmeans_fit(emb, k=0)
     with pytest.raises(ValueError):
         kmeans_fit(emb.limit(2), k=5)
+
+
+def test_semantic_dedup_scaled_recall(spark, sf_dir):
+    """The clustered (within-cluster-only) semantic dedup must agree
+    with the exact b28 labeling on most duplicate decisions: every pair
+    it keeps is a true near-dup subset, and it recovers a high share of
+    the exact path's non-singleton memberships."""
+    from pyspark_distributed_kmodes_spark.operators.vectors import (
+        b28_semantic_dedup,
+        b30_semantic_dedup_scaled,
+    )
+
+    exact = {r.vec_id: (r.component, r.component_size) for r in b28_semantic_dedup(spark, sf_dir).collect()}
+    scaled = {r.vec_id: (r.component, r.component_size) for r in b30_semantic_dedup_scaled(spark, sf_dir).collect()}
+    assert set(exact) == set(scaled)  # every vector labeled in both
+    # soundness: scaled components only merge vectors the exact path also merges
+    # (within-cluster pairs are a subset of all pairs)
+    from collections import defaultdict
+
+    exact_groups = defaultdict(set)
+    for v, (c, _) in exact.items():
+        exact_groups[c].add(v)
+    scaled_groups = defaultdict(set)
+    for v, (c, _) in scaled.items():
+        scaled_groups[c].add(v)
+    for members in scaled_groups.values():
+        containers = {next(c for c, g in exact_groups.items() if v in g) for v in members}
+        assert len(containers) == 1  # never merges across true components
+    # recall: most vectors the exact path marks duplicate are caught
+    dup_exact = {v for v, (_, s) in exact.items() if s >= 2}
+    dup_scaled = {v for v, (_, s) in scaled.items() if s >= 2}
+    if dup_exact:
+        assert len(dup_scaled & dup_exact) / len(dup_exact) > 0.6
