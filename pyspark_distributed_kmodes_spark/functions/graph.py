@@ -84,22 +84,29 @@ def connected_components(
     the distributed loop, converging in O(log diameter) rounds via
     pointer doubling; `max_iter` is a safety bound, not the expected
     count. Set ``driver_edge_limit=0`` to force the distributed path."""
-    if driver_edge_limit > 0:
-        head = (
-            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-            .limit(driver_edge_limit + 1)
-            .collect()
-        )
-        if len(head) <= driver_edge_limit:
-            vt = edges.schema[src].dataType
-            out_schema = T.StructType(
-                [T.StructField("vertex", vt), T.StructField("component", vt)]
-            )
-            spark = edges.sparkSession
-            return spark.createDataFrame(_driver_union_find(head, vt), out_schema)
-    sym = (
+    # Materialize the (a, b) projection ONCE: every strategy below needs
+    # it at least twice (count + collect, or symmetrize + iterate), and
+    # without the cut the upstream pair-generation plan would re-execute
+    # per consumer. Never use limit().collect() to probe size — Spark's
+    # CollectLimit runs the child in incremental partition waves through
+    # a single-partition pull, re-running the expensive upstream and
+    # buffering through one task (measured: OOM on a default-heap
+    # driver where the full-parallel count + collect path is fine).
+    proj = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    if driver_edge_limit > 0 and proj.count() <= driver_edge_limit:
+        vt = edges.schema[src].dataType
+        out_schema = T.StructType(
+            [T.StructField("vertex", vt), T.StructField("component", vt)]
+        )
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            _driver_union_find(proj.collect(), vt), out_schema
+        )
+    sym = (
+        proj.unionByName(proj.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .localCheckpoint(eager=True)
     )

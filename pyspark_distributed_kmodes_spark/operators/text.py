@@ -691,3 +691,86 @@ def b27_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(planted, F.lit(PHONE_RE), F.lit(0))).alias("n_phones"),
         F.md5(redacted.cast("binary")).alias("redacted_md5"),
     ).orderBy("doc_id")
+
+
+@query(
+    "b31_quality_quantile_filter",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id,
+         round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS unique_ratio
+  FROM documents
+), thr AS (
+  SELECT round(quantile_cont(unique_ratio, 0.1), 6) AS p10 FROM scored
+)
+SELECT s.doc_id, s.unique_ratio, t.p10
+FROM scored s, thr t
+WHERE s.unique_ratio >= t.p10
+ORDER BY s.doc_id
+""",
+    tags=("text", "quality"),
+)
+def b31_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-thresholded quality filter: drop the worst-decile
+    documents by lexical diversity, where the cutoff is LEARNED from the
+    corpus (10th percentile) rather than fixed — the adaptive form every
+    production filter stack ends up needing. Both sides round the score
+    and the threshold to 6 decimals before comparing, so the boundary
+    decision is engine-exact.
+
+    Scale: the scalar percentile is one tiny aggregate cross-joined
+    back (broadcast of ONE row); at 100 TB swap the exact percentile
+    for approx_percentile with a documented error bound — the plan
+    shape (score scan → 1-row agg → broadcast filter scan) is
+    unchanged.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    scored = d.select(
+        "doc_id",
+        F.round(
+            F.size(F.array_distinct(words)).cast("double") / F.size(words), 6
+        ).alias("unique_ratio"),
+    )
+    thr = scored.agg(F.round(F.expr("percentile(unique_ratio, 0.1)"), 6).alias("p10"))
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("unique_ratio") >= F.col("p10"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "b32_source_dedup_report",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+       CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dup_docs,
+       round(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 6) AS dup_rate
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+    tags=("text", "dedup", "agg"),
+)
+def b32_source_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication report: how much of each ingest source is
+    byte-identical redundancy — the monitoring table that decides which
+    sources get aggressive dedup (or get dropped). One hash + one
+    groupBy; COUNT DISTINCT is Spark's partial-aggregated exact
+    distinct (two-phase hash expand), no window, no join.
+    """
+    d = table(spark, sf_dir, "documents")
+    h = F.md5("text")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct(h).cast("bigint").alias("n_distinct"),
+            (F.count(F.lit(1)) - F.countDistinct(h)).cast("bigint").alias("n_dup_docs"),
+            F.round(1.0 - F.countDistinct(h).cast("double") / F.count(F.lit(1)), 6).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
