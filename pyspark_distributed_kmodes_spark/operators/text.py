@@ -774,3 +774,70 @@ def b32_source_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "b33_boilerplate_shingles",
+    oracle="""
+WITH grams AS (
+  SELECT source, doc_id, unnest(
+           list_transform(range(1, len(string_split(text, ' ')) - 1),
+                          i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))
+         ) AS shingle
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), df AS (
+  SELECT source, shingle, COUNT(DISTINCT doc_id) AS doc_freq
+  FROM grams GROUP BY source, shingle
+), ranked AS (
+  SELECT source, shingle, doc_freq,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY doc_freq DESC, shingle) AS rk
+  FROM df
+)
+SELECT source, shingle, CAST(doc_freq AS BIGINT) AS doc_freq,
+       CAST(rk AS INTEGER) AS rk
+FROM ranked
+WHERE rk <= 5
+ORDER BY source, rk
+""",
+    tags=("text", "dedup"),
+)
+def b33_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate mining: the 5 highest-document-frequency word
+    trigrams per ingest source — the diagnostic that motivates (and
+    sizes) the stop-shingle `max_df` cap in the dedup pipeline:
+    shingles near the top of this table are template/boilerplate spans
+    that connect unrelated documents and quadratically inflate pair
+    joins.
+
+    Plan: guarded shingle explode → distinct (doc, shingle) →
+    (source, shingle) count with map-side combine → per-source top-5
+    window over the small df table. The explode is the only
+    corpus-sized stage.
+    """
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n = F.size(words)
+    shingle_arr = F.when(
+        n >= 3,
+        F.transform(F.sequence(F.lit(1), n - 2), lambda i: F.array_join(F.slice(words, i, 3), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    from pyspark_distributed_kmodes_spark.sources.tables import spread
+
+    df_tbl = (
+        spread(d, "doc_id")
+        .select("source", "doc_id", F.explode(shingle_arr).alias("shingle"))
+        .distinct()
+        .groupBy("source", "shingle")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    w = W.partitionBy("source").orderBy(F.col("doc_freq").desc(), "shingle")
+    return (
+        df_tbl.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("source", "shingle", F.col("doc_freq").cast("bigint").alias("doc_freq"), F.col("rk").cast("int").alias("rk"))
+        .orderBy("source", "rk")
+    )
