@@ -25,6 +25,8 @@ NORM = {
     "FLOAT": "float",
     "DATE": "date",
 }
+# DuckDB `T[]` ≙ Spark `array<t>` — derive from the scalar map
+NORM.update({f"{k}[]": f"array<{v}>" for k, v in list(NORM.items())})
 # Spark's parquet-naive timestamps surface as timestamp_ntz; with the
 # session pinned to UTC they are value-identical to DuckDB TIMESTAMP.
 SPARK_EQUIV = {"timestamp_ntz": "timestamp"}
