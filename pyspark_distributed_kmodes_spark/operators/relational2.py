@@ -109,7 +109,9 @@ def q19_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     l = table(spark, sf_dir, "lineitem")
-    s = F.broadcast(table(spark, sf_dir, "supplier"))
+    # supplier scales with SF — join strategy left to AQE (it broadcasts
+    # at small SF); nation is fixed-cardinality (25 rows), hint it
+    s = table(spark, sf_dir, "supplier")
     n = F.broadcast(table(spark, sf_dir, "nation"))
     r = table(spark, sf_dir, "region")
     first_region = r.orderBy("r_regionkey").limit(1).select("r_regionkey", "r_name")

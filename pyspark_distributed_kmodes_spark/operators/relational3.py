@@ -276,10 +276,12 @@ def q73_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice of ASIA customers' MEDIUM-part revenue, per year — the
     nested-aggregate ratio pattern (group total ÷ window grand total).
 
-    Plan shape at scale: lineitem is the only big input; part/supplier/
-    customer/nation/region all broadcast, so the 7-table join is
-    shuffle-free until the final (year, nation) aggregation — tiny —
-    and the share window runs over dozens of rows.
+    Plan shape at scale: nation/region are fixed-cardinality (25/5
+    rows) and hinted broadcast; part/supplier/customer SCALE with the
+    data, so their join strategy is left to AQE — it broadcasts them at
+    small SF and falls back to shuffle joins when they outgrow the
+    threshold. The final (year, nation) aggregation is tiny and the
+    share window runs over dozens of rows.
     """
     from pyspark.sql import Window as W
 
@@ -295,8 +297,8 @@ def q73_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
 
     sales = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), cust.c_nationkey == F.col("n1.n_nationkey"))
@@ -369,7 +371,7 @@ def q74_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_max") == F.col("ord_max")) & (F.col("n_supps") >= 2) & (F.col("n_at_max") == 1)
     )
     return (
-        waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+        waiting.join(supp, waiting.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
@@ -423,10 +425,10 @@ def b16_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
         .join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year"))
@@ -460,7 +462,7 @@ def b17_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo_vol = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .groupBy(
             F.year("l_shipdate").cast("int").alias("l_year"),
             F.month("l_shipdate").cast("int").alias("l_month"),
@@ -503,7 +505,7 @@ def b18_brand_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .filter(band)
         .groupBy("p_brand")
         .agg(dsum(vol).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))

@@ -345,7 +345,10 @@ def q57_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus size as a 1-row DF cross-joined into the idf table: keeps
     # the whole computation one lazy plan (no separate driver action)
     n_docs_df = d.groupBy().agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
-    idf = F.broadcast(df_.crossJoin(F.broadcast(n_docs_df)))
+    # idf spans the full VOCABULARY — data-dependent size, so no forced
+    # broadcast (AQE picks one at small SF); only the 1-row corpus count
+    # is hinted
+    idf = df_.crossJoin(F.broadcast(n_docs_df))
     tfidf = F.round(F.col("tf") * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0), 6)
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word").asc())
     return (

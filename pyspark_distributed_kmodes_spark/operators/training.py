@@ -253,10 +253,16 @@ def b11_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("train-on-it-once" policies) and memorization audits.
 
     Shape: positional n-gram explode → document-frequency of each span
-    (map-side combined) → semi-join back. The shared-span table is tiny
-    relative to the corpus (only cross-doc repeats) so the back-join
-    broadcasts at scale. Docs shorter than {NGRAM_SPAN} words emit no
-    spans (guarded sequence) and drop out — same as the oracle.
+    (map-side combined) → join back. The shared-span table only holds
+    cross-doc repeats, so on an organic corpus it is tiny — but its
+    size is DATA-DEPENDENT (a heavily templated corpus can push it
+    toward the full distinct-gram count), so the join strategy is left
+    to AQE rather than a forced broadcast: AQE picks broadcast when the
+    runtime size is small and keeps a shuffle join when it is not (a
+    forced broadcast measured 7.7× growth on the 10×-replicated scale
+    probe, where every span becomes cross-doc shared). Docs shorter
+    than {NGRAM_SPAN} words emit no spans (guarded sequence) and drop
+    out — same as the oracle.
     """
     from pyspark_distributed_kmodes_spark.sources.tables import spread
 
@@ -277,7 +283,7 @@ def b11_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gram", F.lit(1).alias("is_dup"))
     )
     return (
-        grams.join(F.broadcast(shared), "gram", "left")
+        grams.join(shared, "gram", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
@@ -314,8 +320,10 @@ def b12_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     KenLM-style perplexity proxy used to quality-filter pre-training
     data (low avg logprob = gibberish, high = boilerplate).
 
-    Shape: one explode, one word-frequency aggregate (broadcast back —
-    vocabulary ≪ corpus), corpus total as a 1-row cross join, one
+    Shape: one explode, one word-frequency aggregate joined back
+    (vocabulary size is data-dependent — Heaps'-law sub-linear but
+    unbounded — so the strategy is AQE's call, broadcast only when the
+    runtime size allows), corpus total as a 1-row cross join, one
     per-doc aggregation. Determinism: each term rounds to 6 before an
     exact DECIMAL sum, one division at the end.
     """
@@ -325,7 +333,7 @@ def b12_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = words.groupBy().agg(F.count(F.lit(1)).cast("double").alias("n"))
     lp = F.round(F.log(F.col("cnt").cast("double") / F.col("n")), 6)
     return (
-        words.join(F.broadcast(freq.crossJoin(F.broadcast(total))), "word")
+        words.join(freq.crossJoin(F.broadcast(total)), "word")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_words"),
@@ -432,11 +440,15 @@ def b14_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
     from pyspark.sql import Window as W
 
+    # distributed top-k FIRST (TakeOrderedAndProject — parallel per
+    # partition, never a global single-partition window over the full
+    # vocabulary), then ids assigned on the bounded VOCAB_SIZE rows
     vocab = (
-        freq.withColumn(
+        freq.orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(VOCAB_SIZE)
+        .withColumn(
             "id", (F.row_number().over(W.orderBy(F.desc("cnt"), F.asc("word"))) - 1).cast("int")
         )
-        .filter(F.col("id") < VOCAB_SIZE)
         .select("word", "id")
     )
     tok = words.join(F.broadcast(vocab), "word", "left").select(
