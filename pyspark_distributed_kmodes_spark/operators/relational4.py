@@ -276,3 +276,49 @@ def b26_quiet_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numcust"), dsum("c_acctbal").alias("totacctbal"))
         .orderBy("n_name")
     )
+
+
+@query(
+    "b34_bucketed_colocated_join",
+    oracle=f"""
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       round({sql_dsum('l.l_extendedprice * (1 - l.l_discount)')}, 2) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+    tags=("join", "bucketing"),
+)
+def b34_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-time co-location: lineitem and orders are persisted as
+    bucketed+sorted tables on the join key, then joined WITHOUT any
+    exchange — the pre-shuffled-layout strategy for facts that are
+    joined on the same key query after query (at 100 TB the bucketed
+    write is paid once and every subsequent orderkey join/agg skips its
+    shuffle; `tests/test_bucketing.py` asserts the exchange-free plan).
+    Results are identical to the plain join — this query IS the plain
+    join's oracle run over the bucketed layout.
+    """
+    import tempfile
+
+    from pyspark_distributed_kmodes_spark.sources.tables import write_bucketed
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    # explicit temp paths: the hosting session's warehouse dir defaults
+    # to the process cwd, which this query must not write into
+    base = tempfile.mkdtemp(prefix="b34_bucketed_")
+    write_bucketed(li, "b34_li_bucketed", "l_orderkey", 8, path=f"{base}/li")
+    write_bucketed(o, "b34_o_bucketed", "o_orderkey", 8, path=f"{base}/o")
+    lib, ob = spark.table("b34_li_bucketed"), spark.table("b34_o_bucketed")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lib.join(ob, lib["l_orderkey"] == ob["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(dsum(rev), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

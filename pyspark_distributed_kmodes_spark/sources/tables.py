@@ -96,18 +96,31 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     w.parquet(path)
 
 
-def write_bucketed(df: DataFrame, table_name: str, bucket_col: str, n_buckets: int = 16) -> None:
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    path: str | None = None,
+) -> None:
     """Persist as a bucketed+sorted native table: co-locates rows by
     `bucket_col` at WRITE time so later equi-joins/aggregations on that
     key run with NO exchange — the pre-shuffled-layout strategy for
-    repeatedly-joined 100 TB facts (e.g. lineitem⋈orders on orderkey)."""
-    (
+    repeatedly-joined 100 TB facts (e.g. lineitem⋈orders on orderkey).
+
+    `path` makes it an external table at that location (otherwise data
+    lands in the session's warehouse dir, which defaults to the
+    PROCESS CWD — pass an explicit path when the caller can't control
+    where the hosting session was started)."""
+    w = (
         df.write.mode("overwrite")
         .bucketBy(n_buckets, bucket_col)
         .sortBy(bucket_col)
         .format("parquet")
-        .saveAsTable(table_name)
     )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)
 
 
 def spread(df: DataFrame, partition_col: str | None = None) -> DataFrame:
