@@ -67,6 +67,27 @@ class KMeansModel:
             best["dist"].alias("sq_dist"),
         )
 
+    # ---- persistence (model state is provably tiny: k × d doubles —
+    # a JSON document, not a distributed dataset; mirrors KModesModel) —
+    def save(self, path: str) -> None:
+        import json
+        import os
+
+        os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(
+                {"centroids": self.centroids, "costs": self.costs, "vec_col": self.vec_col},
+                f,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "KMeansModel":
+        import json
+
+        with open(path) as f:
+            d = json.load(f)
+        return cls(centroids=d["centroids"], costs=d["costs"], vec_col=d["vec_col"])
+
 
 def kmeans_fit(
     df: DataFrame,

@@ -142,3 +142,19 @@ def test_semantic_dedup_scaled_recall(spark, sf_dir):
     dup_scaled = {v for v, (_, s) in scaled.items() if s >= 2}
     if dup_exact:
         assert len(dup_scaled & dup_exact) / len(dup_exact) > 0.6
+
+
+def test_kmeans_save_load_roundtrip(spark, sf_dir, tmp_path):
+    """Persisted model must reproduce identical assignments."""
+    from pyspark_distributed_kmodes_spark.ml.kmeans import KMeansModel, kmeans_fit
+    from pyspark_distributed_kmodes_spark.sources.tables import table
+
+    emb = table(spark, sf_dir, "embeddings").limit(100)
+    m = kmeans_fit(emb, k=3, iters=2)
+    p = str(tmp_path / "kmeans.json")
+    m.save(p)
+    m2 = KMeansModel.load(p)
+    assert m2.centroids == m.centroids and m2.costs == m.costs
+    a1 = sorted((r.vec_id, r.cluster) for r in m.transform(emb).collect())
+    a2 = sorted((r.vec_id, r.cluster) for r in m2.transform(emb).collect())
+    assert a1 == a2
