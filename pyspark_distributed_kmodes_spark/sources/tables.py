@@ -53,10 +53,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; session.py sets nanosAsLong so it arrives as a
-        # bigint of nanoseconds — normalize to a microsecond TIMESTAMP
-        # (the data carries no sub-microsecond precision).
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) (read as a
+        # nanosecond bigint via session.py's nanosAsLong) and as
+        # TIMESTAMP(MICROS) without UTC adjustment (read as
+        # TIMESTAMP_NTZ). Normalize both to a microsecond TIMESTAMP:
+        # the session is pinned to UTC, so the NTZ cast preserves every
+        # wall-clock value, and watermarks/windows require TimestampType.
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
@@ -64,6 +66,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer DIV, not `/`: float division of int64 nanos loses
             # precision above 2^53 and shifts timestamps by ±1 µs
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     per_session[key] = df
     return df
 

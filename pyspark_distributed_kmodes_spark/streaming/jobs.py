@@ -35,6 +35,11 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     if isinstance(raw_schema["ts"].dataType, T.LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif isinstance(raw_schema["ts"].dataType, T.TimestampNTZType):
+        # TIMESTAMP(MICROS) parquet without UTC adjustment arrives as NTZ;
+        # watermarks require TimestampType — cast is value-preserving
+        # because the session timezone is pinned to UTC.
+        stream = stream.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return stream
 
 
