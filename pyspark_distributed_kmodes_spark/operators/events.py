@@ -319,3 +319,65 @@ def b19_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "weeks_since")
     )
+
+
+@query(
+    "b35_interval_join_attribution",
+    oracle="""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+       p.ts AS purchase_ts,
+       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts
+ AND c.ts > p.ts - INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+ORDER BY purchase_id, click_id
+""",
+    tags=("events", "join", "streaming-twin"),
+)
+def b35_interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (event-time range) join: every click by the same user in
+    the hour before each purchase — the batch twin of the stream-stream
+    join in streaming/jobs.py::attribution_join_stream, which emits
+    exactly these pairs under watermarks.
+
+    All-pairs semantics on purpose: a stream-stream inner join emits
+    every matching pair, so this is the form whose availableNow drain
+    is directly comparable (test_streaming). Last-touch attribution
+    (one row per purchase) is q33's as-of join instead.
+
+    Scale: both sides filter on event_type at the scan; the join is an
+    equi-join on user_id with the time-range as a post-join predicate,
+    so it shuffles once on user_id — per-user output is bounded by
+    click rate within the window, not by corpus size. lag_us is exact
+    integer microsecond arithmetic on both engines.
+    """
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        purchases.join(
+            clicks,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") > F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            "user_id",
+            "purchase_ts",
+            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+        )
+        .orderBy("purchase_id", "click_id")
+    )

@@ -173,3 +173,41 @@ def sliding_counts_stream(events: DataFrame, watermark: str = "40 days") -> Data
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "n_events")
     )
+
+
+def attribution_join_stream(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream inner join: every click by the same user within the
+    hour before each purchase (batch twin: b35_interval_join_attribution).
+
+    Both sides are watermarked so the join state is bounded: a buffered
+    click can be dropped once the purchase-side watermark passes
+    click_ts + 1 hour, and the time-range condition gives the engine
+    that bound explicitly. Output columns match the batch twin so the
+    availableNow drain is directly comparable.
+    """
+    c = clicks.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", "1 hour")
+    p = purchases.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", "1 hour")
+    return p.join(
+        c,
+        F.expr(
+            """
+            c_user = user_id AND
+            click_ts <= purchase_ts AND
+            click_ts > purchase_ts - INTERVAL 1 HOUR
+            """
+        ),
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        "purchase_ts",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )

@@ -220,3 +220,22 @@ def test_checkpoint_restart_processes_only_new_files(spark, sf_dir, tmp_path):
     out = spark.read.parquet(str(sink))
     assert out.count() == 2 * n_events
     assert out.select("event_id").distinct().count() == 2 * n_events
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Stream-stream interval join (watermarked both sides) must emit
+    exactly the pairs the batch interval join produces."""
+    from pyspark_distributed_kmodes_spark.operators.events import b35_interval_join_attribution
+    from pyspark_distributed_kmodes_spark.streaming.jobs import attribution_join_stream
+
+    joined = attribution_join_stream(events_stream(spark, sf_dir), events_stream(spark, sf_dir))
+    run_available_now(joined, "t_ssj", output_mode="append")
+    got = {
+        (r.purchase_id, r.click_id, r.user_id, r.purchase_ts, r.lag_us)
+        for r in spark.sql("SELECT * FROM t_ssj").collect()
+    }
+    want = {
+        (r.purchase_id, r.click_id, r.user_id, r.purchase_ts, r.lag_us)
+        for r in b35_interval_join_attribution(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
