@@ -120,3 +120,57 @@ def q89_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     updates = c.filter(F.col("c_custkey") % 10 == 0).withColumn("c_acctbal", F.col("c_acctbal") + 1000.0)
     return merge_upsert(c, updates, ["c_custkey"]).orderBy("c_custkey")
+
+
+@query(
+    "b39_nullsafe_snapshot_diff",
+    oracle="""
+WITH snap_a AS (
+  SELECT nullif(c_mktsegment, 'BUILDING') AS seg, count(*) AS n_a,
+         count(DISTINCT c_nationkey) AS nations_a
+  FROM customer GROUP BY 1
+), snap_b AS (
+  SELECT nullif(c_mktsegment, 'BUILDING') AS seg, count(*) AS n_b
+  FROM customer WHERE c_acctbal > 0 GROUP BY 1
+)
+SELECT coalesce(a.seg, b.seg) AS seg, a.n_a, a.nations_a, b.n_b,
+       (a.n_a IS NOT DISTINCT FROM b.n_b) AS unchanged
+FROM snap_a a FULL JOIN snap_b b ON a.seg IS NOT DISTINCT FROM b.seg
+ORDER BY seg NULLS FIRST
+""",
+    tags=("join", "cdc", "nullsafe"),
+)
+def b39_nullsafe_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): diff two
+    snapshot aggregates whose grouping key is nullable (a sentinel
+    segment normalized to NULL) — NULL keys must pair with NULL keys,
+    which a plain equi-join silently drops.
+
+    Scale: eqNullSafe is still an EQUI join to Catalyst (keyed on
+    coalesce-tagged values), so it hash-partitions both sides — no
+    fallback to a nested-loop plan; the aggregates shrink each side to
+    |segments| rows first.
+    """
+    c = table(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg")
+    snap_a = c.groupBy(seg).agg(
+        F.count(F.lit(1)).alias("n_a"),
+        F.countDistinct("c_nationkey").alias("nations_a"),
+    )
+    snap_b = (
+        c.filter(F.col("c_acctbal") > 0)
+        .groupBy(seg)
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    a, b = snap_a.alias("a"), snap_b.alias("b")
+    return (
+        a.join(b, F.col("a.seg").eqNullSafe(F.col("b.seg")), "full")
+        .select(
+            F.coalesce(F.col("a.seg"), F.col("b.seg")).alias("seg"),
+            "n_a",
+            "nations_a",
+            "n_b",
+            F.col("n_a").eqNullSafe(F.col("n_b")).alias("unchanged"),
+        )
+        .orderBy(F.col("seg").asc_nulls_first())
+    )

@@ -211,3 +211,55 @@ def attribution_join_stream(clicks: DataFrame, purchases: DataFrame) -> DataFram
         "purchase_ts",
         (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
     )
+
+
+def upsert_sink_stream(
+    spark,
+    stream_df: DataFrame,
+    target_dir: str,
+    key_cols: list[str],
+    order_cols: list[str],
+) -> None:
+    """Incremental MERGE-upsert sink: foreachBatch maintains a parquet
+    target holding the latest row per key across all micro-batches
+    (batch twin: q34_latest_event_dedup / cdc.merge_upsert).
+
+    Per batch: collapse the batch to its latest row per key (batches
+    can carry several events for one key), then anti-join + union
+    against the current target and atomically replace it. The
+    checkpointed source offsets make the maintenance restartable; the
+    localCheckpoint materializes the merge BEFORE the overwrite so the
+    job never reads the directory it is replacing.
+
+    Scale: this is the standard continuous-compaction loop on plain
+    parquet — each batch shuffles only on the upsert key, and with a
+    bucketed target the anti join is exchange-free (see
+    sources.tables.write_bucketed).
+    """
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from pyspark_distributed_kmodes_spark.operators.cdc import merge_upsert
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        try:
+            target = spark.read.parquet(target_dir)
+            merged = merge_upsert(target, latest, key_cols)
+        except Exception:  # first batch: no target yet
+            merged = latest
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_dir)
+
+    (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="upsert_ckpt_"))
+        .start()
+        .awaitTermination()
+    )

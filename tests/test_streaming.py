@@ -239,3 +239,43 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
         for r in b35_interval_join_attribution(spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_foreachbatch_upsert_incremental(spark, sf_dir):
+    """foreachBatch upsert sink, driven over MULTIPLE micro-batches
+    (maxFilesPerTrigger=1 over a 3-file split), must converge to the
+    batch 'latest event per (user, event_type)' result."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyspark_distributed_kmodes_spark.operators.events import q34_latest_event_dedup
+    from pyspark_distributed_kmodes_spark.sources.tables import table
+    from pyspark_distributed_kmodes_spark.streaming.jobs import upsert_sink_stream
+
+    e = table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="upsert_src_")
+    # 3 files split by time so later batches genuinely overwrite earlier keys
+    e.withColumn("_b", F.ntile(3).over(__import__("pyspark").sql.Window.orderBy("ts", "event_id"))) \
+        .repartition(1).sortWithinPartitions("_b").write.mode("overwrite").partitionBy("_b").parquet(src)
+
+    raw = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    target = tempfile.mkdtemp(prefix="upsert_tgt_") + "/t"
+    upsert_sink_stream(spark, stream, target, ["user_id", "event_type"], ["ts", "event_id"])
+
+    got = {
+        (r.user_id, r.event_type): (r.ts, r.event_id, r.value)
+        for r in spark.read.parquet(target).collect()
+    }
+    want = {
+        (r.user_id, r.event_type): (r.last_ts, None, None)
+        for r in q34_latest_event_dedup(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want) and len(got) > 0
+    for k, (ts, _eid, _v) in got.items():
+        assert ts == want[k][0], k
