@@ -114,3 +114,43 @@ def b38_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_days"),
     )
     return weekly.select("week", "est_users", "n_events", "n_days").orderBy("week")
+
+
+@query("b40_cms_heavy_hitters", oracle=None, tags=("sketch", "approx", "text"))
+def b40_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter token frequencies from a count-min sketch: the
+    sketch aggregates distributed (partial+merge inside one agg), then
+    the driver deserializes the few-KB blob and reads point estimates
+    for the candidate set.
+
+    Scale: frequency estimation without a per-token shuffle — the CMS
+    is a fixed-size (eps=0.1%, conf=99%) summary regardless of corpus
+    size, and reads are O(1) per candidate. Candidates here are the
+    exact top-20 (also computed, as ground truth for the overestimate
+    bound test); in production they come from a prior vocabulary or a
+    sample. Rows-only: CMS guarantees est >= exact and
+    est <= exact + eps*N w.h.p. — property-tested.
+    """
+    toks = _source_tokens(spark, sf_dir).select("token")
+    blob_row, top = (
+        toks.agg(
+            F.count_min_sketch("token", F.lit(0.001), F.lit(0.99), F.lit(42)).alias("sk"),
+            F.count(F.lit(1)).alias("n_total"),
+        ).first(),
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "token")
+        .limit(20)
+        .collect(),
+    )
+    jvm = spark.sparkContext._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(blob_row.sk))
+    )
+    rows = [
+        (r.token, int(r.exact_n), int(cms.estimateCount(r.token)), int(blob_row.n_total))
+        for r in top
+    ]
+    return spark.createDataFrame(
+        rows, "token string, exact_n bigint, cms_n bigint, n_total bigint"
+    ).orderBy(F.col("exact_n").desc(), "token")

@@ -81,3 +81,14 @@ def test_hll_rollup_matches_exact_weekly_distinct(spark, sf_dir):
     for r in rows:
         assert abs(r.est_users - exact[r.week]) / exact[r.week] < 0.05
         assert r.n_days >= 1
+
+
+def test_cms_overestimate_bound(spark, sf_dir):
+    """CMS estimates must satisfy exact <= est <= exact + eps*N
+    (eps=0.001, conf=0.99) for every heavy-hitter candidate."""
+    from pyspark_distributed_kmodes_spark.operators.sketches import b40_cms_heavy_hitters
+
+    rows = b40_cms_heavy_hitters(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.exact_n <= r.cms_n <= r.exact_n + 0.001 * r.n_total + 1, r
