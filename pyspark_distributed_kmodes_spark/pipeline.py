@@ -104,3 +104,33 @@ def pack_sequences(docs: DataFrame, target_words: int = 256, shard_col: str = "s
         .withColumn("start_offset", F.sum("n_words").over(w) - F.col("n_words"))
         .withColumn("pack_id", F.floor(F.col("start_offset") / target_words).cast("bigint"))
     )
+
+
+def with_stage_metrics(docs: DataFrame, stage: str):
+    """Attach free in-flight data-quality counters to a pipeline stage
+    via df.observe: rows, docs, total/avg chars, null-text count — the
+    metrics land with the FIRST action on the returned DataFrame, no
+    extra job or second scan.
+
+    Returns (df, observation); read observation.get after an action:
+
+        df, obs = P.with_stage_metrics(P.quality_filter(docs), "quality")
+        df.write.parquet(out)
+        print(obs.get)   # {'n_rows': ..., 'n_null_text': ..., ...}
+
+    Scale: Observation is an accumulator-backed listener — counters
+    merge per-task on the executors; nothing is collected beyond one
+    metrics row, so it costs nothing at 100 TB (unlike a .count() per
+    stage, which doubles every scan).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(f"stage_{stage}")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("n_null_text"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.avg(F.length("text")).alias("avg_chars"),
+    )
+    return observed, obs

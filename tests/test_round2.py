@@ -240,3 +240,29 @@ def test_pipeline_quality_repetition_cap(spark):
     d = spark.createDataFrame(rows, ["doc_id", "text"])
     out = P.quality_filter(d, min_words=5, min_unique_ratio=0.0, max_top_bigram_frac=0.5)
     assert [r.doc_id for r in out.collect()] == [2]
+
+
+def test_pipeline_stage_metrics_observe(spark, sf_dir):
+    """with_stage_metrics must report counters that match an explicit
+    aggregation, from the SAME single action (no second scan)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_distributed_kmodes_spark import pipeline as P
+    from pyspark_distributed_kmodes_spark.sources.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    staged, obs = P.with_stage_metrics(P.quality_filter(docs), "quality")
+    n_action = staged.count()
+    got = obs.get
+    exact = (
+        P.quality_filter(docs)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("text")).alias("chars"),
+        )
+        .first()
+    )
+    assert got["n_rows"] == n_action == exact.n
+    assert got["n_null_text"] == 0
+    assert got["total_chars"] == exact.chars
+    assert abs(got["avg_chars"] - exact.chars / exact.n) < 1e-6
