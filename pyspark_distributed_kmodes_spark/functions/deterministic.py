@@ -39,3 +39,26 @@ def sql_dsum(expr: str) -> str:
 
 def sql_davg(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS {SQL_DEC})) AS DOUBLE) / COUNT(*)"
+
+
+def pround(col: Column | str, nd: int = 6) -> Column:
+    """Portable round-half-up: floor(x*10^nd + 0.5) / 10^nd, pure IEEE
+    double ops that Spark and DuckDB compute bit-identically.
+
+    Built-in round() diverges between engines on boundary values:
+    Spark rounds the double's SHORTEST DECIMAL REPR (BigDecimal.valueOf)
+    while DuckDB rounds the BINARY value, so a mean whose repr sits on a
+    ...5 boundary (e.g. 0.0032135 stored as 0.00321349999...) rounds up
+    in Spark and down in DuckDB — a one-ulp hash mismatch that only
+    appears when the data lands on a boundary (b08 at sf0.1 did).
+    The floor form trades exact decimal-round semantics at the boundary
+    for engine-identical results everywhere. Mirror: sql_pround.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    s = float(10**nd)
+    return F.floor(c * F.lit(s) + F.lit(0.5)).cast("double") / F.lit(s)
+
+
+def sql_pround(expr: str, nd: int = 6) -> str:
+    s = float(10**nd)
+    return f"(CAST(floor(({expr}) * {s} + 0.5) AS DOUBLE) / {s})"

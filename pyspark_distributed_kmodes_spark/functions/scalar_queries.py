@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark_distributed_kmodes_spark.functions.deterministic import pround
 from pyspark_distributed_kmodes_spark.registry import query
 from pyspark_distributed_kmodes_spark.sources.tables import table
 
@@ -84,12 +85,12 @@ def q41_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q42_math_funcs",
     oracle="""
 SELECT o_orderkey,
-       round(o_totalprice, 1) AS rounded1,
+       (CAST(floor((o_totalprice) * 10.0 + 0.5) AS DOUBLE) / 10.0) AS rounded1,
        CAST(floor(o_totalprice) AS BIGINT) AS floor_price,
        CAST(ceil(o_totalprice) AS BIGINT) AS ceil_price,
        abs(o_totalprice - 250000.0) AS dist_from_mid,
-       round(sqrt(o_totalprice), 6) AS sqrt_price,
-       round(ln(o_totalprice), 6) AS ln_price,
+       (CAST(floor((sqrt(o_totalprice)) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS sqrt_price,
+       (CAST(floor((ln(o_totalprice)) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS ln_price,
        o_totalprice * o_totalprice AS price_sq,
        CAST(o_orderkey % 7 AS BIGINT) AS key_mod7
 FROM orders
@@ -105,12 +106,12 @@ def q42_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = F.col("o_totalprice")
     return o.select(
         "o_orderkey",
-        F.round(p, 1).alias("rounded1"),
+        pround(p, 1).alias("rounded1"),
         F.floor(p).alias("floor_price"),
         F.ceil(p).alias("ceil_price"),
         F.abs(p - 250000.0).alias("dist_from_mid"),
-        F.round(F.sqrt(p), 6).alias("sqrt_price"),
-        F.round(F.log(p), 6).alias("ln_price"),
+        pround(F.sqrt(p), 6).alias("sqrt_price"),
+        pround(F.log(p), 6).alias("ln_price"),
         (p * p).alias("price_sq"),
         (F.col("o_orderkey") % 7).alias("key_mod7"),
     ).orderBy("o_orderkey")

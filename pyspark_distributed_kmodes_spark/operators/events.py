@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pyspark_distributed_kmodes_spark.functions.deterministic import dsum, sql_dsum
+from pyspark_distributed_kmodes_spark.functions.deterministic import dsum, pround, sql_dsum
 from pyspark_distributed_kmodes_spark.registry import query
 from pyspark_distributed_kmodes_spark.sources.tables import table
 
@@ -278,7 +278,7 @@ SELECT j.cohort_week,
        CAST(j.weeks_since AS INTEGER) AS weeks_since,
        COUNT(DISTINCT j.user_id) AS n_active,
        s.cohort_size,
-       round(CAST(COUNT(DISTINCT j.user_id) AS DOUBLE) / s.cohort_size, 6) AS retention
+       (CAST(floor((CAST(COUNT(DISTINCT j.user_id) AS DOUBLE) / s.cohort_size) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS retention
 FROM joined j JOIN sizes s USING (cohort_week)
 GROUP BY j.cohort_week, j.weeks_since, s.cohort_size
 ORDER BY cohort_week, weeks_since
@@ -315,7 +315,7 @@ def b19_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weeks_since",
             "n_active",
             "cohort_size",
-            F.round(F.col("n_active").cast("double") / F.col("cohort_size"), 6).alias("retention"),
+            pround(F.col("n_active").cast("double") / F.col("cohort_size"), 6).alias("retention"),
         )
         .orderBy("cohort_week", "weeks_since")
     )

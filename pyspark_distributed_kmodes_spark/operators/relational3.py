@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pyspark_distributed_kmodes_spark.functions.deterministic import dsum, sql_dsum
+from pyspark_distributed_kmodes_spark.functions.deterministic import dsum, pround, sql_dsum
 from pyspark_distributed_kmodes_spark.registry import query
 from pyspark_distributed_kmodes_spark.sources.tables import table
 
@@ -163,9 +163,9 @@ WITH moments AS (
   GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,
-       round(s1 / n, 6) AS mean_qty,
-       round(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS stddev_qty,
-       round((sp - s1 * p1 / n) / (n - 1), 6) AS covar_qty_price
+       (CAST(floor((s1 / n) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS mean_qty,
+       (CAST(floor((sqrt((s2 - s1 * s1 / n) / (n - 1))) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS stddev_qty,
+       (CAST(floor(((sp - s1 * p1 / n) / (n - 1)) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS covar_qty_price
 FROM moments
 ORDER BY l_returnflag
 """,
@@ -192,9 +192,9 @@ def q93_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "l_returnflag",
         "n",
-        F.round(s1 / n, 6).alias("mean_qty"),
-        F.round(F.sqrt((s2 - s1 * s1 / n) / (n - 1)), 6).alias("stddev_qty"),
-        F.round((sp - s1 * p1 / n) / (n - 1), 6).alias("covar_qty_price"),
+        pround(s1 / n, 6).alias("mean_qty"),
+        pround(F.sqrt((s2 - s1 * s1 / n) / (n - 1)), 6).alias("stddev_qty"),
+        pround((sp - s1 * p1 / n) / (n - 1), 6).alias("covar_qty_price"),
     ).orderBy("l_returnflag")
 
 
@@ -203,7 +203,7 @@ def q93_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT o.o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_items,
-       round({sql_dsum('l.l_extendedprice * (1 - l.l_discount)')}, 2) AS revenue
+       (CAST(floor(({sql_dsum('l.l_extendedprice * (1 - l.l_discount)')}) * 100.0 + 0.5) AS DOUBLE) / 100.0) AS revenue
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority
 ORDER BY o_orderpriority
@@ -235,7 +235,7 @@ def q39_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            pround(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
         )
         .orderBy("o_orderpriority")
     )
@@ -264,8 +264,8 @@ WITH all_sales AS (
   FROM all_sales GROUP BY o_year, supp_nation
 )
 SELECT o_year, supp_nation,
-       round(nation_volume, 2) AS nation_volume,
-       round(nation_volume / SUM(nation_volume) OVER (PARTITION BY o_year), 6) AS mkt_share
+       (CAST(floor((nation_volume) * 100.0 + 0.5) AS DOUBLE) / 100.0) AS nation_volume,
+       (CAST(floor((nation_volume / SUM(nation_volume) OVER (PARTITION BY o_year)) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS mkt_share
 FROM nat
 ORDER BY o_year, supp_nation
 """,
@@ -315,8 +315,8 @@ def q73_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nat.select(
         "o_year",
         "supp_nation",
-        F.round("nation_volume", 2).alias("nation_volume"),
-        F.round(F.col("nation_volume") / F.sum("nation_volume").over(w), 6).alias("mkt_share"),
+        pround("nation_volume", 2).alias("nation_volume"),
+        pround(F.col("nation_volume") / F.sum("nation_volume").over(w), 6).alias("mkt_share"),
     ).orderBy("o_year", "supp_nation")
 
 
@@ -442,8 +442,8 @@ def b16_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
        CAST(month(l.l_shipdate) AS INTEGER) AS l_month,
-       round(100.0 * {sql_dsum("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
-             / {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')}, 6) AS promo_pct
+       (CAST(floor((100.0 * {sql_dsum("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
+             / {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')}) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS promo_pct
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 GROUP BY l_year, l_month
 ORDER BY l_year, l_month
@@ -467,7 +467,7 @@ def b17_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("int").alias("l_year"),
             F.month("l_shipdate").cast("int").alias("l_month"),
         )
-        .agg(F.round(100.0 * dsum(promo_vol) / dsum(vol), 6).alias("promo_pct"))
+        .agg(pround(100.0 * dsum(promo_vol) / dsum(vol), 6).alias("promo_pct"))
         .orderBy("l_year", "l_month")
     )
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyspark_distributed_kmodes_spark.functions.deterministic import dsum, sql_dsum
+from pyspark_distributed_kmodes_spark.functions.deterministic import dsum, pround, sql_dsum
 from pyspark_distributed_kmodes_spark.registry import query
 from pyspark_distributed_kmodes_spark.sources.tables import table
 
@@ -21,7 +21,7 @@ from pyspark_distributed_kmodes_spark.sources.tables import table
     "b21_returned_items",
     oracle=f"""
 SELECT c.c_custkey, c.c_name, n.n_name,
-       round({sql_dsum('l.l_extendedprice * (1 - l.l_discount)')}, 2) AS revenue,
+       (CAST(floor(({sql_dsum('l.l_extendedprice * (1 - l.l_discount)')}) * 100.0 + 0.5) AS DOUBLE) / 100.0) AS revenue,
        c.c_acctbal
 FROM customer c
 JOIN orders o ON o.o_custkey = c.c_custkey
@@ -57,7 +57,7 @@ def b21_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
-        .agg(F.round(dsum(rev), 2).alias("revenue"))
+        .agg(pround(dsum(rev), 2).alias("revenue"))
         .select("c_custkey", "c_name", "n_name", "revenue", "c_acctbal")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
@@ -283,7 +283,7 @@ def b26_quiet_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT o.o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_lines,
-       round({sql_dsum('l.l_extendedprice * (1 - l.l_discount)')}, 2) AS revenue
+       (CAST(floor(({sql_dsum('l.l_extendedprice * (1 - l.l_discount)')}) * 100.0 + 0.5) AS DOUBLE) / 100.0) AS revenue
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority
 ORDER BY o.o_orderpriority
@@ -318,7 +318,7 @@ def b34_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_lines"),
-            F.round(dsum(rev), 2).alias("revenue"),
+            pround(dsum(rev), 2).alias("revenue"),
         )
         .orderBy("o_orderpriority")
     )

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyspark_distributed_kmodes_spark.functions.deterministic import davg, sql_davg
+from pyspark_distributed_kmodes_spark.functions.deterministic import davg, pround, sql_davg
 from pyspark_distributed_kmodes_spark.registry import query
 from pyspark_distributed_kmodes_spark.sources.tables import table
 
@@ -82,9 +82,9 @@ def q51_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT doc_id,
        n_words,
-       round(CAST(n_chars AS DOUBLE) / n_words, 6) AS chars_per_word,
-       round(CAST(n_stop AS DOUBLE) / n_words, 6) AS stopword_ratio,
-       round(CAST(n_unique AS DOUBLE) / n_words, 6) AS unique_ratio,
+       (CAST(floor((CAST(n_chars AS DOUBLE) / n_words) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS chars_per_word,
+       (CAST(floor((CAST(n_stop AS DOUBLE) / n_words) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS stopword_ratio,
+       (CAST(floor((CAST(n_unique AS DOUBLE) / n_words) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS unique_ratio,
        CASE WHEN n_words >= 20 AND CAST(n_unique AS DOUBLE) / n_words > 0.3
             THEN 1 ELSE 0 END AS passes_quality
 FROM (
@@ -116,9 +116,9 @@ def q52_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "doc_id",
         "n_words",
-        F.round(F.col("n_chars").cast("double") / F.col("n_words"), 6).alias("chars_per_word"),
-        F.round(F.col("n_stop").cast("double") / F.col("n_words"), 6).alias("stopword_ratio"),
-        F.round(F.col("n_unique").cast("double") / F.col("n_words"), 6).alias("unique_ratio"),
+        pround(F.col("n_chars").cast("double") / F.col("n_words"), 6).alias("chars_per_word"),
+        pround(F.col("n_stop").cast("double") / F.col("n_words"), 6).alias("stopword_ratio"),
+        pround(F.col("n_unique").cast("double") / F.col("n_words"), 6).alias("unique_ratio"),
         F.when((F.col("n_words") >= 20) & (F.col("n_unique").cast("double") / F.col("n_words") > 0.3), 1)
         .otherwise(0)
         .alias("passes_quality"),
@@ -196,7 +196,7 @@ WITH shingles AS (
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT p.doc_a, p.doc_b,
-       round(CAST(p.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - p.n_common), 6) AS jaccard
+       (CAST(floor((CAST(p.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - p.n_common)) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS jaccard
 FROM pairs p
 JOIN sizes sa ON sa.doc_id = p.doc_a
 JOIN sizes sb ON sb.doc_id = p.doc_b
@@ -260,7 +260,7 @@ def ngram_jaccard_pairs(d: DataFrame, threshold: float = 0.2, max_df: int | None
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
         .filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select("doc_a", "doc_b", pround(jac, 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 
@@ -595,7 +595,7 @@ WITH bg AS (
 )
 SELECT doc_id,
        CAST(SUM(c) AS BIGINT) AS n_bigrams,
-       round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_bigram_frac,
+       (CAST(floor((CAST(MAX(c) AS DOUBLE) / SUM(c)) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS top_bigram_frac,
        CASE WHEN CAST(MAX(c) AS DOUBLE) / SUM(c) > 0.1 THEN 1 ELSE 0 END AS repetitive
 FROM cnt
 GROUP BY doc_id
@@ -630,7 +630,7 @@ def q99_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt.groupBy("doc_id")
         .agg(
             F.sum("c").cast("bigint").alias("n_bigrams"),
-            F.round(frac, 6).alias("top_bigram_frac"),
+            pround(frac, 6).alias("top_bigram_frac"),
             F.when(frac > 0.1, 1).otherwise(0).alias("repetitive"),
         )
         .orderBy("doc_id")
@@ -701,11 +701,10 @@ def b27_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH scored AS (
   SELECT doc_id,
-         round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-               / len(string_split(text, ' ')), 6) AS unique_ratio
+         (CAST(floor((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' '))) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS unique_ratio
   FROM documents
 ), thr AS (
-  SELECT round(quantile_cont(unique_ratio, 0.1), 6) AS p10 FROM scored
+  SELECT (CAST(floor((quantile_cont(unique_ratio, 0.1)) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS p10 FROM scored
 )
 SELECT s.doc_id, s.unique_ratio, t.p10
 FROM scored s, thr t
@@ -732,11 +731,11 @@ def b31_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.split("text", " ")
     scored = d.select(
         "doc_id",
-        F.round(
+        pround(
             F.size(F.array_distinct(words)).cast("double") / F.size(words), 6
         ).alias("unique_ratio"),
     )
-    thr = scored.agg(F.round(F.expr("percentile(unique_ratio, 0.1)"), 6).alias("p10"))
+    thr = scored.agg(pround(F.expr("percentile(unique_ratio, 0.1)"), 6).alias("p10"))
     return (
         scored.crossJoin(F.broadcast(thr))
         .filter(F.col("unique_ratio") >= F.col("p10"))
@@ -751,7 +750,7 @@ SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
        CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dup_docs,
-       round(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 6) AS dup_rate
+       (CAST(floor((1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS dup_rate
 FROM documents
 GROUP BY source
 ORDER BY source
@@ -773,7 +772,7 @@ def b32_source_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.countDistinct(h).cast("bigint").alias("n_distinct"),
             (F.count(F.lit(1)) - F.countDistinct(h)).cast("bigint").alias("n_dup_docs"),
-            F.round(1.0 - F.countDistinct(h).cast("double") / F.count(F.lit(1)), 6).alias("dup_rate"),
+            pround(1.0 - F.countDistinct(h).cast("double") / F.count(F.lit(1)), 6).alias("dup_rate"),
         )
         .orderBy("source")
     )

@@ -15,6 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pyspark_distributed_kmodes_spark.functions.deterministic import pround
 from pyspark_distributed_kmodes_spark.registry import query
 from pyspark_distributed_kmodes_spark.sources.tables import table
 
@@ -144,7 +145,7 @@ def b07_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT label,
        CAST(t.pos AS INTEGER) AS pos,
-       round(CAST(SUM(CAST(CAST(t.val AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6) AS centroid
+       (CAST(floor((CAST(SUM(CAST(CAST(t.val AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS centroid
 FROM (
   SELECT label,
          unnest(list_transform(range(1, len(embedding) + 1),
@@ -172,7 +173,7 @@ def b08_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("label", F.posexplode("embedding").alias("pos", "val"))
         .groupBy("label", "pos")
         .agg(
-            F.round(
+            pround(
                 F.sum(F.col("val").cast("double").cast("decimal(25,6)")).cast("double") / F.count(F.lit(1)), 6
             ).alias("centroid")
         )
@@ -185,7 +186,7 @@ def b08_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b09_int8_quantization",
     oracle="""
 SELECT vec_id,
-       round(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 6) AS max_abs,
+       (CAST(floor((list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS max_abs,
        CAST(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
             x -> CAST(round(x * 127.0 / list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y)))) AS BIGINT)
                  * CAST(round(x * 127.0 / list_max(list_transform(CAST(embedding AS DOUBLE[]), y -> abs(y)))) AS BIGINT)))
@@ -213,7 +214,7 @@ def b09_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.select(
             "vec_id",
-            F.round(max_abs, 6).alias("max_abs"),
+            pround(max_abs, 6).alias("max_abs"),
             q_sq_sum.alias("q_sq_sum"),
         )
         .orderBy("vec_id")
@@ -239,7 +240,7 @@ WITH grams AS (
 SELECT g.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_spans,
        CAST(COUNT(s.gram) AS BIGINT) AS n_dup_spans,
-       round(CAST(COUNT(s.gram) AS DOUBLE) / COUNT(*), 6) AS dup_frac
+       (CAST(floor((CAST(COUNT(s.gram) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS dup_frac
 FROM grams g LEFT JOIN shared s ON g.gram = s.gram
 GROUP BY g.doc_id
 ORDER BY g.doc_id
@@ -288,7 +289,7 @@ def b11_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
             F.count("is_dup").alias("n_dup_spans"),
-            F.round(F.count("is_dup").cast("double") / F.count(F.lit(1)), 6).alias("dup_frac"),
+            pround(F.count("is_dup").cast("double") / F.count(F.lit(1)), 6).alias("dup_frac"),
         )
         .orderBy("doc_id")
     )
@@ -306,8 +307,7 @@ WITH words AS (
 )
 SELECT w.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_words,
-       round(CAST(SUM(CAST(round(ln(CAST(f.cnt AS DOUBLE) / t.n), 6) AS DECIMAL(25,6))) AS DOUBLE)
-             / COUNT(*), 6) AS avg_logprob
+       (CAST(floor((CAST(SUM(CAST(round(ln(CAST(f.cnt AS DOUBLE) / t.n), 6) AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS avg_logprob
 FROM words w JOIN freq f USING (word) CROSS JOIN total t
 GROUP BY w.doc_id
 ORDER BY w.doc_id
@@ -337,7 +337,7 @@ def b12_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_words"),
-            F.round(F.sum(lp.cast("decimal(25,6)")).cast("double") / F.count(F.lit(1)), 6).alias("avg_logprob"),
+            pround(F.sum(lp.cast("decimal(25,6)")).cast("double") / F.count(F.lit(1)), 6).alias("avg_logprob"),
         )
         .orderBy("doc_id")
     )
