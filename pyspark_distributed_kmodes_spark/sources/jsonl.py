@@ -18,7 +18,12 @@ from __future__ import annotations
 import glob as _glob
 import json
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class JsonlFilePartition(InputPartition):
@@ -48,6 +53,54 @@ class JsonlDocsReader(DataSourceReader):
                 yield tuple(obj.get(k) for k in self.fields)
 
 
+class JsonlDocsStreamReader(SimpleDataSourceStreamReader):
+    """Simple streaming reader (pyspark.sql.datasource
+    SimpleDataSourceStreamReader contract): tails the glob for NEW shard
+    files; the offset is the sorted list of files already consumed, so
+    restarts from a checkpoint replay exactly the unread shards —
+    exactly-once without any sink-side dedup.
+
+    Scale note: offsets carry file NAMES only; the driver never holds
+    rows. One shard file per micro-batch read unit mirrors the batch
+    reader's partition planning.
+    """
+
+    def __init__(self, options: dict, schema):
+        self.glob = options["path"]
+        self.fields = [f.name for f in schema.fields]
+
+    def initialOffset(self):
+        return {"done": []}
+
+    def _rows(self, paths):
+        # materialized (not a generator): the engine's prefetching
+        # wrapper caches the batch for replay, which requires pickling
+        rows = []
+        for path in paths:
+            with open(path) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        obj = json.loads(line)
+                        rows.append(tuple(obj.get(k) for k in self.fields))
+        return rows
+
+    def read(self, start):
+        done = set(start["done"])
+        new = [p for p in sorted(_glob.glob(self.glob)) if p not in done]
+        end = {"done": sorted(done | set(new))}
+        return self._rows(new), end
+
+    def readBetweenOffsets(self, start, end):
+        # deterministic replay for recovery: exactly the files that are
+        # in `end` but not in `start`
+        replay = sorted(set(end["done"]) - set(start["done"]))
+        return self._rows(replay)
+
+    def commit(self, end):
+        pass
+
+
 class JsonlDocsDataSource(DataSource):
     """Usage:
         spark.dataSource.register(JsonlDocsDataSource)
@@ -67,6 +120,9 @@ class JsonlDocsDataSource(DataSource):
 
     def reader(self, schema) -> JsonlDocsReader:
         return JsonlDocsReader(self.options, schema)
+
+    def simpleStreamReader(self, schema):
+        return JsonlDocsStreamReader(self.options, schema)
 
 
 def register(spark) -> None:

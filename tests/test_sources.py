@@ -83,3 +83,48 @@ def test_jsonl_python_datasource(spark, tmp_path):
     )
     r = df2.orderBy("doc_id").first()
     assert r.doc_id == 0 and r.source is None
+
+
+def test_jsonl_streaming_source_incremental_exactly_once(spark, tmp_path):
+    """The jsonl streaming reader must (a) pick up only NEW shard files
+    per availableNow run against the same checkpoint, and (b) never
+    re-emit rows already consumed — exactly-once via file-set offsets."""
+    import json as _json
+
+    from pyspark_distributed_kmodes_spark.sources import jsonl
+
+    def write_shard(i, rows):
+        with open(tmp_path / f"s-{i:03d}.jsonl", "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    write_shard(0, [{"doc_id": 1, "text": "a"}, {"doc_id": 2, "text": "b"}])
+    write_shard(1, [{"doc_id": 3, "text": "c"}])
+    jsonl.register(spark)
+    ckpt = str(tmp_path / "ckpt")
+
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("jsonl_docs")
+            .schema("doc_id bigint, text string")
+            .option("path", str(tmp_path / "s-*.jsonl"))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return [r.doc_id for r in spark.read.parquet(out).collect()]
+
+    got1 = drain()
+    assert sorted(got1) == [1, 2, 3]
+    # new shard arrives; restart from the same checkpoint
+    write_shard(2, [{"doc_id": 4, "text": "d"}])
+    got2 = drain()
+    # only doc 4 appended, nothing re-emitted: exactly-once via offsets
+    assert sorted(got2) == [1, 2, 3, 4]
