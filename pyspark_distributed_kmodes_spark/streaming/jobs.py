@@ -219,6 +219,7 @@ def upsert_sink_stream(
     target_dir: str,
     key_cols: list[str],
     order_cols: list[str],
+    checkpoint_dir: str | None = None,
 ) -> None:
     """Incremental MERGE-upsert sink: foreachBatch maintains a parquet
     target holding the latest row per key across all micro-batches
@@ -249,17 +250,21 @@ def upsert_sink_stream(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        try:
-            target = spark.read.parquet(target_dir)
-            merged = merge_upsert(target, latest, key_cols)
-        except Exception:  # first batch: no target yet
+        # Hadoop FS existence check (works for any supported URI, and
+        # avoids the noisy JVM-logged AnalysisException of a try/read)
+        jvm = spark.sparkContext._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(target_dir)
+        fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        if fs.exists(hpath):
+            merged = merge_upsert(spark.read.parquet(target_dir), latest, key_cols)
+        else:  # first batch: no target yet
             merged = latest
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_dir)
 
     (
         stream_df.writeStream.foreachBatch(apply_batch)
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="upsert_ckpt_"))
+        .option("checkpointLocation", checkpoint_dir or tempfile.mkdtemp(prefix="upsert_ckpt_"))
         .start()
         .awaitTermination()
     )
