@@ -485,11 +485,20 @@ WITH shingles AS (
 ), hits AS (
   SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc, t.shingle
   FROM tr t JOIN ev e ON t.shingle = e.shingle
+), ev_sh AS (
+  SELECT DISTINCT shingle FROM ev
 ), per_train AS (
-  SELECT train_doc, COUNT(DISTINCT shingle) AS n_shared
-  FROM hits GROUP BY train_doc
+  -- tr is distinct per (doc, shingle) and ev_sh per shingle, so the
+  -- join emits unique (train_doc, shingle) rows: COUNT(*) == distinct
+  -- shared shingles, with NO per-eval-doc fan-out
+  SELECT t.doc_id AS train_doc, COUNT(*) AS n_shared
+  FROM tr t JOIN ev_sh e ON t.shingle = e.shingle
+  GROUP BY t.doc_id
 ), pairw AS (
-  SELECT train_doc, eval_doc, COUNT(DISTINCT shingle) AS c
+  -- hits rows are unique triples (both inputs distinct), so COUNT(*)
+  -- == COUNT(DISTINCT shingle): a plain spillable count, no
+  -- distinct-set state per group
+  SELECT train_doc, eval_doc, COUNT(*) AS c
   FROM hits GROUP BY train_doc, eval_doc
 ), top AS (
   SELECT train_doc, eval_doc,
@@ -539,8 +548,19 @@ def q75_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = shingle_df(_reps(train_all)).select(F.col("doc_id").alias("train_doc"), "shingle")
     ev = shingle_df(_reps(eval_all)).select(F.col("doc_id").alias("eval_doc"), "shingle")
     hits = tr.join(ev, "shingle")
-    per_train = hits.groupBy("train_doc").agg(F.count_distinct("shingle").alias("n_shared"))
-    pairw = hits.groupBy("train_doc", "eval_doc").agg(F.count_distinct("shingle").alias("c"))
+    # Both shingle inputs are distinct per (doc, shingle), so plain
+    # COUNT(*) equals COUNT(DISTINCT shingle) on each aggregate below —
+    # Tungsten hash aggregation with map-side partials and spill,
+    # instead of per-group distinct-set state (which OOMs a 1 GB-heap
+    # session on the hot-shingle fan-out). per_train additionally joins
+    # the DISTINCT eval shingle SET, avoiding the per-eval-doc fan-out
+    # entirely.
+    per_train = (
+        tr.join(ev.select("shingle").distinct(), "shingle")
+        .groupBy("train_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    pairw = hits.groupBy("train_doc", "eval_doc").agg(F.count(F.lit(1)).alias("c"))
     top = pairw.withColumn(
         "rn", F.row_number().over(W.partitionBy("train_doc").orderBy(F.desc("c"), F.asc("eval_doc")))
     ).filter(F.col("rn") == 1)
