@@ -183,3 +183,62 @@ def b04_udtf_first_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "pos", "word")
         .orderBy("doc_id", "pos")
     )
+
+
+@query(
+    "b41_applyinarrow_source_stats",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+       CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_words
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+    tags=("udf", "text"),
+)
+def b41_applyinarrow_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped applyInArrow (the grouped-map sibling of b03's
+    mapInArrow): per-source corpus stats computed on a whole group as
+    one Arrow Table with pyarrow compute kernels — no pandas
+    materialization. Exact integer outputs, so unlike most UDF showcase
+    queries this one is hash-gated against the SQL oracle.
+
+    Scale: one shuffle on the grouping key; each group is vectorized C
+    on Arrow buffers. Use built-in aggs when they exist (this oracle IS
+    one) — the pattern earns its keep when the per-group logic has no
+    JVM equivalent (tokenizers, model featurizers) but is still
+    columnar.
+    """
+    import pyarrow as pa
+
+    def stats(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        text = tbl.column("text")
+        n_words = pc.add(pc.count_substring(text, " "), 1)
+        return pa.table(
+            {
+                "source": [tbl.column("source")[0].as_py()],
+                "n_docs": [tbl.num_rows],
+                "total_bytes": [pc.sum(pc.binary_length(text)).as_py()],
+                "max_words": [pc.max(n_words).as_py()],
+            },
+            schema=pa.schema(
+                [
+                    ("source", pa.string()),
+                    ("n_docs", pa.int64()),
+                    ("total_bytes", pa.int64()),
+                    ("max_words", pa.int64()),
+                ]
+            ),
+        )
+
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("source", "text")
+        .groupBy("source")
+        .applyInArrow(stats, "source string, n_docs bigint, total_bytes bigint, max_words bigint")
+        .orderBy("source")
+    )
