@@ -26,3 +26,35 @@ def test_oracle_parity(name, spark, duck, sf_dir):
 def test_rows_only_queries_run(name, spark, sf_dir):
     rows = QS[name](spark, sf_dir).collect()
     assert rows is not None
+
+
+def test_pround_engine_agreement_on_knife_edge_rationals(spark, duck):
+    """pround (Spark) and sql_pround (DuckDB) must agree bit-for-bit on
+    exactly the values where the engines' built-in round() diverges:
+    rational means whose true value sits exactly on a ...5 rounding
+    boundary but is not binary-representable (the b08 sf0.1 failure:
+    0.616992/192 = exactly 0.0032135)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_distributed_kmodes_spark.functions.deterministic import pround, sql_pround
+
+    # (numerator, denominator) pairs whose quotient ends in ...5 at the
+    # 7th decimal — reduced denominators contain 5^k so the boundary is
+    # never binary-representable
+    cases = [
+        (616992, 192_000_000),   # the observed b08 cell
+        (1, 2_000_000),          # 0.0000005
+        (3, 2_000_000),          # 0.0000015
+        (12345, 2_000_000),      # 0.0061725
+        (987654321, 2_000_000),  # 493.8271605
+        (-616992, 192_000_000),  # negative side
+        (7, 4_000_000),          # 0.00000175 -> nd=6 boundary x.xxxxxx5? 0.0000017|5
+    ]
+    rows = [(float(a) / float(b),) for a, b in cases]
+    sdf = spark.createDataFrame(rows, "x double").select(pround(F.col("x"), 6).alias("r"))
+    got_spark = [r.r for r in sdf.collect()]
+    got_duck = [
+        duck.execute(f"SELECT {sql_pround('CAST(? AS DOUBLE)', 6)}", [x]).fetchone()[0]
+        for (x,) in rows
+    ]
+    assert got_spark == got_duck, list(zip(got_spark, got_duck))
