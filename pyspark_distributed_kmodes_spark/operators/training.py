@@ -518,3 +518,53 @@ def b15_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "pack_id")
     )
+
+
+@query(
+    "b42_train_val_test_split",
+    oracle="""
+SELECT source, split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id
+FROM (
+  SELECT source, n_chars, doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+) t
+GROUP BY source, split
+ORDER BY source, split
+""",
+    tags=("training", "sampling"),
+)
+def b42_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment (~80/10/10) by a
+    hash of the document id: md5 hex-prefix bucketing, so the split is
+    reproducible across engines, runs, and cluster sizes, independent
+    of row order, and stable under text edits (id-keyed, not
+    content-keyed). The canonical last step before materializing
+    training shards; contrast a95's strata-keyed mod sampling.
+
+    Scale: a pure per-row expression plus one small aggregation — the
+    split column costs nothing at 100 TB and partitions the write by
+    (split) with no shuffle beyond the report's groupBy. Hex-prefix
+    comparison works because md5 hex is fixed-length lowercase in both
+    engines (lexicographic == numeric on the prefix).
+    """
+    d = table(spark, sf_dir, "documents")
+    prefix = F.md5(F.col("doc_id").cast("string")).substr(1, 2)
+    split = (
+        F.when(prefix < "cc", "train").when(prefix < "e6", "val").otherwise("test")
+    )
+    return (
+        d.select("source", "n_chars", "doc_id", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_id"),
+        )
+        .orderBy("source", "split")
+    )
