@@ -238,7 +238,7 @@ def q36_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a90_posexplode",
+    "q90_posexplode",
     oracle="""
 SELECT doc_id,
        CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INTEGER) AS pos,
@@ -264,14 +264,21 @@ def q90_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q91_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch percentiles: percentile_approx (one-pass mergeable) beside
     the exact values — the 100 TB path where exact per-group sorts are
-    unaffordable. Rows-only; accuracy bound property-tested."""
+    unaffordable. Rows-only; accuracy bound property-tested.
+
+    All outputs are SCALAR columns: the driver canonicalizes even
+    rows-only results through a pandas sort, which cannot hash
+    array-typed cells (round-2 a91 crash) — quartiles are therefore
+    emitted as approx_p25/approx_p75, never array<double>."""
     li = table(spark, sf_dir, "lineitem")
+    quartiles = F.percentile_approx("l_extendedprice", [0.25, 0.75], 10000)
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
             F.median("l_extendedprice").alias("exact_median"),
-            F.percentile_approx("l_extendedprice", [0.25, 0.75], 10000).alias("approx_quartiles"),
+            quartiles.getItem(0).alias("approx_p25"),
+            quartiles.getItem(1).alias("approx_p75"),
         )
         .orderBy("l_returnflag")
     )

@@ -71,7 +71,7 @@ def with_blob(docs: DataFrame) -> DataFrame:
 
 
 @query(
-    "a80_multimodal_decode",
+    "q80_multimodal_decode",
     oracle="""
 SELECT doc_id,
        CAST(n_chars AS BIGINT) AS byte_len,
@@ -97,7 +97,7 @@ def q80_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a81_multimodal_filter_join",
+    "q81_multimodal_filter_join",
     oracle="""
 SELECT d.lang,
        COUNT(*) AS n_large,
@@ -156,7 +156,7 @@ def extract_features(doc_ids: pd.Series, payloads: pd.Series) -> pd.DataFrame:
 
 
 @query(
-    "a82_multimodal_features",
+    "q82_multimodal_features",
     oracle="""
 WITH feats AS (
   SELECT doc_id,

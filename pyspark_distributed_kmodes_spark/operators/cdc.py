@@ -57,7 +57,7 @@ def scd2_history(df: DataFrame, key: str, attr: str, ts: str, tie_break: str) ->
 
 
 @query(
-    "a88_scd2_history",
+    "q88_scd2_history",
     oracle="""
 WITH flagged AS (
   SELECT user_id, event_type, ts, event_id,
@@ -97,7 +97,7 @@ def q88_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a89_merge_upsert",
+    "q89_merge_upsert",
     oracle="""
 WITH updates AS (
   SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000.0 AS c_acctbal, c_mktsegment

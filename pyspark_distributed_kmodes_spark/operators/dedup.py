@@ -104,7 +104,7 @@ def _expand_copy_pairs(groups: DataFrame, rep_h: DataFrame, rep_pairs: DataFrame
     return cross.unionByName(within)
 
 
-@query("a63_minhash_neardup", oracle=None, tags=("text", "dedup", "approx"), bench=True)
+@query("q63_minhash_neardup", oracle=None, tags=("text", "dedup", "approx"), bench=True)
 def q63_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with estimated Jaccard ≥ 0.5.
 
@@ -175,7 +175,7 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-@query("a64_simhash_neardup", oracle=None, tags=("text", "dedup", "approx"))
+@query("q64_simhash_neardup", oracle=None, tags=("text", "dedup", "approx"))
 def q64_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicates: hamming distance ≤ 8 of 48 bits.
 
@@ -215,7 +215,7 @@ def q64_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a65_dedup_keep_best",
+    "q65_dedup_keep_best",
     oracle="""
 SELECT fingerprint, doc_id, lang, n_chars
 FROM (
@@ -247,7 +247,7 @@ def q65_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("a66_minhash_mllib", oracle=None, tags=("text", "dedup", "approx"))
+@query("q66_minhash_mllib", oracle=None, tags=("text", "dedup", "approx"))
 def q66_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Library-based near-dedup: pyspark.ml MinHashLSH over HashingTF
     shingle vectors (approxSimilarityJoin) — the off-the-shelf
@@ -330,7 +330,7 @@ def near_dup_components(docs: DataFrame, threshold: float = 0.2, max_df: int = 1
 
 
 @query(
-    "a97_dup_clusters",
+    "q97_dup_clusters",
     bench=True,
     oracle="""
 WITH RECURSIVE
@@ -391,7 +391,7 @@ def q97_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a98_dedup_canonical",
+    "q98_dedup_canonical",
     oracle="""
 WITH RECURSIVE
 shingles AS (
@@ -468,7 +468,7 @@ def q98_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a75_decontamination",
+    "q75_decontamination",
     oracle="""
 WITH shingles AS (
   SELECT DISTINCT doc_id, source, shingle
@@ -586,7 +586,7 @@ def q75_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a69_neardup_graph_stats",
+    "q69_neardup_graph_stats",
     oracle="""
 WITH RECURSIVE
 shingles AS (

@@ -12,7 +12,7 @@ from pyspark_distributed_kmodes_spark.sources.tables import table
 
 
 @query(
-    "a85_min_price_per_brand",
+    "q85_min_price_per_brand",
     oracle="""
 SELECT p.p_partkey, p.p_brand, p.p_retailprice
 FROM part p
@@ -38,7 +38,7 @@ def q85_min_price_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a86_small_quantity_revenue",
+    "q86_small_quantity_revenue",
     oracle=f"""
 SELECT l.l_partkey,
        {sql_dsum('l.l_extendedprice')} AS small_lot_revenue,
@@ -76,7 +76,7 @@ def q86_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a87_event_funnel",
+    "q87_event_funnel",
     oracle="""
 WITH firsts AS (
   SELECT user_id,
@@ -123,7 +123,7 @@ def q87_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a92_histogram",
+    "q92_histogram",
     oracle=f"""
 SELECT o_orderstatus,
        CAST(floor(o_totalprice / 50000.0) AS INTEGER) AS bucket,
@@ -150,7 +150,7 @@ def q92_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a93_exact_stats",
+    "q93_exact_stats",
     oracle="""
 WITH moments AS (
   SELECT l_returnflag,
@@ -242,7 +242,7 @@ def q39_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a73_market_share",
+    "q73_market_share",
     bench=True,
     oracle=f"""
 WITH all_sales AS (
@@ -321,7 +321,7 @@ def q73_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a74_waiting_suppliers",
+    "q74_waiting_suppliers",
     bench=True,
     oracle="""
 WITH per AS (

@@ -49,7 +49,7 @@ def q50_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a51_lang_profile",
+    "q51_lang_profile",
     oracle=f"""
 SELECT lang, source,
        COUNT(*) AS n_docs,
@@ -78,7 +78,7 @@ def q51_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a52_quality_score",
+    "q52_quality_score",
     oracle=f"""
 SELECT doc_id,
        n_words,
@@ -126,7 +126,7 @@ def q52_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a53_token_count",
+    "q53_token_count",
     oracle="""
 SELECT lang,
        COUNT(*) AS n_docs,
@@ -156,7 +156,7 @@ def q53_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a54_doc_fingerprint",
+    "q54_doc_fingerprint",
     oracle="""
 SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
@@ -265,7 +265,7 @@ def ngram_jaccard_pairs(d: DataFrame, threshold: float = 0.2, max_df: int | None
     )
 
 
-@query("a55_ngram_jaccard", oracle=_Q55_ORACLE, tags=("text", "dedup"))
+@query("q55_ngram_jaccard", oracle=_Q55_ORACLE, tags=("text", "dedup"))
 def q55_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate detection via exact 3-gram Jaccard (see
     ngram_jaccard_pairs). max_df=100_000 leaves test-scale results
@@ -275,7 +275,7 @@ def q55_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a56_exact_dedup",
+    "q56_exact_dedup",
     oracle="""
 SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
        COUNT(*) AS n_copies,
@@ -305,7 +305,7 @@ def q56_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a57_tfidf_top_terms",
+    "q57_tfidf_top_terms",
     oracle="""
 WITH words AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
@@ -360,7 +360,7 @@ def q57_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("a58_language_id", oracle=None, tags=("text", "ml"))
+@query("q58_language_id", oracle=None, tags=("text", "ml"))
 def q58_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language identification via character-trigram profiles, fully
     relational: train per-lang top-50 trigram weights on a deterministic
@@ -411,7 +411,7 @@ def q58_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a59_rolling_hash",
+    "q59_rolling_hash",
     oracle="""
 SELECT doc_id,
        list_reduce(
@@ -463,7 +463,7 @@ def q59_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a95_stratified_sample",
+    "q95_stratified_sample",
     oracle="""
 SELECT lang, COUNT(*) AS n_sampled,
        CAST(MIN(doc_id) AS BIGINT) AS min_id, CAST(MAX(doc_id) AS BIGINT) AS max_id
@@ -498,7 +498,7 @@ def q95_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a96_source_mixture",
+    "q96_source_mixture",
     oracle="""
 WITH quotas AS (
   SELECT * FROM (VALUES ('src0', 40), ('src1', 20), ('src2', 10)) AS q(source, quota)
@@ -538,7 +538,7 @@ def q96_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a94_normalized_dedup",
+    "q94_normalized_dedup",
     oracle="""
 WITH norm AS (
   SELECT doc_id,
@@ -583,7 +583,7 @@ def q94_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a99_repetition_ratio",
+    "q99_repetition_ratio",
     oracle="""
 WITH bg AS (
   SELECT doc_id,

@@ -136,7 +136,7 @@ def exact_topk(
 
 
 @query(
-    "a60_cosine_topk",
+    "q60_cosine_topk",
     oracle="""
 WITH sims AS (
   SELECT a.vec_id,
@@ -165,7 +165,7 @@ def q60_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a61_ann_lsh",
+    "q61_ann_lsh",
     oracle=None,  # approximate: rows-only check; recall property-tested
     tags=("vector", "approx"),
 )
@@ -261,7 +261,7 @@ def embedding_neardup_pairs(spark: SparkSession, emb: DataFrame, threshold: floa
 
 
 @query(
-    "a62_embedding_neardup",
+    "q62_embedding_neardup",
     oracle="""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -289,7 +289,7 @@ def q62_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a67_embedding_stats",
+    "q67_embedding_stats",
     oracle="""
 SELECT label,
        COUNT(*) AS n_vecs,
@@ -348,7 +348,7 @@ def _ivf_centroids(mat: np.ndarray, n_lists: int, seed: int = 7, iters: int = 5)
     return cents
 
 
-@query("a68_ann_ivf", oracle=None, tags=("vector", "approx"))
+@query("q68_ann_ivf", oracle=None, tags=("vector", "approx"))
 def q68_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via IVF (inverted-file) index: coarse k-means centroids → each
     vector posted to its nearest list → queries probe the `nprobe`

@@ -11,9 +11,9 @@ QUERIES = [
     "q01_pricing_summary",  # decimal-sum aggregation
     "q10_agg_family",  # min_by/collect_list determinism
     "q21_lag_lead_running",  # window frames
-    "a63_minhash_neardup",  # multi-stage shuffle pipeline
-    "a97_dup_clusters",  # collapse/expand + iterative CC
-    "b06_sequence_packing",  # per-shard cumsum windows
+    "q63_minhash_neardup",  # multi-stage shuffle pipeline
+    "q97_dup_clusters",  # collapse/expand + iterative CC
+    "qb06_sequence_packing",  # per-shard cumsum windows
     "b12_unigram_logprob",  # decimal-sum of per-word logprobs
 ]
 

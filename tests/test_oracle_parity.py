@@ -28,6 +28,20 @@ def test_rows_only_queries_run(name, spark, sf_dir):
     assert rows is not None
 
 
+@pytest.mark.parametrize("name", sorted(set(QS) - set(ORACLES)))
+def test_rows_only_queries_return_hashable_scalar_columns(name, spark, sf_dir):
+    """Driver-canonicalizer guard: the harness sorts even rows-only
+    results through pandas sort_values, which cannot factorize
+    array/map/struct cells (r02's a91 crash: array<double> column ->
+    `unhashable type: numpy.ndarray`). Every rows-only query must emit
+    only scalar (atomic) columns."""
+    from pyspark.sql import types as T
+
+    schema = QS[name](spark, sf_dir).schema
+    bad = [f.name for f in schema.fields if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))]
+    assert not bad, f"{name}: non-scalar columns {bad} would crash the driver canonicalizer"
+
+
 def test_pround_engine_agreement_on_knife_edge_rationals(spark, duck):
     """pround (Spark) and sql_pround (DuckDB) must agree bit-for-bit on
     exactly the values where the engines' built-in round() diverges:

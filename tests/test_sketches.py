@@ -17,7 +17,7 @@ def test_approx_percentile_accuracy(spark, sf_dir):
 
     for r in q91_approx_percentiles(spark, sf_dir).collect():
         assert abs(r.approx_median - r.exact_median) / r.exact_median < 0.02
-        assert r.approx_quartiles[0] <= r.approx_median <= r.approx_quartiles[1]
+        assert r.approx_p25 <= r.approx_median <= r.approx_p75
 
 
 def test_theta_overlap_matches_exact_jaccard(spark, sf_dir):

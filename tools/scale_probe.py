@@ -38,10 +38,10 @@ PROBE_QUERIES = [
     "q21_lag_lead_running",
     "q32_session_window",
     "q50_word_count",
-    "a56_exact_dedup",
-    "a63_minhash_neardup",
-    "a97_dup_clusters",
-    "b05_context_chunks",
+    "q56_exact_dedup",
+    "q63_minhash_neardup",
+    "q97_dup_clusters",
+    "qb05_context_chunks",
     "b11_duplicate_spans",
     "b12_unigram_logprob",
 ]
