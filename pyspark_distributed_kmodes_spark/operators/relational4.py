@@ -299,8 +299,16 @@ def b34_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; `tests/test_bucketing.py` asserts the exchange-free plan).
     Results are identical to the plain join — this query IS the plain
     join's oracle run over the bucketed layout.
+
+    Idempotent by construction: table names carry a per-run unique
+    suffix (repeated invocations in one session never collide on
+    saveAsTable), and the tiny aggregated result is eagerly
+    materialized so both catalog entries AND the temp dir can be
+    dropped before returning — no state leaks across runs.
     """
+    import shutil
     import tempfile
+    import uuid
 
     from pyspark_distributed_kmodes_spark.sources.tables import write_bucketed
 
@@ -309,16 +317,27 @@ def b34_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explicit temp paths: the hosting session's warehouse dir defaults
     # to the process cwd, which this query must not write into
     base = tempfile.mkdtemp(prefix="b34_bucketed_")
-    write_bucketed(li, "b34_li_bucketed", "l_orderkey", 8, path=f"{base}/li")
-    write_bucketed(o, "b34_o_bucketed", "o_orderkey", 8, path=f"{base}/o")
-    lib, ob = spark.table("b34_li_bucketed"), spark.table("b34_o_bucketed")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        lib.join(ob, lib["l_orderkey"] == ob["o_orderkey"])
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
-            pround(dsum(rev), 2).alias("revenue"),
+    run = uuid.uuid4().hex[:12]
+    li_tbl, o_tbl = f"b34_li_bucketed_{run}", f"b34_o_bucketed_{run}"
+    try:
+        write_bucketed(li, li_tbl, "l_orderkey", 8, path=f"{base}/li")
+        write_bucketed(o, o_tbl, "o_orderkey", 8, path=f"{base}/o")
+        lib, ob = spark.table(li_tbl), spark.table(o_tbl)
+        rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        out = (
+            lib.join(ob, lib["l_orderkey"] == ob["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+                pround(dsum(rev), 2).alias("revenue"),
+            )
+            .orderBy("o_orderpriority")
         )
-        .orderBy("o_orderpriority")
-    )
+        # k-row result: pin it so the backing tables/files can go away
+        # before the caller collects (the exchange-free join plan itself
+        # is asserted in tests/test_bucketing.py over write_bucketed)
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {li_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {o_tbl}")
+        shutil.rmtree(base, ignore_errors=True)

@@ -58,16 +58,33 @@ class JsonlDocsStreamReader(SimpleDataSourceStreamReader):
     SimpleDataSourceStreamReader contract): tails the glob for NEW shard
     files; the offset is the sorted list of files already consumed, so
     restarts from a checkpoint replay exactly the unread shards —
-    exactly-once without any sink-side dedup.
+    exactly-once PER FILE, provided each shard is complete when
+    consumed. Two guards make that hold:
 
-    Scale note: offsets carry file NAMES only; the driver never holds
-    rows. One shard file per micro-batch read unit mirrors the batch
-    reader's partition planning.
+    - Producers should write shards to a temp name and rename into the
+      glob (rename is atomic on every FS this targets), so a matching
+      file is complete by construction.
+    - Defense in depth for producers that write in place: a file whose
+      mtime is younger than `stability_sec` (option, default 2 s,
+      0 disables) is NOT consumed this batch — it stays out of the
+      offset and is picked up once it stops changing. Without this, a
+      half-written shard would be read partially and its later rows
+      silently lost forever (the offset marks the whole file done).
+
+    Memory note (SimpleDataSourceStreamReader contract): offsets carry
+    file NAMES only, but `read` runs ON THE DRIVER and materializes
+    each micro-batch's rows into a driver-side list (the engine's
+    prefetch wrapper pickles it for replay). Per-batch driver memory is
+    therefore bounded by the size of the new shards in that batch —
+    size shards accordingly, or use the partition-based
+    DataSourceStreamReader API (one partition per shard, rows read on
+    executors) for corpora whose shards don't fit on the driver.
     """
 
     def __init__(self, options: dict, schema):
         self.glob = options["path"]
         self.fields = [f.name for f in schema.fields]
+        self.stability_sec = float(options.get("stability_sec", "2"))
 
     def initialOffset(self):
         return {"done": []}
@@ -86,8 +103,21 @@ class JsonlDocsStreamReader(SimpleDataSourceStreamReader):
         return rows
 
     def read(self, start):
+        import os
+        import time
+
         done = set(start["done"])
-        new = [p for p in sorted(_glob.glob(self.glob)) if p not in done]
+        now = time.time()
+        new = []
+        for p in sorted(_glob.glob(self.glob)):
+            if p in done:
+                continue
+            try:
+                if self.stability_sec > 0 and now - os.path.getmtime(p) < self.stability_sec:
+                    continue  # possibly still being written: defer, don't mark done
+            except OSError:
+                continue  # vanished between glob and stat: not consumed
+            new.append(p)
         end = {"done": sorted(done | set(new))}
         return self._rows(new), end
 

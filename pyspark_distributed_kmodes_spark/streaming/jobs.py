@@ -222,44 +222,73 @@ def upsert_sink_stream(
     checkpoint_dir: str | None = None,
 ) -> None:
     """Incremental MERGE-upsert sink: foreachBatch maintains a parquet
-    target holding the latest row per key across all micro-batches
-    (batch twin: q34_latest_event_dedup / cdc.merge_upsert).
+    target holding the row with the HIGHEST `order_cols` per key across
+    all micro-batches (batch twin: q34_latest_event_dedup).
 
-    Per batch: collapse the batch to its latest row per key (batches
-    can carry several events for one key), then anti-join + union
-    against the current target and atomically replace it. The
-    checkpointed source offsets make the maintenance restartable; the
-    localCheckpoint materializes the merge BEFORE the overwrite so the
-    job never reads the directory it is replacing.
+    Per batch: union the current target with the batch and keep the
+    max-`order_cols` row per key — NOT last-batch-wins, so a later
+    micro-batch that happens to carry an older event for a key (file
+    listing order is not event-time order) can never regress the
+    target to stale data. On an exact order tie the batch row wins,
+    which keeps checkpoint replays idempotent.
+
+    Crash safety: the merged result is durably written to a temp
+    sibling directory FIRST, then swapped into place with two Hadoop
+    FS renames (target -> .tmp-old, .tmp-new -> target). The target
+    directory is never deleted before its replacement exists on disk;
+    a crash between the renames is healed by the recovery step at the
+    start of the next (replayed) batch, which finishes the swap from
+    the complete .tmp-new. Replays are safe because the merge is
+    idempotent.
 
     Scale: this is the standard continuous-compaction loop on plain
-    parquet — each batch shuffles only on the upsert key, and with a
-    bucketed target the anti join is exchange-free (see
-    sources.tables.write_bucketed).
+    parquet — each batch shuffles only on the upsert key, and the swap
+    cost is two metadata renames regardless of target size.
     """
     import tempfile
 
     from pyspark.sql import Window
 
-    from pyspark_distributed_kmodes_spark.operators.cdc import merge_upsert
-
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
-        latest = (
-            batch_df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        # Hadoop FS existence check (works for any supported URI, and
-        # avoids the noisy JVM-logged AnalysisException of a try/read)
+        # Hadoop FS handles (work for any supported URI, and avoid the
+        # noisy JVM-logged AnalysisException of a try/read)
         jvm = spark.sparkContext._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(target_dir)
-        fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-        if fs.exists(hpath):
-            merged = merge_upsert(spark.read.parquet(target_dir), latest, key_cols)
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        target = jvm.org.apache.hadoop.fs.Path(target_dir)
+        tmp_new = jvm.org.apache.hadoop.fs.Path(target_dir + ".tmp-new")
+        tmp_old = jvm.org.apache.hadoop.fs.Path(target_dir + ".tmp-old")
+        fs = target.getFileSystem(hconf)
+
+        # recovery: a crash between the two swap renames below leaves a
+        # COMPLETE new target at .tmp-new and no target — finish the swap
+        if not fs.exists(target) and fs.exists(tmp_new):
+            fs.rename(tmp_new, target)
+        # leftovers from any earlier crash points are stale: discard
+        if fs.exists(tmp_new):
+            fs.delete(tmp_new, True)
+        if fs.exists(tmp_old):
+            fs.delete(tmp_old, True)
+
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.col(c).desc() for c in order_cols], F.col("_src").desc()
+        )
+        batch_marked = batch_df.withColumn("_src", F.lit(1))
+        if fs.exists(target):
+            merged_in = spark.read.parquet(target_dir).withColumn("_src", F.lit(0)).unionByName(batch_marked)
         else:  # first batch: no target yet
-            merged = latest
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_dir)
+            merged_in = batch_marked
+        merged = (
+            merged_in.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_src")
+        )
+        # durable BEFORE the target is touched: write the full merge to
+        # the temp sibling (reads the live target; nothing overwrites it)
+        merged.write.mode("overwrite").parquet(target_dir + ".tmp-new")
+        if fs.exists(target):
+            fs.rename(target, tmp_old)
+        fs.rename(tmp_new, target)
+        fs.delete(tmp_old, True)
 
     (
         stream_df.writeStream.foreachBatch(apply_batch)

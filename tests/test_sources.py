@@ -110,6 +110,7 @@ def test_jsonl_streaming_source_incremental_exactly_once(spark, tmp_path):
             spark.readStream.format("jsonl_docs")
             .schema("doc_id bigint, text string")
             .option("path", str(tmp_path / "s-*.jsonl"))
+            .option("stability_sec", "0")  # shards here are complete by construction
             .load()
             .writeStream.format("parquet")
             .option("path", out)
@@ -128,3 +129,33 @@ def test_jsonl_streaming_source_incremental_exactly_once(spark, tmp_path):
     got2 = drain()
     # only doc 4 appended, nothing re-emitted: exactly-once via offsets
     assert sorted(got2) == [1, 2, 3, 4]
+
+
+def test_jsonl_streaming_stability_window_defers_fresh_files(tmp_path):
+    """A shard whose mtime is inside the stability window must be
+    DEFERRED (not consumed, not marked done) so a producer writing in
+    place can't lose rows appended after a partial read; once stable it
+    is consumed exactly once."""
+    import json as _json
+    import os
+    import time
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from pyspark_distributed_kmodes_spark.sources.jsonl import JsonlDocsStreamReader
+
+    schema = StructType([StructField("doc_id", LongType()), StructField("text", StringType())])
+    with open(tmp_path / "s-000.jsonl", "w") as f:
+        f.write(_json.dumps({"doc_id": 1, "text": "a"}) + "\n")
+
+    reader = JsonlDocsStreamReader(
+        {"path": str(tmp_path / "s-*.jsonl"), "stability_sec": "60"}, schema
+    )
+    rows, end = reader.read(reader.initialOffset())
+    assert rows == [] and end == {"done": []}  # too fresh: deferred
+
+    # age the file past the window (backdate mtime instead of sleeping)
+    old = time.time() - 120
+    os.utime(tmp_path / "s-000.jsonl", (old, old))
+    rows, end = reader.read(reader.initialOffset())
+    assert [r[0] for r in rows] == [1] and end["done"] != []

@@ -279,3 +279,41 @@ def test_foreachbatch_upsert_incremental(spark, sf_dir):
     assert set(got) == set(want) and len(got) > 0
     for k, (ts, _eid, _v) in got.items():
         assert ts == want[k][0], k
+
+
+def test_foreachbatch_upsert_out_of_order_batches(spark, sf_dir):
+    """A later micro-batch that carries an OLDER event for a key (file
+    listing order is not event-time order) must not regress the target:
+    the merge keeps the max order_cols row per key, not last-batch-wins."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyspark_distributed_kmodes_spark.sources.tables import table
+    from pyspark_distributed_kmodes_spark.streaming.jobs import upsert_sink_stream
+
+    e = table(spark, sf_dir, "events").limit(200)
+    src = tempfile.mkdtemp(prefix="upsert_ooo_src_")
+    # REVERSED time split: batch 1 gets the NEWEST events, batch 3 the oldest
+    e.withColumn(
+        "_b", F.ntile(3).over(__import__("pyspark").sql.Window.orderBy(F.desc("ts"), F.desc("event_id")))
+    ).repartition(1).sortWithinPartitions("_b").write.mode("overwrite").partitionBy("_b").parquet(src)
+
+    raw = spark.read.parquet(src)
+    stream = spark.readStream.schema(raw.schema).option("maxFilesPerTrigger", "1").parquet(src)
+    target = tempfile.mkdtemp(prefix="upsert_ooo_tgt_") + "/t"
+    upsert_sink_stream(spark, stream, target, ["user_id", "event_type"], ["ts", "event_id"])
+
+    got = {(r.user_id, r.event_type): (r.ts, r.event_id) for r in spark.read.parquet(target).collect()}
+    want = {
+        (r.user_id, r.event_type): (r.ts, r.event_id)
+        for r in e.withColumn(
+            "_rn",
+            F.row_number().over(
+                __import__("pyspark").sql.Window.partitionBy("user_id", "event_type").orderBy(
+                    F.desc("ts"), F.desc("event_id")
+                )
+            ),
+        ).filter("_rn = 1").collect()
+    }
+    assert got == want and len(got) > 0
