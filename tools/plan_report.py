@@ -55,7 +55,7 @@ def main():
     lines += [
         "",
         "Notes: shuffle counts are pre-AQE static plans (AQE coalesces/",
-        "re-plans at runtime); Python-stage queries (a60/a63/a70/a97) include",
+        "re-plans at runtime); Python-stage queries (q60/q63/q70/q97/c03) include",
         "their candidate-join, CC-iteration, or aggregation exchanges by design — see",
         "operator docstrings for the scale rationale.",
     ]

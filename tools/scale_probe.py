@@ -44,6 +44,8 @@ PROBE_QUERIES = [
     "qb05_context_chunks",
     "b11_duplicate_spans",
     "b12_unigram_logprob",
+    "c03_dup_clusters_distributed",
+    "c06_logprob_quality_tiers",
 ]
 
 
