@@ -66,6 +66,7 @@ def load_all() -> dict[str, Query]:
     import pyspark_distributed_kmodes_spark.operators.training  # noqa: F401
     import pyspark_distributed_kmodes_spark.operators.ingest  # noqa: F401
     import pyspark_distributed_kmodes_spark.operators.curation  # noqa: F401
+    import pyspark_distributed_kmodes_spark.operators.curation2  # noqa: F401
     import pyspark_distributed_kmodes_spark.functions.scalar_queries  # noqa: F401
     import pyspark_distributed_kmodes_spark.multimodal.binary  # noqa: F401
 
