@@ -1,0 +1,341 @@
+"""Sampling and audit operators, continued: deterministic weighted
+reservoir sampling, asymmetric containment detection, OOV-rate audit,
+rare-strata (k-anonymity-style) audit, and length/quality correlation.
+
+Keys are z-prefixed: this round's 50-entry driver window is already
+fully occupied by never-verified keys (a91, b08–b42, c01–c14), so these
+sort AFTER it, pass the identical local mirror now, and rotate into the
+window next round (the scheme __spark_entry__.py documents). Engine
+style unchanged: pure JVM DataFrame ops, pround floor-rounding on every
+oracle-gated double, decimal-summed float aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pyspark_distributed_kmodes_spark.functions.deterministic import pround, sql_pround
+from pyspark_distributed_kmodes_spark.operators.curation2 import _dterm, _sql_dterm
+from pyspark_distributed_kmodes_spark.registry import query
+from pyspark_distributed_kmodes_spark.sources.tables import table
+
+
+def _words():
+    return F.split("text", " ")
+
+
+def _hash_u(col: Column) -> Column:
+    """Deterministic uniform in (0,1) from a key: integer value of the
+    first 8 md5 hex chars, shifted off the lattice by +0.5 so ln(u) is
+    finite. Engine-portable: Spark parses the hex with conv(); the SQL
+    mirror folds hex digits positionally (_sql_hash_u) — both yield the
+    same integer, hence bit-identical doubles."""
+    h = F.substring(F.md5(col.cast("string")), 1, 8)
+    return (F.conv(h, 16, 10).cast("bigint").cast("double") + 0.5) / F.lit(float(2**32))
+
+
+def _sql_hash_u(expr: str) -> str:
+    fold = (
+        f"list_sum(list_transform(range(1, 9), i -> "
+        f"(strpos('0123456789abcdef', substr(md5(CAST({expr} AS VARCHAR)), i, 1)) - 1)"
+        f" * CAST(pow(16, 8 - i) AS BIGINT)))"
+    )
+    return f"((CAST({fold} AS DOUBLE) + 0.5) / {float(2**32)})"
+
+
+_SAMPLE_K = 5  # docs sampled per language
+
+
+@query(
+    "z01_weighted_reservoir_sample",
+    oracle=f"""
+WITH keyed AS (
+  SELECT lang, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         -ln({_sql_hash_u('doc_id')}) / len(string_split(text, ' ')) AS key
+  FROM documents
+), ranked AS (
+  SELECT lang, doc_id, n_words,
+         row_number() OVER (PARTITION BY lang ORDER BY key ASC, doc_id ASC) AS rk
+  FROM keyed
+)
+SELECT lang, rk, doc_id, n_words
+FROM ranked WHERE rk <= {_SAMPLE_K}
+ORDER BY lang, rk
+""",
+    tags=("curation", "sampling"),
+)
+def z01_weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (the
+    exponential-key formulation of Efraimidis–Spirakis A-ES): each
+    document draws key = −ln(u)/weight from a HASH-seeded uniform, and
+    the k smallest keys per language win — inclusion odds proportional
+    to token count, yet fully reproducible across runs, engines, and
+    partitionings (no rand(), so no seed/plan sensitivity). This is how
+    a mixture sampler picks "200B tokens from source X, longer docs
+    proportionally likelier" without ever coordinating global state.
+
+    Determinism: u comes from the md5-integer lattice (+0.5 keeps ln
+    finite), both engines compute the identical double key, and the
+    per-stratum rank tie-breaks on doc_id. Scale shape: one projection,
+    then a per-language top-k window — k and |langs| are parameters, and
+    the same key doubles as a distributed merge key (take the k smallest
+    per partition, then merge) if a stratum outgrows its sort.
+    """
+    d = table(spark, sf_dir, "documents")
+    nw = F.size(_words())
+    key = -F.log(_hash_u(F.col("doc_id"))) / nw
+    w = Window.partitionBy("lang").orderBy(F.asc("key"), F.asc("doc_id"))
+    return (
+        d.select("lang", "doc_id", nw.cast("bigint").alias("n_words"), key.alias("key"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _SAMPLE_K)
+        .select("lang", "rk", "doc_id", "n_words")
+        .orderBy("lang", "rk")
+    )
+
+
+_CONTAIN_T = 0.8  # containment threshold
+
+
+@query(
+    "z02_containment_pairs",
+    oracle=f"""
+WITH shingles AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                  i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS shingle
+    FROM documents)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(sa.n_shingles AS BIGINT) AS n_a,
+       CAST(p.n_common AS BIGINT) AS n_common,
+       {sql_pround('CAST(p.n_common AS DOUBLE) / sa.n_shingles', 6)} AS containment
+FROM pairs p JOIN sizes sa ON sa.doc_id = p.doc_a
+WHERE CAST(p.n_common AS DOUBLE) / sa.n_shingles >= {_CONTAIN_T}
+ORDER BY p.doc_a, p.doc_b
+""",
+    tags=("curation", "dedup"),
+)
+def z02_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment detection: ORDERED pairs where ≥80% of
+    doc A's trigram shingles also occur in doc B — the Jaccard-blind
+    case (a55 misses it when B is much longer) that catches quotes,
+    wrapper pages, and subset documents; the standard companion metric
+    to Jaccard in near-dup pipelines (Broder's containment).
+
+    Scale shape: a55's inverted-index join — docs meet ONLY on shared
+    shingles, n_common aggregates per ordered pair, and the containment
+    divides by |A| alone. The same stop-shingle `max_df` cap applies
+    verbatim at scale (text.py:ngram_jaccard_pairs documents it); at
+    this SF no shingle is hot enough to trigger it, so query and oracle
+    agree exactly. Threshold compares the raw IEEE ratio (identical
+    doubles both engines); the emitted copy is pround(6).
+    """
+    d = table(spark, sf_dir, "documents")
+    words = _words()
+    n = F.size(words)
+    shingle_arr = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.array_join(F.slice(words, i + 1, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    shingles = d.select("doc_id", F.explode(shingle_arr).alias("shingle")).distinct()
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cont = F.col("n_common").cast("double") / F.col("n_shingles")
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .filter(cont >= _CONTAIN_T)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shingles").cast("bigint").alias("n_a"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            pround(cont, 6).alias("containment"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_VOCAB_K = 1000  # in-vocabulary size
+
+
+@query(
+    "z03_oov_rate",
+    oracle=f"""
+WITH freq AS (
+  SELECT word, COUNT(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+  GROUP BY word
+), vocab AS (
+  SELECT word FROM (
+    SELECT word, row_number() OVER (ORDER BY cnt DESC, word ASC) AS rk FROM freq
+  ) WHERE rk <= {_VOCAB_K}
+), per AS (
+  SELECT s.source,
+         COUNT(*) AS n_tokens,
+         SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents) s
+  LEFT JOIN vocab v ON v.word = s.word
+  GROUP BY s.source
+)
+SELECT source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_oov AS BIGINT) AS n_oov,
+       {sql_pround('CAST(n_oov AS DOUBLE) / n_tokens', 6)} AS oov_rate
+FROM per
+ORDER BY source
+""",
+    tags=("curation", "text"),
+)
+def z03_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary audit: per source, the fraction of tokens not
+    in the corpus top-1000 vocabulary (b14's tokenizer basis) — high
+    OOV flags a source the tokenizer will shred into bytes (code,
+    wrong-language, binary junk) BEFORE a tokenization run wastes a
+    cluster pass on it.
+
+    Scale shape: the vocabulary is a k-row TakeOrdered top-k (k is a
+    PARAMETER, so broadcasting it respects the broadcast rule); tokens
+    left-join it broadcast-side — per-source counts partial-aggregate
+    map-side, no token ever shuffles. At 100 TB swap the exact top-k
+    for b40's CMS heavy hitters; plan shape unchanged. Integers plus
+    one pround ratio.
+    """
+    d = table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(_words()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = freq.orderBy(F.desc("cnt"), F.asc("word")).limit(_VOCAB_K).select("word")
+    toks = d.select("source", F.explode(_words()).alias("word"))
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return (
+        toks.join(F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "word", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(oov).cast("bigint").alias("n_oov"),
+            pround(F.sum(oov).cast("double") / F.count(F.lit(1)), 6).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+_MIN_STRATUM = 5  # smallest acceptable stratum size
+
+
+@query(
+    "z04_rare_strata_audit",
+    oracle=f"""
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+FROM documents
+GROUP BY lang, source
+HAVING COUNT(*) < {_MIN_STRATUM}
+ORDER BY lang, source
+""",
+    tags=("curation", "diagnostics"),
+)
+def z04_rare_strata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-strata audit: (lang, source) cells with fewer than 5
+    documents — the k-anonymity-style check run before any per-stratum
+    statistic (c06's terciles, q95's rates) is trusted, and the
+    memorization red-flag list (a handful of documents alone in their
+    stratum are the ones a model quotes verbatim).
+
+    Shape: one partial-aggregated groupBy on a low-cardinality composite
+    key with a HAVING filter — the minimal-cost audit; all integers.
+    """
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        )
+        .filter(F.col("n_docs") < _MIN_STRATUM)
+        .orderBy("lang", "source")
+    )
+
+
+@query(
+    "z05_length_quality_corr",
+    oracle=f"""
+WITH base AS (
+  SELECT source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS y
+  FROM documents
+), agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM({_sql_dterm('y')}) AS DOUBLE) AS sy,
+         CAST(SUM({_sql_dterm('y * y')}) AS DOUBLE) AS syy,
+         CAST(SUM({_sql_dterm('x * y')}) AS DOUBLE) AS sxy
+  FROM base GROUP BY source
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_docs,
+       {sql_pround('(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))', 6)} AS pearson_r
+FROM agg
+ORDER BY source
+""",
+    tags=("curation", "diagnostics"),
+)
+def z05_length_quality_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/quality confound audit: per source, the Pearson
+    correlation between document length and lexical-diversity score. A
+    strong negative r (short docs score "diverse" by construction)
+    means a quality threshold is secretly a length filter — the check
+    that keeps c10's caps and c06's tiers honest.
+
+    Determinism: x-moments are INTEGER sums (exact bigints cast once);
+    y-moments round each term to 9 decimals and sum in exact DECIMAL;
+    the closed-form r is then a fixed IEEE sequence, pround(6). Shape:
+    one map-side-combined aggregate per source — a single shuffle of
+    |sources| six-number rows, nothing else.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = _words()
+    x = F.size(words).cast("bigint")
+    y = F.size(F.array_distinct(words)).cast("double") / F.size(words)
+    base = d.select("source", x.alias("x"), y.alias("y"))
+    agg = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(_dterm(F.col("y"))).cast("double").alias("sy"),
+        F.sum(_dterm(F.col("y") * F.col("y"))).cast("double").alias("syy"),
+        F.sum(_dterm(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+    )
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        pround(r, 6).alias("pearson_r"),
+    ).orderBy("source")
