@@ -1,0 +1,68 @@
+"""Physical-plan assertions for the round-3 curation/sampling operators:
+broadcast placement, partitioned windows, top-k group-limit pushdown,
+and absence of cartesian products (SURVEY.md §4 scale-hygiene gate)."""
+
+from pyspark_distributed_kmodes_spark.operators.curation2 import (
+    c08_source_overlap_matrix,
+    c10_per_source_quality_caps,
+    c13_label_cohesion,
+    c14_zipf_slope,
+)
+from pyspark_distributed_kmodes_spark.operators.curation3 import (
+    z01_weighted_reservoir_sample,
+    z02_containment_pairs,
+    z03_oov_rate,
+)
+from pyspark_distributed_kmodes_spark.plans.inspect import (
+    formatted_plan,
+    has_broadcast_join,
+)
+
+
+def test_c13_centroids_broadcast(spark, sf_dir):
+    """The label-centroid table must broadcast: the corpus is never
+    shuffled for the similarity pass."""
+    plan = formatted_plan(c13_label_cohesion(spark, sf_dir))
+    assert has_broadcast_join(c13_label_cohesion(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_z03_vocab_broadcast(spark, sf_dir):
+    """The k-row vocabulary joins broadcast-side; token rows must not
+    shuffle for the membership probe."""
+    plan = formatted_plan(z03_oov_rate(spark, sf_dir))
+    assert has_broadcast_join(z03_oov_rate(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_z01_topk_group_limit_pushdown(spark, sf_dir):
+    """The per-language rank filter must compile to WindowGroupLimit
+    (partial top-k BEFORE the shuffle) over a lang-partitioned window —
+    never a global sort."""
+    plan = formatted_plan(z01_weighted_reservoir_sample(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "hashpartitioning(lang" in plan
+
+
+def test_c10_window_partitioned_by_source(spark, sf_dir):
+    """The quality-cap rank runs on a source-partitioned window, not a
+    single global partition."""
+    plan = formatted_plan(c10_per_source_quality_caps(spark, sf_dir))
+    assert "hashpartitioning(source" in plan
+
+
+def test_c14_rank_filter_pushed(spark, sf_dir):
+    """The top-100-words filter gets the WindowGroupLimit treatment on
+    a source-partitioned window."""
+    plan = formatted_plan(c14_zipf_slope(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "hashpartitioning(source" in plan
+
+
+def test_pair_joins_are_equi_not_cartesian(spark, sf_dir):
+    """Both pair detectors meet rows ONLY on equal shingle/fingerprint
+    keys; the only nested-loop join allowed is c08's |sources|²
+    matrix, which is built from the tiny per-source aggregate."""
+    assert "CartesianProduct" not in formatted_plan(z02_containment_pairs(spark, sf_dir))
+    c08 = formatted_plan(c08_source_overlap_matrix(spark, sf_dir))
+    assert "CartesianProduct" not in c08
