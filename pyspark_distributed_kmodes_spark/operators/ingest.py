@@ -140,3 +140,66 @@ def c02_jsonl_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "z06_jsonl_sink_roundtrip",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+    tags=("source", "jsonl", "datasource", "sink"),
+)
+def z06_jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both halves of the custom Python Data Source contract in one
+    pass: documents → the `jsonl_docs` two-phase-commit WRITER
+    (task-local temp shards, driver rename on commit, _SUCCESS
+    manifest) → the `jsonl_docs` reader (one partition per committed
+    shard, `part-*` glob so temp files are invisible by construction) →
+    aggregate. The oracle aggregates the original parquet view, so a
+    hash match proves writer atomicity + reader planning round-trip
+    values exactly (including bigint/string nulls).
+
+    Scale: the writer streams each partition to its shard (no
+    partition buffering), the driver touches file names only, and the
+    read plans one partition per shard — c02's parallelism argument,
+    now for a sink the engine owns. Idempotent: unique temp dir, k-row
+    result pinned, cleanup in finally (b34's pattern).
+    """
+    base = tempfile.mkdtemp(prefix="z06_jsonl_sink_")
+    try:
+        from pyspark_distributed_kmodes_spark.sources import jsonl
+
+        jsonl.register(spark)
+        d = table(spark, sf_dir, "documents")
+        (
+            d.select("doc_id", "source", "n_chars")
+            .repartition(4)
+            .write.format("jsonl_docs")
+            .option("path", base + "/docs")
+            .mode("overwrite")
+            .save()
+        )
+        back = (
+            spark.read.format("jsonl_docs")
+            .schema("doc_id bigint, source string, n_chars bigint")
+            .option("path", base + "/docs/part-*.jsonl")
+            .load()
+        )
+        out = (
+            back.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("total_chars"),
+                F.max("doc_id").cast("bigint").alias("max_doc_id"),
+            )
+            .orderBy("source")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -5,8 +5,11 @@ document reader — the wire format training corpora actually ship in
 Demonstrates the full custom-source contract: name/schema/reader,
 file-per-partition planning (each shard file becomes one input
 partition, so a 10k-shard corpus reads with 10k-way parallelism and
-per-file locality), and schema-driven column projection (only fields
-in the declared schema are materialized from each JSON line).
+per-file locality), schema-driven column projection (only fields in
+the declared schema are materialized from each JSON line), a streaming
+reader with file-granularity offsets, and a two-phase-commit batch
+WRITER (task-local temp shards renamed by the driver on commit —
+JsonlDocsWriter) so the same format round-trips.
 
 Spark's built-in `spark.read.json` covers plain JSONL already; this
 source exists to exercise the extension API the same way a proprietary
@@ -21,8 +24,10 @@ import json
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 
@@ -131,6 +136,85 @@ class JsonlDocsStreamReader(SimpleDataSourceStreamReader):
         pass
 
 
+class JsonlShardCommit(WriterCommitMessage):
+    """One successful task's output: the temp shard it wrote (must be
+    picklable — plain attributes only)."""
+
+    def __init__(self, tmp_path: str, n_rows: int):
+        self.tmp_path = tmp_path
+        self.n_rows = n_rows
+
+
+class JsonlDocsWriter(DataSourceWriter):
+    """Batch sink half of the contract: two-phase commit with task-local
+    temp shards.
+
+    Each task streams its partition to `_tmp-<uuid>.jsonl` inside the
+    target directory (executor-side, one pass, no buffering of the
+    partition in memory) and reports the file in its commit message.
+    The DRIVER then makes the job atomic-per-job:
+
+    - commit(): rename each reported temp shard to
+      `part-<i>-<uuid>.jsonl` (rename is atomic on the target FS); in
+      overwrite mode, delete the previously committed `part-*` files
+      first; finally sweep any `_tmp-*` leftovers (failed / speculative
+      task attempts that never made it into a commit message).
+    - abort(): delete reported temp shards; readers never see them
+      because the reader/stream glob should target `part-*.jsonl`.
+
+    Exactly-once per job: a retried task writes a DIFFERENT uuid temp
+    file and only the attempt whose message reaches commit() is renamed
+    — duplicated attempts are swept, never published. At 100 TB the
+    driver handles only file names (one message per task).
+    """
+
+    def __init__(self, options: dict, schema, overwrite: bool):
+        self.dir = options["path"]
+        self.fields = [f.name for f in schema.fields]
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        os.makedirs(self.dir, exist_ok=True)
+        tmp = os.path.join(self.dir, f"_tmp-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(dict(zip(self.fields, row)), default=str) + "\n")
+                n += 1
+        return JsonlShardCommit(tmp, n)
+
+    def commit(self, messages):
+        import os
+
+        if self.overwrite:
+            for old in _glob.glob(os.path.join(self.dir, "part-*.jsonl")):
+                os.remove(old)
+        total = 0
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            base = os.path.basename(m.tmp_path).replace("_tmp-", "")
+            os.rename(m.tmp_path, os.path.join(self.dir, f"part-{i:05d}-{base}"))
+            total += m.n_rows
+        for stale in _glob.glob(os.path.join(self.dir, "_tmp-*.jsonl")):
+            os.remove(stale)  # orphaned attempts: never published
+        with open(os.path.join(self.dir, "_SUCCESS"), "w") as f:
+            f.write(json.dumps({"rows": total, "shards": sum(m is not None for m in messages)}))
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(m.tmp_path)
+                except OSError:
+                    pass
+
+
 class JsonlDocsDataSource(DataSource):
     """Usage:
         spark.dataSource.register(JsonlDocsDataSource)
@@ -153,6 +237,9 @@ class JsonlDocsDataSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return JsonlDocsStreamReader(self.options, schema)
+
+    def writer(self, schema, overwrite: bool) -> JsonlDocsWriter:
+        return JsonlDocsWriter(self.options, schema, overwrite)
 
 
 def register(spark) -> None:

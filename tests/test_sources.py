@@ -159,3 +159,105 @@ def test_jsonl_streaming_stability_window_defers_fresh_files(tmp_path):
     os.utime(tmp_path / "s-000.jsonl", (old, old))
     rows, end = reader.read(reader.initialOffset())
     assert [r[0] for r in rows] == [1] and end["done"] != []
+
+
+def test_jsonl_writer_roundtrip(spark, tmp_path):
+    """Batch writer two-phase commit: rows written via the custom sink
+    come back identical through the custom reader; temp files are gone
+    and a _SUCCESS manifest records the totals."""
+    import json as _json
+    import os
+
+    from pyspark_distributed_kmodes_spark.sources import jsonl
+
+    jsonl.register(spark)
+    out = str(tmp_path / "sink")
+    df = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, "bonjour", "fr"), (3, "hola", "es")],
+        "doc_id bigint, text string, lang string",
+    ).repartition(2)
+    df.write.format("jsonl_docs").option("path", out).mode("append").save()
+
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    manifest = _json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest["rows"] == 3
+    assert not [p for p in os.listdir(out) if p.startswith("_tmp-")]
+
+    back = (
+        spark.read.format("jsonl_docs")
+        .schema("doc_id bigint, text string, lang string")
+        .option("path", os.path.join(out, "part-*.jsonl"))
+        .load()
+    )
+    assert sorted((r.doc_id, r.text, r.lang) for r in back.collect()) == [
+        (1, "hello world", "en"),
+        (2, "bonjour", "fr"),
+        (3, "hola", "es"),
+    ]
+
+
+def test_jsonl_writer_overwrite_replaces_append_accumulates(spark, tmp_path):
+    """mode=overwrite removes previously committed shards; mode=append
+    keeps them."""
+    import os
+
+    from pyspark_distributed_kmodes_spark.sources import jsonl
+
+    jsonl.register(spark)
+    out = str(tmp_path / "sink2")
+    schema = "doc_id bigint, text string"
+
+    def write(ids, mode):
+        spark.createDataFrame([(i, f"doc {i}") for i in ids], schema).coalesce(1).write.format(
+            "jsonl_docs"
+        ).option("path", out).mode(mode).save()
+
+    def read_ids():
+        return sorted(
+            r.doc_id
+            for r in spark.read.format("jsonl_docs")
+            .schema(schema)
+            .option("path", os.path.join(out, "part-*.jsonl"))
+            .load()
+            .collect()
+        )
+
+    write([1, 2], "append")
+    write([3], "append")
+    assert read_ids() == [1, 2, 3]
+    write([7, 8], "overwrite")
+    assert read_ids() == [7, 8]
+
+
+def test_jsonl_writer_abort_and_stale_sweep(tmp_path):
+    """Driver-side commit/abort contract, exercised directly: abort
+    removes the reported temp shard; commit publishes only reported
+    temps and sweeps orphans from failed attempts."""
+    import os
+
+    from pyspark.sql.types import StructType
+
+    from pyspark_distributed_kmodes_spark.sources.jsonl import (
+        JsonlDocsWriter,
+        JsonlShardCommit,
+    )
+
+    out = tmp_path / "sink3"
+    out.mkdir()
+    schema = StructType.fromDDL("doc_id bigint, text string")
+    w = JsonlDocsWriter({"path": str(out)}, schema, overwrite=False)
+
+    aborted = out / "_tmp-deadbeef.jsonl"
+    aborted.write_text('{"doc_id": 1, "text": "x"}\n')
+    w.abort([None, JsonlShardCommit(str(aborted), 1)])
+    assert not aborted.exists()
+
+    good = out / "_tmp-cafe01.jsonl"
+    good.write_text('{"doc_id": 2, "text": "y"}\n')
+    orphan = out / "_tmp-0rphan.jsonl"  # speculative attempt, no message
+    orphan.write_text('{"doc_id": 2, "text": "y"}\n')
+    w.commit([JsonlShardCommit(str(good), 1), None])
+    names = sorted(os.listdir(out))
+    assert any(n.startswith("part-00000-") for n in names)
+    assert not any(n.startswith("_tmp-") for n in names)
+    assert "_SUCCESS" in names
