@@ -341,3 +341,90 @@ def b34_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(f"DROP TABLE IF EXISTS {li_tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {o_tbl}")
         shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "z07_forecast_revenue",
+    oracle=f"""
+SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    tags=("agg", "tpch"),
+)
+def z07_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the forecasting-revenue-change query — a pure
+    scan-filter-aggregate with no joins, the canonical predicate-
+    pushdown benchmark (all three filters must reach the parquet scan;
+    only 4 of 11 columns read).
+
+    Determinism: the l_discount BETWEEN bounds compare against the
+    stored doubles directly (no arithmetic, so no rounding hazard) and
+    the single revenue sum is decimal-exact. Scale: the whole query is
+    one map-side-combined partial aggregate — at 100 TB it reads the
+    pruned columns, applies scan-level filters, and ships one row per
+    task.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    keep = (
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.filter(keep).agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+
+
+@query(
+    "z08_top_supplier",
+    oracle=f"""
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+  GROUP BY l_suppkey
+), mx AS (
+  SELECT MAX(total_revenue) AS m FROM rev
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM rev r JOIN mx ON r.total_revenue = mx.m
+JOIN supplier s ON s.s_suppkey = r.supplier_no
+ORDER BY s.s_suppkey
+""",
+    tags=("join", "subquery", "tpch"),
+)
+def z08_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the top-supplier query — a revenue "view" over
+    one quarter, then the suppliers whose revenue EQUALS the scalar
+    maximum (Q15's correlated-max semantics keeps ties, unlike a
+    LIMIT 1).
+
+    Determinism: per-supplier revenue is a decimal-exact sum cast to
+    double once, so both engines hold bit-identical revenues and the
+    MAX / equality comparisons cannot drift. Scale: one fact shuffle
+    keyed l_suppkey (scan-filtered to the quarter first), a 1-row MAX
+    broadcast back over the |suppliers| aggregate, and a broadcast
+    supplier dim join — the full-corpus scan happens exactly once.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01"))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("m"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("m"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )

@@ -66,3 +66,27 @@ def test_pair_joins_are_equi_not_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in formatted_plan(z02_containment_pairs(spark, sf_dir))
     c08 = formatted_plan(c08_source_overlap_matrix(spark, sf_dir))
     assert "CartesianProduct" not in c08
+
+
+def test_z07_filters_pushed_to_scan(spark, sf_dir):
+    """Q6 is THE pushdown benchmark: shipdate/discount/quantity
+    predicates must reach the parquet scan, and the read schema must
+    prune to the four referenced columns."""
+    from pyspark_distributed_kmodes_spark.operators.relational4 import (
+        z07_forecast_revenue,
+        z08_top_supplier,
+    )
+    from pyspark_distributed_kmodes_spark.plans.inspect import (
+        formatted_plan,
+        pushed_filters,
+        read_schema,
+    )
+
+    pf = pushed_filters(z07_forecast_revenue(spark, sf_dir))
+    assert "l_shipdate" in pf and "l_quantity" in pf and "l_discount" in pf
+    rs = read_schema(z07_forecast_revenue(spark, sf_dir))
+    assert "l_extendedprice" in rs and "l_comment" not in rs and "l_orderkey" not in rs
+
+    plan = formatted_plan(z08_top_supplier(spark, sf_dir))
+    assert "l_shipdate" in pushed_filters(z08_top_supplier(spark, sf_dir))
+    assert "CartesianProduct" not in plan

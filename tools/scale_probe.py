@@ -46,6 +46,10 @@ PROBE_QUERIES = [
     "b12_unigram_logprob",
     "c03_dup_clusters_distributed",
     "c06_logprob_quality_tiers",
+    "c11_shingle_novelty",
+    "c13_label_cohesion",
+    "z01_weighted_reservoir_sample",
+    "z03_oov_rate",
 ]
 
 
