@@ -24,6 +24,7 @@ import json
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -215,6 +216,98 @@ class JsonlDocsWriter(DataSourceWriter):
                     pass
 
 
+class JsonlDocsStreamWriter(DataSourceStreamWriter):
+    """Streaming sink half: per-micro-batch two-phase commit with a
+    batch-id ledger, so REPLAYED batches are exactly-once.
+
+    Tasks write temp shards exactly like the batch writer. The driver's
+    commit(messages, batchId) then:
+
+    1. If `batchId` is already in `_commits.jsonl` (Structured
+       Streaming re-ran a batch after checkpoint recovery), DELETES the
+       new temp shards — the batch's rows are already published;
+       re-publishing would double them.
+    2. Otherwise removes any `batch-<id>-*` leftovers from a commit
+       that crashed mid-rename (publish is not atomic across shards;
+       the ledger line is written LAST, so an unledgered batch id may
+       own partial files), renames the temp shards to
+       `batch-<id>-part-<i>-<uuid>.jsonl`, and appends the ledger line.
+
+    Crash matrix: fail before any rename → replay republishes cleanly;
+    fail mid-rename → step 2 sweeps the partials on replay; fail after
+    ledger append → step 1 discards the replay. Readers consume
+    `batch-*-part-*.jsonl`; temp files and the ledger never match that
+    glob. The ledger is one JSON line per batch — at 100 TB the driver
+    state stays file names + batch ids.
+    """
+
+    def __init__(self, options: dict, schema, overwrite: bool):
+        self.dir = options["path"]
+        self.fields = [f.name for f in schema.fields]
+
+    def _ledger(self):
+        import os
+
+        return os.path.join(self.dir, "_commits.jsonl")
+
+    def _committed(self):
+        import os
+
+        ids = set()
+        if os.path.exists(self._ledger()):
+            with open(self._ledger()) as f:
+                for line in f:
+                    if line.strip():
+                        ids.add(json.loads(line)["batch_id"])
+        return ids
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        os.makedirs(self.dir, exist_ok=True)
+        tmp = os.path.join(self.dir, f"_tmp-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(dict(zip(self.fields, row)), default=str) + "\n")
+                n += 1
+        return JsonlShardCommit(tmp, n)
+
+    def commit(self, messages, batchId):
+        import os
+
+        if batchId in self._committed():
+            for m in messages:  # replayed batch: already published
+                if m is not None:
+                    try:
+                        os.remove(m.tmp_path)
+                    except OSError:
+                        pass
+            return
+        for partial in _glob.glob(os.path.join(self.dir, f"batch-{batchId:08d}-*")):
+            os.remove(partial)  # crashed mid-rename on a previous attempt
+        total = 0
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            base = os.path.basename(m.tmp_path).replace("_tmp-", "")
+            os.rename(m.tmp_path, os.path.join(self.dir, f"batch-{batchId:08d}-part-{i:05d}-{base}"))
+            total += m.n_rows
+        with open(self._ledger(), "a") as f:
+            f.write(json.dumps({"batch_id": batchId, "rows": total}) + "\n")
+
+    def abort(self, messages, batchId):
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(m.tmp_path)
+                except OSError:
+                    pass
+
+
 class JsonlDocsDataSource(DataSource):
     """Usage:
         spark.dataSource.register(JsonlDocsDataSource)
@@ -240,6 +333,9 @@ class JsonlDocsDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> JsonlDocsWriter:
         return JsonlDocsWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> JsonlDocsStreamWriter:
+        return JsonlDocsStreamWriter(self.options, schema, overwrite)
 
 
 def register(spark) -> None:

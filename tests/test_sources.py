@@ -261,3 +261,103 @@ def test_jsonl_writer_abort_and_stale_sweep(tmp_path):
     assert any(n.startswith("part-00000-") for n in names)
     assert not any(n.startswith("_tmp-") for n in names)
     assert "_SUCCESS" in names
+
+
+def test_jsonl_stream_writer_end_to_end_exactly_once(spark, tmp_path):
+    """Custom streaming SINK: jsonl stream reader → jsonl stream writer
+    across two availableNow runs on one checkpoint — every row lands in
+    exactly one committed batch shard, and the ledger records each
+    batch once."""
+    import json as _json
+    import os
+
+    from pyspark_distributed_kmodes_spark.sources import jsonl
+
+    jsonl.register(spark)
+    src = tmp_path / "src"
+    src.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_shard(i, rows):
+        with open(src / f"s-{i:03d}.jsonl", "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    def drain():
+        q = (
+            spark.readStream.format("jsonl_docs")
+            .schema("doc_id bigint, text string")
+            .option("path", str(src / "s-*.jsonl"))
+            .option("stability_sec", "0")
+            .load()
+            .writeStream.format("jsonl_docs")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def read_sink():
+        rows = []
+        for p in sorted(os.listdir(sink)):
+            if p.startswith("batch-") and p.endswith(".jsonl"):
+                with open(os.path.join(sink, p)) as f:
+                    rows += [_json.loads(line)["doc_id"] for line in f if line.strip()]
+        return sorted(rows)
+
+    write_shard(0, [{"doc_id": 1, "text": "a"}, {"doc_id": 2, "text": "b"}])
+    drain()
+    assert read_sink() == [1, 2]
+    write_shard(1, [{"doc_id": 3, "text": "c"}])
+    drain()
+    assert read_sink() == [1, 2, 3]  # no re-publication of batch 0
+    assert not [p for p in os.listdir(sink) if p.startswith("_tmp-")]
+    with open(os.path.join(sink, "_commits.jsonl")) as f:
+        ids = [_json.loads(line)["batch_id"] for line in f if line.strip()]
+    assert len(ids) == len(set(ids))
+
+
+def test_jsonl_stream_writer_replay_and_partial_commit(tmp_path):
+    """Driver-side commit contract under failure: a replayed batch id
+    discards its temp files instead of double-publishing, and a commit
+    retried after a mid-rename crash sweeps the partial files first."""
+    import json as _json
+    import os
+
+    from pyspark.sql.types import StructType
+
+    from pyspark_distributed_kmodes_spark.sources.jsonl import (
+        JsonlDocsStreamWriter,
+        JsonlShardCommit,
+    )
+
+    out = tmp_path / "sink"
+    out.mkdir()
+    schema = StructType.fromDDL("doc_id bigint, text string")
+    w = JsonlDocsStreamWriter({"path": str(out)}, schema, overwrite=False)
+
+    def mktmp(name, rows):
+        p = out / f"_tmp-{name}.jsonl"
+        p.write_text("".join(_json.dumps(r) + "\n" for r in rows))
+        return str(p)
+
+    # normal commit of batch 0
+    w.commit([JsonlShardCommit(mktmp("aa", [{"doc_id": 1}]), 1)], 0)
+    # crashed attempt left a partial batch-1 file, no ledger line
+    (out / "batch-00000001-part-00000-dead.jsonl").write_text('{"doc_id": 9}\n')
+    w.commit([JsonlShardCommit(mktmp("bb", [{"doc_id": 2}]), 1)], 1)
+    # replay of batch 1 (checkpoint recovery): must be a no-op
+    w.commit([JsonlShardCommit(mktmp("cc", [{"doc_id": 2}]), 1)], 1)
+
+    docs = []
+    for p in sorted(os.listdir(out)):
+        if p.startswith("batch-") and p.endswith(".jsonl"):
+            docs += [
+                _json.loads(line)["doc_id"]
+                for line in open(os.path.join(out, p))
+                if line.strip()
+            ]
+    assert sorted(docs) == [1, 2]  # 9 swept, 2 published once
+    assert not [p for p in os.listdir(out) if p.startswith("_tmp-")]
