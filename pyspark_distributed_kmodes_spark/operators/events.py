@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pyspark_distributed_kmodes_spark.functions.deterministic import dsum, pround, sql_dsum
+from pyspark_distributed_kmodes_spark.functions.deterministic import dsum, pround, sql_dsum, sql_pround
 from pyspark_distributed_kmodes_spark.registry import query
 from pyspark_distributed_kmodes_spark.sources.tables import table
 
@@ -380,4 +380,149 @@ def b35_interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
         )
         .orderBy("purchase_id", "click_id")
+    )
+
+
+@query(
+    "z09_event_funnel",
+    oracle=f"""
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN t1 ON t1.user_id = e.user_id AND e.ts > t1.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN t2 ON t2.user_id = e.user_id AND e.ts > t2.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+), c AS (
+  SELECT (SELECT COUNT(*) FROM t1) AS n1,
+         (SELECT COUNT(*) FROM t2) AS n2,
+         (SELECT COUNT(*) FROM t3) AS n3
+)
+SELECT 1 AS stage, 'view' AS event_type, CAST(n1 AS BIGINT) AS n_users, CAST(1.0 AS DOUBLE) AS conversion FROM c
+UNION ALL
+SELECT 2, 'click', CAST(n2 AS BIGINT),
+       CASE WHEN n1 > 0 THEN {sql_pround('CAST(n2 AS DOUBLE) / n1', 6)} ELSE 0.0 END FROM c
+UNION ALL
+SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+       CASE WHEN n2 > 0 THEN {sql_pround('CAST(n3 AS DOUBLE) / n2', 6)} ELSE 0.0 END FROM c
+ORDER BY stage
+""",
+    tags=("events", "funnel"),
+)
+def z09_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: how many users progress view → click →
+    purchase with STRICTLY increasing timestamps (a click before the
+    first view does not count) — the product-analytics sequence-match
+    every engine in this space ships, reduced to relational algebra:
+    stage k's entry time is the MIN event time after stage k−1's.
+
+    Scale shape: three aggregate→join rounds, all keyed user_id, each
+    stage's table shrinking monotonically; no per-user event arrays are
+    ever materialized (the sessionize-then-fold alternative), so a user
+    with 10M events costs the same shuffle bytes as one with 10. The
+    stage tables are data-dependent — broadcast is left to AQE.
+    Conversions are single IEEE divisions of exact counts, pround(6).
+    """
+    e = table(spark, sf_dir, "events")
+
+    def stage(prev, etype):
+        nxt = e.filter(F.col("event_type") == etype)
+        if prev is None:
+            return nxt.groupBy("user_id").agg(F.min("ts").alias("t"))
+        return (
+            nxt.join(
+                prev.select(F.col("user_id").alias("pu"), F.col("t").alias("pt")),
+                (F.col("user_id") == F.col("pu")) & (F.col("ts") > F.col("pt")),
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+
+    t1 = stage(None, "view")
+    t2 = stage(t1, "click")
+    t3 = stage(t2, "purchase")
+    row = (
+        t1.agg(F.count(F.lit(1)).alias("n1"))
+        .crossJoin(t2.agg(F.count(F.lit(1)).alias("n2")))
+        .crossJoin(t3.agg(F.count(F.lit(1)).alias("n3")))
+    )
+    conv2 = F.when(F.col("n1") > 0, pround(F.col("n2").cast("double") / F.col("n1"), 6)).otherwise(0.0)
+    conv3 = F.when(F.col("n2") > 0, pround(F.col("n3").cast("double") / F.col("n2"), 6)).otherwise(0.0)
+    stages = F.array(
+        F.struct(
+            F.lit(1).alias("stage"),
+            F.lit("view").alias("event_type"),
+            F.col("n1").cast("bigint").alias("n_users"),
+            F.lit(1.0).alias("conversion"),
+        ),
+        F.struct(
+            F.lit(2).alias("stage"),
+            F.lit("click").alias("event_type"),
+            F.col("n2").cast("bigint").alias("n_users"),
+            conv2.alias("conversion"),
+        ),
+        F.struct(
+            F.lit(3).alias("stage"),
+            F.lit("purchase").alias("event_type"),
+            F.col("n3").cast("bigint").alias("n_users"),
+            conv3.alias("conversion"),
+        ),
+    )
+    return row.select(F.explode(stages).alias("s")).select("s.*").orderBy("stage")
+
+
+@query(
+    "z10_dau_wau_stickiness",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+         CAST(date_trunc('day', ts) AS DATE) AS day,
+         COUNT(DISTINCT user_id) AS dau
+  FROM events GROUP BY 1, 2
+), weekly AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+         COUNT(DISTINCT user_id) AS wau
+  FROM events GROUP BY 1
+)
+SELECT d.week,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(w.wau AS BIGINT) AS wau,
+       {sql_pround('CAST(SUM(d.dau) AS DOUBLE) / COUNT(*)', 6)} AS avg_dau,
+       {sql_pround('CAST(SUM(d.dau) AS DOUBLE) / COUNT(*) / w.wau', 6)} AS stickiness
+FROM daily d JOIN weekly w USING (week)
+GROUP BY d.week, w.wau
+ORDER BY d.week
+""",
+    tags=("events", "engagement"),
+)
+def z10_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement stickiness: average daily active users over weekly
+    active users per week (the DAU/WAU ratio product teams track) —
+    two distinct-user rollups at different grains joined back together.
+
+    Scale shape: both rollups are distinct-aggregates over the RAW scan
+    (no join fan-out — the vanilla-heap rule), keyed by calendar
+    buckets; the weekly side is |weeks| rows and joins the daily side
+    on week. Counts are exact integers; the two ratios are IEEE
+    divisions of exact sums, pround(6).
+    """
+    e = table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    day = F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    daily = e.groupBy(week, day).agg(F.count_distinct("user_id").alias("dau"))
+    weekly = e.groupBy(week).agg(F.count_distinct("user_id").alias("wau"))
+    avg_dau = F.sum("dau").cast("double") / F.count(F.lit(1))
+    return (
+        daily.join(weekly, "week")
+        .groupBy("week", "wau")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            pround(avg_dau, 6).alias("avg_dau"),
+            pround(avg_dau / F.col("wau"), 6).alias("stickiness"),
+        )
+        .select("week", "n_days", F.col("wau").cast("bigint").alias("wau"), "avg_dau", "stickiness")
+        .orderBy("week")
     )
