@@ -360,7 +360,38 @@ def q57_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q58_language_id", oracle=None, tags=("text", "ml"))
+@query(
+    "q58_language_id",
+    oracle="""
+WITH tri AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, greatest(len(text) - 2, 1) + 1),
+                i -> substr(text, i, 3))) AS tri
+  FROM documents
+), counts AS (
+  SELECT lang, tri, COUNT(*) AS cnt FROM tri WHERE doc_id % 10 < 8 GROUP BY 1, 2
+), profile AS (
+  SELECT lang AS cand_lang, tri, ln(cnt + 1) AS weight
+  FROM (SELECT lang, tri, cnt,
+               row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tri ASC) AS rn
+        FROM counts)
+  WHERE rn <= 50
+), scored AS (
+  SELECT t.doc_id, t.lang AS true_lang, p.cand_lang,
+         CAST(SUM(CAST((CAST(floor((p.weight) * 1000000000.0 + 0.5) AS DOUBLE) / 1000000000.0) AS DECIMAL(25,12))) AS DOUBLE) AS score
+  FROM tri t JOIN profile p USING (tri)
+  WHERE t.doc_id % 10 >= 8
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id, true_lang, cand_lang AS predicted_lang,
+       (CAST(floor(score * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand_lang ASC) AS rn
+      FROM scored)
+WHERE rn = 1
+ORDER BY doc_id
+""",
+    tags=("text", "ml"),
+)
 def q58_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language identification via character-trigram profiles, fully
     relational: train per-lang top-50 trigram weights on a deterministic
@@ -369,8 +400,10 @@ def q58_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     NOTE: this synthetic corpus shares one vocabulary across langs, so
     accuracy ≈ chance here; the operator is the real langid shape
-    (profiles broadcast; test side scales linearly). Rows-only; the
-    property tests pin determinism and total coverage.
+    (profiles broadcast; test side scales linearly). Hash-gated since
+    round 3: per-candidate scores sum pround(9)-rounded ln-weights in
+    exact DECIMAL, so the argmax compares bit-identical doubles on both
+    engines (rows-only before — the raw float sum was order-dependent).
     """
     from pyspark.sql import Window
 
@@ -399,13 +432,13 @@ def q58_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         test_tris.join(F.broadcast(profile), "tri")
         .groupBy("doc_id", "true_lang", "cand_lang")
-        .agg(F.sum("weight").alias("score"))
+        .agg(F.sum(pround(F.col("weight"), 9).cast("decimal(25,12)")).cast("double").alias("score"))
     )
     w_pick = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand_lang").asc())
     return (
         scored.withColumn("rn", F.row_number().over(w_pick))
         .filter(F.col("rn") == 1)
-        .select("doc_id", "true_lang", F.col("cand_lang").alias("predicted_lang"), F.round("score", 6).alias("score"))
+        .select("doc_id", "true_lang", F.col("cand_lang").alias("predicted_lang"), pround(F.col("score"), 6).alias("score"))
         .orderBy("doc_id")
     )
 
