@@ -220,6 +220,7 @@ def upsert_sink_stream(
     key_cols: list[str],
     order_cols: list[str],
     checkpoint_dir: str | None = None,
+    output_mode: str = "update",
 ) -> None:
     """Incremental MERGE-upsert sink: foreachBatch maintains a parquet
     target holding the row with the HIGHEST `order_cols` per key across
@@ -244,6 +245,14 @@ def upsert_sink_stream(
     Scale: this is the standard continuous-compaction loop on plain
     parquet — each batch shuffles only on the upsert key, and the swap
     cost is two metadata renames regardless of target size.
+
+    `output_mode` defaults to "update" so a watermarked AGGREGATE
+    upstream publishes per-batch partials that the merge converges to
+    final totals (pick order_cols the aggregate is monotone in, e.g. a
+    count — examples/continuous_rollup_example.py); append mode would
+    hold the newest still-open window in state forever and the rollup
+    table would permanently lack it. For non-aggregate streams update
+    and append deliver identical rows.
     """
     import tempfile
 
@@ -292,6 +301,7 @@ def upsert_sink_stream(
 
     (
         stream_df.writeStream.foreachBatch(apply_batch)
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .option("checkpointLocation", checkpoint_dir or tempfile.mkdtemp(prefix="upsert_ckpt_"))
         .start()

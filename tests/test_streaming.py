@@ -317,3 +317,26 @@ def test_foreachbatch_upsert_out_of_order_batches(spark, sf_dir):
         ).filter("_rn = 1").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_continuous_rollup_matches_batch(spark, sf_dir):
+    """Continuous-aggregate maintenance: watermarked tumbling counts in
+    update mode upserted per batch (order col = the monotone count) must
+    converge to EXACTLY the batch q30 aggregate — including the newest
+    window, which append mode would hold in state forever."""
+    import tempfile
+
+    from pyspark_distributed_kmodes_spark.operators.events import q30_tumbling_window
+    from pyspark_distributed_kmodes_spark.streaming.jobs import (
+        events_stream,
+        tumbling_counts_stream,
+        upsert_sink_stream,
+    )
+
+    rollup = tumbling_counts_stream(events_stream(spark, sf_dir), watermark="10 minutes")
+    target = tempfile.mkdtemp(prefix="rollup_test_") + "/hourly"
+    upsert_sink_stream(spark, rollup, target, ["window_start", "event_type"], ["n_events"])
+    maintained = spark.read.parquet(target).select("window_start", "event_type", "n_events")
+    batch = q30_tumbling_window(spark, sf_dir).select("window_start", "event_type", "n_events")
+    assert maintained.exceptAll(batch).count() == 0
+    assert batch.exceptAll(maintained).count() == 0
