@@ -19,6 +19,13 @@ this). History:
            columns), and the new c01+ queries all sort inside the
            window. Net: every key q01-q99/qb01-qb07 outside the
            window already has a green row in CORRECTNESS_r01/r02.
+           The window is exactly full (a91 + b08-b42 + c01-c14 = 50),
+           so round-3's LATER additions are keyed z01+ — they sort
+           after everything, pass the identical local mirror now, and
+           are the round-4 rotation's window candidates (rename
+           driver-green b08-b42 -> qb08-qb42, a91 -> q91 [slot free],
+           c01-c14 -> qc01-qc14; then z01+ plus any d* additions sort
+           inside).
 
 Implementations live in pyspark_distributed_kmodes_spark/; this module
 is a thin adapter over its registry.

@@ -526,3 +526,59 @@ def z10_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("week", "n_days", F.col("wau").cast("bigint").alias("wau"), "avg_dau", "stickiness")
         .orderBy("week")
     )
+
+
+@query(
+    "z12_event_transition_matrix",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS cnt
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+), totals AS (
+  SELECT prev_type, SUM(cnt) AS total FROM pairs GROUP BY prev_type
+)
+SELECT p.prev_type, p.next_type,
+       CAST(p.cnt AS BIGINT) AS n_transitions,
+       {sql_pround('CAST(p.cnt AS DOUBLE) / t.total', 6)} AS prob
+FROM pairs p JOIN totals t USING (prev_type)
+ORDER BY p.prev_type, p.next_type
+""",
+    tags=("events", "analytics"),
+)
+def z12_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: P(next event type | previous event type) — the behavioral
+    fingerprint behind "what do users do after an error?" and the
+    input to any sequence-anomaly monitor.
+
+    Determinism: the sequence order is (ts, event_id) — a total order,
+    so lag() is identical on both engines; counts are integers and each
+    probability is one IEEE division, pround(6). Scale shape: one
+    user-partitioned window (each user's events sort within their
+    partition), then a |types|²-bounded aggregate — the matrix is
+    schema-small no matter the corpus.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = pairs.groupBy("prev_type").agg(F.sum("cnt").alias("total"))
+    return (
+        pairs.join(totals, "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            F.col("cnt").cast("bigint").alias("n_transitions"),
+            pround(F.col("cnt").cast("double") / F.col("total"), 6).alias("prob"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

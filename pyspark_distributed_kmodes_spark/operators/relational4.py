@@ -428,3 +428,80 @@ def z08_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+@query(
+    "z11_cohort_ltv_triangle",
+    oracle="""
+WITH cohort AS (
+  SELECT o_custkey, MIN(year(o_orderdate)) AS cohort_year
+  FROM orders GROUP BY o_custkey
+), sizes AS (
+  SELECT cohort_year, COUNT(*) AS cohort_size FROM cohort GROUP BY cohort_year
+), cells AS (
+  SELECT c.cohort_year,
+         CAST(year(o.o_orderdate) - c.cohort_year AS INTEGER) AS age,
+         COUNT(DISTINCT o.o_custkey) AS n_active,
+         SUM(CAST(o.o_totalprice AS DECIMAL(25,6))) AS rev_dec
+  FROM orders o JOIN cohort c USING (o_custkey)
+  GROUP BY 1, 2
+)
+SELECT cl.cohort_year,
+       cl.age,
+       CAST(cl.n_active AS BIGINT) AS n_active,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       (CAST(floor(CAST(cl.rev_dec AS DOUBLE) * 100.0 + 0.5) AS DOUBLE) / 100.0) AS revenue,
+       (CAST(floor((CAST(SUM(cl.rev_dec) OVER (PARTITION BY cl.cohort_year ORDER BY cl.age) AS DOUBLE) / s.cohort_size) * 100.0 + 0.5) AS DOUBLE) / 100.0) AS cum_ltv_per_customer
+FROM cells cl JOIN sizes s USING (cohort_year)
+ORDER BY cohort_year, age
+""",
+    tags=("analytics", "cohort"),
+)
+def z11_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: customers grouped by
+    first-order year, each cohort's revenue tracked by account age,
+    with the running LTV per customer — the revenue twin of b19's
+    activity-retention triangle and the table a growth team reads
+    to see whether newer cohorts monetize faster.
+
+    Determinism: cell revenue aggregates in exact DECIMAL and the
+    running total is a WINDOW SUM OVER THE DECIMAL (still exact — no
+    float ever accumulates); the two emitted doubles round via
+    pround(2) only at the edge. Scale shape: one (custkey) aggregate
+    for cohorts, a broadcast-eligible cohort map joined back, one
+    (cohort, age) cell shuffle, and a window over ≤|years| rows per
+    cohort partition.
+    """
+    o = table(spark, sf_dir, "orders")
+    cohort = o.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).alias("cohort_year")
+    )
+    sizes = cohort.groupBy("cohort_year").agg(F.count(F.lit(1)).cast("bigint").alias("cohort_size"))
+    cells = (
+        o.join(cohort, "o_custkey")
+        .groupBy(
+            "cohort_year",
+            (F.year("o_orderdate") - F.col("cohort_year")).cast("int").alias("age"),
+        )
+        .agg(
+            F.count_distinct("o_custkey").cast("bigint").alias("n_active"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)")).alias("rev_dec"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    cum = Window.partitionBy("cohort_year").orderBy("age")
+    return (
+        cells.join(F.broadcast(sizes), "cohort_year")
+        .select(
+            "cohort_year",
+            "age",
+            "n_active",
+            "cohort_size",
+            pround(F.col("rev_dec").cast("double"), 2).alias("revenue"),
+            pround(
+                F.sum("rev_dec").over(cum).cast("double") / F.col("cohort_size"), 2
+            ).alias("cum_ltv_per_customer"),
+        )
+        .orderBy("cohort_year", "age")
+    )
