@@ -610,3 +610,33 @@ def b30_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query("z15_pca_variance", oracle=None, tags=("vector", "ml"))
+def z15_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA variance report: fit 8 components over the
+    embedding corpus (ml/pca.py — per-batch d×d covariance partials,
+    driver eigendecomposition) and report each component's eigenvalue
+    with the explained and cumulative variance ratios — the "how many
+    dimensions does this embedding space really have?" diagnostic run
+    before IVF list sizing, semantic-dedup thresholds, or dimension
+    truncation.
+
+    Rows-only by nature (eigendecomposition isn't SQL); the property
+    suite pins the trace identity, orthonormality, projected-variance
+    == eigenvalue, and monotone reconstruction error. Scalar columns
+    only (driver canonicalizer contract).
+    """
+    from pyspark_distributed_kmodes_spark.ml.pca import pca_fit
+
+    emb = table(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, k=8)
+    ratios = model.explained_ratio()
+    cum = 0.0
+    rows = []
+    for i, (ev, r) in enumerate(zip(model.eigenvalues, ratios)):
+        cum += r
+        rows.append((i, float(ev), float(r), float(cum)))
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, explained_ratio double, cum_ratio double"
+    ).orderBy("component")
