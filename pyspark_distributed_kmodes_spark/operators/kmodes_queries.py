@@ -63,3 +63,22 @@ def q72_kmodes_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderstatus", "o_orderpriority", "prediction")
         .orderBy("o_orderkey")
     )
+
+
+@query("z16_kmodes_silhouette", oracle=None, tags=("kmodes", "ml"))
+def z16_kmodes_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality validation for the fitted k-modes model: the
+    mode-based silhouette report (ml/metrics.py) — per-cluster size,
+    mean and min silhouette, plus the overall row (cluster = −1). The
+    "is k right?" gate run after every q70-style fit; pairwise-free, so
+    it costs one scan + one aggregate at any corpus size.
+
+    Rows-only (depends on the iterative fit); bounds, degenerate-case
+    and hand-computed values are pinned in tests/test_metrics.py.
+    """
+    from pyspark_distributed_kmodes_spark.ml.kmodes import KModes
+    from pyspark_distributed_kmodes_spark.ml.metrics import silhouette_report
+
+    o = table(spark, sf_dir, "orders")
+    model = KModes(n_clusters=5, cols=KMODES_COLS, max_iter=20, seed=42).fit(o)
+    return silhouette_report(model, o.select(*KMODES_COLS))
