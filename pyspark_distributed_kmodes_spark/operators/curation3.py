@@ -58,7 +58,7 @@ WITH keyed AS (
   FROM documents
 ), ranked AS (
   SELECT lang, doc_id, n_words,
-         row_number() OVER (PARTITION BY lang ORDER BY key ASC, doc_id ASC) AS rk
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY key ASC, doc_id ASC) AS INTEGER) AS rk
   FROM keyed
 )
 SELECT lang, rk, doc_id, n_words

@@ -434,7 +434,7 @@ def z08_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "z11_cohort_ltv_triangle",
     oracle="""
 WITH cohort AS (
-  SELECT o_custkey, MIN(year(o_orderdate)) AS cohort_year
+  SELECT o_custkey, CAST(MIN(year(o_orderdate)) AS INTEGER) AS cohort_year
   FROM orders GROUP BY o_custkey
 ), sizes AS (
   SELECT cohort_year, COUNT(*) AS cohort_size FROM cohort GROUP BY cohort_year

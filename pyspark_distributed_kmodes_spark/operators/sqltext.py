@@ -33,7 +33,7 @@ WITH rev AS (
                       ORDER BY revenue_dec DESC, nation ASC) AS rk
   FROM rev
 )
-SELECT o_year, rk, nation,
+SELECT o_year, CAST(rk AS INTEGER) AS rk, nation,
        (CAST(floor(revenue_d * 100.0 + 0.5) AS DOUBLE) / 100.0) AS revenue
 FROM ranked
 WHERE rk <= 3
