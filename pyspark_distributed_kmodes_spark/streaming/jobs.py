@@ -307,3 +307,61 @@ def upsert_sink_stream(
         .start()
         .awaitTermination()
     )
+
+
+def funnel_stream(events: DataFrame, stages: tuple = ("view", "click", "purchase")) -> DataFrame:
+    """Stateful streaming funnel: per user, the deepest stage reachable
+    with STRICTLY increasing event times — the streaming twin of the
+    batch z09 funnel (operators/events.py), exact under ANY arrival
+    order.
+
+    Order-robust by construction: min-ts chaining (stage k's entry =
+    min event time after stage k−1's entry) is NOT prefix-computable —
+    a late-arriving EARLIER view can lower t1 and retroactively qualify
+    a click the chain previously rejected. So the state keeps, per
+    stage, the set of DISTINCT event timestamps seen (epoch micros,
+    sorted), and each batch recomputes the chain from those sets; the
+    emitted (user, funnel_stage, stage_ts) row is always the fixed point
+    of everything seen so far. State is bounded by a user's distinct
+    event times per stage — at 100 TB, prune each list to timestamps
+    below the already-finalized chain prefix once the watermark passes
+    them (the lists only need their minima above each entry point);
+    this demo keeps the exact form.
+
+    Output (update mode): one row per user per batch with the current
+    deepest stage (0 = entered nothing yet tracked, len(stages) = full
+    funnel) — feed it to the upsert sink keyed user_id with
+    order_cols=[funnel_stage] to maintain a live funnel table.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id BIGINT, funnel_stage INT, stage_ts BIGINT"
+    state_schema = ", ".join(f"ts{i} ARRAY<BIGINT>" for i in range(len(stages)))
+
+    def update(key, pdfs, state: GroupState):
+        lists = [list(v) for v in state.get] if state.exists else [[] for _ in stages]
+        for pdf in pdfs:
+            for etype, ts in zip(pdf["event_type"], pdf["ts"]):
+                if etype in stages:
+                    lists[stages.index(etype)].append(int(ts.value // 1000))
+        lists = [sorted(set(v)) for v in lists]
+        state.update(tuple(lists))
+        # recompute the min-ts chain from the full sets
+        depth, entry = 0, None
+        for ts_list in lists:
+            nxt = next((t for t in ts_list if entry is None or t > entry), None)
+            if nxt is None:
+                break
+            depth, entry = depth + 1, nxt
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "funnel_stage": [depth], "stage_ts": [entry or 0]}
+        )
+
+    return (
+        events.filter(F.col("event_type").isin(*stages))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )

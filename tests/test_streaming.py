@@ -340,3 +340,54 @@ def test_continuous_rollup_matches_batch(spark, sf_dir):
     batch = q30_tumbling_window(spark, sf_dir).select("window_start", "event_type", "n_events")
     assert maintained.exceptAll(batch).count() == 0
     assert batch.exceptAll(maintained).count() == 0
+
+
+def test_stateful_funnel_stream_matches_batch(spark, sf_dir):
+    """Custom stateful streaming funnel (applyInPandasWithState) must
+    reach the batch z09 fixed point even when micro-batches arrive in
+    REVERSED event-time order — a late earlier 'view' retroactively
+    qualifies clicks the chain previously rejected."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyspark_distributed_kmodes_spark.operators.events import z09_event_funnel
+    from pyspark_distributed_kmodes_spark.sources.tables import table
+    from pyspark_distributed_kmodes_spark.streaming.jobs import funnel_stream
+
+    ev = table(spark, sf_dir, "events")
+    med = ev.agg(F.percentile_approx("ts", 0.5).alias("m")).collect()[0]["m"]
+    src = tempfile.mkdtemp(prefix="funnel_src_")
+    # LATE half lands first, early half second: worst-case arrival order
+    ev.filter(F.col("ts") > F.lit(med)).write.parquet(src + "/b=1")
+    ev.filter(F.col("ts") <= F.lit(med)).write.parquet(src + "/b=2")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/b=*")
+    )
+    out = funnel_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_mem")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # state only deepens, so max per user over all emissions == final
+    final = (
+        spark.table("funnel_mem")
+        .groupBy("user_id")
+        .agg(F.max("funnel_stage").alias("stage"))
+        .collect()
+    )
+    stream_counts = {
+        k: sum(1 for r in final if r.stage >= k) for k in (1, 2, 3)
+    }
+    batch = {r.stage: r.n_users for r in z09_event_funnel(spark, sf_dir).collect()}
+    assert stream_counts == {1: batch[1], 2: batch[2], 3: batch[3]}
+    shutil.rmtree(src, ignore_errors=True)
