@@ -180,6 +180,7 @@ SELECT 'unique(o_orderkey)',
 ORDER BY check_name
 """,
     tags=("quality", "constraints"),
+    bench=True,
 )
 def z14_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality gate over `orders`: completeness, uniqueness,

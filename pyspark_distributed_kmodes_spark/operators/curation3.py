@@ -66,6 +66,7 @@ FROM ranked WHERE rk <= {_SAMPLE_K}
 ORDER BY lang, rk
 """,
     tags=("curation", "sampling"),
+    bench=True,
 )
 def z01_weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement (the
