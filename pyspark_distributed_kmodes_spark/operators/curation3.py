@@ -340,3 +340,139 @@ def z05_length_quality_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_docs"),
         pround(r, 6).alias("pearson_r"),
     ).orderBy("source")
+
+
+_DECILES = [i / 10.0 for i in range(1, 10)]  # 0.1 .. 0.9
+
+
+@query(
+    "z17_spend_deciles",
+    oracle=f"""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+), bounds AS (
+  SELECT quantile_cont(spend, {_DECILES}) AS bs FROM spend
+), binned AS (
+  SELECT s.o_custkey, s.spend,
+         CAST(1 + len(list_filter(b.bs, x -> x < s.spend)) AS INTEGER) AS decile
+  FROM spend s CROSS JOIN bounds b
+)
+SELECT decile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       (CAST(floor(CAST(SUM(CAST(spend AS DECIMAL(25,6))) AS DOUBLE) * 100.0 + 0.5) AS DOUBLE) / 100.0) AS total_spend,
+       (CAST(floor(MIN(spend) * 100.0 + 0.5) AS DOUBLE) / 100.0) AS min_spend,
+       (CAST(floor(MAX(spend) * 100.0 + 0.5) AS DOUBLE) / 100.0) AS max_spend
+FROM binned
+GROUP BY decile
+ORDER BY decile
+""",
+    tags=("curation", "analytics"),
+)
+def z17_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth customer-spend deciles WITHOUT a global sort: decile
+    boundaries come from one percentile aggregate (map-side partial,
+    1-row result broadcast back), and each customer bins by counting
+    boundaries below their spend — the scale-safe replacement for
+    ntile(), whose global ORDER BY would pull every customer into one
+    partition (the b31/c06 adaptive-threshold pattern, taken to ten
+    bins).
+
+    Determinism: spends are decimal-exact doubles, the interpolated
+    percentiles are the SAME linear interpolation on both engines
+    (c06's precedent), binning compares identical doubles with strict
+    <, and emitted aggregates round pround(2) after exact decimal
+    sums. Ties at a boundary go to the lower decile on both engines.
+    """
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double").alias("spend")
+    )
+    bounds = spend.agg(
+        F.percentile("spend", F.array(*[F.lit(q) for q in _DECILES])).alias("bs")
+    )
+    decile = (1 + F.size(F.filter(F.col("bs"), lambda x: x < F.col("spend")))).cast("int")
+    return (
+        spend.crossJoin(F.broadcast(bounds))
+        .select("spend", decile.alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            pround(F.sum(F.col("spend").cast("decimal(25,6)")).cast("double"), 2).alias("total_spend"),
+            pround(F.min("spend"), 2).alias("min_spend"),
+            pround(F.max("spend"), 2).alias("max_spend"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "z18_cross_lang_alignment",
+    oracle=f"""
+WITH fp AS (
+  SELECT DISTINCT lang,
+         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+  FROM documents
+), sizes AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_fp FROM fp GROUP BY lang
+), pairs AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM fp a JOIN fp b ON a.fp = b.fp AND a.lang < b.lang
+  GROUP BY 1, 2
+)
+SELECT sa.lang AS lang_a, sb.lang AS lang_b,
+       sa.n_fp AS n_a, sb.n_fp AS n_b,
+       CAST(COALESCE(p.n_shared, 0) AS BIGINT) AS n_shared,
+       {sql_pround('CAST(COALESCE(p.n_shared, 0) AS DOUBLE) / least(sa.n_fp, sb.n_fp)', 6)} AS overlap_coeff
+FROM sizes sa JOIN sizes sb ON sa.lang < sb.lang
+LEFT JOIN pairs p ON p.lang_a = sa.lang AND p.lang_b = sb.lang
+ORDER BY lang_a, lang_b
+""",
+    tags=("curation", "dedup"),
+)
+def z18_cross_lang_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language content-alignment matrix: for every language
+    pair, how many normalized documents (bag-of-words fingerprints)
+    appear under BOTH language labels — surfacing mislabeled language
+    IDs and copy-translated boilerplate, the multilingual twin of
+    c08's cross-source audit (a training mix that counts the same
+    content once per language label silently over-weights it).
+
+    Scale shape: identical to c08 — one DISTINCT (lang, fp) shuffle,
+    a self-join that meets only on equal fingerprints, and a
+    |langs|²-row matrix built from the tiny per-language aggregate.
+    """
+    d = table(spark, sf_dir, "documents")
+    fp = d.select(
+        "lang",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(_words())), " ")).alias("fp"),
+    ).distinct()
+    sizes = fp.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_fp"))
+    a, b = fp.alias("a"), fp.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.lang") < F.col("b.lang")))
+        .groupBy(F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    mat = sa.join(sb, F.col("sa.lang") < F.col("sb.lang")).select(
+        F.col("sa.lang").alias("lang_a"),
+        F.col("sb.lang").alias("lang_b"),
+        F.col("sa.n_fp").alias("n_a"),
+        F.col("sb.n_fp").alias("n_b"),
+    )
+    return (
+        mat.join(F.broadcast(pairs), ["lang_a", "lang_b"], "left")
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_a",
+            "n_b",
+            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+            pround(
+                F.coalesce("n_shared", F.lit(0)).cast("double") / F.least("n_a", "n_b"), 6
+            ).alias("overlap_coeff"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
