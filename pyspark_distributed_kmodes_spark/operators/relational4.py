@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyspark_distributed_kmodes_spark.functions.deterministic import dsum, pround, sql_dsum
+from pyspark_distributed_kmodes_spark.functions.deterministic import dsum, pround, sql_dsum, sql_pround
 from pyspark_distributed_kmodes_spark.registry import query
 from pyspark_distributed_kmodes_spark.sources.tables import table
 
@@ -504,4 +504,76 @@ def z11_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_ltv_per_customer"),
         )
         .orderBy("cohort_year", "age")
+    )
+
+
+@query(
+    "z19_yoy_priority_growth",
+    oracle=f"""
+WITH monthly AS (
+  SELECT o_orderpriority,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue_d
+  FROM orders
+  GROUP BY 1, 2
+)
+SELECT m.o_orderpriority, m.month_start, m.n_orders,
+       (CAST(floor(m.revenue_d * 100.0 + 0.5) AS DOUBLE) / 100.0) AS revenue,
+       CASE WHEN p.revenue_d IS NOT NULL AND p.revenue_d > 0
+            THEN {sql_pround('100.0 * (m.revenue_d - p.revenue_d) / p.revenue_d', 4)}
+            ELSE NULL END AS yoy_growth_pct
+FROM monthly m
+LEFT JOIN monthly p
+  ON p.o_orderpriority = m.o_orderpriority
+ AND p.month_start = m.month_start - INTERVAL 12 MONTH
+ORDER BY m.o_orderpriority, m.month_start
+""",
+    tags=("agg", "timeseries"),
+)
+def z19_yoy_priority_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per order priority: monthly
+    rollup self-joined to its own month twelve months earlier — the
+    calendar-exact form (a lag(12) window silently compares wrong
+    months whenever a month is missing, so the join keys on the DATE,
+    not on row offsets).
+
+    Determinism: monthly revenue is a decimal-exact sum cast to double
+    once, so the growth ratio is a fixed IEEE sequence on identical
+    inputs, pround(4); month arithmetic is pure DATE math on
+    first-of-month values. Scale shape: one (priority, month) rollup —
+    thousands of cells at any corpus size — self-joined on its own
+    grain; the fact table is scanned once.
+    """
+    o = table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            "o_orderpriority",
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double").alias("revenue_d"),
+        )
+    )
+    m, p = monthly.alias("m"), monthly.alias("p")
+    growth = F.when(
+        F.col("p.revenue_d").isNotNull() & (F.col("p.revenue_d") > 0),
+        pround(100.0 * (F.col("m.revenue_d") - F.col("p.revenue_d")) / F.col("p.revenue_d"), 4),
+    )
+    return (
+        m.join(
+            p,
+            (F.col("p.o_orderpriority") == F.col("m.o_orderpriority"))
+            & (F.col("p.month_start") == F.add_months(F.col("m.month_start"), -12)),
+            "left",
+        )
+        .select(
+            F.col("m.o_orderpriority").alias("o_orderpriority"),
+            F.col("m.month_start").alias("month_start"),
+            F.col("m.n_orders").alias("n_orders"),
+            pround(F.col("m.revenue_d"), 2).alias("revenue"),
+            growth.alias("yoy_growth_pct"),
+        )
+        .orderBy("o_orderpriority", "month_start")
     )
