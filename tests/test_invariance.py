@@ -15,6 +15,11 @@ QUERIES = [
     "q97_dup_clusters",  # collapse/expand + iterative CC
     "qb06_sequence_packing",  # per-shard cumsum windows
     "b12_unigram_logprob",  # decimal-sum of per-word logprobs
+    "c09_token_budget_allocation",  # integer largest-remainder bookkeeping
+    "c13_label_cohesion",  # decimal zip_with folds over broadcast centroids
+    "z01_weighted_reservoir_sample",  # hash-keyed sampling, WindowGroupLimit
+    "z14_quality_constraints",  # single-scan fused violation counts
+    "z17_spend_deciles",  # percentile-boundary binning
 ]
 
 
