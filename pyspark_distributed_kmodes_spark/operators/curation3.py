@@ -476,3 +476,50 @@ def z18_cross_lang_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_a", "lang_b")
     )
+
+
+_N_SHARDS = 8
+
+
+@query(
+    "z20_global_shuffle_shards",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(1, 9), i ->
+               (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+               * CAST(pow(16, 8 - i) AS BIGINT))) AS BIGINT) AS h
+  FROM documents
+), placed AS (
+  SELECT doc_id, CAST(h % {_N_SHARDS} AS INTEGER) AS shard, h FROM keyed
+)
+SELECT shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC) AS INTEGER) AS pos,
+       doc_id
+FROM placed
+ORDER BY shard, pos
+""",
+    tags=("curation", "training"),
+)
+def z20_global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training shards: every document
+    gets a (shard, position) from its md5 hash — shard by modulo,
+    within-shard order by hash value — the dataloader-shuffling step
+    that materializes a reproducible random order WITHOUT any RNG
+    state, identical across engines, runs, and cluster sizes (re-runs
+    of a failed materialization job place every row identically).
+
+    Scale shape: one hash projection, one shuffle keyed `shard` (N
+    partitions by construction), and a per-shard sort — each shard
+    sorts independently, so the "global shuffle" never concentrates on
+    one node; pos is emitted per shard, exactly how shard files are
+    written. Integers end to end.
+    """
+    d = table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint")
+    placed = d.select("doc_id", h.alias("h"), (h % _N_SHARDS).cast("int").alias("shard"))
+    w = Window.partitionBy("shard").orderBy(F.asc("h"), F.asc("doc_id"))
+    return (
+        placed.select("shard", F.row_number().over(w).cast("int").alias("pos"), "doc_id")
+        .orderBy("shard", "pos")
+    )
