@@ -320,24 +320,31 @@ def b12_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     KenLM-style perplexity proxy used to quality-filter pre-training
     data (low avg logprob = gibberish, high = boilerplate).
 
-    Shape: one explode, one word-frequency aggregate joined back
-    (vocabulary size is data-dependent — Heaps'-law sub-linear but
-    unbounded — so the strategy is AQE's call, broadcast only when the
-    runtime size allows), corpus total as a 1-row cross join, one
-    per-doc aggregation. Determinism: each term rounds to 6 before an
-    exact DECIMAL sum, one division at the end.
+    Shape (round-3 rewrite — the 10× scale probe flagged the old
+    token-level join as the repo's worst scaler): tokens collapse to
+    per-doc WORD COUNTS first, so the frequency rollup, the join, and
+    the final aggregation all run over distinct (doc, word) pairs —
+    Heaps'-law sub-linear in token count — instead of every token; the
+    per-doc sum multiplies each word's rounded logprob by its count
+    (exact: decimal × integer), which is algebraically identical to
+    summing per token, so the oracle is unchanged. Vocabulary size is
+    data-dependent, so the join strategy stays AQE's call. Determinism:
+    each term rounds to 6 before an exact DECIMAL sum, one division at
+    the end.
     """
     d = table(spark, sf_dir, "documents")
     words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
-    total = words.groupBy().agg(F.count(F.lit(1)).cast("double").alias("n"))
+    dw = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt_dw"))
+    freq = dw.groupBy("word").agg(F.sum("cnt_dw").alias("cnt"))
+    total = freq.groupBy().agg(F.sum("cnt").cast("double").alias("n"))
     lp = F.round(F.log(F.col("cnt").cast("double") / F.col("n")), 6)
+    term = (F.col("cnt_dw") * lp.cast("decimal(25,6)")).cast("decimal(25,6)")
     return (
-        words.join(freq.crossJoin(F.broadcast(total)), "word")
+        dw.join(freq.crossJoin(F.broadcast(total)), "word")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            pround(F.sum(lp.cast("decimal(25,6)")).cast("double") / F.count(F.lit(1)), 6).alias("avg_logprob"),
+            F.sum("cnt_dw").cast("bigint").alias("n_words"),
+            pround(F.sum(term).cast("double") / F.sum("cnt_dw"), 6).alias("avg_logprob"),
         )
         .orderBy("doc_id")
     )
