@@ -582,3 +582,134 @@ def z12_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+_TS_DAYS = 16  # series length (days from corpus start)
+_TS_SEG = 4  # PAA segments -> 4-char SAX word, alphabet {a,b}
+_TS_DIST_T = 4.2  # z-normalized Euclidean threshold
+
+
+@query(
+    "z21_sax_similar_users",
+    oracle=f"""
+WITH bounds AS (
+  SELECT MIN(CAST(date_trunc('day', ts) AS DATE)) AS d0 FROM events
+), daily AS (
+  SELECT user_id, datediff('day', b.d0, CAST(date_trunc('day', ts) AS DATE)) AS di,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events CROSS JOIN bounds b
+  WHERE datediff('day', b.d0, CAST(date_trunc('day', ts) AS DATE)) < {_TS_DAYS}
+  GROUP BY 1, 2
+), series AS (
+  SELECT user_id,
+         list_transform(range(0, {_TS_DAYS}),
+           i -> CAST(COALESCE(map(list(di ORDER BY di), list(c ORDER BY di))[i][1], 0) AS DOUBLE)) AS s
+  FROM daily GROUP BY user_id
+), stats AS (
+  SELECT user_id, s, list_sum(s) / {_TS_DAYS} AS mu,
+         sqrt(list_sum(list_transform(s, x -> (x - list_sum(s)/{_TS_DAYS}) * (x - list_sum(s)/{_TS_DAYS}))) / {_TS_DAYS}) AS sd
+  FROM series
+), zed AS (
+  SELECT user_id,
+         CASE WHEN sd = 0 THEN list_transform(s, x -> 0.0)
+              ELSE list_transform(s, x -> (x - mu) / sd) END AS z,
+         CASE WHEN sd = 0 THEN repeat('b', {_TS_SEG}) ELSE
+           array_to_string(list_transform(range(1, {_TS_SEG} + 1),
+             seg -> CASE WHEN ((s[4*seg-3] + s[4*seg-2] + s[4*seg-1] + s[4*seg]) / 4 - mu) / sd < 0
+                         THEN 'a' ELSE 'b' END), '') END AS word
+  FROM stats
+), pairs AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b, a.word AS sax_word,
+         sqrt(CAST(list_sum(list_transform(range(1, {_TS_DAYS} + 1),
+           i -> CAST((CAST(floor(((a.z[i] - b.z[i]) * (a.z[i] - b.z[i])) * 1000000000.0 + 0.5) AS DOUBLE) / 1000000000.0) AS DECIMAL(25,12)))) AS DOUBLE)) AS dist
+  FROM zed a JOIN zed b ON a.word = b.word AND a.user_id < b.user_id
+)
+SELECT user_a, user_b, sax_word,
+       (CAST(floor(dist * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS dist
+FROM pairs
+WHERE dist <= {_TS_DIST_T}
+ORDER BY user_a, user_b
+""",
+    tags=("events", "timeseries", "similarity"),
+)
+def z21_sax_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search with SAX blocking: each user's
+    16-day activity series is z-normalized, PAA-compressed to 4
+    segments, and discretized to a SAX word; only users sharing a word
+    ever meet (the LSH-style bucket join of the time-series world —
+    REPOSE/EDBT-family systems use exactly this shape), and the exact
+    z-normalized Euclidean distance confirms pairs under the
+    threshold. Finds users with the same activity SHAPE regardless of
+    absolute volume.
+
+    Determinism: every pre-distance intermediate is EXACT in binary —
+    daily counts are integers, means divide by 16 (a power of two),
+    deviations are multiples of 1/16 and square exactly under 2^53 —
+    so mu/sd/z/word are bit-identical on both engines with no rounding
+    anywhere; the distance terms then pround(9)-round into an exact
+    DECIMAL sum and the threshold compares identical doubles. Scale
+    shape: one (user, day) rollup, one per-user fold (codegen), a
+    bucket join on the 4-char word — corpus² never materializes; at
+    100 TB, lengthen the word (more segments/symbols) exactly like
+    adding LSH bands.
+    """
+    e = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    d0 = e.agg(F.min(day).alias("d0"))
+    daily = (
+        e.crossJoin(F.broadcast(d0))
+        .select("user_id", F.datediff(day, F.col("d0")).alias("di"))
+        .filter(F.col("di") < _TS_DAYS)
+        .groupBy("user_id", "di")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    series = daily.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("di", "c"))).alias("m")
+    ).select(
+        "user_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_TS_DAYS - 1)),
+            lambda i: F.coalesce(F.element_at("m", i), F.lit(0)).cast("double"),
+        ).alias("s"),
+    )
+    tot = F.aggregate("s", F.lit(0.0), lambda a, x: a + x)
+    mu = tot / _TS_DAYS
+    var = F.aggregate(
+        F.transform("s", lambda x: (x - mu) * (x - mu)), F.lit(0.0), lambda a, x: a + x
+    ) / _TS_DAYS
+    stats = series.select("user_id", "s", mu.alias("mu"), F.sqrt(var).alias("sd"))
+    z = F.when(F.col("sd") == 0.0, F.transform("s", lambda x: F.lit(0.0))).otherwise(
+        F.transform("s", lambda x: (x - F.col("mu")) / F.col("sd"))
+    )
+    paa = lambda seg: (  # noqa: E731 — 1-based segment of 4 days
+        F.element_at("s", 4 * seg - 3)
+        + F.element_at("s", 4 * seg - 2)
+        + F.element_at("s", 4 * seg - 1)
+        + F.element_at("s", 4 * seg)
+    ) / 4.0
+    sym = lambda seg: F.when((paa(seg) - F.col("mu")) / F.col("sd") < 0, "a").otherwise("b")  # noqa: E731
+    word = F.when(F.col("sd") == 0.0, F.lit("b" * _TS_SEG)).otherwise(
+        F.concat(*[sym(g) for g in range(1, _TS_SEG + 1)])
+    )
+    zed = stats.select("user_id", z.alias("z"), word.alias("word"))
+    a, b = zed.alias("a"), zed.alias("b")
+    sq = F.zip_with(
+        F.col("a.z"), F.col("b.z"), lambda x, y: pround((x - y) * (x - y), 9).cast("decimal(25,12)")
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            sq, F.lit(0).cast("decimal(25,12)"), lambda acc, t: (acc + t).cast("decimal(25,12)")
+        ).cast("double")
+    )
+    return (
+        a.join(b, (F.col("a.word") == F.col("b.word")) & (F.col("a.user_id") < F.col("b.user_id")))
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("a.word").alias("sax_word"),
+            dist.alias("dist"),
+        )
+        .filter(F.col("dist") <= _TS_DIST_T)
+        .select("user_a", "user_b", "sax_word", pround(F.col("dist"), 6).alias("dist"))
+        .orderBy("user_a", "user_b")
+    )
