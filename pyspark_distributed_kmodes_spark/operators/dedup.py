@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pyspark_distributed_kmodes_spark.functions.deterministic import pround
 from pyspark_distributed_kmodes_spark.registry import query
 from pyspark_distributed_kmodes_spark.sources.tables import spread, table
 
@@ -679,4 +680,103 @@ def q69_neardup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("component_size").cast("bigint").alias("n_docs"),
         )
         .orderBy("component_size")
+    )
+
+
+@query(
+    "z22_neardup_local_structure",
+    oracle="""
+WITH shingles AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                  i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS shingle
+    FROM documents
+  ) t
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), edges AS (
+  SELECT p.u, p.v FROM pairs p
+  JOIN sizes sa ON sa.doc_id = p.u
+  JOIN sizes sb ON sb.doc_id = p.v
+  WHERE CAST(p.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - p.n_common) >= 0.2
+), und AS (
+  SELECT u AS node, v AS nbr FROM edges UNION ALL SELECT v, u FROM edges
+), deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM und GROUP BY node
+), tris AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1 JOIN edges e2 ON e2.u = e1.v JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+), tri_nodes AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+    SELECT a AS node FROM tris UNION ALL SELECT b FROM tris UNION ALL SELECT c FROM tris
+  ) GROUP BY node
+)
+SELECT d.node AS doc_id, d.degree,
+       CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN (CAST(floor((2.0 * COALESCE(t.n_triangles, 0) / (d.degree * (d.degree - 1))) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0)
+            ELSE 0.0 END AS clustering_coeff
+FROM deg d LEFT JOIN tri_nodes t ON t.node = d.node
+ORDER BY doc_id
+""",
+    tags=("dedup", "graph"),
+)
+def z22_neardup_local_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local structure of the near-dup graph: per-document degree,
+    triangle membership, and local clustering coefficient — the
+    node-level complement of q69's component histogram. High clustering
+    (triangles) = genuine duplicate CLIQUES (same content many times);
+    high degree with NO triangles = hub-like boilerplate stitching
+    unrelated docs together, which component-level stats can't
+    distinguish (both look like one big cluster).
+
+    Shape: the classical MapReduce node-iterator triangle count — the
+    oriented edge list (u < v) joins itself once on the shared middle
+    node to enumerate wedges, and a second join closes them; every
+    triangle appears exactly once, then fans out to its three member
+    nodes. Edge lists are dedup-pair OUTPUT (bounded by true
+    duplication, not corpus²), so both joins run on the small side of
+    the pipeline. Integers plus one pround ratio.
+    """
+    from pyspark_distributed_kmodes_spark.operators.text import ngram_jaccard_pairs
+
+    d = table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(d, threshold=0.2).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).localCheckpoint(eager=True)  # three consumers below
+    und = edges.select(F.col("u").alias("node")).unionAll(edges.select(F.col("v").alias("node")))
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        .select(F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c"))
+    )
+    tri_nodes = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("b").alias("node")))
+        .unionAll(tris.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    nt = F.coalesce("n_triangles", F.lit(0))
+    cc = F.when(
+        F.col("degree") >= 2,
+        pround(2.0 * nt / (F.col("degree") * (F.col("degree") - 1)), 6),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(tri_nodes, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            "degree",
+            nt.cast("bigint").alias("n_triangles"),
+            cc.alias("clustering_coeff"),
+        )
+        .orderBy("doc_id")
     )
