@@ -713,3 +713,66 @@ def z21_sax_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_a", "user_b", "sax_word", pround(F.col("dist"), 6).alias("dist"))
         .orderBy("user_a", "user_b")
     )
+
+
+@query(
+    "z23_ranking_cohorts",
+    oracle="""
+WITH cnt AS (
+  SELECT user_id, event_type, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY c DESC, event_type ASC) AS rk
+  FROM cnt
+), sig AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rk) AS ranking
+  FROM ranked WHERE rk <= 3 GROUP BY user_id
+)
+SELECT ranking,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(MIN(user_id) AS BIGINT) AS min_user_id
+FROM sig
+GROUP BY ranking
+ORDER BY ranking
+""",
+    tags=("events", "rankings"),
+)
+def z23_ranking_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k ranking cohorts: users grouped by their top-3 event-type
+    ranking (the exact-match blocking used in top-k rankings similarity
+    joins — identical rankings are distance-zero, so signature grouping
+    finds every such pair without a pairwise comparison). The cohort
+    table answers "which behavioral profiles exist and how common is
+    each" in one pass.
+
+    Determinism: ranks are integer row_numbers with full (count,
+    type) tie-breaks; signatures concatenate in rank order on both
+    engines. Scale: one (user, type) rollup, a user-partitioned top-3
+    window over ≤|types| rows per user, one signature aggregate.
+    """
+    e = table(spark, sf_dir, "events")
+    cnt = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("c"), F.asc("event_type"))
+    sig = (
+        cnt.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rk", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("ranking")
+        )
+    )
+    return (
+        sig.groupBy("ranking")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.min("user_id").cast("bigint").alias("min_user_id"),
+        )
+        .orderBy("ranking")
+    )

@@ -577,3 +577,85 @@ def z19_yoy_priority_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "month_start")
     )
+
+
+_BASKET_MIN = 100  # minimum co-occurrence count for a reported pair
+
+
+@query(
+    "z24_brand_basket_lift",
+    oracle=f"""
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), n AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS total FROM ob
+), br AS (
+  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_orders FROM ob GROUP BY p_brand
+), pr AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_BASKET_MIN}
+)
+SELECT pr.brand_a, pr.brand_b, pr.n_ab,
+       {sql_pround('pr.n_ab / n.total', 6)} AS support,
+       {sql_pround('CAST(pr.n_ab AS DOUBLE) / ba.n_orders', 6)} AS confidence,
+       {sql_pround('(pr.n_ab * n.total) / (CAST(ba.n_orders AS DOUBLE) * bb.n_orders)', 6)} AS lift
+FROM pr
+JOIN br ba ON ba.p_brand = pr.brand_a
+JOIN br bb ON bb.p_brand = pr.brand_b
+CROSS JOIN n
+ORDER BY pr.brand_a, pr.brand_b
+""",
+    tags=("analytics", "basket"),
+)
+def z24_brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining over order contents: for every
+    brand pair co-purchased in at least {_BASKET_MIN} orders, the
+    support, confidence (A→B), and lift — the frequent-itemset
+    primitives behind recommendation and assortment analytics, here as
+    pure relational algebra (distinct basket items, a basket-keyed
+    self-join, and three exact-count ratios).
+
+    Scale shape: baskets collapse to DISTINCT (order, brand) first, so
+    the self-join fans out per order only by its distinct brands
+    (bounded by |brands|, a schema property — never by line count);
+    the brand-marginal table is |brands| rows and broadcast; ratios are
+    single IEEE divisions of exact counts, pround(6).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    ob = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .localCheckpoint(eager=True)  # three consumers
+    )
+    n = ob.agg(F.count_distinct("l_orderkey").cast("double").alias("total"))
+    br = ob.groupBy("p_brand").agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    a, b = ob.alias("a"), ob.alias("b")
+    pr = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey")) & (F.col("a.p_brand") < F.col("b.p_brand")))
+        .groupBy(F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= _BASKET_MIN)
+    )
+    ba = br.select(F.col("p_brand").alias("brand_a"), F.col("n_orders").alias("n_a"))
+    bb = br.select(F.col("p_brand").alias("brand_b"), F.col("n_orders").alias("n_b"))
+    return (
+        pr.join(F.broadcast(ba), "brand_a")
+        .join(F.broadcast(bb), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            pround(F.col("n_ab") / F.col("total"), 6).alias("support"),
+            pround(F.col("n_ab").cast("double") / F.col("n_a"), 6).alias("confidence"),
+            pround(
+                (F.col("n_ab") * F.col("total")) / (F.col("n_a").cast("double") * F.col("n_b")), 6
+            ).alias("lift"),
+        )
+        .orderBy("brand_a", "brand_b")
+    )
