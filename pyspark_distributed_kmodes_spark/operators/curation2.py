@@ -568,3 +568,73 @@ def c14_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_terms"),
         pround(slope, 6).alias("zipf_slope"),
     ).orderBy("source")
+
+
+@query(
+    "z25_label_separation",
+    oracle=f"""
+WITH pos AS (
+  SELECT vec_id, label, t.pos AS pos, CAST(t.val AS DOUBLE) AS val FROM (
+    SELECT vec_id, label,
+           unnest(list_transform(range(1, len(embedding) + 1),
+                  i -> {{'pos': i - 1, 'val': embedding[i]}})) AS t
+    FROM embeddings) s
+), cent AS (
+  SELECT label, pos,
+         {sql_pround('CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)', 6)} AS c
+  FROM pos GROUP BY label, pos
+), pv AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         CAST(SUM({_sql_dterm('a.c * b.c')}) AS DOUBLE) AS dot,
+         CAST(SUM({_sql_dterm('a.c * a.c')}) AS DOUBLE) AS na2,
+         CAST(SUM({_sql_dterm('b.c * b.c')}) AS DOUBLE) AS nb2
+  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT label_a, label_b,
+       {sql_pround('dot / (sqrt(na2) * sqrt(nb2))', 6)} AS centroid_cosine
+FROM pv
+ORDER BY label_a, label_b
+""",
+    tags=("curation", "vector"),
+)
+def z25_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Between-label centroid separation matrix: pairwise cosine of
+    label centroids — c13's complement (within-cluster cohesion is only
+    half the validation; two cohesive clusters whose centroids sit at
+    cosine 0.99 are still one cluster mislabeled as two). Together they
+    form the separation/cohesion pair every clustering sign-off reads.
+
+    Shape: the |labels|×dims centroid table (one tiny aggregate, b08's)
+    self-joins on the dimension index — labels² × dims rows, a
+    schema-bounded worktable independent of corpus size. Determinism:
+    pround(6) centroids, pround(9)-rounded product terms summed in
+    exact DECIMAL, correctly-rounded sqrt (c13's contract).
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            pround(
+                F.sum(F.col("val").cast("double").cast("decimal(25,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("c")
+        )
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    pv = (
+        a.join(b, (F.col("a.pos") == F.col("b.pos")) & (F.col("a.label") < F.col("b.label")))
+        .groupBy(F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b"))
+        .agg(
+            F.sum(_dterm(F.col("a.c") * F.col("b.c"))).cast("double").alias("dot"),
+            F.sum(_dterm(F.col("a.c") * F.col("a.c"))).cast("double").alias("na2"),
+            F.sum(_dterm(F.col("b.c") * F.col("b.c"))).cast("double").alias("nb2"),
+        )
+    )
+    return pv.select(
+        "label_a",
+        "label_b",
+        pround(F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2")), 6).alias("centroid_cosine"),
+    ).orderBy("label_a", "label_b")
