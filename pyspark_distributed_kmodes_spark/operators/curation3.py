@@ -523,3 +523,108 @@ def z20_global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         placed.select("shard", F.row_number().over(w).cast("int").alias("pos"), "doc_id")
         .orderBy("shard", "pos")
     )
+
+
+@query(
+    "z26_quality_signal_fusion",
+    oracle=f"""
+WITH base AS (
+  SELECT d.doc_id,
+         CAST(len(list_distinct(string_split(d.text, ' '))) AS DOUBLE)
+           / len(string_split(d.text, ' ')) AS unique_ratio,
+         CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS n_words
+  FROM documents d
+), words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), freq AS (
+  SELECT word, COUNT(*) AS cnt FROM words GROUP BY word
+), total AS (
+  SELECT COUNT(*) AS n FROM words
+), lp AS (
+  SELECT w.doc_id,
+         CAST(SUM(CAST(round(ln(CAST(f.cnt AS DOUBLE) / t.n), 6) AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS logprob
+  FROM words w JOIN freq f USING (word) CROSS JOIN total t
+  GROUP BY w.doc_id
+), sig AS (
+  SELECT b.doc_id, b.unique_ratio, b.n_words, lp.logprob
+  FROM base b JOIN lp USING (doc_id)
+), bounds AS (
+  SELECT quantile_cont(unique_ratio, {_DECILES}) AS bu,
+         quantile_cont(n_words, {_DECILES}) AS bw,
+         quantile_cont(logprob, {_DECILES}) AS bl
+  FROM sig
+)
+SELECT s.doc_id,
+       CAST(1 + len(list_filter(b.bu, x -> x < s.unique_ratio)) AS INTEGER) AS d_unique,
+       CAST(1 + len(list_filter(b.bw, x -> x < s.n_words)) AS INTEGER) AS d_len,
+       CAST(1 + len(list_filter(b.bl, x -> x < s.logprob)) AS INTEGER) AS d_logprob,
+       {sql_pround('(CAST(1 + len(list_filter(b.bu, x -> x < s.unique_ratio)) AS DOUBLE) + (1 + len(list_filter(b.bw, x -> x < s.n_words))) + (1 + len(list_filter(b.bl, x -> x < s.logprob)))) / 3.0', 6)} AS fused_score
+FROM sig s CROSS JOIN bounds b
+ORDER BY s.doc_id
+""",
+    tags=("curation", "quality"),
+)
+def z26_quality_signal_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal quality fusion by rank normalization: three raw
+    signals on incompatible scales (lexical diversity, length, unigram
+    logprob) each map to their corpus DECILE, and the fused score is
+    the mean decile — the ensembling step that makes heterogeneous
+    quality classifiers comparable before a single keep/drop threshold
+    (raw-score averaging would let whichever signal has the widest
+    scale dominate).
+
+    Scale shape: deciles come from ONE percentile aggregate per signal
+    (z17's boundary-count binning — no global sort, no percent_rank
+    window); the 3×9 boundary row broadcasts over the scan.
+    Determinism: b12's decimal-summed logprob, raw IEEE ratios for the
+    other signals, identical interpolated boundaries, strict-< bin
+    counting, and a /3.0 mean pround(6).
+    """
+    d = table(spark, sf_dir, "documents")
+    words = _words()
+    base = d.select(
+        "doc_id",
+        (F.size(F.array_distinct(words)).cast("double") / F.size(words)).alias("unique_ratio"),
+        F.size(words).cast("double").alias("n_words"),
+    )
+    # logprob stays UNROUNDED here (b12's registered form rounds to 6
+    # for its own oracle); same distinct-(doc,word) shape as b12
+    dw = d.select("doc_id", F.explode(words).alias("word")).groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("cnt_dw")
+    )
+    freq = dw.groupBy("word").agg(F.sum("cnt_dw").alias("cnt"))
+    total = freq.groupBy().agg(F.sum("cnt").cast("double").alias("n"))
+    term = (
+        F.col("cnt_dw")
+        * F.round(F.log(F.col("cnt").cast("double") / F.col("n")), 6).cast("decimal(25,6)")
+    ).cast("decimal(25,6)")
+    lp = (
+        dw.join(freq.crossJoin(F.broadcast(total)), "word")
+        .groupBy("doc_id")
+        .agg((F.sum(term).cast("double") / F.sum("cnt_dw")).alias("logprob"))
+    )
+    sig = base.join(lp, "doc_id")
+    qarr = F.array(*[F.lit(q) for q in _DECILES])
+    bounds = sig.agg(
+        F.percentile("unique_ratio", qarr).alias("bu"),
+        F.percentile("n_words", qarr).alias("bw"),
+        F.percentile("logprob", qarr).alias("bl"),
+    )
+    def dec(sig_col, bcol):
+        return (1 + F.size(F.filter(F.col(bcol), lambda x: x < F.col(sig_col)))).cast("int")
+    fused = (
+        dec("unique_ratio", "bu").cast("double")
+        + dec("n_words", "bw")
+        + dec("logprob", "bl")
+    ) / 3.0
+    return (
+        sig.crossJoin(F.broadcast(bounds))
+        .select(
+            "doc_id",
+            dec("unique_ratio", "bu").alias("d_unique"),
+            dec("n_words", "bw").alias("d_len"),
+            dec("logprob", "bl").alias("d_logprob"),
+            pround(fused, 6).alias("fused_score"),
+        )
+        .orderBy("doc_id")
+    )
