@@ -628,3 +628,72 @@ def z26_quality_signal_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "z27_source_divergence",
+    oracle=f"""
+WITH sw AS (
+  SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents) t
+  GROUP BY 1, 2
+), stot AS (
+  SELECT source, CAST(SUM(c) AS DOUBLE) AS n_s FROM sw GROUP BY source
+), cw AS (
+  SELECT word, CAST(SUM(c) AS BIGINT) AS cc FROM sw GROUP BY word
+), ctot AS (
+  SELECT CAST(SUM(cc) AS DOUBLE) AS n FROM cw
+)
+SELECT sw.source,
+       CAST(st.n_s AS BIGINT) AS n_tokens,
+       {sql_pround(f"CAST(SUM(CAST((CAST(floor((0.5 * (sw.c / st.n_s) * ln((sw.c / st.n_s) / (((sw.c / st.n_s) + (cw.cc / ct.n)) / 2)) + 0.5 * (cw.cc / ct.n) * ln((cw.cc / ct.n) / (((sw.c / st.n_s) + (cw.cc / ct.n)) / 2))) * 1000000000.0 + 0.5) AS DOUBLE) / 1000000000.0) AS DECIMAL(25,12))) AS DOUBLE)", 6)} AS js_divergence
+FROM sw
+JOIN stot st ON st.source = sw.source
+JOIN cw ON cw.word = sw.word
+CROSS JOIN ctot ct
+GROUP BY sw.source, st.n_s
+ORDER BY sw.source
+""",
+    tags=("curation", "diagnostics"),
+)
+def z27_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between each source's unigram
+    distribution and the corpus distribution — the domain-shift audit
+    that flags a source whose vocabulary usage departs from the mix
+    (code dumped in a text crawl, wrong-language content, spam) even
+    when every individual word is in-vocabulary (which z03's OOV rate
+    cannot see).
+
+    Simplification note: words absent from a source contribute only
+    the q-side mass; restricting terms to the source's OWN vocabulary
+    (as here, and in the oracle identically) yields the truncated-JS
+    variant — a lower bound that preserves ranking, standard when the
+    reference support is much larger than each source's.
+
+    Determinism: p and q are single IEEE divisions of exact counts,
+    each JS term pround(9)-rounds before the exact DECIMAL sum.
+    Scale: one (source, word) rollup joined to the |vocab| corpus
+    table — b12's distinct-pair shape, nothing token-level.
+    """
+    d = table(spark, sf_dir, "documents")
+    sw = (
+        d.select("source", F.explode(_words()).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    stot = sw.groupBy("source").agg(F.sum("c").cast("double").alias("n_s"))
+    cw = sw.groupBy("word").agg(F.sum("c").cast("bigint").alias("cc"))
+    ctot = cw.agg(F.sum("cc").cast("double").alias("n"))
+    p = F.col("c") / F.col("n_s")
+    q = F.col("cc") / F.col("n")
+    m = (p + q) / 2.0
+    term = _dterm(0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m))
+    return (
+        sw.join(stot, "source")
+        .join(cw, "word")
+        .crossJoin(F.broadcast(ctot))
+        .groupBy("source", "n_s")
+        .agg(pround(F.sum(term).cast("double"), 6).alias("js_divergence"))
+        .select("source", F.col("n_s").cast("bigint").alias("n_tokens"), "js_divergence")
+        .orderBy("source")
+    )
