@@ -8,6 +8,8 @@ whole-stage-codegens and scales linearly with document count.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -875,4 +877,45 @@ def b33_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("source", "shingle", F.col("doc_freq").cast("bigint").alias("doc_freq"), F.col("rk").cast("int").alias("rk"))
         .orderBy("source", "rk")
+    )
+
+
+@query("z28_compression_quality", oracle=None, tags=("text", "quality"))
+def z28_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality proxy: deflate each document and
+    report compressed/raw size per source — the classic "too
+    compressible = templated/repetitive, incompressible = random
+    noise" filter (Gopher's repetition rules in one number), computed
+    with an Arrow-batched pandas UDF (zlib level 6 is deterministic
+    for a fixed library, but NOT SQL-expressible — rows-only, with
+    repetition-sensitivity and partitioning-invariance property
+    tests).
+
+    Scale: pure per-row CPU in the Python stage (the corpus never
+    shuffles before the per-source rollup); ratios round to 9 decimals
+    and sum in exact DECIMAL so the report is partition-order-free.
+    """
+    import zlib
+
+    @F.pandas_udf("double")
+    def ratio_udf(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [len(zlib.compress(t.encode(), 6)) / max(len(t.encode()), 1) for t in texts]
+        )
+
+    from pyspark_distributed_kmodes_spark.sources.tables import spread
+
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    scored = d.select("source", pround(ratio_udf(F.col("text")), 9).alias("r"))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            pround(
+                F.sum(F.col("r").cast("decimal(25,12)")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_ratio"),
+            pround(F.min("r"), 6).alias("min_ratio"),
+            pround(F.max("r"), 6).alias("max_ratio"),
+        )
+        .orderBy("source")
     )

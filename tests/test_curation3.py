@@ -124,3 +124,26 @@ def test_z05_pearson_in_bounds(spark):
     assert len(rows) > 0
     for r in rows:
         assert -1.0 - 1e-9 <= r.pearson_r <= 1.0 + 1e-9
+
+
+def test_z28_compression_separates_repetition(spark):
+    """Repetitive text must compress far better than diverse text, and
+    the report must be invariant to input partitioning."""
+    import unittest.mock as mock
+
+    from pyspark_distributed_kmodes_spark.operators import text as m
+
+    rows = [(i, "spam " * 200, "rep") for i in range(5)] + [
+        (i + 10, " ".join(f"w{i}x{j}" for j in range(200)), "div") for i in range(5)
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    with mock.patch.object(m, "table", lambda spark, sf, name: d):
+        got = {r.source: r.avg_ratio for r in m.z28_compression_quality(spark, "x").collect()}
+        d7 = d.repartition(7)
+        with mock.patch.object(m, "table", lambda spark, sf, name: d7):
+            got7 = {
+                r.source: r.avg_ratio for r in m.z28_compression_quality(spark, "x").collect()
+            }
+    assert got["rep"] < 0.05  # near-total compression
+    assert got["div"] > 0.2  # diverse text resists
+    assert got == got7  # partitioning-invariant
