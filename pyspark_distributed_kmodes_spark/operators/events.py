@@ -776,3 +776,64 @@ def z23_ranking_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ranking")
     )
+
+
+@query(
+    "z29_disorder_audit",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus,
+         MAX(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_max
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, tus, run_max,
+         CASE WHEN run_max IS NOT NULL AND tus < run_max THEN run_max - tus END AS late_us
+  FROM seq
+)
+SELECT CAST(COUNT(run_max) AS BIGINT) AS n_with_pred,
+       CAST(COUNT(late_us) AS BIGINT) AS n_late,
+       {sql_pround('CAST(COUNT(late_us) AS DOUBLE) / COUNT(run_max)', 6)} AS late_frac,
+       CAST(COALESCE(MAX(late_us), 0) AS BIGINT) AS max_late_us,
+       {sql_pround('COALESCE(quantile_cont(late_us, 0.95), 0.0)', 6)} AS p95_late_us
+FROM flagged
+""",
+    tags=("events", "streaming", "diagnostics"),
+)
+def z29_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-disorder audit: treating event_id as ARRIVAL order, how
+    often does an event carry an EVENT time earlier than something the
+    same user already sent, and by how much — exactly the statistic
+    that justifies a watermark setting (p95 lateness ≈ the delay
+    threshold that loses 5% of late data; max = the loss-free bound).
+    Run it on a day of history BEFORE wiring withWatermark.
+
+    Determinism: lateness is integer microseconds (unix_micros /
+    epoch_us), fractions are single divisions of exact counts, and the
+    p95 interpolates integers identically on both engines (c05's
+    argument), pround(6). Scale shape: one user-partitioned running-max
+    window, then a 1-row global aggregate.
+    """
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = e.select(
+        F.unix_micros("ts").alias("tus"),
+        F.max(F.unix_micros("ts")).over(w).alias("run_max"),
+    )
+    late_us = F.when(
+        F.col("run_max").isNotNull() & (F.col("tus") < F.col("run_max")),
+        F.col("run_max") - F.col("tus"),
+    )
+    return seq.select(F.col("tus"), F.col("run_max"), late_us.alias("late_us")).agg(
+        F.count("run_max").cast("bigint").alias("n_with_pred"),
+        F.count("late_us").cast("bigint").alias("n_late"),
+        pround(F.count("late_us").cast("double") / F.count("run_max"), 6).alias("late_frac"),
+        F.coalesce(F.max("late_us"), F.lit(0)).cast("bigint").alias("max_late_us"),
+        pround(
+            F.coalesce(F.expr("percentile(late_us, 0.95)"), F.lit(0.0)), 6
+        ).alias("p95_late_us"),
+    )
