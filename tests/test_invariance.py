@@ -20,6 +20,8 @@ QUERIES = [
     "z01_weighted_reservoir_sample",  # hash-keyed sampling, WindowGroupLimit
     "z14_quality_constraints",  # single-scan fused violation counts
     "z17_spend_deciles",  # percentile-boundary binning
+    "z21_sax_similar_users",  # binary-exact z-norm/SAX chain
+    "z26_quality_signal_fusion",  # decile fusion over three signals
 ]
 
 

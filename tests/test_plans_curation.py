@@ -90,3 +90,38 @@ def test_z07_filters_pushed_to_scan(spark, sf_dir):
     plan = formatted_plan(z08_top_supplier(spark, sf_dir))
     assert "l_shipdate" in pushed_filters(z08_top_supplier(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_z21_sax_join_is_equi(spark, sf_dir):
+    """The SAX PAIR join must be a hash join on the word (users meet
+    only on equal words). The 1-row corpus-start bound broadcasts as a
+    nested-loop by design — assert nothing user-sized does."""
+    from pyspark_distributed_kmodes_spark.operators.events import z21_sax_similar_users
+
+    plan = formatted_plan(z21_sax_similar_users(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # the word-keyed pair join
+    # the only nested-loop inputs are the 1-row date bound (d0)
+    import re
+
+    for m in re.finditer(r"\(\d+\) BroadcastNestedLoopJoin[\s\S]*?Join condition: ([^\n]*)", plan):
+        assert "d0" in m.group(1)
+
+
+def test_z17_no_global_sort_window(spark, sf_dir):
+    """Decile binning must not compile to a single-partition window:
+    boundaries come from an aggregate, not ntile's global ORDER BY."""
+    from pyspark_distributed_kmodes_spark.operators.curation3 import z17_spend_deciles
+
+    plan = formatted_plan(z17_spend_deciles(spark, sf_dir))
+    assert "Window" not in plan  # no window operator at all
+    assert "CartesianProduct" not in plan
+
+
+def test_z24_marginals_broadcast(spark, sf_dir):
+    """Basket-lift marginal tables join broadcast-side; the only
+    shuffling join is the basket-keyed pair join."""
+    from pyspark_distributed_kmodes_spark.operators.relational4 import z24_brand_basket_lift
+
+    assert has_broadcast_join(z24_brand_basket_lift(spark, sf_dir))
+    assert "CartesianProduct" not in formatted_plan(z24_brand_basket_lift(spark, sf_dir))
