@@ -780,3 +780,94 @@ def z22_neardup_local_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_BFS_MAX_DEPTH = 30  # diameter bound for the oracle's recursive CTE
+
+
+@query(
+    "z30_bfs_layers",
+    oracle=f"""
+WITH RECURSIVE
+shingles AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                  i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS shingle
+    FROM documents
+  ) t
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), edges AS (
+  SELECT p.u, p.v FROM pairs p
+  JOIN sizes sa ON sa.doc_id = p.u
+  JOIN sizes sb ON sb.doc_id = p.v
+  WHERE CAST(p.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - p.n_common) >= 0.2
+), und AS (
+  SELECT u AS node, v AS nbr FROM edges UNION ALL SELECT v, u FROM edges
+), seed AS (
+  SELECT MIN(node) AS s FROM und
+), bfs(node, dist) AS (
+  SELECT s, 0 FROM seed
+  UNION
+  SELECT u.nbr, b.dist + 1
+  FROM bfs b JOIN und u ON u.node = b.node
+  WHERE b.dist < {_BFS_MAX_DEPTH}
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(MIN(dist) AS INTEGER) AS dist
+FROM bfs GROUP BY node ORDER BY doc_id
+""",
+    tags=("dedup", "graph"),
+)
+def z30_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop-distance labeling from the lowest-id document of the
+    near-dup graph: how many similarity hops away is each reachable
+    document — the transitive-chain audit behind "A matched B matched C
+    that matched nothing like A" (long chains mean the threshold is
+    merging through intermediaries; a dense clique stays at distance 1).
+
+    Execution is the distributed frontier loop: each round joins the
+    CURRENT frontier against the adjacency list, anti-joins the already
+    labeled set, and localCheckpoints the accumulator (the CC loop's
+    rule — unbounded lineage otherwise); rounds = eccentricity of the
+    seed, each one shuffle of frontier-sized data. The oracle is the
+    recursive CTE with a depth bound making its cyclic recursion finite;
+    MIN(dist) recovers true hop counts on both sides.
+    """
+    from pyspark_distributed_kmodes_spark.operators.text import ngram_jaccard_pairs
+
+    d = table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(d, threshold=0.2).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    und = (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .localCheckpoint(eager=True)  # reused every round
+    )
+    seed = und.agg(F.min("node").alias("node")).select("node", F.lit(0).alias("dist"))
+    labeled = seed.localCheckpoint(eager=True)
+    frontier = labeled
+    depth = 0
+    while depth < _BFS_MAX_DEPTH:
+        depth += 1
+        nxt = (
+            frontier.join(und, "node")
+            .select(F.col("nbr").alias("node"))
+            .distinct()
+            .join(labeled.select("node"), "node", "left_anti")
+            .select("node", F.lit(depth).alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        labeled = labeled.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return labeled.select(
+        F.col("node").cast("bigint").alias("doc_id"), F.col("dist").cast("int").alias("dist")
+    ).orderBy("doc_id")
