@@ -659,3 +659,60 @@ def z24_brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand_a", "brand_b")
     )
+
+
+@query(
+    "z31_weekly_ohlc",
+    oracle="""
+WITH o AS (
+  SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+         o_orderkey, o_orderdate, o_totalprice
+  FROM orders
+), ranked AS (
+  SELECT week, o_totalprice,
+         row_number() OVER (PARTITION BY week ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn_a,
+         row_number() OVER (PARTITION BY week ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_d
+  FROM o
+)
+SELECT r.week,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       (CAST(floor(MAX(CASE WHEN rn_a = 1 THEN o_totalprice END) * 100.0 + 0.5) AS DOUBLE) / 100.0) AS open,
+       (CAST(floor(MAX(o_totalprice) * 100.0 + 0.5) AS DOUBLE) / 100.0) AS high,
+       (CAST(floor(MIN(o_totalprice) * 100.0 + 0.5) AS DOUBLE) / 100.0) AS low,
+       (CAST(floor(MAX(CASE WHEN rn_d = 1 THEN o_totalprice END) * 100.0 + 0.5) AS DOUBLE) / 100.0) AS close,
+       (CAST(floor(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) * 100.0 + 0.5) AS DOUBLE) / 100.0) AS volume
+FROM ranked r
+GROUP BY r.week
+ORDER BY r.week
+""",
+    tags=("agg", "timeseries"),
+)
+def z31_weekly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly OHLC (open/high/low/close + volume) over order values —
+    the candlestick aggregation every time-series store ships, done
+    with tie-safe positional extremes: open/close come from
+    min_by/max_by over the TOTAL (date, orderkey) order, because a
+    bare arg_min on the date silently picks an arbitrary order among
+    same-day rows and the hash gate would catch the divergence.
+
+    Determinism: extremes select stored doubles (no arithmetic);
+    volume is a decimal-exact sum; all money rounds pround(2) at the
+    edge. Scale: one week-keyed aggregate with map-side partial
+    min_by/max_by — no window, no sort (the oracle's row_number form
+    is the SQL spelling of the same positional extreme).
+    """
+    o = table(spark, sf_dir, "orders")
+    week = F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("week")
+    akey = F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
+    return (
+        o.groupBy(week)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            pround(F.min_by("o_totalprice", akey), 2).alias("open"),
+            pround(F.max("o_totalprice"), 2).alias("high"),
+            pround(F.min("o_totalprice"), 2).alias("low"),
+            pround(F.max_by("o_totalprice", akey), 2).alias("close"),
+            pround(F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double"), 2).alias("volume"),
+        )
+        .orderBy("week")
+    )
