@@ -171,3 +171,31 @@ def test_int8_quantization_error_bound(spark, sf_dir):
     worst = emb.select(F.array_max(dequant).alias("err"), max_abs.alias("m")).collect()
     for r in worst:
         assert r.err <= r.m / 254.0 + 1e-9
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=0, max_value=9),
+)
+@settings(max_examples=200, deadline=None)
+def test_pround_engine_agreement_fuzz(xs, nd):
+    """The determinism keystone, fuzzed: the floor-form portable round
+    must produce BIT-IDENTICAL doubles in DuckDB and in plain Python
+    IEEE arithmetic for arbitrary inputs and precisions (this is the
+    exact property every hash-gated query's oracle relies on)."""
+    import math
+
+    import duckdb
+
+    from pyspark_distributed_kmodes_spark.functions.deterministic import sql_pround
+
+    con = duckdb.connect()
+    scale = float(10**nd)
+    for x in xs:
+        expect = math.floor(x * scale + 0.5) / scale
+        got = con.execute(f"SELECT {sql_pround(f'CAST({x!r} AS DOUBLE)', nd)}").fetchone()[0]
+        assert got == expect or (math.isnan(got) and math.isnan(expect)), (x, nd, got, expect)
