@@ -837,3 +837,70 @@ def z29_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.expr("percentile(late_us, 0.95)"), F.lit(0.0)), 6
         ).alias("p95_late_us"),
     )
+
+
+@query(
+    "z32_time_to_convert",
+    oracle=f"""
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN t1 ON t1.user_id = e.user_id AND e.ts > t1.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN t2 ON t2.user_id = e.user_id AND e.ts > t2.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+), deltas AS (
+  SELECT t3.user_id, epoch_us(t3.t) - epoch_us(t1.t) AS delta_us
+  FROM t3 JOIN t1 ON t1.user_id = t3.user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       {sql_pround('quantile_cont(delta_us, 0.5)', 6)} AS p50_us,
+       {sql_pround('quantile_cont(delta_us, 0.9)', 6)} AS p90_us,
+       CAST(MAX(delta_us) AS BIGINT) AS max_us
+FROM deltas
+""",
+    tags=("events", "funnel"),
+)
+def z32_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for users completing the ordered
+    view→click→purchase funnel (z09's min-ts chain), the latency from
+    first view to qualifying purchase — the p50/p90 a growth team
+    actually tracks on top of the funnel's conversion counts.
+
+    Determinism: stage times are exact MIN timestamps, deltas are
+    integer microseconds, and the percentiles interpolate integers
+    identically on both engines, pround(6). Scale: z09's three
+    shrinking aggregate-join rounds plus one 1-row summary.
+    """
+    e = table(spark, sf_dir, "events")
+
+    def stage(prev, etype):
+        nxt = e.filter(F.col("event_type") == etype)
+        if prev is None:
+            return nxt.groupBy("user_id").agg(F.min("ts").alias("t"))
+        return (
+            nxt.join(
+                prev.select(F.col("user_id").alias("pu"), F.col("t").alias("pt")),
+                (F.col("user_id") == F.col("pu")) & (F.col("ts") > F.col("pt")),
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+
+    t1 = stage(None, "view")
+    t2 = stage(t1, "click")
+    t3 = stage(t2, "purchase")
+    deltas = (
+        t3.select("user_id", F.unix_micros("t").alias("t3us"))
+        .join(t1.select(F.col("user_id"), F.unix_micros("t").alias("t1us")), "user_id")
+        .select((F.col("t3us") - F.col("t1us")).alias("delta_us"))
+    )
+    return deltas.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        pround(F.expr("percentile(delta_us, 0.5)"), 6).alias("p50_us"),
+        pround(F.expr("percentile(delta_us, 0.9)"), 6).alias("p90_us"),
+        F.max("delta_us").cast("bigint").alias("max_us"),
+    )

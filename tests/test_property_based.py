@@ -199,3 +199,34 @@ def test_pround_engine_agreement_fuzz(xs, nd):
         expect = math.floor(x * scale + 0.5) / scale
         got = con.execute(f"SELECT {sql_pround(f'CAST({x!r} AS DOUBLE)', nd)}").fetchone()[0]
         assert got == expect or (math.isnan(got) and math.isnan(expect)), (x, nd, got, expect)
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_dsum_engine_agreement_fuzz(xs):
+    """Decimal-exact summation, fuzzed: DuckDB's DECIMAL(25,6) sum of a
+    value list must equal Python's exact Decimal sum (quantized the
+    same way) cast to double — summation ORDER must be irrelevant."""
+    from decimal import ROUND_HALF_EVEN, Decimal
+
+    import duckdb
+
+    con = duckdb.connect()
+    q = Decimal("0.000001")
+    expect = float(sum(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_EVEN) for x in xs))
+    vals = ", ".join(f"(CAST({x!r} AS DOUBLE))" for x in xs)
+    got = con.execute(
+        f"SELECT CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE) FROM (VALUES {vals}) t(x)"
+    ).fetchone()[0]
+    # reversed order through the engine must agree too
+    got_rev = con.execute(
+        f"SELECT CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE) FROM (VALUES {', '.join(reversed([f'(CAST({x!r} AS DOUBLE))' for x in xs]))}) t(x)"
+    ).fetchone()[0]
+    assert got == got_rev
+    assert abs(got - expect) <= 1e-6 * max(1.0, abs(expect))
