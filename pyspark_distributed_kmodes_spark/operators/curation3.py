@@ -697,3 +697,53 @@ def z27_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.col("n_s").cast("bigint").alias("n_tokens"), "js_divergence")
         .orderBy("source")
     )
+
+
+_PAD_LEN = 64  # fixed sequence length for the padding forecast
+
+
+@query(
+    "z33_padding_waste_forecast",
+    oracle=f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(SUM(CAST(ceil(len(string_split(text, ' ')) / {_PAD_LEN}.0) AS BIGINT) * {_PAD_LEN}
+                - len(string_split(text, ' '))) AS BIGINT) AS pad_tokens,
+       (CAST(floor((CAST(SUM(CAST(ceil(len(string_split(text, ' ')) / {_PAD_LEN}.0) AS BIGINT) * {_PAD_LEN}
+                - len(string_split(text, ' '))) AS DOUBLE)
+         / SUM(CAST(ceil(len(string_split(text, ' ')) / {_PAD_LEN}.0) AS BIGINT) * {_PAD_LEN})) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS waste_frac
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+    tags=("curation", "training"),
+)
+def z33_padding_waste_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste forecast for naive one-doc-per-sequence batching
+    at a fixed 64-token length: tokens wasted on pad positions per
+    source and the waste fraction — the number that justifies paying
+    for sequence PACKING (qb06) before a training run, per source
+    because short-doc sources waste disproportionately.
+
+    Determinism: ceil of an integer/64 division is exact on both
+    engines (n/64.0 is binary-exact for n under 2^46), everything else
+    is integer; one pround ratio. Shape: one map-side-combined
+    per-source aggregate over the scan.
+    """
+    d = table(spark, sf_dir, "documents")
+    n = F.size(_words())
+    seqs = F.ceil(n / float(_PAD_LEN)).cast("bigint")
+    pad = seqs * _PAD_LEN - n
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(n).cast("bigint").alias("n_tokens"),
+            F.sum(pad).cast("bigint").alias("pad_tokens"),
+            pround(
+                F.sum(pad).cast("double") / F.sum(seqs * _PAD_LEN), 6
+            ).alias("waste_frac"),
+        )
+        .orderBy("source")
+    )
