@@ -45,6 +45,11 @@ def main():
             spark.readStream.format("jsonl_docs")
             .schema("doc_id bigint, text string, source string")
             .option("path", f"{shards}/*.jsonl")
+            # shards here are complete the instant they exist (single
+            # atomic write below), so the in-flight-shard stability
+            # window can be disabled; producers that write in place
+            # should keep the default
+            .option("stability_sec", "0")
             .load()
         )
         upsert_sink_stream(spark, stream, target, ["doc_id"], ["doc_id"])
