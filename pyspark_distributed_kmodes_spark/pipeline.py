@@ -19,6 +19,8 @@ a97, a98, a75, b06) are the oracle-gated forms of the same logic.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -134,3 +136,36 @@ def with_stage_metrics(docs: DataFrame, stage: str):
         F.avg(F.length("text")).alias("avg_chars"),
     )
     return observed, obs
+
+
+def compression_filter(docs: DataFrame, min_ratio: float = 0.05, max_ratio: float = 0.95) -> DataFrame:
+    """Compression-ratio gate (z28's signal as a stage): drop documents
+    that deflate too well (templated/repeated) or barely at all
+    (random noise). Arrow-batched zlib — the one Python stage in the
+    cascade; place it AFTER the cheap JVM filters so it sees fewer
+    rows."""
+    import zlib
+
+    @F.pandas_udf("double")
+    def _ratio(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [len(zlib.compress(t.encode(), 6)) / max(len(t.encode()), 1) for t in texts]
+        )
+
+    return docs.filter(_ratio(F.col("text")).between(min_ratio, max_ratio))
+
+
+def weighted_sample(docs: DataFrame, k_per_stratum: int, stratum_col: str = "lang") -> DataFrame:
+    """Deterministic weighted sampling stage (z01's A-ES): keep the k
+    most exponential-key-favored documents per stratum, inclusion odds
+    proportional to token count — reproducible across runs and
+    partitionings (no RNG state)."""
+    nw = F.size(F.split("text", " "))
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    u = (F.conv(h, 16, 10).cast("bigint").cast("double") + 0.5) / float(2**32)
+    key = -F.log(u) / nw
+    return (
+        docs.withColumn("_rk", F.row_number().over(Window.partitionBy(stratum_col).orderBy(key, F.asc("doc_id"))))
+        .filter(F.col("_rk") <= k_per_stratum)
+        .drop("_rk")
+    )

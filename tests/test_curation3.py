@@ -147,3 +147,21 @@ def test_z28_compression_separates_repetition(spark):
     assert got["rep"] < 0.05  # near-total compression
     assert got["div"] > 0.2  # diverse text resists
     assert got == got7  # partitioning-invariant
+
+
+def test_pipeline_compression_and_sample_stages(spark):
+    """The cascade-API forms of z28/z01 compose with the existing
+    stages and keep their semantics."""
+    from pyspark_distributed_kmodes_spark import pipeline as P
+
+    rows = [(1, "spam " * 100, "en"), (2, " ".join(f"w{j}" for j in range(100)), "en"),
+            (3, " ".join(f"v{j}" for j in range(50)), "fr")]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    kept = P.compression_filter(d).select("doc_id").collect()
+    assert {r.doc_id for r in kept} == {2, 3}  # doc 1 too compressible
+    sampled = P.weighted_sample(d, k_per_stratum=1)
+    assert sampled.count() == 2  # one per lang
+    # deterministic: same pick on rerun
+    assert sorted(r.doc_id for r in sampled.collect()) == sorted(
+        r.doc_id for r in P.weighted_sample(d.repartition(5), k_per_stratum=1).collect()
+    )
