@@ -421,7 +421,8 @@ WITH words AS (
   FROM freq ORDER BY id LIMIT {VOCAB_SIZE}
 )
 SELECT w.doc_id,
-       list(COALESCE(v.id, {UNK_ID}) ORDER BY w.pos) AS token_ids,
+       md5(array_to_string(list(COALESCE(v.id, {UNK_ID}) ORDER BY w.pos), ',')) AS token_seq_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
        CAST(SUM(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
 FROM words w LEFT JOIN vocab v ON v.word = w.w.word
 GROUP BY w.doc_id
@@ -439,6 +440,14 @@ def b14_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifact); the corpus side is one explode + broadcast join + one
     per-doc aggregation. Order restored via array_sort on (pos, id)
     structs — no assumption that collect_list preserves order.
+
+    Output is SCALAR columns only (determinism/harness contract): the
+    id sequence itself is emitted as `token_seq_hash` =
+    md5(comma-joined ids in position order) plus `n_tokens`/`n_unk`
+    counts — array<int> cells crash the harness canonicalizer (pandas
+    sort_values cannot factorize ndarray cells), and a hash carries
+    the same equality signal. Downstream consumers that need the raw
+    ids use b15/qb06's packing path, which materializes them.
     """
     d = table(spark, sf_dir, "documents")
     words = d.select(
@@ -464,9 +473,16 @@ def b14_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         tok.groupBy("doc_id")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "id"))), lambda s: s["id"]
-            ).alias("token_ids"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "id"))),
+                        lambda s: s["id"].cast("string"),
+                    ),
+                )
+            ).alias("token_seq_hash"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
             F.sum(F.when(F.col("id") == UNK_ID, 1).otherwise(0)).cast("bigint").alias("n_unk"),
         )
         .orderBy("doc_id")

@@ -28,13 +28,15 @@ def test_rows_only_queries_run(name, spark, sf_dir):
     assert rows is not None
 
 
-@pytest.mark.parametrize("name", sorted(set(QS) - set(ORACLES)))
-def test_rows_only_queries_return_hashable_scalar_columns(name, spark, sf_dir):
-    """Driver-canonicalizer guard: the harness sorts even rows-only
-    results through pandas sort_values, which cannot factorize
-    array/map/struct cells (r02's a91 crash: array<double> column ->
-    `unhashable type: numpy.ndarray`). Every rows-only query must emit
-    only scalar (atomic) columns."""
+@pytest.mark.parametrize("name", sorted(QS))
+def test_queries_return_hashable_scalar_columns(name, spark, sf_dir):
+    """Driver-canonicalizer guard: the harness sorts results through
+    pandas sort_values, which cannot factorize array/map/struct cells
+    (r02's a91 crash on a rows-only query, r03's b14 crash on an
+    ORACLE-GATED query — the r02 version of this guard only covered
+    rows-only queries, which is exactly how b14 slipped through).
+    EVERY registered query must emit only scalar (atomic) columns;
+    sequences are carried as position-ordered hashes (b14 pattern)."""
     from pyspark.sql import types as T
 
     schema = QS[name](spark, sf_dir).schema
