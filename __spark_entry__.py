@@ -22,10 +22,18 @@ this). History:
            The window is exactly full (a91 + b08-b42 + c01-c14 = 50),
            so round-3's LATER additions are keyed z01+ — they sort
            after everything, pass the identical local mirror now, and
-           are the round-4 rotation's window candidates (rename
-           driver-green b08-b42 -> qb08-qb42, a91 -> q91 [slot free],
-           c01-c14 -> qc01-qc14; then z01+ plus any d* additions sort
-           inside).
+           are the round-4 rotation's window candidates.
+  round 4: executed exactly as documented: driver-green b08-b13 and
+           b15-b42 -> qb08-qb42, a91 -> q91 (slot was free), c01-c14
+           -> qc01-qc14 (number = query identity throughout). b14
+           KEEPS its key — its r03 row was a crash (array<int> output
+           vs the harness canonicalizer), now fixed to scalar
+           seq-hash columns, and it must re-enter the window. The
+           never-driver-checked z01-z33 rename to e01-e33 (z sorts
+           AFTER q, so they could never reach the window under their
+           old prefix; e sorts before q — number preserved, z07===e07
+           etc.). New round-4 queries are keyed d01+ so they sort
+           inside too. Window: b14 + d01-d16 + e01-e33 = exactly 50.
 
 Implementations live in pyspark_distributed_kmodes_spark/; this module
 is a thin adapter over its registry.

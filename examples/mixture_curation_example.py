@@ -13,20 +13,20 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 from pyspark_distributed_kmodes_spark.operators.curation import (
-    c04_temperature_mixture_weights,
+    qc04_temperature_mixture_weights,
 )
 from pyspark_distributed_kmodes_spark.operators.curation2 import (
-    c08_source_overlap_matrix,
-    c09_token_budget_allocation,
-    c10_per_source_quality_caps,
-    c11_shingle_novelty,
-    c14_zipf_slope,
+    qc08_source_overlap_matrix,
+    qc09_token_budget_allocation,
+    qc10_per_source_quality_caps,
+    qc11_shingle_novelty,
+    qc14_zipf_slope,
 )
 from pyspark_distributed_kmodes_spark.operators.curation3 import (
-    z01_weighted_reservoir_sample,
-    z04_rare_strata_audit,
+    e01_weighted_reservoir_sample,
+    e04_rare_strata_audit,
 )
-from pyspark_distributed_kmodes_spark.operators.training import b42_train_val_test_split
+from pyspark_distributed_kmodes_spark.operators.training import qb42_train_val_test_split
 from pyspark_distributed_kmodes_spark.session import get_spark
 
 
@@ -36,30 +36,30 @@ def main():
 
     print("== 1. Audits: is the corpus safe to mix? ==")
     hot = (
-        c08_source_overlap_matrix(spark, sf_dir)
+        qc08_source_overlap_matrix(spark, sf_dir)
         .orderBy("overlap_coeff", ascending=False)
         .limit(3)
     )
     print("most-overlapping source pairs (shared normalized docs):")
     hot.show(truncate=False)
     print("least-original sources (lowest exclusive-shingle ratio):")
-    c11_shingle_novelty(spark, sf_dir).orderBy("exclusive_ratio").limit(3).show()
+    qc11_shingle_novelty(spark, sf_dir).orderBy("exclusive_ratio").limit(3).show()
     print("strata too small to trust statistics on:")
-    z04_rare_strata_audit(spark, sf_dir).show(5)
+    e04_rare_strata_audit(spark, sf_dir).show(5)
     print("sources whose word distribution doesn't look like language:")
-    c14_zipf_slope(spark, sf_dir).orderBy("zipf_slope", ascending=False).limit(3).show()
+    qc14_zipf_slope(spark, sf_dir).orderBy("zipf_slope", ascending=False).limit(3).show()
 
     print("== 2. Plan the mix: weights -> integer token budget ==")
-    c04_temperature_mixture_weights(spark, sf_dir).show(5)
-    alloc = c09_token_budget_allocation(spark, sf_dir)
+    qc04_temperature_mixture_weights(spark, sf_dir).show(5)
+    alloc = qc09_token_budget_allocation(spark, sf_dir)
     alloc.show(5)
     total = alloc.groupBy().sum("alloc_tokens").collect()[0][0]
     print(f"allocated tokens sum EXACTLY to budget: {total:,}")
 
     print("== 3. Select documents: caps, weighted sample, split ==")
-    c10_per_source_quality_caps(spark, sf_dir).show(5)
-    z01_weighted_reservoir_sample(spark, sf_dir).show(10)
-    b42_train_val_test_split(spark, sf_dir).show(9)
+    qc10_per_source_quality_caps(spark, sf_dir).show(5)
+    e01_weighted_reservoir_sample(spark, sf_dir).show(10)
+    qb42_train_val_test_split(spark, sf_dir).show(9)
 
     spark.stop()
 

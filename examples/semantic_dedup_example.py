@@ -12,8 +12,8 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark_distributed_kmodes_spark.ml.kmeans import KMeansModel, kmeans_fit
 from pyspark_distributed_kmodes_spark.operators.vectors import (
-    b28_semantic_dedup,
-    b30_semantic_dedup_scaled,
+    qb28_semantic_dedup,
+    qb30_semantic_dedup_scaled,
 )
 from pyspark_distributed_kmodes_spark.session import get_spark
 from pyspark_distributed_kmodes_spark.sources.tables import table
@@ -27,8 +27,8 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("semantic-dedup-example")
 
-    exact = b28_semantic_dedup(spark, sf_dir).collect()
-    scaled = b30_semantic_dedup_scaled(spark, sf_dir).collect()
+    exact = qb28_semantic_dedup(spark, sf_dir).collect()
+    scaled = qb30_semantic_dedup_scaled(spark, sf_dir).collect()
     le, ls = labels(exact), labels(scaled)
     dup_exact = {r.vec_id for r in exact if r.component_size >= 2}
     dup_scaled = {r.vec_id for r in scaled if r.component_size >= 2}

@@ -260,7 +260,7 @@ def q90_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("a91_approx_percentiles", oracle=None, tags=("agg", "approx"))
+@query("q91_approx_percentiles", oracle=None, tags=("agg", "approx"))
 def q91_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch percentiles: percentile_approx (one-pass mergeable) beside
     the exact values — the 100 TB path where exact per-group sorts are

@@ -123,7 +123,7 @@ def q89_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "b39_nullsafe_snapshot_diff",
+    "qb39_nullsafe_snapshot_diff",
     oracle="""
 WITH snap_a AS (
   SELECT nullif(c_mktsegment, 'BUILDING') AS seg, count(*) AS n_a,
@@ -140,7 +140,7 @@ ORDER BY seg NULLS FIRST
 """,
     tags=("join", "cdc", "nullsafe"),
 )
-def b39_nullsafe_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qb39_nullsafe_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): diff two
     snapshot aggregates whose grouping key is nullable (a sentinel
     segment normalized to NULL) — NULL keys must pair with NULL keys,

@@ -22,7 +22,7 @@ from pyspark_distributed_kmodes_spark.sources.tables import table
 
 
 @query(
-    "c04_temperature_mixture_weights",
+    "qc04_temperature_mixture_weights",
     oracle=f"""
 WITH counts AS (
   SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
@@ -42,7 +42,7 @@ ORDER BY p.source
 """,
     tags=("curation", "sampling"),
 )
-def c04_temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qc04_temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source sampling weights — the multilingual /
     multi-source rebalancing rule (weight_s ∝ (n_s/N)^alpha, alpha=0.7):
     raises rare sources, damps dominant ones, the standard knob for
@@ -72,7 +72,7 @@ def c04_temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
-    "c05_mad_robust_zscores",
+    "qc05_mad_robust_zscores",
     oracle="""
 WITH med AS (
   SELECT CAST(median(CAST(n_chars AS DOUBLE)) AS DOUBLE) AS med FROM documents
@@ -90,7 +90,7 @@ LIMIT 20
 """,
     tags=("curation", "quality"),
 )
-def c05_mad_robust_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qc05_mad_robust_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust (median/MAD) length z-scores: the normal-consistent
     robust standardization (z = (x − median) / (1.4826·MAD)) every
     outlier filter should use instead of mean/stddev — one 2 GB garbage
@@ -130,7 +130,7 @@ def c05_mad_robust_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "c06_logprob_quality_tiers",
+    "qc06_logprob_quality_tiers",
     oracle=f"""
 WITH words AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
@@ -163,7 +163,7 @@ ORDER BY d.lang, tier
 """,
     tags=("curation", "quality"),
 )
-def c06_logprob_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qc06_logprob_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style quality tiers: score every document with the unigram
     LM proxy (b12's avg per-word log-probability), learn per-language
     tercile thresholds, and bucket into head / middle / tail — the
@@ -177,10 +177,10 @@ def c06_logprob_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass, then a |langs|-row threshold aggregate broadcast back — one
     extra tiny join over the score computation, nothing driver-side.
     """
-    from pyspark_distributed_kmodes_spark.operators.training import b12_unigram_logprob
+    from pyspark_distributed_kmodes_spark.operators.training import qb12_unigram_logprob
 
     d = table(spark, sf_dir, "documents").select("doc_id", "lang")
-    scored = b12_unigram_logprob(spark, sf_dir).select("doc_id", "avg_logprob")
+    scored = qb12_unigram_logprob(spark, sf_dir).select("doc_id", "avg_logprob")
     docs = d.join(scored, "doc_id")
     thr = docs.groupBy("lang").agg(
         pround(F.expr("percentile(avg_logprob, 0.333)"), 6).alias("p33"),
@@ -204,7 +204,7 @@ def c06_logprob_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "c07_mixture_entropy_report",
+    "qc07_mixture_entropy_report",
     oracle=f"""
 WITH cell AS (
   SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
@@ -224,7 +224,7 @@ ORDER BY c.lang
 """,
     tags=("curation", "diagnostics"),
 )
-def c07_mixture_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qc07_mixture_entropy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture-diversity audit: Shannon entropy of the source
     distribution within each language, plus the [0,1]-normalized form
     (entropy / ln n_sources) — the one-number diagnostic for "is this

@@ -39,7 +39,7 @@ def _words():
 
 
 @query(
-    "c08_source_overlap_matrix",
+    "qc08_source_overlap_matrix",
     oracle=f"""
 WITH fp AS (
   SELECT DISTINCT source,
@@ -62,7 +62,7 @@ ORDER BY source_a, source_b
 """,
     tags=("curation", "dedup"),
 )
-def c08_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qc08_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source contamination matrix: for every source pair, how many
     NORMALIZED documents (bag-of-words fingerprint, q56's scheme — robust
     to word order) appear in both, plus the overlap coefficient
@@ -114,7 +114,7 @@ _BUDGET = 10_000_000  # tokens to allocate across sources
 
 
 @query(
-    "c09_token_budget_allocation",
+    "qc09_token_budget_allocation",
     oracle=f"""
 WITH tok AS (
   SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
@@ -153,7 +153,7 @@ ORDER BY r.source
 """,
     tags=("curation", "sampling"),
 )
-def c09_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qc09_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer token-budget allocation by largest remainder (Hamilton's
     method): temperature-scale each source's TOKEN share (c04's
     (n_s/N)^0.7 rule, but on tokens — budgets are spent in tokens, not
@@ -218,7 +218,7 @@ _CAP = 20  # max documents kept per source
 
 
 @query(
-    "c10_per_source_quality_caps",
+    "qc10_per_source_quality_caps",
     oracle=f"""
 WITH base AS (
   SELECT doc_id, source,
@@ -243,7 +243,7 @@ ORDER BY source
 """,
     tags=("curation", "quality"),
 )
-def c10_per_source_quality_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qc10_per_source_quality_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality cap: keep at most N documents per source,
     chosen by lexical-diversity rank (q52's unique-word ratio, ties by
     doc_id) — the guard that stops any single source from flooding the
@@ -284,7 +284,7 @@ def c10_per_source_quality_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "c11_shingle_novelty",
+    "qc11_shingle_novelty",
     oracle=f"""
 WITH sh AS (
   SELECT DISTINCT source, shingle FROM (
@@ -305,7 +305,7 @@ ORDER BY s.source
 """,
     tags=("curation", "text"),
 )
-def c11_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qc11_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle-novelty audit: per source, how many distinct word
     trigrams it contributes and what fraction appear NOWHERE else — the
     phrase-level originality score that separates a source adding new
@@ -344,7 +344,7 @@ def c11_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "c12_seqlen_histogram",
+    "qc12_seqlen_histogram",
     oracle=f"""
 WITH d AS (
   SELECT len(string_split(text, ' ')) AS n_words FROM documents
@@ -364,7 +364,7 @@ ORDER BY bucket
 """,
     tags=("curation", "diagnostics"),
 )
-def c12_seqlen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qc12_seqlen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-length histogram on power-of-two buckets, with the
     cumulative document fraction — the profile a packing planner (qb05/
     b15) reads to pick max_seq_len and predict padding waste before a
@@ -404,7 +404,7 @@ def c12_seqlen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "c13_label_cohesion",
+    "qc13_label_cohesion",
     oracle=f"""
 WITH pos AS (
   SELECT vec_id, label, t.pos AS pos, CAST(t.val AS DOUBLE) AS val FROM (
@@ -434,7 +434,7 @@ ORDER BY label
     tags=("curation", "vector"),
     bench=True,
 )
-def c13_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qc13_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cluster cohesion: per label, the average cosine
     similarity of member vectors to the label centroid — the one-number
     "is this cluster real?" check run after any clustering / labeling
@@ -497,7 +497,7 @@ _ZIPF_TOP = 100  # words ranked per source
 
 
 @query(
-    "c14_zipf_slope",
+    "qc14_zipf_slope",
     oracle=f"""
 WITH wc AS (
   SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -525,7 +525,7 @@ ORDER BY source
 """,
     tags=("curation", "diagnostics"),
 )
-def c14_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qc14_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf-slope audit: least-squares slope of log-frequency vs
     log-rank over each source's top-100 words. Natural text sits near
     −1; templated / machine-generated text flattens toward 0 and
@@ -571,7 +571,7 @@ def c14_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "z25_label_separation",
+    "e25_label_separation",
     oracle=f"""
 WITH pos AS (
   SELECT vec_id, label, t.pos AS pos, CAST(t.val AS DOUBLE) AS val FROM (
@@ -598,7 +598,7 @@ ORDER BY label_a, label_b
 """,
     tags=("curation", "vector"),
 )
-def z25_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e25_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Between-label centroid separation matrix: pairwise cosine of
     label centroids — c13's complement (within-cluster cohesion is only
     half the validation; two cohesive clusters whose centroids sit at

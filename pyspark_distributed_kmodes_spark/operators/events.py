@@ -261,7 +261,7 @@ def q35_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "b19_retention_cohorts",
+    "qb19_retention_cohorts",
     oracle="""
 WITH weekly AS (
   SELECT DISTINCT user_id, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week_idx
@@ -285,7 +285,7 @@ ORDER BY cohort_week, weeks_since
 """,
     tags=("events", "analytics"),
 )
-def b19_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qb19_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention cohort analysis: users grouped by first-active week,
     tracked by distinct activity in each subsequent week — the standard
     product-analytics rollup (and, for training pipelines, the shape of
@@ -322,7 +322,7 @@ def b19_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "b35_interval_join_attribution",
+    "qb35_interval_join_attribution",
     oracle="""
 SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
        p.ts AS purchase_ts,
@@ -337,7 +337,7 @@ ORDER BY purchase_id, click_id
 """,
     tags=("events", "join", "streaming-twin"),
 )
-def b35_interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qb35_interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval (event-time range) join: every click by the same user in
     the hour before each purchase — the batch twin of the stream-stream
     join in streaming/jobs.py::attribution_join_stream, which emits
@@ -384,7 +384,7 @@ def b35_interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
-    "z09_event_funnel",
+    "e09_event_funnel",
     oracle=f"""
 WITH t1 AS (
   SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id
@@ -412,7 +412,7 @@ ORDER BY stage
 """,
     tags=("events", "funnel"),
 )
-def z09_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e09_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel analysis: how many users progress view → click →
     purchase with STRICTLY increasing timestamps (a click before the
     first view does not count) — the product-analytics sequence-match
@@ -475,7 +475,7 @@ def z09_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "z10_dau_wau_stickiness",
+    "e10_dau_wau_stickiness",
     oracle=f"""
 WITH daily AS (
   SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
@@ -498,7 +498,7 @@ ORDER BY d.week
 """,
     tags=("events", "engagement"),
 )
-def z10_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e10_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engagement stickiness: average daily active users over weekly
     active users per week (the DAU/WAU ratio product teams track) —
     two distinct-user rollups at different grains joined back together.
@@ -529,7 +529,7 @@ def z10_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "z12_event_transition_matrix",
+    "e12_event_transition_matrix",
     oracle=f"""
 WITH seq AS (
   SELECT user_id, event_type,
@@ -550,7 +550,7 @@ ORDER BY p.prev_type, p.next_type
 """,
     tags=("events", "analytics"),
 )
-def z12_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e12_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over each user's event
     sequence: P(next event type | previous event type) — the behavioral
     fingerprint behind "what do users do after an error?" and the
@@ -590,7 +590,7 @@ _TS_DIST_T = 4.2  # z-normalized Euclidean threshold
 
 
 @query(
-    "z21_sax_similar_users",
+    "e21_sax_similar_users",
     oracle=f"""
 WITH bounds AS (
   SELECT MIN(CAST(date_trunc('day', ts) AS DATE)) AS d0 FROM events
@@ -632,7 +632,7 @@ ORDER BY user_a, user_b
 """,
     tags=("events", "timeseries", "similarity"),
 )
-def z21_sax_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e21_sax_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series similarity search with SAX blocking: each user's
     16-day activity series is z-normalized, PAA-compressed to 4
     segments, and discretized to a SAX word; only users sharing a word
@@ -716,7 +716,7 @@ def z21_sax_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "z23_ranking_cohorts",
+    "e23_ranking_cohorts",
     oracle="""
 WITH cnt AS (
   SELECT user_id, event_type, COUNT(*) AS c
@@ -738,7 +738,7 @@ ORDER BY ranking
 """,
     tags=("events", "rankings"),
 )
-def z23_ranking_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e23_ranking_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k ranking cohorts: users grouped by their top-3 event-type
     ranking (the exact-match blocking used in top-k rankings similarity
     joins — identical rankings are distance-zero, so signature grouping
@@ -779,7 +779,7 @@ def z23_ranking_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "z29_disorder_audit",
+    "e29_disorder_audit",
     oracle=f"""
 WITH seq AS (
   SELECT user_id, event_id, epoch_us(ts) AS tus,
@@ -800,7 +800,7 @@ FROM flagged
 """,
     tags=("events", "streaming", "diagnostics"),
 )
-def z29_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e29_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-disorder audit: treating event_id as ARRIVAL order, how
     often does an event carry an EVENT time earlier than something the
     same user already sent, and by how much — exactly the statistic
@@ -840,7 +840,7 @@ def z29_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "z32_time_to_convert",
+    "e32_time_to_convert",
     oracle=f"""
 WITH t1 AS (
   SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id
@@ -864,7 +864,7 @@ FROM deltas
 """,
     tags=("events", "funnel"),
 )
-def z32_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e32_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-to-convert distribution: for users completing the ordered
     view→click→purchase funnel (z09's min-ts chain), the latency from
     first view to qualifying purchase — the p50/p90 a growth team

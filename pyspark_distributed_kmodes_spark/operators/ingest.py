@@ -33,7 +33,7 @@ from pyspark_distributed_kmodes_spark.sources.tables import read_csv, table
 
 
 @query(
-    "c01_csv_ingest_agg",
+    "qc01_csv_ingest_agg",
     oracle=f"""
 SELECT c_mktsegment,
        CAST(COUNT(*) AS BIGINT) AS n_cust,
@@ -45,7 +45,7 @@ ORDER BY c_mktsegment
 """,
     tags=("source", "csv"),
 )
-def c01_csv_ingest_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qc01_csv_ingest_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV ingestion end-to-end: customer -> headered CSV files ->
     read_csv with an EXPLICIT schema -> aggregate. The oracle aggregates
     the original parquet, so hash-match proves the CSV path loses
@@ -55,7 +55,7 @@ def c01_csv_ingest_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     lose pushdown and column pruning — the engine's read_csv exists for
     day-one ingestion; steady state converts to parquet (write_parquet).
     """
-    base = tempfile.mkdtemp(prefix="c01_csv_")
+    base = tempfile.mkdtemp(prefix="qc01_csv_")
     try:
         c = table(spark, sf_dir, "customer")
         c.write.option("header", True).mode("overwrite").csv(base + "/customer")
@@ -86,7 +86,7 @@ def c01_csv_ingest_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "c02_jsonl_datasource_agg",
+    "qc02_jsonl_datasource_agg",
     oracle="""
 SELECT lang,
        source,
@@ -99,7 +99,7 @@ ORDER BY lang, source
 """,
     tags=("source", "jsonl", "datasource"),
 )
-def c02_jsonl_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qc02_jsonl_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom Python Data Source ingestion end-to-end: documents ->
     JSONL shard files -> `jsonl_docs` source (file-per-partition
     planning, schema-driven projection: only doc_id/lang/source are
@@ -111,7 +111,7 @@ def c02_jsonl_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one input partition per shard file — a 10k-shard corpus
     reads with 10k-way parallelism; the driver plans file NAMES only.
     """
-    base = tempfile.mkdtemp(prefix="c02_jsonl_")
+    base = tempfile.mkdtemp(prefix="qc02_jsonl_")
     try:
         from pyspark_distributed_kmodes_spark.sources import jsonl
 
@@ -143,7 +143,7 @@ def c02_jsonl_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "z06_jsonl_sink_roundtrip",
+    "e06_jsonl_sink_roundtrip",
     oracle="""
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -155,7 +155,7 @@ ORDER BY source
 """,
     tags=("source", "jsonl", "datasource", "sink"),
 )
-def z06_jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e06_jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both halves of the custom Python Data Source contract in one
     pass: documents → the `jsonl_docs` two-phase-commit WRITER
     (task-local temp shards, driver rename on commit, _SUCCESS
@@ -171,7 +171,7 @@ def z06_jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     now for a sink the engine owns. Idempotent: unique temp dir, k-row
     result pinned, cleanup in finally (b34's pattern).
     """
-    base = tempfile.mkdtemp(prefix="z06_jsonl_sink_")
+    base = tempfile.mkdtemp(prefix="e06_jsonl_sink_")
     try:
         from pyspark_distributed_kmodes_spark.sources import jsonl
 

@@ -380,7 +380,7 @@ def q74_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "b16_volume_shipping",
+    "qb16_volume_shipping",
     bench=True,
     oracle=f"""
 SELECT n1.n_name AS supp_nation,
@@ -401,7 +401,7 @@ ORDER BY supp_nation, cust_nation, l_year
 """,
     tags=("join", "tpch"),
 )
-def b16_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qb16_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral shipping volume between two nations by
     year — a 6-table join where the same dimension (nation) enters
     twice under different roles.
@@ -438,7 +438,7 @@ def b16_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "b17_promo_revenue",
+    "qb17_promo_revenue",
     oracle=f"""
 SELECT CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
        CAST(month(l.l_shipdate) AS INTEGER) AS l_month,
@@ -450,7 +450,7 @@ ORDER BY l_year, l_month
 """,
     tags=("join", "tpch"),
 )
-def b17_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qb17_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: monthly share of revenue from promotional parts
     — conditional aggregation as a ratio of two decimal-exact sums.
 
@@ -473,7 +473,7 @@ def b17_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "b18_brand_band_revenue",
+    "qb18_brand_band_revenue",
     oracle=f"""
 SELECT p.p_brand,
        {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
@@ -487,7 +487,7 @@ ORDER BY p.p_brand
 """,
     tags=("join", "tpch"),
 )
-def b18_brand_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qb18_brand_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: revenue from brand-specific quantity bands — a
     disjunctive join-filter Catalyst must keep OUT of the join condition
     (it references both sides; naive placement forces a nested-loop).

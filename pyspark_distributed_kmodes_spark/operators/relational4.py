@@ -18,7 +18,7 @@ from pyspark_distributed_kmodes_spark.sources.tables import table
 
 
 @query(
-    "b21_returned_items",
+    "qb21_returned_items",
     oracle=f"""
 SELECT c.c_custkey, c.c_name, n.n_name,
        (CAST(floor(({sql_dsum('l.l_extendedprice * (1 - l.l_discount)')}) * 100.0 + 0.5) AS DOUBLE) / 100.0) AS revenue,
@@ -35,7 +35,7 @@ LIMIT 20
 """,
     tags=("join", "tpch"),
 )
-def b21_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qb21_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: top-20 customers by lost revenue from returned
     items in a one-year window.
 
@@ -65,7 +65,7 @@ def b21_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "b22_order_priority_count",
+    "qb22_order_priority_count",
     oracle="""
 SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM orders o
@@ -78,7 +78,7 @@ ORDER BY o.o_orderpriority
 """,
     tags=("join", "tpch", "subquery"),
 )
-def b22_order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qb22_order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: order count per priority among orders with at
     least one slow lineitem — a correlated EXISTS whose predicate
     references BOTH sides (ship > order date + 60d), i.e. an equi semi
@@ -105,7 +105,7 @@ def b22_order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "b23_late_line_priority",
+    "qb23_late_line_priority",
     oracle="""
 SELECT l.l_linestatus,
        CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
@@ -120,7 +120,7 @@ ORDER BY l.l_linestatus
 """,
     tags=("join", "tpch"),
 )
-def b23_late_line_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qb23_late_line_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: high- vs low-priority line counts among
     slow-shipped lines — conditional aggregation over a join with a
     residual cross-side inequality. (Q12's shipmode/commit/receipt
@@ -147,7 +147,7 @@ def b23_late_line_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "b24_large_volume_customers",
+    "qb24_large_volume_customers",
     oracle=f"""
 WITH per AS (
   SELECT l_orderkey, {sql_dsum('l_quantity')} AS total_qty
@@ -164,7 +164,7 @@ LIMIT 100
 """,
     tags=("join", "tpch", "subquery"),
 )
-def b24_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qb24_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: customers with orders whose total quantity
     exceeds a threshold — the HAVING-subquery pattern, expressed as
     aggregate-then-filter-then-join (exactly what Catalyst rewrites the
@@ -193,7 +193,7 @@ def b24_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "b25_customer_distribution",
+    "qb25_customer_distribution",
     oracle="""
 WITH per AS (
   SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
@@ -206,7 +206,7 @@ ORDER BY custdist DESC, c_count DESC
 """,
     tags=("join", "tpch", "agg"),
 )
-def b25_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qb25_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: distribution of orders-per-customer, including
     zero-order customers (the left join is the point — COUNT(col) counts
     only matched rows).
@@ -229,7 +229,7 @@ def b25_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "b26_quiet_rich_customers",
+    "qb26_quiet_rich_customers",
     oracle=f"""
 SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
        {sql_dsum('c.c_acctbal')} AS totacctbal
@@ -245,7 +245,7 @@ ORDER BY n.n_name
 """,
     tags=("join", "tpch", "subquery"),
 )
-def b26_quiet_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qb26_quiet_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: above-average-balance customers with no urgent
     orders, aggregated by nation — an uncorrelated scalar subquery
     (global average as a filter threshold) plus a correlated NOT EXISTS
@@ -279,7 +279,7 @@ def b26_quiet_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "b34_bucketed_colocated_join",
+    "qb34_bucketed_colocated_join",
     oracle=f"""
 SELECT o.o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_lines,
@@ -290,7 +290,7 @@ ORDER BY o.o_orderpriority
 """,
     tags=("join", "bucketing"),
 )
-def b34_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qb34_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-time co-location: lineitem and orders are persisted as
     bucketed+sorted tables on the join key, then joined WITHOUT any
     exchange — the pre-shuffled-layout strategy for facts that are
@@ -316,9 +316,9 @@ def b34_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     # explicit temp paths: the hosting session's warehouse dir defaults
     # to the process cwd, which this query must not write into
-    base = tempfile.mkdtemp(prefix="b34_bucketed_")
+    base = tempfile.mkdtemp(prefix="qb34_bucketed_")
     run = uuid.uuid4().hex[:12]
-    li_tbl, o_tbl = f"b34_li_bucketed_{run}", f"b34_o_bucketed_{run}"
+    li_tbl, o_tbl = f"qb34_li_bucketed_{run}", f"qb34_o_bucketed_{run}"
     try:
         write_bucketed(li, li_tbl, "l_orderkey", 8, path=f"{base}/li")
         write_bucketed(o, o_tbl, "o_orderkey", 8, path=f"{base}/o")
@@ -344,7 +344,7 @@ def b34_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "z07_forecast_revenue",
+    "e07_forecast_revenue",
     oracle=f"""
 SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_lines
@@ -355,7 +355,7 @@ WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
 """,
     tags=("agg", "tpch"),
 )
-def z07_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e07_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: the forecasting-revenue-change query — a pure
     scan-filter-aggregate with no joins, the canonical predicate-
     pushdown benchmark (all three filters must reach the parquet scan;
@@ -382,7 +382,7 @@ def z07_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "z08_top_supplier",
+    "e08_top_supplier",
     oracle=f"""
 WITH rev AS (
   SELECT l_suppkey AS supplier_no,
@@ -400,7 +400,7 @@ ORDER BY s.s_suppkey
 """,
     tags=("join", "subquery", "tpch"),
 )
-def z08_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e08_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: the top-supplier query — a revenue "view" over
     one quarter, then the suppliers whose revenue EQUALS the scalar
     maximum (Q15's correlated-max semantics keeps ties, unlike a
@@ -431,7 +431,7 @@ def z08_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "z11_cohort_ltv_triangle",
+    "e11_cohort_ltv_triangle",
     oracle="""
 WITH cohort AS (
   SELECT o_custkey, CAST(MIN(year(o_orderdate)) AS INTEGER) AS cohort_year
@@ -457,7 +457,7 @@ ORDER BY cohort_year, age
 """,
     tags=("analytics", "cohort"),
 )
-def z11_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e11_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort lifetime-value triangle: customers grouped by
     first-order year, each cohort's revenue tracked by account age,
     with the running LTV per customer — the revenue twin of b19's
@@ -508,7 +508,7 @@ def z11_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "z19_yoy_priority_growth",
+    "e19_yoy_priority_growth",
     oracle=f"""
 WITH monthly AS (
   SELECT o_orderpriority,
@@ -531,7 +531,7 @@ ORDER BY m.o_orderpriority, m.month_start
 """,
     tags=("agg", "timeseries"),
 )
-def z19_yoy_priority_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e19_yoy_priority_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Year-over-year revenue growth per order priority: monthly
     rollup self-joined to its own month twelve months earlier — the
     calendar-exact form (a lag(12) window silently compares wrong
@@ -583,7 +583,7 @@ _BASKET_MIN = 100  # minimum co-occurrence count for a reported pair
 
 
 @query(
-    "z24_brand_basket_lift",
+    "e24_brand_basket_lift",
     oracle=f"""
 WITH ob AS (
   SELECT DISTINCT l.l_orderkey, p.p_brand
@@ -610,7 +610,7 @@ ORDER BY pr.brand_a, pr.brand_b
 """,
     tags=("analytics", "basket"),
 )
-def z24_brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e24_brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association mining over order contents: for every
     brand pair co-purchased in at least {_BASKET_MIN} orders, the
     support, confidence (A→B), and lift — the frequent-itemset
@@ -662,7 +662,7 @@ def z24_brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "z31_weekly_ohlc",
+    "e31_weekly_ohlc",
     oracle="""
 WITH o AS (
   SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
@@ -687,7 +687,7 @@ ORDER BY r.week
 """,
     tags=("agg", "timeseries"),
 )
-def z31_weekly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e31_weekly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly OHLC (open/high/low/close + volume) over order values —
     the candlestick aggregation every time-series store ships, done
     with tie-safe positional extremes: open/close come from

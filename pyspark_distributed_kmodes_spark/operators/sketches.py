@@ -27,8 +27,8 @@ def _source_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("token") != "")
 
 
-@query("b36_theta_source_overlap", oracle=None, tags=("sketch", "approx", "text"))
-def b36_theta_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qb36_theta_source_overlap", oracle=None, tags=("sketch", "approx", "text"))
+def qb36_theta_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source vocabulary overlap via theta sketches: one sketch of
     distinct tokens per document source, then pairwise
     intersection/union ESTIMATES by sketch algebra — no token-level
@@ -60,8 +60,8 @@ def b36_theta_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("b37_kll_price_quantiles", oracle=None, tags=("sketch", "approx", "agg"))
-def b37_kll_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qb37_kll_price_quantiles", oracle=None, tags=("sketch", "approx", "agg"))
+def qb37_kll_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group price quantiles from KLL sketches: kll_sketch_agg_double
     partial-aggregates map-side; quantile reads happen on the merged
     sketch.
@@ -88,8 +88,8 @@ def b37_kll_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
-@query("b38_hll_distinct_rollup", oracle=None, tags=("sketch", "approx", "events"))
-def b38_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qb38_hll_distinct_rollup", oracle=None, tags=("sketch", "approx", "events"))
+def qb38_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical distinct-user rollup from persisted HLL sketches:
     daily user sketches are built once, then WEEKLY distinct estimates
     come from hll_union_agg over the daily sketches — the hypertable
@@ -116,8 +116,8 @@ def b38_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weekly.select("week", "est_users", "n_events", "n_days").orderBy("week")
 
 
-@query("b40_cms_heavy_hitters", oracle=None, tags=("sketch", "approx", "text"))
-def b40_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qb40_cms_heavy_hitters", oracle=None, tags=("sketch", "approx", "text"))
+def qb40_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter token frequencies from a count-min sketch: the
     sketch aggregates distributed (partial+merge inside one agg), then
     the driver deserializes the few-KB blob and reads point estimates

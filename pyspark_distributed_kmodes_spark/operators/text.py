@@ -679,7 +679,7 @@ PHONE_RE = r"\d{3}-\d{4}"
 
 
 @query(
-    "b27_pii_redaction",
+    "qb27_pii_redaction",
     oracle=f"""
 WITH planted AS (
   SELECT doc_id,
@@ -700,7 +700,7 @@ ORDER BY doc_id
 """,
     tags=("text", "pii"),
 )
-def b27_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qb27_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing for training corpora: count and redact email /
     phone patterns per document. The synthetic corpus carries no PII, so
     deterministic spans are planted first (doc_id-keyed, identically in
@@ -732,7 +732,7 @@ def b27_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "b31_quality_quantile_filter",
+    "qb31_quality_quantile_filter",
     oracle="""
 WITH scored AS (
   SELECT doc_id,
@@ -748,7 +748,7 @@ ORDER BY s.doc_id
 """,
     tags=("text", "quality"),
 )
-def b31_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qb31_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile-thresholded quality filter: drop the worst-decile
     documents by lexical diversity, where the cutoff is LEARNED from the
     corpus (10th percentile) rather than fixed — the adaptive form every
@@ -779,7 +779,7 @@ def b31_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "b32_source_dedup_report",
+    "qb32_source_dedup_report",
     oracle="""
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -792,7 +792,7 @@ ORDER BY source
 """,
     tags=("text", "dedup", "agg"),
 )
-def b32_source_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qb32_source_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source duplication report: how much of each ingest source is
     byte-identical redundancy — the monitoring table that decides which
     sources get aggressive dedup (or get dropped). One hash + one
@@ -814,7 +814,7 @@ def b32_source_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "b33_boilerplate_shingles",
+    "qb33_boilerplate_shingles",
     oracle="""
 WITH grams AS (
   SELECT source, doc_id, unnest(
@@ -840,7 +840,7 @@ ORDER BY source, rk
 """,
     tags=("text", "dedup"),
 )
-def b33_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qb33_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate mining: the 5 highest-document-frequency word
     trigrams per ingest source — the diagnostic that motivates (and
     sizes) the stop-shingle `max_df` cap in the dedup pipeline:
@@ -880,8 +880,8 @@ def b33_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("z28_compression_quality", oracle=None, tags=("text", "quality"))
-def z28_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("e28_compression_quality", oracle=None, tags=("text", "quality"))
+def e28_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression-ratio quality proxy: deflate each document and
     report compressed/raw size per source — the classic "too
     compressible = templated/repetitive, incompressible = random

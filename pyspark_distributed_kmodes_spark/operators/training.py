@@ -141,7 +141,7 @@ def qb07_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "b08_embedding_centroids",
+    "qb08_embedding_centroids",
     oracle="""
 SELECT label,
        CAST(t.pos AS INTEGER) AS pos,
@@ -157,7 +157,7 @@ ORDER BY label, pos
 """,
     tags=("training", "vector"),
 )
-def b08_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qb08_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid, dimension-wise: posexplode the
     vector → one (label, pos) aggregation. The distributed mean-vector
     primitive behind IVF list training, class prototypes, and drift
@@ -183,7 +183,7 @@ def b08_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "b09_int8_quantization",
+    "qb09_int8_quantization",
     oracle="""
 SELECT vec_id,
        (CAST(floor((list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS max_abs,
@@ -196,7 +196,7 @@ ORDER BY vec_id
 """,
     tags=("training", "vector"),
 )
-def b09_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qb09_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 embedding quantization: per-vector scale =
     127/max|x|, codes = round(x·scale) — storage compression every
     vector store applies before ANN serving. Emits the scale basis and
@@ -225,7 +225,7 @@ NGRAM_SPAN = 8  # span length for duplicate-substring detection
 
 
 @query(
-    "b11_duplicate_spans",
+    "qb11_duplicate_spans",
     bench=True,
     oracle=f"""
 WITH grams AS (
@@ -247,7 +247,7 @@ ORDER BY g.doc_id
 """,
     tags=("training", "dedup"),
 )
-def b11_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qb11_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-substring metric: fraction of each document's
     {NGRAM_SPAN}-gram start positions whose span also appears in
     ANOTHER document — the per-doc signal behind exact-substring dedup
@@ -296,7 +296,7 @@ def b11_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "b12_unigram_logprob",
+    "qb12_unigram_logprob",
     oracle="""
 WITH words AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
@@ -314,7 +314,7 @@ ORDER BY w.doc_id
 """,
     tags=("training", "quality"),
 )
-def b12_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qb12_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram language-model scoring: mean per-word log-probability of
     each document under the corpus unigram distribution — the cheap
     KenLM-style perplexity proxy used to quality-filter pre-training
@@ -351,7 +351,7 @@ def b12_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "b13_model_quality_scores",
+    "qb13_model_quality_scores",
     oracle="""
 SELECT doc_id,
        round(CAST(list_reduce(
@@ -369,7 +369,7 @@ ORDER BY doc_id
 """,
     tags=("training", "udf", "quality"),
 )
-def b13_model_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qb13_model_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality scoring, the batched-inference shape: an
     Arrow-batched pandas UDF scores each document and a threshold gates
     it — exactly how a fastText/BERT quality classifier plugs into the
@@ -490,7 +490,7 @@ def b14_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "b15_packed_sequences",
+    "qb15_packed_sequences",
     oracle=f"""
 WITH packed AS (
   SELECT doc_id, source, text,
@@ -509,7 +509,7 @@ ORDER BY source, pack_id
 """,
     tags=("training", "text"),
 )
-def b15_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qb15_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized packed sequences: concatenate each pack's documents
     in doc_id order into one training-sequence text (emitted here as
     its md5 + stats so the oracle hash stays compact) — the writer
@@ -544,7 +544,7 @@ def b15_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "b42_train_val_test_split",
+    "qb42_train_val_test_split",
     oracle="""
 SELECT source, split,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -562,7 +562,7 @@ ORDER BY source, split
 """,
     tags=("training", "sampling"),
 )
-def b42_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qb42_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split assignment (~80/10/10) by a
     hash of the document id: md5 hex-prefix bucketing, so the split is
     reproducible across engines, runs, and cluster sizes, independent

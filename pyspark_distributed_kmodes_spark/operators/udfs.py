@@ -186,7 +186,7 @@ def qb04_udtf_first_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "b41_applyinarrow_source_stats",
+    "qb41_applyinarrow_source_stats",
     oracle="""
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -198,7 +198,7 @@ ORDER BY source
 """,
     tags=("udf", "text"),
 )
-def b41_applyinarrow_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qb41_applyinarrow_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped applyInArrow (the grouped-map sibling of b03's
     mapInArrow): per-source corpus stats computed on a whole group as
     one Arrow Table with pyarrow compute kernels — no pandas

@@ -397,7 +397,7 @@ def q68_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "b20_embedding_vs_text_dedup",
+    "qb20_embedding_vs_text_dedup",
     oracle="""
 WITH pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -418,7 +418,7 @@ ORDER BY vec_a, vec_b
 """,
     tags=("vector", "dedup", "multimodal"),
 )
-def b20_embedding_vs_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qb20_embedding_vs_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal dedup audit: embedding near-duplicate pairs (cosine
     ≥ 0.30 — this synthetic corpus's similarity ceiling is ~0.4; real
     embedding corpora use ~0.85 — via q62's blocked exact path) joined
@@ -450,7 +450,7 @@ def b20_embedding_vs_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "b28_semantic_dedup",
+    "qb28_semantic_dedup",
     oracle="""
 WITH RECURSIVE
 edges AS (
@@ -478,7 +478,7 @@ ORDER BY vec_id
 """,
     tags=("vector", "dedup", "graph"),
 )
-def b28_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qb28_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication, end to end: exact cosine
     near-dup pairs (>= 0.85) -> connected components -> one canonical
     vector (min vec_id) kept per semantic cluster, singletons kept as
@@ -519,11 +519,11 @@ def b28_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "b29_kmeans_embeddings",
+    "qb29_kmeans_embeddings",
     oracle=None,  # iterative fit: rows-only + property tests (test_vectors)
     tags=("vector", "ml"),
 )
-def b29_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qb29_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means over the embedding column (k=8, 5
     fixed iterations) -> (vec_id, cluster, sq_dist) plus per-cluster
     size. The coarse-clustering stage that bounds semantic dedup and
@@ -552,11 +552,11 @@ def b29_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "b30_semantic_dedup_scaled",
+    "qb30_semantic_dedup_scaled",
     oracle=None,  # approximate-by-design: recall property-tested vs exact b28
     tags=("vector", "dedup", "ml"),
 )
-def b30_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qb30_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB path for semantic dedup (SemDeDup proper): k-means
     coarse clusters bound the candidate space, cosine pairs are scored
     WITHIN a cluster only, then components -> keep-one — so pair
@@ -612,8 +612,8 @@ def b30_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("z15_pca_variance", oracle=None, tags=("vector", "ml"))
-def z15_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("e15_pca_variance", oracle=None, tags=("vector", "ml"))
+def e15_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA variance report: fit 8 components over the
     embedding corpus (ml/pca.py — per-batch d×d covariance partials,
     driver eigendecomposition) and report each component's eigenvalue

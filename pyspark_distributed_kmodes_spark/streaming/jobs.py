@@ -177,7 +177,7 @@ def sliding_counts_stream(events: DataFrame, watermark: str = "40 days") -> Data
 
 def attribution_join_stream(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
     """Stream-stream inner join: every click by the same user within the
-    hour before each purchase (batch twin: b35_interval_join_attribution).
+    hour before each purchase (batch twin: qb35_interval_join_attribution).
 
     Both sides are watermarked so the join state is bounded: a buffered
     click can be dropped once the purchase-side watermark passes

@@ -49,10 +49,10 @@ def test_b34_query_idempotent_within_session(spark, sf_dir):
     to collide on the saveAsTable name and leak temp dirs. Unique
     per-run suffix + drop-after-materialize makes back-to-back runs
     both succeed with identical results and no lingering catalog entry."""
-    from pyspark_distributed_kmodes_spark.operators.relational4 import b34_bucketed_colocated_join
+    from pyspark_distributed_kmodes_spark.operators.relational4 import qb34_bucketed_colocated_join
 
-    r1 = b34_bucketed_colocated_join(spark, sf_dir).collect()
-    r2 = b34_bucketed_colocated_join(spark, sf_dir).collect()
+    r1 = qb34_bucketed_colocated_join(spark, sf_dir).collect()
+    r2 = qb34_bucketed_colocated_join(spark, sf_dir).collect()
     assert r1 == r2 and len(r1) > 0
-    leftovers = [t.name for t in spark.catalog.listTables() if t.name.startswith("b34_")]
+    leftovers = [t.name for t in spark.catalog.listTables() if t.name.startswith("qb34_")]
     assert leftovers == []

@@ -15,10 +15,10 @@ def test_c09_allocation_sums_to_budget(spark):
     """Largest-remainder allocation must hand out EXACTLY the budget."""
     from pyspark_distributed_kmodes_spark.operators.curation2 import (
         _BUDGET,
-        c09_token_budget_allocation,
+        qc09_token_budget_allocation,
     )
 
-    rows = c09_token_budget_allocation(spark, SF).collect()
+    rows = qc09_token_budget_allocation(spark, SF).collect()
     assert sum(r.alloc_tokens for r in rows) == _BUDGET
     # every source gets a non-negative integer allocation
     assert all(r.alloc_tokens >= 0 for r in rows)
@@ -32,10 +32,10 @@ def test_c09_monotone_in_tokens(spark):
     """A source with more tokens never gets FEWER tokens allocated
     (temperature damping reorders magnitudes, not ranks)."""
     from pyspark_distributed_kmodes_spark.operators.curation2 import (
-        c09_token_budget_allocation,
+        qc09_token_budget_allocation,
     )
 
-    rows = c09_token_budget_allocation(spark, SF).collect()
+    rows = qc09_token_budget_allocation(spark, SF).collect()
     by_tokens = sorted(rows, key=lambda r: (r.n_tokens, r.source))
     for a, b in zip(by_tokens, by_tokens[1:]):
         if a.n_tokens < b.n_tokens:
@@ -48,11 +48,11 @@ def test_c10_cap_accounting(spark):
     """kept+dropped = per-source total; kept never exceeds the cap."""
     from pyspark_distributed_kmodes_spark.operators.curation2 import (
         _CAP,
-        c10_per_source_quality_caps,
+        qc10_per_source_quality_caps,
     )
     from pyspark_distributed_kmodes_spark.sources.tables import table
 
-    rows = c10_per_source_quality_caps(spark, SF).collect()
+    rows = qc10_per_source_quality_caps(spark, SF).collect()
     totals = {
         r.source: r.n
         for r in table(spark, SF, "documents")
@@ -69,10 +69,10 @@ def test_c10_cap_accounting(spark):
 
 def test_c12_histogram_partitions_corpus(spark):
     """Buckets are disjoint powers of two covering every document."""
-    from pyspark_distributed_kmodes_spark.operators.curation2 import c12_seqlen_histogram
+    from pyspark_distributed_kmodes_spark.operators.curation2 import qc12_seqlen_histogram
     from pyspark_distributed_kmodes_spark.sources.tables import table
 
-    rows = c12_seqlen_histogram(spark, SF).collect()
+    rows = qc12_seqlen_histogram(spark, SF).collect()
     n_docs = table(spark, SF, "documents").count()
     assert sum(r.n_docs for r in rows) == n_docs
     for r in rows:
@@ -87,10 +87,10 @@ def test_c12_histogram_partitions_corpus(spark):
 def test_c13_cohesion_bounds(spark):
     """Average cosine-to-centroid lies in [-1, 1] and covers all labels;
     a cluster's members correlate positively with their own mean."""
-    from pyspark_distributed_kmodes_spark.operators.curation2 import c13_label_cohesion
+    from pyspark_distributed_kmodes_spark.operators.curation2 import qc13_label_cohesion
     from pyspark_distributed_kmodes_spark.sources.tables import table
 
-    rows = c13_label_cohesion(spark, SF).collect()
+    rows = qc13_label_cohesion(spark, SF).collect()
     labels = {
         r.label for r in table(spark, SF, "embeddings").select("label").distinct().collect()
     }
@@ -105,10 +105,10 @@ def test_c08_overlap_domain(spark):
     """Matrix has one row per unordered source pair; the coefficient is
     a valid [0,1] fraction of the smaller side."""
     from pyspark_distributed_kmodes_spark.operators.curation2 import (
-        c08_source_overlap_matrix,
+        qc08_source_overlap_matrix,
     )
 
-    rows = c08_source_overlap_matrix(spark, SF).collect()
+    rows = qc08_source_overlap_matrix(spark, SF).collect()
     n_sources = len({r.source_a for r in rows} | {r.source_b for r in rows})
     assert len(rows) == n_sources * (n_sources - 1) // 2
     for r in rows:
@@ -120,9 +120,9 @@ def test_c08_overlap_domain(spark):
 def test_c11_exclusive_bounded_by_total(spark):
     """Per-source exclusive shingles are a subset of its shingles, and a
     synthetic two-source corpus gets exact novelty counts."""
-    from pyspark_distributed_kmodes_spark.operators.curation2 import c11_shingle_novelty
+    from pyspark_distributed_kmodes_spark.operators.curation2 import qc11_shingle_novelty
 
-    rows = c11_shingle_novelty(spark, SF).collect()
+    rows = qc11_shingle_novelty(spark, SF).collect()
     for r in rows:
         assert 0 <= r.n_exclusive <= r.n_shingles
 
@@ -130,10 +130,10 @@ def test_c11_exclusive_bounded_by_total(spark):
 def test_c14_zipf_slope_negative_on_zipfian(spark):
     """Slope of a genuinely Zipf-distributed synthetic source is near −1;
     per-source output covers every source in the corpus."""
-    from pyspark_distributed_kmodes_spark.operators.curation2 import c14_zipf_slope
+    from pyspark_distributed_kmodes_spark.operators.curation2 import qc14_zipf_slope
     from pyspark_distributed_kmodes_spark.sources.tables import table
 
-    rows = c14_zipf_slope(spark, SF).collect()
+    rows = qc14_zipf_slope(spark, SF).collect()
     sources = {
         r.source for r in table(spark, SF, "documents").select("source").distinct().collect()
     }

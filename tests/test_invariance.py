@@ -14,14 +14,14 @@ QUERIES = [
     "q63_minhash_neardup",  # multi-stage shuffle pipeline
     "q97_dup_clusters",  # collapse/expand + iterative CC
     "qb06_sequence_packing",  # per-shard cumsum windows
-    "b12_unigram_logprob",  # decimal-sum of per-word logprobs
-    "c09_token_budget_allocation",  # integer largest-remainder bookkeeping
-    "c13_label_cohesion",  # decimal zip_with folds over broadcast centroids
-    "z01_weighted_reservoir_sample",  # hash-keyed sampling, WindowGroupLimit
-    "z14_quality_constraints",  # single-scan fused violation counts
-    "z17_spend_deciles",  # percentile-boundary binning
-    "z21_sax_similar_users",  # binary-exact z-norm/SAX chain
-    "z26_quality_signal_fusion",  # decile fusion over three signals
+    "qb12_unigram_logprob",  # decimal-sum of per-word logprobs
+    "qc09_token_budget_allocation",  # integer largest-remainder bookkeeping
+    "qc13_label_cohesion",  # decimal zip_with folds over broadcast centroids
+    "e01_weighted_reservoir_sample",  # hash-keyed sampling, WindowGroupLimit
+    "e14_quality_constraints",  # single-scan fused violation counts
+    "e17_spend_deciles",  # percentile-boundary binning
+    "e21_sax_similar_users",  # binary-exact z-norm/SAX chain
+    "e26_quality_signal_fusion",  # decile fusion over three signals
 ]
 
 

@@ -90,9 +90,9 @@ def test_qb07_incremental_dedup_no_cartesian(spark, sf_dir):
 
 def test_b11_shared_spans_broadcast_back(spark, sf_dir):
     """The tiny shared-span table must broadcast into the back-join."""
-    from pyspark_distributed_kmodes_spark.operators.training import b11_duplicate_spans
+    from pyspark_distributed_kmodes_spark.operators.training import qb11_duplicate_spans
 
-    assert has_broadcast_join(b11_duplicate_spans(spark, sf_dir))
+    assert has_broadcast_join(qb11_duplicate_spans(spark, sf_dir))
 
 
 def test_b05_chunking_no_shuffle_before_sort(spark, sf_dir):

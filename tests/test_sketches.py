@@ -27,14 +27,14 @@ def test_theta_overlap_matches_exact_jaccard(spark, sf_dir):
 
     from pyspark_distributed_kmodes_spark.operators.sketches import (
         _source_tokens,
-        b36_theta_source_overlap,
+        qb36_theta_source_overlap,
     )
 
     toks = _source_tokens(spark, sf_dir).distinct().collect()
     by_source = {}
     for r in toks:
         by_source.setdefault(r.source, set()).add(r.token)
-    for r in b36_theta_source_overlap(spark, sf_dir).collect():
+    for r in qb36_theta_source_overlap(spark, sf_dir).collect():
         exact_i = len(by_source[r.source_a] & by_source[r.source_b])
         exact_u = len(by_source[r.source_a] | by_source[r.source_b])
         assert abs(r.est_common_tokens - exact_i) / max(exact_i, 1) < 0.05
@@ -44,7 +44,7 @@ def test_theta_overlap_matches_exact_jaccard(spark, sf_dir):
 def test_kll_quantiles_within_rank_tolerance(spark, sf_dir):
     """KLL quantile estimates must be within 2% RANK error of exact
     (the sketch's guarantee is on rank, not value)."""
-    from pyspark_distributed_kmodes_spark.operators.sketches import b37_kll_price_quantiles
+    from pyspark_distributed_kmodes_spark.operators.sketches import qb37_kll_price_quantiles
     from pyspark_distributed_kmodes_spark.sources.tables import table
 
     prices = {}
@@ -54,7 +54,7 @@ def test_kll_quantiles_within_rank_tolerance(spark, sf_dir):
         v.sort()
     import bisect
 
-    for r in b37_kll_price_quantiles(spark, sf_dir).collect():
+    for r in qb37_kll_price_quantiles(spark, sf_dir).collect():
         vals = prices[r.l_returnflag]
         for p, est in [(0.25, r.kll_p25), (0.5, r.kll_p50), (0.75, r.kll_p75), (0.95, r.kll_p95)]:
             rank = bisect.bisect_left(vals, est) / len(vals)
@@ -66,7 +66,7 @@ def test_hll_rollup_matches_exact_weekly_distinct(spark, sf_dir):
     must match exact weekly count-distinct within 5%."""
     from pyspark.sql import functions as F
 
-    from pyspark_distributed_kmodes_spark.operators.sketches import b38_hll_distinct_rollup
+    from pyspark_distributed_kmodes_spark.operators.sketches import qb38_hll_distinct_rollup
     from pyspark_distributed_kmodes_spark.sources.tables import table
 
     e = table(spark, sf_dir, "events")
@@ -76,7 +76,7 @@ def test_hll_rollup_matches_exact_weekly_distinct(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    rows = b38_hll_distinct_rollup(spark, sf_dir).collect()
+    rows = qb38_hll_distinct_rollup(spark, sf_dir).collect()
     assert len(rows) == len(exact) > 0
     for r in rows:
         assert abs(r.est_users - exact[r.week]) / exact[r.week] < 0.05
@@ -86,9 +86,9 @@ def test_hll_rollup_matches_exact_weekly_distinct(spark, sf_dir):
 def test_cms_overestimate_bound(spark, sf_dir):
     """CMS estimates must satisfy exact <= est <= exact + eps*N
     (eps=0.001, conf=0.99) for every heavy-hitter candidate."""
-    from pyspark_distributed_kmodes_spark.operators.sketches import b40_cms_heavy_hitters
+    from pyspark_distributed_kmodes_spark.operators.sketches import qb40_cms_heavy_hitters
 
-    rows = b40_cms_heavy_hitters(spark, sf_dir).collect()
+    rows = qb40_cms_heavy_hitters(spark, sf_dir).collect()
     assert len(rows) == 20
     for r in rows:
         assert r.exact_n <= r.cms_n <= r.exact_n + 0.001 * r.n_total + 1, r

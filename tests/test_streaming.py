@@ -225,7 +225,7 @@ def test_checkpoint_restart_processes_only_new_files(spark, sf_dir, tmp_path):
 def test_stream_stream_join_matches_batch(spark, sf_dir):
     """Stream-stream interval join (watermarked both sides) must emit
     exactly the pairs the batch interval join produces."""
-    from pyspark_distributed_kmodes_spark.operators.events import b35_interval_join_attribution
+    from pyspark_distributed_kmodes_spark.operators.events import qb35_interval_join_attribution
     from pyspark_distributed_kmodes_spark.streaming.jobs import attribution_join_stream
 
     joined = attribution_join_stream(events_stream(spark, sf_dir), events_stream(spark, sf_dir))
@@ -236,7 +236,7 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     }
     want = {
         (r.purchase_id, r.click_id, r.user_id, r.purchase_ts, r.lag_us)
-        for r in b35_interval_join_attribution(spark, sf_dir).collect()
+        for r in qb35_interval_join_attribution(spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
 
@@ -352,7 +352,7 @@ def test_stateful_funnel_stream_matches_batch(spark, sf_dir):
 
     from pyspark.sql import functions as F
 
-    from pyspark_distributed_kmodes_spark.operators.events import z09_event_funnel
+    from pyspark_distributed_kmodes_spark.operators.events import e09_event_funnel
     from pyspark_distributed_kmodes_spark.sources.tables import table
     from pyspark_distributed_kmodes_spark.streaming.jobs import funnel_stream
 
@@ -388,6 +388,6 @@ def test_stateful_funnel_stream_matches_batch(spark, sf_dir):
     stream_counts = {
         k: sum(1 for r in final if r.stage >= k) for k in (1, 2, 3)
     }
-    batch = {r.stage: r.n_users for r in z09_event_funnel(spark, sf_dir).collect()}
+    batch = {r.stage: r.n_users for r in e09_event_funnel(spark, sf_dir).collect()}
     assert stream_counts == {1: batch[1], 2: batch[2], 3: batch[3]}
     shutil.rmtree(src, ignore_errors=True)

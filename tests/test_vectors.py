@@ -117,12 +117,12 @@ def test_semantic_dedup_scaled_recall(spark, sf_dir):
     it keeps is a true near-dup subset, and it recovers a high share of
     the exact path's non-singleton memberships."""
     from pyspark_distributed_kmodes_spark.operators.vectors import (
-        b28_semantic_dedup,
-        b30_semantic_dedup_scaled,
+        qb28_semantic_dedup,
+        qb30_semantic_dedup_scaled,
     )
 
-    exact = {r.vec_id: (r.component, r.component_size) for r in b28_semantic_dedup(spark, sf_dir).collect()}
-    scaled = {r.vec_id: (r.component, r.component_size) for r in b30_semantic_dedup_scaled(spark, sf_dir).collect()}
+    exact = {r.vec_id: (r.component, r.component_size) for r in qb28_semantic_dedup(spark, sf_dir).collect()}
+    scaled = {r.vec_id: (r.component, r.component_size) for r in qb30_semantic_dedup_scaled(spark, sf_dir).collect()}
     assert set(exact) == set(scaled)  # every vector labeled in both
     # soundness: scaled components only merge vectors the exact path also merges
     # (within-cluster pairs are a subset of all pairs)

@@ -42,14 +42,14 @@ PROBE_QUERIES = [
     "q63_minhash_neardup",
     "q97_dup_clusters",
     "qb05_context_chunks",
-    "b11_duplicate_spans",
-    "b12_unigram_logprob",
-    "c03_dup_clusters_distributed",
-    "c06_logprob_quality_tiers",
-    "c11_shingle_novelty",
-    "c13_label_cohesion",
-    "z01_weighted_reservoir_sample",
-    "z03_oov_rate",
+    "qb11_duplicate_spans",
+    "qb12_unigram_logprob",
+    "qc03_dup_clusters_distributed",
+    "qc06_logprob_quality_tiers",
+    "qc11_shingle_novelty",
+    "qc13_label_cohesion",
+    "e01_weighted_reservoir_sample",
+    "e03_oov_rate",
 ]
 
 
