@@ -658,3 +658,575 @@ def d08_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("attribution", "event_type")
     )
+
+
+@query(
+    "d09_gini_concentration",
+    oracle=f"""
+WITH x AS (
+  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+  FROM documents
+), ranked AS (
+  SELECT source, n_words,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY n_words ASC, doc_id ASC) AS BIGINT) AS i
+  FROM x
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS total_tokens,
+       {sql_pround('(2.0 * SUM(i * n_words) - (COUNT(*) + 1) * SUM(n_words)) / (COUNT(*) * SUM(n_words))', 6)} AS gini
+FROM ranked
+GROUP BY source
+ORDER BY source
+""",
+    tags=("curation", "inequality"),
+)
+def d09_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini coefficient of token mass across documents —
+    the inequality audit a mixture planner reads before sampling:
+    gini ~ 0 means tokens spread evenly over docs, gini -> 1 means a
+    few giant documents carry the source (so doc-level sampling and
+    token-level sampling diverge badly there).
+
+    Scale: rank docs within source (source-partitioned window), then
+    one grouped aggregation using the rank identity
+    G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) — no pairwise
+    |x_i - x_j| expansion. Determinism: all-integer sums (rank x
+    integer token counts), one final division, pround(6); (n_words,
+    doc_id) is a unique rank order.
+    """
+    d = table(spark, sf_dir, "documents")
+    x = d.select(
+        "source", "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_words")
+    )
+    w = Window.partitionBy("source").orderBy(F.asc("n_words"), F.asc("doc_id"))
+    ranked = x.withColumn("i", F.row_number().over(w).cast("bigint"))
+    n = F.count(F.lit(1))
+    sx = F.sum("n_words")
+    six = F.sum(F.col("i") * F.col("n_words"))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            n.cast("bigint").alias("n_docs"),
+            sx.cast("bigint").alias("total_tokens"),
+            pround((2.0 * six - (n + 1) * sx) / (n * sx), 6).alias("gini"),
+        )
+        .orderBy("source")
+    )
+
+
+_KS_SRC_A = "src0"
+_KS_SRC_B = "src1"
+
+
+@query(
+    "d10_ks_two_sample",
+    oracle=f"""
+WITH counts AS (
+  SELECT n_chars AS v,
+         SUM(CASE WHEN source = '{_KS_SRC_A}' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN source = '{_KS_SRC_B}' THEN 1 ELSE 0 END) AS cb
+  FROM documents WHERE source IN ('{_KS_SRC_A}', '{_KS_SRC_B}')
+  GROUP BY n_chars
+), cum AS (
+  SELECT v,
+         SUM(ca) OVER (ORDER BY v ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+         SUM(cb) OVER (ORDER BY v ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+  FROM counts
+), tot AS (
+  SELECT MAX(cuma) AS na, MAX(cumb) AS nb FROM cum
+), diffs AS (
+  SELECT c.v, abs(c.cuma * t.nb - c.cumb * t.na) AS d_int, t.na, t.nb
+  FROM cum c CROSS JOIN tot t
+), top AS (
+  SELECT MAX(d_int) AS dmax FROM diffs
+)
+SELECT CAST(d.na AS BIGINT) AS n_a, CAST(d.nb AS BIGINT) AS n_b,
+       {sql_pround('CAST(t.dmax AS DOUBLE) / (d.na * d.nb)', 6)} AS ks_stat,
+       CAST(MIN(CASE WHEN d.d_int = t.dmax THEN d.v END) AS BIGINT) AS ks_at_value
+FROM diffs d CROSS JOIN top t
+GROUP BY d.na, d.nb, t.dmax
+""",
+    tags=("analytics", "statistics"),
+)
+def d10_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the document-
+    length distributions of two sources — the distribution-drift gate
+    a curation pipeline runs when a source's new crawl should "look
+    like" its last one (KS is the max ECDF gap, attained at a data
+    point, so the grid of distinct values suffices).
+
+    Scale: lengths collapse to per-distinct-value counts FIRST (one
+    shuffle, map-side combined), so the running-sum window iterates
+    the value DOMAIN (hundreds of distinct lengths), not the corpus —
+    that window is the only serialized step and is domain-bounded.
+    Determinism: the ECDF gap is compared as the exact INTEGER
+    |cuma*nb - cumb*na| (no float ECDFs), divided once at the end,
+    pround(6); ties in the argmax resolve to the smallest value.
+    """
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.filter(F.col("source").isin(_KS_SRC_A, _KS_SRC_B))
+        .groupBy(F.col("n_chars").alias("v"))
+        .agg(
+            F.sum(F.when(F.col("source") == _KS_SRC_A, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("source") == _KS_SRC_B, 1).otherwise(0)).alias("cb"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "v", F.sum("ca").over(w).alias("cuma"), F.sum("cb").over(w).alias("cumb")
+    )
+    tot = cum.agg(F.max("cuma").alias("na"), F.max("cumb").alias("nb"))
+    diffs = cum.crossJoin(F.broadcast(tot)).select(
+        "v",
+        F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na")).alias("d_int"),
+        "na",
+        "nb",
+    )
+    top = diffs.agg(F.max("d_int").alias("dmax"))
+    return (
+        diffs.crossJoin(F.broadcast(top))
+        .groupBy("na", "nb", "dmax")
+        .agg(
+            F.min(F.when(F.col("d_int") == F.col("dmax"), F.col("v"))).cast("bigint").alias("ks_at_value")
+        )
+        .select(
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            pround(F.col("dmax").cast("double") / (F.col("na") * F.col("nb")), 6).alias("ks_stat"),
+            "ks_at_value",
+        )
+    )
+
+
+@query(
+    "d11_weighted_median",
+    oracle="""
+WITH vw AS (
+  SELECT source, n_chars AS v, SUM(len(string_split(text, ' '))) AS w
+  FROM documents GROUP BY source, n_chars
+), cum AS (
+  SELECT source, v, w,
+         SUM(w) OVER (PARTITION BY source ORDER BY v ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(w) OVER (PARTITION BY source) AS total
+  FROM vw
+)
+SELECT source,
+       CAST(total AS BIGINT) AS total_weight,
+       CAST(MIN(CASE WHEN 2 * cw >= total THEN v END) AS BIGINT) AS weighted_median
+FROM cum
+GROUP BY source, total
+ORDER BY source
+""",
+    tags=("analytics", "statistics"),
+)
+def d11_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted median document length per source: the smallest
+    length v whose cumulative token weight reaches half the source's
+    total — "the length of the document holding the middle TOKEN",
+    which is what sequence-packing efficiency actually depends on
+    (the unweighted median ignores that long docs carry most tokens).
+
+    Scale: collapse to per-(source, distinct length) weights first
+    (one map-side-combined shuffle), so the cumulative window walks
+    the per-source value domain, not the corpus; the lower-median
+    pick is a conditional MIN in the same grouped pass. All-integer
+    arithmetic (2*cw >= total avoids division entirely).
+    """
+    d = table(spark, sf_dir, "documents")
+    vw = d.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.sum(F.size(F.split("text", " "))).alias("w")
+    )
+    w_cum = Window.partitionBy("source").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy("source")
+    cum = vw.select(
+        "source",
+        "v",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_all).alias("total"),
+    )
+    return (
+        cum.groupBy("source", "total")
+        .agg(
+            F.min(F.when(2 * F.col("cw") >= F.col("total"), F.col("v")))
+            .cast("bigint")
+            .alias("weighted_median")
+        )
+        .select(
+            "source", F.col("total").cast("bigint").alias("total_weight"), "weighted_median"
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "d12_gapfill_interpolate",
+    oracle=f"""
+WITH hourly AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+         CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+), bounds AS (
+  SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly
+), grid AS (
+  SELECT unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS h FROM bounds b
+), joined AS (
+  SELECT g.h, hr.revenue,
+         epoch_us(g.h) // 3600000000 AS idx
+  FROM grid g LEFT JOIN hourly hr ON hr.h = g.h
+), ctx AS (
+  SELECT h, revenue, idx,
+         last_value(CASE WHEN revenue IS NOT NULL THEN idx END IGNORE NULLS)
+           OVER (ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_idx,
+         last_value(revenue IGNORE NULLS)
+           OVER (ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_rev,
+         first_value(CASE WHEN revenue IS NOT NULL THEN idx END IGNORE NULLS)
+           OVER (ORDER BY idx ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_idx,
+         first_value(revenue IGNORE NULLS)
+           OVER (ORDER BY idx ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_rev
+  FROM joined
+)
+SELECT h AS hour_start,
+       CAST(revenue IS NULL AS INTEGER) AS was_missing,
+       {sql_pround('''CASE
+         WHEN revenue IS NOT NULL THEN revenue
+         WHEN prev_rev IS NULL THEN next_rev
+         WHEN next_rev IS NULL THEN prev_rev
+         WHEN next_idx = prev_idx THEN prev_rev
+         ELSE prev_rev + (next_rev - prev_rev) * (CAST(idx - prev_idx AS DOUBLE) / (next_idx - prev_idx))
+       END''', 4)} AS revenue_filled
+FROM ctx
+ORDER BY hour_start
+""",
+    tags=("events", "timeseries"),
+)
+def d12_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with linear interpolation: hourly
+    purchase revenue joined onto the dense hour grid between the first
+    and last observation; missing hours interpolate linearly between
+    the nearest observed neighbors (nearest-value at the edges) — the
+    densification step before any rolling-window model sees the
+    series, extending q47's series JOIN with actual value repair.
+
+    Scale: the raw stream collapses to per-hour aggregates first (one
+    map-side-combined shuffle); every window after that walks the
+    HOUR GRID (time-range-bounded, thousands of rows), never events.
+    Determinism: hour aggregates DECIMAL-sum; interpolation is one
+    fixed IEEE expression on exact inputs with integer hour indices;
+    pround(4).
+    """
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(dsum("value").alias("revenue"))
+    )
+    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    joined = grid.join(hourly, "h", "left").select(
+        "h", "revenue", (F.unix_micros("h") / 3_600_000_000).cast("bigint").alias("idx")
+    )
+    w_back = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
+    w_fwd = Window.orderBy("idx").rowsBetween(0, Window.unboundedFollowing)
+    obs_idx = F.when(F.col("revenue").isNotNull(), F.col("idx"))
+    ctx = joined.select(
+        "h",
+        "revenue",
+        "idx",
+        F.last(obs_idx, ignorenulls=True).over(w_back).alias("prev_idx"),
+        F.last("revenue", ignorenulls=True).over(w_back).alias("prev_rev"),
+        F.first(obs_idx, ignorenulls=True).over(w_fwd).alias("next_idx"),
+        F.first("revenue", ignorenulls=True).over(w_fwd).alias("next_rev"),
+    )
+    filled = (
+        F.when(F.col("revenue").isNotNull(), F.col("revenue"))
+        .when(F.col("prev_rev").isNull(), F.col("next_rev"))
+        .when(F.col("next_rev").isNull(), F.col("prev_rev"))
+        .when(F.col("next_idx") == F.col("prev_idx"), F.col("prev_rev"))
+        .otherwise(
+            F.col("prev_rev")
+            + (F.col("next_rev") - F.col("prev_rev"))
+            * ((F.col("idx") - F.col("prev_idx")).cast("double") / (F.col("next_idx") - F.col("prev_idx")))
+        )
+    )
+    return ctx.select(
+        F.col("h").alias("hour_start"),
+        F.col("revenue").isNull().cast("int").alias("was_missing"),
+        pround(filled, 4).alias("revenue_filled"),
+    ).orderBy("hour_start")
+
+
+@query(
+    "d13_spearman_rank",
+    oracle=f"""
+WITH pts AS (
+  SELECT source, doc_id,
+         CAST(n_chars AS BIGINT) AS x,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS y
+  FROM documents
+), rx AS (
+  SELECT source, doc_id, x, y,
+         2 * rank() OVER (PARTITION BY source ORDER BY x ASC)
+           + count(*) OVER (PARTITION BY source, x) - 1 AS rx2,
+         2 * rank() OVER (PARTITION BY source ORDER BY y ASC)
+           + count(*) OVER (PARTITION BY source, y) - 1 AS ry2
+  FROM pts
+), sums AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(rx2) AS sx, SUM(ry2) AS sy,
+         SUM(rx2 * rx2) AS sxx, SUM(ry2 * ry2) AS syy, SUM(rx2 * ry2) AS sxy
+  FROM rx GROUP BY source
+)
+SELECT source, n,
+       {sql_pround('''(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))''', 6)} AS spearman_rho
+FROM sums
+ORDER BY source
+""",
+    tags=("analytics", "statistics"),
+)
+def d13_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per source between document length
+    and vocabulary size — the robust (monotone, outlier-immune)
+    association check behind "does longer mean richer in this
+    source?", where Pearson on raw values would be dragged by the
+    length tail.
+
+    Determinism is the whole design: built-in corr() accumulates
+    float sums in partition order (non-reproducible), so this
+    computes Pearson-on-average-ranks from INTEGER sums — average
+    tie rank enters doubled (2r+c-1, an exact integer via rank() +
+    per-value counts), all five moment sums are exact, and the rho
+    formula is one fixed IEEE expression, pround(6). Scale: two
+    source-partitioned rank windows + one grouped aggregation.
+    """
+    d = table(spark, sf_dir, "documents")
+    pts = d.select(
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("x"),
+        F.size(F.array_distinct(F.split("text", " "))).cast("bigint").alias("y"),
+    )
+    wx = Window.partitionBy("source").orderBy(F.asc("x"))
+    wy = Window.partitionBy("source").orderBy(F.asc("y"))
+    cx = Window.partitionBy("source", "x")
+    cy = Window.partitionBy("source", "y")
+    rx = pts.select(
+        "source",
+        (2 * F.rank().over(wx) + F.count(F.lit(1)).over(cx) - 1).cast("bigint").alias("rx2"),
+        (2 * F.rank().over(wy) + F.count(F.lit(1)).over(cy) - 1).cast("bigint").alias("ry2"),
+    )
+    n = F.count(F.lit(1)).cast("bigint")
+    sums = rx.groupBy("source").agg(
+        n.alias("n"),
+        F.sum("rx2").alias("sx"),
+        F.sum("ry2").alias("sy"),
+        F.sum(F.col("rx2") * F.col("rx2")).alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).alias("syy"),
+        F.sum(F.col("rx2") * F.col("ry2")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    rho = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / F.sqrt(
+        (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return sums.select("source", "n", pround(rho, 6).alias("spearman_rho")).orderBy("source")
+
+
+_ANOM_WIN = 7  # trailing days in the baseline frame
+_ANOM_Z = 2.0
+
+
+@query(
+    "d14_rolling_anomaly",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+         SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+), framed AS (
+  SELECT day, cents,
+         COUNT(*) OVER w AS n_prev,
+         SUM(cents) OVER w AS s1,
+         SUM(CAST(cents AS DECIMAL(38,0)) * cents) OVER w AS s2
+  FROM daily
+  WINDOW w AS (ORDER BY day ASC ROWS BETWEEN {_ANOM_WIN} PRECEDING AND 1 PRECEDING)
+), scored AS (
+  SELECT day, cents, n_prev,
+         (CAST(s1 AS DOUBLE) / n_prev) AS mu,
+         (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_prev) / (n_prev - 1) AS var
+  FROM framed WHERE n_prev = {_ANOM_WIN}
+)
+SELECT day, CAST(cents AS BIGINT) AS revenue_cents,
+       {sql_pround('(cents - mu) / sqrt(var)', 6)} AS zscore,
+       CAST(abs(cents - mu) > {_ANOM_Z} * sqrt(var) AS INTEGER) AS is_anomaly
+FROM scored
+ORDER BY day
+""",
+    tags=("analytics", "anomaly"),
+)
+def d14_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on daily order revenue: each
+    day scores against the mean/stddev of the trailing {_ANOM_WIN}
+    FULLY-OBSERVED days (current day excluded, so an anomaly never
+    suppresses its own detection) and flags |z| > {_ANOM_Z} — the
+    data-quality tripwire a daily ingest pipeline runs before
+    publishing a partition.
+
+    Scale: revenue pre-aggregates per day (map-side combined), so the
+    rolling window walks the DAY grid (time-range-bounded), never
+    orders. Determinism: revenue is exact integer cents; frame sums
+    are exact (sum-of-squares in DECIMAL(38,0) — cents^2 x 7 days
+    would overflow BIGINT well below 100 TB); mean/variance/sqrt are
+    one fixed IEEE expression on exact inputs, pround(6).
+    """
+    o = table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.sum(cents).alias("cents")
+    )
+    w = Window.orderBy("day").rowsBetween(-_ANOM_WIN, -1)
+    framed = daily.select(
+        "day",
+        "cents",
+        F.count(F.lit(1)).over(w).alias("n_prev"),
+        F.sum("cents").over(w).alias("s1"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).over(w).alias("s2"),
+    ).filter(F.col("n_prev") == _ANOM_WIN)
+    mu = F.col("s1").cast("double") / F.col("n_prev")
+    var = (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n_prev")) / (
+        F.col("n_prev") - 1
+    )
+    scored = framed.select(
+        "day",
+        F.col("cents").cast("bigint").alias("revenue_cents"),
+        pround((F.col("cents") - mu) / F.sqrt(var), 6).alias("zscore"),
+        (F.abs(F.col("cents") - mu) > _ANOM_Z * F.sqrt(var)).cast("int").alias("is_anomaly"),
+    )
+    return scored.orderBy("day")
+
+
+_WILSON_Z = 1.96
+
+
+@query(
+    "d15_duprate_wilson",
+    oracle=f"""
+WITH hashes AS (
+  SELECT source, md5(text) AS h FROM documents
+), global_counts AS (
+  SELECT h, COUNT(*) AS c FROM hashes GROUP BY h
+), flagged AS (
+  SELECT hs.source, CAST(gc.c > 1 AS INTEGER) AS is_dup
+  FROM hashes hs JOIN global_counts gc ON gc.h = hs.h
+), agg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(is_dup) AS BIGINT) AS n_dup
+  FROM flagged GROUP BY source
+)
+SELECT source, n_docs, n_dup,
+       {sql_pround('CAST(n_dup AS DOUBLE) / n_docs', 6)} AS dup_rate,
+       {sql_pround(f'''((CAST(n_dup AS DOUBLE) / n_docs + {_WILSON_Z}*{_WILSON_Z} / (2.0 * n_docs))
+          - {_WILSON_Z} * sqrt((CAST(n_dup AS DOUBLE) / n_docs) * (1.0 - CAST(n_dup AS DOUBLE) / n_docs) / n_docs
+                   + {_WILSON_Z}*{_WILSON_Z} / (4.0 * n_docs * n_docs)))
+         / (1.0 + {_WILSON_Z}*{_WILSON_Z} / n_docs)''', 6)} AS wilson_lo,
+       {sql_pround(f'''((CAST(n_dup AS DOUBLE) / n_docs + {_WILSON_Z}*{_WILSON_Z} / (2.0 * n_docs))
+          + {_WILSON_Z} * sqrt((CAST(n_dup AS DOUBLE) / n_docs) * (1.0 - CAST(n_dup AS DOUBLE) / n_docs) / n_docs
+                   + {_WILSON_Z}*{_WILSON_Z} / (4.0 * n_docs * n_docs)))
+         / (1.0 + {_WILSON_Z}*{_WILSON_Z} / n_docs)''', 6)} AS wilson_hi
+FROM agg
+ORDER BY source
+""",
+    tags=("dedup", "statistics"),
+)
+def d15_duprate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication rate with a Wilson 95% confidence
+    interval: the fraction of a source's docs whose exact content hash
+    appears more than once ANYWHERE in the corpus, plus the interval
+    that says whether "source A is dirtier than source B" is signal or
+    small-sample noise — the statistically honest version of qb32's
+    point estimates, and the right scale for deciding which source
+    earns a full near-dup pass.
+
+    Scale: hash -> global count (one shuffle, map-side combined) ->
+    join back on hash (co-partitioned) -> per-source aggregate.
+    Determinism: counts are exact integers; the Wilson score is one
+    fixed IEEE expression per row, pround(6).
+    """
+    d = table(spark, sf_dir, "documents")
+    hashes = d.select("source", F.md5("text").alias("h"))
+    gc = hashes.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    agg = (
+        hashes.join(gc, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("c") > 1).cast("int")).cast("bigint").alias("n_dup"),
+        )
+    )
+    nd = F.col("n_docs").cast("double")
+    p = F.col("n_dup").cast("double") / nd
+    z2 = _WILSON_Z * _WILSON_Z
+    center = p + z2 / (2.0 * nd)
+    half = _WILSON_Z * F.sqrt(p * (1.0 - p) / nd + z2 / (4.0 * nd * nd))
+    denom = 1.0 + z2 / nd
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_dup",
+        pround(p, 6).alias("dup_rate"),
+        pround((center - half) / denom, 6).alias("wilson_lo"),
+        pround((center + half) / denom, 6).alias("wilson_hi"),
+    ).orderBy("source")
+
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+
+
+@query(
+    "d16_column_profile",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+FROM orders"""
+        for c in _PROFILE_COLS
+    )
+    + "\nORDER BY col_name",
+    tags=("profiling", "quality"),
+)
+def d16_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling: per-column row/null/exact-distinct counts over
+    the orders table — the schema-discovery pass (DESCRIBE-with-stats)
+    every ingestion pipeline runs on an unfamiliar drop before writing
+    constraints (e14's input comes from exactly this kind of scan).
+
+    Scale: ONE scan computes all per-column aggregates (count +
+    count-distinct per column in a single Aggregate; Spark plans
+    multi-distinct via a single expand, not N scans), then a stack()
+    unpivots the 1-row result — versus the oracle's N-scan UNION ALL.
+    Exact integers only.
+    """
+    o = table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).cast("bigint").alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"{c}__null"),
+            F.countDistinct(c).cast("bigint").alias(f"{c}__distinct"),
+        ]
+    one = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__null, {c}__distinct" for c in _PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (col_name, n_rows, n_null, n_distinct)"
+        )
+    ).orderBy("col_name")
