@@ -154,6 +154,7 @@ GROUP BY source
 ORDER BY source
 """,
     tags=("source", "jsonl", "datasource", "sink"),
+    bench=True,
 )
 def e06_jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both halves of the custom Python Data Source contract in one

@@ -289,6 +289,7 @@ GROUP BY o.o_orderpriority
 ORDER BY o.o_orderpriority
 """,
     tags=("join", "bucketing"),
+    bench=True,
 )
 def qb34_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-time co-location: lineitem and orders are persisted as
