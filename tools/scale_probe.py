@@ -50,6 +50,11 @@ PROBE_QUERIES = [
     "qc13_label_cohesion",
     "e01_weighted_reservoir_sample",
     "e03_oov_rate",
+    "d01_neardup_pagerank",
+    "d03_watermark_batch_twin",
+    "d05_interval_coalesce",
+    "d06_pareto_frontier",
+    "d15_duprate_wilson",
 ]
 
 
