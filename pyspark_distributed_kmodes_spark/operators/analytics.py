@@ -266,6 +266,34 @@ _LINK_MAXDIST = 14
 _LINK_BAND = 8  # n_chars length band width
 
 
+def linkage_pairs(d: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, edit_dist) candidate links: (lang, length-band)
+    blocking + levenshtein gate on the {_LINK_HEAD}-char head. Shared
+    by d04 (the pair report) and f03 (entity-resolution clusters)."""
+    b = d.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / _LINK_BAND).cast("bigint").alias("band"),
+        F.substring("text", 1, _LINK_HEAD).alias("head"),
+    )
+    a, c = b.alias("a"), b.alias("c")
+    dist = F.levenshtein(F.col("a.head"), F.col("c.head"))
+    return (
+        a.join(
+            c,
+            (F.col("a.lang") == F.col("c.lang"))
+            & (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .filter(dist <= _LINK_MAXDIST)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("c.doc_id").alias("doc_b"),
+            dist.cast("bigint").alias("edit_dist"),
+        )
+    )
+
+
 @query(
     "d04_record_linkage",
     oracle=f"""
@@ -295,30 +323,7 @@ def d04_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates. The same-key self-join co-partitions both sides in
     one shuffle. Determinism: integer distance, unique (a,b) order.
     """
-    d = table(spark, sf_dir, "documents")
-    b = d.select(
-        "doc_id",
-        "lang",
-        (F.col("n_chars") / _LINK_BAND).cast("bigint").alias("band"),
-        F.substring("text", 1, _LINK_HEAD).alias("head"),
-    )
-    a, c = b.alias("a"), b.alias("c")
-    dist = F.levenshtein(F.col("a.head"), F.col("c.head"))
-    return (
-        a.join(
-            c,
-            (F.col("a.lang") == F.col("c.lang"))
-            & (F.col("a.band") == F.col("c.band"))
-            & (F.col("a.doc_id") < F.col("c.doc_id")),
-        )
-        .filter(dist <= _LINK_MAXDIST)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("c.doc_id").alias("doc_b"),
-            dist.cast("bigint").alias("edit_dist"),
-        )
-        .orderBy("doc_a", "doc_b")
-    )
+    return linkage_pairs(table(spark, sf_dir, "documents")).orderBy("doc_a", "doc_b")
 
 
 _SESS_PAD_US = 300_000_000  # each event covers [ts, ts + 5 min)
