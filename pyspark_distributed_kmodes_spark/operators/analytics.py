@@ -222,12 +222,18 @@ def d03_watermark_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of Structured Streaming's watermark DROP semantics:
     treating event_id as arrival order, an event is admitted iff its
     event time >= (max event time over all STRICTLY EARLIER arrivals)
-    - 10 min — exactly the per-record bound a withWatermark('ts',
-    '10 minutes') stream enforces between triggers — then the
-    surviving events roll into hourly per-type counts. Together with
-    e29 (which measures disorder) this makes watermark tuning fully
-    auditable offline: e29 picks the delay, d03 shows precisely which
-    rows that delay would discard.
+    - 10 min — the PER-RECORD admission bound a withWatermark('ts',
+    '10 minutes') stream enforces in row-keyed stateful operators
+    (dropDuplicatesWithinWatermark, stream-stream join state) — then
+    the surviving events roll into hourly per-type counts. Windowed
+    AGGREGATIONS coarsen the same bound to window granularity (drop
+    iff window END <= watermark) — tests/test_watermark_twin.py
+    validates that rule against REAL per-micro-batch streaming
+    execution, including the trap that a date_trunc grouping gets NO
+    late filtering at all. Together with e29 (which measures
+    disorder) this makes watermark tuning fully auditable offline:
+    e29 picks the delay, d03 shows precisely which rows that delay
+    would discard.
 
     Scale: the global running max is a distributed two-level prefix
     scan, NOT a single-partition window — per-block running maxima
