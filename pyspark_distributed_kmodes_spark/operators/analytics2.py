@@ -845,3 +845,252 @@ def f12_timeout_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("purchase_rate"),
         )
     )
+
+
+_SEG_WORDS = 8  # fixed segment width, the "line" unit of line-level dedup
+
+
+@query(
+    "f13_segment_dedup",
+    oracle=f"""
+WITH segs AS (
+  SELECT doc_id,
+         CAST((s - 1) // {_SEG_WORDS} AS INTEGER) AS seg_idx,
+         md5(array_to_string(string_split(text, ' ')[s:s + {_SEG_WORDS - 1}], ' ')) AS seg_hash
+  FROM documents,
+       (SELECT unnest(range(1, (SELECT MAX(len(string_split(text, ' '))) FROM documents) + 1, {_SEG_WORDS})) AS s)
+  WHERE s <= len(string_split(text, ' '))
+), freq AS (
+  SELECT seg_hash, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg_hash
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       {sql_pround('CAST(SUM(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)', 6)} AS shared_frac
+FROM segs s JOIN freq f ON f.seg_hash = s.seg_hash
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+""",
+    tags=("dedup", "text"),
+)
+def f13_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level (CCNet/Gopher "line dedup" analog) duplication:
+    cut every document into fixed {_SEG_WORDS}-word segments, hash
+    them, and report per document how many of its segments appear in
+    OTHER documents too — document-level dedup (q56/q63) misses
+    boilerplate that contaminates otherwise-unique pages, which is
+    exactly what segment-level fractions expose (and what CCNet
+    removes line-by-line before anything else).
+
+    Scale: segments explode once (non-overlapping, so output tokens =
+    input tokens), hash to fixed 32-char keys, one distinct-doc count
+    per hash (map-side combined), one join back on hash. The
+    DISTINCT-doc document frequency makes a doc repeating its OWN
+    segment not count as sharing. Integer counts, one division,
+    pround(6).
+    """
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    starts = F.sequence(F.lit(1), F.size(words), F.lit(_SEG_WORDS))
+    segs = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(starts, lambda s: F.slice(words, s, _SEG_WORDS))
+        ).alias("seg_idx", "seg"),
+    ).select("doc_id", F.md5(F.array_join("seg", " ")).alias("seg_hash"))
+    freq = segs.groupBy("seg_hash").agg(F.count_distinct("doc_id").alias("df"))
+    shared = F.sum(F.when(F.col("df") > 1, 1).otherwise(0))
+    return (
+        segs.join(freq, "seg_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            shared.cast("bigint").alias("n_shared"),
+            pround(shared.cast("double") / F.count(F.lit(1)), 6).alias("shared_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "f14_cumulative_unique_users",
+    oracle=f"""
+WITH first_seen AS (
+  SELECT user_id, MIN(epoch_us(date_trunc('day', ts)) // {86_400_000_000}) AS d0
+  FROM events GROUP BY user_id
+), adds AS (
+  SELECT d0 AS day_index, COUNT(*) AS n_new FROM first_seen GROUP BY d0
+), days AS (
+  SELECT DISTINCT epoch_us(date_trunc('day', ts)) // {86_400_000_000} AS day_index FROM events
+)
+SELECT CAST(d.day_index AS BIGINT) AS day_index,
+       CAST(COALESCE(a.n_new, 0) AS BIGINT) AS n_new_users,
+       CAST(SUM(COALESCE(a.n_new, 0)) OVER (ORDER BY d.day_index ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumulative_users
+FROM days d LEFT JOIN adds a ON a.day_index = d.day_index
+ORDER BY day_index
+""",
+    tags=("events", "analytics"),
+)
+def f14_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative unique users per active day (the user-acquisition
+    curve) via the first-seen identity: a user contributes to every
+    day >= their first event day, so cumulative distinct = running
+    sum of per-day FIRST-SEEN counts — an exact growing-window COUNT
+    DISTINCT with no growing state and no per-day re-scan (the
+    growing-window complement of f08's sliding window).
+
+    Scale: one user-keyed min, one per-day count, then a running sum
+    over the DAY grid only (time-range-bounded). All-integer day
+    indices.
+    """
+    e = table(spark, sf_dir, "events")
+    di = (F.unix_micros(F.date_trunc("day", "ts")) / 86_400_000_000).cast("bigint")
+    first_seen = e.select("user_id", di.alias("di")).groupBy("user_id").agg(
+        F.min("di").alias("d0")
+    )
+    adds = first_seen.groupBy(F.col("d0").alias("day_index")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    days = e.select(di.alias("day_index")).distinct()
+    w = Window.orderBy("day_index").rowsBetween(Window.unboundedPreceding, 0)
+    joined = days.join(adds, "day_index", "left").select(
+        "day_index", F.coalesce("n_new", F.lit(0)).alias("n_new")
+    )
+    return (
+        joined.select(
+            F.col("day_index").cast("bigint").alias("day_index"),
+            F.col("n_new").cast("bigint").alias("n_new_users"),
+            F.sum("n_new").over(w).cast("bigint").alias("cumulative_users"),
+        )
+        .orderBy("day_index")
+    )
+
+
+@query(
+    "f15_interarrival_percentiles",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tus,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev_tus
+  FROM events
+), gaps AS (
+  SELECT event_type, tus - prev_tus AS gap_us FROM seq WHERE prev_tus IS NOT NULL
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       {sql_pround('quantile_cont(gap_us, 0.50)', 6)} AS p50_us,
+       {sql_pround('quantile_cont(gap_us, 0.90)', 6)} AS p90_us,
+       {sql_pround('quantile_cont(gap_us, 0.99)', 6)} AS p99_us
+FROM gaps GROUP BY event_type ORDER BY event_type
+""",
+    tags=("events", "statistics"),
+)
+def f15_interarrival_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap percentiles per event type: the time since
+    the SAME USER's previous event (any type), sliced by the type of
+    the arriving event — the latency fingerprint behind session-gap
+    tuning (d05/q32's pad is exactly a p-quantile of these gaps) and
+    anomaly-rate baselines.
+
+    Scale: one user-partitioned lag window, then a per-type percentile
+    aggregate (map-side partials). Determinism: gaps are exact
+    integer microseconds; both engines interpolate percentiles
+    identically on integers (qc05/e29 precedent), pround(6).
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc(F.unix_micros("ts")), F.asc("event_id"))
+    seq = e.select(
+        "event_type",
+        F.unix_micros("ts").alias("tus"),
+        F.lag(F.unix_micros("ts")).over(w).alias("prev_tus"),
+    ).filter(F.col("prev_tus").isNotNull())
+    gap = (F.col("tus") - F.col("prev_tus")).alias("gap_us")
+    return (
+        seq.select("event_type", gap)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            pround(F.expr("percentile(gap_us, 0.50)"), 6).alias("p50_us"),
+            pround(F.expr("percentile(gap_us, 0.90)"), 6).alias("p90_us"),
+            pround(F.expr("percentile(gap_us, 0.99)"), 6).alias("p99_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_LAT_BUCKETS_DAYS = [7, 30, 90]  # ship-latency bucket upper bounds
+
+
+@query(
+    "f16_ship_latency_buckets",
+    oracle=f"""
+WITH lat AS (
+  SELECT l.l_returnflag,
+         (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) // {86_400_000_000} AS lat_days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+), bucketed AS (
+  SELECT l_returnflag,
+         CASE WHEN lat_days <= 7 THEN '0-7d'
+              WHEN lat_days <= 30 THEN '8-30d'
+              WHEN lat_days <= 90 THEN '31-90d'
+              ELSE '90d+' END AS bucket
+  FROM lat
+), tot AS (
+  SELECT l_returnflag, COUNT(*) AS t FROM bucketed GROUP BY l_returnflag
+)
+SELECT b.l_returnflag AS l_returnflag, b.bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       {sql_pround('CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(t.t)', 6)} AS frac
+FROM bucketed b JOIN tot t ON t.l_returnflag = b.l_returnflag
+GROUP BY b.l_returnflag, b.bucket
+ORDER BY b.l_returnflag, b.bucket
+""",
+    tags=("join", "analytics"),
+)
+def f16_ship_latency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution: days between order date and
+    each line's ship date, bucketed (0-7 / 8-30 / 31-90 / 90d+) per
+    return flag with within-flag fractions — the fulfillment-SLA
+    report, and the canonical fact-to-fact date-arithmetic join.
+
+    Scale: one orderkey equi-join (co-partitioned fact-fact shuffle;
+    AQE picks the strategy), integer-day bucketing in the projection,
+    then a 12-cell aggregation with a flag-bounded totals join.
+    Determinism: latency is exact integer days (floor division of
+    integer microseconds), fixed bucket edges, one division,
+    pround(6).
+    """
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    # these date columns read as TIMESTAMP_NTZ — unix_micros needs TIMESTAMP
+    lat_days = (
+        (
+            F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+            - F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        )
+        / 86_400_000_000
+    ).cast("bigint")
+    bucket = (
+        F.when(lat_days <= 7, "0-7d")
+        .when(lat_days <= 30, "8-30d")
+        .when(lat_days <= 90, "31-90d")
+        .otherwise("90d+")
+    )
+    b = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select("l_returnflag", bucket.alias("bucket"))
+    )
+    tot = b.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("t"))
+    return (
+        b.groupBy("l_returnflag", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"))
+        .join(tot, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "bucket",
+            "n_lines",
+            pround(F.col("n_lines").cast("double") / F.col("t"), 6).alias("frac"),
+        )
+        .orderBy("l_returnflag", "bucket")
+    )
