@@ -199,6 +199,35 @@ _WM_DELAY_US = 600_000_000  # 10-minute watermark delay
 _WM_BLOCK = 1024  # arrival-order block size for the distributed prefix scan
 
 
+def watermark_admitted(
+    df: DataFrame,
+    order_col: str,
+    tus_col: str,
+    delay_us: int,
+    block: int = _WM_BLOCK,
+) -> DataFrame:
+    """Rows admitted under the per-record watermark rule (event time >=
+    running max over strictly earlier arrivals − delay), computed as a
+    distributed two-level prefix scan over `block`-sized arrival
+    ranges. Exposed (with the block size as a parameter) so property
+    tests can force multi-block decompositions on tiny inputs; d03
+    uses the default."""
+    blk = F.floor(F.col(order_col) / block).alias("__blk")
+    seq = df.withColumn("__blk", blk)
+    w_intra = (
+        Window.partitionBy("__blk").orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = seq.withColumn("__intra", F.max(tus_col).over(w_intra))
+    blk_max = seq.groupBy("__blk").agg(F.max(tus_col).alias("__bmax"))
+    w_blocks = Window.orderBy("__blk").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = blk_max.select("__blk", F.max("__bmax").over(w_blocks).alias("__prefix"))
+    joined = seq.join(prefix, "__blk")
+    basis = F.greatest("__intra", "__prefix")  # greatest skips nulls
+    return joined.filter(basis.isNull() | (F.col(tus_col) >= basis - F.lit(delay_us))).drop(
+        "__blk", "__intra", "__prefix"
+    )
+
+
 @query(
     "d03_watermark_batch_twin",
     oracle=f"""
@@ -244,20 +273,8 @@ def d03_watermark_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: integer microseconds throughout.
     """
     e = table(spark, sf_dir, "events")
-    blk = F.floor(F.col("event_id") / _WM_BLOCK).alias("blk")
-    seq = e.select("event_id", "ts", "event_type", F.unix_micros("ts").alias("tus"), blk)
-    w_intra = (
-        Window.partitionBy("blk").orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
-    )
-    seq = seq.withColumn("intra_max", F.max("tus").over(w_intra))
-    blk_max = seq.groupBy("blk").agg(F.max("tus").alias("bmax"))
-    w_blocks = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
-    prefix = blk_max.select("blk", F.max("bmax").over(w_blocks).alias("prefix_max"))
-    joined = seq.join(prefix, "blk")
-    wm_basis = F.greatest("intra_max", "prefix_max")  # greatest skips nulls
-    kept = joined.filter(
-        wm_basis.isNull() | (F.col("tus") >= wm_basis - F.lit(_WM_DELAY_US))
-    )
+    seq = e.select("event_id", "ts", "event_type", F.unix_micros("ts").alias("tus"))
+    kept = watermark_admitted(seq, "event_id", "tus", _WM_DELAY_US)
     return (
         kept.groupBy(
             F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
@@ -421,6 +438,25 @@ def d05_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SKY_BUCKET = 16  # n_words bucket width for the distributed pruning pass
 
 
+def pareto_frontier_2d(pts: DataFrame, x: str, y: str, bucket: int = _SKY_BUCKET) -> DataFrame:
+    """Rows not strictly dominated on (x, y) (exists no row with x' > x
+    AND y' > y), via the two-phase distributed skyline d06 describes.
+    Bucket width is a parameter so property tests can force many-bucket
+    decompositions on tiny inputs."""
+    p = pts.withColumn("__bkt", F.floor(F.col(x) / bucket))
+    bmax = p.groupBy("__bkt").agg(F.max(y).alias("__bmax"))
+    w_suffix = Window.orderBy("__bkt").rowsBetween(1, Window.unboundedFollowing)
+    bounds = bmax.select("__bkt", F.max("__bmax").over(w_suffix).alias("__suffix"))
+    cand = p.join(bounds, "__bkt").filter(
+        F.col("__suffix").isNull() | (F.col(y) >= F.col("__suffix"))
+    )
+    w_above = Window.orderBy(x).rangeBetween(1, Window.unboundedFollowing)
+    swept = cand.withColumn("__above", F.max(y).over(w_above))
+    return swept.filter(F.col("__above").isNull() | (F.col(y) >= F.col("__above"))).drop(
+        "__bkt", "__suffix", "__above"
+    )
+
+
 @query(
     "d06_pareto_frontier",
     oracle="""
@@ -464,20 +500,8 @@ def d06_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(words).cast("bigint").alias("n_words"),
         F.size(F.array_distinct(words)).cast("bigint").alias("n_distinct"),
     )
-    pts = pts.withColumn("bkt", F.floor(F.col("n_words") / _SKY_BUCKET))
-    bmax = pts.groupBy("bkt").agg(F.max("n_distinct").alias("bmax"))
-    w_suffix = Window.orderBy("bkt").rowsBetween(1, Window.unboundedFollowing)
-    bounds = bmax.select("bkt", F.max("bmax").over(w_suffix).alias("suffix_max"))
-    cand = pts.join(bounds, "bkt").filter(
-        F.col("suffix_max").isNull() | (F.col("n_distinct") >= F.col("suffix_max"))
-    )
-    # exact sweep on the bounded candidate set: strictly-greater-x max y
-    w_above = Window.orderBy("n_words").rangeBetween(1, Window.unboundedFollowing)
-    swept = cand.withColumn("max_y_above", F.max("n_distinct").over(w_above))
     return (
-        swept.filter(
-            F.col("max_y_above").isNull() | (F.col("n_distinct") >= F.col("max_y_above"))
-        )
+        pareto_frontier_2d(pts, "n_words", "n_distinct")
         .select("doc_id", "n_words", "n_distinct")
         .orderBy("doc_id")
     )

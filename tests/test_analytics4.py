@@ -105,7 +105,18 @@ def test_column_profile_matches_direct_counts(spark, sf_dir, reg):
         assert got[c].n_distinct == o.select(c).distinct().count()
 
 
-@pytest.mark.parametrize("key", ["d09_gini_concentration", "d13_spearman_rank", "d10_ks_two_sample"])
+@pytest.mark.parametrize(
+    "key",
+    [
+        "d09_gini_concentration",
+        "d13_spearman_rank",
+        "d10_ks_two_sample",
+        # iterative graph ops: pround+DECIMAL-summed contributions must
+        # make the fixpoint independent of partitioning too
+        "d01_neardup_pagerank",
+        "f04_harmonic_centrality",
+    ],
+)
 def test_rank_stats_partitioning_invariant(spark, sf_dir, reg, key, monkeypatch):
     """Rank/ECDF statistics must not depend on input partitioning —
     re-running with a different shuffle width must hash-identically."""

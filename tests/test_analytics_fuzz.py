@@ -1,0 +1,63 @@
+"""Hypothesis fuzz for the round-4 distributed decompositions: the
+two-level watermark prefix scan and the two-phase skyline must equal
+their brute-force definitions on ARBITRARY inputs — with block/bucket
+sizes forced small so tiny generated datasets still exercise many
+blocks (the fixed-corpus oracle tests can't reach that regime).
+"""
+
+import hypothesis.strategies as st
+import pytest
+from hypothesis import HealthCheck, given, settings
+
+from pyspark.sql import functions as F
+
+from pyspark_distributed_kmodes_spark.operators.analytics import (
+    pareto_frontier_2d,
+    watermark_admitted,
+)
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# arrival sequences: event times on a small integer grid so late events
+# (time < running max - delay) are common
+TIMES = st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=30)
+
+
+@given(times=TIMES, delay=st.integers(min_value=0, max_value=10), block=st.sampled_from([1, 2, 3, 5]))
+@SLOW
+def test_watermark_prefix_scan_fuzz(spark, times, delay, block):
+    rows = [(i, int(t)) for i, t in enumerate(times)]
+    df = spark.createDataFrame(rows, "oid long, tus long")
+    got = sorted(
+        r.oid for r in watermark_admitted(df, "oid", "tus", delay, block=block).collect()
+    )
+    mx = None
+    expected = []
+    for i, t in rows:
+        if mx is None or t >= mx - delay:
+            expected.append(i)
+        mx = t if mx is None else max(mx, t)
+    assert got == expected
+
+
+PTS = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=20), st.integers(min_value=0, max_value=20)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(pts=PTS, bucket=st.sampled_from([1, 2, 3, 7]))
+@SLOW
+def test_pareto_frontier_fuzz(spark, pts, bucket):
+    rows = [(i, int(x), int(y)) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "pid long, x long, y long")
+    got = sorted(r.pid for r in pareto_frontier_2d(df, "x", "y", bucket=bucket).collect())
+    expected = sorted(
+        i for i, x, y in rows if not any(x2 > x and y2 > y for _, x2, y2 in rows)
+    )
+    assert got == expected
