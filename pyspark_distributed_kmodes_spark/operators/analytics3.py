@@ -409,3 +409,336 @@ def f21_daily_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_index")
     )
+
+
+@query(
+    "f22_deletion_propagation",
+    oracle=f"""
+WITH forget AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0
+), audit AS (
+  SELECT e.user_id IN (SELECT user_id FROM forget) AS is_forgotten, COUNT(*) AS n
+  FROM events e GROUP BY 1
+)
+SELECT CAST((SELECT COUNT(*) FROM forget) AS BIGINT) AS n_users_forgotten,
+       CAST(COALESCE(SUM(CASE WHEN is_forgotten THEN n END), 0) AS BIGINT) AS n_rows_deleted,
+       CAST(COALESCE(SUM(CASE WHEN NOT is_forgotten THEN n END), 0) AS BIGINT) AS n_rows_remaining,
+       CAST((SELECT COUNT(*) FROM events e JOIN forget f ON f.user_id = e.user_id
+             WHERE NOT EXISTS (SELECT 1 FROM forget f2 WHERE f2.user_id = e.user_id)) AS BIGINT) AS n_leaked
+FROM audit
+""",
+    tags=("platform", "privacy"),
+)
+def f22_deletion_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation report: given a deletion set
+    (deterministic stub: user_id % 7 = 0 — in production, the DSAR
+    list), count the rows that must go, the rows that stay, and —
+    the column auditors actually read — `n_leaked`: rows belonging to
+    a forgotten user that a correctly-executed deletion would still
+    retain (structurally 0 here; a non-zero after a real deletion run
+    means the anti-join missed a shard). Deletion itself is one
+    left_anti join; this is its verification twin.
+
+    Scale: one distinct-set build + one user-keyed aggregation; the
+    leak probe is a join against the (small) deletion set, never a
+    second full scan per user. Exact integers only.
+    """
+    e = table(spark, sf_dir, "events")
+    forget = e.filter(F.col("user_id") % 7 == 0).select("user_id").distinct()
+    forget = forget.localCheckpoint(eager=True)  # three consumers
+    n_forget = forget.agg(F.count(F.lit(1)).cast("bigint").alias("n_users_forgotten"))
+    deleted = e.join(forget, "user_id", "left_semi")
+    remaining = e.join(forget, "user_id", "left_anti")
+    # the verification twin: rows of forgotten users surviving the anti-join
+    leaked = remaining.join(forget, "user_id", "left_semi")
+    c_del = deleted.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows_deleted"))
+    c_rem = remaining.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows_remaining"))
+    c_leak = leaked.agg(F.count(F.lit(1)).cast("bigint").alias("n_leaked"))
+    return (
+        n_forget.crossJoin(F.broadcast(c_del))
+        .crossJoin(F.broadcast(c_rem))
+        .crossJoin(F.broadcast(c_leak))
+    )
+
+
+_DISC_PS = [(25, 1), (50, 2), (75, 3)]  # (percent, ordinal) pairs
+
+
+@query(
+    "f23_percentile_disc",
+    oracle="""
+WITH ranked AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars ASC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT source,
+       CAST(MIN(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN n_chars END) AS BIGINT) AS p25_disc,
+       CAST(MIN(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN n_chars END) AS BIGINT) AS p50_disc,
+       CAST(MIN(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN n_chars END) AS BIGINT) AS p75_disc
+FROM ranked
+GROUP BY source
+ORDER BY source
+""",
+    tags=("analytics", "statistics"),
+)
+def f23_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles (percentile_disc semantics: the smallest
+    actual element whose cumulative rank reaches p — always a value
+    that EXISTS in the data) of document length per source —
+    completing the percentile family next to q14/e17's interpolating
+    percentile_cont: discrete quantiles are what you want when the
+    value is an ID-like or categorical-ordinal quantity where an
+    interpolated 1037.5 is meaningless.
+
+    Portability is the point of the formulation: both engines compute
+    rn == ceil(p*n) on exact integers, so the oracle can't drift the
+    way interpolation edge cases can. One rank window per source +
+    one grouped conditional-min pass.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    wc = Window.partitionBy("source")
+    ranked = d.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    aggs = [
+        F.min(
+            F.when(F.col("rn") == F.ceil(p / 100.0 * F.col("n")).cast("bigint"), F.col("n_chars"))
+        )
+        .cast("bigint")
+        .alias(f"p{p}_disc")
+        for p, _ in _DISC_PS
+    ]
+    return ranked.groupBy("source").agg(*aggs).orderBy("source")
+
+
+_H2_XBIN = 16  # n_words bin width
+_H2_YBIN = 8  # n_distinct bin width
+
+
+@query(
+    "f24_histogram_2d",
+    oracle=f"""
+WITH pts AS (
+  SELECT len(string_split(text, ' ')) // {_H2_XBIN} AS xb,
+         len(list_distinct(string_split(text, ' '))) // {_H2_YBIN} AS yb
+  FROM documents
+), tot AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM pts
+)
+SELECT CAST(p.xb AS INTEGER) AS words_bin, CAST(p.yb AS INTEGER) AS distinct_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       {sql_pround('COUNT(*) / t.t', 6)} AS frac
+FROM pts p CROSS JOIN tot t
+GROUP BY p.xb, p.yb, t.t
+ORDER BY words_bin, distinct_bin
+""",
+    tags=("analytics", "profiling"),
+)
+def f24_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint 2-D histogram of (length, vocabulary) — the corpus-shape
+    heatmap read next to d06's frontier: q92's 1-D histograms say the
+    marginals look fine; the joint grid exposes the off-diagonal mass
+    (long-but-repetitive docs) that marginals hide.
+
+    Scale: binning is a per-row integer division; ONE shuffle on the
+    bounded (xb, yb) grid key with map-side combine; the total is a
+    1-row broadcast. Integer counts, one division, pround(6).
+    """
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    pts = d.select(
+        F.floor(F.size(words) / _H2_XBIN).cast("int").alias("words_bin"),
+        F.floor(F.size(F.array_distinct(words)) / _H2_YBIN).cast("int").alias("distinct_bin"),
+    )
+    tot = pts.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    return (
+        pts.groupBy("words_bin", "distinct_bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "words_bin",
+            "distinct_bin",
+            "n_docs",
+            pround(F.col("n_docs") / F.col("t"), 6).alias("frac"),
+        )
+        .orderBy("words_bin", "distinct_bin")
+    )
+
+
+@query(
+    "f25_order_reconciliation",
+    oracle="""
+WITH o_side AS (
+  SELECT o.o_orderkey, COUNT(l.l_orderkey) AS n_lines
+  FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey
+), orphan_lines AS (
+  SELECT COUNT(*) AS n FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN n_lines = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_childless_orders,
+       CAST(SUM(n_lines) AS BIGINT) AS n_matched_lines,
+       CAST((SELECT n FROM orphan_lines) AS BIGINT) AS n_orphan_lines,
+       CAST(MAX(n_lines) AS BIGINT) AS max_lines_per_order
+FROM o_side
+""",
+    tags=("quality", "audit", "join"),
+)
+def f25_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity reconciliation between the two fact
+    tables: orders with no line items, line items whose order does
+    not exist, matched-row totals and fan-out bounds — the
+    cross-table audit e14's single-table constraints cannot express,
+    and the first report run after any partial backfill.
+
+    Scale: ONE outer join keyed o_orderkey carries the childless and
+    matched counts; the orphan probe is one anti-join — both
+    co-partitioned fact-fact shuffles on the same key (AQE reuses the
+    exchange). Exact integers only.
+    """
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o_side = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").alias("n_lines"))
+    )
+    orphans = li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti")
+    c_orphan = orphans.agg(F.count(F.lit(1)).cast("bigint").alias("n_orphan_lines"))
+    return (
+        o_side.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum((F.col("n_lines") == 0).cast("int")).cast("bigint").alias("n_childless_orders"),
+            F.sum("n_lines").cast("bigint").alias("n_matched_lines"),
+            F.max("n_lines").cast("bigint").alias("max_lines_per_order"),
+        )
+        .crossJoin(F.broadcast(c_orphan))
+        .select(
+            "n_orders", "n_childless_orders", "n_matched_lines", "n_orphan_lines", "max_lines_per_order"
+        )
+    )
+
+
+@query(
+    "f26_seasonality_profile",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+         dayofweek(o_orderdate) + 1 AS dow,  -- DuckDB Sun=0; Spark Sun=1
+         SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1, 2
+), per_dow AS (
+  SELECT dow, COUNT(*) AS n_days, SUM(cents) AS cents FROM daily GROUP BY dow
+), base AS (
+  SELECT CAST(SUM(cents) AS DOUBLE) / SUM(n_days) AS overall_daily FROM per_dow
+)
+SELECT CAST(p.dow AS INTEGER) AS day_of_week,
+       CAST(p.n_days AS BIGINT) AS n_days,
+       CAST(p.cents AS BIGINT) AS total_cents,
+       {sql_pround('(CAST(p.cents AS DOUBLE) / p.n_days) / b.overall_daily', 6)} AS seasonal_index
+FROM per_dow p CROSS JOIN base b
+ORDER BY day_of_week
+""",
+    tags=("analytics", "timeseries"),
+)
+def f26_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index of order revenue: mean daily
+    revenue per weekday divided by the overall daily mean — the
+    seasonal-adjustment factor that turns d14's rolling anomaly
+    detector from "Mondays always alarm" into a usable tripwire
+    (divide by the index before scoring).
+
+    Scale: revenue pre-aggregates per (day, dow), then a 7-group
+    rollup and a 1-row broadcast base rate. Determinism: integer
+    cents; dayofweek is a calendar function identical on both
+    engines; two divisions in a fixed chain, pround(6).
+    """
+    o = table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day"),
+        F.dayofweek("o_orderdate").alias("dow"),
+    ).agg(F.sum(cents).alias("cents"))
+    per_dow = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("cents").alias("cents")
+    )
+    base = per_dow.agg(
+        (F.sum("cents").cast("double") / F.sum("n_days")).alias("overall_daily")
+    )
+    return (
+        per_dow.crossJoin(F.broadcast(base))
+        .select(
+            F.col("dow").cast("int").alias("day_of_week"),
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.col("cents").cast("bigint").alias("total_cents"),
+            pround(
+                (F.col("cents").cast("double") / F.col("n_days")) / F.col("overall_daily"), 6
+            ).alias("seasonal_index"),
+        )
+        .orderBy("day_of_week")
+    )
+
+
+@query(
+    "f27_char_entropy",
+    oracle=f"""
+WITH chars AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ''), c -> c <> '')) AS c
+  FROM documents
+), freq AS (
+  SELECT doc_id, c, COUNT(*) AS k FROM chars GROUP BY doc_id, c
+), tot AS (
+  SELECT doc_id, SUM(k) AS n FROM freq GROUP BY doc_id
+), terms AS (
+  SELECT f.doc_id,
+         CAST(round(-(CAST(f.k AS DOUBLE) / t.n) * ln(CAST(f.k AS DOUBLE) / t.n), 9) AS DECIMAL(25,12)) AS term,
+         t.n
+  FROM freq f JOIN tot t ON t.doc_id = f.doc_id
+)
+SELECT doc_id,
+       CAST(ANY_VALUE(n) AS BIGINT) AS n_chars_counted,
+       {sql_pround('CAST(SUM(term) AS DOUBLE)', 6)} AS char_entropy
+FROM terms GROUP BY doc_id ORDER BY doc_id
+""",
+    tags=("text", "quality"),
+)
+def f27_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution (in
+    nats) — the cheapest gibberish/boilerplate detector: natural text
+    sits in a narrow entropy band, base64 blobs and ascii art above
+    it, repeated padding far below; e28's zlib ratio measures the
+    same thing but needs Python — this is the pure-JVM relational
+    formulation, and it IS hash-gatable where zlib is not.
+
+    Scale: explode to per-(doc, char) counts (alphabet-bounded fanout
+    after the groupBy, map-side combined), one join on doc totals,
+    one grouped sum. Determinism: p = k/n single divisions of exact
+    ints, ln on identical doubles, round(9)->DECIMAL per term (the
+    qb12 contract), pround(6).
+    """
+    d = table(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", ""), lambda c: c != F.lit(""))).alias("c"),
+    )
+    freq = chars.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("k"))
+    tot = freq.groupBy("doc_id").agg(F.sum("k").alias("n"))
+    p = F.col("k").cast("double") / F.col("n")
+    term = F.round(-p * F.log(p), 9).cast("decimal(25,12)")
+    return (
+        freq.join(tot, "doc_id")
+        .select("doc_id", "n", term.alias("term"))
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("n").cast("bigint").alias("n_chars_counted"),
+            pround(F.sum("term").cast("double"), 6).alias("char_entropy"),
+        )
+        .orderBy("doc_id")
+    )
