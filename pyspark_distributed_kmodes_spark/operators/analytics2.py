@@ -21,7 +21,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from pyspark_distributed_kmodes_spark.functions.deterministic import (
-    dsum,
     pround,
     sql_pround,
 )
@@ -242,7 +241,6 @@ def f03_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = linkage_pairs(table(spark, sf_dir, "documents")).select("doc_a", "doc_b")
     cc = connected_components(edges, src="doc_a", dst="doc_b")
-    w = Window.partitionBy("component")
     return (
         cc.select(
             F.col("vertex").alias("doc_id"),
