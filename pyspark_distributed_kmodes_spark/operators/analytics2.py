@@ -136,6 +136,7 @@ GROUP BY d.doc_id
 ORDER BY d.doc_id
 """,
     tags=("training", "quality"),
+    bench=True,
 )
 def f02_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram language-model scoring with add-one smoothing: mean
@@ -253,6 +254,32 @@ def f03_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HC_DEPTH = 6
 
+
+def bfs_min_dists(und: DataFrame, max_depth: int = _HC_DEPTH) -> DataFrame:
+    """(root, v, d) minimum hop distances (1 <= d <= max_depth, root != v)
+    for every ordered pair reachable over the symmetric adjacency list
+    `und(node, nbr)` — multi-source BFS as a frontier loop: each round
+    extends the CURRENT frontier one hop, anti-joins against already-
+    discovered pairs (so the first discovery wins = minimum distance),
+    and localCheckpoints to cut lineage. Exposed for property tests;
+    f04 consumes it."""
+    known = und.select(
+        F.col("node").alias("root"), F.col("nbr").alias("v"), F.lit(1).alias("d")
+    ).localCheckpoint(eager=True)
+    frontier = known
+    for depth in range(2, max_depth + 1):
+        nxt = (
+            frontier.join(und, frontier["v"] == und["node"])
+            .select(frontier["root"], und["nbr"].alias("v"), F.lit(depth).alias("d"))
+            .filter(F.col("root") != F.col("v"))
+            .dropDuplicates(["root", "v"])
+            .join(known.select("root", "v"), ["root", "v"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        known = known.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return known
+
 _EDGE_CTE_F = """
 shingles AS (
   SELECT DISTINCT doc_id, shingle
@@ -328,20 +355,7 @@ def f04_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(e.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
         .localCheckpoint(eager=True)
     )
-    known = und.select(F.col("node").alias("root"), F.col("nbr").alias("v"), F.lit(1).alias("d"))
-    known = known.localCheckpoint(eager=True)
-    frontier = known
-    for depth in range(2, _HC_DEPTH + 1):
-        nxt = (
-            frontier.join(und, frontier["v"] == und["node"])
-            .select(frontier["root"], und["nbr"].alias("v"), F.lit(depth).alias("d"))
-            .filter(F.col("root") != F.col("v"))
-            .dropDuplicates(["root", "v"])
-            .join(known.select("root", "v"), ["root", "v"], "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        known = known.unionAll(nxt).localCheckpoint(eager=True)
-        frontier = nxt
+    known = bfs_min_dists(und, _HC_DEPTH)
     terms = known.select("root", _dterm(F.lit(1.0) / F.col("d")).alias("t"))
     return (
         terms.groupBy(F.col("root").alias("doc_id"))

@@ -121,6 +121,7 @@ WHERE d.source <> '{_EVAL_SOURCE}'
 ORDER BY d.doc_id
 """,
     tags=("dedup", "training", "decontamination"),
+    bench=True,
 )
 def f18_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram eval-set decontamination (the GPT-3 report's method):

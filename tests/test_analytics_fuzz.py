@@ -61,3 +61,51 @@ def test_pareto_frontier_fuzz(spark, pts, bucket):
         i for i, x, y in rows if not any(x2 > x and y2 > y for _, x2, y2 in rows)
     )
     assert got == expected
+
+
+EDGES = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=9), st.integers(min_value=0, max_value=9)),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(edges=EDGES, depth=st.sampled_from([1, 2, 3, 6]))
+@SLOW
+def test_bfs_min_dists_fuzz(spark, edges, depth):
+    """The distributed frontier loop must produce exact minimum hop
+    distances on arbitrary graphs (self-loops and parallel edges
+    included) — compared against a pure-Python BFS."""
+    from collections import deque
+
+    from pyspark_distributed_kmodes_spark.operators.analytics2 import bfs_min_dists
+
+    pairs = [(a, b) for a, b in edges if a != b]
+    if not pairs:
+        return
+    df = spark.createDataFrame(pairs, "u long, v long")
+    und = df.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        df.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    got = {(r.root, r.v): r.d for r in bfs_min_dists(und, depth).collect()}
+
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected = {}
+    for root in adj:
+        seen = {root: 0}
+        q = deque([root])
+        while q:
+            n = q.popleft()
+            if seen[n] >= depth:
+                continue
+            for m in adj.get(n, ()):
+                if m not in seen:
+                    seen[m] = seen[n] + 1
+                    q.append(m)
+        for v, d in seen.items():
+            if v != root and d <= depth:
+                expected[(root, v)] = d
+    assert got == expected
