@@ -365,3 +365,35 @@ def funnel_stream(events: DataFrame, stages: tuple = ("view", "click", "purchase
             update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def sliding_distinct_users_stream(
+    events: DataFrame, window_days: int = 7, watermark: str = "40 days"
+) -> DataFrame:
+    """EXACT sliding {window_days}-day distinct active users per day,
+    streaming — the stateful twin of f08's batch fan-out identity: a
+    user active on day d contributes to windows d..d+{window_days}-1,
+    so the stream dedups (user, day) within the watermark, fans each
+    survivor out to its windows, dedups (user, window_day) again, and
+    counts per window day.
+
+    This is a sliding COUNT DISTINCT, which windowed aggregations
+    cannot express exactly (approx_count_distinct or bitmap tricks are
+    the usual fallbacks); the fan-out identity makes it exact with
+    TWO bounded dedup states (users x retention-days each) and one
+    counting state — all expiring on the single ts watermark (Spark
+    disallows redefining a watermark mid-chain, so the event-time
+    column rides through the fan-out untouched). Run in `update` mode
+    with an upsert sink: counts for a window day are corrected as its
+    trailing days arrive.
+    """
+    e = events.withColumn("day", F.date_trunc("day", "ts")).withWatermark("ts", watermark)
+    dd_day = e.dropDuplicatesWithinWatermark(["user_id", "day"])
+    fanned = dd_day.select(
+        "user_id",
+        "ts",
+        F.explode(F.expr(f"sequence(0, {window_days - 1})")).alias("off"),
+        "day",
+    ).select("user_id", "ts", F.expr("timestampadd(DAY, off, day)").alias("window_day"))
+    dd_win = fanned.dropDuplicatesWithinWatermark(["user_id", "window_day"])
+    return dd_win.groupBy("window_day").agg(F.count(F.lit(1)).alias("dau"))

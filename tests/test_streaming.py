@@ -391,3 +391,40 @@ def test_stateful_funnel_stream_matches_batch(spark, sf_dir):
     batch = {r.stage: r.n_users for r in e09_event_funnel(spark, sf_dir).collect()}
     assert stream_counts == {1: batch[1], 2: batch[2], 3: batch[3]}
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_sliding_distinct_users_stream_matches_batch(spark, sf_dir, stream):
+    """The chained-stateful sliding COUNT DISTINCT (dedup -> fan-out ->
+    dedup -> count, one watermark) must reproduce f08's batch fan-out
+    identity exactly. Update-mode corrections reconcile through a
+    foreachBatch upsert (last write per window day wins)."""
+    from pyspark_distributed_kmodes_spark.registry import load_all
+    from pyspark_distributed_kmodes_spark.streaming.jobs import (
+        sliding_distinct_users_stream,
+    )
+
+    agg = sliding_distinct_users_stream(stream)
+    state = {}
+
+    def upsert(batch_df, batch_id):
+        for r in batch_df.collect():
+            state[r.window_day] = r.dau
+
+    q = (
+        agg.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    batch = load_all()["f08_sliding_dau"].fn(spark, sf_dir).collect()
+    expected = {r.day_index: r.dau7 for r in batch}
+    # streaming emits every fanned window day (incl. days past the last
+    # event); the batch query clips to [min_day, max_day] — compare on
+    # the batch's clipped domain, then check the unclipped tail is the
+    # only difference
+    got = {int(k.timestamp()) // 86_400: v for k, v in state.items()}
+    assert {d: got[d] for d in expected} == expected
+    extra = set(got) - set(expected)
+    assert all(d > max(expected) for d in extra), "unexpected non-tail extra days"
