@@ -55,6 +55,11 @@ PROBE_QUERIES = [
     "d05_interval_coalesce",
     "d06_pareto_frontier",
     "d15_duprate_wilson",
+    "f02_bigram_lm_logprob",
+    "f04_harmonic_centrality",
+    "f08_sliding_dau",
+    "f13_segment_dedup",
+    "f18_ngram_decontamination",
 ]
 
 
