@@ -144,3 +144,81 @@ def test_wilson_interval_brackets_rate(spark, sf_dir, reg):
         assert 0.0 <= r.wilson_lo <= r.dup_rate + 1e-9
         assert r.dup_rate - 1e-9 <= r.wilson_hi <= 1.0
         assert r.wilson_lo <= r.wilson_hi
+
+
+def test_gini_matches_numpy_reference(spark, sf_dir, reg):
+    """Adversarial cross-check: the rank-identity Gini must match an
+    INDEPENDENT formulation (mean absolute difference / 2*mean) — the
+    oracle can't catch both sides implementing the same wrong
+    identity; a structurally different reference can."""
+    import numpy as np
+
+    from pyspark_distributed_kmodes_spark.sources.tables import table
+
+    got = {r.source: r.gini for r in reg["d09_gini_concentration"].fn(spark, sf_dir).collect()}
+    d = table(spark, sf_dir, "documents").select(
+        "source", F.size(F.split("text", " ")).alias("nw")
+    )
+    by_source = {}
+    for r in d.collect():
+        by_source.setdefault(r.source, []).append(r.nw)
+    for src, xs in by_source.items():
+        x = np.array(xs, dtype=float)
+        n = len(x)
+        mad = np.abs(x[:, None] - x[None, :]).mean()  # includes diagonal: x (n^2) pairs
+        ref = mad / (2.0 * x.mean())
+        # rank-identity Gini uses the (n-1)/n-free population form G =
+        # sum|xi-xj| / (2 n^2 mu) — identical to mad/(2 mu)
+        assert abs(got[src] - ref) < 1e-4, (src, got[src], ref)
+
+
+def test_ks_matches_numpy_reference(spark, sf_dir, reg):
+    import numpy as np
+
+    from pyspark_distributed_kmodes_spark.sources.tables import table
+
+    row = reg["d10_ks_two_sample"].fn(spark, sf_dir).collect()[0]
+    d = table(spark, sf_dir, "documents").select("source", "n_chars").collect()
+    a = np.sort([r.n_chars for r in d if r.source == "src0"])
+    b = np.sort([r.n_chars for r in d if r.source == "src1"])
+    grid = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(a, grid, side="right") / len(a)
+    fb = np.searchsorted(b, grid, side="right") / len(b)
+    ref = np.max(np.abs(fa - fb))
+    assert abs(row.ks_stat - ref) < 1e-6, (row.ks_stat, ref)
+    assert row.n_a == len(a) and row.n_b == len(b)
+
+
+def test_spearman_matches_numpy_reference(spark, sf_dir, reg):
+    """Average-rank Spearman via numpy's corrcoef on independently
+    computed average ranks (argsort-based tie averaging — a different
+    ranking algorithm from the SQL rank()+count formulation)."""
+    import numpy as np
+
+    from pyspark_distributed_kmodes_spark.sources.tables import table
+
+    def avg_ranks(x):
+        x = np.asarray(x, dtype=float)
+        order = np.argsort(x, kind="stable")
+        ranks = np.empty(len(x))
+        i = 0
+        while i < len(x):
+            j = i
+            while j + 1 < len(x) and x[order[j + 1]] == x[order[i]]:
+                j += 1
+            ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+            i = j + 1
+        return ranks
+
+    got = {r.source: r.spearman_rho for r in reg["d13_spearman_rank"].fn(spark, sf_dir).collect()}
+    d = table(spark, sf_dir, "documents").select(
+        "source", "n_chars", F.size(F.array_distinct(F.split("text", " "))).alias("nd")
+    )
+    by_source = {}
+    for r in d.collect():
+        by_source.setdefault(r.source, []).append((r.n_chars, r.nd))
+    for src, pts in by_source.items():
+        rx = avg_ranks([p[0] for p in pts])
+        ry = avg_ranks([p[1] for p in pts])
+        ref = np.corrcoef(rx, ry)[0, 1]
+        assert abs(got[src] - ref) < 1e-4, (src, got[src], ref)
