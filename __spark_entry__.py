@@ -34,6 +34,15 @@ this). History:
            old prefix; e sorts before q — number preserved, z07===e07
            etc.). New round-4 queries are keyed d01+ so they sort
            inside too. Window: b14 + d01-d16 + e01-e33 = exactly 50.
+  round 5: all 50 round-4 window keys came back green in
+           CORRECTNESS_r04 (47 hash-match + 3 rows-only by declared
+           design), so they rotate out: b14 -> qb14, d01-d16 ->
+           qd01-qd16, e01-e33 -> qe01-qe33 (number = query identity,
+           e.g. qd01 === d01 === round-4 neardup_pagerank). The 27
+           round-4 staged queries f01-f27 (never driver-checked) now
+           sort first; new round-5 queries are keyed g01+ (g sorts
+           between f and q). Window: f01-f27 + g-keys (+ q01...
+           re-verifications for any unused slots) = 50.
 
 Implementations live in pyspark_distributed_kmodes_spark/; this module
 is a thin adapter over its registry.

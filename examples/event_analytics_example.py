@@ -10,15 +10,15 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 from pyspark_distributed_kmodes_spark.operators.events import (
-    e09_event_funnel,
-    e10_dau_wau_stickiness,
-    e12_event_transition_matrix,
-    e21_sax_similar_users,
-    e23_ranking_cohorts,
-    e29_disorder_audit,
-    e32_time_to_convert,
+    qe09_event_funnel,
+    qe10_dau_wau_stickiness,
+    qe12_event_transition_matrix,
+    qe21_sax_similar_users,
+    qe23_ranking_cohorts,
+    qe29_disorder_audit,
+    qe32_time_to_convert,
 )
-from pyspark_distributed_kmodes_spark.operators.relational4 import e31_weekly_ohlc
+from pyspark_distributed_kmodes_spark.operators.relational4 import qe31_weekly_ohlc
 from pyspark_distributed_kmodes_spark.session import get_spark
 
 
@@ -27,23 +27,23 @@ def main():
     spark = get_spark("event-analytics")
 
     print("== funnel: who progresses view -> click -> purchase, in order ==")
-    e09_event_funnel(spark, sf_dir).show()
+    qe09_event_funnel(spark, sf_dir).show()
     print("== how long conversion takes (microseconds) ==")
-    e32_time_to_convert(spark, sf_dir).show(truncate=False)
+    qe32_time_to_convert(spark, sf_dir).show(truncate=False)
     print("== engagement: DAU/WAU stickiness per week ==")
-    e10_dau_wau_stickiness(spark, sf_dir).show(5)
+    qe10_dau_wau_stickiness(spark, sf_dir).show(5)
     print("== what users do next: top transition probabilities ==")
-    e12_event_transition_matrix(spark, sf_dir).orderBy(
+    qe12_event_transition_matrix(spark, sf_dir).orderBy(
         "prob", ascending=False
     ).show(5)
     print("== behavioral profiles: top-3 ranking cohorts ==")
-    e23_ranking_cohorts(spark, sf_dir).orderBy("n_users", ascending=False).show(5)
+    qe23_ranking_cohorts(spark, sf_dir).orderBy("n_users", ascending=False).show(5)
     print("== users with the same activity SHAPE (SAX-blocked) ==")
-    e21_sax_similar_users(spark, sf_dir).show(5)
+    qe21_sax_similar_users(spark, sf_dir).show(5)
     print("== weekly order-value candlesticks ==")
-    e31_weekly_ohlc(spark, sf_dir).show(5)
+    qe31_weekly_ohlc(spark, sf_dir).show(5)
     print("== how disordered is this stream (sizes the watermark) ==")
-    e29_disorder_audit(spark, sf_dir).show(truncate=False)
+    qe29_disorder_audit(spark, sf_dir).show(truncate=False)
 
     spark.stop()
 

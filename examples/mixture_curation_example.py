@@ -23,8 +23,8 @@ from pyspark_distributed_kmodes_spark.operators.curation2 import (
     qc14_zipf_slope,
 )
 from pyspark_distributed_kmodes_spark.operators.curation3 import (
-    e01_weighted_reservoir_sample,
-    e04_rare_strata_audit,
+    qe01_weighted_reservoir_sample,
+    qe04_rare_strata_audit,
 )
 from pyspark_distributed_kmodes_spark.operators.training import qb42_train_val_test_split
 from pyspark_distributed_kmodes_spark.session import get_spark
@@ -45,7 +45,7 @@ def main():
     print("least-original sources (lowest exclusive-shingle ratio):")
     qc11_shingle_novelty(spark, sf_dir).orderBy("exclusive_ratio").limit(3).show()
     print("strata too small to trust statistics on:")
-    e04_rare_strata_audit(spark, sf_dir).show(5)
+    qe04_rare_strata_audit(spark, sf_dir).show(5)
     print("sources whose word distribution doesn't look like language:")
     qc14_zipf_slope(spark, sf_dir).orderBy("zipf_slope", ascending=False).limit(3).show()
 
@@ -58,7 +58,7 @@ def main():
 
     print("== 3. Select documents: caps, weighted sample, split ==")
     qc10_per_source_quality_caps(spark, sf_dir).show(5)
-    e01_weighted_reservoir_sample(spark, sf_dir).show(10)
+    qe01_weighted_reservoir_sample(spark, sf_dir).show(10)
     qb42_train_val_test_split(spark, sf_dir).show(9)
 
     spark.stop()

@@ -12,11 +12,11 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 from pyspark_distributed_kmodes_spark.operators.analytics import (
-    d03_watermark_batch_twin,
-    d10_ks_two_sample,
-    d14_rolling_anomaly,
-    d15_duprate_wilson,
-    d16_column_profile,
+    qd03_watermark_batch_twin,
+    qd10_ks_two_sample,
+    qd14_rolling_anomaly,
+    qd15_duprate_wilson,
+    qd16_column_profile,
 )
 from pyspark_distributed_kmodes_spark.operators.analytics2 import f01_psi_drift
 from pyspark_distributed_kmodes_spark.operators.analytics3 import (
@@ -34,25 +34,25 @@ def main():
     print("== did a source's length distribution drift? (PSI vs baseline) ==")
     f01_psi_drift(spark, sf_dir).orderBy("psi", ascending=False).show(5)
     print("== sharper two-source comparison: KS statistic ==")
-    d10_ks_two_sample(spark, sf_dir).show()
+    qd10_ks_two_sample(spark, sf_dir).show()
     print("== is today's event MIX normal? (chi-square vs trailing week) ==")
     f21_daily_mix_drift(spark, sf_dir).orderBy("chi2", ascending=False).show(5)
     print("== is today's VOLUME normal? (rolling z-score) ==")
-    d14_rolling_anomaly(spark, sf_dir).filter("is_anomaly = 1").show(5)
+    qd14_rolling_anomaly(spark, sf_dir).filter("is_anomaly = 1").show(5)
     print("== which sources are dirty, with confidence? (Wilson CI) ==")
-    d15_duprate_wilson(spark, sf_dir).orderBy("dup_rate", ascending=False).show(5)
+    qd15_duprate_wilson(spark, sf_dir).orderBy("dup_rate", ascending=False).show(5)
     print("== does training data leak the benchmark? (8-gram overlap) ==")
     f18_ngram_decontamination(spark, sf_dir).filter("contaminated = 1").show(5)
     print("== are training shards balanced? ==")
     f20_shard_skew_audit(spark, sf_dir).show()
     print("== what would a 10-min watermark discard? (batch twin) ==")
-    d03_watermark_batch_twin(spark, sf_dir).show(5)
+    qd03_watermark_batch_twin(spark, sf_dir).show(5)
     print("== schema sanity before writing constraints ==")
-    d16_column_profile(spark, sf_dir).show()
+    qd16_column_profile(spark, sf_dir).show()
 
     # the example doubles as a smoke assertion set
     assert f20_shard_skew_audit(spark, sf_dir).count() == 8
-    assert d16_column_profile(spark, sf_dir).count() == 5
+    assert qd16_column_profile(spark, sf_dir).count() == 5
     print("pipeline monitoring example OK")
 
 

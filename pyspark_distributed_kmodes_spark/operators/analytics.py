@@ -71,7 +71,7 @@ def _pr_iter_sql(prev: str, out: str) -> str:
 
 
 @query(
-    "d01_neardup_pagerank",
+    "qd01_neardup_pagerank",
     oracle=f"""
 WITH {_EDGE_CTE},
 deg AS (
@@ -91,7 +91,7 @@ ORDER BY doc_id
     tags=("dedup", "graph"),
     bench=True,
 )
-def d01_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qd01_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank ({_PR_ITERS} fixed power iterations, damping 0.85) over
     the near-dup graph — centrality separates template/boilerplate hub
     documents (high PR: everything links to them) from members of plain
@@ -149,7 +149,7 @@ _DECILES = [i / 10.0 for i in range(1, 10)]
 
 
 @query(
-    "d02_equidepth_bucket_join",
+    "qd02_equidepth_bucket_join",
     oracle=f"""
 WITH bounds AS (
   SELECT quantile_cont(o_totalprice, {_DECILES}) AS bs FROM orders
@@ -164,7 +164,7 @@ ORDER BY bucket, l_returnflag
 """,
     tags=("join", "analytics"),
 )
-def d02_equidepth_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qd02_equidepth_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth bucket JOIN: decile boundaries learned from ONE
     table's distribution (order totals) bin a DIFFERENT table's rows
     (line-item prices) — the cross-distribution generalization of
@@ -229,7 +229,7 @@ def watermark_admitted(
 
 
 @query(
-    "d03_watermark_batch_twin",
+    "qd03_watermark_batch_twin",
     oracle=f"""
 WITH seq AS (
   SELECT event_id, ts, event_type, epoch_us(ts) AS tus,
@@ -247,7 +247,7 @@ ORDER BY hour_start, event_type
     tags=("events", "streaming"),
     bench=True,
 )
-def d03_watermark_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qd03_watermark_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of Structured Streaming's watermark DROP semantics:
     treating event_id as arrival order, an event is admitted iff its
     event time >= (max event time over all STRICTLY EARLIER arrivals)
@@ -318,7 +318,7 @@ def linkage_pairs(d: DataFrame) -> DataFrame:
 
 
 @query(
-    "d04_record_linkage",
+    "qd04_record_linkage",
     oracle=f"""
 WITH b AS (
   SELECT doc_id, lang, n_chars // {_LINK_BAND} AS band, substr(text, 1, {_LINK_HEAD}) AS head
@@ -332,7 +332,7 @@ ORDER BY doc_a, doc_b
 """,
     tags=("dedup", "linkage"),
 )
-def d04_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qd04_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked approximate record linkage: candidate pairs meet ONLY
     inside a (language, length-band) block, then an edit-distance gate
     on the {_LINK_HEAD}-char head confirms the link — the standard
@@ -353,7 +353,7 @@ _SESS_PAD_US = 300_000_000  # each event covers [ts, ts + 5 min)
 
 
 @query(
-    "d05_interval_coalesce",
+    "qd05_interval_coalesce",
     oracle=f"""
 WITH iv AS (
   SELECT user_id, event_id, epoch_us(ts) AS s, epoch_us(ts) + {_SESS_PAD_US} AS e
@@ -383,7 +383,7 @@ ORDER BY user_id
 """,
     tags=("events", "intervals"),
 )
-def d05_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qd05_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval coalescing (gaps-and-islands): each event claims
     [ts, ts+5min); overlapping claims per user merge into maximal
     covered intervals, reported as per-user coverage stats — the
@@ -458,7 +458,7 @@ def pareto_frontier_2d(pts: DataFrame, x: str, y: str, bucket: int = _SKY_BUCKET
 
 
 @query(
-    "d06_pareto_frontier",
+    "qd06_pareto_frontier",
     oracle="""
 WITH pts AS (
   SELECT doc_id,
@@ -475,7 +475,7 @@ ORDER BY doc_id
 """,
     tags=("analytics", "skyline"),
 )
-def d06_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qd06_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D Pareto frontier (skyline): documents not strictly dominated
     on (length, vocabulary richness) — the corpus-curation shortlist
     "longest docs that are also the most lexically diverse at their
@@ -512,7 +512,7 @@ _PMI_TOP = 20
 
 
 @query(
-    "d07_bigram_pmi",
+    "qd07_bigram_pmi",
     oracle=f"""
 WITH words AS (
   SELECT unnest(string_split(text, ' ')) AS w FROM documents
@@ -541,7 +541,7 @@ ORDER BY pmi DESC, bigram ASC LIMIT {_PMI_TOP}
 """,
     tags=("text", "collocation"),
 )
-def d07_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qd07_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining: top-{_PMI_TOP} word bigrams by pointwise
     mutual information (min pair count {_PMI_MIN_COUNT}) — PMI finds
     phrases whose parts co-occur far above chance, the classic signal
@@ -598,7 +598,7 @@ def d07_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "d08_touch_attribution",
+    "qd08_touch_attribution",
     oracle=f"""
 WITH ev AS (
   SELECT user_id, event_id, event_type, value,
@@ -632,7 +632,7 @@ ORDER BY attribution, event_type
 """,
     tags=("events", "attribution"),
 )
-def d08_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qd08_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-touch / last-touch conversion attribution: each user's
     FIRST purchase value is credited to the event type of their very
     first interaction (first-touch) and of the interaction immediately
@@ -696,7 +696,7 @@ def d08_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "d09_gini_concentration",
+    "qd09_gini_concentration",
     oracle=f"""
 WITH x AS (
   SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
@@ -716,7 +716,7 @@ ORDER BY source
 """,
     tags=("curation", "inequality"),
 )
-def d09_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qd09_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source Gini coefficient of token mass across documents —
     the inequality audit a mixture planner reads before sampling:
     gini ~ 0 means tokens spread evenly over docs, gini -> 1 means a
@@ -755,7 +755,7 @@ _KS_SRC_B = "src1"
 
 
 @query(
-    "d10_ks_two_sample",
+    "qd10_ks_two_sample",
     oracle=f"""
 WITH counts AS (
   SELECT n_chars AS v,
@@ -784,7 +784,7 @@ GROUP BY d.na, d.nb, t.dmax
 """,
     tags=("analytics", "statistics"),
 )
-def d10_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qd10_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov statistic between the document-
     length distributions of two sources — the distribution-drift gate
     a curation pipeline runs when a source's new crawl should "look
@@ -836,7 +836,7 @@ def d10_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "d11_weighted_median",
+    "qd11_weighted_median",
     oracle="""
 WITH vw AS (
   SELECT source, n_chars AS v, SUM(len(string_split(text, ' '))) AS w
@@ -857,7 +857,7 @@ ORDER BY source
 """,
     tags=("analytics", "statistics"),
 )
-def d11_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qd11_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-weighted median document length per source: the smallest
     length v whose cumulative token weight reaches half the source's
     total — "the length of the document holding the middle TOKEN",
@@ -897,7 +897,7 @@ def d11_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "d12_gapfill_interpolate",
+    "qd12_gapfill_interpolate",
     oracle=f"""
 WITH hourly AS (
   SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
@@ -938,7 +938,7 @@ ORDER BY hour_start
 """,
     tags=("events", "timeseries"),
 )
-def d12_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qd12_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap filling with linear interpolation: hourly
     purchase revenue joined onto the dense hour grid between the first
     and last observation; missing hours interpolate linearly between
@@ -997,7 +997,7 @@ def d12_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "d13_spearman_rank",
+    "qd13_spearman_rank",
     oracle=f"""
 WITH pts AS (
   SELECT source, doc_id,
@@ -1027,7 +1027,7 @@ ORDER BY source
 """,
     tags=("analytics", "statistics"),
 )
-def d13_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qd13_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation per source between document length
     and vocabulary size — the robust (monotone, outlier-immune)
     association check behind "does longer mean richer in this
@@ -1080,7 +1080,7 @@ _ANOM_Z = 2.0
 
 
 @query(
-    "d14_rolling_anomaly",
+    "qd14_rolling_anomaly",
     oracle=f"""
 WITH daily AS (
   SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
@@ -1107,7 +1107,7 @@ ORDER BY day
 """,
     tags=("analytics", "anomaly"),
 )
-def d14_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qd14_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling z-score anomaly detection on daily order revenue: each
     day scores against the mean/stddev of the trailing {_ANOM_WIN}
     FULLY-OBSERVED days (current day excluded, so an anomaly never
@@ -1152,7 +1152,7 @@ _WILSON_Z = 1.96
 
 
 @query(
-    "d15_duprate_wilson",
+    "qd15_duprate_wilson",
     oracle=f"""
 WITH hashes AS (
   SELECT source, md5(text) AS h FROM documents
@@ -1180,7 +1180,7 @@ ORDER BY source
 """,
     tags=("dedup", "statistics"),
 )
-def d15_duprate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qd15_duprate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source duplication rate with a Wilson 95% confidence
     interval: the fraction of a source's docs whose exact content hash
     appears more than once ANYWHERE in the corpus, plus the interval
@@ -1225,7 +1225,7 @@ _PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_
 
 
 @query(
-    "d16_column_profile",
+    "qd16_column_profile",
     oracle="\nUNION ALL\n".join(
         f"""SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
@@ -1236,7 +1236,7 @@ FROM orders"""
     + "\nORDER BY col_name",
     tags=("profiling", "quality"),
 )
-def d16_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qd16_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table profiling: per-column row/null/exact-distinct counts over
     the orders table — the schema-discovery pass (DESCRIBE-with-stats)
     every ingestion pipeline runs on an unfamiliar drop before writing

@@ -130,7 +130,7 @@ def check_constraints(
 
 
 @query(
-    "e14_quality_constraints",
+    "qe14_quality_constraints",
     oracle="""
 SELECT 'fk(o_custkey->customer.c_custkey)' AS check_name,
        CAST((SELECT COUNT(*) FROM orders o
@@ -182,7 +182,7 @@ ORDER BY check_name
     tags=("quality", "constraints"),
     bench=True,
 )
-def e14_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qe14_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality gate over `orders`: completeness, uniqueness,
     domain membership, value range, and referential integrity to
     `customer`, evaluated by the declarative single-pass checker

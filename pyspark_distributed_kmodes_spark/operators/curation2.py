@@ -571,7 +571,7 @@ def qc14_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "e25_label_separation",
+    "qe25_label_separation",
     oracle=f"""
 WITH pos AS (
   SELECT vec_id, label, t.pos AS pos, CAST(t.val AS DOUBLE) AS val FROM (
@@ -598,7 +598,7 @@ ORDER BY label_a, label_b
 """,
     tags=("curation", "vector"),
 )
-def e25_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qe25_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Between-label centroid separation matrix: pairwise cosine of
     label centroids — c13's complement (within-cluster cohesion is only
     half the validation; two cohesive clusters whose centroids sit at

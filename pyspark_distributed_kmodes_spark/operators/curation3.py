@@ -49,7 +49,7 @@ _SAMPLE_K = 5  # docs sampled per language
 
 
 @query(
-    "e01_weighted_reservoir_sample",
+    "qe01_weighted_reservoir_sample",
     oracle=f"""
 WITH keyed AS (
   SELECT lang, doc_id,
@@ -68,7 +68,7 @@ ORDER BY lang, rk
     tags=("curation", "sampling"),
     bench=True,
 )
-def e01_weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qe01_weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement (the
     exponential-key formulation of Efraimidis–Spirakis A-ES): each
     document draws key = −ln(u)/weight from a HASH-seeded uniform, and
@@ -102,7 +102,7 @@ _CONTAIN_T = 0.8  # containment threshold
 
 
 @query(
-    "e02_containment_pairs",
+    "qe02_containment_pairs",
     oracle=f"""
 WITH shingles AS (
   SELECT DISTINCT doc_id, shingle FROM (
@@ -127,7 +127,7 @@ ORDER BY p.doc_a, p.doc_b
 """,
     tags=("curation", "dedup"),
 )
-def e02_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qe02_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment detection: ORDERED pairs where ≥80% of
     doc A's trigram shingles also occur in doc B — the Jaccard-blind
     case (a55 misses it when B is much longer) that catches quotes,
@@ -179,7 +179,7 @@ _VOCAB_K = 1000  # in-vocabulary size
 
 
 @query(
-    "e03_oov_rate",
+    "qe03_oov_rate",
     oracle=f"""
 WITH freq AS (
   SELECT word, COUNT(*) AS cnt
@@ -206,7 +206,7 @@ ORDER BY source
 """,
     tags=("curation", "text"),
 )
-def e03_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qe03_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-of-vocabulary audit: per source, the fraction of tokens not
     in the corpus top-1000 vocabulary (b14's tokenizer basis) — high
     OOV flags a source the tokenizer will shred into bytes (code,
@@ -245,7 +245,7 @@ _MIN_STRATUM = 5  # smallest acceptable stratum size
 
 
 @query(
-    "e04_rare_strata_audit",
+    "qe04_rare_strata_audit",
     oracle=f"""
 SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
@@ -256,7 +256,7 @@ ORDER BY lang, source
 """,
     tags=("curation", "diagnostics"),
 )
-def e04_rare_strata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qe04_rare_strata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rare-strata audit: (lang, source) cells with fewer than 5
     documents — the k-anonymity-style check run before any per-stratum
     statistic (c06's terciles, q95's rates) is trusted, and the
@@ -279,7 +279,7 @@ def e04_rare_strata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "e05_length_quality_corr",
+    "qe05_length_quality_corr",
     oracle=f"""
 WITH base AS (
   SELECT source,
@@ -305,7 +305,7 @@ ORDER BY source
 """,
     tags=("curation", "diagnostics"),
 )
-def e05_length_quality_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qe05_length_quality_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length/quality confound audit: per source, the Pearson
     correlation between document length and lexical-diversity score. A
     strong negative r (short docs score "diverse" by construction)
@@ -346,7 +346,7 @@ _DECILES = [i / 10.0 for i in range(1, 10)]  # 0.1 .. 0.9
 
 
 @query(
-    "e17_spend_deciles",
+    "qe17_spend_deciles",
     oracle=f"""
 WITH spend AS (
   SELECT o_custkey,
@@ -370,7 +370,7 @@ ORDER BY decile
 """,
     tags=("curation", "analytics"),
 )
-def e17_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qe17_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth customer-spend deciles WITHOUT a global sort: decile
     boundaries come from one percentile aggregate (map-side partial,
     1-row result broadcast back), and each customer bins by counting
@@ -408,7 +408,7 @@ def e17_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "e18_cross_lang_alignment",
+    "qe18_cross_lang_alignment",
     oracle=f"""
 WITH fp AS (
   SELECT DISTINCT lang,
@@ -431,7 +431,7 @@ ORDER BY lang_a, lang_b
 """,
     tags=("curation", "dedup"),
 )
-def e18_cross_lang_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qe18_cross_lang_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-language content-alignment matrix: for every language
     pair, how many normalized documents (bag-of-words fingerprints)
     appear under BOTH language labels — surfacing mislabeled language
@@ -482,7 +482,7 @@ _N_SHARDS = 8
 
 
 @query(
-    "e20_global_shuffle_shards",
+    "qe20_global_shuffle_shards",
     oracle=f"""
 WITH keyed AS (
   SELECT doc_id,
@@ -501,7 +501,7 @@ ORDER BY shard, pos
 """,
     tags=("curation", "training"),
 )
-def e20_global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qe20_global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle into training shards: every document
     gets a (shard, position) from its md5 hash — shard by modulo,
     within-shard order by hash value — the dataloader-shuffling step
@@ -526,7 +526,7 @@ def e20_global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "e26_quality_signal_fusion",
+    "qe26_quality_signal_fusion",
     oracle=f"""
 WITH base AS (
   SELECT d.doc_id,
@@ -564,7 +564,7 @@ ORDER BY s.doc_id
 """,
     tags=("curation", "quality"),
 )
-def e26_quality_signal_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qe26_quality_signal_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-signal quality fusion by rank normalization: three raw
     signals on incompatible scales (lexical diversity, length, unigram
     logprob) each map to their corpus DECILE, and the fused score is
@@ -631,7 +631,7 @@ def e26_quality_signal_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "e27_source_divergence",
+    "qe27_source_divergence",
     oracle=f"""
 WITH sw AS (
   SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
@@ -656,7 +656,7 @@ ORDER BY sw.source
 """,
     tags=("curation", "diagnostics"),
 )
-def e27_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qe27_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jensen-Shannon divergence between each source's unigram
     distribution and the corpus distribution — the domain-shift audit
     that flags a source whose vocabulary usage departs from the mix
@@ -703,7 +703,7 @@ _PAD_LEN = 64  # fixed sequence length for the padding forecast
 
 
 @query(
-    "e33_padding_waste_forecast",
+    "qe33_padding_waste_forecast",
     oracle=f"""
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -719,7 +719,7 @@ ORDER BY source
 """,
     tags=("curation", "training"),
 )
-def e33_padding_waste_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qe33_padding_waste_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Padding-waste forecast for naive one-doc-per-sequence batching
     at a fixed 64-token length: tokens wasted on pad positions per
     source and the waste fraction — the number that justifies paying

@@ -684,7 +684,7 @@ def q69_neardup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "e22_neardup_local_structure",
+    "qe22_neardup_local_structure",
     oracle="""
 WITH shingles AS (
   SELECT DISTINCT doc_id, shingle
@@ -727,7 +727,7 @@ ORDER BY doc_id
 """,
     tags=("dedup", "graph"),
 )
-def e22_neardup_local_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qe22_neardup_local_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local structure of the near-dup graph: per-document degree,
     triangle membership, and local clustering coefficient — the
     node-level complement of q69's component histogram. High clustering
@@ -786,7 +786,7 @@ _BFS_MAX_DEPTH = 30  # diameter bound for the oracle's recursive CTE
 
 
 @query(
-    "e30_bfs_layers",
+    "qe30_bfs_layers",
     oracle=f"""
 WITH RECURSIVE
 shingles AS (
@@ -824,7 +824,7 @@ FROM bfs GROUP BY node ORDER BY doc_id
 """,
     tags=("dedup", "graph"),
 )
-def e30_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qe30_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BFS hop-distance labeling from the lowest-id document of the
     near-dup graph: how many similarity hops away is each reachable
     document — the transitive-chain audit behind "A matched B matched C

@@ -384,7 +384,7 @@ def qb35_interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
-    "e09_event_funnel",
+    "qe09_event_funnel",
     oracle=f"""
 WITH t1 AS (
   SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id
@@ -412,7 +412,7 @@ ORDER BY stage
 """,
     tags=("events", "funnel"),
 )
-def e09_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qe09_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel analysis: how many users progress view → click →
     purchase with STRICTLY increasing timestamps (a click before the
     first view does not count) — the product-analytics sequence-match
@@ -475,7 +475,7 @@ def e09_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "e10_dau_wau_stickiness",
+    "qe10_dau_wau_stickiness",
     oracle=f"""
 WITH daily AS (
   SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
@@ -498,7 +498,7 @@ ORDER BY d.week
 """,
     tags=("events", "engagement"),
 )
-def e10_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qe10_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engagement stickiness: average daily active users over weekly
     active users per week (the DAU/WAU ratio product teams track) —
     two distinct-user rollups at different grains joined back together.
@@ -529,7 +529,7 @@ def e10_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "e12_event_transition_matrix",
+    "qe12_event_transition_matrix",
     oracle=f"""
 WITH seq AS (
   SELECT user_id, event_type,
@@ -550,7 +550,7 @@ ORDER BY p.prev_type, p.next_type
 """,
     tags=("events", "analytics"),
 )
-def e12_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qe12_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over each user's event
     sequence: P(next event type | previous event type) — the behavioral
     fingerprint behind "what do users do after an error?" and the
@@ -590,7 +590,7 @@ _TS_DIST_T = 4.2  # z-normalized Euclidean threshold
 
 
 @query(
-    "e21_sax_similar_users",
+    "qe21_sax_similar_users",
     oracle=f"""
 WITH bounds AS (
   SELECT MIN(CAST(date_trunc('day', ts) AS DATE)) AS d0 FROM events
@@ -632,7 +632,7 @@ ORDER BY user_a, user_b
 """,
     tags=("events", "timeseries", "similarity"),
 )
-def e21_sax_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qe21_sax_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series similarity search with SAX blocking: each user's
     16-day activity series is z-normalized, PAA-compressed to 4
     segments, and discretized to a SAX word; only users sharing a word
@@ -716,7 +716,7 @@ def e21_sax_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "e23_ranking_cohorts",
+    "qe23_ranking_cohorts",
     oracle="""
 WITH cnt AS (
   SELECT user_id, event_type, COUNT(*) AS c
@@ -738,7 +738,7 @@ ORDER BY ranking
 """,
     tags=("events", "rankings"),
 )
-def e23_ranking_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qe23_ranking_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k ranking cohorts: users grouped by their top-3 event-type
     ranking (the exact-match blocking used in top-k rankings similarity
     joins — identical rankings are distance-zero, so signature grouping
@@ -779,7 +779,7 @@ def e23_ranking_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "e29_disorder_audit",
+    "qe29_disorder_audit",
     oracle=f"""
 WITH seq AS (
   SELECT user_id, event_id, epoch_us(ts) AS tus,
@@ -800,7 +800,7 @@ FROM flagged
 """,
     tags=("events", "streaming", "diagnostics"),
 )
-def e29_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qe29_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-disorder audit: treating event_id as ARRIVAL order, how
     often does an event carry an EVENT time earlier than something the
     same user already sent, and by how much — exactly the statistic
@@ -840,7 +840,7 @@ def e29_disorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "e32_time_to_convert",
+    "qe32_time_to_convert",
     oracle=f"""
 WITH t1 AS (
   SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id
@@ -864,7 +864,7 @@ FROM deltas
 """,
     tags=("events", "funnel"),
 )
-def e32_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qe32_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-to-convert distribution: for users completing the ordered
     view→click→purchase funnel (z09's min-ts chain), the latency from
     first view to qualifying purchase — the p50/p90 a growth team

@@ -143,7 +143,7 @@ def qc02_jsonl_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "e06_jsonl_sink_roundtrip",
+    "qe06_jsonl_sink_roundtrip",
     oracle="""
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -156,7 +156,7 @@ ORDER BY source
     tags=("source", "jsonl", "datasource", "sink"),
     bench=True,
 )
-def e06_jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qe06_jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both halves of the custom Python Data Source contract in one
     pass: documents → the `jsonl_docs` two-phase-commit WRITER
     (task-local temp shards, driver rename on commit, _SUCCESS

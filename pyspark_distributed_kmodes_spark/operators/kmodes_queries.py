@@ -65,8 +65,8 @@ def q72_kmodes_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("e16_kmodes_silhouette", oracle=None, tags=("kmodes", "ml"))
-def e16_kmodes_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qe16_kmodes_silhouette", oracle=None, tags=("kmodes", "ml"))
+def qe16_kmodes_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-quality validation for the fitted k-modes model: the
     mode-based silhouette report (ml/metrics.py) — per-cluster size,
     mean and min silhouette, plus the overall row (cluster = −1). The

@@ -345,7 +345,7 @@ def qb34_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "e07_forecast_revenue",
+    "qe07_forecast_revenue",
     oracle=f"""
 SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_lines
@@ -356,7 +356,7 @@ WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
 """,
     tags=("agg", "tpch"),
 )
-def e07_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qe07_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: the forecasting-revenue-change query — a pure
     scan-filter-aggregate with no joins, the canonical predicate-
     pushdown benchmark (all three filters must reach the parquet scan;
@@ -383,7 +383,7 @@ def e07_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "e08_top_supplier",
+    "qe08_top_supplier",
     oracle=f"""
 WITH rev AS (
   SELECT l_suppkey AS supplier_no,
@@ -401,7 +401,7 @@ ORDER BY s.s_suppkey
 """,
     tags=("join", "subquery", "tpch"),
 )
-def e08_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qe08_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: the top-supplier query — a revenue "view" over
     one quarter, then the suppliers whose revenue EQUALS the scalar
     maximum (Q15's correlated-max semantics keeps ties, unlike a
@@ -432,7 +432,7 @@ def e08_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "e11_cohort_ltv_triangle",
+    "qe11_cohort_ltv_triangle",
     oracle="""
 WITH cohort AS (
   SELECT o_custkey, CAST(MIN(year(o_orderdate)) AS INTEGER) AS cohort_year
@@ -458,7 +458,7 @@ ORDER BY cohort_year, age
 """,
     tags=("analytics", "cohort"),
 )
-def e11_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qe11_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort lifetime-value triangle: customers grouped by
     first-order year, each cohort's revenue tracked by account age,
     with the running LTV per customer — the revenue twin of b19's
@@ -509,7 +509,7 @@ def e11_cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "e19_yoy_priority_growth",
+    "qe19_yoy_priority_growth",
     oracle=f"""
 WITH monthly AS (
   SELECT o_orderpriority,
@@ -532,7 +532,7 @@ ORDER BY m.o_orderpriority, m.month_start
 """,
     tags=("agg", "timeseries"),
 )
-def e19_yoy_priority_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qe19_yoy_priority_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Year-over-year revenue growth per order priority: monthly
     rollup self-joined to its own month twelve months earlier — the
     calendar-exact form (a lag(12) window silently compares wrong
@@ -584,7 +584,7 @@ _BASKET_MIN = 100  # minimum co-occurrence count for a reported pair
 
 
 @query(
-    "e24_brand_basket_lift",
+    "qe24_brand_basket_lift",
     oracle=f"""
 WITH ob AS (
   SELECT DISTINCT l.l_orderkey, p.p_brand
@@ -611,7 +611,7 @@ ORDER BY pr.brand_a, pr.brand_b
 """,
     tags=("analytics", "basket"),
 )
-def e24_brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qe24_brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association mining over order contents: for every
     brand pair co-purchased in at least {_BASKET_MIN} orders, the
     support, confidence (A→B), and lift — the frequent-itemset
@@ -663,7 +663,7 @@ def e24_brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "e31_weekly_ohlc",
+    "qe31_weekly_ohlc",
     oracle="""
 WITH o AS (
   SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
@@ -688,7 +688,7 @@ ORDER BY r.week
 """,
     tags=("agg", "timeseries"),
 )
-def e31_weekly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qe31_weekly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly OHLC (open/high/low/close + volume) over order values —
     the candlestick aggregation every time-series store ships, done
     with tie-safe positional extremes: open/close come from

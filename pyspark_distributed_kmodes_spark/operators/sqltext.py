@@ -41,8 +41,8 @@ ORDER BY o_year, rk, nation
 """
 
 
-@query("e13_sql_top_nations", oracle=_TOP_NATIONS_SQL, tags=("sql", "tpch"))
-def e13_sql_top_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qe13_sql_top_nations", oracle=_TOP_NATIONS_SQL, tags=("sql", "tpch"))
+def qe13_sql_top_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 revenue nations per order year — executed via `spark.sql`
     with the IDENTICAL text the DuckDB oracle runs (see module
     docstring). Proves the SQL API end of the engine: a user can paste

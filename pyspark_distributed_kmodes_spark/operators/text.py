@@ -880,8 +880,8 @@ def qb33_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("e28_compression_quality", oracle=None, tags=("text", "quality"))
-def e28_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qe28_compression_quality", oracle=None, tags=("text", "quality"))
+def qe28_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression-ratio quality proxy: deflate each document and
     report compressed/raw size per source — the classic "too
     compressible = templated/repetitive, incompressible = random

@@ -408,7 +408,7 @@ UNK_ID = 100
 
 
 @query(
-    "b14_tokenize_ids",
+    "qb14_tokenize_ids",
     oracle=f"""
 WITH words AS (
   SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' ')) + 1),
@@ -430,7 +430,7 @@ ORDER BY w.doc_id
 """,
     tags=("training", "text"),
 )
-def b14_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qb14_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary tokenization: build the top-{VOCAB_SIZE} word vocab
     (rank by corpus frequency, deterministic tie-break), map every
     document to its token-id sequence with OOV → UNK — the final step

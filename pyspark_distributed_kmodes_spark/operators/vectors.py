@@ -612,8 +612,8 @@ def qb30_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("e15_pca_variance", oracle=None, tags=("vector", "ml"))
-def e15_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qe15_pca_variance", oracle=None, tags=("vector", "ml"))
+def qe15_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA variance report: fit 8 components over the
     embedding corpus (ml/pca.py — per-batch d×d covariance partials,
     driver eigendecomposition) and report each component's eigenvalue

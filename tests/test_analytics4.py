@@ -19,7 +19,7 @@ def reg():
 def test_pagerank_mass_conservation(spark, sf_dir, reg):
     """With no dangling nodes (every near-dup node has degree >= 1),
     total PageRank mass stays 1 per iteration up to pround(9) noise."""
-    rows = reg["d01_neardup_pagerank"].fn(spark, sf_dir).collect()
+    rows = reg["qd01_neardup_pagerank"].fn(spark, sf_dir).collect()
     assert rows, "near-dup graph is non-empty at sf0.001"
     total = sum(r.pagerank for r in rows)
     assert abs(total - 1.0) < 1e-4, total
@@ -38,7 +38,7 @@ def test_watermark_prefix_scan_equals_global_window(spark, sf_dir, reg):
 
     got = {
         (r.hour_start, r.event_type): r.n_kept
-        for r in reg["d03_watermark_batch_twin"].fn(spark, sf_dir).collect()
+        for r in reg["qd03_watermark_batch_twin"].fn(spark, sf_dir).collect()
     }
     e = table(spark, sf_dir, "events")
     w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
@@ -69,12 +69,12 @@ def test_pareto_frontier_equals_bruteforce(spark, sf_dir, reg):
         for p in pts
         if not any(q.x > p.x and q.y > p.y for q in pts)
     )
-    got = sorted(r.doc_id for r in reg["d06_pareto_frontier"].fn(spark, sf_dir).collect())
+    got = sorted(r.doc_id for r in reg["qd06_pareto_frontier"].fn(spark, sf_dir).collect())
     assert got == expected
 
 
 def test_interval_coalesce_invariants(spark, sf_dir, reg):
-    rows = reg["d05_interval_coalesce"].fn(spark, sf_dir).collect()
+    rows = reg["qd05_interval_coalesce"].fn(spark, sf_dir).collect()
     assert rows
     pad = 300_000_000
     for r in rows:
@@ -85,7 +85,7 @@ def test_interval_coalesce_invariants(spark, sf_dir, reg):
 
 
 def test_rolling_anomaly_flag_consistency(spark, sf_dir, reg):
-    rows = reg["d14_rolling_anomaly"].fn(spark, sf_dir).collect()
+    rows = reg["qd14_rolling_anomaly"].fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
         # away from the 2.0 boundary the flag must agree with the score
@@ -96,7 +96,7 @@ def test_rolling_anomaly_flag_consistency(spark, sf_dir, reg):
 def test_column_profile_matches_direct_counts(spark, sf_dir, reg):
     from pyspark_distributed_kmodes_spark.sources.tables import table
 
-    got = {r.col_name: r for r in reg["d16_column_profile"].fn(spark, sf_dir).collect()}
+    got = {r.col_name: r for r in reg["qd16_column_profile"].fn(spark, sf_dir).collect()}
     o = table(spark, sf_dir, "orders")
     n = o.count()
     for c in ("o_orderkey", "o_orderstatus"):
@@ -108,12 +108,12 @@ def test_column_profile_matches_direct_counts(spark, sf_dir, reg):
 @pytest.mark.parametrize(
     "key",
     [
-        "d09_gini_concentration",
-        "d13_spearman_rank",
-        "d10_ks_two_sample",
+        "qd09_gini_concentration",
+        "qd13_spearman_rank",
+        "qd10_ks_two_sample",
         # iterative graph ops: pround+DECIMAL-summed contributions must
         # make the fixpoint independent of partitioning too
-        "d01_neardup_pagerank",
+        "qd01_neardup_pagerank",
         "f04_harmonic_centrality",
     ],
 )
@@ -131,14 +131,14 @@ def test_rank_stats_partitioning_invariant(spark, sf_dir, reg, key, monkeypatch)
 
 
 def test_spearman_bounds_and_perfect_correlation(spark, reg, sf_dir):
-    rows = reg["d13_spearman_rank"].fn(spark, sf_dir).collect()
+    rows = reg["qd13_spearman_rank"].fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert -1.0 - 1e-9 <= r.spearman_rho <= 1.0 + 1e-9
 
 
 def test_wilson_interval_brackets_rate(spark, sf_dir, reg):
-    rows = reg["d15_duprate_wilson"].fn(spark, sf_dir).collect()
+    rows = reg["qd15_duprate_wilson"].fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert 0.0 <= r.wilson_lo <= r.dup_rate + 1e-9
@@ -155,7 +155,7 @@ def test_gini_matches_numpy_reference(spark, sf_dir, reg):
 
     from pyspark_distributed_kmodes_spark.sources.tables import table
 
-    got = {r.source: r.gini for r in reg["d09_gini_concentration"].fn(spark, sf_dir).collect()}
+    got = {r.source: r.gini for r in reg["qd09_gini_concentration"].fn(spark, sf_dir).collect()}
     d = table(spark, sf_dir, "documents").select(
         "source", F.size(F.split("text", " ")).alias("nw")
     )
@@ -177,7 +177,7 @@ def test_ks_matches_numpy_reference(spark, sf_dir, reg):
 
     from pyspark_distributed_kmodes_spark.sources.tables import table
 
-    row = reg["d10_ks_two_sample"].fn(spark, sf_dir).collect()[0]
+    row = reg["qd10_ks_two_sample"].fn(spark, sf_dir).collect()[0]
     d = table(spark, sf_dir, "documents").select("source", "n_chars").collect()
     a = np.sort([r.n_chars for r in d if r.source == "src0"])
     b = np.sort([r.n_chars for r in d if r.source == "src1"])
@@ -210,7 +210,7 @@ def test_spearman_matches_numpy_reference(spark, sf_dir, reg):
             i = j + 1
         return ranks
 
-    got = {r.source: r.spearman_rho for r in reg["d13_spearman_rank"].fn(spark, sf_dir).collect()}
+    got = {r.source: r.spearman_rho for r in reg["qd13_spearman_rank"].fn(spark, sf_dir).collect()}
     d = table(spark, sf_dir, "documents").select(
         "source", "n_chars", F.size(F.array_distinct(F.split("text", " "))).alias("nd")
     )

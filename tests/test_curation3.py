@@ -18,11 +18,11 @@ def test_z01_matches_local_reimplementation(spark):
 
     from pyspark_distributed_kmodes_spark.operators.curation3 import (
         _SAMPLE_K,
-        e01_weighted_reservoir_sample,
+        qe01_weighted_reservoir_sample,
     )
     from pyspark_distributed_kmodes_spark.sources.tables import table
 
-    rows = e01_weighted_reservoir_sample(spark, SF).collect()
+    rows = qe01_weighted_reservoir_sample(spark, SF).collect()
     docs = table(spark, SF, "documents").select("lang", "doc_id", "text").collect()
     by_lang = {}
     for r in docs:
@@ -39,12 +39,12 @@ def test_z01_matches_local_reimplementation(spark):
 def test_z01_partitioning_invariant(spark):
     """Sample selection must not change with input partitioning."""
     from pyspark_distributed_kmodes_spark.operators.curation3 import (
-        e01_weighted_reservoir_sample,
+        qe01_weighted_reservoir_sample,
     )
 
-    a = e01_weighted_reservoir_sample(spark, SF).collect()
+    a = qe01_weighted_reservoir_sample(spark, SF).collect()
     # run again (fresh plan) — deterministic output regardless of plan
-    b = e01_weighted_reservoir_sample(spark, SF).repartition(7).orderBy("lang", "rk").collect()
+    b = qe01_weighted_reservoir_sample(spark, SF).repartition(7).orderBy("lang", "rk").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in sorted(b, key=lambda r: (r.lang, r.rk))]
 
 
@@ -67,7 +67,7 @@ def test_z02_subset_doc_has_containment_one(spark):
     import unittest.mock as mock
 
     with mock.patch.object(m, "table", lambda spark, sf, name: d):
-        rows = m.e02_containment_pairs(spark, "ignored").collect()
+        rows = m.qe02_containment_pairs(spark, "ignored").collect()
     got = {(r.doc_a, r.doc_b): r.containment for r in rows}
     assert got.get((2, 1)) == 1.0
     # doc 1 is NOT contained in doc 2 (only 2/4 of its shingles match)
@@ -78,10 +78,10 @@ def test_z02_subset_doc_has_containment_one(spark):
 def test_z03_oov_accounting(spark):
     """OOV counts are bounded by token counts and the global token sum
     matches the corpus."""
-    from pyspark_distributed_kmodes_spark.operators.curation3 import e03_oov_rate
+    from pyspark_distributed_kmodes_spark.operators.curation3 import qe03_oov_rate
     from pyspark_distributed_kmodes_spark.sources.tables import table
 
-    rows = e03_oov_rate(spark, SF).collect()
+    rows = qe03_oov_rate(spark, SF).collect()
     total = (
         table(spark, SF, "documents")
         .select(F.explode(F.split("text", " ")).alias("w"))
@@ -98,11 +98,11 @@ def test_z04_rare_strata_below_threshold(spark):
     below-threshold stratum is missing."""
     from pyspark_distributed_kmodes_spark.operators.curation3 import (
         _MIN_STRATUM,
-        e04_rare_strata_audit,
+        qe04_rare_strata_audit,
     )
     from pyspark_distributed_kmodes_spark.sources.tables import table
 
-    rows = e04_rare_strata_audit(spark, SF).collect()
+    rows = qe04_rare_strata_audit(spark, SF).collect()
     truth = {
         (r.lang, r.source): r.n
         for r in table(spark, SF, "documents")
@@ -117,10 +117,10 @@ def test_z04_rare_strata_below_threshold(spark):
 def test_z05_pearson_in_bounds(spark):
     """Pearson r lies in [-1, 1] for every source."""
     from pyspark_distributed_kmodes_spark.operators.curation3 import (
-        e05_length_quality_corr,
+        qe05_length_quality_corr,
     )
 
-    rows = e05_length_quality_corr(spark, SF).collect()
+    rows = qe05_length_quality_corr(spark, SF).collect()
     assert len(rows) > 0
     for r in rows:
         assert -1.0 - 1e-9 <= r.pearson_r <= 1.0 + 1e-9
@@ -138,11 +138,11 @@ def test_z28_compression_separates_repetition(spark):
     ]
     d = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
     with mock.patch.object(m, "table", lambda spark, sf, name: d):
-        got = {r.source: r.avg_ratio for r in m.e28_compression_quality(spark, "x").collect()}
+        got = {r.source: r.avg_ratio for r in m.qe28_compression_quality(spark, "x").collect()}
         d7 = d.repartition(7)
         with mock.patch.object(m, "table", lambda spark, sf, name: d7):
             got7 = {
-                r.source: r.avg_ratio for r in m.e28_compression_quality(spark, "x").collect()
+                r.source: r.avg_ratio for r in m.qe28_compression_quality(spark, "x").collect()
             }
     assert got["rep"] < 0.05  # near-total compression
     assert got["div"] > 0.2  # diverse text resists

@@ -34,7 +34,7 @@ def test_funnel_requires_strict_order(spark):
     ]
     d = spark.createDataFrame(rows, "user_id bigint, event_type string, ts timestamp")
     with mock.patch.object(m, "table", lambda spark, sf, name: d):
-        got = {r.stage: (r.event_type, r.n_users) for r in m.e09_event_funnel(spark, "x").collect()}
+        got = {r.stage: (r.event_type, r.n_users) for r in m.qe09_event_funnel(spark, "x").collect()}
     assert got[1] == ("view", 4)  # u1 u2 u3 u5
     assert got[2] == ("click", 2)  # u1 (5>0), u3 (5>0); u2's click too early, u5 tie
     assert got[3] == ("purchase", 1)  # u1 only (u3's purchase precedes click)

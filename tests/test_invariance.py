@@ -17,11 +17,11 @@ QUERIES = [
     "qb12_unigram_logprob",  # decimal-sum of per-word logprobs
     "qc09_token_budget_allocation",  # integer largest-remainder bookkeeping
     "qc13_label_cohesion",  # decimal zip_with folds over broadcast centroids
-    "e01_weighted_reservoir_sample",  # hash-keyed sampling, WindowGroupLimit
-    "e14_quality_constraints",  # single-scan fused violation counts
-    "e17_spend_deciles",  # percentile-boundary binning
-    "e21_sax_similar_users",  # binary-exact z-norm/SAX chain
-    "e26_quality_signal_fusion",  # decile fusion over three signals
+    "qe01_weighted_reservoir_sample",  # hash-keyed sampling, WindowGroupLimit
+    "qe14_quality_constraints",  # single-scan fused violation counts
+    "qe17_spend_deciles",  # percentile-boundary binning
+    "qe21_sax_similar_users",  # binary-exact z-norm/SAX chain
+    "qe26_quality_signal_fusion",  # decile fusion over three signals
 ]
 
 

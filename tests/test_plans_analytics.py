@@ -47,18 +47,18 @@ def test_d03_no_global_window_over_events(spark, sf_dir):
     per-block maxima (#events / 1024 rows), never over raw events: the
     plan has exactly one empty-partition Window, and it sits above the
     block-max aggregation, not the scan."""
-    plan = _plan(spark, sf_dir, "d03_watermark_batch_twin")
+    plan = _plan(spark, sf_dir, "qd03_watermark_batch_twin")
     assert _global_row_windows(plan) == 1, plan
 
 
 def test_d04_linkage_no_cartesian(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "d04_record_linkage")
+    plan = _plan(spark, sf_dir, "qd04_record_linkage")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_d05_interval_windows_are_user_partitioned(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "d05_interval_coalesce")
+    plan = _plan(spark, sf_dir, "qd05_interval_coalesce")
     assert _global_row_windows(plan) == 0, plan
 
 
@@ -66,13 +66,13 @@ def test_d06_skyline_global_window_only_on_candidates(spark, sf_dir):
     """Phase-2's exact sweep is the only global window (bounded
     candidate set); phase-1 pruning adds one more over bucket maxima —
     both run over tiny inputs, and there is no all-pairs join."""
-    plan = _plan(spark, sf_dir, "d06_pareto_frontier")
+    plan = _plan(spark, sf_dir, "qd06_pareto_frontier")
     assert "CartesianProduct" not in plan
     assert _global_row_windows(plan) <= 2, plan
 
 
 def test_d09_gini_rank_window_is_source_partitioned(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "d09_gini_concentration")
+    plan = _plan(spark, sf_dir, "qd09_gini_concentration")
     assert _global_row_windows(plan) == 0, plan
 
 

@@ -9,9 +9,9 @@ from pyspark_distributed_kmodes_spark.operators.curation2 import (
     qc14_zipf_slope,
 )
 from pyspark_distributed_kmodes_spark.operators.curation3 import (
-    e01_weighted_reservoir_sample,
-    e02_containment_pairs,
-    e03_oov_rate,
+    qe01_weighted_reservoir_sample,
+    qe02_containment_pairs,
+    qe03_oov_rate,
 )
 from pyspark_distributed_kmodes_spark.plans.inspect import (
     formatted_plan,
@@ -30,8 +30,8 @@ def test_c13_centroids_broadcast(spark, sf_dir):
 def test_z03_vocab_broadcast(spark, sf_dir):
     """The k-row vocabulary joins broadcast-side; token rows must not
     shuffle for the membership probe."""
-    plan = formatted_plan(e03_oov_rate(spark, sf_dir))
-    assert has_broadcast_join(e03_oov_rate(spark, sf_dir))
+    plan = formatted_plan(qe03_oov_rate(spark, sf_dir))
+    assert has_broadcast_join(qe03_oov_rate(spark, sf_dir))
     assert "CartesianProduct" not in plan
 
 
@@ -39,7 +39,7 @@ def test_z01_topk_group_limit_pushdown(spark, sf_dir):
     """The per-language rank filter must compile to WindowGroupLimit
     (partial top-k BEFORE the shuffle) over a lang-partitioned window —
     never a global sort."""
-    plan = formatted_plan(e01_weighted_reservoir_sample(spark, sf_dir))
+    plan = formatted_plan(qe01_weighted_reservoir_sample(spark, sf_dir))
     assert "WindowGroupLimit" in plan
     assert "hashpartitioning(lang" in plan
 
@@ -63,7 +63,7 @@ def test_pair_joins_are_equi_not_cartesian(spark, sf_dir):
     """Both pair detectors meet rows ONLY on equal shingle/fingerprint
     keys; the only nested-loop join allowed is c08's |sources|²
     matrix, which is built from the tiny per-source aggregate."""
-    assert "CartesianProduct" not in formatted_plan(e02_containment_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in formatted_plan(qe02_containment_pairs(spark, sf_dir))
     c08 = formatted_plan(qc08_source_overlap_matrix(spark, sf_dir))
     assert "CartesianProduct" not in c08
 
@@ -73,8 +73,8 @@ def test_z07_filters_pushed_to_scan(spark, sf_dir):
     predicates must reach the parquet scan, and the read schema must
     prune to the four referenced columns."""
     from pyspark_distributed_kmodes_spark.operators.relational4 import (
-        e07_forecast_revenue,
-        e08_top_supplier,
+        qe07_forecast_revenue,
+        qe08_top_supplier,
     )
     from pyspark_distributed_kmodes_spark.plans.inspect import (
         formatted_plan,
@@ -82,13 +82,13 @@ def test_z07_filters_pushed_to_scan(spark, sf_dir):
         read_schema,
     )
 
-    pf = pushed_filters(e07_forecast_revenue(spark, sf_dir))
+    pf = pushed_filters(qe07_forecast_revenue(spark, sf_dir))
     assert "l_shipdate" in pf and "l_quantity" in pf and "l_discount" in pf
-    rs = read_schema(e07_forecast_revenue(spark, sf_dir))
+    rs = read_schema(qe07_forecast_revenue(spark, sf_dir))
     assert "l_extendedprice" in rs and "l_comment" not in rs and "l_orderkey" not in rs
 
-    plan = formatted_plan(e08_top_supplier(spark, sf_dir))
-    assert "l_shipdate" in pushed_filters(e08_top_supplier(spark, sf_dir))
+    plan = formatted_plan(qe08_top_supplier(spark, sf_dir))
+    assert "l_shipdate" in pushed_filters(qe08_top_supplier(spark, sf_dir))
     assert "CartesianProduct" not in plan
 
 
@@ -96,9 +96,9 @@ def test_z21_sax_join_is_equi(spark, sf_dir):
     """The SAX PAIR join must be a hash join on the word (users meet
     only on equal words). The 1-row corpus-start bound broadcasts as a
     nested-loop by design — assert nothing user-sized does."""
-    from pyspark_distributed_kmodes_spark.operators.events import e21_sax_similar_users
+    from pyspark_distributed_kmodes_spark.operators.events import qe21_sax_similar_users
 
-    plan = formatted_plan(e21_sax_similar_users(spark, sf_dir))
+    plan = formatted_plan(qe21_sax_similar_users(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # the word-keyed pair join
     # the only nested-loop inputs are the 1-row date bound (d0)
@@ -111,9 +111,9 @@ def test_z21_sax_join_is_equi(spark, sf_dir):
 def test_z17_no_global_sort_window(spark, sf_dir):
     """Decile binning must not compile to a single-partition window:
     boundaries come from an aggregate, not ntile's global ORDER BY."""
-    from pyspark_distributed_kmodes_spark.operators.curation3 import e17_spend_deciles
+    from pyspark_distributed_kmodes_spark.operators.curation3 import qe17_spend_deciles
 
-    plan = formatted_plan(e17_spend_deciles(spark, sf_dir))
+    plan = formatted_plan(qe17_spend_deciles(spark, sf_dir))
     assert "Window" not in plan  # no window operator at all
     assert "CartesianProduct" not in plan
 
@@ -121,7 +121,7 @@ def test_z17_no_global_sort_window(spark, sf_dir):
 def test_z24_marginals_broadcast(spark, sf_dir):
     """Basket-lift marginal tables join broadcast-side; the only
     shuffling join is the basket-keyed pair join."""
-    from pyspark_distributed_kmodes_spark.operators.relational4 import e24_brand_basket_lift
+    from pyspark_distributed_kmodes_spark.operators.relational4 import qe24_brand_basket_lift
 
-    assert has_broadcast_join(e24_brand_basket_lift(spark, sf_dir))
-    assert "CartesianProduct" not in formatted_plan(e24_brand_basket_lift(spark, sf_dir))
+    assert has_broadcast_join(qe24_brand_basket_lift(spark, sf_dir))
+    assert "CartesianProduct" not in formatted_plan(qe24_brand_basket_lift(spark, sf_dir))

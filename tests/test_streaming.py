@@ -352,7 +352,7 @@ def test_stateful_funnel_stream_matches_batch(spark, sf_dir):
 
     from pyspark.sql import functions as F
 
-    from pyspark_distributed_kmodes_spark.operators.events import e09_event_funnel
+    from pyspark_distributed_kmodes_spark.operators.events import qe09_event_funnel
     from pyspark_distributed_kmodes_spark.sources.tables import table
     from pyspark_distributed_kmodes_spark.streaming.jobs import funnel_stream
 
@@ -388,7 +388,7 @@ def test_stateful_funnel_stream_matches_batch(spark, sf_dir):
     stream_counts = {
         k: sum(1 for r in final if r.stage >= k) for k in (1, 2, 3)
     }
-    batch = {r.stage: r.n_users for r in e09_event_funnel(spark, sf_dir).collect()}
+    batch = {r.stage: r.n_users for r in qe09_event_funnel(spark, sf_dir).collect()}
     assert stream_counts == {1: batch[1], 2: batch[2], 3: batch[3]}
     shutil.rmtree(src, ignore_errors=True)
 

@@ -48,13 +48,13 @@ PROBE_QUERIES = [
     "qc06_logprob_quality_tiers",
     "qc11_shingle_novelty",
     "qc13_label_cohesion",
-    "e01_weighted_reservoir_sample",
-    "e03_oov_rate",
-    "d01_neardup_pagerank",
-    "d03_watermark_batch_twin",
-    "d05_interval_coalesce",
-    "d06_pareto_frontier",
-    "d15_duprate_wilson",
+    "qe01_weighted_reservoir_sample",
+    "qe03_oov_rate",
+    "qd01_neardup_pagerank",
+    "qd03_watermark_batch_twin",
+    "qd05_interval_coalesce",
+    "qd06_pareto_frontier",
+    "qd15_duprate_wilson",
     "f02_bigram_lm_logprob",
     "f04_harmonic_centrality",
     "f08_sliding_dau",
