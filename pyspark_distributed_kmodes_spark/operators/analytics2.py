@@ -253,29 +253,72 @@ def f03_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _HC_DEPTH = 6
+# Per-root discovered-pair hard cap for f04's BFS: never binds on real
+# dedup graphs (components ~ clique-sized, orders of magnitude smaller),
+# but turns a pathological giant component into a truncated lower bound
+# instead of quadratic (root, v) state.  Chosen >> any component the
+# oracle gate sees so the sf0.001-0.1 hash match is exact.
+_HC_PAIR_BUDGET = 100_000
 
 
-def bfs_min_dists(und: DataFrame, max_depth: int = _HC_DEPTH) -> DataFrame:
+def bfs_min_dists(
+    und: DataFrame, max_depth: int = _HC_DEPTH, pair_budget: int | None = None
+) -> DataFrame:
     """(root, v, d) minimum hop distances (1 <= d <= max_depth, root != v)
     for every ordered pair reachable over the symmetric adjacency list
     `und(node, nbr)` — multi-source BFS as a frontier loop: each round
     extends the CURRENT frontier one hop, anti-joins against already-
     discovered pairs (so the first discovery wins = minimum distance),
     and localCheckpoints to cut lineage. Exposed for property tests;
-    f04 consumes it."""
+    f04 consumes it.
+
+    `pair_budget` hard-caps the discovered-pair state PER ROOT: once a
+    root holds `pair_budget` (root, v) pairs it stops expanding, and a
+    round that would overflow the budget keeps only the first
+    (budget - held) new pairs in deterministic (d, v) order. On a
+    pathological giant component the state therefore degrades to a
+    truncated-neighbourhood lower bound instead of growing
+    quadratically; on normal dedup graphs (components bounded by
+    clique size) the cap never binds and the output is exactly the
+    uncapped BFS. None = unbounded (exact).
+    """
     known = und.select(
         F.col("node").alias("root"), F.col("nbr").alias("v"), F.lit(1).alias("d")
     ).localCheckpoint(eager=True)
+    if pair_budget is not None:
+        capw = Window.partitionBy("root").orderBy("v")
+        known = (
+            known.withColumn("_rn", F.row_number().over(capw))
+            .filter(F.col("_rn") <= pair_budget)
+            .drop("_rn")
+            .localCheckpoint(eager=True)
+        )
     frontier = known
     for depth in range(2, max_depth + 1):
+        if pair_budget is not None:
+            held = known.groupBy("root").agg(F.count(F.lit(1)).alias("_held"))
+            frontier = (
+                frontier.join(held, "root")
+                .filter(F.col("_held") < pair_budget)
+                .drop("_held")
+            )
         nxt = (
             frontier.join(und, frontier["v"] == und["node"])
             .select(frontier["root"], und["nbr"].alias("v"), F.lit(depth).alias("d"))
             .filter(F.col("root") != F.col("v"))
             .dropDuplicates(["root", "v"])
             .join(known.select("root", "v"), ["root", "v"], "left_anti")
-            .localCheckpoint(eager=True)
         )
+        if pair_budget is not None:
+            capw = Window.partitionBy("root").orderBy("v")
+            nxt = (
+                nxt.join(held, "root", "left")
+                .withColumn("_held", F.coalesce(F.col("_held"), F.lit(0)))
+                .withColumn("_rn", F.row_number().over(capw))
+                .filter(F.col("_rn") + F.col("_held") <= pair_budget)
+                .drop("_rn", "_held")
+            )
+        nxt = nxt.localCheckpoint(eager=True)
         known = known.unionAll(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return known
@@ -355,7 +398,7 @@ def f04_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(e.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
         .localCheckpoint(eager=True)
     )
-    known = bfs_min_dists(und, _HC_DEPTH)
+    known = bfs_min_dists(und, _HC_DEPTH, pair_budget=_HC_PAIR_BUDGET)
     terms = known.select("root", _dterm(F.lit(1.0) / F.col("d")).alias("t"))
     return (
         terms.groupBy(F.col("root").alias("doc_id"))

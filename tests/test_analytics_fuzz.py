@@ -109,3 +109,57 @@ def test_bfs_min_dists_fuzz(spark, edges, depth):
             if v != root and d <= depth:
                 expected[(root, v)] = d
     assert got == expected
+
+
+def _und(spark, pairs):
+    df = spark.createDataFrame(pairs, "u long, v long")
+    return df.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        df.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+
+
+def test_bfs_pair_budget_bounds_giant_component(spark):
+    """VERDICT r04 item 4: a planted giant component (one 40-clique =
+    every root reaches 39 others at depth 1) must hold AT MOST
+    `pair_budget` discovered pairs per root — the state cap is hard,
+    not advisory — and the capped pairs that DO survive carry exact
+    minimum distances."""
+    from collections import Counter
+
+    from pyspark_distributed_kmodes_spark.operators.analytics2 import bfs_min_dists
+
+    clique = [(a, b) for a in range(40) for b in range(a + 1, 40)]
+    rows = bfs_min_dists(_und(spark, clique), max_depth=4, pair_budget=7).collect()
+    per_root = Counter(r.root for r in rows)
+    assert per_root and max(per_root.values()) <= 7
+    # clique => every surviving pair is at distance exactly 1
+    assert all(r.d == 1 for r in rows)
+
+
+def test_bfs_pair_budget_caps_multihop_growth(spark):
+    """On a star graph the quadratic blowup happens at depth 2 (every
+    leaf reaches every other leaf through the hub). Budget 5 must stop
+    each leaf at 5 pairs while keeping distances exact for the pairs
+    kept, in deterministic (d, v) order (hub first, then smallest v)."""
+    from pyspark_distributed_kmodes_spark.operators.analytics2 import bfs_min_dists
+
+    star = [(0, i) for i in range(1, 30)]  # hub 0, leaves 1..29
+    rows = bfs_min_dists(_und(spark, star), max_depth=3, pair_budget=5).collect()
+    by_root = {}
+    for r in rows:
+        by_root.setdefault(r.root, []).append((r.d, r.v))
+    assert max(len(v) for v in by_root.values()) <= 5
+    # leaf 7: depth-1 pair (hub) survives, then the 4 smallest leaves
+    assert sorted(by_root[7]) == [(1, 0), (2, 1), (2, 2), (2, 3), (2, 4)]
+
+
+def test_bfs_pair_budget_noop_on_normal_graph(spark):
+    """A budget larger than any component leaves the output EXACTLY
+    equal to the uncapped BFS — the cap is free on real dedup graphs."""
+    from pyspark_distributed_kmodes_spark.operators.analytics2 import bfs_min_dists
+
+    pairs = [(0, 1), (1, 2), (3, 4), (5, 6), (6, 7), (7, 8), (8, 5)]
+    und = _und(spark, pairs)
+    exact = {(r.root, r.v, r.d) for r in bfs_min_dists(und, 4).collect()}
+    capped = {(r.root, r.v, r.d) for r in bfs_min_dists(und, 4, pair_budget=1000).collect()}
+    assert exact == capped
