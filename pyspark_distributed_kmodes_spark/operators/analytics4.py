@@ -507,3 +507,444 @@ def g10_repetition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# g04/g05 — engine-portable md5 MinHash (k=8, 4 bands x 2 rows)
+
+_MH_K = 8
+_MH_BANDS = 4
+
+
+def _mh_mins(shingles: DataFrame) -> DataFrame:
+    """(doc_id, h0..h7): md5-fold minhash signature over a (doc_id,
+    shingle) DataFrame — ONE groupBy computes all k mins. md5 (not
+    xxhash64) so DuckDB can replicate the signature bit-for-bit; q63's
+    production path keeps the cheaper xxhash64."""
+    mins = [
+        F.min(_md5fold(F.concat_ws("#", F.col("shingle"), F.lit(str(i))))).alias(f"h{i}")
+        for i in range(_MH_K)
+    ]
+    return shingles.groupBy("doc_id").agg(*mins)
+
+
+def _sql_mh_mins(src: str = "shingles") -> str:
+    mins = ", ".join(
+        "MIN({fold}) AS h{i}".format(fold=_sql_md5fold("shingle || '#%d'" % i), i=i)
+        for i in range(_MH_K)
+    )
+    return f"SELECT doc_id, {mins} FROM {src} GROUP BY doc_id"
+
+
+def _doc_shingles(d: DataFrame) -> DataFrame:
+    """Distinct word-trigram shingles, the _SHINGLE_CTE mirror."""
+    words = F.split("text", " ")
+    n = F.size(words)
+    grams = F.when(
+        n >= 3,
+        F.transform(F.sequence(F.lit(1), n - 2), lambda i: F.array_join(F.slice(words, i, 3), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    return spread(d, "doc_id").select("doc_id", F.explode(grams).alias("shingle")).distinct()
+
+
+@query(
+    "g04_lsh_recall_audit",
+    oracle=f"""
+WITH {_SHINGLE_CTE}, {_EDGE_TAIL},
+truth AS (
+  SELECT p.u AS doc_a, p.v AS doc_b FROM pairs p
+  JOIN sizes sa ON sa.doc_id = p.u
+  JOIN sizes sb ON sb.doc_id = p.v
+  WHERE CAST(p.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - p.n_common) >= 0.5
+), sigs AS (
+  {_sql_mh_mins()}
+), banded AS (
+  SELECT doc_id,
+         unnest([CAST(h0 AS VARCHAR) || ',' || CAST(h1 AS VARCHAR) || '|0',
+                 CAST(h2 AS VARCHAR) || ',' || CAST(h3 AS VARCHAR) || '|1',
+                 CAST(h4 AS VARCHAR) || ',' || CAST(h5 AS VARCHAR) || '|2',
+                 CAST(h6 AS VARCHAR) || ',' || CAST(h7 AS VARCHAR) || '|3']) AS bucket
+  FROM sigs
+), cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+), hits AS (
+  SELECT t.doc_a FROM truth t JOIN cands c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+)
+SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true_pairs,
+       CAST((SELECT COUNT(*) FROM cands) AS BIGINT) AS n_candidates,
+       CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_hits,
+       {sql_pround("CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN 1.0 "
+                   "ELSE CAST((SELECT COUNT(*) FROM hits) AS DOUBLE) / (SELECT COUNT(*) FROM truth) END", 6)} AS recall
+""",
+    tags=("dedup", "approx", "audit"),
+)
+def g04_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-GATED LSH recall audit (round-4 verdict item: convert the
+    LSH prop rows to oracle-checked): an md5-based MinHash+LSH pipeline
+    ({_MH_K} hashes, {_MH_BANDS} bands of 2) whose banding candidates
+    are measured against the EXACT Jaccard >= 0.5 truth set, emitting
+    the true recall as a driver-hashable scalar. Both engines compute
+    the identical signature (md5 is portable; xxhash64 is not), so the
+    recall number itself is oracle-verified — not just property-tested
+    as q63/q61 are.
+
+    Scale: truth side is the inverted-index exact join (bounded by
+    shared shingles); candidate side is the standard band groupBy; the
+    audit compares two bounded pair sets. At production scale this runs
+    on a SAMPLE of the corpus as a recall regression check; banding
+    math (recall ~= 1-(1-j^2)^4 here) transfers to the xxhash64 path
+    unchanged since both hash families are uniform.
+    """
+    from pyspark_distributed_kmodes_spark.operators.text import ngram_jaccard_pairs
+
+    d = table(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(d, threshold=0.5).select("doc_a", "doc_b")
+    sigs = _mh_mins(_doc_shingles(d)).localCheckpoint(eager=True)
+    bucket = F.explode(
+        F.array(
+            *[
+                F.concat_ws(
+                    "",
+                    F.col(f"h{2 * b}").cast("string"),
+                    F.lit(","),
+                    F.col(f"h{2 * b + 1}").cast("string"),
+                    F.lit(f"|{b}"),
+                )
+                for b in range(_MH_BANDS)
+            ]
+        )
+    ).alias("bucket")
+    banded = sigs.select("doc_id", bucket)
+    a = banded.select(F.col("doc_id").alias("doc_a"), "bucket")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "bucket")
+    cands = (
+        a.join(b, "bucket")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    hits = truth.join(cands, ["doc_a", "doc_b"], "left_semi")
+    nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"))
+    nc = cands.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    nh = hits.agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    return (
+        nt.crossJoin(nc)
+        .crossJoin(nh)
+        .select(
+            "n_true_pairs",
+            "n_candidates",
+            "n_hits",
+            pround(
+                F.when(F.col("n_true_pairs") == 0, F.lit(1.0)).otherwise(
+                    F.col("n_hits").cast("double") / F.col("n_true_pairs")
+                ),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+_G05_STOPWORDS = ("a", "the")
+
+
+@query(
+    "g05_minhash_stability",
+    oracle=f"""
+WITH raw_sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                  i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS shingle
+    FROM documents
+  ) t
+), norm_words AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w NOT IN ('a', 'the')) AS ws
+  FROM documents
+), norm_sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(ws) - 1),
+                  i -> array_to_string(ws[i:i+2], ' '))) AS shingle
+    FROM norm_words
+  ) t
+), sig_raw AS ({_sql_mh_mins('raw_sh')}),
+sig_norm AS ({_sql_mh_mins('norm_sh')}),
+agreement AS (
+  SELECT r.doc_id,
+         ({' + '.join(f'CASE WHEN r.h{i} = n.h{i} THEN 1 ELSE 0 END' for i in range(_MH_K))}) AS n_agree
+  FROM sig_raw r JOIN sig_norm n ON n.doc_id = r.doc_id
+)
+SELECT CAST(n_agree AS INTEGER) AS n_agree,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM agreement GROUP BY n_agree ORDER BY n_agree
+""",
+    tags=("dedup", "audit"),
+)
+def g05_minhash_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature stability under stopword-strip normalization
+    (the round-4 verdict's dedup-robustness audit): signatures are
+    computed on raw text AND on text with {_G05_STOPWORDS} removed,
+    and the histogram of per-document agreeing signature positions
+    (0..{_MH_K}) quantifies how fragile near-dup detection is to the
+    cleaning pipeline in front of it — a dedup run before vs after a
+    normalization change silently shifts clusters by exactly the mass
+    this audit exposes.
+
+    Scale: two shingle explodes + two signature groupBys + one
+    doc-keyed join — all bounded by corpus shingle volume; output is a
+    <= {_MH_K + 1}-row histogram. md5-portable like g04, integers out.
+    """
+    d = table(spark, sf_dir, "documents")
+    sig_raw = _mh_mins(_doc_shingles(d))
+    words = F.split("text", " ")
+    norm = F.filter(words, lambda w: ~w.isin(*_G05_STOPWORDS))
+    n = F.size(norm)
+    grams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.array_join(F.slice(norm, i, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    norm_sh = (
+        spread(d, "doc_id").select("doc_id", F.explode(grams).alias("shingle")).distinct()
+    )
+    sig_norm = _mh_mins(norm_sh)
+    r = sig_raw.alias("r")
+    m = sig_norm.alias("m")
+    agree = sum(
+        (F.col(f"r.h{i}") == F.col(f"m.h{i}")).cast("int") for i in range(_MH_K)
+    )
+    return (
+        r.join(m, "doc_id")
+        .select(agree.cast("int").alias("n_agree"))
+        .groupBy("n_agree")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("n_agree")
+    )
+
+
+# ---------------------------------------------------------------------------
+# g06/g07 — sketch error-bound audits (hash-gate the approx family)
+
+_G06_ACC = 10_000
+
+
+@query(
+    "g06_approx_percentile_audit",
+    oracle=f"""
+WITH g AS (
+  SELECT o_orderpriority AS priority, COUNT(*) AS n FROM orders GROUP BY 1
+), ranked AS (
+  SELECT o_orderpriority AS priority, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn
+  FROM orders
+), med AS (
+  SELECT r.priority, r.o_totalprice AS exact_p50
+  FROM ranked r JOIN g ON g.priority = r.priority
+  WHERE r.rn = (g.n + 1) // 2
+)
+SELECT m.priority, CAST(g.n AS BIGINT) AS n, m.exact_p50,
+       TRUE AS within_bound
+FROM med m JOIN g ON g.priority = m.priority
+ORDER BY m.priority
+""",
+    tags=("approx", "audit"),
+)
+def g06_approx_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx-percentile RANK-ERROR audit, hash-gated (round-4 verdict
+    item 5: oracle-gate approx semantics where possible): Spark's
+    approx_percentile(accuracy={_G06_ACC}) guarantees the returned
+    value's exact rank is within n/accuracy of the target rank. The
+    audit computes the approx median per order priority, counts its
+    true rank interval against the exact disc-median rank, and emits
+    within_bound — the ORACLE asserts TRUE, so a sketch that ever
+    violated its published bound hash-mismatches. exact_p50 (the true
+    disc median) rides along as a fully exact value column.
+
+    Scale: the sketch side is one pass (that is its point); the exact
+    side is a per-group window rank — partitioned by group key, never
+    global. Rank arithmetic is pure integer.
+    """
+    o = table(spark, sf_dir, "orders")
+    grp = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(f"approx_percentile(o_totalprice, 0.5, {_G06_ACC})").alias("approx_p50"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    ranked = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+    )
+    med = ranked.join(grp, "priority").filter(
+        F.col("rn") == ((F.col("n") + 1) / 2).cast("bigint")
+    ).select("priority", F.col("o_totalprice").alias("exact_p50"))
+    # true rank interval of the approx value: [n_lt + 1, n_le]
+    counts = (
+        o.select(F.col("o_orderpriority").alias("priority"), "o_totalprice")
+        .join(F.broadcast(grp.select("priority", "approx_p50")), "priority")
+        .groupBy("priority")
+        .agg(
+            F.sum((F.col("o_totalprice") < F.col("approx_p50")).cast("int")).alias("n_lt"),
+            F.sum((F.col("o_totalprice") <= F.col("approx_p50")).cast("int")).alias("n_le"),
+        )
+    )
+    target = ((F.col("n") + 1) / 2).cast("bigint")
+    bound = (F.col("n") / _G06_ACC).cast("bigint") + 1
+    return (
+        grp.join(med, "priority")
+        .join(counts, "priority")
+        .select(
+            "priority",
+            "n",
+            "exact_p50",
+            (
+                (F.col("n_lt") + 1 <= target + bound) & (F.col("n_le") >= target - bound)
+            ).alias("within_bound"),
+        )
+        .orderBy("priority")
+    )
+
+
+_G07_RSD = 0.02
+
+
+@query(
+    "g07_hll_error_audit",
+    oracle="""
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+       TRUE AS within_bound
+FROM orders GROUP BY 1 ORDER BY 1
+""",
+    tags=("approx", "audit"),
+)
+def g07_hll_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ error audit, hash-gated: approx_count_distinct
+    (rsd={_G07_RSD}) per order priority is checked against the exact
+    distinct count with a 3-sigma relative-error budget (3 x rsd = 6%);
+    the oracle asserts within_bound = TRUE plus the exact count, so an
+    HLL estimate drifting outside its design error hash-mismatches.
+    Complements q49 (which remains rows-only: it EMITS the estimates
+    themselves, which no other engine reproduces).
+
+    Scale: one pass for the sketch; the exact side pre-groups by
+    (priority, custkey) before counting — the vanilla-heap-safe
+    distinct pattern. HLL++ is deterministic for a given input set, so
+    the audit is stable across runs, partitionings, and cluster sizes.
+    """
+    o = table(spark, sf_dir, "orders")
+    exact = (
+        o.select(F.col("o_orderpriority").alias("priority"), "o_custkey")
+        .distinct()
+        .groupBy("priority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_distinct"))
+    )
+    approx = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.expr(f"approx_count_distinct(o_custkey, {_G07_RSD})").alias("approx_distinct")
+    )
+    return (
+        exact.join(approx, "priority")
+        .select(
+            "priority",
+            "exact_distinct",
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                <= 3 * _G07_RSD * F.col("exact_distinct")
+            ).alias("within_bound"),
+        )
+        .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# g08 — winsorized robust statistics
+
+
+@query(
+    "g08_winsorized_stats",
+    oracle=f"""
+WITH g AS (
+  SELECT c_nationkey, COUNT(*) AS n FROM customer GROUP BY 1
+), ranked AS (
+  SELECT c_nationkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal ASC, c_custkey ASC) AS rn
+  FROM customer
+), cuts AS (
+  SELECT g.c_nationkey,
+         MAX(CASE WHEN r.rn = (g.n * 5 + 99) // 100 THEN r.c_acctbal END) AS p05,
+         MAX(CASE WHEN r.rn = (g.n * 95 + 99) // 100 THEN r.c_acctbal END) AS p95
+  FROM ranked r JOIN g ON g.c_nationkey = r.c_nationkey
+  GROUP BY g.c_nationkey
+), clipped AS (
+  SELECT c.c_nationkey,
+         CASE WHEN c.c_acctbal < k.p05 THEN 1 ELSE 0 END AS lo,
+         CASE WHEN c.c_acctbal > k.p95 THEN 1 ELSE 0 END AS hi,
+         {_sql_dterm('GREATEST(k.p05, LEAST(k.p95, c.c_acctbal))')} AS t
+  FROM customer c JOIN cuts k ON k.c_nationkey = c.c_nationkey
+)
+SELECT c.c_nationkey AS nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MAX(k.p05) AS p05, MAX(k.p95) AS p95,
+       CAST(SUM(c.lo) AS BIGINT) AS n_clipped_low,
+       CAST(SUM(c.hi) AS BIGINT) AS n_clipped_high,
+       {sql_pround('CAST(SUM(c.t) AS DOUBLE) / COUNT(*)', 6)} AS winsorized_mean
+FROM clipped c JOIN cuts k ON k.c_nationkey = c.c_nationkey
+GROUP BY c.c_nationkey
+ORDER BY nationkey
+""",
+    tags=("relational", "robust"),
+)
+def g08_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics per nation: account balances are
+    clipped at the within-group disc p05/p95 (rank = ceil(q*n), pure
+    integer arithmetic — no interpolation ambiguity between engines)
+    and the clipped mean + clip counts are emitted. This is the
+    outlier-robust normalization step a feature/quality pipeline runs
+    before z-scoring heavy-tailed signals (c05's median/MAD cousin,
+    with explicit tail trimming).
+
+    Scale: one partitioned window rank per group (never global), one
+    k-row cut table joined back (broadcast-sized: one row per nation),
+    one aggregation. Determinism: cut values are raw data values;
+    clipping is exact comparison; the mean is pround(9)->DECIMAL
+    summed with a single final division.
+    """
+    c = table(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("c_nationkey").orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    ranked = c.select("c_nationkey", "c_acctbal", F.row_number().over(w).alias("rn")).join(
+        F.broadcast(g), "c_nationkey"
+    )
+    cuts = ranked.groupBy("c_nationkey").agg(
+        F.max(
+            F.when(F.col("rn") == ((F.col("n") * 5 + 99) / 100).cast("bigint"), F.col("c_acctbal"))
+        ).alias("p05"),
+        F.max(
+            F.when(F.col("rn") == ((F.col("n") * 95 + 99) / 100).cast("bigint"), F.col("c_acctbal"))
+        ).alias("p95"),
+    )
+    clipped = c.join(F.broadcast(cuts), "c_nationkey").select(
+        "c_nationkey",
+        (F.col("c_acctbal") < F.col("p05")).cast("int").alias("lo"),
+        (F.col("c_acctbal") > F.col("p95")).cast("int").alias("hi"),
+        _dterm(F.greatest("p05", F.least("p95", F.col("c_acctbal")))).alias("t"),
+        "p05",
+        "p95",
+    )
+    return (
+        clipped.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.max("p05").alias("p05"),
+            F.max("p95").alias("p95"),
+            F.sum("lo").cast("bigint").alias("n_clipped_low"),
+            F.sum("hi").cast("bigint").alias("n_clipped_high"),
+            pround(F.sum("t").cast("double") / F.count(F.lit(1)), 6).alias("winsorized_mean"),
+        )
+        .orderBy("nationkey")
+    )
