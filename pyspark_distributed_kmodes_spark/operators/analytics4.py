@@ -948,3 +948,514 @@ def g08_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# g11 — near-dup pair similarity histogram
+
+
+@query(
+    "g11_pair_similarity_histogram",
+    oracle=f"""
+WITH {_SHINGLE_CTE},
+pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jacc AS (
+  SELECT {sql_pround('CAST(p.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - p.n_common)', 6)} AS j
+  FROM pairs p
+  JOIN sizes sa ON sa.doc_id = p.u
+  JOIN sizes sb ON sb.doc_id = p.v
+  WHERE CAST(p.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - p.n_common) >= 0.2
+)
+SELECT CAST(floor(j * 20) AS INTEGER) AS bin,
+       CAST(floor(j * 20) AS DOUBLE) / 20 AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM jacc GROUP BY 1, 2 ORDER BY bin
+""",
+    tags=("dedup", "audit"),
+)
+def g11_pair_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity histogram of the near-dup pair population (Jaccard >=
+    0.2 in 0.05-wide bins): the distribution a dedup operator tunes its
+    threshold against — a bimodal histogram (noise floor vs true-dup
+    spike) justifies the cutoff; a flat one says the threshold is
+    arbitrary and LSH band math needs re-tuning.
+
+    Scale: reuses the inverted-index exact pair join (bounded by shared
+    shingles), then a 17-bucket aggregation — the histogram adds
+    nothing to the pair join's cost. Determinism: jaccard is
+    pround(6)'d IDENTICALLY on both engines before the floor-binning,
+    so bin edges cannot straddle a one-ulp difference.
+    """
+    from pyspark_distributed_kmodes_spark.operators.text import ngram_jaccard_pairs
+
+    d = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.2)
+    binned = pairs.select(F.floor(F.col("jaccard") * 20).cast("int").alias("bin"))
+    return (
+        binned.groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .select("bin", (F.col("bin").cast("double") / 20).alias("bin_lo"), "n_pairs")
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# g12 — corpus pattern scan (PII-scan machinery)
+
+_G12_PATTERNS = (
+    ("long_word", "[a-z]{5,}"),
+    ("stop_word", "\\b(a|the)\\b"),
+    ("spark_mention", "spark"),
+)
+
+
+def _g12_sql_arm(label: str, pat: str) -> str:
+    return f"""
+SELECT d.source, '{label}' AS pattern,
+       CAST(SUM(len(regexp_extract_all(d.text, '{pat}'))) AS BIGINT) AS n_matches,
+       CAST(SUM(CASE WHEN len(regexp_extract_all(d.text, '{pat}')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with
+FROM documents d GROUP BY d.source"""
+
+
+@query(
+    "g12_pattern_scan",
+    oracle=" UNION ALL ".join(
+        _g12_sql_arm(label, pat) for label, pat in _G12_PATTERNS
+    )
+    + " ORDER BY source, pattern",
+    tags=("text", "quality", "curation"),
+)
+def g12_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex pattern scan per source: match counts and affected-doc
+    counts for a configurable pattern set — the machinery a production
+    pipeline points at PII patterns (emails, phone numbers, keys) for
+    redaction triage; this synthetic corpus uses word-shape patterns so
+    the audit is non-vacuous here. Patterns are restricted to the
+    portable regex subset (char classes, alternation, word boundaries)
+    that Java regex and RE2 interpret identically.
+
+    Scale: one scan; each pattern is a JVM-side regexp_count — no
+    Python, no shuffle beyond the per-source rollup; P patterns emit
+    P x sources rows. Integers out.
+    """
+    d = table(spark, sf_dir, "documents")
+    arms = []
+    for label, pat in _G12_PATTERNS:
+        cnt = F.regexp_count("text", F.lit(pat))
+        arms.append(
+            d.groupBy("source").agg(
+                F.lit(label).alias("pattern"),
+                F.sum(cnt).cast("bigint").alias("n_matches"),
+                F.sum((cnt > 0).cast("int")).cast("bigint").alias("n_docs_with"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.select("source", "pattern", "n_matches", "n_docs_with").orderBy("source", "pattern")
+
+
+# ---------------------------------------------------------------------------
+# g13 — weekly cohort retention matrix
+
+# week index anchored at 1970-01-05 (a Monday) via pure integer day
+# arithmetic — engine dayofweek()/date_trunc('week') conventions differ
+# (trap pinned in round 4: DuckDB Sun=0 vs Spark Sun=1), integers don't.
+_G13_EPOCH = "DATE '1970-01-05'"
+
+
+@query(
+    "g13_retention_matrix",
+    oracle=f"""
+WITH act AS (
+  SELECT DISTINCT user_id,
+         CAST((CAST(ts AS DATE) - {_G13_EPOCH}) // 7 AS INTEGER) AS week
+  FROM events
+), cohorts AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM act GROUP BY user_id
+), sizes AS (
+  SELECT cohort_week, COUNT(*) AS cohort_size FROM cohorts GROUP BY cohort_week
+), cells AS (
+  SELECT c.cohort_week, a.week - c.cohort_week AS offset_weeks,
+         COUNT(*) AS n_active
+  FROM act a JOIN cohorts c ON c.user_id = a.user_id
+  GROUP BY 1, 2
+)
+SELECT k.cohort_week, k.offset_weeks, CAST(k.n_active AS BIGINT) AS n_active,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       {sql_pround('CAST(k.n_active AS DOUBLE) / s.cohort_size', 6)} AS retention
+FROM cells k JOIN sizes s ON s.cohort_week = k.cohort_week
+ORDER BY k.cohort_week, k.offset_weeks
+""",
+    tags=("events",),
+)
+def g13_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic weekly cohort retention matrix: users are cohorted by
+    first active week and each (cohort, week-offset) cell reports how
+    much of the cohort is still active — the canonical product-health
+    triangle, complementing qe11's LTV triangle (which sums value;
+    this counts distinct survivors).
+
+    Scale: activity is pre-distinct'd to (user, week) BEFORE any join
+    or count (the vanilla-heap distinct rule), cohort assignment is one
+    user-keyed min, and the matrix is one aggregation over
+    cohort-weeks x offsets. Week index is pure integer day arithmetic
+    anchored on a fixed Monday — no engine week/weekday conventions.
+    """
+    e = table(spark, sf_dir, "events")
+    week = F.floor(F.datediff(F.to_date("ts"), F.lit("1970-01-05")) / 7).cast("int")
+    act = e.select("user_id", week.alias("week")).distinct()
+    cohorts = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohorts.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    cells = (
+        act.join(cohorts, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("offset_weeks"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "offset_weeks",
+            "n_active",
+            F.col("cohort_size").cast("bigint").alias("cohort_size"),
+            pround(F.col("n_active").cast("double") / F.col("cohort_size"), 6).alias("retention"),
+        )
+        .orderBy("cohort_week", "offset_weeks")
+    )
+
+
+# ---------------------------------------------------------------------------
+# g15 — chi-square independence audit
+
+
+@query(
+    "g15_chi_square_independence",
+    oracle=f"""
+WITH obs AS (
+  SELECT event_type,
+         CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS INTEGER) AS dow,
+         COUNT(*) AS o
+  FROM events GROUP BY 1, 2
+), rt AS (
+  SELECT event_type, SUM(o) AS r FROM obs GROUP BY 1
+), ct AS (
+  SELECT dow, SUM(o) AS c FROM obs GROUP BY 1
+), g AS (
+  SELECT SUM(o) AS t FROM obs
+), terms AS (
+  SELECT obs.event_type, obs.o,
+         {_sql_dterm('pow(obs.o - (rt.r * ct.c / g.t), 2) / (rt.r * ct.c / g.t)')} AS term
+  FROM obs JOIN rt ON rt.event_type = obs.event_type
+  JOIN ct ON ct.dow = obs.dow CROSS JOIN g
+)
+SELECT event_type,
+       CAST(SUM(o) AS BIGINT) AS n_obs,
+       {sql_pround('CAST(SUM(term) AS DOUBLE)', 6)} AS chi2_part
+FROM terms GROUP BY event_type ORDER BY event_type
+""",
+    tags=("events", "statistics"),
+)
+def g15_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and day-of-
+    week (contingency-table audit): per event type, its contribution to
+    the chi-square statistic — large parts localize WHICH behavior is
+    day-dependent (e.g. errors spiking on deploy days), the
+    distribution-shift primitive behind f01's PSI for categorical x
+    categorical interactions.
+
+    Scale: the contingency table is one count aggregation (types x 7
+    cells); margins and the grand total are tiny broadcast aggregates;
+    the statistic is a DECIMAL sum over cells. Day index is integer
+    epoch-day arithmetic mod 7 — no weekday() conventions. Expected
+    counts are identical rationals on both engines; terms are
+    pround(9)-stabilized.
+    """
+    e = table(spark, sf_dir, "events")
+    dow = (F.datediff(F.to_date("ts"), F.lit("1970-01-01")) % 7).cast("int")
+    obs = e.groupBy("event_type", dow.alias("dow")).agg(F.count(F.lit(1)).alias("o"))
+    obs = obs.localCheckpoint(eager=True)  # 3 consumers: margins + terms
+    rt = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("dow").agg(F.sum("o").alias("c"))
+    g = obs.agg(F.sum("o").alias("t"))
+    exp = F.col("r") * F.col("c") / F.col("t")
+    terms = (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "o",
+            _dterm(F.pow(F.col("o") - exp, F.lit(2)) / exp).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.sum("o").cast("bigint").alias("n_obs"),
+            pround(F.sum("term").cast("double"), 6).alias("chi2_part"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# g16 — exact correlation matrix (decimal moments)
+
+_G16_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+def _g16_sql_arm(x: str, y: str) -> str:
+    return f"""
+SELECT '{x}' AS col_x, '{y}' AS col_y, CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_pround(
+           f"(COUNT(*) * CAST(SUM(CAST({sql_pround(f'{x} * {y}', 6)} AS DECIMAL(30,6))) AS DOUBLE)"
+           f" - CAST(SUM(CAST({x} AS DECIMAL(25,6))) AS DOUBLE) * CAST(SUM(CAST({y} AS DECIMAL(25,6))) AS DOUBLE))"
+           f" / sqrt((COUNT(*) * CAST(SUM(CAST({sql_pround(f'{x} * {x}', 6)} AS DECIMAL(30,6))) AS DOUBLE)"
+           f" - CAST(SUM(CAST({x} AS DECIMAL(25,6))) AS DOUBLE) * CAST(SUM(CAST({x} AS DECIMAL(25,6))) AS DOUBLE))"
+           f" * (COUNT(*) * CAST(SUM(CAST({sql_pround(f'{y} * {y}', 6)} AS DECIMAL(30,6))) AS DOUBLE)"
+           f" - CAST(SUM(CAST({y} AS DECIMAL(25,6))) AS DOUBLE) * CAST(SUM(CAST({y} AS DECIMAL(25,6))) AS DOUBLE)))", 6)} AS pearson
+FROM lineitem"""
+
+
+@query(
+    "g16_exact_corr_matrix",
+    oracle=" UNION ALL ".join(
+        _g16_sql_arm(x, y)
+        for i, x in enumerate(_G16_COLS)
+        for y in _G16_COLS[i + 1 :]
+    )
+    + " ORDER BY col_x, col_y",
+    tags=("relational", "statistics"),
+)
+def g16_exact_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem measures from
+    EXACT decimal moments: built-in corr() accumulates float co-moments
+    in partition order and is therefore not reproducible across
+    partitionings (the d13 lesson — never use it in an oracle-gated
+    column); here every moment (sum x, sum x^2, sum xy) is a
+    pround->DECIMAL exact sum, and the correlation is assembled from
+    those exact moments with one identical float expression per pair.
+
+    Scale: ONE scan computes all moments for all pairs (a single
+    aggregation, map-side combinable); second moments use DECIMAL(30,6)
+    so price-squared sums stay exact far past 10^10 rows. Partitioning-
+    invariant by construction.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _G16_COLS:
+        aggs.append(F.sum(F.col(c).cast("decimal(25,6)")).cast("double").alias(f"s_{c}"))
+        aggs.append(
+            F.sum(pround(F.col(c) * F.col(c), 6).cast("decimal(30,6)"))
+            .cast("double")
+            .alias(f"ss_{c}")
+        )
+    for i, x in enumerate(_G16_COLS):
+        for y in _G16_COLS[i + 1 :]:
+            aggs.append(
+                F.sum(pround(F.col(x) * F.col(y), 6).cast("decimal(30,6)"))
+                .cast("double")
+                .alias(f"sp_{x}_{y}")
+            )
+    m = li.agg(F.count(F.lit(1)).cast("bigint").alias("n"), *aggs)
+    arms = []
+    for i, x in enumerate(_G16_COLS):
+        for y in _G16_COLS[i + 1 :]:
+            num = F.col("n") * F.col(f"sp_{x}_{y}") - F.col(f"s_{x}") * F.col(f"s_{y}")
+            den = F.sqrt(
+                (F.col("n") * F.col(f"ss_{x}") - F.col(f"s_{x}") * F.col(f"s_{x}"))
+                * (F.col("n") * F.col(f"ss_{y}") - F.col(f"s_{y}") * F.col(f"s_{y}"))
+            )
+            arms.append(
+                m.select(
+                    F.lit(x).alias("col_x"),
+                    F.lit(y).alias("col_y"),
+                    F.col("n"),
+                    pround(num / den, 6).alias("pearson"),
+                )
+            )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("col_x", "col_y")
+
+
+# ---------------------------------------------------------------------------
+# g14 — deterministic Poisson bootstrap
+
+_G14_B = 20
+# Poisson(1) inverse-CDF thresholds (cumulative e^-1 * sum 1/k!), written
+# as full-precision literals so both engines compare against identical
+# doubles; weights are capped at 5 (P(w>5) ~ 1e-4, a deliberate,
+# documented truncation identical on both sides).
+_G14_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+)
+
+
+def _g14_w_sql(u: str) -> str:
+    arms = " ".join(
+        f"WHEN {u} < {p} THEN {k}" for k, p in enumerate(_G14_CDF)
+    )
+    return f"CASE {arms} ELSE 5 END"
+
+
+_G14_KEY = "CAST(o.o_orderkey AS VARCHAR) || '#' || CAST(t.b AS VARCHAR)"
+_G14_U = f"((CAST({_sql_md5fold(_G14_KEY)} AS DOUBLE) + 0.5) / {float(2**32)})"
+
+
+@query(
+    "g14_poisson_bootstrap",
+    oracle=f"""
+WITH reps AS (
+  SELECT CAST(t.b AS INTEGER) AS b, o.o_totalprice,
+         {_g14_w_sql(_G14_U)} AS w
+  FROM orders o CROSS JOIN range(0, {_G14_B}) t(b)
+)
+SELECT b,
+       CAST(SUM(w) AS BIGINT) AS n_drawn,
+       {sql_pround(f"CAST(SUM({_sql_dterm('w * o_totalprice')}) AS DOUBLE) / SUM(w)", 6)} AS boot_mean
+FROM reps GROUP BY b ORDER BY b
+""",
+    tags=("statistics", "sampling"),
+)
+def g14_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap of the mean order value
+    ({_G14_B} replicates): each (row, replicate) draws a
+    Poisson(1)-distributed resampling weight from an md5 hash — the
+    streaming-friendly bootstrap used at warehouse scale, because it
+    needs NO row indexing, NO global resample join, and NO RNG state:
+    every replicate is one weighted aggregation, embarrassingly
+    parallel and identically reproducible on any cluster size. The
+    replicate spread estimates the sampling error of the mean.
+
+    Scale: the fan-out is a constant x{_G14_B} explode feeding one
+    grouped DECIMAL-summed aggregation — map-side combinable, no
+    shuffle beyond the {_G14_B}-group rollup. Weight caps at 5
+    (P ~ 1e-4, same truncation both engines). Determinism: u from the
+    md5-integer lattice (+0.5, the qe01 idiom), thresholds are shared
+    full-precision literals.
+    """
+    o = table(spark, sf_dir, "orders")
+    reps = o.select(
+        "o_orderkey", "o_totalprice", F.explode(F.sequence(F.lit(0), F.lit(_G14_B - 1))).alias("b")
+    )
+    h = _md5fold(
+        F.concat_ws("", F.col("o_orderkey").cast("string"), F.lit("#"), F.col("b").cast("string"))
+    )
+    u = (h.cast("double") + 0.5) / float(2**32)
+    w = F.when(u < _G14_CDF[0], 0)
+    for k in range(1, 5):
+        w = w.when(u < _G14_CDF[k], k)
+    w = w.otherwise(5)
+    weighted = reps.select(F.col("b").cast("int").alias("b"), w.alias("w"), "o_totalprice")
+    return (
+        weighted.groupBy("b")
+        .agg(
+            F.sum("w").cast("bigint").alias("n_drawn"),
+            pround(
+                F.sum(_dterm(F.col("w") * F.col("o_totalprice"))).cast("double") / F.sum("w"), 6
+            ).alias("boot_mean"),
+        )
+        .orderBy("b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# g17 — two-proportion A/B audit
+
+
+@query(
+    "g17_two_proportion_ab",
+    oracle=f"""
+WITH assign AS (
+  SELECT DISTINCT user_id, CAST(user_id % 2 AS INTEGER) AS variant FROM events
+), conv AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+), arms AS (
+  SELECT a.variant,
+         COUNT(*) AS n_users,
+         SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS n_conv
+  FROM assign a LEFT JOIN conv c ON c.user_id = a.user_id
+  GROUP BY a.variant
+), wide AS (
+  SELECT
+    MAX(CASE WHEN variant = 0 THEN n_users END) AS n_ctl,
+    MAX(CASE WHEN variant = 0 THEN n_conv END) AS c_ctl,
+    MAX(CASE WHEN variant = 1 THEN n_users END) AS n_trt,
+    MAX(CASE WHEN variant = 1 THEN n_conv END) AS c_trt
+  FROM arms
+)
+SELECT CAST(n_ctl AS BIGINT) AS n_ctl, CAST(c_ctl AS BIGINT) AS conv_ctl,
+       CAST(n_trt AS BIGINT) AS n_trt, CAST(c_trt AS BIGINT) AS conv_trt,
+       {sql_pround('CAST(c_ctl AS DOUBLE) / n_ctl', 6)} AS rate_ctl,
+       {sql_pround('CAST(c_trt AS DOUBLE) / n_trt', 6)} AS rate_trt,
+       {sql_pround('CAST(c_trt AS DOUBLE) / n_trt - CAST(c_ctl AS DOUBLE) / n_ctl', 6)} AS lift,
+       {sql_pround(
+           'CASE WHEN sqrt((CAST(c_ctl + c_trt AS DOUBLE) / (n_ctl + n_trt))'
+           ' * (1.0 - CAST(c_ctl + c_trt AS DOUBLE) / (n_ctl + n_trt))'
+           ' * (1.0 / n_ctl + 1.0 / n_trt)) = 0 THEN 0.0 ELSE '
+           '(CAST(c_trt AS DOUBLE) / n_trt - CAST(c_ctl AS DOUBLE) / n_ctl)'
+           ' / sqrt((CAST(c_ctl + c_trt AS DOUBLE) / (n_ctl + n_trt))'
+           ' * (1.0 - CAST(c_ctl + c_trt AS DOUBLE) / (n_ctl + n_trt))'
+           ' * (1.0 / n_ctl + 1.0 / n_trt)) END', 6)} AS z_score
+FROM wide
+""",
+    tags=("events", "statistics"),
+)
+def g17_two_proportion_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on a hash-split experiment: users are
+    assigned by user_id parity (the deterministic assignment an A/B
+    platform derives from a hashed unit id), conversion = any purchase
+    event, and the audit emits both arms' rates, the lift, and the
+    pooled z statistic — pairing with qd15's Wilson interval (single
+    proportion) to complete the experimentation-stats surface.
+
+    Scale: conversion and assignment sets are pre-distinct'd per user
+    (vanilla-heap rule), one 2-group aggregation, then pure scalar
+    float math on a 1-row frame — identical expression trees on both
+    engines. No windows, no fan-out.
+    """
+    e = table(spark, sf_dir, "events")
+    assign = e.select("user_id", (F.col("user_id") % 2).cast("int").alias("variant")).distinct()
+    conv = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    arms = (
+        assign.join(conv.withColumn("_c", F.lit(1)), "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.coalesce("_c", F.lit(0))).alias("n_conv"),
+        )
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n_ctl"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_conv"))).alias("c_ctl"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n_trt"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_conv"))).alias("c_trt"),
+    )
+    r_ctl = F.col("c_ctl").cast("double") / F.col("n_ctl")
+    r_trt = F.col("c_trt").cast("double") / F.col("n_trt")
+    pooled = (F.col("c_ctl") + F.col("c_trt")).cast("double") / (F.col("n_ctl") + F.col("n_trt"))
+    den = F.sqrt(pooled * (1.0 - pooled) * (1.0 / F.col("n_ctl") + 1.0 / F.col("n_trt")))
+    # degenerate arms (0% or 100% pooled conversion) have zero variance:
+    # define z = 0 on both engines instead of 0/0
+    z = F.when(den == 0, F.lit(0.0)).otherwise((r_trt - r_ctl) / den)
+    return wide.select(
+        F.col("n_ctl").cast("bigint").alias("n_ctl"),
+        F.col("c_ctl").cast("bigint").alias("conv_ctl"),
+        F.col("n_trt").cast("bigint").alias("n_trt"),
+        F.col("c_trt").cast("bigint").alias("conv_trt"),
+        pround(r_ctl, 6).alias("rate_ctl"),
+        pround(r_trt, 6).alias("rate_trt"),
+        pround(r_trt - r_ctl, 6).alias("lift"),
+        pround(z, 6).alias("z_score"),
+    )
