@@ -1459,3 +1459,75 @@ def g17_two_proportion_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(r_trt - r_ctl, 6).alias("lift"),
         pround(z, 6).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# g18 — deterministic compressibility (qe28's hash-gated twin)
+
+
+@query(
+    "g18_char_ngram_compressibility",
+    oracle=f"""
+WITH grams AS (
+  SELECT d.source, d.doc_id,
+         unnest(list_transform(range(1, len(text) - 2), i -> text[i:i+3])) AS g
+  FROM documents d
+  WHERE len(text) >= 4
+), per_source AS (
+  SELECT source,
+         COUNT(*) AS total_grams,
+         COUNT(DISTINCT g) AS distinct_grams,
+         COUNT(DISTINCT doc_id) AS n_docs
+  FROM grams GROUP BY source
+)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(total_grams AS BIGINT) AS total_grams,
+       CAST(distinct_grams AS BIGINT) AS distinct_grams,
+       {sql_pround('CAST(distinct_grams AS DOUBLE) / total_grams', 6)} AS distinct_ratio
+FROM per_source ORDER BY source
+""",
+    tags=("text", "quality"),
+)
+def g18_char_ngram_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic compressibility measure: distinct char-4-gram
+    ratio per source (distinct / total sliding 4-grams) — the
+    SQL-expressible twin the round-4 verdict asked for next to qe28's
+    zlib proxy: a low ratio means the source's character stream is
+    dominated by repeated substrings (templated/boilerplate, exactly
+    what LZ-family compressors exploit), a ratio near 1 means
+    high-entropy text. qe28 keeps the production zlib number
+    (rows-only: a C library's output is not SQL); THIS query gives the
+    same quality signal a driver-hashable definition.
+
+    Scale: one char-gram explode (output size = corpus bytes — the
+    same cost class as tokenization) into one per-source aggregation;
+    the distinct count shuffles (source, gram) pairs which Heaps' law
+    keeps sublinear in corpus size. No Python, no windows.
+    """
+    d = table(spark, sf_dir, "documents")
+    grams = (
+        spread(d, "doc_id")
+        .filter(F.length("text") >= 4)
+        .select(
+            "source",
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(1, length(text) - 3), i -> substring(text, i, 4))")
+            ).alias("g"),
+        )
+    )
+    per_source = grams.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total_grams"),
+        F.count_distinct("g").alias("distinct_grams"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    return per_source.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("total_grams").cast("bigint").alias("total_grams"),
+        F.col("distinct_grams").cast("bigint").alias("distinct_grams"),
+        pround(F.col("distinct_grams").cast("double") / F.col("total_grams"), 6).alias(
+            "distinct_ratio"
+        ),
+    ).orderBy("source")
