@@ -1531,3 +1531,345 @@ def g18_char_ngram_compressibility(spark: SparkSession, sf_dir: str) -> DataFram
             "distinct_ratio"
         ),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# g19 — cross-snapshot n-gram novelty
+
+
+@query(
+    "g19_snapshot_novelty",
+    oracle=f"""
+WITH {_SHINGLE_CTE},
+base_sh AS (
+  SELECT DISTINCT s.shingle FROM shingles s WHERE s.doc_id % 3 <> 0
+), delta AS (
+  SELECT s.doc_id, s.shingle FROM shingles s WHERE s.doc_id % 3 = 0
+), per_doc AS (
+  SELECT d.doc_id,
+         COUNT(*) AS n_sh,
+         SUM(CASE WHEN b.shingle IS NULL THEN 1 ELSE 0 END) AS n_new
+  FROM delta d LEFT JOIN base_sh b ON b.shingle = d.shingle
+  GROUP BY d.doc_id
+)
+SELECT dd.source,
+       CAST(COUNT(*) AS BIGINT) AS n_delta_docs,
+       CAST(SUM(p.n_new) AS BIGINT) AS new_shingles,
+       CAST(SUM(p.n_sh) AS BIGINT) AS total_shingles,
+       {sql_pround(f"CAST(SUM({_sql_dterm('CAST(p.n_new AS DOUBLE) / p.n_sh')}) AS DOUBLE) / COUNT(*)", 6)} AS mean_novelty
+FROM per_doc p JOIN documents dd ON dd.doc_id = p.doc_id
+GROUP BY dd.source ORDER BY dd.source
+""",
+    tags=("text", "curation"),
+)
+def g19_snapshot_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot novelty: how much of an incoming delta batch
+    (doc_id % 3, g02's split) is genuinely NEW text — per delta
+    document, the fraction of its trigram shingles absent from the
+    base snapshot's shingle universe, rolled up per source. This is
+    the dataset-versioning dial: near-zero novelty means the refresh
+    re-crawled what you have (skip it); a spike means the source
+    changed distribution (f01's PSI complement at n-gram level).
+
+    Scale: the base universe is a distinct shingle set (Heaps-
+    sublinear); the delta joins against it on the shingle key only —
+    inverted-index shape, never corpus x corpus. Ratios are exact
+    int/int divisions, DECIMAL-summed.
+    """
+    d = table(spark, sf_dir, "documents")
+    sh = _doc_shingles(d)
+    base_sh = sh.filter(F.col("doc_id") % 3 != 0).select("shingle").distinct()
+    delta = sh.filter(F.col("doc_id") % 3 == 0)
+    per_doc = (
+        delta.join(base_sh.withColumn("_b", F.lit(1)), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(F.when(F.col("_b").isNull(), 1).otherwise(0)).alias("n_new"),
+        )
+    )
+    return (
+        per_doc.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_delta_docs"),
+            F.sum("n_new").cast("bigint").alias("new_shingles"),
+            F.sum("n_sh").cast("bigint").alias("total_shingles"),
+            pround(
+                F.sum(_dterm(F.col("n_new").cast("double") / F.col("n_sh"))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_novelty"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# g20 — activity streaks (gaps-and-islands on the day grid)
+
+
+@query(
+    "g20_activity_streaks",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+  FROM events
+), grp AS (
+  SELECT user_id, day,
+         day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island
+  FROM days
+), streaks AS (
+  SELECT user_id, COUNT(*) AS len FROM grp GROUP BY user_id, island
+), longest AS (
+  SELECT user_id, MAX(len) AS best FROM streaks GROUP BY user_id
+)
+SELECT CAST(best AS INTEGER) AS streak_days,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM longest GROUP BY best ORDER BY streak_days
+""",
+    tags=("events",),
+)
+def g20_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user, as a
+    histogram (streak length -> user count): the gaps-and-islands
+    pattern (day minus per-user row_number is constant within a run)
+    — the engagement-depth metric next to qe10's DAU/WAU stickiness
+    ratio, and the canonical interview-question-grade SQL idiom the
+    engine should express natively.
+
+    Scale: activity collapses to distinct (user, day) FIRST (vanilla-
+    heap rule), the island window partitions per user (never global),
+    and the output is a tiny histogram. Pure integer day arithmetic.
+    """
+    e = table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("bigint").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.withColumn("island", F.col("day") - F.row_number().over(w))
+    streaks = grp.groupBy("user_id", "island").agg(F.count(F.lit(1)).alias("len"))
+    longest = streaks.groupBy("user_id").agg(F.max("len").alias("best"))
+    return (
+        longest.groupBy(F.col("best").cast("int").alias("streak_days"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("streak_days")
+    )
+
+
+# ---------------------------------------------------------------------------
+# g21 — embedding centroid drift
+
+
+@query(
+    "g21_embedding_drift",
+    oracle=f"""
+WITH pos AS (
+  SELECT vec_id, label, CAST(vec_id % 2 AS INTEGER) AS half,
+         t.pos AS pos, CAST(t.val AS DOUBLE) AS val
+  FROM (
+    SELECT vec_id, label,
+           unnest(list_transform(range(1, len(embedding) + 1),
+                  i -> {{'pos': i - 1, 'val': embedding[i]}})) AS t
+    FROM embeddings) s
+), cent AS (
+  SELECT label, half, pos,
+         {sql_pround('CAST(SUM(CAST(val AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)', 6)} AS c
+  FROM pos GROUP BY label, half, pos
+), paired AS (
+  SELECT a.label, a.pos, a.c AS ca, b.c AS cb
+  FROM cent a JOIN cent b ON b.label = a.label AND b.pos = a.pos
+  WHERE a.half = 0 AND b.half = 1
+), counts AS (
+  SELECT label, half, COUNT(DISTINCT vec_id) AS n FROM pos GROUP BY label, half
+), wide AS (
+  SELECT label,
+         CAST(MAX(CASE WHEN half = 0 THEN n END) AS BIGINT) AS n_a,
+         CAST(MAX(CASE WHEN half = 1 THEN n END) AS BIGINT) AS n_b
+  FROM counts GROUP BY label
+), drift AS (
+  SELECT label,
+         {sql_pround(f"sqrt(CAST(SUM({_sql_dterm('(ca - cb) * (ca - cb)')}) AS DOUBLE))", 6)} AS centroid_l2_drift
+  FROM paired GROUP BY label
+)
+SELECT d.label, w.n_a, w.n_b, d.centroid_l2_drift
+FROM drift d JOIN wide w ON w.label = d.label
+ORDER BY d.label
+""",
+    tags=("vector", "audit"),
+)
+def g21_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding centroid drift per label between two deterministic
+    halves of the corpus (vec_id parity — the stand-in for "last
+    week's embeddings vs this week's"): the L2 distance between the
+    halves' per-label centroids, the one-number tripwire a feature
+    pipeline watches after re-embedding with a new model checkpoint —
+    large drift on a stable label means the embedding space moved and
+    every downstream ANN index / semantic-dedup threshold needs
+    re-calibration (qc13 measures cluster tightness; this measures
+    cluster MOVEMENT).
+
+    Scale: one posexplode into a (label, half, pos) mean — dims x
+    labels x 2 cells, map-side combinable; the drift assembles from
+    the tiny centroid table only, the corpus is touched once.
+    Determinism: exact DECIMAL(25,6)-sum means pround(6)'d BEFORE
+    differencing (both engines difference identical doubles), DECIMAL-
+    summed squared terms, one final sqrt.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "vec_id",
+        "label",
+        (F.col("vec_id") % 2).cast("int").alias("half"),
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias("pos", "val"),
+    )
+    cent = pos.groupBy("label", "half", "pos").agg(
+        pround(
+            F.sum(F.col("val").cast("decimal(25,6)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("c")
+    )
+    paired = (
+        cent.filter(F.col("half") == 0)
+        .select("label", "pos", F.col("c").alias("ca"))
+        .join(
+            cent.filter(F.col("half") == 1).select("label", "pos", F.col("c").alias("cb")),
+            ["label", "pos"],
+        )
+    )
+    counts = (
+        emb.select("label", (F.col("vec_id") % 2).cast("int").alias("half"), "vec_id")
+        .groupBy("label", "half")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    drift = paired.groupBy("label").agg(
+        pround(
+            F.sqrt(
+                F.sum(_dterm((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")))).cast(
+                    "double"
+                )
+            ),
+            6,
+        ).alias("centroid_l2_drift")
+    )
+    wide = counts.groupBy("label").agg(
+        F.max(F.when(F.col("half") == 0, F.col("n"))).cast("bigint").alias("n_a"),
+        F.max(F.when(F.col("half") == 1, F.col("n"))).cast("bigint").alias("n_b"),
+    )
+    return drift.join(wide, "label").select(
+        "label", "n_a", "n_b", "centroid_l2_drift"
+    ).orderBy("label")
+
+
+# ---------------------------------------------------------------------------
+# g22 — duplicate cluster size distribution
+
+
+@query(
+    "g22_dup_cluster_sizes",
+    oracle=f"""
+WITH groups AS (
+  SELECT md5(text) AS fp, COUNT(*) AS sz FROM documents GROUP BY md5(text)
+), tot AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+)
+SELECT CAST(g.sz AS INTEGER) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(COUNT(*) * g.sz AS BIGINT) AS n_docs,
+       {sql_pround('COUNT(*) * g.sz / t.n', 6)} AS corpus_share
+FROM groups g CROSS JOIN tot t
+GROUP BY g.sz, t.n ORDER BY cluster_size
+""",
+    tags=("dedup", "audit"),
+)
+def g22_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate cluster-size distribution: how many fingerprint
+    groups exist at each multiplicity and what share of the corpus
+    they hold — the dedup planning number (a fat tail of large
+    clusters is why q63's collapse/expand exists: N-copy groups would
+    otherwise explode the LSH bucket self-join as N^2), and the
+    denominator behind qd15's dup-rate CI.
+
+    Scale: one fingerprint groupBy, one size histogram — the
+    distribution costs nothing beyond the dedup scan itself. Integer
+    counts; the share is one exact division against the 1-row total.
+    """
+    d = table(spark, sf_dir, "documents")
+    groups = d.groupBy(F.md5("text").alias("fp")).agg(F.count(F.lit(1)).alias("sz"))
+    tot = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return (
+        groups.groupBy(F.col("sz").cast("int").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("n_clusters") * F.col("cluster_size")).cast("bigint").alias("n_docs"),
+            pround(F.col("n_clusters") * F.col("cluster_size") / F.col("n"), 6).alias(
+                "corpus_share"
+            ),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# g23 — functional-dependency audit
+
+_G23_ARMS = (
+    ("documents", "source", "lang"),
+    ("documents", "lang", "source"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("customer", "c_mktsegment", "c_nationkey"),
+)
+
+
+def _g23_sql_arm(tbl: str, det: str, dep: str) -> str:
+    return f"""
+SELECT '{tbl}' AS tbl, '{det}' AS det_col, '{dep}' AS dep_col,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+       {sql_pround('CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)', 6)} AS violation_rate
+FROM (SELECT {det}, COUNT(DISTINCT {dep}) AS nd FROM {tbl} GROUP BY {det}) t"""
+
+
+@query(
+    "g23_functional_dependency",
+    oracle=" UNION ALL ".join(_g23_sql_arm(*a) for a in _G23_ARMS)
+    + " ORDER BY tbl, det_col, dep_col",
+    tags=("relational", "audit"),
+)
+def g23_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery audit: for each candidate
+    determinant -> dependent column pair, how many determinant values
+    map to MORE than one dependent value — the schema-inference /
+    data-quality primitive behind "is source a reliable language
+    signal?" and "can I denormalize this column?", complementing
+    qd16's single-column profile and qe14's declared constraints with
+    DISCOVERED near-dependencies.
+
+    Scale: per arm, one (det, dep) distinct + one det-keyed count —
+    map-side combinable, output one row per arm. The distinct runs
+    BEFORE any count (vanilla-heap rule). Integers + one division.
+    """
+    out = None
+    for tbl, det, dep in _G23_ARMS:
+        t = table(spark, sf_dir, tbl)
+        per_det = (
+            t.select(det, dep)
+            .distinct()
+            .groupBy(det)
+            .agg(F.count(F.lit(1)).alias("nd"))
+        )
+        arm = per_det.agg(
+            F.lit(tbl).alias("tbl"),
+            F.lit(det).alias("det_col"),
+            F.lit(dep).alias("dep_col"),
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum((F.col("nd") > 1).cast("int")).cast("bigint").alias("n_violating"),
+            pround(
+                F.sum((F.col("nd") > 1).cast("int")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("violation_rate"),
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out.orderBy("tbl", "det_col", "dep_col")

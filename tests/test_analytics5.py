@@ -165,3 +165,47 @@ def test_char_ngram_compressibility_bounds(spark, sf_dir, reg):
     for r in rows:
         assert 0.0 < r.distinct_ratio <= 1.0
         assert r.distinct_grams <= r.total_grams
+
+
+def test_snapshot_novelty_bounds(spark, sf_dir, reg):
+    rows = reg["g19_snapshot_novelty"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.mean_novelty <= 1.0
+        assert r.new_shingles <= r.total_shingles
+
+
+def test_activity_streaks_conserve_users(spark, sf_dir, reg):
+    from pyspark_distributed_kmodes_spark.sources.tables import table
+
+    rows = reg["g20_activity_streaks"].fn(spark, sf_dir).collect()
+    n_users = table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert sum(r.n_users for r in rows) == n_users
+    assert all(r.streak_days >= 1 for r in rows)
+
+
+def test_embedding_drift_is_symmetric_in_halves(spark, sf_dir, reg):
+    """Drift is a distance: nonnegative, and counts cover the corpus."""
+    from pyspark_distributed_kmodes_spark.sources.tables import table
+
+    rows = reg["g21_embedding_drift"].fn(spark, sf_dir).collect()
+    n_vecs = table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_a + r.n_b for r in rows) == n_vecs
+    assert all(r.centroid_l2_drift >= 0.0 for r in rows)
+
+
+def test_dup_cluster_sizes_cover_corpus(spark, sf_dir, reg):
+    from pyspark_distributed_kmodes_spark.sources.tables import table
+
+    rows = reg["g22_dup_cluster_sizes"].fn(spark, sf_dir).collect()
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert abs(sum(r.corpus_share for r in rows) - 1.0) < 1e-4
+
+
+def test_functional_dependency_rates(spark, sf_dir, reg):
+    rows = reg["g23_functional_dependency"].fn(spark, sf_dir).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert 0 <= r.n_violating <= r.n_groups
+        assert 0.0 <= r.violation_rate <= 1.0
