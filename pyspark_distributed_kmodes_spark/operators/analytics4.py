@@ -120,6 +120,7 @@ FROM pr3 p JOIN deg d ON d.node = p.node JOIN tele t ON t.node = p.node
 ORDER BY doc_id
 """,
     tags=("dedup", "graph"),
+    bench=True,
 )
 def g01_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized (quality-seeded) PageRank over the near-dup graph:
@@ -578,6 +579,7 @@ SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true_pairs,
                    "ELSE CAST((SELECT COUNT(*) FROM hits) AS DOUBLE) / (SELECT COUNT(*) FROM truth) END", 6)} AS recall
 """,
     tags=("dedup", "approx", "audit"),
+    bench=True,
 )
 def g04_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HASH-GATED LSH recall audit (round-4 verdict item: convert the
@@ -1327,6 +1329,7 @@ SELECT b,
 FROM reps GROUP BY b ORDER BY b
 """,
     tags=("statistics", "sampling"),
+    bench=True,
 )
 def g14_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Poisson bootstrap of the mean order value
@@ -1488,6 +1491,7 @@ SELECT source,
 FROM per_source ORDER BY source
 """,
     tags=("text", "quality"),
+    bench=True,
 )
 def g18_char_ngram_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic compressibility measure: distinct char-4-gram

@@ -60,6 +60,14 @@ PROBE_QUERIES = [
     "f08_sliding_dau",
     "f13_segment_dedup",
     "f18_ngram_decontamination",
+    "g01_personalized_pagerank",
+    "g04_lsh_recall_audit",
+    "g09_vocab_growth",
+    "g10_repetition_audit",
+    "g14_poisson_bootstrap",
+    "g18_char_ngram_compressibility",
+    "g19_snapshot_novelty",
+    "g21_embedding_drift",
 ]
 
 
