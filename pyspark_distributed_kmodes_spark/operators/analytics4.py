@@ -1100,7 +1100,9 @@ def g13_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     first active week and each (cohort, week-offset) cell reports how
     much of the cohort is still active — the canonical product-health
     triangle, complementing qe11's LTV triangle (which sums value;
-    this counts distinct survivors).
+    this counts distinct survivors) and qb19's absolute-week cohort
+    counts (this is the OFFSET-NORMALIZED retention-rate form with the
+    cohort-size denominator — the matrix a dashboard actually plots).
 
     Scale: activity is pre-distinct'd to (user, week) BEFORE any join
     or count (the vanilla-heap distinct rule), cohort assignment is one

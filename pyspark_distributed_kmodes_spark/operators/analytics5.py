@@ -1,0 +1,774 @@
+"""Round-5 staged extensions (h01+): information-retrieval ranking
+(BM25, substring search, co-occurrence PMI), inequality decomposition
+(Theil), Johnson-Lindenstrauss projection audit, grouped KS drift,
+hierarchical percent-of-parent rollups, and session path mining.
+
+h-keys sort AFTER g23 and before q01, so they stage OUTSIDE the live
+round-5 window (f01-f27 + g01-g23 = exactly 50) — the round-6
+rotation's window candidates, exactly like the z/f staging in rounds
+3/4 (history in __spark_entry__.py). All oracle-gated; engine style
+unchanged (pround floor-rounding, DECIMAL sums, unique tie-breaks,
+scalar outputs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pyspark_distributed_kmodes_spark.functions.deterministic import (
+    pround,
+    sql_pround,
+)
+from pyspark_distributed_kmodes_spark.operators.curation2 import _dterm, _sql_dterm
+from pyspark_distributed_kmodes_spark.registry import query
+from pyspark_distributed_kmodes_spark.sources.tables import spread, table
+
+# ---------------------------------------------------------------------------
+# h01 — BM25 ranking
+
+_H01_TERMS = ("spark", "merge", "window")
+_H01_K1 = 1.2
+_H01_B = 0.75
+_H01_TOPK = 20
+
+_H01_TERMS_SQL = ", ".join(f"('{t}')" for t in _H01_TERMS)
+
+
+@query(
+    "h01_bm25_ranking",
+    oracle=f"""
+WITH q(term) AS (VALUES {_H01_TERMS_SQL}),
+docs AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+  FROM documents
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(dl AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM docs
+), tf AS (
+  SELECT d.doc_id, d.dl, q.term,
+         CAST(len(list_filter(d.ws, w -> w = q.term)) AS BIGINT) AS tf
+  FROM docs d CROSS JOIN q
+  WHERE len(list_filter(d.ws, w -> w = q.term)) > 0
+), df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+), contrib AS (
+  SELECT t.doc_id,
+         {_sql_dterm(
+             f"ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0)"
+             f" * (t.tf * ({_H01_K1} + 1.0))"
+             f" / (t.tf + {_H01_K1} * (1.0 - {_H01_B} + {_H01_B} * t.dl / s.avgdl))"
+         )} AS c
+  FROM tf t JOIN df f ON f.term = t.term CROSS JOIN stats s
+), scored AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS INTEGER) AS n_terms_matched,
+         {sql_pround('CAST(SUM(c) AS DOUBLE)', 9)} AS s9
+  FROM contrib GROUP BY doc_id
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY s9 DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, n_terms_matched,
+       {sql_pround('s9', 6)} AS bm25
+FROM scored
+ORDER BY rank LIMIT {_H01_TOPK}
+""",
+    tags=("text", "retrieval"),
+)
+def h01_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking for a fixed query ({_H01_TERMS}): the
+    standard IR relevance function (Okapi k1={_H01_K1}, b={_H01_B}) —
+    the retrieval primitive behind RAG corpus indexing and
+    deduplication triage, completing the text surface next to q57's
+    raw TF-IDF terms.
+
+    Scale: inverted-index shape — ONLY documents containing a query
+    term are scored (the tf filter is the posting-list intersection),
+    so the ranking window runs over the qualifying set (bounded by
+    posting sizes), never the corpus; df and avgdl are tiny broadcast
+    aggregates. Determinism: idf/tf chain on exact integers + one
+    avgdl division, terms pround(9)->DECIMAL-summed, rank tie-broken
+    by doc_id.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    docs = d.select("doc_id", words.alias("ws"), F.size(words).cast("bigint").alias("dl"))
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum(F.col("dl").cast("decimal(25,6)")).cast("double") / F.count(F.lit(1))).alias(
+            "avgdl"
+        ),
+    )
+    terms = spark.createDataFrame([(t,) for t in _H01_TERMS], "term string")
+    tf = (
+        docs.crossJoin(F.broadcast(terms))
+        .select(
+            "doc_id",
+            "dl",
+            "term",
+            F.size(F.filter("ws", lambda w: w == F.col("term"))).cast("bigint").alias("tf"),
+        )
+        .filter(F.col("tf") > 0)
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + _H01_K1 * (1.0 - _H01_B + _H01_B * F.col("dl") / F.col("avgdl"))
+    contrib = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", _dterm(idf * (F.col("tf") * (_H01_K1 + 1.0)) / denom).alias("c"))
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_terms_matched"),
+        pround(F.sum("c").cast("double"), 9).alias("s9"),
+    )
+    w = Window.orderBy(F.desc("s9"), F.asc("doc_id"))  # bounded: qualifying docs only
+    return (
+        scored.select(
+            F.row_number().over(w).cast("int").alias("rank"),
+            "doc_id",
+            "n_terms_matched",
+            pround(F.col("s9"), 6).alias("bm25"),
+        )
+        .filter(F.col("rank") <= _H01_TOPK)
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# h02 — Theil inequality decomposition
+
+
+@query(
+    "h02_theil_decomposition",
+    oracle=f"""
+WITH x AS (
+  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents
+), g AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(tok) AS BIGINT) AS toks
+  FROM x GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS n, CAST(SUM(toks) AS BIGINT) AS t FROM g
+), within AS (
+  SELECT x.source,
+         {sql_pround(
+             "CAST(SUM({term}) AS DOUBLE) / MAX(g.n_docs)".format(
+                 term=_sql_dterm(
+                     "(CAST(x.tok AS DOUBLE) / (CAST(g.toks AS DOUBLE) / g.n_docs))"
+                     " * ln(CAST(x.tok AS DOUBLE) / (CAST(g.toks AS DOUBLE) / g.n_docs))"
+                 )
+             ), 9)} AS t_within
+  FROM x JOIN g ON g.source = x.source
+  GROUP BY x.source
+), between_terms AS (
+  SELECT g.source,
+         {sql_pround(
+             '(CAST(g.toks AS DOUBLE) / t.t)'
+             ' * ln((CAST(g.toks AS DOUBLE) / g.n_docs) / (CAST(t.t AS DOUBLE) / t.n))', 9)} AS bterm
+  FROM g CROSS JOIN tot t
+), btot AS (
+  SELECT {sql_pround(f"CAST(SUM({_sql_dterm('bterm')}) AS DOUBLE)", 6)} AS t_between
+  FROM between_terms
+)
+SELECT w.source, g.n_docs,
+       {sql_pround('CAST(g.toks AS DOUBLE) / t.t', 6)} AS token_share,
+       {sql_pround('w.t_within', 6)} AS theil_within,
+       b.t_between
+FROM within w
+JOIN g ON g.source = w.source
+CROSS JOIN tot t CROSS JOIN btot b
+ORDER BY w.source
+""",
+    tags=("statistics", "curation"),
+)
+def h02_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality decomposition of token mass across documents,
+    split into within-source and between-source components — the
+    additive inequality measure (unlike qd09's Gini) that answers "is
+    corpus imbalance driven by a few giant docs inside sources, or by
+    sources of very different sizes?" — the number that decides whether
+    rebalancing should re-weight SOURCES (qc04) or truncate DOCUMENTS
+    (qe14 length caps).
+
+    Scale: one token projection, one per-source aggregate, the
+    between term over |sources| rows — all map-side combinable.
+    Determinism: means are exact-sum/count, ln on identical doubles,
+    terms pround(9)->DECIMAL-summed.
+    """
+    d = table(spark, sf_dir, "documents")
+    x = d.select("source", F.size(F.split("text", " ")).cast("bigint").alias("tok"))
+    g = x.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("tok").cast("bigint").alias("toks"),
+    )
+    tot = g.agg(
+        F.sum("n_docs").cast("bigint").alias("n"), F.sum("toks").cast("bigint").alias("t")
+    )
+    mu_g = F.col("toks").cast("double") / F.col("n_docs")
+    rel = F.col("tok").cast("double") / mu_g
+    within = (
+        x.join(F.broadcast(g), "source")
+        .select("source", "n_docs", _dterm(rel * F.log(rel)).alias("term"))
+        .groupBy("source")
+        .agg(pround(F.sum("term").cast("double") / F.max("n_docs"), 9).alias("t_within"))
+    )
+    w_share = F.col("toks").cast("double") / F.col("t")
+    mu_all = F.col("t").cast("double") / F.col("n")
+    bterms = g.crossJoin(F.broadcast(tot)).select(
+        "source",
+        pround(w_share * F.log(mu_g / mu_all), 9).alias("bterm"),
+    )
+    btot = bterms.agg(pround(F.sum(_dterm(F.col("bterm"))).cast("double"), 6).alias("t_between"))
+    return (
+        within.join(g, "source")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "source",
+            "n_docs",
+            pround(F.col("toks").cast("double") / F.col("t"), 6).alias("token_share"),
+            pround(F.col("t_within"), 6).alias("theil_within"),
+            "t_between",
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# h04 — substring search with scan pushdown
+
+_H04_PATTERNS = ("fast merge", "table scan", "spark window")
+
+
+def _h04_sql_arm(pat: str) -> str:
+    return f"""
+SELECT '{pat}' AS pattern,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM((len(text) - len(replace(text, '{pat}', ''))) // {len(pat)}) AS BIGINT) AS n_occurrences,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM documents WHERE contains(text, '{pat}')"""
+
+
+@query(
+    "h04_substring_search",
+    oracle=" UNION ALL ".join(_h04_sql_arm(p) for p in _H04_PATTERNS) + " ORDER BY pattern",
+    tags=("text", "retrieval"),
+)
+def h04_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal substring search (grep) over the corpus for a fixed
+    phrase set: per pattern, matching-doc count, total occurrence
+    count, and the first matching doc — the exact-phrase complement of
+    h01's ranked retrieval and the primitive behind "find every
+    document quoting this string" takedown/decontamination scans.
+
+    Scale: the `contains` filter is a data-source-pushable
+    StringContains predicate — matching happens IN the scan, and only
+    matching rows reach the aggregate; occurrence counting is the
+    replace-length identity (pure integer arithmetic, no regex
+    engine semantics to reconcile between engines).
+    """
+    d = table(spark, sf_dir, "documents")
+    out = None
+    for pat in _H04_PATTERNS:
+        occ = (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(pat), F.lit(""))))
+            / len(pat)
+        ).cast("bigint")
+        arm = (
+            d.filter(F.col("text").contains(pat))
+            .agg(
+                F.lit(pat).alias("pattern"),
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum(occ).cast("bigint").alias("n_occurrences"),
+                F.min("doc_id").cast("bigint").alias("first_doc"),
+            )
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out.orderBy("pattern")
+
+
+# ---------------------------------------------------------------------------
+# h06 — document co-occurrence PMI
+
+_H06_TOPK = 20
+
+
+@query(
+    "h06_cooccurrence_pmi",
+    oracle=f"""
+WITH dw AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), nd AS (
+  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM dw
+), uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS nw FROM dw GROUP BY w
+), pair AS (
+  SELECT a.w AS word_a, b.w AS word_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY a.w, b.w
+), scored AS (
+  SELECT p.word_a, p.word_b, p.n_ab,
+         {sql_pround('ln(CAST(p.n_ab AS DOUBLE) * d.n / (ua.nw * ub.nw))', 9)} AS pmi9
+  FROM pair p
+  JOIN uni ua ON ua.w = p.word_a
+  JOIN uni ub ON ub.w = p.word_b
+  CROSS JOIN nd d
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY pmi9 DESC, word_a ASC, word_b ASC) AS INTEGER) AS rank,
+       word_a, word_b, n_ab,
+       {sql_pround('pmi9', 6)} AS pmi
+FROM scored
+ORDER BY rank LIMIT {_H06_TOPK}
+""",
+    tags=("text", "statistics"),
+)
+def h06_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level co-occurrence PMI: word pairs that appear in the
+    SAME DOCUMENT far more often than independence predicts — the
+    topic-structure signal (qd07's bigram PMI sees only ADJACENT
+    words; this sees long-range association, the difference between
+    collocations and topics).
+
+    Scale: co-occurrence is a per-doc self-join of the distinct
+    (doc, word) projection — vocabulary-bounded output (<= V^2/2 pairs
+    regardless of corpus size) and Heaps-sublinear input; a production
+    corpus caps the posting list per word (the q55 max_df discipline)
+    before pairing. Determinism: PMI is ln of a ratio of exact
+    integers; rank ordering on the pround(9) key, tie-broken by the
+    word pair.
+    """
+    d = table(spark, sf_dir, "documents")
+    dw = (
+        spread(d, "doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .distinct()
+    )
+    nd = dw.agg(F.count_distinct("doc_id").cast("bigint").alias("n"))
+    uni = dw.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("nw"))
+    a = dw.select("doc_id", F.col("w").alias("word_a"))
+    b = dw.select("doc_id", F.col("w").alias("word_b"))
+    pair = (
+        a.join(b, "doc_id")
+        .filter(F.col("word_a") < F.col("word_b"))
+        .groupBy("word_a", "word_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    scored = (
+        pair.join(F.broadcast(uni.withColumnRenamed("w", "word_a").withColumnRenamed("nw", "na")), "word_a")
+        .join(F.broadcast(uni.withColumnRenamed("w", "word_b").withColumnRenamed("nw", "nb")), "word_b")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "word_a",
+            "word_b",
+            "n_ab",
+            pround(
+                F.log(F.col("n_ab").cast("double") * F.col("n") / (F.col("na") * F.col("nb"))), 9
+            ).alias("pmi9"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi9"), F.asc("word_a"), F.asc("word_b"))  # V^2-bounded
+    return (
+        scored.select(
+            F.row_number().over(w).cast("int").alias("rank"),
+            "word_a",
+            "word_b",
+            "n_ab",
+            pround(F.col("pmi9"), 6).alias("pmi"),
+        )
+        .filter(F.col("rank") <= _H06_TOPK)
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# h03 — Johnson-Lindenstrauss projection audit
+
+_H03_K = 16  # projected dims; sqrt(16) = 4 exactly (no irrational scaling)
+_H03_STRIDE = 25  # sample: vec_id % stride == 0
+
+_H03_SIGN_SQL = (
+    "CASE WHEN CAST(list_sum(list_transform(range(1, 9), i -> "
+    "(strpos('0123456789abcdef', substr(md5(CAST(j AS VARCHAR) || '#' || CAST(pos AS VARCHAR)), i, 1)) - 1)"
+    " * CAST(pow(16, 8 - i) AS BIGINT))) AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END"
+)
+
+
+@query(
+    "h03_jl_projection_audit",
+    oracle=f"""
+WITH sampled AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % {_H03_STRIDE} = 0
+), pos AS (
+  SELECT vec_id, t.pos AS pos, CAST(t.val AS DOUBLE) AS val FROM (
+    SELECT vec_id,
+           unnest(list_transform(range(1, len(embedding) + 1),
+                  i -> {{'pos': i - 1, 'val': embedding[i]}})) AS t
+    FROM sampled) s
+), proj AS (
+  SELECT p.vec_id, j.j,
+         {sql_pround(f"CAST(SUM({_sql_dterm(_H03_SIGN_SQL + ' * val')}) AS DOUBLE) / 4.0", 9)} AS pv
+  FROM pos p CROSS JOIN (SELECT unnest(range(0, {_H03_K})) AS j) j
+  GROUP BY p.vec_id, j.j
+), od AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CAST(SUM({_sql_dterm('(a.val - b.val) * (a.val - b.val)')}) AS DOUBLE) AS d2
+  FROM pos a JOIN pos b ON a.pos = b.pos AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+), pd AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CAST(SUM({_sql_dterm('(a.pv - b.pv) * (a.pv - b.pv)')}) AS DOUBLE) AS p2
+  FROM proj a JOIN proj b ON a.j = b.j AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+), ratios AS (
+  SELECT o.va, o.vb, {sql_pround('p.p2 / o.d2', 9)} AS ratio
+  FROM od o JOIN pd p ON p.va = o.va AND p.vb = o.vb
+  WHERE o.d2 > 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       {sql_pround(f"CAST(SUM({_sql_dterm('ratio')}) AS DOUBLE) / COUNT(*)", 6)} AS mean_ratio,
+       CAST(SUM(CASE WHEN abs(ratio - 1.0) <= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_50pct,
+       {sql_pround('MIN(ratio)', 6)} AS min_ratio,
+       {sql_pround('MAX(ratio)', 6)} AS max_ratio
+FROM ratios
+""",
+    tags=("vector", "audit"),
+)
+def h03_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss projection audit: embeddings are projected
+    64 -> {_H03_K} dims with a +-1 md5-sign matrix (the database-
+    friendly random projection — no dense float matrix to ship, both
+    engines derive the identical matrix from md5 parity) and the audit
+    measures how well pairwise squared distances survive on a
+    deterministic sample — the go/no-go number before swapping the
+    cheap projected representation into ANN indexing or semantic dedup
+    at 100 TB (qb28/qb30's scale path).
+
+    Scale: the projection is one (vec, j) grouped DECIMAL sum (k x dim
+    expansion of the SAMPLE only); distance pairs run over the sampled
+    set (stride {_H03_STRIDE}) — the audit is O(sample^2), never
+    corpus^2, exactly how a production pipeline spot-checks a
+    representation change. Determinism: signs from md5 parity,
+    projections pround(9) BEFORE differencing, DECIMAL-summed
+    squared terms, 1/sqrt(k) folded as the exact literal 4.0.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    sampled = emb.filter(F.col("vec_id") % _H03_STRIDE == 0)
+    pos = sampled.select(
+        "vec_id",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias("pos", "val"),
+    ).localCheckpoint(eager=True)  # feeds proj + both distance sides
+    js = spark.range(_H03_K).select(F.col("id").cast("int").alias("j"))
+    from pyspark_distributed_kmodes_spark.operators.analytics4 import _md5fold
+
+    sign = F.when(
+        _md5fold(F.concat_ws("#", F.col("j").cast("string"), F.col("pos").cast("string"))) % 2
+        == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    proj = (
+        pos.crossJoin(F.broadcast(js))
+        .select("vec_id", "j", _dterm(sign * F.col("val")).alias("t"))
+        .groupBy("vec_id", "j")
+        .agg(pround(F.sum("t").cast("double") / 4.0, 9).alias("pv"))
+    )
+    pa = pos.select(F.col("vec_id").alias("va"), "pos", F.col("val").alias("xa"))
+    pb = pos.select(F.col("vec_id").alias("vb"), "pos", F.col("val").alias("xb"))
+    od = (
+        pa.join(pb, "pos")
+        .filter(F.col("va") < F.col("vb"))
+        .select("va", "vb", _dterm((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))).alias("t"))
+        .groupBy("va", "vb")
+        .agg(F.sum("t").cast("double").alias("d2"))
+    )
+    qa = proj.select(F.col("vec_id").alias("va"), "j", F.col("pv").alias("ya"))
+    qb = proj.select(F.col("vec_id").alias("vb"), "j", F.col("pv").alias("yb"))
+    pd_ = (
+        qa.join(qb, "j")
+        .filter(F.col("va") < F.col("vb"))
+        .select("va", "vb", _dterm((F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb"))).alias("t"))
+        .groupBy("va", "vb")
+        .agg(F.sum("t").cast("double").alias("p2"))
+    )
+    ratios = (
+        od.join(pd_, ["va", "vb"])
+        .filter(F.col("d2") > 0)
+        .select(pround(F.col("p2") / F.col("d2"), 9).alias("ratio"))
+    )
+    return ratios.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        pround(F.sum(_dterm(F.col("ratio"))).cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_ratio"
+        ),
+        F.sum((F.abs(F.col("ratio") - 1.0) <= 0.5).cast("int")).cast("bigint").alias(
+            "n_within_50pct"
+        ),
+        pround(F.min("ratio"), 6).alias("min_ratio"),
+        pround(F.max("ratio"), 6).alias("max_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# h05 — per-group KS drift vs the global distribution
+
+
+@query(
+    "h05_grouped_ks_drift",
+    oracle="""
+WITH vals AS (
+  SELECT DISTINCT n_chars AS v FROM documents
+), gsize AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+), gcum AS (
+  SELECT v.v,
+         CAST((SELECT COUNT(*) FROM documents d WHERE d.n_chars <= v.v) AS BIGINT) AS cg
+  FROM vals v
+), scum AS (
+  SELECT g.source, v.v,
+         CAST((SELECT COUNT(*) FROM documents d
+               WHERE d.source = g.source AND d.n_chars <= v.v) AS BIGINT) AS cs
+  FROM gsize g CROSS JOIN vals v
+), dnum AS (
+  SELECT s.source,
+         MAX(abs(s.cs * t.n - g.cg * z.n_s)) AS d_num
+  FROM scum s
+  JOIN gcum g ON g.v = s.v
+  JOIN gsize z ON z.source = s.source
+  CROSS JOIN tot t
+  GROUP BY s.source
+)
+SELECT d.source, z.n_s AS n_docs,
+       CAST(d.d_num AS DOUBLE) / (z.n_s * t.n) AS ks_stat
+FROM dnum d JOIN gsize z ON z.source = d.source CROSS JOIN tot t
+ORDER BY d.source
+""",
+    tags=("statistics", "curation"),
+)
+def h05_grouped_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KS drift against the GLOBAL length distribution: the
+    maximum ECDF gap between each source's n_chars distribution and the
+    corpus-wide one — qd10 generalized from two fixed samples to
+    every-group-vs-rest, the per-source "does this feed look like the
+    corpus?" tripwire that runs after every ingestion batch.
+
+    Scale: the ECDF lattice is the DISTINCT value domain (bounded by
+    the value dictionary, not row count); per-source cumulative counts
+    come from one (source, value) count + a per-source running-sum
+    window (partitioned by source, ordered over the bounded lattice —
+    never a row-level global window). The statistic is exact integer
+    cross-products (qd10's rule: |cs/ns - cg/N| compared as
+    |cs*N - cg*ns|), with ONE final division.
+    """
+    d = table(spark, sf_dir, "documents")
+    vals = d.select(F.col("n_chars").alias("v")).distinct()
+    gsize = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_s"))
+    tot = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # global cumulative over the value lattice
+    gcnt = d.groupBy(F.col("n_chars").alias("v")).agg(F.count(F.lit(1)).alias("c"))
+    wg = Window.orderBy("v")  # bounded: |distinct n_chars| rows
+    gcum = (
+        vals.join(gcnt, "v", "left")
+        .select("v", F.coalesce("c", F.lit(0)).alias("c"))
+        .withColumn("cg", F.sum("c").over(wg).cast("bigint"))
+        .select("v", "cg")
+    )
+    # per-source cumulative over the SAME lattice (grid join fills gaps)
+    scnt = d.groupBy("source", F.col("n_chars").alias("v")).agg(F.count(F.lit(1)).alias("c"))
+    grid = gsize.select("source").crossJoin(vals)
+    ws = Window.partitionBy("source").orderBy("v")
+    scum = (
+        grid.join(scnt, ["source", "v"], "left")
+        .select("source", "v", F.coalesce("c", F.lit(0)).alias("c"))
+        .withColumn("cs", F.sum("c").over(ws).cast("bigint"))
+        .select("source", "v", "cs")
+    )
+    dnum = (
+        scum.join(gcum, "v")
+        .join(F.broadcast(gsize), "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(F.max(F.abs(F.col("cs") * F.col("n") - F.col("cg") * F.col("n_s"))).alias("d_num"))
+    )
+    return (
+        dnum.join(F.broadcast(gsize), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_s").alias("n_docs"),
+            (F.col("d_num").cast("double") / (F.col("n_s") * F.col("n"))).alias("ks_stat"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# h07 — hierarchical percent-of-parent rollup
+
+
+@query(
+    "h07_percent_of_parent",
+    oracle=f"""
+WITH cell AS (
+  SELECT r.r_name AS region, n.n_name AS nation, c.c_mktsegment AS segment,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS rev
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY 1, 2, 3
+), nat AS (
+  SELECT region, nation, CAST(SUM(CAST(rev AS DECIMAL(25,6))) AS DOUBLE) AS nrev
+  FROM cell GROUP BY 1, 2
+), reg AS (
+  SELECT region, CAST(SUM(CAST(nrev AS DECIMAL(25,6))) AS DOUBLE) AS rrev
+  FROM nat GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(CAST(rrev AS DECIMAL(25,6))) AS DOUBLE) AS trev FROM reg
+)
+SELECT c.region, c.nation, c.segment,
+       {sql_pround('c.rev', 2)} AS revenue,
+       {sql_pround('c.rev / n.nrev', 6)} AS share_of_nation,
+       {sql_pround('n.nrev / r.rrev', 6)} AS nation_share_of_region,
+       {sql_pround('r.rrev / t.trev', 6)} AS region_share_of_total
+FROM cell c
+JOIN nat n ON n.region = c.region AND n.nation = c.nation
+JOIN reg r ON r.region = c.region
+CROSS JOIN tot t
+ORDER BY c.region, c.nation, c.segment
+""",
+    tags=("relational",),
+)
+def h07_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical percent-of-parent rollup (region > nation >
+    market segment): each leaf cell carries its share at every level
+    of the hierarchy — the OLAP drill-down report shape (q11/q12 give
+    the grouped TOTALS; this gives the normalized shares a BI layer
+    actually renders), with every denominator derived from the same
+    exact decimal sums so shares at each level sum to 1 by
+    construction.
+
+    Scale: ONE fact aggregation at leaf grain, then re-aggregation of
+    the tiny cell table upward (cells are dim-bounded: regions x
+    nations x segments); dims broadcast into the fact join. Shares
+    are single divisions of exact-decimal-sum doubles.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    cell = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double").alias("rev"))
+    )
+    cell = cell.localCheckpoint(eager=True)  # dim-bounded; 3 consumers
+    nat = cell.groupBy("region", "nation").agg(
+        F.sum(F.col("rev").cast("decimal(25,6)")).cast("double").alias("nrev")
+    )
+    reg = nat.groupBy("region").agg(
+        F.sum(F.col("nrev").cast("decimal(25,6)")).cast("double").alias("rrev")
+    )
+    tot = reg.agg(F.sum(F.col("rrev").cast("decimal(25,6)")).cast("double").alias("trev"))
+    return (
+        cell.join(F.broadcast(nat), ["region", "nation"])
+        .join(F.broadcast(reg), "region")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "region",
+            "nation",
+            "segment",
+            pround(F.col("rev"), 2).alias("revenue"),
+            pround(F.col("rev") / F.col("nrev"), 6).alias("share_of_nation"),
+            pround(F.col("nrev") / F.col("rrev"), 6).alias("nation_share_of_region"),
+            pround(F.col("rrev") / F.col("trev"), 6).alias("region_share_of_total"),
+        )
+        .orderBy("region", "nation", "segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# h08 — session path mining
+
+_H08_GAP_US = 30 * 60 * 1_000_000
+_H08_TOPK = 15
+
+
+@query(
+    "h08_session_paths",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events
+), marked AS (
+  SELECT user_id, event_id, event_type, tus,
+         CASE WHEN tus - LAG(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+                   > {_H08_GAP_US} THEN 1 ELSE 0 END AS is_new
+  FROM ev
+), sess AS (
+  SELECT user_id, event_id, event_type, tus,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+), tri AS (
+  SELECT event_type AS e1,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id, sid ORDER BY tus, event_id) AS e2,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id, sid ORDER BY tus, event_id) AS e3
+  FROM sess
+), counted AS (
+  SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+  FROM tri WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+  GROUP BY e1, e2, e3
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, e1 ASC, e2 ASC, e3 ASC) AS INTEGER) AS rank,
+       e1, e2, e3, n
+FROM counted
+ORDER BY rank LIMIT {_H08_TOPK}
+""",
+    tags=("events",),
+)
+def h08_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining: the {_H08_TOPK} most common within-session
+    event-type trigrams, after 30-minute-gap sessionization — the
+    behavioral-pattern complement of qe12's one-step transition matrix
+    (paths see three steps, so view->click->purchase and
+    view->click->error separate) and the batch shape of the funnel
+    family (qe09/f12).
+
+    Scale: sessionization and path windows all partition by user (and
+    session) — never global; the path space is |event_types|^3-bounded
+    so the count table is tiny, and the final top-k window runs over
+    it. Integer microsecond gaps (the f15 idiom); rank tie-broken by
+    the full path.
+    """
+    e = table(spark, sf_dir, "events")
+    ev = e.select("user_id", "event_id", "event_type", F.unix_micros("ts").alias("tus"))
+    wu = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    marked = ev.withColumn(
+        "is_new",
+        F.when(F.col("tus") - F.lag("tus").over(wu) > _H08_GAP_US, 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "sid", F.sum("is_new").over(wu.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    wsess = Window.partitionBy("user_id", "sid").orderBy("tus", "event_id")
+    tri = sess.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(wsess).alias("e2"),
+        F.lead("event_type", 2).over(wsess).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    counted = tri.groupBy("e1", "e2", "e3").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wr = Window.orderBy(F.desc("n"), F.asc("e1"), F.asc("e2"), F.asc("e3"))  # |types|^3-bounded
+    return (
+        counted.select(F.row_number().over(wr).cast("int").alias("rank"), "e1", "e2", "e3", "n")
+        .filter(F.col("rank") <= _H08_TOPK)
+        .orderBy("rank")
+    )

@@ -1,0 +1,128 @@
+"""Property tests for the round-5 staged h-suite
+(operators/analytics5.py): BM25 ranking sanity vs a pure-python
+reference, Theil decomposition identities, JL concentration, KS
+bounds, share-tree normalization, and session path conservation.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_distributed_kmodes_spark.registry import load_all
+
+
+@pytest.fixture(scope="module")
+def reg():
+    return load_all()
+
+
+def test_bm25_matches_python_reference(spark, sf_dir, reg):
+    """Re-derive BM25 in pure python from the raw corpus and compare
+    the full ranked prefix (the d09/d13 independent-reference rule)."""
+    from pyspark_distributed_kmodes_spark.operators.analytics5 import (
+        _H01_B,
+        _H01_K1,
+        _H01_TERMS,
+    )
+    from pyspark_distributed_kmodes_spark.sources.tables import table
+
+    got = [(r.rank, r.doc_id, r.bm25) for r in reg["h01_bm25_ranking"].fn(spark, sf_dir).collect()]
+    docs = {r.doc_id: r.text.split(" ") for r in table(spark, sf_dir, "documents").collect()}
+    n = len(docs)
+    avgdl = sum(len(w) for w in docs.values()) / n
+    df = {t: sum(1 for ws in docs.values() if t in ws) for t in _H01_TERMS}
+    scores = {}
+    for did, ws in docs.items():
+        s = 0.0
+        for t in _H01_TERMS:
+            tf = ws.count(t)
+            if tf == 0:
+                continue
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += idf * tf * (_H01_K1 + 1.0) / (tf + _H01_K1 * (1 - _H01_B + _H01_B * len(ws) / avgdl))
+        if s > 0:
+            scores[did] = s
+    ref = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[: len(got)]
+    for (rank, did, bm25), (rdid, rs) in zip(got, ref):
+        assert did == rdid, (rank, did, rdid)
+        assert abs(bm25 - rs) < 1e-4
+
+
+def test_theil_decomposition_identity(spark, sf_dir, reg):
+    """Theil is additive: between + sum(w_g * within_g) == total Theil
+    computed directly over all documents."""
+    from pyspark_distributed_kmodes_spark.sources.tables import table
+
+    rows = reg["h02_theil_decomposition"].fn(spark, sf_dir).collect()
+    toks = [
+        (r.source, len(r.text.split(" ")))
+        for r in table(spark, sf_dir, "documents").collect()
+    ]
+    total = sum(t for _, t in toks)
+    mu = total / len(toks)
+    t_all = sum((t / mu) * math.log(t / mu) for _, t in toks) / len(toks)
+    recomposed = rows[0].t_between + sum(r.token_share * r.theil_within for r in rows)
+    assert abs(recomposed - t_all) < 1e-3, (recomposed, t_all)
+    assert all(r.theil_within >= -1e-9 for r in rows)
+
+
+def test_jl_audit_concentrates(spark, sf_dir, reg):
+    r = reg["h03_jl_projection_audit"].fn(spark, sf_dir).collect()[0]
+    assert r.n_pairs > 0
+    assert r.min_ratio <= r.mean_ratio <= r.max_ratio
+    # k=16 gives loose but real concentration: mean within 30% of 1
+    assert 0.7 < r.mean_ratio < 1.3
+    assert r.n_within_50pct > r.n_pairs * 0.5
+
+
+def test_substring_search_matches_python(spark, sf_dir, reg):
+    from pyspark_distributed_kmodes_spark.operators.analytics5 import _H04_PATTERNS
+    from pyspark_distributed_kmodes_spark.sources.tables import table
+
+    got = {r.pattern: (r.n_docs, r.n_occurrences) for r in reg["h04_substring_search"].fn(spark, sf_dir).collect()}
+    texts = [(r.doc_id, r.text) for r in table(spark, sf_dir, "documents").collect()]
+    for pat in _H04_PATTERNS:
+        n_docs = sum(1 for _, t in texts if pat in t)
+        n_occ = sum(t.count(pat) for _, t in texts)
+        if n_docs:
+            assert got[pat] == (n_docs, n_occ), pat
+        else:
+            assert pat not in got
+
+
+def test_grouped_ks_bounds(spark, sf_dir, reg):
+    rows = reg["h05_grouped_ks_drift"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.ks_stat <= 1.0
+
+
+def test_percent_of_parent_sums_to_one(spark, sf_dir, reg):
+    rows = reg["h07_percent_of_parent"].fn(spark, sf_dir).collect()
+    by_nation = {}
+    by_region_share = {}
+    total_share = {}
+    for r in rows:
+        by_nation.setdefault((r.region, r.nation), 0.0)
+        by_nation[(r.region, r.nation)] += r.share_of_nation
+        by_region_share[(r.region, r.nation)] = r.nation_share_of_region
+        total_share[r.region] = r.region_share_of_total
+    for k, s in by_nation.items():
+        assert abs(s - 1.0) < 1e-4, (k, s)
+    # nation shares within each region sum to 1
+    region_sums = {}
+    for (reg_, nat), share in by_region_share.items():
+        region_sums.setdefault(reg_, 0.0)
+        region_sums[reg_] += share
+    for k, s in region_sums.items():
+        assert abs(s - 1.0) < 1e-4, (k, s)
+    assert abs(sum(total_share.values()) - 1.0) < 1e-4
+
+
+def test_session_paths_counts_positive_and_ranked(spark, sf_dir, reg):
+    rows = reg["h08_session_paths"].fn(spark, sf_dir).collect()
+    assert rows
+    ns = [r.n for r in sorted(rows, key=lambda r: r.rank)]
+    assert ns == sorted(ns, reverse=True)
+    assert all(r.n >= 1 for r in rows)
