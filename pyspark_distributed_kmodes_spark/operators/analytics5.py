@@ -772,3 +772,62 @@ def h08_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _H08_TOPK)
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# h09 — windowed top-k heavy hitters (batch twin of the streaming job)
+
+_H09_WIN_US = 6 * 3600 * 1_000_000
+_H09_K = 3
+
+
+@query(
+    "h09_windowed_topk",
+    oracle=f"""
+WITH counted AS (
+  SELECT epoch_us(ts) // {_H09_WIN_US} AS window_idx, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT window_idx, event_type, n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY window_idx
+                                 ORDER BY n DESC, event_type ASC) AS INTEGER) AS rank
+  FROM counted
+)
+SELECT CAST(window_idx AS BIGINT) AS window_idx, rank, event_type, n
+FROM ranked WHERE rank <= {_H09_K}
+ORDER BY window_idx, rank
+""",
+    tags=("events", "streaming-twin"),
+)
+def h09_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_H09_K} event types per tumbling 6-hour window — the batch
+    twin of `streaming/jobs.py::windowed_topk_stream`: the stream
+    maintains the (window, type) counts (the only state ranking needs);
+    the RANKING itself is not stream-expressible (no window functions
+    over streaming aggregates), so it runs sink-side on the closed
+    windows — this query pins the exact semantics the sink must
+    reproduce, and the parity test drives the real streaming engine
+    against it.
+
+    Scale: one (window, type) count — map-side combinable, state
+    bounded by windows x types; the rank window partitions per window
+    over |types| rows. Window index is pure integer µs division (no
+    engine time-bucket conventions).
+    """
+    e = table(spark, sf_dir, "events")
+    counted = e.groupBy(
+        (F.unix_micros("ts") / _H09_WIN_US).cast("bigint").alias("window_idx"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("window_idx").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counted.select(
+            "window_idx",
+            F.row_number().over(w).cast("int").alias("rank"),
+            "event_type",
+            "n",
+        )
+        .filter(F.col("rank") <= _H09_K)
+        .orderBy("window_idx", "rank")
+    )

@@ -397,3 +397,34 @@ def sliding_distinct_users_stream(
     ).select("user_id", "ts", F.expr("timestampadd(DAY, off, day)").alias("window_day"))
     dd_win = fanned.dropDuplicatesWithinWatermark(["user_id", "window_day"])
     return dd_win.groupBy("window_day").agg(F.count(F.lit(1)).alias("dau"))
+
+
+def windowed_topk_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 6-hour (window, event_type) counts, streaming — the
+    stateful half of h09's windowed top-k: counting is the ONLY state
+    ranking needs, and it is exactly what Structured Streaming's
+    windowed aggregation maintains (bounded by windows x types,
+    expiring on the watermark). Ranking over a streaming aggregate is
+    not expressible (window functions are batch-only), so the top-k
+    cut happens sink-side on closed windows — `topk_from_counts`
+    applies the identical rank rule the h09 oracle pins, and the
+    parity test drives this REAL streaming pipeline against the batch
+    query.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def topk_from_counts(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Sink-side ranking for windowed_topk_stream's drained counts:
+    top-k per window with h09's exact tie-break (n DESC, type ASC)."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("window").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.select("window", "event_type", "n", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+    )

@@ -428,3 +428,39 @@ def test_sliding_distinct_users_stream_matches_batch(spark, sf_dir, stream):
     assert {d: got[d] for d in expected} == expected
     extra = set(got) - set(expected)
     assert all(d > max(expected) for d in extra), "unexpected non-tail extra days"
+
+
+def test_windowed_topk_stream_matches_batch(spark, sf_dir, stream):
+    """Real streaming execution: drain the 6h windowed counts through
+    the engine, rank sink-side, and reconcile with h09's batch twin
+    (window.start µs // 6h == the batch integer window index)."""
+    from pyspark_distributed_kmodes_spark.registry import load_all
+    from pyspark_distributed_kmodes_spark.streaming.jobs import (
+        run_available_now,
+        topk_from_counts,
+        windowed_topk_stream,
+    )
+
+    from pyspark.sql import functions as F
+
+    counts = windowed_topk_stream(stream)
+    view = run_available_now(counts, "topk_counts")
+    drained = spark.table(view)
+    got = {
+        (r.idx, r.rank): (r.event_type, r.n)
+        for r in topk_from_counts(drained, k=3)
+        .select(
+            (F.unix_micros(F.col("window.start")) / (6 * 3600 * 1_000_000))
+            .cast("bigint")
+            .alias("idx"),
+            "rank",
+            "event_type",
+            "n",
+        )
+        .collect()
+    }
+    batch = {
+        (r.window_idx, r.rank): (r.event_type, r.n)
+        for r in load_all()["h09_windowed_topk"].fn(spark, sf_dir).collect()
+    }
+    assert got == batch
