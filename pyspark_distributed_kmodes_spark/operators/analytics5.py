@@ -831,3 +831,103 @@ def h09_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _H09_K)
         .orderBy("window_idx", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# h10/h11 — source/sink matrix extensions (ORC, partition pruning)
+
+
+@query(
+    "h10_orc_roundtrip",
+    oracle=f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM documents GROUP BY source ORDER BY source
+""",
+    tags=("source", "orc"),
+)
+def h10_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC ingestion end-to-end (qc01's CSV pattern for the other
+    columnar format the lakehouse world actually ships): documents ->
+    ORC files (zlib) -> native ORC scan -> aggregate; the oracle
+    aggregates the original parquet, so hash-match proves the ORC path
+    loses nothing. ORC keeps predicate pushdown and column pruning
+    (unlike CSV), so it is a steady-state citizen of the source
+    matrix, not just an ingestion one.
+
+    Idempotent under re-invocation (b34/qc01 discipline): per-run temp
+    dir, eager materialization of the k-row result, cleanup in
+    finally.
+    """
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="h10_orc_")
+    try:
+        d = table(spark, sf_dir, "documents")
+        d.write.mode("overwrite").orc(base + "/documents")
+        back = spark.read.orc(base + "/documents")
+        out = (
+            back.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("chars_sum"),
+                F.max("doc_id").cast("bigint").alias("max_doc"),
+            )
+            .orderBy("source")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "h11_partition_pruned_scan",
+    oracle="""
+SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_idx,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY day_idx
+""",
+    tags=("source", "partitioning"),
+)
+def h11_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partition pruning end-to-end: events are written
+    partitioned by event_type, read back with an event_type filter —
+    the filter resolves at PLANNING time (PartitionFilters in the
+    scan, only the matching directory is listed/read), which is THE
+    mechanism that makes a 100 TB table cheap to query by its
+    partition key. The oracle computes the same aggregate from the
+    unpartitioned source, so the hash-match proves pruning loses no
+    rows; test_plans_analytics pins that the physical scan carries the
+    partition filter and reads only the pruned partition.
+
+    Idempotent (qc01 discipline): per-run temp dir, eager k-row
+    materialization, cleanup in finally.
+    """
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="h11_part_")
+    try:
+        e = table(spark, sf_dir, "events")
+        e.write.mode("overwrite").partitionBy("event_type").parquet(base + "/events")
+        back = spark.read.parquet(base + "/events").filter(F.col("event_type") == "purchase")
+        out = (
+            back.select(
+                F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("bigint").alias("day_idx"),
+                "user_id",
+            )
+            .groupBy("day_idx")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.count_distinct("user_id").cast("bigint").alias("n_users"),
+            )
+            .orderBy("day_idx")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

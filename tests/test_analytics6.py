@@ -126,3 +126,44 @@ def test_session_paths_counts_positive_and_ranked(spark, sf_dir, reg):
     ns = [r.n for r in sorted(rows, key=lambda r: r.rank)]
     assert ns == sorted(ns, reverse=True)
     assert all(r.n >= 1 for r in rows)
+
+
+def test_windowed_topk_matches_oracle_shape(spark, sf_dir, reg):
+    rows = reg["h09_windowed_topk"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.rank <= 3
+
+
+def test_orc_roundtrip_idempotent(spark, sf_dir, reg):
+    a = reg["h10_orc_roundtrip"].fn(spark, sf_dir).collect()
+    b = reg["h10_orc_roundtrip"].fn(spark, sf_dir).collect()
+    assert a == b and len(a) > 0
+
+
+def test_partition_pruning_in_plan_and_idempotent(spark, sf_dir, reg):
+    """The h11 scan must carry the event_type partition filter at
+    planning time (PartitionFilters in the FileSourceScan), and the
+    query must be re-invokable (temp-dir hygiene)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyspark_distributed_kmodes_spark.sources.tables import table
+
+    base = tempfile.mkdtemp(prefix="h11_plan_")
+    try:
+        e = table(spark, sf_dir, "events")
+        e.write.mode("overwrite").partitionBy("event_type").parquet(base + "/events")
+        back = spark.read.parquet(base + "/events").filter(F.col("event_type") == "purchase")
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "event_type" in plan
+        # pruning actually bites: scanned rows == purchase rows only
+        n_purchase = e.filter("event_type = 'purchase'").count()
+        assert back.count() == n_purchase
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    a = reg["h11_partition_pruned_scan"].fn(spark, sf_dir).collect()
+    b = reg["h11_partition_pruned_scan"].fn(spark, sf_dir).collect()
+    assert a == b and len(a) > 0
