@@ -931,3 +931,281 @@ def h11_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# h12/h13 — contrastive mining + label-noise audit over sampled anchors
+
+_H12_STRIDE = 25  # anchors: vec_id % stride == 0
+
+_H12_PAIR_CTE = f"""
+anchors AS (
+  SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % {_H12_STRIDE} = 0
+), apos AS (
+  SELECT vec_id, label, t.pos AS pos, CAST(t.val AS DOUBLE) AS val FROM (
+    SELECT vec_id, label,
+           unnest(list_transform(range(1, len(embedding) + 1),
+                  i -> {{'pos': i - 1, 'val': embedding[i]}})) AS t
+    FROM anchors) s
+), bpos AS (
+  SELECT vec_id, label, t.pos AS pos, CAST(t.val AS DOUBLE) AS val FROM (
+    SELECT vec_id, label,
+           unnest(list_transform(range(1, len(embedding) + 1),
+                  i -> {{'pos': i - 1, 'val': embedding[i]}})) AS t
+    FROM embeddings) s
+), norms AS (
+  SELECT vec_id, CAST(SUM({_sql_dterm('val * val')}) AS DOUBLE) AS n2
+  FROM bpos GROUP BY vec_id
+), pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         MAX(a.label) AS label_a, MAX(b.label) AS label_b,
+         CAST(SUM({_sql_dterm('a.val * b.val')}) AS DOUBLE) AS dot
+  FROM apos a JOIN bpos b ON b.pos = a.pos AND b.vec_id <> a.vec_id
+  GROUP BY a.vec_id, b.vec_id
+), cos AS (
+  SELECT p.a_id, p.b_id, p.label_a, p.label_b,
+         {sql_pround('p.dot / (sqrt(na.n2) * sqrt(nb.n2))', 9)} AS c9
+  FROM pairs p JOIN norms na ON na.vec_id = p.a_id JOIN norms nb ON nb.vec_id = p.b_id
+)"""
+
+
+def _pair_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(a_id, b_id, label_a, label_b, c9): pround(9) cosine of every
+    sampled anchor (vec_id % {_H12_STRIDE} == 0) against every OTHER
+    vector — the shared machinery of h12/h13. Anchor side is a tiny
+    broadcast; the corpus is scanned once; cosine is DECIMAL-summed
+    dot / exact norms (qc13's fold), so both engines rank identical
+    doubles."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+
+    def dfold(terms: Column) -> Column:
+        return F.aggregate(
+            terms,
+            F.lit(0).cast("decimal(25,12)"),
+            lambda acc, x: (acc + x).cast("decimal(25,12)"),
+        ).cast("double")
+
+    base = emb.select("vec_id", "label", v.alias("v"))
+    norms = base.select(
+        "vec_id", dfold(F.transform("v", lambda a: _dterm(a * a))).alias("n2")
+    )
+    anchors = base.filter(F.col("vec_id") % _H12_STRIDE == 0).select(
+        F.col("vec_id").alias("a_id"), F.col("label").alias("label_a"), F.col("v").alias("va")
+    )
+    pairs = (
+        base.select(F.col("vec_id").alias("b_id"), F.col("label").alias("label_b"), F.col("v").alias("vb"))
+        .join(F.broadcast(anchors), F.col("b_id") != F.col("a_id"))
+        .select(
+            "a_id",
+            "b_id",
+            "label_a",
+            "label_b",
+            dfold(F.zip_with("va", "vb", lambda a, b: _dterm(a * b))).alias("dot"),
+        )
+    )
+    na = norms.select(F.col("vec_id").alias("a_id"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("vec_id").alias("b_id"), F.col("n2").alias("nb2"))
+    return (
+        pairs.join(F.broadcast(na), "a_id")
+        .join(nb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "label_a",
+            "label_b",
+            pround(F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2")), 9).alias("c9"),
+        )
+    )
+
+
+@query(
+    "h12_hard_negative_mining",
+    oracle=f"""
+WITH {_H12_PAIR_CTE},
+pos AS (
+  SELECT a_id, b_id AS pos_id, c9 AS cos_pos,
+         ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY c9 DESC, b_id ASC) AS rn
+  FROM cos WHERE label_a = label_b
+), neg AS (
+  SELECT a_id, b_id AS neg_id, c9 AS cos_neg,
+         ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY c9 DESC, b_id ASC) AS rn
+  FROM cos WHERE label_a <> label_b
+)
+SELECT p.a_id AS anchor_id, p.pos_id, n.neg_id,
+       {sql_pround('p.cos_pos', 6)} AS cos_pos,
+       {sql_pround('n.cos_neg', 6)} AS cos_neg,
+       {sql_pround('p.cos_pos - n.cos_neg', 6)} AS margin
+FROM pos p JOIN neg n ON n.a_id = p.a_id AND n.rn = 1
+WHERE p.rn = 1
+ORDER BY anchor_id
+""",
+    tags=("vector", "training"),
+)
+def h12_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining for metric learning: for each sampled
+    anchor, the hardest positive (most-similar SAME-label vector) and
+    the hardest negative (most-similar DIFFERENT-label vector) with
+    the triplet margin — the batch-mining step behind triplet /
+    InfoNCE embedding training and the "which labels collide?"
+    diagnostic (a negative margin = an imposter sits closer than any
+    true neighbor).
+
+    Scale: anchors are a deterministic sample (stride {_H12_STRIDE})
+    broadcast against one corpus scan — O(sample x corpus), the
+    production mining shape (full N^2 mining is never run; LSH/IVF
+    pre-candidates replace the scan at 100 TB). Ranking on pround(9)
+    cosines with b_id tie-breaks.
+    """
+    cos = _pair_cos(spark, sf_dir)
+    wp = Window.partitionBy("a_id").orderBy(F.desc("c9"), F.asc("b_id"))
+    pos = (
+        cos.filter(F.col("label_a") == F.col("label_b"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter("rn = 1")
+        .select(F.col("a_id"), F.col("b_id").alias("pos_id"), F.col("c9").alias("cos_pos"))
+    )
+    neg = (
+        cos.filter(F.col("label_a") != F.col("label_b"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter("rn = 1")
+        .select(F.col("a_id"), F.col("b_id").alias("neg_id"), F.col("c9").alias("cos_neg"))
+    )
+    return (
+        pos.join(neg, "a_id")
+        .select(
+            F.col("a_id").alias("anchor_id"),
+            "pos_id",
+            "neg_id",
+            pround(F.col("cos_pos"), 6).alias("cos_pos"),
+            pround(F.col("cos_neg"), 6).alias("cos_neg"),
+            pround(F.col("cos_pos") - F.col("cos_neg"), 6).alias("margin"),
+        )
+        .orderBy("anchor_id")
+    )
+
+
+_H13_K = 5
+
+
+@query(
+    "h13_knn_label_noise",
+    oracle=f"""
+WITH {_H12_PAIR_CTE},
+ranked AS (
+  SELECT a_id, label_a, label_b,
+         ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY c9 DESC, b_id ASC) AS rn
+  FROM cos
+)
+SELECT a_id AS anchor_id, CAST(MAX(label_a) AS INTEGER) AS label,
+       CAST(SUM(CASE WHEN label_b <> label_a THEN 1 ELSE 0 END) AS INTEGER) AS n_disagree,
+       (SUM(CASE WHEN label_b <> label_a THEN 1 ELSE 0 END) * 2 > {_H13_K}) AS suspect
+FROM ranked WHERE rn <= {_H13_K}
+GROUP BY a_id ORDER BY a_id
+""",
+    tags=("vector", "quality"),
+)
+def h13_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label-noise audit (confident-learning style): for each
+    sampled anchor, how many of its {_H13_K} nearest neighbors carry a
+    DIFFERENT label — an anchor outvoted by its own neighborhood
+    (majority disagreement) is flagged as probably mislabeled, the
+    label-quality gate run before any supervised fine-tune on
+    harvested labels (qc13 scores label REGIONS; this scores
+    individual EXAMPLES).
+
+    Scale: same sampled-anchor x corpus scan as h12 (one shared
+    machinery, `_pair_cos`); the k-NN cut is a per-anchor window over
+    pround(9) cosines with b_id tie-breaks. Integer votes out.
+    """
+    cos = _pair_cos(spark, sf_dir)
+    wp = Window.partitionBy("a_id").orderBy(F.desc("c9"), F.asc("b_id"))
+    ranked = cos.withColumn("rn", F.row_number().over(wp)).filter(F.col("rn") <= _H13_K)
+    return (
+        ranked.groupBy(F.col("a_id").alias("anchor_id"))
+        .agg(
+            F.max("label_a").cast("int").alias("label"),
+            F.sum((F.col("label_b") != F.col("label_a")).cast("int")).cast("int").alias(
+                "n_disagree"
+            ),
+            (F.sum((F.col("label_b") != F.col("label_a")).cast("int")) * 2 > _H13_K).alias(
+                "suspect"
+            ),
+        )
+        .orderBy("anchor_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# h14 — importance weights for distribution matching
+
+
+@query(
+    "h14_importance_weights",
+    oracle=f"""
+WITH g AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+), tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS l FROM g
+), weighted AS (
+  SELECT g.lang, g.n_docs,
+         CAST(g.n_docs AS DOUBLE) / t.n AS actual_share,
+         (1.0 / t.l) / (CAST(g.n_docs AS DOUBLE) / t.n) AS w
+  FROM g CROSS JOIN tot t
+), ess AS (
+  SELECT {sql_pround(
+      f"pow(CAST(SUM({_sql_dterm('n_docs * w')}) AS DOUBLE), 2)"
+      f" / CAST(SUM({_sql_dterm('n_docs * w * w')}) AS DOUBLE)", 6)} AS effective_n
+  FROM weighted
+)
+SELECT w.lang, w.n_docs,
+       {sql_pround('w.actual_share', 6)} AS actual_share,
+       {sql_pround('w.w', 6)} AS weight,
+       e.effective_n
+FROM weighted w CROSS JOIN ess e
+ORDER BY w.lang
+""",
+    tags=("curation", "sampling"),
+)
+def h14_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance weights for distribution matching: per-language
+    sampling weights that reshape the corpus toward a UNIFORM language
+    target (weight = target_share / actual_share), with the effective
+    sample size ESS = (Σw)²/Σw² — the number that says how much data
+    the reweighted corpus is REALLY worth (ESS collapses when a rare
+    language carries giant weights), the gate before choosing
+    reweighting over qc04's temperature resampling.
+
+    Scale: one group count + scalar algebra on the |langs|-row table;
+    the per-doc weight assignment at materialization time is a
+    broadcast join on lang. DECIMAL-summed ESS moments.
+    """
+    d = table(spark, sf_dir, "documents")
+    g = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    tot = g.agg(
+        F.sum("n_docs").cast("bigint").alias("n"), F.count(F.lit(1)).cast("bigint").alias("l")
+    )
+    weighted = g.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("n")).alias("actual_share"),
+        ((1.0 / F.col("l")) / (F.col("n_docs").cast("double") / F.col("n"))).alias("w"),
+    )
+    ess = weighted.agg(
+        pround(
+            F.pow(F.sum(_dterm(F.col("n_docs") * F.col("w"))).cast("double"), F.lit(2))
+            / F.sum(_dterm(F.col("n_docs") * F.col("w") * F.col("w"))).cast("double"),
+            6,
+        ).alias("effective_n")
+    )
+    return (
+        weighted.crossJoin(F.broadcast(ess))
+        .select(
+            "lang",
+            "n_docs",
+            pround(F.col("actual_share"), 6).alias("actual_share"),
+            pround(F.col("w"), 6).alias("weight"),
+            "effective_n",
+        )
+        .orderBy("lang")
+    )

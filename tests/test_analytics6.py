@@ -167,3 +167,47 @@ def test_partition_pruning_in_plan_and_idempotent(spark, sf_dir, reg):
     a = reg["h11_partition_pruned_scan"].fn(spark, sf_dir).collect()
     b = reg["h11_partition_pruned_scan"].fn(spark, sf_dir).collect()
     assert a == b and len(a) > 0
+
+
+def test_hard_negative_margin_vs_bruteforce(spark, sf_dir, reg):
+    """Re-derive hardest positive/negative with numpy for a few anchors
+    (independent-reference rule)."""
+    import numpy as np
+
+    from pyspark_distributed_kmodes_spark.operators.analytics5 import _H12_STRIDE
+    from pyspark_distributed_kmodes_spark.sources.tables import table
+
+    got = {r.anchor_id: (r.pos_id, r.neg_id) for r in reg["h12_hard_negative_mining"].fn(spark, sf_dir).collect()}
+    rows = table(spark, sf_dir, "embeddings").collect()
+    vecs = {r.vec_id: (np.array(r.embedding, dtype=np.float64), r.label) for r in rows}
+    for a_id in list(got)[:5]:
+        va, la = vecs[a_id]
+        best = {}
+        for b_id, (vb, lb) in vecs.items():
+            if b_id == a_id:
+                continue
+            c = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+            k = "pos" if lb == la else "neg"
+            if k not in best or (c, -b_id) > (best[k][1], -best[k][0]):
+                best[k] = (b_id, c)
+        assert got[a_id] == (best["pos"][0], best["neg"][0]), a_id
+
+
+def test_knn_label_noise_votes_bounded(spark, sf_dir, reg):
+    from pyspark_distributed_kmodes_spark.operators.analytics5 import _H13_K
+
+    rows = reg["h13_knn_label_noise"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_disagree <= _H13_K
+        assert r.suspect == (r.n_disagree * 2 > _H13_K)
+
+
+def test_importance_weights_match_target(spark, sf_dir, reg):
+    """Reweighted shares hit the uniform target exactly; ESS <= N."""
+    rows = reg["h14_importance_weights"].fn(spark, sf_dir).collect()
+    n = sum(r.n_docs for r in rows)
+    lcount = len(rows)
+    for r in rows:
+        assert abs(r.actual_share * r.weight - 1.0 / lcount) < 1e-4
+    assert 0 < rows[0].effective_n <= n + 1e-6
