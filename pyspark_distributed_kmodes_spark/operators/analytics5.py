@@ -1209,3 +1209,404 @@ def h14_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# h15 — pipeline freshness audit
+
+
+@query(
+    "h15_freshness_audit",
+    oracle=f"""
+WITH anchor AS (
+  SELECT MAX(epoch_us(ts)) AS now_us FROM events
+), per_type AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         MAX(epoch_us(ts)) AS last_us
+  FROM events GROUP BY event_type
+), span AS (
+  SELECT MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS span_us FROM events
+)
+SELECT p.event_type, p.n_events,
+       CAST(a.now_us - p.last_us AS BIGINT) AS staleness_us,
+       {sql_pround('(CAST(p.n_events AS DOUBLE) * 86400000000.0) / s.span_us', 6)} AS events_per_day
+FROM per_type p CROSS JOIN anchor a CROSS JOIN span s
+ORDER BY p.event_type
+""",
+    tags=("events", "audit"),
+)
+def h15_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline freshness audit: per event type, how stale its newest
+    record is relative to the stream head, plus its average daily rate
+    — the monitoring query every ingestion SLA dashboard runs (a type
+    whose staleness exceeds its inter-arrival scale has a stuck
+    upstream), anchored at max(ts) so the audit is deterministic and
+    replayable (no wall-clock).
+
+    Scale: one grouped max/count + two 1-row broadcast aggregates —
+    a single scan. Integer microseconds; one rate division.
+    """
+    e = table(spark, sf_dir, "events")
+    ev = e.select("event_type", F.unix_micros("ts").alias("tus"))
+    anchor = ev.agg(F.max("tus").alias("now_us"))
+    span = ev.agg((F.max("tus") - F.min("tus")).alias("span_us"))
+    per_type = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("tus").alias("last_us"),
+    )
+    return (
+        per_type.crossJoin(F.broadcast(anchor))
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            "n_events",
+            (F.col("now_us") - F.col("last_us")).cast("bigint").alias("staleness_us"),
+            pround(
+                (F.col("n_events").cast("double") * 86400000000.0) / F.col("span_us"), 6
+            ).alias("events_per_day"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# h16 — mergeable exact quantile summaries
+
+_H16_QS = ((50, "p50"), (90, "p90"), (99, "p99"))
+
+
+@query(
+    "h16_mergeable_quantiles",
+    oracle=f"""
+WITH ranked AS (
+  SELECT o_totalprice,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+         COUNT(*) OVER () AS n
+  FROM orders
+)
+SELECT {", ".join(f"MAX(CASE WHEN rn = (n * {q} + 99) // 100 THEN o_totalprice END) AS {name}" for q, name in _H16_QS)},
+       TRUE AS halves_agree
+FROM ranked
+""",
+    tags=("relational", "audit"),
+)
+def h16_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable EXACT quantile summaries: the order-value histogram is
+    built independently on two disjoint halves of the data (orderkey
+    parity = two 'partitions'), the per-half (value -> count)
+    summaries are merged by addition, and disc p50/p90/p99 read off
+    the merged summary — then verified EQUAL to the quantiles computed
+    directly on the full data. This is the distributed-algebra fact
+    that makes exact quantiles feasible at 100 TB when the value
+    dictionary is bounded (prices, latencies-in-ms, lengths): partials
+    merge like counts, no global sort — the exact counterpart of
+    qb37's approximate KLL, audited the g06/g07 way (the oracle
+    asserts halves_agree=TRUE).
+
+    Scale: two grouped counts + one merge-groupBy over the value
+    dictionary; the quantile read is a running sum over the bounded
+    dictionary, never a row sort. The direct-path check uses one
+    global rank window — test-scale only, the audit's point is that
+    the merged path REPLACES it.
+    """
+    o = table(spark, sf_dir, "orders")
+    # per-half value histograms -> additive merge
+    hist = (
+        o.groupBy((F.col("o_orderkey") % 2).alias("half"), F.col("o_totalprice").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("v")
+        .agg(F.sum("c").alias("c"))
+    )
+    wv = Window.orderBy("v")  # bounded: value dictionary
+    cum = hist.withColumn("cum", F.sum("c").over(wv)).crossJoin(
+        F.broadcast(hist.agg(F.sum("c").alias("n")))
+    )
+    merged = cum.agg(
+        *[
+            F.min(F.when(F.col("cum") >= ((F.col("n") * q + 99) / 100).cast("bigint"), F.col("v"))).alias(
+                f"m_{name}"
+            )
+            for q, name in _H16_QS
+        ]
+    )
+    # direct disc quantiles (global rank — the path the merge replaces)
+    wr = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    ranked = o.select(
+        "o_totalprice", F.row_number().over(wr).alias("rn")
+    ).crossJoin(F.broadcast(o.agg(F.count(F.lit(1)).alias("n"))))
+    direct = ranked.agg(
+        *[
+            F.max(
+                F.when(F.col("rn") == ((F.col("n") * q + 99) / 100).cast("bigint"), F.col("o_totalprice"))
+            ).alias(name)
+            for q, name in _H16_QS
+        ]
+    )
+    agree = None
+    for _, name in _H16_QS:
+        cond = F.col(name) == F.col(f"m_{name}")
+        agree = cond if agree is None else (agree & cond)
+    return direct.crossJoin(F.broadcast(merged)).select(
+        *[F.col(name) for _, name in _H16_QS], agree.alias("halves_agree")
+    )
+
+
+# ---------------------------------------------------------------------------
+# h17 — two-level exact distinct decomposition
+
+_H17_BLOCK = 1024
+
+
+@query(
+    "h17_two_level_distinct",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct,
+       TRUE AS decomposition_agrees
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    tags=("relational", "audit"),
+)
+def h17_two_level_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level exact COUNT DISTINCT decomposition: distinct users are
+    counted per (type, id-block) first (block = user_id // {_H17_BLOCK}),
+    then block partials SUM — exactness holds because blocks partition
+    the id space, and the pattern is THE way an exact distinct survives
+    100 TB: the first level is map-side combinable and each block's
+    distinct set is bounded, so no single reducer ever holds the full
+    id universe (the direct pre-distinct path holds it sharded by hash
+    — same bound, but this shape also yields mergeable per-block
+    summaries a rollup can reuse). The oracle asserts the decomposition
+    agrees with the direct distinct (decomposition_agrees=TRUE).
+    """
+    e = table(spark, sf_dir, "events")
+    two_level = (
+        e.select(
+            "event_type",
+            (F.col("user_id") / _H17_BLOCK).cast("bigint").alias("blk"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("event_type", "blk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("event_type")
+        .agg(F.sum("c").cast("bigint").alias("n_two_level"))
+    )
+    direct = (
+        e.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_distinct"))
+    )
+    return (
+        direct.join(two_level, "event_type")
+        .select(
+            "event_type",
+            "n_distinct",
+            (F.col("n_distinct") == F.col("n_two_level")).alias("decomposition_agrees"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# h18 — count-min sketch error audit (hash-gates qb40's class)
+
+_H18_EPS = 0.001
+_H18_TOPK = 10
+
+
+@query(
+    "h18_cms_error_audit",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), counted AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_n FROM toks GROUP BY token
+), ranked AS (
+  SELECT token, exact_n,
+         ROW_NUMBER() OVER (ORDER BY exact_n DESC, token ASC) AS rn
+  FROM counted
+)
+SELECT token, exact_n, TRUE AS within_bound
+FROM ranked WHERE rn <= {_H18_TOPK}
+ORDER BY exact_n DESC, token
+""",
+    tags=("sketch", "approx", "audit"),
+)
+def h18_cms_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch error audit, hash-gated (the g06/g07 pattern
+    applied to qb40's class): the CMS (eps={_H18_EPS}, conf=99%,
+    seeded) estimates the top-{_H18_TOPK} token frequencies, and the
+    audit checks the sketch's one-sided guarantee — est >= exact and
+    est <= exact + eps*N — emitting within_bound, which the oracle
+    asserts TRUE alongside the exact counts. qb40 stays rows-only (it
+    EMITS the estimates, which only this engine's CMS produces); this
+    query makes the GUARANTEE itself driver-hashable.
+
+    Scale: the sketch side is one fixed-size aggregate regardless of
+    corpus size; the exact side is a token count + top-k
+    (TakeOrderedAndProject). Deterministic: fixed seed, deterministic
+    input set.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = spread(d, "doc_id").select(F.explode(F.split("text", " ")).alias("token"))
+    blob_row = toks.agg(
+        F.count_min_sketch("token", F.lit(_H18_EPS), F.lit(0.99), F.lit(42)).alias("sk"),
+        F.count(F.lit(1)).alias("n_total"),
+    ).first()
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "token")
+        .limit(_H18_TOPK)
+        .collect()
+    )
+    jvm = spark.sparkContext._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(blob_row.sk))
+    )
+    slack = _H18_EPS * int(blob_row.n_total)
+    rows = []
+    for r in top:
+        est = int(cms.estimateCount(r.token))
+        rows.append(
+            (r.token, int(r.exact_n), bool(est >= r.exact_n and est <= r.exact_n + slack))
+        )
+    return spark.createDataFrame(rows, "token string, exact_n bigint, within_bound boolean").orderBy(
+        F.col("exact_n").desc(), "token"
+    )
+
+
+# ---------------------------------------------------------------------------
+# h19 — join-key skew planner
+
+
+@query(
+    "h19_join_skew_planner",
+    oracle=f"""
+WITH k AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS c FROM orders GROUP BY o_custkey
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(c) AS BIGINT) AS n_rows,
+         CAST(MAX(c) AS BIGINT) AS max_c
+  FROM k
+)
+SELECT n_keys, n_rows, max_c,
+       {sql_pround('CAST(max_c AS DOUBLE) * n_keys / n_rows', 6)} AS skew_ratio,
+       CAST(CASE WHEN max_c * 32 > n_rows
+                 THEN ((max_c * 32) + n_rows - 1) // n_rows
+                 ELSE 1 END AS INTEGER) AS recommended_salt
+FROM s
+""",
+    tags=("relational", "audit"),
+)
+def h19_join_skew_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew planner: profiles the orders->customer join key
+    (key count, hottest-key share, skew ratio = hottest/mean) and
+    recommends a salt factor sized so the hottest key's rows spread to
+    at most 1/32 of the data per salted partition — the advisory that
+    feeds q39's salted-join machinery (measure, THEN salt; salting an
+    unskewed join just adds a shuffle). AQE handles moderate skew at
+    runtime; the planner exists for the pathological keys AQE splits
+    too late.
+
+    Scale: one key-count aggregation + a 1-row profile — the cost of
+    knowing. Integer arithmetic, ceil via (a+b-1)//b.
+    """
+    o = table(spark, sf_dir, "orders")
+    k = o.groupBy("o_custkey").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    s = k.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.max("c").cast("bigint").alias("max_c"),
+    )
+    return s.select(
+        "n_keys",
+        "n_rows",
+        "max_c",
+        pround(F.col("max_c").cast("double") * F.col("n_keys") / F.col("n_rows"), 6).alias(
+            "skew_ratio"
+        ),
+        F.when(
+            F.col("max_c") * 32 > F.col("n_rows"),
+            F.floor((F.col("max_c") * 32 + F.col("n_rows") - 1) / F.col("n_rows")),
+        )
+        .otherwise(F.lit(1))
+        .cast("int")
+        .alias("recommended_salt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# h20 — order-insensitive result-set checksum
+
+
+@query(
+    "h20_resultset_checksum",
+    oracle="""
+WITH res AS (
+  SELECT o.o_orderkey, c.c_nationkey, o.o_totalprice
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+), hashed AS (
+  SELECT CAST(list_sum(list_transform(range(1, 9), i ->
+           (strpos('0123456789abcdef', substr(md5(
+              CAST(o_orderkey AS VARCHAR) || '|' || CAST(c_nationkey AS VARCHAR)
+              || '|' || CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)), i, 1)) - 1)
+           * CAST(pow(16, 8 - i) AS BIGINT))) AS BIGINT) AS h
+  FROM res
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(h) AS BIGINT) AS checksum,
+       TRUE AS plans_agree
+FROM hashed
+""",
+    tags=("relational", "audit"),
+)
+def h20_resultset_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive result-set checksum: a join's result is
+    fingerprinted as the SUM of per-row md5 hashes (canonical column
+    serialization, cents-exact prices) — additive, so partitioning,
+    join order, and row order cannot change it. The same result is
+    computed through TWO physical plans (broadcast-hint vs
+    merge-hint join) and the checksums must match — the cheap
+    result-equality certificate used to validate plan changes,
+    engine upgrades, and migrations at 100 TB without ever sorting or
+    diffing rows (g03's loss-free idea promoted from scans to QUERY
+    RESULTS). The oracle recomputes the checksum independently and
+    asserts plans_agree=TRUE.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+
+    def checksum(joined: DataFrame) -> DataFrame:
+        key = F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("c_nationkey").cast("string"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").cast("string"),
+        )
+        from pyspark_distributed_kmodes_spark.operators.analytics4 import _md5fold
+
+        return joined.select(_md5fold(key).alias("h")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("h").cast("bigint").alias("checksum"),
+        )
+
+    res_cols = [o["o_orderkey"], c["c_nationkey"], o["o_totalprice"]]
+    bcast = checksum(o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(*res_cols))
+    merge = checksum(
+        o.join(c.hint("merge"), o["o_custkey"] == c["c_custkey"]).select(*res_cols)
+    )
+    m = merge.select(
+        F.col("n_rows").alias("n2"), F.col("checksum").alias("ck2")
+    )
+    return bcast.crossJoin(F.broadcast(m)).select(
+        "n_rows",
+        "checksum",
+        ((F.col("n_rows") == F.col("n2")) & (F.col("checksum") == F.col("ck2"))).alias(
+            "plans_agree"
+        ),
+    )

@@ -211,3 +211,38 @@ def test_importance_weights_match_target(spark, sf_dir, reg):
     for r in rows:
         assert abs(r.actual_share * r.weight - 1.0 / lcount) < 1e-4
     assert 0 < rows[0].effective_n <= n + 1e-6
+
+
+def test_freshness_staleness_nonnegative(spark, sf_dir, reg):
+    rows = reg["h15_freshness_audit"].fn(spark, sf_dir).collect()
+    assert rows
+    assert any(r.staleness_us == 0 for r in rows)  # the head type itself
+    assert all(r.staleness_us >= 0 and r.events_per_day > 0 for r in rows)
+
+
+def test_mergeable_quantiles_agree(spark, sf_dir, reg):
+    r = reg["h16_mergeable_quantiles"].fn(spark, sf_dir).collect()[0]
+    assert r.halves_agree
+    assert r.p50 <= r.p90 <= r.p99
+
+
+def test_two_level_distinct_agrees(spark, sf_dir, reg):
+    rows = reg["h17_two_level_distinct"].fn(spark, sf_dir).collect()
+    assert rows and all(r.decomposition_agrees for r in rows)
+
+
+def test_cms_bound_holds(spark, sf_dir, reg):
+    rows = reg["h18_cms_error_audit"].fn(spark, sf_dir).collect()
+    assert rows and all(r.within_bound for r in rows)
+
+
+def test_skew_planner_sane(spark, sf_dir, reg):
+    r = reg["h19_join_skew_planner"].fn(spark, sf_dir).collect()[0]
+    assert r.skew_ratio >= 1.0  # max >= mean always
+    assert r.recommended_salt >= 1
+    assert r.n_rows >= r.n_keys
+
+
+def test_resultset_checksum_plan_invariant(spark, sf_dir, reg):
+    r = reg["h20_resultset_checksum"].fn(spark, sf_dir).collect()[0]
+    assert r.plans_agree and r.n_rows > 0
