@@ -1610,3 +1610,156 @@ def h20_resultset_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "plans_agree"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# h21 — hash-bucket prefilter audit (one-hash bloom, engine-portable)
+
+_H21_BUCKETS = 1 << 18
+
+
+@query(
+    "h21_bucket_prefilter_audit",
+    oracle=f"""
+WITH fp AS (
+  SELECT doc_id, md5(text) AS fp,
+         CAST(list_sum(list_transform(range(1, 9), i ->
+           (strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1)
+           * CAST(pow(16, 8 - i) AS BIGINT))) AS BIGINT) % {_H21_BUCKETS} AS bkt
+  FROM documents
+), eval_side AS (
+  SELECT fp, bkt FROM fp WHERE doc_id % 10 = 0
+), corpus AS (
+  SELECT doc_id, fp, bkt FROM fp WHERE doc_id % 10 <> 0
+), truth AS (
+  SELECT DISTINCT c.doc_id FROM corpus c JOIN eval_side e ON e.fp = c.fp
+), cands AS (
+  SELECT DISTINCT c.doc_id FROM corpus c
+  JOIN (SELECT DISTINCT bkt FROM eval_side) b ON b.bkt = c.bkt
+), missed AS (
+  SELECT t.doc_id FROM truth t LEFT JOIN cands c ON c.doc_id = t.doc_id
+  WHERE c.doc_id IS NULL
+)
+SELECT CAST((SELECT COUNT(*) FROM eval_side) AS BIGINT) AS n_eval,
+       CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true_matches,
+       CAST((SELECT COUNT(*) FROM cands) AS BIGINT) AS n_candidates,
+       CAST((SELECT COUNT(*) FROM missed) AS BIGINT) AS n_missed,
+       TRUE AS no_false_negatives
+""",
+    tags=("dedup", "audit"),
+)
+def h21_bucket_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-bucket prefilter audit (a one-hash Bloom filter in pure
+    relational form): the eval set's fingerprints are collapsed to a
+    {_H21_BUCKETS}-bucket membership set; the corpus is pre-filtered
+    by a semi-join on the BUCKET (a tiny broadcast of distinct
+    buckets) before the exact fingerprint join. Same hash on both
+    paths ⇒ NO false negatives — which the oracle asserts (n_missed=0,
+    no_false_negatives=TRUE) — while candidates may include bucket
+    collisions. This is how a 100 TB decontamination pass avoids
+    shuffling corpus fingerprints: the full corpus meets only a
+    broadcast bitset; only the tiny candidate set reaches the exact
+    join (q75/f18's scale prequel; Spark's own bloom runtime filters
+    are this idea inside AQE).
+    """
+    d = table(spark, sf_dir, "documents")
+    from pyspark_distributed_kmodes_spark.operators.analytics4 import _md5fold
+
+    fp = d.select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        (_md5fold(F.col("text")) % _H21_BUCKETS).alias("bkt"),
+    )
+    eval_side = fp.filter(F.col("doc_id") % 10 == 0)
+    corpus = fp.filter(F.col("doc_id") % 10 != 0)
+    truth = corpus.join(
+        eval_side.select("fp").distinct(), "fp", "left_semi"
+    ).select("doc_id").distinct()
+    cands = corpus.join(
+        F.broadcast(eval_side.select("bkt").distinct()), "bkt", "left_semi"
+    ).select("doc_id").distinct()
+    missed = truth.join(cands, "doc_id", "left_anti")
+    ne = eval_side.agg(F.count(F.lit(1)).cast("bigint").alias("n_eval"))
+    nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_matches"))
+    nc = cands.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    nm = missed.agg(F.count(F.lit(1)).cast("bigint").alias("n_missed"))
+    return (
+        ne.crossJoin(nt)
+        .crossJoin(nc)
+        .crossJoin(nm)
+        .select(
+            "n_eval",
+            "n_true_matches",
+            "n_candidates",
+            "n_missed",
+            (F.col("n_missed") == 0).alias("no_false_negatives"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# h22 — stratified k-fold assignment
+
+_H22_FOLDS = 5
+
+
+@query(
+    "h22_stratified_kfold",
+    oracle=f"""
+WITH assigned AS (
+  SELECT lang,
+         CAST(list_sum(list_transform(range(1, 9), i ->
+           (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+           * CAST(pow(16, 8 - i) AS BIGINT))) AS BIGINT) % {_H22_FOLDS} AS fold
+  FROM documents
+), cells AS (
+  SELECT lang, CAST(fold AS INTEGER) AS fold, CAST(COUNT(*) AS BIGINT) AS n
+  FROM assigned GROUP BY lang, fold
+), strata AS (
+  SELECT lang, CAST(SUM(n) AS BIGINT) AS n_lang,
+         CAST(MAX(n) - MIN(n) AS BIGINT) AS spread
+  FROM cells GROUP BY lang
+)
+SELECT c.lang, c.fold, c.n,
+       {sql_pround('CAST(c.n AS DOUBLE) / s.n_lang', 6)} AS fold_share,
+       s.spread AS stratum_spread
+FROM cells c JOIN strata s ON s.lang = c.lang
+ORDER BY c.lang, c.fold
+""",
+    tags=("curation", "sampling"),
+)
+def h22_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified {_H22_FOLDS}-fold assignment: every
+    document lands in a fold by md5(doc_id) — reproducible on any
+    cluster, any run, any partitioning (no RNG state, the qe20
+    placement idea applied to cross-validation) — and the audit
+    reports per-(stratum, fold) counts, fold shares, and the
+    within-stratum spread (max-min imbalance) a training pipeline
+    checks before trusting fold-wise metrics.
+
+    Scale: one hash projection + one (stratum, fold) count — the
+    assignment is embarrassingly parallel and the audit table is
+    strata x folds rows. Integers + one share division.
+    """
+    d = table(spark, sf_dir, "documents")
+    from pyspark_distributed_kmodes_spark.operators.analytics4 import _md5fold
+
+    assigned = d.select(
+        "lang", (_md5fold(F.col("doc_id").cast("string")) % _H22_FOLDS).cast("int").alias("fold")
+    )
+    cells = assigned.groupBy("lang", "fold").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    strata = cells.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("n_lang"),
+        (F.max("n") - F.min("n")).cast("bigint").alias("stratum_spread"),
+    )
+    return (
+        cells.join(F.broadcast(strata), "lang")
+        .select(
+            "lang",
+            "fold",
+            "n",
+            pround(F.col("n").cast("double") / F.col("n_lang"), 6).alias("fold_share"),
+            "stratum_spread",
+        )
+        .orderBy("lang", "fold")
+    )

@@ -246,3 +246,20 @@ def test_skew_planner_sane(spark, sf_dir, reg):
 def test_resultset_checksum_plan_invariant(spark, sf_dir, reg):
     r = reg["h20_resultset_checksum"].fn(spark, sf_dir).collect()[0]
     assert r.plans_agree and r.n_rows > 0
+
+
+def test_bucket_prefilter_never_misses(spark, sf_dir, reg):
+    r = reg["h21_bucket_prefilter_audit"].fn(spark, sf_dir).collect()[0]
+    assert r.no_false_negatives and r.n_missed == 0
+    assert r.n_candidates >= r.n_true_matches
+
+
+def test_stratified_kfold_covers_strata(spark, sf_dir, reg):
+    from pyspark_distributed_kmodes_spark.sources.tables import table
+
+    rows = reg["h22_stratified_kfold"].fn(spark, sf_dir).collect()
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert sum(r.n for r in rows) == n_docs
+    for r in rows:
+        assert 0.0 < r.fold_share < 1.0
+        assert r.stratum_spread >= 0
