@@ -68,6 +68,12 @@ PROBE_QUERIES = [
     "g18_char_ngram_compressibility",
     "g19_snapshot_novelty",
     "g21_embedding_drift",
+    "h01_bm25_ranking",
+    "h06_cooccurrence_pmi",
+    "h12_hard_negative_mining",
+    "h16_mergeable_quantiles",
+    "h17_two_level_distinct",
+    "h21_bucket_prefilter_audit",
 ]
 
 
