@@ -22,6 +22,7 @@ from pyspark_distributed_kmodes_spark.functions.deterministic import (
     sql_pround,
 )
 from pyspark_distributed_kmodes_spark.operators.curation2 import _dterm, _sql_dterm
+from pyspark_distributed_kmodes_spark.operators.analytics4 import _md5fold as _md5fold_local
 from pyspark_distributed_kmodes_spark.registry import query
 from pyspark_distributed_kmodes_spark.sources.tables import spread, table
 
@@ -387,7 +388,7 @@ def h06_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # h03 — Johnson-Lindenstrauss projection audit
 
 _H03_K = 16  # projected dims; sqrt(16) = 4 exactly (no irrational scaling)
-_H03_STRIDE = 25  # sample: vec_id % stride == 0
+_H03_BUDGET = 24  # FIXED anchor budget: hash-rank top-K, scale-invariant
 
 _H03_SIGN_SQL = (
     "CASE WHEN CAST(list_sum(list_transform(range(1, 9), i -> "
@@ -399,8 +400,12 @@ _H03_SIGN_SQL = (
 @query(
     "h03_jl_projection_audit",
     oracle=f"""
-WITH sampled AS (
-  SELECT vec_id, embedding FROM embeddings WHERE vec_id % {_H03_STRIDE} = 0
+WITH samp AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, CAST(list_sum(list_transform(range(1, 9), i -> (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), i, 1)) - 1) * CAST(pow(16, 8 - i) AS BIGINT))) AS BIGINT) AS h
+    FROM embeddings ORDER BY h, vec_id LIMIT {_H03_BUDGET}) t
+), sampled AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e JOIN samp s ON s.vec_id = e.vec_id
 ), pos AS (
   SELECT vec_id, t.pos AS pos, CAST(t.val AS DOUBLE) AS val FROM (
     SELECT vec_id,
@@ -448,23 +453,30 @@ def h03_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the projection is one (vec, j) grouped DECIMAL sum (k x dim
     expansion of the SAMPLE only); distance pairs run over the sampled
-    set (stride {_H03_STRIDE}) — the audit is O(sample^2), never
+    set (hash-rank top-{_H03_BUDGET}: a FIXED budget at any corpus
+    size, selected by TakeOrderedAndProject on the md5 key — never a
+    fraction that grows with the data) — the audit is O(sample^2), never
     corpus^2, exactly how a production pipeline spot-checks a
     representation change. Determinism: signs from md5 parity,
     projections pround(9) BEFORE differencing, DECIMAL-summed
     squared terms, 1/sqrt(k) folded as the exact literal 4.0.
     """
     emb = table(spark, sf_dir, "embeddings")
-    sampled = emb.filter(F.col("vec_id") % _H03_STRIDE == 0)
+    samp = (
+        emb.select("vec_id", _md5fold_local(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(_H03_BUDGET)
+        .select("vec_id")
+    )
+    sampled = emb.join(F.broadcast(samp), "vec_id")
     pos = sampled.select(
         "vec_id",
         F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias("pos", "val"),
     ).localCheckpoint(eager=True)  # feeds proj + both distance sides
     js = spark.range(_H03_K).select(F.col("id").cast("int").alias("j"))
-    from pyspark_distributed_kmodes_spark.operators.analytics4 import _md5fold
 
     sign = F.when(
-        _md5fold(F.concat_ws("#", F.col("j").cast("string"), F.col("pos").cast("string"))) % 2
+        _md5fold_local(F.concat_ws("#", F.col("j").cast("string"), F.col("pos").cast("string"))) % 2
         == 0,
         F.lit(1.0),
     ).otherwise(F.lit(-1.0))
@@ -936,11 +948,15 @@ def h11_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # h12/h13 — contrastive mining + label-noise audit over sampled anchors
 
-_H12_STRIDE = 25  # anchors: vec_id % stride == 0
+_H12_BUDGET = 96  # FIXED anchor budget: hash-rank top-K, scale-invariant
 
 _H12_PAIR_CTE = f"""
-anchors AS (
-  SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % {_H12_STRIDE} = 0
+asamp AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, CAST(list_sum(list_transform(range(1, 9), i -> (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), i, 1)) - 1) * CAST(pow(16, 8 - i) AS BIGINT))) AS BIGINT) AS h
+    FROM embeddings ORDER BY h, vec_id LIMIT {_H12_BUDGET}) t
+), anchors AS (
+  SELECT e.vec_id, e.label, e.embedding FROM embeddings e JOIN asamp s ON s.vec_id = e.vec_id
 ), apos AS (
   SELECT vec_id, label, t.pos AS pos, CAST(t.val AS DOUBLE) AS val FROM (
     SELECT vec_id, label,
@@ -971,11 +987,11 @@ anchors AS (
 
 def _pair_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(a_id, b_id, label_a, label_b, c9): pround(9) cosine of every
-    sampled anchor (vec_id % {_H12_STRIDE} == 0) against every OTHER
-    vector — the shared machinery of h12/h13. Anchor side is a tiny
-    broadcast; the corpus is scanned once; cosine is DECIMAL-summed
-    dot / exact norms (qc13's fold), so both engines rank identical
-    doubles."""
+    sampled anchor (hash-rank top-{_H12_BUDGET} — a FIXED budget at
+    any corpus size) against every OTHER vector — the shared machinery
+    of h12/h13. Anchor side is a tiny broadcast; the corpus is scanned
+    once; cosine is DECIMAL-summed dot / exact norms (qc13's fold), so
+    both engines rank identical doubles."""
     emb = table(spark, sf_dir, "embeddings")
     v = F.transform("embedding", lambda x: x.cast("double"))
 
@@ -990,7 +1006,13 @@ def _pair_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms = base.select(
         "vec_id", dfold(F.transform("v", lambda a: _dterm(a * a))).alias("n2")
     )
-    anchors = base.filter(F.col("vec_id") % _H12_STRIDE == 0).select(
+    samp = (
+        base.select("vec_id", _md5fold_local(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(_H12_BUDGET)
+        .select("vec_id")
+    )
+    anchors = base.join(F.broadcast(samp), "vec_id").select(
         F.col("vec_id").alias("a_id"), F.col("label").alias("label_a"), F.col("v").alias("va")
     )
     pairs = (
@@ -1051,8 +1073,10 @@ def h12_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     diagnostic (a negative margin = an imposter sits closer than any
     true neighbor).
 
-    Scale: anchors are a deterministic sample (stride {_H12_STRIDE})
-    broadcast against one corpus scan — O(sample x corpus), the
+    Scale: anchors are a deterministic FIXED-budget sample
+    (hash-rank top-{_H12_BUDGET}, TakeOrderedAndProject — the sample
+    does NOT grow with the corpus, so mining cost stays O(budget x
+    corpus) at any scale) broadcast against one corpus scan — O(sample x corpus), the
     production mining shape (full N^2 mining is never run; LSH/IVF
     pre-candidates replace the scan at 100 TB). Ranking on pround(9)
     cosines with b_id tie-breaks.

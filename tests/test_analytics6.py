@@ -174,7 +174,6 @@ def test_hard_negative_margin_vs_bruteforce(spark, sf_dir, reg):
     (independent-reference rule)."""
     import numpy as np
 
-    from pyspark_distributed_kmodes_spark.operators.analytics5 import _H12_STRIDE
     from pyspark_distributed_kmodes_spark.sources.tables import table
 
     got = {r.anchor_id: (r.pos_id, r.neg_id) for r in reg["h12_hard_negative_mining"].fn(spark, sf_dir).collect()}
