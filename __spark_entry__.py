@@ -41,8 +41,11 @@ this). History:
            e.g. qd01 === d01 === round-4 neardup_pagerank). The 27
            round-4 staged queries f01-f27 (never driver-checked) now
            sort first; new round-5 queries are keyed g01+ (g sorts
-           between f and q). Window: f01-f27 + g-keys (+ q01...
-           re-verifications for any unused slots) = 50.
+           between f and q). Window: f01-f27 + g01-g23 = exactly 50.
+           Round-5's LATER additions are keyed h01+ (h sorts after
+           g23, outside the full window) — staged for the round-6
+           rotation, all green on the local mirror at 3 SFs +
+           vanilla.
 
 Implementations live in pyspark_distributed_kmodes_spark/; this module
 is a thin adapter over its registry.
