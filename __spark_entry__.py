@@ -46,6 +46,15 @@ this). History:
            g23, outside the full window) — staged for the round-6
            rotation, all green on the local mirror at 3 SFs +
            vanilla.
+  round 6: all 50 round-5 window keys came back green in
+           CORRECTNESS_r05 (the first 50/50 hash-match round), so
+           they rotate out: f01-f27 -> qf01-qf27, g01-g23 ->
+           qg01-qg23 (number = query identity, e.g. qg01 === g01 ===
+           round-5 personalized PageRank). The 22 staged h-keys now
+           sort first; new round-6 queries are keyed i01+ (i sorts
+           between h22 and q01), filling the remaining 28 window
+           slots. Round-6's LATER additions, if any, are keyed j01+
+           and stage for the round-7 rotation.
 
 Implementations live in pyspark_distributed_kmodes_spark/; this module
 is a thin adapter over its registry.

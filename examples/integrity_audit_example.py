@@ -14,11 +14,11 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 from pyspark_distributed_kmodes_spark.operators.analytics4 import (
-    g02_incremental_dedup_reconcile,
-    g03_shard_reconciliation,
-    g04_lsh_recall_audit,
-    g06_approx_percentile_audit,
-    g07_hll_error_audit,
+    qg02_incremental_dedup_reconcile,
+    qg03_shard_reconciliation,
+    qg04_lsh_recall_audit,
+    qg06_approx_percentile_audit,
+    qg07_hll_error_audit,
 )
 from pyspark_distributed_kmodes_spark.operators.analytics5 import (
     h16_mergeable_quantiles,
@@ -35,9 +35,9 @@ def main():
     spark = get_spark("integrity-audit")
 
     print("== did hash sharding lose anything? (counts/bytes/checksums) ==")
-    g03_shard_reconciliation(spark, sf_dir).show()
+    qg03_shard_reconciliation(spark, sf_dir).show()
     print("== does incremental dedup agree with a full rebuild? ==")
-    g02_incremental_dedup_reconcile(spark, sf_dir).show()
+    qg02_incremental_dedup_reconcile(spark, sf_dir).show()
     print("== does the same query give the same result under TWO plans? ==")
     h20_resultset_checksum(spark, sf_dir).show()
     print("== mergeable exact quantiles == direct quantiles? ==")
@@ -45,17 +45,17 @@ def main():
     print("== two-level exact distinct == direct distinct? ==")
     h17_two_level_distinct(spark, sf_dir).show()
     print("== approx percentile within its published rank bound? ==")
-    g06_approx_percentile_audit(spark, sf_dir).show()
+    qg06_approx_percentile_audit(spark, sf_dir).show()
     print("== HLL within 3*rsd? ==")
-    g07_hll_error_audit(spark, sf_dir).show()
+    qg07_hll_error_audit(spark, sf_dir).show()
     print("== CMS overestimates bounded by eps*N? ==")
     h18_cms_error_audit(spark, sf_dir).show()
     print("== LSH banding recall vs the exact truth set ==")
-    g04_lsh_recall_audit(spark, sf_dir).show()
+    qg04_lsh_recall_audit(spark, sf_dir).show()
     print("== decontamination prefilter misses nothing? ==")
     h21_bucket_prefilter_audit(spark, sf_dir).show()
 
-    rows = g03_shard_reconciliation(spark, sf_dir).collect()
+    rows = qg03_shard_reconciliation(spark, sf_dir).collect()
     assert all(r.loss_free for r in rows)
     assert h20_resultset_checksum(spark, sf_dir).collect()[0].plans_agree
     assert h21_bucket_prefilter_audit(spark, sf_dir).collect()[0].no_false_negatives

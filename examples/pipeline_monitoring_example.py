@@ -18,11 +18,11 @@ from pyspark_distributed_kmodes_spark.operators.analytics import (
     qd15_duprate_wilson,
     qd16_column_profile,
 )
-from pyspark_distributed_kmodes_spark.operators.analytics2 import f01_psi_drift
+from pyspark_distributed_kmodes_spark.operators.analytics2 import qf01_psi_drift
 from pyspark_distributed_kmodes_spark.operators.analytics3 import (
-    f18_ngram_decontamination,
-    f20_shard_skew_audit,
-    f21_daily_mix_drift,
+    qf18_ngram_decontamination,
+    qf20_shard_skew_audit,
+    qf21_daily_mix_drift,
 )
 from pyspark_distributed_kmodes_spark.session import get_spark
 
@@ -32,26 +32,26 @@ def main():
     spark = get_spark("pipeline-monitoring")
 
     print("== did a source's length distribution drift? (PSI vs baseline) ==")
-    f01_psi_drift(spark, sf_dir).orderBy("psi", ascending=False).show(5)
+    qf01_psi_drift(spark, sf_dir).orderBy("psi", ascending=False).show(5)
     print("== sharper two-source comparison: KS statistic ==")
     qd10_ks_two_sample(spark, sf_dir).show()
     print("== is today's event MIX normal? (chi-square vs trailing week) ==")
-    f21_daily_mix_drift(spark, sf_dir).orderBy("chi2", ascending=False).show(5)
+    qf21_daily_mix_drift(spark, sf_dir).orderBy("chi2", ascending=False).show(5)
     print("== is today's VOLUME normal? (rolling z-score) ==")
     qd14_rolling_anomaly(spark, sf_dir).filter("is_anomaly = 1").show(5)
     print("== which sources are dirty, with confidence? (Wilson CI) ==")
     qd15_duprate_wilson(spark, sf_dir).orderBy("dup_rate", ascending=False).show(5)
     print("== does training data leak the benchmark? (8-gram overlap) ==")
-    f18_ngram_decontamination(spark, sf_dir).filter("contaminated = 1").show(5)
+    qf18_ngram_decontamination(spark, sf_dir).filter("contaminated = 1").show(5)
     print("== are training shards balanced? ==")
-    f20_shard_skew_audit(spark, sf_dir).show()
+    qf20_shard_skew_audit(spark, sf_dir).show()
     print("== what would a 10-min watermark discard? (batch twin) ==")
     qd03_watermark_batch_twin(spark, sf_dir).show(5)
     print("== schema sanity before writing constraints ==")
     qd16_column_profile(spark, sf_dir).show()
 
     # the example doubles as a smoke assertion set
-    assert f20_shard_skew_audit(spark, sf_dir).count() == 8
+    assert qf20_shard_skew_audit(spark, sf_dir).count() == 8
     assert qd16_column_profile(spark, sf_dir).count() == 5
     print("pipeline monitoring example OK")
 

@@ -34,7 +34,7 @@ _PSI_BINS = [i / 10.0 for i in range(1, 10)]  # baseline deciles -> 10 bins
 
 
 @query(
-    "f01_psi_drift",
+    "qf01_psi_drift",
     oracle=f"""
 WITH bounds AS (
   SELECT quantile_cont(n_chars, {_PSI_BINS}) AS bs
@@ -64,7 +64,7 @@ FROM terms GROUP BY source ORDER BY source
 """,
     tags=("curation", "drift"),
 )
-def f01_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qf01_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index of every source's document-length
     distribution against the {_PSI_BASELINE} baseline, over the
     baseline's own deciles — the standard drift tripwire (PSI < 0.1
@@ -107,7 +107,7 @@ def f01_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "f02_bigram_lm_logprob",
+    "qf02_bigram_lm_logprob",
     oracle="""
 WITH words AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
@@ -138,7 +138,7 @@ ORDER BY d.doc_id
     tags=("training", "quality"),
     bench=True,
 )
-def f02_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qf02_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram language-model scoring with add-one smoothing: mean
     per-bigram log-probability ln((c(w1w2)+1)/(c(w1)+V)) of each
     document under the corpus bigram model — one order up from qb12's
@@ -206,7 +206,7 @@ b AS (
 
 
 @query(
-    "f03_linkage_clusters",
+    "qf03_linkage_clusters",
     oracle=f"""
 WITH RECURSIVE {_LINK_CTE},
 reach(v, r) AS (
@@ -224,7 +224,7 @@ ORDER BY cc.doc_id
 """,
     tags=("dedup", "linkage", "graph"),
 )
-def f03_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qf03_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: d04's pairwise links closed into clusters via
     connected components (min-reachable-id label), with cluster sizes
     — pairwise linkage says "these two match"; resolution needs the
@@ -349,7 +349,7 @@ shingles AS (
 
 
 @query(
-    "f04_harmonic_centrality",
+    "qf04_harmonic_centrality",
     oracle=f"""
 WITH RECURSIVE {_EDGE_CTE_F},
 walk(root, v, d) AS (
@@ -370,7 +370,7 @@ FROM terms GROUP BY root ORDER BY doc_id
 """,
     tags=("dedup", "graph"),
 )
-def f04_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qf04_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Harmonic centrality (sum of 1/distance to every node reachable
     within {_HC_DEPTH} hops) over the near-dup graph — unlike d01's
     PageRank it is distance-based, so it separates a node bridging two
@@ -415,7 +415,7 @@ _US_PER_DAY = 86_400_000_000.0
 
 
 @query(
-    "f05_decayed_activity",
+    "qf05_decayed_activity",
     oracle=f"""
 WITH mx AS (
   SELECT MAX(epoch_us(ts)) AS mt FROM events
@@ -431,7 +431,7 @@ FROM terms GROUP BY user_id ORDER BY user_id
 """,
     tags=("events", "scoring"),
 )
-def f05_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qf05_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially time-decayed activity score per user (half-life
     ~{_DECAY_DAYS}*ln2 days, anchored at the newest event): recent
     engagement counts, ancient engagement fades — the standard
@@ -461,7 +461,7 @@ def f05_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "f06_quantile_normalize",
+    "qf06_quantile_normalize",
     oracle="""
 WITH ranked AS (
   SELECT doc_id, source, n_chars,
@@ -478,7 +478,7 @@ ORDER BY r.doc_id
 """,
     tags=("curation", "statistics"),
 )
-def f06_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qf06_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile normalization across sources (the microarray/batch-
     effect classic): rank documents within each source, replace each
     value with the cross-source MEAN at its rank — afterwards every
@@ -516,7 +516,7 @@ def f06_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "f07_benford_audit",
+    "qf07_benford_audit",
     oracle=f"""
 WITH digits AS (
   SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
@@ -535,7 +535,7 @@ ORDER BY digit
 """,
     tags=("quality", "audit"),
 )
-def f07_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qf07_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford's-law audit of order totals: observed first-significant-
     digit frequencies vs the log10(1+1/d) expectation with per-digit
     chi-square contributions — the forensic fabricated-data tripwire
@@ -572,7 +572,7 @@ _DAU_WIN = 7  # trailing days, inclusive
 
 
 @query(
-    "f08_sliding_dau",
+    "qf08_sliding_dau",
     oracle=f"""
 WITH pairs AS (
   SELECT DISTINCT user_id, epoch_us(date_trunc('day', ts)) // {86_400_000_000} AS di
@@ -592,7 +592,7 @@ ORDER BY day_index
 """,
     tags=("events", "analytics"),
 )
-def f08_sliding_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qf08_sliding_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """{_DAU_WIN}-day sliding distinct active users per day (the WAU
     curve at daily resolution), via the fan-out-then-dedup identity:
     a user active on day d contributes to windows d..d+{_DAU_WIN}-1,
@@ -631,7 +631,7 @@ _STRAT_N = 30  # total sample size
 
 
 @query(
-    "f09_stratified_min_sample",
+    "qf09_stratified_min_sample",
     oracle=f"""
 WITH keyed AS (
   SELECT doc_id, lang, {_sql_hash_u('doc_id')} AS key FROM documents
@@ -659,7 +659,7 @@ ORDER BY doc_id
 """,
     tags=("curation", "sampling"),
 )
-def f09_stratified_min_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qf09_stratified_min_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified minimum-guarantee sampling: every language keeps its
     {_STRAT_K} smallest-hash-key docs (rare strata never vanish), then
     the remaining budget up to {_STRAT_N} total fills with the
@@ -693,7 +693,7 @@ def f09_stratified_min_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "f10_higher_moments",
+    "qf10_higher_moments",
     oracle=f"""
 WITH sums AS (
   SELECT source,
@@ -721,7 +721,7 @@ ORDER BY source
 """,
     tags=("analytics", "statistics"),
 )
-def f10_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qf10_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population skewness and excess kurtosis of document length per
     source, from exact power sums — the distribution-SHAPE audit
     (heavy right tail? truncation spikes?) that q93's mean/stddev
@@ -766,7 +766,7 @@ def f10_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "f11_priority_transitions",
+    "qf11_priority_transitions",
     oracle=f"""
 WITH seq AS (
   SELECT o_custkey, o_orderpriority,
@@ -788,7 +788,7 @@ ORDER BY tr.prev_priority, tr.next_priority
 """,
     tags=("analytics", "markov"),
 )
-def f11_priority_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qf11_priority_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix of order priority per
     customer: for consecutive orders (date, then key, per customer),
     how often does priority p follow priority q — the behavioral
@@ -824,7 +824,7 @@ _FUNNEL_TIMEOUT_US = 86_400_000_000  # each step must follow within 24h
 
 
 @query(
-    "f12_timeout_funnel",
+    "qf12_timeout_funnel",
     oracle=f"""
 WITH t1 AS (
   SELECT user_id, MIN(epoch_us(ts)) AS t FROM events WHERE event_type = 'view' GROUP BY user_id
@@ -847,7 +847,7 @@ SELECT CAST((SELECT COUNT(*) FROM t1) AS BIGINT) AS n_view,
 """,
     tags=("events", "funnel"),
 )
-def f12_timeout_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qf12_timeout_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timeout funnel: view -> click -> purchase where each step must
     land within 24h of the previous step's first completion —
     the attribution-window variant of e09's unbounded ordered funnel
@@ -906,7 +906,7 @@ _SEG_WORDS = 8  # fixed segment width, the "line" unit of line-level dedup
 
 
 @query(
-    "f13_segment_dedup",
+    "qf13_segment_dedup",
     oracle=f"""
 WITH segs AS (
   SELECT doc_id,
@@ -928,7 +928,7 @@ ORDER BY s.doc_id
 """,
     tags=("dedup", "text"),
 )
-def f13_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qf13_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segment-level (CCNet/Gopher "line dedup" analog) duplication:
     cut every document into fixed {_SEG_WORDS}-word segments, hash
     them, and report per document how many of its segments appear in
@@ -968,7 +968,7 @@ def f13_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "f14_cumulative_unique_users",
+    "qf14_cumulative_unique_users",
     oracle=f"""
 WITH first_seen AS (
   SELECT user_id, MIN(epoch_us(date_trunc('day', ts)) // {86_400_000_000}) AS d0
@@ -987,7 +987,7 @@ ORDER BY day_index
 """,
     tags=("events", "analytics"),
 )
-def f14_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qf14_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative unique users per active day (the user-acquisition
     curve) via the first-seen identity: a user contributes to every
     day >= their first event day, so cumulative distinct = running
@@ -1023,7 +1023,7 @@ def f14_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "f15_interarrival_percentiles",
+    "qf15_interarrival_percentiles",
     oracle=f"""
 WITH seq AS (
   SELECT user_id, event_type, epoch_us(ts) AS tus,
@@ -1041,7 +1041,7 @@ FROM gaps GROUP BY event_type ORDER BY event_type
 """,
     tags=("events", "statistics"),
 )
-def f15_interarrival_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qf15_interarrival_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-arrival gap percentiles per event type: the time since
     the SAME USER's previous event (any type), sliced by the type of
     the arriving event — the latency fingerprint behind session-gap
@@ -1078,7 +1078,7 @@ _LAT_BUCKETS_DAYS = [7, 30, 90]  # ship-latency bucket upper bounds
 
 
 @query(
-    "f16_ship_latency_buckets",
+    "qf16_ship_latency_buckets",
     oracle=f"""
 WITH lat AS (
   SELECT l.l_returnflag,
@@ -1103,7 +1103,7 @@ ORDER BY b.l_returnflag, b.bucket
 """,
     tags=("join", "analytics"),
 )
-def f16_ship_latency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qf16_ship_latency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-to-ship latency distribution: days between order date and
     each line's ship date, bucketed (0-7 / 8-30 / 31-90 / 90d+) per
     return flag with within-flag fractions — the fulfillment-SLA

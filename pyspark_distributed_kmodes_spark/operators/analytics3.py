@@ -48,7 +48,7 @@ tri AS (
 
 
 @query(
-    "f17_langid_agreement",
+    "qf17_langid_agreement",
     oracle=f"""
 WITH {_LANGID_CTE}
 SELECT d.source,
@@ -61,7 +61,7 @@ ORDER BY d.source
 """,
     tags=("text", "quality", "audit"),
 )
-def f17_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qf17_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-quality audit: per source, how often does q58's trained
     language-ID model AGREE with the corpus's lang labels on the
     held-out split — the mislabeled-metadata detector every multilingual
@@ -98,7 +98,7 @@ _EVAL_SOURCE = "src19"  # held-out "benchmark" source
 
 
 @query(
-    "f18_ngram_decontamination",
+    "qf18_ngram_decontamination",
     oracle=f"""
 WITH grams AS (
   SELECT DISTINCT doc_id, source,
@@ -123,7 +123,7 @@ ORDER BY d.doc_id
     tags=("dedup", "training", "decontamination"),
     bench=True,
 )
-def f18_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qf18_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram eval-set decontamination (the GPT-3 report's method):
     flag every training document sharing at least one {_DECON_N}-word
     n-gram with the held-out benchmark source — q75's hash-level
@@ -174,7 +174,7 @@ _CAL_M = 2147483647
 
 
 @query(
-    "f19_score_calibration",
+    "qf19_score_calibration",
     oracle=f"""
 WITH scored AS (
   SELECT doc_id, md5(text) AS h,
@@ -201,7 +201,7 @@ ORDER BY bucket
 """,
     tags=("training", "quality", "audit"),
 )
-def f19_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qf19_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-score calibration report: bucket qb13's quality scores
     into deciles and measure the exact-duplicate rate per bucket —
     the "is the classifier's score actually predictive?" check run
@@ -245,7 +245,7 @@ _N_SHARDS = 8  # must match e20
 
 
 @query(
-    "f20_shard_skew_audit",
+    "qf20_shard_skew_audit",
     oracle=f"""
 WITH keyed AS (
   SELECT doc_id,
@@ -271,7 +271,7 @@ ORDER BY p.shard
 """,
     tags=("curation", "training", "audit"),
 )
-def f20_shard_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qf20_shard_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-shard balance audit for e20's deterministic shuffle:
     per shard, document and TOKEN counts plus each shard's load
     relative to the mean — dataloaders synchronize on the slowest
@@ -317,7 +317,7 @@ _MIX_WIN = 7  # trailing days forming the baseline mix
 
 
 @query(
-    "f21_daily_mix_drift",
+    "qf21_daily_mix_drift",
     oracle=f"""
 WITH per AS (
   SELECT epoch_us(date_trunc('day', ts)) // {86_400_000_000} AS di, event_type, COUNT(*) AS n
@@ -355,7 +355,7 @@ FROM terms GROUP BY di, day_total ORDER BY day_index
 """,
     tags=("events", "drift", "anomaly"),
 )
-def f21_daily_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qf21_daily_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily event-type mix drift: chi-square of each day's event-type
     distribution against the trailing {_MIX_WIN}-day pooled mix — the
     composition tripwire that fires when (say) errors surge even
@@ -413,7 +413,7 @@ def f21_daily_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "f22_deletion_propagation",
+    "qf22_deletion_propagation",
     oracle=f"""
 WITH forget AS (
   SELECT DISTINCT user_id FROM events WHERE user_id % 7 = 0
@@ -430,7 +430,7 @@ FROM audit
 """,
     tags=("platform", "privacy"),
 )
-def f22_deletion_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qf22_deletion_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-be-forgotten propagation report: given a deletion set
     (deterministic stub: user_id % 7 = 0 — in production, the DSAR
     list), count the rows that must go, the rows that stay, and —
@@ -466,7 +466,7 @@ _DISC_PS = [(25, 1), (50, 2), (75, 3)]  # (percent, ordinal) pairs
 
 
 @query(
-    "f23_percentile_disc",
+    "qf23_percentile_disc",
     oracle="""
 WITH ranked AS (
   SELECT source, n_chars,
@@ -484,7 +484,7 @@ ORDER BY source
 """,
     tags=("analytics", "statistics"),
 )
-def f23_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qf23_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISCRETE percentiles (percentile_disc semantics: the smallest
     actual element whose cumulative rank reaches p — always a value
     that EXISTS in the data) of document length per source —
@@ -523,7 +523,7 @@ _H2_YBIN = 8  # n_distinct bin width
 
 
 @query(
-    "f24_histogram_2d",
+    "qf24_histogram_2d",
     oracle=f"""
 WITH pts AS (
   SELECT len(string_split(text, ' ')) // {_H2_XBIN} AS xb,
@@ -541,7 +541,7 @@ ORDER BY words_bin, distinct_bin
 """,
     tags=("analytics", "profiling"),
 )
-def f24_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qf24_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Joint 2-D histogram of (length, vocabulary) — the corpus-shape
     heatmap read next to d06's frontier: q92's 1-D histograms say the
     marginals look fine; the joint grid exposes the off-diagonal mass
@@ -573,7 +573,7 @@ def f24_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "f25_order_reconciliation",
+    "qf25_order_reconciliation",
     oracle="""
 WITH o_side AS (
   SELECT o.o_orderkey, COUNT(l.l_orderkey) AS n_lines
@@ -592,7 +592,7 @@ FROM o_side
 """,
     tags=("quality", "audit", "join"),
 )
-def f25_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qf25_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity reconciliation between the two fact
     tables: orders with no line items, line items whose order does
     not exist, matched-row totals and fan-out bounds — the
@@ -628,7 +628,7 @@ def f25_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "f26_seasonality_profile",
+    "qf26_seasonality_profile",
     oracle=f"""
 WITH daily AS (
   SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
@@ -649,7 +649,7 @@ ORDER BY day_of_week
 """,
     tags=("analytics", "timeseries"),
 )
-def f26_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qf26_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-of-week seasonality index of order revenue: mean daily
     revenue per weekday divided by the overall daily mean — the
     seasonal-adjustment factor that turns d14's rolling anomaly
@@ -688,7 +688,7 @@ def f26_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "f27_char_entropy",
+    "qf27_char_entropy",
     oracle=f"""
 WITH chars AS (
   SELECT doc_id, unnest(list_filter(string_split(text, ''), c -> c <> '')) AS c
@@ -710,7 +710,7 @@ FROM terms GROUP BY doc_id ORDER BY doc_id
 """,
     tags=("text", "quality"),
 )
-def f27_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qf27_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Shannon entropy of the character distribution (in
     nats) — the cheapest gibberish/boilerplate detector: natural text
     sits in a narrow entropy band, base64 blobs and ascii art above

@@ -96,7 +96,7 @@ def _ppr_iter_sql(prev: str, out: str) -> str:
 
 
 @query(
-    "g01_personalized_pagerank",
+    "qg01_personalized_pagerank",
     oracle=f"""
 WITH {_SHINGLE_CTE}, {_EDGE_TAIL},
 deg AS (
@@ -122,7 +122,7 @@ ORDER BY doc_id
     tags=("dedup", "graph"),
     bench=True,
 )
-def g01_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qg01_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized (quality-seeded) PageRank over the near-dup graph:
     the teleport vector is proportional to document length (n_chars, the
     stand-in quality prior), so mass restarts at substantial documents
@@ -195,7 +195,7 @@ def g01_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "g02_incremental_dedup_reconcile",
+    "qg02_incremental_dedup_reconcile",
     oracle="""
 WITH fp AS (
   SELECT doc_id, md5(text) AS fp, (doc_id % 3 = 0) AS is_delta FROM documents
@@ -223,7 +223,7 @@ FROM joined
 """,
     tags=("dedup", "curation"),
 )
-def g02_incremental_dedup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qg02_incremental_dedup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental exact-dedup reconciliation: the corpus arrives as a
     base snapshot plus a delta batch (split: doc_id % 3), the delta is
     deduped ONLY against base fingerprints + itself (the streaming/
@@ -272,7 +272,7 @@ _G03_SHARDS = 8
 
 
 @query(
-    "g03_shard_reconciliation",
+    "qg03_shard_reconciliation",
     oracle=f"""
 WITH placed AS (
   SELECT doc_id, n_chars,
@@ -302,7 +302,7 @@ ORDER BY s.shard
 """,
     tags=("curation", "training"),
 )
-def g03_shard_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qg03_shard_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-shard reconciliation after deterministic hash sharding
     (qe20's placement): per-shard row counts, byte sums, and additive
     hash checksums, with a loss_free flag proving the shard union
@@ -361,7 +361,7 @@ _G09_BUCKETS = 10
 
 
 @query(
-    "g09_vocab_growth",
+    "qg09_vocab_growth",
     oracle=f"""
 WITH grams AS (
   SELECT doc_id,
@@ -389,7 +389,7 @@ ORDER BY b.bucket
 """,
     tags=("text", "curation"),
 )
-def g09_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qg09_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary growth curve (Heaps' law audit): cumulative distinct
     word-bigrams by ingestion order (doc_id), in {_G09_BUCKETS} equal
     id-range buckets — the curve a corpus-curation pipeline watches to
@@ -440,7 +440,7 @@ _G10_THRESHOLD = 0.2
 
 
 @query(
-    "g10_repetition_audit",
+    "qg10_repetition_audit",
     oracle=f"""
 WITH grams AS (
   SELECT doc_id,
@@ -465,7 +465,7 @@ ORDER BY d.source
 """,
     tags=("text", "quality", "curation"),
 )
-def g10_repetition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qg10_repetition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality rule: per document, the fraction
     of word-trigram mass taken by the single most repeated trigram
     (max count / total count); documents above {_G10_THRESHOLD} are
@@ -549,7 +549,7 @@ def _doc_shingles(d: DataFrame) -> DataFrame:
 
 
 @query(
-    "g04_lsh_recall_audit",
+    "qg04_lsh_recall_audit",
     oracle=f"""
 WITH {_SHINGLE_CTE}, {_EDGE_TAIL},
 truth AS (
@@ -581,7 +581,7 @@ SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true_pairs,
     tags=("dedup", "approx", "audit"),
     bench=True,
 )
-def g04_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qg04_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HASH-GATED LSH recall audit (round-4 verdict item: convert the
     LSH prop rows to oracle-checked): an md5-based MinHash+LSH pipeline
     ({_MH_K} hashes, {_MH_BANDS} bands of 2) whose banding candidates
@@ -651,7 +651,7 @@ _G05_STOPWORDS = ("a", "the")
 
 
 @query(
-    "g05_minhash_stability",
+    "qg05_minhash_stability",
     oracle=f"""
 WITH raw_sh AS (
   SELECT DISTINCT doc_id, shingle FROM (
@@ -683,7 +683,7 @@ FROM agreement GROUP BY n_agree ORDER BY n_agree
 """,
     tags=("dedup", "audit"),
 )
-def g05_minhash_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qg05_minhash_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature stability under stopword-strip normalization
     (the round-4 verdict's dedup-robustness audit): signatures are
     computed on raw text AND on text with {_G05_STOPWORDS} removed,
@@ -734,7 +734,7 @@ _G06_ACC = 10_000
 
 
 @query(
-    "g06_approx_percentile_audit",
+    "qg06_approx_percentile_audit",
     oracle=f"""
 WITH g AS (
   SELECT o_orderpriority AS priority, COUNT(*) AS n FROM orders GROUP BY 1
@@ -755,7 +755,7 @@ ORDER BY m.priority
 """,
     tags=("approx", "audit"),
 )
-def g06_approx_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qg06_approx_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approx-percentile RANK-ERROR audit, hash-gated (round-4 verdict
     item 5: oracle-gate approx semantics where possible): Spark's
     approx_percentile(accuracy={_G06_ACC}) guarantees the returned
@@ -815,7 +815,7 @@ _G07_RSD = 0.02
 
 
 @query(
-    "g07_hll_error_audit",
+    "qg07_hll_error_audit",
     oracle="""
 SELECT o_orderpriority AS priority,
        CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
@@ -824,7 +824,7 @@ FROM orders GROUP BY 1 ORDER BY 1
 """,
     tags=("approx", "audit"),
 )
-def g07_hll_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qg07_hll_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ error audit, hash-gated: approx_count_distinct
     (rsd={_G07_RSD}) per order priority is checked against the exact
     distinct count with a 3-sigma relative-error budget (3 x rsd = 6%);
@@ -867,7 +867,7 @@ def g07_hll_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "g08_winsorized_stats",
+    "qg08_winsorized_stats",
     oracle=f"""
 WITH g AS (
   SELECT c_nationkey, COUNT(*) AS n FROM customer GROUP BY 1
@@ -901,7 +901,7 @@ ORDER BY nationkey
 """,
     tags=("relational", "robust"),
 )
-def g08_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qg08_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized robust statistics per nation: account balances are
     clipped at the within-group disc p05/p95 (rank = ceil(q*n), pure
     integer arithmetic — no interpolation ambiguity between engines)
@@ -957,7 +957,7 @@ def g08_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "g11_pair_similarity_histogram",
+    "qg11_pair_similarity_histogram",
     oracle=f"""
 WITH {_SHINGLE_CTE},
 pairs AS (
@@ -979,7 +979,7 @@ FROM jacc GROUP BY 1, 2 ORDER BY bin
 """,
     tags=("dedup", "audit"),
 )
-def g11_pair_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qg11_pair_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity histogram of the near-dup pair population (Jaccard >=
     0.2 in 0.05-wide bins): the distribution a dedup operator tunes its
     threshold against — a bimodal histogram (noise floor vs true-dup
@@ -1024,14 +1024,14 @@ FROM documents d GROUP BY d.source"""
 
 
 @query(
-    "g12_pattern_scan",
+    "qg12_pattern_scan",
     oracle=" UNION ALL ".join(
         _g12_sql_arm(label, pat) for label, pat in _G12_PATTERNS
     )
     + " ORDER BY source, pattern",
     tags=("text", "quality", "curation"),
 )
-def g12_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qg12_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex pattern scan per source: match counts and affected-doc
     counts for a configurable pattern set — the machinery a production
     pipeline points at PII patterns (emails, phone numbers, keys) for
@@ -1071,7 +1071,7 @@ _G13_EPOCH = "DATE '1970-01-05'"
 
 
 @query(
-    "g13_retention_matrix",
+    "qg13_retention_matrix",
     oracle=f"""
 WITH act AS (
   SELECT DISTINCT user_id,
@@ -1095,7 +1095,7 @@ ORDER BY k.cohort_week, k.offset_weeks
 """,
     tags=("events",),
 )
-def g13_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qg13_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic weekly cohort retention matrix: users are cohorted by
     first active week and each (cohort, week-offset) cell reports how
     much of the cohort is still active — the canonical product-health
@@ -1138,7 +1138,7 @@ def g13_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "g15_chi_square_independence",
+    "qg15_chi_square_independence",
     oracle=f"""
 WITH obs AS (
   SELECT event_type,
@@ -1164,7 +1164,7 @@ FROM terms GROUP BY event_type ORDER BY event_type
 """,
     tags=("events", "statistics"),
 )
-def g15_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qg15_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square test of independence between event type and day-of-
     week (contingency-table audit): per event type, its contribution to
     the chi-square statistic — large parts localize WHICH behavior is
@@ -1227,7 +1227,7 @@ FROM lineitem"""
 
 
 @query(
-    "g16_exact_corr_matrix",
+    "qg16_exact_corr_matrix",
     oracle=" UNION ALL ".join(
         _g16_sql_arm(x, y)
         for i, x in enumerate(_G16_COLS)
@@ -1236,7 +1236,7 @@ FROM lineitem"""
     + " ORDER BY col_x, col_y",
     tags=("relational", "statistics"),
 )
-def g16_exact_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qg16_exact_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlation matrix over lineitem measures from
     EXACT decimal moments: built-in corr() accumulates float co-moments
     in partition order and is therefore not reproducible across
@@ -1318,7 +1318,7 @@ _G14_U = f"((CAST({_sql_md5fold(_G14_KEY)} AS DOUBLE) + 0.5) / {float(2**32)})"
 
 
 @query(
-    "g14_poisson_bootstrap",
+    "qg14_poisson_bootstrap",
     oracle=f"""
 WITH reps AS (
   SELECT CAST(t.b AS INTEGER) AS b, o.o_totalprice,
@@ -1333,7 +1333,7 @@ FROM reps GROUP BY b ORDER BY b
     tags=("statistics", "sampling"),
     bench=True,
 )
-def g14_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qg14_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Poisson bootstrap of the mean order value
     ({_G14_B} replicates): each (row, replicate) draws a
     Poisson(1)-distributed resampling weight from an md5 hash — the
@@ -1380,7 +1380,7 @@ def g14_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "g17_two_proportion_ab",
+    "qg17_two_proportion_ab",
     oracle=f"""
 WITH assign AS (
   SELECT DISTINCT user_id, CAST(user_id % 2 AS INTEGER) AS variant FROM events
@@ -1417,7 +1417,7 @@ FROM wide
 """,
     tags=("events", "statistics"),
 )
-def g17_two_proportion_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qg17_two_proportion_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-proportion z-test on a hash-split experiment: users are
     assigned by user_id parity (the deterministic assignment an A/B
     platform derives from a hashed unit id), conversion = any purchase
@@ -1471,7 +1471,7 @@ def g17_two_proportion_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "g18_char_ngram_compressibility",
+    "qg18_char_ngram_compressibility",
     oracle=f"""
 WITH grams AS (
   SELECT d.source, d.doc_id,
@@ -1495,7 +1495,7 @@ FROM per_source ORDER BY source
     tags=("text", "quality"),
     bench=True,
 )
-def g18_char_ngram_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qg18_char_ngram_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic compressibility measure: distinct char-4-gram
     ratio per source (distinct / total sliding 4-grams) — the
     SQL-expressible twin the round-4 verdict asked for next to qe28's
@@ -1544,7 +1544,7 @@ def g18_char_ngram_compressibility(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
-    "g19_snapshot_novelty",
+    "qg19_snapshot_novelty",
     oracle=f"""
 WITH {_SHINGLE_CTE},
 base_sh AS (
@@ -1568,7 +1568,7 @@ GROUP BY dd.source ORDER BY dd.source
 """,
     tags=("text", "curation"),
 )
-def g19_snapshot_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qg19_snapshot_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-snapshot novelty: how much of an incoming delta batch
     (doc_id % 3, g02's split) is genuinely NEW text — per delta
     document, the fraction of its trigram shingles absent from the
@@ -1616,7 +1616,7 @@ def g19_snapshot_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "g20_activity_streaks",
+    "qg20_activity_streaks",
     oracle="""
 WITH days AS (
   SELECT DISTINCT user_id,
@@ -1637,7 +1637,7 @@ FROM longest GROUP BY best ORDER BY streak_days
 """,
     tags=("events",),
 )
-def g20_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qg20_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest consecutive-day activity streak per user, as a
     histogram (streak length -> user count): the gaps-and-islands
     pattern (day minus per-user row_number is constant within a run)
@@ -1669,7 +1669,7 @@ def g20_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "g21_embedding_drift",
+    "qg21_embedding_drift",
     oracle=f"""
 WITH pos AS (
   SELECT vec_id, label, CAST(vec_id % 2 AS INTEGER) AS half,
@@ -1705,7 +1705,7 @@ ORDER BY d.label
 """,
     tags=("vector", "audit"),
 )
-def g21_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qg21_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding centroid drift per label between two deterministic
     halves of the corpus (vec_id parity — the stand-in for "last
     week's embeddings vs this week's"): the L2 distance between the
@@ -1772,7 +1772,7 @@ def g21_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "g22_dup_cluster_sizes",
+    "qg22_dup_cluster_sizes",
     oracle=f"""
 WITH groups AS (
   SELECT md5(text) AS fp, COUNT(*) AS sz FROM documents GROUP BY md5(text)
@@ -1788,7 +1788,7 @@ GROUP BY g.sz, t.n ORDER BY cluster_size
 """,
     tags=("dedup", "audit"),
 )
-def g22_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qg22_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-duplicate cluster-size distribution: how many fingerprint
     groups exist at each multiplicity and what share of the corpus
     they hold — the dedup planning number (a fat tail of large
@@ -1840,12 +1840,12 @@ FROM (SELECT {det}, COUNT(DISTINCT {dep}) AS nd FROM {tbl} GROUP BY {det}) t"""
 
 
 @query(
-    "g23_functional_dependency",
+    "qg23_functional_dependency",
     oracle=" UNION ALL ".join(_g23_sql_arm(*a) for a in _G23_ARMS)
     + " ORDER BY tbl, det_col, dep_col",
     tags=("relational", "audit"),
 )
-def g23_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qg23_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-dependency discovery audit: for each candidate
     determinant -> dependent column pair, how many determinant values
     map to MORE than one dependent value — the schema-inference /

@@ -889,7 +889,7 @@ def qe28_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     with an Arrow-batched pandas UDF (zlib level 6 is deterministic
     for a fixed library, but NOT SQL-expressible — rows-only, with
     repetition-sensitivity and partitioning-invariance property
-    tests). g18_char_ngram_compressibility is the HASH-GATED twin:
+    tests). qg18_char_ngram_compressibility is the HASH-GATED twin:
     the same quality signal as a distinct char-4-gram ratio that the
     DuckDB oracle verifies exactly; this query stays as the
     production-fidelity zlib number.

@@ -114,7 +114,7 @@ def test_column_profile_matches_direct_counts(spark, sf_dir, reg):
         # iterative graph ops: pround+DECIMAL-summed contributions must
         # make the fixpoint independent of partitioning too
         "qd01_neardup_pagerank",
-        "f04_harmonic_centrality",
+        "qf04_harmonic_centrality",
     ],
 )
 def test_rank_stats_partitioning_invariant(spark, sf_dir, reg, key, monkeypatch):

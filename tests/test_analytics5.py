@@ -23,7 +23,7 @@ def test_ppr_teleport_normalized_and_mass_conserved(spark, sf_dir, reg):
     """The personalization vector must sum to 1, and — because the
     symmetric near-dup graph has no dangling nodes — total PPR mass
     stays 1 per iteration up to pround(9) accumulation noise."""
-    rows = reg["g01_personalized_pagerank"].fn(spark, sf_dir).collect()
+    rows = reg["qg01_personalized_pagerank"].fn(spark, sf_dir).collect()
     assert rows
     assert abs(sum(r.teleport for r in rows) - 1.0) < 1e-4
     assert abs(sum(r.ppr for r in rows) - 1.0) < 1e-4
@@ -33,7 +33,7 @@ def test_ppr_teleport_normalized_and_mass_conserved(spark, sf_dir, reg):
 
 
 def test_incremental_dedup_covers_all_fingerprints(spark, sf_dir, reg):
-    r = reg["g02_incremental_dedup_reconcile"].fn(spark, sf_dir).collect()[0]
+    r = reg["qg02_incremental_dedup_reconcile"].fn(spark, sf_dir).collect()[0]
     assert r.n_same_survivor + r.n_differ == r.n_fingerprints
     assert r.n_dropped == r.n_docs - r.n_fingerprints
     # a differing survivor can only happen when the global min sits in
@@ -42,7 +42,7 @@ def test_incremental_dedup_covers_all_fingerprints(spark, sf_dir, reg):
 
 
 def test_shard_reconciliation_loss_free(spark, sf_dir, reg):
-    rows = reg["g03_shard_reconciliation"].fn(spark, sf_dir).collect()
+    rows = reg["qg03_shard_reconciliation"].fn(spark, sf_dir).collect()
     assert rows and all(r.loss_free for r in rows)
     from pyspark_distributed_kmodes_spark.sources.tables import table
 
@@ -67,7 +67,7 @@ def test_minhash_md5_signature_deterministic_and_copy_stable(spark):
 
 
 def test_lsh_recall_audit_consistency(spark, sf_dir, reg):
-    r = reg["g04_lsh_recall_audit"].fn(spark, sf_dir).collect()[0]
+    r = reg["qg04_lsh_recall_audit"].fn(spark, sf_dir).collect()[0]
     assert 0.0 <= r.recall <= 1.0
     assert r.n_hits <= r.n_true_pairs
     assert r.n_hits <= r.n_candidates
@@ -79,34 +79,34 @@ def test_lsh_recall_audit_consistency(spark, sf_dir, reg):
 
 def test_sketch_bound_audits_hold(spark, sf_dir, reg):
     assert all(
-        r.within_bound for r in reg["g06_approx_percentile_audit"].fn(spark, sf_dir).collect()
+        r.within_bound for r in reg["qg06_approx_percentile_audit"].fn(spark, sf_dir).collect()
     )
-    assert all(r.within_bound for r in reg["g07_hll_error_audit"].fn(spark, sf_dir).collect())
+    assert all(r.within_bound for r in reg["qg07_hll_error_audit"].fn(spark, sf_dir).collect())
 
 
 def test_winsorized_mean_between_cut_points(spark, sf_dir, reg):
-    for r in reg["g08_winsorized_stats"].fn(spark, sf_dir).collect():
+    for r in reg["qg08_winsorized_stats"].fn(spark, sf_dir).collect():
         assert r.p05 <= r.winsorized_mean <= r.p95
         assert r.n_clipped_low < r.n and r.n_clipped_high < r.n
 
 
 def test_vocab_growth_monotone_and_totals(spark, sf_dir, reg):
-    rows = reg["g09_vocab_growth"].fn(spark, sf_dir).collect()
+    rows = reg["qg09_vocab_growth"].fn(spark, sf_dir).collect()
     cums = [r.cum_vocab for r in sorted(rows, key=lambda r: r.bucket)]
     assert cums == sorted(cums)
     assert cums[-1] == sum(r.n_new_grams for r in rows)
 
 
 def test_retention_offset_zero_is_full_cohort(spark, sf_dir, reg):
-    rows = reg["g13_retention_matrix"].fn(spark, sf_dir).collect()
+    rows = reg["qg13_retention_matrix"].fn(spark, sf_dir).collect()
     base = [r for r in rows if r.offset_weeks == 0]
     assert base and all(r.retention == 1.0 and r.n_active == r.cohort_size for r in base)
     assert all(0.0 < r.retention <= 1.0 for r in rows)
 
 
 def test_poisson_bootstrap_reproducible_and_sane(spark, sf_dir, reg):
-    a = reg["g14_poisson_bootstrap"].fn(spark, sf_dir).collect()
-    b = reg["g14_poisson_bootstrap"].fn(spark, sf_dir).collect()
+    a = reg["qg14_poisson_bootstrap"].fn(spark, sf_dir).collect()
+    b = reg["qg14_poisson_bootstrap"].fn(spark, sf_dir).collect()
     assert [(r.b, r.n_drawn, r.boot_mean) for r in a] == [(r.b, r.n_drawn, r.boot_mean) for r in b]
     from pyspark_distributed_kmodes_spark.sources.tables import table
 
@@ -124,7 +124,7 @@ def test_chi_square_matches_numpy(spark, sf_dir, reg):
     numpy contingency computation (the d09/d13 discipline)."""
     from pyspark_distributed_kmodes_spark.sources.tables import table
 
-    got = {r.event_type: r.chi2_part for r in reg["g15_chi_square_independence"].fn(spark, sf_dir).collect()}
+    got = {r.event_type: r.chi2_part for r in reg["qg15_chi_square_independence"].fn(spark, sf_dir).collect()}
     e = table(spark, sf_dir, "events").select(
         "event_type",
         (F.datediff(F.to_date("ts"), F.lit("1970-01-01")) % 7).cast("int").alias("dow"),
@@ -140,7 +140,7 @@ def test_chi_square_matches_numpy(spark, sf_dir, reg):
 def test_corr_matrix_matches_numpy(spark, sf_dir, reg):
     from pyspark_distributed_kmodes_spark.sources.tables import table
 
-    got = {(r.col_x, r.col_y): r.pearson for r in reg["g16_exact_corr_matrix"].fn(spark, sf_dir).collect()}
+    got = {(r.col_x, r.col_y): r.pearson for r in reg["qg16_exact_corr_matrix"].fn(spark, sf_dir).collect()}
     pdf = table(spark, sf_dir, "lineitem").select(
         "l_quantity", "l_extendedprice", "l_discount"
     ).toPandas()
@@ -150,7 +150,7 @@ def test_corr_matrix_matches_numpy(spark, sf_dir, reg):
 
 
 def test_ab_test_consistency(spark, sf_dir, reg):
-    r = reg["g17_two_proportion_ab"].fn(spark, sf_dir).collect()[0]
+    r = reg["qg17_two_proportion_ab"].fn(spark, sf_dir).collect()[0]
     assert r.conv_ctl <= r.n_ctl and r.conv_trt <= r.n_trt
     assert abs((r.rate_trt - r.rate_ctl) - r.lift) < 2e-6
     if 0 < r.conv_ctl + r.conv_trt < r.n_ctl + r.n_trt:
@@ -160,7 +160,7 @@ def test_ab_test_consistency(spark, sf_dir, reg):
 
 
 def test_char_ngram_compressibility_bounds(spark, sf_dir, reg):
-    rows = reg["g18_char_ngram_compressibility"].fn(spark, sf_dir).collect()
+    rows = reg["qg18_char_ngram_compressibility"].fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert 0.0 < r.distinct_ratio <= 1.0
@@ -168,7 +168,7 @@ def test_char_ngram_compressibility_bounds(spark, sf_dir, reg):
 
 
 def test_snapshot_novelty_bounds(spark, sf_dir, reg):
-    rows = reg["g19_snapshot_novelty"].fn(spark, sf_dir).collect()
+    rows = reg["qg19_snapshot_novelty"].fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert 0.0 <= r.mean_novelty <= 1.0
@@ -178,7 +178,7 @@ def test_snapshot_novelty_bounds(spark, sf_dir, reg):
 def test_activity_streaks_conserve_users(spark, sf_dir, reg):
     from pyspark_distributed_kmodes_spark.sources.tables import table
 
-    rows = reg["g20_activity_streaks"].fn(spark, sf_dir).collect()
+    rows = reg["qg20_activity_streaks"].fn(spark, sf_dir).collect()
     n_users = table(spark, sf_dir, "events").select("user_id").distinct().count()
     assert sum(r.n_users for r in rows) == n_users
     assert all(r.streak_days >= 1 for r in rows)
@@ -188,7 +188,7 @@ def test_embedding_drift_is_symmetric_in_halves(spark, sf_dir, reg):
     """Drift is a distance: nonnegative, and counts cover the corpus."""
     from pyspark_distributed_kmodes_spark.sources.tables import table
 
-    rows = reg["g21_embedding_drift"].fn(spark, sf_dir).collect()
+    rows = reg["qg21_embedding_drift"].fn(spark, sf_dir).collect()
     n_vecs = table(spark, sf_dir, "embeddings").count()
     assert sum(r.n_a + r.n_b for r in rows) == n_vecs
     assert all(r.centroid_l2_drift >= 0.0 for r in rows)
@@ -197,14 +197,14 @@ def test_embedding_drift_is_symmetric_in_halves(spark, sf_dir, reg):
 def test_dup_cluster_sizes_cover_corpus(spark, sf_dir, reg):
     from pyspark_distributed_kmodes_spark.sources.tables import table
 
-    rows = reg["g22_dup_cluster_sizes"].fn(spark, sf_dir).collect()
+    rows = reg["qg22_dup_cluster_sizes"].fn(spark, sf_dir).collect()
     n_docs = table(spark, sf_dir, "documents").count()
     assert sum(r.n_docs for r in rows) == n_docs
     assert abs(sum(r.corpus_share for r in rows) - 1.0) < 1e-4
 
 
 def test_functional_dependency_rates(spark, sf_dir, reg):
-    rows = reg["g23_functional_dependency"].fn(spark, sf_dir).collect()
+    rows = reg["qg23_functional_dependency"].fn(spark, sf_dir).collect()
     assert len(rows) == 4
     for r in rows:
         assert 0 <= r.n_violating <= r.n_groups

@@ -20,8 +20,8 @@ def test_stem_strips_rotated_prefixes():
     assert bench._stem("q01_pricing_summary") == "q01_pricing_summary"
     assert bench._stem("q97_dup_clusters") == "q97_dup_clusters"
     # un-rotated staged keys pass through
-    assert bench._stem("f02_bigram_lm_logprob") == "f02_bigram_lm_logprob"
-    assert bench._stem("g01_personalized_pagerank") == "g01_personalized_pagerank"
+    assert bench._stem("qf02_bigram_lm_logprob") == "qf02_bigram_lm_logprob"
+    assert bench._stem("qg01_personalized_pagerank") == "qg01_personalized_pagerank"
 
 
 def test_previous_bench_reads_driver_wrapped_shape():

@@ -77,17 +77,17 @@ def test_d09_gini_rank_window_is_source_partitioned(spark, sf_dir):
 
 
 def test_f09_topup_uses_takeordered_not_global_rownumber(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "f09_stratified_min_sample")
+    plan = _plan(spark, sf_dir, "qf09_stratified_min_sample")
     assert "TakeOrderedAndProject" in plan, plan
 
 
 def test_f18_decontamination_no_cartesian(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "f18_ngram_decontamination")
+    plan = _plan(spark, sf_dir, "qf18_ngram_decontamination")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_f16_factfact_join_no_cartesian(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "f16_ship_latency_buckets")
+    plan = _plan(spark, sf_dir, "qf16_ship_latency_buckets")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan

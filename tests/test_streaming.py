@@ -418,7 +418,7 @@ def test_sliding_distinct_users_stream_matches_batch(spark, sf_dir, stream):
     )
     q.awaitTermination(300)
 
-    batch = load_all()["f08_sliding_dau"].fn(spark, sf_dir).collect()
+    batch = load_all()["qf08_sliding_dau"].fn(spark, sf_dir).collect()
     expected = {r.day_index: r.dau7 for r in batch}
     # streaming emits every fanned window day (incl. days past the last
     # event); the batch query clips to [min_day, max_day] — compare on

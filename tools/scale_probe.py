@@ -55,19 +55,19 @@ PROBE_QUERIES = [
     "qd05_interval_coalesce",
     "qd06_pareto_frontier",
     "qd15_duprate_wilson",
-    "f02_bigram_lm_logprob",
-    "f04_harmonic_centrality",
-    "f08_sliding_dau",
-    "f13_segment_dedup",
-    "f18_ngram_decontamination",
-    "g01_personalized_pagerank",
-    "g04_lsh_recall_audit",
-    "g09_vocab_growth",
-    "g10_repetition_audit",
-    "g14_poisson_bootstrap",
-    "g18_char_ngram_compressibility",
-    "g19_snapshot_novelty",
-    "g21_embedding_drift",
+    "qf02_bigram_lm_logprob",
+    "qf04_harmonic_centrality",
+    "qf08_sliding_dau",
+    "qf13_segment_dedup",
+    "qf18_ngram_decontamination",
+    "qg01_personalized_pagerank",
+    "qg04_lsh_recall_audit",
+    "qg09_vocab_growth",
+    "qg10_repetition_audit",
+    "qg14_poisson_bootstrap",
+    "qg18_char_ngram_compressibility",
+    "qg19_snapshot_novelty",
+    "qg21_embedding_drift",
     "h01_bm25_ranking",
     "h06_cooccurrence_pmi",
     "h12_hard_negative_mining",
