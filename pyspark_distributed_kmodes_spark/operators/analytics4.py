@@ -1217,11 +1217,11 @@ def _g16_sql_arm(x: str, y: str) -> str:
     return f"""
 SELECT '{x}' AS col_x, '{y}' AS col_y, CAST(COUNT(*) AS BIGINT) AS n,
        {sql_pround(
-           f"(COUNT(*) * CAST(SUM(CAST({sql_pround(f'{x} * {y}', 6)} AS DECIMAL(30,6))) AS DOUBLE)"
+           f"(COUNT(*) * CAST(SUM(CAST({x} AS DECIMAL(15,3)) * CAST({y} AS DECIMAL(15,3))) AS DOUBLE)"
            f" - CAST(SUM(CAST({x} AS DECIMAL(25,6))) AS DOUBLE) * CAST(SUM(CAST({y} AS DECIMAL(25,6))) AS DOUBLE))"
-           f" / sqrt((COUNT(*) * CAST(SUM(CAST({sql_pround(f'{x} * {x}', 6)} AS DECIMAL(30,6))) AS DOUBLE)"
+           f" / sqrt((COUNT(*) * CAST(SUM(CAST({x} AS DECIMAL(15,3)) * CAST({x} AS DECIMAL(15,3))) AS DOUBLE)"
            f" - CAST(SUM(CAST({x} AS DECIMAL(25,6))) AS DOUBLE) * CAST(SUM(CAST({x} AS DECIMAL(25,6))) AS DOUBLE))"
-           f" * (COUNT(*) * CAST(SUM(CAST({sql_pround(f'{y} * {y}', 6)} AS DECIMAL(30,6))) AS DOUBLE)"
+           f" * (COUNT(*) * CAST(SUM(CAST({y} AS DECIMAL(15,3)) * CAST({y} AS DECIMAL(15,3))) AS DOUBLE)"
            f" - CAST(SUM(CAST({y} AS DECIMAL(25,6))) AS DOUBLE) * CAST(SUM(CAST({y} AS DECIMAL(25,6))) AS DOUBLE)))", 6)} AS pearson
 FROM lineitem"""
 
@@ -1241,28 +1241,33 @@ def qg16_exact_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT decimal moments: built-in corr() accumulates float co-moments
     in partition order and is therefore not reproducible across
     partitionings (the d13 lesson — never use it in an oracle-gated
-    column); here every moment (sum x, sum x^2, sum xy) is a
-    pround->DECIMAL exact sum, and the correlation is assembled from
-    those exact moments with one identical float expression per pair.
+    column); here every moment (sum x, sum x^2, sum xy) is an exact
+    DECIMAL sum, and the correlation is assembled from those exact
+    moments with one identical float expression per pair. Second
+    moments multiply DECIMAL(15,3)-cast inputs (source values carry
+    <=2 fractional digits, so the cast is exact) giving an EXACT
+    scale-6 decimal product — no per-term float rounding at all, so
+    there is no 2^53 quantization envelope to exceed (the round-5
+    advice on pround(x*x, 6) at ~1.2e10).
 
     Scale: ONE scan computes all moments for all pairs (a single
-    aggregation, map-side combinable); second moments use DECIMAL(30,6)
-    so price-squared sums stay exact far past 10^10 rows. Partitioning-
-    invariant by construction.
+    aggregation, map-side combinable); decimal product sums keep
+    scale 6 with 30+ integer digits of headroom, exact far past
+    10^10 rows. Partitioning-invariant by construction.
     """
     li = table(spark, sf_dir, "lineitem")
     aggs = []
     for c in _G16_COLS:
         aggs.append(F.sum(F.col(c).cast("decimal(25,6)")).cast("double").alias(f"s_{c}"))
         aggs.append(
-            F.sum(pround(F.col(c) * F.col(c), 6).cast("decimal(30,6)"))
+            F.sum(F.col(c).cast("decimal(15,3)") * F.col(c).cast("decimal(15,3)"))
             .cast("double")
             .alias(f"ss_{c}")
         )
     for i, x in enumerate(_G16_COLS):
         for y in _G16_COLS[i + 1 :]:
             aggs.append(
-                F.sum(pround(F.col(x) * F.col(y), 6).cast("decimal(30,6)"))
+                F.sum(F.col(x).cast("decimal(15,3)") * F.col(y).cast("decimal(15,3)"))
                 .cast("double")
                 .alias(f"sp_{x}_{y}")
             )

@@ -1329,8 +1329,10 @@ def h16_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserts halves_agree=TRUE).
 
     Scale: two grouped counts + one merge-groupBy over the value
-    dictionary; the quantile read is a running sum over the bounded
-    dictionary, never a row sort. The direct-path check uses one
+    dictionary; the quantile read is a TWO-LEVEL running sum (bounded
+    bucket-offset window + per-bucket partitioned window), never a row
+    sort and never a single-partition pass over the dictionary — safe
+    even for continuous-valued columns. The direct-path check uses one
     global rank window — test-scale only, the audit's point is that
     the merged path REPLACES it.
     """
@@ -1342,9 +1344,26 @@ def h16_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("v")
         .agg(F.sum("c").alias("c"))
     )
-    wv = Window.orderBy("v")  # bounded: value dictionary
-    cum = hist.withColumn("cum", F.sum("c").over(wv)).crossJoin(
-        F.broadcast(hist.agg(F.sum("c").alias("n")))
+    # Two-level cumulative count, so the merged path NEVER serializes the
+    # value dictionary through one partition even when values are
+    # near-unique (continuous prices): bucket-level totals get a bounded
+    # ordered window (#buckets ~ price_range/1000), then the per-value
+    # running sum is partitioned BY bucket and shifted by the bucket's
+    # offset — exact, and parallel over buckets (round-5 advice on the
+    # unpartitioned Window.orderBy("v") here).
+    bkt = hist.withColumn("bkt", F.floor(F.col("v") / F.lit(1000.0)).cast("bigint"))
+    wb = Window.orderBy("bkt")  # bounded: one row per 1000-wide price bucket
+    offs = (
+        bkt.groupBy("bkt")
+        .agg(F.sum("c").alias("bc"))
+        .withColumn("off", F.sum("bc").over(wb) - F.col("bc"))
+        .select("bkt", "off")
+    )
+    wvb = Window.partitionBy("bkt").orderBy("v")
+    cum = (
+        bkt.join(offs, "bkt")
+        .withColumn("cum", F.col("off") + F.sum("c").over(wvb))
+        .crossJoin(F.broadcast(hist.agg(F.sum("c").alias("n"))))
     )
     merged = cum.agg(
         *[

@@ -88,7 +88,11 @@ def test_substring_search_matches_python(spark, sf_dir, reg):
         if n_docs:
             assert got[pat] == (n_docs, n_occ), pat
         else:
-            assert pat not in got
+            # a zero-match pattern still yields one global-aggregate row
+            # (n_docs=0, NULL occurrence sum) from both the engine and the
+            # oracle arm — asserting absence would fail spuriously if a
+            # pattern stops matching at some scale factor
+            assert got[pat] == (0, None), pat
 
 
 def test_grouped_ks_bounds(spark, sf_dir, reg):
