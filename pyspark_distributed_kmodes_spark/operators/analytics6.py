@@ -1391,3 +1391,909 @@ def i16_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             out = arm if out is None else out.unionByName(arm)
     return out.orderBy("table_name", "column_name")
+
+
+# ---------------------------------------------------------------------------
+# i17 — HHI supplier concentration per part type
+
+
+@query(
+    "i17_hhi_concentration",
+    oracle=f"""
+WITH rev AS (
+  SELECT p.p_type, l.l_suppkey,
+         CAST(SUM({_sql_dterm('l.l_extendedprice * (1 - l.l_discount)')}) AS DOUBLE) AS r
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+), typ AS (
+  SELECT p_type, SUM(CAST(r AS DECIMAL(25,6))) AS tr, COUNT(*) AS n_suppliers
+  FROM rev GROUP BY 1
+)
+SELECT r.p_type,
+       CAST(t.n_suppliers AS BIGINT) AS n_suppliers,
+       {sql_pround(f"CAST(SUM({_sql_dterm('(r.r / CAST(t.tr AS DOUBLE)) * (r.r / CAST(t.tr AS DOUBLE))')}) AS DOUBLE)", 6)} AS hhi,
+       {sql_pround('MAX(r.r / CAST(t.tr AS DOUBLE))', 6)} AS top1_share
+FROM rev r JOIN typ t ON t.p_type = r.p_type
+GROUP BY r.p_type, t.n_suppliers
+ORDER BY r.p_type
+""",
+    tags=("statistics", "relational"),
+)
+def i17_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index of supplier revenue
+    within each part type — the market-concentration statistic
+    (sum of squared revenue shares) next to qd09's Gini: HHI near 1
+    means one supplier owns the category (a single-point-of-failure /
+    procurement-risk flag), near 1/n means a flat market.
+
+    Scale: revenue collapses to (type, supplier) partials via exact
+    decimal term sums (the q01 idiom) on ONE fact scan with a
+    broadcast part-dim join; shares and their squares are
+    pround->DECIMAL summed per type, so the float work happens on the
+    bounded (type, supplier) table, partitioning-invariant.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_type", "l_suppkey")
+        .agg(
+            F.sum(_dterm(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double")
+            .alias("r")
+        )
+    )
+    typ = rev.groupBy("p_type").agg(
+        F.sum(F.col("r").cast("decimal(25,6)")).alias("tr"),
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+    )
+    share = F.col("r") / F.col("tr").cast("double")
+    return (
+        rev.join(F.broadcast(typ), "p_type")
+        .groupBy("p_type", "n_suppliers")
+        .agg(
+            pround(F.sum(_dterm(share * share)).cast("double"), 6).alias("hhi"),
+            pround(F.max(share), 6).alias("top1_share"),
+        )
+        .select("p_type", "n_suppliers", "hhi", "top1_share")
+        .orderBy("p_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# i18 — salted aggregation audit
+
+_I18_SALTS = 16
+
+
+@query(
+    "i18_salted_agg_audit",
+    oracle=f"""
+WITH salted AS (
+  SELECT l_returnflag,
+         {_sql_md5fold("CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)")} % {_I18_SALTS} AS salt,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS s
+  FROM lineitem GROUP BY 1, 2
+), two_level AS (
+  SELECT l_returnflag, CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(s) AS DOUBLE) AS price_sum
+  FROM salted GROUP BY 1
+), direct AS (
+  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS price_sum
+  FROM lineitem GROUP BY 1
+)
+SELECT t.l_returnflag, t.n, {sql_pround('t.price_sum', 6)} AS price_sum,
+       (t.n = d.n AND t.price_sum = d.price_sum) AS salted_agrees
+FROM two_level t JOIN direct d ON d.l_returnflag = t.l_returnflag
+ORDER BY t.l_returnflag
+""",
+    tags=("relational", "audit", "skew"),
+)
+def i18_salted_agg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted-aggregation equivalence audit: the two-level salted sum
+    (group by (key, md5-salt % {_I18_SALTS}), then re-group by key over
+    the partials) must EXACTLY equal the direct grouped sum — the
+    algebra that makes q39's salted skew join and every skewed groupBy
+    safe. Exactness holds because both levels sum in DECIMAL; a
+    float-summed version would NOT reconcile bit-for-bit, which is
+    precisely why the engine's determinism rules exist.
+
+    Scale: salting splits a hot key across {_I18_SALTS} reducers; the
+    second level aggregates {_I18_SALTS} partials per key. The audit
+    output is the per-key equality gate.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    salt = (
+        _md5fold(
+            F.concat_ws("-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string"))
+        )
+        % _I18_SALTS
+    )
+    salted = li.groupBy("l_returnflag", salt.alias("salt")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).alias("s"),
+    )
+    two_level = salted.groupBy("l_returnflag").agg(
+        F.sum("n").cast("bigint").alias("n"), F.sum("s").cast("double").alias("price_sum")
+    )
+    direct = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d_n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).cast("double").alias("d_sum"),
+    )
+    return (
+        two_level.join(direct, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n",
+            pround(F.col("price_sum"), 6).alias("price_sum"),
+            ((F.col("n") == F.col("d_n")) & (F.col("price_sum") == F.col("d_sum"))).alias(
+                "salted_agrees"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# i19 — at-least-once replay dedup idempotency
+
+
+@query(
+    "i19_replay_dedup_idempotency",
+    oracle=f"""
+WITH replayed AS (
+  SELECT event_id, event_type, value, 0 AS tag FROM events
+  UNION ALL
+  SELECT event_id, event_type, value, 1 AS tag FROM events WHERE event_id % 7 = 0
+), deduped AS (
+  SELECT event_id, event_type, value
+  FROM (
+    SELECT event_id, event_type, value,
+           row_number() OVER (PARTITION BY event_id ORDER BY tag ASC) AS rn
+    FROM replayed
+  ) t WHERE rn = 1
+), agg_d AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, {sql_dsum('value')} AS value_sum
+  FROM deduped GROUP BY 1
+), agg_o AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, {sql_dsum('value')} AS value_sum
+  FROM events GROUP BY 1
+)
+SELECT d.event_type, d.n, {sql_pround('d.value_sum', 6)} AS value_sum,
+       (d.n = o.n AND d.value_sum = o.value_sum) AS exactly_once
+FROM agg_d d JOIN agg_o o ON o.event_type = d.event_type
+ORDER BY d.event_type
+""",
+    tags=("events", "streaming", "audit"),
+)
+def i19_replay_dedup_idempotency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once delivery made exactly-once, audited: the event
+    stream is replayed with a deterministic duplicate subset
+    (event_id % 7 == 0 delivered twice, tagged by arrival), dedup
+    keeps the first arrival per event_id (keyed row_number — the
+    batch twin of q34/the streaming dropDuplicates state), and the
+    deduped aggregates must EXACTLY equal the original stream's. This
+    is the idempotent-consumer contract every replayable sink relies
+    on, stated as a hash-gated query.
+
+    Scale: dedup is one keyed window (partitioned by event_id — fully
+    parallel); aggregates are decimal-exact so the equality gate is
+    bitwise, not approximate.
+    """
+    e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    replayed = e.withColumn("tag", F.lit(0)).unionByName(
+        e.filter(F.col("event_id") % 7 == 0).withColumn("tag", F.lit(1))
+    )
+    wd = Window.partitionBy("event_id").orderBy(F.asc("tag"))
+    deduped = (
+        replayed.withColumn("rn", F.row_number().over(wd)).filter(F.col("rn") == 1).drop("rn", "tag")
+    )
+    agg_d = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"), dsum("value").alias("value_sum")
+    )
+    agg_o = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o_n"), dsum("value").alias("o_sum")
+    )
+    return (
+        agg_d.join(agg_o, "event_type")
+        .select(
+            "event_type",
+            "n",
+            pround(F.col("value_sum"), 6).alias("value_sum"),
+            ((F.col("n") == F.col("o_n")) & (F.col("value_sum") == F.col("o_sum"))).alias(
+                "exactly_once"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# i20 — longest zero-order gap per nation (date spine + run-length)
+
+
+@query(
+    "i20_longest_gap_runs",
+    oracle="""
+WITH span AS (
+  SELECT MIN(CAST(o_orderdate AS DATE)) AS d0, MAX(CAST(o_orderdate AS DATE)) AS d1 FROM orders
+), spine AS (
+  SELECT n.n_nationkey, n.n_name, CAST(gs.g AS DATE) AS day
+  FROM nation n CROSS JOIN span s
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS g) gs
+), daily AS (
+  SELECT c.c_nationkey, CAST(o.o_orderdate AS DATE) AS day, COUNT(*) AS cnt
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+), marked AS (
+  SELECT sp.n_nationkey, sp.n_name, sp.day,
+         COALESCE(d.cnt, 0) AS cnt,
+         row_number() OVER (PARTITION BY sp.n_nationkey ORDER BY sp.day ASC) AS rn
+  FROM spine sp LEFT JOIN daily d
+    ON d.c_nationkey = sp.n_nationkey AND d.day = sp.day
+), runs AS (
+  SELECT n_nationkey, n_name,
+         rn - row_number() OVER (PARTITION BY n_nationkey, (cnt = 0) ORDER BY rn ASC) AS grp,
+         cnt
+  FROM marked
+), zero_runs AS (
+  SELECT n_nationkey, n_name, COUNT(*) AS run_len
+  FROM runs WHERE cnt = 0
+  GROUP BY n_nationkey, n_name, grp
+)
+SELECT m.n_nationkey AS nationkey, m.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(COUNT(*) FILTER (WHERE m.cnt = 0) AS BIGINT) AS n_zero_days,
+       CAST(COALESCE((SELECT MAX(run_len) FROM zero_runs z WHERE z.n_nationkey = m.n_nationkey), 0) AS BIGINT) AS longest_gap
+FROM marked m
+GROUP BY m.n_nationkey, m.n_name
+ORDER BY m.n_nationkey
+""",
+    tags=("timeseries", "relational"),
+)
+def i20_longest_gap_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap analysis: for every nation, the number of
+    calendar days in the global order span with ZERO orders from that
+    nation's customers, and the LONGEST consecutive zero-run — the
+    islands-and-gaps (run-length) idiom (rn minus keyed rn = run id)
+    that powers outage detection and freshness SLAs, complementing
+    qd12's gap-FILL with gap MEASUREMENT.
+
+    Scale: the spine is |nations| x |days| (bounded by dim x calendar,
+    never by the fact table); the fact table collapses to (nation,
+    day) partials first; run-length windows are partitioned per
+    nation over the bounded day series.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    span = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("d0"),
+        F.max(F.col("o_orderdate").cast("date")).alias("d1"),
+    )
+    spine = (
+        n.select(F.col("n_nationkey").alias("nationkey"), F.col("n_name").alias("nation"))
+        .crossJoin(F.broadcast(span))
+        .select(
+            "nationkey",
+            "nation",
+            F.explode(F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))).alias("day"),
+        )
+    )
+    daily = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wn = Window.partitionBy("nationkey").orderBy(F.asc("day"))
+    marked = (
+        spine.join(daily, ["nationkey", "day"], "left")
+        .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
+        .withColumn("rn", F.row_number().over(wn))
+    )
+    wz = Window.partitionBy("nationkey", F.col("cnt") == 0).orderBy(F.asc("rn"))
+    runs = marked.withColumn("grp", F.col("rn") - F.row_number().over(wz))
+    zero_runs = (
+        runs.filter(F.col("cnt") == 0)
+        .groupBy("nationkey", "nation", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("nationkey")
+        .agg(F.max("run_len").alias("longest"))
+    )
+    return (
+        marked.groupBy("nationkey", "nation")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum((F.col("cnt") == 0).cast("int")).cast("bigint").alias("n_zero_days"),
+        )
+        .join(zero_runs, "nationkey", "left")
+        .select(
+            "nationkey",
+            "nation",
+            "n_days",
+            "n_zero_days",
+            F.coalesce(F.col("longest"), F.lit(0)).cast("bigint").alias("longest_gap"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# i21 — join cardinality audit (explosion preflight)
+
+
+@query(
+    "i21_join_cardinality_audit",
+    oracle="""
+WITH kl AS (
+  SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c FROM lineitem GROUP BY 1
+), ko AS (
+  SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c FROM orders GROUP BY 1
+), pred AS (
+  SELECT CAST(SUM(kl.c * ko.c) AS BIGINT) AS predicted,
+         CAST(MAX(kl.c * ko.c) AS BIGINT) AS max_key_pairs
+  FROM kl JOIN ko ON ko.k = kl.k
+), act AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS actual
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT p.predicted, a.actual, p.max_key_pairs,
+       CAST((SELECT COUNT(*) FROM kl) AS BIGINT) AS n_keys_left,
+       CAST((SELECT COUNT(*) FROM ko) AS BIGINT) AS n_keys_right,
+       p.predicted = a.actual AS estimate_exact
+FROM pred p CROSS JOIN act a
+""",
+    tags=("relational", "audit", "planner"),
+)
+def i21_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-explosion preflight: the output cardinality of an equi-join
+    equals the sum over matching keys of |left(k)|·|right(k)| — the
+    identity a planner uses to predict a blow-up BEFORE paying for it.
+    The audit computes the prediction from per-key histograms (tiny
+    compared to the join), the actual join count, and the worst
+    single-key pair product (the skew canary h19 salts on), and gates
+    prediction == actual.
+
+    Scale: at 100 TB you run the HISTOGRAM side only — two grouped
+    counts and a key-join on the (much smaller) key dictionaries —
+    and skip the join entirely if `predicted` or `max_key_pairs`
+    exceeds budget. The actual-join arm here is the verification gate.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    kl = li.groupBy(F.col("l_orderkey").alias("k")).agg(F.count(F.lit(1)).cast("bigint").alias("cl"))
+    ko = o.groupBy(F.col("o_orderkey").alias("k")).agg(F.count(F.lit(1)).cast("bigint").alias("co"))
+    pred = kl.join(ko, "k").agg(
+        F.sum(F.col("cl") * F.col("co")).cast("bigint").alias("predicted"),
+        F.max(F.col("cl") * F.col("co")).cast("bigint").alias("max_key_pairs"),
+    )
+    act = li.join(o, li.l_orderkey == o.o_orderkey).agg(
+        F.count(F.lit(1)).cast("bigint").alias("actual")
+    )
+    nl = kl.agg(F.count(F.lit(1)).cast("bigint").alias("n_keys_left"))
+    nr = ko.agg(F.count(F.lit(1)).cast("bigint").alias("n_keys_right"))
+    return (
+        pred.crossJoin(F.broadcast(act))
+        .crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "predicted",
+            "actual",
+            "max_key_pairs",
+            "n_keys_left",
+            "n_keys_right",
+            (F.col("predicted") == F.col("actual")).alias("estimate_exact"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# i22 — key skew profile for join planning
+
+_I22_KEYS = (
+    ("lineitem", "l_partkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+)
+
+
+def _i22_sql_arm(tbl: str, col: str) -> str:
+    return f"""
+SELECT '{tbl}.{col}' AS key_name,
+       CAST(SUM(kn) AS BIGINT) AS n_rows,
+       CAST(SUM(nk) AS BIGINT) AS n_keys,
+       CAST(MAX(freq) AS BIGINT) AS max_freq,
+       CAST(MIN(CASE WHEN cum >= CAST(ceil(0.99 * tot) AS BIGINT) THEN freq END) AS BIGINT) AS p99_freq,
+       {sql_pround('CAST(MAX(freq) AS DOUBLE) * MAX(nk_dummy) / SUM(kn)', 9)} AS top1_share,
+       {sql_pround(
+           'sqrt(greatest(CAST(SUM(f2) AS DOUBLE) / SUM(nk) - (CAST(SUM(kn) AS DOUBLE) / SUM(nk)) * (CAST(SUM(kn) AS DOUBLE) / SUM(nk)), 0.0))'
+           ' / (CAST(SUM(kn) AS DOUBLE) / SUM(nk))', 6)} AS freq_cv
+FROM (
+  SELECT freq, nk, freq * nk AS kn, freq * freq * nk AS f2, 1 AS nk_dummy,
+         SUM(nk) OVER (ORDER BY freq ASC) AS cum,
+         SUM(nk) OVER () AS tot
+  FROM (
+    SELECT freq, CAST(COUNT(*) AS BIGINT) AS nk
+    FROM (SELECT {col}, COUNT(*) AS freq FROM {tbl} GROUP BY {col}) kf
+    GROUP BY freq
+  ) fd
+) t"""
+
+
+@query(
+    "i22_key_skew_profile",
+    oracle=" UNION ALL ".join(_i22_sql_arm(t, c) for t, c in _I22_KEYS) + " ORDER BY key_name",
+    tags=("audit", "planner", "skew"),
+)
+def i22_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew profile for the join planner: per join key, row/key
+    counts, the hottest key's frequency and share, the p99 key
+    frequency (disc convention over the FREQUENCY DICTIONARY), and the
+    coefficient of variation of key frequencies — the statistics h19's
+    skew planner thresholds on and i21's preflight multiplies,
+    maintained as one profile table.
+
+    Scale: per key column, one grouped count collapses the fact table
+    to (key, freq); a second collapse to the frequency DICTIONARY
+    (freq, n_keys) bounds the quantile window to |distinct
+    frequencies| — tiny by construction (Zipfian tables have few
+    distinct multiplicities), never a row-level or key-level sort.
+    """
+    out = None
+    for tbl, col in _I22_KEYS:
+        df = table(spark, sf_dir, tbl)
+        kf = df.groupBy(F.col(col).alias("k")).agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        fd = kf.groupBy("freq").agg(F.count(F.lit(1)).cast("bigint").alias("nk"))
+        wf = Window.orderBy(F.asc("freq"))  # bounded: frequency dictionary
+        t = fd.select(
+            "freq",
+            "nk",
+            (F.col("freq") * F.col("nk")).alias("kn"),
+            (F.col("freq") * F.col("freq") * F.col("nk")).alias("f2"),
+            F.sum("nk").over(wf).alias("cum"),
+        ).crossJoin(F.broadcast(fd.agg(F.sum("nk").alias("tot"))))
+        mean = F.sum("kn").cast("double") / F.sum("nk")
+        arm = t.agg(
+            F.lit(f"{tbl}.{col}").alias("key_name"),
+            F.sum("kn").cast("bigint").alias("n_rows"),
+            F.sum("nk").cast("bigint").alias("n_keys"),
+            F.max("freq").cast("bigint").alias("max_freq"),
+            F.min(
+                F.when(F.col("cum") >= F.ceil(0.99 * F.col("tot")).cast("bigint"), F.col("freq"))
+            )
+            .cast("bigint")
+            .alias("p99_freq"),
+            pround(F.max("freq").cast("double") / F.sum("kn"), 9).alias("top1_share"),
+            pround(
+                F.sqrt(
+                    F.greatest(
+                        F.sum("f2").cast("double") / F.sum("nk") - mean * mean, F.lit(0.0)
+                    )
+                )
+                / mean,
+                6,
+            ).alias("freq_cv"),
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out.orderBy("key_name")
+
+
+# ---------------------------------------------------------------------------
+# i23 — latest-N-per-key compaction
+
+_I23_KEEP = 3
+
+
+@query(
+    "i23_latest_n_compaction",
+    oracle=f"""
+WITH ranked AS (
+  SELECT event_type, value, user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), kept AS (
+  SELECT * FROM ranked WHERE rn <= {_I23_KEEP}
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(COUNT(*) - (SELECT COUNT(*) FROM kept) AS BIGINT) AS n_dropped
+  FROM events
+)
+SELECT k.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(COUNT(DISTINCT k.user_id) AS BIGINT) AS n_users,
+       {sql_pround(sql_dsum('k.value'), 6)} AS value_sum,
+       t.n_total, t.n_dropped
+FROM kept k CROSS JOIN tot t
+GROUP BY k.event_type, t.n_total, t.n_dropped
+ORDER BY k.event_type
+""",
+    tags=("events", "cdc"),
+)
+def i23_latest_n_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-N-per-key log compaction: keep the newest {_I23_KEEP}
+    events per user (ts + event_id total order) and account for what
+    compaction kept vs dropped per event type — the depth-N
+    generalization of q34's latest-event dedup and the batch shape of
+    a compacted changelog topic (depth 1 = Kafka compaction, depth N =
+    bounded history tables).
+
+    Scale: ONE keyed rank window partitioned by user — embarrassingly
+    parallel; the retained set is at most {_I23_KEEP}·|users| rows
+    regardless of log length, which is the point of compaction.
+    """
+    e = table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    kept = e.withColumn("rn", F.row_number().over(wu)).filter(F.col("rn") <= _I23_KEEP)
+    tot = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_total")).crossJoin(
+        F.broadcast(kept.agg(F.count(F.lit(1)).alias("nk")))
+    ).select("n_total", (F.col("n_total") - F.col("nk")).cast("bigint").alias("n_dropped"))
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            pround(dsum("value"), 6).alias("value_sum"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# i24 — session bounce rate by entry type
+
+_I24_GAP_S = 1800
+
+
+@query(
+    "i24_session_bounce_rate",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) > {_I24_GAP_S} * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS sess_id
+  FROM seq
+), in_sess AS (
+  SELECT user_id, sess_id, event_type,
+         row_number() OVER (PARTITION BY user_id, sess_id ORDER BY ts ASC, event_id ASC) AS srn
+  FROM sess
+), per_sess AS (
+  SELECT user_id, sess_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         MIN(CASE WHEN srn = 1 THEN event_type END) AS entry_type
+  FROM in_sess GROUP BY user_id, sess_id
+)
+SELECT entry_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) FILTER (WHERE n_events = 1) AS BIGINT) AS n_bounces,
+       {sql_pround('CAST(COUNT(*) FILTER (WHERE n_events = 1) AS DOUBLE) / COUNT(*)', 6)} AS bounce_rate
+FROM per_sess
+GROUP BY entry_type
+ORDER BY entry_type
+""",
+    tags=("events", "sessionization"),
+)
+def i24_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate by session entry type: gap-based sessionization
+    ({_I24_GAP_S}s inactivity splits sessions — the q32/h08 rule as
+    explicit lag arithmetic so the session ids are engine-portable),
+    each session classified by its FIRST event's type, bounce =
+    single-event session. The standard funnel-entry health metric.
+
+    Scale: two user-partitioned windows (lag + running session
+    counter) and one grouped rollup — no self-joins, parallel per
+    user; identical to the production sessionizer shape
+    (applyInPandasWithState streams the same logic incrementally).
+    """
+    e = table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seq = e.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(wu).isNull()
+            | (
+                # exact integer microseconds on both engines — a seconds
+                # cast truncates in Spark and keeps fractions in DuckDB
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wu))
+                > _I24_GAP_S * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = seq.withColumn("sess_id", F.sum("is_new").over(wu))
+    ws = Window.partitionBy("user_id", "sess_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    in_sess = sess.withColumn("srn", F.row_number().over(ws))
+    per_sess = in_sess.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min(F.when(F.col("srn") == 1, F.col("event_type"))).alias("entry_type"),
+    )
+    return (
+        per_sess.groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum((F.col("n_events") == 1).cast("int")).cast("bigint").alias("n_bounces"),
+        )
+        .withColumn(
+            "bounce_rate", pround(F.col("n_bounces").cast("double") / F.col("n_sessions"), 6)
+        )
+        .orderBy("entry_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# i25 — referential integrity audit
+
+
+_I25_RELS = (
+    # (name, child table, child key, parent table, parent key)
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("events->customer", "events", "user_id", "customer", "c_custkey"),
+)
+
+
+def _i25_sql_arm(name: str, ct: str, ck: str, pt: str, pk: str) -> str:
+    return f"""
+SELECT '{name}' AS relation,
+       CAST(COUNT(*) AS BIGINT) AS n_child,
+       CAST(COUNT(*) FILTER (WHERE NOT EXISTS
+            (SELECT 1 FROM {pt} p WHERE p.{pk} = c.{ck})) AS BIGINT) AS n_orphans,
+       {sql_pround(f'''CAST(COUNT(*) FILTER (WHERE EXISTS
+            (SELECT 1 FROM {pt} p WHERE p.{pk} = c.{ck})) AS DOUBLE) / COUNT(*)''', 9)} AS coverage,
+       COUNT(*) FILTER (WHERE NOT EXISTS
+            (SELECT 1 FROM {pt} p WHERE p.{pk} = c.{ck})) = 0 AS intact
+FROM {ct} c"""
+
+
+@query(
+    "i25_referential_integrity",
+    oracle=" UNION ALL ".join(_i25_sql_arm(*r) for r in _I25_RELS) + " ORDER BY relation",
+    tags=("audit", "relational", "constraints"),
+)
+def i25_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema's foreign
+    keys: per relation, orphaned child rows (FK with no parent) and
+    coverage — the cross-TABLE companion to qe14's single-table
+    declarative constraints, and the check that catches a partial
+    ingest (parent table behind the fact table) before a silent
+    inner-join row loss does.
+
+    Scale: each relation is one left-anti-style existence join against
+    the PARENT KEY dictionary (broadcast when the parent is a dim);
+    counts only, no payload movement.
+    """
+    out = None
+    for name, ct, ck, pt, pk in _I25_RELS:
+        child = table(spark, sf_dir, ct)
+        parent_keys = table(spark, sf_dir, pt).select(F.col(pk).alias("__pk")).distinct()
+        flagged = child.join(
+            F.broadcast(parent_keys), child[ck] == F.col("__pk"), "left"
+        ).select((F.col("__pk").isNull()).cast("int").alias("orphan"))
+        arm = flagged.agg(
+            F.lit(name).alias("relation"),
+            F.count(F.lit(1)).cast("bigint").alias("n_child"),
+            F.sum("orphan").cast("bigint").alias("n_orphans"),
+        ).select(
+            "relation",
+            "n_child",
+            "n_orphans",
+            pround((F.col("n_child") - F.col("n_orphans")).cast("double") / F.col("n_child"), 9).alias(
+                "coverage"
+            ),
+            (F.col("n_orphans") == 0).alias("intact"),
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out.orderBy("relation")
+
+
+# ---------------------------------------------------------------------------
+# i26 — nearest-event join (bidirectional as-of)
+
+
+@query(
+    "i26_nearest_event_join",
+    oracle="""
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), cand AS (
+  SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+         abs(epoch_us(p.ts) - epoch_us(c.ts)) AS delta_us,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)) ASC, c.ts ASC, c.event_id ASC) AS rn
+  FROM purchases p JOIN clicks c ON c.user_id = p.user_id
+)
+SELECT CAST(purchase_id AS BIGINT) AS purchase_id,
+       CAST(click_id AS BIGINT) AS click_id,
+       CAST(delta_us AS BIGINT) AS delta_us
+FROM cand WHERE rn = 1
+ORDER BY purchase_id
+""",
+    tags=("events", "join", "asof"),
+)
+def i26_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-event join: each purchase matches the click by the same
+    user that is closest in time in EITHER direction (min |Δt|, ties
+    broken earlier-click-first then event_id) — the bidirectional
+    generalization of q33's backward as-of join, i.e. the "closest
+    sensor reading" / "nearest quote to trade" matcher.
+
+    Scale: candidates pair only WITHIN a user (user-keyed equi-join),
+    so cost is Σ_u purchases(u)·clicks(u) — bounded by per-user
+    activity, never |events|²; at extreme per-user volumes the same
+    semantics decompose into a backward + a forward as-of join
+    (functions/asof.py) and a 2-way min — this operator keeps the
+    one-join form that a per-user bound makes cheaper.
+    """
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    # exact integer microseconds on both engines (unix_micros/epoch_us):
+    # a seconds cast would truncate in Spark and round in DuckDB
+    delta = F.abs(F.unix_micros("p_ts") - F.unix_micros("c_ts"))
+    w = Window.partitionBy("purchase_id").orderBy(
+        delta.asc(), F.asc("c_ts"), F.asc("click_id")
+    )
+    cand = p.join(c, "user_id").withColumn("delta_us", delta).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return (
+        cand.filter(F.col("rn") == 1)
+        .select(
+            F.col("purchase_id").cast("bigint"),
+            F.col("click_id").cast("bigint"),
+            F.col("delta_us").cast("bigint"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# i27 — parquet schema evolution (mergeSchema)
+
+
+@query(
+    "i27_schema_evolution",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE doc_id % 2 = 0) AS BIGINT) AS n_v1,
+       CAST(COUNT(*) FILTER (WHERE doc_id % 2 = 1) AS BIGINT) AS n_v2,
+       CAST(COUNT(*) FILTER (WHERE doc_id % 2 = 0) AS BIGINT) AS n_null_lang,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+    tags=("source", "audit"),
+)
+def i27_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution end-to-end: generation 1 of a dataset
+    is written WITHOUT the `lang` column (doc_id % 2 == 0), generation
+    2 adds it; the union directory is read back with mergeSchema=true
+    and the audit proves Spark null-fills the missing column for
+    old-generation rows and keeps both generations' payloads intact —
+    the additive-column evolution every long-lived lakehouse dataset
+    goes through. The oracle derives the same counts from the source
+    table, so hash-match pins the round-trip.
+
+    Scale: schema merge is a FOOTER operation (per-file metadata
+    union), not a data rewrite; the audit scan reads both generations
+    once. Idempotent temp dir + eager materialization (h10
+    discipline).
+    """
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="i27_evo_")
+    try:
+        d = table(spark, sf_dir, "documents")
+        d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "source", "n_chars").write.mode(
+            "overwrite"
+        ).parquet(base + "/gen=1")
+        d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "source", "n_chars", "lang").write.mode(
+            "overwrite"
+        ).parquet(base + "/gen=2")
+        back = spark.read.option("mergeSchema", "true").parquet(base + "/gen=1", base + "/gen=2")
+        out = (
+            back.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum((F.col("doc_id") % 2 == 0).cast("int")).cast("bigint").alias("n_v1"),
+                F.sum((F.col("doc_id") % 2 == 1).cast("int")).cast("bigint").alias("n_v2"),
+                F.sum(F.col("lang").isNull().cast("int")).cast("bigint").alias("n_null_lang"),
+                F.sum("n_chars").cast("bigint").alias("chars_sum"),
+            )
+            .orderBy("source")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# i28 — churn by market segment
+
+
+@query(
+    "i28_churn_by_segment",
+    oracle=f"""
+WITH cutoff AS (
+  SELECT MAX(CAST(o_orderdate AS DATE)) - INTERVAL 365 DAY AS cut FROM orders
+), cust AS (
+  SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_d
+  FROM orders GROUP BY o_custkey
+), flagged AS (
+  SELECT c.c_mktsegment, c.c_acctbal,
+         CASE WHEN cu.last_d < (SELECT cut FROM cutoff) THEN 1 ELSE 0 END AS churned
+  FROM cust cu JOIN customer c ON c.c_custkey = cu.o_custkey
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_active_customers,
+       CAST(SUM(churned) AS BIGINT) AS n_churned,
+       {sql_pround('CAST(SUM(churned) AS DOUBLE) / COUNT(*)', 6)} AS churn_rate,
+       {sql_pround('CAST(SUM(CASE WHEN churned = 1 THEN CAST(c_acctbal AS DECIMAL(25,6)) END) AS DOUBLE) / NULLIF(SUM(churned), 0)', 6)} AS churned_avg_balance
+FROM flagged
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    tags=("relational", "statistics"),
+)
+def i28_churn_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn analysis: a customer with orders but NONE in the final
+    365 days of the data window counts as churned; per market segment,
+    churn rate and the average account balance of the churned (what
+    revenue walks out the door) — the classic retention KPI cut, with
+    the cutoff derived from the data's own max date so the query is
+    reproducible at any snapshot.
+
+    Scale: per-customer last-order collapse (map-side combinable) +
+    broadcast 1-row cutoff + broadcast customer-dim join — one fact
+    scan, no windows.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    cutoff = o.agg(
+        F.date_sub(F.max(F.col("o_orderdate").cast("date")), 365).alias("cut")
+    )
+    cust = o.groupBy("o_custkey").agg(F.max(F.col("o_orderdate").cast("date")).alias("last_d"))
+    flagged = (
+        cust.crossJoin(F.broadcast(cutoff))
+        .join(F.broadcast(c), cust.o_custkey == c.c_custkey)
+        .select(
+            "c_mktsegment",
+            "c_acctbal",
+            (F.col("last_d") < F.col("cut")).cast("int").alias("churned"),
+        )
+    )
+    return (
+        flagged.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_active_customers"),
+            F.sum("churned").cast("bigint").alias("n_churned"),
+            pround(F.sum("churned").cast("double") / F.count(F.lit(1)), 6).alias("churn_rate"),
+            pround(
+                F.sum(
+                    F.when(F.col("churned") == 1, F.col("c_acctbal").cast("decimal(25,6)"))
+                ).cast("double")
+                / F.nullif(F.sum("churned"), F.lit(0)),
+                6,
+            ).alias("churned_avg_balance"),
+        )
+        .orderBy("c_mktsegment")
+    )
