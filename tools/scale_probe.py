@@ -74,6 +74,11 @@ PROBE_QUERIES = [
     "h16_mergeable_quantiles",
     "h17_two_level_distinct",
     "h21_bucket_prefilter_audit",
+    "i01_incremental_neardup_edges",
+    "i10_levenshtein_blocked_join",
+    "i22_key_skew_profile",
+    "i24_session_bounce_rate",
+    "i26_nearest_event_join",
 ]
 
 
