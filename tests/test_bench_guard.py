@@ -19,9 +19,12 @@ def test_stem_strips_rotated_prefixes():
     # plain q-keys are NOT rotated prefixes
     assert bench._stem("q01_pricing_summary") == "q01_pricing_summary"
     assert bench._stem("q97_dup_clusters") == "q97_dup_clusters"
+    # round-6-rotated f/g keys map back to their r05 history stems
+    assert bench._stem("qf02_bigram_lm_logprob") == "f02_bigram_lm_logprob"
+    assert bench._stem("qg01_personalized_pagerank") == "g01_personalized_pagerank"
     # un-rotated staged keys pass through
-    assert bench._stem("qf02_bigram_lm_logprob") == "qf02_bigram_lm_logprob"
-    assert bench._stem("qg01_personalized_pagerank") == "qg01_personalized_pagerank"
+    assert bench._stem("h01_bm25_ranking") == "h01_bm25_ranking"
+    assert bench._stem("i01_incremental_neardup_edges") == "i01_incremental_neardup_edges"
 
 
 def test_previous_bench_reads_driver_wrapped_shape():
@@ -39,6 +42,6 @@ def test_every_bench_query_maps_to_history_or_is_new():
     prev = bench._previous_bench()
     names = [n for n, q in load_all().items() if q.bench]
     unmapped = [n for n in names if bench._stem(n) not in prev]
-    # only genuinely NEW bench entries (this round's g-keys) may lack
+    # only genuinely NEW bench entries (this round's h/i-keys) may lack
     # history; every pre-existing entry must map through the rotation
-    assert all(n.startswith("g") for n in unmapped), unmapped
+    assert all(n.startswith(("h", "i")) for n in unmapped), unmapped
