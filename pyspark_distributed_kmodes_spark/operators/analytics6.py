@@ -132,19 +132,47 @@ def i01_incremental_neardup_edges(spark: SparkSession, sf_dir: str) -> DataFrame
     qd01/qf04 (word-trigram Jaccard >= 0.2).
     """
     d = table(spark, sf_dir, "documents")
-    from pyspark_distributed_kmodes_spark.operators.text import ngram_jaccard_pairs
-
-    full = ngram_jaccard_pairs(d, threshold=_I01_THRESH).select(
-        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-    )
-    full = full.localCheckpoint(eager=True)  # reused by 3 counters below
-    base_docs = d.filter(F.col("doc_id") % 3 != 0)
-    base_edges = ngram_jaccard_pairs(base_docs, threshold=_I01_THRESH).select(
-        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-    )
-    # incremental: delta shingles vs the full shingle index (stored state)
+    # ONE shingle index (the stored state) feeds every path: a doc's
+    # shingle set is independent of the rest of the corpus, so the
+    # base-only run's shingles are exactly sh_all filtered to base —
+    # computing them once is identical to two runs, minus a second
+    # scan+explode+distinct (bench: i01 5.8 s -> shared-index form).
     sh_all = _shingles(d).localCheckpoint(eager=True)
     sizes = sh_all.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sizes = sizes.localCheckpoint(eager=True)
+    sa = sizes.select(F.col("doc_id").alias("u"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("v"), F.col("n_shingles").alias("nb"))
+
+    def edges_from(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.join(sa, "u")
+            .join(sb, "v")
+            .filter(
+                F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+                >= _I01_THRESH
+            )
+            .select("u", "v")
+        )
+
+    a = sh_all.alias("a")
+    b = sh_all.alias("b")
+    full_pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    full = edges_from(full_pairs).localCheckpoint(eager=True)  # reused by 3 counters
+    # base-only run: pairs among base shingles (the pre-delta state)
+    sh_base = sh_all.filter(F.col("doc_id") % 3 != 0)
+    ba = sh_base.alias("a")
+    bb = sh_base.alias("b")
+    base_pairs = (
+        ba.join(bb, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    base_edges = edges_from(base_pairs)
+    # incremental: delta shingles vs the full shingle index (stored state)
     sh_delta = sh_all.filter(F.col("doc_id") % 3 == 0)
     dp = (
         sh_delta.alias("d")
@@ -159,17 +187,7 @@ def i01_incremental_neardup_edges(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("u"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("v"), F.col("n_shingles").alias("nb"))
-    delta_edges = (
-        dp.join(sa, "u")
-        .join(sb, "v")
-        .filter(
-            F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
-            >= _I01_THRESH
-        )
-        .select("u", "v")
-    )
+    delta_edges = edges_from(dp)
     incr = base_edges.unionByName(delta_edges).distinct().localCheckpoint(eager=True)
 
     def cnt(df: DataFrame, name: str) -> DataFrame:
