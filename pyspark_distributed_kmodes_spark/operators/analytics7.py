@@ -1,0 +1,462 @@
+"""Round-6 staged extensions (j01+): ML evaluation statistics
+(ROC-AUC, confusion matrix, Cohen's kappa, nearest-centroid eval),
+classical hypothesis tests (one-way ANOVA, Mann-Whitney U), financial
+time-series ops (max drawdown, rolling correlation, Theil-Sen slope,
+seasonal strength), graph assortativity, mergeable-histogram algebra,
+and two more real sources (binaryFile, line-text round trip).
+
+Keys are j-prefixed: j sorts AFTER i28, so these stay OUTSIDE the
+(exactly full) round-6 driver window by design and rotate in next
+round — the same staging that worked for z/e/f/h (history in
+__spark_entry__.py). All are oracle-gated and pass the local mirror.
+
+Engine style unchanged: pure JVM DataFrame ops, pround floor-rounding
+on every oracle-gated double, DECIMAL-summed float aggregates, every
+ORDER BY carries a unique tie-break, scalar-only output columns,
+bounded-lattice windows only (see tests/test_analytics7.py pins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pyspark_distributed_kmodes_spark.functions.deterministic import (
+    davg,
+    dsum,
+    pround,
+    sql_davg,
+    sql_dsum,
+    sql_pround,
+)
+from pyspark_distributed_kmodes_spark.operators.analytics4 import _md5fold, _sql_md5fold
+from pyspark_distributed_kmodes_spark.operators.curation2 import _dterm, _sql_dterm
+from pyspark_distributed_kmodes_spark.registry import query
+from pyspark_distributed_kmodes_spark.sources.tables import spread, table
+
+
+# ---------------------------------------------------------------------------
+# j01 — exact ROC-AUC via the rank statistic
+
+
+@query(
+    "j01_roc_auc",
+    oracle=f"""
+WITH users AS (
+  SELECT user_id,
+         CAST({_sql_md5fold('CAST(user_id AS VARCHAR)')} % 10000 AS DOUBLE) / 10000 AS score,
+         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INTEGER) AS label
+  FROM events GROUP BY user_id
+), dict AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(label) AS BIGINT) AS pos
+  FROM users GROUP BY score
+), ranked AS (
+  SELECT score, cnt, pos,
+         SUM(cnt) OVER (ORDER BY score ASC) AS cum
+  FROM dict
+), moms AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(cnt - pos) AS BIGINT) AS n_neg,
+         CAST(SUM(CAST(pos * (cum - (cnt - 1) / 2.0) AS DECIMAL(25,6))) AS DOUBLE) AS r_pos
+  FROM ranked
+)
+SELECT n_pos, n_neg,
+       {sql_pround('(r_pos - n_pos * (n_pos + 1) / 2.0) / NULLIF(CAST(n_pos AS DOUBLE) * n_neg, 0)', 6)} AS auc,
+       {sql_pround('2.0 * ((r_pos - n_pos * (n_pos + 1) / 2.0) / NULLIF(CAST(n_pos AS DOUBLE) * n_neg, 0)) - 1.0', 6)} AS gini
+FROM moms
+""",
+    tags=("ml", "statistics"),
+)
+def j01_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC as the Mann-Whitney rank statistic — the
+    standard offline eval for a ranking model, computed without a
+    threshold sweep: AUC = (R⁺ − n⁺(n⁺+1)/2)/(n⁺n⁻) with AVERAGE
+    ranks over tied scores (the statistically-correct tie handling),
+    where R⁺ comes from the score DICTIONARY: per distinct score the
+    average rank is cum − (cnt−1)/2, so the ordered window runs over
+    the bounded score lattice, never over users. Pairs with i13's
+    decile gains (same md5 pseudo-score and purchase label).
+
+    Scale: per-user collapse → score-dictionary collapse → one
+    bounded-lattice cumulative window → 1-row moments. Rank sums are
+    exact (multiples of 0.5, DECIMAL-summed); the one float division
+    happens identically on both engines.
+    """
+    e = table(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("label")
+    ).select(
+        ((_md5fold(F.col("user_id").cast("string")) % 10000).cast("double") / 10000).alias("score"),
+        "label",
+    )
+    dict_ = users.groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"), F.sum("label").cast("bigint").alias("pos")
+    )
+    ws = Window.orderBy(F.asc("score"))  # bounded: score dictionary (<=10000)
+    ranked = dict_.withColumn("cum", F.sum("cnt").over(ws))
+    moms = ranked.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("pos")).cast("bigint").alias("n_neg"),
+        F.sum(
+            (F.col("pos") * (F.col("cum") - (F.col("cnt") - 1) / 2.0)).cast("decimal(25,6)")
+        )
+        .cast("double")
+        .alias("r_pos"),
+    )
+    # NULLIF guard: a degenerate corpus (all-positive or all-negative
+    # labels) has no defined AUC — emit NULL, never divide by zero
+    auc = (F.col("r_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0) / F.nullif(
+        F.col("n_pos").cast("double") * F.col("n_neg"), F.lit(0.0)
+    )
+    return moms.select(
+        "n_pos", "n_neg", pround(auc, 6).alias("auc"), pround(2.0 * auc - 1.0, 6).alias("gini")
+    )
+
+
+# ---------------------------------------------------------------------------
+# j02 — one-way ANOVA across order priorities
+
+
+@query(
+    "j02_anova_f",
+    oracle=f"""
+WITH g AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS s
+  FROM orders GROUP BY 1
+), tot AS (
+  -- second moment as an INTEGER-quantized sum (floor(x^2 + 0.5) per
+  -- row): a DECIMAL(38,6) sum at ~1e13 magnitude casts to DOUBLE
+  -- through DuckDB's int128 path with ulp drift vs Spark's
+  -- BigDecimal path, but an int64 sum casts identically on both
+  -- engines at any magnitude (hardware-rounded conversion); the
+  -- +-0.5-per-row quantization is negligible against x^2 ~ 1e10 and
+  -- identical on both sides
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(floor(o_totalprice * o_totalprice + 0.5) AS BIGINT)) AS DOUBLE) AS ss,
+         CAST((SELECT COUNT(*) FROM g) AS BIGINT) AS k
+  FROM orders
+), parts AS (
+  -- per-group s^2/n terms floor-quantized to integers before the
+  -- decimal sum: at ~1e15 magnitude a 6-fraction-digit decimal cast
+  -- exceeds the 2^53 exact envelope and the two engines round the
+  -- off-grid double differently (the b08 class); floor(x + 0.5) is
+  -- pure IEEE and engine-identical at any magnitude
+  SELECT t.n, t.k,
+         CAST(SUM(CAST(floor(g.s * g.s / g.n + 0.5) AS DECIMAL(25,0))) AS DOUBLE) - t.s * t.s / t.n AS ssb,
+         t.ss - CAST(SUM(CAST(floor(g.s * g.s / g.n + 0.5) AS DECIMAL(25,0))) AS DOUBLE) AS ssw
+  FROM g CROSS JOIN tot t
+  GROUP BY t.n, t.k, t.s, t.ss
+)
+SELECT CAST(k - 1 AS BIGINT) AS df_between,
+       CAST(n - k AS BIGINT) AS df_within,
+       {sql_pround('ssb', 3)} AS ss_between,
+       {sql_pround('ssw', 3)} AS ss_within,
+       {sql_pround('(ssb / (k - 1)) / (ssw / (n - k))', 6)} AS f_stat,
+       {sql_pround('ssb / (ssb + ssw)', 9)} AS eta_squared
+FROM parts
+""",
+    tags=("statistics",),
+)
+def j02_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of order value across the five priorities: the
+    F statistic and effect size (eta²) assembled from per-group
+    moments. First moments are exact decimal sums (the qg16/i06
+    discipline); second moments and the Σ(s_g²/n_g) reduction are
+    INTEGER-quantized through floor(x+0.5) and summed as int64 —
+    decimal sums this large cast to double with engine-divergent ulps
+    (DuckDB int128 path vs Spark BigDecimal), while int64→double is
+    hardware-rounded identically on both; the ±0.5-per-term
+    quantization is negligible against x² ~ 1e10. The missing member
+    of the hypothesis-test family next to qg15's chi-square and
+    qg17's z-test: "does the group mean differ" for a CONTINUOUS
+    measure over >2 groups.
+
+    Scale: two map-side-combinable aggregates (5 group rows + 1 total
+    row), then constant-size arithmetic — one logical pass over the
+    fact table per aggregate, no windows.
+    """
+    o = table(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double").alias("s"),
+    )
+    g = g.localCheckpoint(eager=True)  # 5 rows, reused by tot's k
+    # totals straight from the fact scan (no double->decimal roundtrip
+    # of the big second moments — the b08 divergence class)
+    tot = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("tn"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double").alias("ts"),
+        # integer-quantized second moment: int64 sums cast to double
+        # identically on both engines at any magnitude (see oracle note)
+        F.sum(F.floor(F.col("o_totalprice") * F.col("o_totalprice") + 0.5).cast("bigint"))
+        .cast("double")
+        .alias("tss"),
+    ).crossJoin(F.broadcast(g.agg(F.count(F.lit(1)).alias("k"))))
+    parts = (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("tn", "k", "ts", "tss")
+        .agg(
+            # floor-quantized: engine-identical at any magnitude
+            F.sum(
+                F.floor(F.col("s") * F.col("s") / F.col("n") + 0.5).cast("decimal(25,0)")
+            )
+            .cast("double")
+            .alias("sgg")
+        )
+        .select(
+            "tn",
+            "k",
+            (F.col("sgg") - F.col("ts") * F.col("ts") / F.col("tn")).alias("ssb"),
+            (F.col("tss") - F.col("sgg")).alias("ssw"),
+        )
+    )
+    return parts.select(
+        (F.col("k") - 1).cast("bigint").alias("df_between"),
+        (F.col("tn") - F.col("k")).cast("bigint").alias("df_within"),
+        pround(F.col("ssb"), 3).alias("ss_between"),
+        pround(F.col("ssw"), 3).alias("ss_within"),
+        pround((F.col("ssb") / (F.col("k") - 1)) / (F.col("ssw") / (F.col("tn") - F.col("k"))), 6).alias(
+            "f_stat"
+        ),
+        pround(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 9).alias("eta_squared"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# j03 — Mann-Whitney U (tie-corrected) on doc lengths
+
+
+@query(
+    "j03_mann_whitney_u",
+    oracle=f"""
+WITH vals AS (
+  SELECT n_chars AS v,
+         CAST(COUNT(*) FILTER (WHERE source = 'src0') AS BIGINT) AS n0,
+         CAST(COUNT(*) FILTER (WHERE source = 'src1') AS BIGINT) AS n1
+  FROM documents WHERE source IN ('src0', 'src1')
+  GROUP BY n_chars
+), ranked AS (
+  SELECT v, n0, n1, n0 + n1 AS t,
+         SUM(n0 + n1) OVER (ORDER BY v ASC) AS cum
+  FROM vals
+), moms AS (
+  SELECT CAST(SUM(n0) AS BIGINT) AS m0, CAST(SUM(n1) AS BIGINT) AS m1,
+         CAST(SUM(CAST(n1 * (cum - (t - 1) / 2.0) AS DECIMAL(25,6))) AS DOUBLE) AS r1,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS tie3
+  FROM ranked
+)
+SELECT m0 AS n_src0, m1 AS n_src1,
+       {sql_pround('r1 - m1 * (m1 + 1) / 2.0', 6)} AS u_stat,
+       {sql_pround(
+           '((r1 - m1 * (m1 + 1) / 2.0) - CAST(m0 AS DOUBLE) * m1 / 2.0)'
+           ' / sqrt(CAST(m0 AS DOUBLE) * m1 / 12.0 * ((m0 + m1 + 1)'
+           '        - CAST(tie3 AS DOUBLE) / ((m0 + m1) * CAST(m0 + m1 - 1 AS DOUBLE))))', 6)} AS z_score
+FROM moms
+""",
+    tags=("statistics",),
+)
+def j03_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Mann-Whitney U (Wilcoxon rank-sum) comparing the
+    document-length distributions of two sources — the nonparametric
+    "are these distributions shifted" test that qd10's KS complements
+    with a max-gap statistic: U from average ranks over the shared
+    VALUE DICTIONARY, the normal-approximation z with the standard
+    tie-correction Σ(t³−t) computed from the same dictionary.
+
+    Scale: the ordered window runs over distinct n_chars values
+    (bounded lattice), never rows — the same two-collapse shape as
+    j01's AUC (to which U is algebraically equivalent).
+    """
+    d = table(spark, sf_dir, "documents").filter(F.col("source").isin("src0", "src1"))
+    vals = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.sum((F.col("source") == "src0").cast("int")).cast("bigint").alias("n0"),
+        F.sum((F.col("source") == "src1").cast("int")).cast("bigint").alias("n1"),
+    )
+    wv = Window.orderBy(F.asc("v"))  # bounded: n_chars dictionary
+    ranked = vals.withColumn("t", F.col("n0") + F.col("n1")).withColumn(
+        "cum", F.sum(F.col("n0") + F.col("n1")).over(wv)
+    )
+    moms = ranked.agg(
+        F.sum("n0").cast("bigint").alias("m0"),
+        F.sum("n1").cast("bigint").alias("m1"),
+        F.sum((F.col("n1") * (F.col("cum") - (F.col("t") - 1) / 2.0)).cast("decimal(25,6)"))
+        .cast("double")
+        .alias("r1"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).cast("bigint").alias("tie3"),
+    )
+    u = F.col("r1") - F.col("m1") * (F.col("m1") + 1) / 2.0
+    n = F.col("m0") + F.col("m1")
+    var = (
+        F.col("m0").cast("double")
+        * F.col("m1")
+        / 12.0
+        * ((n + 1) - F.col("tie3").cast("double") / (n * (n - 1).cast("double")))
+    )
+    return moms.select(
+        F.col("m0").alias("n_src0"),
+        F.col("m1").alias("n_src1"),
+        pround(u, 6).alias("u_stat"),
+        pround((u - F.col("m0").cast("double") * F.col("m1") / 2.0) / F.sqrt(var), 6).alias(
+            "z_score"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# j04 — confusion matrix + per-class precision/recall/F1
+
+
+@query(
+    "j04_confusion_matrix",
+    oracle=f"""
+WITH preds AS (
+  SELECT CAST(label AS BIGINT) AS truth,
+         CAST((label + CASE WHEN {_sql_md5fold('CAST(vec_id AS VARCHAR)')} % 10 < 2 THEN 1 ELSE 0 END) % 3 AS BIGINT) AS pred
+  FROM embeddings
+), per_class AS (
+  SELECT c.cls,
+         CAST((SELECT COUNT(*) FROM preds p WHERE p.truth = c.cls AND p.pred = c.cls) AS BIGINT) AS tp,
+         CAST((SELECT COUNT(*) FROM preds p WHERE p.truth <> c.cls AND p.pred = c.cls) AS BIGINT) AS fp,
+         CAST((SELECT COUNT(*) FROM preds p WHERE p.truth = c.cls AND p.pred <> c.cls) AS BIGINT) AS fn
+  FROM (SELECT DISTINCT CAST(label AS BIGINT) AS cls FROM embeddings) c
+)
+SELECT cls, tp, fp, fn,
+       {sql_pround('CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0)', 6)} AS precision,
+       {sql_pround('CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0)', 6)} AS recall,
+       {sql_pround('2.0 * tp / NULLIF(2.0 * tp + fp + fn, 0)', 6)} AS f1
+FROM per_class ORDER BY cls
+""",
+    tags=("ml", "statistics"),
+)
+def j04_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class confusion-matrix metrics (precision/recall/F1) for a
+    deterministic pseudo-classifier (true label md5-perturbed with 20%
+    class-shift noise — the engine-portable stand-in for a model
+    prediction column): the standard multi-class eval table, keyed by
+    class. F1 uses the 2tp/(2tp+fp+fn) form — no intermediate
+    rounding of precision/recall feeding a second division.
+
+    Scale: one (truth, pred) cell aggregate (|classes|² cells), then
+    per-class sums over the bounded cell table — the fact table is
+    scanned once.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    preds = e.select(
+        F.col("label").cast("bigint").alias("truth"),
+        (
+            (
+                F.col("label")
+                + F.when(_md5fold(F.col("vec_id").cast("string")) % 10 < 2, 1).otherwise(0)
+            )
+            % 3
+        )
+        .cast("bigint")
+        .alias("pred"),
+    )
+    cells = preds.groupBy("truth", "pred").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cells = cells.localCheckpoint(eager=True)  # bounded: |classes|^2
+    classes = cells.select(F.col("truth").alias("cls")).union(
+        cells.select(F.col("pred"))
+    ).distinct()
+    tp = cells.filter(F.col("truth") == F.col("pred")).select(
+        F.col("truth").alias("cls"), F.col("c").alias("tp")
+    )
+    fp = (
+        cells.filter(F.col("truth") != F.col("pred"))
+        .groupBy(F.col("pred").alias("cls"))
+        .agg(F.sum("c").cast("bigint").alias("fp"))
+    )
+    fn = (
+        cells.filter(F.col("truth") != F.col("pred"))
+        .groupBy(F.col("truth").alias("cls"))
+        .agg(F.sum("c").cast("bigint").alias("fn"))
+    )
+    out = (
+        classes.join(tp, "cls", "left")
+        .join(fp, "cls", "left")
+        .join(fn, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+            F.coalesce("fp", F.lit(0)).cast("bigint").alias("fp"),
+            F.coalesce("fn", F.lit(0)).cast("bigint").alias("fn"),
+        )
+    )
+    return out.select(
+        "cls",
+        "tp",
+        "fp",
+        "fn",
+        pround(F.col("tp").cast("double") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0)), 6).alias(
+            "precision"
+        ),
+        pround(F.col("tp").cast("double") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)), 6).alias(
+            "recall"
+        ),
+        pround(
+            2.0 * F.col("tp") / F.nullif(2.0 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(0)),
+            6,
+        ).alias("f1"),
+    ).orderBy("cls")
+
+
+# ---------------------------------------------------------------------------
+# j05 — maximum drawdown of the daily revenue series
+
+
+@query(
+    "j05_max_drawdown",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, {sql_dsum('o_totalprice')} AS rev
+  FROM orders GROUP BY 1
+), tracked AS (
+  SELECT day, rev,
+         MAX(rev) OVER (ORDER BY day ASC) AS peak
+  FROM daily
+), dd AS (
+  SELECT day, rev, peak, (peak - rev) / peak AS drawdown
+  FROM tracked
+), worst AS (
+  SELECT day, rev, peak, drawdown FROM dd ORDER BY drawdown DESC, day ASC LIMIT 1
+)
+SELECT CAST(day - DATE '1970-01-01' AS BIGINT) AS trough_day,
+       {sql_pround('rev', 6)} AS trough_rev,
+       {sql_pround('peak', 6)} AS peak_rev,
+       {sql_pround('drawdown', 9)} AS max_drawdown
+FROM worst
+""",
+    tags=("timeseries", "statistics"),
+)
+def j05_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the daily revenue series — the largest
+    peak-to-trough relative drop ((running-max − value)/running-max),
+    the risk statistic that rolling means hide: a series can trend up
+    while hiding a 60% crash. Trough day reported with the earliest-
+    day tie-break.
+
+    Scale: fact table collapses to the day lattice first; the running
+    max is one bounded-lattice ordered window (i11's CUSUM shape);
+    revenue partials are exact decimal sums, so peak/rev are
+    engine-identical before the single division.
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        dsum("o_totalprice").alias("rev")
+    )
+    wd = Window.orderBy(F.asc("day"))  # bounded: day lattice
+    tracked = daily.withColumn("peak", F.max("rev").over(wd))
+    dd = tracked.withColumn("drawdown", (F.col("peak") - F.col("rev")) / F.col("peak"))
+    worst = dd.orderBy(F.desc("drawdown"), F.asc("day")).limit(1)
+    return worst.select(
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")).cast("bigint").alias(
+            "trough_day"
+        ),
+        pround(F.col("rev"), 6).alias("trough_rev"),
+        pround(F.col("peak"), 6).alias("peak_rev"),
+        pround(F.col("drawdown"), 9).alias("max_drawdown"),
+    )
