@@ -460,3 +460,371 @@ def j05_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.col("peak"), 6).alias("peak_rev"),
         pround(F.col("drawdown"), 9).alias("max_drawdown"),
     )
+
+
+# ---------------------------------------------------------------------------
+# j06 — rolling correlation between two segments' daily order counts
+
+_J06_WIN = 28
+_J06_A = "BUILDING"
+_J06_B = "MACHINERY"
+
+
+@query(
+    "j06_rolling_correlation",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o.o_orderdate AS DATE) AS day,
+         CAST(COUNT(*) FILTER (WHERE c.c_mktsegment = '{_J06_A}') AS BIGINT) AS ca,
+         CAST(COUNT(*) FILTER (WHERE c.c_mktsegment = '{_J06_B}') AS BIGINT) AS cb
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+), rolled AS (
+  SELECT day,
+         COUNT(*) OVER w AS n,
+         SUM(ca) OVER w AS sx, SUM(cb) OVER w AS sy,
+         SUM(ca * ca) OVER w AS sxx, SUM(cb * cb) OVER w AS syy,
+         SUM(ca * cb) OVER w AS sxy
+  FROM daily
+  WINDOW w AS (ORDER BY day ASC ROWS BETWEEN {_J06_WIN - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(day - DATE '1970-01-01' AS BIGINT) AS day_idx,
+       CAST(n AS BIGINT) AS n,
+       {sql_pround(
+           '(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)'
+           ' / NULLIF(sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)'
+           '            * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)), 0)', 6)} AS rolling_corr
+FROM rolled
+WHERE n = {_J06_WIN}
+ORDER BY day_idx
+""",
+    tags=("timeseries", "statistics"),
+)
+def j06_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_J06_WIN}-day rolling Pearson correlation between two market
+    segments' daily order counts — the co-movement monitor behind
+    "did these product lines decouple": exact integer moments per
+    frame (counts, so every windowed sum is exact), one float
+    expression per day, NULL when a frame is degenerate.
+
+    Scale: the fact table collapses to the day lattice (with both
+    segment counts as columns of ONE row per day — a single filtered
+    aggregate, not two scans), and the six frame sums run in one
+    ordered window pass over the bounded lattice.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    daily = (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum((F.col("c_mktsegment") == _J06_A).cast("int")).cast("bigint").alias("ca"),
+            F.sum((F.col("c_mktsegment") == _J06_B).cast("int")).cast("bigint").alias("cb"),
+        )
+    )
+    w = (
+        Window.orderBy(F.asc("day")).rowsBetween(-(_J06_WIN - 1), 0)
+    )  # bounded: day lattice
+    rolled = daily.select(
+        "day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("ca").over(w).alias("sx"),
+        F.sum("cb").over(w).alias("sy"),
+        F.sum(F.col("ca") * F.col("ca")).over(w).alias("sxx"),
+        F.sum(F.col("cb") * F.col("cb")).over(w).alias("syy"),
+        F.sum(F.col("ca") * F.col("cb")).over(w).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = n * F.col("sxy").cast("double") - sx * F.col("sy")
+    den = F.sqrt(
+        (n * F.col("sxx").cast("double") - sx * F.col("sx"))
+        * (n * F.col("syy").cast("double") - sy * F.col("sy"))
+    )
+    return (
+        rolled.filter(F.col("n") == _J06_WIN)
+        .select(
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")).cast("bigint").alias(
+                "day_idx"
+            ),
+            F.col("n").cast("bigint").alias("n"),
+            pround(num / F.nullif(den, F.lit(0.0)), 6).alias("rolling_corr"),
+        )
+        .orderBy("day_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# j07 — degree assortativity of the near-dup graph
+
+from pyspark_distributed_kmodes_spark.operators.analytics6 import (  # noqa: E402
+    _I_SHINGLE_CTE,
+    _shingles,
+)
+
+
+@query(
+    "j07_degree_assortativity",
+    oracle=f"""
+WITH {_I_SHINGLE_CTE.lstrip()},
+pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), edges AS (
+  SELECT p.u, p.v FROM pairs p
+  JOIN sizes sa ON sa.doc_id = p.u JOIN sizes sb ON sb.doc_id = p.v
+  WHERE CAST(p.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - p.n_common) >= 0.2
+), und AS (
+  SELECT u AS s, v AS t FROM edges UNION ALL SELECT v, u FROM edges
+), deg AS (
+  SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY s
+), de AS (
+  SELECT ds.d AS du, dt.d AS dv
+  FROM und e JOIN deg ds ON ds.node = e.s JOIN deg dt ON dt.node = e.t
+), moms AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(du) AS BIGINT) AS sx, CAST(SUM(dv) AS BIGINT) AS sy,
+         CAST(SUM(du * du) AS BIGINT) AS sxx, CAST(SUM(dv * dv) AS BIGINT) AS syy,
+         CAST(SUM(du * dv) AS BIGINT) AS sxy
+  FROM de
+)
+SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+       {sql_pround(
+           '(m * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)'
+           ' / NULLIF(sqrt((m * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)'
+           '            * (m * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)), 0)', 6)} AS assortativity
+FROM moms
+""",
+    tags=("graph", "statistics", "dedup"),
+)
+def j07_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the near-dup graph — the Pearson
+    correlation of endpoint degrees over the symmetrized edge list:
+    positive = duplicate CLIQUES (high-degree docs link to each
+    other), negative = hub-and-spoke boilerplate (hubs link to
+    leaves). The one-number global summary next to qe22's per-node
+    local structure, and a cheap fingerprint of WHAT KIND of
+    duplication a corpus has before choosing a dedup policy.
+
+    Scale: edges are dedup-pair output (bounded by true duplication);
+    degrees come from one groupBy over the edge list and the moment
+    pass is one more join+aggregate over edges — exact integer
+    moments, one float expression.
+    """
+    d = table(spark, sf_dir, "documents")
+    from pyspark_distributed_kmodes_spark.operators.text import ngram_jaccard_pairs
+
+    edges = ngram_jaccard_pairs(d, threshold=0.2).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    und = edges.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
+        edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
+    )
+    und = und.localCheckpoint(eager=True)
+    deg = und.groupBy(F.col("s").alias("node")).agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    de = (
+        und.join(deg.select(F.col("node").alias("s"), F.col("d").alias("du")), "s")
+        .join(deg.select(F.col("node").alias("t"), F.col("d").alias("dv")), "t")
+        .select("du", "dv")
+    )
+    moms = de.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("du").cast("bigint").alias("sx"),
+        F.sum("dv").cast("bigint").alias("sy"),
+        F.sum(F.col("du") * F.col("du")).cast("bigint").alias("sxx"),
+        F.sum(F.col("dv") * F.col("dv")).cast("bigint").alias("syy"),
+        F.sum(F.col("du") * F.col("dv")).cast("bigint").alias("sxy"),
+    )
+    m = F.col("m")
+    num = m * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        (m * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx"))
+        * (m * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return moms.select(
+        (m / 2).cast("bigint").alias("n_edges"),
+        pround(num / F.nullif(den, F.lit(0.0)), 6).alias("assortativity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# j08 — binaryFile source (real multimodal file ingestion)
+
+_J08_N = 100
+
+
+@query(
+    "j08_binaryfile_source",
+    oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(len(text)) AS BIGINT) AS bytes_total,
+       CAST(SUM({_sql_md5fold('text')}) AS BIGINT) AS content_checksum
+FROM documents WHERE doc_id < {_J08_N}
+""",
+    tags=("source", "multimodal"),
+)
+def j08_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in `binaryFile` source end-to-end — the REAL
+    ingestion path for the multimodal lane (images/audio arrive as
+    opaque files; multimodal/binary.py starts from a binary COLUMN,
+    this op produces that column from actual files on disk): {_J08_N}
+    documents are materialized as individual files, read back via
+    spark.read.format("binaryFile") (path, modificationTime, length,
+    content columns), and the audit checksums the content bytes
+    against the source table — hash-match proves byte-exact ingestion.
+
+    Scale: binaryFile lists and reads files in parallel across
+    executors with a partition per file group; the md5 fold runs on
+    the binary column JVM-side. The small driver-side file write here
+    is fixture setup (bounded {_J08_N}), not part of the operator.
+    Idempotent temp dir + eager materialization (h10 discipline).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="j08_bin_")
+    try:
+        d = table(spark, sf_dir, "documents")
+        rows = (
+            d.filter(F.col("doc_id") < _J08_N).select("doc_id", "text").collect()
+        )  # bounded: _J08_N fixture files
+        for r in rows:
+            with open(os.path.join(base, f"doc_{r.doc_id:05d}.bin"), "wb") as f:
+                f.write(r.text.encode("utf-8"))
+        back = spark.read.format("binaryFile").load(base)
+        out = back.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("length").cast("bigint").alias("bytes_total"),
+            F.sum(
+                F.conv(F.substring(F.md5(F.col("content")), 1, 8), 16, 10).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("content_checksum"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# j09 — line-text source round trip
+
+
+@query(
+    "j09_text_source_roundtrip",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(len(text)) AS BIGINT) AS chars_total,
+       CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct
+FROM documents
+""",
+    tags=("source",),
+)
+def j09_text_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text source round trip (spark.read/write.text) —
+    the rawest ingestion format in the source matrix after parquet/
+    ORC/CSV/JSONL/binaryFile: documents' text written one line per
+    record, read back as the `value` column, aggregates pinned to the
+    source table (line order is NOT preserved across files — the
+    audit is deliberately order-free, which is the honest contract of
+    a line source).
+
+    Scale: text write/read shards per partition like any file sink;
+    no schema, no footer — the format you get handed, not the one you
+    choose. Idempotent temp dir + eager materialization.
+    """
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="j09_text_")
+    try:
+        d = table(spark, sf_dir, "documents")
+        d.select("text").write.mode("overwrite").text(base + "/lines")
+        back = spark.read.text(base + "/lines")
+        out = back.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.length("value")).cast("bigint").alias("chars_total"),
+            F.countDistinct("value").cast("bigint").alias("n_distinct"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# j10 — Cohen's kappa between two deterministic annotators
+
+
+@query(
+    "j10_cohens_kappa",
+    oracle=f"""
+WITH ann AS (
+  SELECT {_sql_md5fold('text')} % 3 AS a1,
+         {_sql_md5fold('reverse(text)')} % 3 AS a2
+  FROM documents
+), cells AS (
+  SELECT a1, a2, CAST(COUNT(*) AS BIGINT) AS c FROM ann GROUP BY a1, a2
+), tot AS (
+  SELECT SUM(c) AS n FROM cells
+), marg AS (
+  SELECT r.a, CAST(r.rc AS BIGINT) AS rc, CAST(co.cc AS BIGINT) AS cc
+  FROM (SELECT a1 AS a, SUM(c) AS rc FROM cells GROUP BY a1) r
+  JOIN (SELECT a2 AS a, SUM(c) AS cc FROM cells GROUP BY a2) co ON co.a = r.a
+), agree AS (
+  SELECT CAST(SUM(CASE WHEN a1 = a2 THEN c ELSE 0 END) AS BIGINT) AS diag FROM cells
+)
+SELECT CAST(t.n AS BIGINT) AS n,
+       {sql_pround('CAST(g.diag AS DOUBLE) / t.n', 9)} AS po,
+       {sql_pround(f"CAST(SUM({_sql_dterm('(CAST(m.rc AS DOUBLE) / t.n) * (CAST(m.cc AS DOUBLE) / t.n)')}) AS DOUBLE)", 9)} AS pe,
+       {sql_pround(
+           f"(CAST(g.diag AS DOUBLE) / t.n - CAST(SUM({_sql_dterm('(CAST(m.rc AS DOUBLE) / t.n) * (CAST(m.cc AS DOUBLE) / t.n)')}) AS DOUBLE))"
+           f" / (1.0 - CAST(SUM({_sql_dterm('(CAST(m.rc AS DOUBLE) / t.n) * (CAST(m.cc AS DOUBLE) / t.n)')}) AS DOUBLE))", 6)} AS kappa
+FROM marg m CROSS JOIN tot t CROSS JOIN agree g
+GROUP BY t.n, g.diag
+""",
+    tags=("statistics", "ml"),
+)
+def j10_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa — chance-corrected inter-annotator agreement
+    between two deterministic md5 pseudo-annotators (text vs
+    reversed-text hash, 3 classes): kappa = (p_o − p_e)/(1 − p_e)
+    with expected agreement from the marginal products. THE quality
+    gate for labeling pipelines (raw agreement overstates consensus
+    when classes are imbalanced); the pseudo-annotators make the
+    computation hash-gateable without a model dependency.
+
+    Scale: one 9-cell contingency aggregate; marginals from the
+    cells; the 3-term p_e reduction is pround→DECIMAL summed so its
+    order can't drift the hash.
+    """
+    d = table(spark, sf_dir, "documents")
+    ann = d.select(
+        (_md5fold(F.col("text")) % 3).alias("a1"),
+        (_md5fold(F.reverse(F.col("text"))) % 3).alias("a2"),
+    )
+    cells = ann.groupBy("a1", "a2").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cells = cells.localCheckpoint(eager=True)  # bounded: 9 cells
+    tot = cells.agg(F.sum("c").alias("n"))
+    rmarg = cells.groupBy(F.col("a1").alias("a")).agg(F.sum("c").alias("rc"))
+    cmarg = cells.groupBy(F.col("a2").alias("a")).agg(F.sum("c").alias("cc"))
+    agree = cells.agg(
+        F.sum(F.when(F.col("a1") == F.col("a2"), F.col("c")).otherwise(0)).alias("diag")
+    )
+    marg = rmarg.join(cmarg, "a")
+    pe_term = _dterm(
+        (F.col("rc").cast("double") / F.col("n")) * (F.col("cc").cast("double") / F.col("n"))
+    )
+    out = (
+        marg.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(agree))
+        .groupBy("n", "diag")
+        .agg(F.sum(pe_term).cast("double").alias("pe_raw"))
+    )
+    po = F.col("diag").cast("double") / F.col("n")
+    return out.select(
+        F.col("n").cast("bigint").alias("n"),
+        pround(po, 9).alias("po"),
+        pround(F.col("pe_raw"), 9).alias("pe"),
+        pround((po - F.col("pe_raw")) / (1.0 - F.col("pe_raw")), 6).alias("kappa"),
+    )
