@@ -828,3 +828,326 @@ def j10_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.col("pe_raw"), 9).alias("pe"),
         pround((po - F.col("pe_raw")) / (1.0 - F.col("pe_raw")), 6).alias("kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# j11 — seasonal strength (weekday effect size on daily revenue)
+
+
+@query(
+    "j11_seasonal_strength",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(floor({sql_dsum('o_totalprice')} / 1000.0 + 0.5) AS BIGINT) AS z
+  FROM orders GROUP BY 1
+), marked AS (
+  SELECT dayofweek(day) AS dow, z FROM daily
+), g AS (
+  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(z) AS BIGINT) AS sz
+  FROM marked GROUP BY dow
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(z) AS BIGINT) AS sz,
+         CAST(SUM(z * z) AS BIGINT) AS szz,
+         CAST((SELECT COUNT(*) FROM g) AS BIGINT) AS k
+  FROM marked
+), parts AS (
+  SELECT t.n, t.k,
+         CAST(SUM(CAST(floor(CAST(g.sz AS DOUBLE) * g.sz / g.n + 0.5) AS DECIMAL(25,0))) AS DOUBLE)
+           - CAST(t.sz AS DOUBLE) * t.sz / t.n AS ssb,
+         CAST(t.szz AS DOUBLE) - CAST(t.sz AS DOUBLE) * t.sz / t.n AS sst
+  FROM g CROSS JOIN tot t
+  GROUP BY t.n, t.k, t.sz, t.szz
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       {sql_pround('ssb / NULLIF(sst, 0)', 9)} AS seasonal_strength,
+       {sql_pround('(ssb / (k - 1)) / NULLIF((sst - ssb) / (n - k), 0)', 6)} AS f_stat
+FROM parts
+""",
+    tags=("timeseries", "statistics"),
+)
+def j11_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal STRENGTH of the weekday pattern in daily revenue: the
+    fraction of day-to-day revenue variance explained by day-of-week
+    (eta² of a one-way decomposition over the 7 weekday groups, plus
+    its F) — the one-number answer to "is qf26's weekday profile
+    signal or noise". Revenue is quantized to kilodollars
+    (floor(rev/1000 + 0.5)) so every moment is an exact int64 sum at
+    any corpus size (the j02 recipe; the ±0.5k$ quantization is
+    negligible against daily revenue and identical on both engines).
+
+    Scale: fact table → day lattice → 7-group integer moments; all
+    windows absent, all reductions map-side combinable.
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.floor(dsum("o_totalprice") / 1000.0 + 0.5).cast("bigint").alias("z")
+    )
+    # Sunday-based 0..6 on both engines (Spark dayofweek is 1-based)
+    marked = daily.select((F.dayofweek("day") - 1).alias("dow"), "z")
+    g = marked.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"), F.sum("z").cast("bigint").alias("sz")
+    )
+    g = g.localCheckpoint(eager=True)  # 7 rows
+    tot = marked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("tn"),
+        F.sum("z").cast("bigint").alias("tsz"),
+        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("tszz"),
+    ).crossJoin(F.broadcast(g.agg(F.count(F.lit(1)).alias("k"))))
+    parts = (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("tn", "k", "tsz", "tszz")
+        .agg(
+            F.sum(
+                F.floor(F.col("sz").cast("double") * F.col("sz") / F.col("n") + 0.5).cast(
+                    "decimal(25,0)"
+                )
+            )
+            .cast("double")
+            .alias("sgg")
+        )
+        .select(
+            "tn",
+            "k",
+            (F.col("sgg") - F.col("tsz").cast("double") * F.col("tsz") / F.col("tn")).alias("ssb"),
+            (
+                F.col("tszz").cast("double")
+                - F.col("tsz").cast("double") * F.col("tsz") / F.col("tn")
+            ).alias("sst"),
+        )
+    )
+    return parts.select(
+        F.col("tn").cast("bigint").alias("n_days"),
+        pround(F.col("ssb") / F.nullif(F.col("sst"), F.lit(0.0)), 9).alias("seasonal_strength"),
+        pround(
+            (F.col("ssb") / (F.col("k") - 1))
+            / F.nullif((F.col("sst") - F.col("ssb")) / (F.col("tn") - F.col("k")), F.lit(0.0)),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# j12 — mergeable equi-width histogram audit
+
+_J12_BINS = 32
+_J12_SHARDS = 8
+
+
+@query(
+    "j12_histogram_merge_audit",
+    oracle=f"""
+WITH rng AS (
+  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+), binned AS (
+  SELECT o_orderkey % {_J12_SHARDS} AS shard,
+         LEAST(CAST(floor((o_totalprice - r.lo) / ((r.hi - r.lo) / {_J12_BINS})) AS BIGINT), {_J12_BINS - 1}) AS bin
+  FROM orders CROSS JOIN rng r
+), per_shard AS (
+  SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS c FROM binned GROUP BY shard, bin
+), merged AS (
+  SELECT bin, CAST(SUM(c) AS BIGINT) AS n FROM per_shard GROUP BY bin
+), direct AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n FROM binned GROUP BY bin
+)
+SELECT m.bin, m.n, m.n = d.n AS merged_agrees
+FROM merged m JOIN direct d ON d.bin = m.bin
+ORDER BY m.bin
+""",
+    tags=("statistics", "audit"),
+)
+def j12_histogram_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histogram: {_J12_BINS} bins over the order-
+    value range built independently per shard (orderkey % {_J12_SHARDS})
+    and merged by addition, oracle-asserted equal to the direct
+    histogram — the count-vector counterpart of i05's mergeable
+    quantiles, and the algebra behind every distributed histogram/
+    heatmap service (per-partition partials, additive merge, no
+    second data pass). The shared bin EDGES come from a broadcast
+    1-row (min, max) so every shard bins identically.
+
+    Scale: one range aggregate + two grouped counts; the merge sees
+    shards × bins rows.
+    """
+    o = table(spark, sf_dir, "orders")
+    rng = o.agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+    binned = o.crossJoin(F.broadcast(rng)).select(
+        (F.col("o_orderkey") % _J12_SHARDS).alias("shard"),
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / _J12_BINS)
+            ).cast("bigint"),
+            F.lit(_J12_BINS - 1).cast("bigint"),
+        ).alias("bin"),
+    )
+    binned = binned.localCheckpoint(eager=True)  # reused by both paths
+    merged = (
+        binned.groupBy("shard", "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .groupBy("bin")
+        .agg(F.sum("c").cast("bigint").alias("n"))
+    )
+    direct = binned.groupBy("bin").agg(F.count(F.lit(1)).cast("bigint").alias("d_n"))
+    return (
+        merged.join(direct, "bin")
+        .select("bin", "n", (F.col("n") == F.col("d_n")).alias("merged_agrees"))
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# j13 — lag-bounded Theil-Sen slope of daily order counts
+
+_J13_MAX_LAG = 60
+
+
+@query(
+    "j13_theilsen_slope",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1
+), slopes AS (
+  SELECT CAST(b.cnt - a.cnt AS DOUBLE) / (b.day - a.day) AS slope
+  FROM daily a JOIN daily b
+    ON b.day > a.day AND b.day <= a.day + INTERVAL {_J13_MAX_LAG} DAY
+), dict AS (
+  SELECT slope, CAST(COUNT(*) AS BIGINT) AS c FROM slopes GROUP BY slope
+), cum AS (
+  SELECT slope, c,
+         SUM(c) OVER (ORDER BY slope ASC) AS cum,
+         SUM(c) OVER () AS n
+  FROM dict
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_pairs,
+       MIN(CASE WHEN cum >= CAST(ceil(0.5 * n) AS BIGINT) THEN slope END) AS median_slope
+FROM cum
+""",
+    tags=("timeseries", "statistics"),
+)
+def j13_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-bounded Theil-Sen trend estimator: the median of pairwise
+    slopes (c₂−c₁)/(d₂−d₁) over day pairs at most {_J13_MAX_LAG} days
+    apart — the robust trend line ordinary OLS (i06) can't give you
+    when outlier days exist; the lag bound keeps the pair set at
+    |days|·{_J13_MAX_LAG} (linear in the lattice, not quadratic) and
+    weights the estimate toward local trend, which is standard
+    practice for long series. Slopes are exact integer ratios, so
+    both engines compute bit-identical doubles; the median is the
+    disc convention over the slope DICTIONARY.
+
+    Scale: day-lattice self-join with a range bound (the qb35
+    interval-join shape), dictionary collapse, one bounded cumulative
+    window over distinct slope values.
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    daily = daily.localCheckpoint(eager=True)  # bounded lattice, used twice
+    a = daily.alias("a")
+    b = daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("b.day") > F.col("a.day"))
+        & (F.col("b.day") <= F.date_add(F.col("a.day"), _J13_MAX_LAG)),
+    ).select(
+        (
+            (F.col("b.cnt") - F.col("a.cnt")).cast("double")
+            / F.datediff(F.col("b.day"), F.col("a.day"))
+        ).alias("slope")
+    )
+    dict_ = slopes.groupBy("slope").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    ws = Window.orderBy(F.asc("slope"))  # bounded: slope dictionary
+    cum = dict_.select(
+        "slope",
+        "c",
+        F.sum("c").over(ws).alias("cum"),
+    ).crossJoin(F.broadcast(dict_.agg(F.sum("c").alias("n"))))
+    return cum.agg(
+        F.max("n").cast("bigint").alias("n_pairs"),
+        F.min(
+            F.when(F.col("cum") >= F.ceil(0.5 * F.col("n")).cast("bigint"), F.col("slope"))
+        ).alias("median_slope"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# j14 — nearest-centroid classifier evaluation
+
+
+@query(
+    "j14_nearest_centroid_eval",
+    oracle=f"""
+WITH pe AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS lbl, t.pos, CAST(t.val AS DOUBLE) AS x
+  FROM (
+    SELECT vec_id, label,
+           unnest(list_transform(range(1, len(embedding) + 1),
+                  i -> {{'pos': i - 1, 'val': embedding[i]}})) AS t
+    FROM embeddings
+  ) s
+), cent AS (
+  SELECT lbl AS cl, pos,
+         {sql_pround('CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)', 9)} AS c
+  FROM pe GROUP BY lbl, pos
+), d AS (
+  SELECT p.vec_id, p.lbl, c.cl,
+         CAST(SUM({_sql_dterm('(p.x - c.c) * (p.x - c.c)')}) AS DOUBLE) AS d2
+  FROM pe p JOIN cent c ON c.pos = p.pos
+  GROUP BY p.vec_id, p.lbl, c.cl
+), r AS (
+  SELECT vec_id, lbl, cl,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) AS rn
+  FROM d
+)
+SELECT lbl AS label,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN cl = lbl THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       {sql_pround('CAST(SUM(CASE WHEN cl = lbl THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)', 6)} AS accuracy
+FROM r WHERE rn = 1
+GROUP BY lbl ORDER BY label
+""",
+    tags=("ml", "vector"),
+)
+def j14_nearest_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classifier evaluated in-engine: per-label mean
+    vectors (qb08's dimension-wise centroid, pround(9)-stabilized so
+    both engines hold bit-identical prototypes), every embedding
+    assigned to its closest centroid by exact squared L2 (DECIMAL-
+    summed per-dimension terms), per-class accuracy reported — the
+    "are these labels even separable by prototypes" triage that runs
+    before any model training, next to qc13's cohesion and qe25's
+    separation.
+
+    Scale: posexplode is bounded by dims (×64, not ×N²); the distance
+    join is (vec, dim) ⋈ broadcast-sized (label, dim) centroids; the
+    argmin is a per-vector window over |labels| candidates.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    pe = e.select(
+        "vec_id",
+        F.col("label").cast("bigint").alias("lbl"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    )
+    cent = pe.groupBy(F.col("lbl").alias("cl"), "pos").agg(
+        pround(
+            F.sum(F.col("x").cast("decimal(25,6)")).cast("double") / F.count(F.lit(1)), 9
+        ).alias("c")
+    )
+    d = (
+        pe.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "lbl", "cl")
+        .agg(F.sum(_dterm((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")))).cast("double").alias("d2"))
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cl"))
+    r = d.withColumn("rn", F.row_number().over(wv)).filter(F.col("rn") == 1)
+    return (
+        r.groupBy(F.col("lbl").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum((F.col("cl") == F.col("lbl")).cast("int")).cast("bigint").alias("n_correct"),
+        )
+        .withColumn("accuracy", pround(F.col("n_correct").cast("double") / F.col("n"), 6))
+        .orderBy("label")
+    )
