@@ -428,3 +428,73 @@ def topk_from_counts(counts: DataFrame, k: int = 3) -> DataFrame:
         counts.select("window", "event_type", "n", F.row_number().over(w).alias("rank"))
         .filter(F.col("rank") <= k)
     )
+
+
+def latest_n_stream(events: DataFrame, keep: int = 3) -> DataFrame:
+    """Streaming latest-N-per-key log compaction — the stateful twin of
+    batch i23: per user, state holds ONLY the newest `keep` events
+    (ts + event_id total order, ties impossible past the unique id),
+    merged with each micro-batch and truncated; every update emits the
+    user's full current retained set tagged with `gen` = events seen so
+    far, so a multi-batch run's final generation is identifiable
+    sink-side (the parity test keys on max gen per user).
+
+    State is bounded by keep x |users| REGARDLESS of stream length —
+    the compaction invariant; applyInPandasWithState because the
+    "keep newest N across batches" merge is not expressible as a
+    windowed aggregate (it needs cross-batch ordered truncation).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id BIGINT, gen BIGINT, ts_us BIGINT, event_id BIGINT, "
+        "event_type STRING, value DOUBLE"
+    )
+    state_schema = (
+        "n BIGINT, ts ARRAY<BIGINT>, ids ARRAY<BIGINT>, "
+        "types ARRAY<STRING>, vals ARRAY<DOUBLE>"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            n, ts, ids, types, vals = state.get
+            rows = list(zip(ts, ids, types, vals))
+        else:
+            n, rows = 0, []
+        for pdf in pdfs:
+            n += len(pdf)
+            for r in pdf.itertuples(index=False):
+                rows.append((int(r.ts_us), int(r.event_id), r.event_type, float(r.value)))
+        # newest first: ts desc, event_id desc — then hard-truncate
+        rows.sort(key=lambda t: (-t[0], -t[1]))
+        rows = rows[:keep]
+        state.update(
+            (
+                n,
+                [r[0] for r in rows],
+                [r[1] for r in rows],
+                [r[2] for r in rows],
+                [r[3] for r in rows],
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(rows),
+                "gen": [n] * len(rows),
+                "ts_us": [r[0] for r in rows],
+                "event_id": [r[1] for r in rows],
+                "event_type": [r[2] for r in rows],
+                "value": [r[3] for r in rows],
+            }
+        )
+
+    return (
+        events.select(
+            "user_id", F.unix_micros("ts").alias("ts_us"), "event_id", "event_type", "value"
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )

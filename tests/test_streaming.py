@@ -464,3 +464,40 @@ def test_windowed_topk_stream_matches_batch(spark, sf_dir, stream):
         for r in load_all()["h09_windowed_topk"].fn(spark, sf_dir).collect()
     }
     assert got == batch
+
+
+def test_latest_n_stream_matches_batch_compaction(spark, sf_dir, stream):
+    """The streaming latest-N state (applyInPandasWithState) retains
+    exactly the rows batch i23 keeps: compare the final generation's
+    (user, event_id) set and the per-type kept counts."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from pyspark_distributed_kmodes_spark.sources.tables import table
+    from pyspark_distributed_kmodes_spark.streaming.jobs import latest_n_stream
+
+    q = (
+        latest_n_stream(stream, keep=3)
+        .writeStream.format("memory")
+        .queryName("t_latest_n")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM t_latest_n").collect()
+    final_gen = {}
+    for r in rows:
+        final_gen[r.user_id] = max(final_gen.get(r.user_id, 0), r.gen)
+    got = {(r.user_id, r.event_id) for r in rows if r.gen == final_gen[r.user_id]}
+
+    e = table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    kept = e.withColumn("rn", F.row_number().over(wu)).filter(F.col("rn") <= 3)
+    want = {(r.user_id, r.event_id) for r in kept.select("user_id", "event_id").collect()}
+    assert got == want
+    # and the registered batch query agrees on the kept-count ledger
+    from pyspark_distributed_kmodes_spark.registry import load_all
+
+    i23 = load_all()["i23_latest_n_compaction"].fn(spark, sf_dir).collect()
+    assert sum(r.n_kept for r in i23) == len(want)
