@@ -53,8 +53,10 @@ this). History:
            round-5 personalized PageRank). The 22 staged h-keys now
            sort first; new round-6 queries are keyed i01+ (i sorts
            between h22 and q01), filling the remaining 28 window
-           slots. Round-6's LATER additions, if any, are keyed j01+
-           and stage for the round-7 rotation.
+           slots. Round-6's LATER additions are keyed j01-j14 (j
+           sorts after i28, outside the full window) — staged for the
+           round-7 rotation, all green on the local mirror at 3 SFs +
+           vanilla.
 
 Implementations live in pyspark_distributed_kmodes_spark/; this module
 is a thin adapter over its registry.
