@@ -1151,3 +1151,190 @@ def j14_nearest_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("accuracy", pround(F.col("n_correct").cast("double") / F.col("n"), 6))
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# j15 — Kaplan-Meier reorder-survival curve
+
+_J15_MAX_WEEKS = 26
+
+
+@query(
+    "j15_kaplan_meier",
+    oracle=f"""
+WITH firsts AS (
+  SELECT o_custkey,
+         MIN(CAST(o_orderdate AS DATE)) AS d1
+  FROM orders GROUP BY o_custkey
+), nxt AS (
+  SELECT f.o_custkey, f.d1,
+         MIN(CAST(o.o_orderdate AS DATE)) AS d2
+  FROM firsts f
+  LEFT JOIN orders o
+    ON o.o_custkey = f.o_custkey AND CAST(o.o_orderdate AS DATE) > f.d1
+  GROUP BY f.o_custkey, f.d1
+), spans AS (
+  SELECT o_custkey,
+         CASE WHEN d2 IS NULL THEN NULL
+              ELSE CAST(floor((d2 - d1) / 7.0) AS BIGINT) END AS event_week,
+         CAST(floor(((SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders) - d1) / 7.0) AS BIGINT) AS censor_week
+  FROM nxt
+), obs AS (
+  SELECT LEAST(COALESCE(event_week, censor_week), censor_week) AS week,
+         CASE WHEN event_week IS NOT NULL AND event_week <= censor_week THEN 1 ELSE 0 END AS event
+  FROM spans
+), weekly AS (
+  SELECT week,
+         CAST(COUNT(*) AS BIGINT) AS n_leaving,
+         CAST(SUM(event) AS BIGINT) AS d
+  FROM obs WHERE week <= {_J15_MAX_WEEKS} GROUP BY week
+), risk AS (
+  SELECT week, d, n_leaving,
+         SUM(n_leaving) OVER (ORDER BY week DESC) AS n_at_risk
+  FROM weekly
+), km AS (
+  -- absorbing zero: once a week has d = n_at_risk the curve is 0 from
+  -- there on (ln(0) is undefined; the flag replaces it exactly)
+  SELECT week, d, n_at_risk,
+         CASE WHEN MAX(CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END)
+                   OVER (ORDER BY week ASC) = 1 THEN 0.0
+              ELSE exp(SUM(CASE WHEN d < n_at_risk
+                           THEN {_sql_dterm('ln(1.0 - CAST(d AS DOUBLE) / n_at_risk)')} END)
+                       OVER (ORDER BY week ASC)) END AS s
+  FROM risk
+)
+SELECT week, CAST(n_at_risk AS BIGINT) AS n_at_risk, d AS n_events,
+       {sql_pround('s', 6)} AS survival
+FROM km ORDER BY week
+""",
+    tags=("statistics", "timeseries"),
+)
+def j15_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-reorder: per customer,
+    the weeks from first order to second order (event) or to the data
+    horizon (right-censored); S(t) = Π(1 − d_t/n_t) over weekly risk
+    sets — THE estimator for "how long until customers come back"
+    under censoring, which naive averages get wrong (they drop or
+    mis-count the customers who haven't reordered YET). The product
+    runs as exp(Σ ln(·)) with pround→DECIMAL-summed log terms, so the
+    cumulative window is order-exact on both engines.
+
+    Scale: two per-customer collapses (first + next order date), a
+    weekly-bucket aggregate, and two windows over the bounded WEEK
+    lattice (risk set = reverse cumulative count, survival = forward
+    cumulative log-sum).
+    """
+    o = table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("d1")
+    )
+    later = o.select("o_custkey", F.col("o_orderdate").cast("date").alias("d"))
+    nxt = (
+        firsts.join(later, "o_custkey")
+        .filter(F.col("d") > F.col("d1"))
+        .groupBy("o_custkey", "d1")
+        .agg(F.min("d").alias("d2"))
+    )
+    horizon = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("hz"))
+    spans = (
+        firsts.join(nxt.select("o_custkey", "d2"), "o_custkey", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("d2").isNotNull(),
+                F.floor(F.datediff(F.col("d2"), F.col("d1")) / 7.0).cast("bigint"),
+            ).alias("event_week"),
+            F.floor(F.datediff(F.col("hz"), F.col("d1")) / 7.0).cast("bigint").alias(
+                "censor_week"
+            ),
+        )
+    )
+    obs = spans.select(
+        F.least(F.coalesce("event_week", F.col("censor_week")), F.col("censor_week")).alias(
+            "week"
+        ),
+        (
+            F.col("event_week").isNotNull()
+            & (F.col("event_week") <= F.col("censor_week"))
+        )
+        .cast("int")
+        .alias("event"),
+    )
+    weekly = (
+        obs.filter(F.col("week") <= _J15_MAX_WEEKS)
+        .groupBy("week")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_leaving"),
+            F.sum("event").cast("bigint").alias("d"),
+        )
+    )
+    wdesc = Window.orderBy(F.desc("week"))  # bounded: week lattice
+    wasc = Window.orderBy(F.asc("week"))
+    risk = weekly.withColumn("n_at_risk", F.sum("n_leaving").over(wdesc))
+    # absorbing zero: once d = n_at_risk the curve is 0 from there on
+    # (ln(0) is undefined; the flag replaces it exactly)
+    safe_term = F.when(
+        F.col("d") < F.col("n_at_risk"),
+        _dterm(F.log(1.0 - F.col("d").cast("double") / F.col("n_at_risk"))),
+    )
+    km = risk.withColumn(
+        "s",
+        F.when(
+            F.max((F.col("d") >= F.col("n_at_risk")).cast("int")).over(wasc) == 1, F.lit(0.0)
+        ).otherwise(F.exp(F.sum(safe_term).over(wasc))),
+    )
+    return km.select(
+        "week",
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d").alias("n_events"),
+        pround(F.col("s"), 6).alias("survival"),
+    ).orderBy("week")
+
+
+# ---------------------------------------------------------------------------
+# j16 — generalized means (arithmetic / geometric / harmonic)
+
+
+@query(
+    "j16_generalized_means",
+    oracle=f"""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_pround(sql_davg('l_extendedprice'), 6)} AS mean_arith,
+       {sql_pround(f"exp(CAST(SUM({_sql_dterm('ln(l_extendedprice)')}) AS DOUBLE) / COUNT(*))", 6)} AS mean_geom,
+       {sql_pround(f"COUNT(*) / CAST(SUM({_sql_dterm('1.0 / l_extendedprice')}) AS DOUBLE)", 6)} AS mean_harm
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("statistics", "relational"),
+)
+def j16_generalized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pythagorean means per group in one pass: arithmetic (exact
+    decimal sum), geometric (exp of the DECIMAL-summed log terms —
+    the right average for ratios and growth rates), harmonic (the
+    right average for rates like latency-per-item; n/Σ(1/x)) — the
+    AM ≥ GM ≥ HM family every metrics layer eventually needs and
+    float-sum engines silently make irreproducible. All three share
+    one grouped aggregate; log/reciprocal terms go through
+    pround(9)→DECIMAL so accumulation order can't drift the hash.
+
+    Scale: one map-side-combinable grouped aggregate, three reductions.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            pround(davg("l_extendedprice"), 6).alias("mean_arith"),
+            pround(
+                F.exp(F.sum(_dterm(F.log("l_extendedprice"))).cast("double") / F.count(F.lit(1))),
+                6,
+            ).alias("mean_geom"),
+            pround(
+                F.count(F.lit(1)) / F.sum(_dterm(F.lit(1.0) / F.col("l_extendedprice"))).cast("double"),
+                6,
+            ).alias("mean_harm"),
+        )
+        .orderBy("l_returnflag")
+    )

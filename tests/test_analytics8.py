@@ -212,3 +212,53 @@ def test_j14_centroid_eval_sane(spark, sf_dir, reg):
     for r in rows:
         assert 0.0 <= r.accuracy <= 1.0
         assert r.n_correct <= r.n
+
+
+def test_j15_km_monotone_and_bounds(spark, sf_dir, reg):
+    rows = sorted(reg["j15_kaplan_meier"].fn(spark, sf_dir).collect(), key=lambda r: r.week)
+    assert rows
+    surv = [r.survival for r in rows]
+    assert all(0.0 <= s <= 1.0 for s in surv)
+    assert all(a >= b - 1e-9 for a, b in zip(surv, surv[1:]))  # non-increasing
+    # risk sets shrink over time
+    risks = [r.n_at_risk for r in rows]
+    assert all(a >= b for a, b in zip(risks, risks[1:]))
+    for r in rows:
+        assert r.n_events <= r.n_at_risk
+
+
+def test_j15_km_matches_python(spark, sf_dir, reg):
+    rows = {r.week: r for r in reg["j15_kaplan_meier"].fn(spark, sf_dir).collect()}
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    ).collect()
+    by_cust = {}
+    for r in orders:
+        by_cust.setdefault(r.o_custkey, []).append(r.d)
+    hz = max(r.d for r in orders)
+    obs = []
+    for ds in by_cust.values():
+        ds.sort()
+        censor = (hz - ds[0]).days // 7
+        if len(ds) > 1:
+            ev = (ds[1] - ds[0]).days // 7
+            obs.append((min(ev, censor), ev <= censor))
+        else:
+            obs.append((censor, False))
+    obs = [(w, e) for w, e in obs if w <= 26]
+    weeks = sorted({w for w, _ in obs})
+    s = 1.0
+    for w in weeks:
+        at_risk = sum(1 for x, _ in obs if x >= w)
+        d = sum(1 for x, e in obs if x == w and e)
+        s *= 1 - d / at_risk if at_risk else 1.0
+        assert rows[w].n_at_risk == at_risk, w
+        assert rows[w].n_events == d, w
+        assert abs(rows[w].survival - s) < 1e-5, w
+
+
+def test_j16_am_gm_hm_inequality(spark, sf_dir, reg):
+    rows = reg["j16_generalized_means"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert r.mean_harm <= r.mean_geom + 1e-6 <= r.mean_arith + 2e-6
+        assert r.mean_harm > 0
