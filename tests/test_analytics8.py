@@ -240,8 +240,9 @@ def test_j15_km_matches_python(spark, sf_dir, reg):
     for ds in by_cust.values():
         ds.sort()
         censor = (hz - ds[0]).days // 7
-        if len(ds) > 1:
-            ev = (ds[1] - ds[0]).days // 7
+        later = [d for d in ds if d > ds[0]]  # strictly later: same-day
+        if later:  # repeat orders are not a reorder event
+            ev = (later[0] - ds[0]).days // 7
             obs.append((min(ev, censor), ev <= censor))
         else:
             obs.append((censor, False))
