@@ -1338,3 +1338,175 @@ def j16_generalized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# j17 — near-dup threshold sensitivity sweep
+
+_J17_THRESHOLDS = (0.1, 0.2, 0.3, 0.5)
+
+
+def _j17_sql_arm(th: float) -> str:
+    return f"""
+SELECT CAST({th} AS DOUBLE) AS threshold,
+       CAST((SELECT COUNT(*) FROM scored WHERE jac >= {th}) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(DISTINCT node) FROM (
+             SELECT u AS node FROM scored WHERE jac >= {th}
+             UNION SELECT v FROM scored WHERE jac >= {th}) t) AS BIGINT) AS n_docs_touched"""
+
+
+@query(
+    "j17_dedup_threshold_sweep",
+    oracle=f"""
+WITH {_I_SHINGLE_CTE.lstrip()},
+pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT p.u, p.v,
+         CAST(p.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - p.n_common) AS jac
+  FROM pairs p
+  JOIN sizes sa ON sa.doc_id = p.u JOIN sizes sb ON sb.doc_id = p.v
+)
+{' UNION ALL '.join(_j17_sql_arm(t) for t in _J17_THRESHOLDS)}
+ORDER BY threshold
+""",
+    tags=("dedup", "audit"),
+)
+def j17_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup THRESHOLD sensitivity sweep: edge count and documents
+    touched at Jaccard >= 0.1/0.2/0.3/0.5, all read off ONE pair
+    computation — the tuning run a curation team does before fixing
+    the dedup threshold (too low merges topical neighbors, too high
+    misses boilerplate), answered without re-shingling per candidate
+    threshold.
+
+    Scale: the expensive stage (inverted-index pair join) runs ONCE
+    and is localCheckpointed; each threshold arm is a filter +
+    two aggregates over the bounded pair list. This is the reason to
+    keep (pair, n_common, sizes) as the dedup intermediate instead of
+    materializing only the thresholded edges.
+    """
+    d = table(spark, sf_dir, "documents")
+    sh = _shingles(d).localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    scored = (
+        pairs.join(sizes.select(F.col("doc_id").alias("u"), F.col("n_shingles").alias("na")), "u")
+        .join(sizes.select(F.col("doc_id").alias("v"), F.col("n_shingles").alias("nb")), "v")
+        .select(
+            "u",
+            "v",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
+            ).alias("jac"),
+        )
+        .localCheckpoint(eager=True)  # ONE pair computation, 4 threshold reads
+    )
+    out = None
+    for th in _J17_THRESHOLDS:
+        edges = scored.filter(F.col("jac") >= th)
+        touched = edges.select(F.col("u").alias("node")).union(
+            edges.select(F.col("v"))
+        )
+        arm = (
+            edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+            .crossJoin(
+                F.broadcast(
+                    touched.agg(F.countDistinct("node").cast("bigint").alias("n_docs_touched"))
+                )
+            )
+            .select(
+                F.lit(th).cast("double").alias("threshold"), "n_edges", "n_docs_touched"
+            )
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out.orderBy("threshold")
+
+
+# ---------------------------------------------------------------------------
+# j18 — quality-filter attrition funnel
+
+_J18_MIN_CHARS = 120
+_J18_MAX_REP = 0.45  # max share of the most frequent word
+_J18_MIN_WORDS = 20
+
+
+@query(
+    "j18_filter_attrition_funnel",
+    oracle=f"""
+WITH scored AS (
+  SELECT source,
+         n_chars >= {_J18_MIN_CHARS} AS g1,
+         len(string_split(text, ' ')) >= {_J18_MIN_WORDS} AS g2,
+         (SELECT MAX(c) FROM (
+            SELECT COUNT(*) AS c FROM unnest(string_split(text, ' ')) AS t(w) GROUP BY w
+          ) m) <= {_J18_MAX_REP} * len(string_split(text, ' ')) AS g3
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE g1) AS BIGINT) AS pass_len,
+       CAST(COUNT(*) FILTER (WHERE g1 AND g2) AS BIGINT) AS pass_words,
+       CAST(COUNT(*) FILTER (WHERE g1 AND g2 AND g3) AS BIGINT) AS pass_all,
+       {sql_pround('CAST(COUNT(*) FILTER (WHERE g1 AND g2 AND g3) AS DOUBLE) / COUNT(*)', 6)} AS keep_rate
+FROM scored
+GROUP BY source
+ORDER BY source
+""",
+    tags=("text", "curation", "audit"),
+)
+def j18_filter_attrition_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter ATTRITION FUNNEL: the three standard gates
+    (min chars, min words, max top-word repetition share) applied as
+    a sequenced funnel with per-source survival counts at each stage
+    — the report every curation pipeline ships alongside its filtered
+    corpus, because "keep rate 62%" is useless without knowing WHICH
+    gate ate the 38%. Components exist as standalone scores
+    (q52/qg10); the funnel composition and its ledger are the
+    operator here.
+
+    Scale: ONE scan, all gates computed as row-local expressions (the
+    top-word share via aggregate() over the word array — no explode,
+    no shuffle per gate), one grouped rollup.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    nw = F.size(words)
+    # top-word count without explode: fold the distinct words' counts
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(words),
+            lambda w: F.size(F.filter(words, lambda x: x == w)),
+        )
+    )
+    scored = d.select(
+        "source",
+        (F.col("n_chars") >= _J18_MIN_CHARS).alias("g1"),
+        (nw >= _J18_MIN_WORDS).alias("g2"),
+        (top <= _J18_MAX_REP * nw).alias("g3"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("g1").cast("int")).cast("bigint").alias("pass_len"),
+            F.sum((F.col("g1") & F.col("g2")).cast("int")).cast("bigint").alias("pass_words"),
+            F.sum((F.col("g1") & F.col("g2") & F.col("g3")).cast("int"))
+            .cast("bigint")
+            .alias("pass_all"),
+        )
+        .withColumn(
+            "keep_rate",
+            pround(F.col("pass_all").cast("double") / F.col("n_docs"), 6),
+        )
+        .orderBy("source")
+    )

@@ -263,3 +263,37 @@ def test_j16_am_gm_hm_inequality(spark, sf_dir, reg):
     for r in rows:
         assert r.mean_harm <= r.mean_geom + 1e-6 <= r.mean_arith + 2e-6
         assert r.mean_harm > 0
+
+
+def test_j17_sweep_monotone(spark, sf_dir, reg):
+    rows = sorted(reg["j17_dedup_threshold_sweep"].fn(spark, sf_dir).collect(), key=lambda r: r.threshold)
+    edges = [r.n_edges for r in rows]
+    touched = [r.n_docs_touched for r in rows]
+    # raising the threshold can only shrink the edge set and coverage
+    assert all(a >= b for a, b in zip(edges, edges[1:]))
+    assert all(a >= b for a, b in zip(touched, touched[1:]))
+    for r in rows:
+        assert r.n_docs_touched <= 2 * r.n_edges or r.n_edges == 0
+
+
+def test_j18_funnel_monotone(spark, sf_dir, reg):
+    rows = reg["j18_filter_attrition_funnel"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_docs >= r.pass_len >= r.pass_words >= r.pass_all >= 0
+        assert 0.0 <= r.keep_rate <= 1.0
+
+
+def test_j18_matches_python_gates(spark, sf_dir, reg):
+    from collections import Counter
+
+    got = {r.source: (r.pass_len, r.pass_words, r.pass_all) for r in reg["j18_filter_attrition_funnel"].fn(spark, sf_dir).collect()}
+    want = {}
+    for r in table(spark, sf_dir, "documents").collect():
+        ws = r.text.split(" ")
+        g1 = r.n_chars >= 120
+        g2 = len(ws) >= 20
+        g3 = max(Counter(ws).values()) <= 0.45 * len(ws)
+        a, b, c = want.get(r.source, (0, 0, 0))
+        want[r.source] = (a + g1, b + (g1 and g2), c + (g1 and g2 and g3))
+    assert got == want
