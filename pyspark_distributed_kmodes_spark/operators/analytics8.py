@@ -1,0 +1,1023 @@
+"""Round-6 staged extensions, second batch (j19+): nonparametric and
+classical statistics (Kendall tau-b, Brown-Forsythe/Levene, Jarque-Bera,
+Cramer's V with bias correction, Mann-Kendall trend, Wald-Wolfowitz runs
+test, Durbin-Watson, Welch's t), event/time-series operators (truncated
+EWMA control bands, McNemar paired test, burstiness, time-weighted
+average, capped sessionization), and engine/infra audits (bitemporal
+as-of, FK cascade orphans, mergeable variance, write-audit-publish,
+compaction bin-packing, min/max pruning, incremental agg maintenance,
+block sampling, group-by cardinality, dynamic partition overwrite).
+
+Keys are j-prefixed (j19-j50): j sorts AFTER i28, so these stay OUTSIDE
+the (exactly full) round-6 driver window by design and rotate in next
+round with j01-j18 — the same staging that worked for z/e/f/h (history
+in __spark_entry__.py). All are oracle-gated unless noted.
+
+Engine style unchanged: pure JVM DataFrame ops, pround floor-rounding on
+every oracle-gated double, DECIMAL-summed float aggregates, every ORDER
+BY carries a unique tie-break, scalar-only output columns, partition-less
+windows only over bounded aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pyspark_distributed_kmodes_spark.functions.deterministic import (
+    dsum,
+    pround,
+    sql_dsum,
+    sql_pround,
+)
+from pyspark_distributed_kmodes_spark.operators.analytics4 import _md5fold, _sql_md5fold
+from pyspark_distributed_kmodes_spark.registry import query
+from pyspark_distributed_kmodes_spark.sources.tables import table
+
+_DAY_US = 86_400_000_000
+
+
+def _day_idx(col: str = "ts") -> Column:
+    """Integer day index of a timestamp (µs since epoch DIV day)."""
+    return (F.unix_micros(F.date_trunc("day", col)) / _DAY_US).cast("bigint")
+
+
+_SQL_DAY_IDX = f"epoch_us(date_trunc('day', ts)) // {_DAY_US}"
+
+
+# ---------------------------------------------------------------------------
+# j19 — Kendall tau-b over the joint value dictionary
+
+
+@query(
+    "j19_kendall_tau",
+    oracle="""
+WITH cells AS (
+  SELECT l_quantity AS q, l_discount AS d, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY l_quantity, l_discount
+), pairs AS (
+  SELECT CAST(SUM(CASE WHEN (b.q - a.q) * (b.d - a.d) > 0
+                       THEN CAST(a.cnt * b.cnt AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS c_sum,
+         CAST(SUM(CASE WHEN (b.q - a.q) * (b.d - a.d) < 0
+                       THEN CAST(a.cnt * b.cnt AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS d_sum
+  FROM cells a JOIN cells b
+    ON (a.q < b.q) OR (a.q = b.q AND a.d < b.d)
+), qm AS (
+  SELECT CAST(SUM(CAST(cnt * (cnt - 1) AS DECIMAL(38,0))) AS DECIMAL(38,0)) / 2 AS n1
+  FROM (SELECT CAST(SUM(cnt) AS BIGINT) AS cnt FROM cells GROUP BY q)
+), dm AS (
+  SELECT CAST(SUM(CAST(cnt * (cnt - 1) AS DECIMAL(38,0))) AS DECIMAL(38,0)) / 2 AS n2
+  FROM (SELECT CAST(SUM(cnt) AS BIGINT) AS cnt FROM cells GROUP BY d)
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM cells
+)
+SELECT t.n AS n,
+       CAST(p.c_sum AS BIGINT) AS concordant,
+       CAST(p.d_sum AS BIGINT) AS discordant,
+       {PR}
+FROM pairs p, qm, dm, tot t
+""".replace(
+        "{PR}",
+        sql_pround(
+            "(CAST(p.c_sum AS DOUBLE) - CAST(p.d_sum AS DOUBLE)) / "
+            "sqrt((CAST(t.n AS DOUBLE) * (t.n - 1) / 2 - CAST(qm.n1 AS DOUBLE)) * "
+            "(CAST(t.n AS DOUBLE) * (t.n - 1) / 2 - CAST(dm.n2 AS DOUBLE)))",
+            6,
+        )
+        + " AS tau_b",
+    ),
+    tags=("statistics",),
+)
+def j19_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between l_quantity and l_discount
+    — the standard nonparametric association measure for heavily-tied
+    ordinal data — computed EXACTLY over the joint value DICTIONARY
+    (|quantity lattice| x |discount lattice| = 50 x 11 = 550 cells),
+    never over row pairs: concordant/discordant weights are cnt_a*cnt_b
+    over ordered cell pairs, tie terms n1/n2 come from the marginals,
+    tau_b = (C-D)/sqrt((n0-n1)(n0-n2)).
+
+    Scale: one map-side-combinable groupBy collapses any row count to
+    the fixed 550-cell dictionary; the theta self-join runs on that
+    bounded aggregate (broadcast, ~150k cell pairs regardless of SF).
+    All counts stay exact DECIMAL(38,0) until the single final float
+    division; at 100 TB the cell counts merely grow, the plan does not.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_quantity").alias("q"), F.col("l_discount").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    a, b = cells.alias("a"), cells.alias("b")
+    cond = (F.col("a.q") < F.col("b.q")) | (
+        (F.col("a.q") == F.col("b.q")) & (F.col("a.d") < F.col("b.d"))
+    )
+    prod = (F.col("a.cnt") * F.col("b.cnt")).cast("decimal(38,0)")
+    zero = F.lit(0).cast("decimal(38,0)")
+    sgn = (F.col("b.q") - F.col("a.q")) * (F.col("b.d") - F.col("a.d"))
+    pairs = a.join(F.broadcast(b), cond, "inner").agg(
+        F.sum(F.when(sgn > 0, prod).otherwise(zero)).cast("decimal(38,0)").alias("c_sum"),
+        F.sum(F.when(sgn < 0, prod).otherwise(zero)).cast("decimal(38,0)").alias("d_sum"),
+    )
+    qm = (
+        cells.groupBy("q")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        .agg((F.sum((F.col("cnt") * (F.col("cnt") - 1)).cast("decimal(38,0)")) / 2).alias("n1"))
+    )
+    dm = (
+        cells.groupBy("d")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        .agg((F.sum((F.col("cnt") * (F.col("cnt") - 1)).cast("decimal(38,0)")) / 2).alias("n2"))
+    )
+    tot = cells.agg(F.sum("cnt").cast("bigint").alias("n"))
+    j = pairs.crossJoin(F.broadcast(qm)).crossJoin(F.broadcast(dm)).crossJoin(F.broadcast(tot))
+    n0 = F.col("n").cast("double") * (F.col("n") - 1) / 2
+    tau = (F.col("c_sum").cast("double") - F.col("d_sum").cast("double")) / F.sqrt(
+        (n0 - F.col("n1").cast("double")) * (n0 - F.col("n2").cast("double"))
+    )
+    return j.select(
+        "n",
+        F.col("c_sum").cast("bigint").alias("concordant"),
+        F.col("d_sum").cast("bigint").alias("discordant"),
+        pround(tau, 6).alias("tau_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# j20 — Brown-Forsythe (median-based Levene) homogeneity-of-variance test
+
+
+@query(
+    "j20_levene_test",
+    oracle=f"""
+WITH med AS (
+  SELECT o_orderpriority AS grp, median(o_totalprice) AS med
+  FROM orders GROUP BY o_orderpriority
+), z AS (
+  SELECT m.grp, abs(o.o_totalprice - m.med) AS z
+  FROM orders o JOIN med m ON o.o_orderpriority = m.grp
+), gstat AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_j, {sql_dsum('z')} AS s_j
+  FROM z GROUP BY grp
+), gbar AS (
+  SELECT grp, n_j, s_j / n_j AS zbar_j FROM gstat
+), gl AS (
+  SELECT CAST(SUM(n_j) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(CAST(s_j * n_j AS DECIMAL(38,6)) / n_j) AS DOUBLE) / SUM(n_j) AS zbar
+  FROM gstat
+), num AS (
+  SELECT CAST(SUM(CAST(floor(n_j * (zbar_j - g.zbar) * (zbar_j - g.zbar) + 0.5) AS DECIMAL(38,0))) AS DOUBLE) AS num
+  FROM gbar CROSS JOIN gl g
+), den AS (
+  SELECT CAST(SUM(CAST(floor((z.z - b.zbar_j) * (z.z - b.zbar_j) + 0.5) AS DECIMAL(38,0))) AS DOUBLE) AS den
+  FROM z JOIN gbar b ON z.grp = b.grp
+)
+SELECT g.k AS k, g.n AS n,
+       {sql_pround('(CAST(g.n AS DOUBLE) - g.k) / (g.k - 1) * num.num / den.den', 6)} AS w_stat
+FROM gl g, num, den
+""",
+    tags=("statistics",),
+)
+def j20_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (Levene's test with the median center) for
+    homogeneity of o_totalprice variance across the 5 order priorities:
+    z_ij = |x_ij - median_j|, W = ((N-k)/(k-1)) * SUM n_j(zbar_j-zbar)^2
+    / SUM (z_ij - zbar_j)^2 — the robust pre-check before pooled-variance
+    tests (pairs with j02's ANOVA F on means).
+
+    Determinism: group medians are interpolated midpoints of exact cent
+    values (bit-identical on both engines); zbar_j is an exact DECIMAL
+    sum / count; numerator and denominator terms are floor-quantized to
+    integers (values ~1e10 < 2^53, exact) and DECIMAL-summed so the two
+    float divisions at the end are the only unordered ops.
+
+    Scale: two grouped passes over orders plus a 5-row broadcast join of
+    medians back to rows — no window over raw rows, no driver loop.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"), "o_totalprice"
+    )
+    med = o.groupBy("grp").agg(F.median("o_totalprice").alias("med"))
+    z = o.join(F.broadcast(med), "grp").select(
+        "grp", F.abs(F.col("o_totalprice") - F.col("med")).alias("z")
+    )
+    gstat = z.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_j"), dsum("z").alias("s_j")
+    )
+    gbar = gstat.select("grp", "n_j", (F.col("s_j") / F.col("n_j")).alias("zbar_j"))
+    glob = gstat.agg(
+        F.sum("n_j").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        (
+            F.sum((F.col("s_j") * F.col("n_j")).cast("decimal(38,6)") / F.col("n_j")).cast(
+                "double"
+            )
+            / F.sum("n_j")
+        ).alias("zbar"),
+    )
+    num = (
+        gbar.crossJoin(F.broadcast(glob.select("zbar")))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("n_j") * (F.col("zbar_j") - F.col("zbar")) * (F.col("zbar_j") - F.col("zbar"))
+                    + 0.5
+                ).cast("decimal(38,0)")
+            )
+            .cast("double")
+            .alias("num")
+        )
+    )
+    den = (
+        z.join(F.broadcast(gbar.select("grp", "zbar_j")), "grp")
+        .agg(
+            F.sum(
+                F.floor((F.col("z") - F.col("zbar_j")) * (F.col("z") - F.col("zbar_j")) + 0.5).cast(
+                    "decimal(38,0)"
+                )
+            )
+            .cast("double")
+            .alias("den")
+        )
+    )
+    j = glob.crossJoin(F.broadcast(num)).crossJoin(F.broadcast(den))
+    w = (F.col("n").cast("double") - F.col("k")) / (F.col("k") - 1) * F.col("num") / F.col("den")
+    return j.select("k", "n", pround(w, 6).alias("w_stat"))
+
+
+# ---------------------------------------------------------------------------
+# j21 — Jarque-Bera normality test from exact integer power sums
+
+
+@query(
+    "j21_jarque_bera",
+    oracle=f"""
+WITH s AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(n_chars * n_chars AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(n_chars * n_chars * n_chars AS DECIMAL(38,0))) AS DOUBLE) AS s3,
+         CAST(SUM(CAST(n_chars * n_chars * n_chars * n_chars AS DECIMAL(38,0))) AS DOUBLE) AS s4
+  FROM documents GROUP BY lang
+), m AS (
+  SELECT lang, n,
+         s2 / n - (s1 / n) * (s1 / n) AS m2,
+         s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+         s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+               - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+  FROM s
+)
+SELECT lang, n,
+       {sql_pround('m3 / (m2 * sqrt(m2))', 6)} AS skewness,
+       {sql_pround('m4 / (m2 * m2) - 3', 6)} AS kurtosis_excess,
+       {sql_pround('CAST(n AS DOUBLE) / 6 * ((m3 / (m2 * sqrt(m2))) * (m3 / (m2 * sqrt(m2))) + (m4 / (m2 * m2) - 3) * (m4 / (m2 * m2) - 3) / 4)', 6)} AS jb_stat
+FROM m
+ORDER BY lang
+""",
+    tags=("statistics", "text"),
+)
+def j21_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test of the per-language document-length
+    distribution: skewness g1 = m3/m2^1.5, excess kurtosis g2 = m4/m2^2
+    - 3, JB = n/6 (g1^2 + g2^2/4) — the standard screen before any
+    normality-assuming downstream stat (pairs with qf10's raw moments by
+    adding the TEST, per group).
+
+    Determinism: n_chars is an INTEGER, so the four power sums are exact
+    DECIMAL(38,0) (x^4 <= ~1e11 per term, no overflow); every later op
+    is written as the identical float expression on both engines, with
+    m2^1.5 spelled m2*sqrt(m2) (sqrt is IEEE-correctly-rounded; pow is
+    libm-dependent and is avoided).
+
+    Scale: ONE map-side-combinable groupBy over documents; 4-row output.
+    """
+    d = table(spark, sf_dir, "documents")
+    c = F.col("n_chars")
+    s = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(c.cast("decimal(38,0)")).cast("double").alias("s1"),
+        F.sum((c * c).cast("decimal(38,0)")).cast("double").alias("s2"),
+        F.sum((c * c * c).cast("decimal(38,0)")).cast("double").alias("s3"),
+        F.sum((c * c * c * c).cast("decimal(38,0)")).cast("double").alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - 3 * mu * (F.col("s2") / n) + 2 * mu * mu * mu
+    m4 = (
+        F.col("s4") / n
+        - 4 * mu * (F.col("s3") / n)
+        + 6 * mu * mu * (F.col("s2") / n)
+        - 3 * mu * mu * mu * mu
+    )
+    m = s.select("lang", "n", m2.alias("m2"), m3.alias("m3"), m4.alias("m4"))
+    g1 = F.col("m3") / (F.col("m2") * F.sqrt(F.col("m2")))
+    g2 = F.col("m4") / (F.col("m2") * F.col("m2")) - 3
+    jb = F.col("n").cast("double") / 6 * (g1 * g1 + g2 * g2 / 4)
+    return m.select(
+        "lang",
+        "n",
+        pround(g1, 6).alias("skewness"),
+        pround(g2, 6).alias("kurtosis_excess"),
+        pround(jb, 6).alias("jb_stat"),
+    ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# j22 — Cramer's V (with Bergsma bias correction) for lang x source
+
+
+@query(
+    "j22_cramers_v",
+    oracle=f"""
+WITH cells AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+  FROM documents GROUP BY lang, source
+), rm AS (
+  SELECT lang, CAST(SUM(o) AS BIGINT) AS r_tot FROM cells GROUP BY lang
+), cm AS (
+  SELECT source, CAST(SUM(o) AS BIGINT) AS c_tot FROM cells GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS r,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS c
+  FROM cells
+), chi AS (
+  SELECT CAST(SUM(CAST({sql_pround('(COALESCE(ce.o, 0) - CAST(rm.r_tot AS DOUBLE) * cm.c_tot / t.n) * (COALESCE(ce.o, 0) - CAST(rm.r_tot AS DOUBLE) * cm.c_tot / t.n) / (CAST(rm.r_tot AS DOUBLE) * cm.c_tot / t.n)', 6)} AS DECIMAL(25,6))) AS DOUBLE) AS chi2
+  FROM rm CROSS JOIN cm CROSS JOIN tot t
+  LEFT JOIN cells ce ON ce.lang = rm.lang AND ce.source = cm.source
+)
+SELECT t.n AS n, t.r AS r, t.c AS c,
+       {sql_pround('chi.chi2', 6)} AS chi2,
+       {sql_pround('sqrt(chi.chi2 / t.n / (least(t.r, t.c) - 1))', 6)} AS cramers_v,
+       {sql_pround('''sqrt(greatest(0.0, chi.chi2 / t.n - CAST((t.r - 1) * (t.c - 1) AS DOUBLE) / (t.n - 1)) /
+         (least(t.r - CAST((t.r - 1) * (t.r - 1) AS DOUBLE) / (t.n - 1),
+                t.c - CAST((t.c - 1) * (t.c - 1) AS DOUBLE) / (t.n - 1)) - 1))''', 6)} AS cramers_v_bc
+FROM chi CROSS JOIN tot t
+""",
+    tags=("statistics", "text"),
+)
+def j22_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V effect size for the lang x source contingency of the
+    document corpus, both the classical estimator sqrt(phi2/min(r-1,c-1))
+    and the Bergsma-Wicher bias-CORRECTED version (phi2 shrunk by
+    (r-1)(c-1)/(n-1), dimensions shrunk likewise) — chi-square (qg15)
+    says "is there association", V says "how much", and the corrected V
+    is the one safe to compare across differently-sized corpora.
+
+    Zero cells: the expected-count grid is the FULL r x c cross of the
+    two bounded margins (LEFT JOIN puts o=0 where a cell is absent), so
+    chi2 includes empty-cell terms exactly like the textbook formula.
+
+    Scale: one groupBy to the bounded cell dictionary; margins and the
+    r x c grid are broadcast-sized aggregates. Chi2 terms are
+    floor-quantized to the 1e-6 grid and DECIMAL-summed (order-free).
+    """
+    d = table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    rm = cells.groupBy("lang").agg(F.sum("o").cast("bigint").alias("r_tot"))
+    cm = cells.groupBy("source").agg(F.sum("o").cast("bigint").alias("c_tot"))
+    tot = cells.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.count_distinct("lang").cast("bigint").alias("r"),
+        F.count_distinct("source").cast("bigint").alias("c"),
+    )
+    grid = (
+        rm.crossJoin(F.broadcast(cm))
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(cells), ["lang", "source"], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+    )
+    e = F.col("r_tot").cast("double") * F.col("c_tot") / F.col("n")
+    term = (F.col("o") - e) * (F.col("o") - e) / e
+    chi = grid.agg(F.sum(pround(term, 6).cast("decimal(25,6)")).cast("double").alias("chi2"))
+    j = chi.crossJoin(F.broadcast(tot))
+    r, c, n = F.col("r"), F.col("c"), F.col("n")
+    phi2 = F.col("chi2") / n
+    v = F.sqrt(phi2 / (F.least(r, c) - 1))
+    phi2c = F.greatest(F.lit(0.0), phi2 - ((r - 1) * (c - 1)).cast("double") / (n - 1))
+    rc = r - ((r - 1) * (r - 1)).cast("double") / (n - 1)
+    cc = c - ((c - 1) * (c - 1)).cast("double") / (n - 1)
+    vbc = F.sqrt(phi2c / (F.least(rc, cc) - 1))
+    return j.select(
+        "n",
+        "r",
+        "c",
+        pround(F.col("chi2"), 6).alias("chi2"),
+        pround(v, 6).alias("cramers_v"),
+        pround(vbc, 6).alias("cramers_v_bc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# j23 — Mann-Kendall trend test on the daily event-count series
+
+
+@query(
+    "j23_mann_kendall",
+    oracle=f"""
+WITH daily AS (
+  SELECT {_SQL_DAY_IDX} AS di, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+), s AS (
+  SELECT CAST(SUM(CASE WHEN b.cnt > a.cnt THEN 1 WHEN b.cnt < a.cnt THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+  FROM daily a JOIN daily b ON a.di < b.di
+), ties AS (
+  SELECT CAST(COALESCE(SUM(CAST(t * (t - 1) * (2 * t + 5) AS BIGINT)), 0) AS BIGINT) AS tt
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY cnt)
+), nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily
+)
+SELECT nn.n AS n_days, s.s_stat AS s_stat,
+       {sql_pround('(CAST(nn.n AS DOUBLE) * (nn.n - 1) * (2 * nn.n + 5) - ties.tt) / 18.0', 6)} AS var_s,
+       {sql_pround('''CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1) / sqrt((CAST(nn.n AS DOUBLE) * (nn.n - 1) * (2 * nn.n + 5) - ties.tt) / 18.0)
+             WHEN s.s_stat < 0 THEN (s.s_stat + 1) / sqrt((CAST(nn.n AS DOUBLE) * (nn.n - 1) * (2 * nn.n + 5) - ties.tt) / 18.0)
+             ELSE 0.0 END''', 6)} AS z_stat
+FROM s, ties, nn
+""",
+    tags=("statistics", "events"),
+)
+def j23_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall nonparametric trend test on the daily event-count
+    series: S = sum over day pairs i<j of sign(c_j - c_i), variance with
+    the tie correction sum t(t-1)(2t+5)/18, continuity-corrected
+    Z = (S -/+ 1)/sqrt(Var) — the standard monotone-trend detector for
+    short daily series where OLS slopes (j13 Theil-Sen's complement) are
+    distribution-sensitive.
+
+    Scale: events collapse to the bounded day lattice first (one
+    map-side-combinable groupBy); the pair join runs on that ~30-row
+    aggregate, broadcast. S and the tie term are exact integers; the
+    two float ops at the end are engine-identical.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(_day_idx().alias("di")).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    a, b = daily.alias("a"), daily.alias("b")
+    s = a.join(F.broadcast(b), F.col("a.di") < F.col("b.di"), "inner").agg(
+        F.sum(
+            F.when(F.col("b.cnt") > F.col("a.cnt"), 1)
+            .when(F.col("b.cnt") < F.col("a.cnt"), -1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s_stat")
+    )
+    ties = (
+        daily.groupBy("cnt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum((F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)).cast("bigint")),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tt")
+        )
+    )
+    nn = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    j = s.crossJoin(F.broadcast(ties)).crossJoin(F.broadcast(nn))
+    var_s = (
+        F.col("n").cast("double") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tt")
+    ) / 18.0
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt(var_s))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        F.col("n").alias("n_days"),
+        "s_stat",
+        pround(var_s, 6).alias("var_s"),
+        pround(z, 6).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# j24 — Wald-Wolfowitz runs test on daily revenue above/below median
+
+
+@query(
+    "j24_runs_test",
+    oracle=f"""
+WITH daily AS (
+  SELECT {_SQL_DAY_IDX} AS di, {sql_dsum('value')} AS rev
+  FROM events GROUP BY 1
+), med AS (
+  SELECT median(rev) AS med FROM daily
+), signs AS (
+  SELECT di, CASE WHEN rev > med THEN 1 ELSE 0 END AS sgn
+  FROM daily CROSS JOIN med
+  WHERE rev <> med
+), runs AS (
+  SELECT CAST(SUM(CASE WHEN prev IS NULL OR sgn <> prev THEN 1 ELSE 0 END) AS BIGINT) AS r,
+         CAST(SUM(sgn) AS BIGINT) AS n1,
+         CAST(SUM(1 - sgn) AS BIGINT) AS n2
+  FROM (SELECT sgn, lag(sgn) OVER (ORDER BY di ASC) AS prev FROM signs)
+)
+SELECT n1 AS n_above, n2 AS n_below, r AS n_runs,
+       {sql_pround('2.0 * n1 * n2 / (n1 + n2) + 1', 6)} AS expected_runs,
+       {sql_pround('''(r - (2.0 * n1 * n2 / (n1 + n2) + 1)) /
+        sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) /
+             ((CAST(n1 + n2 AS DOUBLE)) * (n1 + n2) * (n1 + n2 - 1)))''', 6)} AS z_stat
+FROM runs
+""",
+    tags=("statistics", "events"),
+)
+def j24_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of the daily revenue
+    series: days are labeled above/below the median daily revenue
+    (median-equal days dropped, the textbook convention), runs of equal
+    labels are counted via one lag over the day lattice, and
+    Z = (R - E[R])/sqrt(Var[R]) with E[R] = 2 n1 n2/(n1+n2) + 1 — the
+    classical serial-dependence screen that complements i12's ACF
+    without assuming stationarity of magnitudes.
+
+    Determinism: daily revenue is a DECIMAL-exact sum cast to double;
+    the median is the interpolated midpoint of two identical doubles on
+    both engines; all remaining counts are integers.
+
+    Scale: one grouped pass to the ~30-row day aggregate; the lag window
+    is partition-less by necessity but consumes that bounded aggregate,
+    never raw rows (the repo's bounded-lattice window rule).
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(_day_idx().alias("di")).agg(dsum("value").alias("rev"))
+    med = daily.agg(F.median("rev").alias("med"))
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("rev") != F.col("med"))
+        .select("di", F.when(F.col("rev") > F.col("med"), 1).otherwise(0).alias("sgn"))
+    )
+    w = Window.orderBy(F.asc("di"))  # bounded: day lattice aggregate
+    lagged = signs.withColumn("prev", F.lag("sgn").over(w))
+    runs = lagged.agg(
+        F.sum(F.when(F.col("prev").isNull() | (F.col("sgn") != F.col("prev")), 1).otherwise(0))
+        .cast("bigint")
+        .alias("r"),
+        F.sum("sgn").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("sgn")).cast("bigint").alias("n2"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    er = 2.0 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2.0
+        * n1
+        * n2
+        * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2).cast("double") * (n1 + n2) * (n1 + n2 - 1))
+    )
+    z = (r - er) / F.sqrt(var)
+    return runs.select(
+        n1.alias("n_above"),
+        n2.alias("n_below"),
+        r.alias("n_runs"),
+        pround(er, 6).alias("expected_runs"),
+        pround(z, 6).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# j25 — Durbin-Watson serial-correlation statistic of the daily series
+
+
+@query(
+    "j25_durbin_watson",
+    oracle=f"""
+WITH daily AS (
+  SELECT {_SQL_DAY_IDX} AS di, {sql_dsum('value')} AS rev
+  FROM events GROUP BY 1
+), mu AS (
+  SELECT CAST(SUM(CAST(rev AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS mean_rev,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM daily
+), resid AS (
+  SELECT di, rev - mean_rev AS e,
+         lag(rev - mean_rev) OVER (ORDER BY di ASC) AS e_prev
+  FROM daily CROSS JOIN mu
+), sums AS (
+  SELECT
+    CAST(SUM(CAST({sql_pround('(e - e_prev) * (e - e_prev)', 6)} AS DECIMAL(25,6))) AS DOUBLE) AS num,
+    CAST(SUM(CAST({sql_pround('e * e', 6)} AS DECIMAL(25,6))) AS DOUBLE) AS den
+  FROM resid
+)
+SELECT mu.n AS n_days,
+       {sql_pround('sums.num / sums.den', 6)} AS dw_stat,
+       {sql_pround('1.0 - sums.num / sums.den / 2.0', 6)} AS rho_hat
+FROM sums CROSS JOIN mu
+""",
+    tags=("statistics", "events"),
+)
+def j25_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic of the mean-centered daily revenue
+    series: DW = sum (e_t - e_{t-1})^2 / sum e_t^2 (and the implied
+    lag-1 autocorrelation rho_hat = 1 - DW/2) — the classical residual
+    serial-correlation diagnostic that complements i12's ACF (which
+    reports correlations) with the TEST statistic regression tooling
+    expects. Note the numerator's lag skips the first day (NULL e_prev
+    drops the term), exactly the textbook definition.
+
+    Determinism: daily revenue and its mean come from exact DECIMAL
+    sums; each quadratic term is floor-quantized to the 1e-6 grid and
+    DECIMAL-summed, so both engines sum identical rationals in any
+    order. The lag window is partition-less but consumes the bounded
+    ~30-row day aggregate, never raw events.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(_day_idx().alias("di")).agg(dsum("value").alias("rev"))
+    mu = daily.agg(
+        (F.sum(F.col("rev").cast("decimal(25,6)")).cast("double") / F.count(F.lit(1))).alias(
+            "mean_rev"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    w = Window.orderBy(F.asc("di"))  # bounded: day lattice aggregate
+    resid = (
+        daily.crossJoin(F.broadcast(mu))
+        .select("di", (F.col("rev") - F.col("mean_rev")).alias("e"))
+        .withColumn("e_prev", F.lag("e").over(w))
+    )
+    sums = resid.agg(
+        F.sum(pround((F.col("e") - F.col("e_prev")) * (F.col("e") - F.col("e_prev")), 6).cast("decimal(25,6)"))
+        .cast("double")
+        .alias("num"),
+        F.sum(pround(F.col("e") * F.col("e"), 6).cast("decimal(25,6)")).cast("double").alias("den"),
+    )
+    j = sums.crossJoin(F.broadcast(mu.select("n")))
+    dw = F.col("num") / F.col("den")
+    return j.select(
+        F.col("n").alias("n_days"),
+        pround(dw, 6).alias("dw_stat"),
+        pround(1.0 - dw / 2.0, 6).alias("rho_hat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# j26 — truncated-EWMA control band over the daily series
+
+_EWMA_LAM = 0.3
+_EWMA_K = 7  # trailing days, inclusive of today
+
+
+def _ewma_weights() -> list[float]:
+    """w_k = lam*(1-lam)^k computed ONCE in Python; both engines parse
+    the identical shortest-repr double literals, so no cross-engine
+    pow() is ever evaluated."""
+    return [_EWMA_LAM * (1.0 - _EWMA_LAM) ** k for k in range(_EWMA_K)]
+
+
+@query(
+    "j26_ewma_anomaly",
+    oracle=f"""
+WITH daily AS (
+  SELECT {_SQL_DAY_IDX} AS di, {sql_dsum('value')} AS rev
+  FROM events GROUP BY 1
+), pairs AS (
+  SELECT a.di, a.rev, a.di - b.di AS k, b.rev AS rev_k,
+         CASE {' '.join(f"WHEN a.di - b.di = {k} THEN {w!r}" for k, w in enumerate(_ewma_weights()))} END AS w
+  FROM daily a JOIN daily b ON b.di BETWEEN a.di - {_EWMA_K - 1} AND a.di
+), agg AS (
+  SELECT di, rev,
+         CAST(SUM(CAST({sql_pround('w * rev_k', 6)} AS DECIMAL(25,6))) AS DOUBLE) AS wsum,
+         CAST(SUM(CAST({sql_pround('w', 9)} AS DECIMAL(25,12))) AS DOUBLE) AS wnorm
+  FROM pairs GROUP BY di, rev
+)
+SELECT CAST(di AS BIGINT) AS day_index,
+       {sql_pround('rev', 6)} AS rev,
+       {sql_pround('wsum / wnorm', 6)} AS ewma,
+       {sql_pround('rev - wsum / wnorm', 6)} AS deviation
+FROM agg
+ORDER BY day_index
+""",
+    tags=("events", "timeseries"),
+)
+def j26_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated exponentially-weighted moving average of daily revenue
+    (lambda=0.3, 7-day horizon, weights renormalized over the available
+    lags) plus each day's deviation from it — the EWMA control-chart
+    baseline (pairs with i11's CUSUM, which detects cumulative shifts;
+    EWMA flags single-day excursions). The recursive EWMA definition is
+    deliberately truncated to a fixed horizon so it becomes a BANDED
+    SELF-JOIN on the day lattice — the declarative, shuffle-once form —
+    with the <0.8% tail mass beyond 7 lags renormalized away.
+
+    Determinism: the 7 weights are Python-computed double literals
+    (identical shortest-repr parse on both engines — no runtime pow);
+    weighted terms are floor-quantized and DECIMAL-summed per day.
+
+    Scale: events collapse to the day lattice first; the band join fans
+    each day to <=7 rows regardless of SF.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(_day_idx().alias("di")).agg(dsum("value").alias("rev"))
+    a, b = daily.alias("a"), daily.alias("b")
+    k = F.col("a.di") - F.col("b.di")
+    w_expr = None
+    for kk, ww in enumerate(_ewma_weights()):
+        w_expr = F.when(k == kk, F.lit(ww)) if w_expr is None else w_expr.when(k == kk, F.lit(ww))
+    pairs = a.join(
+        b, (F.col("b.di") >= F.col("a.di") - (_EWMA_K - 1)) & (F.col("b.di") <= F.col("a.di")), "inner"
+    ).select(F.col("a.di").alias("di"), F.col("a.rev").alias("rev"), w_expr.alias("w"), F.col("b.rev").alias("rev_k"))
+    agg = pairs.groupBy("di", "rev").agg(
+        F.sum(pround(F.col("w") * F.col("rev_k"), 6).cast("decimal(25,6)")).cast("double").alias("wsum"),
+        F.sum(pround(F.col("w"), 9).cast("decimal(25,12)")).cast("double").alias("wnorm"),
+    )
+    ew = F.col("wsum") / F.col("wnorm")
+    return agg.select(
+        F.col("di").cast("bigint").alias("day_index"),
+        pround(F.col("rev"), 6).alias("rev"),
+        pround(ew, 6).alias("ewma"),
+        pround(F.col("rev") - ew, 6).alias("deviation"),
+    ).orderBy("day_index")
+
+
+# ---------------------------------------------------------------------------
+# j27 — McNemar paired test: purchase behavior first vs second half
+
+
+@query(
+    "j27_mcnemar_paired",
+    oracle=f"""
+WITH bounds AS (
+  SELECT MIN({_SQL_DAY_IDX}) AS lo, MAX({_SQL_DAY_IDX}) AS hi FROM events
+), per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' AND {_SQL_DAY_IDX} < (b.lo + b.hi + 1) // 2 THEN 1 ELSE 0 END) AS p1,
+         MAX(CASE WHEN event_type = 'purchase' AND {_SQL_DAY_IDX} >= (b.lo + b.hi + 1) // 2 THEN 1 ELSE 0 END) AS p2
+  FROM events CROSS JOIN bounds b GROUP BY user_id, b.lo, b.hi
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+       CAST(SUM(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+       {sql_pround('''CASE WHEN SUM(CASE WHEN p1 <> p2 THEN 1 ELSE 0 END) = 0 THEN 0.0
+             ELSE (abs(CAST(SUM(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END)
+                      - SUM(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END) AS DOUBLE)) - 1)
+                  * (abs(CAST(SUM(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END)
+                      - SUM(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END) AS DOUBLE)) - 1)
+                  / (SUM(CASE WHEN p1 <> p2 THEN 1 ELSE 0 END)) END''', 6)} AS mcnemar_chi2
+FROM per_user
+""",
+    tags=("statistics", "events"),
+)
+def j27_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for paired binary outcomes: did each user purchase
+    in the FIRST half vs the SECOND half of the observation window
+    (paired by user), with the continuity-corrected statistic
+    (|b-c|-1)^2/(b+c) over the two discordant cells — the right test for
+    before/after conversion questions where qg17's two-proportion z-test
+    would wrongly treat the halves as independent samples.
+
+    Scale: one grouped pass per user with the midpoint day derived from
+    a broadcast 1-row bounds aggregate; output is one row of integers
+    plus a single float division.
+    """
+    e = table(spark, sf_dir, "events")
+    di = _day_idx()
+    bounds = e.agg(F.min(di).alias("lo"), F.max(di).alias("hi"))
+    mid = F.floor((F.col("lo") + F.col("hi") + 1) / 2)
+    per_user = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when((F.col("event_type") == "purchase") & (di < mid), 1).otherwise(0)
+            ).alias("p1"),
+            F.max(
+                F.when((F.col("event_type") == "purchase") & (di >= mid), 1).otherwise(0)
+            ).alias("p2"),
+        )
+    )
+    n10 = F.sum(F.when((F.col("p1") == 1) & (F.col("p2") == 0), 1).otherwise(0)).cast("bigint")
+    n01 = F.sum(F.when((F.col("p1") == 0) & (F.col("p2") == 1), 1).otherwise(0)).cast("bigint")
+    disc = F.sum(F.when(F.col("p1") != F.col("p2"), 1).otherwise(0))
+    chi2 = F.when(disc == 0, F.lit(0.0)).otherwise(
+        (F.abs(n10 - n01).cast("double") - 1) * (F.abs(n10 - n01).cast("double") - 1) / disc
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        n10.alias("n10"),
+        n01.alias("n01"),
+        pround(chi2, 6).alias("mcnemar_chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# j28 — burstiness index of inter-arrival gaps per event type
+
+
+@query(
+    "j28_burstiness_index",
+    oracle="""
+WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY ts ASC, event_id ASC) AS gap
+  FROM events
+), s AS (
+  SELECT event_type,
+         CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+         CAST(SUM(CAST(gap AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(gap AS DECIMAL(38,0)) * gap) AS DOUBLE) AS s2
+  FROM gaps WHERE gap IS NOT NULL GROUP BY event_type
+)
+SELECT event_type, n_gaps,
+       {M} AS mean_gap_us,
+       {CV} AS cv,
+       {B} AS burstiness
+FROM s
+ORDER BY event_type
+""".replace("{M}", sql_pround("s1 / n_gaps", 3))
+    .replace("{CV}", sql_pround("sqrt(s2 / n_gaps - (s1 / n_gaps) * (s1 / n_gaps)) / (s1 / n_gaps)", 6))
+    .replace(
+        "{B}",
+        sql_pround(
+            "(sqrt(s2 / n_gaps - (s1 / n_gaps) * (s1 / n_gaps)) - (s1 / n_gaps)) / "
+            "(sqrt(s2 / n_gaps - (s1 / n_gaps) * (s1 / n_gaps)) + (s1 / n_gaps))",
+            6,
+        ),
+    ),
+    tags=("events", "timeseries"),
+)
+def j28_burstiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabasi burstiness index B = (sigma - mu)/(sigma + mu) of
+    inter-arrival gaps per event type (B -> -1 periodic, 0 Poisson,
+    -> +1 bursty), plus the coefficient of variation — the standard
+    temporal-clustering diagnostic that tells a pipeline whether event
+    volume can be microbatched smoothly or arrives in spikes (pairs
+    with qf15's gap percentiles by adding the closed-form index).
+
+    Determinism: gaps are exact integer MICROSECONDS (unix_micros
+    lag diffs; ties broken by event_id), so the two power sums are
+    exact DECIMAL(38,0); sigma/mu/B are engine-identical float ops
+    written with sqrt (never pow).
+
+    Scale: the lag window is PARTITIONED by event_type — each partition
+    streams independently; no global sort. One grouped pass after.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.asc("ts"), F.asc("event_id"))
+    us = F.unix_micros("ts")
+    gaps = e.select("event_type", (us - F.lag(us).over(w)).alias("gap")).filter(
+        F.col("gap").isNotNull()
+    )
+    s = gaps.groupBy("event_type").agg(
+        F.count("gap").cast("bigint").alias("n_gaps"),
+        F.sum(F.col("gap").cast("decimal(38,0)")).cast("double").alias("s1"),
+        F.sum(F.col("gap").cast("decimal(38,0)") * F.col("gap")).cast("double").alias("s2"),
+    )
+    mu = F.col("s1") / F.col("n_gaps")
+    sig = F.sqrt(F.col("s2") / F.col("n_gaps") - mu * mu)
+    return s.select(
+        "event_type",
+        "n_gaps",
+        pround(mu, 3).alias("mean_gap_us"),
+        pround(sig / mu, 6).alias("cv"),
+        pround((sig - mu) / (sig + mu), 6).alias("burstiness"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# j29 — time-weighted average value per user (step-function integral)
+
+
+@query(
+    "j29_time_weighted_avg",
+    oracle="""
+WITH stepped AS (
+  SELECT user_id, value,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) - epoch_us(ts) AS dur
+  FROM events
+), s AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_intervals,
+         CAST(SUM(CAST(floor(value * dur + 0.5) AS DECIMAL(38,0))) AS DOUBLE) AS wsum,
+         CAST(SUM(CAST(dur AS DECIMAL(38,0))) AS DOUBLE) AS span
+  FROM stepped WHERE dur IS NOT NULL AND dur > 0 GROUP BY user_id
+)
+SELECT user_id, n_intervals, {TWA} AS twa_value
+FROM s
+ORDER BY user_id
+""".replace("{TWA}", sql_pround("wsum / span", 6)),
+    tags=("events", "timeseries"),
+)
+def j29_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each user's `value` signal under
+    step-function (last-observation-carried-forward) semantics: each
+    reading holds until the user's next event, so TWA = sum(value *
+    holding_duration) / total_span — the correct average for irregularly
+    sampled gauges where the row-mean (q10 family) over-weights chatty
+    periods. Zero-duration holds (same-timestamp events) drop out.
+
+    Determinism: durations are exact integer microseconds from a lead
+    window partitioned by user (event_id tie-break); value*dur terms are
+    floor-quantized to integers (value <= ~1e2, dur <= ~2.6e9 us, so
+    terms < 2^53) and DECIMAL-summed.
+
+    Scale: one partitioned lead window + one grouped pass — both key on
+    user_id, so AQE sees a single co-partitioned exchange.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    us = F.unix_micros("ts")
+    stepped = e.select("user_id", "value", (F.lead(us).over(w) - us).alias("dur")).filter(
+        F.col("dur").isNotNull() & (F.col("dur") > 0)
+    )
+    s = stepped.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum(F.floor(F.col("value") * F.col("dur") + 0.5).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("wsum"),
+        F.sum(F.col("dur").cast("decimal(38,0)")).cast("double").alias("span"),
+    )
+    return s.select(
+        "user_id", "n_intervals", pround(F.col("wsum") / F.col("span"), 6).alias("twa_value")
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# j30 — sessionization with idle timeout AND a hard duration cap
+
+_SESS_IDLE_US = 4 * 3600 * 1_000_000  # idle gap that breaks a session
+_SESS_CAP_US = 12 * 3600 * 1_000_000  # hard cap: split longer sessions
+
+
+@query(
+    "j30_capped_sessions",
+    oracle=f"""
+WITH marked AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_SESS_IDLE_US}
+              OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), islands AS (
+  SELECT user_id, us,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY us ASC ROWS UNBOUNDED PRECEDING) AS island
+  FROM marked
+), chunked AS (
+  SELECT user_id, island, us,
+         (us - MIN(us) OVER (PARTITION BY user_id, island)) // {_SESS_CAP_US} AS chunk
+  FROM islands
+), sess AS (
+  SELECT user_id, island, chunk,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         MAX(us) - MIN(us) AS dur_us
+  FROM chunked GROUP BY user_id, island, chunk
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN chunk > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cap_splits,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(MAX(dur_us) AS BIGINT) AS max_dur_us,
+       {sql_pround(f'CAST(SUM(CAST(dur_us AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*) / 1000000', 6)} AS avg_dur_sec
+FROM sess
+""",
+    tags=("events", "sessionization"),
+)
+def j30_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with BOTH an idle timeout (4 h gap breaks the
+    session — q32's session_window semantics) and a hard duration CAP
+    (12 h): idle islands come from the classic running-sum-of-breaks
+    window, then any island longer than the cap is split into fixed
+    12 h chunks measured from the island start — the declarative
+    two-window form of "max session length" that web analytics engines
+    apply to bound runaway sessions, without any stateful iteration.
+
+    Determinism: all arithmetic is exact integer microseconds; the one
+    float op (average duration) divides a DECIMAL-exact sum.
+
+    Scale: both windows partition by user_id (the islands window also
+    groups by island within it), so every pass is parallel per user;
+    the final rollup is one map-side-combinable aggregate to one row.
+    """
+    e = table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    marked = e.select(
+        "user_id",
+        us.alias("us"),
+        F.when(
+            (us - F.lag(us).over(w) > _SESS_IDLE_US) | F.lag(us).over(w).isNull(), 1
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    wi = Window.partitionBy("user_id").orderBy(F.asc("us")).rowsBetween(Window.unboundedPreceding, 0)
+    islands = marked.withColumn("island", F.sum("brk").over(wi))
+    wc = Window.partitionBy("user_id", "island")
+    chunked = islands.withColumn(
+        "chunk", F.floor((F.col("us") - F.min("us").over(wc)) / _SESS_CAP_US)
+    )
+    sess = chunked.groupBy("user_id", "island", "chunk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.max("us") - F.min("us")).alias("dur_us"),
+    )
+    return sess.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum(F.when(F.col("chunk") > 0, 1).otherwise(0)).cast("bigint").alias("n_cap_splits"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.max("dur_us").cast("bigint").alias("max_dur_us"),
+        pround(
+            F.sum(F.col("dur_us").cast("decimal(38,0)")).cast("double") / F.count(F.lit(1)) / 1_000_000,
+            6,
+        ).alias("avg_dur_sec"),
+    )
