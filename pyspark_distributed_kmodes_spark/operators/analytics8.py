@@ -1021,3 +1021,467 @@ def j30_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_dur_sec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# j31 — bitemporal point-in-time (valid time + transaction time) as-of
+
+_J31_VALID_ASOF = "1997-01-01"  # valid-time cut V
+_J31_TXN_ASOF = "1997-07-01"  # transaction-time cut T
+
+
+@query(
+    "j31_bitemporal_asof",
+    oracle=f"""
+WITH revisions AS (
+  SELECT l.l_partkey, l.l_extendedprice AS price, l.l_shipdate AS valid_from,
+         o.o_orderdate AS recorded_at, l.l_orderkey, l.l_linenumber
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate <= TIMESTAMP '{_J31_TXN_ASOF}'
+    AND l.l_shipdate <= TIMESTAMP '{_J31_VALID_ASOF}'
+), picked AS (
+  SELECT l_partkey, price,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY valid_from DESC, recorded_at DESC,
+                                     l_orderkey DESC, l_linenumber DESC) AS rn
+  FROM revisions
+)
+SELECT p.p_brand AS brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       {sql_dsum('pk.price')} AS sum_price
+FROM picked pk JOIN part p ON pk.l_partkey = p.p_partkey
+WHERE pk.rn = 1
+GROUP BY p.p_brand
+ORDER BY brand
+""",
+    tags=("join", "cdc"),
+)
+def j31_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal point-in-time lookup — the SCD/warehouse query q33's
+    single-axis as-of join cannot express: treating each lineitem as a
+    price REVISION of its part with valid_from = l_shipdate (when the
+    price takes effect) and recorded_at = o_orderdate (when the system
+    recorded the commitment), resolve "the price of every part as of valid time V,
+    using only facts the system had recorded by transaction time T" —
+    i.e. max valid_from <= V among rows with recorded_at <= T, full
+    deterministic tie-break — then roll the resolved prices up by brand.
+
+    Scale: both cuts are pushed-down scan predicates; the pick is ONE
+    row_number window partitioned by partkey (parallel per key); the
+    brand rollup joins the bounded part dimension.
+    """
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") <= F.lit(_J31_TXN_ASOF).cast("timestamp"))
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit(_J31_VALID_ASOF).cast("timestamp")
+    )
+    rev = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_partkey",
+        F.col("l_extendedprice").alias("price"),
+        "l_shipdate",
+        F.col("o_orderdate").alias("recorded_at"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.desc("l_shipdate"), F.desc("recorded_at"), F.desc("l_orderkey"), F.desc("l_linenumber")
+    )
+    picked = rev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        picked.join(p, picked.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"), dsum("price").alias("sum_price"))
+        .orderBy("brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# j32 — referential-integrity cascade: orphan counts across two FK hops
+
+
+@query(
+    "j32_fk_cascade_orphans",
+    oracle="""
+WITH deleted_cust AS (
+  SELECT c_custkey FROM customer WHERE c_acctbal < 0
+), orphan_orders AS (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM deleted_cust)
+), orphan_lines AS (
+  SELECT l_orderkey, l_extendedprice FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM orphan_orders)
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM deleted_cust) AS BIGINT) AS n_deleted_customers,
+  CAST((SELECT COUNT(*) FROM orphan_orders) AS BIGINT) AS n_cascade_orders,
+  CAST((SELECT COUNT(*) FROM orphan_lines) AS BIGINT) AS n_cascade_lineitems,
+  {REV} AS revenue_removed
+""".replace(
+        "{REV}",
+        "CAST(COALESCE((SELECT SUM(CAST(l_extendedprice AS DECIMAL(25,6))) FROM orphan_lines), 0) AS DOUBLE)",
+    ),
+    tags=("audit", "join"),
+)
+def j32_fk_cascade_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascade-delete impact preflight across TWO foreign-key hops:
+    deleting negative-balance customers orphans their orders, which
+    orphans those orders' lineitems — report the row count at each hop
+    and the lineitem revenue that would disappear. i25 audits one FK
+    edge for violations; this is the multi-hop blast-radius query a
+    GDPR/right-to-be-forgotten pipeline runs BEFORE propagating deletes
+    (pairs with qf22's deletion propagation, which executes the delete).
+
+    Scale: two LEFT SEMI joins chained along the key hierarchy (custkey
+    -> orderkey), each a plain hash join on the FK — no distinct-collapse
+    needed because semi-join semantics dedupe probe hits; counts and the
+    DECIMAL revenue sum are map-side combinable.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    deleted = c.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    orphan_orders = o.join(deleted, o.o_custkey == deleted.c_custkey, "left_semi")
+    orphan_lines = li.join(
+        orphan_orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_semi"
+    )
+    nd = deleted.agg(F.count(F.lit(1)).cast("bigint").alias("n_deleted_customers"))
+    no = orphan_orders.agg(F.count(F.lit(1)).cast("bigint").alias("n_cascade_orders"))
+    nl = orphan_lines.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cascade_lineitems"),
+        F.coalesce(F.sum(F.col("l_extendedprice").cast("decimal(25,6)")), F.lit(0).cast("decimal(25,6)"))
+        .cast("double")
+        .alias("revenue_removed"),
+    )
+    return nd.crossJoin(F.broadcast(no)).crossJoin(F.broadcast(nl))
+
+
+# ---------------------------------------------------------------------------
+# j33 — mergeable variance: per-shard exact carriers merge to the global
+
+_J33_SHARDS = 8
+
+
+@query(
+    "j33_mergeable_variance",
+    oracle=f"""
+WITH shards AS (
+  SELECT {_sql_md5fold('CAST(o_orderkey AS VARCHAR)')} % {_J33_SHARDS} AS shard,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS s1,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(19,2)) * CAST(o_totalprice AS DECIMAL(19,2))) AS DECIMAL(38,4)) AS s2
+  FROM orders GROUP BY 1
+), merged AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n,
+         CAST(SUM(s1) AS DECIMAL(38,2)) AS s1,
+         CAST(SUM(s2) AS DECIMAL(38,4)) AS s2
+  FROM shards
+), direct AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS s1,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(19,2)) * CAST(o_totalprice AS DECIMAL(19,2))) AS DECIMAL(38,4)) AS s2
+  FROM orders
+)
+SELECT CAST({_J33_SHARDS} AS BIGINT) AS n_shards,
+       m.n AS n,
+       {sql_pround('CAST(m.s2 AS DOUBLE) / m.n - (CAST(m.s1 AS DOUBLE) / m.n) * (CAST(m.s1 AS DOUBLE) / m.n)', 4)} AS variance_merged,
+       {sql_pround('CAST(d.s2 AS DOUBLE) / d.n - (CAST(d.s1 AS DOUBLE) / d.n) * (CAST(d.s1 AS DOUBLE) / d.n)', 4)} AS variance_direct,
+       CAST(CASE WHEN m.n = d.n AND m.s1 = d.s1 AND m.s2 = d.s2 THEN 1 ELSE 0 END AS BIGINT) AS carriers_agree
+FROM merged m CROSS JOIN direct d
+""",
+    tags=("statistics", "audit"),
+)
+def j33_mergeable_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-variance audit: per-shard EXACT carriers (n, sum,
+    sum-of-squares as DECIMALs — o_totalprice is on the cent lattice, so
+    x and x^2 are exactly representable) merge by plain addition into
+    the global variance, gated against the direct single-pass compute.
+    carriers_agree = 1 proves the merge algebra is lossless — the
+    property that lets a 1000-executor cluster compute variance with
+    one map-side-combined pass and lets h16/i05-style partial rollups
+    extend to second moments (Chan's algorithm without its float drift,
+    because the carriers are exact).
+
+    Scale: both arms are single map-side-combinable aggregations; the
+    shard arm's extra groupBy is the bounded shard dictionary.
+    """
+    o = table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    carriers = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(price.cast("decimal(38,2)")).cast("decimal(38,2)").alias("s1"),
+        F.sum(price.cast("decimal(19,2)") * price.cast("decimal(19,2)"))
+        .cast("decimal(38,4)")
+        .alias("s2"),
+    ]
+    shards = o.groupBy(
+        (_md5fold(F.col("o_orderkey").cast("string")) % _J33_SHARDS).alias("shard")
+    ).agg(*carriers)
+    merged = shards.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("s1").cast("decimal(38,2)").alias("s1"),
+        F.sum("s2").cast("decimal(38,4)").alias("s2"),
+    )
+    direct = o.agg(*carriers)
+
+    def var(nc, s1c, s2c):
+        return s2c.cast("double") / nc - (s1c.cast("double") / nc) * (s1c.cast("double") / nc)
+
+    m, d = merged.alias("m"), direct.alias("d")
+    j = m.crossJoin(F.broadcast(d))
+    agree = (
+        (F.col("m.n") == F.col("d.n"))
+        & (F.col("m.s1") == F.col("d.s1"))
+        & (F.col("m.s2") == F.col("d.s2"))
+    )
+    return j.select(
+        F.lit(_J33_SHARDS).cast("bigint").alias("n_shards"),
+        F.col("m.n").alias("n"),
+        pround(var(F.col("m.n"), F.col("m.s1"), F.col("m.s2")), 4).alias("variance_merged"),
+        pround(var(F.col("d.n"), F.col("d.s1"), F.col("d.s2")), 4).alias("variance_direct"),
+        agree.cast("bigint").alias("carriers_agree"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# j34 — write-audit-publish: validate a staged snapshot, then publish
+
+
+@query(
+    "j34_write_audit_publish",
+    oracle=f"""
+WITH src AS (
+  SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 0
+), audit AS (
+  SELECT CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         + CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT)
+         + CAST(SUM(CASE WHEN n_chars <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+  FROM src
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_published,
+       (SELECT n_violations FROM audit) AS n_violations,
+       CAST(1 AS BIGINT) AS published,
+       CAST(SUM({_sql_md5fold("CAST(doc_id AS VARCHAR) || ':' || lang")} % 1000000) AS BIGINT) AS content_checksum
+FROM src
+""",
+    tags=("source", "audit"),
+)
+def j34_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish (the Iceberg/Netflix WAP pattern) over the
+    parquet sink: the curated snapshot is written to a STAGING path,
+    audited there (null keys, duplicate keys, domain violations), and
+    only an audit-clean staging dir is atomically renamed to the
+    published path; the result row reports what a downstream consumer
+    sees AFTER publish — row count, violation count (0 by construction,
+    or the publish would have been refused), and an order-insensitive
+    content checksum. Extends qe14's declarative constraints with the
+    sink choreography that makes them ENFORCEABLE at publish time.
+
+    Scale: one write + one audit aggregation over the staged files +
+    one rename (an O(1) metadata op on any real filesystem); the
+    checksum is a md5-fold sum, map-side combinable.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="j34_wap_")
+    staging, published = os.path.join(base, "staging"), os.path.join(base, "published")
+    try:
+        src = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars").filter(
+            F.col("n_chars") > 0
+        )
+        src.write.mode("overwrite").parquet(staging)
+        staged = spark.read.parquet(staging)
+        audit = staged.agg(
+            (
+                F.sum(F.col("doc_id").isNull().cast("int"))
+                + (F.count(F.lit(1)) - F.count_distinct("doc_id"))
+                + F.sum((F.col("n_chars") <= 0).cast("int"))
+            )
+            .cast("bigint")
+            .alias("n_violations")
+        )
+        n_violations = audit.collect()[0][0]  # 1-row audit scalar: the publish gate
+        if n_violations == 0:
+            os.rename(staging, published)
+        else:  # refused publish: surface the violation count, no rename
+            published = staging
+        out = spark.read.parquet(published)
+        return out.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_published"),
+            F.lit(int(n_violations)).cast("bigint").alias("n_violations"),
+            F.lit(1 if n_violations == 0 else 0).cast("bigint").alias("published"),
+            F.sum(
+                _md5fold(F.concat_ws(":", F.col("doc_id").cast("string"), F.col("lang"))) % 1_000_000
+            )
+            .cast("bigint")
+            .alias("content_checksum"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# j35 — compaction planner: sorted-fill bin packing of small files
+
+_J35_TARGET = 50_000  # target bin size in chars
+
+
+@query(
+    "j35_compaction_binpack",
+    oracle=f"""
+WITH files AS (
+  SELECT source || '/' || lang AS file_id, CAST(SUM(n_chars) AS BIGINT) AS size
+  FROM documents GROUP BY source, lang
+), planned AS (
+  SELECT file_id, size,
+         COALESCE(SUM(size) OVER (ORDER BY size DESC, file_id ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM files
+), binned AS (
+  SELECT file_id, size, cum_before // {_J35_TARGET} AS bin FROM planned
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(size) AS BIGINT) AS bin_chars
+FROM binned GROUP BY bin
+ORDER BY bin
+""",
+    tags=("audit", "source"),
+)
+def j35_compaction_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner: model each (source, lang) slice as
+    a "file" with its total char size, then assign files to target-sized
+    compaction bins by sorted-fill — order files largest-first (ties by
+    name), take the running size BEFORE each file, bin = that offset DIV
+    target — the deterministic, one-window analog of first-fit-decreasing
+    that a table-maintenance job (OPTIMIZE/rewrite_data_files) uses to
+    plan merge groups. Output is the per-bin manifest a rewrite would
+    execute. Pairs with i23 (latest-N compaction keeps newest data; this
+    packs by SIZE).
+
+    Scale: the file list is an AGGREGATE (one groupBy over documents);
+    the planning window is partition-less by definition (a global plan)
+    but runs on that bounded manifest, never rows. At 100 TB a manifest
+    is ~1e5 files — still one executor's work.
+    """
+    d = table(spark, sf_dir, "documents")
+    files = d.groupBy(
+        F.concat_ws("/", "source", "lang").alias("file_id")
+    ).agg(F.sum("n_chars").cast("bigint").alias("size"))
+    w = (
+        Window.orderBy(F.desc("size"), F.asc("file_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # bounded: file manifest aggregate
+    planned = files.withColumn("cum_before", F.coalesce(F.sum("size").over(w), F.lit(0)))
+    binned = planned.withColumn("bin", F.floor(F.col("cum_before") / _J35_TARGET))
+    return (
+        binned.groupBy(F.col("bin").cast("bigint").alias("bin"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_files"), F.sum("size").cast("bigint").alias("bin_chars"))
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# j36 — min/max pruning effectiveness: clustered vs hash layout
+
+_J36_FILES = 16
+_J36_LO, _J36_HI = 200, 260  # point-range predicate on n_chars
+
+
+@query(
+    "j36_minmax_pruning_audit",
+    oracle=f"""
+WITH lattice AS (
+  SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS cnt FROM documents GROUP BY n_chars
+), ranked AS (
+  SELECT v, cnt, SUM(cnt) OVER (ORDER BY v ASC) AS cum,
+         (SELECT SUM(cnt) FROM lattice) AS total
+  FROM lattice
+), sorted_assign AS (
+  SELECT v, cnt, LEAST(CAST((cum - 1) * {_J36_FILES} / total AS BIGINT), {_J36_FILES - 1}) AS file_id
+  FROM ranked
+), sorted_files AS (
+  SELECT file_id, MIN(v) AS lo, MAX(v) AS hi, CAST(SUM(cnt) AS BIGINT) AS n_rows
+  FROM sorted_assign GROUP BY file_id
+), hash_files AS (
+  SELECT {_sql_md5fold('CAST(doc_id AS VARCHAR)')} % {_J36_FILES} AS file_id,
+         MIN(n_chars) AS lo, MAX(n_chars) AS hi, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM documents GROUP BY 1
+), matched AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS rows_matched
+  FROM documents WHERE n_chars BETWEEN {_J36_LO} AND {_J36_HI}
+)
+SELECT layout, n_files, files_scanned, rows_matched FROM (
+  SELECT 'clustered' AS layout,
+         CAST(COUNT(*) AS BIGINT) AS n_files,
+         CAST(SUM(CASE WHEN hi >= {_J36_LO} AND lo <= {_J36_HI} THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+         (SELECT rows_matched FROM matched) AS rows_matched
+  FROM sorted_files
+  UNION ALL
+  SELECT 'hashed' AS layout,
+         CAST(COUNT(*) AS BIGINT) AS n_files,
+         CAST(SUM(CASE WHEN hi >= {_J36_LO} AND lo <= {_J36_HI} THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+         (SELECT rows_matched FROM matched) AS rows_matched
+  FROM hash_files
+) ORDER BY layout
+""",
+    tags=("audit", "source"),
+)
+def j36_minmax_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max (zone-map) pruning effectiveness audit: assign documents
+    to {_J36_FILES} files under (a) a CLUSTERED layout — files take
+    contiguous runs of the sorted n_chars value lattice, the effect of
+    `sortWithinPartitions`/Z-ordering on the filter column — and (b) a
+    HASH layout (md5 of doc_id), then count how many files a
+    `n_chars BETWEEN {_J36_LO} AND {_J36_HI}` scan must read under each
+    layout given per-file min/max stats. The clustered layout prunes to
+    ~1-2 files; the hash layout reads all {_J36_FILES} — the number a
+    100 TB table layout decision turns on, measured rather than assumed
+    (pairs with h11, which pins Spark's OWN PartitionFilters; this
+    audits the row-group-statistics layer beneath it).
+
+    Scale: the clustered assignment runs on the bounded n_chars VALUE
+    DICTIONARY (one groupBy, one cumulative window over ~300 lattice
+    rows), never on raw rows; the hash arm is one groupBy.
+    """
+    d = table(spark, sf_dir, "documents")
+    lattice = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wcum = Window.orderBy(F.asc("v"))  # bounded: value lattice aggregate
+    total = lattice.agg(F.sum("cnt").alias("total"))
+    ranked = lattice.withColumn("cum", F.sum("cnt").over(wcum)).crossJoin(F.broadcast(total))
+    sorted_assign = ranked.withColumn(
+        "file_id",
+        F.least(
+            ((F.col("cum") - 1) * _J36_FILES / F.col("total")).cast("bigint"),
+            F.lit(_J36_FILES - 1),
+        ),
+    )
+    sorted_files = sorted_assign.groupBy("file_id").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"), F.sum("cnt").cast("bigint").alias("n_rows")
+    )
+    hash_files = d.groupBy(
+        (_md5fold(F.col("doc_id").cast("string")) % _J36_FILES).alias("file_id")
+    ).agg(F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi"), F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    matched = d.filter(F.col("n_chars").between(_J36_LO, _J36_HI)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_matched")
+    )
+
+    def arm(files: DataFrame, name: str) -> DataFrame:
+        scanned = (F.col("hi") >= _J36_LO) & (F.col("lo") <= _J36_HI)
+        return (
+            files.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_files"),
+                F.sum(scanned.cast("int")).cast("bigint").alias("files_scanned"),
+            )
+            .crossJoin(F.broadcast(matched))
+            .select(F.lit(name).alias("layout"), "n_files", "files_scanned", "rows_matched")
+        )
+
+    return arm(sorted_files, "clustered").unionByName(arm(hash_files, "hashed")).orderBy("layout")
