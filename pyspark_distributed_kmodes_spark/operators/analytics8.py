@@ -1485,3 +1485,471 @@ def j36_minmax_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return arm(sorted_files, "clustered").unionByName(arm(hash_files, "hashed")).orderBy("layout")
+
+
+# ---------------------------------------------------------------------------
+# j37 — incremental aggregate (materialized-view) maintenance
+
+_J37_SPLIT = "1999-01-01"  # base/delta split on o_orderdate
+
+
+@query(
+    "j37_incremental_agg_maintenance",
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderpriority AS pri, CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DECIMAL(25,2)) AS rev
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_J37_SPLIT}'
+  GROUP BY 1, 2
+), delta AS (
+  SELECT o_orderpriority AS pri, CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DECIMAL(25,2)) AS rev
+  FROM orders WHERE o_orderdate >= TIMESTAMP '{_J37_SPLIT}'
+  GROUP BY 1, 2
+), merged AS (
+  SELECT COALESCE(b.pri, d.pri) AS pri, COALESCE(b.yr, d.yr) AS yr,
+         COALESCE(b.cnt, 0) + COALESCE(d.cnt, 0) AS cnt,
+         CAST(COALESCE(b.rev, 0) + COALESCE(d.rev, 0) AS DECIMAL(25,2)) AS rev
+  FROM base b FULL OUTER JOIN delta d ON b.pri = d.pri AND b.yr = d.yr
+), full_ AS (
+  SELECT o_orderpriority AS pri, CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DECIMAL(25,2)) AS rev
+  FROM orders GROUP BY 1, 2
+)
+SELECT m.pri AS pri, m.yr AS yr,
+       CAST(m.cnt AS BIGINT) AS cnt,
+       CAST(m.rev AS DOUBLE) AS rev,
+       CAST(CASE WHEN m.cnt = f.cnt AND m.rev = f.rev THEN 1 ELSE 0 END AS BIGINT) AS agrees
+FROM merged m JOIN full_ f ON m.pri = f.pri AND m.yr = f.yr
+ORDER BY pri, yr
+""",
+    tags=("audit", "cdc"),
+)
+def j37_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance audit: the
+    (priority, year) revenue rollup is computed (a) the incremental way
+    — a BASE aggregate over history plus a DELTA aggregate over the new
+    batch, merged by key addition (the only scan a daily refresh pays
+    is the delta) — and (b) by full recompute; `agrees` gates them
+    equal per group. The merge is lossless because both carriers (count
+    and a DECIMAL(25,2) revenue sum — o_totalprice is on the cent
+    lattice) are exact and associative, the same algebra that makes
+    qg02's incremental dedup and j33's variance merge safe. This is
+    the production refresh pattern for any additive rollup at 100 TB:
+    never re-scan the base.
+
+    Scale: three map-side-combinable aggregations (at production only
+    the delta one runs per refresh) + a full-outer merge join on the
+    bounded group dictionary.
+    """
+    o = table(spark, sf_dir, "orders")
+    split = F.lit(_J37_SPLIT).cast("timestamp")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,2)")).cast("decimal(25,2)").alias("rev"),
+        )
+
+    base = rollup(o.filter(F.col("o_orderdate") < split))
+    delta = rollup(o.filter(F.col("o_orderdate") >= split))
+    b, d = base.alias("b"), delta.alias("d")
+    merged = b.join(
+        d, (F.col("b.pri") == F.col("d.pri")) & (F.col("b.yr") == F.col("d.yr")), "full_outer"
+    ).select(
+        F.coalesce(F.col("b.pri"), F.col("d.pri")).alias("pri"),
+        F.coalesce(F.col("b.yr"), F.col("d.yr")).alias("yr"),
+        (F.coalesce(F.col("b.cnt"), F.lit(0)) + F.coalesce(F.col("d.cnt"), F.lit(0))).alias("cnt"),
+        (F.coalesce(F.col("b.rev"), F.lit(0)) + F.coalesce(F.col("d.rev"), F.lit(0)))
+        .cast("decimal(25,2)")
+        .alias("rev"),
+    )
+    full = rollup(o)
+    m, f_ = merged.alias("m"), full.alias("f")
+    return (
+        m.join(f_, (F.col("m.pri") == F.col("f.pri")) & (F.col("m.yr") == F.col("f.yr")))
+        .select(
+            F.col("m.pri").alias("pri"),
+            F.col("m.yr").alias("yr"),
+            F.col("m.cnt").cast("bigint").alias("cnt"),
+            F.col("m.rev").cast("double").alias("rev"),
+            ((F.col("m.cnt") == F.col("f.cnt")) & (F.col("m.rev") == F.col("f.rev")))
+            .cast("bigint")
+            .alias("agrees"),
+        )
+        .orderBy("pri", "yr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# j38 — block-sampling estimator with measured relative error
+
+_J38_BLOCK = 64  # rows per simulated block (row-group)
+_J38_MOD = 16  # sample 1 block in 16
+
+
+@query(
+    "j38_block_sample_estimate",
+    oracle=f"""
+WITH sampled AS (
+  SELECT o_totalprice FROM orders
+  WHERE {_sql_md5fold(f'CAST(o_orderkey // {_J38_BLOCK} AS VARCHAR)')} % {_J38_MOD} = 0
+), est AS (
+  SELECT CAST(COUNT(*) AS BIGINT) * {_J38_MOD} AS n_est,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) / COUNT(*) AS mean_est
+  FROM sampled
+), exact_ AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) / COUNT(*) AS mean_exact
+  FROM orders
+)
+SELECT e.n_exact AS n_exact, s.n_est AS n_est,
+       {sql_pround('e.mean_exact', 4)} AS mean_exact,
+       {sql_pround('s.mean_est', 4)} AS mean_est,
+       {sql_pround('abs(CAST(s.n_est AS DOUBLE) - e.n_exact) / e.n_exact', 6)} AS count_rel_err,
+       {sql_pround('abs(s.mean_est - e.mean_exact) / e.mean_exact', 6)} AS mean_rel_err
+FROM est s CROSS JOIN exact_ e
+""",
+    tags=("audit", "statistics"),
+)
+def j38_block_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-sampling estimator audit: sample 1-in-{_J38_MOD} BLOCKS of
+    {_J38_BLOCK} consecutive order keys (simulating parquet row-group
+    sampling, where I/O is saved only if whole blocks are skipped —
+    TABLESAMPLE SYSTEM semantics), scale the sampled count/mean up, and
+    report the measured relative error against the exact scan. This is
+    the estimator a query planner or a stats-refresh job runs at 100 TB
+    where a full scan per statistic is unaffordable; the audit
+    quantifies the block-correlation penalty vs row-level sampling.
+
+    Both SIDES of the estimate are fully aggregated (no pair join
+    downstream): the md5 block filter here is a sample-and-scale
+    estimator, not the h12-class stride-sample-into-pair-join pattern
+    the sampling lint bans.
+
+    Scale: the sample predicate is computable at scan time; everything
+    after is two map-side-combinable aggregations.
+    """
+    o = table(spark, sf_dir, "orders")
+    blk = _md5fold((F.col("o_orderkey") / _J38_BLOCK).cast("bigint").cast("string"))
+    sampled = o.filter(blk % _J38_MOD == 0)
+    est = sampled.agg(
+        (F.count(F.lit(1)) * _J38_MOD).cast("bigint").alias("n_est"),
+        (F.sum(F.col("o_totalprice").cast("decimal(25,2)")).cast("double") / F.count(F.lit(1))).alias(
+            "mean_est"
+        ),
+    )
+    exact = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+        (F.sum(F.col("o_totalprice").cast("decimal(25,2)")).cast("double") / F.count(F.lit(1))).alias(
+            "mean_exact"
+        ),
+    )
+    j = est.crossJoin(F.broadcast(exact))
+    return j.select(
+        "n_exact",
+        "n_est",
+        pround(F.col("mean_exact"), 4).alias("mean_exact"),
+        pround(F.col("mean_est"), 4).alias("mean_est"),
+        pround(
+            F.abs(F.col("n_est").cast("double") - F.col("n_exact")) / F.col("n_exact"), 6
+        ).alias("count_rel_err"),
+        pround(F.abs(F.col("mean_est") - F.col("mean_exact")) / F.col("mean_exact"), 6).alias(
+            "mean_rel_err"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# j39 — group-by cardinality audit: joint distinct vs independence product
+
+
+@query(
+    "j39_groupby_cardinality_audit",
+    oracle="""
+WITH a1 AS (
+  SELECT 'orders.priority_x_year' AS pair_name,
+         CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS d_a,
+         CAST(COUNT(DISTINCT year(o_orderdate)) AS BIGINT) AS d_b,
+         CAST(COUNT(DISTINCT o_orderpriority || '|' || CAST(year(o_orderdate) AS VARCHAR)) AS BIGINT) AS d_joint
+  FROM orders
+), a2 AS (
+  SELECT 'documents.lang_x_source' AS pair_name,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS d_a,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS d_b,
+         CAST(COUNT(DISTINCT lang || '|' || source) AS BIGINT) AS d_joint
+  FROM documents
+)
+SELECT pair_name, d_a, d_b, d_joint,
+       CAST(d_a * d_b AS BIGINT) AS d_independent,
+       {R} AS correlation_factor
+FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+ORDER BY pair_name
+""".replace("{R}", sql_pround("CAST(d_joint AS DOUBLE) / (d_a * d_b)", 6)),
+    tags=("audit",),
+)
+def j39_groupby_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column cardinality audit: for two column pairs, compare the
+    JOINT distinct count against the independence product |A| x |B| and
+    report the correlation factor joint/(|A||B|) — the number behind
+    every optimizer's group-by and join output-size estimate (planners
+    assume independence; a factor << 1 means correlated columns and an
+    estimate off by 1/factor). i21 audits a specific join's fan-out;
+    this audits the column-statistics assumption itself, the preflight
+    a 100 TB GROUP BY runs before choosing shuffle partition counts.
+
+    Scale: per pair, one aggregate with three distinct counts over
+    bounded-cardinality columns; the joint key is concatenated so the
+    count is a single pass (no nested distinct shuffle).
+    """
+    o = table(spark, sf_dir, "orders")
+    d = table(spark, sf_dir, "documents")
+    a1 = o.agg(
+        F.count_distinct("o_orderpriority").cast("bigint").alias("d_a"),
+        F.count_distinct(F.year("o_orderdate")).cast("bigint").alias("d_b"),
+        F.count_distinct(
+            F.concat_ws("|", "o_orderpriority", F.year("o_orderdate").cast("string"))
+        )
+        .cast("bigint")
+        .alias("d_joint"),
+    ).select(F.lit("orders.priority_x_year").alias("pair_name"), "d_a", "d_b", "d_joint")
+    a2 = d.agg(
+        F.count_distinct("lang").cast("bigint").alias("d_a"),
+        F.count_distinct("source").cast("bigint").alias("d_b"),
+        F.count_distinct(F.concat_ws("|", "lang", "source")).cast("bigint").alias("d_joint"),
+    ).select(F.lit("documents.lang_x_source").alias("pair_name"), "d_a", "d_b", "d_joint")
+    u = a1.unionByName(a2)
+    return u.select(
+        "pair_name",
+        "d_a",
+        "d_b",
+        "d_joint",
+        (F.col("d_a") * F.col("d_b")).cast("bigint").alias("d_independent"),
+        pround(F.col("d_joint").cast("double") / (F.col("d_a") * F.col("d_b")), 6).alias(
+            "correlation_factor"
+        ),
+    ).orderBy("pair_name")
+
+
+# ---------------------------------------------------------------------------
+# j40 — dynamic partition overwrite: rewrite one partition, touch nothing else
+
+
+@query(
+    "j40_dynamic_partition_overwrite",
+    oracle=f"""
+WITH after AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 2 ELSE o_totalprice END AS price
+  FROM orders
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+       {sql_dsum("CASE WHEN o_orderpriority = '1-URGENT' THEN price ELSE 0 END")} AS urgent_revenue,
+       {sql_dsum("CASE WHEN o_orderpriority <> '1-URGENT' THEN price ELSE 0 END")} AS other_revenue
+FROM after
+""",
+    tags=("source", "cdc"),
+)
+def j40_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (partitionOverwriteMode=dynamic) over
+    a hive-partitioned parquet sink: orders are written partitioned by
+    priority, then a rewrite batch containing ONLY the 1-URGENT
+    partition (prices doubled, the simulated backfill) is written with
+    mode=overwrite — in dynamic mode Spark replaces just the partitions
+    present in the batch, leaving the other four untouched on disk
+    (static mode would have truncated the whole table: the classic
+    production data-loss foot-gun this op pins down). The read-back
+    totals are oracle-gated against the expected post-backfill state.
+
+    Scale: partition-selective rewrite is THE idiom for backfilling one
+    day/tenant out of a 100 TB table — write cost scales with the
+    partition, not the table. Cleanup in finally; session conf is
+    restored after the write.
+    """
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="j40_dpo_")
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(conf_key, "STATIC")
+    try:
+        o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(base)
+        backfill = (
+            spark.read.parquet(base)
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        )
+        spark.conf.set(conf_key, "dynamic")
+        backfill.write.mode("overwrite").partitionBy("o_orderpriority").parquet(base)
+        spark.conf.set(conf_key, old)
+        after = spark.read.parquet(base)
+        urgent = F.col("o_orderpriority") == "1-URGENT"
+        return after.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum(urgent.cast("int")).cast("bigint").alias("n_urgent"),
+            dsum(F.when(urgent, F.col("o_totalprice")).otherwise(F.lit(0.0))).alias(
+                "urgent_revenue"
+            ),
+            dsum(F.when(~urgent, F.col("o_totalprice")).otherwise(F.lit(0.0))).alias(
+                "other_revenue"
+            ),
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(conf_key, old)
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# j41 — average precision at score-bucket granularity
+
+
+@query(
+    "j41_average_precision",
+    oracle=f"""
+WITH users AS (
+  SELECT user_id,
+         CAST({_sql_md5fold('CAST(user_id AS VARCHAR)')} % 10000 AS DOUBLE) / 10000 AS score,
+         CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INTEGER) AS label
+  FROM events GROUP BY user_id
+), dict AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(label) AS BIGINT) AS pos
+  FROM users GROUP BY score
+), ranked AS (
+  SELECT score, cnt, pos,
+         SUM(cnt) OVER (ORDER BY score DESC) AS cum_cnt,
+         SUM(pos) OVER (ORDER BY score DESC) AS cum_pos
+  FROM dict
+), ap AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(cnt) AS BIGINT) AS n_users,
+         CAST(SUM(CAST({sql_pround('pos * (CAST(cum_pos AS DOUBLE) / cum_cnt)', 9)} AS DECIMAL(25,12))) AS DOUBLE) AS ap_num
+  FROM ranked
+)
+SELECT n_users, n_pos,
+       {sql_pround('ap_num / n_pos', 6)} AS avg_precision
+FROM ap
+""",
+    tags=("ml", "statistics"),
+)
+def j41_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision of the ranking model from j01 (md5 pseudo-score
+    vs purchase label), at SCORE-BUCKET granularity: users sharing a
+    score form one retrieval step, each bucket contributes
+    pos_in_bucket * precision_at_bucket_end, AP = sum/n_pos — the
+    tie-invariant bucket form of AP (identical to classic AP when
+    scores are distinct) that needs NO row-level global ranking: the
+    cumulative window runs over the bounded score dictionary exactly
+    like j01's rank sums. AP complements AUC: AUC weights all pairs,
+    AP concentrates on the head of the ranking — a retrieval/dedup
+    threshold decision wants both.
+
+    Scale: per-user collapse, score-dictionary collapse (<=10000 rows
+    by construction), one bounded-lattice cumulative window, 1-row out.
+    """
+    e = table(spark, sf_dir, "events")
+    users = (
+        e.groupBy("user_id")
+        .agg(F.max((F.col("event_type") == "purchase").cast("int")).alias("label"))
+        .select(
+            ((_md5fold(F.col("user_id").cast("string")) % 10000).cast("double") / 10000).alias(
+                "score"
+            ),
+            "label",
+        )
+    )
+    dict_ = users.groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"), F.sum("label").cast("bigint").alias("pos")
+    )
+    w = Window.orderBy(F.desc("score"))  # bounded: score dictionary (<=10000)
+    ranked = dict_.withColumn("cum_cnt", F.sum("cnt").over(w)).withColumn(
+        "cum_pos", F.sum("pos").over(w)
+    )
+    ap = ranked.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("cnt").cast("bigint").alias("n_users"),
+        F.sum(
+            pround(
+                F.col("pos") * (F.col("cum_pos").cast("double") / F.col("cum_cnt")), 9
+            ).cast("decimal(25,12)")
+        )
+        .cast("double")
+        .alias("ap_num"),
+    )
+    return ap.select(
+        "n_users", "n_pos", pround(F.col("ap_num") / F.col("n_pos"), 6).alias("avg_precision")
+    )
+
+
+# ---------------------------------------------------------------------------
+# j42 — character-class profile per source
+
+
+@query(
+    "j42_charclass_profile",
+    oracle=f"""
+WITH per_doc AS (
+  SELECT source,
+         CAST(length(text) AS BIGINT) AS total,
+         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS digits,
+         CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS spaces,
+         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS puncts
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(total) AS BIGINT) AS n_chars,
+       {sql_pround('CAST(SUM(digits) AS DOUBLE) / SUM(total)', 6)} AS digit_ratio,
+       {sql_pround('CAST(SUM(spaces) AS DOUBLE) / SUM(total)', 6)} AS space_ratio,
+       {sql_pround('CAST(SUM(puncts) AS DOUBLE) / SUM(total)', 6)} AS punct_ratio
+FROM per_doc
+GROUP BY source
+ORDER BY source
+""",
+    tags=("text",),
+)
+def j42_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition per source — digit, whitespace and
+    punctuation ratios over total characters — the cheap corpus-quality
+    fingerprint that catches machine-generated tables (digit-heavy),
+    boilerplate navigation (punct-heavy) or whitespace-padded spam
+    before any tokenizer runs; the per-class counts are the
+    strip-and-diff idiom (len(text) - len(text with class removed)),
+    one regexp pass per class, all JVM-side. Complements qf27 (entropy)
+    and q52 (stopword/length quality) with the CLASS mix.
+
+    Scale: stateless per-row map + one map-side-combinable groupBy on
+    the bounded source dictionary; integer counts, two exact-integer
+    sums per ratio, one float division each.
+    """
+    d = table(spark, sf_dir, "documents")
+    total = F.length("text").cast("bigint")
+
+    def cls_count(pattern: str) -> Column:
+        return (F.length("text") - F.length(F.regexp_replace("text", pattern, ""))).cast("bigint")
+
+    per_doc = d.select(
+        "source",
+        total.alias("total"),
+        cls_count("[0-9]").alias("digits"),
+        cls_count(" ").alias("spaces"),
+        cls_count("[.,!?;:]").alias("puncts"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("total").cast("bigint").alias("n_chars"),
+            pround(F.sum("digits").cast("double") / F.sum("total"), 6).alias("digit_ratio"),
+            pround(F.sum("spaces").cast("double") / F.sum("total"), 6).alias("space_ratio"),
+            pround(F.sum("puncts").cast("double") / F.sum("total"), 6).alias("punct_ratio"),
+        )
+        .orderBy("source")
+    )
