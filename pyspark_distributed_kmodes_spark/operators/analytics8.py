@@ -1403,7 +1403,7 @@ WITH lattice AS (
          (SELECT SUM(cnt) FROM lattice) AS total
   FROM lattice
 ), sorted_assign AS (
-  SELECT v, cnt, LEAST(CAST((cum - 1) * {_J36_FILES} / total AS BIGINT), {_J36_FILES - 1}) AS file_id
+  SELECT v, cnt, LEAST(CAST(floor((cum - 1) * {_J36_FILES} / total) AS BIGINT), {_J36_FILES - 1}) AS file_id
   FROM ranked
 ), sorted_files AS (
   SELECT file_id, MIN(v) AS lo, MAX(v) AS hi, CAST(SUM(cnt) AS BIGINT) AS n_rows
@@ -1459,7 +1459,7 @@ def j36_minmax_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted_assign = ranked.withColumn(
         "file_id",
         F.least(
-            ((F.col("cum") - 1) * _J36_FILES / F.col("total")).cast("bigint"),
+            F.floor((F.col("cum") - 1) * _J36_FILES / F.col("total")).cast("bigint"),
             F.lit(_J36_FILES - 1),
         ),
     )
@@ -1952,4 +1952,477 @@ def j42_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.sum("puncts").cast("double") / F.sum("total"), 6).alias("punct_ratio"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# j43 — per-language length-percentile tails over the value lattice
+
+_J43_LO, _J43_HI = 0.05, 0.95
+
+
+@query(
+    "j43_doc_length_percentile",
+    oracle=f"""
+WITH lattice AS (
+  SELECT lang, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY lang, n_chars
+), cum AS (
+  SELECT lang, v, cnt,
+         SUM(cnt) OVER (PARTITION BY lang ORDER BY v ASC) AS cum,
+         SUM(cnt) OVER (PARTITION BY lang) AS total
+  FROM lattice
+), cuts AS (
+  SELECT lang,
+         MAX(CASE WHEN CAST(cum AS DOUBLE) / total <= {_J43_LO} THEN v END) AS low_cut,
+         MIN(CASE WHEN CAST(cum AS DOUBLE) / total >= {_J43_HI} THEN v END) AS high_cut
+  FROM cum GROUP BY lang
+)
+SELECT c.lang AS lang,
+       CAST(SUM(l.cnt) AS BIGINT) AS n_docs,
+       CAST(COALESCE(c.low_cut, -1) AS BIGINT) AS low_cut,
+       CAST(c.high_cut AS BIGINT) AS high_cut,
+       CAST(COALESCE(SUM(CASE WHEN l.v <= c.low_cut THEN l.cnt END), 0) AS BIGINT) AS n_low_tail,
+       CAST(COALESCE(SUM(CASE WHEN l.v >= c.high_cut THEN l.cnt END), 0) AS BIGINT) AS n_high_tail
+FROM lattice l JOIN cuts c ON l.lang = c.lang
+GROUP BY c.lang, c.low_cut, c.high_cut
+ORDER BY lang
+""",
+    tags=("text", "curation"),
+)
+def j43_doc_length_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length tail cuts: the largest length whose
+    cumulative share is <= 5% (low_cut) and the smallest with
+    cumulative share >= 95% (high_cut), plus how many documents each
+    tail holds — the per-STRATUM percentile filter bounds an LLM
+    curation pipeline applies before training (too-short docs are
+    boilerplate, too-long are concatenation accidents), computed
+    entirely on the per-lang length DICTIONARY so no row-level ranking
+    exists anywhere. Missing low_cut (no lattice point at or below 5%)
+    is reported as -1.
+
+    Scale: one groupBy to the (lang x length) lattice; the cumulative
+    windows are PARTITIONED by lang over that bounded aggregate; tail
+    counts come from re-joining the lattice (not the rows) to the cuts.
+    """
+    d = table(spark, sf_dir, "documents")
+    lattice = d.groupBy("lang", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wl = Window.partitionBy("lang").orderBy(F.asc("v"))
+    wt = Window.partitionBy("lang")
+    cum = lattice.withColumn("cum", F.sum("cnt").over(wl)).withColumn(
+        "total", F.sum("cnt").over(wt)
+    )
+    share = F.col("cum").cast("double") / F.col("total")
+    cuts = cum.groupBy("lang").agg(
+        F.max(F.when(share <= _J43_LO, F.col("v"))).alias("low_cut"),
+        F.min(F.when(share >= _J43_HI, F.col("v"))).alias("high_cut"),
+    )
+    j = lattice.join(F.broadcast(cuts), "lang")
+    return (
+        j.groupBy("lang", "low_cut", "high_cut")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_docs"),
+            F.coalesce(
+                F.sum(F.when(F.col("v") <= F.col("low_cut"), F.col("cnt"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_low_tail"),
+            F.coalesce(
+                F.sum(F.when(F.col("v") >= F.col("high_cut"), F.col("cnt"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_high_tail"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce(F.col("low_cut"), F.lit(-1)).cast("bigint").alias("low_cut"),
+            F.col("high_cut").cast("bigint").alias("high_cut"),
+            "n_low_tail",
+            "n_high_tail",
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# j44 — unionByName schema reconciliation across generations
+
+
+@query(
+    "j44_union_schema_reconcile",
+    oracle="""
+WITH legacy AS (
+  SELECT doc_id, n_chars, NULL AS lang, NULL AS source
+  FROM documents WHERE doc_id % 2 = 0
+), modern AS (
+  SELECT doc_id, n_chars, lang, source
+  FROM documents WHERE doc_id % 2 = 1
+), unioned AS (
+  SELECT * FROM legacy UNION ALL SELECT * FROM modern
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
+       CAST(SUM(CASE WHEN lang IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_modern,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS langs_seen,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total
+FROM unioned
+""",
+    tags=("source", "relational"),
+)
+def j44_union_schema_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema reconciliation across table GENERATIONS with
+    unionByName(allowMissingColumns=True): a legacy batch lacking the
+    lang/source columns unions with the modern batch BY NAME — Spark
+    null-fills the missing columns and aligns by column name, not
+    position (positional unionAll would silently mis-bind columns, the
+    classic schema-drift corruption) — then one aggregate profiles the
+    merged view. i27 tests the READER-side mergeSchema; this is the
+    in-plan union-side reconcile an ingest job needs when upstream
+    producers upgrade at different times. The even/odd doc_id split is
+    a generation SPLIT (both sides fully kept), not a sample.
+
+    Scale: pure narrow ops — two scans of the same source with column
+    pruning, a union (no shuffle), one aggregation.
+    """
+    d = table(spark, sf_dir, "documents")
+    legacy = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "n_chars")
+    modern = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "n_chars", "lang", "source")
+    unioned = legacy.unionByName(modern, allowMissingColumns=True)
+    return unioned.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(F.col("lang").isNull().cast("int")).cast("bigint").alias("n_legacy"),
+        F.sum(F.col("lang").isNotNull().cast("int")).cast("bigint").alias("n_modern"),
+        F.count_distinct("lang").cast("bigint").alias("langs_seen"),
+        F.sum("n_chars").cast("bigint").alias("chars_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# j45 — boilerplate rate by segment POSITION (head / middle / tail)
+
+_J45_SEG_WORDS = 10
+
+
+@query(
+    "j45_boilerplate_position",
+    oracle=f"""
+WITH segs AS (
+  SELECT doc_id,
+         CAST((s - 1) // {_J45_SEG_WORDS} AS BIGINT) AS seg_idx,
+         CAST((len(string_split(text, ' ')) + {_J45_SEG_WORDS - 1}) // {_J45_SEG_WORDS} AS BIGINT) AS n_segs,
+         md5(array_to_string(string_split(text, ' ')[s:s + {_J45_SEG_WORDS - 1}], ' ')) AS seg_hash
+  FROM documents,
+       (SELECT unnest(range(1, (SELECT MAX(len(string_split(text, ' '))) FROM documents) + 1, {_J45_SEG_WORDS})) AS s)
+  WHERE s <= len(string_split(text, ' '))
+), freq AS (
+  SELECT seg_hash, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg_hash
+), classed AS (
+  SELECT CASE WHEN s.seg_idx = 0 THEN 'head'
+              WHEN s.seg_idx = s.n_segs - 1 THEN 'tail'
+              ELSE 'middle' END AS position,
+         CASE WHEN f.df > 1 THEN 1 ELSE 0 END AS shared
+  FROM segs s JOIN freq f ON f.seg_hash = s.seg_hash
+)
+SELECT position,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(shared) AS BIGINT) AS n_shared,
+       {sql_pround('CAST(SUM(shared) AS DOUBLE) / COUNT(*)', 6)} AS shared_frac
+FROM classed GROUP BY position
+ORDER BY position
+""",
+    tags=("dedup", "text"),
+)
+def j45_boilerplate_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate rate CONDITIONED on segment position: cut documents
+    into {_J45_SEG_WORDS}-word segments (qf13's segmentation), mark a
+    segment shared when its hash appears in more than one document,
+    and report the shared fraction separately for the FIRST segment,
+    the LAST segment, and the middle — web boilerplate (nav headers,
+    cookie banners, footers) concentrates at document edges, so
+    head/tail rates far above the middle rate are the signature that a
+    position-aware line-dedup pass (CCNet's) would pay off, and the
+    middle rate approximates the true content duplication floor. A doc
+    with one segment counts as 'head'.
+
+    Scale: identical shape to qf13 (non-overlapping explode, md5 keys,
+    distinct-doc df, join back on hash) plus a constant-width position
+    classification; the final rollup has three rows.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    starts = F.sequence(F.lit(1), F.size(words), F.lit(_J45_SEG_WORDS))
+    n_segs = F.floor((F.size(words) + (_J45_SEG_WORDS - 1)) / _J45_SEG_WORDS).cast("bigint")
+    segs = d.select(
+        "doc_id",
+        n_segs.alias("n_segs"),
+        F.explode(starts).alias("s"),
+        words.alias("w"),
+    ).select(
+        "doc_id",
+        "n_segs",
+        F.floor((F.col("s") - 1) / _J45_SEG_WORDS).cast("bigint").alias("seg_idx"),
+        F.md5(F.array_join(F.slice("w", F.col("s"), _J45_SEG_WORDS), " ")).alias("seg_hash"),
+    )
+    freq = segs.groupBy("seg_hash").agg(F.count_distinct("doc_id").alias("df"))
+    classed = segs.join(freq, "seg_hash").select(
+        F.when(F.col("seg_idx") == 0, "head")
+        .when(F.col("seg_idx") == F.col("n_segs") - 1, "tail")
+        .otherwise("middle")
+        .alias("position"),
+        (F.col("df") > 1).cast("int").alias("shared"),
+    )
+    return (
+        classed.groupBy("position")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.sum("shared").cast("bigint").alias("n_shared"),
+            pround(F.sum("shared").cast("double") / F.count(F.lit(1)), 6).alias("shared_frac"),
+        )
+        .orderBy("position")
+    )
+
+
+# ---------------------------------------------------------------------------
+# j46 — business-day shipping latency via the weekday-prefix closed form
+
+
+def _sql_weekday_prefix(date_expr: str) -> str:
+    """Weekdays in [1969-12-29 (a Monday), date): closed form
+    W(m) = 5*(m//7) + least(m%7, 5) with m = days since that Monday."""
+    m = f"(datediff('day', DATE '1969-12-29', {date_expr}))"
+    return f"(5 * ({m} // 7) + least({m} % 7, 5))"
+
+
+def _weekday_prefix(col: Column) -> Column:
+    m = F.datediff(col, F.lit("1969-12-29").cast("date"))
+    return 5 * F.floor(m / 7) + F.least(m % 7, F.lit(5))
+
+
+@query(
+    "j46_business_days_latency",
+    oracle=f"""
+WITH lat AS (
+  SELECT o.o_orderpriority AS pri,
+         {_sql_weekday_prefix("CAST(l.l_shipdate AS DATE) + 1")}
+           - {_sql_weekday_prefix("CAST(o.o_orderdate AS DATE) + 1")} AS bdays
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT pri,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(bdays AS DECIMAL(25,0))) AS BIGINT) AS bdays_total,
+       {sql_pround('CAST(SUM(CAST(bdays AS DECIMAL(25,0))) AS DOUBLE) / COUNT(*)', 6)} AS avg_bdays,
+       CAST(MAX(bdays) AS BIGINT) AS max_bdays
+FROM lat GROUP BY pri
+ORDER BY pri
+""",
+    tags=("relational", "timeseries"),
+)
+def j46_business_days_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day (Mon-Fri) shipping latency per order priority:
+    weekdays strictly after the order date up to and including the ship
+    date, computed with the WEEKDAY-PREFIX closed form — W(d) = number
+    of weekdays since a fixed reference Monday, so bdays(a, b] =
+    W(b+1) - W(a+1) — pure integer arithmetic per row, NO calendar
+    table, no per-day explosion (a date-spine join would fan each of
+    the 60k+ rows into its full date range). Calendar-day latency
+    (qf16's buckets) overstates SLA breaches that span weekends; this
+    is the SLA number as contracts define it.
+
+    Scale: one equi join on the FK and one grouped aggregate; the
+    closed form is branch-free and codegen-friendly. Holidays would be
+    one broadcast anti-join away, orthogonal to the shape.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderpriority").alias("pri"), F.col("o_orderdate").cast("date").alias("od")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "pri",
+        (
+            _weekday_prefix(F.date_add(F.col("sd"), 1)) - _weekday_prefix(F.date_add(F.col("od"), 1))
+        ).alias("bdays"),
+    )
+    return (
+        lat.groupBy("pri")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.col("bdays").cast("decimal(25,0)")).cast("bigint").alias("bdays_total"),
+            pround(
+                F.sum(F.col("bdays").cast("decimal(25,0)")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_bdays"),
+            F.max("bdays").cast("bigint").alias("max_bdays"),
+        )
+        .orderBy("pri")
+    )
+
+
+# ---------------------------------------------------------------------------
+# j47 — repartitionByRange balance audit on quantized boundaries
+
+_J47_PARTS = 8
+_J47_BUCKET = 1000.0  # price quantization for the bounded lattice
+
+
+@query(
+    "j47_range_partition_balance",
+    oracle=f"""
+WITH lattice AS (
+  SELECT CAST(floor(o_totalprice / {_J47_BUCKET}) AS BIGINT) AS b, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM lattice
+), cum AS (
+  SELECT b, cnt,
+         COALESCE(SUM(cnt) OVER (ORDER BY b ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM lattice
+), assigned AS (
+  SELECT c.b, c.cnt, t.total,
+         LEAST(CAST(floor(c.cum_before * {_J47_PARTS} / t.total) AS BIGINT), {_J47_PARTS - 1}) AS pid
+  FROM cum c CROSS JOIN tot t
+)
+SELECT CAST(pid AS BIGINT) AS partition_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       {sql_pround(f'CAST(SUM(cnt) AS DOUBLE) * {_J47_PARTS} / MAX(total)', 6)} AS balance_ratio
+FROM assigned GROUP BY pid
+ORDER BY partition_id
+""",
+    tags=("audit",),
+)
+def j47_range_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioning balance audit: derive {_J47_PARTS} range
+    boundaries for o_totalprice from exact cumulative counts over a
+    $1000-quantized value lattice (each bucket lands in the partition
+    its cumulative offset selects — sorted-fill, the deterministic
+    analog of repartitionByRange's sampled boundaries), then report
+    each partition's row count and its balance ratio vs the ideal
+    n/{_J47_PARTS}. A ratio far from 1.0 on some partition is the skew
+    that makes a range-partitioned write (qe17-style sorted layouts,
+    j36's clustered files) long-tail; this measures it BEFORE paying
+    the shuffle, from a lattice one map-side groupBy produces.
+
+    Scale: all logic runs on the bounded price lattice (~600 buckets);
+    raw rows are touched once by the quantizing groupBy. The global
+    cumulative window consumes that aggregate only.
+    """
+    o = table(spark, sf_dir, "orders")
+    lattice = o.groupBy(
+        F.floor(F.col("o_totalprice") / _J47_BUCKET).cast("bigint").alias("b")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w = Window.orderBy(F.asc("b")).rowsBetween(Window.unboundedPreceding, -1)
+    total = lattice.agg(F.sum("cnt").alias("total"))
+    cum = lattice.withColumn("cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0))).crossJoin(
+        F.broadcast(total)
+    )
+    assigned = cum.withColumn(
+        "pid",
+        F.least(
+            F.floor(F.col("cum_before") * _J47_PARTS / F.col("total")).cast("bigint"),
+            F.lit(_J47_PARTS - 1),
+        ),
+    )
+    return (
+        assigned.groupBy(F.col("pid").cast("bigint").alias("partition_id"))
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+            pround(F.sum("cnt").cast("double") * _J47_PARTS / F.max("total"), 6).alias(
+                "balance_ratio"
+            ),
+        )
+        .orderBy("partition_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# j48 — Welch's unequal-variance t-test between two language strata
+
+
+@query(
+    "j48_welch_ttest",
+    oracle="""
+WITH s AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(n_chars * n_chars AS DECIMAL(38,0))) AS DOUBLE) AS s2
+  FROM documents WHERE lang IN ('en', 'de') GROUP BY lang
+), m AS (
+  SELECT lang, n, s1 / n AS mean,
+         (s2 - s1 * s1 / n) / (n - 1) AS var_
+  FROM s
+), w AS (
+  SELECT a.n AS n1, b.n AS n2,
+         a.mean - b.mean AS mean_diff,
+         a.var_ / a.n + b.var_ / b.n AS se2,
+         a.var_ / a.n AS q1, b.var_ / b.n AS q2
+  FROM m a CROSS JOIN m b
+  WHERE a.lang = 'en' AND b.lang = 'de'
+)
+SELECT n1, n2,
+       {MD} AS mean_diff,
+       {T} AS t_stat,
+       {DF} AS df_welch
+FROM w
+""".replace("{MD}", sql_pround("mean_diff", 6))
+    .replace("{T}", sql_pround("mean_diff / sqrt(se2)", 6))
+    .replace(
+        "{DF}",
+        sql_pround("se2 * se2 / (q1 * q1 / (n1 - 1) + q2 * q2 / (n2 - 1))", 6),
+    ),
+    tags=("statistics", "text"),
+)
+def j48_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test comparing mean document length
+    between the 'en' and 'de' strata, with the Welch-Satterthwaite
+    effective degrees of freedom — the CORRECT two-sample mean test
+    when strata differ in size and variance (the pooled-variance
+    Student t silently assumes homogeneity; j20 is the test OF that
+    assumption, this is what to run when it fails). Sample variance
+    uses the n-1 form computed from exact integer power sums.
+
+    Scale: one grouped aggregation over the filtered scan (lang
+    predicate pushed down), then a 2-row pivot via self-cross of the
+    1-row-per-stratum aggregate. All float expressions are written
+    identically on both engines; sqrt only.
+    """
+    d = table(spark, sf_dir, "documents").filter(F.col("lang").isin("en", "de"))
+    c = F.col("n_chars")
+    s = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(c.cast("decimal(38,0)")).cast("double").alias("s1"),
+        F.sum((c * c).cast("decimal(38,0)")).cast("double").alias("s2"),
+    )
+    m = s.select(
+        "lang",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)).alias("var_"),
+    )
+    a = m.filter(F.col("lang") == "en").alias("a")
+    b = m.filter(F.col("lang") == "de").alias("b")
+    w = a.crossJoin(F.broadcast(b)).select(
+        F.col("a.n").alias("n1"),
+        F.col("b.n").alias("n2"),
+        (F.col("a.mean") - F.col("b.mean")).alias("mean_diff"),
+        (F.col("a.var_") / F.col("a.n") + F.col("b.var_") / F.col("b.n")).alias("se2"),
+        (F.col("a.var_") / F.col("a.n")).alias("q1"),
+        (F.col("b.var_") / F.col("b.n")).alias("q2"),
+    )
+    return w.select(
+        "n1",
+        "n2",
+        pround(F.col("mean_diff"), 6).alias("mean_diff"),
+        pround(F.col("mean_diff") / F.sqrt(F.col("se2")), 6).alias("t_stat"),
+        pround(
+            F.col("se2") * F.col("se2")
+            / (
+                F.col("q1") * F.col("q1") / (F.col("n1") - 1)
+                + F.col("q2") * F.col("q2") / (F.col("n2") - 1)
+            ),
+            6,
+        ).alias("df_welch"),
     )
