@@ -1,18 +1,15 @@
-"""Property tests for the round-6 staged j19-j50 suite
-(operators/analytics8.py): independent python/numpy re-derivations
-(Kendall tau over the pandas crosstab, Jarque-Bera and Welch t from raw
-moments, Mann-Kendall S, runs counting, the weekday-prefix closed form
-vs a brute date loop), algebra identities (mergeable variance carriers,
-incremental rollup agreement, WAP publish gate), and bound checks.
+"""Property tests for the round-6 staged j-suite
+(operators/analytics7.py): independent python/numpy re-derivations
+(AUC vs sklearn-style rank formula, ANOVA vs scipy-free moments,
+kappa recompute, Theil-Sen vs numpy median), algebra identities
+(histogram merge, drawdown bounds), and the sources' byte-exactness.
 """
 
-import datetime as dt
 import math
 
 import pytest
 from pyspark.sql import functions as F
 
-from pyspark_distributed_kmodes_spark.operators.analytics8 import _weekday_prefix
 from pyspark_distributed_kmodes_spark.registry import load_all
 from pyspark_distributed_kmodes_spark.sources.tables import table
 
@@ -22,393 +19,281 @@ def reg():
     return load_all()
 
 
-# ---------------------------------------------------------------------------
-# statistics re-derivations
+def _user_scores_labels(spark, sf_dir):
+    """Python reference: md5-lattice score + purchase label per user."""
+    import hashlib
 
-
-def test_j19_tau_matches_pandas_crosstab(spark, sf_dir, reg, duck):
-    import numpy as np
-
-    r = reg["j19_kendall_tau"].fn(spark, sf_dir).collect()[0]
-    cells = duck.execute(
-        "SELECT l_quantity, l_discount, COUNT(*) FROM lineitem GROUP BY 1, 2"
-    ).fetchall()
-    q = np.array([c[0] for c in cells])
-    d = np.array([c[1] for c in cells])
-    n = np.array([c[2] for c in cells], dtype=np.int64)
-    C = D = 0
-    for i in range(len(cells)):
-        sgn = np.sign((q - q[i]) * (d - d[i]))
-        C += int(n[i] * n[(sgn > 0)].sum())
-        D += int(n[i] * n[(sgn < 0)].sum())
-    C, D = C // 2, D // 2  # each unordered pair visited twice
-    assert (r.concordant, r.discordant) == (C, D)
-    N = int(n.sum())
-    n0 = N * (N - 1) / 2
-    n1 = sum(t * (t - 1) / 2 for t in np.bincount(q.astype(int), weights=n).astype(int) if t > 1)
-    cnts_d = {}
-    for di, ni in zip(d, n):
-        cnts_d[di] = cnts_d.get(di, 0) + int(ni)
-    n2 = sum(t * (t - 1) / 2 for t in cnts_d.values())
-    tau = (C - D) / math.sqrt((n0 - n1) * (n0 - n2))
-    assert abs(r.tau_b - tau) < 1e-6
-    assert -1.0 <= r.tau_b <= 1.0
-
-
-def test_j20_levene_matches_numpy(spark, sf_dir, reg, duck):
-    import numpy as np
-
-    r = reg["j20_levene_test"].fn(spark, sf_dir).collect()[0]
-    rows = duck.execute("SELECT o_orderpriority, o_totalprice FROM orders").fetchall()
-    groups = {}
-    for g, x in rows:
-        groups.setdefault(g, []).append(x)
-    zs = {g: np.abs(np.array(v) - np.median(v)) for g, v in groups.items()}
-    zbar = {g: z.mean() for g, z in zs.items()}
-    n = sum(len(v) for v in groups.values())
-    k = len(groups)
-    grand = sum(z.sum() for z in zs.values()) / n
-    num = sum(len(zs[g]) * (zbar[g] - grand) ** 2 for g in groups)
-    den = sum(((zs[g] - zbar[g]) ** 2).sum() for g in groups)
-    w = (n - k) / (k - 1) * num / den
-    assert r.k == k and r.n == n
-    # engine quantizes num/den terms to integers; values are ~1e9+, so
-    # the statistic agrees to ~1e-4 relative
-    assert abs(r.w_stat - w) / max(w, 1e-9) < 1e-3
-    assert r.w_stat >= 0
-
-
-def test_j21_jb_matches_numpy(spark, sf_dir, reg, duck):
-    import numpy as np
-
-    rows = {r.lang: r for r in reg["j21_jarque_bera"].fn(spark, sf_dir).collect()}
-    data = duck.execute("SELECT lang, n_chars FROM documents").fetchall()
-    bylang = {}
-    for lang, c in data:
-        bylang.setdefault(lang, []).append(c)
-    for lang, xs in bylang.items():
-        x = np.array(xs, dtype=np.float64)
-        m2 = ((x - x.mean()) ** 2).mean()
-        m3 = ((x - x.mean()) ** 3).mean()
-        m4 = ((x - x.mean()) ** 4).mean()
-        g1 = m3 / m2**1.5
-        g2 = m4 / m2**2 - 3
-        jb = len(x) / 6 * (g1**2 + g2**2 / 4)
-        r = rows[lang]
-        assert abs(r.skewness - g1) < 1e-4
-        assert abs(r.kurtosis_excess - g2) < 1e-4
-        assert abs(r.jb_stat - jb) / max(jb, 1.0) < 1e-3
-
-
-def test_j22_v_bounds_and_margins(spark, sf_dir, reg, duck):
-    r = reg["j22_cramers_v"].fn(spark, sf_dir).collect()[0]
-    n, rr, cc = duck.execute(
-        "SELECT COUNT(*), COUNT(DISTINCT lang), COUNT(DISTINCT source) FROM documents"
-    ).fetchone()
-    assert (r.n, r.r, r.c) == (n, rr, cc)
-    assert 0.0 <= r.cramers_v <= 1.0
-    assert 0.0 <= r.cramers_v_bc <= 1.0
-    assert r.chi2 >= 0.0
-
-
-def test_j23_s_matches_python(spark, sf_dir, reg, duck):
-    r = reg["j23_mann_kendall"].fn(spark, sf_dir).collect()[0]
-    daily = duck.execute(
-        "SELECT epoch_us(date_trunc('day', ts)) // 86400000000 AS di, COUNT(*) "
-        "FROM events GROUP BY 1 ORDER BY di"
-    ).fetchall()
-    cnts = [c for _, c in daily]
-    s = sum(
-        (1 if cnts[j] > cnts[i] else -1 if cnts[j] < cnts[i] else 0)
-        for i in range(len(cnts))
-        for j in range(i + 1, len(cnts))
-    )
-    assert r.s_stat == s and r.n_days == len(cnts)
-    assert r.var_s > 0
-
-
-def test_j24_runs_matches_python(spark, sf_dir, reg):
-    import statistics
-
-    r = reg["j24_runs_test"].fn(spark, sf_dir).collect()[0]
-    e = table(spark, sf_dir, "events")
-    daily = (
-        e.groupBy(F.date_trunc("day", "ts").alias("d"))
-        .agg(F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("rev"))
-        .orderBy("d")
+    rows = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.max((F.col("event_type") == "purchase").cast("int")).alias("label"))
         .collect()
     )
-    revs = [row.rev for row in daily]
-    med = statistics.median(revs)
-    signs = [1 if v > med else 0 for v in revs if v != med]
-    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
-    assert r.n_runs == runs
-    assert r.n_above == sum(signs)
-    assert r.n_below == len(signs) - sum(signs)
-
-
-def test_j25_dw_bounds(spark, sf_dir, reg):
-    r = reg["j25_durbin_watson"].fn(spark, sf_dir).collect()[0]
-    assert 0.0 <= r.dw_stat <= 4.0
-    assert abs(r.rho_hat - (1 - r.dw_stat / 2)) < 1e-6
-
-
-def test_j26_ewma_within_window_range(spark, sf_dir, reg):
-    rows = reg["j26_ewma_anomaly"].fn(spark, sf_dir).collect()
-    by_day = {r.day_index: r.rev for r in rows}
+    out = []
     for r in rows:
-        window = [by_day[d] for d in range(r.day_index - 6, r.day_index + 1) if d in by_day]
-        assert min(window) - 1e-6 <= r.ewma <= max(window) + 1e-6
-        assert abs(r.deviation - (r.rev - r.ewma)) < 1e-5
+        h = int(hashlib.md5(str(r.user_id).encode()).hexdigest()[:8], 16)
+        out.append((h % 10000 / 10000.0, r.label))
+    return out
 
 
-def test_j27_mcnemar_matches_python(spark, sf_dir, reg, duck):
-    r = reg["j27_mcnemar_paired"].fn(spark, sf_dir).collect()[0]
-    lo, hi = duck.execute(
-        "SELECT MIN(epoch_us(date_trunc('day', ts)) // 86400000000),"
-        " MAX(epoch_us(date_trunc('day', ts)) // 86400000000) FROM events"
-    ).fetchone()
-    mid = (lo + hi + 1) // 2
-    rows = duck.execute(
-        "SELECT user_id, epoch_us(date_trunc('day', ts)) // 86400000000 AS di, event_type FROM events"
-    ).fetchall()
-    p1, p2 = {}, {}
-    for u, di, et in rows:
-        if et == "purchase":
-            if di < mid:
-                p1[u] = True
-            else:
-                p2[u] = True
-    users = {u for u, _, _ in rows}
-    b = sum(1 for u in users if p1.get(u) and not p2.get(u))
-    c = sum(1 for u in users if not p1.get(u) and p2.get(u))
-    assert (r.n10, r.n01) == (b, c)
-    if b + c:
-        assert abs(r.mcnemar_chi2 - (abs(b - c) - 1) ** 2 / (b + c)) < 1e-6
+def test_j01_auc_matches_python_rank_formula(spark, sf_dir, reg):
+    r = reg["j01_roc_auc"].fn(spark, sf_dir).collect()[0]
+    data = _user_scores_labels(spark, sf_dir)
+    pos = [s for s, l in data if l == 1]
+    neg = [s for s, l in data if l == 0]
+    assert r.n_pos == len(pos) and r.n_neg == len(neg)
+    if not pos or not neg:
+        assert r.auc is None
+        return
+    # pairwise definition: P(score_pos > score_neg) + 0.5 P(tie)
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    want = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert abs(r.auc - want) < 1e-6
+    assert abs(r.gini - (2 * want - 1)) < 1e-5
 
 
-def test_j28_burstiness_bounds(spark, sf_dir, reg):
-    for r in reg["j28_burstiness_index"].fn(spark, sf_dir).collect():
-        assert -1.0 < r.burstiness < 1.0
-        assert r.cv > 0
-        assert r.mean_gap_us > 0
+def test_j02_anova_matches_python(spark, sf_dir, reg):
+    r = reg["j02_anova_f"].fn(spark, sf_dir).collect()[0]
+    rows = table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice").collect()
+    groups = {}
+    for x in rows:
+        groups.setdefault(x.o_orderpriority, []).append(x.o_totalprice)
+    n = sum(len(v) for v in groups.values())
+    k = len(groups)
+    gm = sum(sum(v) for v in groups.values()) / n
+    ssb = sum(len(v) * (sum(v) / len(v) - gm) ** 2 for v in groups.values())
+    ssw = sum(sum((x - sum(v) / len(v)) ** 2 for x in v) for v in groups.values())
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert r.df_between == k - 1 and r.df_within == n - k
+    assert abs(r.f_stat - f) < 1e-3 * max(1.0, f)
+    assert abs(r.eta_squared - ssb / (ssb + ssw)) < 1e-6
 
 
-def test_j29_twa_within_value_range(spark, sf_dir, reg):
-    rows = reg["j29_time_weighted_avg"].fn(spark, sf_dir).collect()
-    e = table(spark, sf_dir, "events")
-    bounds = {
-        r.user_id: (r.lo, r.hi)
-        for r in e.groupBy("user_id").agg(F.min("value").alias("lo"), F.max("value").alias("hi")).collect()
-    }
+def test_j03_u_statistic_matches_python(spark, sf_dir, reg):
+    r = reg["j03_mann_whitney_u"].fn(spark, sf_dir).collect()[0]
+    rows = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("source").isin("src0", "src1"))
+        .select("source", "n_chars")
+        .collect()
+    )
+    vals = sorted({x.n_chars for x in rows})
+    # average ranks over the combined sample
+    from collections import Counter
+
+    c0 = Counter(x.n_chars for x in rows if x.source == "src0")
+    c1 = Counter(x.n_chars for x in rows if x.source == "src1")
+    cum, r1 = 0, 0.0
+    for v in vals:
+        t = c0[v] + c1[v]
+        avg_rank = cum + (t + 1) / 2
+        r1 += c1[v] * avg_rank
+        cum += t
+    m0, m1 = sum(c0.values()), sum(c1.values())
+    u = r1 - m1 * (m1 + 1) / 2
+    assert r.n_src0 == m0 and r.n_src1 == m1
+    assert abs(r.u_stat - u) < 1e-6
+    assert abs(r.z_score) < 10  # sanity: z is a z-scale number
+
+
+def test_j04_confusion_totals(spark, sf_dir, reg):
+    rows = reg["j04_confusion_matrix"].fn(spark, sf_dir).collect()
+    n_vec = table(spark, sf_dir, "embeddings").count()
+    assert sum(r.tp + r.fn for r in rows) == n_vec  # every truth counted once
+    assert sum(r.tp + r.fp for r in rows) == n_vec  # every pred counted once
     for r in rows:
-        lo, hi = bounds[r.user_id]
-        assert lo - 1e-6 <= r.twa_value <= hi + 1e-6
+        for m in (r.precision, r.recall, r.f1):
+            assert m is None or 0.0 <= m <= 1.0
 
 
-def test_j30_cap_respected(spark, sf_dir, reg):
-    r = reg["j30_capped_sessions"].fn(spark, sf_dir).collect()[0]
-    assert r.max_dur_us < 12 * 3600 * 1_000_000  # chunks measured from island start
-    n_events = table(spark, sf_dir, "events").count()
-    assert r.n_events == n_events
-    assert r.n_sessions >= 1
+def test_j05_drawdown_bounds_and_recompute(spark, sf_dir, reg):
+    r = reg["j05_max_drawdown"].fn(spark, sf_dir).collect()[0]
+    assert 0.0 <= r.max_drawdown <= 1.0
+    assert r.trough_rev <= r.peak_rev
+    daily = {}
+    for x in table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d"), "o_totalprice"
+    ).collect():
+        daily[x.d] = daily.get(x.d, 0.0) + x.o_totalprice
+    peak, best = -1.0, -1.0
+    for d in sorted(daily):
+        peak = max(peak, daily[d])
+        best = max(best, (peak - daily[d]) / peak)
+    assert abs(r.max_drawdown - best) < 1e-6
 
 
-# ---------------------------------------------------------------------------
-# engine / infra audits
-
-
-def test_j31_pick_matches_python_for_one_part(spark, sf_dir, reg, duck):
-    rows = reg["j31_bitemporal_asof"].fn(spark, sf_dir).collect()
-    assert sum(r.n_parts for r in rows) == duck.execute(
-        """SELECT COUNT(DISTINCT l_partkey) FROM lineitem l JOIN orders o
-           ON l.l_orderkey = o.o_orderkey
-           WHERE o.o_orderdate <= TIMESTAMP '1997-07-01'
-             AND l.l_shipdate <= TIMESTAMP '1997-01-01'"""
-    ).fetchone()[0]
-
-
-def test_j32_cascade_counts_consistent(spark, sf_dir, reg, duck):
-    r = reg["j32_fk_cascade_orphans"].fn(spark, sf_dir).collect()[0]
-    nd = duck.execute("SELECT COUNT(*) FROM customer WHERE c_acctbal < 0").fetchone()[0]
-    assert r.n_deleted_customers == nd
-    assert r.n_cascade_orders >= 0 and r.n_cascade_lineitems >= 0
-    assert r.revenue_removed >= 0
-
-
-def test_j33_carriers_agree(spark, sf_dir, reg):
-    r = reg["j33_mergeable_variance"].fn(spark, sf_dir).collect()[0]
-    assert r.carriers_agree == 1
-    assert r.variance_merged == r.variance_direct
-    assert r.variance_merged > 0
-
-
-def test_j34_publish_gate(spark, sf_dir, reg, duck):
-    r = reg["j34_write_audit_publish"].fn(spark, sf_dir).collect()[0]
-    assert r.published == 1 and r.n_violations == 0
-    assert r.n_published == duck.execute(
-        "SELECT COUNT(*) FROM documents WHERE n_chars > 0"
-    ).fetchone()[0]
-
-
-def test_j35_bins_partition_the_manifest(spark, sf_dir, reg, duck):
-    rows = reg["j35_compaction_binpack"].fn(spark, sf_dir).collect()
-    total_files, total_chars = duck.execute(
-        "SELECT COUNT(*), SUM(sz) FROM (SELECT SUM(n_chars) AS sz FROM documents GROUP BY source, lang)"
-    ).fetchone()
-    assert sum(r.n_files for r in rows) == total_files
-    assert sum(r.bin_chars for r in rows) == total_chars
-    assert [r.bin for r in rows] == list(range(len(rows)))  # contiguous bins
-
-
-def test_j36_clustered_prunes_at_least_as_well(spark, sf_dir, reg):
-    rows = {r.layout: r for r in reg["j36_minmax_pruning_audit"].fn(spark, sf_dir).collect()}
-    assert rows["clustered"].files_scanned <= rows["hashed"].files_scanned
-    assert rows["clustered"].rows_matched == rows["hashed"].rows_matched
-    assert rows["clustered"].files_scanned >= 1
-
-
-def test_j37_all_groups_agree(spark, sf_dir, reg, duck):
-    rows = reg["j37_incremental_agg_maintenance"].fn(spark, sf_dir).collect()
-    assert all(r.agrees == 1 for r in rows)
-    assert sum(r.cnt for r in rows) == duck.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
-
-
-def test_j38_estimator_sane(spark, sf_dir, reg):
-    r = reg["j38_block_sample_estimate"].fn(spark, sf_dir).collect()[0]
-    assert r.n_est > 0
-    assert r.count_rel_err < 0.5
-    assert r.mean_rel_err < 0.2
-
-
-def test_j39_cardinality_bounds(spark, sf_dir, reg):
-    for r in reg["j39_groupby_cardinality_audit"].fn(spark, sf_dir).collect():
-        assert max(r.d_a, r.d_b) <= r.d_joint <= r.d_a * r.d_b
-        assert 0 < r.correlation_factor <= 1.0
-
-
-def test_j40_backfill_doubles_urgent_only(spark, sf_dir, reg, duck):
-    r = reg["j40_dynamic_partition_overwrite"].fn(spark, sf_dir).collect()[0]
-    n, urgent_rev, other_rev = duck.execute(
-        """SELECT COUNT(*),
-                  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(25,6)) ELSE 0 END) AS DOUBLE),
-                  CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(25,6)) ELSE 0 END) AS DOUBLE)
-           FROM orders"""
-    ).fetchone()
-    assert r.n_total == n
-    assert abs(r.urgent_revenue - 2 * urgent_rev) / urgent_rev < 1e-9
-    assert abs(r.other_revenue - other_rev) / other_rev < 1e-9
-
-
-def test_j41_ap_bounds(spark, sf_dir, reg):
-    r = reg["j41_average_precision"].fn(spark, sf_dir).collect()[0]
-    assert 0.0 <= r.avg_precision <= 1.0
-    assert 0 < r.n_pos <= r.n_users
-
-
-def test_j42_ratios_partition_unity(spark, sf_dir, reg):
-    for r in reg["j42_charclass_profile"].fn(spark, sf_dir).collect():
-        for v in (r.digit_ratio, r.space_ratio, r.punct_ratio):
-            assert 0.0 <= v <= 1.0
-        assert r.digit_ratio + r.space_ratio + r.punct_ratio <= 1.0  # disjoint classes
-
-
-def test_j43_tail_shares_bounded(spark, sf_dir, reg):
-    for r in reg["j43_doc_length_percentile"].fn(spark, sf_dir).collect():
-        assert r.n_low_tail <= 0.05 * r.n_docs + 1e-9
-        assert r.n_high_tail >= 0.05 * r.n_docs - 1e-9
-        assert r.low_cut < r.high_cut or r.low_cut == -1
-
-
-def test_j44_generations_partition(spark, sf_dir, reg, duck):
-    r = reg["j44_union_schema_reconcile"].fn(spark, sf_dir).collect()[0]
-    n = duck.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
-    assert r.n_total == n
-    assert r.n_legacy + r.n_modern == n
-
-
-def test_j45_positions_complete(spark, sf_dir, reg):
-    rows = {r.position: r for r in reg["j45_boilerplate_position"].fn(spark, sf_dir).collect()}
-    assert set(rows) <= {"head", "middle", "tail"}
-    assert "head" in rows
-    for r in rows.values():
-        assert 0.0 <= r.shared_frac <= 1.0
-        assert r.n_shared <= r.n_segments
-
-
-def test_j46_weekday_prefix_closed_form():
-    """The closed form W(b+1)-W(a+1) == brute-force weekday count in
-    (a, b], checked over a grid of date pairs crossing month/year/epoch
-    boundaries — a pure-python test of the formula itself."""
-
-    def w(d: dt.date) -> int:
-        m = (d - dt.date(1969, 12, 29)).days
-        return 5 * (m // 7) + min(m % 7, 5)
-
-    def brute(a: dt.date, b: dt.date) -> int:
-        n, d = 0, a + dt.timedelta(days=1)
-        while d <= b:
-            if d.weekday() < 5:
-                n += 1
-            d += dt.timedelta(days=1)
-        return n
-
-    anchors = [dt.date(1995, 1, 1), dt.date(1996, 2, 28), dt.date(1999, 12, 31), dt.date(2000, 2, 27)]
-    for a in anchors:
-        for span in (0, 1, 2, 5, 6, 7, 13, 30, 365, 366):
-            b = a + dt.timedelta(days=span)
-            assert w(b + dt.timedelta(days=1)) - w(a + dt.timedelta(days=1)) == brute(a, b), (a, b)
-
-
-def test_j46_latency_consistent(spark, sf_dir, reg):
-    for r in reg["j46_business_days_latency"].fn(spark, sf_dir).collect():
-        assert 0 <= r.avg_bdays <= r.max_bdays
-        assert r.bdays_total >= 0
-
-
-def test_j47_partitions_cover_and_balance(spark, sf_dir, reg, duck):
-    rows = reg["j47_range_partition_balance"].fn(spark, sf_dir).collect()
-    total = duck.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
-    assert sum(r.n_rows for r in rows) == total
+def test_j06_rolling_corr_bounds(spark, sf_dir, reg):
+    rows = reg["j06_rolling_correlation"].fn(spark, sf_dir).collect()
+    assert rows
     for r in rows:
-        assert 0.2 <= r.balance_ratio <= 2.0  # $1000 quantization keeps buckets small
+        assert r.n == 28
+        assert r.rolling_corr is None or -1.0 - 1e-9 <= r.rolling_corr <= 1.0 + 1e-9
 
 
-def test_j48_matches_numpy(spark, sf_dir, reg, duck):
-    import numpy as np
-
-    r = reg["j48_welch_ttest"].fn(spark, sf_dir).collect()[0]
-    en = np.array(duck.execute("SELECT n_chars FROM documents WHERE lang='en'").fetchall(), dtype=np.float64).ravel()
-    de = np.array(duck.execute("SELECT n_chars FROM documents WHERE lang='de'").fetchall(), dtype=np.float64).ravel()
-    q1, q2 = en.var(ddof=1) / len(en), de.var(ddof=1) / len(de)
-    t = (en.mean() - de.mean()) / math.sqrt(q1 + q2)
-    df = (q1 + q2) ** 2 / (q1**2 / (len(en) - 1) + q2**2 / (len(de) - 1))
-    assert (r.n1, r.n2) == (len(en), len(de))
-    assert abs(r.t_stat - t) < 1e-4
-    assert abs(r.df_welch - df) / df < 1e-4
+def test_j07_assortativity_bounds(spark, sf_dir, reg):
+    r = reg["j07_degree_assortativity"].fn(spark, sf_dir).collect()[0]
+    assert r.n_edges > 0
+    assert r.assortativity is None or -1.0 - 1e-9 <= r.assortativity <= 1.0 + 1e-9
 
 
-def test_j49_overlap_bounded_by_incident_window(spark, sf_dir, reg):
-    for r in reg["j49_interval_intersection_volume"].fn(spark, sf_dir).collect():
-        assert r.n_overlapping <= r.n_user_spans
-        assert r.overlap_seconds <= 3600.0 * r.n_overlapping + 1e-6
+def test_j08_j09_sources_byte_exact(spark, sf_dir, reg):
+    d = table(spark, sf_dir, "documents")
+    r8 = reg["j08_binaryfile_source"].fn(spark, sf_dir).collect()[0]
+    n100 = d.filter(F.col("doc_id") < 100).count()
+    assert r8.n_files == n100
+    assert r8.bytes_total == (
+        d.filter(F.col("doc_id") < 100).agg(F.sum(F.length("text"))).first()[0]
+    )
+    r9 = reg["j09_text_source_roundtrip"].fn(spark, sf_dir).collect()[0]
+    assert r9.n_lines == d.count()
+    assert r9.chars_total == d.agg(F.sum(F.length("text"))).first()[0]
 
 
-def test_j50_matches_duckdb_join(spark, sf_dir, reg, duck):
-    rows = {r.pri: r for r in reg["j50_cogrouped_applyinpandas"].fn(spark, sf_dir).collect()}
-    for pri, n_orders, n_lines, rev_cents, late in duck.execute(
-        """SELECT pri, COUNT(*), SUM(n_lines), SUM(rev_cents), SUM(late_lines) FROM (
-             SELECT o.o_orderkey, o.o_orderpriority AS pri,
-                    COUNT(l.l_orderkey) AS n_lines,
-                    COALESCE(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)), 0) AS rev_cents,
-                    COALESCE(SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END), 0) AS late_lines
-             FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-             GROUP BY 1, 2) GROUP BY pri"""
-    ).fetchall():
-        r = rows[pri]
-        assert (r.n_orders, r.n_lines, r.rev_cents, r.late_lines) == (
-            n_orders,
-            n_lines,
-            rev_cents,
-            late,
-        )
+def test_j10_kappa_matches_python(spark, sf_dir, reg):
+    import hashlib
+
+    r = reg["j10_cohens_kappa"].fn(spark, sf_dir).collect()[0]
+    texts = [x.text for x in table(spark, sf_dir, "documents").collect()]
+
+    def fold(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    pairs = [(fold(t) % 3, fold(t[::-1]) % 3) for t in texts]
+    n = len(pairs)
+    po = sum(1 for a, b in pairs if a == b) / n
+    from collections import Counter
+
+    ra = Counter(a for a, _ in pairs)
+    rb = Counter(b for _, b in pairs)
+    pe = sum(ra[i] / n * rb[i] / n for i in set(ra) | set(rb))
+    assert abs(r.po - po) < 1e-6
+    assert abs(r.pe - pe) < 1e-6
+    assert abs(r.kappa - (po - pe) / (1 - pe)) < 1e-5
+
+
+def test_j11_strength_bounds(spark, sf_dir, reg):
+    r = reg["j11_seasonal_strength"].fn(spark, sf_dir).collect()[0]
+    assert 0.0 <= r.seasonal_strength <= 1.0
+    assert r.n_days > 0
+
+
+def test_j12_merge_agrees_and_total(spark, sf_dir, reg):
+    rows = reg["j12_histogram_merge_audit"].fn(spark, sf_dir).collect()
+    assert all(r.merged_agrees for r in rows)
+    assert sum(r.n for r in rows) == table(spark, sf_dir, "orders").count()
+
+
+def test_j13_theilsen_matches_python(spark, sf_dir, reg):
+    r = reg["j13_theilsen_slope"].fn(spark, sf_dir).collect()[0]
+    daily = {}
+    for x in table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).collect():
+        daily[x.d] = daily.get(x.d, 0) + 1
+    days = sorted(daily)
+    slopes = []
+    for i, d1 in enumerate(days):
+        for d2 in days[i + 1 :]:
+            lag = (d2 - d1).days
+            if lag > 60:
+                break
+            slopes.append((daily[d2] - daily[d1]) / lag)
+    slopes.sort()
+    want = slopes[math.ceil(0.5 * len(slopes)) - 1]  # disc convention
+    assert r.n_pairs == len(slopes)
+    assert abs(r.median_slope - want) < 1e-9
+
+
+def test_j14_centroid_eval_sane(spark, sf_dir, reg):
+    rows = reg["j14_nearest_centroid_eval"].fn(spark, sf_dir).collect()
+    n_vec = table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n for r in rows) == n_vec  # every vector assigned once
+    for r in rows:
+        assert 0.0 <= r.accuracy <= 1.0
+        assert r.n_correct <= r.n
+
+
+def test_j15_km_monotone_and_bounds(spark, sf_dir, reg):
+    rows = sorted(reg["j15_kaplan_meier"].fn(spark, sf_dir).collect(), key=lambda r: r.week)
+    assert rows
+    surv = [r.survival for r in rows]
+    assert all(0.0 <= s <= 1.0 for s in surv)
+    assert all(a >= b - 1e-9 for a, b in zip(surv, surv[1:]))  # non-increasing
+    # risk sets shrink over time
+    risks = [r.n_at_risk for r in rows]
+    assert all(a >= b for a, b in zip(risks, risks[1:]))
+    for r in rows:
+        assert r.n_events <= r.n_at_risk
+
+
+def test_j15_km_matches_python(spark, sf_dir, reg):
+    rows = {r.week: r for r in reg["j15_kaplan_meier"].fn(spark, sf_dir).collect()}
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    ).collect()
+    by_cust = {}
+    for r in orders:
+        by_cust.setdefault(r.o_custkey, []).append(r.d)
+    hz = max(r.d for r in orders)
+    obs = []
+    for ds in by_cust.values():
+        ds.sort()
+        censor = (hz - ds[0]).days // 7
+        later = [d for d in ds if d > ds[0]]  # strictly later: same-day
+        if later:  # repeat orders are not a reorder event
+            ev = (later[0] - ds[0]).days // 7
+            obs.append((min(ev, censor), ev <= censor))
+        else:
+            obs.append((censor, False))
+    obs = [(w, e) for w, e in obs if w <= 26]
+    weeks = sorted({w for w, _ in obs})
+    s = 1.0
+    for w in weeks:
+        at_risk = sum(1 for x, _ in obs if x >= w)
+        d = sum(1 for x, e in obs if x == w and e)
+        s *= 1 - d / at_risk if at_risk else 1.0
+        assert rows[w].n_at_risk == at_risk, w
+        assert rows[w].n_events == d, w
+        assert abs(rows[w].survival - s) < 1e-5, w
+
+
+def test_j16_am_gm_hm_inequality(spark, sf_dir, reg):
+    rows = reg["j16_generalized_means"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert r.mean_harm <= r.mean_geom + 1e-6 <= r.mean_arith + 2e-6
+        assert r.mean_harm > 0
+
+
+def test_j17_sweep_monotone(spark, sf_dir, reg):
+    rows = sorted(reg["j17_dedup_threshold_sweep"].fn(spark, sf_dir).collect(), key=lambda r: r.threshold)
+    edges = [r.n_edges for r in rows]
+    touched = [r.n_docs_touched for r in rows]
+    # raising the threshold can only shrink the edge set and coverage
+    assert all(a >= b for a, b in zip(edges, edges[1:]))
+    assert all(a >= b for a, b in zip(touched, touched[1:]))
+    for r in rows:
+        assert r.n_docs_touched <= 2 * r.n_edges or r.n_edges == 0
+
+
+def test_j18_funnel_monotone(spark, sf_dir, reg):
+    rows = reg["j18_filter_attrition_funnel"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_docs >= r.pass_len >= r.pass_words >= r.pass_all >= 0
+        assert 0.0 <= r.keep_rate <= 1.0
+
+
+def test_j18_matches_python_gates(spark, sf_dir, reg):
+    from collections import Counter
+
+    got = {r.source: (r.pass_len, r.pass_words, r.pass_all) for r in reg["j18_filter_attrition_funnel"].fn(spark, sf_dir).collect()}
+    want = {}
+    for r in table(spark, sf_dir, "documents").collect():
+        ws = r.text.split(" ")
+        g1 = r.n_chars >= 120
+        g2 = len(ws) >= 20
+        g3 = max(Counter(ws).values()) <= 0.45 * len(ws)
+        a, b, c = want.get(r.source, (0, 0, 0))
+        want[r.source] = (a + g1, b + (g1 and g2), c + (g1 and g2 and g3))
+    assert got == want
