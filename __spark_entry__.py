@@ -53,7 +53,7 @@ this). History:
            round-5 personalized PageRank). The 22 staged h-keys now
            sort first; new round-6 queries are keyed i01+ (i sorts
            between h22 and q01), filling the remaining 28 window
-           slots. Round-6's LATER additions are keyed j01-j18 (j
+           slots. Round-6's LATER additions are keyed j01-j50 (j
            sorts after i28, outside the full window) — staged for the
            round-7 rotation, all green on the local mirror at 3 SFs +
            vanilla.
