@@ -406,6 +406,14 @@ LATTICE_PINNED = {
     "i11_cusum_changepoint": 0,
     "i13_decile_gains": 0,
     "i22_key_skew_profile": 0,
+    # round-6 staged j-suite: every partition-less window must consume
+    # an aggregate (day lattice, score dictionary, file manifest,
+    # price-bucket lattice) — never raw rows
+    "j24_runs_test": 0,
+    "j25_durbin_watson": 0,
+    "j35_compaction_binpack": 0,
+    "j41_average_precision": 0,
+    "j47_range_partition_balance": 0,
 }
 
 
