@@ -79,6 +79,12 @@ PROBE_QUERIES = [
     "i22_key_skew_profile",
     "i24_session_bounce_rate",
     "i26_nearest_event_join",
+    "j19_kendall_tau",
+    "j26_ewma_anomaly",
+    "j28_burstiness_index",
+    "j45_boilerplate_position",
+    "j49_interval_intersection_volume",
+    "j50_cogrouped_applyinpandas",
 ]
 
 
