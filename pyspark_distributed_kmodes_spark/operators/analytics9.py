@@ -1220,3 +1220,347 @@ def k14_activity_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
         .orderBy("tier_h1", "tier_h2")
     )
+
+
+# ---------------------------------------------------------------------------
+# k15 — lexical diversity: global + segmental type-token ratio
+
+_K15_SEG = 50  # words per segment
+
+
+@query(
+    "k15_lexical_diversity",
+    oracle=f"""
+WITH segs AS (
+  SELECT lang,
+         len(list_distinct(string_split(text, ' ')[s:s + {_K15_SEG - 1}])) AS types,
+         len(string_split(text, ' ')[s:s + {_K15_SEG - 1}]) AS toks
+  FROM documents,
+       (SELECT unnest(range(1, (SELECT MAX(len(string_split(text, ' '))) FROM documents) + 1, {_K15_SEG})) AS s)
+  WHERE s <= len(string_split(text, ' '))
+), per_lang AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_segments,
+         CAST(SUM(CAST(types AS BIGINT)) AS BIGINT) AS types_total,
+         CAST(SUM(CAST(toks AS BIGINT)) AS BIGINT) AS toks_total,
+         CAST(SUM(CAST({sql_pround('CAST(types AS DOUBLE) / toks', 9)} AS DECIMAL(25,12))) AS DOUBLE) AS ttr_sum
+  FROM segs GROUP BY lang
+)
+SELECT lang, n_segments,
+       {sql_pround('CAST(types_total AS DOUBLE) / toks_total', 6)} AS pooled_ttr,
+       {sql_pround('ttr_sum / n_segments', 6)} AS segmental_ttr
+FROM per_lang
+ORDER BY lang
+""",
+    tags=("text", "curation"),
+)
+def k15_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per language: pooled type-token ratio plus the
+    SEGMENTAL TTR (mean per-{_K15_SEG}-word-window TTR, the MSTTR/MTLD
+    family's fix for TTR's length dependence — raw TTR falls as corpora
+    grow, so cross-language comparisons need the windowed form).
+    Repetitive machine text shows segmental TTR well below natural
+    prose; this is the vocabulary-richness quality gate beside qg09's
+    vocabulary GROWTH curve and qc14's Zipf slope.
+
+    Scale: the qf13 segmentation idiom (non-overlapping explode, output
+    tokens = input tokens); per-segment distinct counting happens
+    INSIDE the array (no shuffle); one grouped pass per language.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    starts = F.sequence(F.lit(1), F.size(words), F.lit(_K15_SEG))
+    seg = F.slice(F.col("w"), F.col("s"), _K15_SEG)
+    segs = d.select("lang", F.explode(starts).alias("s"), words.alias("w")).select(
+        "lang",
+        F.size(F.array_distinct(seg)).alias("types"),
+        F.size(seg).alias("toks"),
+    )
+    per_lang = segs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum(F.col("types").cast("bigint")).cast("bigint").alias("types_total"),
+        F.sum(F.col("toks").cast("bigint")).cast("bigint").alias("toks_total"),
+        F.sum(
+            pround(F.col("types").cast("double") / F.col("toks"), 9).cast("decimal(25,12)")
+        )
+        .cast("double")
+        .alias("ttr_sum"),
+    )
+    return per_lang.select(
+        "lang",
+        "n_segments",
+        pround(F.col("types_total").cast("double") / F.col("toks_total"), 6).alias("pooled_ttr"),
+        pround(F.col("ttr_sum") / F.col("n_segments"), 6).alias("segmental_ttr"),
+    ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# k16 — casing profile per source
+
+
+@query(
+    "k16_casing_profile",
+    oracle=f"""
+WITH per_doc AS (
+  SELECT source,
+         CAST(length(text) AS BIGINT) AS total,
+         CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS uppers,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+         CAST(len(list_filter(string_split(text, ' '), w -> regexp_full_match(w, '[A-Z][a-z]+'))) AS BIGINT) AS title_words
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       {sql_pround('CAST(SUM(uppers) AS DOUBLE) / SUM(total)', 6)} AS upper_ratio,
+       {sql_pround('CAST(SUM(title_words) AS DOUBLE) / SUM(words)', 6)} AS titlecase_ratio
+FROM per_doc
+GROUP BY source
+ORDER BY source
+""",
+    tags=("text",),
+)
+def k16_casing_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Casing profile per source: uppercase-character ratio and the
+    share of TitleCase words — SHOUTING spam is upper-heavy, headline
+    scrapes and navigation menus are titlecase-heavy, clean prose sits
+    in a narrow band of both; together with j42's class mix this
+    completes the cheap character-level source fingerprint. The
+    titlecase test is an exact FULL-match per word (list_filter /
+    higher-order filter — no word-boundary regex, whose semantics
+    differ between engines).
+
+    Scale: stateless per-row maps (one regexp strip, one array filter,
+    all JVM-side) + one groupBy on the bounded source dictionary.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    per_doc = d.select(
+        "source",
+        F.length("text").cast("bigint").alias("total"),
+        (F.length("text") - F.length(F.regexp_replace("text", "[A-Z]", ""))).cast("bigint").alias(
+            "uppers"
+        ),
+        F.size(words).cast("bigint").alias("words"),
+        F.size(F.filter(words, lambda w: w.rlike("^[A-Z][a-z]+$"))).cast("bigint").alias(
+            "title_words"
+        ),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            pround(F.sum("uppers").cast("double") / F.sum("total"), 6).alias("upper_ratio"),
+            pround(F.sum("title_words").cast("double") / F.sum("words"), 6).alias(
+                "titlecase_ratio"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k17 — duplicated n-gram mass at document-frequency thresholds
+
+_K17_N = 5  # n-gram width in words
+_K17_THRESHOLDS = (2, 5, 10)
+
+
+@query(
+    "k17_ngram_dup_mass",
+    oracle=f"""
+WITH grams AS (
+  SELECT md5(array_to_string(string_split(text, ' ')[s:s + {_K17_N - 1}], ' ')) AS g
+  FROM documents,
+       (SELECT unnest(range(1, (SELECT MAX(len(string_split(text, ' '))) FROM documents) + 1)) AS s)
+  WHERE s + {_K17_N - 1} <= len(string_split(text, ' '))
+), freq AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM grams GROUP BY g
+), hist AS (
+  SELECT c, CAST(COUNT(*) AS BIGINT) AS ngrams FROM freq GROUP BY c
+), tot AS (
+  SELECT CAST(SUM(c * ngrams) AS BIGINT) AS occurrences, CAST(SUM(ngrams) AS BIGINT) AS vocab
+  FROM hist
+)
+SELECT CAST(t.thr AS BIGINT) AS df_threshold,
+       tot.occurrences AS occurrences,
+       {sql_pround('CAST(COALESCE(SUM(CASE WHEN h.c >= t.thr THEN h.c * h.ngrams END), 0) AS DOUBLE) / tot.occurrences', 6)} AS dup_mass,
+       {sql_pround('CAST(COALESCE(SUM(CASE WHEN h.c >= t.thr THEN h.ngrams END), 0) AS DOUBLE) / tot.vocab', 6)} AS dup_vocab_share
+FROM hist h CROSS JOIN (SELECT unnest(ARRAY{list(_K17_THRESHOLDS)}) AS thr) t CROSS JOIN tot
+GROUP BY t.thr, tot.occurrences, tot.vocab
+ORDER BY df_threshold
+""",
+    tags=("dedup", "text"),
+)
+def k17_ngram_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated {_K17_N}-gram MASS: what fraction of all {_K17_N}-gram
+    occurrences (and of the distinct vocabulary) belongs to n-grams
+    repeated at least t times, for t in {_K17_THRESHOLDS} — the
+    concentration curve that says how much a repeated-phrase dedup pass
+    could remove at each aggressiveness level, WITHOUT materializing a
+    top-K ranking: everything reduces to the bounded count-of-counts
+    histogram, so no global sort of the n-gram table exists anywhere
+    (the top-K form would need one). Pairs with j17 (which sweeps
+    document-level Jaccard thresholds) at the phrase level.
+
+    Scale: overlapping shingle explode (output ~ n_tokens x 1), one
+    md5-keyed count, one count-of-counts collapse; the threshold scan
+    is a constant 3-way fan-out over that tiny histogram.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    starts = F.sequence(F.lit(1), F.size(words) - (_K17_N - 1))
+    grams = d.select(F.explode(starts).alias("s"), words.alias("w")).select(
+        F.md5(F.array_join(F.slice("w", F.col("s"), _K17_N), " ")).alias("g")
+    )
+    freq = grams.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    hist = freq.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("ngrams"))
+    tot = hist.agg(
+        F.sum(F.col("c") * F.col("ngrams")).cast("bigint").alias("occurrences"),
+        F.sum("ngrams").cast("bigint").alias("vocab"),
+    )
+    thr = spark.createDataFrame([(t,) for t in _K17_THRESHOLDS], "thr int")
+    j = hist.crossJoin(F.broadcast(thr)).crossJoin(F.broadcast(tot))
+    return (
+        j.groupBy("thr", "occurrences", "vocab")
+        .agg(
+            pround(
+                F.coalesce(
+                    F.sum(F.when(F.col("c") >= F.col("thr"), F.col("c") * F.col("ngrams"))),
+                    F.lit(0),
+                ).cast("double")
+                / F.col("occurrences"),
+                6,
+            ).alias("dup_mass"),
+            pround(
+                F.coalesce(
+                    F.sum(F.when(F.col("c") >= F.col("thr"), F.col("ngrams"))), F.lit(0)
+                ).cast("double")
+                / F.col("vocab"),
+                6,
+            ).alias("dup_vocab_share"),
+        )
+        .select(
+            F.col("thr").cast("bigint").alias("df_threshold"),
+            "occurrences",
+            "dup_mass",
+            "dup_vocab_share",
+        )
+        .orderBy("df_threshold")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k18 — hapax legomena rate per language
+
+
+@query(
+    "k18_hapax_rate",
+    oracle="""
+WITH words AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+), freq AS (
+  SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c FROM words GROUP BY lang, w
+), stats AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(SUM(c) AS BIGINT) AS tokens,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+  FROM freq GROUP BY lang
+)
+SELECT lang, vocab, tokens, hapax,
+       {HV} AS hapax_vocab_share,
+       {HT} AS hapax_token_share
+FROM stats
+ORDER BY lang
+""".replace("{HV}", sql_pround("CAST(hapax AS DOUBLE) / vocab", 6)).replace(
+        "{HT}", sql_pround("CAST(hapax AS DOUBLE) / tokens", 6)
+    ),
+    tags=("text", "curation"),
+)
+def k18_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena rate per language: the share of vocabulary (and
+    of running tokens) made of words occurring exactly once — natural
+    corpora sit near 40-60% hapax vocabulary (Zipf's tail); template
+    or machine-generated text collapses far below it, and OCR noise
+    inflates it — the single cheapest vocabulary-health number, next to
+    qc14's Zipf slope which fits the whole curve.
+
+    Scale: one explode to words (token-bounded), one (lang, word)
+    count (map-side combined), one per-lang rollup of the bounded
+    frequency table.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = d.select("lang", F.explode(F.split("text", " ")).alias("w"))
+    freq = words.groupBy("lang", "w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    stats = freq.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum("c").cast("bigint").alias("tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint").alias("hapax"),
+    )
+    return stats.select(
+        "lang",
+        "vocab",
+        "tokens",
+        "hapax",
+        pround(F.col("hapax").cast("double") / F.col("vocab"), 6).alias("hapax_vocab_share"),
+        pround(F.col("hapax").cast("double") / F.col("tokens"), 6).alias("hapax_token_share"),
+    ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# k19 — observe(): execution-time metrics collected inside the plan
+
+
+@query(
+    "k19_observed_scan_metrics",
+    oracle=f"""
+WITH filtered AS (
+  SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       {sql_dsum('l_extendedprice')} AS revenue
+FROM filtered
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("relational", "audit"),
+)
+def k19_observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's `observe()` API — the last uncovered piece of the
+    DataFrame surface: an Observation attaches named metrics (row
+    count, exact DECIMAL revenue) to the post-filter point of the plan,
+    and Spark computes them DURING the action as a CollectMetrics node
+    — zero extra passes, unlike a separate .count() which re-runs the
+    scan. The query result (per-returnflag rollup) is oracle-gated as
+    usual; tests/test_analytics10.py asserts the observed metrics equal
+    the aggregate's own totals, proving the plan-embedded audit row
+    matches the data a consumer received — the runtime half of qe14's
+    declarative constraints.
+
+    Scale: CollectMetrics is a streaming accumulator inside the same
+    stage — the idiomatic way to get ingest counters at 100 TB where a
+    second audit scan would double the job's I/O.
+    """
+    from pyspark.sql import Observation
+
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    obs = Observation("k19_scan_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).alias("revenue_exact"),
+    )
+    out = (
+        observed.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            dsum("l_extendedprice").alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+    # expose the Observation for tests without changing the result shape
+    out._k19_observation = obs  # type: ignore[attr-defined]
+    return out

@@ -498,3 +498,65 @@ def latest_n_stream(events: DataFrame, keep: int = 3) -> DataFrame:
             update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def capped_sessions_stream(
+    events: DataFrame,
+    idle_us: int = 4 * 3600 * 1_000_000,
+    cap_us: int = 12 * 3600 * 1_000_000,
+) -> DataFrame:
+    """Streaming sessionization with BOTH an idle timeout and a hard
+    duration cap — the stateful twin of batch j30: per user the state
+    carries (last event time, current island id, island start), a gap
+    larger than `idle_us` opens a new island, and each event's chunk is
+    (ts - island_start) DIV cap_us, so islands longer than the cap
+    split into fixed chunks exactly like j30's second window. Every
+    event is emitted with its (island, chunk) assignment; the parity
+    test compares the full assignment map against the batch recompute.
+
+    Built on applyInPandasWithState because the island counter is
+    genuine CROSS-BATCH state (session_window covers the idle rule but
+    cannot number islands or anchor the cap at the island start).
+    Events are ordered (ts, event_id) within each batch; cross-batch
+    correctness assumes event-time-ordered batch boundaries, the same
+    contract as the funnel twin.
+
+    State is O(1) per user regardless of stream length.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id BIGINT, ts_us BIGINT, event_id BIGINT, island BIGINT, chunk BIGINT"
+    state_schema = "last_us BIGINT, island BIGINT, island_start BIGINT"
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            last_us, island, island_start = state.get
+        else:
+            last_us, island, island_start = None, 0, None
+        rows = []
+        for pdf in pdfs:
+            for r in pdf.itertuples(index=False):
+                rows.append((int(r.ts_us), int(r.event_id)))
+        rows.sort()
+        out = []
+        for ts_us, event_id in rows:
+            if last_us is None or ts_us - last_us > idle_us:
+                island += 1
+                island_start = ts_us
+            chunk = (ts_us - island_start) // cap_us
+            out.append((key[0], ts_us, event_id, island, chunk))
+            last_us = ts_us
+        state.update((last_us, island, island_start))
+        yield pd.DataFrame(
+            out, columns=["user_id", "ts_us", "event_id", "island", "chunk"]
+        )
+
+    from pyspark.sql import functions as F
+
+    keyed = events.select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -501,3 +501,43 @@ def test_latest_n_stream_matches_batch_compaction(spark, sf_dir, stream):
 
     i23 = load_all()["i23_latest_n_compaction"].fn(spark, sf_dir).collect()
     assert sum(r.n_kept for r in i23) == len(want)
+
+
+def test_capped_sessions_stream_matches_batch(spark, sf_dir, stream):
+    """The streaming (island, chunk) assignment (applyInPandasWithState)
+    equals j30's batch two-window recompute for every event."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from pyspark_distributed_kmodes_spark.sources.tables import table
+    from pyspark_distributed_kmodes_spark.streaming.jobs import capped_sessions_stream
+
+    run_available_now(capped_sessions_stream(stream), "t_capped", output_mode="update")
+    got = {
+        (r.user_id, r.event_id): (r.island, r.chunk)
+        for r in spark.sql("SELECT * FROM t_capped").collect()
+    }
+
+    e = table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    marked = e.select(
+        "user_id",
+        "event_id",
+        us.alias("us"),
+        F.when((us - F.lag(us).over(w) > 4 * 3600 * 1_000_000) | F.lag(us).over(w).isNull(), 1)
+        .otherwise(0)
+        .alias("brk"),
+    )
+    wi = Window.partitionBy("user_id").orderBy(F.asc("us")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    islands = marked.withColumn("island", F.sum("brk").over(wi))
+    wc = Window.partitionBy("user_id", "island")
+    chunked = islands.withColumn(
+        "chunk", F.floor((F.col("us") - F.min("us").over(wc)) / (12 * 3600 * 1_000_000))
+    )
+    want = {
+        (r.user_id, r.event_id): (r.island, r.chunk) for r in chunked.collect()
+    }
+    assert got == want
