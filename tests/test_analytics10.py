@@ -1,0 +1,271 @@
+"""Property tests for the round-6 staged k-suite
+(operators/analytics9.py): python/numpy re-derivations (Friedman,
+Cochran Q, Kruskal-Wallis, effect sizes, best-split argmax, Markov
+matrix power), metric identities (Brier decomposition vs direct score,
+MAE <= RMSE), bound checks, and the observe() metrics parity.
+"""
+
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_distributed_kmodes_spark.registry import load_all
+from pyspark_distributed_kmodes_spark.sources.tables import table
+
+
+@pytest.fixture(scope="module")
+def reg():
+    return load_all()
+
+
+def _daily_rev(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    rows = (
+        e.groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.sum(F.col("value").cast("decimal(25,6)")).cast("double").alias("rev"))
+        .orderBy("d")
+        .collect()
+    )
+    return [r.rev for r in rows]
+
+
+def test_k01_friedman_matches_python(spark, sf_dir, reg, duck):
+    r = reg["k01_friedman_test"].fn(spark, sf_dir).collect()[0]
+    cells = duck.execute(
+        """SELECT CAST(year(o_orderdate) AS BIGINT),
+                  o_orderpriority,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) / COUNT(*)
+           FROM orders GROUP BY 1, 2"""
+    ).fetchall()
+    blocks = {}
+    for blk, trt, m in cells:
+        blocks.setdefault(blk, []).append((trt, m))
+    rsums = Counter()
+    for blk, items in blocks.items():
+        items.sort(key=lambda t: t[1])
+        for rank, (trt, _) in enumerate(items, start=1):
+            rsums[trt] += rank  # means are continuous: no ties expected
+    b, k = len(blocks), len(rsums)
+    chi2 = 12.0 / (b * k * (k + 1)) * sum(v * v for v in rsums.values()) - 3.0 * b * (k + 1)
+    assert (r.n_blocks, r.n_treatments) == (b, k)
+    assert abs(r.friedman_chi2 - chi2) < 1e-4
+
+
+def test_k02_cochran_matches_python(spark, sf_dir, reg, duck):
+    r = reg["k02_cochran_q"].fn(spark, sf_dir).collect()[0]
+    lo = duck.execute(
+        "SELECT MIN(epoch_us(date_trunc('day', ts)) // 86400000000) FROM events"
+    ).fetchone()[0]
+    rows = duck.execute(
+        "SELECT user_id, (epoch_us(date_trunc('day', ts)) // 86400000000 - ?) // 7, event_type FROM events",
+        [lo],
+    ).fetchall()
+    grid = {}
+    users = set()
+    for u, wk, et in rows:
+        users.add(u)
+        if et == "purchase" and wk < 4:
+            grid[(u, wk)] = 1
+    L = Counter()
+    G = Counter()
+    for u in users:
+        for wk in range(4):
+            x = grid.get((u, wk), 0)
+            L[u] += x
+            G[wk] += x
+    k = 4
+    sl = sum(L[u] for u in users)
+    sl2 = sum(L[u] ** 2 for u in users)
+    sg2 = sum(G[w] ** 2 for w in range(4))
+    q = (k - 1) * (k * sg2 - sl * sl) / (k * sl - sl2)
+    assert r.n_users == len(users)
+    assert abs(r.cochran_q - q) < 1e-4
+
+
+def test_k03_kw_matches_python(spark, sf_dir, reg, duck):
+    r = reg["k03_kruskal_wallis"].fn(spark, sf_dir).collect()[0]
+    rows = duck.execute("SELECT lang, n_chars FROM documents").fetchall()
+    allv = sorted(c for _, c in rows)
+    # average rank per value
+    first = {}
+    for i, v in enumerate(allv, start=1):
+        first.setdefault(v, []).append(i)
+    ar = {v: sum(ix) / len(ix) for v, ix in first.items()}
+    groups = {}
+    for lang, c in rows:
+        groups.setdefault(lang, []).append(ar[c])
+    n = len(allv)
+    s = sum(len(v) * (sum(v) / len(v) - (n + 1) / 2) ** 2 for v in groups.values())
+    h = 12.0 / (n * (n + 1)) * s
+    tie = sum(t**3 - t for t in Counter(allv).values())
+    h /= 1 - tie / (n**3 - n)
+    assert r.n == n and r.k == len(groups)
+    assert abs(r.h_stat - h) / max(h, 1e-9) < 1e-3
+
+
+def test_k04_brier_identity(spark, sf_dir, reg):
+    r = reg["k04_brier_decomposition"].fn(spark, sf_dir).collect()[0]
+    assert r.reliability >= 0 and r.resolution >= 0
+    assert 0 <= r.uncertainty <= 0.25
+    assert abs(r.brier_score - (r.reliability - r.resolution + r.uncertainty)) < 1e-5
+    assert 0 <= r.brier_score <= 1
+
+
+def test_k05_w_bounds(spark, sf_dir, reg):
+    r = reg["k05_kendalls_w"].fn(spark, sf_dir).collect()[0]
+    assert 0.0 <= r.kendalls_w <= 1.0
+    assert r.n_items == 7
+
+
+def test_k06_sign_matches_python(spark, sf_dir, reg, duck):
+    r = reg["k06_sign_test"].fn(spark, sf_dir).collect()[0]
+    daily = dict(
+        duck.execute(
+            "SELECT epoch_us(date_trunc('day', ts)) // 86400000000,"
+            " CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    up = sum(1 for d in daily if d - 7 in daily and daily[d] > daily[d - 7])
+    down = sum(1 for d in daily if d - 7 in daily and daily[d] < daily[d - 7])
+    assert (r.n_up, r.n_down) == (up, down)
+
+
+def test_k07_effect_size_matches_numpy(spark, sf_dir, reg, duck):
+    import numpy as np
+
+    r = reg["k07_effect_size_d"].fn(spark, sf_dir).collect()[0]
+    en = np.array(duck.execute("SELECT n_chars FROM documents WHERE lang='en'").fetchall(), dtype=np.float64).ravel()
+    de = np.array(duck.execute("SELECT n_chars FROM documents WHERE lang='de'").fetchall(), dtype=np.float64).ravel()
+    pooled = ((len(en) - 1) * en.var(ddof=1) + (len(de) - 1) * de.var(ddof=1)) / (
+        len(en) + len(de) - 2
+    )
+    d = (en.mean() - de.mean()) / math.sqrt(pooled)
+    g = d * (1 - 3 / (4 * (len(en) + len(de)) - 9))
+    assert abs(r.cohens_d - d) < 1e-4
+    assert abs(r.hedges_g - g) < 1e-4
+
+
+def test_k08_coverage_dominates_chebyshev(spark, sf_dir, reg):
+    rows = reg["k08_chebyshev_coverage"].fn(spark, sf_dir).collect()
+    fracs = [r.frac_within for r in rows]
+    for r in rows:
+        assert r.frac_within >= r.chebyshev_lower - 1e-9
+    assert fracs == sorted(fracs)  # coverage monotone in k
+
+
+def test_k09_bowley_bounds(spark, sf_dir, reg):
+    for r in reg["k09_bowley_moors"].fn(spark, sf_dir).collect():
+        assert -1.0 <= r.bowley_skew <= 1.0
+        assert r.moors_kurtosis > 0
+
+
+def test_k10_hurst_range(spark, sf_dir, reg):
+    r = reg["k10_hurst_exponent"].fn(spark, sf_dir).collect()[0]
+    assert r.n_block_sizes == 3
+    assert 0.0 < r.hurst_h < 1.2  # R/S estimate can slightly exceed 1 on tiny series
+
+
+def test_k11_split_is_argmax(spark, sf_dir, reg, duck):
+    r = reg["k11_best_single_split"].fn(spark, sf_dir).collect()[0]
+    daily = duck.execute(
+        "SELECT epoch_us(date_trunc('day', ts)) // 86400000000,"
+        " CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) FROM events GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    revs = [v for _, v in daily]
+    days = [d for d, _ in daily]
+    n = len(revs)
+    mu = sum(revs) / n
+    best, best_s = -1.0, None
+    for i in range(1, n):
+        ml, mr = sum(revs[:i]) / i, sum(revs[i:]) / (n - i)
+        bss = i * (ml - mu) ** 2 + (n - i) * (mr - mu) ** 2
+        if bss > best + 1e-9:
+            best, best_s = bss, days[i - 1]
+    assert r.split_after_day == best_s
+    assert abs(r.bss - best) / best < 1e-6
+    assert r.n_left + r.n_right == n
+
+
+def test_k12_mae_le_rmse(spark, sf_dir, reg):
+    r = reg["k12_seasonal_naive_backtest"].fn(spark, sf_dir).collect()[0]
+    assert 0 < r.mae <= r.rmse + 1e-9
+    assert r.mape > 0
+    assert r.n_forecasts > 0
+
+
+def test_k13_matches_numpy_power(spark, sf_dir, reg, duck):
+    import numpy as np
+
+    rows = {r.event_type: r.stationary_prob for r in reg["k13_markov_stationary"].fn(spark, sf_dir).collect()}
+    pairs = duck.execute(
+        """SELECT src, dst, COUNT(*) FROM (
+             SELECT event_type AS src,
+                    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS dst
+             FROM events) WHERE dst IS NOT NULL GROUP BY src, dst"""
+    ).fetchall()
+    states = sorted({s for s, _, _ in pairs} | {d for _, d, _ in pairs})
+    idx = {s: i for i, s in enumerate(states)}
+    P = np.zeros((len(states), len(states)))
+    for s, d, c in pairs:
+        P[idx[s], idx[d]] = c
+    P = P / P.sum(axis=1, keepdims=True)
+    P32 = np.linalg.matrix_power(P, 32)
+    pi = P32.mean(axis=0)
+    for s in states:
+        assert abs(rows[s] - pi[idx[s]]) < 1e-4, s
+    assert abs(sum(rows.values()) - 1.0) < 1e-4
+
+
+def test_k14_users_conserved(spark, sf_dir, reg, duck):
+    rows = reg["k14_activity_migration"].fn(spark, sf_dir).collect()
+    n = duck.execute("SELECT COUNT(DISTINCT user_id) FROM events").fetchone()[0]
+    assert sum(r.n_users for r in rows) == n
+    for r in rows:
+        assert r.tier_h1 in ("absent", "low", "high") and r.tier_h2 in ("absent", "low", "high")
+
+
+def test_k15_ttr_bounds(spark, sf_dir, reg):
+    for r in reg["k15_lexical_diversity"].fn(spark, sf_dir).collect():
+        assert 0.0 < r.pooled_ttr <= 1.0
+        assert 0.0 < r.segmental_ttr <= 1.0
+        assert r.pooled_ttr <= r.segmental_ttr + 1e-9  # pooling can only merge types
+
+
+def test_k16_ratios_bounded(spark, sf_dir, reg):
+    for r in reg["k16_casing_profile"].fn(spark, sf_dir).collect():
+        assert 0.0 <= r.upper_ratio <= 1.0
+        assert 0.0 <= r.titlecase_ratio <= 1.0
+
+
+def test_k17_mass_monotone(spark, sf_dir, reg):
+    rows = reg["k17_ngram_dup_mass"].fn(spark, sf_dir).collect()
+    assert [r.df_threshold for r in rows] == [2, 5, 10]
+    masses = [r.dup_mass for r in rows]
+    assert masses == sorted(masses, reverse=True)  # higher threshold, less mass
+    assert len({r.occurrences for r in rows}) == 1
+    for r in rows:
+        assert 0.0 <= r.dup_vocab_share <= r.dup_mass + 1e-9  # repeated grams weigh more
+
+
+def test_k18_hapax_matches_python(spark, sf_dir, reg, duck):
+    rows = {r.lang: r for r in reg["k18_hapax_rate"].fn(spark, sf_dir).collect()}
+    data = duck.execute("SELECT lang, text FROM documents").fetchall()
+    bylang = {}
+    for lang, text in data:
+        bylang.setdefault(lang, Counter()).update(text.split(" "))
+    for lang, c in bylang.items():
+        r = rows[lang]
+        assert r.vocab == len(c)
+        assert r.tokens == sum(c.values())
+        assert r.hapax == sum(1 for v in c.values() if v == 1)
+
+
+def test_k19_observation_matches_result(spark, sf_dir, reg):
+    df = reg["k19_observed_scan_metrics"].fn(spark, sf_dir)
+    rows = df.collect()  # triggers the action; CollectMetrics fires
+    obs = df._k19_observation
+    got = obs.get
+    assert got["rows_scanned"] == sum(r.n_lines for r in rows)
+    assert abs(float(got["revenue_exact"]) - sum(r.revenue for r in rows)) < 1e-3
