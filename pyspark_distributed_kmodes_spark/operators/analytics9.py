@@ -1564,3 +1564,430 @@ def k19_observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expose the Observation for tests without changing the result shape
     out._k19_observation = obs  # type: ignore[attr-defined]
     return out
+
+
+# ---------------------------------------------------------------------------
+# k20 — peak session concurrency probed at hour boundaries
+
+_K20_IDLE_US = 4 * 3600 * 1_000_000
+
+
+@query(
+    "k20_peak_concurrency",
+    oracle=f"""
+WITH marked AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_K20_IDLE_US}
+              OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), sess AS (
+  SELECT user_id,
+         MIN(us) AS s_start, MAX(us) AS s_end
+  FROM (SELECT user_id, us,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY us ASC ROWS UNBOUNDED PRECEDING) AS island
+        FROM marked)
+  GROUP BY user_id, island
+), hours AS (
+  SELECT unnest(range((SELECT MIN(s_start) // 3600000000 FROM sess),
+                      (SELECT MAX(s_end) // 3600000000 FROM sess) + 1)) AS h
+), conc AS (
+  SELECT h.h, CAST(COUNT(s.user_id) AS BIGINT) AS active
+  FROM hours h LEFT JOIN sess s
+    ON s.s_start <= h.h * 3600000000 AND s.s_end >= h.h * 3600000000
+  GROUP BY h.h
+)
+SELECT CAST(h AS BIGINT) AS hour_index, active AS active_sessions
+FROM conc
+ORDER BY active DESC, hour_index ASC
+LIMIT 5
+""",
+    tags=("events", "timeseries"),
+)
+def k20_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak session concurrency: sessionize (4 h idle islands, j30's
+    rule), then probe how many sessions are simultaneously open at each
+    HOUR boundary and report the top-5 busiest hours — the capacity-
+    planning number ("how many concurrent users must we serve") that
+    per-hour event counts do NOT give, because a session spans hours it
+    emits no event in. Probing at hour granularity keeps the interval
+    overlap a bounded fan-out instead of a full sweep-line sort of all
+    starts/ends (exact-to-the-second peaks need the sweep; hourly is
+    the planning resolution).
+
+    Scale: sessions come from partitioned windows; the probe join is
+    sessions x bounded hour lattice, prunable on the hour range. Top-5
+    is a TakeOrderedAndProject.
+    """
+    e = table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    marked = e.select(
+        "user_id",
+        us.alias("us"),
+        F.when((us - F.lag(us).over(w) > _K20_IDLE_US) | F.lag(us).over(w).isNull(), 1)
+        .otherwise(0)
+        .alias("brk"),
+    )
+    wi = Window.partitionBy("user_id").orderBy(F.asc("us")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = (
+        marked.withColumn("island", F.sum("brk").over(wi))
+        .groupBy("user_id", "island")
+        .agg(F.min("us").alias("s_start"), F.max("us").alias("s_end"))
+    )
+    bounds = sess.agg(
+        F.floor(F.min("s_start") / 3_600_000_000).alias("h_lo"),
+        F.floor(F.max("s_end") / 3_600_000_000).alias("h_hi"),
+    ).collect()[0]  # two scalars bound the constant hour lattice
+    hours = spark.range(int(bounds.h_lo), int(bounds.h_hi) + 1).select(F.col("id").alias("h"))
+    conc = (
+        F.broadcast(hours)
+        .join(
+            sess,
+            (F.col("s_start") <= F.col("h") * 3_600_000_000)
+            & (F.col("s_end") >= F.col("h") * 3_600_000_000),
+            "left",
+        )
+        .groupBy("h")
+        .agg(F.count("user_id").cast("bigint").alias("active"))
+    )
+    return (
+        conc.select(F.col("h").cast("bigint").alias("hour_index"), F.col("active").alias("active_sessions"))
+        .orderBy(F.desc("active_sessions"), F.asc("hour_index"))
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# k21 — GROUPING SETS with grouping_id() level decode
+
+
+@query(
+    "k21_grouping_id_decode",
+    oracle=f"""
+SELECT CASE
+         WHEN GROUPING(o_orderpriority) = 0 AND GROUPING(yr) = 0 THEN 'priority_year'
+         WHEN GROUPING(o_orderpriority) = 0 THEN 'priority_total'
+         WHEN GROUPING(yr) = 0 THEN 'year_total'
+         ELSE 'grand_total' END AS level,
+       COALESCE(o_orderpriority, 'ALL') AS pri,
+       COALESCE(CAST(yr AS VARCHAR), 'ALL') AS yr,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_dsum('o_totalprice')} AS revenue
+FROM (SELECT o_orderpriority, CAST(year(o_orderdate) AS BIGINT) AS yr, o_totalprice FROM orders)
+GROUP BY GROUPING SETS ((o_orderpriority, yr), (o_orderpriority), (yr), ())
+ORDER BY level, pri, yr
+""",
+    tags=("relational",),
+)
+def k21_grouping_id_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with the grouping() indicator DECODED into level
+    labels — the piece q17's grouping-sets row leaves implicit: a
+    consumer of a mixed-granularity result must distinguish "priority
+    is NULL because this is the year-total row" from a genuinely NULL
+    priority, and grouping()/grouping_id() is the only correct way (the
+    COALESCE-to-'ALL' rendering here is safe ONLY because the decode
+    happened first). One pass computes all four granularities with
+    partial-aggregate reuse.
+
+    Scale: Spark expands grouping sets into one Expand + one hash
+    aggregate — a single shuffle for all four levels, vs four separate
+    scans if a client issued them naively.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.year("o_orderdate").cast("bigint").alias("yr"), "o_totalprice"
+    )
+    g = o.groupingSets(
+        [["o_orderpriority", "yr"], ["o_orderpriority"], ["yr"], []],
+        "o_orderpriority",
+        "yr",
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+        F.grouping("o_orderpriority").alias("g_pri"),
+        F.grouping("yr").alias("g_yr"),
+    )
+    level = (
+        F.when((F.col("g_pri") == 0) & (F.col("g_yr") == 0), "priority_year")
+        .when(F.col("g_pri") == 0, "priority_total")
+        .when(F.col("g_yr") == 0, "year_total")
+        .otherwise("grand_total")
+    )
+    return g.select(
+        level.alias("level"),
+        F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("pri"),
+        F.coalesce(F.col("yr").cast("string"), F.lit("ALL")).alias("yr"),
+        "n_orders",
+        "revenue",
+    ).orderBy("level", "pri", "yr")
+
+
+# ---------------------------------------------------------------------------
+# k22 — distance-metric agreement: cosine vs euclidean top-k overlap
+
+_K22_ANCHORS = 8
+_K22_K = 10
+
+
+@query(
+    "k22_metric_agreement",
+    oracle=f"""
+WITH anchors AS (
+  SELECT vec_id, embedding FROM embeddings
+  ORDER BY {_sql_md5fold('CAST(vec_id AS VARCHAR)')} ASC, vec_id ASC
+  LIMIT {_K22_ANCHORS}
+), scored AS (
+  SELECT a.vec_id AS anchor_id, b.vec_id AS nbr,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim,
+         round(list_distance(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS euc
+  FROM anchors a JOIN embeddings b ON b.vec_id <> a.vec_id
+), ranked AS (
+  SELECT anchor_id, nbr,
+         ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY cos_sim DESC, nbr ASC) AS r_cos,
+         ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY euc ASC, nbr ASC) AS r_euc
+  FROM scored
+)
+SELECT anchor_id,
+       CAST(SUM(CASE WHEN r_cos <= {_K22_K} AND r_euc <= {_K22_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+       {sql_pround(f'''CAST(SUM(CASE WHEN r_cos <= {_K22_K} AND r_euc <= {_K22_K} THEN 1 ELSE 0 END) AS DOUBLE)
+         / (2 * {_K22_K} - SUM(CASE WHEN r_cos <= {_K22_K} AND r_euc <= {_K22_K} THEN 1 ELSE 0 END))''', 6)} AS jaccard_topk
+FROM ranked GROUP BY anchor_id
+ORDER BY anchor_id
+""",
+    tags=("vector", "audit"),
+)
+def k22_metric_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-metric agreement audit: for {_K22_ANCHORS} hash-rank
+    anchor vectors (FIXED budget — the h12 rule — never a fraction of
+    the corpus), compare the top-{_K22_K} neighbor sets under cosine
+    similarity vs euclidean distance and report their Jaccard overlap.
+    On L2-normalized embeddings the two rankings are identical; raw
+    embeddings can disagree badly, and this one-number-per-anchor audit
+    is how to decide whether an ANN index built on one metric (q61/q68)
+    can serve queries phrased in the other.
+
+    Scale: anchors are a broadcast constant set; scoring is one
+    {_K22_ANCHORS} x N fan-out with JVM zip_with/aggregate math (no
+    Python); both rankings come from windows partitioned by anchor.
+    """
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    anchors = (
+        emb.orderBy(_md5fold(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc())
+        .limit(_K22_ANCHORS)
+        .select(F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("a_emb"))
+    )
+    j = F.broadcast(anchors).join(emb, F.col("vec_id") != F.col("anchor_id"))
+    ax = F.col("a_emb").cast("array<double>")
+    bx = F.col("embedding").cast("array<double>")
+    dot = F.aggregate(F.zip_with(ax, bx, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.zip_with(ax, ax, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v))
+    nb = F.sqrt(F.aggregate(F.zip_with(bx, bx, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v))
+    euc = F.sqrt(
+        F.aggregate(F.zip_with(ax, bx, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda a, v: a + v)
+    )
+    scored = j.select(
+        "anchor_id",
+        F.col("vec_id").alias("nbr"),
+        F.round(dot / (na * nb), 6).alias("cos_sim"),
+        F.round(euc, 6).alias("euc"),
+    )
+    wc = Window.partitionBy("anchor_id").orderBy(F.desc("cos_sim"), F.asc("nbr"))
+    we = Window.partitionBy("anchor_id").orderBy(F.asc("euc"), F.asc("nbr"))
+    ranked = scored.withColumn("r_cos", F.row_number().over(wc)).withColumn(
+        "r_euc", F.row_number().over(we)
+    )
+    common = F.sum(
+        F.when((F.col("r_cos") <= _K22_K) & (F.col("r_euc") <= _K22_K), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        ranked.groupBy("anchor_id")
+        .agg(
+            common.alias("n_common"),
+            pround(
+                common.cast("double") / (2 * _K22_K - common), 6
+            ).alias("jaccard_topk"),
+        )
+        .orderBy("anchor_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k23 — XML source round trip (built-in XML support, Spark 4)
+
+
+@query(
+    "k23_xml_roundtrip",
+    oracle="""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+    tags=("source",),
+)
+def k23_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source round trip — Spark 4's built-in XML data source (the
+    former spark-xml package, now first-party): documents metadata is
+    written as <row> elements under a root tag, read BACK through the
+    XML reader with an explicit rowTag, and the per-language rollup of
+    the round-tripped data is oracle-gated against the original table —
+    proving schema, typing (bigint survives the text encoding), and
+    row fidelity. Completes the source matrix: parquet, ORC, CSV, JSON
+    lines (custom DataSource), text, binaryFile, and now XML.
+
+    Scale: XML is a line-hostile format (no splittable row boundaries
+    in general); the write fans out across partitions into separate
+    files, which is exactly how a real export keeps parallelism.
+    Cleanup in finally; eager materialization before the temp dir dies.
+    """
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="k23_xml_")
+    try:
+        d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        d.write.format("xml").option("rootTag", "docs").option("rowTag", "doc").mode(
+            "overwrite"
+        ).save(base + "/x")
+        back = spark.read.format("xml").option("rowTag", "doc").load(base + "/x")
+        return (
+            back.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("chars_total"),
+                F.sum("doc_id").cast("bigint").alias("id_checksum"),
+            )
+            .orderBy("lang")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# k24 — malformed-CSV handling: PERMISSIVE + corrupt-record column
+
+_K24_BAD_MOD = 13  # every 13th row is written malformed
+
+
+@query(
+    "k24_csv_malformed_audit",
+    oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN doc_id % {_K24_BAD_MOD} = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+       CAST(SUM(CASE WHEN doc_id % {_K24_BAD_MOD} <> 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+       CAST(SUM(CASE WHEN doc_id % {_K24_BAD_MOD} <> 3 THEN n_chars END) AS BIGINT) AS clean_chars
+FROM documents
+""",
+    tags=("source", "audit"),
+)
+def k24_csv_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row handling on the CSV path: a CSV export is
+    deliberately corrupted (every {_K24_BAD_MOD}th row gets a
+    non-numeric n_chars — the classic upstream-typo), then read back in
+    PERMISSIVE mode with a `_corrupt_record` rescue column and an
+    explicit schema; the audit row counts clean vs corrupt records and
+    checksums the clean payload. This is the ingest-robustness contract
+    qc01's clean CSV read does not exercise: a 100 TB ingest MUST
+    quarantine bad rows (count them, keep the raw line) instead of
+    failing the job (FAILFAST) or silently dropping data
+    (DROPMALFORMED).
+
+    Scale: one extra string column on the scan; the corrupt check is
+    per-row and map-side combined. Cleanup in finally.
+    """
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="k24_csv_")
+    try:
+        d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        csv_line = F.concat_ws(
+            ",",
+            F.col("doc_id").cast("string"),
+            F.col("lang"),
+            F.when(F.col("doc_id") % _K24_BAD_MOD == 3, F.lit("not_a_number")).otherwise(
+                F.col("n_chars").cast("string")
+            ),
+        )
+        d.select(csv_line.alias("value")).write.mode("overwrite").text(base + "/c")
+        back = (
+            spark.read.schema("doc_id LONG, lang STRING, n_chars LONG, _corrupt_record STRING")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .csv(base + "/c")
+        )
+        # cache: Spark requires materializing before filtering on the
+        # rescue column (it is populated during parsing, not planning)
+        back = back.cache()
+        out = back.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("_corrupt_record").isNotNull().cast("int")).cast("bigint").alias(
+                "n_corrupt"
+            ),
+            F.sum(F.col("_corrupt_record").isNull().cast("int")).cast("bigint").alias("n_clean"),
+            F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("n_chars"))).cast("bigint").alias(
+                "clean_chars"
+            ),
+        ).localCheckpoint(eager=True)
+        back.unpersist()
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# k25 — parquet compression-codec round trip (zstd)
+
+
+@query(
+    "k25_parquet_codec_roundtrip",
+    oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM({_sql_md5fold("CAST(o_orderkey AS VARCHAR) || '|' || o_orderpriority")} % 1000000) AS BIGINT) AS content_checksum,
+       {sql_dsum('o_totalprice')} AS revenue
+FROM orders
+""",
+    tags=("source",),
+)
+def k25_parquet_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet compression-codec round trip: orders written with
+    compression=zstd (the modern default for cold analytical data:
+    ~30% smaller than snappy at similar decode cost) and read back;
+    the oracle gates an order-insensitive content checksum plus the
+    exact revenue sum, proving the codec path is lossless end-to-end.
+    Codec choice is a pure storage-layer knob — this op pins that the
+    QUERY layer cannot tell the difference, which is what licenses a
+    fleet-wide recompression job on a 100 TB lake.
+
+    Scale: write cost is the same single pass as any sink; zstd
+    trades ~10-20% write CPU for 25-35% size — at 100 TB that is
+    double-digit terabytes of storage and scan I/O saved.
+    """
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="k25_zstd_")
+    try:
+        o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        o.write.mode("overwrite").option("compression", "zstd").parquet(base + "/z")
+        back = spark.read.parquet(base + "/z")
+        return back.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(
+                _md5fold(
+                    F.concat_ws("|", F.col("o_orderkey").cast("string"), F.col("o_orderpriority"))
+                )
+                % 1_000_000
+            )
+            .cast("bigint")
+            .alias("content_checksum"),
+            dsum("o_totalprice").alias("revenue"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
