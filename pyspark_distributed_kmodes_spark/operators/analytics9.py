@@ -1991,3 +1991,306 @@ def k25_parquet_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# k26 — first-wins dedup provenance bias
+
+
+@query(
+    "k26_dedup_provenance_bias",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id, source, md5(lower(text)) AS f FROM documents
+), keep AS (
+  SELECT f, MIN(doc_id) AS keeper FROM fp GROUP BY f
+), labeled AS (
+  SELECT fp.source, CASE WHEN fp.doc_id = k.keeper THEN 0 ELSE 1 END AS removed
+  FROM fp JOIN keep k ON fp.f = k.f
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(removed) AS BIGINT) AS n_removed,
+       {RR} AS removal_rate
+FROM labeled GROUP BY source
+ORDER BY source
+""".replace("{RR}", sql_pround("CAST(SUM(removed) AS DOUBLE) / COUNT(*)", 6)),
+    tags=("dedup", "curation"),
+)
+def k26_dedup_provenance_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance bias of FIRST-WINS dedup: normalize (lowercase) and
+    fingerprint every document, keep the lowest doc_id per fingerprint,
+    and report each SOURCE's removal rate — when ingestion order
+    correlates with source, first-wins systematically deletes the
+    later-ingested sources' copies, silently shifting the corpus mix
+    (the bias q65's keep-BEST rule exists to avoid; this measures what
+    the naive rule would have done). A removal-rate spread across
+    sources is the actionable signal to switch the keep rule or
+    re-weight the mixture (qc04) afterwards.
+
+    Scale: md5 fingerprint groupBy (the q56 shape) + one join back on
+    the fingerprint; per-source rollup is map-side combined.
+    """
+    d = table(spark, sf_dir, "documents")
+    fp = d.select("doc_id", "source", F.md5(F.lower("text")).alias("f"))
+    keep = fp.groupBy("f").agg(F.min("doc_id").alias("keeper"))
+    labeled = fp.join(keep, "f").select(
+        "source", (F.col("doc_id") != F.col("keeper")).cast("int").alias("removed")
+    )
+    return (
+        labeled.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("removed").cast("bigint").alias("n_removed"),
+            pround(F.sum("removed").cast("double") / F.count(F.lit(1)), 6).alias("removal_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k27 — rate limiting: first event per user-hour, suppression audit
+
+
+@query(
+    "k27_rate_limit_audit",
+    oracle=f"""
+WITH ranked AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(date_trunc('hour', ts))
+                            ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppressed,
+       {sql_pround('CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)', 6)} AS suppression_rate
+FROM ranked GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("events", "audit"),
+)
+def k27_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-limit preflight: if delivery were throttled to ONE event
+    per user per hour (first wins, deterministic ts + event_id order),
+    how much traffic would each event type lose? The keep-first row is
+    the standard notification/webhook throttle; the per-type
+    suppression rate tells which signals the throttle would starve
+    (bursty types lose most — pairs with j28's burstiness index, which
+    predicts exactly this). q34's dedup keeps the LATEST per key; the
+    throttle keeps the EARLIEST per key-window — both one window.
+
+    Scale: a single row_number window partitioned by (user, hour) —
+    high-cardinality partitioning, fully parallel — and one rollup.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.date_trunc("hour", "ts")).orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    ranked = e.select("event_type", F.row_number().over(w).alias("rn"))
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum((F.col("rn") > 1).cast("int")).cast("bigint").alias("n_suppressed"),
+            pround(
+                F.sum((F.col("rn") > 1).cast("int")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("suppression_rate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k28 — cold-start activity curve by user age
+
+
+@query(
+    "k28_cold_start_curve",
+    oracle=f"""
+WITH aged AS (
+  SELECT user_id,
+         {_SQL_DAY_IDX} - MIN({_SQL_DAY_IDX}) OVER (PARTITION BY user_id) AS age_day
+  FROM events
+)
+SELECT CAST(age_day AS BIGINT) AS age_day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {sql_pround('CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT user_id)', 6)} AS events_per_active
+FROM aged GROUP BY age_day
+ORDER BY age_day
+""",
+    tags=("events", "curation"),
+)
+def k28_cold_start_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold-start activity curve: events re-indexed by each user's AGE
+    (days since that user's first event) instead of calendar time —
+    active-user count and events-per-active-user at age 0, 1, 2, ... is
+    the onboarding decay curve product teams tune against, and the
+    calendar-free form that makes cohorts of different signup dates
+    comparable (qg13's retention matrix is the 2-D calendar x cohort
+    view; this is its age-marginal). Age comes from one min-window
+    partitioned by user, so no self-join on first-event dates.
+
+    Scale: one partitioned analytic window over events + one grouped
+    pass on the bounded age lattice; distinct-user counting is per
+    age-day, map-side combined.
+    """
+    e = table(spark, sf_dir, "events")
+    di = _day_idx()
+    w = Window.partitionBy("user_id")
+    aged = e.select("user_id", (di - F.min(di).over(w)).alias("age_day"))
+    return (
+        aged.groupBy(F.col("age_day").cast("bigint").alias("age_day"))
+        .agg(
+            F.count_distinct("user_id").cast("bigint").alias("n_active_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            pround(F.count(F.lit(1)).cast("double") / F.count_distinct("user_id"), 6).alias(
+                "events_per_active"
+            ),
+        )
+        .orderBy("age_day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k29 — axis-LSH bucket balance audit
+
+_K29_BITS = 8
+
+
+@query(
+    "k29_lsh_bucket_balance",
+    oracle=f"""
+WITH sig AS (
+  SELECT CAST({' + '.join(f"(CASE WHEN embedding[{i + 1}] >= 0 THEN 1 ELSE 0 END) * {1 << i}" for i in range(_K29_BITS))} AS BIGINT) AS bucket
+  FROM embeddings
+), hist AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c FROM sig GROUP BY bucket
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         CAST(MAX(c) AS BIGINT) AS max_c
+  FROM hist
+), ent AS (
+  SELECT CAST(SUM(CAST({sql_pround('-(CAST(c AS DOUBLE) / t.n) * ln(CAST(c AS DOUBLE) / t.n)', 9)} AS DECIMAL(25,12))) AS DOUBLE) AS h
+  FROM hist CROSS JOIN tot t
+)
+SELECT t.n_buckets AS n_occupied_buckets,
+       CAST({1 << _K29_BITS} AS BIGINT) AS n_possible_buckets,
+       {sql_pround('ent.h / ln(2.0)', 6)} AS entropy_bits,
+       {sql_pround(f'CAST(t.max_c AS DOUBLE) / (CAST(t.n AS DOUBLE) / {1 << _K29_BITS})', 6)} AS max_over_uniform
+FROM ent CROSS JOIN tot t
+""",
+    tags=("vector", "audit"),
+)
+def k29_lsh_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-balance audit for an {_K29_BITS}-bit sign LSH (bit i =
+    sign of embedding coordinate i — the deterministic axis-aligned
+    family, so the oracle can replay it exactly, unlike q61's seeded
+    random hyperplanes): occupancy entropy in bits vs the {_K29_BITS}-
+    bit uniform ideal and the largest bucket's load factor. Skewed
+    buckets are the failure mode that turns an LSH candidate join
+    (q61/qg04) quadratic in one straggler task — this audit prices the
+    hash family on the actual corpus BEFORE building the index, and
+    doubles as a symmetry check on the embedding distribution itself.
+
+    Scale: the signature is a branch-free per-row expression; one
+    groupBy to at most 2^{_K29_BITS} buckets; entropy terms
+    pround-quantized and DECIMAL-summed over that bounded histogram.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    bucket = None
+    for i in range(_K29_BITS):
+        bit = (F.element_at("embedding", i + 1) >= 0).cast("bigint") * (1 << i)
+        bucket = bit if bucket is None else bucket + bit
+    hist = emb.select(bucket.cast("bigint").alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = hist.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.max("c").cast("bigint").alias("max_c"),
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    ent = hist.crossJoin(F.broadcast(tot)).agg(
+        F.sum(pround(-p * F.log(p), 9).cast("decimal(25,12)")).cast("double").alias("h")
+    )
+    j = ent.crossJoin(F.broadcast(tot))
+    return j.select(
+        F.col("n_buckets").alias("n_occupied_buckets"),
+        F.lit(1 << _K29_BITS).cast("bigint").alias("n_possible_buckets"),
+        pround(F.col("h") / F.log(F.lit(2.0)), 6).alias("entropy_bits"),
+        pround(
+            F.col("max_c").cast("double") / (F.col("n").cast("double") / (1 << _K29_BITS)), 6
+        ).alias("max_over_uniform"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k30 — Pareto concentration: the 80% point of user activity
+
+
+@query(
+    "k30_pareto_point",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY user_id
+), hist AS (
+  SELECT c, CAST(COUNT(*) AS BIGINT) AS users FROM per_user GROUP BY c
+), cum AS (
+  SELECT c, users,
+         SUM(c * users) OVER (ORDER BY c DESC) AS ev_cum,
+         SUM(users) OVER (ORDER BY c DESC) AS us_cum,
+         (SELECT SUM(c * users) FROM hist) AS ev_tot,
+         (SELECT SUM(users) FROM hist) AS us_tot
+  FROM hist
+)
+SELECT CAST(MAX(us_tot) AS BIGINT) AS n_users,
+       CAST(MAX(ev_tot) AS BIGINT) AS n_events,
+       {sql_pround('''CAST(MIN(CASE WHEN CAST(ev_cum AS DOUBLE) / ev_tot >= 0.8 THEN us_cum END) AS DOUBLE)
+         / MAX(us_tot)''', 6)} AS users_frac_for_80pct,
+       {sql_pround('''CAST(MAX(CASE WHEN us_cum <= CAST(ceil(us_tot / 10.0) AS BIGINT) THEN ev_cum END) AS DOUBLE)
+         / MAX(ev_tot)''', 6)} AS top_decile_event_share
+FROM cum
+""",
+    tags=("events", "statistics"),
+)
+def k30_pareto_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration of user activity: the minimum fraction of
+    (heaviest) users that accounts for 80% of all events, and the event
+    share of the top decile — the two numbers behind "80/20" capacity
+    and abuse analyses, computed entirely on the COUNT-OF-COUNTS
+    histogram: users collapse to (events-per-user, user-count) pairs,
+    so the descending cumulative runs over a bounded lattice, never a
+    per-user ranking (qd09's Gini integrates the same curve; this reads
+    the two operational points off it).
+
+    Scale: per-user count (map-side combined), count-of-counts
+    collapse, one bounded-lattice cumulative window, 1-row output.
+    """
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    hist = per_user.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("users"))
+    tot = hist.agg(
+        F.sum(F.col("c") * F.col("users")).alias("ev_tot"), F.sum("users").alias("us_tot")
+    )
+    w = Window.orderBy(F.desc("c"))  # bounded: count-of-counts lattice
+    cum = (
+        hist.withColumn("ev_cum", F.sum(F.col("c") * F.col("users")).over(w))
+        .withColumn("us_cum", F.sum("users").over(w))
+        .crossJoin(F.broadcast(tot))
+    )
+    frac80 = F.min(
+        F.when(F.col("ev_cum").cast("double") / F.col("ev_tot") >= 0.8, F.col("us_cum"))
+    ).cast("double") / F.max("us_tot")
+    decile = F.max(
+        F.when(
+            F.col("us_cum") <= F.ceil(F.col("us_tot") / 10.0).cast("bigint"), F.col("ev_cum")
+        )
+    ).cast("double") / F.max("ev_tot")
+    return cum.agg(
+        F.max("us_tot").cast("bigint").alias("n_users"),
+        F.max("ev_tot").cast("bigint").alias("n_events"),
+        pround(frac80, 6).alias("users_frac_for_80pct"),
+        pround(decile, 6).alias("top_decile_event_share"),
+    )
