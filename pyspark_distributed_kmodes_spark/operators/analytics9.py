@@ -2294,3 +2294,529 @@ def k30_pareto_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(frac80, 6).alias("users_frac_for_80pct"),
         pround(decile, 6).alias("top_decile_event_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k31 — energy distance between two length distributions
+
+
+@query(
+    "k31_energy_distance",
+    oracle=f"""
+WITH la AS (
+  SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c FROM documents WHERE lang = 'en' GROUP BY n_chars
+), lb AS (
+  SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c FROM documents WHERE lang = 'de' GROUP BY n_chars
+), na AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM la),
+nb AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM lb),
+axy AS (
+  SELECT CAST(SUM(CAST(abs(a.v - b.v) * a.c * b.c AS DECIMAL(38,0))) AS DOUBLE) AS s
+  FROM la a CROSS JOIN lb b
+), axx AS (
+  SELECT CAST(SUM(CAST(abs(a.v - b.v) * a.c * b.c AS DECIMAL(38,0))) AS DOUBLE) AS s
+  FROM la a CROSS JOIN la b
+), ayy AS (
+  SELECT CAST(SUM(CAST(abs(a.v - b.v) * a.c * b.c AS DECIMAL(38,0))) AS DOUBLE) AS s
+  FROM lb a CROSS JOIN lb b
+)
+SELECT na.n AS n1, nb.n AS n2,
+       {sql_pround('''2.0 * axy.s / (CAST(na.n AS DOUBLE) * nb.n)
+         - axx.s / (CAST(na.n AS DOUBLE) * na.n)
+         - ayy.s / (CAST(nb.n AS DOUBLE) * nb.n)''', 6)} AS energy_dist_sq,
+       {sql_pround('''(CAST(na.n AS DOUBLE) * nb.n / (na.n + nb.n)) *
+         (2.0 * axy.s / (CAST(na.n AS DOUBLE) * nb.n)
+          - axx.s / (CAST(na.n AS DOUBLE) * na.n)
+          - ayy.s / (CAST(nb.n AS DOUBLE) * nb.n))''', 6)} AS energy_stat
+FROM na, nb, axy, axx, ayy
+""",
+    tags=("statistics", "text"),
+)
+def k31_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Szekely's energy distance between the en and de document-length
+    distributions: D^2 = 2 E|X-Y| - E|X-X'| - E|Y-Y'| plus the
+    nm/(n+m)-scaled test statistic — the modern two-sample test that is
+    consistent against ALL alternatives (KS/h05 is location-dominated,
+    j48 tests means only), computed exactly: the three pairwise
+    expectation sums run over the bounded length-DICTIONARY cross
+    products (|lattice|^2 cells, never row pairs), every |x-y|*c1*c2
+    term an exact integer.
+
+    Scale: two grouped lattice collapses, three broadcast lattice-pair
+    joins of a few hundred rows each; row count only changes the cnt
+    weights.
+    """
+    d = table(spark, sf_dir, "documents")
+    la = d.filter(F.col("lang") == "en").groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    lb = d.filter(F.col("lang") == "de").groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+
+    def pair_sum(x: DataFrame, y: DataFrame) -> DataFrame:
+        a, b = x.alias("a"), y.alias("b")
+        return a.crossJoin(F.broadcast(b)).agg(
+            F.sum(
+                (F.abs(F.col("a.v") - F.col("b.v")) * F.col("a.c") * F.col("b.c")).cast(
+                    "decimal(38,0)"
+                )
+            )
+            .cast("double")
+            .alias("s")
+        )
+
+    na = la.agg(F.sum("c").cast("bigint").alias("n1"))
+    nb = lb.agg(F.sum("c").cast("bigint").alias("n2"))
+    j = (
+        pair_sum(la, lb).withColumnRenamed("s", "sxy")
+        .crossJoin(F.broadcast(pair_sum(la, la).withColumnRenamed("s", "sxx")))
+        .crossJoin(F.broadcast(pair_sum(lb, lb).withColumnRenamed("s", "syy")))
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    d2 = (
+        2.0 * F.col("sxy") / (n1d * F.col("n2"))
+        - F.col("sxx") / (n1d * F.col("n1"))
+        - F.col("syy") / (n2d * F.col("n2"))
+    )
+    return j.select(
+        "n1",
+        "n2",
+        pround(d2, 6).alias("energy_dist_sq"),
+        pround((n1d * F.col("n2") / (F.col("n1") + F.col("n2"))) * d2, 6).alias("energy_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k32 — exact 1-D Wasserstein distance between length distributions
+
+
+@query(
+    "k32_wasserstein_distance",
+    oracle="""
+WITH la AS (
+  SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c FROM documents WHERE lang = 'en' GROUP BY n_chars
+), lb AS (
+  SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c FROM documents WHERE lang = 'de' GROUP BY n_chars
+), merged AS (
+  SELECT COALESCE(a.v, b.v) AS v, COALESCE(a.c, 0) AS ca, COALESCE(b.c, 0) AS cb
+  FROM la a FULL OUTER JOIN lb b ON a.v = b.v
+), cum AS (
+  SELECT v,
+         SUM(ca) OVER (ORDER BY v ASC) AS cuma,
+         SUM(cb) OVER (ORDER BY v ASC) AS cumb,
+         LEAD(v) OVER (ORDER BY v ASC) AS v_next,
+         (SELECT SUM(ca) FROM merged) AS n1,
+         (SELECT SUM(cb) FROM merged) AS n2
+  FROM merged
+)
+SELECT CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
+       {W} AS wasserstein_1
+FROM cum WHERE v_next IS NOT NULL
+""".replace(
+        "{W}",
+        sql_pround(
+            "CAST(SUM(CAST(abs(cuma * n2 - cumb * n1) * (v_next - v) AS DECIMAL(38,0))) AS DOUBLE)"
+            " / (CAST(MAX(n1) AS DOUBLE) * MAX(n2))",
+            6,
+        ),
+    ),
+    tags=("statistics", "text"),
+)
+def k32_wasserstein_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 1-D Wasserstein-1 (earth mover's) distance between the en
+    and de length distributions: W1 = integral |F1 - F2| dv over the
+    merged value lattice, with the CDF difference carried as the exact
+    integer cross-product |cuma*n2 - cumb*n1| so the only float op is
+    the final division — the distribution-shift magnitude IN THE UNITS
+    OF THE VARIABLE (characters), which KS (h05: max gap, unitless) and
+    PSI (qf01: binned, unit-free) cannot give. The number a curation
+    team quotes as "de docs are ~N characters shorter in distribution".
+
+    Scale: lattice collapse, one full-outer merge of two bounded
+    dictionaries, one cumulative window over that aggregate.
+    """
+    d = table(spark, sf_dir, "documents")
+    la = d.filter(F.col("lang") == "en").groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("ca")
+    )
+    lb = d.filter(F.col("lang") == "de").groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cb")
+    )
+    a, b = la.alias("a"), lb.alias("b")
+    merged = a.join(b, F.col("a.v") == F.col("b.v"), "full_outer").select(
+        F.coalesce(F.col("a.v"), F.col("b.v")).alias("v"),
+        F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+        F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+    )
+    tot = merged.agg(F.sum("ca").alias("n1"), F.sum("cb").alias("n2"))
+    w = Window.orderBy(F.asc("v"))  # bounded: merged value lattice
+    cum = (
+        merged.withColumn("cuma", F.sum("ca").over(w))
+        .withColumn("cumb", F.sum("cb").over(w))
+        .withColumn("v_next", F.lead("v").over(w))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("v_next").isNotNull())
+    )
+    num = F.sum(
+        (
+            F.abs(F.col("cuma") * F.col("n2") - F.col("cumb") * F.col("n1"))
+            * (F.col("v_next") - F.col("v"))
+        ).cast("decimal(38,0)")
+    ).cast("double")
+    return cum.agg(
+        F.max("n1").cast("bigint").alias("n1"),
+        F.max("n2").cast("bigint").alias("n2"),
+        pround(num / (F.max("n1").cast("double") * F.max("n2")), 6).alias("wasserstein_1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k33 — two-sample Cramér-von Mises criterion
+
+
+@query(
+    "k33_cramer_von_mises",
+    oracle="""
+WITH la AS (
+  SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c FROM documents WHERE lang = 'en' GROUP BY n_chars
+), lb AS (
+  SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c FROM documents WHERE lang = 'de' GROUP BY n_chars
+), merged AS (
+  SELECT COALESCE(a.v, b.v) AS v, COALESCE(a.c, 0) AS ca, COALESCE(b.c, 0) AS cb
+  FROM la a FULL OUTER JOIN lb b ON a.v = b.v
+), cum AS (
+  SELECT v, ca + cb AS t,
+         SUM(ca) OVER (ORDER BY v ASC) AS cuma,
+         SUM(cb) OVER (ORDER BY v ASC) AS cumb,
+         (SELECT SUM(ca) FROM merged) AS n1,
+         (SELECT SUM(cb) FROM merged) AS n2
+  FROM merged
+)
+SELECT CAST(MAX(n1) AS BIGINT) AS n1, CAST(MAX(n2) AS BIGINT) AS n2,
+       {T} AS cvm_stat
+FROM cum
+""".replace(
+        "{T}",
+        sql_pround(
+            "CAST(SUM(CAST(CAST(cuma * n2 - cumb * n1 AS DECIMAL(38,0)) * CAST(cuma * n2 - cumb * n1 AS DECIMAL(38,0)) * t AS DECIMAL(38,0))) AS DOUBLE)"
+            " / (CAST(MAX(n1) AS DOUBLE) * MAX(n1) * MAX(n2) * MAX(n2) * (MAX(n1) + MAX(n2)))"
+            " * (CAST(MAX(n1) AS DOUBLE) * MAX(n2) / (MAX(n1) + MAX(n2)))",
+            6,
+        ),
+    ),
+    tags=("statistics", "text"),
+)
+def k33_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises criterion between en and de length
+    distributions: T = nm/(n+m)^2 * SUM over pooled points of
+    t_v (F1 - F2)^2 — the INTEGRATED squared CDF gap, sensitive to
+    differences anywhere in the distribution where KS sees only the
+    single largest gap (h05) and W1 (k32) weights by distance. The CDF
+    differences are exact integer cross-products squared in DECIMAL, so
+    both engines sum identical integers; two float ops at the end.
+
+    Scale: identical bounded-lattice shape to k32 (merge + one
+    cumulative window over the dictionary).
+    """
+    d = table(spark, sf_dir, "documents")
+    la = d.filter(F.col("lang") == "en").groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("ca")
+    )
+    lb = d.filter(F.col("lang") == "de").groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cb")
+    )
+    a, b = la.alias("a"), lb.alias("b")
+    merged = a.join(b, F.col("a.v") == F.col("b.v"), "full_outer").select(
+        F.coalesce(F.col("a.v"), F.col("b.v")).alias("v"),
+        F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+        F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+    )
+    tot = merged.agg(F.sum("ca").alias("n1"), F.sum("cb").alias("n2"))
+    w = Window.orderBy(F.asc("v"))  # bounded: merged value lattice
+    cum = (
+        merged.withColumn("cuma", F.sum("ca").over(w))
+        .withColumn("cumb", F.sum("cb").over(w))
+        .withColumn("t", F.col("ca") + F.col("cb"))
+        .crossJoin(F.broadcast(tot))
+    )
+    diff = (F.col("cuma") * F.col("n2") - F.col("cumb") * F.col("n1")).cast("decimal(38,0)")
+    ssum = F.sum((diff * diff * F.col("t")).cast("decimal(38,0)")).cast("double")
+    n1d = F.max("n1").cast("double")
+    n2d = F.max("n2").cast("double")
+    t_stat = (
+        ssum
+        / (n1d * F.max("n1") * F.max("n2") * F.max("n2") * (F.max("n1") + F.max("n2")))
+        * (n1d * F.max("n2") / (F.max("n1") + F.max("n2")))
+    )
+    return cum.agg(
+        F.max("n1").cast("bigint").alias("n1"),
+        F.max("n2").cast("bigint").alias("n2"),
+        pround(t_stat, 6).alias("cvm_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k34 — shift-share decomposition of year-over-year revenue-per-order
+
+_K34_Y1, _K34_Y2 = 1997, 1998
+
+
+@query(
+    "k34_shift_share",
+    oracle=f"""
+WITH cells AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority AS grp,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS rev
+  FROM orders WHERE year(o_orderdate) IN ({_K34_Y1}, {_K34_Y2})
+  GROUP BY 1, 2
+), tot AS (
+  SELECT yr, CAST(SUM(n) AS BIGINT) AS n_tot FROM cells GROUP BY yr
+), wide AS (
+  SELECT c1.grp,
+         CAST(c1.n AS DOUBLE) / t1.n_tot AS share1,
+         CAST(c2.n AS DOUBLE) / t2.n_tot AS share2,
+         c1.rev / c1.n AS rate1,
+         c2.rev / c2.n AS rate2
+  FROM cells c1 JOIN cells c2 ON c1.grp = c2.grp AND c1.yr = {_K34_Y1} AND c2.yr = {_K34_Y2}
+  CROSS JOIN (SELECT n_tot FROM tot WHERE yr = {_K34_Y1}) t1
+  CROSS JOIN (SELECT n_tot FROM tot WHERE yr = {_K34_Y2}) t2
+)
+SELECT
+  {sql_pround('SUM(share1 * rate1)', 4)} AS mean_y1,
+  {sql_pround('SUM(share2 * rate2)', 4)} AS mean_y2,
+  {sql_pround('SUM(share1 * (rate2 - rate1))', 4)} AS within_effect,
+  {sql_pround('SUM((share2 - share1) * rate1)', 4)} AS mix_effect,
+  {sql_pround('SUM((share2 - share1) * (rate2 - rate1))', 4)} AS interaction_effect,
+  {sql_pround('''SUM(share2 * rate2) - SUM(share1 * rate1)
+    - (SUM(share1 * (rate2 - rate1)) + SUM((share2 - share1) * rate1)
+       + SUM((share2 - share1) * (rate2 - rate1)))''', 4)} AS identity_gap
+FROM wide
+""",
+    tags=("statistics", "relational"),
+)
+def k34_shift_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shift-share decomposition of the {_K34_Y1}->{_K34_Y2} change in
+    mean order value: DELTA = within-group rate growth (at old mix) +
+    mix shift (at old rates) + interaction — the standard BI answer to
+    "did revenue-per-order rise because orders got pricier, or because
+    the mix moved toward pricier priorities?", with identity_gap
+    pinning the decomposition exactly to the observed delta (gated at
+    0). The 5-group sums are plain float ops over per-group exact
+    aggregates — identical expressions on both engines, and small
+    enough (k=5) that ordering is fixed by the GROUP BY collapse.
+
+    Scale: one filtered grouped pass (year predicate pushed to scan),
+    then arithmetic on the bounded (year x priority) grid.
+    """
+    o = table(spark, sf_dir, "orders").filter(F.year("o_orderdate").isin(_K34_Y1, _K34_Y2))
+    cells = o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yr"), F.col("o_orderpriority").alias("grp")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,2)")).cast("double").alias("rev"),
+    )
+    tot = cells.groupBy("yr").agg(F.sum("n").cast("bigint").alias("n_tot"))
+    c1 = cells.filter(F.col("yr") == _K34_Y1).alias("c1")
+    c2 = cells.filter(F.col("yr") == _K34_Y2).alias("c2")
+    t1 = tot.filter(F.col("yr") == _K34_Y1).select(F.col("n_tot").alias("t1"))
+    t2 = tot.filter(F.col("yr") == _K34_Y2).select(F.col("n_tot").alias("t2"))
+    wide = (
+        c1.join(c2, F.col("c1.grp") == F.col("c2.grp"))
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .select(
+            (F.col("c1.n").cast("double") / F.col("t1")).alias("share1"),
+            (F.col("c2.n").cast("double") / F.col("t2")).alias("share2"),
+            (F.col("c1.rev") / F.col("c1.n")).alias("rate1"),
+            (F.col("c2.rev") / F.col("c2.n")).alias("rate2"),
+        )
+    )
+    within = F.sum(F.col("share1") * (F.col("rate2") - F.col("rate1")))
+    mix = F.sum((F.col("share2") - F.col("share1")) * F.col("rate1"))
+    inter = F.sum((F.col("share2") - F.col("share1")) * (F.col("rate2") - F.col("rate1")))
+    m1 = F.sum(F.col("share1") * F.col("rate1"))
+    m2 = F.sum(F.col("share2") * F.col("rate2"))
+    return wide.agg(
+        pround(m1, 4).alias("mean_y1"),
+        pround(m2, 4).alias("mean_y2"),
+        pround(within, 4).alias("within_effect"),
+        pround(mix, 4).alias("mix_effect"),
+        pround(inter, 4).alias("interaction_effect"),
+        pround(m2 - m1 - (within + mix + inter), 4).alias("identity_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k35 — Laspeyres / Paasche / Fisher price indices
+
+_K35_BASE, _K35_CUR = 1996, 1998
+
+
+@query(
+    "k35_price_indices",
+    oracle=f"""
+WITH py AS (
+  SELECT l_partkey AS pk, CAST(year(l_shipdate) AS BIGINT) AS yr,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE)
+           / CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS p,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS q
+  FROM lineitem WHERE year(l_shipdate) IN ({_K35_BASE}, {_K35_CUR})
+  GROUP BY 1, 2
+), wide AS (
+  SELECT b.pk, b.p AS p0, b.q AS q0, c.p AS p1, c.q AS q1
+  FROM py b JOIN py c ON b.pk = c.pk AND b.yr = {_K35_BASE} AND c.yr = {_K35_CUR}
+), sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+         CAST(SUM(CAST({sql_pround('p1 * q0', 4)} AS DECIMAL(25,6))) AS DOUBLE) AS l_num,
+         CAST(SUM(CAST({sql_pround('p0 * q0', 4)} AS DECIMAL(25,6))) AS DOUBLE) AS l_den,
+         CAST(SUM(CAST({sql_pround('p1 * q1', 4)} AS DECIMAL(25,6))) AS DOUBLE) AS p_num,
+         CAST(SUM(CAST({sql_pround('p0 * q1', 4)} AS DECIMAL(25,6))) AS DOUBLE) AS p_den
+  FROM wide
+)
+SELECT n_parts,
+       {sql_pround('l_num / l_den', 6)} AS laspeyres,
+       {sql_pround('p_num / p_den', 6)} AS paasche,
+       {sql_pround('sqrt((l_num / l_den) * (p_num / p_den))', 6)} AS fisher
+FROM sums
+""",
+    tags=("statistics", "relational"),
+)
+def k35_price_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres, Paasche and Fisher price indices for {_K35_CUR} with
+    base year {_K35_BASE}, over parts traded in BOTH years (unit price
+    = revenue/quantity per part-year, quantity = the index weights):
+    Laspeyres holds the old basket, Paasche the new, Fisher is their
+    geometric mean — the canonical inflation/deflator construction,
+    and the economics-grade counterpart of qe19's raw growth rates.
+    Basket terms are pround-quantized then DECIMAL-summed, so the four
+    sums are order-free; Fisher uses sqrt (never pow).
+
+    Scale: one filtered grouped pass per (part, year), a self-join on
+    partkey to pair the years, one aggregation.
+    """
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate").isin(_K35_BASE, _K35_CUR)
+    )
+    py = li.groupBy(
+        F.col("l_partkey").alias("pk"), F.year("l_shipdate").cast("bigint").alias("yr")
+    ).agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(25,2)")).cast("double")
+            / F.sum(F.col("l_quantity").cast("decimal(25,2)")).cast("double")
+        ).alias("p"),
+        F.sum(F.col("l_quantity").cast("decimal(25,2)")).cast("double").alias("q"),
+    )
+    b = py.filter(F.col("yr") == _K35_BASE).select("pk", F.col("p").alias("p0"), F.col("q").alias("q0"))
+    c = py.filter(F.col("yr") == _K35_CUR).select("pk", F.col("p").alias("p1"), F.col("q").alias("q1"))
+    wide = b.join(c, "pk")
+    sums = wide.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum(pround(F.col("p1") * F.col("q0"), 4).cast("decimal(25,6)")).cast("double").alias("l_num"),
+        F.sum(pround(F.col("p0") * F.col("q0"), 4).cast("decimal(25,6)")).cast("double").alias("l_den"),
+        F.sum(pround(F.col("p1") * F.col("q1"), 4).cast("decimal(25,6)")).cast("double").alias("p_num"),
+        F.sum(pround(F.col("p0") * F.col("q1"), 4).cast("decimal(25,6)")).cast("double").alias("p_den"),
+    )
+    lasp = F.col("l_num") / F.col("l_den")
+    paas = F.col("p_num") / F.col("p_den")
+    return sums.select(
+        "n_parts",
+        pround(lasp, 6).alias("laspeyres"),
+        pround(paas, 6).alias("paasche"),
+        pround(F.sqrt(lasp * paas), 6).alias("fisher"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k36 — ABC (Pareto class) inventory classification on a revenue lattice
+
+_K36_BUCKET = 1000.0
+
+
+@query(
+    "k36_abc_classification",
+    oracle=f"""
+WITH per_part AS (
+  SELECT l_partkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))) AS DECIMAL(25,2)) AS rev
+  FROM lineitem GROUP BY l_partkey
+), lattice AS (
+  SELECT CAST(floor(rev / {_K36_BUCKET}) AS BIGINT) AS b,
+         CAST(COUNT(*) AS BIGINT) AS parts,
+         CAST(SUM(rev) AS DECIMAL(25,2)) AS rev
+  FROM per_part GROUP BY 1
+), cum AS (
+  SELECT b, parts, rev,
+         COALESCE(SUM(CAST(rev AS DECIMAL(38,2))) OVER (ORDER BY b DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rev_before,
+         (SELECT CAST(SUM(rev) AS DECIMAL(38,2)) FROM lattice) AS rev_tot
+  FROM lattice
+), classed AS (
+  SELECT CASE WHEN CAST(rev_before AS DOUBLE) / CAST(rev_tot AS DOUBLE) < 0.8 THEN 'A'
+              WHEN CAST(rev_before AS DOUBLE) / CAST(rev_tot AS DOUBLE) < 0.95 THEN 'B'
+              ELSE 'C' END AS abc_class,
+         parts, rev
+  FROM cum
+)
+SELECT abc_class,
+       CAST(SUM(parts) AS BIGINT) AS n_parts,
+       {sql_pround('CAST(SUM(CAST(rev AS DECIMAL(38,2))) AS DOUBLE)', 2)} AS revenue,
+       {sql_pround('CAST(SUM(CAST(rev AS DECIMAL(38,2))) AS DOUBLE) / CAST(MAX(rev_tot) AS DOUBLE)', 6)} AS revenue_share
+FROM (SELECT c.*, (SELECT CAST(SUM(rev) AS DECIMAL(38,2)) FROM lattice) AS rev_tot FROM classed c)
+GROUP BY abc_class
+ORDER BY abc_class
+""",
+    tags=("relational", "curation"),
+)
+def k36_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification of parts by revenue: class A =
+    revenue buckets whose cumulative (descending) share starts below
+    80%, B to 95%, C the tail — the classic Pareto segmentation every
+    supply-chain and catalog team runs. Parts collapse first to a
+    ${_K36_BUCKET:.0f}-revenue-bucket LATTICE so the descending
+    cumulative runs over a bounded aggregate, never a per-part global
+    ranking (the k30/j47 discipline); bucket-granular class boundaries
+    are deterministic on both engines, revenue stays exact DECIMAL
+    until the final share division.
+
+    Scale: per-part rollup (map-side combined), bucket collapse, one
+    bounded-lattice window, 3-row output.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(25,2)")).cast("decimal(25,2)").alias("rev")
+    )
+    lattice = per_part.groupBy(
+        F.floor(F.col("rev") / _K36_BUCKET).cast("bigint").alias("b")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("parts"),
+        F.sum("rev").cast("decimal(25,2)").alias("rev"),
+    )
+    tot = lattice.agg(F.sum(F.col("rev").cast("decimal(38,2)")).cast("decimal(38,2)").alias("rev_tot"))
+    w = Window.orderBy(F.desc("b")).rowsBetween(Window.unboundedPreceding, -1)
+    cum = lattice.withColumn(
+        "rev_before",
+        F.coalesce(F.sum(F.col("rev").cast("decimal(38,2)")).over(w), F.lit(0).cast("decimal(38,2)")),
+    ).crossJoin(F.broadcast(tot))
+    share_before = F.col("rev_before").cast("double") / F.col("rev_tot").cast("double")
+    classed = cum.select(
+        F.when(share_before < 0.8, "A").when(share_before < 0.95, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+        "parts",
+        "rev",
+        "rev_tot",
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.sum("parts").cast("bigint").alias("n_parts"),
+            pround(F.sum(F.col("rev").cast("decimal(38,2)")).cast("double"), 2).alias("revenue"),
+            pround(
+                F.sum(F.col("rev").cast("decimal(38,2)")).cast("double")
+                / F.max("rev_tot").cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
