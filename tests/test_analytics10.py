@@ -394,3 +394,73 @@ def test_k30_pareto_matches_python(spark, sf_dir, reg, duck):
     assert abs(r.users_frac_for_80pct - k / len(counts)) < 1e-6
     top = sum(counts[: math.ceil(len(counts) / 10)])
     assert abs(r.top_decile_event_share - top / total) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# k31-k36
+
+
+def _lang_lengths(duck, lang):
+    return [c for (c,) in duck.execute(
+        f"SELECT n_chars FROM documents WHERE lang='{lang}'"
+    ).fetchall()]
+
+
+def test_k31_energy_matches_python(spark, sf_dir, reg, duck):
+    r = reg["k31_energy_distance"].fn(spark, sf_dir).collect()[0]
+    en, de = _lang_lengths(duck, "en"), _lang_lengths(duck, "de")
+    axy = sum(abs(x - y) for x in en for y in de) / (len(en) * len(de))
+    axx = sum(abs(x - y) for x in en for y in en) / (len(en) ** 2)
+    ayy = sum(abs(x - y) for x in de for y in de) / (len(de) ** 2)
+    d2 = 2 * axy - axx - ayy
+    assert (r.n1, r.n2) == (len(en), len(de))
+    assert abs(r.energy_dist_sq - d2) < 1e-4
+    assert r.energy_dist_sq >= 0
+
+
+def test_k32_wasserstein_matches_python(spark, sf_dir, reg, duck):
+    r = reg["k32_wasserstein_distance"].fn(spark, sf_dir).collect()[0]
+    en, de = sorted(_lang_lengths(duck, "en")), sorted(_lang_lengths(duck, "de"))
+    vals = sorted(set(en) | set(de))
+    import bisect
+
+    w1 = 0.0
+    for v, vn in zip(vals, vals[1:]):
+        f1 = bisect.bisect_right(en, v) / len(en)
+        f2 = bisect.bisect_right(de, v) / len(de)
+        w1 += abs(f1 - f2) * (vn - v)
+    assert abs(r.wasserstein_1 - w1) < 1e-4
+
+
+def test_k33_cvm_nonnegative_and_consistent(spark, sf_dir, reg, duck):
+    r = reg["k33_cramer_von_mises"].fn(spark, sf_dir).collect()[0]
+    assert r.cvm_stat >= 0
+    en, de = _lang_lengths(duck, "en"), _lang_lengths(duck, "de")
+    assert (r.n1, r.n2) == (len(en), len(de))
+
+
+def test_k34_decomposition_exact(spark, sf_dir, reg):
+    r = reg["k34_shift_share"].fn(spark, sf_dir).collect()[0]
+    assert r.identity_gap == 0.0
+    delta = r.mean_y2 - r.mean_y1
+    total = r.within_effect + r.mix_effect + r.interaction_effect
+    assert abs(delta - total) < 2e-4  # components individually pround(4)
+
+
+def test_k35_fisher_between_l_and_p(spark, sf_dir, reg):
+    r = reg["k35_price_indices"].fn(spark, sf_dir).collect()[0]
+    lo, hi = sorted((r.laspeyres, r.paasche))
+    assert lo - 1e-9 <= r.fisher <= hi + 1e-9  # geometric mean lies between
+    assert r.n_parts > 0
+    for v in (r.laspeyres, r.paasche, r.fisher):
+        assert 0.5 < v < 2.0  # sane index magnitude on this data
+
+
+def test_k36_classes_partition_revenue(spark, sf_dir, reg, duck):
+    rows = {r.abc_class: r for r in reg["k36_abc_classification"].fn(spark, sf_dir).collect()}
+    n_parts = duck.execute("SELECT COUNT(DISTINCT l_partkey) FROM lineitem").fetchone()[0]
+    assert sum(r.n_parts for r in rows.values()) == n_parts
+    assert abs(sum(r.revenue_share for r in rows.values()) - 1.0) < 1e-5
+    if "A" in rows and "C" in rows:
+        # A parts are individually higher-revenue than C parts
+        assert rows["A"].revenue / rows["A"].n_parts > rows["C"].revenue / rows["C"].n_parts
