@@ -2820,3 +2820,1032 @@ def k36_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# k37 — language purity per source
+
+
+@query(
+    "k37_source_lang_purity",
+    oracle=f"""
+WITH cells AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY source, lang
+), tot AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY source
+), dom AS (
+  SELECT source, MAX_BY(lang, lpad(CAST(c AS VARCHAR), 20, '0') || lang) AS dominant_lang, MAX(c) AS dom_c
+  FROM cells GROUP BY source
+), ent AS (
+  SELECT c.source,
+         CAST(SUM(CAST({sql_pround('-(CAST(c.c AS DOUBLE) / t.n) * ln(CAST(c.c AS DOUBLE) / t.n)', 9)} AS DECIMAL(25,12))) AS DOUBLE) AS h
+  FROM cells c JOIN tot t ON c.source = t.source
+  GROUP BY c.source
+)
+SELECT d.source AS source, t.n AS n_docs, d.dominant_lang AS dominant_lang,
+       {sql_pround('CAST(d.dom_c AS DOUBLE) / t.n', 6)} AS purity,
+       {sql_pround('ent.h / ln(2.0)', 6)} AS lang_entropy_bits
+FROM dom d JOIN tot t ON d.source = t.source JOIN ent ON ent.source = d.source
+ORDER BY source
+""",
+    tags=("text", "curation"),
+)
+def k37_source_lang_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language purity per source: the dominant language's share and
+    the language entropy in bits — a mixed-language source needs
+    per-document language routing before tokenization while a pure one
+    can take a source-level fast path, and purity regressions are the
+    first symptom of an upstream crawler change (qf17 checks the lang
+    LABEL against a heuristic; this profiles the label mix itself).
+    Dominant-language ties break lexicographically via max_by on the
+    (count, lang) struct — deterministic on both engines.
+
+    Scale: one groupBy to the bounded (source x lang) grid; entropy
+    terms pround-quantized and DECIMAL-summed per source.
+    """
+    d = table(spark, sf_dir, "documents")
+    cells = d.groupBy("source", "lang").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = cells.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    dom = cells.groupBy("source").agg(
+        F.max_by("lang", F.concat(F.lpad(F.col("c").cast("string"), 20, "0"), F.col("lang"))).alias(
+            "dominant_lang"
+        ),
+        F.max("c").alias("dom_c"),
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    ent = (
+        cells.join(tot, "source")
+        .groupBy("source")
+        .agg(F.sum(pround(-p * F.log(p), 9).cast("decimal(25,12)")).cast("double").alias("h"))
+    )
+    return (
+        dom.join(tot, "source")
+        .join(ent, "source")
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            "dominant_lang",
+            pround(F.col("dom_c").cast("double") / F.col("n"), 6).alias("purity"),
+            pround(F.col("h") / F.log(F.lit(2.0)), 6).alias("lang_entropy_bits"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k38 — weekday x hour traffic heatmap
+
+
+@query(
+    "k38_weekday_hour_heatmap",
+    oracle=f"""
+WITH cells AS (
+  SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow, CAST(hour(ts) AS BIGINT) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT dow, hr, n_events,
+       {sql_pround('CAST(n_events AS DOUBLE) / (SELECT SUM(n_events) FROM cells)', 6)} AS share
+FROM cells
+ORDER BY dow, hr
+""",
+    tags=("events",),
+)
+def k38_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weekday x hour traffic heatmap — event count and global
+    share per (day-of-week, hour) cell, the standard load-profile view
+    behind autoscaling schedules and maintenance-window choices (j11
+    tests whether weekday seasonality EXISTS; this is the surface to
+    read the shape off). At most 7 x 24 = 168 rows regardless of scale.
+
+    Scale: one map-side-combinable groupBy; the share joins a 1-row
+    total via a scalar subquery / broadcast.
+    """
+    e = table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        F.dayofweek("ts").cast("bigint").alias("dow"), F.hour("ts").cast("bigint").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    tot = cells.agg(F.sum("n_events").alias("t"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "hr",
+            "n_events",
+            pround(F.col("n_events").cast("double") / F.col("t"), 6).alias("share"),
+        )
+        .orderBy("dow", "hr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k39 — event-type co-engagement lift over users
+
+
+@query(
+    "k39_coengagement_lift",
+    oracle=f"""
+WITH ue AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), tot AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM events
+), m AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c FROM ue GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, CAST(COUNT(*) AS BIGINT) AS both_c
+  FROM ue a JOIN ue b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.both_c AS n_both,
+       {sql_pround('CAST(p.both_c AS DOUBLE) * t.n / (CAST(ma.c AS DOUBLE) * mb.c)', 6)} AS lift
+FROM pairs p
+JOIN m ma ON ma.event_type = p.type_a
+JOIN m mb ON mb.event_type = p.type_b
+CROSS JOIN tot t
+ORDER BY type_a, type_b
+""",
+    tags=("events", "statistics"),
+)
+def k39_coengagement_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-engagement lift over USERS: for each unordered
+    type pair, P(user does both) / (P(A) P(B)) — lift > 1 means the
+    behaviors attract, < 1 they substitute; this is qe24's basket-lift
+    idea moved from order baskets to user lifetimes, and the
+    feature-correlation sanity check before treating event types as
+    independent model inputs (qd07's PMI is about ADJACENCY in the
+    stream; this ignores order entirely).
+
+    Scale: the stream collapses to distinct (user, type) pairs first
+    (at most 5 per user), so the self-join fans each user into at most
+    C(5,2)=10 pairs; margins and totals are broadcast-sized.
+    """
+    e = table(spark, sf_dir, "events")
+    ue = e.select("user_id", "event_type").distinct()
+    tot = e.agg(F.count_distinct("user_id").cast("bigint").alias("n"))
+    m = ue.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a, b = ue.alias("a"), ue.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    ma = m.select(F.col("event_type").alias("type_a"), F.col("c").alias("ca"))
+    mb = m.select(F.col("event_type").alias("type_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(ma), "type_a")
+        .join(F.broadcast(mb), "type_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            pround(
+                F.col("n_both").cast("double") * F.col("n") / (F.col("ca").cast("double") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k40 — naive interval-forecast coverage audit
+
+
+@query(
+    "k40_interval_forecast_coverage",
+    oracle=f"""
+WITH daily AS (
+  SELECT {_SQL_DAY_IDX} AS di, {sql_dsum('value')} AS rev
+  FROM events GROUP BY 1
+), banded AS (
+  SELECT a.di, a.rev,
+         MIN(b.rev) AS lo, MAX(b.rev) AS hi, CAST(COUNT(b.di) AS BIGINT) AS n_hist
+  FROM daily a JOIN daily b ON b.di BETWEEN a.di - 7 AND a.di - 1
+  GROUP BY a.di, a.rev
+), scored AS (
+  SELECT di, CASE WHEN rev BETWEEN lo AND hi THEN 1 ELSE 0 END AS covered,
+         hi - lo AS width
+  FROM banded WHERE n_hist = 7
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+       CAST(SUM(covered) AS BIGINT) AS n_covered,
+       {sql_pround('CAST(SUM(covered) AS DOUBLE) / COUNT(*)', 6)} AS coverage_rate,
+       {sql_pround('CAST(SUM(CAST(' + sql_pround('width', 6) + ' AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)', 6)} AS mean_band_width
+FROM scored
+""",
+    tags=("timeseries", "ml"),
+)
+def k40_interval_forecast_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-forecast coverage audit for the naive band predictor
+    "tomorrow lies within the past week's [min, max]": empirical
+    coverage rate and mean band width over all days with a full 7-day
+    history — the calibration check every prediction INTERVAL needs
+    (k12 scores point forecasts; an interval is judged by coverage vs
+    width, and a band that covers 95% but spans the whole range is
+    useless). The banded self-join is the same bounded day-lattice
+    shape as j26's EWMA.
+
+    Scale: day-lattice aggregate, <=7-row fan-out per day, one
+    aggregation row.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(_day_idx().alias("di")).agg(dsum("value").alias("rev"))
+    a, b = daily.alias("a"), daily.alias("b")
+    banded = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.di") >= F.col("a.di") - 7) & (F.col("b.di") <= F.col("a.di") - 1),
+        )
+        .groupBy(F.col("a.di").alias("di"), F.col("a.rev").alias("rev"))
+        .agg(
+            F.min("b.rev").alias("lo"),
+            F.max("b.rev").alias("hi"),
+            F.count(F.col("b.di")).cast("bigint").alias("n_hist"),
+        )
+        .filter(F.col("n_hist") == 7)
+    )
+    covered = F.col("rev").between(F.col("lo"), F.col("hi")).cast("int")
+    scored = banded.select(covered.alias("covered"), (F.col("hi") - F.col("lo")).alias("width"))
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days_scored"),
+        F.sum("covered").cast("bigint").alias("n_covered"),
+        pround(F.sum("covered").cast("double") / F.count(F.lit(1)), 6).alias("coverage_rate"),
+        pround(
+            F.sum(pround(F.col("width"), 6).cast("decimal(25,6)")).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("mean_band_width"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k41 — blocking-key cost model for pairwise dedup
+
+
+@query(
+    "k41_blocking_key_cost",
+    oracle="""
+WITH keys AS (
+  SELECT 'lang' AS blocking_key, lang AS k FROM documents
+  UNION ALL SELECT 'source', source FROM documents
+  UNION ALL SELECT 'first_word', string_split(text, ' ')[1] FROM documents
+  UNION ALL SELECT 'prefix8', substr(lower(text), 1, 8) FROM documents
+), buckets AS (
+  SELECT blocking_key, k, CAST(COUNT(*) AS BIGINT) AS c
+  FROM keys GROUP BY blocking_key, k
+)
+SELECT blocking_key,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(MAX(c) AS BIGINT) AS max_bucket,
+       CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS candidate_pairs
+FROM buckets
+GROUP BY blocking_key
+ORDER BY blocking_key
+""",
+    tags=("dedup", "audit"),
+)
+def k41_blocking_key_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-key cost model for pairwise dedup/linkage: for four
+    candidate blocking keys (lang, source, first word, lowercase 8-char
+    prefix) compute the bucket count, the largest bucket, and the TRUE
+    candidate-pair workload sum c*(c-1)/2 — the number that decides
+    whether a blocked similarity join (qd04, i10, q55) is feasible,
+    BEFORE paying for it. A key whose candidate_pairs approaches n^2/2
+    blocks nothing; one with tiny max_bucket but millions of buckets
+    under-recalls. This is the one-scan preflight that turns blocking
+    from folklore into a measured choice.
+
+    Scale: a 4-way stacked scan (one pass, constant fan-out), one
+    groupBy per key space, integer arithmetic only.
+    """
+    d = table(spark, sf_dir, "documents")
+    variants = [
+        ("lang", F.col("lang")),
+        ("source", F.col("source")),
+        ("first_word", F.split("text", " ").getItem(0)),
+        ("prefix8", F.substring(F.lower("text"), 1, 8)),
+    ]
+    stacked = None
+    for name, col in variants:
+        part = d.select(F.lit(name).alias("blocking_key"), col.alias("k"))
+        stacked = part if stacked is None else stacked.unionByName(part)
+    buckets = stacked.groupBy("blocking_key", "k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return (
+        buckets.groupBy("blocking_key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.max("c").cast("bigint").alias("max_bucket"),
+            F.sum((F.col("c") * (F.col("c") - 1) / 2).cast("bigint")).cast("bigint").alias(
+                "candidate_pairs"
+            ),
+        )
+        .orderBy("blocking_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k42 — pooled vs within-group correlation (ecological-fallacy audit)
+
+
+@query(
+    "k42_pooled_vs_within_corr",
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderpriority AS grp,
+         CAST(year(o_orderdate) AS DOUBLE) AS x,
+         o_totalprice AS y
+  FROM orders
+), moms AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(25,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * x AS DECIMAL(25,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST({sql_pround('x * y', 4)} AS DECIMAL(25,6))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(y AS DECIMAL(19,2)) * CAST(y AS DECIMAL(19,2))) AS DOUBLE) AS syy
+  FROM base GROUP BY grp
+), pooled AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+         SUM(sxx) AS sxx, SUM(sxy) AS sxy, SUM(syy) AS syy
+  FROM moms
+), r AS (
+  SELECT 'pooled' AS scope, n,
+         (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr
+  FROM pooled
+  UNION ALL
+  SELECT grp AS scope, n,
+         (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr
+  FROM moms
+)
+SELECT scope, CAST(n AS BIGINT) AS n, {sql_pround('corr', 6)} AS corr_xy
+FROM r ORDER BY scope
+""",
+    tags=("statistics",),
+)
+def k42_pooled_vs_within_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled vs per-group Pearson correlation between order year and
+    order value — the ecological-fallacy / Simpson's-paradox audit for
+    correlations: a pooled r that disagrees in sign or magnitude with
+    every within-priority r means the association is an artifact of
+    the group mix, and any model trained on the pooled signal inherits
+    the confound (qg16 reports one correlation matrix; this contrasts
+    the two aggregation scopes side by side). All six moment sums are
+    exact DECIMAL carriers merged by addition for the pooled scope —
+    the j33 mergeability pattern applied to bivariate moments.
+
+    Scale: ONE grouped pass produces the per-group carriers; the
+    pooled row is their sum — no second scan.
+    """
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.year("o_orderdate").cast("double").alias("x"),
+        F.col("o_totalprice").alias("y"),
+    )
+    moms = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(25,6)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(25,2)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(25,6)")).cast("double").alias("sxx"),
+        F.sum(pround(F.col("x") * F.col("y"), 4).cast("decimal(25,6)")).cast("double").alias("sxy"),
+        F.sum(F.col("y").cast("decimal(19,2)") * F.col("y").cast("decimal(19,2)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    pooled = moms.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxx").alias("sxx"),
+        F.sum("sxy").alias("sxy"),
+        F.sum("syy").alias("syy"),
+    ).select(F.lit("pooled").alias("scope"), "n", "sx", "sy", "sxx", "sxy", "syy")
+    per = moms.select(
+        F.col("grp").alias("scope"), "n", "sx", "sy", "sxx", "sxy", "syy"
+    )
+    allr = pooled.unionByName(per)
+    nD = F.col("n").cast("double")
+    corr = (nD * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (nD * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (nD * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return allr.select(
+        "scope", F.col("n").cast("bigint").alias("n"), pround(corr, 6).alias("corr_xy")
+    ).orderBy("scope")
+
+
+# ---------------------------------------------------------------------------
+# k43 — retention half-life from the cold-start curve
+
+
+@query(
+    "k43_retention_halflife",
+    oracle=f"""
+WITH aged AS (
+  SELECT user_id,
+         {_SQL_DAY_IDX} - MIN({_SQL_DAY_IDX}) OVER (PARTITION BY user_id) AS age_day
+  FROM events
+), curve AS (
+  SELECT age_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active
+  FROM aged WHERE age_day BETWEEN 1 AND 21 GROUP BY age_day
+), pts AS (
+  SELECT CAST(age_day AS DOUBLE) AS x, {sql_pround('ln(CAST(active AS DOUBLE))', 6)} AS y
+  FROM curve WHERE active > 0
+), ols AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS np,
+         CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST({sql_pround('x * y', 9)} AS DECIMAL(25,12))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(25,6))) AS DOUBLE) AS sxx
+  FROM pts
+)
+SELECT np AS n_points,
+       {sql_pround('(np * sxy - sx * sy) / (np * sxx - sx * sx)', 6)} AS decay_slope,
+       {sql_pround('CASE WHEN (np * sxy - sx * sy) / (np * sxx - sx * sx) < 0 THEN -ln(2.0) / ((np * sxy - sx * sy) / (np * sxx - sx * sx)) END', 6)} AS halflife_days
+FROM ols
+""",
+    tags=("events", "ml"),
+)
+def k43_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention half-life: fit log(active users at age d) ~ a + b*d
+    over ages 1-21 of k28's cold-start curve (closed-form OLS on the
+    bounded age lattice) and report b plus the implied half-life
+    -ln2/b — the single scalar an exec dashboard wants from the whole
+    curve ("every H days we lose half the remaining cohort"); NULL if
+    activity is not decaying (b >= 0), never a misleading negative
+    half-life. Log points are pround-stabilized before the closed-form
+    sums (the k10 rule for transcendental feeds).
+
+    Scale: one partitioned min-window, one bounded-lattice collapse,
+    OLS on <=21 points.
+    """
+    e = table(spark, sf_dir, "events")
+    di = _day_idx()
+    w = Window.partitionBy("user_id")
+    aged = e.select("user_id", (di - F.min(di).over(w)).alias("age_day"))
+    curve = (
+        aged.filter(F.col("age_day").between(1, 21))
+        .groupBy("age_day")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("active"))
+    )
+    pts = curve.filter(F.col("active") > 0).select(
+        F.col("age_day").cast("double").alias("x"),
+        pround(F.log(F.col("active").cast("double")), 6).alias("y"),
+    )
+    ols = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("np"),
+        F.sum(F.col("x").cast("decimal(25,6)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(25,6)")).cast("double").alias("sy"),
+        F.sum(pround(F.col("x") * F.col("y"), 9).cast("decimal(25,12)")).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(25,6)")).cast("double").alias("sxx"),
+    )
+    slope = (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return ols.select(
+        F.col("np").alias("n_points"),
+        pround(slope, 6).alias("decay_slope"),
+        pround(F.when(slope < 0, -F.log(F.lit(2.0)) / slope), 6).alias("halflife_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k44 — dead-stock audit: parts never ordered, by brand
+
+
+@query(
+    "k44_dead_stock_audit",
+    oracle=f"""
+WITH ordered_parts AS (
+  SELECT DISTINCT l_partkey FROM lineitem
+), flagged AS (
+  SELECT p.p_brand AS brand,
+         CASE WHEN o.l_partkey IS NULL THEN 1 ELSE 0 END AS dead
+  FROM part p LEFT JOIN ordered_parts o ON p.p_partkey = o.l_partkey
+)
+SELECT brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(dead) AS BIGINT) AS n_dead,
+       {sql_pround('CAST(SUM(dead) AS DOUBLE) / COUNT(*)', 6)} AS dead_rate
+FROM flagged GROUP BY brand
+ORDER BY brand
+""",
+    tags=("relational", "audit"),
+)
+def k44_dead_stock_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-stock audit: the share of each brand's catalog that has
+    NEVER appeared on a lineitem — the anti-join coverage question
+    every catalog owner asks ("what fraction of SKUs is inventory we
+    list but nobody buys"), and the mirror image of i25's referential
+    integrity (which finds facts without dimensions; this finds
+    dimension rows without facts). Expressed as a left join against
+    the DISTINCT ordered-part set so the probe side is collapsed
+    before the join, not fanned out by order volume.
+
+    Scale: distinct-collapse of lineitem keys (map-side combined),
+    one hash join keyed on partkey, bounded brand rollup.
+    """
+    p = table(spark, sf_dir, "part").select("p_partkey", F.col("p_brand").alias("brand"))
+    ordered = table(spark, sf_dir, "lineitem").select("l_partkey").distinct()
+    flagged = p.join(ordered, p.p_partkey == ordered.l_partkey, "left").select(
+        "brand", F.col("l_partkey").isNull().cast("int").alias("dead")
+    )
+    return (
+        flagged.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("dead").cast("bigint").alias("n_dead"),
+            pround(F.sum("dead").cast("double") / F.count(F.lit(1)), 6).alias("dead_rate"),
+        )
+        .orderBy("brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k45 — calendar rollup reconciliation: days vs ISO weeks vs months
+
+
+@query(
+    "k45_calendar_rollup_reconcile",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DECIMAL(25,2)) AS rev
+  FROM orders GROUP BY 1
+), weekly AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(rev) AS DECIMAL(38,2)) AS rev
+  FROM (SELECT date_trunc('week', d) AS wk, SUM(n) AS n, SUM(rev) AS rev FROM daily GROUP BY 1)
+), monthly AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(rev) AS DECIMAL(38,2)) AS rev
+  FROM (SELECT date_trunc('month', d) AS mo, SUM(n) AS n, SUM(rev) AS rev FROM daily GROUP BY 1)
+), direct AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DECIMAL(38,2)) AS rev
+  FROM orders
+), spans AS (
+  SELECT CAST(COUNT(DISTINCT date_trunc('week', d)) AS BIGINT) AS n_weeks,
+         CAST(COUNT(DISTINCT date_trunc('month', d)) AS BIGINT) AS n_months,
+         CAST(COUNT(DISTINCT date_trunc('week', d) || '/' || date_trunc('month', d)) AS BIGINT) AS n_week_month_cells
+  FROM daily
+)
+SELECT d.n AS n_orders,
+       CAST(CASE WHEN w.n = d.n AND w.rev = d.rev THEN 1 ELSE 0 END AS BIGINT) AS weekly_reconciles,
+       CAST(CASE WHEN m.n = d.n AND m.rev = d.rev THEN 1 ELSE 0 END AS BIGINT) AS monthly_reconciles,
+       s.n_weeks, s.n_months,
+       CAST(s.n_week_month_cells - s.n_weeks AS BIGINT) AS straddling_weeks
+FROM direct d CROSS JOIN weekly w CROSS JOIN monthly m CROSS JOIN spans s
+""",
+    tags=("relational", "audit"),
+)
+def k45_calendar_rollup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup reconciliation: daily totals re-aggregated to
+    weeks and to months must BOTH reconcile exactly to the direct scan
+    (gated at 1), while `straddling_weeks` counts the weeks that cross
+    a month boundary — the reason week-level and month-level reports
+    can NEVER be derived from each other and every serving layer must
+    pick its grain hierarchy (day->week and day->month, never
+    week->month). DECIMAL-exact revenue makes the reconciliation an
+    equality, not a tolerance.
+
+    Scale: one daily collapse (map-side combined), then all further
+    rollups run on the bounded day aggregate.
+    """
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,2)")).cast("decimal(25,2)").alias("rev"),
+    )
+
+    def rollup(col: Column) -> DataFrame:
+        return (
+            daily.groupBy(col.alias("g"))
+            .agg(F.sum("n").alias("n"), F.sum("rev").alias("rev"))
+            .agg(
+                F.sum("n").cast("bigint").alias("n"),
+                F.sum("rev").cast("decimal(38,2)").alias("rev"),
+            )
+        )
+
+    weekly = rollup(F.date_trunc("week", "d"))
+    monthly = rollup(F.date_trunc("month", "d"))
+    direct = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,2)")).cast("decimal(38,2)").alias("rev"),
+    )
+    spans = daily.agg(
+        F.count_distinct(F.date_trunc("week", "d")).cast("bigint").alias("n_weeks"),
+        F.count_distinct(F.date_trunc("month", "d")).cast("bigint").alias("n_months"),
+        F.count_distinct(
+            F.concat_ws(
+                "/",
+                F.date_trunc("week", "d").cast("string"),
+                F.date_trunc("month", "d").cast("string"),
+            )
+        )
+        .cast("bigint")
+        .alias("n_week_month_cells"),
+    )
+    d_, w_, m_ = direct.alias("d"), weekly.alias("w"), monthly.alias("m")
+    j = (
+        d_.crossJoin(F.broadcast(w_))
+        .crossJoin(F.broadcast(m_))
+        .crossJoin(F.broadcast(spans))
+    )
+    return j.select(
+        F.col("d.n").alias("n_orders"),
+        ((F.col("w.n") == F.col("d.n")) & (F.col("w.rev") == F.col("d.rev")))
+        .cast("bigint")
+        .alias("weekly_reconciles"),
+        ((F.col("m.n") == F.col("d.n")) & (F.col("m.rev") == F.col("d.rev")))
+        .cast("bigint")
+        .alias("monthly_reconciles"),
+        "n_weeks",
+        "n_months",
+        (F.col("n_week_month_cells") - F.col("n_weeks")).cast("bigint").alias("straddling_weeks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k46 — duplication rate conditioned on document length
+
+
+@query(
+    "k46_dup_rate_by_length",
+    oracle=f"""
+WITH fp AS (
+  SELECT doc_id, n_chars, md5(lower(text)) AS f FROM documents
+), freq AS (
+  SELECT f, CAST(COUNT(*) AS BIGINT) AS df FROM fp GROUP BY f
+), labeled AS (
+  SELECT CAST(floor(fp.n_chars / 100) AS BIGINT) AS len_bucket,
+         CASE WHEN fr.df > 1 THEN 1 ELSE 0 END AS dup
+  FROM fp JOIN freq fr ON fp.f = fr.f
+)
+SELECT len_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(dup) AS BIGINT) AS n_duplicated,
+       {sql_pround('CAST(SUM(dup) AS DOUBLE) / COUNT(*)', 6)} AS dup_rate
+FROM labeled GROUP BY len_bucket
+ORDER BY len_bucket
+""",
+    tags=("dedup", "curation"),
+)
+def k46_dup_rate_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication rate conditioned on document LENGTH (100-char
+    buckets): short documents duplicate far more than long ones in
+    every web corpus (navigation stubs, error pages, template
+    fragments), and this curve decides whether a minimum-length filter
+    (j18's first gate) should run BEFORE the expensive near-dup pass —
+    if the short buckets carry most of the duplication, filtering
+    first shrinks the pair workload for free. Exact-dup here (md5 of
+    lowercased text, q94's normalization), bucketed by the house
+    floor rule.
+
+    Scale: fingerprint groupBy + join back on the fingerprint (the
+    q56/k26 shape), bounded length-bucket rollup.
+    """
+    d = table(spark, sf_dir, "documents")
+    fp = d.select("doc_id", "n_chars", F.md5(F.lower("text")).alias("f"))
+    freq = fp.groupBy("f").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    labeled = fp.join(freq, "f").select(
+        F.floor(F.col("n_chars") / 100).cast("bigint").alias("len_bucket"),
+        (F.col("df") > 1).cast("int").alias("dup"),
+    )
+    return (
+        labeled.groupBy("len_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("dup").cast("bigint").alias("n_duplicated"),
+            pround(F.sum("dup").cast("double") / F.count(F.lit(1)), 6).alias("dup_rate"),
+        )
+        .orderBy("len_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k47 — distribution-free median confidence interval (order statistics)
+
+
+@query(
+    "k47_median_ci",
+    oracle=f"""
+WITH lattice AS (
+  SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY n_chars
+), cum AS (
+  SELECT v, SUM(c) OVER (ORDER BY v ASC) AS cum,
+         (SELECT SUM(c) FROM lattice) AS n
+  FROM lattice
+), ranks AS (
+  SELECT MAX(n) AS n,
+         CAST(floor(CAST(MAX(n) AS DOUBLE) / 2 - 1.959963984540054 * sqrt(CAST(MAX(n) AS DOUBLE)) / 2) AS BIGINT) AS lo_rank,
+         CAST(ceil(CAST(MAX(n) AS DOUBLE) / 2 + 1 + 1.959963984540054 * sqrt(CAST(MAX(n) AS DOUBLE)) / 2) AS BIGINT) AS hi_rank
+  FROM cum
+)
+SELECT CAST(r.n AS BIGINT) AS n,
+       CAST(MIN(CASE WHEN c.cum >= (r.n + 1) // 2 THEN c.v END) AS BIGINT) AS median_lo_def,
+       CAST(MIN(CASE WHEN c.cum >= r.lo_rank THEN c.v END) AS BIGINT) AS ci_lower,
+       CAST(MIN(CASE WHEN c.cum >= r.hi_rank THEN c.v END) AS BIGINT) AS ci_upper
+FROM cum c CROSS JOIN ranks r
+GROUP BY r.n
+""",
+    tags=("statistics",),
+)
+def k47_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% confidence interval for the median
+    document length via the binomial ORDER-STATISTIC method: the CI
+    endpoints are the values at ranks n/2 -/+ z*sqrt(n)/2 — no
+    resampling at all, unlike qg14's bootstrap (which is the right
+    tool for the MEAN but pays x200 compute; for quantiles the exact
+    rank method is free). All rank lookups are smallest-value-with-
+    cumulative-count queries on the bounded length dictionary; the z
+    constant is a shared double literal.
+
+    Scale: one lattice collapse + one cumulative window over it;
+    rank selection is a conditional MIN over the same aggregate.
+    """
+    d = table(spark, sf_dir, "documents")
+    lattice = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = Window.orderBy(F.asc("v"))  # bounded: length dictionary
+    tot = lattice.agg(F.sum("c").alias("n"))
+    cum = lattice.withColumn("cum", F.sum("c").over(w)).crossJoin(F.broadcast(tot))
+    z = 1.959963984540054
+    nD = F.col("n").cast("double")
+    lo_rank = F.floor(nD / 2 - z * F.sqrt(nD) / 2).cast("bigint")
+    hi_rank = F.ceil(nD / 2 + 1 + z * F.sqrt(nD) / 2).cast("bigint")
+    med_rank = F.floor((F.col("n") + 1) / 2).cast("bigint")
+    return cum.groupBy("n").agg(
+        F.min(F.when(F.col("cum") >= med_rank, F.col("v"))).cast("bigint").alias("median_lo_def"),
+        F.min(F.when(F.col("cum") >= lo_rank, F.col("v"))).cast("bigint").alias("ci_lower"),
+        F.min(F.when(F.col("cum") >= hi_rank, F.col("v"))).cast("bigint").alias("ci_upper"),
+    ).select(F.col("n").cast("bigint").alias("n"), "median_lo_def", "ci_lower", "ci_upper")
+
+
+# ---------------------------------------------------------------------------
+# k48 — two-way ANOVA (priority x year) with interaction
+
+
+@query(
+    "k48_two_way_anova",
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderpriority AS a, CAST(year(o_orderdate) AS BIGINT) AS b, o_totalprice AS y
+  FROM orders
+), cells AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(y AS DECIMAL(25,2))) AS DECIMAL(25,2)) AS s
+  FROM base GROUP BY a, b
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(CAST(SUM(s) AS DECIMAL(38,2)) AS DOUBLE) AS s FROM cells
+), ssa AS (
+  SELECT CAST(SUM(CAST(floor((s_a / n_a - t.s / t.n) * (s_a / n_a - t.s / t.n) * n_a + 0.5) AS DECIMAL(38,0))) AS DOUBLE) AS v
+  FROM (SELECT a, CAST(SUM(n) AS BIGINT) AS n_a, CAST(CAST(SUM(s) AS DECIMAL(38,2)) AS DOUBLE) AS s_a FROM cells GROUP BY a) CROSS JOIN tot t
+), ssb AS (
+  SELECT CAST(SUM(CAST(floor((s_b / n_b - t.s / t.n) * (s_b / n_b - t.s / t.n) * n_b + 0.5) AS DECIMAL(38,0))) AS DOUBLE) AS v
+  FROM (SELECT b, CAST(SUM(n) AS BIGINT) AS n_b, CAST(CAST(SUM(s) AS DECIMAL(38,2)) AS DOUBLE) AS s_b FROM cells GROUP BY b) CROSS JOIN tot t
+), sscell AS (
+  SELECT CAST(SUM(CAST(floor((CAST(c.s AS DOUBLE) / c.n - t.s / t.n) * (CAST(c.s AS DOUBLE) / c.n - t.s / t.n) * c.n + 0.5) AS DECIMAL(38,0))) AS DOUBLE) AS v
+  FROM cells c CROSS JOIN tot t
+)
+SELECT (SELECT CAST(COUNT(DISTINCT a) AS BIGINT) FROM cells) AS n_a_levels,
+       (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) FROM cells) AS n_b_levels,
+       {sql_pround('ssa.v', 2)} AS ss_priority,
+       {sql_pround('ssb.v', 2)} AS ss_year,
+       {sql_pround('sscell.v - ssa.v - ssb.v', 2)} AS ss_interaction
+FROM ssa, ssb, sscell
+""",
+    tags=("statistics",),
+)
+def k48_two_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way ANOVA sums of squares for order value over priority x
+    year: main-effect SS for each factor plus the INTERACTION SS
+    (cell SS minus both mains) — the question j02's one-way F cannot
+    ask: does the priority premium CHANGE across years, or do the
+    factors act additively? Computed from the (priority x year) cell
+    aggregate only: every SS term is a weighted squared deviation of
+    a cell/margin mean from the grand mean, floor-quantized to
+    integers (the j20 envelope) and DECIMAL-summed; cell revenue stays
+    an exact DECIMAL through every margin re-aggregation (a double
+    margin sum is order-dependent and flipped a floor boundary at
+    sf0.1 during development — the b08 class, caught by the 3-SF
+    sweep).
+
+    Scale: one grouped pass to the bounded 5 x 7 grid; margins and
+    totals are re-aggregations of that grid, never of rows.
+    """
+    o = table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("a"), F.year("o_orderdate").cast("bigint").alias("b")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,2)")).cast("decimal(25,2)").alias("s"),
+    )
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("s").cast("decimal(38,2)").cast("double").alias("st"),
+    )
+
+    def ss(margin: DataFrame, ncol: str, scol: str) -> DataFrame:
+        grand = F.col("st") / F.col("nt")
+        dev = F.col(scol).cast("double") / F.col(ncol) - grand
+        return margin.crossJoin(F.broadcast(tot)).agg(
+            F.sum(F.floor(dev * dev * F.col(ncol) + 0.5).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("v")
+        )
+
+    ma = cells.groupBy("a").agg(
+        F.sum("n").cast("bigint").alias("n_a"),
+        F.sum("s").cast("decimal(38,2)").alias("s_a"),
+    )
+    mb = cells.groupBy("b").agg(
+        F.sum("n").cast("bigint").alias("n_b"),
+        F.sum("s").cast("decimal(38,2)").alias("s_b"),
+    )
+    ssa = ss(ma, "n_a", "s_a").withColumnRenamed("v", "ssa")
+    ssb = ss(mb, "n_b", "s_b").withColumnRenamed("v", "ssb")
+    sscell = ss(cells, "n", "s").withColumnRenamed("v", "sscell")
+    dims = cells.agg(
+        F.count_distinct("a").cast("bigint").alias("n_a_levels"),
+        F.count_distinct("b").cast("bigint").alias("n_b_levels"),
+    )
+    j = (
+        ssa.crossJoin(F.broadcast(ssb))
+        .crossJoin(F.broadcast(sscell))
+        .crossJoin(F.broadcast(dims))
+    )
+    return j.select(
+        "n_a_levels",
+        "n_b_levels",
+        pround(F.col("ssa"), 2).alias("ss_priority"),
+        pround(F.col("ssb"), 2).alias("ss_year"),
+        pround(F.col("sscell") - F.col("ssa") - F.col("ssb"), 2).alias("ss_interaction"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k49 — daily distribution drift: Wasserstein-1 of each day vs the corpus
+
+_K49_BUCKET = 1.0  # value quantization for the bounded lattice
+
+
+@query(
+    "k49_daily_wasserstein_drift",
+    oracle=f"""
+WITH q AS (
+  SELECT {_SQL_DAY_IDX} AS di, CAST(floor(value / {_K49_BUCKET}) AS BIGINT) AS v
+  FROM events
+), daily AS (
+  SELECT di, v, CAST(COUNT(*) AS BIGINT) AS c FROM q GROUP BY di, v
+), overall AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM q GROUP BY v
+), grid AS (
+  SELECT d.di, o.v,
+         COALESCE(dd.c, 0) AS cd, o.c AS co,
+         (SELECT SUM(c) FROM overall) AS n_o
+  FROM (SELECT DISTINCT di FROM daily) d
+  CROSS JOIN overall o
+  LEFT JOIN daily dd ON dd.di = d.di AND dd.v = o.v
+), cum AS (
+  SELECT di, v,
+         SUM(cd) OVER (PARTITION BY di ORDER BY v ASC) AS cum_d,
+         SUM(co) OVER (PARTITION BY di ORDER BY v ASC) AS cum_o,
+         SUM(cd) OVER (PARTITION BY di) AS n_d,
+         MAX(n_o) OVER (PARTITION BY di) AS n_o,
+         LEAD(v) OVER (PARTITION BY di ORDER BY v ASC) AS v_next
+  FROM grid
+)
+SELECT CAST(di AS BIGINT) AS day_index,
+       CAST(MAX(n_d) AS BIGINT) AS n_day_events,
+       {sql_pround(f'''CAST(SUM(CAST(abs(cum_d * n_o - cum_o * n_d) * (v_next - v) AS DECIMAL(38,0))) AS DOUBLE)
+         / (CAST(MAX(n_d) AS DOUBLE) * MAX(n_o)) * {_K49_BUCKET}''', 6)} AS w1_vs_corpus
+FROM cum WHERE v_next IS NOT NULL
+GROUP BY di
+ORDER BY day_index
+""",
+    tags=("timeseries", "statistics"),
+)
+def k49_daily_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day distribution drift monitor: the exact 1-D Wasserstein
+    distance between each DAY's event-value distribution and the
+    whole-corpus distribution, on a unit-quantized value lattice —
+    k32's metric turned into the daily monitoring series a data-quality
+    pipeline alerts on (qf21 tracks the MIX of types per day; this
+    tracks the value distribution's shape, catching e.g. a client
+    version that started reporting cents instead of dollars). CDF
+    differences are exact integer cross-products per (day, value) cell.
+
+    Scale: two lattice collapses; the day x value grid is (days x
+    |lattice|) — bounded both ways; cumulative windows PARTITION by
+    day over that aggregate.
+    """
+    e = table(spark, sf_dir, "events")
+    q = e.select(_day_idx().alias("di"), F.floor(F.col("value") / _K49_BUCKET).cast("bigint").alias("v"))
+    daily = q.groupBy("di", "v").agg(F.count(F.lit(1)).cast("bigint").alias("cd"))
+    overall = q.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("co"))
+    n_o = overall.agg(F.sum("co").alias("n_o"))
+    days = daily.select("di").distinct()
+    grid = (
+        days.crossJoin(F.broadcast(overall))
+        .join(daily, ["di", "v"], "left")
+        .withColumn("cd", F.coalesce(F.col("cd"), F.lit(0)))
+        .crossJoin(F.broadcast(n_o))
+    )
+    wv = Window.partitionBy("di").orderBy(F.asc("v"))
+    wp = Window.partitionBy("di")
+    cum = (
+        grid.withColumn("cum_d", F.sum("cd").over(wv))
+        .withColumn("cum_o", F.sum("co").over(wv))
+        .withColumn("n_d", F.sum("cd").over(wp))
+        .withColumn("v_next", F.lead("v").over(wv))
+        .filter(F.col("v_next").isNotNull())
+    )
+    num = F.sum(
+        (
+            F.abs(F.col("cum_d") * F.col("n_o") - F.col("cum_o") * F.col("n_d"))
+            * (F.col("v_next") - F.col("v"))
+        ).cast("decimal(38,0)")
+    ).cast("double")
+    return (
+        cum.groupBy(F.col("di").cast("bigint").alias("day_index"))
+        .agg(
+            F.max("n_d").cast("bigint").alias("n_day_events"),
+            pround(
+                num / (F.max("n_d").cast("double") * F.max("n_o")) * _K49_BUCKET, 6
+            ).alias("w1_vs_corpus"),
+        )
+        .orderBy("day_index")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k50 — discrete power-law exponent of the near-dup degree distribution
+
+
+@query(
+    "k50_powerlaw_alpha",
+    oracle=f"""
+WITH grams AS (
+  SELECT doc_id, md5(array_to_string(string_split(lower(text), ' ')[s:s + 4], ' ')) AS g
+  FROM documents,
+       (SELECT unnest(range(1, (SELECT MAX(len(string_split(text, ' '))) FROM documents) + 1, 5)) AS s)
+  WHERE s + 4 <= len(string_split(lower(text), ' '))
+), df AS (
+  SELECT g, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d FROM grams GROUP BY g
+), degs AS (
+  SELECT d FROM df WHERE d >= 2
+), moms AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST({sql_pround('ln(CAST(d AS DOUBLE) / 1.5)', 9)} AS DECIMAL(25,12))) AS DOUBLE) AS slog
+  FROM degs
+)
+SELECT n AS n_tail,
+       {sql_pround('1.0 + n / slog', 6)} AS alpha_hat,
+       {sql_pround('(1.0 + n / slog - 1.0) / sqrt(CAST(n AS DOUBLE))', 6)} AS alpha_se
+FROM moms
+""",
+    tags=("statistics", "dedup"),
+)
+def k50_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete power-law exponent of the shared-shingle frequency
+    distribution: document frequencies d >= dmin=2 of 5-word shingles
+    fit alpha = 1 + n / SUM ln(d/(dmin - 0.5)) (the Clauset-Shalizi-
+    Newman continuous-approximation MLE) with its sqrt(n) standard
+    error — duplication in web corpora is heavy-tailed, and alpha says
+    HOW heavy: alpha near 2 means a few mega-duplicated templates
+    dominate (dedup will be cheap and high-yield), large alpha means
+    duplication is diffuse (qg22 reports the cluster-size histogram;
+    this fits its tail with a parameter comparable across corpora).
+
+    Scale: non-overlapping shingle explode, distinct-doc df count, a
+    tail filter, and one aggregation; logs are pround-stabilized
+    before the DECIMAL sum (the transcendental rule).
+    """
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.lower("text"), " ")
+    starts = F.sequence(F.lit(1), F.size(words), F.lit(5))
+    grams = d.select("doc_id", F.explode(starts).alias("s"), words.alias("w")).filter(
+        F.col("s") + 4 <= F.size("w")
+    ).select("doc_id", F.md5(F.array_join(F.slice("w", F.col("s"), 5), " ")).alias("g"))
+    df = grams.groupBy("g").agg(F.count_distinct("doc_id").cast("bigint").alias("d"))
+    degs = df.filter(F.col("d") >= 2)
+    moms = degs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            pround(F.log(F.col("d").cast("double") / 1.5), 9).cast("decimal(25,12)")
+        )
+        .cast("double")
+        .alias("slog"),
+    )
+    alpha = 1.0 + F.col("n") / F.col("slog")
+    return moms.select(
+        F.col("n").alias("n_tail"),
+        pround(alpha, 6).alias("alpha_hat"),
+        pround((alpha - 1.0) / F.sqrt(F.col("n").cast("double")), 6).alias("alpha_se"),
+    )
