@@ -464,3 +464,153 @@ def test_k36_classes_partition_revenue(spark, sf_dir, reg, duck):
     if "A" in rows and "C" in rows:
         # A parts are individually higher-revenue than C parts
         assert rows["A"].revenue / rows["A"].n_parts > rows["C"].revenue / rows["C"].n_parts
+
+
+# ---------------------------------------------------------------------------
+# k37-k50
+
+
+def test_k37_purity_bounds(spark, sf_dir, reg, duck):
+    rows = reg["k37_source_lang_purity"].fn(spark, sf_dir).collect()
+    langs = {l for (l,) in duck.execute("SELECT DISTINCT lang FROM documents").fetchall()}
+    for r in rows:
+        assert 0.0 < r.purity <= 1.0
+        assert 0.0 <= r.lang_entropy_bits <= math.log2(max(len(langs), 2))
+        assert r.dominant_lang in langs
+
+
+def test_k38_shares_sum_to_one(spark, sf_dir, reg, duck):
+    rows = reg["k38_weekday_hour_heatmap"].fn(spark, sf_dir).collect()
+    assert sum(r.n_events for r in rows) == duck.execute("SELECT COUNT(*) FROM events").fetchone()[0]
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert 1 <= r.dow <= 7 and 0 <= r.hr <= 23
+
+
+def test_k39_lift_matches_python(spark, sf_dir, reg, duck):
+    rows = {(r.type_a, r.type_b): r for r in reg["k39_coengagement_lift"].fn(spark, sf_dir).collect()}
+    data = duck.execute("SELECT DISTINCT user_id, event_type FROM events").fetchall()
+    users = {}
+    for u, t in data:
+        users.setdefault(u, set()).add(t)
+    types = sorted({t for _, t in data})
+    n = len(users)
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            both = sum(1 for s in users.values() if a in s and b in s)
+            ca = sum(1 for s in users.values() if a in s)
+            cb = sum(1 for s in users.values() if b in s)
+            r = rows[(a, b)]
+            assert r.n_both == both
+            assert abs(r.lift - both * n / (ca * cb)) < 1e-5
+
+
+def test_k40_coverage_bounds(spark, sf_dir, reg):
+    r = reg["k40_interval_forecast_coverage"].fn(spark, sf_dir).collect()[0]
+    assert 0.0 <= r.coverage_rate <= 1.0
+    assert r.mean_band_width > 0
+    assert r.n_covered <= r.n_days_scored
+
+
+def test_k41_cost_matches_python(spark, sf_dir, reg, duck):
+    rows = {r.blocking_key: r for r in reg["k41_blocking_key_cost"].fn(spark, sf_dir).collect()}
+    from collections import Counter
+
+    langs = Counter(l for (l,) in duck.execute("SELECT lang FROM documents").fetchall())
+    r = rows["lang"]
+    assert r.n_buckets == len(langs)
+    assert r.candidate_pairs == sum(c * (c - 1) // 2 for c in langs.values())
+    assert r.max_bucket == max(langs.values())
+    # finer keys must produce no more candidate pairs than coarser ones
+    assert rows["prefix8"].candidate_pairs <= rows["lang"].candidate_pairs
+
+
+def test_k42_pooled_row_present(spark, sf_dir, reg):
+    rows = {r.scope: r for r in reg["k42_pooled_vs_within_corr"].fn(spark, sf_dir).collect()}
+    assert "pooled" in rows and len(rows) == 6
+    for r in rows.values():
+        assert -1.0 - 1e-9 <= r.corr_xy <= 1.0 + 1e-9
+    assert rows["pooled"].n == sum(r.n for k, r in rows.items() if k != "pooled")
+
+
+def test_k43_halflife_consistent(spark, sf_dir, reg):
+    r = reg["k43_retention_halflife"].fn(spark, sf_dir).collect()[0]
+    assert r.n_points > 0
+    if r.decay_slope < 0:
+        assert r.halflife_days is not None and r.halflife_days > 0
+        assert abs(r.halflife_days - (-math.log(2) / r.decay_slope)) < 1e-3
+    else:
+        assert r.halflife_days is None
+
+
+def test_k44_dead_rate_matches_duckdb(spark, sf_dir, reg, duck):
+    rows = reg["k44_dead_stock_audit"].fn(spark, sf_dir).collect()
+    n_parts, n_dead = duck.execute(
+        """SELECT COUNT(*), SUM(CASE WHEN l.l_partkey IS NULL THEN 1 ELSE 0 END)
+           FROM part p LEFT JOIN (SELECT DISTINCT l_partkey FROM lineitem) l
+           ON p.p_partkey = l.l_partkey"""
+    ).fetchone()
+    assert sum(r.n_parts for r in rows) == n_parts
+    assert sum(r.n_dead for r in rows) == n_dead
+
+
+def test_k45_reconciles(spark, sf_dir, reg):
+    r = reg["k45_calendar_rollup_reconcile"].fn(spark, sf_dir).collect()[0]
+    assert r.weekly_reconciles == 1 and r.monthly_reconciles == 1
+    assert r.straddling_weeks >= 0
+    assert r.n_weeks >= r.n_months
+
+
+def test_k46_rates_and_totals(spark, sf_dir, reg, duck):
+    rows = reg["k46_dup_rate_by_length"].fn(spark, sf_dir).collect()
+    n = duck.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    assert sum(r.n_docs for r in rows) == n
+    for r in rows:
+        assert 0.0 <= r.dup_rate <= 1.0
+
+
+def test_k47_ci_brackets_median(spark, sf_dir, reg, duck):
+    r = reg["k47_median_ci"].fn(spark, sf_dir).collect()[0]
+    import statistics
+
+    vals = [c for (c,) in duck.execute("SELECT n_chars FROM documents").fetchall()]
+    med = statistics.median_low(vals)
+    assert r.ci_lower <= r.median_lo_def <= r.ci_upper
+    assert r.median_lo_def == med
+    assert r.n == len(vals)
+
+
+def test_k48_ss_nonnegative_and_interaction(spark, sf_dir, reg):
+    r = reg["k48_two_way_anova"].fn(spark, sf_dir).collect()[0]
+    assert r.ss_priority >= 0 and r.ss_year >= 0
+    # cell SS >= sum of main effects is NOT guaranteed in unbalanced
+    # designs, but the decomposition must at least be finite and the
+    # grid dimensions right
+    assert (r.n_a_levels, r.n_b_levels) == (5, 7)
+
+
+def test_k49_drift_nonnegative(spark, sf_dir, reg, duck):
+    rows = reg["k49_daily_wasserstein_drift"].fn(spark, sf_dir).collect()
+    n_days = duck.execute(
+        "SELECT COUNT(DISTINCT date_trunc('day', ts)) FROM events"
+    ).fetchone()[0]
+    assert len(rows) == n_days
+    for r in rows:
+        assert r.w1_vs_corpus >= 0
+        assert r.n_day_events > 0
+
+
+def test_k50_alpha_matches_python(spark, sf_dir, reg, duck):
+    r = reg["k50_powerlaw_alpha"].fn(spark, sf_dir).collect()[0]
+    degs = [d for (d,) in duck.execute(
+        """WITH grams AS (
+             SELECT doc_id, md5(array_to_string(string_split(lower(text), ' ')[s:s + 4], ' ')) AS g
+             FROM documents,
+                  (SELECT unnest(range(1, (SELECT MAX(len(string_split(text, ' '))) FROM documents) + 1, 5)) AS s)
+             WHERE s + 4 <= len(string_split(lower(text), ' '))
+           ) SELECT COUNT(DISTINCT doc_id) AS d FROM grams GROUP BY g HAVING d >= 2"""
+    ).fetchall()]
+    alpha = 1 + len(degs) / sum(math.log(d / 1.5) for d in degs)
+    assert r.n_tail == len(degs)
+    assert abs(r.alpha_hat - alpha) < 1e-3
+    assert r.alpha_hat > 1
