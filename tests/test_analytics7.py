@@ -414,6 +414,14 @@ LATTICE_PINNED = {
     "j35_compaction_binpack": 0,
     "j41_average_precision": 0,
     "j47_range_partition_balance": 0,
+    # k-suite bounded-lattice windows (length/price/day/count lattices)
+    "k03_kruskal_wallis": 0,
+    "k11_best_single_split": 0,
+    "k30_pareto_point": 0,
+    "k32_wasserstein_distance": 0,
+    "k33_cramer_von_mises": 0,
+    "k36_abc_classification": 0,
+    "k47_median_ci": 0,
 }
 
 
