@@ -1007,8 +1007,8 @@ def k11_best_single_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     bss = F.col("rn") * (ml - mu) * (ml - mu) + (F.col("n") - F.col("rn")) * (mr - mu) * (mr - mu)
     scored = pref.select(
         F.col("di").cast("bigint").alias("split_after_day"),
-        F.col("rn").alias("n_left"),
-        (F.col("n") - F.col("rn")).alias("n_right"),
+        F.col("rn").cast("bigint").alias("n_left"),
+        (F.col("n") - F.col("rn")).cast("bigint").alias("n_right"),
         pround(ml, 4).alias("mean_left"),
         pround(mr, 4).alias("mean_right"),
         pround(bss, 4).alias("bss"),
