@@ -2134,6 +2134,7 @@ FROM classed GROUP BY position
 ORDER BY position
 """,
     tags=("dedup", "text"),
+    bench=True,
 )
 def j45_boilerplate_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate rate CONDITIONED on segment position: cut documents
@@ -2542,6 +2543,7 @@ FROM per_order GROUP BY pri
 ORDER BY pri
 """,
     tags=("udf", "join"),
+    bench=True,
 )
 def j50_cogrouped_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogrouped applyInPandas — the one Arrow UDF entry point the UDF

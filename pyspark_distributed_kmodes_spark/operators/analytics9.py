@@ -1109,6 +1109,7 @@ GROUP BY dst
 ORDER BY event_type
 """,
     tags=("statistics", "events"),
+    bench=True,
 )
 def k13_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stationary distribution of the user event-type Markov chain:
@@ -3107,6 +3108,7 @@ GROUP BY blocking_key
 ORDER BY blocking_key
 """,
     tags=("dedup", "audit"),
+    bench=True,
 )
 def k41_blocking_key_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking-key cost model for pairwise dedup/linkage: for four
