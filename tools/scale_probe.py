@@ -85,6 +85,12 @@ PROBE_QUERIES = [
     "j45_boilerplate_position",
     "j49_interval_intersection_volume",
     "j50_cogrouped_applyinpandas",
+    "k13_markov_stationary",
+    "k17_ngram_dup_mass",
+    "k39_coengagement_lift",
+    "k41_blocking_key_cost",
+    "k46_dup_rate_by_length",
+    "k50_powerlaw_alpha",
 ]
 
 
