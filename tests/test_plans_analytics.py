@@ -91,3 +91,53 @@ def test_f16_factfact_join_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "qf16_ship_latency_buckets")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round-6 staged suites: plan-shape pins
+
+
+def test_j31_bitemporal_filters_pushed(spark, sf_dir):
+    """Both temporal cuts must reach the parquet scans as pushed
+    filters — the bitemporal pick scans only the pre-cut subset."""
+    plan = _plan(spark, sf_dir, "j31_bitemporal_asof")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate), LessThanOrEqual(o_orderdate" in plan
+
+
+def test_j50_uses_cogroup_node(spark, sf_dir):
+    """The cogrouped applyInPandas op must compile to the dedicated
+    FlatMapCoGroupsInPandas node (both sides shuffled ONCE on the
+    bucket key), not to a join + groupBy emulation."""
+    plan = _plan(spark, sf_dir, "j50_cogrouped_applyinpandas")
+    assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_k19_collectmetrics_in_plan(spark, sf_dir):
+    """observe() must appear as a CollectMetrics node inside the plan —
+    the zero-extra-pass audit hook the docstring promises."""
+    plan = _plan(spark, sf_dir, "k19_observed_scan_metrics")
+    assert "CollectMetrics" in plan
+
+
+def test_k21_grouping_sets_single_expand(spark, sf_dir):
+    """All four grouping-set levels must come from ONE Expand feeding
+    one aggregation chain — not four separate scans."""
+    plan = _plan(spark, sf_dir, "k21_grouping_id_decode")
+    assert plan.count("Expand") == 1
+    assert plan.count("Scan parquet") + plan.count("FileScan") <= 2  # one logical scan
+
+
+def test_k48_lang_filter_pushed_j48_k07(spark, sf_dir):
+    """The two-stratum tests must push the lang predicate into the
+    scan (In or EqualTo filters), never scan-all-then-filter."""
+    for key in ("j48_welch_ttest", "k07_effect_size_d"):
+        plan = _plan(spark, sf_dir, key)
+        assert "PushedFilters: [In(lang" in plan or "EqualTo(lang" in plan, key
+
+
+def test_k11_topk_is_take_ordered(spark, sf_dir):
+    """The best-split argmax must compile to TakeOrderedAndProject,
+    not a global sort + limit."""
+    plan = _plan(spark, sf_dir, "k11_best_single_split")
+    assert "TakeOrderedAndProject" in plan
