@@ -82,3 +82,89 @@ def qe16_kmodes_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     model = KModes(n_clusters=5, cols=KMODES_COLS, max_iter=20, seed=42).fit(o)
     return silhouette_report(model, o.select(*KMODES_COLS))
+
+
+@query(
+    "l01_kmodes_assign_audit",
+    oracle="""
+WITH combos AS (
+  SELECT o_orderstatus AS s, o_orderpriority AS p, CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2
+), modes AS (
+  SELECT s, p, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, s ASC, p ASC) - 1 AS INTEGER) AS idx
+  FROM combos QUALIFY idx < 4
+), assigned AS (
+  SELECT o.o_orderkey,
+         MIN((CASE WHEN o.o_orderstatus <> m.s THEN 1 ELSE 0 END)
+             + (CASE WHEN o.o_orderpriority <> m.p THEN 1 ELSE 0 END)) AS dist,
+         MIN_BY(m.idx, ((CASE WHEN o.o_orderstatus <> m.s THEN 1 ELSE 0 END)
+                        + (CASE WHEN o.o_orderpriority <> m.p THEN 1 ELSE 0 END)) * 10 + m.idx) AS cluster
+  FROM orders o CROSS JOIN modes m
+  GROUP BY o.o_orderkey
+)
+SELECT a.cluster AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(a.dist) AS BIGINT) AS total_cost,
+       MAX(m.s) AS mode_status,
+       MAX(m.p) AS mode_priority
+FROM assigned a JOIN modes m ON m.idx = a.cluster
+GROUP BY a.cluster
+ORDER BY cluster
+""",
+    tags=("kmodes", "ml"),
+)
+def l01_kmodes_assign_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-GATED audit of the k-modes ASSIGNMENT path (reference
+    A4/A10): with the model FIXED to a deterministic set of modes (the
+    4 most frequent (status, priority) combos, count-desc lexicographic
+    tie-break), `KModesModel.transform` — the REAL
+    `ml/kmodes.py` argmin-Hamming expression, not a SQL re-phrase — is
+    run over all orders and its per-cluster sizes, total Hamming cost
+    and mode labels are value-hash-matched against a DuckDB replay of
+    the same assignment rule. Fitting stays rows-only by design
+    (iterative, q70-q72), but assignment is pure algebra once modes are
+    fixed, so this converts the transform half of the k-modes
+    capability from property-tested to oracle-gated.
+
+    Scale: the mode table is 4 driver-side rows (bounded scalar
+    collect, house-allowed); transform is the zero-shuffle JVM
+    array_min expression; the rollup is one map-side-combined groupBy.
+    """
+    from pyspark_distributed_kmodes_spark.ml.kmodes import KModesModel
+
+    o = table(spark, sf_dir, "orders")
+    combos = (
+        o.groupBy(F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("s"), F.asc("p"))
+        .limit(4)
+        .collect()
+    )  # 4-row model constant: the fixed modes
+    modes = [(r.s, r.p) for r in combos]
+    model = KModesModel(cols=KMODES_COLS, modes=modes)
+    assigned = model.transform(o.select(*KMODES_COLS), "cluster")
+    from pyspark_distributed_kmodes_spark.ml.kmodes import hamming_distance_col
+
+    per_mode_dist = F.array(
+        *[hamming_distance_col(KMODES_COLS, m) for m in modes]
+    )
+    assigned = assigned.withColumn("dist", F.element_at(per_mode_dist, F.col("cluster") + 1))
+    sizes = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum("dist").cast("bigint").alias("total_cost"),
+    )
+    status_map = F.map_from_arrays(
+        F.array(*[F.lit(i) for i in range(len(modes))]),
+        F.array(*[F.lit(m[0]) for m in modes]),
+    )
+    prio_map = F.map_from_arrays(
+        F.array(*[F.lit(i) for i in range(len(modes))]),
+        F.array(*[F.lit(m[1]) for m in modes]),
+    )
+    return sizes.select(
+        "cluster",
+        "n_members",
+        "total_cost",
+        F.element_at(status_map, F.col("cluster")).alias("mode_status"),
+        F.element_at(prio_map, F.col("cluster")).alias("mode_priority"),
+    ).orderBy("cluster")

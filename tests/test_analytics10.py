@@ -614,3 +614,19 @@ def test_k50_alpha_matches_python(spark, sf_dir, reg, duck):
     assert r.n_tail == len(degs)
     assert abs(r.alpha_hat - alpha) < 1e-3
     assert r.alpha_hat > 1
+
+
+# ---------------------------------------------------------------------------
+# l01 — kmodes assignment audit (the transform path, hash-gated)
+
+
+def test_l01_assignment_covers_all_orders(spark, sf_dir, reg, duck):
+    rows = reg["l01_kmodes_assign_audit"].fn(spark, sf_dir).collect()
+    n = duck.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
+    assert sum(r.n_members for r in rows) == n
+    assert sorted(r.cluster for r in rows) == list(range(len(rows)))
+    # cost bound: Hamming over 2 attributes is at most 2 per row
+    assert all(0 <= r.total_cost <= 2 * r.n_members for r in rows)
+    # the most frequent combo IS mode 0, so its members include all
+    # exact-match rows: cost of cluster 0 < 2 * members (not all misses)
+    assert rows[0].total_cost < 2 * rows[0].n_members
