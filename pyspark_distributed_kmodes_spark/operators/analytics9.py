@@ -3851,3 +3851,73 @@ def k50_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(alpha, 6).alias("alpha_hat"),
         pround((alpha - 1.0) / F.sqrt(F.col("n").cast("double")), 6).alias("alpha_se"),
     )
+
+
+# ---------------------------------------------------------------------------
+# l02 — deterministic SimHash collision audit (q64's hash-gated twin)
+
+_L02_BITS = 16
+
+
+@query(
+    "l02_simhash_audit",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+), hashed AS (
+  SELECT doc_id, {_sql_md5fold('w')} AS h FROM words
+), sigs AS (
+  SELECT doc_id,
+         CAST({' + '.join(f"(CASE WHEN SUM(CASE WHEN (h // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END) >= 0 THEN {1 << i} ELSE 0 END)" for i in range(_L02_BITS))} AS BIGINT) AS sig
+  FROM hashed GROUP BY doc_id
+), buckets AS (
+  SELECT sig, CAST(COUNT(*) AS BIGINT) AS c FROM sigs GROUP BY sig
+)
+SELECT CAST(SUM(c) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_signatures,
+       CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS collision_pairs,
+       CAST(MAX(c) AS BIGINT) AS max_bucket
+FROM buckets
+""",
+    tags=("dedup", "text"),
+)
+def l02_simhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-GATED SimHash collision audit — the deterministic twin of
+    q64 (whose numpy-seeded hyperplanes no SQL oracle can replay): a
+    {_L02_BITS}-bit SimHash where bit i is the SIGN of the sum of
+    +/-1 votes from bit i of each word-occurrence's md5 fold — the
+    Charikar construction with a hash family both engines can compute
+    bit-identically. The audit reports the signature-space occupancy
+    (documents per signature, candidate collision pairs, largest
+    bucket) — exactly the candidate-set size a SimHash dedup pass
+    would feed to verification, value-hash-matched end to end.
+
+    Scale: one word explode (token-bounded), one {_L02_BITS}-sum
+    groupBy per document (map-side combined), one count-of-buckets
+    collapse. No pair join anywhere — the audit sizes the candidate
+    set without materializing it.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+    hashed = words.select("doc_id", _md5fold(F.col("w")).alias("h"))
+    votes = [
+        F.when((F.col("h").bitwiseAND(1 << i)) != 0, 1).otherwise(-1) for i in range(_L02_BITS)
+    ]
+    sig = None
+    aggs = []
+    for i, v in enumerate(votes):
+        aggs.append(F.sum(v).alias(f"b{i}"))
+    per_doc = hashed.groupBy("doc_id").agg(*aggs)
+    for i in range(_L02_BITS):
+        bit = F.when(F.col(f"b{i}") >= 0, 1 << i).otherwise(0)
+        sig = bit if sig is None else sig + bit
+    sigs = per_doc.select(sig.cast("bigint").alias("sig"))
+    buckets = sigs.groupBy("sig").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return buckets.agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_signatures"),
+        F.sum((F.col("c") * (F.col("c") - 1) / 2).cast("bigint")).cast("bigint").alias(
+            "collision_pairs"
+        ),
+        F.max("c").cast("bigint").alias("max_bucket"),
+    )

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pyspark_distributed_kmodes_spark.ml.kmodes import EnsembleKModes, KModes
 from pyspark_distributed_kmodes_spark.registry import query
@@ -168,3 +169,126 @@ def l01_kmodes_assign_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(status_map, F.col("cluster")).alias("mode_status"),
         F.element_at(prio_map, F.col("cluster")).alias("mode_priority"),
     ).orderBy("cluster")
+
+
+@query(
+    "l03_kmodes_silhouette_audit",
+    oracle="""
+WITH combos AS (
+  SELECT o_orderstatus AS s, o_orderpriority AS p, CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2
+), modes AS (
+  SELECT s, p, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, s ASC, p ASC) - 1 AS INTEGER) AS idx
+  FROM combos QUALIFY idx < 4
+), assigned AS (
+  SELECT cb.s, cb.p, cb.c,
+         MIN_BY(m.idx, ((CASE WHEN cb.s <> m.s THEN 1 ELSE 0 END)
+                        + (CASE WHEN cb.p <> m.p THEN 1 ELSE 0 END)) * 10 + m.idx) AS cl
+  FROM combos cb CROSS JOIN modes m
+  GROUP BY cb.s, cb.p, cb.c
+), pair AS (
+  SELECT x.s, x.p, x.c, x.cl,
+         y.cl AS ycl,
+         CAST(SUM(((CASE WHEN x.s <> y.s THEN 1 ELSE 0 END)
+                   + (CASE WHEN x.p <> y.p THEN 1 ELSE 0 END)) * y.c) AS BIGINT) AS dsum,
+         CAST(SUM(y.c) AS BIGINT) AS ncl
+  FROM assigned x JOIN assigned y ON TRUE
+  GROUP BY x.s, x.p, x.c, x.cl, y.cl
+), ab AS (
+  SELECT s, p, c, cl,
+         MAX(CASE WHEN ycl = cl THEN CAST(dsum AS DOUBLE) / NULLIF(ncl - 1, 0) END) AS a,
+         MIN(CASE WHEN ycl <> cl THEN CAST(dsum AS DOUBLE) / ncl END) AS b
+  FROM pair GROUP BY s, p, c, cl
+), sil AS (
+  SELECT cl, c,
+         CASE WHEN a IS NULL OR b IS NULL OR GREATEST(a, b) = 0 THEN 0.0
+              ELSE (b - a) / GREATEST(a, b) END AS s_x
+  FROM ab
+)
+SELECT CAST(cl AS INTEGER) AS cluster,
+       CAST(SUM(c) AS BIGINT) AS n_members,
+       {SW} AS mean_silhouette
+FROM sil GROUP BY cl
+ORDER BY cluster
+""".replace(
+        "{SW}",
+        "(CAST(SUM(CAST((CAST(floor((s_x) * 1000000000.0 + 0.5) AS DOUBLE) / 1000000000.0) * c AS DECIMAL(25,12))) AS DOUBLE) / SUM(c))",
+    ),
+    tags=("kmodes", "ml"),
+)
+def l03_kmodes_silhouette_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-GATED silhouette for the fixed-modes k-modes assignment
+    (l01's model): with the clustering FIXED, the categorical
+    silhouette is EXACT algebra over the (status, priority) combo
+    DICTIONARY — a(x) = weighted mean Hamming distance to own-cluster
+    members (self excluded), b(x) = min other-cluster mean, s(x) =
+    (b-a)/max(a,b) — so the quality metric qe16 can only property-test
+    for a FITTED model becomes value-hash-gated here (singleton
+    clusters score 0 by the standard convention). Per-combo s(x) is
+    quantized to the 1e-9 grid and DECIMAL-weighted into cluster means.
+
+    Scale: everything runs on the bounded combo dictionary (~10 rows;
+    pairwise = ~100 cells); raw orders are touched once by the combo
+    count. The same shape holds at any row count.
+    """
+    o = table(spark, sf_dir, "orders")
+    combos = o.groupBy(F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wm = Window.orderBy(F.desc("c"), F.asc("s"), F.asc("p"))
+    modes = combos.withColumn("idx", (F.row_number().over(wm) - 1).cast("int")).filter(
+        F.col("idx") < 4
+    ).select("s", "p", "idx")
+    cb, m = combos.alias("cb"), modes.alias("m")
+    dist_to_mode = (
+        (F.col("cb.s") != F.col("m.s")).cast("int") + (F.col("cb.p") != F.col("m.p")).cast("int")
+    )
+    assigned = (
+        cb.crossJoin(F.broadcast(m))
+        .groupBy(F.col("cb.s").alias("s"), F.col("cb.p").alias("p"), F.col("cb.c").alias("c"))
+        .agg(F.min_by(F.col("m.idx"), dist_to_mode * 10 + F.col("m.idx")).alias("cl"))
+    )
+    x, y = assigned.alias("x"), assigned.alias("y")
+    d = (F.col("x.s") != F.col("y.s")).cast("int") + (F.col("x.p") != F.col("y.p")).cast("int")
+    pair = (
+        x.crossJoin(F.broadcast(y))
+        .groupBy(
+            F.col("x.s").alias("s"),
+            F.col("x.p").alias("p"),
+            F.col("x.c").alias("c"),
+            F.col("x.cl").alias("cl"),
+            F.col("y.cl").alias("ycl"),
+        )
+        .agg(
+            F.sum(d * F.col("y.c")).cast("bigint").alias("dsum"),
+            F.sum(F.col("y.c")).cast("bigint").alias("ncl"),
+        )
+    )
+    ab = pair.groupBy("s", "p", "c", "cl").agg(
+        F.max(
+            F.when(
+                F.col("ycl") == F.col("cl"),
+                F.col("dsum").cast("double") / F.nullif(F.col("ncl") - 1, F.lit(0)),
+            )
+        ).alias("a"),
+        F.min(
+            F.when(F.col("ycl") != F.col("cl"), F.col("dsum").cast("double") / F.col("ncl"))
+        ).alias("b"),
+    )
+    s_x = F.when(
+        F.col("a").isNull() | F.col("b").isNull() | (F.greatest("a", "b") == 0), F.lit(0.0)
+    ).otherwise((F.col("b") - F.col("a")) / F.greatest("a", "b"))
+    sil = ab.select("cl", "c", s_x.alias("s_x"))
+    from pyspark_distributed_kmodes_spark.functions.deterministic import pround as _pr
+
+    return (
+        sil.groupBy(F.col("cl").cast("int").alias("cluster"))
+        .agg(
+            F.sum("c").cast("bigint").alias("n_members"),
+            (
+                F.sum((_pr(F.col("s_x"), 9) * F.col("c")).cast("decimal(25,12)")).cast("double")
+                / F.sum("c")
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("cluster")
+    )

@@ -630,3 +630,39 @@ def test_l01_assignment_covers_all_orders(spark, sf_dir, reg, duck):
     # the most frequent combo IS mode 0, so its members include all
     # exact-match rows: cost of cluster 0 < 2 * members (not all misses)
     assert rows[0].total_cost < 2 * rows[0].n_members
+
+
+def test_l02_simhash_matches_python(spark, sf_dir, reg, duck):
+    """Python recompute of the md5-sign SimHash for a sample of docs."""
+    import hashlib
+
+    r = reg["l02_simhash_audit"].fn(spark, sf_dir).collect()[0]
+    docs = duck.execute("SELECT doc_id, lower(text) FROM documents").fetchall()
+    assert r.n_docs == len(docs)
+
+    def fold(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+
+    sigs = {}
+    for doc_id, text in docs:
+        votes = [0] * 16
+        for w in text.split(" "):
+            h = fold(w)
+            for i in range(16):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        sig = sum((1 << i) for i in range(16) if votes[i] >= 0)
+        sigs[doc_id] = sig
+    from collections import Counter
+
+    buckets = Counter(sigs.values())
+    assert r.n_signatures == len(buckets)
+    assert r.collision_pairs == sum(c * (c - 1) // 2 for c in buckets.values())
+    assert r.max_bucket == max(buckets.values())
+
+
+def test_l03_silhouette_bounds_and_cover(spark, sf_dir, reg, duck):
+    rows = reg["l03_kmodes_silhouette_audit"].fn(spark, sf_dir).collect()
+    n = duck.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
+    assert sum(r.n_members for r in rows) == n
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.mean_silhouette <= 1.0 + 1e-9
