@@ -56,9 +56,10 @@ this). History:
            slots. Round-6's LATER additions are keyed j01-j50 (j
            sorts after i28, outside the full window) — staged for the
            round-7 rotation, all green on the local mirror at 3 SFs +
-           vanilla. A further k01+ batch (k sorts after j50) is staged
-           for ROUND 8 — the round-7 window is exactly full with
-           j01-j50.
+           vanilla. A further k01-k50 batch (k sorts after j50) is a
+           FULL staged ROUND-8 window, and l01-l04 (l sorts after
+           k50) open ROUND-9 staging — the round-7 window is exactly
+           full with j01-j50.
 
 Implementations live in pyspark_distributed_kmodes_spark/; this module
 is a thin adapter over its registry.

@@ -3921,3 +3921,44 @@ def l02_simhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("c").cast("bigint").alias("max_bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# l04 — DataFrame-native lateralJoin (Spark 4.0 API)
+
+
+@query(
+    "l04_lateral_join_api",
+    oracle="""
+SELECT s.s_suppkey, s.s_name, t.l_orderkey, t.l_extendedprice
+FROM supplier s,
+LATERAL (SELECT l_orderkey, l_extendedprice FROM lineitem l
+         WHERE l.l_suppkey = s.s_suppkey
+         ORDER BY l_extendedprice DESC, l_orderkey ASC LIMIT 2) t
+ORDER BY s.s_suppkey, t.l_extendedprice DESC, t.l_orderkey
+""",
+    tags=("join", "lateral"),
+)
+def l04_lateral_join_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DataFrame-NATIVE lateral join (`DataFrame.lateralJoin`, new
+    in Spark 4.0) — the API twin of q37's SQL `LATERAL`: each
+    supplier row drives a correlated subquery (its own top-2 lineitems
+    by value, `.outer()` marking the correlated column) without any
+    spark.sql() string. Catalyst decorrelates the per-row limit into
+    the same window/join plan as the SQL form, so this pins that the
+    new method reaches feature parity with the SQL front door.
+
+    Scale: decorrelation turns the apparent per-row subquery into one
+    partitioned top-k window over lineitem — no N-subquery execution.
+    """
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name").alias("s")
+    li = table(spark, sf_dir, "lineitem").alias("l")
+    sub = (
+        li.where(F.col("l.l_suppkey") == F.col("s.s_suppkey").outer())
+        .select("l_orderkey", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), F.col("l_orderkey").asc())
+        .limit(2)
+    )
+    return s.lateralJoin(sub).orderBy(
+        "s_suppkey", F.col("l_extendedprice").desc(), F.col("l_orderkey")
+    )
