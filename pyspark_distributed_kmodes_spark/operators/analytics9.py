@@ -3962,3 +3962,92 @@ def l04_lateral_join_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.lateralJoin(sub).orderBy(
         "s_suppkey", F.col("l_extendedprice").desc(), F.col("l_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# l05 — IVF assignment audit under fixed hash-picked centroids
+
+_L05_LISTS = 8
+
+
+@query(
+    "l05_ivf_assign_audit",
+    oracle=f"""
+WITH centroids AS (
+  SELECT vec_id AS cid, embedding FROM embeddings
+  ORDER BY {_sql_md5fold('CAST(vec_id AS VARCHAR)')} ASC, vec_id ASC
+  LIMIT {_L05_LISTS}
+), scored AS (
+  SELECT e.vec_id, c.cid,
+         round(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS d
+  FROM embeddings e CROSS JOIN centroids c
+), assigned AS (
+  SELECT vec_id,
+         MIN_BY(cid, lpad(CAST(CAST(floor(d * 1000000 + 0.5) AS BIGINT) AS VARCHAR), 14, '0')
+                     || lpad(CAST(cid AS VARCHAR), 10, '0')) AS cid,
+         MIN(d) AS d
+  FROM scored GROUP BY vec_id
+)
+SELECT CAST(a.cid AS BIGINT) AS list_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       {sql_pround('CAST(SUM(CAST(' + sql_pround('a.d', 6) + ' AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)', 6)} AS mean_dist
+FROM assigned a
+GROUP BY a.cid
+ORDER BY list_id
+""",
+    tags=("vector", "audit"),
+)
+def l05_ivf_assign_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-GATED IVF assignment audit — the deterministic half of q68
+    (whose k-means-trained coarse quantizer no oracle can replay): fix
+    the {_L05_LISTS} inverted-list centroids to hash-rank-picked
+    corpus vectors (the h12 fixed-budget rule), assign every embedding
+    to its nearest centroid by euclidean distance (ties to the lowest
+    centroid id), and value-hash-gate each list's size and mean
+    residual distance. This gates the ASSIGNMENT machinery an IVF
+    index lives on — bucket routing, distance math, tie handling —
+    while training stays property-tested in q68; list-size balance
+    here is also the index-health number (one hot list = one hot
+    probe shard).
+
+    Scale: centroids are a broadcast constant set; assignment is one
+    {_L05_LISTS}-way fan-out with JVM zip_with/aggregate math and a
+    min_by collapse — the same per-row cost a real IVF router pays.
+    """
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = (
+        emb.orderBy(_md5fold(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc())
+        .limit(_L05_LISTS)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb"))
+    )
+    j = emb.crossJoin(F.broadcast(cents))
+    ex = F.col("embedding").cast("array<double>")
+    cx = F.col("c_emb").cast("array<double>")
+    d = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(ex, cx, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda a, v: a + v
+            )
+        ),
+        6,
+    )
+    scored = j.select("vec_id", "cid", d.alias("d"))
+    key = F.concat(
+        F.lpad(F.floor(F.col("d") * 1_000_000 + 0.5).cast("bigint").cast("string"), 14, "0"),
+        F.lpad(F.col("cid").cast("string"), 10, "0"),
+    )  # DuckDB min_by cannot order by struct: shared padded-string key
+    assigned = scored.groupBy("vec_id").agg(
+        F.min_by("cid", key).alias("cid"),
+        F.min("d").alias("d"),
+    )
+    return (
+        assigned.groupBy(F.col("cid").cast("bigint").alias("list_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            pround(
+                F.sum(pround(F.col("d"), 6).cast("decimal(25,6)")).cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("mean_dist"),
+        )
+        .orderBy("list_id")
+    )

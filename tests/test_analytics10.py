@@ -666,3 +666,30 @@ def test_l03_silhouette_bounds_and_cover(spark, sf_dir, reg, duck):
     assert sum(r.n_members for r in rows) == n
     for r in rows:
         assert -1.0 - 1e-9 <= r.mean_silhouette <= 1.0 + 1e-9
+
+
+def test_l04_matches_q22_style_topk(spark, sf_dir, reg):
+    """lateralJoin result == the row_number top-k formulation."""
+    from pyspark.sql.window import Window
+
+    rows = reg["l04_lateral_join_api"].fn(spark, sf_dir).collect()
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    w = Window.partitionBy("l_suppkey").orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"))
+    want = (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "l_orderkey", "l_extendedprice")
+        .collect()
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, want))
+
+
+def test_l05_lists_cover_corpus(spark, sf_dir, reg, duck):
+    rows = reg["l05_ivf_assign_audit"].fn(spark, sf_dir).collect()
+    n = duck.execute("SELECT COUNT(*) FROM embeddings").fetchone()[0]
+    assert sum(r.n_vectors for r in rows) == n
+    assert len(rows) <= 8
+    for r in rows:
+        assert r.mean_dist >= 0
