@@ -4051,3 +4051,148 @@ def l05_ivf_assign_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("list_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# l06 — decile QQ table between two length distributions
+
+
+@query(
+    "l06_qq_table",
+    oracle=f"""
+WITH la AS (
+  SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c FROM documents WHERE lang = 'en' GROUP BY n_chars
+), lb AS (
+  SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c FROM documents WHERE lang = 'de' GROUP BY n_chars
+), cuma AS (
+  SELECT v, SUM(c) OVER (ORDER BY v ASC) AS cum, (SELECT SUM(c) FROM la) AS n FROM la
+), cumb AS (
+  SELECT v, SUM(c) OVER (ORDER BY v ASC) AS cum, (SELECT SUM(c) FROM lb) AS n FROM lb
+), probes AS (
+  SELECT unnest(range(1, 10)) AS d
+), q AS (
+  SELECT p.d,
+         (SELECT MIN(v) FROM cuma WHERE cum >= CAST(ceil(p.d / 10.0 * n) AS BIGINT)) AS q_en,
+         (SELECT MIN(v) FROM cumb WHERE cum >= CAST(ceil(p.d / 10.0 * n) AS BIGINT)) AS q_de
+  FROM probes p
+)
+SELECT CAST(d AS BIGINT) AS decile,
+       CAST(q_en AS BIGINT) AS q_en,
+       CAST(q_de AS BIGINT) AS q_de,
+       CAST(q_en - q_de AS BIGINT) AS qq_gap
+FROM q ORDER BY decile
+""",
+    tags=("statistics", "text"),
+)
+def l06_qq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile QQ table between the en and de length distributions: the
+    discrete quantile (smallest value at cumulative rank >= ceil(d/10
+    n)) of each distribution at the nine deciles, side by side with the
+    per-decile gap — the diagnostic CURVE behind the scalar two-sample
+    family (h05's KS gives the worst gap, k32's W1 its integral; the
+    QQ table shows WHERE the distributions diverge: parallel gaps =
+    location shift, fanning gaps = scale difference, sign flips =
+    crossing shapes).
+
+    Scale: two lattice collapses + cumulative windows over them; the
+    nine probes are a constant fan-out resolved by conditional MINs.
+    """
+    d = table(spark, sf_dir, "documents")
+
+    def cum_lattice(lang: str) -> DataFrame:
+        lat = d.filter(F.col("lang") == lang).groupBy(F.col("n_chars").alias("v")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        w = Window.orderBy(F.asc("v"))  # bounded: length dictionary
+        tot = lat.agg(F.sum("c").alias("n"))
+        return lat.withColumn("cum", F.sum("c").over(w)).crossJoin(F.broadcast(tot))
+
+    probes = spark.range(1, 10).select(F.col("id").alias("d"))
+
+    def deciles(cl: DataFrame, out: str) -> DataFrame:
+        j = cl.crossJoin(F.broadcast(probes))
+        rank = F.ceil(F.col("d") / 10.0 * F.col("n")).cast("bigint")
+        return j.groupBy("d").agg(
+            F.min(F.when(F.col("cum") >= rank, F.col("v"))).cast("bigint").alias(out)
+        )
+
+    qa = deciles(cum_lattice("en"), "q_en")
+    qb = deciles(cum_lattice("de"), "q_de")
+    return (
+        qa.join(qb, "d")
+        .select(
+            F.col("d").cast("bigint").alias("decile"),
+            "q_en",
+            "q_de",
+            (F.col("q_en") - F.col("q_de")).cast("bigint").alias("qq_gap"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# l07 — top-k leaderboard stability week over week
+
+_L07_K = 10
+
+
+@query(
+    "l07_topk_stability",
+    oracle=f"""
+WITH bounds AS (
+  SELECT MIN({_SQL_DAY_IDX}) AS lo, MAX({_SQL_DAY_IDX}) AS hi FROM events
+), halves AS (
+  SELECT user_id,
+         CASE WHEN {_SQL_DAY_IDX} < (b.lo + b.hi + 1) // 2 THEN 1 ELSE 2 END AS half,
+         value
+  FROM events CROSS JOIN bounds b
+), ranked AS (
+  SELECT half, user_id,
+         ROW_NUMBER() OVER (PARTITION BY half ORDER BY {sql_dsum('value')} DESC, user_id ASC) AS rk
+  FROM halves GROUP BY half, user_id
+), tops AS (
+  SELECT half, user_id FROM ranked WHERE rk <= {_L07_K}
+)
+SELECT CAST({_L07_K} AS BIGINT) AS k,
+       CAST((SELECT COUNT(*) FROM tops a JOIN tops b
+             ON a.user_id = b.user_id AND a.half = 1 AND b.half = 2) AS BIGINT) AS n_common,
+       {sql_pround(f'''CAST((SELECT COUNT(*) FROM tops a JOIN tops b
+             ON a.user_id = b.user_id AND a.half = 1 AND b.half = 2) AS DOUBLE)
+         / (2 * {_L07_K} - (SELECT COUNT(*) FROM tops a JOIN tops b
+             ON a.user_id = b.user_id AND a.half = 1 AND b.half = 2))''', 6)} AS jaccard
+""",
+    tags=("events", "audit"),
+)
+def l07_topk_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaderboard stability: the top-{_L07_K} users by revenue in the
+    first half of the window vs the second half, overlap and Jaccard —
+    the churn-at-the-top number behind whale-management and
+    top-N-caching decisions (a stable top-K justifies a materialized
+    leaderboard; an unstable one means the cache must refresh at the
+    half-life this measures). Rankings use exact decimal revenue with
+    user_id tie-break (k22's Jaccard@k idea applied across TIME instead
+    of across metrics).
+
+    Scale: one grouped pass per (half, user), two partitioned top-k
+    windows (WindowGroupLimit prunes to k per half), one k x k join.
+    """
+    e = table(spark, sf_dir, "events")
+    di = _day_idx()
+    bounds = e.agg(F.min(di).alias("lo"), F.max(di).alias("hi"))
+    mid = F.floor((F.col("lo") + F.col("hi") + 1) / 2)
+    halves = e.crossJoin(F.broadcast(bounds)).select(
+        "user_id", F.when(di < mid, 1).otherwise(2).alias("half"), "value"
+    )
+    per_user = halves.groupBy("half", "user_id").agg(dsum("value").alias("rev"))
+    w = Window.partitionBy("half").orderBy(F.desc("rev"), F.asc("user_id"))
+    tops = per_user.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _L07_K)
+    t1 = tops.filter(F.col("half") == 1).select(F.col("user_id").alias("u1"))
+    t2 = tops.filter(F.col("half") == 2).select(F.col("user_id").alias("u2"))
+    common = t1.join(t2, t1.u1 == t2.u2).agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    return common.select(
+        F.lit(_L07_K).cast("bigint").alias("k"),
+        "n_common",
+        pround(
+            F.col("n_common").cast("double") / (2 * _L07_K - F.col("n_common")), 6
+        ).alias("jaccard"),
+    )

@@ -693,3 +693,19 @@ def test_l05_lists_cover_corpus(spark, sf_dir, reg, duck):
     assert len(rows) <= 8
     for r in rows:
         assert r.mean_dist >= 0
+
+
+def test_l06_deciles_monotone(spark, sf_dir, reg):
+    rows = reg["l06_qq_table"].fn(spark, sf_dir).collect()
+    assert [r.decile for r in rows] == list(range(1, 10))
+    q_en = [r.q_en for r in rows]
+    q_de = [r.q_de for r in rows]
+    assert q_en == sorted(q_en) and q_de == sorted(q_de)  # quantiles monotone
+    for r in rows:
+        assert r.qq_gap == r.q_en - r.q_de
+
+
+def test_l07_stability_bounds(spark, sf_dir, reg):
+    r = reg["l07_topk_stability"].fn(spark, sf_dir).collect()[0]
+    assert 0 <= r.n_common <= r.k == 10
+    assert 0.0 <= r.jaccard <= 1.0
