@@ -4196,3 +4196,269 @@ def l07_topk_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_common").cast("double") / (2 * _L07_K - F.col("n_common")), 6
         ).alias("jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# l08 — log-rank test: time-to-second-purchase across user cohorts
+
+
+@query(
+    "l08_logrank_test",
+    oracle=f"""
+WITH purch AS (
+  SELECT DISTINCT user_id, {_SQL_DAY_IDX} AS di FROM events WHERE event_type = 'purchase'
+), horizon AS (
+  SELECT MAX({_SQL_DAY_IDX}) AS hz FROM events
+), firsts AS (
+  SELECT user_id, MIN(di) AS d1 FROM purch GROUP BY user_id
+), per_user AS (
+  SELECT f.user_id, f.d1, MIN(p.di) AS d2
+  FROM firsts f LEFT JOIN purch p ON p.user_id = f.user_id AND p.di > f.d1
+  GROUP BY f.user_id, f.d1
+), obs AS (
+  SELECT {_sql_md5fold('CAST(user_id AS VARCHAR)')} % 2 AS g,
+         CASE WHEN d2 IS NOT NULL THEN d2 - d1 ELSE h.hz - d1 END AS t,
+         CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM per_user CROSS JOIN horizon h
+), tally AS (
+  SELECT g, t,
+         CAST(SUM(ev) AS BIGINT) AS d,
+         CAST(SUM(1 - ev) AS BIGINT) AS c
+  FROM obs GROUP BY g, t
+), grid AS (
+  SELECT t.t, g.g, COALESCE(ta.d, 0) AS d, COALESCE(ta.c, 0) AS c
+  FROM (SELECT DISTINCT t FROM tally) t
+  CROSS JOIN (SELECT unnest(range(0, 2)) AS g) g
+  LEFT JOIN tally ta ON ta.t = t.t AND ta.g = g.g
+), risk AS (
+  SELECT t, g, d,
+         CAST((SELECT COUNT(*) FROM obs o WHERE o.g = grid.g) AS BIGINT)
+           - CAST(COALESCE(SUM(d + c) OVER (PARTITION BY g ORDER BY t ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+  FROM grid
+), wide AS (
+  SELECT a.t,
+         a.d AS d1, a.n_at_risk AS n1,
+         b.d AS d0, b.n_at_risk AS n0
+  FROM risk a JOIN risk b ON a.t = b.t AND a.g = 1 AND b.g = 0
+  WHERE a.d + b.d > 0 AND a.n_at_risk + b.n_at_risk > 1
+), terms AS (
+  SELECT
+    CAST(SUM(CAST({sql_pround('d1 - CAST(n1 AS DOUBLE) * (d1 + d0) / (n1 + n0)', 9)} AS DECIMAL(25,12))) AS DOUBLE) AS u,
+    CAST(SUM(CAST({sql_pround('''CAST(n1 AS DOUBLE) * n0 * (d1 + d0) * (n1 + n0 - d1 - d0)
+        / ((CAST(n1 + n0 AS DOUBLE)) * (n1 + n0) * (n1 + n0 - 1))''', 9)} AS DECIMAL(25,12))) AS DOUBLE) AS v,
+    CAST(COUNT(*) AS BIGINT) AS n_event_times
+  FROM terms_src
+), terms_src AS (SELECT * FROM wide)
+SELECT n_event_times,
+       {sql_pround('u', 6)} AS observed_minus_expected,
+       {sql_pround('u / sqrt(v)', 6)} AS logrank_z
+FROM terms
+""",
+    tags=("statistics", "events"),
+)
+def l08_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test comparing TIME TO THE SECOND DISTINCT
+    PURCHASE DAY between two md5-parity user cohorts, with right censoring at the data horizon
+    — the standard survival-curve comparison (j15 draws one cohort's
+    Kaplan-Meier; this tests whether two cohorts' curves differ):
+    U = sum over event days of (O1 - E1) with E1 = n1 d/n under the
+    null, V the hypergeometric variance, z = U/sqrt(V). Risk sets
+    come from cohort totals minus a cumulative (events + censored)
+    window over the bounded day lattice — never a per-subject scan per
+    time point.
+
+    Scale: purchases collapse to one observation per user; everything
+    after runs on the (cohort x day) grid; per-day terms are
+    pround-quantized and DECIMAL-summed.
+    """
+    e = table(spark, sf_dir, "events")
+    di = _day_idx()
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", di.alias("di"))
+        .distinct()  # day granularity: same-day repeats are one visit
+    )
+    horizon = e.agg(F.max(di).alias("hz"))
+    w = Window.partitionBy("user_id").orderBy(F.asc("di"))
+    ranked = purch.withColumn("rn", F.row_number().over(w))
+    d1 = ranked.filter(F.col("rn") == 1).select("user_id", F.col("di").alias("d1"))
+    d2 = ranked.filter(F.col("rn") == 2).select("user_id", F.col("di").alias("d2"))
+    per_user = d1.join(d2, "user_id", "left")
+    obs = per_user.crossJoin(F.broadcast(horizon)).select(
+        (_md5fold(F.col("user_id").cast("string")) % 2).alias("g"),
+        F.when(F.col("d2").isNotNull(), F.col("d2") - F.col("d1"))
+        .otherwise(F.col("hz") - F.col("d1"))
+        .alias("t"),
+        F.col("d2").isNotNull().cast("int").alias("ev"),
+    )
+    tally = obs.groupBy("g", "t").agg(
+        F.sum("ev").cast("bigint").alias("d"), F.sum(1 - F.col("ev")).cast("bigint").alias("c")
+    )
+    times = tally.select("t").distinct()
+    gs = spark.range(0, 2).select(F.col("id").alias("g"))
+    grid = (
+        times.crossJoin(F.broadcast(gs))
+        .join(tally, ["t", "g"], "left")
+        .select(
+            "t", "g", F.coalesce(F.col("d"), F.lit(0)).alias("d"), F.coalesce(F.col("c"), F.lit(0)).alias("c")
+        )
+    )
+    totals = obs.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("tot"))
+    wc = Window.partitionBy("g").orderBy(F.asc("t")).rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        grid.join(F.broadcast(totals), "g")
+        .withColumn(
+            "n_at_risk",
+            F.col("tot") - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wc), F.lit(0)),
+        )
+        .select("t", "g", "d", "n_at_risk")
+    )
+    a = risk.filter(F.col("g") == 1).select(
+        "t", F.col("d").alias("d1"), F.col("n_at_risk").alias("n1")
+    )
+    b = risk.filter(F.col("g") == 0).select(
+        "t", F.col("d").alias("d0"), F.col("n_at_risk").alias("n0")
+    )
+    wide = a.join(b, "t").filter(
+        (F.col("d1") + F.col("d0") > 0) & (F.col("n1") + F.col("n0") > 1)
+    )
+    n1d = F.col("n1").cast("double")
+    ntot = F.col("n1") + F.col("n0")
+    dtot = F.col("d1") + F.col("d0")
+    u_term = F.col("d1") - n1d * dtot / ntot
+    v_term = (
+        n1d
+        * F.col("n0")
+        * dtot
+        * (ntot - dtot)
+        / (ntot.cast("double") * ntot * (ntot - 1))
+    )
+    terms = wide.agg(
+        F.sum(pround(u_term, 9).cast("decimal(25,12)")).cast("double").alias("u"),
+        F.sum(pround(v_term, 9).cast("decimal(25,12)")).cast("double").alias("v"),
+        F.count(F.lit(1)).cast("bigint").alias("n_event_times"),
+    )
+    return terms.select(
+        "n_event_times",
+        pround(F.col("u"), 6).alias("observed_minus_expected"),
+        pround(F.col("u") / F.sqrt(F.col("v")), 6).alias("logrank_z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# l09 — fingerprint birthday-bound collision audit
+
+
+@query(
+    "l09_fingerprint_collision_audit",
+    oracle=f"""
+WITH folds AS (
+  SELECT {_sql_md5fold('text')} AS f32 FROM documents
+), exact_dups AS (
+  SELECT CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS dup_rows FROM documents
+), buckets AS (
+  SELECT f32, CAST(COUNT(*) AS BIGINT) AS c FROM folds GROUP BY f32
+), stats AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS observed_pairs
+  FROM buckets
+)
+SELECT s.n AS n_docs,
+       s.observed_pairs - (SELECT dup_rows FROM exact_dups) AS surplus_collisions,
+       {sql_pround('CAST(s.n AS DOUBLE) * (s.n - 1) / 2 / 4294967296', 6)} AS birthday_expected,
+       CAST((SELECT dup_rows FROM exact_dups) AS BIGINT) AS true_dup_rows
+FROM stats s
+""",
+    tags=("dedup", "audit"),
+)
+def l09_fingerprint_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-width audit: documents folded to 32-bit keys collide
+    either because the TEXTS are identical (true duplicates, counted
+    via full md5) or by hash accident; the surplus over true duplicates
+    is compared with the birthday bound n(n-1)/2 / 2^32 — the
+    calculation that decides whether a pipeline can key its dedup
+    index on a folded 32/64-bit fingerprint or must carry the full
+    128-bit digest (q54's fingerprints assume the answer; this
+    MEASURES it on the actual corpus: at 100 TB with n ~ 1e10 the
+    32-bit expectation is ~1e10 collisions — hence 128-bit keys in
+    every production dedup, demonstrable from this one row).
+
+    Scale: one fold groupBy + one distinct-count; integer arithmetic
+    plus one float expectation.
+    """
+    d = table(spark, sf_dir, "documents")
+    folds = d.select(_md5fold(F.col("text")).alias("f32"))
+    buckets = folds.groupBy("f32").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    stats = buckets.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum((F.col("c") * (F.col("c") - 1) / 2).cast("bigint")).cast("bigint").alias(
+            "observed_pairs"
+        ),
+    )
+    dups = d.agg(
+        (F.count(F.lit(1)) - F.count_distinct(F.md5("text"))).cast("bigint").alias("dup_rows")
+    )
+    j = stats.crossJoin(F.broadcast(dups))
+    return j.select(
+        F.col("n").alias("n_docs"),
+        (F.col("observed_pairs") - F.col("dup_rows")).alias("surplus_collisions"),
+        pround(
+            F.col("n").cast("double") * (F.col("n") - 1) / 2 / 4294967296.0, 6
+        ).alias("birthday_expected"),
+        F.col("dup_rows").alias("true_dup_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# l10 — cross-language duplicate leakage
+
+
+@query(
+    "l10_cross_lang_dup_leakage",
+    oracle="""
+WITH fp AS (
+  SELECT md5(lower(text)) AS f, lang FROM documents
+), spans AS (
+  SELECT f, CAST(COUNT(*) AS BIGINT) AS copies,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS langs
+  FROM fp GROUP BY f
+)
+SELECT CAST(SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups,
+       CAST(SUM(CASE WHEN langs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS cross_lang_groups,
+       CAST(SUM(CASE WHEN langs > 1 THEN copies ELSE 0 END) AS BIGINT) AS docs_in_cross_lang_groups,
+       CAST(MAX(langs) AS BIGINT) AS max_langs_per_group
+FROM spans
+""",
+    tags=("dedup", "curation"),
+)
+def l10_cross_lang_dup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language duplicate LEAKAGE: fingerprint groups whose
+    copies carry MORE THAN ONE language label — each such group is
+    either a mislabeled language (the common case: same English
+    boilerplate labeled en and de by a flaky classifier) or genuinely
+    language-agnostic content (code, numbers); both kinds poison
+    per-language statistics (j21/j48/k03 all stratify by lang) and
+    leak across per-language dedup shards that assume lang is a safe
+    partition key. A nonzero count here means language CANNOT be used
+    as a dedup blocking key without this measured recall loss —
+    closing the loop with k41's blocking-cost model, which prices
+    lang's CPU cost while this prices its correctness.
+
+    Scale: one fingerprint groupBy carrying a distinct-lang count;
+    1-row output.
+    """
+    d = table(spark, sf_dir, "documents")
+    fp = d.select(F.md5(F.lower("text")).alias("f"), "lang")
+    spans = fp.groupBy("f").agg(
+        F.count(F.lit(1)).cast("bigint").alias("copies"),
+        F.count_distinct("lang").cast("bigint").alias("langs"),
+    )
+    return spans.agg(
+        F.sum((F.col("copies") > 1).cast("int")).cast("bigint").alias("dup_groups"),
+        F.sum((F.col("langs") > 1).cast("int")).cast("bigint").alias("cross_lang_groups"),
+        F.sum(F.when(F.col("langs") > 1, F.col("copies")).otherwise(0)).cast("bigint").alias(
+            "docs_in_cross_lang_groups"
+        ),
+        F.max("langs").cast("bigint").alias("max_langs_per_group"),
+    )

@@ -709,3 +709,59 @@ def test_l07_stability_bounds(spark, sf_dir, reg):
     r = reg["l07_topk_stability"].fn(spark, sf_dir).collect()[0]
     assert 0 <= r.n_common <= r.k == 10
     assert 0.0 <= r.jaccard <= 1.0
+
+
+def test_l08_logrank_matches_python(spark, sf_dir, reg, duck):
+    """Independent python recompute of U and V from the raw events."""
+    import hashlib
+
+    r = reg["l08_logrank_test"].fn(spark, sf_dir).collect()[0]
+    rows = duck.execute(
+        "SELECT DISTINCT user_id, epoch_us(date_trunc('day', ts)) // 86400000000 "
+        "FROM events WHERE event_type = 'purchase'"
+    ).fetchall()
+    hz = duck.execute(
+        "SELECT MAX(epoch_us(date_trunc('day', ts)) // 86400000000) FROM events"
+    ).fetchone()[0]
+    days = {}
+    for u, d in rows:
+        days.setdefault(u, []).append(d)
+    obs = []
+    for u, ds in days.items():
+        ds.sort()
+        g = int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+        if len(ds) >= 2:
+            obs.append((g, ds[1] - ds[0], 1))
+        else:
+            obs.append((g, hz - ds[0], 0))
+    times = sorted({t for _, t, ev in obs if ev})
+    u_sum = v_sum = 0.0
+    n_times = 0
+    for t in times:
+        n1 = sum(1 for g, tt, _ in obs if g == 1 and tt >= t)
+        n0 = sum(1 for g, tt, _ in obs if g == 0 and tt >= t)
+        d1 = sum(1 for g, tt, ev in obs if g == 1 and tt == t and ev)
+        d0 = sum(1 for g, tt, ev in obs if g == 0 and tt == t and ev)
+        n, dd = n1 + n0, d1 + d0
+        if dd == 0 or n <= 1:
+            continue
+        n_times += 1
+        u_sum += d1 - n1 * dd / n
+        v_sum += n1 * n0 * dd * (n - dd) / (n * n * (n - 1))
+    assert r.n_event_times == n_times
+    assert abs(r.observed_minus_expected - u_sum) < 1e-4
+    assert abs(r.logrank_z - u_sum / v_sum**0.5) < 1e-3
+
+
+def test_l09_surplus_nonnegative(spark, sf_dir, reg):
+    r = reg["l09_fingerprint_collision_audit"].fn(spark, sf_dir).collect()[0]
+    assert r.surplus_collisions >= 0  # fold collisions include all true dups
+    assert r.birthday_expected >= 0
+    assert r.true_dup_rows >= 0
+
+
+def test_l10_leakage_bounds(spark, sf_dir, reg):
+    r = reg["l10_cross_lang_dup_leakage"].fn(spark, sf_dir).collect()[0]
+    assert r.cross_lang_groups <= r.dup_groups
+    assert r.docs_in_cross_lang_groups >= 2 * r.cross_lang_groups or r.cross_lang_groups == 0
+    assert r.max_langs_per_group >= 1
