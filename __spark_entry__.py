@@ -60,6 +60,17 @@ this). History:
            FULL staged ROUND-8 window, and l01-l04 (l sorts after
            k50) open ROUND-9 staging — the round-7 window is exactly
            full with j01-j50.
+  round 7: all 50 round-6 window keys came back green in
+           CORRECTNESS_r06 (the second consecutive 50/50 hash-match
+           round), so they rotate out: h01-h22 -> qh01-qh22,
+           i01-i28 -> qi01-qi28 (number = query identity, e.g. qi01
+           === i01 === round-6 incremental near-dup graph). The 50
+           staged j-keys now sort first — the round-7 window is
+           exactly j01-j50. Per the round-6 verdict, NO new suite is
+           staged this round (the k01-k50 + l01-l10 backlog already
+           fills rounds 8-9); round-7 additions are oracle-gated
+           conversion twins for previously rows-only keys, keyed
+           l11+ so they extend the existing round-9 l-suite staging.
 
 Implementations live in pyspark_distributed_kmodes_spark/; this module
 is a thin adapter over its registry.

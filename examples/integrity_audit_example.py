@@ -21,11 +21,11 @@ from pyspark_distributed_kmodes_spark.operators.analytics4 import (
     qg07_hll_error_audit,
 )
 from pyspark_distributed_kmodes_spark.operators.analytics5 import (
-    h16_mergeable_quantiles,
-    h17_two_level_distinct,
-    h18_cms_error_audit,
-    h20_resultset_checksum,
-    h21_bucket_prefilter_audit,
+    qh16_mergeable_quantiles,
+    qh17_two_level_distinct,
+    qh18_cms_error_audit,
+    qh20_resultset_checksum,
+    qh21_bucket_prefilter_audit,
 )
 from pyspark_distributed_kmodes_spark.session import get_spark
 
@@ -39,26 +39,26 @@ def main():
     print("== does incremental dedup agree with a full rebuild? ==")
     qg02_incremental_dedup_reconcile(spark, sf_dir).show()
     print("== does the same query give the same result under TWO plans? ==")
-    h20_resultset_checksum(spark, sf_dir).show()
+    qh20_resultset_checksum(spark, sf_dir).show()
     print("== mergeable exact quantiles == direct quantiles? ==")
-    h16_mergeable_quantiles(spark, sf_dir).show()
+    qh16_mergeable_quantiles(spark, sf_dir).show()
     print("== two-level exact distinct == direct distinct? ==")
-    h17_two_level_distinct(spark, sf_dir).show()
+    qh17_two_level_distinct(spark, sf_dir).show()
     print("== approx percentile within its published rank bound? ==")
     qg06_approx_percentile_audit(spark, sf_dir).show()
     print("== HLL within 3*rsd? ==")
     qg07_hll_error_audit(spark, sf_dir).show()
     print("== CMS overestimates bounded by eps*N? ==")
-    h18_cms_error_audit(spark, sf_dir).show()
+    qh18_cms_error_audit(spark, sf_dir).show()
     print("== LSH banding recall vs the exact truth set ==")
     qg04_lsh_recall_audit(spark, sf_dir).show()
     print("== decontamination prefilter misses nothing? ==")
-    h21_bucket_prefilter_audit(spark, sf_dir).show()
+    qh21_bucket_prefilter_audit(spark, sf_dir).show()
 
     rows = qg03_shard_reconciliation(spark, sf_dir).collect()
     assert all(r.loss_free for r in rows)
-    assert h20_resultset_checksum(spark, sf_dir).collect()[0].plans_agree
-    assert h21_bucket_prefilter_audit(spark, sf_dir).collect()[0].no_false_negatives
+    assert qh20_resultset_checksum(spark, sf_dir).collect()[0].plans_agree
+    assert qh21_bucket_prefilter_audit(spark, sf_dir).collect()[0].no_false_negatives
     print("integrity audit: all green")
     spark.stop()
 

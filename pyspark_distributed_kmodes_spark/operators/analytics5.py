@@ -38,7 +38,7 @@ _H01_TERMS_SQL = ", ".join(f"('{t}')" for t in _H01_TERMS)
 
 
 @query(
-    "h01_bm25_ranking",
+    "qh01_bm25_ranking",
     oracle=f"""
 WITH q(term) AS (VALUES {_H01_TERMS_SQL}),
 docs AS (
@@ -78,7 +78,7 @@ ORDER BY rank LIMIT {_H01_TOPK}
 """,
     tags=("text", "retrieval"),
 )
-def h01_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qh01_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 document ranking for a fixed query ({_H01_TERMS}): the
     standard IR relevance function (Okapi k1={_H01_K1}, b={_H01_B}) —
     the retrieval primitive behind RAG corpus indexing and
@@ -143,7 +143,7 @@ def h01_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "h02_theil_decomposition",
+    "qh02_theil_decomposition",
     oracle=f"""
 WITH x AS (
   SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents
@@ -185,7 +185,7 @@ ORDER BY w.source
 """,
     tags=("statistics", "curation"),
 )
-def h02_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qh02_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-T inequality decomposition of token mass across documents,
     split into within-source and between-source components — the
     additive inequality measure (unlike qd09's Gini) that answers "is
@@ -254,11 +254,11 @@ FROM documents WHERE contains(text, '{pat}')"""
 
 
 @query(
-    "h04_substring_search",
+    "qh04_substring_search",
     oracle=" UNION ALL ".join(_h04_sql_arm(p) for p in _H04_PATTERNS) + " ORDER BY pattern",
     tags=("text", "retrieval"),
 )
-def h04_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qh04_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Literal substring search (grep) over the corpus for a fixed
     phrase set: per pattern, matching-doc count, total occurrence
     count, and the first matching doc — the exact-phrase complement of
@@ -298,7 +298,7 @@ _H06_TOPK = 20
 
 
 @query(
-    "h06_cooccurrence_pmi",
+    "qh06_cooccurrence_pmi",
     oracle=f"""
 WITH dw AS (
   SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
@@ -326,7 +326,7 @@ ORDER BY rank LIMIT {_H06_TOPK}
 """,
     tags=("text", "statistics"),
 )
-def h06_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qh06_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-level co-occurrence PMI: word pairs that appear in the
     SAME DOCUMENT far more often than independence predicts — the
     topic-structure signal (qd07's bigram PMI sees only ADJACENT
@@ -398,7 +398,7 @@ _H03_SIGN_SQL = (
 
 
 @query(
-    "h03_jl_projection_audit",
+    "qh03_jl_projection_audit",
     oracle=f"""
 WITH samp AS (
   SELECT vec_id FROM (
@@ -441,7 +441,7 @@ FROM ratios
 """,
     tags=("vector", "audit"),
 )
-def h03_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qh03_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss projection audit: embeddings are projected
     64 -> {_H03_K} dims with a +-1 md5-sign matrix (the database-
     friendly random projection — no dense float matrix to ship, both
@@ -527,7 +527,7 @@ def h03_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "h05_grouped_ks_drift",
+    "qh05_grouped_ks_drift",
     oracle="""
 WITH vals AS (
   SELECT DISTINCT n_chars AS v FROM documents
@@ -560,7 +560,7 @@ ORDER BY d.source
 """,
     tags=("statistics", "curation"),
 )
-def h05_grouped_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qh05_grouped_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source KS drift against the GLOBAL length distribution: the
     maximum ECDF gap between each source's n_chars distribution and the
     corpus-wide one — qd10 generalized from two fixed samples to
@@ -622,7 +622,7 @@ def h05_grouped_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "h07_percent_of_parent",
+    "qh07_percent_of_parent",
     oracle=f"""
 WITH cell AS (
   SELECT r.r_name AS region, n.n_name AS nation, c.c_mktsegment AS segment,
@@ -654,7 +654,7 @@ ORDER BY c.region, c.nation, c.segment
 """,
     tags=("relational",),
 )
-def h07_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qh07_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical percent-of-parent rollup (region > nation >
     market segment): each leaf cell carries its share at every level
     of the hierarchy — the OLAP drill-down report shape (q11/q12 give
@@ -716,7 +716,7 @@ _H08_TOPK = 15
 
 
 @query(
-    "h08_session_paths",
+    "qh08_session_paths",
     oracle=f"""
 WITH ev AS (
   SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events
@@ -747,7 +747,7 @@ ORDER BY rank LIMIT {_H08_TOPK}
 """,
     tags=("events",),
 )
-def h08_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qh08_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session path mining: the {_H08_TOPK} most common within-session
     event-type trigrams, after 30-minute-gap sessionization — the
     behavioral-pattern complement of qe12's one-step transition matrix
@@ -794,7 +794,7 @@ _H09_K = 3
 
 
 @query(
-    "h09_windowed_topk",
+    "qh09_windowed_topk",
     oracle=f"""
 WITH counted AS (
   SELECT epoch_us(ts) // {_H09_WIN_US} AS window_idx, event_type,
@@ -812,7 +812,7 @@ ORDER BY window_idx, rank
 """,
     tags=("events", "streaming-twin"),
 )
-def h09_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qh09_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{_H09_K} event types per tumbling 6-hour window — the batch
     twin of `streaming/jobs.py::windowed_topk_stream`: the stream
     maintains the (window, type) counts (the only state ranking needs);
@@ -850,7 +850,7 @@ def h09_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "h10_orc_roundtrip",
+    "qh10_orc_roundtrip",
     oracle=f"""
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -860,7 +860,7 @@ FROM documents GROUP BY source ORDER BY source
 """,
     tags=("source", "orc"),
 )
-def h10_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qh10_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC ingestion end-to-end (qc01's CSV pattern for the other
     columnar format the lakehouse world actually ships): documents ->
     ORC files (zlib) -> native ORC scan -> aggregate; the oracle
@@ -876,7 +876,7 @@ def h10_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    base = tempfile.mkdtemp(prefix="h10_orc_")
+    base = tempfile.mkdtemp(prefix="qh10_orc_")
     try:
         d = table(spark, sf_dir, "documents")
         d.write.mode("overwrite").orc(base + "/documents")
@@ -896,7 +896,7 @@ def h10_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "h11_partition_pruned_scan",
+    "qh11_partition_pruned_scan",
     oracle="""
 SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_idx,
        CAST(COUNT(*) AS BIGINT) AS n,
@@ -906,7 +906,7 @@ GROUP BY 1 ORDER BY day_idx
 """,
     tags=("source", "partitioning"),
 )
-def h11_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qh11_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-style partition pruning end-to-end: events are written
     partitioned by event_type, read back with an event_type filter —
     the filter resolves at PLANNING time (PartitionFilters in the
@@ -923,7 +923,7 @@ def h11_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    base = tempfile.mkdtemp(prefix="h11_part_")
+    base = tempfile.mkdtemp(prefix="qh11_part_")
     try:
         e = table(spark, sf_dir, "events")
         e.write.mode("overwrite").partitionBy("event_type").parquet(base + "/events")
@@ -1042,7 +1042,7 @@ def _pair_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "h12_hard_negative_mining",
+    "qh12_hard_negative_mining",
     oracle=f"""
 WITH {_H12_PAIR_CTE},
 pos AS (
@@ -1064,7 +1064,7 @@ ORDER BY anchor_id
 """,
     tags=("vector", "training"),
 )
-def h12_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qh12_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive-pair mining for metric learning: for each sampled
     anchor, the hardest positive (most-similar SAME-label vector) and
     the hardest negative (most-similar DIFFERENT-label vector) with
@@ -1113,7 +1113,7 @@ _H13_K = 5
 
 
 @query(
-    "h13_knn_label_noise",
+    "qh13_knn_label_noise",
     oracle=f"""
 WITH {_H12_PAIR_CTE},
 ranked AS (
@@ -1129,7 +1129,7 @@ GROUP BY a_id ORDER BY a_id
 """,
     tags=("vector", "quality"),
 )
-def h13_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qh13_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN label-noise audit (confident-learning style): for each
     sampled anchor, how many of its {_H13_K} nearest neighbors carry a
     DIFFERENT label — an anchor outvoted by its own neighborhood
@@ -1165,7 +1165,7 @@ def h13_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "h14_importance_weights",
+    "qh14_importance_weights",
     oracle=f"""
 WITH g AS (
   SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
@@ -1191,7 +1191,7 @@ ORDER BY w.lang
 """,
     tags=("curation", "sampling"),
 )
-def h14_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qh14_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Importance weights for distribution matching: per-language
     sampling weights that reshape the corpus toward a UNIFORM language
     target (weight = target_share / actual_share), with the effective
@@ -1240,7 +1240,7 @@ def h14_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "h15_freshness_audit",
+    "qh15_freshness_audit",
     oracle=f"""
 WITH anchor AS (
   SELECT MAX(epoch_us(ts)) AS now_us FROM events
@@ -1260,7 +1260,7 @@ ORDER BY p.event_type
 """,
     tags=("events", "audit"),
 )
-def h15_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qh15_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline freshness audit: per event type, how stale its newest
     record is relative to the stream head, plus its average daily rate
     — the monitoring query every ingestion SLA dashboard runs (a type
@@ -1301,7 +1301,7 @@ _H16_QS = ((50, "p50"), (90, "p90"), (99, "p99"))
 
 
 @query(
-    "h16_mergeable_quantiles",
+    "qh16_mergeable_quantiles",
     oracle=f"""
 WITH ranked AS (
   SELECT o_totalprice,
@@ -1315,7 +1315,7 @@ FROM ranked
 """,
     tags=("relational", "audit"),
 )
-def h16_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qh16_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable EXACT quantile summaries: the order-value histogram is
     built independently on two disjoint halves of the data (orderkey
     parity = two 'partitions'), the per-half (value -> count)
@@ -1402,7 +1402,7 @@ _H17_BLOCK = 1024
 
 
 @query(
-    "h17_two_level_distinct",
+    "qh17_two_level_distinct",
     oracle="""
 SELECT event_type,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct,
@@ -1411,7 +1411,7 @@ FROM events GROUP BY event_type ORDER BY event_type
 """,
     tags=("relational", "audit"),
 )
-def h17_two_level_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qh17_two_level_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level exact COUNT DISTINCT decomposition: distinct users are
     counted per (type, id-block) first (block = user_id // {_H17_BLOCK}),
     then block partials SUM — exactness holds because blocks partition
@@ -1461,7 +1461,7 @@ _H18_TOPK = 10
 
 
 @query(
-    "h18_cms_error_audit",
+    "qh18_cms_error_audit",
     oracle=f"""
 WITH toks AS (
   SELECT unnest(string_split(text, ' ')) AS token FROM documents
@@ -1478,7 +1478,7 @@ ORDER BY exact_n DESC, token
 """,
     tags=("sketch", "approx", "audit"),
 )
-def h18_cms_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qh18_cms_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch error audit, hash-gated (the g06/g07 pattern
     applied to qb40's class): the CMS (eps={_H18_EPS}, conf=99%,
     seeded) estimates the top-{_H18_TOPK} token frequencies, and the
@@ -1527,7 +1527,7 @@ def h18_cms_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "h19_join_skew_planner",
+    "qh19_join_skew_planner",
     oracle=f"""
 WITH k AS (
   SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS c FROM orders GROUP BY o_custkey
@@ -1546,7 +1546,7 @@ FROM s
 """,
     tags=("relational", "audit"),
 )
-def h19_join_skew_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qh19_join_skew_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew planner: profiles the orders->customer join key
     (key count, hottest-key share, skew ratio = hottest/mean) and
     recommends a salt factor sized so the hottest key's rows spread to
@@ -1588,7 +1588,7 @@ def h19_join_skew_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "h20_resultset_checksum",
+    "qh20_resultset_checksum",
     oracle="""
 WITH res AS (
   SELECT o.o_orderkey, c.c_nationkey, o.o_totalprice
@@ -1608,7 +1608,7 @@ FROM hashed
 """,
     tags=("relational", "audit"),
 )
-def h20_resultset_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qh20_resultset_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive result-set checksum: a join's result is
     fingerprinted as the SUM of per-row md5 hashes (canonical column
     serialization, cents-exact prices) — additive, so partitioning,
@@ -1662,7 +1662,7 @@ _H21_BUCKETS = 1 << 18
 
 
 @query(
-    "h21_bucket_prefilter_audit",
+    "qh21_bucket_prefilter_audit",
     oracle=f"""
 WITH fp AS (
   SELECT doc_id, md5(text) AS fp,
@@ -1691,7 +1691,7 @@ SELECT CAST((SELECT COUNT(*) FROM eval_side) AS BIGINT) AS n_eval,
 """,
     tags=("dedup", "audit"),
 )
-def h21_bucket_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qh21_bucket_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-bucket prefilter audit (a one-hash Bloom filter in pure
     relational form): the eval set's fingerprints are collapsed to a
     {_H21_BUCKETS}-bucket membership set; the corpus is pre-filtered
@@ -1747,7 +1747,7 @@ _H22_FOLDS = 5
 
 
 @query(
-    "h22_stratified_kfold",
+    "qh22_stratified_kfold",
     oracle=f"""
 WITH assigned AS (
   SELECT lang,
@@ -1771,7 +1771,7 @@ ORDER BY c.lang, c.fold
 """,
     tags=("curation", "sampling"),
 )
-def h22_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qh22_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified {_H22_FOLDS}-fold assignment: every
     document lands in a fold by md5(doc_id) — reproducible on any
     cluster, any run, any partitioning (no RNG state, the qe20

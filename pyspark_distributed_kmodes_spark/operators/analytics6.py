@@ -68,7 +68,7 @@ _I01_THRESH = 0.2
 
 
 @query(
-    "i01_incremental_neardup_edges",
+    "qi01_incremental_neardup_edges",
     oracle=f"""
 WITH {_I_SHINGLE_CTE.lstrip()},
 full_pairs AS (
@@ -112,7 +112,7 @@ SELECT
     tags=("dedup", "graph", "audit"),
     bench=True,
 )
-def i01_incremental_neardup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qi01_incremental_neardup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup GRAPH maintenance — g02's base+delta pattern
     lifted from exact dedup to the MinHash/shingle similarity graph (the
     actual production near-dup loop): the corpus arrives as a base
@@ -217,7 +217,7 @@ def i01_incremental_neardup_edges(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
-    "i02_snapshot_diff_timetravel",
+    "qi02_snapshot_diff_timetravel",
     oracle="""
 SELECT
   CAST(COUNT(*) AS BIGINT) AS n_v1,
@@ -233,7 +233,7 @@ FROM documents
 """,
     tags=("source", "cdc", "audit"),
 )
-def i02_snapshot_diff_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qi02_snapshot_diff_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff over the parquet SINK (poor-man's time travel,
     pairing qb39's null-safe diff semantics with real files): v1 =
     documents written to parquet; v2 = v1 with a deterministic CDC
@@ -253,7 +253,7 @@ def i02_snapshot_diff_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    base = tempfile.mkdtemp(prefix="i02_snap_")
+    base = tempfile.mkdtemp(prefix="qi02_snap_")
     try:
         d = table(spark, sf_dir, "documents").select("doc_id", "text", "source")
         d.write.mode("overwrite").parquet(base + "/v1")
@@ -309,7 +309,7 @@ def i02_snapshot_diff_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "i03_multimodal_join_pipeline",
+    "qi03_multimodal_join_pipeline",
     oracle=f"""
 WITH ev AS (
   SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -337,7 +337,7 @@ ORDER BY source, label
 """,
     tags=("multimodal", "join"),
 )
-def i03_multimodal_join_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qi03_multimodal_join_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end MULTIMODAL pipeline in one oracle-gated query: the
     text modality (documents), the vector modality (embeddings, joined
     on vec_id = doc_id), and the behavioral modality (events,
@@ -398,7 +398,7 @@ _I04_TOL = 5.0  # abs tolerance on the half-mean price gap
 
 
 @query(
-    "i04_subsample_stability",
+    "qi04_subsample_stability",
     oracle=f"""
 WITH tagged AS (
   SELECT l_extendedprice, l_discount,
@@ -421,7 +421,7 @@ ORDER BY h.half
 """,
     tags=("statistics", "audit", "sampling"),
 )
-def i04_subsample_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qi04_subsample_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subsample-stability audit: lineitem is split into two DISJOINT
     deterministic md5 halves (the engine-portable coin flip — never a
     stride, per the qf/h12 fixed-budget sampling lesson) and per-half
@@ -467,7 +467,7 @@ _I05_QS = ((50, "p50"), (90, "p90"))
 
 
 @query(
-    "i05_grouped_quantile_rollup",
+    "qi05_grouped_quantile_rollup",
     oracle="""
 WITH ranked AS (
   SELECT o_orderpriority AS grp, o_totalprice,
@@ -500,7 +500,7 @@ ORDER BY grp
 """,
     tags=("statistics", "rollup", "audit"),
 )
-def i05_grouped_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qi05_grouped_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped EXACT disc quantiles with a MERGEABLE rollup: per-
     priority p50/p90 of order value (the qf23 rank convention,
     partitioned windows), plus an ALL row whose quantiles are read off
@@ -610,7 +610,7 @@ def i05_grouped_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "i06_grouped_ols_regression",
+    "qi06_grouped_ols_regression",
     oracle=f"""
 WITH m AS (
   SELECT l_returnflag,
@@ -630,7 +630,7 @@ FROM m ORDER BY l_returnflag
 """,
     tags=("statistics", "ml"),
 )
-def i06_grouped_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qi06_grouped_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped OLS (price ~ quantity per return flag) assembled from
     EXACT decimal moments — the closed-form regression every warehouse
     runs for trend lines, done the qg16 way: n/sx/sy from DECIMAL(25,6)
@@ -673,7 +673,7 @@ def i06_grouped_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "i07_audience_overlap",
+    "qi07_audience_overlap",
     oracle=f"""
 WITH tu AS (
   SELECT DISTINCT event_type, user_id FROM events
@@ -694,7 +694,7 @@ ORDER BY i.type_a, i.type_b
 """,
     tags=("events", "statistics"),
 )
-def i07_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qi07_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact audience-overlap matrix: Jaccard similarity between the
     user sets of every event-type pair — the segment-overlap question
     (qb36 answers it with theta sketches; this is the exact
@@ -741,7 +741,7 @@ def i07_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "i08_rfm_segments",
+    "qi08_rfm_segments",
     oracle=f"""
 WITH maxd AS (
   SELECT MAX(CAST(o_orderdate AS DATE)) AS d FROM orders
@@ -767,7 +767,7 @@ ORDER BY r_score, f_score, m_score
 """,
     tags=("relational", "statistics"),
 )
-def i08_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qi08_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation — the classic CRM scoring: per customer,
     Recency (days since last order vs corpus max date), Frequency
     (order count), Monetary (exact decimal spend); each scored into
@@ -821,7 +821,7 @@ def i08_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "i09_mutual_information",
+    "qi09_mutual_information",
     oracle=f"""
 WITH joint AS (
   SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n_xy
@@ -844,7 +844,7 @@ ORDER BY j.l_returnflag, j.l_linestatus
 """,
     tags=("statistics",),
 )
-def i09_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qi09_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-dependence profiling via pointwise mutual information
     between two categorical columns (return flag x line status) — the
     information-theoretic sibling of qg15's chi-square: per joint cell,
@@ -888,7 +888,7 @@ _I10_CLOSE = 40
 
 
 @query(
-    "i10_levenshtein_blocked_join",
+    "qi10_levenshtein_blocked_join",
     oracle=f"""
 WITH keyed AS (
   SELECT doc_id, source, string_split(text, ' ')[1] AS blk,
@@ -910,7 +910,7 @@ ORDER BY source
 """,
     tags=("text", "dedup", "join"),
 )
-def i10_levenshtein_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qi10_levenshtein_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance similarity join with BLOCKING — the record-linkage
     primitive for fuzzy matching (typo'd names, OCR'd text) that
     n-gram Jaccard misses: candidate pairs come from a cheap blocking
@@ -957,7 +957,7 @@ def i10_levenshtein_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "i11_cusum_changepoint",
+    "qi11_cusum_changepoint",
     oracle=f"""
 WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS day, {sql_dsum('o_totalprice')} AS rev
@@ -979,7 +979,7 @@ FROM peak p CROSS JOIN stats s
 """,
     tags=("timeseries", "statistics"),
 )
-def i11_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qi11_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM change-point detection on the daily revenue series: the
     cumulative sum of deviations from the global mean peaks (in
     absolute value) at the most likely mean-shift point — the classic
@@ -1034,7 +1034,7 @@ FROM daily a JOIN daily b ON b.day = a.day + {k}"""
 
 
 @query(
-    "i12_autocorrelation",
+    "qi12_autocorrelation",
     oracle="WITH daily AS (\n"
     "  SELECT CAST(o_orderdate AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt\n"
     "  FROM orders GROUP BY 1\n)"
@@ -1042,7 +1042,7 @@ FROM daily a JOIN daily b ON b.day = a.day + {k}"""
     + " ORDER BY lag",
     tags=("timeseries", "statistics"),
 )
-def i12_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qi12_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lag-k autocorrelation (k = 1, 7, 30) of the daily order-count
     series — the seasonality detector behind qf26's weekday profile:
     each lag arm Pearson-correlates the day series with itself shifted
@@ -1105,7 +1105,7 @@ def i12_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "i13_decile_gains",
+    "qi13_decile_gains",
     oracle=f"""
 WITH users AS (
   SELECT user_id,
@@ -1133,7 +1133,7 @@ ORDER BY d.decile
 """,
     tags=("ml", "statistics"),
 )
-def i13_decile_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qi13_decile_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-evaluation gains/lift table: users are ranked by a
     deterministic pseudo-score (md5 lattice — engine-portable stand-in
     for a model score column), binned into score deciles (ntile with a
@@ -1188,7 +1188,7 @@ def i13_decile_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "i14_normalization_idempotence",
+    "qi14_normalization_idempotence",
     oracle="""
 WITH normed AS (
   SELECT source,
@@ -1211,7 +1211,7 @@ ORDER BY source
 """,
     tags=("text", "audit"),
 )
-def i14_normalization_idempotence(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qi14_normalization_idempotence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-normalization pipeline audit: the canonical lowercase/
     punctuation-strip/whitespace-collapse normalizer is applied TWICE
     and the audit proves idempotence (norm(norm(x)) == norm(x) for
@@ -1257,7 +1257,7 @@ _I15_SHARDS = 8
 
 
 @query(
-    "i15_mergeable_topk",
+    "qi15_mergeable_topk",
     oracle=f"""
 WITH sharded AS (
   SELECT o_orderkey, o_totalprice, o_orderkey % {_I15_SHARDS} AS shard,
@@ -1283,7 +1283,7 @@ ORDER BY m.rank
 """,
     tags=("relational", "audit"),
 )
-def i15_mergeable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qi15_mergeable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable top-k audit: per-shard top-{_I15_K} (shard =
     orderkey % {_I15_SHARDS}) are unioned and re-ranked, and the merged
     top-{_I15_K} must equal the direct global top-{_I15_K} row for row
@@ -1363,12 +1363,12 @@ _I16_COLS = (
 
 
 @query(
-    "i16_null_profile",
+    "qi16_null_profile",
     oracle=" UNION ALL ".join(_i16_sql_arm(t, c, k) for t, c, k in _I16_COLS)
     + " ORDER BY table_name, column_name",
     tags=("audit", "profile"),
 )
-def i16_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qi16_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-table data-quality profile: per (table, column), NULL /
     blank-string / zero counts and the null rate — the first query any
     ingest pipeline runs against a new drop, extending qd16's
@@ -1416,7 +1416,7 @@ def i16_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "i17_hhi_concentration",
+    "qi17_hhi_concentration",
     oracle=f"""
 WITH rev AS (
   SELECT p.p_type, l.l_suppkey,
@@ -1437,7 +1437,7 @@ ORDER BY r.p_type
 """,
     tags=("statistics", "relational"),
 )
-def i17_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qi17_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Herfindahl-Hirschman concentration index of supplier revenue
     within each part type — the market-concentration statistic
     (sum of squared revenue shares) next to qd09's Gini: HHI near 1
@@ -1485,7 +1485,7 @@ _I18_SALTS = 16
 
 
 @query(
-    "i18_salted_agg_audit",
+    "qi18_salted_agg_audit",
     oracle=f"""
 WITH salted AS (
   SELECT l_returnflag,
@@ -1508,7 +1508,7 @@ ORDER BY t.l_returnflag
 """,
     tags=("relational", "audit", "skew"),
 )
-def i18_salted_agg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qi18_salted_agg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted-aggregation equivalence audit: the two-level salted sum
     (group by (key, md5-salt % {_I18_SALTS}), then re-group by key over
     the partials) must EXACTLY equal the direct grouped sum — the
@@ -1558,7 +1558,7 @@ def i18_salted_agg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "i19_replay_dedup_idempotency",
+    "qi19_replay_dedup_idempotency",
     oracle=f"""
 WITH replayed AS (
   SELECT event_id, event_type, value, 0 AS tag FROM events
@@ -1585,7 +1585,7 @@ ORDER BY d.event_type
 """,
     tags=("events", "streaming", "audit"),
 )
-def i19_replay_dedup_idempotency(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qi19_replay_dedup_idempotency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """At-least-once delivery made exactly-once, audited: the event
     stream is replayed with a deterministic duplicate subset
     (event_id % 7 == 0 delivered twice, tagged by arrival), dedup
@@ -1632,7 +1632,7 @@ def i19_replay_dedup_idempotency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "i20_longest_gap_runs",
+    "qi20_longest_gap_runs",
     oracle="""
 WITH span AS (
   SELECT MIN(CAST(o_orderdate AS DATE)) AS d0, MAX(CAST(o_orderdate AS DATE)) AS d1 FROM orders
@@ -1670,7 +1670,7 @@ ORDER BY m.n_nationkey
 """,
     tags=("timeseries", "relational"),
 )
-def i20_longest_gap_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qi20_longest_gap_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-spine gap analysis: for every nation, the number of
     calendar days in the global order span with ZERO orders from that
     nation's customers, and the LONGEST consecutive zero-run — the
@@ -1745,7 +1745,7 @@ def i20_longest_gap_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "i21_join_cardinality_audit",
+    "qi21_join_cardinality_audit",
     oracle="""
 WITH kl AS (
   SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c FROM lineitem GROUP BY 1
@@ -1767,7 +1767,7 @@ FROM pred p CROSS JOIN act a
 """,
     tags=("relational", "audit", "planner"),
 )
-def i21_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qi21_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-explosion preflight: the output cardinality of an equi-join
     equals the sum over matching keys of |left(k)|·|right(k)| — the
     identity a planner uses to predict a blow-up BEFORE paying for it.
@@ -1843,11 +1843,11 @@ FROM (
 
 
 @query(
-    "i22_key_skew_profile",
+    "qi22_key_skew_profile",
     oracle=" UNION ALL ".join(_i22_sql_arm(t, c) for t, c in _I22_KEYS) + " ORDER BY key_name",
     tags=("audit", "planner", "skew"),
 )
-def i22_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qi22_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew profile for the join planner: per join key, row/key
     counts, the hottest key's frequency and share, the p99 key
     frequency (disc convention over the FREQUENCY DICTIONARY), and the
@@ -1907,7 +1907,7 @@ _I23_KEEP = 3
 
 
 @query(
-    "i23_latest_n_compaction",
+    "qi23_latest_n_compaction",
     oracle=f"""
 WITH ranked AS (
   SELECT event_type, value, user_id,
@@ -1931,7 +1931,7 @@ ORDER BY k.event_type
 """,
     tags=("events", "cdc"),
 )
-def i23_latest_n_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qi23_latest_n_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-N-per-key log compaction: keep the newest {_I23_KEEP}
     events per user (ts + event_id total order) and account for what
     compaction kept vs dropped per event type — the depth-N
@@ -1968,7 +1968,7 @@ _I24_GAP_S = 1800
 
 
 @query(
-    "i24_session_bounce_rate",
+    "qi24_session_bounce_rate",
     oracle=f"""
 WITH seq AS (
   SELECT user_id, ts, event_id, event_type,
@@ -2000,7 +2000,7 @@ ORDER BY entry_type
 """,
     tags=("events", "sessionization"),
 )
-def i24_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qi24_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounce rate by session entry type: gap-based sessionization
     ({_I24_GAP_S}s inactivity splits sessions — the q32/h08 rule as
     explicit lag arithmetic so the session ids are engine-portable),
@@ -2074,11 +2074,11 @@ FROM {ct} c"""
 
 
 @query(
-    "i25_referential_integrity",
+    "qi25_referential_integrity",
     oracle=" UNION ALL ".join(_i25_sql_arm(*r) for r in _I25_RELS) + " ORDER BY relation",
     tags=("audit", "relational", "constraints"),
 )
-def i25_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qi25_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit across the star schema's foreign
     keys: per relation, orphaned child rows (FK with no parent) and
     coverage — the cross-TABLE companion to qe14's single-table
@@ -2119,7 +2119,7 @@ def i25_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "i26_nearest_event_join",
+    "qi26_nearest_event_join",
     oracle="""
 WITH purchases AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
@@ -2140,7 +2140,7 @@ ORDER BY purchase_id
 """,
     tags=("events", "join", "asof"),
 )
-def i26_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qi26_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAREST-event join: each purchase matches the click by the same
     user that is closest in time in EITHER direction (min |Δt|, ties
     broken earlier-click-first then event_id) — the bidirectional
@@ -2186,7 +2186,7 @@ def i26_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "i27_schema_evolution",
+    "qi27_schema_evolution",
     oracle="""
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -2200,7 +2200,7 @@ ORDER BY source
 """,
     tags=("source", "audit"),
 )
-def i27_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qi27_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet schema evolution end-to-end: generation 1 of a dataset
     is written WITHOUT the `lang` column (doc_id % 2 == 0), generation
     2 adds it; the union directory is read back with mergeSchema=true
@@ -2218,7 +2218,7 @@ def i27_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    base = tempfile.mkdtemp(prefix="i27_evo_")
+    base = tempfile.mkdtemp(prefix="qi27_evo_")
     try:
         d = table(spark, sf_dir, "documents")
         d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "source", "n_chars").write.mode(
@@ -2249,7 +2249,7 @@ def i27_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "i28_churn_by_segment",
+    "qi28_churn_by_segment",
     oracle=f"""
 WITH cutoff AS (
   SELECT MAX(CAST(o_orderdate AS DATE)) - INTERVAL 365 DAY AS cut FROM orders
@@ -2272,7 +2272,7 @@ ORDER BY c_mktsegment
 """,
     tags=("relational", "statistics"),
 )
-def i28_churn_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qi28_churn_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Churn analysis: a customer with orders but NONE in the final
     365 days of the data window counts as churned; per market segment,
     churn rate and the average account balance of the churned (what

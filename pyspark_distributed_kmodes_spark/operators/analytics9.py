@@ -1124,7 +1124,11 @@ def k13_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical rational matrix sequence.
 
     Scale: transition counting is one lead window partitioned by user
-    + a grouped count; every squaring joins two 25-row matrices.
+    + a grouped count; every squaring joins two 25-row matrices. The
+    k-row matrix is localCheckpoint(eager)ed before and inside the
+    loop — without this the self-join doubles the logical plan per
+    squaring (2^5 = 32 event-table scans in the static plan), the
+    exact lineage blowup the CC / PageRank loops also guard against.
     """
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
@@ -1135,7 +1139,7 @@ def k13_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrow = Window.partitionBy("src")
     p = counts.select(
         "src", "dst", pround(F.col("c").cast("double") / F.sum("c").over(wrow), 9).alias("p")
-    )
+    ).localCheckpoint(eager=True)
     for _ in range(_K13_SQUARINGS):
         a, b = p.alias("a"), p.alias("b")
         p = (
@@ -1146,6 +1150,7 @@ def k13_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("double")
                 .alias("p")
             )
+            .localCheckpoint(eager=True)
         )
     return (
         p.groupBy(F.col("dst").alias("event_type"))
@@ -4461,4 +4466,110 @@ def l10_cross_lang_dup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "docs_in_cross_lang_groups"
         ),
         F.max("langs").cast("bigint").alias("max_langs_per_group"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# l11-l14 — round-7 conversion twins: oracle-gated fixed-model audits for
+# the four remaining rows-only queries without a hash-gated twin (q61
+# ann_lsh, q66 minhash_mllib, qb29 kmeans_embeddings, qe15 pca_variance),
+# in the l01/l05 style: fix the model (hyperplanes / hash seeds /
+# centroids / projection) to something both engines can replay
+# deterministically, then hash-gate the MACHINERY the production query
+# runs on. No new suite prefix: these extend the existing round-9
+# l-staging per the round-6 verdict's backlog freeze.
+
+_L11_TABLES = 4
+_L11_BITS = 4
+
+
+@query(
+    "l11_lsh_routing_audit",
+    oracle=f"""
+WITH ev AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), hp0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS h,
+         {_sql_md5fold('CAST(vec_id AS VARCHAR)')} AS fk
+  FROM embeddings
+  ORDER BY fk ASC, vec_id ASC
+  LIMIT {_L11_TABLES * _L11_BITS}
+), hp AS (
+  SELECT h, CAST(ROW_NUMBER() OVER (ORDER BY fk ASC, vec_id ASC) AS INTEGER) - 1 AS hid
+  FROM hp0
+), bits AS (
+  SELECT e.vec_id, hp.hid // {_L11_BITS} AS table_id, hp.hid % {_L11_BITS} AS bit_pos,
+         CASE WHEN {sql_pround('list_sum(list_transform(range(1, 65), i -> e.v[i] * hp.h[i]))', 6)} >= 0
+              THEN 1 ELSE 0 END AS bit
+  FROM ev e CROSS JOIN hp
+), keys AS (
+  SELECT vec_id, table_id,
+         CAST(SUM(CAST(bit * pow(2, bit_pos) AS BIGINT)) AS BIGINT) AS bucket
+  FROM bits GROUP BY vec_id, table_id
+)
+SELECT CAST(table_id AS INTEGER) AS table_id, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM keys GROUP BY table_id, bucket
+ORDER BY table_id, bucket
+""",
+    tags=("vector", "approx", "audit"),
+)
+def l11_lsh_routing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-GATED LSH routing audit — the deterministic half of q61
+    (whose np.random hyperplanes no SQL oracle can replay): fix the
+    {_L11_TABLES}x{_L11_BITS} sign-hash hyperplanes to hash-rank-picked
+    corpus vectors (the l05/h12 fixed-budget rule), compute every
+    vector's per-table bucket key by packing the sign bits of the
+    round-6-quantized dot products, and value-hash-gate the resulting
+    (table, bucket) occupancy histogram. This gates exactly the routing
+    machinery q61 lives on — dot-product sign hashing, bit packing,
+    bucket fan-out and balance — while the random-model variant stays
+    property-tested (recall floor in test_vectors). Bucket balance here
+    is also the candidate-join cost driver: one hot bucket = one
+    quadratic hot spot.
+
+    Scale: hyperplanes are a broadcast constant set ({_L11_TABLES * _L11_BITS}
+    rows); routing is a constant fan-out with JVM zip_with/aggregate
+    math and two grouped aggregations — the same per-row cost the q61
+    router pays, with no data-sized shuffle beyond the bucket groupBy.
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    fold = _md5fold(F.col("vec_id").cast("string"))
+    hp0 = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("h"), fold.alias("fk"))
+        .orderBy(F.asc("fk"), F.asc("vec_id"))
+        .limit(_L11_TABLES * _L11_BITS)
+    )
+    hp = hp0.select(
+        "h",
+        (
+            F.row_number().over(Window.orderBy(F.asc("fk"), F.asc("vec_id"))) - F.lit(1)
+        ).cast("integer").alias("hid"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.col("h"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    bits = emb.crossJoin(F.broadcast(hp)).select(
+        "vec_id",
+        (F.col("hid") / _L11_BITS).cast("integer").alias("table_id"),
+        (F.col("hid") % _L11_BITS).alias("bit_pos"),
+        (pround(dot, 6) >= 0).cast("integer").alias("bit"),
+    )
+    keys = bits.groupBy("vec_id", "table_id").agg(
+        F.sum(
+            (F.col("bit").cast("double") * F.pow(F.lit(2.0), F.col("bit_pos").cast("double")))
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("bucket")
+    )
+    return (
+        keys.groupBy(F.col("table_id").cast("integer").alias("table_id"), "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+        .orderBy("table_id", "bucket")
     )

@@ -27,7 +27,7 @@ def test_bm25_matches_python_reference(spark, sf_dir, reg):
     )
     from pyspark_distributed_kmodes_spark.sources.tables import table
 
-    got = [(r.rank, r.doc_id, r.bm25) for r in reg["h01_bm25_ranking"].fn(spark, sf_dir).collect()]
+    got = [(r.rank, r.doc_id, r.bm25) for r in reg["qh01_bm25_ranking"].fn(spark, sf_dir).collect()]
     docs = {r.doc_id: r.text.split(" ") for r in table(spark, sf_dir, "documents").collect()}
     n = len(docs)
     avgdl = sum(len(w) for w in docs.values()) / n
@@ -54,7 +54,7 @@ def test_theil_decomposition_identity(spark, sf_dir, reg):
     computed directly over all documents."""
     from pyspark_distributed_kmodes_spark.sources.tables import table
 
-    rows = reg["h02_theil_decomposition"].fn(spark, sf_dir).collect()
+    rows = reg["qh02_theil_decomposition"].fn(spark, sf_dir).collect()
     toks = [
         (r.source, len(r.text.split(" ")))
         for r in table(spark, sf_dir, "documents").collect()
@@ -68,7 +68,7 @@ def test_theil_decomposition_identity(spark, sf_dir, reg):
 
 
 def test_jl_audit_concentrates(spark, sf_dir, reg):
-    r = reg["h03_jl_projection_audit"].fn(spark, sf_dir).collect()[0]
+    r = reg["qh03_jl_projection_audit"].fn(spark, sf_dir).collect()[0]
     assert r.n_pairs > 0
     assert r.min_ratio <= r.mean_ratio <= r.max_ratio
     # k=16 gives loose but real concentration: mean within 30% of 1
@@ -80,7 +80,7 @@ def test_substring_search_matches_python(spark, sf_dir, reg):
     from pyspark_distributed_kmodes_spark.operators.analytics5 import _H04_PATTERNS
     from pyspark_distributed_kmodes_spark.sources.tables import table
 
-    got = {r.pattern: (r.n_docs, r.n_occurrences) for r in reg["h04_substring_search"].fn(spark, sf_dir).collect()}
+    got = {r.pattern: (r.n_docs, r.n_occurrences) for r in reg["qh04_substring_search"].fn(spark, sf_dir).collect()}
     texts = [(r.doc_id, r.text) for r in table(spark, sf_dir, "documents").collect()]
     for pat in _H04_PATTERNS:
         n_docs = sum(1 for _, t in texts if pat in t)
@@ -96,14 +96,14 @@ def test_substring_search_matches_python(spark, sf_dir, reg):
 
 
 def test_grouped_ks_bounds(spark, sf_dir, reg):
-    rows = reg["h05_grouped_ks_drift"].fn(spark, sf_dir).collect()
+    rows = reg["qh05_grouped_ks_drift"].fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert 0.0 <= r.ks_stat <= 1.0
 
 
 def test_percent_of_parent_sums_to_one(spark, sf_dir, reg):
-    rows = reg["h07_percent_of_parent"].fn(spark, sf_dir).collect()
+    rows = reg["qh07_percent_of_parent"].fn(spark, sf_dir).collect()
     by_nation = {}
     by_region_share = {}
     total_share = {}
@@ -125,7 +125,7 @@ def test_percent_of_parent_sums_to_one(spark, sf_dir, reg):
 
 
 def test_session_paths_counts_positive_and_ranked(spark, sf_dir, reg):
-    rows = reg["h08_session_paths"].fn(spark, sf_dir).collect()
+    rows = reg["qh08_session_paths"].fn(spark, sf_dir).collect()
     assert rows
     ns = [r.n for r in sorted(rows, key=lambda r: r.rank)]
     assert ns == sorted(ns, reverse=True)
@@ -133,15 +133,15 @@ def test_session_paths_counts_positive_and_ranked(spark, sf_dir, reg):
 
 
 def test_windowed_topk_matches_oracle_shape(spark, sf_dir, reg):
-    rows = reg["h09_windowed_topk"].fn(spark, sf_dir).collect()
+    rows = reg["qh09_windowed_topk"].fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert 1 <= r.rank <= 3
 
 
 def test_orc_roundtrip_idempotent(spark, sf_dir, reg):
-    a = reg["h10_orc_roundtrip"].fn(spark, sf_dir).collect()
-    b = reg["h10_orc_roundtrip"].fn(spark, sf_dir).collect()
+    a = reg["qh10_orc_roundtrip"].fn(spark, sf_dir).collect()
+    b = reg["qh10_orc_roundtrip"].fn(spark, sf_dir).collect()
     assert a == b and len(a) > 0
 
 
@@ -156,7 +156,7 @@ def test_partition_pruning_in_plan_and_idempotent(spark, sf_dir, reg):
 
     from pyspark_distributed_kmodes_spark.sources.tables import table
 
-    base = tempfile.mkdtemp(prefix="h11_plan_")
+    base = tempfile.mkdtemp(prefix="qh11_plan_")
     try:
         e = table(spark, sf_dir, "events")
         e.write.mode("overwrite").partitionBy("event_type").parquet(base + "/events")
@@ -168,8 +168,8 @@ def test_partition_pruning_in_plan_and_idempotent(spark, sf_dir, reg):
         assert back.count() == n_purchase
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    a = reg["h11_partition_pruned_scan"].fn(spark, sf_dir).collect()
-    b = reg["h11_partition_pruned_scan"].fn(spark, sf_dir).collect()
+    a = reg["qh11_partition_pruned_scan"].fn(spark, sf_dir).collect()
+    b = reg["qh11_partition_pruned_scan"].fn(spark, sf_dir).collect()
     assert a == b and len(a) > 0
 
 
@@ -180,7 +180,7 @@ def test_hard_negative_margin_vs_bruteforce(spark, sf_dir, reg):
 
     from pyspark_distributed_kmodes_spark.sources.tables import table
 
-    got = {r.anchor_id: (r.pos_id, r.neg_id) for r in reg["h12_hard_negative_mining"].fn(spark, sf_dir).collect()}
+    got = {r.anchor_id: (r.pos_id, r.neg_id) for r in reg["qh12_hard_negative_mining"].fn(spark, sf_dir).collect()}
     rows = table(spark, sf_dir, "embeddings").collect()
     vecs = {r.vec_id: (np.array(r.embedding, dtype=np.float64), r.label) for r in rows}
     for a_id in list(got)[:5]:
@@ -199,7 +199,7 @@ def test_hard_negative_margin_vs_bruteforce(spark, sf_dir, reg):
 def test_knn_label_noise_votes_bounded(spark, sf_dir, reg):
     from pyspark_distributed_kmodes_spark.operators.analytics5 import _H13_K
 
-    rows = reg["h13_knn_label_noise"].fn(spark, sf_dir).collect()
+    rows = reg["qh13_knn_label_noise"].fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert 0 <= r.n_disagree <= _H13_K
@@ -208,7 +208,7 @@ def test_knn_label_noise_votes_bounded(spark, sf_dir, reg):
 
 def test_importance_weights_match_target(spark, sf_dir, reg):
     """Reweighted shares hit the uniform target exactly; ESS <= N."""
-    rows = reg["h14_importance_weights"].fn(spark, sf_dir).collect()
+    rows = reg["qh14_importance_weights"].fn(spark, sf_dir).collect()
     n = sum(r.n_docs for r in rows)
     lcount = len(rows)
     for r in rows:
@@ -217,42 +217,42 @@ def test_importance_weights_match_target(spark, sf_dir, reg):
 
 
 def test_freshness_staleness_nonnegative(spark, sf_dir, reg):
-    rows = reg["h15_freshness_audit"].fn(spark, sf_dir).collect()
+    rows = reg["qh15_freshness_audit"].fn(spark, sf_dir).collect()
     assert rows
     assert any(r.staleness_us == 0 for r in rows)  # the head type itself
     assert all(r.staleness_us >= 0 and r.events_per_day > 0 for r in rows)
 
 
 def test_mergeable_quantiles_agree(spark, sf_dir, reg):
-    r = reg["h16_mergeable_quantiles"].fn(spark, sf_dir).collect()[0]
+    r = reg["qh16_mergeable_quantiles"].fn(spark, sf_dir).collect()[0]
     assert r.halves_agree
     assert r.p50 <= r.p90 <= r.p99
 
 
 def test_two_level_distinct_agrees(spark, sf_dir, reg):
-    rows = reg["h17_two_level_distinct"].fn(spark, sf_dir).collect()
+    rows = reg["qh17_two_level_distinct"].fn(spark, sf_dir).collect()
     assert rows and all(r.decomposition_agrees for r in rows)
 
 
 def test_cms_bound_holds(spark, sf_dir, reg):
-    rows = reg["h18_cms_error_audit"].fn(spark, sf_dir).collect()
+    rows = reg["qh18_cms_error_audit"].fn(spark, sf_dir).collect()
     assert rows and all(r.within_bound for r in rows)
 
 
 def test_skew_planner_sane(spark, sf_dir, reg):
-    r = reg["h19_join_skew_planner"].fn(spark, sf_dir).collect()[0]
+    r = reg["qh19_join_skew_planner"].fn(spark, sf_dir).collect()[0]
     assert r.skew_ratio >= 1.0  # max >= mean always
     assert r.recommended_salt >= 1
     assert r.n_rows >= r.n_keys
 
 
 def test_resultset_checksum_plan_invariant(spark, sf_dir, reg):
-    r = reg["h20_resultset_checksum"].fn(spark, sf_dir).collect()[0]
+    r = reg["qh20_resultset_checksum"].fn(spark, sf_dir).collect()[0]
     assert r.plans_agree and r.n_rows > 0
 
 
 def test_bucket_prefilter_never_misses(spark, sf_dir, reg):
-    r = reg["h21_bucket_prefilter_audit"].fn(spark, sf_dir).collect()[0]
+    r = reg["qh21_bucket_prefilter_audit"].fn(spark, sf_dir).collect()[0]
     assert r.no_false_negatives and r.n_missed == 0
     assert r.n_candidates >= r.n_true_matches
 
@@ -260,7 +260,7 @@ def test_bucket_prefilter_never_misses(spark, sf_dir, reg):
 def test_stratified_kfold_covers_strata(spark, sf_dir, reg):
     from pyspark_distributed_kmodes_spark.sources.tables import table
 
-    rows = reg["h22_stratified_kfold"].fn(spark, sf_dir).collect()
+    rows = reg["qh22_stratified_kfold"].fn(spark, sf_dir).collect()
     n_docs = table(spark, sf_dir, "documents").count()
     assert sum(r.n for r in rows) == n_docs
     for r in rows:

@@ -26,7 +26,7 @@ def reg():
 
 
 def test_i01_incremental_edges_complete(spark, sf_dir, reg):
-    r = reg["i01_incremental_neardup_edges"].fn(spark, sf_dir).collect()[0]
+    r = reg["qi01_incremental_neardup_edges"].fn(spark, sf_dir).collect()[0]
     assert r.incremental_complete
     assert r.n_missing == 0 and r.n_extra == 0
     # base-base and delta-touching partition the full edge set
@@ -35,7 +35,7 @@ def test_i01_incremental_edges_complete(spark, sf_dir, reg):
 
 
 def test_i02_diff_counts_match_rules(spark, sf_dir, reg):
-    r = reg["i02_snapshot_diff_timetravel"].fn(spark, sf_dir).collect()[0]
+    r = reg["qi02_snapshot_diff_timetravel"].fn(spark, sf_dir).collect()[0]
     docs = [(x.doc_id, x.text) for x in table(spark, sf_dir, "documents").collect()]
     n_del = sum(1 for i, _ in docs if i % 17 == 3)
     n_add = sum(1 for i, _ in docs if i % 13 == 5)
@@ -51,7 +51,7 @@ def test_i02_diff_counts_match_rules(spark, sf_dir, reg):
 def test_i03_multimodal_norms_match_numpy(spark, sf_dir, reg):
     import numpy as np
 
-    rows = reg["i03_multimodal_join_pipeline"].fn(spark, sf_dir).collect()
+    rows = reg["qi03_multimodal_join_pipeline"].fn(spark, sf_dir).collect()
     assert rows and all(r.n_docs > 0 for r in rows)
     emb = {r.vec_id: np.array(r.embedding, dtype=float) for r in table(spark, sf_dir, "embeddings").collect()}
     docs = [(r.doc_id, r.source) for r in table(spark, sf_dir, "documents").collect()]
@@ -66,14 +66,14 @@ def test_i03_multimodal_norms_match_numpy(spark, sf_dir, reg):
 
 
 def test_i04_halves_partition_the_table(spark, sf_dir, reg):
-    rows = reg["i04_subsample_stability"].fn(spark, sf_dir).collect()
+    rows = reg["qi04_subsample_stability"].fn(spark, sf_dir).collect()
     total = table(spark, sf_dir, "lineitem").count()
     assert sum(r.n for r in rows) == total
     assert {r.half for r in rows} == {0, 1}
 
 
 def test_i05_merged_rollup_agrees(spark, sf_dir, reg):
-    rows = reg["i05_grouped_quantile_rollup"].fn(spark, sf_dir).collect()
+    rows = reg["qi05_grouped_quantile_rollup"].fn(spark, sf_dir).collect()
     assert all(r.merged_agrees for r in rows)
     for r in rows:
         assert r.p50 <= r.p90
@@ -84,7 +84,7 @@ def test_i05_merged_rollup_agrees(spark, sf_dir, reg):
 def test_i06_ols_matches_numpy(spark, sf_dir, reg):
     import numpy as np
 
-    rows = {r.l_returnflag: r for r in reg["i06_grouped_ols_regression"].fn(spark, sf_dir).collect()}
+    rows = {r.l_returnflag: r for r in reg["qi06_grouped_ols_regression"].fn(spark, sf_dir).collect()}
     li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity", "l_extendedprice").collect()
     by_flag = {}
     for r in li:
@@ -100,7 +100,7 @@ def test_i06_ols_matches_numpy(spark, sf_dir, reg):
 
 
 def test_i07_overlap_bounds(spark, sf_dir, reg):
-    rows = reg["i07_audience_overlap"].fn(spark, sf_dir).collect()
+    rows = reg["qi07_audience_overlap"].fn(spark, sf_dir).collect()
     assert len(rows) == 10  # C(5,2) event-type pairs
     for r in rows:
         assert 0.0 <= r.jaccard <= 1.0
@@ -108,7 +108,7 @@ def test_i07_overlap_bounds(spark, sf_dir, reg):
 
 
 def test_i08_rfm_covers_all_ordering_customers(spark, sf_dir, reg):
-    rows = reg["i08_rfm_segments"].fn(spark, sf_dir).collect()
+    rows = reg["qi08_rfm_segments"].fn(spark, sf_dir).collect()
     n_cust = table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
     assert sum(r.n_customers for r in rows) == n_cust
     for r in rows:
@@ -116,7 +116,7 @@ def test_i08_rfm_covers_all_ordering_customers(spark, sf_dir, reg):
 
 
 def test_i09_mi_total_nonnegative(spark, sf_dir, reg):
-    rows = reg["i09_mutual_information"].fn(spark, sf_dir).collect()
+    rows = reg["qi09_mutual_information"].fn(spark, sf_dir).collect()
     mi = sum(r.mi_term9 for r in rows)
     assert mi >= -1e-9  # MI >= 0 up to the pround(9) grid
     n = sum(r.n_xy for r in rows)
@@ -124,7 +124,7 @@ def test_i09_mi_total_nonnegative(spark, sf_dir, reg):
 
 
 def test_i10_lev_bounds(spark, sf_dir, reg):
-    rows = reg["i10_levenshtein_blocked_join"].fn(spark, sf_dir).collect()
+    rows = reg["qi10_levenshtein_blocked_join"].fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert r.n_close <= r.n_candidate_pairs
@@ -132,7 +132,7 @@ def test_i10_lev_bounds(spark, sf_dir, reg):
 
 
 def test_i11_cusum_matches_python(spark, sf_dir, reg):
-    r = reg["i11_cusum_changepoint"].fn(spark, sf_dir).collect()[0]
+    r = reg["qi11_cusum_changepoint"].fn(spark, sf_dir).collect()[0]
     daily = {}
     for x in table(spark, sf_dir, "orders").select(
         F.col("o_orderdate").cast("date").alias("d"), "o_totalprice"
@@ -152,7 +152,7 @@ def test_i11_cusum_matches_python(spark, sf_dir, reg):
 
 
 def test_i12_acf_bounds(spark, sf_dir, reg):
-    rows = reg["i12_autocorrelation"].fn(spark, sf_dir).collect()
+    rows = reg["qi12_autocorrelation"].fn(spark, sf_dir).collect()
     assert [r.lag for r in rows] == [1, 7, 30]
     for r in rows:
         assert -1.0 - 1e-9 <= r.acf <= 1.0 + 1e-9
@@ -160,7 +160,7 @@ def test_i12_acf_bounds(spark, sf_dir, reg):
 
 
 def test_i13_gains_monotone_and_complete(spark, sf_dir, reg):
-    rows = sorted(reg["i13_decile_gains"].fn(spark, sf_dir).collect(), key=lambda r: r.decile)
+    rows = sorted(reg["qi13_decile_gains"].fn(spark, sf_dir).collect(), key=lambda r: r.decile)
     assert [r.decile for r in rows] == list(range(1, 11))
     cums = [r.cum_capture for r in rows]
     assert all(a <= b + 1e-9 for a, b in zip(cums, cums[1:]))
@@ -168,13 +168,13 @@ def test_i13_gains_monotone_and_complete(spark, sf_dir, reg):
 
 
 def test_i14_idempotent_everywhere(spark, sf_dir, reg):
-    rows = reg["i14_normalization_idempotence"].fn(spark, sf_dir).collect()
+    rows = reg["qi14_normalization_idempotence"].fn(spark, sf_dir).collect()
     assert rows and all(r.idempotent for r in rows)
     assert all(r.n_not_idempotent == 0 for r in rows)
 
 
 def test_i15_merge_agrees_rowwise(spark, sf_dir, reg):
-    rows = reg["i15_mergeable_topk"].fn(spark, sf_dir).collect()
+    rows = reg["qi15_mergeable_topk"].fn(spark, sf_dir).collect()
     assert [r.rank for r in rows] == list(range(1, 21))
     assert all(r.merge_agrees for r in rows)
     prices = [r.o_totalprice for r in rows]
@@ -182,7 +182,7 @@ def test_i15_merge_agrees_rowwise(spark, sf_dir, reg):
 
 
 def test_i17_hhi_bounds(spark, sf_dir, reg):
-    rows = reg["i17_hhi_concentration"].fn(spark, sf_dir).collect()
+    rows = reg["qi17_hhi_concentration"].fn(spark, sf_dir).collect()
     for r in rows:
         # sum of squared shares is bounded by [1/n, top1] and >= top1^2
         assert 1.0 / r.n_suppliers - 1e-6 <= r.hhi <= 1.0 + 1e-9
@@ -191,14 +191,14 @@ def test_i17_hhi_bounds(spark, sf_dir, reg):
 
 
 def test_i18_i19_i21_audit_gates_hold(spark, sf_dir, reg):
-    assert all(r.salted_agrees for r in reg["i18_salted_agg_audit"].fn(spark, sf_dir).collect())
-    assert all(r.exactly_once for r in reg["i19_replay_dedup_idempotency"].fn(spark, sf_dir).collect())
-    r = reg["i21_join_cardinality_audit"].fn(spark, sf_dir).collect()[0]
+    assert all(r.salted_agrees for r in reg["qi18_salted_agg_audit"].fn(spark, sf_dir).collect())
+    assert all(r.exactly_once for r in reg["qi19_replay_dedup_idempotency"].fn(spark, sf_dir).collect())
+    r = reg["qi21_join_cardinality_audit"].fn(spark, sf_dir).collect()[0]
     assert r.estimate_exact and r.predicted == r.actual
 
 
 def test_i20_gap_bounds(spark, sf_dir, reg):
-    rows = reg["i20_longest_gap_runs"].fn(spark, sf_dir).collect()
+    rows = reg["qi20_longest_gap_runs"].fn(spark, sf_dir).collect()
     assert len(rows) == 25
     n_days = rows[0].n_days
     for r in rows:
@@ -207,7 +207,7 @@ def test_i20_gap_bounds(spark, sf_dir, reg):
 
 
 def test_i22_skew_profile_bounds(spark, sf_dir, reg):
-    rows = reg["i22_key_skew_profile"].fn(spark, sf_dir).collect()
+    rows = reg["qi22_key_skew_profile"].fn(spark, sf_dir).collect()
     assert len(rows) == 3
     for r in rows:
         assert r.p99_freq <= r.max_freq
@@ -217,7 +217,7 @@ def test_i22_skew_profile_bounds(spark, sf_dir, reg):
 
 
 def test_i23_compaction_budget(spark, sf_dir, reg):
-    rows = reg["i23_latest_n_compaction"].fn(spark, sf_dir).collect()
+    rows = reg["qi23_latest_n_compaction"].fn(spark, sf_dir).collect()
     n_users = table(spark, sf_dir, "events").select("user_id").distinct().count()
     kept = sum(r.n_kept for r in rows)
     assert kept <= 3 * n_users
@@ -225,7 +225,7 @@ def test_i23_compaction_budget(spark, sf_dir, reg):
 
 
 def test_i24_bounce_rate_bounds(spark, sf_dir, reg):
-    rows = reg["i24_session_bounce_rate"].fn(spark, sf_dir).collect()
+    rows = reg["qi24_session_bounce_rate"].fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert 0.0 <= r.bounce_rate <= 1.0
@@ -233,7 +233,7 @@ def test_i24_bounce_rate_bounds(spark, sf_dir, reg):
 
 
 def test_i25_integrity_flags_consistent(spark, sf_dir, reg):
-    rows = reg["i25_referential_integrity"].fn(spark, sf_dir).collect()
+    rows = reg["qi25_referential_integrity"].fn(spark, sf_dir).collect()
     assert len(rows) == 4
     for r in rows:
         assert (r.n_orphans == 0) == r.intact
@@ -243,7 +243,7 @@ def test_i25_integrity_flags_consistent(spark, sf_dir, reg):
 def test_i26_nearest_beats_both_asof_sides(spark, sf_dir, reg):
     """Spot-check vs python: for every purchase the matched click is
     truly the global min |Δt| among the user's clicks."""
-    got = {r.purchase_id: (r.click_id, r.delta_us) for r in reg["i26_nearest_event_join"].fn(spark, sf_dir).collect()}
+    got = {r.purchase_id: (r.click_id, r.delta_us) for r in reg["qi26_nearest_event_join"].fn(spark, sf_dir).collect()}
     ev = table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")).collect()
     clicks = {}
     for e in ev:
@@ -261,14 +261,14 @@ def test_i26_nearest_beats_both_asof_sides(spark, sf_dir, reg):
 
 
 def test_i27_old_generation_null_filled(spark, sf_dir, reg):
-    rows = reg["i27_schema_evolution"].fn(spark, sf_dir).collect()
+    rows = reg["qi27_schema_evolution"].fn(spark, sf_dir).collect()
     for r in rows:
         assert r.n_null_lang == r.n_v1
         assert r.n_docs == r.n_v1 + r.n_v2
 
 
 def test_i28_churn_bounds(spark, sf_dir, reg):
-    rows = reg["i28_churn_by_segment"].fn(spark, sf_dir).collect()
+    rows = reg["qi28_churn_by_segment"].fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert 0.0 <= r.churn_rate <= 1.0
@@ -288,15 +288,15 @@ def test_i28_churn_bounds(spark, sf_dir, reg):
 _SPLIT_ALLOWLIST = {
     # function name -> why `% const == 0` is a split, not a sample
     "qg02_incremental_dedup_reconcile": "base/delta partition; both sides fully processed",
-    "i01_incremental_neardup_edges": "base/delta partition; both sides fully processed",
-    "i02_snapshot_diff_timetravel": "CDC rule partition (delete/update/insert classes)",
-    "i19_replay_dedup_idempotency": "duplicate-delivery subset; dedup consumes ALL rows",
-    "i27_schema_evolution": "generation split; both generations fully read back",
-    "h16_mergeable_quantiles": "parity split into two merged halves (all rows kept)",
-    "i15_mergeable_topk": "shard assignment (all rows kept)",
-    "i04_subsample_stability": "md5 disjoint halves; both halves fully aggregated",
-    "i18_salted_agg_audit": "salt assignment (all rows kept)",
-    "h21_bucket_prefilter_audit": "eval/corpus partition; both sides fully processed",
+    "qi01_incremental_neardup_edges": "base/delta partition; both sides fully processed",
+    "qi02_snapshot_diff_timetravel": "CDC rule partition (delete/update/insert classes)",
+    "qi19_replay_dedup_idempotency": "duplicate-delivery subset; dedup consumes ALL rows",
+    "qi27_schema_evolution": "generation split; both generations fully read back",
+    "qh16_mergeable_quantiles": "parity split into two merged halves (all rows kept)",
+    "qi15_mergeable_topk": "shard assignment (all rows kept)",
+    "qi04_subsample_stability": "md5 disjoint halves; both halves fully aggregated",
+    "qi18_salted_agg_audit": "salt assignment (all rows kept)",
+    "qh21_bucket_prefilter_audit": "eval/corpus partition; both sides fully processed",
 }
 
 _MOD_SAMPLE = re.compile(r"%\s*\d+\s*==\s*0")
@@ -400,12 +400,12 @@ LATTICE_PINNED = {
     # stated in the docstring) — so exactly one raw window is pinned.
     "qf23_percentile_disc": 0,
     "qg09_vocab_growth": 0,
-    "h05_grouped_ks_drift": 0,
-    "h16_mergeable_quantiles": 1,
-    "i05_grouped_quantile_rollup": 1,
-    "i11_cusum_changepoint": 0,
-    "i13_decile_gains": 0,
-    "i22_key_skew_profile": 0,
+    "qh05_grouped_ks_drift": 0,
+    "qh16_mergeable_quantiles": 1,
+    "qi05_grouped_quantile_rollup": 1,
+    "qi11_cusum_changepoint": 0,
+    "qi13_decile_gains": 0,
+    "qi22_key_skew_profile": 0,
     # round-6 staged j-suite: every partition-less window must consume
     # an aggregate (day lattice, score dictionary, file manifest,
     # price-bucket lattice) — never raw rows
@@ -437,8 +437,8 @@ def test_i_suite_no_cartesians(spark, sf_dir):
     established crossJoin(F.broadcast(tot)) idiom) which compile to
     BroadcastNestedLoopJoins over single-row inputs — allowed there,
     banned in the pair-building queries."""
-    for key in ["i10_levenshtein_blocked_join", "i26_nearest_event_join"]:
+    for key in ["qi10_levenshtein_blocked_join", "qi26_nearest_event_join"]:
         plan = _plan(spark, sf_dir, key)
         assert "CartesianProduct" not in plan, key
         assert "BroadcastNestedLoopJoin" not in plan, key
-    assert "CartesianProduct" not in _plan(spark, sf_dir, "i01_incremental_neardup_edges")
+    assert "CartesianProduct" not in _plan(spark, sf_dir, "qi01_incremental_neardup_edges")

@@ -22,9 +22,9 @@ def test_stem_strips_rotated_prefixes():
     # round-6-rotated f/g keys map back to their r05 history stems
     assert bench._stem("qf02_bigram_lm_logprob") == "f02_bigram_lm_logprob"
     assert bench._stem("qg01_personalized_pagerank") == "g01_personalized_pagerank"
-    # un-rotated staged keys pass through
-    assert bench._stem("h01_bm25_ranking") == "h01_bm25_ranking"
-    assert bench._stem("i01_incremental_neardup_edges") == "i01_incremental_neardup_edges"
+    # round-7-rotated h/i keys map back to their r06 history stems
+    assert bench._stem("qh01_bm25_ranking") == "h01_bm25_ranking"
+    assert bench._stem("qi01_incremental_neardup_edges") == "i01_incremental_neardup_edges"
 
 
 def test_previous_bench_reads_driver_wrapped_shape():

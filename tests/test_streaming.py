@@ -461,7 +461,7 @@ def test_windowed_topk_stream_matches_batch(spark, sf_dir, stream):
     }
     batch = {
         (r.window_idx, r.rank): (r.event_type, r.n)
-        for r in load_all()["h09_windowed_topk"].fn(spark, sf_dir).collect()
+        for r in load_all()["qh09_windowed_topk"].fn(spark, sf_dir).collect()
     }
     assert got == batch
 
@@ -499,7 +499,7 @@ def test_latest_n_stream_matches_batch_compaction(spark, sf_dir, stream):
     # and the registered batch query agrees on the kept-count ledger
     from pyspark_distributed_kmodes_spark.registry import load_all
 
-    i23 = load_all()["i23_latest_n_compaction"].fn(spark, sf_dir).collect()
+    i23 = load_all()["qi23_latest_n_compaction"].fn(spark, sf_dir).collect()
     assert sum(r.n_kept for r in i23) == len(want)
 
 

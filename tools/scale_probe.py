@@ -68,17 +68,17 @@ PROBE_QUERIES = [
     "qg18_char_ngram_compressibility",
     "qg19_snapshot_novelty",
     "qg21_embedding_drift",
-    "h01_bm25_ranking",
-    "h06_cooccurrence_pmi",
-    "h12_hard_negative_mining",
-    "h16_mergeable_quantiles",
-    "h17_two_level_distinct",
-    "h21_bucket_prefilter_audit",
-    "i01_incremental_neardup_edges",
-    "i10_levenshtein_blocked_join",
-    "i22_key_skew_profile",
-    "i24_session_bounce_rate",
-    "i26_nearest_event_join",
+    "qh01_bm25_ranking",
+    "qh06_cooccurrence_pmi",
+    "qh12_hard_negative_mining",
+    "qh16_mergeable_quantiles",
+    "qh17_two_level_distinct",
+    "qh21_bucket_prefilter_audit",
+    "qi01_incremental_neardup_edges",
+    "qi10_levenshtein_blocked_join",
+    "qi22_key_skew_profile",
+    "qi24_session_bounce_rate",
+    "qi26_nearest_event_join",
     "j19_kendall_tau",
     "j26_ewma_anomaly",
     "j28_burstiness_index",
