@@ -4573,3 +4573,415 @@ def l11_lsh_routing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
         .orderBy("table_id", "bucket")
     )
+
+
+_L12_BANDS = 4  # 8 md5 minhashes -> 4 bands of 2 rows (the qg04 banding)
+
+_L12_SH_CTE = """
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                  i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS shingle
+    FROM documents
+  ) t
+)"""
+
+
+@query(
+    "l12_minhash_band_routing",
+    oracle=f"""
+WITH {_L12_SH_CTE},
+sigs AS (
+  SELECT doc_id, {', '.join(
+      'MIN(' + _sql_md5fold("shingle || '#%d'" % i) + ') AS h%d' % i
+      for i in range(8))}
+  FROM sh GROUP BY doc_id
+), banded AS (
+  {' UNION ALL '.join(
+      'SELECT doc_id, %d AS band, CAST(h%d AS VARCHAR) || %s || CAST(h%d AS VARCHAR) AS bucket FROM sigs'
+      % (b, 2 * b, "','", 2 * b + 1)
+      for b in range(_L12_BANDS))}
+), sizes AS (
+  SELECT band, bucket, CAST(COUNT(*) AS BIGINT) AS sz
+  FROM banded GROUP BY band, bucket
+)
+SELECT CAST(band AS INTEGER) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(MAX(sz) AS BIGINT) AS max_bucket,
+       CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS candidate_pairs
+FROM sizes GROUP BY band ORDER BY band
+""",
+    tags=("dedup", "approx", "audit"),
+)
+def l12_minhash_band_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-GATED minhash band-routing audit — the deterministic twin
+    of q66 (whose MLlib MinHashLSH hash seeds no SQL oracle can
+    replay): compute the md5-portable 8-minhash signature (qg04/qg05's
+    `_mh_mins` family), band it 2-rows-per-band into {_L12_BANDS}
+    bucket tables, and value-hash-gate each band's bucket count, max
+    bucket size, and total candidate-pair load (sum of C(size,2) over
+    buckets). These three numbers ARE the routing behavior of an LSH
+    banding index: candidate_pairs is exactly the number of pairs the
+    q66 approxSimilarityJoin would test under this banding, and
+    max_bucket is the quadratic hot-spot bound. Recall of the banding
+    is separately gated by qg04; q66 itself stays rows-only (library
+    seeds).
+
+    Scale: one shingle explode + one 8-min groupBy (one shuffle
+    computes all mins) + two bounded grouped aggregations; output is
+    {_L12_BANDS} rows. No pair join is materialized — the candidate
+    count comes from the bucket-size histogram, not from enumerating
+    pairs.
+    """
+    from pyspark_distributed_kmodes_spark.operators.analytics4 import _doc_shingles, _mh_mins
+
+    d = table(spark, sf_dir, "documents")
+    sigs = _mh_mins(_doc_shingles(d))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(",", F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).alias("bucket"),
+            )
+            for b in range(_L12_BANDS)
+        ]
+    )
+    banded = sigs.select(F.explode(band_structs).alias("s")).select("s.band", "s.bucket")
+    sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    return (
+        sizes.groupBy(F.col("band").cast("integer").alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.max("sz").cast("bigint").alias("max_bucket"),
+            F.sum(F.floor(F.col("sz") * (F.col("sz") - 1) / 2)).cast("bigint").alias(
+                "candidate_pairs"
+            ),
+        )
+        .orderBy("band")
+    )
+
+
+_L13_K = 8
+_L13_KEY = (
+    "lpad(CAST(CAST(floor(d2 * 1000000 + 0.5) AS BIGINT) AS VARCHAR), 14, '0')"
+    " || lpad(CAST(cid AS VARCHAR), 10, '0')"
+)  # shared (d2, cid) lexicographic min_by key — the l05 padded-string form
+
+
+@query(
+    "l13_lloyd_step_audit",
+    oracle=f"""
+WITH ev AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
+  FROM embeddings
+  ORDER BY {_sql_md5fold('CAST(vec_id AS VARCHAR)')} ASC, vec_id ASC
+  LIMIT {_L13_K}
+), d0 AS (
+  SELECT e.vec_id, c0.cid,
+         {sql_pround('list_sum(list_transform(range(1, 65), i -> (e.v[i] - c0.c[i]) * (e.v[i] - c0.c[i])))', 6)} AS d2
+  FROM ev e CROSS JOIN c0
+), a0 AS (
+  SELECT vec_id, MIN_BY(cid, {_L13_KEY}) AS cid FROM d0 GROUP BY vec_id
+), xdim AS (
+  SELECT e.vec_id, t.i AS dim, {sql_pround('e.v[t.i]', 6)} AS xq
+  FROM ev e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+), c1 AS (
+  SELECT a0.cid, x.dim,
+         {sql_pround('CAST(SUM(CAST(x.xq AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)', 9)} AS m
+  FROM a0 JOIN xdim x USING (vec_id) GROUP BY a0.cid, x.dim
+), d1 AS (
+  SELECT x.vec_id, c1.cid,
+         {sql_pround('CAST(SUM(CAST(' + sql_pround('(x.xq - c1.m) * (x.xq - c1.m)', 9) + ' AS DECIMAL(25,12))) AS DOUBLE)', 6)} AS d2
+  FROM xdim x JOIN c1 ON c1.dim = x.dim
+  GROUP BY x.vec_id, c1.cid
+), a1 AS (
+  SELECT vec_id, MIN_BY(cid, {_L13_KEY}) AS cid, MIN(d2) AS d2 FROM d1 GROUP BY vec_id
+), c0d AS (
+  SELECT cid, t.i AS dim, {sql_pround('c[t.i]', 6)} AS cq
+  FROM c0 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+), shift AS (
+  SELECT c0d.cid,
+         {sql_pround('CAST(SUM(CAST(' + sql_pround('(c1.m - c0d.cq) * (c1.m - c0d.cq)', 9) + ' AS DECIMAL(25,12))) AS DOUBLE)', 6)} AS shift2
+  FROM c0d JOIN c1 ON c1.cid = c0d.cid AND c1.dim = c0d.dim
+  GROUP BY c0d.cid
+), n0 AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_init FROM a0 GROUP BY cid
+), n1 AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_after,
+         CAST(SUM(CAST(d2 AS DECIMAL(25,6))) AS DOUBLE) AS inertia
+  FROM a1 GROUP BY cid
+), stay AS (
+  SELECT a0.cid, CAST(COUNT(*) AS BIGINT) AS n_stayed
+  FROM a0 JOIN a1 USING (vec_id) WHERE a0.cid = a1.cid GROUP BY a0.cid
+)
+SELECT CAST(c0.cid AS BIGINT) AS cluster,
+       COALESCE(n0.n_init, 0) AS n_init,
+       COALESCE(n1.n_after, 0) AS n_after,
+       COALESCE(stay.n_stayed, 0) AS n_stayed,
+       {sql_pround('COALESCE(n1.inertia, 0.0)', 6)} AS inertia_after,
+       COALESCE(shift.shift2, 0.0) AS centroid_shift2
+FROM c0
+LEFT JOIN n0 ON n0.cid = c0.cid
+LEFT JOIN n1 ON n1.cid = c0.cid
+LEFT JOIN stay ON stay.cid = c0.cid
+LEFT JOIN shift ON shift.cid = c0.cid
+ORDER BY cluster
+""",
+    tags=("vector", "ml", "audit"),
+)
+def l13_lloyd_step_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-GATED Lloyd-iteration audit — the deterministic twin of
+    qb29 (whose 5-iteration k-means fit no SQL oracle can replay): fix
+    the {_L13_K} init centroids to hash-rank-picked corpus vectors,
+    then run ONE full Lloyd step with both engines walking identical
+    rationals — assign (round-6 packed-array distances, l05's padded
+    min_by tie key), update (per-dimension DECIMAL-exact means of
+    round-6-quantized components), reassign against the new centroids
+    (round-9 term-quantized DECIMAL sums), and report per cluster the
+    init/after sizes, how many members stayed, the post-step inertia,
+    and the squared centroid shift. This gates every moving part of
+    the qb29 fit — argmin tie handling, the mean update, convergence
+    accounting — while the multi-iteration trained model stays
+    property-tested (monotone cost, repartition determinism in
+    test_vectors).
+
+    Scale: assignment is a k-way broadcast fan-out (the production
+    shape, ml/kmeans.py); the update and reassignment here run in the
+    exploded (vec, dim) relational form so every float sum is an
+    order-free DECIMAL aggregate — a k*dim row blowup the AUDIT
+    accepts for exactness; the production transform keeps packed
+    arrays and JVM argmin.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    ev = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    fold = _md5fold(F.col("vec_id").cast("string"))
+    c0 = (
+        emb.select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").cast("array<double>").alias("c"),
+            fold.alias("fk"),
+        )
+        .orderBy(F.asc("fk"), F.asc("cid"))
+        .limit(_L13_K)
+        .drop("fk")
+        .localCheckpoint(eager=True)  # tiny constant set; breaks the reuse lineage
+    )
+
+    def _key(d2: Column, cid: Column) -> Column:
+        return F.concat(
+            F.lpad(F.floor(d2 * 1_000_000 + 0.5).cast("bigint").cast("string"), 14, "0"),
+            F.lpad(cid.cast("string"), 10, "0"),
+        )
+
+    d2_0 = pround(
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+        6,
+    )
+    d0 = ev.crossJoin(F.broadcast(c0)).select("vec_id", "cid", d2_0.alias("d2"))
+    a0 = d0.groupBy("vec_id").agg(F.min_by("cid", _key(F.col("d2"), F.col("cid"))).alias("cid"))
+    xdim = ev.select(
+        "vec_id", F.posexplode("v").alias("pos", "x")
+    ).select("vec_id", (F.col("pos") + 1).alias("dim"), pround(F.col("x"), 6).alias("xq"))
+    c1 = (
+        a0.join(xdim, "vec_id")
+        .groupBy("cid", "dim")
+        .agg(
+            pround(
+                F.sum(F.col("xq").cast("decimal(25,6)")).cast("double") / F.count(F.lit(1)), 9
+            ).alias("m")
+        )
+        .localCheckpoint(eager=True)  # k*dim rows; reused by d1 and shift
+    )
+    d1 = (
+        xdim.join(c1.select("cid", "dim", "m"), "dim")
+        .groupBy("vec_id", "cid")
+        .agg(
+            pround(
+                F.sum(
+                    pround((F.col("xq") - F.col("m")) * (F.col("xq") - F.col("m")), 9).cast(
+                        "decimal(25,12)"
+                    )
+                ).cast("double"),
+                6,
+            ).alias("d2")
+        )
+    )
+    a1 = d1.groupBy("vec_id").agg(
+        F.min_by("cid", _key(F.col("d2"), F.col("cid"))).alias("cid"), F.min("d2").alias("d2")
+    )
+    c0d = c0.select(
+        "cid", F.posexplode("c").alias("pos", "cx")
+    ).select("cid", (F.col("pos") + 1).alias("dim"), pround(F.col("cx"), 6).alias("cq"))
+    shift = (
+        c0d.join(c1, ["cid", "dim"])
+        .groupBy("cid")
+        .agg(
+            pround(
+                F.sum(
+                    pround((F.col("m") - F.col("cq")) * (F.col("m") - F.col("cq")), 9).cast(
+                        "decimal(25,12)"
+                    )
+                ).cast("double"),
+                6,
+            ).alias("shift2")
+        )
+    )
+    n0 = a0.groupBy("cid").agg(F.count(F.lit(1)).cast("bigint").alias("n_init"))
+    n1 = a1.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_after"),
+        F.sum(F.col("d2").cast("decimal(25,6)")).cast("double").alias("inertia"),
+    )
+    stay = (
+        a0.alias("x")
+        .join(a1.alias("y"), "vec_id")
+        .filter(F.col("x.cid") == F.col("y.cid"))
+        .groupBy(F.col("x.cid").alias("cid"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_stayed"))
+    )
+    return (
+        c0.select(F.col("cid").cast("bigint").alias("cluster"))
+        .join(n0.withColumnRenamed("cid", "cluster"), "cluster", "left")
+        .join(n1.withColumnRenamed("cid", "cluster"), "cluster", "left")
+        .join(stay.withColumnRenamed("cid", "cluster"), "cluster", "left")
+        .join(shift.withColumnRenamed("cid", "cluster"), "cluster", "left")
+        .select(
+            "cluster",
+            F.coalesce("n_init", F.lit(0)).cast("bigint").alias("n_init"),
+            F.coalesce("n_after", F.lit(0)).cast("bigint").alias("n_after"),
+            F.coalesce("n_stayed", F.lit(0)).cast("bigint").alias("n_stayed"),
+            pround(F.coalesce("inertia", F.lit(0.0)), 6).alias("inertia_after"),
+            F.coalesce("shift2", F.lit(0.0)).alias("centroid_shift2"),
+        )
+        .orderBy("cluster")
+    )
+
+
+_L14_COMPONENTS = 8
+
+
+def _l14_signs() -> list[list[float]]:
+    """+-1 sign matrix for the fixed projection, derived from md5 parity
+    of 'component|dim' so DuckDB replays it bit-for-bit in-query while
+    Spark bakes it in as literal arrays (driver-side literals are free;
+    int(md5[:8],16) == the positional hex fold of _sql_md5fold)."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{c}|{i}".encode()).hexdigest()[:8], 16) % 2 == 0 else -1.0
+            for i in range(1, 65)
+        ]
+        for c in range(_L14_COMPONENTS)
+    ]
+
+
+@query(
+    "l14_projection_variance_audit",
+    oracle=f"""
+WITH ev AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), comps AS (
+  SELECT unnest(range(0, {_L14_COMPONENTS})) AS c
+), proj AS (
+  SELECT comps.c,
+         {sql_pround("list_sum(list_transform(range(1, 65), d -> (CASE WHEN " + _sql_md5fold("CAST(comps.c AS VARCHAR) || '|' || CAST(d AS VARCHAR)") + " % 2 = 0 THEN 1.0 ELSE -1.0 END) * ev.v[d])) / 8.0", 6)} AS p
+  FROM ev CROSS JOIN comps
+), stats AS (
+  SELECT c, CAST(COUNT(*) AS BIGINT) AS n,
+         {sql_pround('CAST(SUM(CAST(p AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)', 9)} AS mean_p,
+         {sql_pround('CAST(SUM(CAST(' + sql_pround('p * p', 6) + ' AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)', 9)} AS ex2
+  FROM proj GROUP BY c
+), vars AS (
+  SELECT c, n, {sql_pround('mean_p', 6)} AS mean_proj,
+         {sql_pround('ex2 - mean_p * mean_p', 6)} AS var_proj
+  FROM stats
+)
+SELECT CAST(c AS INTEGER) AS component, n, mean_proj, var_proj,
+       {sql_pround('var_proj / CAST(SUM(CAST(var_proj AS DECIMAL(25,6))) OVER () AS DOUBLE)', 6)} AS var_ratio
+FROM vars
+ORDER BY component
+""",
+    tags=("vector", "ml", "audit"),
+)
+def l14_projection_variance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-GATED projection-variance audit — the deterministic twin of
+    qe15 (whose eigendecomposition no SQL oracle can replay): project
+    every embedding onto {_L14_COMPONENTS} FIXED +-1-signed components
+    (signs = md5 parity of 'component|dim', scaled by 1/sqrt(64) = /8 —
+    a seeded random projection both engines reconstruct exactly) and
+    hash-gate each component's projected mean, variance, and share of
+    total projected variance. This gates the projection + moment
+    machinery qe15's variance report is built on — per-component
+    DECIMAL-exact sums, the E[x^2]-mean^2 identity, the ratio
+    normalization — while the eigen-model itself stays property-tested
+    (trace identity, orthonormality, projected-variance == eigenvalue
+    in test_vectors).
+
+    Scale: one constant {_L14_COMPONENTS}-way per-row fan-out (JVM
+    zip_with/aggregate dot products against literal sign arrays — the
+    same per-row cost qe15's covariance accumulation pays), one grouped
+    DECIMAL aggregation, and an 8-row window for the ratio. No shuffle
+    touches more than corpus-row-count * {_L14_COMPONENTS} scalar rows.
+    """
+    ev = table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    signs = _l14_signs()
+    projs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("c"),
+                pround(
+                    F.aggregate(
+                        F.zip_with(
+                            F.array(*[F.lit(s) for s in signs[c]]),
+                            F.col("v"),
+                            lambda s, x: s * x,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, t: acc + t,
+                    )
+                    / 8.0,
+                    6,
+                ).alias("p"),
+            )
+            for c in range(_L14_COMPONENTS)
+        ]
+    )
+    proj = ev.select(F.explode(projs).alias("s")).select("s.c", "s.p")
+    stats = proj.groupBy("c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        pround(F.sum(F.col("p").cast("decimal(25,6)")).cast("double") / F.count(F.lit(1)), 9).alias(
+            "mean_p"
+        ),
+        pround(
+            F.sum(pround(F.col("p") * F.col("p"), 6).cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("ex2"),
+    )
+    vars_ = stats.select(
+        "c",
+        "n",
+        pround(F.col("mean_p"), 6).alias("mean_proj"),
+        pround(F.col("ex2") - F.col("mean_p") * F.col("mean_p"), 6).alias("var_proj"),
+    )
+    w = Window.partitionBy()  # 8 bounded rows — allowed partition-less window
+    return vars_.select(
+        F.col("c").cast("integer").alias("component"),
+        "n",
+        "mean_proj",
+        "var_proj",
+        pround(
+            F.col("var_proj")
+            / F.sum(F.col("var_proj").cast("decimal(25,6)")).over(w).cast("double"),
+            6,
+        ).alias("var_ratio"),
+    ).orderBy("component")

@@ -412,3 +412,118 @@ def test_j50_matches_duckdb_join(spark, sf_dir, reg, duck):
             rev_cents,
             late,
         )
+
+
+# ---------------------------------------------------------------------------
+# l11-l14 round-7 conversion twins: independent python re-derivations of
+# the fixed models (hash-picked hyperplanes / centroids, md5 sign matrix)
+# with the engine's quantization (pround = floor(x*10^nd + 0.5)/10^nd and
+# sequential left-fold dot products) replicated bit-for-bit in python.
+
+
+def _pr(x, nd=6):
+    s = 10.0**nd
+    return math.floor(x * s + 0.5) / s
+
+
+def _seqdot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _md5rank(vec_id):
+    import hashlib
+
+    return (int(hashlib.md5(str(vec_id).encode()).hexdigest()[:8], 16), vec_id)
+
+
+def _emb(duck):
+    rows = duck.execute("SELECT vec_id, embedding FROM embeddings ORDER BY vec_id").fetchall()
+    return [(vid, [float(x) for x in v]) for vid, v in rows]
+
+
+def test_l11_matches_python_rederivation(spark, sf_dir, reg, duck):
+    emb = _emb(duck)
+    hps = sorted(emb, key=lambda r: _md5rank(r[0]))[:16]
+    hist = {}
+    for vid, v in emb:
+        for t in range(4):
+            bucket = 0
+            for b in range(4):
+                if _pr(_seqdot(v, hps[t * 4 + b][1]), 6) >= 0:
+                    bucket |= 1 << b
+            hist[(t, bucket)] = hist.get((t, bucket), 0) + 1
+    got = {(r.table_id, r.bucket): r.n_vectors for r in reg["l11_lsh_routing_audit"].fn(spark, sf_dir).collect()}
+    assert got == hist
+
+
+def test_l12_band_totals_and_pair_bounds(spark, sf_dir, reg, duck):
+    n_sig_docs = duck.execute(
+        "SELECT COUNT(DISTINCT doc_id) FROM (SELECT doc_id FROM documents WHERE len(string_split(text,' ')) >= 3)"
+    ).fetchone()[0]
+    rows = reg["l12_minhash_band_routing"].fn(spark, sf_dir).collect()
+    assert [r.band for r in rows] == [0, 1, 2, 3]
+    for r in rows:
+        assert 1 <= r.n_buckets <= n_sig_docs
+        assert r.max_bucket >= 1
+        assert r.candidate_pairs >= r.max_bucket * (r.max_bucket - 1) // 2
+
+
+def test_l13_matches_python_lloyd_step(spark, sf_dir, reg, duck):
+    emb = _emb(duck)
+    cents = sorted(emb, key=lambda r: _md5rank(r[0]))[:8]
+
+    def assign(vecs_by_id, cent_list, dist):
+        out = {}
+        for vid, v in vecs_by_id:
+            best = min(cent_list, key=lambda c: (dist(v, c[1]), c[0]))
+            out[vid] = best[0]
+        return out
+
+    d0 = lambda v, c: _pr(_seqdot([x - y for x, y in zip(v, c)], [x - y for x, y in zip(v, c)]), 6)
+    a0 = assign(emb, cents, d0)
+    # update: per-dim mean of round-6 components, decimal-exact then round-9
+    from collections import defaultdict
+
+    member = defaultdict(list)
+    for vid, v in emb:
+        member[a0[vid]].append(v)
+    c1 = {}
+    for cid, vs in member.items():
+        c1[cid] = [_pr(sum(_pr(v[d], 6) for v in vs) / len(vs), 9) for d in range(64)]
+
+    def d1(v, c):
+        return _pr(sum(_pr((_pr(x, 6) - y) * (_pr(x, 6) - y), 9) for x, y in zip(v, c)), 6)
+
+    a1 = assign(emb, list(c1.items()), d1)
+    rows = {r.cluster: r for r in reg["l13_lloyd_step_audit"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {c[0] for c in cents}
+    for cid in rows:
+        r = rows[cid]
+        assert r.n_init == sum(1 for v in a0.values() if v == cid)
+        assert r.n_after == sum(1 for v in a1.values() if v == cid)
+        assert r.n_stayed == sum(1 for vid in a0 if a0[vid] == cid and a1[vid] == cid)
+    n = len(emb)
+    assert sum(r.n_init for r in rows.values()) == n
+    assert sum(r.n_after for r in rows.values()) == n
+
+
+def test_l14_ratio_normalizes_and_matches_python(spark, sf_dir, reg, duck):
+    import hashlib
+
+    emb = _emb(duck)
+    rows = sorted(reg["l14_projection_variance_audit"].fn(spark, sf_dir).collect(), key=lambda r: r.component)
+    assert all(r.n == len(emb) for r in rows)
+    assert abs(sum(r.var_ratio for r in rows) - 1.0) < 1e-3
+    for c in (0, 5):
+        signs = [
+            1.0 if int(hashlib.md5(f"{c}|{i}".encode()).hexdigest()[:8], 16) % 2 == 0 else -1.0
+            for i in range(1, 65)
+        ]
+        ps = [_pr(_seqdot(signs, v) / 8.0, 6) for _, v in emb]
+        mean = _pr(sum(ps) / len(ps), 9)
+        ex2 = _pr(sum(_pr(p * p, 6) for p in ps) / len(ps), 9)
+        assert abs(rows[c].mean_proj - _pr(mean, 6)) < 1e-9
+        assert abs(rows[c].var_proj - _pr(ex2 - mean * mean, 6)) < 1e-9
