@@ -558,10 +558,13 @@ def qd07_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     words = F.split("text", " ")
+    # vocabulary-bounded unigram dictionary, three consumers:
+    # materialize once (scan-lint)
     uni = (
         d.select(F.explode(words).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cw"))
+        .localCheckpoint(eager=True)
     )
     n = uni.agg(F.sum("cw").cast("double").alias("n"))
     bigrams = d.select(
@@ -572,10 +575,13 @@ def qd07_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg")
     )
-    m = bigrams.agg(F.count(F.lit(1)).cast("double").alias("m"))
-    bi = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("cab")).filter(
-        F.col("cab") >= _PMI_MIN_COUNT
-    )
+    # one grouped pass over the bigram explode; the total bigram mass
+    # is the dictionary's exact sum, so no second scan (scan-lint)
+    bi_all = bigrams.groupBy("bg").agg(
+        F.count(F.lit(1)).alias("cab")
+    ).localCheckpoint(eager=True)
+    m = bi_all.agg(F.sum("cab").cast("double").alias("m"))
+    bi = bi_all.filter(F.col("cab") >= _PMI_MIN_COUNT)
     parts = F.split("bg", " ")
     bi = bi.withColumn("wa", parts[0]).withColumn("wb", parts[1])
     ua = uni.select(F.col("w").alias("wa"), F.col("cw").alias("ca"))

@@ -201,10 +201,12 @@ def qh02_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     x = d.select("source", F.size(F.split("text", " ")).cast("bigint").alias("tok"))
+    # bounded per-source stats with four consumers: materialize once
+    # so each doesn't replay the token projection scan (scan-lint)
     g = x.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("tok").cast("bigint").alias("toks"),
-    )
+    ).localCheckpoint(eager=True)
     tot = g.agg(
         F.sum("n_docs").cast("bigint").alias("n"), F.sum("toks").cast("bigint").alias("t")
     )
@@ -342,10 +344,14 @@ def qh06_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     word pair.
     """
     d = table(spark, sf_dir, "documents")
+    # the distinct (doc, word) table feeds the doc count, the unigram
+    # dictionary AND both self-join sides: materialize once so the
+    # explode+distinct isn't recomputed four times (scan-lint)
     dw = (
         spread(d, "doc_id")
         .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     nd = dw.agg(F.count_distinct("doc_id").cast("bigint").alias("n"))
     uni = dw.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("nw"))
@@ -576,11 +582,18 @@ def qh05_grouped_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     |cs*N - cg*ns|), with ONE final division.
     """
     d = table(spark, sf_dir, "documents")
-    vals = d.select(F.col("n_chars").alias("v")).distinct()
-    gsize = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_s"))
-    tot = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # ONE pass over documents: the (source, value) cell table is the
+    # finest lattice — every other aggregate (value lattice, source
+    # sizes, global counts, total) is an exact integer re-aggregation
+    # of it, so no second scan exists (scan-lint: was 9 scans)
+    scnt = d.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=True)
+    vals = scnt.select("v").distinct()
+    gsize = scnt.groupBy("source").agg(F.sum("c").cast("bigint").alias("n_s"))
+    tot = gsize.agg(F.sum("n_s").cast("bigint").alias("n"))
     # global cumulative over the value lattice
-    gcnt = d.groupBy(F.col("n_chars").alias("v")).agg(F.count(F.lit(1)).alias("c"))
+    gcnt = scnt.groupBy("v").agg(F.sum("c").alias("c"))
     wg = Window.orderBy("v")  # bounded: |distinct n_chars| rows
     gcum = (
         vals.join(gcnt, "v", "left")
@@ -589,7 +602,6 @@ def qh05_grouped_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("v", "cg")
     )
     # per-source cumulative over the SAME lattice (grid join fills gaps)
-    scnt = d.groupBy("source", F.col("n_chars").alias("v")).agg(F.count(F.lit(1)).alias("c"))
     grid = gsize.select("source").crossJoin(vals)
     ws = Window.partitionBy("source").orderBy("v")
     scum = (

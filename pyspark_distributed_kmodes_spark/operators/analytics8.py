@@ -105,9 +105,11 @@ def j19_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     division; at 100 TB the cell counts merely grow, the plan does not.
     """
     li = table(spark, sf_dir, "lineitem")
+    # bounded (quantity x discount) dictionary, reused by the theta
+    # self-join and both tie margins: materialize once (scan-lint)
     cells = li.groupBy(
         F.col("l_quantity").alias("q"), F.col("l_discount").alias("d")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt")).localCheckpoint(eager=True)
     a, b = cells.alias("a"), cells.alias("b")
     cond = (F.col("a.q") < F.col("b.q")) | (
         (F.col("a.q") == F.col("b.q")) & (F.col("a.d") < F.col("b.d"))
@@ -202,9 +204,12 @@ def j20_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = o.join(F.broadcast(med), "grp").select(
         "grp", F.abs(F.col("o_totalprice") - F.col("med")).alias("z")
     )
+    # 5-row group-stat table with three consumers (gbar, glob, den's
+    # broadcast): materialize once so each doesn't replay the orders
+    # scan + median join lineage (scan-lint)
     gstat = z.groupBy("grp").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_j"), dsum("z").alias("s_j")
-    )
+    ).localCheckpoint(eager=True)
     gbar = gstat.select("grp", "n_j", (F.col("s_j") / F.col("n_j")).alias("zbar_j"))
     glob = gstat.agg(
         F.sum("n_j").cast("bigint").alias("n"),
@@ -376,7 +381,11 @@ def j22_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-quantized to the 1e-6 grid and DECIMAL-summed (order-free).
     """
     d = table(spark, sf_dir, "documents")
-    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    # bounded lang x source cell dictionary with four consumers:
+    # materialize once so margins don't replay the scan (scan-lint)
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    ).localCheckpoint(eager=True)
     rm = cells.groupBy("lang").agg(F.sum("o").cast("bigint").alias("r_tot"))
     cm = cells.groupBy("source").agg(F.sum("o").cast("bigint").alias("c_tot"))
     tot = cells.agg(
@@ -1450,9 +1459,11 @@ def j36_minmax_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows), never on raw rows; the hash arm is one groupBy.
     """
     d = table(spark, sf_dir, "documents")
+    # bounded length lattice; reused by the cumulative ranking and
+    # totals: materialize once (scan-lint)
     lattice = d.groupBy(F.col("n_chars").alias("v")).agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
-    )
+    ).localCheckpoint(eager=True)
     wcum = Window.orderBy(F.asc("v"))  # bounded: value lattice aggregate
     total = lattice.agg(F.sum("cnt").alias("total"))
     ranked = lattice.withColumn("cum", F.sum("cnt").over(wcum)).crossJoin(F.broadcast(total))

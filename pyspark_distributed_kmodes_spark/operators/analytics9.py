@@ -173,9 +173,12 @@ def k02_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-proportion z-test throws away. Absent (user, week) pairs are
     explicit zeros via the bounded user x week grid.
 
-    Scale: one grouped pass to the (user, week) grid (the cross join
-    fans users by the CONSTANT week count), then integer-only moment
-    sums; a single float division at the end.
+    Scale: one grouped pass to the SPARSE (user, week) grid — the
+    zero-fill is algebraic (absent pairs contribute 0 to every L_i,
+    G_j and moment), so no user x week cross join is materialized —
+    then integer-only moment sums; a single float division at the end.
+    The SQL oracle keeps the explicit filled grid for readability;
+    the values are identical.
     """
     e = table(spark, sf_dir, "events")
     di = _day_idx()
@@ -190,20 +193,24 @@ def k02_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "wk")
         .agg(F.max("p").alias("x"))
     )
-    users = base.select("user_id").distinct()
-    weeks = spark.range(_K02_WEEKS).select(F.col("id").alias("wk"))
-    filled = (
-        users.crossJoin(F.broadcast(weeks))
-        .join(grid, ["user_id", "wk"], "left")
-        .withColumn("x", F.coalesce(F.col("x"), F.lit(0)))
+    # The explicit user x week zero-fill is algebraically removable:
+    # absent pairs contribute 0 to every L_i, G_j and moment, so L_i
+    # comes straight from the sparse grid, G_j from a constant-width
+    # week-lattice left join, and only n_users needs the full distinct
+    # user count. This drops the crossJoin fan-out AND the second full
+    # pass the filled grid cost (scan-lint: 8 -> 3 events scans).
+    n_users = base.select("user_id").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
     )
-    li = filled.groupBy("user_id").agg(F.sum("x").cast("bigint").alias("l"))
-    gj = filled.groupBy("wk").agg(F.sum("x").cast("bigint").alias("g"))
+    li = grid.groupBy("user_id").agg(F.sum("x").cast("bigint").alias("l"))
+    weeks = spark.range(_K02_WEEKS).select(F.col("id").alias("wk"))
+    gj = weeks.join(
+        grid.groupBy("wk").agg(F.sum("x").cast("bigint").alias("g0")), "wk", "left"
+    ).select(F.coalesce(F.col("g0"), F.lit(0)).alias("g"))
     moms = li.agg(
         F.sum("l").cast("bigint").alias("sl"),
         F.sum(F.col("l") * F.col("l")).cast("bigint").alias("sl2"),
-        F.count(F.lit(1)).cast("bigint").alias("n_users"),
-    )
+    ).crossJoin(F.broadcast(n_users))
     q = gj.agg(F.sum(F.col("g") * F.col("g")).cast("bigint").alias("sg2"))
     jj = moms.crossJoin(F.broadcast(q))
     k = _K02_WEEKS
@@ -273,9 +280,11 @@ def k03_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumes the value dictionary aggregate only.
     """
     d = table(spark, sf_dir, "documents")
+    # bounded (value, lang) lattice with four consumers (vtot, ranks,
+    # groups, ties): materialize once (scan-lint)
     lattice = d.groupBy(F.col("n_chars").alias("v"), "lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
-    )
+    ).localCheckpoint(eager=True)
     vtot = lattice.groupBy("v").agg(F.sum("cnt").cast("bigint").alias("t"))
     w = Window.orderBy(F.asc("v"))  # bounded: length dictionary
     ranked = vtot.withColumn("cum", F.sum("t").over(w))
@@ -881,7 +890,11 @@ def k10_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; the OLS runs on {len(_K10_SIZES)} points.
     """
     e = table(spark, sf_dir, "events")
-    daily = e.groupBy(_day_idx().alias("di")).agg(dsum("value").alias("rev"))
+    # bounded day series, reused once per block size below:
+    # materialize once (scan-lint)
+    daily = e.groupBy(_day_idx().alias("di")).agg(
+        dsum("value").alias("rev")
+    ).localCheckpoint(eager=True)
     mn = daily.agg(F.min("di").alias("mn"))
     base = daily.crossJoin(F.broadcast(mn))
     parts = []
@@ -2352,12 +2365,14 @@ def k31_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights.
     """
     d = table(spark, sf_dir, "documents")
+    # bounded per-language length lattices; each feeds three of the
+    # pairwise-sum arms + a total: materialize once (scan-lint)
     la = d.filter(F.col("lang") == "en").groupBy(F.col("n_chars").alias("v")).agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
-    )
+    ).localCheckpoint(eager=True)
     lb = d.filter(F.col("lang") == "de").groupBy(F.col("n_chars").alias("v")).agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
-    )
+    ).localCheckpoint(eager=True)
 
     def pair_sum(x: DataFrame, y: DataFrame) -> DataFrame:
         a, b = x.alias("a"), y.alias("b")
@@ -2986,7 +3001,11 @@ def k39_coengagement_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     C(5,2)=10 pairs; margins and totals are broadcast-sized.
     """
     e = table(spark, sf_dir, "events")
-    ue = e.select("user_id", "event_type").distinct()
+    # (user, type) distinct pairs feed the margin AND both self-join
+    # sides: materialize so the distinct isn't recomputed three times
+    # (the df is <= 5 rows/user — same size class as the shuffle that
+    # built it) (scan-lint)
+    ue = e.select("user_id", "event_type").distinct().localCheckpoint(eager=True)
     tot = e.agg(F.count_distinct("user_id").cast("bigint").alias("n"))
     m = ue.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     a, b = ue.alias("a"), ue.alias("b")
@@ -3652,7 +3671,7 @@ def k48_two_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(25,2)")).cast("decimal(25,2)").alias("s"),
-    )
+    ).localCheckpoint(eager=True)  # bounded a x b cell grid; five consumers (scan-lint)
     tot = cells.agg(
         F.sum("n").cast("bigint").alias("nt"),
         F.sum("s").cast("decimal(38,2)").cast("double").alias("st"),
@@ -4287,9 +4306,16 @@ def l08_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     horizon = e.agg(F.max(di).alias("hz"))
     w = Window.partitionBy("user_id").orderBy(F.asc("di"))
     ranked = purch.withColumn("rn", F.row_number().over(w))
-    d1 = ranked.filter(F.col("rn") == 1).select("user_id", F.col("di").alias("d1"))
-    d2 = ranked.filter(F.col("rn") == 2).select("user_id", F.col("di").alias("d2"))
-    per_user = d1.join(d2, "user_id", "left")
+    # single-branch first/second extraction: two filter branches of
+    # `ranked` would duplicate the whole events lineage in the plan
+    per_user = (
+        ranked.filter(F.col("rn") <= 2)
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("di"))).alias("d1"),
+            F.min(F.when(F.col("rn") == 2, F.col("di"))).alias("d2"),
+        )
+    )
     obs = per_user.crossJoin(F.broadcast(horizon)).select(
         (_md5fold(F.col("user_id").cast("string")) % 2).alias("g"),
         F.when(F.col("d2").isNotNull(), F.col("d2") - F.col("d1"))
@@ -4297,9 +4323,12 @@ def l08_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("t"),
         F.col("d2").isNotNull().cast("int").alias("ev"),
     )
+    # tally is the first BOUNDED intermediate (cohort x day lattice);
+    # materialize it so the five downstream consumers (times, grid,
+    # totals, both risk branches) don't each replay the events lineage
     tally = obs.groupBy("g", "t").agg(
         F.sum("ev").cast("bigint").alias("d"), F.sum(1 - F.col("ev")).cast("bigint").alias("c")
-    )
+    ).localCheckpoint(eager=True)
     times = tally.select("t").distinct()
     gs = spark.range(0, 2).select(F.col("id").alias("g"))
     grid = (
@@ -4309,7 +4338,9 @@ def l08_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t", "g", F.coalesce(F.col("d"), F.lit(0)).alias("d"), F.coalesce(F.col("c"), F.lit(0)).alias("c")
         )
     )
-    totals = obs.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("tot"))
+    # cohort totals from the tally itself (every observation lands in
+    # exactly one (g,t) cell), not from a second pass over obs
+    totals = tally.groupBy("g").agg(F.sum(F.col("d") + F.col("c")).cast("bigint").alias("tot"))
     wc = Window.partitionBy("g").orderBy(F.asc("t")).rowsBetween(Window.unboundedPreceding, -1)
     risk = (
         grid.join(F.broadcast(totals), "g")

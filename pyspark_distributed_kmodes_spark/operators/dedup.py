@@ -124,7 +124,9 @@ def q63_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     groups = docs.select("doc_id", "text", F.md5("text").alias("_h"))
-    reps = groups.groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
+    # text-free rep table, three consumers (semi-join, rep_h, expansion):
+    # materialize once (scan-lint)
+    reps = groups.groupBy("_h").agg(F.min("doc_id").alias("doc_id")).localCheckpoint(eager=True)
     rep_docs = groups.join(reps, ["_h", "doc_id"], "left_semi").select("_h", "doc_id", "text")
 
     # signatures feed three consumers (two band sides + per-pair rejoin):
@@ -142,7 +144,7 @@ def q63_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("est_jaccard") >= 0.5)
     )
 
-    rep_h = rep_docs.select(F.col("doc_id").alias("rep"), "_h")
+    rep_h = reps.select(F.col("doc_id").alias("rep"), "_h")  # no text column needed
     return _expand_copy_pairs(
         groups, rep_h, rep_pairs, {"est_jaccard": F.lit(1.0)}
     ).orderBy("doc_a", "doc_b")
@@ -188,7 +190,9 @@ def q64_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     groups = docs.select("doc_id", "text", F.md5("text").alias("_h"))
-    reps = groups.groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
+    # text-free rep table: one grouped pass, materialized for its three
+    # consumers (semi-join, rep_h, copy expansion) (scan-lint)
+    reps = groups.groupBy("_h").agg(F.min("doc_id").alias("doc_id")).localCheckpoint(eager=True)
     rep_docs = groups.join(reps, ["_h", "doc_id"], "left_semi").select("_h", "doc_id", "text")
 
     sims = simhash_col(rep_docs.select("doc_id", "text"))
@@ -199,7 +203,11 @@ def q64_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(4)
         ]
     )
-    bucketed = sims.select("doc_id", "simhash", F.explode(bands).alias("bucket"))
+    # compact (id, simhash, bucket) table: materialize so the self-join
+    # doesn't run the simhash pass twice (scan-lint)
+    bucketed = sims.select(
+        "doc_id", "simhash", F.explode(bands).alias("bucket")
+    ).localCheckpoint(eager=True)
     a = bucketed.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "bucket")
     b = bucketed.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "bucket")
     rep_pairs = (
@@ -209,7 +217,7 @@ def q64_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= 8)
     )
-    rep_h = rep_docs.select(F.col("doc_id").alias("rep"), "_h")
+    rep_h = reps.select(F.col("doc_id").alias("rep"), "_h")  # no text column needed
     return _expand_copy_pairs(
         groups, rep_h, rep_pairs, {"hamming": F.lit(0).cast("int")}
     ).orderBy("doc_a", "doc_b")

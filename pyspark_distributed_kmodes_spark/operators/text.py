@@ -247,6 +247,12 @@ def ngram_jaccard_pairs(d: DataFrame, threshold: float = 0.2, max_df: int | None
             .select("shingle")
         )
         shingles = shingles.join(F.broadcast(hot), "shingle", "left_anti")
+    # the shingle index feeds sizes AND both self-join sides (plus the
+    # hot-set scan above): materialize once instead of recomputing the
+    # explode+distinct per consumer — the same size class as the shuffle
+    # that built it, and the ~10 callers of this helper all inherit the
+    # fix (scan-lint)
+    shingles = shingles.localCheckpoint(eager=True)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = shingles.alias("a")
     b = shingles.alias("b")
