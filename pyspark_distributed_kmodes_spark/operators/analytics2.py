@@ -87,8 +87,12 @@ def qf01_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         (1 + F.size(F.filter(F.col("bs"), lambda x: x < F.col("n_chars")))).cast("int").alias("bin"),
     )
-    per = binned.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("cnt"))
-    n_source = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_source"))
+    # bounded source x bin census: every document lands in exactly one
+    # bin, so source totals re-aggregate it — no second scan (scan-lint)
+    per = binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).localCheckpoint(eager=True)
+    n_source = per.groupBy("source").agg(F.sum("cnt").alias("n_source"))
     grid = (
         n_source.crossJoin(F.broadcast(spark.range(1, 11).select(F.col("id").cast("int").alias("bin"))))
         .join(per, ["source", "bin"], "left")
@@ -863,10 +867,13 @@ def qf12_timeout_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("tus")
     )
+    # each stage table is consumed twice (chain + count): materialize
+    # so each pushed-filter events scan runs once per stage (scan-lint)
     t1 = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("tus").alias("t1"))
+        .localCheckpoint(eager=True)
     )
     t2 = (
         e.filter(F.col("event_type") == "click")
@@ -874,6 +881,7 @@ def qf12_timeout_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("tus") > F.col("t1")) & (F.col("tus") <= F.col("t1") + _FUNNEL_TIMEOUT_US))
         .groupBy("user_id")
         .agg(F.min("tus").alias("t2"))
+        .localCheckpoint(eager=True)
     )
     t3 = (
         e.filter(F.col("event_type") == "purchase")

@@ -373,7 +373,11 @@ def qf21_daily_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = table(spark, sf_dir, "events")
     di = (F.unix_micros(F.date_trunc("day", "ts")) / 86_400_000_000).cast("bigint")
-    per = e.groupBy(di.alias("di"), "event_type").agg(F.count(F.lit(1)).alias("n"))
+    # bounded day x type census with lattice + totals consumers:
+    # materialize once (scan-lint)
+    per = e.groupBy(di.alias("di"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=True)
     days = per.select("di").distinct()
     types = per.select("event_type").distinct()
     grid = (

@@ -771,10 +771,12 @@ def qg06_approx_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     global. Rank arithmetic is pure integer.
     """
     o = table(spark, sf_dir, "orders")
+    # 5-row sketch result with three consumers (exact-median join, rank
+    # interval, final assembly): materialize once (scan-lint)
     grp = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.expr(f"approx_percentile(o_totalprice, 0.5, {_G06_ACC})").alias("approx_p50"),
-    )
+    ).localCheckpoint(eager=True)
     w = Window.partitionBy("o_orderpriority").orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
     ranked = o.select(
         F.col("o_orderpriority").alias("priority"),

@@ -1015,40 +1015,42 @@ def _pair_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double")
 
     base = emb.select("vec_id", "label", v.alias("v"))
-    norms = base.select(
-        "vec_id", dfold(F.transform("v", lambda a: _dterm(a * a))).alias("n2")
-    )
     samp = (
         base.select("vec_id", _md5fold_local(F.col("vec_id").cast("string")).alias("h"))
         .orderBy("h", "vec_id")
         .limit(_H12_BUDGET)
         .select("vec_id")
     )
-    anchors = base.join(F.broadcast(samp), "vec_id").select(
-        F.col("vec_id").alias("a_id"), F.col("label").alias("label_a"), F.col("v").alias("va")
+    # budget-bounded anchor set with its norm precomputed, materialized
+    # once so h12/h13's pos/neg branches don't replay the sample lineage
+    # (scan-lint)
+    anchors = (
+        base.join(F.broadcast(samp), "vec_id")
+        .select(
+            F.col("vec_id").alias("a_id"),
+            F.col("label").alias("label_a"),
+            F.col("v").alias("va"),
+            dfold(F.transform("v", lambda a: _dterm(a * a))).alias("na2"),
+        )
+        .localCheckpoint(eager=True)
     )
-    pairs = (
+    # corpus-side norm INLINE on the single corpus scan: a separate
+    # norms table would cost another full scan plus a budget*N-row
+    # shuffle join on b_id — the largest exchange this query had
+    return (
         base.select(F.col("vec_id").alias("b_id"), F.col("label").alias("label_b"), F.col("v").alias("vb"))
+        .withColumn("nb2", dfold(F.transform("vb", lambda a: _dterm(a * a))))
         .join(F.broadcast(anchors), F.col("b_id") != F.col("a_id"))
         .select(
             "a_id",
             "b_id",
             "label_a",
             "label_b",
-            dfold(F.zip_with("va", "vb", lambda a, b: _dterm(a * b))).alias("dot"),
-        )
-    )
-    na = norms.select(F.col("vec_id").alias("a_id"), F.col("n2").alias("na2"))
-    nb = norms.select(F.col("vec_id").alias("b_id"), F.col("n2").alias("nb2"))
-    return (
-        pairs.join(F.broadcast(na), "a_id")
-        .join(nb, "b_id")
-        .select(
-            "a_id",
-            "b_id",
-            "label_a",
-            "label_b",
-            pround(F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2")), 9).alias("c9"),
+            pround(
+                dfold(F.zip_with("va", "vb", lambda a, b: _dterm(a * b)))
+                / (F.sqrt("na2") * F.sqrt("nb2")),
+                9,
+            ).alias("c9"),
         )
     )
 
@@ -1355,6 +1357,7 @@ def qh16_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("v")
         .agg(F.sum("c").alias("c"))
+        .localCheckpoint(eager=True)  # value dictionary; bucket + cum consumers (scan-lint)
     )
     # Two-level cumulative count, so the merged path NEVER serializes the
     # value dictionary through one partition even when values are
@@ -1725,14 +1728,17 @@ def qh21_bucket_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("fp"),
         (_md5fold(F.col("text")) % _H21_BUCKETS).alias("bkt"),
     )
-    eval_side = fp.filter(F.col("doc_id") % 10 == 0)
+    # eval side has three consumers (fp set, bucket set, count) and the
+    # two match sets two each (anti-join + count): materialize them so
+    # no branch replays the fingerprint scan (scan-lint)
+    eval_side = fp.filter(F.col("doc_id") % 10 == 0).localCheckpoint(eager=True)
     corpus = fp.filter(F.col("doc_id") % 10 != 0)
     truth = corpus.join(
         eval_side.select("fp").distinct(), "fp", "left_semi"
-    ).select("doc_id").distinct()
+    ).select("doc_id").distinct().localCheckpoint(eager=True)
     cands = corpus.join(
         F.broadcast(eval_side.select("bkt").distinct()), "bkt", "left_semi"
-    ).select("doc_id").distinct()
+    ).select("doc_id").distinct().localCheckpoint(eager=True)
     missed = truth.join(cands, "doc_id", "left_anti")
     ne = eval_side.agg(F.count(F.lit(1)).cast("bigint").alias("n_eval"))
     nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_matches"))

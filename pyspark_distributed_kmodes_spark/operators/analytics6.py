@@ -539,7 +539,7 @@ def qi05_grouped_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mergeable rollup: per-group histograms -> additive merge -> ALL row
     hist = o.groupBy("o_orderpriority", F.col("o_totalprice").alias("v")).agg(
         F.count(F.lit(1)).alias("c")
-    )
+    ).localCheckpoint(eager=True)  # (group, value) dictionary; merge + per-group consumers (scan-lint)
     merged = hist.groupBy("v").agg(F.sum("c").alias("c"))
     bkt = merged.withColumn("bkt", F.floor(F.col("v") / F.lit(1000.0)).cast("bigint"))
     wb = Window.orderBy("bkt")  # bounded: one row per 1000-wide price bucket

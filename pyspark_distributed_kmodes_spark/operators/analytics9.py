@@ -192,6 +192,7 @@ def k02_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.filter(F.col("wk") < _K02_WEEKS)
         .groupBy("user_id", "wk")
         .agg(F.max("p").alias("x"))
+        .localCheckpoint(eager=True)  # compact int grid; feeds L_i and G_j (scan-lint)
     )
     # The explicit user x week zero-fill is algebraically removable:
     # absent pairs contribute 0 to every L_i, G_j and moment, so L_i

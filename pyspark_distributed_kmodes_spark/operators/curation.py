@@ -181,7 +181,10 @@ def qc06_logprob_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents").select("doc_id", "lang")
     scored = qb12_unigram_logprob(spark, sf_dir).select("doc_id", "avg_logprob")
-    docs = d.join(scored, "doc_id")
+    # the scored join feeds the threshold learner AND the tiering pass;
+    # materialize it so the b12 LM scoring pipeline runs once, and the
+    # |langs|-row thresholds never replay it (scan-lint)
+    docs = d.join(scored, "doc_id").localCheckpoint(eager=True)
     thr = docs.groupBy("lang").agg(
         pround(F.expr("percentile(avg_logprob, 0.333)"), 6).alias("p33"),
         pround(F.expr("percentile(avg_logprob, 0.667)"), 6).alias("p67"),

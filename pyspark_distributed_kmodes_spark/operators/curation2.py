@@ -170,7 +170,11 @@ def qc09_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     AFTER the per-source roll-up, on a schema-bounded handful of rows.
     """
     d = table(spark, sf_dir, "documents")
-    tok = d.groupBy("source").agg(F.sum(F.size(_words())).cast("bigint").alias("n_tokens"))
+    # |sources|-row token census with many integer-bookkeeping
+    # consumers: materialize once (scan-lint)
+    tok = d.groupBy("source").agg(
+        F.sum(F.size(_words())).cast("bigint").alias("n_tokens")
+    ).localCheckpoint(eager=True)
     tot = tok.agg(F.sum("n_tokens").cast("double").alias("n"))
     powed = tok.crossJoin(F.broadcast(tot)).select(
         "source",

@@ -591,7 +591,7 @@ def qe26_quality_signal_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # for its own oracle); same distinct-(doc,word) shape as b12
     dw = d.select("doc_id", F.explode(words).alias("word")).groupBy("doc_id", "word").agg(
         F.count(F.lit(1)).alias("cnt_dw")
-    )
+    ).localCheckpoint(eager=True)  # feeds the vocab census AND the score join (scan-lint)
     freq = dw.groupBy("word").agg(F.sum("cnt_dw").alias("cnt"))
     total = freq.groupBy().agg(F.sum("cnt").cast("double").alias("n"))
     term = (
@@ -603,7 +603,9 @@ def qe26_quality_signal_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg((F.sum(term).cast("double") / F.sum("cnt_dw")).alias("logprob"))
     )
-    sig = base.join(lp, "doc_id")
+    # compact per-doc signal table; the decile learner and the fusion
+    # pass both consume it (scan-lint)
+    sig = base.join(lp, "doc_id").localCheckpoint(eager=True)
     qarr = F.array(*[F.lit(q) for q in _DECILES])
     bounds = sig.agg(
         F.percentile("unique_ratio", qarr).alias("bu"),

@@ -585,8 +585,15 @@ def q75_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         rep = side.groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
         return side.join(rep, ["_h", "doc_id"], "left_semi").select("doc_id", "text")
 
-    tr = shingle_df(_reps(train_all)).select(F.col("doc_id").alias("train_doc"), "shingle")
-    ev = shingle_df(_reps(eval_all)).select(F.col("doc_id").alias("eval_doc"), "shingle")
+    # both shingle indexes have two consumers each (hits + per_train /
+    # distinct set): materialize once so the collapse+shingle pipeline
+    # isn't replayed per consumer (scan-lint)
+    tr = shingle_df(_reps(train_all)).select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    ).localCheckpoint(eager=True)
+    ev = shingle_df(_reps(eval_all)).select(
+        F.col("doc_id").alias("eval_doc"), "shingle"
+    ).localCheckpoint(eager=True)
     hits = tr.join(ev, "shingle")
     # Both shingle inputs are distinct per (doc, shingle), so plain
     # COUNT(*) equals COUNT(DISTINCT shingle) on each aggregate below —

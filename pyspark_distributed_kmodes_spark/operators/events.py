@@ -429,9 +429,12 @@ def qe09_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
 
     def stage(prev, etype):
+        # each stage table has two consumers (the next stage's chain
+        # plus counts/deltas): materialize so every pushed-filter events
+        # scan runs once per stage, not once per consumer (scan-lint)
         nxt = e.filter(F.col("event_type") == etype)
         if prev is None:
-            return nxt.groupBy("user_id").agg(F.min("ts").alias("t"))
+            return nxt.groupBy("user_id").agg(F.min("ts").alias("t")).localCheckpoint(eager=True)
         return (
             nxt.join(
                 prev.select(F.col("user_id").alias("pu"), F.col("t").alias("pt")),
@@ -439,6 +442,7 @@ def qe09_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("user_id")
             .agg(F.min("ts").alias("t"))
+            .localCheckpoint(eager=True)
         )
 
     t1 = stage(None, "view")
@@ -878,9 +882,12 @@ def qe32_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
 
     def stage(prev, etype):
+        # each stage table has two consumers (the next stage's chain
+        # plus counts/deltas): materialize so every pushed-filter events
+        # scan runs once per stage, not once per consumer (scan-lint)
         nxt = e.filter(F.col("event_type") == etype)
         if prev is None:
-            return nxt.groupBy("user_id").agg(F.min("ts").alias("t"))
+            return nxt.groupBy("user_id").agg(F.min("ts").alias("t")).localCheckpoint(eager=True)
         return (
             nxt.join(
                 prev.select(F.col("user_id").alias("pu"), F.col("t").alias("pt")),
@@ -888,6 +895,7 @@ def qe32_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("user_id")
             .agg(F.min("ts").alias("t"))
+            .localCheckpoint(eager=True)
         )
 
     t1 = stage(None, "view")
