@@ -207,7 +207,9 @@ ORDER BY doc_a, doc_b
 """
 
 
-def ngram_jaccard_pairs(d: DataFrame, threshold: float = 0.2, max_df: int | None = None) -> DataFrame:
+def ngram_jaccard_pairs(
+    d: DataFrame, threshold: float = 0.2, max_df: int | None = None, materialize: bool = True
+) -> DataFrame:
     """Exact word-trigram Jaccard pairs over a `documents`-shaped DataFrame.
 
     Inverted-index formulation: explode distinct shingles, self-join on
@@ -251,8 +253,10 @@ def ngram_jaccard_pairs(d: DataFrame, threshold: float = 0.2, max_df: int | None
     # hot-set scan above): materialize once instead of recomputing the
     # explode+distinct per consumer — the same size class as the shuffle
     # that built it, and the ~10 callers of this helper all inherit the
-    # fix (scan-lint)
-    shingles = shingles.localCheckpoint(eager=True)
+    # fix (scan-lint). materialize=False keeps the lineage inspectable
+    # for plan pins (test_plans: the anti-join must stay in the shape).
+    if materialize:
+        shingles = shingles.localCheckpoint(eager=True)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = shingles.alias("a")
     b = shingles.alias("b")

@@ -110,7 +110,12 @@ def test_b05_chunking_no_shuffle_before_sort(spark, sf_dir):
 def test_q55_stop_shingle_filter_in_plan(spark, sf_dir):
     """The max_df hot-shingle filter must appear as a broadcast anti
     join feeding the pair self-join."""
-    from pyspark_distributed_kmodes_spark.operators.text import q55_ngram_jaccard
+    from pyspark_distributed_kmodes_spark.operators.text import ngram_jaccard_pairs
+    from pyspark_distributed_kmodes_spark.sources.tables import table
 
-    plan = formatted_plan(q55_ngram_jaccard(spark, sf_dir))
+    # materialize=False: the registered q55 eagerly checkpoints the
+    # shingle index (scan-lint), which hides the anti-join from the
+    # final plan; the pin inspects the un-materialized lineage
+    d = table(spark, sf_dir, "documents")
+    plan = formatted_plan(ngram_jaccard_pairs(d, threshold=0.2, max_df=100_000, materialize=False))
     assert "LeftAnti" in plan
