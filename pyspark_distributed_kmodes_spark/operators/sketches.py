@@ -66,6 +66,14 @@ def qb37_kll_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregates map-side; quantile reads happen on the merged
     sketch.
 
+    NOTE: this is the registry's ONE partition-VARIANT query (found by
+    the round-7 registry-wide invariance sweep): the KLL merge tree
+    follows the partitioning, so estimates move within the sketch's
+    rank-error envelope when shuffle.partitions changes. That is
+    inherent to mergeable sketches (fixing the merge order would defeat
+    re-mergeability); the guarantee itself is what's gated — rows-only
+    here, rank-error bound hash-audited in the g06/h18 family.
+
     Scale: exact percentiles (q14) need a full sort or a
     per-group value materialization; approx_percentile (a91) is
     one-shot. KLL sketches add the missing property for 100 TB
