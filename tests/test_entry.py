@@ -20,3 +20,18 @@ def test_every_oracle_key_has_a_query():
 def test_queries_are_callables():
     for name, fn in entrymod.queries().items():
         assert callable(fn), name
+
+
+def test_driver_window_is_the_staged_suite():
+    """The driver's CORRECTNESS file covers the first 50 keys in sorted
+    order; the rotation scheme (__spark_entry__.py docstring) promises
+    that window is exactly the never-driver-checked staged suite. Pin
+    it so a mis-rotation (a key accidentally sorting into/out of the
+    window) fails mechanically instead of wasting a driver round.
+    Round 7: the window is exactly j01-j50."""
+    import __spark_entry__ as entrymod
+
+    window = sorted(entrymod.queries())[:50]
+    assert all(k.startswith("j") for k in window), [k for k in window if not k.startswith("j")]
+    nums = sorted(int(k[1:3]) for k in window)
+    assert nums == list(range(1, 51))
