@@ -541,3 +541,73 @@ def test_capped_sessions_stream_matches_batch(spark, sf_dir, stream):
         (r.user_id, r.event_id): (r.island, r.chunk) for r in chunked.collect()
     }
     assert got == want
+
+
+def test_stateful_state_survives_checkpoint_restart(spark, sf_dir, tmp_path):
+    """GroupState must RESTORE across a stop/restart on the same
+    checkpoint: drain half the events, stop, drain the other half from
+    the checkpoint, and the final per-user running totals must equal
+    the batch aggregate over ALL events. If state were lost, the second
+    drain would report second-half-only counts."""
+    import glob
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from pyspark_distributed_kmodes_spark.sources.tables import table
+    from pyspark_distributed_kmodes_spark.streaming.jobs import running_user_totals_stream
+
+    src = tmp_path / "src"
+    log = tmp_path / "log"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    full = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw_schema = full.schema
+
+    def stage(half: int, name: str):
+        out = tmp_path / f"staging{half}"
+        full.filter(F.col("event_id") % 2 == half).coalesce(1).write.parquet(str(out))
+        part = glob.glob(str(out / "part-*.parquet"))[0]
+        shutil.copy(part, src / name)
+
+    def drain():
+        events = spark.readStream.schema(raw_schema).parquet(str(src))
+
+        def sink(batch_df, batch_id):
+            batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(str(log))
+
+        q = (
+            running_user_totals_stream(events)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    stage(0, "batch1.parquet")
+    drain()
+    stage(1, "batch2.parquet")
+    drain()
+
+    from pyspark.sql import Window as W
+
+    log_df = spark.read.parquet(str(log))
+    w = W.partitionBy("user_id").orderBy(F.desc("batch_id"))
+    final = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in log_df.withColumn("rn", F.row_number().over(w)).filter("rn = 1").collect()
+    }
+    want = {
+        r.user_id: (r.n, float(r.s))
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(final) == set(want)
+    for uid, (n, tot) in want.items():
+        assert final[uid][0] == n, f"user {uid}: state lost across restart"
+        assert abs(final[uid][1] - tot) < 1e-6 * max(1.0, abs(tot))
