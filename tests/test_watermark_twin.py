@@ -127,3 +127,112 @@ def test_batch_twin_agrees_with_ms_rule_when_no_boundary_landings(spark, sf_dir,
             ms_rule = (r.tus // 1000) < (max_us // 1000) - DELAY_MS
             assert us_rule == ms_rule, (r.event_id, r.tus, max_us)
         max_us = r.tus if max_us is None else max(max_us, r.tus)
+
+
+def test_watermark_survives_checkpoint_restart(spark, tmp_path):
+    """The event-time watermark is part of the checkpointed state: after
+    a stop/restart, rows older than the PERSISTED watermark must still
+    be dropped even though the new query instance has seen no data.
+    Control: the same late batch on a FRESH checkpoint (watermark
+    re-initialized) IS admitted — proving the drop comes from the
+    restored watermark, not from the data itself."""
+    import pandas as pd  # noqa: F401
+
+    src = tmp_path / "src"
+    log = tmp_path / "log"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    base_us = 1_700_000_000_000_000  # anchor event time (µs)
+
+    def write_batch(name, rows):
+        # FileStreamSource lists src non-recursively: stage the parquet
+        # then copy the single part-file in as a flat file
+        import glob
+        import shutil
+
+        df = spark.createDataFrame(rows, "event_id long, tus long").select(
+            "event_id", F.timestamp_micros(F.col("tus")).alias("ts")
+        )
+        staging = tmp_path / f"staging_{name}"
+        df.coalesce(1).write.parquet(str(staging))
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        shutil.copy(part, src / f"{name}.parquet")
+
+    # batch 1: 20 in-order events over ~100 minutes -> watermark lands
+    # at max_ts - 10 min, far past the first windows
+    write_batch("b1", [(i, base_us + i * 5 * 60_000_000) for i in range(20)])
+
+    def drain(checkpoint):
+        stream = spark.readStream.schema("event_id long, ts timestamp").parquet(str(src))
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(str(log))
+
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(checkpoint))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain(ckpt)
+    n_rows_after_b1 = spark.read.parquet(str(log)).count()
+
+    # batch 2: three rows hours BEFORE the persisted watermark, landing
+    # in the very first window (already emitted)
+    write_batch("b2", [(100 + i, base_us + i * 60_000_000) for i in range(3)])
+    drain(ckpt)  # RESTART on the same checkpoint
+    after_restart = spark.read.parquet(str(log))
+    # the late rows must be dropped: no new/updated window rows appear
+    assert after_restart.count() == n_rows_after_b1, (
+        "late rows were admitted after restart — watermark state lost"
+    )
+
+    # CONTROL: same source on a FRESH checkpoint admits those rows into
+    # the first window (watermark starts uninitialized), so the assert
+    # above is meaningful
+    log2, ckpt2 = tmp_path / "log2", tmp_path / "ckpt2"
+
+    def drain_fresh():
+        stream = spark.readStream.schema("event_id long, ts timestamp").parquet(str(src))
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(str(log2))
+
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(ckpt2))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain_fresh()
+    # 10-minute windows align to the epoch, not to base: the first
+    # window starts at base - (base mod 600 s)
+    first_ws_us = base_us - (base_us % (600 * 1_000_000))
+    first_window_n = (
+        spark.read.parquet(str(log2))
+        .filter(F.col("ws") == F.timestamp_micros(F.lit(first_ws_us)))
+        .agg(F.max("n"))
+        .first()[0]
+    )
+    # that window holds in-order events 0,1 (base+0, base+5 min) AND the
+    # three late ones (base+0,1,2 min) = 5 when everything is admitted
+    assert first_window_n == 5
