@@ -3,6 +3,8 @@ and a sample of results — the single-command view of everything the
 correctness gate compares.
 
     python tools/show_query.py <key> [sf_dir] [--no-run]
+    python tools/show_query.py                       # list everything
+    python tools/show_query.py --tag statistics      # list one domain
 """
 
 from __future__ import annotations
@@ -14,10 +16,16 @@ sys.path.insert(0, "/root/repo")
 
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    tag = None
+    if "--tag" in sys.argv:
+        tag = sys.argv[sys.argv.index("--tag") + 1]
+        args = [a for a in args if a != tag]
     if not args:
         from pyspark_distributed_kmodes_spark.registry import load_all
 
         for name, q in sorted(load_all().items()):
+            if tag is not None and tag not in q.tags:
+                continue
             kind = "oracle" if q.oracle else "rows-only"
             bench = " bench" if q.bench else ""
             print(f"{name:42s} {kind}{bench}  {','.join(q.tags)}")
