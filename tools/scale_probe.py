@@ -91,6 +91,11 @@ PROBE_QUERIES = [
     "k41_blocking_key_cost",
     "k46_dup_rate_by_length",
     "k50_powerlaw_alpha",
+    # round-7 conversion twins: constant fan-outs whose growth should
+    # stay ~linear (l13's exploded Lloyd step is k*dim per row)
+    "l11_lsh_routing_audit",
+    "l13_lloyd_step_audit",
+    "l14_projection_variance_audit",
 ]
 
 
