@@ -71,6 +71,19 @@ this). History:
            fills rounds 8-9); round-7 additions are oracle-gated
            conversion twins for previously rows-only keys, keyed
            l11+ so they extend the existing round-9 l-suite staging.
+  round 8: all 50 round-7 window keys came back green in
+           CORRECTNESS_r07 (the third consecutive 50/50 hash-match
+           round), so they rotate out: j01-j50 -> qj01-qj50 (number
+           = query identity, e.g. qj01 === j01 === round-7 ROC-AUC).
+           The 50 staged k-keys now sort first — the round-8 window
+           is exactly k01-k50. Round-9 staging (per the round-7
+           verdict): the 14 l-keys plus up to 36 NEW m-keys (m sorts
+           between l and q), one of which is the RE-KEYED
+           q58_language_id -> m58_language_id (same query, same
+           oracle; q58's only driver row predates its oracle, so it
+           is the one oracle-gated key with no driver hash row — the
+           m-key puts it back inside a window). Round-9 window:
+           l01-l14 + m01-m35 + m58 = exactly 50.
 
 Implementations live in pyspark_distributed_kmodes_spark/; this module
 is a thin adapter over its registry.

@@ -14,10 +14,10 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 from pyspark_distributed_kmodes_spark.operators.analytics8 import (
-    j20_levene_test,
-    j23_mann_kendall,
-    j27_mcnemar_paired,
-    j48_welch_ttest,
+    qj20_levene_test,
+    qj23_mann_kendall,
+    qj27_mcnemar_paired,
+    qj48_welch_ttest,
 )
 from pyspark_distributed_kmodes_spark.operators.analytics9 import (
     k01_friedman_test,
@@ -35,23 +35,23 @@ def main():
     spark = get_spark("statistics-suite")
 
     print("== are en/de doc lengths different? (Welch t, unequal variances) ==")
-    j48_welch_ttest(spark, sf_dir).show()
+    qj48_welch_ttest(spark, sf_dir).show()
     print("== ... and by how much? (Cohen's d — sample-size-free) ==")
     k07_effect_size_d(spark, sf_dir).show()
     print("== ... and how far apart are the DISTRIBUTIONS? (exact 1-D Wasserstein) ==")
     k32_wasserstein_distance(spark, sf_dir).show()
 
     print("== is daily volume trending? (Mann-Kendall, tie-corrected) ==")
-    j23_mann_kendall(spark, sf_dir).show()
+    qj23_mann_kendall(spark, sf_dir).show()
     print("== did per-user conversion change half-over-half? (McNemar, paired) ==")
-    j27_mcnemar_paired(spark, sf_dir).show()
+    qj27_mcnemar_paired(spark, sf_dir).show()
     print("== ... and week-over-week across four weeks? (Cochran's Q) ==")
     k02_cochran_q(spark, sf_dir).show()
 
     print("== do priorities differ consistently across years? (Friedman blocks) ==")
     k01_friedman_test(spark, sf_dir).show()
     print("== is the variance even homogeneous? (Brown-Forsythe) ==")
-    j20_levene_test(spark, sf_dir).show()
+    qj20_levene_test(spark, sf_dir).show()
     print("== how heavy are the tails vs sigma-rules? (Chebyshev coverage) ==")
     k08_chebyshev_coverage(spark, sf_dir).show()
     print("== where did the YoY change come from? (shift-share decomposition) ==")

@@ -41,7 +41,7 @@ from pyspark_distributed_kmodes_spark.sources.tables import spread, table
 
 
 @query(
-    "j01_roc_auc",
+    "qj01_roc_auc",
     oracle=f"""
 WITH users AS (
   SELECT user_id,
@@ -68,7 +68,7 @@ FROM moms
 """,
     tags=("ml", "statistics"),
 )
-def j01_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj01_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT ROC-AUC as the Mann-Whitney rank statistic — the
     standard offline eval for a ranking model, computed without a
     threshold sweep: AUC = (R⁺ − n⁺(n⁺+1)/2)/(n⁺n⁻) with AVERAGE
@@ -119,7 +119,7 @@ def j01_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "j02_anova_f",
+    "qj02_anova_f",
     oracle=f"""
 WITH g AS (
   SELECT o_orderpriority,
@@ -161,7 +161,7 @@ FROM parts
 """,
     tags=("statistics",),
 )
-def j02_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj02_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-way ANOVA of order value across the five priorities: the
     F statistic and effect size (eta²) assembled from per-group
     moments. First moments are exact decimal sums (the qg16/i06
@@ -231,7 +231,7 @@ def j02_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "j03_mann_whitney_u",
+    "qj03_mann_whitney_u",
     oracle=f"""
 WITH vals AS (
   SELECT n_chars AS v,
@@ -259,7 +259,7 @@ FROM moms
 """,
     tags=("statistics",),
 )
-def j03_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj03_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tie-corrected Mann-Whitney U (Wilcoxon rank-sum) comparing the
     document-length distributions of two sources — the nonparametric
     "are these distributions shifted" test that qd10's KS complements
@@ -311,7 +311,7 @@ def j03_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "j04_confusion_matrix",
+    "qj04_confusion_matrix",
     oracle=f"""
 WITH preds AS (
   SELECT CAST(label AS BIGINT) AS truth,
@@ -332,7 +332,7 @@ FROM per_class ORDER BY cls
 """,
     tags=("ml", "statistics"),
 )
-def j04_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj04_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-class confusion-matrix metrics (precision/recall/F1) for a
     deterministic pseudo-classifier (true label md5-perturbed with 20%
     class-shift noise — the engine-portable stand-in for a model
@@ -409,7 +409,7 @@ def j04_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "j05_max_drawdown",
+    "qj05_max_drawdown",
     oracle=f"""
 WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS day, {sql_dsum('o_totalprice')} AS rev
@@ -432,7 +432,7 @@ FROM worst
 """,
     tags=("timeseries", "statistics"),
 )
-def j05_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj05_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximum drawdown of the daily revenue series — the largest
     peak-to-trough relative drop ((running-max − value)/running-max),
     the risk statistic that rolling means hide: a series can trend up
@@ -471,7 +471,7 @@ _J06_B = "MACHINERY"
 
 
 @query(
-    "j06_rolling_correlation",
+    "qj06_rolling_correlation",
     oracle=f"""
 WITH daily AS (
   SELECT CAST(o.o_orderdate AS DATE) AS day,
@@ -500,7 +500,7 @@ ORDER BY day_idx
 """,
     tags=("timeseries", "statistics"),
 )
-def j06_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj06_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """{_J06_WIN}-day rolling Pearson correlation between two market
     segments' daily order counts — the co-movement monitor behind
     "did these product lines decouple": exact integer moments per
@@ -563,7 +563,7 @@ from pyspark_distributed_kmodes_spark.operators.analytics6 import (  # noqa: E40
 
 
 @query(
-    "j07_degree_assortativity",
+    "qj07_degree_assortativity",
     oracle=f"""
 WITH {_I_SHINGLE_CTE.lstrip()},
 pairs AS (
@@ -597,7 +597,7 @@ FROM moms
 """,
     tags=("graph", "statistics", "dedup"),
 )
-def j07_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj07_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity of the near-dup graph — the Pearson
     correlation of endpoint degrees over the symmetrized edge list:
     positive = duplicate CLIQUES (high-degree docs link to each
@@ -654,7 +654,7 @@ _J08_N = 100
 
 
 @query(
-    "j08_binaryfile_source",
+    "qj08_binaryfile_source",
     oracle=f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
        CAST(SUM(len(text)) AS BIGINT) AS bytes_total,
@@ -663,7 +663,7 @@ FROM documents WHERE doc_id < {_J08_N}
 """,
     tags=("source", "multimodal"),
 )
-def j08_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj08_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's built-in `binaryFile` source end-to-end — the REAL
     ingestion path for the multimodal lane (images/audio arrive as
     opaque files; multimodal/binary.py starts from a binary COLUMN,
@@ -683,7 +683,7 @@ def j08_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    base = tempfile.mkdtemp(prefix="j08_bin_")
+    base = tempfile.mkdtemp(prefix="qj08_bin_")
     try:
         d = table(spark, sf_dir, "documents")
         rows = (
@@ -712,7 +712,7 @@ def j08_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "j09_text_source_roundtrip",
+    "qj09_text_source_roundtrip",
     oracle="""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
        CAST(SUM(len(text)) AS BIGINT) AS chars_total,
@@ -721,7 +721,7 @@ FROM documents
 """,
     tags=("source",),
 )
-def j09_text_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj09_text_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-oriented text source round trip (spark.read/write.text) —
     the rawest ingestion format in the source matrix after parquet/
     ORC/CSV/JSONL/binaryFile: documents' text written one line per
@@ -737,7 +737,7 @@ def j09_text_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    base = tempfile.mkdtemp(prefix="j09_text_")
+    base = tempfile.mkdtemp(prefix="qj09_text_")
     try:
         d = table(spark, sf_dir, "documents")
         d.select("text").write.mode("overwrite").text(base + "/lines")
@@ -757,7 +757,7 @@ def j09_text_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "j10_cohens_kappa",
+    "qj10_cohens_kappa",
     oracle=f"""
 WITH ann AS (
   SELECT {_sql_md5fold('text')} % 3 AS a1,
@@ -785,7 +785,7 @@ GROUP BY t.n, g.diag
 """,
     tags=("statistics", "ml"),
 )
-def j10_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj10_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa — chance-corrected inter-annotator agreement
     between two deterministic md5 pseudo-annotators (text vs
     reversed-text hash, 3 classes): kappa = (p_o − p_e)/(1 − p_e)
@@ -835,7 +835,7 @@ def j10_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "j11_seasonal_strength",
+    "qj11_seasonal_strength",
     oracle=f"""
 WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS day,
@@ -866,7 +866,7 @@ FROM parts
 """,
     tags=("timeseries", "statistics"),
 )
-def j11_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj11_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal STRENGTH of the weekday pattern in daily revenue: the
     fraction of day-to-day revenue variance explained by day-of-week
     (eta² of a one-way decomposition over the 7 weekday groups, plus
@@ -935,7 +935,7 @@ _J12_SHARDS = 8
 
 
 @query(
-    "j12_histogram_merge_audit",
+    "qj12_histogram_merge_audit",
     oracle=f"""
 WITH rng AS (
   SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
@@ -956,7 +956,7 @@ ORDER BY m.bin
 """,
     tags=("statistics", "audit"),
 )
-def j12_histogram_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj12_histogram_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable equi-width histogram: {_J12_BINS} bins over the order-
     value range built independently per shard (orderkey % {_J12_SHARDS})
     and merged by addition, oracle-asserted equal to the direct
@@ -1002,7 +1002,7 @@ _J13_MAX_LAG = 60
 
 
 @query(
-    "j13_theilsen_slope",
+    "qj13_theilsen_slope",
     oracle=f"""
 WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -1025,7 +1025,7 @@ FROM cum
 """,
     tags=("timeseries", "statistics"),
 )
-def j13_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj13_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lag-bounded Theil-Sen trend estimator: the median of pairwise
     slopes (c₂−c₁)/(d₂−d₁) over day pairs at most {_J13_MAX_LAG} days
     apart — the robust trend line ordinary OLS (i06) can't give you
@@ -1077,7 +1077,7 @@ def j13_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "j14_nearest_centroid_eval",
+    "qj14_nearest_centroid_eval",
     oracle=f"""
 WITH pe AS (
   SELECT vec_id, CAST(label AS BIGINT) AS lbl, t.pos, CAST(t.val AS DOUBLE) AS x
@@ -1110,7 +1110,7 @@ GROUP BY lbl ORDER BY label
 """,
     tags=("ml", "vector"),
 )
-def j14_nearest_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj14_nearest_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-centroid classifier evaluated in-engine: per-label mean
     vectors (qb08's dimension-wise centroid, pround(9)-stabilized so
     both engines hold bit-identical prototypes), every embedding
@@ -1160,7 +1160,7 @@ _J15_MAX_WEEKS = 26
 
 
 @query(
-    "j15_kaplan_meier",
+    "qj15_kaplan_meier",
     oracle=f"""
 WITH firsts AS (
   SELECT o_custkey,
@@ -1209,7 +1209,7 @@ FROM km ORDER BY week
 """,
     tags=("statistics", "timeseries"),
 )
-def j15_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj15_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier survival curve for time-to-reorder: per customer,
     the weeks from first order to second order (event) or to the data
     horizon (right-censored); S(t) = Π(1 − d_t/n_t) over weekly risk
@@ -1296,7 +1296,7 @@ def j15_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "j16_generalized_means",
+    "qj16_generalized_means",
     oracle=f"""
 SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n,
@@ -1309,7 +1309,7 @@ ORDER BY l_returnflag
 """,
     tags=("statistics", "relational"),
 )
-def j16_generalized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj16_generalized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Pythagorean means per group in one pass: arithmetic (exact
     decimal sum), geometric (exp of the DECIMAL-summed log terms —
     the right average for ratios and growth rates), harmonic (the
@@ -1356,7 +1356,7 @@ SELECT CAST({th} AS DOUBLE) AS threshold,
 
 
 @query(
-    "j17_dedup_threshold_sweep",
+    "qj17_dedup_threshold_sweep",
     oracle=f"""
 WITH {_I_SHINGLE_CTE.lstrip()},
 pairs AS (
@@ -1374,7 +1374,7 @@ ORDER BY threshold
 """,
     tags=("dedup", "audit"),
 )
-def j17_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj17_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup THRESHOLD sensitivity sweep: edge count and documents
     touched at Jaccard >= 0.1/0.2/0.3/0.5, all read off ONE pair
     computation — the tuning run a curation team does before fixing
@@ -1441,7 +1441,7 @@ _J18_MIN_WORDS = 20
 
 
 @query(
-    "j18_filter_attrition_funnel",
+    "qj18_filter_attrition_funnel",
     oracle=f"""
 WITH scored AS (
   SELECT source,
@@ -1464,7 +1464,7 @@ ORDER BY source
 """,
     tags=("text", "curation", "audit"),
 )
-def j18_filter_attrition_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj18_filter_attrition_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-filter ATTRITION FUNNEL: the three standard gates
     (min chars, min words, max top-word repetition share) applied as
     a sequenced funnel with per-source survival counts at each stage

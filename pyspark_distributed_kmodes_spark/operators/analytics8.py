@@ -51,7 +51,7 @@ _SQL_DAY_IDX = f"epoch_us(date_trunc('day', ts)) // {_DAY_US}"
 
 
 @query(
-    "j19_kendall_tau",
+    "qj19_kendall_tau",
     oracle="""
 WITH cells AS (
   SELECT l_quantity AS q, l_discount AS d, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -89,7 +89,7 @@ FROM pairs p, qm, dm, tot t
     ),
     tags=("statistics",),
 )
-def j19_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj19_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kendall tau-b rank correlation between l_quantity and l_discount
     — the standard nonparametric association measure for heavily-tied
     ordinal data — computed EXACTLY over the joint value DICTIONARY
@@ -150,7 +150,7 @@ def j19_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "j20_levene_test",
+    "qj20_levene_test",
     oracle=f"""
 WITH med AS (
   SELECT o_orderpriority AS grp, median(o_totalprice) AS med
@@ -181,7 +181,7 @@ FROM gl g, num, den
 """,
     tags=("statistics",),
 )
-def j20_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj20_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brown-Forsythe test (Levene's test with the median center) for
     homogeneity of o_totalprice variance across the 5 order priorities:
     z_ij = |x_ij - median_j|, W = ((N-k)/(k-1)) * SUM n_j(zbar_j-zbar)^2
@@ -256,7 +256,7 @@ def j20_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "j21_jarque_bera",
+    "qj21_jarque_bera",
     oracle=f"""
 WITH s AS (
   SELECT lang,
@@ -283,7 +283,7 @@ ORDER BY lang
 """,
     tags=("statistics", "text"),
 )
-def j21_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj21_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jarque-Bera normality test of the per-language document-length
     distribution: skewness g1 = m3/m2^1.5, excess kurtosis g2 = m4/m2^2
     - 3, JB = n/6 (g1^2 + g2^2/4) — the standard screen before any
@@ -335,7 +335,7 @@ def j21_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "j22_cramers_v",
+    "qj22_cramers_v",
     oracle=f"""
 WITH cells AS (
   SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
@@ -364,7 +364,7 @@ FROM chi CROSS JOIN tot t
 """,
     tags=("statistics", "text"),
 )
-def j22_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj22_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cramer's V effect size for the lang x source contingency of the
     document corpus, both the classical estimator sqrt(phi2/min(r-1,c-1))
     and the Bergsma-Wicher bias-CORRECTED version (phi2 shrunk by
@@ -425,7 +425,7 @@ def j22_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "j23_mann_kendall",
+    "qj23_mann_kendall",
     oracle=f"""
 WITH daily AS (
   SELECT {_SQL_DAY_IDX} AS di, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -448,7 +448,7 @@ FROM s, ties, nn
 """,
     tags=("statistics", "events"),
 )
-def j23_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj23_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Kendall nonparametric trend test on the daily event-count
     series: S = sum over day pairs i<j of sign(c_j - c_i), variance with
     the tie correction sum t(t-1)(2t+5)/18, continuity-corrected
@@ -508,7 +508,7 @@ def j23_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "j24_runs_test",
+    "qj24_runs_test",
     oracle=f"""
 WITH daily AS (
   SELECT {_SQL_DAY_IDX} AS di, {sql_dsum('value')} AS rev
@@ -534,7 +534,7 @@ FROM runs
 """,
     tags=("statistics", "events"),
 )
-def j24_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj24_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wald-Wolfowitz runs test for randomness of the daily revenue
     series: days are labeled above/below the median daily revenue
     (median-equal days dropped, the textbook convention), runs of equal
@@ -592,7 +592,7 @@ def j24_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "j25_durbin_watson",
+    "qj25_durbin_watson",
     oracle=f"""
 WITH daily AS (
   SELECT {_SQL_DAY_IDX} AS di, {sql_dsum('value')} AS rev
@@ -618,7 +618,7 @@ FROM sums CROSS JOIN mu
 """,
     tags=("statistics", "events"),
 )
-def j25_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj25_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Durbin-Watson statistic of the mean-centered daily revenue
     series: DW = sum (e_t - e_{t-1})^2 / sum e_t^2 (and the implied
     lag-1 autocorrelation rho_hat = 1 - DW/2) — the classical residual
@@ -677,7 +677,7 @@ def _ewma_weights() -> list[float]:
 
 
 @query(
-    "j26_ewma_anomaly",
+    "qj26_ewma_anomaly",
     oracle=f"""
 WITH daily AS (
   SELECT {_SQL_DAY_IDX} AS di, {sql_dsum('value')} AS rev
@@ -701,7 +701,7 @@ ORDER BY day_index
 """,
     tags=("events", "timeseries"),
 )
-def j26_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj26_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truncated exponentially-weighted moving average of daily revenue
     (lambda=0.3, 7-day horizon, weights renormalized over the available
     lags) plus each day's deviation from it — the EWMA control-chart
@@ -746,7 +746,7 @@ def j26_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "j27_mcnemar_paired",
+    "qj27_mcnemar_paired",
     oracle=f"""
 WITH bounds AS (
   SELECT MIN({_SQL_DAY_IDX}) AS lo, MAX({_SQL_DAY_IDX}) AS hi FROM events
@@ -769,7 +769,7 @@ FROM per_user
 """,
     tags=("statistics", "events"),
 )
-def j27_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj27_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
     """McNemar's test for paired binary outcomes: did each user purchase
     in the FIRST half vs the SECOND half of the observation window
     (paired by user), with the continuity-corrected statistic
@@ -816,7 +816,7 @@ def j27_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "j28_burstiness_index",
+    "qj28_burstiness_index",
     oracle="""
 WITH gaps AS (
   SELECT event_type,
@@ -847,7 +847,7 @@ ORDER BY event_type
     ),
     tags=("events", "timeseries"),
 )
-def j28_burstiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj28_burstiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Goh-Barabasi burstiness index B = (sigma - mu)/(sigma + mu) of
     inter-arrival gaps per event type (B -> -1 periodic, 0 Poisson,
     -> +1 bursty), plus the coefficient of variation — the standard
@@ -890,7 +890,7 @@ def j28_burstiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "j29_time_weighted_avg",
+    "qj29_time_weighted_avg",
     oracle="""
 WITH stepped AS (
   SELECT user_id, value,
@@ -909,7 +909,7 @@ ORDER BY user_id
 """.replace("{TWA}", sql_pround("wsum / span", 6)),
     tags=("events", "timeseries"),
 )
-def j29_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj29_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average of each user's `value` signal under
     step-function (last-observation-carried-forward) semantics: each
     reading holds until the user's next event, so TWA = sum(value *
@@ -951,7 +951,7 @@ _SESS_CAP_US = 12 * 3600 * 1_000_000  # hard cap: split longer sessions
 
 
 @query(
-    "j30_capped_sessions",
+    "qj30_capped_sessions",
     oracle=f"""
 WITH marked AS (
   SELECT user_id, epoch_us(ts) AS us,
@@ -982,7 +982,7 @@ FROM sess
 """,
     tags=("events", "sessionization"),
 )
-def j30_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj30_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization with BOTH an idle timeout (4 h gap breaks the
     session — q32's session_window semantics) and a hard duration CAP
     (12 h): idle islands come from the classic running-sum-of-breaks
@@ -1040,7 +1040,7 @@ _J31_TXN_ASOF = "1997-07-01"  # transaction-time cut T
 
 
 @query(
-    "j31_bitemporal_asof",
+    "qj31_bitemporal_asof",
     oracle=f"""
 WITH revisions AS (
   SELECT l.l_partkey, l.l_extendedprice AS price, l.l_shipdate AS valid_from,
@@ -1065,7 +1065,7 @@ ORDER BY brand
 """,
     tags=("join", "cdc"),
 )
-def j31_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj31_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitemporal point-in-time lookup — the SCD/warehouse query q33's
     single-axis as-of join cannot express: treating each lineitem as a
     price REVISION of its part with valid_from = l_shipdate (when the
@@ -1113,7 +1113,7 @@ def j31_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "j32_fk_cascade_orphans",
+    "qj32_fk_cascade_orphans",
     oracle="""
 WITH deleted_cust AS (
   SELECT c_custkey FROM customer WHERE c_acctbal < 0
@@ -1135,7 +1135,7 @@ SELECT
     ),
     tags=("audit", "join"),
 )
-def j32_fk_cascade_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj32_fk_cascade_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cascade-delete impact preflight across TWO foreign-key hops:
     deleting negative-balance customers orphans their orders, which
     orphans those orders' lineitems — report the row count at each hop
@@ -1175,7 +1175,7 @@ _J33_SHARDS = 8
 
 
 @query(
-    "j33_mergeable_variance",
+    "qj33_mergeable_variance",
     oracle=f"""
 WITH shards AS (
   SELECT {_sql_md5fold('CAST(o_orderkey AS VARCHAR)')} % {_J33_SHARDS} AS shard,
@@ -1203,7 +1203,7 @@ FROM merged m CROSS JOIN direct d
 """,
     tags=("statistics", "audit"),
 )
-def j33_mergeable_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj33_mergeable_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-variance audit: per-shard EXACT carriers (n, sum,
     sum-of-squares as DECIMALs — o_totalprice is on the cent lattice, so
     x and x^2 are exactly representable) merge by plain addition into
@@ -1260,7 +1260,7 @@ def j33_mergeable_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "j34_write_audit_publish",
+    "qj34_write_audit_publish",
     oracle=f"""
 WITH src AS (
   SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 0
@@ -1278,7 +1278,7 @@ FROM src
 """,
     tags=("source", "audit"),
 )
-def j34_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj34_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-Audit-Publish (the Iceberg/Netflix WAP pattern) over the
     parquet sink: the curated snapshot is written to a STAGING path,
     audited there (null keys, duplicate keys, domain violations), and
@@ -1297,7 +1297,7 @@ def j34_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    base = tempfile.mkdtemp(prefix="j34_wap_")
+    base = tempfile.mkdtemp(prefix="qj34_wap_")
     staging, published = os.path.join(base, "staging"), os.path.join(base, "published")
     try:
         src = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars").filter(
@@ -1341,7 +1341,7 @@ _J35_TARGET = 50_000  # target bin size in chars
 
 
 @query(
-    "j35_compaction_binpack",
+    "qj35_compaction_binpack",
     oracle=f"""
 WITH files AS (
   SELECT source || '/' || lang AS file_id, CAST(SUM(n_chars) AS BIGINT) AS size
@@ -1362,7 +1362,7 @@ ORDER BY bin
 """,
     tags=("audit", "source"),
 )
-def j35_compaction_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj35_compaction_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction planner: model each (source, lang) slice as
     a "file" with its total char size, then assign files to target-sized
     compaction bins by sorted-fill — order files largest-first (ties by
@@ -1403,7 +1403,7 @@ _J36_LO, _J36_HI = 200, 260  # point-range predicate on n_chars
 
 
 @query(
-    "j36_minmax_pruning_audit",
+    "qj36_minmax_pruning_audit",
     oracle=f"""
 WITH lattice AS (
   SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS cnt FROM documents GROUP BY n_chars
@@ -1441,7 +1441,7 @@ SELECT layout, n_files, files_scanned, rows_matched FROM (
 """,
     tags=("audit", "source"),
 )
-def j36_minmax_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj36_minmax_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min/max (zone-map) pruning effectiveness audit: assign documents
     to {_J36_FILES} files under (a) a CLUSTERED layout — files take
     contiguous runs of the sorted n_chars value lattice, the effect of
@@ -1505,7 +1505,7 @@ _J37_SPLIT = "1999-01-01"  # base/delta split on o_orderdate
 
 
 @query(
-    "j37_incremental_agg_maintenance",
+    "qj37_incremental_agg_maintenance",
     oracle=f"""
 WITH base AS (
   SELECT o_orderpriority AS pri, CAST(year(o_orderdate) AS BIGINT) AS yr,
@@ -1539,7 +1539,7 @@ ORDER BY pri, yr
 """,
     tags=("audit", "cdc"),
 )
-def j37_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj37_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance audit: the
     (priority, year) revenue rollup is computed (a) the incremental way
     — a BASE aggregate over history plus a DELTA aggregate over the new
@@ -1606,7 +1606,7 @@ _J38_MOD = 16  # sample 1 block in 16
 
 
 @query(
-    "j38_block_sample_estimate",
+    "qj38_block_sample_estimate",
     oracle=f"""
 WITH sampled AS (
   SELECT o_totalprice FROM orders
@@ -1629,7 +1629,7 @@ FROM est s CROSS JOIN exact_ e
 """,
     tags=("audit", "statistics"),
 )
-def j38_block_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj38_block_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-sampling estimator audit: sample 1-in-{_J38_MOD} BLOCKS of
     {_J38_BLOCK} consecutive order keys (simulating parquet row-group
     sampling, where I/O is saved only if whole blocks are skipped —
@@ -1682,7 +1682,7 @@ def j38_block_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "j39_groupby_cardinality_audit",
+    "qj39_groupby_cardinality_audit",
     oracle="""
 WITH a1 AS (
   SELECT 'orders.priority_x_year' AS pair_name,
@@ -1705,7 +1705,7 @@ ORDER BY pair_name
 """.replace("{R}", sql_pround("CAST(d_joint AS DOUBLE) / (d_a * d_b)", 6)),
     tags=("audit",),
 )
-def j39_groupby_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj39_groupby_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-column cardinality audit: for two column pairs, compare the
     JOINT distinct count against the independence product |A| x |B| and
     report the correlation factor joint/(|A||B|) — the number behind
@@ -1753,7 +1753,7 @@ def j39_groupby_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
-    "j40_dynamic_partition_overwrite",
+    "qj40_dynamic_partition_overwrite",
     oracle=f"""
 WITH after AS (
   SELECT o_orderpriority,
@@ -1768,7 +1768,7 @@ FROM after
 """,
     tags=("source", "cdc"),
 )
-def j40_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj40_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic partition overwrite (partitionOverwriteMode=dynamic) over
     a hive-partitioned parquet sink: orders are written partitioned by
     priority, then a rewrite batch containing ONLY the 1-URGENT
@@ -1787,7 +1787,7 @@ def j40_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
     import shutil
     import tempfile
 
-    base = tempfile.mkdtemp(prefix="j40_dpo_")
+    base = tempfile.mkdtemp(prefix="qj40_dpo_")
     conf_key = "spark.sql.sources.partitionOverwriteMode"
     old = spark.conf.get(conf_key, "STATIC")
     try:
@@ -1823,7 +1823,7 @@ def j40_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
-    "j41_average_precision",
+    "qj41_average_precision",
     oracle=f"""
 WITH users AS (
   SELECT user_id,
@@ -1850,7 +1850,7 @@ FROM ap
 """,
     tags=("ml", "statistics"),
 )
-def j41_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj41_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Average precision of the ranking model from j01 (md5 pseudo-score
     vs purchase label), at SCORE-BUCKET granularity: users sharing a
     score form one retrieval step, each bucket contributes
@@ -1904,7 +1904,7 @@ def j41_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "j42_charclass_profile",
+    "qj42_charclass_profile",
     oracle=f"""
 WITH per_doc AS (
   SELECT source,
@@ -1926,7 +1926,7 @@ ORDER BY source
 """,
     tags=("text",),
 )
-def j42_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj42_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-class composition per source — digit, whitespace and
     punctuation ratios over total characters — the cheap corpus-quality
     fingerprint that catches machine-generated tables (digit-heavy),
@@ -1973,7 +1973,7 @@ _J43_LO, _J43_HI = 0.05, 0.95
 
 
 @query(
-    "j43_doc_length_percentile",
+    "qj43_doc_length_percentile",
     oracle=f"""
 WITH lattice AS (
   SELECT lang, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -2001,7 +2001,7 @@ ORDER BY lang
 """,
     tags=("text", "curation"),
 )
-def j43_doc_length_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj43_doc_length_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language document-length tail cuts: the largest length whose
     cumulative share is <= 5% (low_cut) and the smallest with
     cumulative share >= 95% (high_cut), plus how many documents each
@@ -2063,7 +2063,7 @@ def j43_doc_length_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "j44_union_schema_reconcile",
+    "qj44_union_schema_reconcile",
     oracle="""
 WITH legacy AS (
   SELECT doc_id, n_chars, NULL AS lang, NULL AS source
@@ -2083,7 +2083,7 @@ FROM unioned
 """,
     tags=("source", "relational"),
 )
-def j44_union_schema_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj44_union_schema_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema reconciliation across table GENERATIONS with
     unionByName(allowMissingColumns=True): a legacy batch lacking the
     lang/source columns unions with the modern batch BY NAME — Spark
@@ -2118,7 +2118,7 @@ _J45_SEG_WORDS = 10
 
 
 @query(
-    "j45_boilerplate_position",
+    "qj45_boilerplate_position",
     oracle=f"""
 WITH segs AS (
   SELECT doc_id,
@@ -2147,7 +2147,7 @@ ORDER BY position
     tags=("dedup", "text"),
     bench=True,
 )
-def j45_boilerplate_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj45_boilerplate_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate rate CONDITIONED on segment position: cut documents
     into {_J45_SEG_WORDS}-word segments (qf13's segmentation), mark a
     segment shared when its hash appears in more than one document,
@@ -2214,7 +2214,7 @@ def _weekday_prefix(col: Column) -> Column:
 
 
 @query(
-    "j46_business_days_latency",
+    "qj46_business_days_latency",
     oracle=f"""
 WITH lat AS (
   SELECT o.o_orderpriority AS pri,
@@ -2232,7 +2232,7 @@ ORDER BY pri
 """,
     tags=("relational", "timeseries"),
 )
-def j46_business_days_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj46_business_days_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Business-day (Mon-Fri) shipping latency per order priority:
     weekdays strictly after the order date up to and including the ship
     date, computed with the WEEKDAY-PREFIX closed form — W(d) = number
@@ -2281,7 +2281,7 @@ _J47_BUCKET = 1000.0  # price quantization for the bounded lattice
 
 
 @query(
-    "j47_range_partition_balance",
+    "qj47_range_partition_balance",
     oracle=f"""
 WITH lattice AS (
   SELECT CAST(floor(o_totalprice / {_J47_BUCKET}) AS BIGINT) AS b, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -2305,7 +2305,7 @@ ORDER BY partition_id
 """,
     tags=("audit",),
 )
-def j47_range_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj47_range_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range-partitioning balance audit: derive {_J47_PARTS} range
     boundaries for o_totalprice from exact cumulative counts over a
     $1000-quantized value lattice (each bucket lands in the partition
@@ -2354,7 +2354,7 @@ def j47_range_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "j48_welch_ttest",
+    "qj48_welch_ttest",
     oracle="""
 WITH s AS (
   SELECT lang,
@@ -2387,7 +2387,7 @@ FROM w
     ),
     tags=("statistics", "text"),
 )
-def j48_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj48_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's unequal-variance t-test comparing mean document length
     between the 'en' and 'de' strata, with the Welch-Satterthwaite
     effective degrees of freedom — the CORRECT two-sample mean test
@@ -2445,7 +2445,7 @@ def j48_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "j49_interval_intersection_volume",
+    "qj49_interval_intersection_volume",
     oracle=f"""
 WITH spans AS (
   SELECT user_id, {_SQL_DAY_IDX} AS di,
@@ -2476,7 +2476,7 @@ ORDER BY day_index
 """,
     tags=("events", "join", "timeseries"),
 )
-def j49_interval_intersection_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj49_interval_intersection_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval x interval intersection VOLUME: each user's daily
     activity span [first event, last event] is intersected with that
     day's incident window (the hour with the most error events, ties to
@@ -2535,7 +2535,7 @@ def j49_interval_intersection_volume(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
-    "j50_cogrouped_applyinpandas",
+    "qj50_cogrouped_applyinpandas",
     oracle="""
 WITH per_order AS (
   SELECT o.o_orderkey, o.o_orderpriority AS pri,
@@ -2556,7 +2556,7 @@ ORDER BY pri
     tags=("udf", "join"),
     bench=True,
 )
-def j50_cogrouped_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qj50_cogrouped_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogrouped applyInPandas — the one Arrow UDF entry point the UDF
     surface (qb01/qb03/qb04/qb41) did not yet cover: orders and
     lineitems are COGROUPED by a 64-way bucket of the order key (one Arrow batch per

@@ -3127,7 +3127,7 @@ WITH keys AS (
 SELECT blocking_key,
        CAST(COUNT(*) AS BIGINT) AS n_buckets,
        CAST(MAX(c) AS BIGINT) AS max_bucket,
-       CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS candidate_pairs
+       CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS candidate_pairs
 FROM buckets
 GROUP BY blocking_key
 ORDER BY blocking_key
@@ -3168,9 +3168,9 @@ def k41_blocking_key_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
             F.max("c").cast("bigint").alias("max_bucket"),
-            F.sum((F.col("c") * (F.col("c") - 1) / 2).cast("bigint")).cast("bigint").alias(
-                "candidate_pairs"
-            ),
+            # integer DIV — c*(c-1) exceeds 2^53 for buckets past ~100M rows,
+            # where FP halving would silently lose pair-count precision
+            F.sum(F.expr("(c * (c - 1)) DIV 2")).cast("bigint").alias("candidate_pairs"),
         )
         .orderBy("blocking_key")
     )
@@ -3900,7 +3900,7 @@ WITH words AS (
 )
 SELECT CAST(SUM(c) AS BIGINT) AS n_docs,
        CAST(COUNT(*) AS BIGINT) AS n_signatures,
-       CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS collision_pairs,
+       CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS collision_pairs,
        CAST(MAX(c) AS BIGINT) AS max_bucket
 FROM buckets
 """,
@@ -3941,9 +3941,7 @@ def l02_simhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return buckets.agg(
         F.sum("c").cast("bigint").alias("n_docs"),
         F.count(F.lit(1)).cast("bigint").alias("n_signatures"),
-        F.sum((F.col("c") * (F.col("c") - 1) / 2).cast("bigint")).cast("bigint").alias(
-            "collision_pairs"
-        ),
+        F.sum(F.expr("(c * (c - 1)) DIV 2")).cast("bigint").alias("collision_pairs"),
         F.max("c").cast("bigint").alias("max_bucket"),
     )
 
@@ -4398,7 +4396,7 @@ WITH folds AS (
   SELECT f32, CAST(COUNT(*) AS BIGINT) AS c FROM folds GROUP BY f32
 ), stats AS (
   SELECT CAST(SUM(c) AS BIGINT) AS n,
-         CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS observed_pairs
+         CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS observed_pairs
   FROM buckets
 )
 SELECT s.n AS n_docs,
@@ -4429,9 +4427,7 @@ def l09_fingerprint_collision_audit(spark: SparkSession, sf_dir: str) -> DataFra
     buckets = folds.groupBy("f32").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     stats = buckets.agg(
         F.sum("c").cast("bigint").alias("n"),
-        F.sum((F.col("c") * (F.col("c") - 1) / 2).cast("bigint")).cast("bigint").alias(
-            "observed_pairs"
-        ),
+        F.sum(F.expr("(c * (c - 1)) DIV 2")).cast("bigint").alias("observed_pairs"),
     )
     dups = d.agg(
         (F.count(F.lit(1)) - F.count_distinct(F.md5("text"))).cast("bigint").alias("dup_rows")
@@ -4686,9 +4682,9 @@ def l12_minhash_band_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
             F.max("sz").cast("bigint").alias("max_bucket"),
-            F.sum(F.floor(F.col("sz") * (F.col("sz") - 1) / 2)).cast("bigint").alias(
-                "candidate_pairs"
-            ),
+            # integer DIV, not FP /: sz*(sz-1) can exceed 2^53 at scale and
+            # the oracle uses exact // semantics (round-7 ADVICE item)
+            F.sum(F.expr("(sz * (sz - 1)) DIV 2")).cast("bigint").alias("candidate_pairs"),
         )
         .orderBy("band")
     )

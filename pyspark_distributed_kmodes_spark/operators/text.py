@@ -373,7 +373,7 @@ def q57_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q58_language_id",
+    "m58_language_id",
     oracle="""
 WITH tri AS (
   SELECT doc_id, lang,
@@ -404,7 +404,7 @@ ORDER BY doc_id
 """,
     tags=("text", "ml"),
 )
-def q58_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+def m58_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language identification via character-trigram profiles, fully
     relational: train per-lang top-50 trigram weights on a deterministic
     80% split (doc_id % 10 < 8), classify the rest by weighted trigram
@@ -416,6 +416,12 @@ def q58_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     round 3: per-candidate scores sum pround(9)-rounded ln-weights in
     exact DECIMAL, so the argmax compares bit-identical doubles on both
     engines (rows-only before — the raw float sum was order-dependent).
+
+    Key history: q58 -> m58 in round 8 (number = query identity). q58's
+    only driver appearance (as a58, round 2) predated this oracle, which
+    made it the registry's single oracle-gated key with no driver hash
+    row; the m-prefix sorts it inside the round-9 window so the driver
+    finally hash-verifies it.
     """
     from pyspark.sql import Window
 

@@ -409,11 +409,11 @@ LATTICE_PINNED = {
     # round-6 staged j-suite: every partition-less window must consume
     # an aggregate (day lattice, score dictionary, file manifest,
     # price-bucket lattice) — never raw rows
-    "j24_runs_test": 0,
-    "j25_durbin_watson": 0,
-    "j35_compaction_binpack": 0,
-    "j41_average_precision": 0,
-    "j47_range_partition_balance": 0,
+    "qj24_runs_test": 0,
+    "qj25_durbin_watson": 0,
+    "qj35_compaction_binpack": 0,
+    "qj41_average_precision": 0,
+    "qj47_range_partition_balance": 0,
     # k-suite bounded-lattice windows (length/price/day/count lattices)
     "k03_kruskal_wallis": 0,
     "k11_best_single_split": 0,

@@ -37,7 +37,7 @@ def _user_scores_labels(spark, sf_dir):
 
 
 def test_j01_auc_matches_python_rank_formula(spark, sf_dir, reg):
-    r = reg["j01_roc_auc"].fn(spark, sf_dir).collect()[0]
+    r = reg["qj01_roc_auc"].fn(spark, sf_dir).collect()[0]
     data = _user_scores_labels(spark, sf_dir)
     pos = [s for s, l in data if l == 1]
     neg = [s for s, l in data if l == 0]
@@ -54,7 +54,7 @@ def test_j01_auc_matches_python_rank_formula(spark, sf_dir, reg):
 
 
 def test_j02_anova_matches_python(spark, sf_dir, reg):
-    r = reg["j02_anova_f"].fn(spark, sf_dir).collect()[0]
+    r = reg["qj02_anova_f"].fn(spark, sf_dir).collect()[0]
     rows = table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice").collect()
     groups = {}
     for x in rows:
@@ -71,7 +71,7 @@ def test_j02_anova_matches_python(spark, sf_dir, reg):
 
 
 def test_j03_u_statistic_matches_python(spark, sf_dir, reg):
-    r = reg["j03_mann_whitney_u"].fn(spark, sf_dir).collect()[0]
+    r = reg["qj03_mann_whitney_u"].fn(spark, sf_dir).collect()[0]
     rows = (
         table(spark, sf_dir, "documents")
         .filter(F.col("source").isin("src0", "src1"))
@@ -98,7 +98,7 @@ def test_j03_u_statistic_matches_python(spark, sf_dir, reg):
 
 
 def test_j04_confusion_totals(spark, sf_dir, reg):
-    rows = reg["j04_confusion_matrix"].fn(spark, sf_dir).collect()
+    rows = reg["qj04_confusion_matrix"].fn(spark, sf_dir).collect()
     n_vec = table(spark, sf_dir, "embeddings").count()
     assert sum(r.tp + r.fn for r in rows) == n_vec  # every truth counted once
     assert sum(r.tp + r.fp for r in rows) == n_vec  # every pred counted once
@@ -108,7 +108,7 @@ def test_j04_confusion_totals(spark, sf_dir, reg):
 
 
 def test_j05_drawdown_bounds_and_recompute(spark, sf_dir, reg):
-    r = reg["j05_max_drawdown"].fn(spark, sf_dir).collect()[0]
+    r = reg["qj05_max_drawdown"].fn(spark, sf_dir).collect()[0]
     assert 0.0 <= r.max_drawdown <= 1.0
     assert r.trough_rev <= r.peak_rev
     daily = {}
@@ -124,7 +124,7 @@ def test_j05_drawdown_bounds_and_recompute(spark, sf_dir, reg):
 
 
 def test_j06_rolling_corr_bounds(spark, sf_dir, reg):
-    rows = reg["j06_rolling_correlation"].fn(spark, sf_dir).collect()
+    rows = reg["qj06_rolling_correlation"].fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert r.n == 28
@@ -132,20 +132,20 @@ def test_j06_rolling_corr_bounds(spark, sf_dir, reg):
 
 
 def test_j07_assortativity_bounds(spark, sf_dir, reg):
-    r = reg["j07_degree_assortativity"].fn(spark, sf_dir).collect()[0]
+    r = reg["qj07_degree_assortativity"].fn(spark, sf_dir).collect()[0]
     assert r.n_edges > 0
     assert r.assortativity is None or -1.0 - 1e-9 <= r.assortativity <= 1.0 + 1e-9
 
 
 def test_j08_j09_sources_byte_exact(spark, sf_dir, reg):
     d = table(spark, sf_dir, "documents")
-    r8 = reg["j08_binaryfile_source"].fn(spark, sf_dir).collect()[0]
+    r8 = reg["qj08_binaryfile_source"].fn(spark, sf_dir).collect()[0]
     n100 = d.filter(F.col("doc_id") < 100).count()
     assert r8.n_files == n100
     assert r8.bytes_total == (
         d.filter(F.col("doc_id") < 100).agg(F.sum(F.length("text"))).first()[0]
     )
-    r9 = reg["j09_text_source_roundtrip"].fn(spark, sf_dir).collect()[0]
+    r9 = reg["qj09_text_source_roundtrip"].fn(spark, sf_dir).collect()[0]
     assert r9.n_lines == d.count()
     assert r9.chars_total == d.agg(F.sum(F.length("text"))).first()[0]
 
@@ -153,7 +153,7 @@ def test_j08_j09_sources_byte_exact(spark, sf_dir, reg):
 def test_j10_kappa_matches_python(spark, sf_dir, reg):
     import hashlib
 
-    r = reg["j10_cohens_kappa"].fn(spark, sf_dir).collect()[0]
+    r = reg["qj10_cohens_kappa"].fn(spark, sf_dir).collect()[0]
     texts = [x.text for x in table(spark, sf_dir, "documents").collect()]
 
     def fold(s):
@@ -173,19 +173,19 @@ def test_j10_kappa_matches_python(spark, sf_dir, reg):
 
 
 def test_j11_strength_bounds(spark, sf_dir, reg):
-    r = reg["j11_seasonal_strength"].fn(spark, sf_dir).collect()[0]
+    r = reg["qj11_seasonal_strength"].fn(spark, sf_dir).collect()[0]
     assert 0.0 <= r.seasonal_strength <= 1.0
     assert r.n_days > 0
 
 
 def test_j12_merge_agrees_and_total(spark, sf_dir, reg):
-    rows = reg["j12_histogram_merge_audit"].fn(spark, sf_dir).collect()
+    rows = reg["qj12_histogram_merge_audit"].fn(spark, sf_dir).collect()
     assert all(r.merged_agrees for r in rows)
     assert sum(r.n for r in rows) == table(spark, sf_dir, "orders").count()
 
 
 def test_j13_theilsen_matches_python(spark, sf_dir, reg):
-    r = reg["j13_theilsen_slope"].fn(spark, sf_dir).collect()[0]
+    r = reg["qj13_theilsen_slope"].fn(spark, sf_dir).collect()[0]
     daily = {}
     for x in table(spark, sf_dir, "orders").select(
         F.col("o_orderdate").cast("date").alias("d")
@@ -206,7 +206,7 @@ def test_j13_theilsen_matches_python(spark, sf_dir, reg):
 
 
 def test_j14_centroid_eval_sane(spark, sf_dir, reg):
-    rows = reg["j14_nearest_centroid_eval"].fn(spark, sf_dir).collect()
+    rows = reg["qj14_nearest_centroid_eval"].fn(spark, sf_dir).collect()
     n_vec = table(spark, sf_dir, "embeddings").count()
     assert sum(r.n for r in rows) == n_vec  # every vector assigned once
     for r in rows:
@@ -215,7 +215,7 @@ def test_j14_centroid_eval_sane(spark, sf_dir, reg):
 
 
 def test_j15_km_monotone_and_bounds(spark, sf_dir, reg):
-    rows = sorted(reg["j15_kaplan_meier"].fn(spark, sf_dir).collect(), key=lambda r: r.week)
+    rows = sorted(reg["qj15_kaplan_meier"].fn(spark, sf_dir).collect(), key=lambda r: r.week)
     assert rows
     surv = [r.survival for r in rows]
     assert all(0.0 <= s <= 1.0 for s in surv)
@@ -228,7 +228,7 @@ def test_j15_km_monotone_and_bounds(spark, sf_dir, reg):
 
 
 def test_j15_km_matches_python(spark, sf_dir, reg):
-    rows = {r.week: r for r in reg["j15_kaplan_meier"].fn(spark, sf_dir).collect()}
+    rows = {r.week: r for r in reg["qj15_kaplan_meier"].fn(spark, sf_dir).collect()}
     orders = table(spark, sf_dir, "orders").select(
         "o_custkey", F.col("o_orderdate").cast("date").alias("d")
     ).collect()
@@ -259,14 +259,14 @@ def test_j15_km_matches_python(spark, sf_dir, reg):
 
 
 def test_j16_am_gm_hm_inequality(spark, sf_dir, reg):
-    rows = reg["j16_generalized_means"].fn(spark, sf_dir).collect()
+    rows = reg["qj16_generalized_means"].fn(spark, sf_dir).collect()
     for r in rows:
         assert r.mean_harm <= r.mean_geom + 1e-6 <= r.mean_arith + 2e-6
         assert r.mean_harm > 0
 
 
 def test_j17_sweep_monotone(spark, sf_dir, reg):
-    rows = sorted(reg["j17_dedup_threshold_sweep"].fn(spark, sf_dir).collect(), key=lambda r: r.threshold)
+    rows = sorted(reg["qj17_dedup_threshold_sweep"].fn(spark, sf_dir).collect(), key=lambda r: r.threshold)
     edges = [r.n_edges for r in rows]
     touched = [r.n_docs_touched for r in rows]
     # raising the threshold can only shrink the edge set and coverage
@@ -277,7 +277,7 @@ def test_j17_sweep_monotone(spark, sf_dir, reg):
 
 
 def test_j18_funnel_monotone(spark, sf_dir, reg):
-    rows = reg["j18_filter_attrition_funnel"].fn(spark, sf_dir).collect()
+    rows = reg["qj18_filter_attrition_funnel"].fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert r.n_docs >= r.pass_len >= r.pass_words >= r.pass_all >= 0
@@ -287,7 +287,7 @@ def test_j18_funnel_monotone(spark, sf_dir, reg):
 def test_j18_matches_python_gates(spark, sf_dir, reg):
     from collections import Counter
 
-    got = {r.source: (r.pass_len, r.pass_words, r.pass_all) for r in reg["j18_filter_attrition_funnel"].fn(spark, sf_dir).collect()}
+    got = {r.source: (r.pass_len, r.pass_words, r.pass_all) for r in reg["qj18_filter_attrition_funnel"].fn(spark, sf_dir).collect()}
     want = {}
     for r in table(spark, sf_dir, "documents").collect():
         ws = r.text.split(" ")

@@ -29,7 +29,7 @@ def reg():
 def test_j19_tau_matches_pandas_crosstab(spark, sf_dir, reg, duck):
     import numpy as np
 
-    r = reg["j19_kendall_tau"].fn(spark, sf_dir).collect()[0]
+    r = reg["qj19_kendall_tau"].fn(spark, sf_dir).collect()[0]
     cells = duck.execute(
         "SELECT l_quantity, l_discount, COUNT(*) FROM lineitem GROUP BY 1, 2"
     ).fetchall()
@@ -58,7 +58,7 @@ def test_j19_tau_matches_pandas_crosstab(spark, sf_dir, reg, duck):
 def test_j20_levene_matches_numpy(spark, sf_dir, reg, duck):
     import numpy as np
 
-    r = reg["j20_levene_test"].fn(spark, sf_dir).collect()[0]
+    r = reg["qj20_levene_test"].fn(spark, sf_dir).collect()[0]
     rows = duck.execute("SELECT o_orderpriority, o_totalprice FROM orders").fetchall()
     groups = {}
     for g, x in rows:
@@ -81,7 +81,7 @@ def test_j20_levene_matches_numpy(spark, sf_dir, reg, duck):
 def test_j21_jb_matches_numpy(spark, sf_dir, reg, duck):
     import numpy as np
 
-    rows = {r.lang: r for r in reg["j21_jarque_bera"].fn(spark, sf_dir).collect()}
+    rows = {r.lang: r for r in reg["qj21_jarque_bera"].fn(spark, sf_dir).collect()}
     data = duck.execute("SELECT lang, n_chars FROM documents").fetchall()
     bylang = {}
     for lang, c in data:
@@ -101,7 +101,7 @@ def test_j21_jb_matches_numpy(spark, sf_dir, reg, duck):
 
 
 def test_j22_v_bounds_and_margins(spark, sf_dir, reg, duck):
-    r = reg["j22_cramers_v"].fn(spark, sf_dir).collect()[0]
+    r = reg["qj22_cramers_v"].fn(spark, sf_dir).collect()[0]
     n, rr, cc = duck.execute(
         "SELECT COUNT(*), COUNT(DISTINCT lang), COUNT(DISTINCT source) FROM documents"
     ).fetchone()
@@ -112,7 +112,7 @@ def test_j22_v_bounds_and_margins(spark, sf_dir, reg, duck):
 
 
 def test_j23_s_matches_python(spark, sf_dir, reg, duck):
-    r = reg["j23_mann_kendall"].fn(spark, sf_dir).collect()[0]
+    r = reg["qj23_mann_kendall"].fn(spark, sf_dir).collect()[0]
     daily = duck.execute(
         "SELECT epoch_us(date_trunc('day', ts)) // 86400000000 AS di, COUNT(*) "
         "FROM events GROUP BY 1 ORDER BY di"
@@ -130,7 +130,7 @@ def test_j23_s_matches_python(spark, sf_dir, reg, duck):
 def test_j24_runs_matches_python(spark, sf_dir, reg):
     import statistics
 
-    r = reg["j24_runs_test"].fn(spark, sf_dir).collect()[0]
+    r = reg["qj24_runs_test"].fn(spark, sf_dir).collect()[0]
     e = table(spark, sf_dir, "events")
     daily = (
         e.groupBy(F.date_trunc("day", "ts").alias("d"))
@@ -148,13 +148,13 @@ def test_j24_runs_matches_python(spark, sf_dir, reg):
 
 
 def test_j25_dw_bounds(spark, sf_dir, reg):
-    r = reg["j25_durbin_watson"].fn(spark, sf_dir).collect()[0]
+    r = reg["qj25_durbin_watson"].fn(spark, sf_dir).collect()[0]
     assert 0.0 <= r.dw_stat <= 4.0
     assert abs(r.rho_hat - (1 - r.dw_stat / 2)) < 1e-6
 
 
 def test_j26_ewma_within_window_range(spark, sf_dir, reg):
-    rows = reg["j26_ewma_anomaly"].fn(spark, sf_dir).collect()
+    rows = reg["qj26_ewma_anomaly"].fn(spark, sf_dir).collect()
     by_day = {r.day_index: r.rev for r in rows}
     for r in rows:
         window = [by_day[d] for d in range(r.day_index - 6, r.day_index + 1) if d in by_day]
@@ -163,7 +163,7 @@ def test_j26_ewma_within_window_range(spark, sf_dir, reg):
 
 
 def test_j27_mcnemar_matches_python(spark, sf_dir, reg, duck):
-    r = reg["j27_mcnemar_paired"].fn(spark, sf_dir).collect()[0]
+    r = reg["qj27_mcnemar_paired"].fn(spark, sf_dir).collect()[0]
     lo, hi = duck.execute(
         "SELECT MIN(epoch_us(date_trunc('day', ts)) // 86400000000),"
         " MAX(epoch_us(date_trunc('day', ts)) // 86400000000) FROM events"
@@ -188,14 +188,14 @@ def test_j27_mcnemar_matches_python(spark, sf_dir, reg, duck):
 
 
 def test_j28_burstiness_bounds(spark, sf_dir, reg):
-    for r in reg["j28_burstiness_index"].fn(spark, sf_dir).collect():
+    for r in reg["qj28_burstiness_index"].fn(spark, sf_dir).collect():
         assert -1.0 < r.burstiness < 1.0
         assert r.cv > 0
         assert r.mean_gap_us > 0
 
 
 def test_j29_twa_within_value_range(spark, sf_dir, reg):
-    rows = reg["j29_time_weighted_avg"].fn(spark, sf_dir).collect()
+    rows = reg["qj29_time_weighted_avg"].fn(spark, sf_dir).collect()
     e = table(spark, sf_dir, "events")
     bounds = {
         r.user_id: (r.lo, r.hi)
@@ -207,7 +207,7 @@ def test_j29_twa_within_value_range(spark, sf_dir, reg):
 
 
 def test_j30_cap_respected(spark, sf_dir, reg):
-    r = reg["j30_capped_sessions"].fn(spark, sf_dir).collect()[0]
+    r = reg["qj30_capped_sessions"].fn(spark, sf_dir).collect()[0]
     assert r.max_dur_us < 12 * 3600 * 1_000_000  # chunks measured from island start
     n_events = table(spark, sf_dir, "events").count()
     assert r.n_events == n_events
@@ -219,7 +219,7 @@ def test_j30_cap_respected(spark, sf_dir, reg):
 
 
 def test_j31_pick_matches_python_for_one_part(spark, sf_dir, reg, duck):
-    rows = reg["j31_bitemporal_asof"].fn(spark, sf_dir).collect()
+    rows = reg["qj31_bitemporal_asof"].fn(spark, sf_dir).collect()
     assert sum(r.n_parts for r in rows) == duck.execute(
         """SELECT COUNT(DISTINCT l_partkey) FROM lineitem l JOIN orders o
            ON l.l_orderkey = o.o_orderkey
@@ -229,7 +229,7 @@ def test_j31_pick_matches_python_for_one_part(spark, sf_dir, reg, duck):
 
 
 def test_j32_cascade_counts_consistent(spark, sf_dir, reg, duck):
-    r = reg["j32_fk_cascade_orphans"].fn(spark, sf_dir).collect()[0]
+    r = reg["qj32_fk_cascade_orphans"].fn(spark, sf_dir).collect()[0]
     nd = duck.execute("SELECT COUNT(*) FROM customer WHERE c_acctbal < 0").fetchone()[0]
     assert r.n_deleted_customers == nd
     assert r.n_cascade_orders >= 0 and r.n_cascade_lineitems >= 0
@@ -237,14 +237,14 @@ def test_j32_cascade_counts_consistent(spark, sf_dir, reg, duck):
 
 
 def test_j33_carriers_agree(spark, sf_dir, reg):
-    r = reg["j33_mergeable_variance"].fn(spark, sf_dir).collect()[0]
+    r = reg["qj33_mergeable_variance"].fn(spark, sf_dir).collect()[0]
     assert r.carriers_agree == 1
     assert r.variance_merged == r.variance_direct
     assert r.variance_merged > 0
 
 
 def test_j34_publish_gate(spark, sf_dir, reg, duck):
-    r = reg["j34_write_audit_publish"].fn(spark, sf_dir).collect()[0]
+    r = reg["qj34_write_audit_publish"].fn(spark, sf_dir).collect()[0]
     assert r.published == 1 and r.n_violations == 0
     assert r.n_published == duck.execute(
         "SELECT COUNT(*) FROM documents WHERE n_chars > 0"
@@ -252,7 +252,7 @@ def test_j34_publish_gate(spark, sf_dir, reg, duck):
 
 
 def test_j35_bins_partition_the_manifest(spark, sf_dir, reg, duck):
-    rows = reg["j35_compaction_binpack"].fn(spark, sf_dir).collect()
+    rows = reg["qj35_compaction_binpack"].fn(spark, sf_dir).collect()
     total_files, total_chars = duck.execute(
         "SELECT COUNT(*), SUM(sz) FROM (SELECT SUM(n_chars) AS sz FROM documents GROUP BY source, lang)"
     ).fetchone()
@@ -262,33 +262,33 @@ def test_j35_bins_partition_the_manifest(spark, sf_dir, reg, duck):
 
 
 def test_j36_clustered_prunes_at_least_as_well(spark, sf_dir, reg):
-    rows = {r.layout: r for r in reg["j36_minmax_pruning_audit"].fn(spark, sf_dir).collect()}
+    rows = {r.layout: r for r in reg["qj36_minmax_pruning_audit"].fn(spark, sf_dir).collect()}
     assert rows["clustered"].files_scanned <= rows["hashed"].files_scanned
     assert rows["clustered"].rows_matched == rows["hashed"].rows_matched
     assert rows["clustered"].files_scanned >= 1
 
 
 def test_j37_all_groups_agree(spark, sf_dir, reg, duck):
-    rows = reg["j37_incremental_agg_maintenance"].fn(spark, sf_dir).collect()
+    rows = reg["qj37_incremental_agg_maintenance"].fn(spark, sf_dir).collect()
     assert all(r.agrees == 1 for r in rows)
     assert sum(r.cnt for r in rows) == duck.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
 
 
 def test_j38_estimator_sane(spark, sf_dir, reg):
-    r = reg["j38_block_sample_estimate"].fn(spark, sf_dir).collect()[0]
+    r = reg["qj38_block_sample_estimate"].fn(spark, sf_dir).collect()[0]
     assert r.n_est > 0
     assert r.count_rel_err < 0.5
     assert r.mean_rel_err < 0.2
 
 
 def test_j39_cardinality_bounds(spark, sf_dir, reg):
-    for r in reg["j39_groupby_cardinality_audit"].fn(spark, sf_dir).collect():
+    for r in reg["qj39_groupby_cardinality_audit"].fn(spark, sf_dir).collect():
         assert max(r.d_a, r.d_b) <= r.d_joint <= r.d_a * r.d_b
         assert 0 < r.correlation_factor <= 1.0
 
 
 def test_j40_backfill_doubles_urgent_only(spark, sf_dir, reg, duck):
-    r = reg["j40_dynamic_partition_overwrite"].fn(spark, sf_dir).collect()[0]
+    r = reg["qj40_dynamic_partition_overwrite"].fn(spark, sf_dir).collect()[0]
     n, urgent_rev, other_rev = duck.execute(
         """SELECT COUNT(*),
                   CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(25,6)) ELSE 0 END) AS DOUBLE),
@@ -301,34 +301,34 @@ def test_j40_backfill_doubles_urgent_only(spark, sf_dir, reg, duck):
 
 
 def test_j41_ap_bounds(spark, sf_dir, reg):
-    r = reg["j41_average_precision"].fn(spark, sf_dir).collect()[0]
+    r = reg["qj41_average_precision"].fn(spark, sf_dir).collect()[0]
     assert 0.0 <= r.avg_precision <= 1.0
     assert 0 < r.n_pos <= r.n_users
 
 
 def test_j42_ratios_partition_unity(spark, sf_dir, reg):
-    for r in reg["j42_charclass_profile"].fn(spark, sf_dir).collect():
+    for r in reg["qj42_charclass_profile"].fn(spark, sf_dir).collect():
         for v in (r.digit_ratio, r.space_ratio, r.punct_ratio):
             assert 0.0 <= v <= 1.0
         assert r.digit_ratio + r.space_ratio + r.punct_ratio <= 1.0  # disjoint classes
 
 
 def test_j43_tail_shares_bounded(spark, sf_dir, reg):
-    for r in reg["j43_doc_length_percentile"].fn(spark, sf_dir).collect():
+    for r in reg["qj43_doc_length_percentile"].fn(spark, sf_dir).collect():
         assert r.n_low_tail <= 0.05 * r.n_docs + 1e-9
         assert r.n_high_tail >= 0.05 * r.n_docs - 1e-9
         assert r.low_cut < r.high_cut or r.low_cut == -1
 
 
 def test_j44_generations_partition(spark, sf_dir, reg, duck):
-    r = reg["j44_union_schema_reconcile"].fn(spark, sf_dir).collect()[0]
+    r = reg["qj44_union_schema_reconcile"].fn(spark, sf_dir).collect()[0]
     n = duck.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
     assert r.n_total == n
     assert r.n_legacy + r.n_modern == n
 
 
 def test_j45_positions_complete(spark, sf_dir, reg):
-    rows = {r.position: r for r in reg["j45_boilerplate_position"].fn(spark, sf_dir).collect()}
+    rows = {r.position: r for r in reg["qj45_boilerplate_position"].fn(spark, sf_dir).collect()}
     assert set(rows) <= {"head", "middle", "tail"}
     assert "head" in rows
     for r in rows.values():
@@ -361,13 +361,13 @@ def test_j46_weekday_prefix_closed_form():
 
 
 def test_j46_latency_consistent(spark, sf_dir, reg):
-    for r in reg["j46_business_days_latency"].fn(spark, sf_dir).collect():
+    for r in reg["qj46_business_days_latency"].fn(spark, sf_dir).collect():
         assert 0 <= r.avg_bdays <= r.max_bdays
         assert r.bdays_total >= 0
 
 
 def test_j47_partitions_cover_and_balance(spark, sf_dir, reg, duck):
-    rows = reg["j47_range_partition_balance"].fn(spark, sf_dir).collect()
+    rows = reg["qj47_range_partition_balance"].fn(spark, sf_dir).collect()
     total = duck.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
     assert sum(r.n_rows for r in rows) == total
     for r in rows:
@@ -377,7 +377,7 @@ def test_j47_partitions_cover_and_balance(spark, sf_dir, reg, duck):
 def test_j48_matches_numpy(spark, sf_dir, reg, duck):
     import numpy as np
 
-    r = reg["j48_welch_ttest"].fn(spark, sf_dir).collect()[0]
+    r = reg["qj48_welch_ttest"].fn(spark, sf_dir).collect()[0]
     en = np.array(duck.execute("SELECT n_chars FROM documents WHERE lang='en'").fetchall(), dtype=np.float64).ravel()
     de = np.array(duck.execute("SELECT n_chars FROM documents WHERE lang='de'").fetchall(), dtype=np.float64).ravel()
     q1, q2 = en.var(ddof=1) / len(en), de.var(ddof=1) / len(de)
@@ -389,13 +389,13 @@ def test_j48_matches_numpy(spark, sf_dir, reg, duck):
 
 
 def test_j49_overlap_bounded_by_incident_window(spark, sf_dir, reg):
-    for r in reg["j49_interval_intersection_volume"].fn(spark, sf_dir).collect():
+    for r in reg["qj49_interval_intersection_volume"].fn(spark, sf_dir).collect():
         assert r.n_overlapping <= r.n_user_spans
         assert r.overlap_seconds <= 3600.0 * r.n_overlapping + 1e-6
 
 
 def test_j50_matches_duckdb_join(spark, sf_dir, reg, duck):
-    rows = {r.pri: r for r in reg["j50_cogrouped_applyinpandas"].fn(spark, sf_dir).collect()}
+    rows = {r.pri: r for r in reg["qj50_cogrouped_applyinpandas"].fn(spark, sf_dir).collect()}
     for pri, n_orders, n_lines, rev_cents, late in duck.execute(
         """SELECT pri, COUNT(*), SUM(n_lines), SUM(rev_cents), SUM(late_lines) FROM (
              SELECT o.o_orderkey, o.o_orderpriority AS pri,

@@ -28,10 +28,10 @@ def test_driver_window_is_the_staged_suite():
     that window is exactly the never-driver-checked staged suite. Pin
     it so a mis-rotation (a key accidentally sorting into/out of the
     window) fails mechanically instead of wasting a driver round.
-    Round 7: the window is exactly j01-j50."""
+    Round 8: the window is exactly k01-k50."""
     import __spark_entry__ as entrymod
 
     window = sorted(entrymod.queries())[:50]
-    assert all(k.startswith("j") for k in window), [k for k in window if not k.startswith("j")]
+    assert all(k.startswith("k") for k in window), [k for k in window if not k.startswith("k")]
     nums = sorted(int(k[1:3]) for k in window)
     assert nums == list(range(1, 51))

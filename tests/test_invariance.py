@@ -23,10 +23,10 @@ QUERIES = [
     "qe21_sax_similar_users",  # binary-exact z-norm/SAX chain
     "qe26_quality_signal_fusion",  # decile fusion over three signals
     # round-6 staged suites: the shapes most exposed to summation order
-    "j20_levene_test",  # floor-quantized quadratic terms, 2-pass medians
-    "j33_mergeable_variance",  # exact decimal carriers merged across shards
-    "j41_average_precision",  # bounded-lattice cumulative window
-    "j50_cogrouped_applyinpandas",  # bucketed cogroup Python path
+    "qj20_levene_test",  # floor-quantized quadratic terms, 2-pass medians
+    "qj33_mergeable_variance",  # exact decimal carriers merged across shards
+    "qj41_average_precision",  # bounded-lattice cumulative window
+    "qj50_cogrouped_applyinpandas",  # bucketed cogroup Python path
     "k13_markov_stationary",  # 5 chained matrix-squaring join-aggs
     "k32_wasserstein_distance",  # merged-lattice CDF cross-products
     "k48_two_way_anova",  # decimal margins re-aggregation

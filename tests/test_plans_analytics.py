@@ -100,7 +100,7 @@ def test_f16_factfact_join_no_cartesian(spark, sf_dir):
 def test_j31_bitemporal_filters_pushed(spark, sf_dir):
     """Both temporal cuts must reach the parquet scans as pushed
     filters — the bitemporal pick scans only the pre-cut subset."""
-    plan = _plan(spark, sf_dir, "j31_bitemporal_asof")
+    plan = _plan(spark, sf_dir, "qj31_bitemporal_asof")
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
     assert "PushedFilters: [IsNotNull(o_orderdate), LessThanOrEqual(o_orderdate" in plan
 
@@ -109,7 +109,7 @@ def test_j50_uses_cogroup_node(spark, sf_dir):
     """The cogrouped applyInPandas op must compile to the dedicated
     FlatMapCoGroupsInPandas node (both sides shuffled ONCE on the
     bucket key), not to a join + groupBy emulation."""
-    plan = _plan(spark, sf_dir, "j50_cogrouped_applyinpandas")
+    plan = _plan(spark, sf_dir, "qj50_cogrouped_applyinpandas")
     assert "FlatMapCoGroupsInPandas" in plan
 
 
@@ -131,7 +131,7 @@ def test_k21_grouping_sets_single_expand(spark, sf_dir):
 def test_k48_lang_filter_pushed_j48_k07(spark, sf_dir):
     """The two-stratum tests must push the lang predicate into the
     scan (In or EqualTo filters), never scan-all-then-filter."""
-    for key in ("j48_welch_ttest", "k07_effect_size_d"):
+    for key in ("qj48_welch_ttest", "k07_effect_size_d"):
         plan = _plan(spark, sf_dir, key)
         assert "PushedFilters: [In(lang" in plan or "EqualTo(lang" in plan, key
 

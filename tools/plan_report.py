@@ -43,11 +43,15 @@ def main():
         "| query | joins | shuffles | parquet scans | filters pushed to scan | AQE |",
         "|---|---|---|---|---|---|",
     ]
+    import gc
+
     for name, q in sorted(reg.items()):
         if not q.bench:
             continue
         df = q.fn(spark, sf_dir)
         s = summarize(formatted_plan(df))
+        del df
+        gc.collect()  # free this query's checkpointed blocks before the next
         pushed = "; ".join(p for p in s["pushed"] if p)[:80] or "—"
         lines.append(
             f"| {name} | {', '.join(sorted(set(s['joins'])))} | {s['shuffles']} | {s['scans']} | {pushed} | {'✓' if s['aqe'] else '✗'} |"

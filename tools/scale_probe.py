@@ -79,12 +79,12 @@ PROBE_QUERIES = [
     "qi22_key_skew_profile",
     "qi24_session_bounce_rate",
     "qi26_nearest_event_join",
-    "j19_kendall_tau",
-    "j26_ewma_anomaly",
-    "j28_burstiness_index",
-    "j45_boilerplate_position",
-    "j49_interval_intersection_volume",
-    "j50_cogrouped_applyinpandas",
+    "qj19_kendall_tau",
+    "qj26_ewma_anomaly",
+    "qj28_burstiness_index",
+    "qj45_boilerplate_position",
+    "qj49_interval_intersection_volume",
+    "qj50_cogrouped_applyinpandas",
     "k13_markov_stationary",
     "k17_ngram_dup_mass",
     "k39_coengagement_lift",

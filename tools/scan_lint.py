@@ -9,6 +9,26 @@ declared multi-scan allowlist (union-of-scans shapes, self-join
 audits that deliberately read a table from several angles).
 
     python tools/scan_lint.py [sf_dir]        # lint the whole registry
+
+Semantics and caveats (round-7 ADVICE):
+- Building a query's plan executes its eager localCheckpoints — that is
+  INTENTIONAL: the lint measures the as-executed scan shape, where a
+  checkpointed shared intermediate appears as an RDD scan, not a parquet
+  re-scan. A lazy-lineage mode would count the untruncated logical tree
+  and flag every checkpoint-bounded query; eager is the semantics.
+- Checkpointed RDD blocks stay pinned on executors until the Python
+  DataFrame is GC'd (ContextCleaner frees them); the registry sweep
+  gc.collect()s between queries so a 412-query pass does not accumulate
+  hundreds of pinned blocks.
+- Under-count caveat: 'formatted' plans deduplicate repeated scans under
+  ReusedExchange / ReusedSubquery nodes, so a table consumed N times via
+  one reused exchange counts once. That direction is safe for THIS lint
+  (a reused exchange executes its scan once — no amplification), but the
+  reported multiplicities are a lower bound on logical references.
+- Gate: tests/test_scan_lint.py pins known iterative offenders per-query;
+  tests/test_scan_lint_registry.py (slow-marked) runs lint_plan over the
+  FULL registry so a new query exceeding _MAX_SCANS fails CI, not just
+  this manual tool.
 """
 
 from __future__ import annotations
@@ -69,6 +89,8 @@ def main() -> int:
     reg = load_all()
     bad: list[tuple[str, list[str]]] = []
     worst: list[tuple[int, str, str]] = []
+    import gc
+
     for name, q in sorted(reg.items()):
         try:
             plan = formatted_plan(q.fn(spark, sf_dir))
@@ -81,6 +103,9 @@ def main() -> int:
         off = lint_plan(name, plan)
         if off:
             bad.append((name, off))
+        # release this query's checkpointed RDD blocks (ContextCleaner
+        # frees them on GC) so the sweep doesn't pin executor storage
+        gc.collect()
     worst.sort(reverse=True)
     print("top table-scan multiplicities (n, query, table):")
     for n, name, t in worst[:10]:

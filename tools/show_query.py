@@ -15,11 +15,15 @@ sys.path.insert(0, "/root/repo")
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     tag = None
-    if "--tag" in sys.argv:
-        tag = sys.argv[sys.argv.index("--tag") + 1]
-        args = [a for a in args if a != tag]
+    if "--tag" in argv:
+        i = argv.index("--tag")
+        if i + 1 >= len(argv):
+            sys.exit("--tag requires a value")
+        tag = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]  # strip exactly the two tokens by position
+    args = [a for a in argv if not a.startswith("--")]
     if not args:
         from pyspark_distributed_kmodes_spark.registry import load_all
 
