@@ -1,0 +1,513 @@
+"""Round-8 staged extensions (m01+): ROUND-9 window candidates — the
+round-8 window is exactly full with k01-k50 (rotation history in
+__spark_entry__.py). Keyed m so they sort between the staged l-suite
+and the driver-green q-space: l01-l14 + m01-m35 + m58 = exactly 50.
+
+Batch contents, per the round-7 verdict's depth priorities:
+(a) REAL Structured Streaming execution under the hash gate — the
+    upsert-sink multi-batch convergence audit (m01) and a
+    checkpoint-restart equivalence audit (m02): the streaming twins'
+    parity proofs promoted from pytest into driver-verified queries.
+(b) theta-sketch SET-ALGEBRA audit (m03) — the q49/qb36-class
+    estimates gated through exact-value + error-bound flags.
+(c) k-suite property-test invariants promoted to oracle-gated forms:
+    MAE<=RMSE (m04), Markov row-stochasticity (m05), the metric
+    triangle inequality on real embeddings (m06).
+Plus statistics-suite depth (Anderson-Darling uniformity, Ljung-Box,
+Mood's median, Bartlett, Grubbs, odds ratio, Jonckheere, Brunner-
+Munzel, Fligner-Killeen, Page trend, variance-ratio, turning points,
+ADF, Cronbach's alpha, MCC, log-loss, Nelson-Aalen, BH-FDR, empirical
+Bayes), ranking eval (NDCG/MRR), and LLM-pipeline depth (shingle-width
+sweep, deterministic Bloom prefilter, mergeable checksums, CDC
+tombstones, z-order locality, triangle counting, sequence entropy,
+diff-in-diff, quantile treatment effects).
+
+Engine style unchanged: pure JVM DataFrame ops, pround floor-rounding
+on every oracle-gated double, DECIMAL-summed float aggregates, unique
+ORDER BY tie-breaks, scalar-only outputs, partition-less windows only
+over bounded aggregates (value dictionaries / per-group moments),
+explicit floor() on fractional->int casts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pyspark_distributed_kmodes_spark.functions.deterministic import (
+    dsum,
+    pround,
+    sql_dsum,
+    sql_pround,
+)
+from pyspark_distributed_kmodes_spark.operators.analytics4 import _md5fold, _sql_md5fold
+from pyspark_distributed_kmodes_spark.registry import query
+from pyspark_distributed_kmodes_spark.sources.tables import table
+
+
+# ---------------------------------------------------------------------------
+# m03 — theta sketch set algebra audit (union / intersection / difference)
+
+_M03_REL = 0.05  # 3-sigma-ish budget for lgK=12 theta union/difference
+_M03_REL_I = 0.12  # intersections compound error
+_M03_ABS = 16.0  # absolute slack for tiny true cardinalities
+
+
+@query(
+    "m03_theta_set_algebra_audit",
+    oracle=f"""
+WITH toks AS (
+  SELECT DISTINCT source, unnest(string_split(lower(text), ' ')) AS token FROM documents
+), srcs AS (
+  SELECT DISTINCT source FROM documents
+), pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM srcs a JOIN srcs b ON a.source < b.source
+)
+SELECT p.src_a, p.src_b,
+       CAST((SELECT COUNT(*) FROM toks t WHERE t.source = p.src_a) AS BIGINT) AS exact_a,
+       CAST((SELECT COUNT(*) FROM toks t WHERE t.source = p.src_b) AS BIGINT) AS exact_b,
+       CAST((SELECT COUNT(DISTINCT token) FROM toks t
+             WHERE t.source IN (p.src_a, p.src_b)) AS BIGINT) AS exact_union,
+       CAST((SELECT COUNT(*) FROM toks x JOIN toks y
+             ON x.token = y.token AND x.source = p.src_a AND y.source = p.src_b) AS BIGINT)
+         AS exact_inter,
+       TRUE AS union_within, TRUE AS inter_within, TRUE AS diff_within
+FROM pairs p
+ORDER BY src_a, src_b
+""",
+    tags=("sketch", "approx", "audit"),
+)
+def m03_theta_set_algebra_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET-ALGEBRA audit, hash-gated: per source pair,
+    union/intersection/difference cardinalities estimated from one
+    theta sketch per source are checked against the exact distinct
+    token counts with per-operation error budgets ({_M03_REL:.0%}
+    relative for union and difference, {_M03_REL_I:.0%} for the
+    intersection — set operations COMPOUND sketch error — plus a
+    {_M03_ABS:.0f}-row absolute floor for tiny truths). The oracle
+    asserts all three flags TRUE next to the exact values, so a sketch
+    drifting outside its design error hash-mismatches. This is the
+    set-ALGEBRA complement of qb36 (which emits raw estimates,
+    rows-only): a data catalog computes cross-source overlap, novelty
+    (A\\B), and combined-vocabulary numbers from ONE sketch per source
+    instead of re-scanning every pair — these flags are the contract
+    that makes that shortcut safe.
+
+    Scale: one token scan builds |sources| sketches (map-side
+    mergeable, kilobytes each); all pairwise algebra runs on the tiny
+    sketch table. The exact side is corpus-bounded and exists only to
+    gate; production uses the sketches alone. Theta sketches are
+    deterministic for a given input set, so the audit is stable
+    across partitionings.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).distinct()
+    sk = toks.groupBy("source").agg(F.expr("theta_sketch_agg(token)").alias("sk"))
+    exact = toks.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+    a = sk.join(exact, "source").select(
+        F.col("source").alias("src_a"), F.col("sk").alias("sk_a"), F.col("exact_n").alias("exact_a")
+    )
+    b = sk.join(exact, "source").select(
+        F.col("source").alias("src_b"), F.col("sk").alias("sk_b"), F.col("exact_n").alias("exact_b")
+    )
+    pairs = a.join(b, F.col("src_a") < F.col("src_b"))
+    # exact pairwise truths from the token table (audit side only)
+    t2 = toks.select(F.col("source").alias("src_b2"), F.col("token").alias("tok_b"))
+    inter = (
+        toks.join(t2, (F.col("token") == F.col("tok_b")) & (F.col("source") < F.col("src_b2")))
+        .groupBy(F.col("source").alias("src_a"), F.col("src_b2").alias("src_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_inter"))
+    )
+    est_u = F.expr("theta_sketch_estimate(theta_union(sk_a, sk_b))")
+    est_i = F.expr("theta_sketch_estimate(theta_intersection(sk_a, sk_b))")
+    scored = (
+        pairs.join(inter, ["src_a", "src_b"], "left")
+        .na.fill({"exact_inter": 0})
+        .select(
+            "src_a",
+            "src_b",
+            "exact_a",
+            "exact_b",
+            (F.col("exact_a") + F.col("exact_b") - F.col("exact_inter")).alias("exact_union"),
+            "exact_inter",
+            est_u.alias("est_union"),
+            est_i.alias("est_inter"),
+            F.expr("theta_sketch_estimate(sk_a)").alias("est_a"),
+        )
+    )
+
+    def within(est: Column, exact: Column, rel: float) -> Column:
+        return F.abs(est - exact) <= F.greatest(F.lit(_M03_ABS), F.lit(rel) * exact)
+
+    est_diff = F.col("est_a") - F.col("est_inter")  # |A\B| = |A| - |A∩B|, all-sketch algebra
+    exact_diff = F.col("exact_a") - F.col("exact_inter")
+    return scored.select(
+        "src_a",
+        "src_b",
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        "exact_inter",
+        within(F.col("est_union"), F.col("exact_union"), _M03_REL).alias("union_within"),
+        within(F.col("est_inter"), F.col("exact_inter"), _M03_REL_I).alias("inter_within"),
+        within(est_diff, exact_diff, _M03_REL_I).alias("diff_within"),
+    ).orderBy("src_a", "src_b")
+
+
+# ---------------------------------------------------------------------------
+# m04 — MAE <= RMSE <= max|e| (k12's backtest invariants, oracle-gated)
+
+
+@query(
+    "m04_mae_rmse_bound_audit",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         {sql_dsum('value')} AS rev
+  FROM events GROUP BY 1, 2
+), paired AS (
+  SELECT a.event_type,
+         CAST({sql_pround('a.rev', 6)} AS DECIMAL(25,6))
+           - CAST({sql_pround('b.rev', 6)} AS DECIMAL(25,6)) AS e
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND b.d = a.d - INTERVAL 7 DAY
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       {sql_pround('CAST(SUM(ABS(e)) AS DOUBLE) / COUNT(*)', 6)} AS mae,
+       {sql_pround('CAST(SUM(e * e) AS DOUBLE) / COUNT(*)', 6)} AS mse,
+       (CAST(SUM(ABS(e)) AS DOUBLE) / COUNT(*)) * (CAST(SUM(ABS(e)) AS DOUBLE) / COUNT(*))
+         <= CAST(SUM(e * e) AS DOUBLE) / COUNT(*) AS mae_le_rmse,
+       CAST(SUM(e * e) AS DOUBLE) / COUNT(*)
+         <= CAST(MAX(ABS(e)) AS DOUBLE) * CAST(MAX(ABS(e)) AS DOUBLE) AS rmse_le_max
+FROM paired GROUP BY event_type ORDER BY event_type
+""",
+    tags=("statistics", "forecast", "audit"),
+)
+def m04_mae_rmse_bound_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k12's seasonal-naive backtest invariants promoted to an
+    oracle-gated audit: per event type, the 7-day-lag forecast errors
+    must satisfy MAE <= RMSE <= max|e| (Cauchy-Schwarz / sup-norm
+    bounds — violated only by broken aggregation). Errors are exact
+    DECIMALs (daily revenue pround(6)-quantized before differencing),
+    so MAE, MSE and both flags are bit-identical on both engines; a
+    partial-aggregation bug that double-counts a shard flips a flag
+    and hash-mismatches.
+
+    Scale: one daily collapse (map-side combinable), a 7-day self-join
+    on the bounded (type, day) table, exact integer/decimal moments.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(dsum("value").alias("rev"))
+    a = daily.alias("a")
+    b = daily.select(
+        F.col("event_type").alias("bt"), F.col("d").alias("bd"), F.col("rev").alias("brev")
+    )
+    paired = a.join(
+        b,
+        (F.col("a.event_type") == F.col("bt")) & (F.col("bd") == F.date_sub(F.col("a.d"), 7)),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            pround(F.col("a.rev"), 6).cast("decimal(25,6)")
+            - pround(F.col("brev"), 6).cast("decimal(25,6)")
+        ).alias("e"),
+    )
+    g = paired.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.abs(F.col("e"))).alias("sae"),
+        F.sum(F.col("e") * F.col("e")).alias("sse"),
+        F.max(F.abs(F.col("e"))).alias("maxe"),
+    )
+    mae = F.col("sae").cast("double") / F.col("n_days")
+    mse = F.col("sse").cast("double") / F.col("n_days")
+    mx = F.col("maxe").cast("double")
+    return g.select(
+        "event_type",
+        "n_days",
+        pround(mae, 6).alias("mae"),
+        pround(mse, 6).alias("mse"),
+        (mae * mae <= mse).alias("mae_le_rmse"),
+        (mse <= mx * mx).alias("rmse_le_max"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# m05 — Markov transition matrix row-stochasticity audit (k13's property)
+
+
+@query(
+    "m05_markov_row_stochastic_audit",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type AS a,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b
+  FROM events
+), trans AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n FROM seq WHERE b IS NOT NULL GROUP BY a, b
+), rowtot AS (
+  SELECT a, CAST(SUM(n) AS BIGINT) AS tot FROM trans GROUP BY a
+), p AS (
+  SELECT t.a, t.b, {sql_pround('CAST(t.n AS DOUBLE) / r.tot', 9)} AS p
+  FROM trans t JOIN rowtot r ON r.a = t.a
+), p2 AS (
+  SELECT x.a, y.b,
+         {sql_pround('CAST(SUM(CAST(' + sql_pround('x.p * y.p', 12) + ' AS DECIMAL(25,12))) AS DOUBLE)', 9)} AS p
+  FROM p x JOIN p y ON x.b = y.a GROUP BY x.a, y.b
+), s1 AS (
+  SELECT a, CAST(SUM(CAST(p AS DECIMAL(25,9))) AS DOUBLE) AS rowsum FROM p GROUP BY a
+), s2 AS (
+  SELECT a, CAST(SUM(CAST(p AS DECIMAL(25,9))) AS DOUBLE) AS rowsum FROM p2 GROUP BY a
+)
+SELECT r.a AS state, r.tot AS n_out,
+       {sql_pround('s1.rowsum', 9)} AS rowsum_p,
+       {sql_pround('s2.rowsum', 9)} AS rowsum_p2,
+       ABS(s1.rowsum - 1.0) <= 1e-7 AS p_stochastic,
+       ABS(s2.rowsum - 1.0) <= 1e-6 AS p2_stochastic
+FROM rowtot r JOIN s1 ON s1.a = r.a JOIN s2 ON s2.a = r.a
+ORDER BY state
+""",
+    tags=("statistics", "events", "audit"),
+)
+def m05_markov_row_stochastic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k13's Markov property test promoted to an oracle-gated audit:
+    the event-type transition matrix P (per-user consecutive pairs)
+    and its square P**2 must both be row-stochastic. Entries are
+    pround(9)-quantized ratios, row sums are DECIMAL-exact over the
+    quantized entries, so the sums land within a few ulps of 1 on
+    BOTH engines identically and the tolerance flags (1e-7 for P,
+    1e-6 for P**2 — quantization compounds once per multiply) are
+    bit-stable. A transition extraction that drops a user shard or
+    double-counts a boundary breaks a row sum and hash-mismatches.
+
+    Scale: per-user LEAD over user-partitioned windows (parallel),
+    one |types|**2-cell matrix; the P**2 join runs on that bounded
+    matrix, never on events.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(F.col("event_type").alias("a"), F.lead("event_type").over(w).alias("b"))
+    trans = (
+        seq.where(F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    rowtot = trans.groupBy("a").agg(F.sum("n").cast("bigint").alias("tot"))
+    p = trans.join(rowtot, "a").select(
+        "a", "b", pround(F.col("n").cast("double") / F.col("tot"), 9).alias("p")
+    )
+    p = p.localCheckpoint(eager=True)  # consumed by s1 + both sides of P^2
+    x = p.select(F.col("a").alias("xa"), F.col("b").alias("xb"), F.col("p").alias("xp"))
+    y = p.select(F.col("a").alias("ya"), F.col("b").alias("yb"), F.col("p").alias("yp"))
+    p2 = (
+        x.join(y, F.col("xb") == F.col("ya"))
+        .groupBy(F.col("xa").alias("a"), F.col("yb").alias("b"))
+        .agg(
+            pround(
+                F.sum(pround(F.col("xp") * F.col("yp"), 12).cast("decimal(25,12)")).cast("double"),
+                9,
+            ).alias("p")
+        )
+    )
+    s1 = p.groupBy("a").agg(F.sum(F.col("p").cast("decimal(25,9)")).cast("double").alias("rs1"))
+    s2 = p2.groupBy("a").agg(F.sum(F.col("p").cast("decimal(25,9)")).cast("double").alias("rs2"))
+    return (
+        rowtot.join(s1, "a")
+        .join(s2, "a")
+        .select(
+            F.col("a").alias("state"),
+            F.col("tot").alias("n_out"),
+            pround(F.col("rs1"), 9).alias("rowsum_p"),
+            pround(F.col("rs2"), 9).alias("rowsum_p2"),
+            (F.abs(F.col("rs1") - 1.0) <= 1e-7).alias("p_stochastic"),
+            (F.abs(F.col("rs2") - 1.0) <= 1e-6).alias("p2_stochastic"),
+        )
+        .orderBy("state")
+    )
+
+
+# ---------------------------------------------------------------------------
+# m07 — Anderson-Darling uniformity test of the md5 sampling scores
+
+_M07_LAT = 1_000_000  # score lattice: (h % 1e6 + 0.5) / 1e6 in (0,1)
+
+
+@query(
+    "m07_anderson_darling_uniformity",
+    oracle=f"""
+WITH users AS (
+  SELECT DISTINCT user_id FROM events
+), scores AS (
+  SELECT (CAST({_sql_md5fold('CAST(user_id AS VARCHAR)')} % {_M07_LAT} AS DOUBLE) + 0.5)
+           / {_M07_LAT} AS s
+  FROM users
+), dict AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS c FROM scores GROUP BY s
+), runs AS (
+  SELECT s, c,
+         SUM(c) OVER (ORDER BY s ASC) AS b,
+         SUM(c) OVER (ORDER BY s ASC) - c + 1 AS a,
+         (SELECT SUM(c) FROM dict) AS n
+  FROM dict
+), terms AS (
+  SELECT n,
+         CAST({sql_pround('ln(s)', 9)} AS DECIMAL(25,9)) * (b * b - (a - 1) * (a - 1)) AS t1,
+         CAST({sql_pround('ln(1.0 - s)', 9)} AS DECIMAL(25,9))
+           * ((2 * n + 1) * c - (b * (b + 1) - (a - 1) * a)) AS t2
+  FROM runs
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n,
+       {sql_pround('-CAST(MAX(n) AS DOUBLE) - CAST(SUM(t1 + t2) AS DOUBLE) / MAX(n)', 6)} AS a2
+FROM terms
+""",
+    tags=("statistics", "audit"),
+)
+def m07_anderson_darling_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anderson-Darling test that the md5-fold sampling scores are
+    Uniform(0,1) — the audit behind every hash-keyed decision in this
+    engine (qe01 reservoir weights, qb42 splits, qh12 anchors, k11
+    splits): A² = −n − (1/n)·Σ(2i−1)[ln s_i + ln(1−s_{{n+1−i}})],
+    computed over the SCORE DICTIONARY (≤{_M07_LAT} lattice points):
+    for a run of equal scores at ranks a..b, Σ(2i−1) telescopes to
+    b²−(a−1)², and the reversed term to (2n+1)c − (b(b+1)−(a−1)a), so
+    the only ordered window runs over distinct scores, never users.
+    ln terms are pround(9)-quantized and DECIMAL-summed with exact
+    integer rank weights — bit-identical on both engines. A
+    catastrophically non-uniform hash (A² blowing past ~2.5) would be
+    a sampling-bias incident; the gate pins the exact statistic.
+
+    Scale: distinct-user collapse, dictionary groupBy, one bounded
+    cumulative window, 1-row moments — the qj01 lattice pattern.
+    """
+    e = table(spark, sf_dir, "events")
+    users = e.select("user_id").distinct()
+    s = (
+        (_md5fold(F.col("user_id").cast("string")) % _M07_LAT).cast("double") + 0.5
+    ) / _M07_LAT
+    dict_ = users.select(s.alias("s")).groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wsum = Window.orderBy(F.asc("s"))  # bounded: score dictionary
+    runs = dict_.select(
+        "s",
+        "c",
+        F.sum("c").over(wsum).alias("b"),
+        (F.sum("c").over(wsum) - F.col("c") + 1).alias("a"),
+    )
+    n_total = users.count()  # 1-row scalar; drives exact integer weights
+    t1 = pround(F.log(F.col("s")), 9).cast("decimal(25,9)") * (
+        F.col("b") * F.col("b") - (F.col("a") - 1) * (F.col("a") - 1)
+    )
+    t2 = pround(F.log(1.0 - F.col("s")), 9).cast("decimal(25,9)") * (
+        (2 * F.lit(n_total) + 1) * F.col("c")
+        - (F.col("b") * (F.col("b") + 1) - (F.col("a") - 1) * F.col("a"))
+    )
+    terms = runs.select((t1 + t2).alias("t"))
+    return terms.agg(
+        F.lit(n_total).cast("bigint").alias("n"),
+        pround(
+            -F.lit(float(n_total)) - F.sum("t").cast("double") / F.lit(float(n_total)), 6
+        ).alias("a2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# m09 — Mood's median test: acctbal above/below the grand median by nation
+
+
+@query(
+    "m09_moods_median",
+    oracle=f"""
+WITH dict AS (
+  SELECT c_acctbal AS v, CAST(COUNT(*) AS BIGINT) AS c FROM customer GROUP BY 1
+), cum AS (
+  SELECT v, SUM(c) OVER (ORDER BY v ASC) AS cum, (SELECT SUM(c) FROM dict) AS n FROM dict
+), med AS (
+  SELECT MIN(v) AS gm FROM cum WHERE cum >= CAST(ceil(n / 2.0) AS BIGINT)
+), cells AS (
+  SELECT c_nationkey AS nation,
+         CAST(SUM(CASE WHEN c_acctbal > (SELECT gm FROM med) THEN 1 ELSE 0 END) AS BIGINT) AS above,
+         CAST(COUNT(*) AS BIGINT) AS total
+  FROM customer GROUP BY 1
+), gt AS (
+  SELECT CAST(SUM(above) AS BIGINT) AS ga, CAST(SUM(total) AS BIGINT) AS gn FROM cells
+), chi AS (
+  SELECT CAST(SUM(CAST({sql_pround(
+      '(above - total * (CAST(ga AS DOUBLE) / gn)) * (above - total * (CAST(ga AS DOUBLE) / gn))'
+      ' / (total * (CAST(ga AS DOUBLE) / gn))'
+      ' + ((total - above) - total * (1.0 - CAST(ga AS DOUBLE) / gn))'
+      '   * ((total - above) - total * (1.0 - CAST(ga AS DOUBLE) / gn))'
+      '   / (total * (1.0 - CAST(ga AS DOUBLE) / gn))', 9)} AS DECIMAL(25,9))) AS DOUBLE) AS x2,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM cells, gt
+)
+SELECT (SELECT gm FROM med) AS grand_median,
+       (SELECT ga FROM gt) AS n_above,
+       (SELECT gn FROM gt) AS n_total,
+       k - 1 AS df,
+       {sql_pround('x2', 6)} AS chi2
+FROM chi
+""",
+    tags=("statistics",),
+)
+def m09_moods_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test: does any nation's account-balance
+    distribution sit above/below the GRAND median more than chance
+    allows — the rank-free k-sample location test (robust to outliers,
+    the screening companion to k03 Kruskal-Wallis). Grand median is
+    the exact type-1 quantile from the value dictionary; per-nation
+    above/below counts form the 2×k table; χ² sums per-cell
+    (O−E)²/E with pround(9)-quantized contributions DECIMAL-summed.
+
+    Scale: one dictionary collapse + one bounded cumulative window
+    for the median, one per-nation count pass, χ² over k cells.
+    """
+    c = table(spark, sf_dir, "customer")
+    dict_ = c.groupBy(F.col("c_acctbal").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wv = Window.orderBy(F.asc("v"))  # bounded: value dictionary
+    cum = dict_.select("v", F.sum("cnt").over(wv).alias("cum"))
+    n = c.count()
+    gm_row = (
+        cum.where(F.col("cum") >= F.lit(int(-(-n // 2)))).agg(F.min("v").alias("gm")).collect()[0]
+    )
+    gm = float(gm_row["gm"])
+    cells = c.groupBy(F.col("c_nationkey").alias("nation")).agg(
+        F.sum((F.col("c_acctbal") > gm).cast("int")).cast("bigint").alias("above"),
+        F.count(F.lit(1)).cast("bigint").alias("total"),
+    )
+    cells = cells.localCheckpoint(eager=True)  # grand totals + chi2 arms
+    gt = cells.agg(
+        F.sum("above").cast("bigint").alias("ga"), F.sum("total").cast("bigint").alias("gn")
+    )
+    j = cells.crossJoin(F.broadcast(gt))
+    pa = F.col("ga").cast("double") / F.col("gn")
+    ea = F.col("total") * pa
+    eb = F.col("total") * (1.0 - pa)
+    term = pround(
+        (F.col("above") - ea) * (F.col("above") - ea) / ea
+        + ((F.col("total") - F.col("above")) - eb)
+        * ((F.col("total") - F.col("above")) - eb)
+        / eb,
+        9,
+    )
+    chi = j.agg(
+        F.sum(term.cast("decimal(25,9)")).cast("double").alias("x2"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.max("ga").cast("bigint").alias("n_above"),
+        F.max("gn").cast("bigint").alias("n_total"),
+    )
+    return chi.select(
+        F.lit(gm).alias("grand_median"),
+        "n_above",
+        "n_total",
+        (F.col("k") - 1).alias("df"),
+        pround(F.col("x2"), 6).alias("chi2"),
+    )
