@@ -511,3 +511,422 @@ def m09_moods_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("k") - 1).alias("df"),
         pround(F.col("x2"), 6).alias("chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m08 — Ljung-Box portmanteau test on the daily revenue series
+
+_M08_LAGS = 5
+
+_M08_Q_EXPR = (
+    "CAST(n AS DOUBLE) * (n + 2) * (SELECT CAST(SUM(CAST(("
+    + sql_pround("r2.r * r2.r / (r2.n - r2.k)", 12)
+    + ") AS DECIMAL(25,12))) AS DOUBLE) FROM rk r2 WHERE r2.k <= rk.k)"
+)
+
+
+@query(
+    "m08_ljung_box",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, {sql_dsum('value')} AS rev
+  FROM events GROUP BY 1
+), idx AS (
+  SELECT {sql_pround('rev', 6)} AS y,
+         CAST(ROW_NUMBER() OVER (ORDER BY d ASC) AS BIGINT) AS t,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM daily
+), mean AS (
+  SELECT {sql_pround('CAST(SUM(CAST(y AS DECIMAL(25,6))) AS DOUBLE) / MAX(n)', 9)} AS ybar,
+         MAX(n) AS n
+  FROM idx
+), dev AS (
+  SELECT t, y - (SELECT ybar FROM mean) AS e FROM idx
+), denom AS (
+  SELECT CAST(SUM(CAST({sql_pround('e * e', 9)} AS DECIMAL(25,9))) AS DOUBLE) AS s0 FROM dev
+), num AS (
+  SELECT a.t - b.t AS k,
+         CAST(SUM(CAST({sql_pround('a.e * b.e', 9)} AS DECIMAL(25,9))) AS DOUBLE) AS sk
+  FROM dev a JOIN dev b ON a.t - b.t BETWEEN 1 AND {_M08_LAGS}
+  GROUP BY a.t - b.t
+), rk AS (
+  SELECT k, {sql_pround('sk / (SELECT s0 FROM denom)', 9)} AS r,
+         (SELECT n FROM mean) AS n
+  FROM num
+)
+SELECT CAST(k AS BIGINT) AS lag, {sql_pround('r', 9)} AS r_k,
+       {sql_pround(_M08_Q_EXPR, 6)} AS q_lb
+FROM rk ORDER BY lag
+""",
+    tags=("statistics", "timeseries"),
+)
+def m08_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on daily revenue: sample
+    autocorrelations r_k for lags 1..{_M08_LAGS} and the cumulative
+    Q(k) = n(n+2)·Σ_(j<=k) r_j²/(n−j) — the standard "is this series
+    white noise" gate run before fitting any forecasting model (k12's
+    backtest assumes structure; this MEASURES it). Deviations use the
+    pround(9) mean, lagged cross-products are pround(9)-quantized and
+    DECIMAL-summed; the r_k ratios and Q are each one shared float
+    expression — bit-identical on both engines.
+
+    Scale: one daily collapse; the lag join runs on the bounded
+    (day) series table, never on events; per-lag moments are exact.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").cast("date").alias("d")).agg(
+        dsum("value").alias("rev")
+    )
+    wd = Window.orderBy(F.asc("d"))  # bounded: daily series
+    idx = daily.select(
+        pround(F.col("rev"), 6).alias("y"), F.row_number().over(wd).cast("bigint").alias("t")
+    )
+    idx = idx.localCheckpoint(eager=True)  # mean + both join sides
+    n = idx.count()
+    ybar_row = idx.agg(
+        pround(F.sum(F.col("y").cast("decimal(25,6)")).cast("double") / F.lit(n), 9).alias("yb")
+    ).collect()[0]
+    ybar = float(ybar_row["yb"])
+    dev = idx.select("t", (F.col("y") - F.lit(ybar)).alias("e"))
+    dev = dev.localCheckpoint(eager=True)  # denom + two lag-join sides
+    s0 = dev.agg(
+        F.sum(pround(F.col("e") * F.col("e"), 9).cast("decimal(25,9)")).cast("double").alias("s0")
+    ).collect()[0]["s0"]
+    a = dev.select(F.col("t").alias("ta"), F.col("e").alias("ea"))
+    b = dev.select(F.col("t").alias("tb"), F.col("e").alias("eb"))
+    num = (
+        a.join(b, (F.col("ta") - F.col("tb")).between(1, _M08_LAGS))
+        .groupBy((F.col("ta") - F.col("tb")).alias("k"))
+        .agg(
+            F.sum(pround(F.col("ea") * F.col("eb"), 9).cast("decimal(25,9)"))
+            .cast("double")
+            .alias("sk")
+        )
+    )
+    rk = num.select(
+        F.col("k").cast("bigint").alias("lag"), pround(F.col("sk") / F.lit(s0), 9).alias("r_k")
+    )
+    wq = Window.orderBy("lag").rowsBetween(Window.unboundedPreceding, 0)  # bounded: 5 lags
+    q = (
+        F.lit(float(n))
+        * (n + 2)
+        * F.sum(
+            pround(F.col("r_k") * F.col("r_k") / (F.lit(n) - F.col("lag")), 12).cast(
+                "decimal(25,12)"
+            )
+        )
+        .over(wq)
+        .cast("double")
+    )
+    return rk.select("lag", pround("r_k", 9).alias("r_k"), pround(q, 6).alias("q_lb")).orderBy(
+        "lag"
+    )
+
+
+# ---------------------------------------------------------------------------
+# m10 — Bartlett's test for equal variances across order priorities
+
+
+@query(
+    "m10_bartlett_test",
+    oracle=f"""
+WITH g AS (
+  SELECT o_orderpriority AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2)) * CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS s2
+  FROM orders GROUP BY 1
+), v AS (
+  SELECT grp, n, {sql_pround('(s2 - s1 * s1 / n) / (n - 1)', 6)} AS var
+  FROM g
+), moms AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS bign, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(CAST({sql_pround('(n - 1) * ln(var)', 9)} AS DECIMAL(25,9))) AS DOUBLE) AS sum_nl,
+         CAST(SUM(CAST((n - 1) * CAST({sql_pround('var', 6)} AS DECIMAL(25,6)) AS DECIMAL(38,6))) AS DOUBLE) AS sum_nv,
+         CAST(SUM(CAST({sql_pround('1.0 / (n - 1)', 12)} AS DECIMAL(25,12))) AS DOUBLE) AS sum_inv
+  FROM v
+)
+SELECT bign AS n, k,
+       {sql_pround('(CAST(bign - k AS DOUBLE) * ln(sum_nv / (bign - k)) - sum_nl)'
+                   ' / (1.0 + (sum_inv - 1.0 / (bign - k)) / (3.0 * (k - 1)))', 6)} AS bartlett_x2,
+       k - 1 AS df
+FROM moms
+""",
+    tags=("statistics",),
+)
+def m10_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test for variance homogeneity of order value across
+    priorities — the PARAMETRIC scale test next to qj20's Levene
+    (Bartlett is more powerful under normality, fragile otherwise;
+    shipping both is how a stats suite lets the analyst choose).
+    Group variances come from exact DECIMAL (Σx, Σx²) moments; the
+    pooled-variance log, per-group log terms, and the 1/(n_i−1)
+    correction are pround-quantized and DECIMAL-summed.
+
+    Scale: one grouped-moment pass over orders (map-side combinable),
+    k-row statistic assembly.
+    """
+    o = table(spark, sf_dir, "orders")
+    x = F.col("o_totalprice").cast("decimal(25,2)")
+    g = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).cast("double").alias("s1"),
+        F.sum(x * x).cast("double").alias("s2"),
+    )
+    v = g.select(
+        "grp",
+        "n",
+        pround((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1), 6).alias(
+            "var"
+        ),
+    )
+    moms = v.agg(
+        F.sum("n").cast("bigint").alias("bign"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(pround((F.col("n") - 1) * F.log("var"), 9).cast("decimal(25,9)"))
+        .cast("double")
+        .alias("sum_nl"),
+        F.sum(((F.col("n") - 1) * pround(F.col("var"), 6).cast("decimal(25,6)")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sum_nv"),
+        F.sum(pround(F.lit(1.0) / (F.col("n") - 1), 12).cast("decimal(25,12)"))
+        .cast("double")
+        .alias("sum_inv"),
+    )
+    nk = F.col("bign") - F.col("k")
+    x2 = (nk.cast("double") * F.log(F.col("sum_nv") / nk) - F.col("sum_nl")) / (
+        1.0 + (F.col("sum_inv") - 1.0 / nk) / (3.0 * (F.col("k") - 1))
+    )
+    return moms.select(
+        F.col("bign").alias("n"),
+        "k",
+        pround(x2, 6).alias("bartlett_x2"),
+        (F.col("k") - 1).alias("df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# m11 — Grubbs' maximum studentized deviate (single-outlier screen)
+
+
+@query(
+    "m11_grubbs_outlier",
+    oracle=f"""
+WITH moms AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(25,2))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(25,2)) * CAST(c_acctbal AS DECIMAL(25,2))) AS DOUBLE) AS s2
+  FROM customer
+), mstats AS (
+  SELECT n, {sql_pround('s1 / n', 6)} AS xbar,
+         {sql_pround('sqrt((s2 - s1 * s1 / n) / (n - 1))', 9)} AS s
+  FROM moms
+), devs AS (
+  SELECT c_custkey,
+         ABS(CAST(c_acctbal AS DECIMAL(25,6)) - CAST((SELECT xbar FROM mstats) AS DECIMAL(25,6))) AS dev
+  FROM customer
+), mx AS (
+  SELECT MAX(dev) AS maxdev FROM devs
+)
+SELECT (SELECT n FROM mstats) AS n,
+       (SELECT xbar FROM mstats) AS mean_bal,
+       (SELECT s FROM mstats) AS sd_bal,
+       CAST((SELECT MIN(c_custkey) FROM devs WHERE dev = (SELECT maxdev FROM mx)) AS BIGINT)
+         AS outlier_custkey,
+       {sql_pround('CAST((SELECT maxdev FROM mx) AS DOUBLE) / (SELECT s FROM mstats)', 6)} AS grubbs_g
+""",
+    tags=("statistics", "audit"),
+)
+def m11_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' test statistic G = max|x−x̄|/s over customer balances —
+    the single-most-extreme-point screen run before robust methods
+    (qc05 MAD) take over. Deviations are EXACT decimals (balances are
+    2dp, the mean is pround(6)-quantized before subtracting), so the
+    arg-max row and G are bit-stable; ties on the max deviation break
+    to the lowest custkey.
+
+    Scale: one exact-moment pass + one deviation scan with a 1-row
+    broadcast of (x̄, s); the argmax is a bounded filter, not a sort.
+    """
+    c = table(spark, sf_dir, "customer")
+    x = F.col("c_acctbal").cast("decimal(25,2)")
+    moms = c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).cast("double").alias("s1"),
+        F.sum(x * x).cast("double").alias("s2"),
+    ).collect()[0]
+    n, s1, s2 = moms["n"], moms["s1"], moms["s2"]
+    import math
+
+    xbar = math.floor((s1 / n) * 1e6 + 0.5) / 1e6  # pround(6) mirror
+    s = math.floor(math.sqrt((s2 - s1 * s1 / n) / (n - 1)) * 1e9 + 0.5) / 1e9
+    devs = c.select(
+        "c_custkey",
+        F.abs(
+            F.col("c_acctbal").cast("decimal(25,6)") - F.lit(xbar).cast("decimal(25,6)")
+        ).alias("dev"),
+    )
+    devs = devs.localCheckpoint(eager=True)  # max + argmax filter
+    maxdev = devs.agg(F.max("dev").alias("m")).collect()[0]["m"]
+    argmax = devs.where(F.col("dev") == maxdev).agg(
+        F.min("c_custkey").cast("bigint").alias("outlier_custkey")
+    )
+    return argmax.select(
+        F.lit(n).cast("bigint").alias("n"),
+        F.lit(xbar).alias("mean_bal"),
+        F.lit(s).alias("sd_bal"),
+        "outlier_custkey",
+        pround(F.lit(float(maxdev)) / F.lit(s), 6).alias("grubbs_g"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# m12 — odds ratio with Wald CI: click exposure vs purchase outcome
+
+
+@query(
+    "m12_odds_ratio_ci",
+    oracle=f"""
+WITH users AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS exposed,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS outcome
+  FROM events GROUP BY user_id
+), cells AS (
+  SELECT CAST(SUM(exposed * outcome) AS BIGINT) AS a,
+         CAST(SUM(exposed * (1 - outcome)) AS BIGINT) AS b,
+         CAST(SUM((1 - exposed) * outcome) AS BIGINT) AS c,
+         CAST(SUM((1 - exposed) * (1 - outcome)) AS BIGINT) AS d
+  FROM users
+)
+SELECT a, b, c, d,
+       {sql_pround('(a + 0.5) * (d + 0.5) / ((b + 0.5) * (c + 0.5))', 6)} AS odds_ratio,
+       {sql_pround('exp(ln((a + 0.5) * (d + 0.5) / ((b + 0.5) * (c + 0.5)))'
+                   ' - 1.959964 * sqrt(1.0/(a+0.5) + 1.0/(b+0.5) + 1.0/(c+0.5) + 1.0/(d+0.5)))', 6)} AS ci_lo,
+       {sql_pround('exp(ln((a + 0.5) * (d + 0.5) / ((b + 0.5) * (c + 0.5)))'
+                   ' + 1.959964 * sqrt(1.0/(a+0.5) + 1.0/(b+0.5) + 1.0/(c+0.5) + 1.0/(d+0.5)))', 6)} AS ci_hi
+FROM cells
+""",
+    tags=("statistics", "events"),
+)
+def m12_odds_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio of purchase given click exposure with the Wald 95%
+    CI — the 2×2 effect-size report qg17's two-proportion z-test
+    doesn't give (a z-test says WHETHER, the OR+CI says HOW MUCH and
+    with what precision). Cells are exact integers from one per-user
+    collapse; the OR uses the Haldane-Anscombe +0.5 correction
+    (defined even when a cell is empty — a small SF WILL produce
+    empty cells); OR, ln-OR and the CI bounds are shared float
+    expressions evaluated identically on both engines.
+
+    Scale: per-user collapse (map-side combinable) to 4 integers.
+    """
+    e = table(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "click").cast("int")).alias("exposed"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("outcome"),
+    )
+    cells = users.agg(
+        F.sum(F.col("exposed") * F.col("outcome")).cast("bigint").alias("a"),
+        F.sum(F.col("exposed") * (1 - F.col("outcome"))).cast("bigint").alias("b"),
+        F.sum((1 - F.col("exposed")) * F.col("outcome")).cast("bigint").alias("c"),
+        F.sum((1 - F.col("exposed")) * (1 - F.col("outcome"))).cast("bigint").alias("d"),
+    )
+    ah, bh = F.col("a") + 0.5, F.col("b") + 0.5
+    ch, dh = F.col("c") + 0.5, F.col("d") + 0.5
+    orr = ah * dh / (bh * ch)
+    se = F.sqrt(1.0 / ah + 1.0 / bh + 1.0 / ch + 1.0 / dh)
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        pround(orr, 6).alias("odds_ratio"),
+        pround(F.exp(F.log(orr) - 1.959964 * se), 6).alias("ci_lo"),
+        pround(F.exp(F.log(orr) + 1.959964 * se), 6).alias("ci_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# m13 — Jonckheere-Terpstra ordered trend across order years
+
+_M13_BUCKET = 10_000.0  # price lattice: floor(totalprice / 10k)
+
+
+@query(
+    "m13_jonckheere_trend",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS g,
+         CAST(floor(o_totalprice / {_M13_BUCKET}) AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2
+), u AS (
+  SELECT CAST(SUM(CASE WHEN a.v < b.v THEN a.c * b.c * 2
+                       WHEN a.v = b.v THEN a.c * b.c ELSE 0 END) AS BIGINT) AS j2
+  FROM d a JOIN d b ON a.g < b.g
+), sizes AS (
+  SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM d GROUP BY g
+), moms AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS bign,
+         CAST(SUM(n * n) AS BIGINT) AS sn2,
+         CAST(SUM(CAST(n AS HUGEINT) * n * (2 * n + 3)) AS DOUBLE) AS sn3
+  FROM sizes
+)
+SELECT {sql_pround('CAST(u.j2 AS DOUBLE) / 2', 6)} AS j_stat,
+       {sql_pround('(CAST(bign AS DOUBLE) * bign - sn2) / 4', 6)} AS e_j,
+       {sql_pround('(CAST(u.j2 AS DOUBLE) / 2 - (CAST(bign AS DOUBLE) * bign - sn2) / 4)'
+                   ' / sqrt((CAST(bign AS DOUBLE) * bign * (2 * bign + 3) - sn3) / 72)', 6)} AS z
+FROM u, moms
+""",
+    tags=("statistics",),
+)
+def m13_jonckheere_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra test for a MONOTONE trend in order value
+    across years — the ordered-alternative k-sample test (more
+    powerful than k03 Kruskal-Wallis when the hypothesis is "growing
+    over time", the canonical question of a yearly panel): J = Σ over
+    year pairs g_i<g_j of Mann-Whitney counts, with half-credit ties,
+    over a $-{_M13_BUCKET:.0f} price lattice; z uses the no-tie
+    null moments (documented approximation, standard for screening).
+    2J is an exact integer, so the gate is bit-stable.
+
+    Scale: one (year, bucket) dictionary collapse; the pairwise U
+    runs on the bounded dictionary (|years|·|buckets| rows), never
+    on orders.
+    """
+    o = table(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("g"),
+        F.floor(F.col("o_totalprice") / _M13_BUCKET).cast("bigint").alias("v"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    d = d.localCheckpoint(eager=True)  # both self-join sides + sizes
+    a = d.select(F.col("g").alias("ga"), F.col("v").alias("va"), F.col("c").alias("ca"))
+    b = d.select(F.col("g").alias("gb"), F.col("v").alias("vb"), F.col("c").alias("cb"))
+    u = a.join(b, F.col("ga") < F.col("gb")).agg(
+        F.sum(
+            F.when(F.col("va") < F.col("vb"), F.col("ca") * F.col("cb") * 2)
+            .when(F.col("va") == F.col("vb"), F.col("ca") * F.col("cb"))
+            .otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("j2")
+    )
+    sizes = d.groupBy("g").agg(F.sum("c").cast("bigint").alias("n"))
+    moms = sizes.agg(
+        F.sum("n").cast("bigint").alias("bign"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sn2"),
+        F.sum((F.col("n") * F.col("n") * (2 * F.col("n") + 3)).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sn3"),
+    )
+    j = u.crossJoin(F.broadcast(moms))
+    jstat = F.col("j2").cast("double") / 2
+    ej = (F.col("bign").cast("double") * F.col("bign") - F.col("sn2")) / 4
+    varj = (
+        F.col("bign").cast("double") * F.col("bign") * (2 * F.col("bign") + 3) - F.col("sn3")
+    ) / 72
+    return j.select(
+        pround(jstat, 6).alias("j_stat"),
+        pround(ej, 6).alias("e_j"),
+        pround((jstat - ej) / F.sqrt(varj), 6).alias("z"),
+    )
