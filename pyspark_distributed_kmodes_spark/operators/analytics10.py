@@ -930,3 +930,529 @@ def m13_jonckheere_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(ej, 6).alias("e_j"),
         pround((jstat - ej) / F.sqrt(varj), 6).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m14 — Brunner-Munzel two-sample test (en vs de doc lengths)
+
+
+@query(
+    "m14_brunner_munzel",
+    oracle=f"""
+WITH obs AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 2 END AS grp, n_chars AS v
+  FROM documents WHERE lang IN ('en', 'de')
+), d AS (
+  SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS c FROM obs GROUP BY 1, 2
+), allv AS (
+  SELECT v, CAST(SUM(c) AS BIGINT) AS ca FROM d GROUP BY v
+), gcum AS (
+  SELECT grp, v, c,
+         SUM(c) OVER (PARTITION BY grp ORDER BY v ASC) - c AS below_g
+  FROM d
+), acum AS (
+  SELECT v, ca, SUM(ca) OVER (ORDER BY v ASC) - ca AS below_a FROM allv
+), marks AS (
+  SELECT g.grp, g.v, g.c,
+         CAST(a.below_a AS DOUBLE) + (a.ca + 1) / 2.0 AS r_all,
+         CAST(g.below_g AS DOUBLE) + (g.c + 1) / 2.0 AS r_in
+  FROM gcum g JOIN acum a ON a.v = g.v
+), sizes AS (
+  SELECT CAST(SUM(CASE WHEN grp = 1 THEN c ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN grp = 2 THEN c ELSE 0 END) AS BIGINT) AS n2
+  FROM d
+), means AS (
+  SELECT grp,
+         {sql_pround('CAST(SUM(CAST(r_all * c * 2 AS DECIMAL(25,0))) AS DOUBLE) / (2 * SUM(c))', 9)} AS rbar
+  FROM marks GROUP BY grp
+), vars AS (
+  SELECT m.grp,
+         CAST(SUM(CAST({sql_pround(
+             '(m.r_all - m.r_in - mm.rbar + (CASE WHEN m.grp = 1 THEN s.n1 ELSE s.n2 END + 1) / 2.0)'
+             ' * (m.r_all - m.r_in - mm.rbar + (CASE WHEN m.grp = 1 THEN s.n1 ELSE s.n2 END + 1) / 2.0)'
+             ' * m.c', 9)} AS DECIMAL(25,9))) AS DOUBLE)
+           / ((CASE WHEN m.grp = 1 THEN MAX(s.n1) ELSE MAX(s.n2) END) - 1) AS s2
+  FROM marks m JOIN means mm ON mm.grp = m.grp CROSS JOIN sizes s
+  GROUP BY m.grp
+)
+SELECT s.n1, s.n2,
+       {sql_pround('((SELECT rbar FROM means WHERE grp = 2) - (s.n2 + 1) / 2.0) / s.n1', 6)} AS p_hat,
+       {sql_pround('((SELECT rbar FROM means WHERE grp = 2) - (SELECT rbar FROM means WHERE grp = 1))'
+                   ' / sqrt(CAST(s.n1 + s.n2 AS DOUBLE) * (s.n1 + s.n2)'
+                   '        * ((SELECT s2 FROM vars WHERE grp = 1) / (CAST(s.n2 AS DOUBLE) * s.n2)'
+                   '           + (SELECT s2 FROM vars WHERE grp = 2) / (CAST(s.n1 AS DOUBLE) * s.n1))'
+                   '        / (s.n1 + s.n2))', 6)} AS w_bm
+FROM sizes s
+""",
+    tags=("statistics", "text"),
+)
+def m14_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brunner-Munzel test comparing en vs de document lengths — the
+    rank test that, unlike qj03 Mann-Whitney, stays valid when the two
+    distributions differ in SHAPE (the generalized Behrens-Fisher
+    problem): p̂ = P(X<Y)+½P(X=Y) from global midranks, and the
+    studentized statistic W = (R̄₂−R̄₁)/√(N²(S₁²/(N−n₁)² + S₂²/(N−n₂)²))
+    with rank-variance estimates S_k² built from (global − within-group)
+    midranks. All midranks are exact half-integers from the value
+    dictionary; variance terms are pround(9)-quantized DECIMAL sums.
+
+    Scale: everything runs on the bounded (group × n_chars) dictionary
+    — two cumulative windows, no per-document ranking.
+    """
+    d0 = table(spark, sf_dir, "documents")
+    obs = d0.where(F.col("lang").isin("en", "de")).select(
+        F.when(F.col("lang") == "en", 1).otherwise(2).alias("grp"), F.col("n_chars").alias("v")
+    )
+    d = obs.groupBy("grp", "v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    d = d.localCheckpoint(eager=True)  # dictionary feeds 4 downstream consumers
+    allv = d.groupBy("v").agg(F.sum("c").cast("bigint").alias("ca"))
+    wg = Window.partitionBy("grp").orderBy(F.asc("v"))  # bounded dictionary
+    wa = Window.orderBy(F.asc("v"))  # bounded dictionary
+    gcum = d.select("grp", "v", "c", (F.sum("c").over(wg) - F.col("c")).alias("below_g"))
+    acum = allv.select("v", "ca", (F.sum("ca").over(wa) - F.col("ca")).alias("below_a"))
+    marks = gcum.join(acum, "v").select(
+        "grp",
+        "v",
+        "c",
+        (F.col("below_a").cast("double") + (F.col("ca") + 1) / 2.0).alias("r_all"),
+        (F.col("below_g").cast("double") + (F.col("c") + 1) / 2.0).alias("r_in"),
+    )
+    marks = marks.localCheckpoint(eager=True)  # means + variance arms
+    sizes = d.groupBy().agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("c")).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("grp") == 2, F.col("c")).otherwise(0)).cast("bigint").alias("n2"),
+    )
+    srow = sizes.collect()[0]
+    n1, n2 = srow["n1"], srow["n2"]
+    means = marks.groupBy("grp").agg(
+        pround(
+            F.sum((F.col("r_all") * F.col("c") * 2).cast("decimal(25,0)")).cast("double")
+            / (2 * F.sum("c")),
+            9,
+        ).alias("rbar")
+    )
+    mrows = {r["grp"]: r["rbar"] for r in means.collect()}
+    rb1, rb2 = float(mrows[1]), float(mrows[2])
+    nk = F.when(F.col("grp") == 1, F.lit(n1)).otherwise(F.lit(n2))
+    rbark = F.when(F.col("grp") == 1, F.lit(rb1)).otherwise(F.lit(rb2))
+    dev = F.col("r_all") - F.col("r_in") - rbark + (nk + 1) / 2.0
+    vars_ = marks.groupBy("grp").agg(
+        (
+            F.sum(pround(dev * dev * F.col("c"), 9).cast("decimal(25,9)")).cast("double")
+            / (F.max(nk) - 1)
+        ).alias("s2")
+    )
+    vrows = {r["grp"]: r["s2"] for r in vars_.collect()}
+    s21, s22 = float(vrows[1]), float(vrows[2])
+    n = n1 + n2
+    import math
+
+    p_hat = (rb2 - (n2 + 1) / 2.0) / n1
+    w = (rb2 - rb1) / math.sqrt(
+        float(n) * n * (s21 / (float(n2) * n2) + s22 / (float(n1) * n1)) / n
+    )
+    one = table(spark, sf_dir, "documents").limit(1).select(F.lit(1).alias("one"))
+    return one.select(
+        F.lit(n1).cast("bigint").alias("n1"),
+        F.lit(n2).cast("bigint").alias("n2"),
+        pround(F.lit(p_hat), 6).alias("p_hat"),
+        pround(F.lit(w), 6).alias("w_bm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# m15 — Ansari-Bradley two-sample scale test
+
+
+@query(
+    "m15_ansari_bradley",
+    oracle=f"""
+WITH obs AS (
+  SELECT CASE WHEN l_linestatus = 'F' THEN 1 ELSE 2 END AS grp, l_quantity AS v
+  FROM lineitem
+), d AS (
+  SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS c FROM obs GROUP BY 1, 2
+), allv AS (
+  SELECT v, CAST(SUM(c) AS BIGINT) AS ca FROM d GROUP BY v
+), acum AS (
+  SELECT v, ca,
+         SUM(ca) OVER (ORDER BY v ASC) - ca AS below,
+         (SELECT SUM(ca) FROM allv) AS n
+  FROM allv
+), scores AS (
+  -- midrank r = below + (ca+1)/2; AB score = min(r, N+1-r); 2*score is int
+  SELECT v,
+         CAST(LEAST(2 * below + ca + 1, 2 * (n - below) - ca + 1) AS BIGINT) AS s2x
+  FROM acum
+), ab AS (
+  SELECT CAST(SUM(CASE WHEN d.grp = 1 THEN d.c * s.s2x ELSE 0 END) AS BIGINT) AS t2,
+         CAST(SUM(CASE WHEN d.grp = 1 THEN d.c ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(d.c) AS BIGINT) AS n,
+         CAST(SUM(d.c * s.s2x) AS BIGINT) AS tot2,
+         CAST(SUM(d.c * CAST(s.s2x AS HUGEINT) * s.s2x) AS DOUBLE) AS tot2sq
+  FROM d JOIN scores s ON s.v = d.v
+)
+SELECT n1, n - n1 AS n2,
+       {sql_pround('t2 / 2.0', 6)} AS ab_stat,
+       {sql_pround('CAST(n1 AS DOUBLE) * tot2 / n / 2', 6)} AS e_ab,
+       {sql_pround('(t2 / 2.0 - CAST(n1 AS DOUBLE) * tot2 / n / 2)'
+                   ' / sqrt(CAST(n1 AS DOUBLE) * (n - n1) / (CAST(n AS DOUBLE) * n * (n - 1))'
+                   '        * (n * (tot2sq / 4.0) - CAST(tot2 AS DOUBLE) * tot2 / 4))', 6)} AS z
+FROM ab
+""",
+    tags=("statistics",),
+)
+def m15_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley two-sample SCALE test (F- vs O-status line
+    quantities): scores min(r, N+1−r) fold the rank scale so extreme
+    values score low — dispersion differences move the group score sum
+    without any normal-quantile transform (the reason this, not
+    Fligner-Killeen, is the engine-portable rank scale test). Ties use
+    midrank scores; the z uses the exact conditional tie-adjusted
+    moments E = n1·ΣS/N and Var = n1·n2/(N²(N−1))·(N·ΣS² − (ΣS)²)
+    over the realized scores. 2×score is an exact integer throughout.
+
+    Scale: one (group, quantity) dictionary collapse; one bounded
+    cumulative window; exact integer moments.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    obs = li.select(
+        F.when(F.col("l_linestatus") == "F", 1).otherwise(2).alias("grp"),
+        F.col("l_quantity").alias("v"),
+    )
+    d = obs.groupBy("grp", "v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    d = d.localCheckpoint(eager=True)
+    allv = d.groupBy("v").agg(F.sum("c").cast("bigint").alias("ca"))
+    n = int(allv.agg(F.sum("ca")).collect()[0][0])
+    wa = Window.orderBy(F.asc("v"))  # bounded: quantity dictionary
+    acum = allv.select("v", "ca", (F.sum("ca").over(wa) - F.col("ca")).alias("below"))
+    scores = acum.select(
+        "v",
+        F.least(
+            2 * F.col("below") + F.col("ca") + 1,
+            2 * (F.lit(n) - F.col("below")) - F.col("ca") + 1,
+        )
+        .cast("bigint")
+        .alias("s2x"),
+    )
+    ab = (
+        d.join(scores, "v")
+        .agg(
+            F.sum(F.when(F.col("grp") == 1, F.col("c") * F.col("s2x")).otherwise(0))
+            .cast("bigint")
+            .alias("t2"),
+            F.sum(F.when(F.col("grp") == 1, F.col("c")).otherwise(0)).cast("bigint").alias("n1"),
+            F.sum(F.col("c") * F.col("s2x")).cast("bigint").alias("tot2"),
+            F.sum((F.col("c") * F.col("s2x") * F.col("s2x")).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("tot2sq"),
+        )
+    )
+    t = F.col("t2") / 2.0
+    e = F.col("n1").cast("double") * F.col("tot2") / n / 2
+    var = (
+        F.col("n1").cast("double")
+        * (n - F.col("n1"))
+        / (float(n) * n * (n - 1))
+        * (n * (F.col("tot2sq") / 4.0) - F.col("tot2").cast("double") * F.col("tot2") / 4)
+    )
+    return ab.select(
+        "n1",
+        (F.lit(n) - F.col("n1")).cast("bigint").alias("n2"),
+        pround(t, 6).alias("ab_stat"),
+        pround(e, 6).alias("e_ab"),
+        pround((t - e) / F.sqrt(var), 6).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# m16 — Page's L trend test: monotone priority effect across year blocks
+
+
+@query(
+    "m16_page_trend_test",
+    oracle=f"""
+WITH cells AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS blk, o_orderpriority AS trt,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) / COUNT(*) AS m
+  FROM orders GROUP BY 1, 2
+), ranked AS (
+  SELECT a.blk, a.trt,
+         CAST(2 + 2 * SUM(CASE WHEN b.m < a.m THEN 1 ELSE 0 END)
+              + SUM(CASE WHEN b.m = a.m AND b.trt <> a.trt THEN 1 ELSE 0 END) AS BIGINT) AS rk2
+  FROM cells a JOIN cells b ON a.blk = b.blk
+  GROUP BY a.blk, a.trt, a.m
+), weights AS (
+  SELECT trt, CAST(ROW_NUMBER() OVER (ORDER BY trt ASC) AS BIGINT) AS j
+  FROM (SELECT DISTINCT trt FROM cells)
+), rsums AS (
+  SELECT r.trt, w.j, CAST(SUM(r.rk2) AS BIGINT) AS r2 FROM ranked r
+  JOIN weights w ON w.trt = r.trt GROUP BY r.trt, w.j
+), dims AS (
+  SELECT CAST(COUNT(DISTINCT blk) AS BIGINT) AS b, CAST(COUNT(DISTINCT trt) AS BIGINT) AS k
+  FROM cells
+)
+SELECT d.b AS n_blocks, d.k AS n_treatments,
+       {sql_pround('(SELECT SUM(j * r2) FROM rsums) / 2.0', 6)} AS page_l,
+       {sql_pround('CAST(d.b AS DOUBLE) * d.k * (d.k + 1) * (d.k + 1) / 4', 6)} AS e_l,
+       {sql_pround('((SELECT SUM(j * r2) FROM rsums) / 2.0'
+                   ' - CAST(d.b AS DOUBLE) * d.k * (d.k + 1) * (d.k + 1) / 4)'
+                   ' / sqrt(CAST(d.b AS DOUBLE) * d.k * d.k * (d.k + 1)'
+                   '        * (d.k * d.k - 1) / 144)', 6)} AS z
+FROM dims d
+""",
+    tags=("statistics",),
+)
+def m16_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L test for a MONOTONE treatment trend within blocks —
+    k01 Friedman's ordered-alternative sibling (Friedman asks "any
+    difference between priorities, controlling for year"; Page asks
+    "do mean order values fall steadily from 1-URGENT to 5-LOW"):
+    L = Σ_j j·R_j over within-block midranks, hypothesized order =
+    priority name order, z from the exact null moments. 2·rank and
+    2·L are exact integers, so the gate is bit-stable.
+
+    Scale: the bounded (year × priority) cell matrix drives
+    everything — the pairwise rank join and L run on ≤ b·k rows.
+    """
+    o = table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("blk"),
+        F.col("o_orderpriority").alias("trt"),
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(25,2)")).cast("double") / F.count(F.lit(1))).alias("m")
+    )
+    cells = cells.localCheckpoint(eager=True)  # self-join + weights + dims
+    a = cells.select(F.col("blk").alias("ablk"), F.col("trt").alias("atrt"), F.col("m").alias("am"))
+    b = cells.select(F.col("blk").alias("bblk"), F.col("trt").alias("btrt"), F.col("m").alias("bm"))
+    ranked = (
+        a.join(b, F.col("ablk") == F.col("bblk"))
+        .groupBy(F.col("ablk").alias("blk"), F.col("atrt").alias("trt"))
+        .agg(
+            (
+                2
+                + 2 * F.sum(F.when(F.col("bm") < F.col("am"), 1).otherwise(0))
+                + F.sum(
+                    F.when((F.col("bm") == F.col("am")) & (F.col("btrt") != F.col("atrt")), 1).otherwise(0)
+                )
+            )
+            .cast("bigint")
+            .alias("rk2")
+        )
+    )
+    ww = Window.orderBy(F.asc("trt"))  # bounded: priority list
+    weights = cells.select("trt").distinct().select("trt", F.row_number().over(ww).cast("bigint").alias("j"))
+    rsums = ranked.join(weights, "trt").groupBy("trt", "j").agg(F.sum("rk2").cast("bigint").alias("r2"))
+    l2 = rsums.agg(F.sum(F.col("j") * F.col("r2")).cast("bigint").alias("l2"))
+    dims = cells.agg(
+        F.countDistinct("blk").cast("bigint").alias("b"), F.countDistinct("trt").cast("bigint").alias("k")
+    )
+    j = dims.crossJoin(F.broadcast(l2))
+    bL = F.col("l2") / 2.0
+    e = F.col("b").cast("double") * F.col("k") * (F.col("k") + 1) * (F.col("k") + 1) / 4
+    var = (
+        F.col("b").cast("double")
+        * F.col("k")
+        * F.col("k")
+        * (F.col("k") + 1)
+        * (F.col("k") * F.col("k") - 1)
+        / 144
+    )
+    return j.select(
+        F.col("b").alias("n_blocks"),
+        F.col("k").alias("n_treatments"),
+        pround(bL, 6).alias("page_l"),
+        pround(e, 6).alias("e_l"),
+        pround((bL - e) / F.sqrt(var), 6).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# m17 — Lo-MacKinlay variance ratio test on daily log revenue
+
+_M17_Q = 5
+
+
+@query(
+    "m17_variance_ratio_test",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, {sql_dsum('value')} AS rev
+  FROM events GROUP BY 1
+), idx AS (
+  SELECT {sql_pround('ln(rev)', 9)} AS ly,
+         CAST(ROW_NUMBER() OVER (ORDER BY d ASC) AS BIGINT) AS t
+  FROM daily
+), r1 AS (
+  SELECT a.t, CAST(CAST(a.ly AS DECIMAL(25,9)) - CAST(b.ly AS DECIMAL(25,9)) AS DOUBLE) AS r
+  FROM idx a JOIN idx b ON b.t = a.t - 1
+), rq AS (
+  SELECT a.t, CAST(CAST(a.ly AS DECIMAL(25,9)) - CAST(b.ly AS DECIMAL(25,9)) AS DOUBLE) AS r
+  FROM idx a JOIN idx b ON b.t = a.t - {_M17_Q}
+), mu AS (
+  SELECT {sql_pround('CAST(SUM(CAST(r AS DECIMAL(25,9))) AS DOUBLE) / COUNT(*)', 9)} AS mu1,
+         CAST(COUNT(*) AS BIGINT) AS n1
+  FROM r1
+), v1 AS (
+  SELECT CAST(SUM(CAST({sql_pround('(r - (SELECT mu1 FROM mu)) * (r - (SELECT mu1 FROM mu))', 9)}
+                       AS DECIMAL(25,9))) AS DOUBLE) / (SELECT n1 FROM mu) AS s1
+  FROM r1
+), vq AS (
+  SELECT CAST(SUM(CAST({sql_pround(f'(r - {_M17_Q} * (SELECT mu1 FROM mu)) * (r - {_M17_Q} * (SELECT mu1 FROM mu))', 9)}
+                       AS DECIMAL(25,9))) AS DOUBLE) / COUNT(*) AS sq,
+         CAST(COUNT(*) AS BIGINT) AS nq
+  FROM rq
+)
+SELECT (SELECT n1 FROM mu) AS n_returns,
+       {sql_pround('(SELECT sq FROM vq) / ({_M17_Q} * (SELECT s1 FROM v1))'.replace('{_M17_Q}', str(_M17_Q)), 6)} AS vr,
+       {sql_pround(('((SELECT sq FROM vq) / (Q * (SELECT s1 FROM v1)) - 1.0)'
+                    ' / sqrt(2.0 * (2 * Q - 1) * (Q - 1) / (3.0 * Q * (SELECT n1 FROM mu)))'
+                    ).replace('Q', str(_M17_Q)), 6)} AS z
+""",
+    tags=("statistics", "timeseries"),
+)
+def m17_variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test on daily log revenue: is the
+    {_M17_Q}-day aggregate variance {_M17_Q}× the 1-day variance (the
+    random-walk null), or does the series mean-revert (VR<1) /
+    trend (VR>1)? VR uses overlapping {_M17_Q}-day log differences
+    centered at {_M17_Q}·μ̂₁; z uses the homoskedastic asymptotic
+    variance 2(2q−1)(q−1)/(3qT). Log levels are pround(9)-quantized,
+    differences are exact DECIMALs, squared deviations pround(9) +
+    DECIMAL-summed.
+
+    Scale: daily collapse; lag joins on the bounded day-index table.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").cast("date").alias("d")).agg(
+        dsum("value").alias("rev")
+    )
+    wd = Window.orderBy(F.asc("d"))  # bounded: daily series
+    idx = daily.select(
+        pround(F.log("rev"), 9).alias("ly"), F.row_number().over(wd).cast("bigint").alias("t")
+    )
+    idx = idx.localCheckpoint(eager=True)
+    a = idx.select(F.col("t").alias("ta"), F.col("ly").alias("lya"))
+    b1 = idx.select(F.col("t").alias("tb"), F.col("ly").alias("lyb"))
+    r1 = a.join(b1, F.col("tb") == F.col("ta") - 1).select(
+        (F.col("lya").cast("decimal(25,9)") - F.col("lyb").cast("decimal(25,9)"))
+        .cast("double")
+        .alias("r")
+    )
+    rq = a.join(b1, F.col("tb") == F.col("ta") - _M17_Q).select(
+        (F.col("lya").cast("decimal(25,9)") - F.col("lyb").cast("decimal(25,9)"))
+        .cast("double")
+        .alias("r")
+    )
+    r1 = r1.localCheckpoint(eager=True)  # mu + v1
+    murow = r1.agg(
+        pround(F.sum(F.col("r").cast("decimal(25,9)")).cast("double") / F.count(F.lit(1)), 9).alias(
+            "mu1"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n1"),
+    ).collect()[0]
+    mu1, n1 = float(murow["mu1"]), murow["n1"]
+    s1 = (
+        r1.agg(
+            F.sum(pround((F.col("r") - mu1) * (F.col("r") - mu1), 9).cast("decimal(25,9)"))
+            .cast("double")
+            .alias("s")
+        ).collect()[0]["s"]
+        / n1
+    )
+    sq = rq.agg(
+        (
+            F.sum(
+                pround((F.col("r") - _M17_Q * mu1) * (F.col("r") - _M17_Q * mu1), 9).cast(
+                    "decimal(25,9)"
+                )
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("sq")
+    ).collect()[0]["sq"]
+    import math
+
+    vr = sq / (_M17_Q * s1)
+    z = (vr - 1.0) / math.sqrt(
+        2.0 * (2 * _M17_Q - 1) * (_M17_Q - 1) / (3.0 * _M17_Q * n1)
+    )
+    one = table(spark, sf_dir, "events").limit(1).select(F.lit(1).alias("one"))
+    return one.select(
+        F.lit(n1).cast("bigint").alias("n_returns"),
+        pround(F.lit(vr), 6).alias("vr"),
+        pround(F.lit(z), 6).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# m18 — turning points test for randomness of the daily series
+
+
+@query(
+    "m18_turning_points_test",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, {sql_dsum('value')} AS rev
+  FROM events GROUP BY 1
+), idx AS (
+  SELECT {sql_pround('rev', 6)} AS y, CAST(ROW_NUMBER() OVER (ORDER BY d ASC) AS BIGINT) AS t
+  FROM daily
+), tp AS (
+  SELECT CAST(SUM(CASE WHEN (b.y > a.y AND b.y > c.y) OR (b.y < a.y AND b.y < c.y)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_turns,
+         CAST(COUNT(*) + 2 AS BIGINT) AS n
+  FROM idx a JOIN idx b ON b.t = a.t + 1 JOIN idx c ON c.t = a.t + 2
+)
+SELECT n, n_turns,
+       {sql_pround('2.0 * (n - 2) / 3', 6)} AS e_turns,
+       {sql_pround('(n_turns - 2.0 * (n - 2) / 3) / sqrt((16.0 * n - 29) / 90)', 6)} AS z
+FROM tp
+""",
+    tags=("statistics", "timeseries"),
+)
+def m18_turning_points_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-points test for serial randomness of daily revenue: a
+    local max/min at t is a "turn"; an i.i.d. series has E = 2(n−2)/3
+    turns with Var = (16n−29)/90 — too few turns = trending, too many
+    = oscillating. The zero-parameter companion to m08 Ljung-Box
+    (which needs a lag choice). Comparisons run on pround(6)-quantized
+    daily values, so turn indicators are bit-identical.
+
+    Scale: daily collapse; the triple join runs on the bounded day
+    index.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").cast("date").alias("d")).agg(
+        dsum("value").alias("rev")
+    )
+    wd = Window.orderBy(F.asc("d"))  # bounded: daily series
+    idx = daily.select(
+        pround(F.col("rev"), 6).alias("y"), F.row_number().over(wd).cast("bigint").alias("t")
+    )
+    idx = idx.localCheckpoint(eager=True)  # three join arms
+    a = idx.select(F.col("t").alias("ta"), F.col("y").alias("ya"))
+    b = idx.select(F.col("t").alias("tb"), F.col("y").alias("yb"))
+    c = idx.select(F.col("t").alias("tc"), F.col("y").alias("yc"))
+    tp = (
+        a.join(b, F.col("tb") == F.col("ta") + 1)
+        .join(c, F.col("tc") == F.col("ta") + 2)
+        .agg(
+            F.sum(
+                F.when(
+                    ((F.col("yb") > F.col("ya")) & (F.col("yb") > F.col("yc")))
+                    | ((F.col("yb") < F.col("ya")) & (F.col("yb") < F.col("yc"))),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_turns"),
+            (F.count(F.lit(1)) + 2).cast("bigint").alias("n"),
+        )
+    )
+    e_t = 2.0 * (F.col("n") - 2) / 3
+    return tp.select(
+        "n",
+        "n_turns",
+        pround(e_t, 6).alias("e_turns"),
+        pround((F.col("n_turns") - e_t) / F.sqrt((16.0 * F.col("n") - 29) / 90), 6).alias("z"),
+    )
