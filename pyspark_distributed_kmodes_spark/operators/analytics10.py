@@ -1456,3 +1456,480 @@ def m18_turning_points_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(e_t, 6).alias("e_turns"),
         pround((F.col("n_turns") - e_t) / F.sqrt((16.0 * F.col("n") - 29) / 90), 6).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m19 — Dickey-Fuller unit-root regression (lag-1, with constant)
+
+
+@query(
+    "m19_adf_lag1",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, {sql_dsum('value')} AS rev
+  FROM events GROUP BY 1
+), idx AS (
+  SELECT {sql_pround('ln(rev)', 9)} AS y, CAST(ROW_NUMBER() OVER (ORDER BY d ASC) AS BIGINT) AS t
+  FROM daily
+), pairs AS (
+  SELECT CAST(CAST(a.y AS DECIMAL(25,9)) - CAST(b.y AS DECIMAL(25,9)) AS DOUBLE) AS dy,
+         b.y AS x
+  FROM idx a JOIN idx b ON b.t = a.t - 1
+), moms AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(25,9))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(dy AS DECIMAL(25,9))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST({sql_pround('x * x', 9)} AS DECIMAL(25,9))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST({sql_pround('x * dy', 9)} AS DECIMAL(25,9))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST({sql_pround('dy * dy', 9)} AS DECIMAL(25,9))) AS DOUBLE) AS syy
+  FROM pairs
+)
+SELECT n,
+       {sql_pround('(n * sxy - sx * sy) / (n * sxx - sx * sx)', 9)} AS gamma,
+       {sql_pround('((n * sxy - sx * sy) / (n * sxx - sx * sx))'
+                   ' / sqrt(((syy - sy * sy / n) - ((n * sxy - sx * sy) / (n * sxx - sx * sx))'
+                   '          * (sxy - sx * sy / n)) / (n - 2) / (sxx - sx * sx / n))', 6)} AS t_stat
+FROM moms
+""",
+    tags=("statistics", "timeseries"),
+)
+def m19_adf_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey-Fuller unit-root regression on daily log revenue:
+    Δy_t = α + γ·y_(t−1) + ε, closed-form OLS; γ̂ near 0 with a small
+    |t| means the series is a random walk (level shocks persist —
+    forecast with differences), strongly negative t means mean
+    reversion (k12's seasonal-naive is then beatable). The t-stat is
+    compared against Dickey-Fuller critical values offline — the
+    engine's job is the exact regression. Five DECIMAL-summed moments
+    of pround(9) terms; γ̂ and t are shared float expressions.
+
+    Scale: daily collapse; one lag join on the bounded day index;
+    1-row moments.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").cast("date").alias("d")).agg(
+        dsum("value").alias("rev")
+    )
+    wd = Window.orderBy(F.asc("d"))  # bounded: daily series
+    idx = daily.select(
+        pround(F.log("rev"), 9).alias("y"), F.row_number().over(wd).cast("bigint").alias("t")
+    )
+    idx = idx.localCheckpoint(eager=True)
+    a = idx.select(F.col("t").alias("ta"), F.col("y").alias("ya"))
+    b = idx.select(F.col("t").alias("tb"), F.col("y").alias("yb"))
+    pairs = a.join(b, F.col("tb") == F.col("ta") - 1).select(
+        (F.col("ya").cast("decimal(25,9)") - F.col("yb").cast("decimal(25,9)"))
+        .cast("double")
+        .alias("dy"),
+        F.col("yb").alias("x"),
+    )
+    moms = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(25,9)")).cast("double").alias("sx"),
+        F.sum(F.col("dy").cast("decimal(25,9)")).cast("double").alias("sy"),
+        F.sum(pround(F.col("x") * F.col("x"), 9).cast("decimal(25,9)")).cast("double").alias("sxx"),
+        F.sum(pround(F.col("x") * F.col("dy"), 9).cast("decimal(25,9)")).cast("double").alias("sxy"),
+        F.sum(pround(F.col("dy") * F.col("dy"), 9).cast("decimal(25,9)")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    gamma = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    ssr = (F.col("syy") - F.col("sy") * F.col("sy") / n) - gamma * (
+        F.col("sxy") - F.col("sx") * F.col("sy") / n
+    )
+    se = F.sqrt(ssr / (n - 2) / (F.col("sxx") - F.col("sx") * F.col("sx") / n))
+    return moms.select("n", pround(gamma, 9).alias("gamma"), pround(gamma / se, 6).alias("t_stat"))
+
+
+# ---------------------------------------------------------------------------
+# m20 — Cronbach's alpha over event-type engagement "items"
+
+
+@query(
+    "m20_cronbach_alpha",
+    oracle=f"""
+WITH peritem AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), nuser AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu FROM events
+), itemvar AS (
+  -- users missing an item score 0: S1/S2 unchanged, denominator = ALL users
+  SELECT event_type,
+         CAST(SUM(x) AS BIGINT) AS s1, CAST(SUM(x * x) AS BIGINT) AS s2
+  FROM peritem GROUP BY event_type
+), ivars AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(CAST({sql_pround('(s2 - CAST(s1 AS DOUBLE) * s1 / (SELECT nu FROM nuser))'
+                                   ' / ((SELECT nu FROM nuser) - 1)', 9)} AS DECIMAL(25,9))) AS DOUBLE) AS sum_vi
+  FROM itemvar
+), totals AS (
+  SELECT user_id, CAST(SUM(x) AS BIGINT) AS tot FROM peritem GROUP BY user_id
+), tvar AS (
+  SELECT {sql_pround('(SUM(CAST(tot AS DOUBLE) * tot) - CAST(SUM(tot) AS DOUBLE) * SUM(tot) / (SELECT nu FROM nuser))'
+                     ' / ((SELECT nu FROM nuser) - 1)', 9)} AS vt
+  FROM totals
+)
+SELECT (SELECT nu FROM nuser) AS n_users, i.k AS n_items,
+       {sql_pround('i.sum_vi', 6)} AS sum_item_var,
+       {sql_pround('(SELECT vt FROM tvar)', 6)} AS total_var,
+       {sql_pround('CAST(i.k AS DOUBLE) / (i.k - 1) * (1.0 - i.sum_vi / (SELECT vt FROM tvar))', 6)} AS alpha
+FROM ivars i
+""",
+    tags=("statistics", "events"),
+)
+def m20_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha treating per-user event-type counts as test
+    items — the internal-consistency number behind any composite
+    "engagement score" (qe26 fuses signals; alpha says whether fusing
+    is even coherent): α = k/(k−1)·(1 − Σσ²ᵢ/σ²_total). Users missing
+    an item score 0 — handled WITHOUT zero-filling by keeping Σx and
+    Σx² as-is and dividing by the GLOBAL user count, so no user×item
+    dense matrix is ever materialized. All moments are exact integers.
+
+    Scale: one (type, user) collapse, then k-row and per-user
+    aggregates; nothing dense anywhere.
+    """
+    e = table(spark, sf_dir, "events")
+    peritem = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    peritem = peritem.localCheckpoint(eager=True)  # item vars + user totals
+    nu = int(e.select("user_id").distinct().count())
+    itemvar = peritem.groupBy("event_type").agg(
+        F.sum("x").cast("bigint").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("s2"),
+    )
+    vi = pround(
+        (F.col("s2") - F.col("s1").cast("double") * F.col("s1") / nu) / (nu - 1), 9
+    )
+    ivars = itemvar.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(vi.cast("decimal(25,9)")).cast("double").alias("sum_vi"),
+    )
+    totals = peritem.groupBy("user_id").agg(F.sum("x").cast("bigint").alias("tot"))
+    tvar = totals.agg(
+        pround(
+            (
+                F.sum(F.col("tot").cast("double") * F.col("tot"))
+                - F.sum("tot").cast("double") * F.sum("tot") / nu
+            )
+            / (nu - 1),
+            9,
+        ).alias("vt")
+    )
+    j = ivars.crossJoin(F.broadcast(tvar))
+    return j.select(
+        F.lit(nu).cast("bigint").alias("n_users"),
+        F.col("k").alias("n_items"),
+        pround(F.col("sum_vi"), 6).alias("sum_item_var"),
+        pround(F.col("vt"), 6).alias("total_var"),
+        pround(
+            F.col("k").cast("double") / (F.col("k") - 1) * (1.0 - F.col("sum_vi") / F.col("vt")), 6
+        ).alias("alpha"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# m23 — Nelson-Aalen cumulative hazard (qj15's estimator sibling)
+
+_M23_MAX_WEEKS = 26
+
+
+@query(
+    "m23_nelson_aalen",
+    oracle=f"""
+WITH firsts AS (
+  SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS d1
+  FROM orders GROUP BY o_custkey
+), nxt AS (
+  SELECT f.o_custkey, f.d1, MIN(CAST(o.o_orderdate AS DATE)) AS d2
+  FROM firsts f
+  LEFT JOIN orders o
+    ON o.o_custkey = f.o_custkey AND CAST(o.o_orderdate AS DATE) > f.d1
+  GROUP BY f.o_custkey, f.d1
+), spans AS (
+  SELECT o_custkey,
+         CASE WHEN d2 IS NULL THEN NULL
+              ELSE CAST(floor((d2 - d1) / 7.0) AS BIGINT) END AS event_week,
+         CAST(floor(((SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders) - d1) / 7.0) AS BIGINT) AS censor_week
+  FROM nxt
+), obs AS (
+  SELECT LEAST(COALESCE(event_week, censor_week), censor_week) AS week,
+         CASE WHEN event_week IS NOT NULL AND event_week <= censor_week THEN 1 ELSE 0 END AS event
+  FROM spans
+), weekly AS (
+  SELECT week, CAST(COUNT(*) AS BIGINT) AS n_leaving, CAST(SUM(event) AS BIGINT) AS d
+  FROM obs WHERE week <= {_M23_MAX_WEEKS} GROUP BY week
+), risk AS (
+  SELECT week, d, SUM(n_leaving) OVER (ORDER BY week DESC) AS n_at_risk
+  FROM weekly
+)
+SELECT week, d AS n_events, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       {sql_pround('CAST(SUM(CAST(' + sql_pround('CAST(d AS DOUBLE) / n_at_risk', 9)
+                   + ' AS DECIMAL(25,9))) OVER (ORDER BY week ASC) AS DOUBLE)', 6)} AS cum_hazard,
+       {sql_pround('exp(-CAST(SUM(CAST(' + sql_pround('CAST(d AS DOUBLE) / n_at_risk', 9)
+                   + ' AS DECIMAL(25,9))) OVER (ORDER BY week ASC) AS DOUBLE))', 6)} AS s_breslow
+FROM risk ORDER BY week
+""",
+    tags=("statistics", "survival"),
+)
+def m23_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard for repeat-purchase timing —
+    the same right-censored spans as qj15's Kaplan-Meier but the
+    HAZARD-scale estimator H(w) = Σ d_j/n_j (more stable in small risk
+    sets, additive across strata) with the Breslow survival
+    exp(−H(w)) beside it — shipping KM and NA together is how
+    survival toolkits let the analyst cross-check curve shape.
+    Hazard increments are pround(9)-quantized and DECIMAL-summed over
+    the bounded week index.
+
+    Scale: per-customer first/next-order collapse (two joins on
+    custkey), then all windows run on the ≤{_M23_MAX_WEEKS}-row week
+    table.
+    """
+    o = table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(F.min(F.col("o_orderdate").cast("date")).alias("d1"))
+    o2 = o.select(F.col("o_custkey").alias("ck"), F.col("o_orderdate").cast("date").alias("od"))
+    nxt = (
+        firsts.join(o2, (F.col("ck") == F.col("o_custkey")) & (F.col("od") > F.col("d1")), "left")
+        .groupBy("o_custkey", "d1")
+        .agg(F.min("od").alias("d2"))
+    )
+    maxd = o.agg(F.max(F.col("o_orderdate").cast("date"))).collect()[0][0]
+    spans = nxt.select(
+        F.when(
+            F.col("d2").isNotNull(), F.floor(F.datediff("d2", "d1") / 7.0).cast("bigint")
+        ).alias("event_week"),
+        F.floor(F.datediff(F.lit(maxd), F.col("d1")) / 7.0).cast("bigint").alias("censor_week"),
+    )
+    obs = spans.select(
+        F.least(F.coalesce("event_week", "censor_week"), F.col("censor_week")).alias("week"),
+        (
+            F.col("event_week").isNotNull() & (F.col("event_week") <= F.col("censor_week"))
+        )
+        .cast("int")
+        .alias("event"),
+    )
+    weekly = (
+        obs.where(F.col("week") <= _M23_MAX_WEEKS)
+        .groupBy("week")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_leaving"),
+            F.sum("event").cast("bigint").alias("d"),
+        )
+    )
+    wdesc = Window.orderBy(F.desc("week"))  # bounded: week index
+    risk = weekly.select(
+        "week", "d", F.sum("n_leaving").over(wdesc).cast("bigint").alias("n_at_risk")
+    )
+    wasc = Window.orderBy(F.asc("week"))  # bounded: week index
+    hz = pround(F.col("d").cast("double") / F.col("n_at_risk"), 9).cast("decimal(25,9)")
+    cumh = F.sum(hz).over(wasc).cast("double")
+    return risk.select(
+        "week",
+        F.col("d").alias("n_events"),
+        "n_at_risk",
+        pround(cumh, 6).alias("cum_hazard"),
+        pround(F.exp(-cumh), 6).alias("s_breslow"),
+    ).orderBy("week")
+
+
+# ---------------------------------------------------------------------------
+# m21 — Matthews correlation coefficient of the md5 pseudo-scorer
+
+_M21_LABEL_CTE = f"""
+spend AS (
+  SELECT user_id, CAST({{pr}} AS DECIMAL(25,6)) AS sp
+  FROM (SELECT user_id, {{ds}} AS raw FROM events GROUP BY user_id) t
+), dict AS (
+  SELECT sp, CAST(COUNT(*) AS BIGINT) AS c FROM spend GROUP BY sp
+), med AS (
+  SELECT MIN(sp) AS gm FROM (
+    SELECT sp, SUM(c) OVER (ORDER BY sp ASC) AS cum, (SELECT SUM(c) FROM dict) AS n FROM dict
+  ) WHERE cum >= CAST(ceil(n / 2.0) AS BIGINT)
+), users AS (
+  SELECT user_id,
+         CAST(CASE WHEN {{pred}} THEN 1 ELSE 0 END AS INTEGER) AS pred,
+         CAST(CASE WHEN sp > (SELECT gm FROM med) THEN 1 ELSE 0 END AS INTEGER) AS label
+  FROM spend
+)"""
+
+
+def _m21_label_cte() -> str:
+    """Median-spend label: positive iff the user's total event value
+    exceeds the global per-user median — balanced at EVERY scale
+    factor (a purchase-flag label saturates to all-1 at small SF and
+    zeroes a confusion-matrix margin)."""
+    return _M21_LABEL_CTE.format(
+        pr=sql_pround("raw", 6),
+        ds=sql_dsum("value"),
+        pred=f"{_sql_md5fold('CAST(user_id AS VARCHAR)')} % 10000 >= 5000",
+    )
+
+
+@query(
+    "m21_matthews_corrcoef",
+    oracle=f"""
+WITH {_m21_label_cte().lstrip()},
+cells AS (
+  SELECT CAST(SUM(pred * label) AS BIGINT) AS tp,
+         CAST(SUM(pred * (1 - label)) AS BIGINT) AS fp,
+         CAST(SUM((1 - pred) * label) AS BIGINT) AS fn,
+         CAST(SUM((1 - pred) * (1 - label)) AS BIGINT) AS tn
+  FROM users
+)
+SELECT tp, fp, fn, tn,
+       {sql_pround('(CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)'
+                   ' / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn) * (tn + fp) * (tn + fn))', 6)} AS mcc,
+       {sql_pround('(CAST(tp AS DOUBLE) + tn) / (tp + fp + fn + tn)', 6)} AS accuracy,
+       {sql_pround('(CAST(tp AS DOUBLE) / (tp + fn) + CAST(tn AS DOUBLE) / (tn + fp)) / 2', 6)} AS balanced_accuracy
+FROM cells
+""",
+    tags=("ml", "statistics"),
+)
+def m21_matthews_corrcoef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient for the thresholded md5
+    pseudo-scorer against the median-spend label — the single-number
+    binary-classifier summary that, unlike accuracy (also emitted,
+    with balanced accuracy, for contrast), cannot be gamed by class
+    imbalance: MCC = (TP·TN − FP·FN)/√((TP+FP)(TP+FN)(TN+FP)(TN+FN)).
+    Completes the eval family qj01 (threshold-free AUC) / qj04
+    (per-class PRF) / qj10 (chance-corrected κ) with the
+    at-a-threshold correlation view. The label is "user's total event
+    value above the global per-user median" — balanced by
+    construction at every SF, exact-decimal spend vs an exact type-1
+    median. Exact integer cells, shared float expressions.
+
+    Scale: per-user collapse, one bounded median dictionary, 4-integer
+    moments.
+    """
+    users = _m21_users(spark, sf_dir)
+    cells = users.agg(
+        F.sum(F.col("pred") * F.col("label")).cast("bigint").alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("label"))).cast("bigint").alias("fp"),
+        F.sum((1 - F.col("pred")) * F.col("label")).cast("bigint").alias("fn"),
+        F.sum((1 - F.col("pred")) * (1 - F.col("label"))).cast("bigint").alias("tn"),
+    )
+    tp, fp = F.col("tp").cast("double"), F.col("fp").cast("double")
+    tn = F.col("tn").cast("double")
+    mcc = (tp * F.col("tn") - fp * F.col("fn")) / F.sqrt(
+        (tp + fp)
+        * (F.col("tp") + F.col("fn"))
+        * (F.col("tn") + F.col("fp"))
+        * (F.col("tn") + F.col("fn"))
+    )
+    return cells.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        pround(mcc, 6).alias("mcc"),
+        pround((tp + tn) / (tp + fp + F.col("fn") + tn), 6).alias("accuracy"),
+        pround((tp / (tp + F.col("fn")) + tn / (tn + F.col("fp"))) / 2, 6).alias(
+            "balanced_accuracy"
+        ),
+    )
+
+
+def _m21_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, pred, label) — the Spark half of _m21_label_cte."""
+    e = table(spark, sf_dir, "events")
+    spend = e.groupBy("user_id").agg(
+        pround(dsum("value"), 6).cast("decimal(25,6)").alias("sp")
+    )
+    spend = spend.localCheckpoint(eager=True)  # median dictionary + label scan
+    dict_ = spend.groupBy("sp").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    n = spend.count()
+    wv = Window.orderBy(F.asc("sp"))  # bounded: spend dictionary
+    cum = dict_.select("sp", F.sum("c").over(wv).alias("cum"))
+    gm = cum.where(F.col("cum") >= F.lit(int(-(-n // 2)))).agg(F.min("sp").alias("gm")).collect()[
+        0
+    ]["gm"]
+    return spend.select(
+        "user_id",
+        F.when(_md5fold(F.col("user_id").cast("string")) % 10000 >= 5000, 1)
+        .otherwise(0)
+        .alias("pred"),
+        (F.col("sp") > F.lit(gm).cast("decimal(25,6)")).cast("int").alias("label"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# m22 — log loss of the md5 pseudo-probability vs the base-rate model
+
+_M22_LAT = 10_000
+
+
+@query(
+    "m22_log_loss",
+    oracle=f"""
+WITH {_m21_label_cte().lstrip()},
+scored AS (
+  SELECT (CAST({_sql_md5fold('CAST(user_id AS VARCHAR)')} % {_M22_LAT} AS DOUBLE) + 0.5) / {_M22_LAT} AS p,
+         label AS y
+  FROM users
+), pdict AS (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS c, CAST(SUM(y) AS BIGINT) AS pos
+  FROM scored GROUP BY p
+), moms AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS npos,
+         CAST(SUM(pos * CAST({sql_pround('ln(p)', 9)} AS DECIMAL(25,9))
+                  + (c - pos) * CAST({sql_pround('ln(1.0 - p)', 9)} AS DECIMAL(25,9))) AS DOUBLE) AS ll
+  FROM pdict
+)
+SELECT n, npos,
+       {sql_pround('-ll / n', 6)} AS log_loss,
+       {sql_pround('-(npos * ln(CAST(npos AS DOUBLE) / n) + (n - npos) * ln(1.0 - CAST(npos AS DOUBLE) / n)) / n', 6)} AS base_log_loss,
+       {sql_pround('1.0 + (ll / n) / ((npos * ln(CAST(npos AS DOUBLE) / n) + (n - npos) * ln(1.0 - CAST(npos AS DOUBLE) / n)) / n)', 6)} AS skill
+FROM moms
+""",
+    tags=("ml", "statistics"),
+)
+def m22_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log loss (cross-entropy) of the md5 pseudo-probability against
+    the median-spend label (m21's — balanced at every SF, so the
+    base-rate reference never degenerates to ln 0), with the skill
+    score 1 − LL/LL_base — the PROPER scoring rule completing qf19's
+    calibration bins (calibration says the probabilities are honest;
+    log loss says they are USEFUL). The ln terms fold over the
+    probability DICTIONARY (≤{_M22_LAT} lattice points) with exact
+    integer (count, positives) weights — the qj01 lattice pattern —
+    pround(9)-quantized and DECIMAL-summed.
+
+    Scale: per-user collapse, dictionary groupBy, 1-row moments.
+    """
+    users = _m21_users(spark, sf_dir)
+    scored = users.select(
+        (
+            ((_md5fold(F.col("user_id").cast("string")) % _M22_LAT).cast("double") + 0.5)
+            / _M22_LAT
+        ).alias("p"),
+        F.col("label").alias("y"),
+    )
+    pdict = scored.groupBy("p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"), F.sum("y").cast("bigint").alias("pos")
+    )
+    moms = pdict.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("npos"),
+        F.sum(
+            F.col("pos") * pround(F.log("p"), 9).cast("decimal(25,9)")
+            + (F.col("c") - F.col("pos"))
+            * pround(F.log(1.0 - F.col("p")), 9).cast("decimal(25,9)")
+        )
+        .cast("double")
+        .alias("ll"),
+    )
+    n, npos = F.col("n"), F.col("npos")
+    base = (
+        npos * F.log(npos.cast("double") / n) + (n - npos) * F.log(1.0 - npos.cast("double") / n)
+    ) / n
+    return moms.select(
+        "n",
+        "npos",
+        pround(-F.col("ll") / n, 6).alias("log_loss"),
+        pround(-base, 6).alias("base_log_loss"),
+        pround(1.0 + (F.col("ll") / n) / base, 6).alias("skill"),
+    )
