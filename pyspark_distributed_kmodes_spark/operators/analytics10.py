@@ -1933,3 +1933,392 @@ def m22_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(-base, 6).alias("base_log_loss"),
         pround(1.0 + (F.col("ll") / n) / base, 6).alias("skill"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m06 — metric triangle inequality on real embedding distances
+
+_M06_ANCHORS = 24  # hash-rank-picked vectors; C(24,3) = 2024 ordered triples
+
+
+@query(
+    "m06_triangle_inequality_audit",
+    oracle=f"""
+WITH anchors AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  ORDER BY {_sql_md5fold('CAST(vec_id AS VARCHAR)')} ASC, vec_id ASC
+  LIMIT {_M06_ANCHORS}
+), pairs AS (
+  SELECT a.vec_id AS u, b.vec_id AS v,
+         round(list_distance(a.e, b.e), 6) AS d
+  FROM anchors a JOIN anchors b ON a.vec_id < b.vec_id
+), tri AS (
+  SELECT ab.d AS dab, bc.d AS dbc, ac.d AS dac
+  FROM pairs ab
+  JOIN pairs bc ON bc.u = ab.v
+  JOIN pairs ac ON ac.u = ab.u AND ac.v = bc.v
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triples,
+       CAST(SUM(CASE WHEN dac > dab + dbc + 3e-6 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       SUM(CASE WHEN dac > dab + dbc + 3e-6 THEN 1 ELSE 0 END) = 0 AS is_metric
+FROM tri
+""",
+    tags=("vector", "audit"),
+)
+def m06_triangle_inequality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector suite's metric-space property test promoted to an
+    oracle-gated audit: euclidean distances among {_M06_ANCHORS}
+    hash-rank-picked embeddings must satisfy d(a,c) ≤ d(a,b)+d(b,c)
+    over every ordered triple (3e-6 slack absorbs the pround(6)
+    quantization of three distances). Everything downstream of a
+    distance — l05's IVF routing, qh12's hard negatives, qb29's
+    k-means — silently assumes this; a broken distance kernel (the
+    classic float underflow in x²−2xy+y² implementations) is exactly
+    what this flags. The oracle recomputes the same triples, so the
+    gate also pins that Spark's fold-based distance and DuckDB's
+    list_distance agree to 6dp on real data.
+
+    Scale: fixed {_M06_ANCHORS}-anchor budget (the qh12 rule) — the
+    triple join is a constant ~2k rows regardless of corpus size.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    anchors = (
+        emb.orderBy(_md5fold(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc())
+        .limit(_M06_ANCHORS)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    )
+    a = anchors.select(F.col("vec_id").alias("ua"), F.col("e").alias("ea"))
+    b = anchors.select(F.col("vec_id").alias("ub"), F.col("e").alias("eb"))
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ),
+        6,
+    )
+    pairs = a.join(b, F.col("ua") < F.col("ub")).select(
+        F.col("ua").alias("u"), F.col("ub").alias("v"), dist.alias("d")
+    )
+    pairs = pairs.localCheckpoint(eager=True)  # three join arms
+    ab = pairs.select(F.col("u").alias("x"), F.col("v").alias("y"), F.col("d").alias("dab"))
+    bc = pairs.select(F.col("u").alias("y2"), F.col("v").alias("z"), F.col("d").alias("dbc"))
+    ac = pairs.select(F.col("u").alias("x2"), F.col("v").alias("z2"), F.col("d").alias("dac"))
+    tri = (
+        ab.join(bc, F.col("y2") == F.col("y"))
+        .join(ac, (F.col("x2") == F.col("x")) & (F.col("z2") == F.col("z")))
+        .select("dab", "dbc", "dac")
+    )
+    viol = (F.col("dac") > F.col("dab") + F.col("dbc") + 3e-6).cast("int")
+    return tri.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triples"),
+        F.sum(viol).cast("bigint").alias("n_violations"),
+        (F.sum(viol) == 0).alias("is_metric"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# m24 — ranking quality: NDCG@10 + MRR over hash-sampled query/candidate sets
+
+_M24_QUERIES = 20
+_M24_CANDS = 100
+_M24_K = 10
+
+
+@query(
+    "m24_ranking_quality",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe, label AS qlab FROM embeddings
+  ORDER BY {_sql_md5fold('CAST(vec_id AS VARCHAR)')} ASC, vec_id ASC
+  LIMIT {_M24_QUERIES}
+), c AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce, label AS clab FROM embeddings
+  ORDER BY {_sql_md5fold("'cand' || CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC
+  LIMIT {_M24_CANDS}
+), scored AS (
+  SELECT q.qid, c.cid, round(list_distance(q.qe, c.ce), 6) AS d,
+         CASE WHEN q.qlab = c.clab THEN 1 ELSE 0 END AS rel
+  FROM q CROSS JOIN c WHERE q.qid <> c.cid
+), ranked AS (
+  SELECT qid, rel,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d ASC, cid ASC) AS BIGINT) AS rnk,
+         CAST(SUM(rel) OVER (PARTITION BY qid) AS BIGINT) AS n_rel
+  FROM scored
+), perq AS (
+  SELECT qid, MAX(n_rel) AS n_rel,
+         CAST(SUM(CASE WHEN rnk <= {_M24_K} AND rel = 1
+                  THEN CAST({sql_pround('1.0 / log2(rnk + 1.0)', 9)} AS DECIMAL(25,9))
+                  ELSE CAST(0 AS DECIMAL(25,9)) END) AS DOUBLE) AS dcg,
+         {sql_pround('1.0 / MIN(CASE WHEN rel = 1 THEN rnk END)', 9)} AS rr
+  FROM ranked GROUP BY qid
+), ideal AS (
+  SELECT i, CAST({sql_pround('1.0 / log2(i + 1.0)', 9)} AS DECIMAL(25,9)) AS g
+  FROM (SELECT unnest(range(1, {_M24_K} + 1)) AS i)
+), nd AS (
+  SELECT p.qid,
+         CASE WHEN p.n_rel = 0 THEN 0.0
+              ELSE {sql_pround('p.dcg / CAST((SELECT SUM(g) FROM ideal WHERE i <= LEAST(p.n_rel, ' + str(_M24_K) + ')) AS DOUBLE)', 9)}
+         END AS ndcg,
+         COALESCE(p.rr, 0.0) AS rr
+  FROM perq p
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       {sql_pround('CAST(SUM(CAST(ndcg AS DECIMAL(25,9))) AS DOUBLE) / COUNT(*)', 6)} AS mean_ndcg10,
+       {sql_pround('CAST(SUM(CAST(rr AS DECIMAL(25,9))) AS DOUBLE) / COUNT(*)', 6)} AS mean_mrr
+FROM nd
+""",
+    tags=("vector", "ml"),
+)
+def m24_ranking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-eval metrics for the embedding retrieval stack:
+    NDCG@{_M24_K} and MRR of euclidean-distance ranking over
+    {_M24_QUERIES} hash-picked queries × {_M24_CANDS} hash-picked
+    candidates, relevance = same class label. q60's cosine top-k says
+    what the index RETURNS; this says whether what it returns is any
+    GOOD, in the two numbers every retrieval paper reports. Distances
+    are pround(6)-quantized with vec_id tie-breaks (the l05
+    discipline), log-discount gains are pround(9) DECIMAL sums, and
+    zero-relevant queries score 0 by definition.
+
+    Scale: fixed-budget sampling (the qh12 anchor rule) bounds the
+    cross join at {_M24_QUERIES}×{_M24_CANDS} rows regardless of
+    corpus size; per-query windows partition by qid.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    q = (
+        emb.orderBy(_md5fold(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc())
+        .limit(_M24_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").cast("array<double>").alias("qe"),
+            F.col("label").alias("qlab"),
+        )
+    )
+    c = (
+        emb.orderBy(
+            _md5fold(F.concat(F.lit("cand"), F.col("vec_id").cast("string"))).asc(),
+            F.col("vec_id").asc(),
+        )
+        .limit(_M24_CANDS)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").cast("array<double>").alias("ce"),
+            F.col("label").alias("clab"),
+        )
+    )
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("qe"), F.col("ce"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ),
+        6,
+    )
+    scored = (
+        q.crossJoin(F.broadcast(c))
+        .where(F.col("qid") != F.col("cid"))
+        .select(
+            "qid", "cid", dist.alias("d"), (F.col("qlab") == F.col("clab")).cast("int").alias("rel")
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(F.asc("d"), F.asc("cid"))
+    wq = Window.partitionBy("qid")
+    ranked = scored.select(
+        "qid",
+        "rel",
+        F.row_number().over(wr).cast("bigint").alias("rnk"),
+        F.sum("rel").over(wq).cast("bigint").alias("n_rel"),
+    )
+    gain = pround(1.0 / F.log2(F.col("rnk") + 1.0), 9).cast("decimal(25,9)")
+    perq = ranked.groupBy("qid").agg(
+        F.max("n_rel").alias("n_rel"),
+        F.sum(F.when((F.col("rnk") <= _M24_K) & (F.col("rel") == 1), gain).otherwise(
+            F.lit(0).cast("decimal(25,9)")
+        ))
+        .cast("double")
+        .alias("dcg"),
+        pround(1.0 / F.min(F.when(F.col("rel") == 1, F.col("rnk"))), 9).alias("rr"),
+    )
+    import math
+
+    # ideal DCG prefix sums over the fixed k-lattice (exact decimal mirror)
+    ideal = []
+    acc = 0.0
+    for i in range(1, _M24_K + 1):
+        acc += math.floor((1.0 / math.log2(i + 1.0)) * 1e9 + 0.5) / 1e9
+        ideal.append(round(acc, 9))
+    idcg = F.when(F.col("n_rel") == 0, F.lit(None).cast("double"))
+    for i in range(1, _M24_K + 1):
+        cond = F.least(F.col("n_rel"), F.lit(_M24_K)) == i
+        idcg = idcg.when(cond, F.lit(ideal[i - 1]))
+    nd = perq.select(
+        F.when(F.col("n_rel") == 0, 0.0).otherwise(pround(F.col("dcg") / idcg, 9)).alias("ndcg"),
+        F.coalesce(F.col("rr"), F.lit(0.0)).alias("rr"),
+    )
+    return nd.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        pround(
+            F.sum(F.col("ndcg").cast("decimal(25,9)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_ndcg10"),
+        pround(
+            F.sum(F.col("rr").cast("decimal(25,9)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_mrr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# m25 — shingle width sensitivity sweep for near-dup tuning
+
+_M25_WIDTHS = (3, 5, 8)
+
+
+def _m25_arm_sql(w: int) -> str:
+    return f"""
+  SELECT {w} AS w, shingle FROM (
+    SELECT unnest(list_transform(range(1, greatest(len(string_split(text, ' ')) - {w - 2}, 1)),
+           i -> array_to_string(string_split(text, ' ')[i:i+{w - 1}], ' '))) AS shingle
+    FROM documents WHERE len(string_split(text, ' ')) >= {w}
+  )"""
+
+
+@query(
+    "m25_shingle_width_sweep",
+    oracle=f"""
+WITH occs AS (
+{' UNION ALL '.join(_m25_arm_sql(w) for w in _M25_WIDTHS)}
+), counts AS (
+  SELECT w, shingle, CAST(COUNT(*) AS BIGINT) AS c FROM occs GROUP BY w, shingle
+)
+SELECT CAST(w AS BIGINT) AS width,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(c) AS BIGINT) AS n_occurrences,
+       CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       {sql_pround('CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c)', 6)} AS dup_mass
+FROM counts GROUP BY w ORDER BY width
+""",
+    tags=("dedup", "text", "audit"),
+)
+def m25_shingle_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle WIDTH sensitivity sweep: for w ∈ {_M25_WIDTHS}, the
+    distinct-shingle count, total occurrences, shared-shingle count
+    and duplicated mass — the number that picks w for every
+    shingle-based operator (q55/q63 use w=3; too narrow inflates
+    candidate pairs with coincidental matches, too wide misses real
+    near-dups). k17 sweeps repetition THRESHOLDS at one width; this
+    sweeps the width axis, and together they parameterize a dedup
+    pass from measurements instead of folklore.
+
+    Scale: one stacked explode (constant 3-arm fan-out over one text
+    scan), one count collapse per width — no pair joins anywhere.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+
+    def arm(w: int) -> Column:
+        # NB: the transform lambda must be 1-arg — a second arg (even a
+        # defaulted one) makes PySpark pass the ARRAY INDEX into it
+        return F.transform(
+            F.sequence(F.lit(1), F.size(words) - (w - 1)),
+            lambda i: F.array_join(F.slice(words, i, w), " "),
+        )
+
+    arms = []
+    for w in _M25_WIDTHS:
+        arms.append(
+            d.where(F.size(words) >= w).select(
+                F.lit(w).alias("w"), F.explode(arm(w)).alias("shingle")
+            )
+        )
+    occs = arms[0]
+    for arm in arms[1:]:
+        occs = occs.unionByName(arm)
+    counts = occs.groupBy("w", "shingle").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return (
+        counts.groupBy(F.col("w").cast("bigint").alias("width"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.sum("c").cast("bigint").alias("n_occurrences"),
+            F.sum((F.col("c") > 1).cast("int")).cast("bigint").alias("n_shared"),
+            pround(
+                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).cast("double")
+                / F.sum("c"),
+                6,
+            ).alias("dup_mass"),
+        )
+        .orderBy("width")
+    )
+
+
+# ---------------------------------------------------------------------------
+# m31 — next-event entropy: sequence predictability per event type
+
+
+@query(
+    "m31_next_event_entropy",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type AS a,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b
+  FROM events
+), trans AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n FROM seq WHERE b IS NOT NULL GROUP BY a, b
+), rowtot AS (
+  SELECT a, CAST(SUM(n) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS k FROM trans GROUP BY a
+)
+SELECT t.a AS state, r.tot AS n_transitions, r.k AS n_successors,
+       {sql_pround('CAST(SUM(CAST(' + sql_pround('-(CAST(t.n AS DOUBLE) / r.tot) * ln(CAST(t.n AS DOUBLE) / r.tot)', 9)
+                   + ' AS DECIMAL(25,9))) AS DOUBLE)', 6)} AS entropy,
+       CASE WHEN MAX(r.k) = 1 THEN 1.0
+            ELSE {sql_pround('1.0 - CAST(SUM(CAST(' + sql_pround('-(CAST(t.n AS DOUBLE) / r.tot) * ln(CAST(t.n AS DOUBLE) / r.tot)', 9)
+                             + ' AS DECIMAL(25,9))) AS DOUBLE) / ln(CAST(MAX(r.k) AS DOUBLE))', 6)}
+       END AS predictability
+FROM trans t JOIN rowtot r ON r.a = t.a
+GROUP BY t.a, r.tot, r.k
+ORDER BY state
+""",
+    tags=("events", "statistics"),
+)
+def m31_next_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event entropy per state: H(next | current=a) over the
+    same per-user transitions as m05, plus the normalized
+    predictability 1 − H/ln(k) — the one-number answer to "how
+    deterministic is behavior after a view vs after a purchase",
+    and the information-theoretic summary qe12's raw transition
+    matrix makes the analyst eyeball. Surprise terms are pround(9)
+    DECIMAL sums over exact count ratios.
+
+    Scale: user-partitioned LEAD, one |types|² matrix, per-state
+    folds on the bounded matrix.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(F.col("event_type").alias("a"), F.lead("event_type").over(w).alias("b"))
+    trans = (
+        seq.where(F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    trans = trans.localCheckpoint(eager=True)  # rowtot + entropy arms
+    rowtot = trans.groupBy("a").agg(
+        F.sum("n").cast("bigint").alias("tot"), F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    jd = trans.join(rowtot, "a")
+    p = F.col("n").cast("double") / F.col("tot")
+    surprise = pround(-p * F.log(p), 9).cast("decimal(25,9)")
+    g = jd.groupBy(F.col("a").alias("state"), F.col("tot").alias("n_transitions"), F.col("k").alias("n_successors")).agg(
+        F.sum(surprise).cast("double").alias("h")
+    )
+    return g.select(
+        "state",
+        "n_transitions",
+        "n_successors",
+        pround(F.col("h"), 6).alias("entropy"),
+        F.when(F.col("n_successors") == 1, 1.0)
+        .otherwise(pround(1.0 - F.col("h") / F.log(F.col("n_successors").cast("double")), 6))
+        .alias("predictability"),
+    ).orderBy("state")
