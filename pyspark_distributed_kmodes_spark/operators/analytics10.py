@@ -2322,3 +2322,536 @@ def m31_next_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(pround(1.0 - F.col("h") / F.log(F.col("n_successors").cast("double")), 6))
         .alias("predictability"),
     ).orderBy("state")
+
+
+# ---------------------------------------------------------------------------
+# m26 — deterministic Bloom-filter prefilter audit (decontamination path)
+
+_M26_BITS = 65_536  # m (power of two)
+_M26_K = 3  # hash functions; 32-bit words keep 1<<bit far from BIGINT edges
+
+
+def _m26_pos_arms(src: str, carry: str) -> str:
+    """UNION ALL of the K hash positions for `key` rows of `src`."""
+    arms = []
+    for j in range(_M26_K):
+        fold = _sql_md5fold(f"'{j}' || key")
+        arms.append(f"SELECT {carry}, {fold} % {_M26_BITS} AS pos FROM {src}")
+    return " UNION ALL ".join(arms)
+
+
+@query(
+    "m26_bloom_prefilter_audit",
+    oracle=f"""
+WITH eval_keys AS (
+  SELECT DISTINCT md5(text) AS key FROM documents WHERE doc_id % 97 = 0
+), epos AS (
+  {_m26_pos_arms('eval_keys', 'key')}
+), bitmap AS (
+  SELECT CAST(pos // 32 AS BIGINT) AS w,
+         CAST(bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS BIGINT) AS bits
+  FROM epos GROUP BY 1
+), doc_keys AS (
+  SELECT doc_id, md5(text) AS key FROM documents
+), dpos AS (
+  {_m26_pos_arms('doc_keys', 'doc_id')}
+), checks AS (
+  SELECT d.doc_id,
+         CAST(SUM(CASE WHEN b.bits IS NOT NULL
+                            AND (b.bits >> CAST(d.pos % 32 AS INTEGER)) % 2 = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS hits
+  FROM dpos d LEFT JOIN bitmap b ON b.w = d.pos // 32
+  GROUP BY d.doc_id
+), verdicts AS (
+  SELECT c.doc_id, c.hits = {_M26_K} AS candidate,
+         EXISTS (SELECT 1 FROM eval_keys e JOIN doc_keys k
+                 ON k.key = e.key AND k.doc_id = c.doc_id) AS member
+  FROM checks c
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+       CAST(SUM(CASE WHEN candidate THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN member AND NOT candidate THEN 1 ELSE 0 END) AS BIGINT) AS n_false_negatives,
+       SUM(CASE WHEN member AND NOT candidate THEN 1 ELSE 0 END) = 0 AS no_false_negative,
+       {sql_pround('1.0 - CAST(SUM(CASE WHEN candidate THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)', 6)} AS reduction_ratio
+FROM verdicts
+""",
+    tags=("dedup", "audit"),
+)
+def m26_bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter prefilter audit for decontamination: the eval set
+    (doc_id % 97 = 0) is folded into an EXPLICIT {_M26_BITS}-bit /
+    {_M26_K}-hash Bloom bitmap built with bit_or over 32-bit words —
+    deterministic and engine-portable, unlike opaque built-in bloom
+    aggregates — and every document is screened against it. The gate
+    pins the two numbers that justify the pattern at 100 TB: ZERO
+    false negatives (a Bloom prefilter may pass extra docs to exact
+    matching, it must never drop a contaminated one) and the candidate
+    reduction ratio (the fraction of the corpus the exact join never
+    sees). qh21 audits a bucket prefilter; this is the bitmap
+    alternative whose state is {_M26_BITS // 32 * 8} bytes — broadcast
+    to every executor instead of shuffled.
+
+    Scale: bitmap build is |eval|×{_M26_K} rows collapsing to ≤2048
+    words (broadcast); the screen is a map-side join of per-doc
+    positions against that constant table. The EXISTS membership truth
+    is the audit side only.
+    """
+    d = table(spark, sf_dir, "documents")
+    eval_keys = d.where(F.col("doc_id") % 97 == 0).select(F.md5("text").alias("key")).distinct()
+    eval_keys = eval_keys.localCheckpoint(eager=True)  # K position arms + truth join
+
+    def positions(src: DataFrame, carry: str) -> DataFrame:
+        out = None
+        for j in range(_M26_K):
+            arm = src.select(
+                F.col(carry),
+                (_md5fold(F.concat(F.lit(str(j)), F.col("key"))) % _M26_BITS).alias("pos"),
+            )
+            out = arm if out is None else out.unionByName(arm)
+        return out
+
+    bitmap = (
+        positions(eval_keys, "key")
+        .groupBy((F.col("pos") / 32).cast("bigint").alias("w"))
+        .agg(
+            F.expr("CAST(bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS BIGINT)").alias(
+                "bits"
+            )
+        )
+    )
+    doc_keys = d.select("doc_id", F.md5("text").alias("key"))
+    doc_keys = doc_keys.localCheckpoint(eager=True)  # screen + truth join
+    dpos = positions(doc_keys, "doc_id")
+    checks = (
+        dpos.join(F.broadcast(bitmap), (F.col("pos") / 32).cast("bigint") == F.col("w"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("bits").isNotNull()
+                    & (
+                        F.expr("(bits >> CAST(pos % 32 AS INT)) % 2") == 1
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("hits")
+        )
+    )
+    members = (
+        doc_keys.join(eval_keys, "key", "left_semi").select("doc_id").distinct()
+        .withColumn("member", F.lit(True))
+    )
+    verdicts = checks.join(members, "doc_id", "left").select(
+        "doc_id",
+        (F.col("hits") == _M26_K).alias("candidate"),
+        F.coalesce("member", F.lit(False)).alias("member"),
+    )
+    return verdicts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("member").cast("int")).cast("bigint").alias("n_members"),
+        F.sum(F.col("candidate").cast("int")).cast("bigint").alias("n_candidates"),
+        F.sum((F.col("member") & ~F.col("candidate")).cast("int"))
+        .cast("bigint")
+        .alias("n_false_negatives"),
+        (F.sum((F.col("member") & ~F.col("candidate")).cast("int")) == 0).alias(
+            "no_false_negative"
+        ),
+        pround(
+            1.0 - F.sum(F.col("candidate").cast("int")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("reduction_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# m27 — mergeable checksum audit: shard checksums combine to the global one
+
+_M27_MOD = 2_305_843_009_213_693_951  # 2^61 - 1 (Mersenne): sums stay in BIGINT
+
+
+@query(
+    "m27_checksum_merge_audit",
+    oracle=f"""
+WITH keyed AS (
+  SELECT source, {_sql_md5fold('text || CAST(doc_id AS VARCHAR)')} AS h FROM documents
+), per_source AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(bit_xor(h) AS BIGINT) AS xor_cks,
+         CAST(CAST(SUM(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0)) % {_M27_MOD} AS BIGINT) AS sum_cks
+  FROM keyed GROUP BY source
+), direct AS (
+  SELECT CAST(bit_xor(h) AS BIGINT) AS xor_all,
+         CAST(CAST(SUM(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0)) % {_M27_MOD} AS BIGINT) AS sum_all
+  FROM keyed
+), merged AS (
+  SELECT CAST(bit_xor(xor_cks) AS BIGINT) AS xor_m,
+         CAST(CAST(SUM(CAST(sum_cks AS DECIMAL(38,0))) AS DECIMAL(38,0)) % {_M27_MOD} AS BIGINT) AS sum_m,
+         CAST(SUM(n) AS BIGINT) AS n_rows
+  FROM per_source
+)
+SELECT m.n_rows,
+       CAST((SELECT COUNT(*) FROM per_source) AS BIGINT) AS n_shards,
+       d.xor_all, d.sum_all,
+       m.xor_m = d.xor_all AS xor_merges,
+       m.sum_m = d.sum_all AS sum_merges
+FROM merged m, direct d
+""",
+    tags=("audit", "integrity"),
+)
+def m27_checksum_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable content-checksum audit: per-source XOR and mod-2^61−1
+    sum checksums of md5(text‖doc_id) must combine (XOR of XORs,
+    modular sum of sums) to the checksums computed directly over the
+    whole corpus — the algebraic property that lets a 100 TB pipeline
+    verify a copy SHARD BY SHARD and still assert global equality
+    without any global shuffle (qh20 checksums one result set; this
+    proves the per-shard decomposition is sound). Exact integer
+    arithmetic throughout: XOR is order-free, sums ride DECIMAL(38)
+    then reduce by a Mersenne modulus that keeps them in BIGINT.
+
+    Scale: one keyed scan, one per-source collapse, two 1-row folds.
+    """
+    d = table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "source", _md5fold(F.concat(F.col("text"), F.col("doc_id").cast("string"))).alias("h")
+    )
+    keyed = keyed.localCheckpoint(eager=True)  # per-source + direct folds
+    per_source = keyed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("CAST(bit_xor(h) AS BIGINT)").alias("xor_cks"),
+        (F.sum(F.col("h").cast("decimal(38,0)")) % _M27_MOD).cast("bigint").alias("sum_cks"),
+    )
+    direct = keyed.agg(
+        F.expr("CAST(bit_xor(h) AS BIGINT)").alias("xor_all"),
+        (F.sum(F.col("h").cast("decimal(38,0)")) % _M27_MOD).cast("bigint").alias("sum_all"),
+    )
+    merged = per_source.agg(
+        F.expr("CAST(bit_xor(xor_cks) AS BIGINT)").alias("xor_m"),
+        (F.sum(F.col("sum_cks").cast("decimal(38,0)")) % _M27_MOD).cast("bigint").alias("sum_m"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+    )
+    j = merged.crossJoin(F.broadcast(direct))
+    return j.select(
+        "n_rows",
+        "n_shards",
+        "xor_all",
+        "sum_all",
+        (F.col("xor_m") == F.col("xor_all")).alias("xor_merges"),
+        (F.col("sum_m") == F.col("sum_all")).alias("sum_merges"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# m28 — CDC tombstone apply: last-writer-wins with deletes
+
+_M28_SORT_KEY = "lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 12, '0')"
+
+
+@query(
+    "m28_cdc_tombstone_apply",
+    oracle=f"""
+WITH log AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         value, {_M28_SORT_KEY} AS sk
+  FROM events
+), last AS (
+  SELECT user_id, MAX_BY(op, sk) AS op,
+         MAX_BY(value, sk) AS value,
+         CAST(COUNT(*) AS BIGINT) AS n_ops,
+         CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
+  FROM log GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+       CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_tombstoned,
+       CAST(SUM(n_ops) AS BIGINT) AS n_ops,
+       CAST(SUM(n_deletes) AS BIGINT) AS n_delete_ops,
+       {sql_pround("CAST(SUM(CASE WHEN op = 'U' THEN CAST(" + sql_pround('value', 6) + " AS DECIMAL(25,6)) ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)", 6)} AS live_value_sum
+FROM last
+""",
+    tags=("cdc", "integrity"),
+)
+def m28_cdc_tombstone_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply with TOMBSTONES: reading events as a change log
+    (error ⇒ DELETE, anything else ⇒ UPSERT of value, ordered by
+    (ts, event_id)), collapse to the final table state — live-key
+    count, tombstoned-key count, and the checksum sum of live values.
+    q89 merges an upsert batch and q88 tracks SCD2 history; this is
+    the third CDC shape, hard deletes, whose correctness hinges on
+    the delete WINNING when it is the last op (a max_by over the
+    padded (ts, event_id) key — the l05 tie-discipline — not a join
+    that resurrects dead keys).
+
+    Scale: one per-key max_by collapse (map-side combinable), no
+    window over the full log, 1-row summary.
+    """
+    e = table(spark, sf_dir, "events")
+    sk = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    log = e.select(
+        "user_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        "value",
+        sk.alias("sk"),
+    )
+    last = log.groupBy("user_id").agg(
+        F.max_by("op", "sk").alias("op"),
+        F.max_by("value", "sk").alias("value"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ops"),
+        F.sum((F.col("op") == "D").cast("int")).cast("bigint").alias("n_deletes"),
+    )
+    return last.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum((F.col("op") == "U").cast("int")).cast("bigint").alias("n_live"),
+        F.sum((F.col("op") == "D").cast("int")).cast("bigint").alias("n_tombstoned"),
+        F.sum("n_ops").cast("bigint").alias("n_ops"),
+        F.sum("n_deletes").cast("bigint").alias("n_delete_ops"),
+        pround(
+            F.sum(
+                F.when(F.col("op") == "U", pround(F.col("value"), 6).cast("decimal(25,6)"))
+                .otherwise(F.lit(0).cast("decimal(25,6)"))
+            ).cast("double"),
+            6,
+        ).alias("live_value_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# m29 — z-order locality audit: interleaved vs lexicographic clustering
+
+_M29_SIDE = 256  # 8 bits per dimension
+
+
+def _m29_z_expr(p: str, d: str, div: str = "//") -> str:
+    """16-bit Morton interleave of two 8-bit bucket columns, in pure
+    integer arithmetic so Spark SQL (div='DIV') and DuckDB (div='//')
+    agree bit-for-bit."""
+    terms = []
+    for i in range(8):
+        terms.append(f"(({p} {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"(({d} {div} {1 << i}) % 2) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+@query(
+    "m29_zorder_locality_audit",
+    oracle=f"""
+WITH bounds AS (
+  SELECT CAST(MIN(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS minc,
+         CAST(MAX(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS maxc,
+         MIN(CAST(o_orderdate AS DATE)) AS mind,
+         MAX(CAST(o_orderdate AS DATE)) AS maxd
+  FROM orders
+), bucketed AS (
+  SELECT (CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) - b.minc) * {_M29_SIDE}
+           // (b.maxc - b.minc + 1) AS p,
+         (CAST(o_orderdate AS DATE) - b.mind) * {_M29_SIDE}
+           // (b.maxd - b.mind + 1) AS d
+  FROM orders, bounds b
+), assigned AS (
+  SELECT p, d, CAST(({_m29_z_expr('p', 'd')}) // {_M29_SIDE} AS BIGINT) AS zfile,
+         CAST(p AS BIGINT) AS lexfile
+  FROM bucketed
+), layouts AS (
+  SELECT 'zorder' AS layout, zfile AS f, p, d FROM assigned
+  UNION ALL
+  SELECT 'lexicographic' AS layout, lexfile AS f, p, d FROM assigned
+), perfile AS (
+  SELECT layout, f,
+         CAST(MAX(p) - MIN(p) + 1 AS BIGINT) AS span_p,
+         CAST(MAX(d) - MIN(d) + 1 AS BIGINT) AS span_d
+  FROM layouts GROUP BY layout, f
+)
+SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+       {sql_pround('CAST(SUM(span_p) AS DOUBLE) / COUNT(*)', 6)} AS avg_price_span,
+       {sql_pround('CAST(SUM(span_d) AS DOUBLE) / COUNT(*)', 6)} AS avg_date_span
+FROM perfile GROUP BY layout ORDER BY layout
+""",
+    tags=("audit", "layout"),
+)
+def m29_zorder_locality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER locality audit: orders are bucketed onto a
+    {_M29_SIDE}×{_M29_SIDE} (price, date) grid, then assigned to 256
+    files two ways — by the 16-bit Morton (z-order) code and by the
+    price bucket alone (lexicographic) — and each layout reports the
+    average per-file span of BOTH dimensions. This is the measured
+    basis for choosing a clustering key at 100 TB: min/max zone maps
+    (qj36) prune on span, a z-order file bounds price AND date spans
+    near √{_M29_SIDE}, while lexicographic layout makes one span 1
+    and abandons the other at ~{_M29_SIDE}. Bucketing and the Morton
+    interleave are pure integer arithmetic (cents, day offsets, DIV/%
+    bit extraction), bit-identical on both engines.
+
+    Scale: one bounds pass, one map-side bucket+interleave expression,
+    one groupBy over ≤2·256 files.
+    """
+    o = table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    b = o.agg(
+        F.min(cents).alias("minc"),
+        F.max(cents).alias("maxc"),
+        F.min(F.col("o_orderdate").cast("date")).alias("mind"),
+        F.max(F.col("o_orderdate").cast("date")).alias("maxd"),
+    ).collect()[0]
+    minc, maxc, mind, maxd = b["minc"], b["maxc"], b["mind"], b["maxd"]
+    span_days = (maxd - mind).days + 1
+    bucketed = o.select(
+        F.expr(
+            f"(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) - {minc}) * {_M29_SIDE}"
+            f" DIV {maxc - minc + 1}"
+        ).alias("p"),
+        (
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit(mind)) * _M29_SIDE
+        ).cast("bigint").alias("dd"),
+    ).select("p", F.expr(f"dd DIV {span_days}").alias("d"))
+    assigned = bucketed.select(
+        "p",
+        "d",
+        F.expr(f"CAST(({_m29_z_expr('p', 'd', 'DIV')}) DIV {_M29_SIDE} AS BIGINT)").alias("zfile"),
+        F.col("p").cast("bigint").alias("lexfile"),
+    )
+    assigned = assigned.localCheckpoint(eager=True)  # two layout arms
+    layouts = assigned.select(
+        F.lit("zorder").alias("layout"), F.col("zfile").alias("f"), "p", "d"
+    ).unionByName(
+        assigned.select(
+            F.lit("lexicographic").alias("layout"), F.col("lexfile").alias("f"), "p", "d"
+        )
+    )
+    perfile = layouts.groupBy("layout", "f").agg(
+        (F.max("p") - F.min("p") + 1).cast("bigint").alias("span_p"),
+        (F.max("d") - F.min("d") + 1).cast("bigint").alias("span_d"),
+    )
+    return (
+        perfile.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            pround(F.sum("span_p").cast("double") / F.count(F.lit(1)), 6).alias("avg_price_span"),
+            pround(F.sum("span_d").cast("double") / F.count(F.lit(1)), 6).alias("avg_date_span"),
+        )
+        .orderBy("layout")
+    )
+
+
+# ---------------------------------------------------------------------------
+# m30 — triangle count on the near-dup graph (degree-ordered orientation)
+
+
+@query(
+    "m30_triangle_count",
+    oracle="""
+WITH shingles AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                  i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS shingle
+    FROM documents
+  ) t
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), edges AS (
+  SELECT p.u, p.v FROM pairs p
+  JOIN sizes sa ON sa.doc_id = p.u JOIN sizes sb ON sb.doc_id = p.v
+  WHERE CAST(p.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - p.n_common) >= 0.2
+), deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY node
+), oriented AS (
+  -- orient low-(degree, id) -> high-(degree, id): every triangle counted once,
+  -- and out-degrees are O(sqrt(m)) on skewed graphs (the standard trick)
+  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t
+  FROM edges e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+), tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM oriented ab JOIN oriented bc ON bc.s = ab.t
+  JOIN oriented ac ON ac.s = ab.s AND ac.t = bc.t
+), wedge AS (
+  SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       t.n_triangles, w.n_wedges,
+       CAST(floor(CASE WHEN w.n_wedges = 0 THEN 0.0
+                       ELSE 3.0 * t.n_triangles / w.n_wedges END * 1000000.0 + 0.5) AS DOUBLE)
+         / 1000000.0 AS global_clustering
+FROM tri t, wedge w
+""",
+    tags=("graph", "dedup"),
+    bench=True,
+)
+def m30_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed TRIANGLE COUNT on the near-dup graph with the
+    degree-ordered orientation — each edge points from its
+    lower-(degree, id) endpoint to the higher one, so every triangle
+    is counted exactly once AND the join fan-out is bounded by
+    out-degrees of O(√m) even on power-law graphs (the difference
+    between a triangle join that finishes at 100 TB and one that
+    explodes on the first boilerplate hub). With wedges Σd(d−1)/2 it
+    yields the global clustering coefficient 3Δ/W — qj07's
+    assortativity says WHO links to whom; clustering says whether
+    duplication forms CLIQUES (transitive families one canonical doc
+    can replace) or CHAINS (q97's CC over-merges) — the number that
+    picks between cluster-collapse and pairwise-kill dedup policies.
+
+    Scale: edges are dedup-pair output (bounded by true duplication);
+    orientation is one join against the degree table; the triangle
+    join's probe side is oriented adjacency with √m out-degree.
+    """
+    d = table(spark, sf_dir, "documents")
+    from pyspark_distributed_kmodes_spark.operators.text import ngram_jaccard_pairs
+
+    edges = ngram_jaccard_pairs(d, threshold=0.2).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    edges = edges.localCheckpoint(eager=True)  # degree + orientation consumers
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    deg = deg.localCheckpoint(eager=True)  # two orientation joins + wedges
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ed = edges.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    oriented = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    )
+    oriented = oriented.localCheckpoint(eager=True)  # three triangle-join arms
+    ab = oriented.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    bc = oriented.select(F.col("s").alias("b2"), F.col("t").alias("c"))
+    ac = oriented.select(F.col("s").alias("a2"), F.col("t").alias("c2"))
+    tri = (
+        ab.join(bc, F.col("b2") == F.col("b"))
+        .join(ac, (F.col("a2") == F.col("a")) & (F.col("c2") == F.col("c")))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    wedges = deg.agg(F.sum(F.expr("(d * (d - 1)) DIV 2")).cast("bigint").alias("n_wedges"))
+    counts = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges")).crossJoin(
+        F.broadcast(deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes")))
+    )
+    j = counts.crossJoin(F.broadcast(tri)).crossJoin(F.broadcast(wedges))
+    return j.select(
+        "n_edges",
+        "n_nodes",
+        "n_triangles",
+        "n_wedges",
+        F.when(F.col("n_wedges") == 0, 0.0)
+        .otherwise(pround(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6))
+        .alias("global_clustering"),
+    )
