@@ -2855,3 +2855,420 @@ def m30_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(pround(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6))
         .alias("global_clustering"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m32 — difference-in-differences on the customer panel
+
+
+@query(
+    "m32_did_estimator",
+    oracle=f"""
+WITH dates AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c FROM orders GROUP BY 1
+), cut AS (
+  SELECT MIN(d) AS cutoff FROM (
+    SELECT d, SUM(c) OVER (ORDER BY d ASC) AS cum, (SELECT SUM(c) FROM dates) AS n FROM dates
+  ) WHERE cum >= CAST(ceil(n / 2.0) AS BIGINT)
+), cells AS (
+  SELECT CASE WHEN cst.c_nationkey < 12 THEN 1 ELSE 0 END AS treated,
+         CASE WHEN CAST(o.o_orderdate AS DATE) >= (SELECT cutoff FROM cut) THEN 1 ELSE 0 END AS post,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         {sql_pround('CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,2))) AS DOUBLE) / COUNT(*)', 9)} AS mean_val
+  FROM orders o JOIN customer cst ON cst.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+)
+SELECT (SELECT cutoff FROM cut) AS cutoff_date,
+       CAST(SUM(n) AS BIGINT) AS n_orders,
+       {sql_pround("MAX(CASE WHEN treated = 1 AND post = 0 THEN mean_val END)", 6)} AS t_pre,
+       {sql_pround("MAX(CASE WHEN treated = 1 AND post = 1 THEN mean_val END)", 6)} AS t_post,
+       {sql_pround("MAX(CASE WHEN treated = 0 AND post = 0 THEN mean_val END)", 6)} AS c_pre,
+       {sql_pround("MAX(CASE WHEN treated = 0 AND post = 1 THEN mean_val END)", 6)} AS c_post,
+       {sql_pround("(MAX(CASE WHEN treated = 1 AND post = 1 THEN mean_val END)"
+                   " - MAX(CASE WHEN treated = 1 AND post = 0 THEN mean_val END))"
+                   " - (MAX(CASE WHEN treated = 0 AND post = 1 THEN mean_val END)"
+                   " - MAX(CASE WHEN treated = 0 AND post = 0 THEN mean_val END))", 6)} AS did
+FROM cells
+""",
+    tags=("statistics", "causal"),
+)
+def m32_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences over the order panel: treated =
+    customers of nations 0–11, period split at the exact median order
+    date, outcome = mean order value — DiD = (T_post−T_pre) −
+    (C_post−C_pre), the workhorse causal estimator a data platform is
+    asked for the moment an intervention has a launch date. The 2×2
+    cell means are exact DECIMAL sums over exact counts; the median
+    cutoff is a type-1 quantile from the bounded date dictionary.
+
+    Scale: one date-dictionary median, one broadcastable customer-dim
+    join, a 4-cell aggregate.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    dates = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    n = o.count()
+    wd = Window.orderBy(F.asc("d"))  # bounded: date dictionary
+    cum = dates.select("d", F.sum("c").over(wd).alias("cum"))
+    cutoff = cum.where(F.col("cum") >= F.lit(int(-(-n // 2)))).agg(
+        F.min("d").alias("cut")
+    ).collect()[0]["cut"]
+    cells = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")), o.o_custkey == F.col("c_custkey"))
+        .groupBy(
+            F.when(F.col("c_nationkey") < 12, 1).otherwise(0).alias("treated"),
+            (F.col("o_orderdate").cast("date") >= F.lit(cutoff)).cast("int").alias("post"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            pround(
+                F.sum(F.col("o_totalprice").cast("decimal(25,2)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mean_val"),
+        )
+    )
+
+    def cell(t: int, p: int) -> Column:
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("post") == p), F.col("mean_val"))
+        )
+
+    return cells.agg(
+        F.lit(cutoff).alias("cutoff_date"),
+        F.sum("n").cast("bigint").alias("n_orders"),
+        pround(cell(1, 0), 6).alias("t_pre"),
+        pround(cell(1, 1), 6).alias("t_post"),
+        pround(cell(0, 0), 6).alias("c_pre"),
+        pround(cell(0, 1), 6).alias("c_post"),
+        pround((cell(1, 1) - cell(1, 0)) - (cell(0, 1) - cell(0, 0)), 6).alias("did"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# m33 — Lorenz curve dominance between two customer segments
+
+
+@query(
+    "m33_lorenz_dominance",
+    oracle=f"""
+WITH obs AS (
+  SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 'BUILDING' ELSE 'OTHER' END AS seg,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+), dict AS (
+  SELECT seg, cents, CAST(COUNT(*) AS BIGINT) AS c FROM obs GROUP BY 1, 2
+), cum AS (
+  SELECT seg, cents, c,
+         SUM(c) OVER (PARTITION BY seg ORDER BY cents ASC) AS cumn,
+         SUM(c * cents) OVER (PARTITION BY seg ORDER BY cents ASC) AS cumv,
+         SUM(c) OVER (PARTITION BY seg) AS n,
+         SUM(c * cents) OVER (PARTITION BY seg) AS v
+  FROM dict
+), probes AS (SELECT unnest(range(1, 10)) AS d), lz AS (
+  SELECT p.d,
+         (SELECT {sql_pround('CAST(MIN(cumv) AS DOUBLE) / MIN(v)', 9)} FROM cum
+          WHERE seg = 'BUILDING' AND cumn >= CAST(ceil(p.d / 10.0 * n) AS BIGINT)) AS l_b,
+         (SELECT {sql_pround('CAST(MIN(cumv) AS DOUBLE) / MIN(v)', 9)} FROM cum
+          WHERE seg = 'OTHER' AND cumn >= CAST(ceil(p.d / 10.0 * n) AS BIGINT)) AS l_o
+  FROM probes p
+)
+SELECT CAST(d AS BIGINT) AS decile,
+       {sql_pround('l_b', 6)} AS lorenz_building,
+       {sql_pround('l_o', 6)} AS lorenz_other,
+       {sql_pround('l_b - l_o', 6)} AS gap,
+       SUM(CASE WHEN l_b >= l_o THEN 1 ELSE 0 END) OVER () = 9 AS building_dominates
+FROM lz ORDER BY decile
+""",
+    tags=("statistics", "events"),
+)
+def m33_lorenz_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve DOMINANCE check between the BUILDING segment and
+    the rest: L(p) at each decile for both segments, the per-decile
+    gap, and the flag that one curve lies (weakly) above the other
+    everywhere — Lorenz dominance is the strongest
+    inequality-ordering statement (every Gini, Atkinson, or Theil
+    index agrees with it), so it settles "is BUILDING spend more
+    concentrated" without picking an index; qd09's Gini is the
+    one-number shadow of this table. Cumulative counts and cent-sums
+    are exact integers over the per-segment value dictionary; L
+    values are single float divisions, pround-quantized.
+
+    Scale: one dim join + per-segment dictionary collapse; cumulative
+    windows run on bounded dictionaries, decile probes are 9 rows.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    obs = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")), o.o_custkey == F.col("c_custkey")
+    ).select(
+        F.when(F.col("c_mktsegment") == "BUILDING", "BUILDING").otherwise("OTHER").alias("seg"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    dict_ = obs.groupBy("seg", "cents").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    ws = Window.partitionBy("seg").orderBy(F.asc("cents"))  # bounded dictionary
+    wseg = Window.partitionBy("seg")
+    cum = dict_.select(
+        "seg",
+        "cents",
+        F.sum("c").over(ws).alias("cumn"),
+        F.sum(F.col("c") * F.col("cents")).over(ws).alias("cumv"),
+        F.sum("c").over(wseg).alias("n"),
+        F.sum(F.col("c") * F.col("cents")).over(wseg).alias("v"),
+    )
+    cum = cum.localCheckpoint(eager=True)  # probed by 9 deciles x 2 segments
+    probes = spark.range(1, 10).select(F.col("id").alias("d"))
+    jd = probes.crossJoin(cum).where(
+        F.col("cumn") >= F.ceil(F.col("d") / 10.0 * F.col("n")).cast("bigint")
+    )
+    lz = jd.groupBy("d", "seg").agg(
+        pround(F.min("cumv").cast("double") / F.min("v"), 9).alias("l")
+    )
+    piv = (
+        lz.groupBy("d")
+        .pivot("seg", ["BUILDING", "OTHER"])
+        .agg(F.first("l"))
+        .withColumnRenamed("BUILDING", "l_b")
+        .withColumnRenamed("OTHER", "l_o")
+    )
+    wall = Window.partitionBy()
+    return (
+        piv.select(
+            F.col("d").cast("bigint").alias("decile"),
+            pround(F.col("l_b"), 6).alias("lorenz_building"),
+            pround(F.col("l_o"), 6).alias("lorenz_other"),
+            pround(F.col("l_b") - F.col("l_o"), 6).alias("gap"),
+            (
+                F.sum((F.col("l_b") >= F.col("l_o")).cast("int")).over(wall) == 9
+            ).alias("building_dominates"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# m34 — Benjamini-Hochberg FDR over per-nation two-sided z-tests
+
+_M34_ALPHA = 0.10
+# Abramowitz & Stegun 26.2.17: Phi(x) for x>=0, |err| < 7.5e-8 — pure
+# arithmetic, so both engines evaluate it bit-identically
+_M34_PHI = (
+    "(1.0 - exp(-0.5 * ZX * ZX) * 0.3989422804014327"
+    " * (0.319381530 * KT - 0.356563782 * KT * KT + 1.781477937 * KT * KT * KT"
+    "    - 1.821255978 * KT * KT * KT * KT + 1.330274429 * KT * KT * KT * KT * KT))"
+)
+
+
+def _m34_p_expr(z: str) -> str:
+    """Two-sided p-value 2(1 - Phi(|z|)) via the A&S polynomial."""
+    zx = f"ABS({z})"
+    kt = f"(1.0 / (1.0 + 0.2316419 * ABS({z})))"
+    phi = _M34_PHI.replace("ZX", zx).replace("KT", kt)
+    return f"(2.0 * (1.0 - {phi}))"
+
+
+@query(
+    "m34_benjamini_hochberg",
+    oracle=f"""
+WITH users AS (
+  SELECT c_nationkey AS nation,
+         CASE WHEN c_acctbal > (
+           SELECT MIN(v) FROM (
+             SELECT v, SUM(c) OVER (ORDER BY v ASC) AS cum, (SELECT COUNT(*) FROM customer) AS n
+             FROM (SELECT c_acctbal AS v, CAST(COUNT(*) AS BIGINT) AS c FROM customer GROUP BY 1)
+           ) WHERE cum >= CAST(ceil(n / 2.0) AS BIGINT)
+         ) THEN 1 ELSE 0 END AS above
+  FROM customer
+), cells AS (
+  SELECT nation, CAST(SUM(above) AS BIGINT) AS x, CAST(COUNT(*) AS BIGINT) AS n
+  FROM users GROUP BY nation
+), zs AS (
+  SELECT nation, x, n,
+         {sql_pround('(CAST(x AS DOUBLE) / n - 0.5) / sqrt(0.25 / n)', 9)} AS z
+  FROM cells
+), ps AS (
+  SELECT nation, x, n, z, {sql_pround(_m34_p_expr('z'), 9)} AS p FROM zs
+), ranked AS (
+  SELECT nation, x, n, z, p,
+         CAST(ROW_NUMBER() OVER (ORDER BY p ASC, nation ASC) AS BIGINT) AS rnk,
+         CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM ps
+), cut AS (
+  SELECT COALESCE(MAX(CASE WHEN p <= rnk * {_M34_ALPHA} / m THEN rnk END), 0) AS k FROM ranked
+)
+SELECT nation, x, n, {sql_pround('z', 6)} AS z, {sql_pround('p', 6)} AS p, rnk,
+       rnk <= (SELECT k FROM cut) AS rejected
+FROM ranked ORDER BY rnk, nation
+""",
+    tags=("statistics",),
+)
+def m34_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over 25 simultaneous hypotheses
+    (per nation: is the share of above-median balances ≠ 1/2): the
+    step-up procedure rejects ranks 1..k where k = max{{i: p_(i) ≤
+    i·α/m}}, α = {_M34_ALPHA} — the multiple-testing discipline every
+    per-segment dashboard silently needs once it tests 25 segments at
+    once. p-values use the Abramowitz-Stegun Φ polynomial (pure
+    arithmetic, |err| < 7.5e-8 — the engine-portable normal CDF; the
+    approximation is shared by BOTH engines so the gate is exact).
+
+    Scale: one median dictionary, one per-nation count, then the BH
+    step-up runs on the bounded m-row p-value table.
+    """
+    c = table(spark, sf_dir, "customer")
+    dict_ = c.groupBy(F.col("c_acctbal").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    n_all = c.count()
+    wv = Window.orderBy(F.asc("v"))  # bounded: balance dictionary
+    cum = dict_.select("v", F.sum("cnt").over(wv).alias("cum"))
+    med = cum.where(F.col("cum") >= F.lit(int(-(-n_all // 2)))).agg(
+        F.min("v").alias("gm")
+    ).collect()[0]["gm"]
+    cells = c.groupBy(F.col("c_nationkey").alias("nation")).agg(
+        F.sum((F.col("c_acctbal") > float(med)).cast("int")).cast("bigint").alias("x"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    zs = cells.select(
+        "nation",
+        "x",
+        "n",
+        pround(
+            (F.col("x").cast("double") / F.col("n") - 0.5) / F.sqrt(0.25 / F.col("n")), 9
+        ).alias("z"),
+    )
+    ps = zs.select("nation", "x", "n", "z", pround(F.expr(_m34_p_expr("z")), 9).alias("p"))
+    wr = Window.orderBy(F.asc("p"), F.asc("nation"))  # bounded: m = 25 hypotheses
+    wall = Window.partitionBy()
+    ranked = ps.select(
+        "nation", "x", "n", "z", "p",
+        F.row_number().over(wr).cast("bigint").alias("rnk"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("m"),
+    )
+    ranked = ranked.localCheckpoint(eager=True)  # cutoff + output scan
+    k = (
+        ranked.agg(
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("p") <= F.col("rnk") * _M34_ALPHA / F.col("m"), F.col("rnk")
+                    )
+                ),
+                F.lit(0),
+            ).alias("k")
+        ).collect()[0]["k"]
+    )
+    return ranked.select(
+        "nation",
+        "x",
+        "n",
+        pround(F.col("z"), 6).alias("z"),
+        pround(F.col("p"), 6).alias("p"),
+        "rnk",
+        (F.col("rnk") <= int(k)).alias("rejected"),
+    ).orderBy("rnk", "nation")
+
+
+# ---------------------------------------------------------------------------
+# m35 — empirical-Bayes (beta-binomial) shrinkage of per-source rates
+
+
+@query(
+    "m35_empirical_bayes_shrinkage",
+    oracle=f"""
+WITH med AS (
+  SELECT MIN(v) AS gm FROM (
+    SELECT v, SUM(c) OVER (ORDER BY v ASC) AS cum, (SELECT COUNT(*) FROM documents) AS n
+    FROM (SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY 1)
+  ) WHERE cum >= CAST(ceil(n / 2.0) AS BIGINT)
+), cells AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN n_chars > (SELECT gm FROM med) THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY source
+), moms AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         {sql_pround('CAST(SUM(CAST(' + sql_pround('CAST(x AS DOUBLE) / n', 9) + ' AS DECIMAL(25,9))) AS DOUBLE) / COUNT(*)', 9)} AS mu,
+         {sql_pround('CAST(SUM(CAST(' + sql_pround('(CAST(x AS DOUBLE) / n) * (CAST(x AS DOUBLE) / n)', 9) + ' AS DECIMAL(25,9))) AS DOUBLE) / COUNT(*)', 9)} AS m2
+  FROM cells
+), prior AS (
+  -- method of moments: var = m2 - mu^2; alpha+beta = mu(1-mu)/var - 1
+  SELECT mu,
+         {sql_pround('GREATEST(mu * (1.0 - mu) / GREATEST(m2 - mu * mu, 1e-9) - 1.0, 1.0)', 9)} AS nu
+  FROM moms
+)
+SELECT c.source, c.x, c.n,
+       {sql_pround('CAST(c.x AS DOUBLE) / c.n', 6)} AS raw_rate,
+       {sql_pround('(c.x + p.mu * p.nu) / (c.n + p.nu)', 6)} AS shrunk_rate,
+       {sql_pround('(c.x + p.mu * p.nu) / (c.n + p.nu) - CAST(c.x AS DOUBLE) / c.n', 6)} AS shrinkage
+FROM cells c, prior p
+ORDER BY c.source
+""",
+    tags=("statistics", "curation"),
+)
+def m35_empirical_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-source "long-doc" rates
+    (share of docs above the global median length) toward the corpus
+    prior, with a method-of-moments beta prior: shrunk = (x + μν)/(n
+    + ν), ν = μ(1−μ)/var − 1 — the estimator that stops a 40-doc
+    source from outranking a 40k-doc source on a noisy quality rate
+    (qc10 caps per-source quality; this is the principled version of
+    the same instinct, and the standard leaderboard-smoothing tool).
+    Rates and moments are pround(9)-quantized DECIMAL sums; the prior
+    strength is floored at 1 to stay defined when sources are
+    homogeneous.
+
+    Scale: one median dictionary, one per-source count, k-row moment
+    and shrinkage passes.
+    """
+    d = table(spark, sf_dir, "documents")
+    dict_ = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    n_all = d.count()
+    wv = Window.orderBy(F.asc("v"))  # bounded: length dictionary
+    cum = dict_.select("v", F.sum("c").over(wv).alias("cum"))
+    med = cum.where(F.col("cum") >= F.lit(int(-(-n_all // 2)))).agg(
+        F.min("v").alias("gm")
+    ).collect()[0]["gm"]
+    cells = d.groupBy("source").agg(
+        F.sum((F.col("n_chars") > int(med)).cast("int")).cast("bigint").alias("x"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    cells = cells.localCheckpoint(eager=True)  # moments + shrinkage scan
+    rate = pround(F.col("x").cast("double") / F.col("n"), 9)
+    moms = cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        pround(
+            F.sum(rate.cast("decimal(25,9)")).cast("double") / F.count(F.lit(1)), 9
+        ).alias("mu"),
+        pround(
+            F.sum(pround(rate * rate, 9).cast("decimal(25,9)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("m2"),
+    )
+    prior = moms.select(
+        "mu",
+        pround(
+            F.greatest(
+                F.col("mu") * (1.0 - F.col("mu")) / F.greatest(F.col("m2") - F.col("mu") * F.col("mu"), F.lit(1e-9))
+                - 1.0,
+                F.lit(1.0),
+            ),
+            9,
+        ).alias("nu"),
+    )
+    j = cells.crossJoin(F.broadcast(prior))
+    raw = F.col("x").cast("double") / F.col("n")
+    shrunk = (F.col("x") + F.col("mu") * F.col("nu")) / (F.col("n") + F.col("nu"))
+    return j.select(
+        "source",
+        "x",
+        "n",
+        pround(raw, 6).alias("raw_rate"),
+        pround(shrunk, 6).alias("shrunk_rate"),
+        pround(shrunk - raw, 6).alias("shrinkage"),
+    ).orderBy("source")
