@@ -3272,3 +3272,205 @@ def m35_empirical_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame
         pround(shrunk, 6).alias("shrunk_rate"),
         pround(shrunk - raw, 6).alias("shrinkage"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# m01 / m02 — REAL Structured Streaming execution under the hash gate
+
+_M01_MOD = 2_305_843_009_213_693_951  # 2^61 - 1, the m27 Mersenne modulus
+
+
+def _write_single_file(df: DataFrame, dest: str) -> None:
+    """Materialize df as exactly one parquet file at `dest`."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="m_chunk_")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    shutil.copy(part, dest)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _time_chunk_files(spark: SparkSession, sf_dir: str, n_chunks: int) -> list:
+    """Events split into n_chunks single-file parquets by TIME terciles
+    (exact day-dictionary cuts), returned as staged file paths in
+    chronological order. Production streams arrive time-ordered by
+    nature; this reproduces that arrival order for replay."""
+    import os
+    import tempfile
+
+    e = table(spark, sf_dir, "events")
+    days = e.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    n = e.count()
+    wd = Window.orderBy(F.asc("d"))  # bounded: day dictionary
+    cum = days.select("d", F.sum("c").over(wd).alias("cum")).localCheckpoint(eager=True)
+    cuts = []
+    for k in range(1, n_chunks):
+        row = cum.where(F.col("cum") >= F.lit(int(-(-(n * k) // n_chunks)))).agg(
+            F.min("d").alias("cut")
+        ).collect()[0]
+        cuts.append(row["cut"])
+    holding = tempfile.mkdtemp(prefix="m_stream_chunks_")
+    files = []
+    for i in range(n_chunks):
+        cond = F.lit(True)
+        if i > 0:
+            cond = cond & (F.date_trunc("day", "ts") >= F.lit(cuts[i - 1]))
+        if i < n_chunks - 1:
+            cond = cond & (F.date_trunc("day", "ts") < F.lit(cuts[i]))
+        dest = os.path.join(holding, f"chunk{i}.parquet")
+        _write_single_file(e.where(cond), dest)
+        files.append(dest)
+    return files
+
+
+@query(
+    "m01_upsert_stream_convergence",
+    oracle=f"""
+WITH last AS (
+  SELECT user_id,
+         MAX_BY(event_id, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                          || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS event_id,
+         MAX_BY(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                       || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS value
+  FROM events GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(event_id) AS BIGINT) AS sum_latest_event_id,
+       CAST(bit_xor({_sql_md5fold("CAST(user_id AS VARCHAR) || ':' || CAST(event_id AS VARCHAR)")}) AS BIGINT) AS winners_xor,
+       {sql_pround('CAST(SUM(CAST(' + sql_pround('value', 6) + ' AS DECIMAL(25,6))) AS DOUBLE)', 6)} AS sum_latest_value
+FROM last
+""",
+    tags=("streaming", "cdc", "audit"),
+)
+def m01_upsert_stream_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming under the hash gate: the events table
+    is replayed as a 3-file stream (maxFilesPerTrigger=1, so the
+    foreachBatch upsert sink executes THREE separate merge batches)
+    into a parquet target keyed by user, keeping the max-(ts,
+    event_id) row per key; the final target must converge to exactly
+    the batch latest-per-key answer — per-key WINNERS pinned by an
+    order-free XOR of md5(user:event_id), not just counts. Until now
+    streaming execution was proven by pytest parity
+    (tests/test_streaming.py); this puts the actual readStream →
+    foreachBatch → rename-swap machinery inside the driver's
+    correctness gate. The merge is order-independent (max-order wins,
+    batch wins exact ties), so arbitrary file batching converges to
+    one answer — the property that makes the sink safe under replays
+    and out-of-order file arrival at 100 TB.
+
+    Scale: each micro-batch shuffles only on user_id against the
+    compacted target (q34's shape); the convergence summary is a
+    1-row fold.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark_distributed_kmodes_spark.streaming.jobs import upsert_sink_stream
+
+    e = table(spark, sf_dir, "events")
+    holding = tempfile.mkdtemp(prefix="m01_chunks_")
+    stage = tempfile.mkdtemp(prefix="m01_stage_")
+    # arbitrary (non-time) split — the merge must not care
+    for i in range(3):
+        dest = os.path.join(holding, f"chunk{i}.parquet")
+        _write_single_file(e.where(F.col("event_id") % 3 == i), dest)
+        shutil.copy(dest, stage)
+    schema = spark.read.parquet(os.path.join(stage, "chunk0.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    target = os.path.join(tempfile.mkdtemp(prefix="m01_target_"), "latest")
+    upsert_sink_stream(
+        spark,
+        stream,
+        target,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        output_mode="append",
+    )
+    last = spark.read.parquet(target)
+    key = _md5fold(
+        F.concat(F.col("user_id").cast("string"), F.lit(":"), F.col("event_id").cast("string"))
+    )
+    return last.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("event_id").cast("bigint").alias("sum_latest_event_id"),
+        F.expr(
+            "CAST(bit_xor("
+            "CAST(conv(substring(md5(concat(CAST(user_id AS STRING), ':', "
+            "CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            ") AS BIGINT)"
+        ).alias("winners_xor"),
+        pround(
+            F.sum(pround(F.col("value"), 6).cast("decimal(25,6)")).cast("double"), 6
+        ).alias("sum_latest_value"),
+    )
+
+
+@query(
+    "m02_stream_restart_equivalence",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+""",
+    tags=("streaming", "audit"),
+)
+def m02_stream_restart_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming CHECKPOINT-RESTART equivalence under the hash
+    gate: the event stream is replayed as three chronological chunks
+    across three SEPARATE availableNow runs sharing one checkpoint —
+    each restart must recover source offsets (only the new file is
+    read), watermark, and windowed-aggregate state, and the upserted
+    rollup target (update mode, per-window counts merged
+    monotonically — the continuous_rollup pattern) must finish equal
+    to the one-shot batch tumbling aggregation, row for row. This
+    promotes round-7's restart proofs (commits dc31454/e0f59fc) from
+    pytest into a driver-verified query: a checkpoint that silently
+    re-read chunk 1, lost the watermark, or dropped open-window state
+    would change a count and hash-mismatch.
+
+    Scale: state is bounded by open windows × types under the 10-min
+    watermark; each restart's work is one new file; the target merge
+    shuffles on the (window, type) key only.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark_distributed_kmodes_spark.streaming.jobs import (
+        tumbling_counts_stream,
+        upsert_sink_stream,
+    )
+
+    chunk_files = _time_chunk_files(spark, sf_dir, 3)
+    stage = tempfile.mkdtemp(prefix="m02_stage_")
+    ckpt = tempfile.mkdtemp(prefix="m02_ckpt_")
+    target = os.path.join(tempfile.mkdtemp(prefix="m02_target_"), "rollup")
+    schema = spark.read.parquet(chunk_files[0]).schema
+    for f in chunk_files:  # one NEW file per restarted run
+        shutil.copy(f, stage)
+        stream = spark.readStream.schema(schema).parquet(stage)
+        counts = tumbling_counts_stream(stream, watermark="10 minutes")
+        upsert_sink_stream(
+            spark,
+            counts,
+            target,
+            key_cols=["window_start", "event_type"],
+            order_cols=["n_events"],  # counts grow monotonically per key
+            checkpoint_dir=ckpt,
+            output_mode="update",
+        )
+    final = spark.read.parquet(target)
+    return final.select(
+        "window_start", "event_type", F.col("n_events").cast("bigint").alias("n_events")
+    ).orderBy("window_start", "event_type")
