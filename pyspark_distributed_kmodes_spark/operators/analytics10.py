@@ -1882,7 +1882,7 @@ scored AS (
 SELECT n, npos,
        {sql_pround('-ll / n', 6)} AS log_loss,
        {sql_pround('-(npos * ln(CAST(npos AS DOUBLE) / n) + (n - npos) * ln(1.0 - CAST(npos AS DOUBLE) / n)) / n', 6)} AS base_log_loss,
-       {sql_pround('1.0 + (ll / n) / ((npos * ln(CAST(npos AS DOUBLE) / n) + (n - npos) * ln(1.0 - CAST(npos AS DOUBLE) / n)) / n)', 6)} AS skill
+       {sql_pround('1.0 - (ll / n) / ((npos * ln(CAST(npos AS DOUBLE) / n) + (n - npos) * ln(1.0 - CAST(npos AS DOUBLE) / n)) / n)', 6)} AS skill
 FROM moms
 """,
     tags=("ml", "statistics"),
@@ -1931,7 +1931,7 @@ def m22_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         "npos",
         pround(-F.col("ll") / n, 6).alias("log_loss"),
         pround(-base, 6).alias("base_log_loss"),
-        pround(1.0 + (F.col("ll") / n) / base, 6).alias("skill"),
+        pround(1.0 - (F.col("ll") / n) / base, 6).alias("skill"),
     )
 
 
