@@ -106,6 +106,8 @@ def m03_theta_set_algebra_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "source", F.explode(F.split(F.lower("text"), " ")).alias("token")
     ).distinct()
+    # vocabulary-bounded; 6 consumers (sketches, exacts, both inter sides)
+    toks = toks.localCheckpoint(eager=True)
     sk = toks.groupBy("source").agg(F.expr("theta_sketch_agg(token)").alias("sk"))
     exact = toks.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
     a = sk.join(exact, "source").select(
