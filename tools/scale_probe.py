@@ -96,6 +96,18 @@ PROBE_QUERIES = [
     "l11_lsh_routing_audit",
     "l13_lloyd_step_audit",
     "l14_projection_variance_audit",
+    # round-8 m-suite: the data-sized shapes (dictionaries, stacked
+    # scans, pair-bounded graph joins, bitmap screens)
+    "m05_markov_row_stochastic_audit",
+    "m07_anderson_darling_uniformity",
+    "m20_cronbach_alpha",
+    "m25_shingle_width_sweep",
+    "m26_bloom_prefilter_audit",
+    "m27_checksum_merge_audit",
+    "m28_cdc_tombstone_apply",
+    "m29_zorder_locality_audit",
+    "m30_triangle_count",
+    "m58_language_id",
 ]
 
 
