@@ -56,8 +56,11 @@ def run_gate(name: str, cmd: list, env: dict) -> tuple[bool, float, str]:
         cmd, cwd=REPO, env=env, capture_output=True, text=True
     )
     dt = time.time() - t0
-    tail = (proc.stdout + proc.stderr).strip().splitlines()
-    last = tail[-1][:100] if tail else ""
+    lines = [
+        l for l in (proc.stdout + proc.stderr).strip().splitlines()
+        if l.strip() and "Stage" not in l and not l.lstrip().startswith("[")
+    ]
+    last = lines[-1][:100] if lines else ""
     return proc.returncode == 0, dt, last
 
 
