@@ -3240,14 +3240,18 @@ def m35_empirical_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
     cells = cells.localCheckpoint(eager=True)  # moments + shrinkage scan
-    rate = pround(F.col("x").cast("double") / F.col("n"), 9)
+    raw_rate = F.col("x").cast("double") / F.col("n")  # shared-float contract:
+    # both engines quantize the SAME expression — pround(raw, 9) for mu and
+    # pround(raw*raw, 9) for m2 (squaring the raw rate, not the quantized one,
+    # exactly as the oracle's line does).
+    rate = pround(raw_rate, 9)
     moms = cells.agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
         pround(
             F.sum(rate.cast("decimal(25,9)")).cast("double") / F.count(F.lit(1)), 9
         ).alias("mu"),
         pround(
-            F.sum(pround(rate * rate, 9).cast("decimal(25,9)")).cast("double")
+            F.sum(pround(raw_rate * raw_rate, 9).cast("decimal(25,9)")).cast("double")
             / F.count(F.lit(1)),
             9,
         ).alias("m2"),
@@ -3279,7 +3283,18 @@ def m35_empirical_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame
 # ---------------------------------------------------------------------------
 # m01 / m02 — REAL Structured Streaming execution under the hash gate
 
-_M01_MOD = 2_305_843_009_213_693_951  # 2^61 - 1, the m27 Mersenne modulus
+def _rmtree_at_exit(*paths: str) -> None:
+    """Register temp dirs for end-of-process cleanup. Used for the
+    streaming TARGET dirs, which must outlive the query function (the
+    returned DataFrame reads them lazily when the caller collects);
+    source-side staging dirs are rmtree'd inline instead. Without this,
+    sweep tools that build every query repeatedly (invariance_sweep,
+    scan_lint) accumulate unbounded copies of the events table in /tmp."""
+    import atexit
+    import shutil
+
+    for p in paths:
+        atexit.register(shutil.rmtree, p, True)
 
 
 def _write_single_file(df: DataFrame, dest: str) -> None:
@@ -3388,7 +3403,8 @@ def m01_upsert_stream_convergence(spark: SparkSession, sf_dir: str) -> DataFrame
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
     )
-    target = os.path.join(tempfile.mkdtemp(prefix="m01_target_"), "latest")
+    target_root = tempfile.mkdtemp(prefix="m01_target_")
+    target = os.path.join(target_root, "latest")
     upsert_sink_stream(
         spark,
         stream,
@@ -3397,6 +3413,10 @@ def m01_upsert_stream_convergence(spark: SparkSession, sf_dir: str) -> DataFrame
         order_cols=["ts", "event_id"],
         output_mode="append",
     )
+    # streaming is done: the source-side copies of events are dead weight
+    shutil.rmtree(holding, ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
+    _rmtree_at_exit(target_root)  # must survive the lazy read below
     last = spark.read.parquet(target)
     key = _md5fold(
         F.concat(F.col("user_id").cast("string"), F.lit(":"), F.col("event_id").cast("string"))
@@ -3457,7 +3477,8 @@ def m02_stream_restart_equivalence(spark: SparkSession, sf_dir: str) -> DataFram
     chunk_files = _time_chunk_files(spark, sf_dir, 3)
     stage = tempfile.mkdtemp(prefix="m02_stage_")
     ckpt = tempfile.mkdtemp(prefix="m02_ckpt_")
-    target = os.path.join(tempfile.mkdtemp(prefix="m02_target_"), "rollup")
+    target_root = tempfile.mkdtemp(prefix="m02_target_")
+    target = os.path.join(target_root, "rollup")
     schema = spark.read.parquet(chunk_files[0]).schema
     for f in chunk_files:  # one NEW file per restarted run
         shutil.copy(f, stage)
@@ -3472,6 +3493,11 @@ def m02_stream_restart_equivalence(spark: SparkSession, sf_dir: str) -> DataFram
             checkpoint_dir=ckpt,
             output_mode="update",
         )
+    # all three restarts done: drop the source-side events copies + checkpoint
+    shutil.rmtree(os.path.dirname(chunk_files[0]), ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    _rmtree_at_exit(target_root)  # must survive the lazy read below
     final = spark.read.parquet(target)
     return final.select(
         "window_start", "event_type", F.col("n_events").cast("bigint").alias("n_events")

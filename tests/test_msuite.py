@@ -264,8 +264,8 @@ def test_m30_triangles_match_bruteforce(spark, sf_dir, reg, duck):
     tri = 0
     for u, v in edges:
         tri += len(adj[u] & adj[v])
-    tri //= 1  # each triangle counted once per edge -> 3x
     assert r.n_edges == len(edges)
+    # the per-edge loop counts each triangle once per edge, i.e. 3x
     assert r.n_triangles * 3 == tri
     wedges = sum(len(s) * (len(s) - 1) // 2 for s in adj.values())
     assert r.n_wedges == wedges
