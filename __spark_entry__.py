@@ -84,6 +84,25 @@ this). History:
            is the one oracle-gated key with no driver hash row — the
            m-key puts it back inside a window). Round-9 window:
            l01-l14 + m01-m35 + m58 = exactly 50.
+  round 9: all 50 round-8 window keys came back green in
+           CORRECTNESS_r08 (the fourth consecutive 50/50 hash-match
+           round), so they rotate out: k01-k50 -> qk01-qk50 (number
+           = query identity, e.g. qk01 === k01 === round-8 Friedman
+           test). The staged l/m keys now sort first — the round-9
+           window is exactly l01-l14 + m01-m35 + m58, which includes
+           m58 === q58_language_id, the registry's last oracle-gated
+           key without a driver hash row.
+  ROUND-10 PLAN (decided now, per the round-8 verdict item #2): after
+           the l/m drain there are ZERO never-driver-checked keys
+           left. Round 10 is a deliberate RE-CERTIFICATION round: the
+           l/m keys rotate out (l -> ql, m -> qm, number preserved)
+           and the window falls to the NATURAL first 50 sorted keys —
+           q01-q50, the round-1 rows, which by then are 9 rounds old
+           and predate the type-audit / scan-lint / invariance-sweep
+           eras. No renames are needed to achieve this (it is the
+           default sort order once l/m leave), and NO new suite is
+           grown just to fill the window; any n-prefix staging is
+           reserved for genuinely-new capabilities.
 
 Implementations live in pyspark_distributed_kmodes_spark/; this module
 is a thin adapter over its registry.

@@ -20,12 +20,12 @@ from pyspark_distributed_kmodes_spark.operators.analytics8 import (
     qj48_welch_ttest,
 )
 from pyspark_distributed_kmodes_spark.operators.analytics9 import (
-    k01_friedman_test,
-    k02_cochran_q,
-    k07_effect_size_d,
-    k08_chebyshev_coverage,
-    k32_wasserstein_distance,
-    k34_shift_share,
+    qk01_friedman_test,
+    qk02_cochran_q,
+    qk07_effect_size_d,
+    qk08_chebyshev_coverage,
+    qk32_wasserstein_distance,
+    qk34_shift_share,
 )
 from pyspark_distributed_kmodes_spark.session import get_spark
 
@@ -37,27 +37,27 @@ def main():
     print("== are en/de doc lengths different? (Welch t, unequal variances) ==")
     qj48_welch_ttest(spark, sf_dir).show()
     print("== ... and by how much? (Cohen's d — sample-size-free) ==")
-    k07_effect_size_d(spark, sf_dir).show()
+    qk07_effect_size_d(spark, sf_dir).show()
     print("== ... and how far apart are the DISTRIBUTIONS? (exact 1-D Wasserstein) ==")
-    k32_wasserstein_distance(spark, sf_dir).show()
+    qk32_wasserstein_distance(spark, sf_dir).show()
 
     print("== is daily volume trending? (Mann-Kendall, tie-corrected) ==")
     qj23_mann_kendall(spark, sf_dir).show()
     print("== did per-user conversion change half-over-half? (McNemar, paired) ==")
     qj27_mcnemar_paired(spark, sf_dir).show()
     print("== ... and week-over-week across four weeks? (Cochran's Q) ==")
-    k02_cochran_q(spark, sf_dir).show()
+    qk02_cochran_q(spark, sf_dir).show()
 
     print("== do priorities differ consistently across years? (Friedman blocks) ==")
-    k01_friedman_test(spark, sf_dir).show()
+    qk01_friedman_test(spark, sf_dir).show()
     print("== is the variance even homogeneous? (Brown-Forsythe) ==")
     qj20_levene_test(spark, sf_dir).show()
     print("== how heavy are the tails vs sigma-rules? (Chebyshev coverage) ==")
-    k08_chebyshev_coverage(spark, sf_dir).show()
+    qk08_chebyshev_coverage(spark, sf_dir).show()
     print("== where did the YoY change come from? (shift-share decomposition) ==")
-    k34_shift_share(spark, sf_dir).show()
+    qk34_shift_share(spark, sf_dir).show()
 
-    row = k34_shift_share(spark, sf_dir).collect()[0]
+    row = qk34_shift_share(spark, sf_dir).collect()[0]
     assert row.identity_gap == 0.0, "decomposition must be exact"
     print("statistics suite OK")
 

@@ -1,7 +1,8 @@
-"""Round-8 staged extensions (m01+): ROUND-9 window candidates — the
-round-8 window is exactly full with k01-k50 (rotation history in
-__spark_entry__.py). Keyed m so they sort between the staged l-suite
-and the driver-green q-space: l01-l14 + m01-m35 + m58 = exactly 50.
+"""Round-8 staged extensions (m01+): the ROUND-9 driver window — the
+round-8 k-keys are driver-green and rotated out as qk01-qk50 (rotation
+history in __spark_entry__.py). Keyed m so they sort between the staged
+l-suite and the driver-green q-space: l01-l14 + m01-m35 + m58 = exactly
+50.
 
 Batch contents, per the round-7 verdict's depth priorities:
 (a) REAL Structured Streaming execution under the hash gate — the

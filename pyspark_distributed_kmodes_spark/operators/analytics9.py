@@ -1,6 +1,6 @@
-"""Round-6 staged extensions, third batch (k01+): these sort AFTER the
-j-suite and are ROUND-8 window candidates (the round-7 window is
-exactly full with j01-j50; rotation history in __spark_entry__.py).
+"""Round-6 staged extensions, third batch (originally k01+, driver-green
+in CORRECTNESS_r08 and rotated out as qk01-qk50 in round 9 — number =
+query identity; rotation history in __spark_entry__.py).
 
 Batch contents: rank-based k-sample tests (Friedman, Kruskal-Wallis,
 Cochran's Q, Kendall's W, sign test), forecast-quality decomposition
@@ -38,7 +38,7 @@ from pyspark_distributed_kmodes_spark.sources.tables import table
 
 
 @query(
-    "k01_friedman_test",
+    "qk01_friedman_test",
     oracle=f"""
 WITH cells AS (
   SELECT CAST(year(o_orderdate) AS BIGINT) AS blk, o_orderpriority AS trt,
@@ -65,7 +65,7 @@ GROUP BY d.b, d.k
 """,
     tags=("statistics",),
 )
-def k01_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk01_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Friedman rank test — do order priorities differ consistently in
     mean order value ACROSS year blocks? Mean value per (year,
     priority) cell, priorities ranked WITHIN each year (average ranks
@@ -129,7 +129,7 @@ _K02_WEEKS = 4
 
 
 @query(
-    "k02_cochran_q",
+    "qk02_cochran_q",
     oracle=f"""
 WITH base AS (
   SELECT user_id, ({_SQL_DAY_IDX} - (SELECT MIN({_SQL_DAY_IDX}) FROM events)) // 7 AS wk,
@@ -162,7 +162,7 @@ FROM moms m CROSS JOIN q
 """,
     tags=("statistics", "events"),
 )
-def k02_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk02_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cochran's Q test for equality of purchase incidence across the
     first {_K02_WEEKS} weeks, PAIRED by user (each user contributes a
     binary did-purchase flag per week): Q = (k-1)(k SUM G_j^2 -
@@ -232,7 +232,7 @@ def k02_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "k03_kruskal_wallis",
+    "qk03_kruskal_wallis",
     oracle=f"""
 WITH lattice AS (
   SELECT n_chars AS v, lang, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -263,7 +263,7 @@ FROM h CROSS JOIN nn CROSS JOIN ties
 """,
     tags=("statistics", "text"),
 )
-def k03_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk03_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kruskal-Wallis H test — do the per-language document-length
     DISTRIBUTIONS differ in location? — the k-sample generalization of
     j03's Mann-Whitney, with average ranks over the shared length
@@ -329,7 +329,7 @@ _K04_BINS = 10
 
 
 @query(
-    "k04_brier_decomposition",
+    "qk04_brier_decomposition",
     oracle=f"""
 WITH users AS (
   SELECT user_id,
@@ -361,7 +361,7 @@ FROM parts CROSS JOIN tot t
 """,
     tags=("ml", "statistics"),
 )
-def k04_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk04_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brier score of the j01 pseudo-forecast with the MURPHY
     decomposition: Brier = reliability - resolution + uncertainty over
     {_K04_BINS} forecast bins (forecast value = bin midpoint) — the
@@ -431,7 +431,7 @@ def k04_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "k05_kendalls_w",
+    "qk05_kendalls_w",
     oracle=f"""
 WITH cells AS (
   SELECT source, CAST(dayofweek(ts) AS BIGINT) AS dow,
@@ -457,7 +457,7 @@ GROUP BY d.m, d.n
 """,
     tags=("statistics", "events"),
 )
-def k05_kendalls_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk05_kendalls_w(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kendall's coefficient of concordance W — do different document
     SOURCES (acting as judges via their linked users) agree on the
     ranking of weekdays by revenue? Each source ranks the 7 weekdays by
@@ -524,7 +524,7 @@ def k05_kendalls_w(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "k06_sign_test",
+    "qk06_sign_test",
     oracle=f"""
 WITH daily AS (
   SELECT {_SQL_DAY_IDX} AS di, {sql_dsum('value')} AS rev
@@ -544,7 +544,7 @@ FROM pairs
 """,
     tags=("statistics", "timeseries"),
 )
-def k06_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk06_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign test on week-over-week daily revenue: pair each day with
     the same weekday one week earlier (removing the weekday effect j11
     quantifies), count ups vs downs, continuity-corrected
@@ -580,7 +580,7 @@ def k06_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "k07_effect_size_d",
+    "qk07_effect_size_d",
     oracle="""
 WITH s AS (
   SELECT lang,
@@ -606,7 +606,7 @@ FROM w
     ),
     tags=("statistics", "text"),
 )
-def k07_effect_size_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk07_effect_size_d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's d and the small-sample-corrected Hedges' g for the
     en-vs-de document-length difference — the EFFECT SIZE that j48's
     Welch t deliberately does not give (t grows with sqrt(n), so at
@@ -651,7 +651,7 @@ def k07_effect_size_d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "k08_chebyshev_coverage",
+    "qk08_chebyshev_coverage",
     oracle="""
 WITH s AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -680,7 +680,7 @@ ORDER BY k
     ),
     tags=("statistics", "audit"),
 )
-def k08_chebyshev_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk08_chebyshev_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Empirical coverage of mu +/- k*sigma for k = 1, 2, 3 against the
     distribution-free Chebyshev lower bound 1 - 1/k^2 — the tail-audit
     that says how heavy the order-value distribution actually is:
@@ -740,7 +740,7 @@ _K09_BUCKET = 1000.0
 
 
 @query(
-    "k09_bowley_moors",
+    "qk09_bowley_moors",
     oracle=f"""
 WITH lattice AS (
   SELECT o_orderpriority AS pri, CAST(floor(o_totalprice / {_K09_BUCKET}) AS BIGINT) AS b,
@@ -775,7 +775,7 @@ ORDER BY pri
 """,
     tags=("statistics",),
 )
-def k09_bowley_moors(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk09_bowley_moors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile-based robust distribution shape per order priority:
     Bowley skewness (Q3+Q1-2Q2)/(Q3-Q1) and Moors kurtosis
     ((E7-E5)+(E3-E1))/(E6-E2) from the eight octiles — the outlier-
@@ -850,7 +850,7 @@ def _k10_sql_rs(m: int) -> str:
 
 
 @query(
-    "k10_hurst_exponent",
+    "qk10_hurst_exponent",
     oracle=f"""
 WITH daily AS (
   SELECT {_SQL_DAY_IDX} AS di, {sql_dsum('value')} AS rev
@@ -876,7 +876,7 @@ FROM ols
 """,
     tags=("statistics", "timeseries"),
 )
-def k10_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk10_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hurst exponent of the daily revenue series by classical
     rescaled-range analysis: for block sizes m in {_K10_SIZES}, split
     the day lattice into complete consecutive blocks, compute each
@@ -959,7 +959,7 @@ def k10_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "k11_best_single_split",
+    "qk11_best_single_split",
     oracle=f"""
 WITH daily AS (
   SELECT {_SQL_DAY_IDX} AS di, {sql_dsum('value')} AS rev
@@ -989,7 +989,7 @@ LIMIT 1
 """,
     tags=("statistics", "timeseries"),
 )
-def k11_best_single_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk11_best_single_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best single changepoint of the daily revenue series: the split
     day maximizing the between-segment sum of squares n_l(mu_l - mu)^2
     + n_r(mu_r - mu)^2 (the first step of binary segmentation and the
@@ -1035,7 +1035,7 @@ def k11_best_single_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "k12_seasonal_naive_backtest",
+    "qk12_seasonal_naive_backtest",
     oracle=f"""
 WITH daily AS (
   SELECT {_SQL_DAY_IDX} AS di, {sql_dsum('value')} AS rev
@@ -1052,7 +1052,7 @@ FROM pairs
 """,
     tags=("timeseries", "ml"),
 )
-def k12_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk12_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backtest of the seasonal-naive forecaster (predict each day by
     the same weekday one week earlier) on daily revenue: MAE, RMSE and
     MAPE over all forecastable days — the baseline every fancier
@@ -1098,7 +1098,7 @@ _K13_SQUARINGS = 5  # P^(2^5) = P^32
 
 
 @query(
-    "k13_markov_stationary",
+    "qk13_markov_stationary",
     oracle=f"""
 WITH steps AS (
   SELECT event_type AS src,
@@ -1125,7 +1125,7 @@ ORDER BY event_type
     tags=("statistics", "events"),
     bench=True,
 )
-def k13_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk13_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stationary distribution of the user event-type Markov chain:
     the 5x5 transition matrix (qe12's) raised to the 32nd power by
     {_K13_SQUARINGS} repeated SQUARINGS — log-many bounded join-agg
@@ -1184,7 +1184,7 @@ _K14_LOW_MAX = 30  # events; 1..30 = low, 31+ = high
 
 
 @query(
-    "k14_activity_migration",
+    "qk14_activity_migration",
     oracle=f"""
 WITH bounds AS (
   SELECT MIN({_SQL_DAY_IDX}) AS lo, MAX({_SQL_DAY_IDX}) AS hi FROM events
@@ -1204,7 +1204,7 @@ ORDER BY tier_h1, tier_h2
 """,
     tags=("events", "curation"),
 )
-def k14_activity_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk14_activity_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User activity-tier MIGRATION matrix between the first and second
     half of the observation window (absent / low / high by fixed event
     thresholds): the cohort-movement view that a single churn rate
@@ -1249,7 +1249,7 @@ _K15_SEG = 50  # words per segment
 
 
 @query(
-    "k15_lexical_diversity",
+    "qk15_lexical_diversity",
     oracle=f"""
 WITH segs AS (
   SELECT lang,
@@ -1274,7 +1274,7 @@ ORDER BY lang
 """,
     tags=("text", "curation"),
 )
-def k15_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk15_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical diversity per language: pooled type-token ratio plus the
     SEGMENTAL TTR (mean per-{_K15_SEG}-word-window TTR, the MSTTR/MTLD
     family's fix for TTR's length dependence — raw TTR falls as corpora
@@ -1319,7 +1319,7 @@ def k15_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "k16_casing_profile",
+    "qk16_casing_profile",
     oracle=f"""
 WITH per_doc AS (
   SELECT source,
@@ -1339,7 +1339,7 @@ ORDER BY source
 """,
     tags=("text",),
 )
-def k16_casing_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk16_casing_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Casing profile per source: uppercase-character ratio and the
     share of TitleCase words — SHOUTING spam is upper-heavy, headline
     scrapes and navigation menus are titlecase-heavy, clean prose sits
@@ -1386,7 +1386,7 @@ _K17_THRESHOLDS = (2, 5, 10)
 
 
 @query(
-    "k17_ngram_dup_mass",
+    "qk17_ngram_dup_mass",
     oracle=f"""
 WITH grams AS (
   SELECT md5(array_to_string(string_split(text, ' ')[s:s + {_K17_N - 1}], ' ')) AS g
@@ -1411,7 +1411,7 @@ ORDER BY df_threshold
 """,
     tags=("dedup", "text"),
 )
-def k17_ngram_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk17_ngram_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated {_K17_N}-gram MASS: what fraction of all {_K17_N}-gram
     occurrences (and of the distinct vocabulary) belongs to n-grams
     repeated at least t times, for t in {_K17_THRESHOLDS} — the
@@ -1474,7 +1474,7 @@ def k17_ngram_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "k18_hapax_rate",
+    "qk18_hapax_rate",
     oracle="""
 WITH words AS (
   SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
@@ -1497,7 +1497,7 @@ ORDER BY lang
     ),
     tags=("text", "curation"),
 )
-def k18_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk18_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hapax legomena rate per language: the share of vocabulary (and
     of running tokens) made of words occurring exactly once — natural
     corpora sit near 40-60% hapax vocabulary (Zipf's tail); template
@@ -1532,7 +1532,7 @@ def k18_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "k19_observed_scan_metrics",
+    "qk19_observed_scan_metrics",
     oracle=f"""
 WITH filtered AS (
   SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -1546,7 +1546,7 @@ ORDER BY l_returnflag
 """,
     tags=("relational", "audit"),
 )
-def k19_observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk19_observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's `observe()` API — the last uncovered piece of the
     DataFrame surface: an Observation attaches named metrics (row
     count, exact DECIMAL revenue) to the post-filter point of the plan,
@@ -1567,7 +1567,7 @@ def k19_observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
     )
-    obs = Observation("k19_scan_metrics")
+    obs = Observation("qk19_scan_metrics")
     observed = li.observe(
         obs,
         F.count(F.lit(1)).alias("rows_scanned"),
@@ -1593,7 +1593,7 @@ _K20_IDLE_US = 4 * 3600 * 1_000_000
 
 
 @query(
-    "k20_peak_concurrency",
+    "qk20_peak_concurrency",
     oracle=f"""
 WITH marked AS (
   SELECT user_id, epoch_us(ts) AS us,
@@ -1624,7 +1624,7 @@ LIMIT 5
 """,
     tags=("events", "timeseries"),
 )
-def k20_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk20_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peak session concurrency: sessionize (4 h idle islands, j30's
     rule), then probe how many sessions are simultaneously open at each
     HOUR boundary and report the top-5 busiest hours — the capacity-
@@ -1685,7 +1685,7 @@ def k20_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "k21_grouping_id_decode",
+    "qk21_grouping_id_decode",
     oracle=f"""
 SELECT CASE
          WHEN GROUPING(o_orderpriority) = 0 AND GROUPING(yr) = 0 THEN 'priority_year'
@@ -1702,7 +1702,7 @@ ORDER BY level, pri, yr
 """,
     tags=("relational",),
 )
-def k21_grouping_id_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk21_grouping_id_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS with the grouping() indicator DECODED into level
     labels — the piece q17's grouping-sets row leaves implicit: a
     consumer of a mixed-granularity result must distinguish "priority
@@ -1752,7 +1752,7 @@ _K22_K = 10
 
 
 @query(
-    "k22_metric_agreement",
+    "qk22_metric_agreement",
     oracle=f"""
 WITH anchors AS (
   SELECT vec_id, embedding FROM embeddings
@@ -1778,7 +1778,7 @@ ORDER BY anchor_id
 """,
     tags=("vector", "audit"),
 )
-def k22_metric_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk22_metric_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distance-metric agreement audit: for {_K22_ANCHORS} hash-rank
     anchor vectors (FIXED budget — the h12 rule — never a fraction of
     the corpus), compare the top-{_K22_K} neighbor sets under cosine
@@ -1838,7 +1838,7 @@ def k22_metric_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "k23_xml_roundtrip",
+    "qk23_xml_roundtrip",
     oracle="""
 SELECT lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1850,7 +1850,7 @@ ORDER BY lang
 """,
     tags=("source",),
 )
-def k23_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk23_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML source round trip — Spark 4's built-in XML data source (the
     former spark-xml package, now first-party): documents metadata is
     written as <row> elements under a root tag, read BACK through the
@@ -1868,7 +1868,7 @@ def k23_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    base = tempfile.mkdtemp(prefix="k23_xml_")
+    base = tempfile.mkdtemp(prefix="qk23_xml_")
     try:
         d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
         d.write.format("xml").option("rootTag", "docs").option("rowTag", "doc").mode(
@@ -1896,7 +1896,7 @@ _K24_BAD_MOD = 13  # every 13th row is written malformed
 
 
 @query(
-    "k24_csv_malformed_audit",
+    "qk24_csv_malformed_audit",
     oracle=f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(CASE WHEN doc_id % {_K24_BAD_MOD} = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
@@ -1906,7 +1906,7 @@ FROM documents
 """,
     tags=("source", "audit"),
 )
-def k24_csv_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk24_csv_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Malformed-row handling on the CSV path: a CSV export is
     deliberately corrupted (every {_K24_BAD_MOD}th row gets a
     non-numeric n_chars — the classic upstream-typo), then read back in
@@ -1924,7 +1924,7 @@ def k24_csv_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    base = tempfile.mkdtemp(prefix="k24_csv_")
+    base = tempfile.mkdtemp(prefix="qk24_csv_")
     try:
         d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
         csv_line = F.concat_ws(
@@ -1966,7 +1966,7 @@ def k24_csv_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "k25_parquet_codec_roundtrip",
+    "qk25_parquet_codec_roundtrip",
     oracle=f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM({_sql_md5fold("CAST(o_orderkey AS VARCHAR) || '|' || o_orderpriority")} % 1000000) AS BIGINT) AS content_checksum,
@@ -1975,7 +1975,7 @@ FROM orders
 """,
     tags=("source",),
 )
-def k25_parquet_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk25_parquet_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet compression-codec round trip: orders written with
     compression=zstd (the modern default for cold analytical data:
     ~30% smaller than snappy at similar decode cost) and read back;
@@ -1992,7 +1992,7 @@ def k25_parquet_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    base = tempfile.mkdtemp(prefix="k25_zstd_")
+    base = tempfile.mkdtemp(prefix="qk25_zstd_")
     try:
         o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
         o.write.mode("overwrite").option("compression", "zstd").parquet(base + "/z")
@@ -2018,7 +2018,7 @@ def k25_parquet_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "k26_dedup_provenance_bias",
+    "qk26_dedup_provenance_bias",
     oracle="""
 WITH fp AS (
   SELECT doc_id, source, md5(lower(text)) AS f FROM documents
@@ -2037,7 +2037,7 @@ ORDER BY source
 """.replace("{RR}", sql_pround("CAST(SUM(removed) AS DOUBLE) / COUNT(*)", 6)),
     tags=("dedup", "curation"),
 )
-def k26_dedup_provenance_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk26_dedup_provenance_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Provenance bias of FIRST-WINS dedup: normalize (lowercase) and
     fingerprint every document, keep the lowest doc_id per fingerprint,
     and report each SOURCE's removal rate — when ingestion order
@@ -2073,7 +2073,7 @@ def k26_dedup_provenance_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "k27_rate_limit_audit",
+    "qk27_rate_limit_audit",
     oracle=f"""
 WITH ranked AS (
   SELECT event_type,
@@ -2090,7 +2090,7 @@ ORDER BY event_type
 """,
     tags=("events", "audit"),
 )
-def k27_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk27_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rate-limit preflight: if delivery were throttled to ONE event
     per user per hour (first wins, deterministic ts + event_id order),
     how much traffic would each event type lose? The keep-first row is
@@ -2126,7 +2126,7 @@ def k27_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "k28_cold_start_curve",
+    "qk28_cold_start_curve",
     oracle=f"""
 WITH aged AS (
   SELECT user_id,
@@ -2142,7 +2142,7 @@ ORDER BY age_day
 """,
     tags=("events", "curation"),
 )
-def k28_cold_start_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk28_cold_start_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cold-start activity curve: events re-indexed by each user's AGE
     (days since that user's first event) instead of calendar time —
     active-user count and events-per-active-user at age 0, 1, 2, ... is
@@ -2180,7 +2180,7 @@ _K29_BITS = 8
 
 
 @query(
-    "k29_lsh_bucket_balance",
+    "qk29_lsh_bucket_balance",
     oracle=f"""
 WITH sig AS (
   SELECT CAST({' + '.join(f"(CASE WHEN embedding[{i + 1}] >= 0 THEN 1 ELSE 0 END) * {1 << i}" for i in range(_K29_BITS))} AS BIGINT) AS bucket
@@ -2203,7 +2203,7 @@ FROM ent CROSS JOIN tot t
 """,
     tags=("vector", "audit"),
 )
-def k29_lsh_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk29_lsh_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-balance audit for an {_K29_BITS}-bit sign LSH (bit i =
     sign of embedding coordinate i — the deterministic axis-aligned
     family, so the oracle can replay it exactly, unlike q61's seeded
@@ -2251,7 +2251,7 @@ def k29_lsh_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "k30_pareto_point",
+    "qk30_pareto_point",
     oracle=f"""
 WITH per_user AS (
   SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY user_id
@@ -2275,7 +2275,7 @@ FROM cum
 """,
     tags=("events", "statistics"),
 )
-def k30_pareto_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk30_pareto_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto concentration of user activity: the minimum fraction of
     (heaviest) users that accounts for 80% of all events, and the event
     share of the top decile — the two numbers behind "80/20" capacity
@@ -2321,7 +2321,7 @@ def k30_pareto_point(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "k31_energy_distance",
+    "qk31_energy_distance",
     oracle=f"""
 WITH la AS (
   SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c FROM documents WHERE lang = 'en' GROUP BY n_chars
@@ -2351,7 +2351,7 @@ FROM na, nb, axy, axx, ayy
 """,
     tags=("statistics", "text"),
 )
-def k31_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk31_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Szekely's energy distance between the en and de document-length
     distributions: D^2 = 2 E|X-Y| - E|X-X'| - E|Y-Y'| plus the
     nm/(n+m)-scaled test statistic — the modern two-sample test that is
@@ -2415,7 +2415,7 @@ def k31_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "k32_wasserstein_distance",
+    "qk32_wasserstein_distance",
     oracle="""
 WITH la AS (
   SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c FROM documents WHERE lang = 'en' GROUP BY n_chars
@@ -2446,7 +2446,7 @@ FROM cum WHERE v_next IS NOT NULL
     ),
     tags=("statistics", "text"),
 )
-def k32_wasserstein_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk32_wasserstein_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT 1-D Wasserstein-1 (earth mover's) distance between the en
     and de length distributions: W1 = integral |F1 - F2| dv over the
     merged value lattice, with the CDF difference carried as the exact
@@ -2499,7 +2499,7 @@ def k32_wasserstein_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "k33_cramer_von_mises",
+    "qk33_cramer_von_mises",
     oracle="""
 WITH la AS (
   SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c FROM documents WHERE lang = 'en' GROUP BY n_chars
@@ -2530,7 +2530,7 @@ FROM cum
     ),
     tags=("statistics", "text"),
 )
-def k33_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk33_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Cramér-von Mises criterion between en and de length
     distributions: T = nm/(n+m)^2 * SUM over pooled points of
     t_v (F1 - F2)^2 — the INTEGRATED squared CDF gap, sensitive to
@@ -2586,7 +2586,7 @@ _K34_Y1, _K34_Y2 = 1997, 1998
 
 
 @query(
-    "k34_shift_share",
+    "qk34_shift_share",
     oracle=f"""
 WITH cells AS (
   SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority AS grp,
@@ -2619,7 +2619,7 @@ FROM wide
 """,
     tags=("statistics", "relational"),
 )
-def k34_shift_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk34_shift_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shift-share decomposition of the {_K34_Y1}->{_K34_Y2} change in
     mean order value: DELTA = within-group rate growth (at old mix) +
     mix shift (at old rates) + interaction — the standard BI answer to
@@ -2678,7 +2678,7 @@ _K35_BASE, _K35_CUR = 1996, 1998
 
 
 @query(
-    "k35_price_indices",
+    "qk35_price_indices",
     oracle=f"""
 WITH py AS (
   SELECT l_partkey AS pk, CAST(year(l_shipdate) AS BIGINT) AS yr,
@@ -2706,7 +2706,7 @@ FROM sums
 """,
     tags=("statistics", "relational"),
 )
-def k35_price_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk35_price_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Laspeyres, Paasche and Fisher price indices for {_K35_CUR} with
     base year {_K35_BASE}, over parts traded in BOTH years (unit price
     = revenue/quantity per part-year, quantity = the index weights):
@@ -2758,7 +2758,7 @@ _K36_BUCKET = 1000.0
 
 
 @query(
-    "k36_abc_classification",
+    "qk36_abc_classification",
     oracle=f"""
 WITH per_part AS (
   SELECT l_partkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))) AS DECIMAL(25,2)) AS rev
@@ -2790,7 +2790,7 @@ ORDER BY abc_class
 """,
     tags=("relational", "curation"),
 )
-def k36_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk36_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC inventory classification of parts by revenue: class A =
     revenue buckets whose cumulative (descending) share starts below
     80%, B to 95%, C the tail — the classic Pareto segmentation every
@@ -2849,7 +2849,7 @@ def k36_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "k37_source_lang_purity",
+    "qk37_source_lang_purity",
     oracle=f"""
 WITH cells AS (
   SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY source, lang
@@ -2872,7 +2872,7 @@ ORDER BY source
 """,
     tags=("text", "curation"),
 )
-def k37_source_lang_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk37_source_lang_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language purity per source: the dominant language's share and
     the language entropy in bits — a mixed-language source needs
     per-document language routing before tokenization while a pure one
@@ -2919,7 +2919,7 @@ def k37_source_lang_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "k38_weekday_hour_heatmap",
+    "qk38_weekday_hour_heatmap",
     oracle=f"""
 WITH cells AS (
   SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow, CAST(hour(ts) AS BIGINT) AS hr,
@@ -2933,7 +2933,7 @@ ORDER BY dow, hr
 """,
     tags=("events",),
 )
-def k38_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk38_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The weekday x hour traffic heatmap — event count and global
     share per (day-of-week, hour) cell, the standard load-profile view
     behind autoscaling schedules and maintenance-window choices (j11
@@ -2965,7 +2965,7 @@ def k38_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "k39_coengagement_lift",
+    "qk39_coengagement_lift",
     oracle=f"""
 WITH ue AS (
   SELECT DISTINCT user_id, event_type FROM events
@@ -2988,7 +2988,7 @@ ORDER BY type_a, type_b
 """,
     tags=("events", "statistics"),
 )
-def k39_coengagement_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk39_coengagement_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-type co-engagement lift over USERS: for each unordered
     type pair, P(user does both) / (P(A) P(B)) — lift > 1 means the
     behaviors attract, < 1 they substitute; this is qe24's basket-lift
@@ -3043,7 +3043,7 @@ def k39_coengagement_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "k40_interval_forecast_coverage",
+    "qk40_interval_forecast_coverage",
     oracle=f"""
 WITH daily AS (
   SELECT {_SQL_DAY_IDX} AS di, {sql_dsum('value')} AS rev
@@ -3066,7 +3066,7 @@ FROM scored
 """,
     tags=("timeseries", "ml"),
 )
-def k40_interval_forecast_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk40_interval_forecast_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-forecast coverage audit for the naive band predictor
     "tomorrow lies within the past week's [min, max]": empirical
     coverage rate and mean band width over all days with a full 7-day
@@ -3113,7 +3113,7 @@ def k40_interval_forecast_coverage(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
-    "k41_blocking_key_cost",
+    "qk41_blocking_key_cost",
     oracle="""
 WITH keys AS (
   SELECT 'lang' AS blocking_key, lang AS k FROM documents
@@ -3135,7 +3135,7 @@ ORDER BY blocking_key
     tags=("dedup", "audit"),
     bench=True,
 )
-def k41_blocking_key_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk41_blocking_key_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking-key cost model for pairwise dedup/linkage: for four
     candidate blocking keys (lang, source, first word, lowercase 8-char
     prefix) compute the bucket count, the largest bucket, and the TRUE
@@ -3181,7 +3181,7 @@ def k41_blocking_key_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "k42_pooled_vs_within_corr",
+    "qk42_pooled_vs_within_corr",
     oracle=f"""
 WITH base AS (
   SELECT o_orderpriority AS grp,
@@ -3214,7 +3214,7 @@ FROM r ORDER BY scope
 """,
     tags=("statistics",),
 )
-def k42_pooled_vs_within_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk42_pooled_vs_within_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pooled vs per-group Pearson correlation between order year and
     order value — the ecological-fallacy / Simpson's-paradox audit for
     correlations: a pooled r that disagrees in sign or magnitude with
@@ -3271,7 +3271,7 @@ def k42_pooled_vs_within_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "k43_retention_halflife",
+    "qk43_retention_halflife",
     oracle=f"""
 WITH aged AS (
   SELECT user_id,
@@ -3298,7 +3298,7 @@ FROM ols
 """,
     tags=("events", "ml"),
 )
-def k43_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk43_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention half-life: fit log(active users at age d) ~ a + b*d
     over ages 1-21 of k28's cold-start curve (closed-form OLS on the
     bounded age lattice) and report b plus the implied half-life
@@ -3346,7 +3346,7 @@ def k43_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "k44_dead_stock_audit",
+    "qk44_dead_stock_audit",
     oracle=f"""
 WITH ordered_parts AS (
   SELECT DISTINCT l_partkey FROM lineitem
@@ -3364,7 +3364,7 @@ ORDER BY brand
 """,
     tags=("relational", "audit"),
 )
-def k44_dead_stock_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk44_dead_stock_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dead-stock audit: the share of each brand's catalog that has
     NEVER appeared on a lineitem — the anti-join coverage question
     every catalog owner asks ("what fraction of SKUs is inventory we
@@ -3398,7 +3398,7 @@ def k44_dead_stock_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "k45_calendar_rollup_reconcile",
+    "qk45_calendar_rollup_reconcile",
     oracle=f"""
 WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS d,
@@ -3429,7 +3429,7 @@ FROM direct d CROSS JOIN weekly w CROSS JOIN monthly m CROSS JOIN spans s
 """,
     tags=("relational", "audit"),
 )
-def k45_calendar_rollup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk45_calendar_rollup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar rollup reconciliation: daily totals re-aggregated to
     weeks and to months must BOTH reconcile exactly to the direct scan
     (gated at 1), while `straddling_weeks` counts the weeks that cross
@@ -3502,7 +3502,7 @@ def k45_calendar_rollup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
-    "k46_dup_rate_by_length",
+    "qk46_dup_rate_by_length",
     oracle=f"""
 WITH fp AS (
   SELECT doc_id, n_chars, md5(lower(text)) AS f FROM documents
@@ -3522,7 +3522,7 @@ ORDER BY len_bucket
 """,
     tags=("dedup", "curation"),
 )
-def k46_dup_rate_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk46_dup_rate_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplication rate conditioned on document LENGTH (100-char
     buckets): short documents duplicate far more than long ones in
     every web corpus (navigation stubs, error pages, template
@@ -3559,7 +3559,7 @@ def k46_dup_rate_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "k47_median_ci",
+    "qk47_median_ci",
     oracle=f"""
 WITH lattice AS (
   SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY n_chars
@@ -3582,7 +3582,7 @@ GROUP BY r.n
 """,
     tags=("statistics",),
 )
-def k47_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk47_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-free 95% confidence interval for the median
     document length via the binomial ORDER-STATISTIC method: the CI
     endpoints are the values at ranks n/2 -/+ z*sqrt(n)/2 — no
@@ -3619,7 +3619,7 @@ def k47_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "k48_two_way_anova",
+    "qk48_two_way_anova",
     oracle=f"""
 WITH base AS (
   SELECT o_orderpriority AS a, CAST(year(o_orderdate) AS BIGINT) AS b, o_totalprice AS y
@@ -3649,7 +3649,7 @@ FROM ssa, ssb, sscell
 """,
     tags=("statistics",),
 )
-def k48_two_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk48_two_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-way ANOVA sums of squares for order value over priority x
     year: main-effect SS for each factor plus the INTERACTION SS
     (cell SS minus both mains) — the question j02's one-way F cannot
@@ -3723,7 +3723,7 @@ _K49_BUCKET = 1.0  # value quantization for the bounded lattice
 
 
 @query(
-    "k49_daily_wasserstein_drift",
+    "qk49_daily_wasserstein_drift",
     oracle=f"""
 WITH q AS (
   SELECT {_SQL_DAY_IDX} AS di, CAST(floor(value / {_K49_BUCKET}) AS BIGINT) AS v
@@ -3758,7 +3758,7 @@ ORDER BY day_index
 """,
     tags=("timeseries", "statistics"),
 )
-def k49_daily_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk49_daily_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day distribution drift monitor: the exact 1-D Wasserstein
     distance between each DAY's event-value distribution and the
     whole-corpus distribution, on a unit-quantized value lattice —
@@ -3816,7 +3816,7 @@ def k49_daily_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "k50_powerlaw_alpha",
+    "qk50_powerlaw_alpha",
     oracle=f"""
 WITH grams AS (
   SELECT doc_id, md5(array_to_string(string_split(lower(text), ' ')[s:s + 4], ' ')) AS g
@@ -3839,7 +3839,7 @@ FROM moms
 """,
     tags=("statistics", "dedup"),
 )
-def k50_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qk50_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discrete power-law exponent of the shared-shingle frequency
     distribution: document frequencies d >= dmin=2 of 5-word shingles
     fit alpha = 1 + n / SUM ln(d/(dmin - 0.5)) (the Clauset-Shalizi-

@@ -32,7 +32,7 @@ def _daily_rev(spark, sf_dir):
 
 
 def test_k01_friedman_matches_python(spark, sf_dir, reg, duck):
-    r = reg["k01_friedman_test"].fn(spark, sf_dir).collect()[0]
+    r = reg["qk01_friedman_test"].fn(spark, sf_dir).collect()[0]
     cells = duck.execute(
         """SELECT CAST(year(o_orderdate) AS BIGINT),
                   o_orderpriority,
@@ -54,7 +54,7 @@ def test_k01_friedman_matches_python(spark, sf_dir, reg, duck):
 
 
 def test_k02_cochran_matches_python(spark, sf_dir, reg, duck):
-    r = reg["k02_cochran_q"].fn(spark, sf_dir).collect()[0]
+    r = reg["qk02_cochran_q"].fn(spark, sf_dir).collect()[0]
     lo = duck.execute(
         "SELECT MIN(epoch_us(date_trunc('day', ts)) // 86400000000) FROM events"
     ).fetchone()[0]
@@ -85,7 +85,7 @@ def test_k02_cochran_matches_python(spark, sf_dir, reg, duck):
 
 
 def test_k03_kw_matches_python(spark, sf_dir, reg, duck):
-    r = reg["k03_kruskal_wallis"].fn(spark, sf_dir).collect()[0]
+    r = reg["qk03_kruskal_wallis"].fn(spark, sf_dir).collect()[0]
     rows = duck.execute("SELECT lang, n_chars FROM documents").fetchall()
     allv = sorted(c for _, c in rows)
     # average rank per value
@@ -106,7 +106,7 @@ def test_k03_kw_matches_python(spark, sf_dir, reg, duck):
 
 
 def test_k04_brier_identity(spark, sf_dir, reg):
-    r = reg["k04_brier_decomposition"].fn(spark, sf_dir).collect()[0]
+    r = reg["qk04_brier_decomposition"].fn(spark, sf_dir).collect()[0]
     assert r.reliability >= 0 and r.resolution >= 0
     assert 0 <= r.uncertainty <= 0.25
     assert abs(r.brier_score - (r.reliability - r.resolution + r.uncertainty)) < 1e-5
@@ -114,13 +114,13 @@ def test_k04_brier_identity(spark, sf_dir, reg):
 
 
 def test_k05_w_bounds(spark, sf_dir, reg):
-    r = reg["k05_kendalls_w"].fn(spark, sf_dir).collect()[0]
+    r = reg["qk05_kendalls_w"].fn(spark, sf_dir).collect()[0]
     assert 0.0 <= r.kendalls_w <= 1.0
     assert r.n_items == 7
 
 
 def test_k06_sign_matches_python(spark, sf_dir, reg, duck):
-    r = reg["k06_sign_test"].fn(spark, sf_dir).collect()[0]
+    r = reg["qk06_sign_test"].fn(spark, sf_dir).collect()[0]
     daily = dict(
         duck.execute(
             "SELECT epoch_us(date_trunc('day', ts)) // 86400000000,"
@@ -135,7 +135,7 @@ def test_k06_sign_matches_python(spark, sf_dir, reg, duck):
 def test_k07_effect_size_matches_numpy(spark, sf_dir, reg, duck):
     import numpy as np
 
-    r = reg["k07_effect_size_d"].fn(spark, sf_dir).collect()[0]
+    r = reg["qk07_effect_size_d"].fn(spark, sf_dir).collect()[0]
     en = np.array(duck.execute("SELECT n_chars FROM documents WHERE lang='en'").fetchall(), dtype=np.float64).ravel()
     de = np.array(duck.execute("SELECT n_chars FROM documents WHERE lang='de'").fetchall(), dtype=np.float64).ravel()
     pooled = ((len(en) - 1) * en.var(ddof=1) + (len(de) - 1) * de.var(ddof=1)) / (
@@ -148,7 +148,7 @@ def test_k07_effect_size_matches_numpy(spark, sf_dir, reg, duck):
 
 
 def test_k08_coverage_dominates_chebyshev(spark, sf_dir, reg):
-    rows = reg["k08_chebyshev_coverage"].fn(spark, sf_dir).collect()
+    rows = reg["qk08_chebyshev_coverage"].fn(spark, sf_dir).collect()
     fracs = [r.frac_within for r in rows]
     for r in rows:
         assert r.frac_within >= r.chebyshev_lower - 1e-9
@@ -156,19 +156,19 @@ def test_k08_coverage_dominates_chebyshev(spark, sf_dir, reg):
 
 
 def test_k09_bowley_bounds(spark, sf_dir, reg):
-    for r in reg["k09_bowley_moors"].fn(spark, sf_dir).collect():
+    for r in reg["qk09_bowley_moors"].fn(spark, sf_dir).collect():
         assert -1.0 <= r.bowley_skew <= 1.0
         assert r.moors_kurtosis > 0
 
 
 def test_k10_hurst_range(spark, sf_dir, reg):
-    r = reg["k10_hurst_exponent"].fn(spark, sf_dir).collect()[0]
+    r = reg["qk10_hurst_exponent"].fn(spark, sf_dir).collect()[0]
     assert r.n_block_sizes == 3
     assert 0.0 < r.hurst_h < 1.2  # R/S estimate can slightly exceed 1 on tiny series
 
 
 def test_k11_split_is_argmax(spark, sf_dir, reg, duck):
-    r = reg["k11_best_single_split"].fn(spark, sf_dir).collect()[0]
+    r = reg["qk11_best_single_split"].fn(spark, sf_dir).collect()[0]
     daily = duck.execute(
         "SELECT epoch_us(date_trunc('day', ts)) // 86400000000,"
         " CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) FROM events GROUP BY 1 ORDER BY 1"
@@ -189,7 +189,7 @@ def test_k11_split_is_argmax(spark, sf_dir, reg, duck):
 
 
 def test_k12_mae_le_rmse(spark, sf_dir, reg):
-    r = reg["k12_seasonal_naive_backtest"].fn(spark, sf_dir).collect()[0]
+    r = reg["qk12_seasonal_naive_backtest"].fn(spark, sf_dir).collect()[0]
     assert 0 < r.mae <= r.rmse + 1e-9
     assert r.mape > 0
     assert r.n_forecasts > 0
@@ -198,7 +198,7 @@ def test_k12_mae_le_rmse(spark, sf_dir, reg):
 def test_k13_matches_numpy_power(spark, sf_dir, reg, duck):
     import numpy as np
 
-    rows = {r.event_type: r.stationary_prob for r in reg["k13_markov_stationary"].fn(spark, sf_dir).collect()}
+    rows = {r.event_type: r.stationary_prob for r in reg["qk13_markov_stationary"].fn(spark, sf_dir).collect()}
     pairs = duck.execute(
         """SELECT src, dst, COUNT(*) FROM (
              SELECT event_type AS src,
@@ -219,7 +219,7 @@ def test_k13_matches_numpy_power(spark, sf_dir, reg, duck):
 
 
 def test_k14_users_conserved(spark, sf_dir, reg, duck):
-    rows = reg["k14_activity_migration"].fn(spark, sf_dir).collect()
+    rows = reg["qk14_activity_migration"].fn(spark, sf_dir).collect()
     n = duck.execute("SELECT COUNT(DISTINCT user_id) FROM events").fetchone()[0]
     assert sum(r.n_users for r in rows) == n
     for r in rows:
@@ -227,20 +227,20 @@ def test_k14_users_conserved(spark, sf_dir, reg, duck):
 
 
 def test_k15_ttr_bounds(spark, sf_dir, reg):
-    for r in reg["k15_lexical_diversity"].fn(spark, sf_dir).collect():
+    for r in reg["qk15_lexical_diversity"].fn(spark, sf_dir).collect():
         assert 0.0 < r.pooled_ttr <= 1.0
         assert 0.0 < r.segmental_ttr <= 1.0
         assert r.pooled_ttr <= r.segmental_ttr + 1e-9  # pooling can only merge types
 
 
 def test_k16_ratios_bounded(spark, sf_dir, reg):
-    for r in reg["k16_casing_profile"].fn(spark, sf_dir).collect():
+    for r in reg["qk16_casing_profile"].fn(spark, sf_dir).collect():
         assert 0.0 <= r.upper_ratio <= 1.0
         assert 0.0 <= r.titlecase_ratio <= 1.0
 
 
 def test_k17_mass_monotone(spark, sf_dir, reg):
-    rows = reg["k17_ngram_dup_mass"].fn(spark, sf_dir).collect()
+    rows = reg["qk17_ngram_dup_mass"].fn(spark, sf_dir).collect()
     assert [r.df_threshold for r in rows] == [2, 5, 10]
     masses = [r.dup_mass for r in rows]
     assert masses == sorted(masses, reverse=True)  # higher threshold, less mass
@@ -250,7 +250,7 @@ def test_k17_mass_monotone(spark, sf_dir, reg):
 
 
 def test_k18_hapax_matches_python(spark, sf_dir, reg, duck):
-    rows = {r.lang: r for r in reg["k18_hapax_rate"].fn(spark, sf_dir).collect()}
+    rows = {r.lang: r for r in reg["qk18_hapax_rate"].fn(spark, sf_dir).collect()}
     data = duck.execute("SELECT lang, text FROM documents").fetchall()
     bylang = {}
     for lang, text in data:
@@ -263,7 +263,7 @@ def test_k18_hapax_matches_python(spark, sf_dir, reg, duck):
 
 
 def test_k19_observation_matches_result(spark, sf_dir, reg):
-    df = reg["k19_observed_scan_metrics"].fn(spark, sf_dir)
+    df = reg["qk19_observed_scan_metrics"].fn(spark, sf_dir)
     rows = df.collect()  # triggers the action; CollectMetrics fires
     obs = df._k19_observation
     got = obs.get
@@ -276,7 +276,7 @@ def test_k19_observation_matches_result(spark, sf_dir, reg):
 
 
 def test_k20_peak_bounds(spark, sf_dir, reg, duck):
-    rows = reg["k20_peak_concurrency"].fn(spark, sf_dir).collect()
+    rows = reg["qk20_peak_concurrency"].fn(spark, sf_dir).collect()
     n_users = duck.execute("SELECT COUNT(DISTINCT user_id) FROM events").fetchone()[0]
     assert len(rows) == 5
     actives = [r.active_sessions for r in rows]
@@ -286,7 +286,7 @@ def test_k20_peak_bounds(spark, sf_dir, reg, duck):
 
 
 def test_k21_levels_consistent(spark, sf_dir, reg, duck):
-    rows = reg["k21_grouping_id_decode"].fn(spark, sf_dir).collect()
+    rows = reg["qk21_grouping_id_decode"].fn(spark, sf_dir).collect()
     n = duck.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
     by_level = {}
     for r in rows:
@@ -301,7 +301,7 @@ def test_k21_levels_consistent(spark, sf_dir, reg, duck):
 
 
 def test_k22_jaccard_bounds(spark, sf_dir, reg):
-    rows = reg["k22_metric_agreement"].fn(spark, sf_dir).collect()
+    rows = reg["qk22_metric_agreement"].fn(spark, sf_dir).collect()
     assert len(rows) == 8
     for r in rows:
         assert 0 <= r.n_common <= 10
@@ -309,13 +309,13 @@ def test_k22_jaccard_bounds(spark, sf_dir, reg):
 
 
 def test_k23_roundtrip_counts(spark, sf_dir, reg, duck):
-    rows = reg["k23_xml_roundtrip"].fn(spark, sf_dir).collect()
+    rows = reg["qk23_xml_roundtrip"].fn(spark, sf_dir).collect()
     want = dict(duck.execute("SELECT lang, COUNT(*) FROM documents GROUP BY lang").fetchall())
     assert {r.lang: r.n_docs for r in rows} == want
 
 
 def test_k24_corrupt_rule(spark, sf_dir, reg, duck):
-    r = reg["k24_csv_malformed_audit"].fn(spark, sf_dir).collect()[0]
+    r = reg["qk24_csv_malformed_audit"].fn(spark, sf_dir).collect()[0]
     n, bad = duck.execute(
         "SELECT COUNT(*), SUM(CASE WHEN doc_id % 13 = 3 THEN 1 ELSE 0 END) FROM documents"
     ).fetchone()
@@ -325,14 +325,14 @@ def test_k24_corrupt_rule(spark, sf_dir, reg, duck):
 
 
 def test_k25_checksum_matches_source(spark, sf_dir, reg, duck):
-    r = reg["k25_parquet_codec_roundtrip"].fn(spark, sf_dir).collect()[0]
+    r = reg["qk25_parquet_codec_roundtrip"].fn(spark, sf_dir).collect()[0]
     n = duck.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
     assert r.n_rows == n
     assert r.revenue > 0
 
 
 def test_k26_rates_bounded_and_totals(spark, sf_dir, reg, duck):
-    rows = reg["k26_dedup_provenance_bias"].fn(spark, sf_dir).collect()
+    rows = reg["qk26_dedup_provenance_bias"].fn(spark, sf_dir).collect()
     n = duck.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
     dup = duck.execute(
         "SELECT COUNT(*) - COUNT(DISTINCT md5(lower(text))) FROM documents"
@@ -344,7 +344,7 @@ def test_k26_rates_bounded_and_totals(spark, sf_dir, reg, duck):
 
 
 def test_k27_suppression_matches_python(spark, sf_dir, reg, duck):
-    rows = {r.event_type: r for r in reg["k27_rate_limit_audit"].fn(spark, sf_dir).collect()}
+    rows = {r.event_type: r for r in reg["qk27_rate_limit_audit"].fn(spark, sf_dir).collect()}
     data = duck.execute(
         "SELECT user_id, epoch_us(date_trunc('hour', ts)), event_type FROM events"
     ).fetchall()
@@ -359,7 +359,7 @@ def test_k27_suppression_matches_python(spark, sf_dir, reg, duck):
 
 
 def test_k28_age_zero_covers_all_users(spark, sf_dir, reg, duck):
-    rows = {r.age_day: r for r in reg["k28_cold_start_curve"].fn(spark, sf_dir).collect()}
+    rows = {r.age_day: r for r in reg["qk28_cold_start_curve"].fn(spark, sf_dir).collect()}
     n_users = duck.execute("SELECT COUNT(DISTINCT user_id) FROM events").fetchone()[0]
     assert rows[0].n_active_users == n_users  # everyone is active on their first day
     assert sum(r.n_events for r in rows.values()) == duck.execute(
@@ -370,14 +370,14 @@ def test_k28_age_zero_covers_all_users(spark, sf_dir, reg, duck):
 
 
 def test_k29_entropy_bounds(spark, sf_dir, reg):
-    r = reg["k29_lsh_bucket_balance"].fn(spark, sf_dir).collect()[0]
+    r = reg["qk29_lsh_bucket_balance"].fn(spark, sf_dir).collect()[0]
     assert 1 <= r.n_occupied_buckets <= r.n_possible_buckets == 256
     assert 0.0 <= r.entropy_bits <= 8.0 + 1e-9
     assert r.max_over_uniform >= 1.0 - 1e-9
 
 
 def test_k30_pareto_matches_python(spark, sf_dir, reg, duck):
-    r = reg["k30_pareto_point"].fn(spark, sf_dir).collect()[0]
+    r = reg["qk30_pareto_point"].fn(spark, sf_dir).collect()[0]
     counts = sorted(
         (c for (c,) in duck.execute(
             "SELECT COUNT(*) FROM events GROUP BY user_id"
@@ -407,7 +407,7 @@ def _lang_lengths(duck, lang):
 
 
 def test_k31_energy_matches_python(spark, sf_dir, reg, duck):
-    r = reg["k31_energy_distance"].fn(spark, sf_dir).collect()[0]
+    r = reg["qk31_energy_distance"].fn(spark, sf_dir).collect()[0]
     en, de = _lang_lengths(duck, "en"), _lang_lengths(duck, "de")
     axy = sum(abs(x - y) for x in en for y in de) / (len(en) * len(de))
     axx = sum(abs(x - y) for x in en for y in en) / (len(en) ** 2)
@@ -419,7 +419,7 @@ def test_k31_energy_matches_python(spark, sf_dir, reg, duck):
 
 
 def test_k32_wasserstein_matches_python(spark, sf_dir, reg, duck):
-    r = reg["k32_wasserstein_distance"].fn(spark, sf_dir).collect()[0]
+    r = reg["qk32_wasserstein_distance"].fn(spark, sf_dir).collect()[0]
     en, de = sorted(_lang_lengths(duck, "en")), sorted(_lang_lengths(duck, "de"))
     vals = sorted(set(en) | set(de))
     import bisect
@@ -433,14 +433,14 @@ def test_k32_wasserstein_matches_python(spark, sf_dir, reg, duck):
 
 
 def test_k33_cvm_nonnegative_and_consistent(spark, sf_dir, reg, duck):
-    r = reg["k33_cramer_von_mises"].fn(spark, sf_dir).collect()[0]
+    r = reg["qk33_cramer_von_mises"].fn(spark, sf_dir).collect()[0]
     assert r.cvm_stat >= 0
     en, de = _lang_lengths(duck, "en"), _lang_lengths(duck, "de")
     assert (r.n1, r.n2) == (len(en), len(de))
 
 
 def test_k34_decomposition_exact(spark, sf_dir, reg):
-    r = reg["k34_shift_share"].fn(spark, sf_dir).collect()[0]
+    r = reg["qk34_shift_share"].fn(spark, sf_dir).collect()[0]
     assert r.identity_gap == 0.0
     delta = r.mean_y2 - r.mean_y1
     total = r.within_effect + r.mix_effect + r.interaction_effect
@@ -448,7 +448,7 @@ def test_k34_decomposition_exact(spark, sf_dir, reg):
 
 
 def test_k35_fisher_between_l_and_p(spark, sf_dir, reg):
-    r = reg["k35_price_indices"].fn(spark, sf_dir).collect()[0]
+    r = reg["qk35_price_indices"].fn(spark, sf_dir).collect()[0]
     lo, hi = sorted((r.laspeyres, r.paasche))
     assert lo - 1e-9 <= r.fisher <= hi + 1e-9  # geometric mean lies between
     assert r.n_parts > 0
@@ -457,7 +457,7 @@ def test_k35_fisher_between_l_and_p(spark, sf_dir, reg):
 
 
 def test_k36_classes_partition_revenue(spark, sf_dir, reg, duck):
-    rows = {r.abc_class: r for r in reg["k36_abc_classification"].fn(spark, sf_dir).collect()}
+    rows = {r.abc_class: r for r in reg["qk36_abc_classification"].fn(spark, sf_dir).collect()}
     n_parts = duck.execute("SELECT COUNT(DISTINCT l_partkey) FROM lineitem").fetchone()[0]
     assert sum(r.n_parts for r in rows.values()) == n_parts
     assert abs(sum(r.revenue_share for r in rows.values()) - 1.0) < 1e-5
@@ -471,7 +471,7 @@ def test_k36_classes_partition_revenue(spark, sf_dir, reg, duck):
 
 
 def test_k37_purity_bounds(spark, sf_dir, reg, duck):
-    rows = reg["k37_source_lang_purity"].fn(spark, sf_dir).collect()
+    rows = reg["qk37_source_lang_purity"].fn(spark, sf_dir).collect()
     langs = {l for (l,) in duck.execute("SELECT DISTINCT lang FROM documents").fetchall()}
     for r in rows:
         assert 0.0 < r.purity <= 1.0
@@ -480,7 +480,7 @@ def test_k37_purity_bounds(spark, sf_dir, reg, duck):
 
 
 def test_k38_shares_sum_to_one(spark, sf_dir, reg, duck):
-    rows = reg["k38_weekday_hour_heatmap"].fn(spark, sf_dir).collect()
+    rows = reg["qk38_weekday_hour_heatmap"].fn(spark, sf_dir).collect()
     assert sum(r.n_events for r in rows) == duck.execute("SELECT COUNT(*) FROM events").fetchone()[0]
     assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
     for r in rows:
@@ -488,7 +488,7 @@ def test_k38_shares_sum_to_one(spark, sf_dir, reg, duck):
 
 
 def test_k39_lift_matches_python(spark, sf_dir, reg, duck):
-    rows = {(r.type_a, r.type_b): r for r in reg["k39_coengagement_lift"].fn(spark, sf_dir).collect()}
+    rows = {(r.type_a, r.type_b): r for r in reg["qk39_coengagement_lift"].fn(spark, sf_dir).collect()}
     data = duck.execute("SELECT DISTINCT user_id, event_type FROM events").fetchall()
     users = {}
     for u, t in data:
@@ -506,14 +506,14 @@ def test_k39_lift_matches_python(spark, sf_dir, reg, duck):
 
 
 def test_k40_coverage_bounds(spark, sf_dir, reg):
-    r = reg["k40_interval_forecast_coverage"].fn(spark, sf_dir).collect()[0]
+    r = reg["qk40_interval_forecast_coverage"].fn(spark, sf_dir).collect()[0]
     assert 0.0 <= r.coverage_rate <= 1.0
     assert r.mean_band_width > 0
     assert r.n_covered <= r.n_days_scored
 
 
 def test_k41_cost_matches_python(spark, sf_dir, reg, duck):
-    rows = {r.blocking_key: r for r in reg["k41_blocking_key_cost"].fn(spark, sf_dir).collect()}
+    rows = {r.blocking_key: r for r in reg["qk41_blocking_key_cost"].fn(spark, sf_dir).collect()}
     from collections import Counter
 
     langs = Counter(l for (l,) in duck.execute("SELECT lang FROM documents").fetchall())
@@ -526,7 +526,7 @@ def test_k41_cost_matches_python(spark, sf_dir, reg, duck):
 
 
 def test_k42_pooled_row_present(spark, sf_dir, reg):
-    rows = {r.scope: r for r in reg["k42_pooled_vs_within_corr"].fn(spark, sf_dir).collect()}
+    rows = {r.scope: r for r in reg["qk42_pooled_vs_within_corr"].fn(spark, sf_dir).collect()}
     assert "pooled" in rows and len(rows) == 6
     for r in rows.values():
         assert -1.0 - 1e-9 <= r.corr_xy <= 1.0 + 1e-9
@@ -534,7 +534,7 @@ def test_k42_pooled_row_present(spark, sf_dir, reg):
 
 
 def test_k43_halflife_consistent(spark, sf_dir, reg):
-    r = reg["k43_retention_halflife"].fn(spark, sf_dir).collect()[0]
+    r = reg["qk43_retention_halflife"].fn(spark, sf_dir).collect()[0]
     assert r.n_points > 0
     if r.decay_slope < 0:
         assert r.halflife_days is not None and r.halflife_days > 0
@@ -544,7 +544,7 @@ def test_k43_halflife_consistent(spark, sf_dir, reg):
 
 
 def test_k44_dead_rate_matches_duckdb(spark, sf_dir, reg, duck):
-    rows = reg["k44_dead_stock_audit"].fn(spark, sf_dir).collect()
+    rows = reg["qk44_dead_stock_audit"].fn(spark, sf_dir).collect()
     n_parts, n_dead = duck.execute(
         """SELECT COUNT(*), SUM(CASE WHEN l.l_partkey IS NULL THEN 1 ELSE 0 END)
            FROM part p LEFT JOIN (SELECT DISTINCT l_partkey FROM lineitem) l
@@ -555,14 +555,14 @@ def test_k44_dead_rate_matches_duckdb(spark, sf_dir, reg, duck):
 
 
 def test_k45_reconciles(spark, sf_dir, reg):
-    r = reg["k45_calendar_rollup_reconcile"].fn(spark, sf_dir).collect()[0]
+    r = reg["qk45_calendar_rollup_reconcile"].fn(spark, sf_dir).collect()[0]
     assert r.weekly_reconciles == 1 and r.monthly_reconciles == 1
     assert r.straddling_weeks >= 0
     assert r.n_weeks >= r.n_months
 
 
 def test_k46_rates_and_totals(spark, sf_dir, reg, duck):
-    rows = reg["k46_dup_rate_by_length"].fn(spark, sf_dir).collect()
+    rows = reg["qk46_dup_rate_by_length"].fn(spark, sf_dir).collect()
     n = duck.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
     assert sum(r.n_docs for r in rows) == n
     for r in rows:
@@ -570,7 +570,7 @@ def test_k46_rates_and_totals(spark, sf_dir, reg, duck):
 
 
 def test_k47_ci_brackets_median(spark, sf_dir, reg, duck):
-    r = reg["k47_median_ci"].fn(spark, sf_dir).collect()[0]
+    r = reg["qk47_median_ci"].fn(spark, sf_dir).collect()[0]
     import statistics
 
     vals = [c for (c,) in duck.execute("SELECT n_chars FROM documents").fetchall()]
@@ -581,7 +581,7 @@ def test_k47_ci_brackets_median(spark, sf_dir, reg, duck):
 
 
 def test_k48_ss_nonnegative_and_interaction(spark, sf_dir, reg):
-    r = reg["k48_two_way_anova"].fn(spark, sf_dir).collect()[0]
+    r = reg["qk48_two_way_anova"].fn(spark, sf_dir).collect()[0]
     assert r.ss_priority >= 0 and r.ss_year >= 0
     # cell SS >= sum of main effects is NOT guaranteed in unbalanced
     # designs, but the decomposition must at least be finite and the
@@ -590,7 +590,7 @@ def test_k48_ss_nonnegative_and_interaction(spark, sf_dir, reg):
 
 
 def test_k49_drift_nonnegative(spark, sf_dir, reg, duck):
-    rows = reg["k49_daily_wasserstein_drift"].fn(spark, sf_dir).collect()
+    rows = reg["qk49_daily_wasserstein_drift"].fn(spark, sf_dir).collect()
     n_days = duck.execute(
         "SELECT COUNT(DISTINCT date_trunc('day', ts)) FROM events"
     ).fetchone()[0]
@@ -601,7 +601,7 @@ def test_k49_drift_nonnegative(spark, sf_dir, reg, duck):
 
 
 def test_k50_alpha_matches_python(spark, sf_dir, reg, duck):
-    r = reg["k50_powerlaw_alpha"].fn(spark, sf_dir).collect()[0]
+    r = reg["qk50_powerlaw_alpha"].fn(spark, sf_dir).collect()[0]
     degs = [d for (d,) in duck.execute(
         """WITH grams AS (
              SELECT doc_id, md5(array_to_string(string_split(lower(text), ' ')[s:s + 4], ' ')) AS g

@@ -415,13 +415,13 @@ LATTICE_PINNED = {
     "qj41_average_precision": 0,
     "qj47_range_partition_balance": 0,
     # k-suite bounded-lattice windows (length/price/day/count lattices)
-    "k03_kruskal_wallis": 0,
-    "k11_best_single_split": 0,
-    "k30_pareto_point": 0,
-    "k32_wasserstein_distance": 0,
-    "k33_cramer_von_mises": 0,
-    "k36_abc_classification": 0,
-    "k47_median_ci": 0,
+    "qk03_kruskal_wallis": 0,
+    "qk11_best_single_split": 0,
+    "qk30_pareto_point": 0,
+    "qk32_wasserstein_distance": 0,
+    "qk33_cramer_von_mises": 0,
+    "qk36_abc_classification": 0,
+    "qk47_median_ci": 0,
 }
 
 

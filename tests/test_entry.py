@@ -28,10 +28,14 @@ def test_driver_window_is_the_staged_suite():
     that window is exactly the never-driver-checked staged suite. Pin
     it so a mis-rotation (a key accidentally sorting into/out of the
     window) fails mechanically instead of wasting a driver round.
-    Round 8: the window is exactly k01-k50."""
+    Round 9: the window is exactly l01-l14 + m01-m35 + m58."""
     import __spark_entry__ as entrymod
 
     window = sorted(entrymod.queries())[:50]
-    assert all(k.startswith("k") for k in window), [k for k in window if not k.startswith("k")]
-    nums = sorted(int(k[1:3]) for k in window)
-    assert nums == list(range(1, 51))
+    l_keys = [k for k in window if k.startswith("l")]
+    m_keys = [k for k in window if k.startswith("m")]
+    assert len(l_keys) + len(m_keys) == 50, [
+        k for k in window if not k.startswith(("l", "m"))
+    ]
+    assert sorted(int(k[1:3]) for k in l_keys) == list(range(1, 15))
+    assert sorted(int(k[1:3]) for k in m_keys) == list(range(1, 36)) + [58]

@@ -27,9 +27,9 @@ QUERIES = [
     "qj33_mergeable_variance",  # exact decimal carriers merged across shards
     "qj41_average_precision",  # bounded-lattice cumulative window
     "qj50_cogrouped_applyinpandas",  # bucketed cogroup Python path
-    "k13_markov_stationary",  # 5 chained matrix-squaring join-aggs
-    "k32_wasserstein_distance",  # merged-lattice CDF cross-products
-    "k48_two_way_anova",  # decimal margins re-aggregation
+    "qk13_markov_stationary",  # 5 chained matrix-squaring join-aggs
+    "qk32_wasserstein_distance",  # merged-lattice CDF cross-products
+    "qk48_two_way_anova",  # decimal margins re-aggregation
     # round-7 conversion twins: fixed-model float folds + min_by keys
     "l11_lsh_routing_audit",  # dot-sign folds, bit packing
     "l13_lloyd_step_audit",  # padded-string argmin ties, DECIMAL means

@@ -116,14 +116,14 @@ def test_j50_uses_cogroup_node(spark, sf_dir):
 def test_k19_collectmetrics_in_plan(spark, sf_dir):
     """observe() must appear as a CollectMetrics node inside the plan —
     the zero-extra-pass audit hook the docstring promises."""
-    plan = _plan(spark, sf_dir, "k19_observed_scan_metrics")
+    plan = _plan(spark, sf_dir, "qk19_observed_scan_metrics")
     assert "CollectMetrics" in plan
 
 
 def test_k21_grouping_sets_single_expand(spark, sf_dir):
     """All four grouping-set levels must come from ONE Expand feeding
     one aggregation chain — not four separate scans."""
-    plan = _plan(spark, sf_dir, "k21_grouping_id_decode")
+    plan = _plan(spark, sf_dir, "qk21_grouping_id_decode")
     assert plan.count("Expand") == 1
     assert plan.count("Scan parquet") + plan.count("FileScan") <= 2  # one logical scan
 
@@ -131,7 +131,7 @@ def test_k21_grouping_sets_single_expand(spark, sf_dir):
 def test_k48_lang_filter_pushed_j48_k07(spark, sf_dir):
     """The two-stratum tests must push the lang predicate into the
     scan (In or EqualTo filters), never scan-all-then-filter."""
-    for key in ("qj48_welch_ttest", "k07_effect_size_d"):
+    for key in ("qj48_welch_ttest", "qk07_effect_size_d"):
         plan = _plan(spark, sf_dir, key)
         assert "PushedFilters: [In(lang" in plan or "EqualTo(lang" in plan, key
 
@@ -139,5 +139,5 @@ def test_k48_lang_filter_pushed_j48_k07(spark, sf_dir):
 def test_k11_topk_is_take_ordered(spark, sf_dir):
     """The best-split argmax must compile to TakeOrderedAndProject,
     not a global sort + limit."""
-    plan = _plan(spark, sf_dir, "k11_best_single_split")
+    plan = _plan(spark, sf_dir, "qk11_best_single_split")
     assert "TakeOrderedAndProject" in plan

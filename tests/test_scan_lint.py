@@ -70,7 +70,7 @@ def test_allowlist_entries_still_registered(reg):
 
 ITERATIVE_PINNED = {
     # query -> (table, max static scans of it)
-    "k13_markov_stationary": ("events", 1),       # squaring loop (fixed r7)
+    "qk13_markov_stationary": ("events", 1),       # squaring loop (fixed r7)
     "qi01_incremental_neardup_edges": ("documents", 4),  # full/base/delta paths
     "qd01_neardup_pagerank": ("documents", 2),    # power iteration, checkpointed
     "qg01_personalized_pagerank": ("events", 2),  # power iteration, checkpointed

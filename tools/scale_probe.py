@@ -85,12 +85,12 @@ PROBE_QUERIES = [
     "qj45_boilerplate_position",
     "qj49_interval_intersection_volume",
     "qj50_cogrouped_applyinpandas",
-    "k13_markov_stationary",
-    "k17_ngram_dup_mass",
-    "k39_coengagement_lift",
-    "k41_blocking_key_cost",
-    "k46_dup_rate_by_length",
-    "k50_powerlaw_alpha",
+    "qk13_markov_stationary",
+    "qk17_ngram_dup_mass",
+    "qk39_coengagement_lift",
+    "qk41_blocking_key_cost",
+    "qk46_dup_rate_by_length",
+    "qk50_powerlaw_alpha",
     # round-7 conversion twins: constant fan-outs whose growth should
     # stay ~linear (l13's exploded Lloyd step is k*dim per row)
     "l11_lsh_routing_audit",
