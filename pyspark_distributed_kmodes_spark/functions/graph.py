@@ -37,6 +37,8 @@ propagation converges to the same minimum).
 
 from __future__ import annotations
 
+from pyspark_distributed_kmodes_spark.functions.lineage import cut_lineage
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -94,7 +96,7 @@ def connected_components(
     # driver where the full-parallel count + collect path is fine).
     proj = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     if driver_edge_limit > 0 and proj.count() <= driver_edge_limit:
         vt = edges.schema[src].dataType
@@ -108,7 +110,7 @@ def connected_components(
     sym = (
         proj.unionByName(proj.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     # fused round 0: label(v) = min(v, min neighbor) straight from the
     # edge aggregation — one shuffle replaces a full propagate round
@@ -117,7 +119,7 @@ def connected_components(
         sym.groupBy("a")
         .agg(F.least(F.col("a"), F.min("b")).alias("label"))
         .select(F.col("a").alias("v"), "label")
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     for _ in range(max_iter):
         neighbor_min = sym.join(
@@ -133,7 +135,7 @@ def connected_components(
             .unionByName(doubled)
             .groupBy("v")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         changed = (
             new_labels.alias("n")

@@ -13,6 +13,8 @@ alongside b14 and e01-e33 (the rotation __spark_entry__.py documents).
 
 from __future__ import annotations
 
+from pyspark_distributed_kmodes_spark.functions.lineage import cut_lineage
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -116,10 +118,10 @@ def qd01_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = (
         edges.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
         .unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
-        .localCheckpoint(eager=True)  # consumed once per iteration + deg
+        .transform(cut_lineage)  # consumed once per iteration + deg
     )
     deg = und.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
-    deg = deg.localCheckpoint(eager=True)
+    deg = deg.transform(cut_lineage)
     nn = deg.agg(F.count(F.lit(1)).cast("double").alias("c"))
     pr = deg.crossJoin(F.broadcast(nn)).select(
         "node", pround(F.lit(1.0) / F.col("c"), 9).alias("pr")
@@ -136,7 +138,7 @@ def qd01_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "node",
                 pround((1.0 - _PR_DAMP) / F.col("c") + _PR_DAMP * F.col("s"), 9).alias("pr"),
             )
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
     return (
         pr.join(deg, "node")
@@ -564,7 +566,7 @@ def qd07_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(F.explode(words).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cw"))
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     n = uni.agg(F.sum("cw").cast("double").alias("n"))
     bigrams = d.select(
@@ -579,7 +581,7 @@ def qd07_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is the dictionary's exact sum, so no second scan (scan-lint)
     bi_all = bigrams.groupBy("bg").agg(
         F.count(F.lit(1)).alias("cab")
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     m = bi_all.agg(F.sum("cab").cast("double").alias("m"))
     bi = bi_all.filter(F.col("cab") >= _PMI_MIN_COUNT)
     parts = F.split("bg", " ")

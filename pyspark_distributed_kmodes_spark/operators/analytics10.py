@@ -32,6 +32,8 @@ explicit floor() on fractional->int casts.
 
 from __future__ import annotations
 
+from pyspark_distributed_kmodes_spark.functions.lineage import cut_lineage
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -108,7 +110,7 @@ def m03_theta_set_algebra_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(F.split(F.lower("text"), " ")).alias("token")
     ).distinct()
     # vocabulary-bounded; 6 consumers (sketches, exacts, both inter sides)
-    toks = toks.localCheckpoint(eager=True)
+    toks = toks.transform(cut_lineage)
     sk = toks.groupBy("source").agg(F.expr("theta_sketch_agg(token)").alias("sk"))
     exact = toks.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
     a = sk.join(exact, "source").select(
@@ -305,7 +307,7 @@ def m05_markov_row_stochastic_audit(spark: SparkSession, sf_dir: str) -> DataFra
     p = trans.join(rowtot, "a").select(
         "a", "b", pround(F.col("n").cast("double") / F.col("tot"), 9).alias("p")
     )
-    p = p.localCheckpoint(eager=True)  # consumed by s1 + both sides of P^2
+    p = p.transform(cut_lineage)  # consumed by s1 + both sides of P^2
     x = p.select(F.col("a").alias("xa"), F.col("b").alias("xb"), F.col("p").alias("xp"))
     y = p.select(F.col("a").alias("ya"), F.col("b").alias("yb"), F.col("p").alias("yp"))
     p2 = (
@@ -486,7 +488,7 @@ def m09_moods_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("c_acctbal") > gm).cast("int")).cast("bigint").alias("above"),
         F.count(F.lit(1)).cast("bigint").alias("total"),
     )
-    cells = cells.localCheckpoint(eager=True)  # grand totals + chi2 arms
+    cells = cells.transform(cut_lineage)  # grand totals + chi2 arms
     gt = cells.agg(
         F.sum("above").cast("bigint").alias("ga"), F.sum("total").cast("bigint").alias("gn")
     )
@@ -584,14 +586,14 @@ def m08_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = daily.select(
         pround(F.col("rev"), 6).alias("y"), F.row_number().over(wd).cast("bigint").alias("t")
     )
-    idx = idx.localCheckpoint(eager=True)  # mean + both join sides
+    idx = idx.transform(cut_lineage)  # mean + both join sides
     n = idx.count()
     ybar_row = idx.agg(
         pround(F.sum(F.col("y").cast("decimal(25,6)")).cast("double") / F.lit(n), 9).alias("yb")
     ).collect()[0]
     ybar = float(ybar_row["yb"])
     dev = idx.select("t", (F.col("y") - F.lit(ybar)).alias("e"))
-    dev = dev.localCheckpoint(eager=True)  # denom + two lag-join sides
+    dev = dev.transform(cut_lineage)  # denom + two lag-join sides
     s0 = dev.agg(
         F.sum(pround(F.col("e") * F.col("e"), 9).cast("decimal(25,9)")).cast("double").alias("s0")
     ).collect()[0]["s0"]
@@ -768,7 +770,7 @@ def m11_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_acctbal").cast("decimal(25,6)") - F.lit(xbar).cast("decimal(25,6)")
         ).alias("dev"),
     )
-    devs = devs.localCheckpoint(eager=True)  # max + argmax filter
+    devs = devs.transform(cut_lineage)  # max + argmax filter
     maxdev = devs.agg(F.max("dev").alias("m")).collect()[0]["m"]
     argmax = devs.where(F.col("dev") == maxdev).agg(
         F.min("c_custkey").cast("bigint").alias("outlier_custkey")
@@ -902,7 +904,7 @@ def m13_jonckheere_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").cast("bigint").alias("g"),
         F.floor(F.col("o_totalprice") / _M13_BUCKET).cast("bigint").alias("v"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    d = d.localCheckpoint(eager=True)  # both self-join sides + sizes
+    d = d.transform(cut_lineage)  # both self-join sides + sizes
     a = d.select(F.col("g").alias("ga"), F.col("v").alias("va"), F.col("c").alias("ca"))
     b = d.select(F.col("g").alias("gb"), F.col("v").alias("vb"), F.col("c").alias("cb"))
     u = a.join(b, F.col("ga") < F.col("gb")).agg(
@@ -1007,7 +1009,7 @@ def m14_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("lang") == "en", 1).otherwise(2).alias("grp"), F.col("n_chars").alias("v")
     )
     d = obs.groupBy("grp", "v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    d = d.localCheckpoint(eager=True)  # dictionary feeds 4 downstream consumers
+    d = d.transform(cut_lineage)  # dictionary feeds 4 downstream consumers
     allv = d.groupBy("v").agg(F.sum("c").cast("bigint").alias("ca"))
     wg = Window.partitionBy("grp").orderBy(F.asc("v"))  # bounded dictionary
     wa = Window.orderBy(F.asc("v"))  # bounded dictionary
@@ -1020,7 +1022,7 @@ def m14_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("below_a").cast("double") + (F.col("ca") + 1) / 2.0).alias("r_all"),
         (F.col("below_g").cast("double") + (F.col("c") + 1) / 2.0).alias("r_in"),
     )
-    marks = marks.localCheckpoint(eager=True)  # means + variance arms
+    marks = marks.transform(cut_lineage)  # means + variance arms
     sizes = d.groupBy().agg(
         F.sum(F.when(F.col("grp") == 1, F.col("c")).otherwise(0)).cast("bigint").alias("n1"),
         F.sum(F.when(F.col("grp") == 2, F.col("c")).otherwise(0)).cast("bigint").alias("n2"),
@@ -1124,7 +1126,7 @@ def m15_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").alias("v"),
     )
     d = obs.groupBy("grp", "v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    d = d.localCheckpoint(eager=True)
+    d = d.transform(cut_lineage)
     allv = d.groupBy("v").agg(F.sum("c").cast("bigint").alias("ca"))
     n = int(allv.agg(F.sum("ca")).collect()[0][0])
     wa = Window.orderBy(F.asc("v"))  # bounded: quantity dictionary
@@ -1225,7 +1227,7 @@ def m16_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         (F.sum(F.col("o_totalprice").cast("decimal(25,2)")).cast("double") / F.count(F.lit(1))).alias("m")
     )
-    cells = cells.localCheckpoint(eager=True)  # self-join + weights + dims
+    cells = cells.transform(cut_lineage)  # self-join + weights + dims
     a = cells.select(F.col("blk").alias("ablk"), F.col("trt").alias("atrt"), F.col("m").alias("am"))
     b = cells.select(F.col("blk").alias("bblk"), F.col("trt").alias("btrt"), F.col("m").alias("bm"))
     ranked = (
@@ -1334,7 +1336,7 @@ def m17_variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = daily.select(
         pround(F.log("rev"), 9).alias("ly"), F.row_number().over(wd).cast("bigint").alias("t")
     )
-    idx = idx.localCheckpoint(eager=True)
+    idx = idx.transform(cut_lineage)
     a = idx.select(F.col("t").alias("ta"), F.col("ly").alias("lya"))
     b1 = idx.select(F.col("t").alias("tb"), F.col("ly").alias("lyb"))
     r1 = a.join(b1, F.col("tb") == F.col("ta") - 1).select(
@@ -1347,7 +1349,7 @@ def m17_variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("r")
     )
-    r1 = r1.localCheckpoint(eager=True)  # mu + v1
+    r1 = r1.transform(cut_lineage)  # mu + v1
     murow = r1.agg(
         pround(F.sum(F.col("r").cast("decimal(25,9)")).cast("double") / F.count(F.lit(1)), 9).alias(
             "mu1"
@@ -1432,7 +1434,7 @@ def m18_turning_points_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = daily.select(
         pround(F.col("rev"), 6).alias("y"), F.row_number().over(wd).cast("bigint").alias("t")
     )
-    idx = idx.localCheckpoint(eager=True)  # three join arms
+    idx = idx.transform(cut_lineage)  # three join arms
     a = idx.select(F.col("t").alias("ta"), F.col("y").alias("ya"))
     b = idx.select(F.col("t").alias("tb"), F.col("y").alias("yb"))
     c = idx.select(F.col("t").alias("tc"), F.col("y").alias("yc"))
@@ -1517,7 +1519,7 @@ def m19_adf_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = daily.select(
         pround(F.log("rev"), 9).alias("y"), F.row_number().over(wd).cast("bigint").alias("t")
     )
-    idx = idx.localCheckpoint(eager=True)
+    idx = idx.transform(cut_lineage)
     a = idx.select(F.col("t").alias("ta"), F.col("y").alias("ya"))
     b = idx.select(F.col("t").alias("tb"), F.col("y").alias("yb"))
     pairs = a.join(b, F.col("tb") == F.col("ta") - 1).select(
@@ -1598,7 +1600,7 @@ def m20_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     peritem = e.groupBy("event_type", "user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("x")
     )
-    peritem = peritem.localCheckpoint(eager=True)  # item vars + user totals
+    peritem = peritem.transform(cut_lineage)  # item vars + user totals
     nu = int(e.select("user_id").distinct().count())
     itemvar = peritem.groupBy("event_type").agg(
         F.sum("x").cast("bigint").alias("s1"),
@@ -1842,7 +1844,7 @@ def _m21_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = e.groupBy("user_id").agg(
         pround(dsum("value"), 6).cast("decimal(25,6)").alias("sp")
     )
-    spend = spend.localCheckpoint(eager=True)  # median dictionary + label scan
+    spend = spend.transform(cut_lineage)  # median dictionary + label scan
     dict_ = spend.groupBy("sp").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     n = spend.count()
     wv = Window.orderBy(F.asc("sp"))  # bounded: spend dictionary
@@ -2005,7 +2007,7 @@ def m06_triangle_inequality_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     pairs = a.join(b, F.col("ua") < F.col("ub")).select(
         F.col("ua").alias("u"), F.col("ub").alias("v"), dist.alias("d")
     )
-    pairs = pairs.localCheckpoint(eager=True)  # three join arms
+    pairs = pairs.transform(cut_lineage)  # three join arms
     ab = pairs.select(F.col("u").alias("x"), F.col("v").alias("y"), F.col("d").alias("dab"))
     bc = pairs.select(F.col("u").alias("y2"), F.col("v").alias("z"), F.col("d").alias("dbc"))
     ac = pairs.select(F.col("u").alias("x2"), F.col("v").alias("z2"), F.col("d").alias("dac"))
@@ -2306,7 +2308,7 @@ def m31_next_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
-    trans = trans.localCheckpoint(eager=True)  # rowtot + entropy arms
+    trans = trans.transform(cut_lineage)  # rowtot + entropy arms
     rowtot = trans.groupBy("a").agg(
         F.sum("n").cast("bigint").alias("tot"), F.count(F.lit(1)).cast("bigint").alias("k")
     )
@@ -2402,7 +2404,7 @@ def m26_bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     eval_keys = d.where(F.col("doc_id") % 97 == 0).select(F.md5("text").alias("key")).distinct()
-    eval_keys = eval_keys.localCheckpoint(eager=True)  # K position arms + truth join
+    eval_keys = eval_keys.transform(cut_lineage)  # K position arms + truth join
 
     def positions(src: DataFrame, carry: str) -> DataFrame:
         out = None
@@ -2424,7 +2426,7 @@ def m26_bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     doc_keys = d.select("doc_id", F.md5("text").alias("key"))
-    doc_keys = doc_keys.localCheckpoint(eager=True)  # screen + truth join
+    doc_keys = doc_keys.transform(cut_lineage)  # screen + truth join
     dpos = positions(doc_keys, "doc_id")
     checks = (
         dpos.join(F.broadcast(bitmap), (F.col("pos") / 32).cast("bigint") == F.col("w"), "left")
@@ -2520,7 +2522,7 @@ def m27_checksum_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = d.select(
         "source", _md5fold(F.concat(F.col("text"), F.col("doc_id").cast("string"))).alias("h")
     )
-    keyed = keyed.localCheckpoint(eager=True)  # per-source + direct folds
+    keyed = keyed.transform(cut_lineage)  # per-source + direct folds
     per_source = keyed.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.expr("CAST(bit_xor(h) AS BIGINT)").alias("xor_cks"),
@@ -2719,7 +2721,7 @@ def m29_zorder_locality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(({_m29_z_expr('p', 'd', 'DIV')}) DIV {_M29_SIDE} AS BIGINT)").alias("zfile"),
         F.col("p").cast("bigint").alias("lexfile"),
     )
-    assigned = assigned.localCheckpoint(eager=True)  # two layout arms
+    assigned = assigned.transform(cut_lineage)  # two layout arms
     layouts = assigned.select(
         F.lit("zorder").alias("layout"), F.col("zfile").alias("f"), "p", "d"
     ).unionByName(
@@ -2819,14 +2821,14 @@ def m30_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = ngram_jaccard_pairs(d, threshold=0.2).select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
-    edges = edges.localCheckpoint(eager=True)  # degree + orientation consumers
+    edges = edges.transform(cut_lineage)  # degree + orientation consumers
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     )
-    deg = deg.localCheckpoint(eager=True)  # two orientation joins + wedges
+    deg = deg.transform(cut_lineage)  # two orientation joins + wedges
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
     ed = edges.join(du, "u").join(dv, "v")
@@ -2835,7 +2837,7 @@ def m30_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
     )
-    oriented = oriented.localCheckpoint(eager=True)  # three triangle-join arms
+    oriented = oriented.transform(cut_lineage)  # three triangle-join arms
     ab = oriented.select(F.col("s").alias("a"), F.col("t").alias("b"))
     bc = oriented.select(F.col("s").alias("b2"), F.col("t").alias("c"))
     ac = oriented.select(F.col("s").alias("a2"), F.col("t").alias("c2"))
@@ -3021,7 +3023,7 @@ def m33_lorenz_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(wseg).alias("n"),
         F.sum(F.col("c") * F.col("cents")).over(wseg).alias("v"),
     )
-    cum = cum.localCheckpoint(eager=True)  # probed by 9 deciles x 2 segments
+    cum = cum.transform(cut_lineage)  # probed by 9 deciles x 2 segments
     probes = spark.range(1, 10).select(F.col("id").alias("d"))
     jd = probes.crossJoin(cum).where(
         F.col("cumn") >= F.ceil(F.col("d") / 10.0 * F.col("n")).cast("bigint")
@@ -3150,7 +3152,7 @@ def m34_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wr).cast("bigint").alias("rnk"),
         F.count(F.lit(1)).over(wall).cast("bigint").alias("m"),
     )
-    ranked = ranked.localCheckpoint(eager=True)  # cutoff + output scan
+    ranked = ranked.transform(cut_lineage)  # cutoff + output scan
     k = (
         ranked.agg(
             F.coalesce(
@@ -3240,7 +3242,7 @@ def m35_empirical_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum((F.col("n_chars") > int(med)).cast("int")).cast("bigint").alias("x"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
-    cells = cells.localCheckpoint(eager=True)  # moments + shrinkage scan
+    cells = cells.transform(cut_lineage)  # moments + shrinkage scan
     raw_rate = F.col("x").cast("double") / F.col("n")  # shared-float contract:
     # both engines quantize the SAME expression — pround(raw, 9) for mu and
     # pround(raw*raw, 9) for m2 (squaring the raw rate, not the quantized one,
@@ -3326,7 +3328,7 @@ def _time_chunk_files(spark: SparkSession, sf_dir: str, n_chunks: int) -> list:
     )
     n = e.count()
     wd = Window.orderBy(F.asc("d"))  # bounded: day dictionary
-    cum = days.select("d", F.sum("c").over(wd).alias("cum")).localCheckpoint(eager=True)
+    cum = days.select("d", F.sum("c").over(wd).alias("cum")).transform(cut_lineage)
     cuts = []
     for k in range(1, n_chunks):
         row = cum.where(F.col("cum") >= F.lit(int(-(-(n * k) // n_chunks)))).agg(

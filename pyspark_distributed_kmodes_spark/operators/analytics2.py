@@ -16,6 +16,8 @@ scalar-only output columns.
 
 from __future__ import annotations
 
+from pyspark_distributed_kmodes_spark.functions.lineage import cut_lineage
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -91,7 +93,7 @@ def qf01_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bin, so source totals re-aggregate it — no second scan (scan-lint)
     per = binned.groupBy("source", "bin").agg(
         F.count(F.lit(1)).alias("cnt")
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     n_source = per.groupBy("source").agg(F.sum("cnt").alias("n_source"))
     grid = (
         n_source.crossJoin(F.broadcast(spark.range(1, 11).select(F.col("id").cast("int").alias("bin"))))
@@ -288,14 +290,14 @@ def bfs_min_dists(
     """
     known = und.select(
         F.col("node").alias("root"), F.col("nbr").alias("v"), F.lit(1).alias("d")
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     if pair_budget is not None:
         capw = Window.partitionBy("root").orderBy("v")
         known = (
             known.withColumn("_rn", F.row_number().over(capw))
             .filter(F.col("_rn") <= pair_budget)
             .drop("_rn")
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
     frontier = known
     for depth in range(2, max_depth + 1):
@@ -322,8 +324,8 @@ def bfs_min_dists(
                 .filter(F.col("_rn") + F.col("_held") <= pair_budget)
                 .drop("_rn", "_held")
             )
-        nxt = nxt.localCheckpoint(eager=True)
-        known = known.unionAll(nxt).localCheckpoint(eager=True)
+        nxt = nxt.transform(cut_lineage)
+        known = known.unionAll(nxt).transform(cut_lineage)
         frontier = nxt
     return known
 
@@ -400,7 +402,7 @@ def qf04_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = (
         e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
         .unionAll(e.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     known = bfs_min_dists(und, _HC_DEPTH, pair_budget=_HC_PAIR_BUDGET)
     terms = known.select("root", _dterm(F.lit(1.0) / F.col("d")).alias("t"))
@@ -873,7 +875,7 @@ def qf12_timeout_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("tus").alias("t1"))
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     t2 = (
         e.filter(F.col("event_type") == "click")
@@ -881,7 +883,7 @@ def qf12_timeout_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("tus") > F.col("t1")) & (F.col("tus") <= F.col("t1") + _FUNNEL_TIMEOUT_US))
         .groupBy("user_id")
         .agg(F.min("tus").alias("t2"))
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     t3 = (
         e.filter(F.col("event_type") == "purchase")

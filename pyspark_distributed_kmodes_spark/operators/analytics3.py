@@ -9,6 +9,8 @@ rotate in next round; all oracle-gated, all green on the local mirror.
 
 from __future__ import annotations
 
+from pyspark_distributed_kmodes_spark.functions.lineage import cut_lineage
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -377,7 +379,7 @@ def qf21_daily_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize once (scan-lint)
     per = e.groupBy(di.alias("di"), "event_type").agg(
         F.count(F.lit(1)).alias("n")
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     days = per.select("di").distinct()
     types = per.select("event_type").distinct()
     grid = (
@@ -450,7 +452,7 @@ def qf22_deletion_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = table(spark, sf_dir, "events")
     forget = e.filter(F.col("user_id") % 7 == 0).select("user_id").distinct()
-    forget = forget.localCheckpoint(eager=True)  # three consumers
+    forget = forget.transform(cut_lineage)  # three consumers
     n_forget = forget.agg(F.count(F.lit(1)).cast("bigint").alias("n_users_forgotten"))
     deleted = e.join(forget, "user_id", "left_semi")
     remaining = e.join(forget, "user_id", "left_anti")

@@ -14,6 +14,8 @@ the round-4 f-suite (rotation history in __spark_entry__.py).
 
 from __future__ import annotations
 
+from pyspark_distributed_kmodes_spark.functions.lineage import cut_lineage
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -147,12 +149,12 @@ def qg01_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = (
         edges.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
         .unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     deg = (
         und.groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     chars = d.select(F.col("doc_id").alias("node"), "n_chars")
     seeded = deg.join(chars, "node")
@@ -160,7 +162,7 @@ def qg01_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tele = (
         seeded.crossJoin(F.broadcast(tot))
         .select("node", pround(F.col("n_chars") / F.col("tot"), 9).alias("tele"))
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     pr = tele.select("node", F.col("tele").alias("pr"))
     for _ in range(_PPR_ITERS):
@@ -175,7 +177,7 @@ def qg01_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "node",
                 pround((1.0 - _PPR_DAMP) * F.col("tele") + _PPR_DAMP * F.col("s"), 9).alias("pr"),
             )
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
     return (
         pr.join(deg, "node")
@@ -602,7 +604,7 @@ def qg04_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     truth = ngram_jaccard_pairs(d, threshold=0.5).select("doc_a", "doc_b")
-    sigs = _mh_mins(_doc_shingles(d)).localCheckpoint(eager=True)
+    sigs = _mh_mins(_doc_shingles(d)).transform(cut_lineage)
     bucket = F.explode(
         F.array(
             *[
@@ -776,7 +778,7 @@ def qg06_approx_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     grp = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.expr(f"approx_percentile(o_totalprice, 0.5, {_G06_ACC})").alias("approx_p50"),
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     w = Window.partitionBy("o_orderpriority").orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
     ranked = o.select(
         F.col("o_orderpriority").alias("priority"),
@@ -1184,7 +1186,7 @@ def qg15_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     dow = (F.datediff(F.to_date("ts"), F.lit("1970-01-01")) % 7).cast("int")
     obs = e.groupBy("event_type", dow.alias("dow")).agg(F.count(F.lit(1)).alias("o"))
-    obs = obs.localCheckpoint(eager=True)  # 3 consumers: margins + terms
+    obs = obs.transform(cut_lineage)  # 3 consumers: margins + terms
     rt = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
     ct = obs.groupBy("dow").agg(F.sum("o").alias("c"))
     g = obs.agg(F.sum("o").alias("t"))

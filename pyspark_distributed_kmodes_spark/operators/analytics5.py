@@ -13,6 +13,8 @@ scalar outputs).
 
 from __future__ import annotations
 
+from pyspark_distributed_kmodes_spark.functions.lineage import cut_lineage
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -206,7 +208,7 @@ def qh02_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = x.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("tok").cast("bigint").alias("toks"),
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     tot = g.agg(
         F.sum("n_docs").cast("bigint").alias("n"), F.sum("toks").cast("bigint").alias("t")
     )
@@ -351,7 +353,7 @@ def qh06_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         spread(d, "doc_id")
         .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     nd = dw.agg(F.count_distinct("doc_id").cast("bigint").alias("n"))
     uni = dw.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("nw"))
@@ -478,7 +480,7 @@ def qh03_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = sampled.select(
         "vec_id",
         F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias("pos", "val"),
-    ).localCheckpoint(eager=True)  # feeds proj + both distance sides
+    ).transform(cut_lineage)  # feeds proj + both distance sides
     js = spark.range(_H03_K).select(F.col("id").cast("int").alias("j"))
 
     sign = F.when(
@@ -588,7 +590,7 @@ def qh05_grouped_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of it, so no second scan exists (scan-lint: was 9 scans)
     scnt = d.groupBy("source", F.col("n_chars").alias("v")).agg(
         F.count(F.lit(1)).alias("c")
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     vals = scnt.select("v").distinct()
     gsize = scnt.groupBy("source").agg(F.sum("c").cast("bigint").alias("n_s"))
     tot = gsize.agg(F.sum("n_s").cast("bigint").alias("n"))
@@ -695,7 +697,7 @@ def qh07_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double").alias("rev"))
     )
-    cell = cell.localCheckpoint(eager=True)  # dim-bounded; 3 consumers
+    cell = cell.transform(cut_lineage)  # dim-bounded; 3 consumers
     nat = cell.groupBy("region", "nation").agg(
         F.sum(F.col("rev").cast("decimal(25,6)")).cast("double").alias("nrev")
     )
@@ -902,7 +904,7 @@ def qh10_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("source")
         )
-        return out.localCheckpoint(eager=True)
+        return out.transform(cut_lineage)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -952,7 +954,7 @@ def qh11_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("day_idx")
         )
-        return out.localCheckpoint(eager=True)
+        return out.transform(cut_lineage)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -1032,7 +1034,7 @@ def _pair_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").alias("va"),
             dfold(F.transform("v", lambda a: _dterm(a * a))).alias("na2"),
         )
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     # corpus-side norm INLINE on the single corpus scan: a separate
     # norms table would cost another full scan plus a budget*N-row
@@ -1357,7 +1359,7 @@ def qh16_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("v")
         .agg(F.sum("c").alias("c"))
-        .localCheckpoint(eager=True)  # value dictionary; bucket + cum consumers (scan-lint)
+        .transform(cut_lineage)  # value dictionary; bucket + cum consumers (scan-lint)
     )
     # Two-level cumulative count, so the merged path NEVER serializes the
     # value dictionary through one partition even when values are
@@ -1731,14 +1733,14 @@ def qh21_bucket_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eval side has three consumers (fp set, bucket set, count) and the
     # two match sets two each (anti-join + count): materialize them so
     # no branch replays the fingerprint scan (scan-lint)
-    eval_side = fp.filter(F.col("doc_id") % 10 == 0).localCheckpoint(eager=True)
+    eval_side = fp.filter(F.col("doc_id") % 10 == 0).transform(cut_lineage)
     corpus = fp.filter(F.col("doc_id") % 10 != 0)
     truth = corpus.join(
         eval_side.select("fp").distinct(), "fp", "left_semi"
-    ).select("doc_id").distinct().localCheckpoint(eager=True)
+    ).select("doc_id").distinct().transform(cut_lineage)
     cands = corpus.join(
         F.broadcast(eval_side.select("bkt").distinct()), "bkt", "left_semi"
-    ).select("doc_id").distinct().localCheckpoint(eager=True)
+    ).select("doc_id").distinct().transform(cut_lineage)
     missed = truth.join(cands, "doc_id", "left_anti")
     ne = eval_side.agg(F.count(F.lit(1)).cast("bigint").alias("n_eval"))
     nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_matches"))

@@ -17,6 +17,8 @@ history in __spark_entry__.py); 22 h + 28 i = exactly 50.
 
 from __future__ import annotations
 
+from pyspark_distributed_kmodes_spark.functions.lineage import cut_lineage
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -137,9 +139,9 @@ def qi01_incremental_neardup_edges(spark: SparkSession, sf_dir: str) -> DataFram
     # base-only run's shingles are exactly sh_all filtered to base —
     # computing them once is identical to two runs, minus a second
     # scan+explode+distinct (bench: i01 5.8 s -> shared-index form).
-    sh_all = _shingles(d).localCheckpoint(eager=True)
+    sh_all = _shingles(d).transform(cut_lineage)
     sizes = sh_all.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    sizes = sizes.localCheckpoint(eager=True)
+    sizes = sizes.transform(cut_lineage)
     sa = sizes.select(F.col("doc_id").alias("u"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("v"), F.col("n_shingles").alias("nb"))
 
@@ -161,7 +163,7 @@ def qi01_incremental_neardup_edges(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    full = edges_from(full_pairs).localCheckpoint(eager=True)  # reused by 3 counters
+    full = edges_from(full_pairs).transform(cut_lineage)  # reused by 3 counters
     # base-only run: pairs among base shingles (the pre-delta state)
     sh_base = sh_all.filter(F.col("doc_id") % 3 != 0)
     ba = sh_base.alias("a")
@@ -188,7 +190,7 @@ def qi01_incremental_neardup_edges(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     delta_edges = edges_from(dp)
-    incr = base_edges.unionByName(delta_edges).distinct().localCheckpoint(eager=True)
+    incr = base_edges.unionByName(delta_edges).distinct().transform(cut_lineage)
 
     def cnt(df: DataFrame, name: str) -> DataFrame:
         return df.agg(F.count(F.lit(1)).cast("bigint").alias(name))
@@ -299,7 +301,7 @@ def qi02_snapshot_diff_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("n_unchanged"),
             F.sum("len2").cast("bigint").alias("chars_v2"),
         )
-        return out.localCheckpoint(eager=True)
+        return out.transform(cut_lineage)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -539,7 +541,7 @@ def qi05_grouped_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mergeable rollup: per-group histograms -> additive merge -> ALL row
     hist = o.groupBy("o_orderpriority", F.col("o_totalprice").alias("v")).agg(
         F.count(F.lit(1)).alias("c")
-    ).localCheckpoint(eager=True)  # (group, value) dictionary; merge + per-group consumers (scan-lint)
+    ).transform(cut_lineage)  # (group, value) dictionary; merge + per-group consumers (scan-lint)
     merged = hist.groupBy("v").agg(F.sum("c").alias("c"))
     bkt = merged.withColumn("bkt", F.floor(F.col("v") / F.lit(1000.0)).cast("bigint"))
     wb = Window.orderBy("bkt")  # bounded: one row per 1000-wide price bucket
@@ -708,7 +710,7 @@ def qi07_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     |types|^2 rows per user, never |events|^2.
     """
     tu = table(spark, sf_dir, "events").select("event_type", "user_id").distinct()
-    tu = tu.localCheckpoint(eager=True)  # reused three times below
+    tu = tu.transform(cut_lineage)  # reused three times below
     sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     a = tu.alias("a")
     b = tu.alias("b")
@@ -860,7 +862,7 @@ def qi09_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     joint = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_xy")
     )
-    joint = joint.localCheckpoint(eager=True)  # bounded cells, reused 3x
+    joint = joint.transform(cut_lineage)  # bounded cells, reused 3x
     mx = joint.groupBy("l_returnflag").agg(F.sum("n_xy").alias("n_x"))
     my = joint.groupBy("l_linestatus").agg(F.sum("n_xy").alias("n_y"))
     tot = joint.agg(F.sum("n_xy").alias("n"))
@@ -1059,7 +1061,7 @@ def qi12_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
-    daily = daily.localCheckpoint(eager=True)  # bounded lattice, reused per lag
+    daily = daily.transform(cut_lineage)  # bounded lattice, reused per lag
     out = None
     for k in _I12_LAGS:
         a = daily.alias("a")
@@ -2239,7 +2241,7 @@ def qi27_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("source")
         )
-        return out.localCheckpoint(eager=True)
+        return out.transform(cut_lineage)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 

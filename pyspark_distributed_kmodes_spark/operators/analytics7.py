@@ -18,6 +18,8 @@ bounded-lattice windows only (see tests/test_analytics7.py pins).
 
 from __future__ import annotations
 
+from pyspark_distributed_kmodes_spark.functions.lineage import cut_lineage
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -184,7 +186,7 @@ def qj02_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double").alias("s"),
     )
-    g = g.localCheckpoint(eager=True)  # 5 rows, reused by tot's k
+    g = g.transform(cut_lineage)  # 5 rows, reused by tot's k
     # totals straight from the fact scan (no double->decimal roundtrip
     # of the big second moments — the b08 divergence class)
     tot = o.agg(
@@ -358,7 +360,7 @@ def qj04_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pred"),
     )
     cells = preds.groupBy("truth", "pred").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    cells = cells.localCheckpoint(eager=True)  # bounded: |classes|^2
+    cells = cells.transform(cut_lineage)  # bounded: |classes|^2
     classes = cells.select(F.col("truth").alias("cls")).union(
         cells.select(F.col("pred"))
     ).distinct()
@@ -620,7 +622,7 @@ def qj07_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = edges.select(F.col("u").alias("s"), F.col("v").alias("t")).unionAll(
         edges.select(F.col("v").alias("s"), F.col("u").alias("t"))
     )
-    und = und.localCheckpoint(eager=True)
+    und = und.transform(cut_lineage)
     deg = und.groupBy(F.col("s").alias("node")).agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     de = (
         und.join(deg.select(F.col("node").alias("s"), F.col("d").alias("du")), "s")
@@ -702,7 +704,7 @@ def qj08_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("content_checksum"),
         )
-        return out.localCheckpoint(eager=True)
+        return out.transform(cut_lineage)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -747,7 +749,7 @@ def qj09_text_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("value")).cast("bigint").alias("chars_total"),
             F.countDistinct("value").cast("bigint").alias("n_distinct"),
         )
-        return out.localCheckpoint(eager=True)
+        return out.transform(cut_lineage)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -804,7 +806,7 @@ def qj10_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_md5fold(F.reverse(F.col("text"))) % 3).alias("a2"),
     )
     cells = ann.groupBy("a1", "a2").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    cells = cells.localCheckpoint(eager=True)  # bounded: 9 cells
+    cells = cells.transform(cut_lineage)  # bounded: 9 cells
     tot = cells.agg(F.sum("c").alias("n"))
     rmarg = cells.groupBy(F.col("a1").alias("a")).agg(F.sum("c").alias("rc"))
     cmarg = cells.groupBy(F.col("a2").alias("a")).agg(F.sum("c").alias("cc"))
@@ -888,7 +890,7 @@ def qj11_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = marked.groupBy("dow").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"), F.sum("z").cast("bigint").alias("sz")
     )
-    g = g.localCheckpoint(eager=True)  # 7 rows
+    g = g.transform(cut_lineage)  # 7 rows
     tot = marked.agg(
         F.count(F.lit(1)).cast("bigint").alias("tn"),
         F.sum("z").cast("bigint").alias("tsz"),
@@ -980,7 +982,7 @@ def qj12_histogram_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_J12_BINS - 1).cast("bigint"),
         ).alias("bin"),
     )
-    binned = binned.localCheckpoint(eager=True)  # reused by both paths
+    binned = binned.transform(cut_lineage)  # reused by both paths
     merged = (
         binned.groupBy("shard", "bin")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
@@ -1044,7 +1046,7 @@ def qj13_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
-    daily = daily.localCheckpoint(eager=True)  # bounded lattice, used twice
+    daily = daily.transform(cut_lineage)  # bounded lattice, used twice
     a = daily.alias("a")
     b = daily.alias("b")
     slopes = a.join(
@@ -1389,7 +1391,7 @@ def qj17_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializing only the thresholded edges.
     """
     d = table(spark, sf_dir, "documents")
-    sh = _shingles(d).localCheckpoint(eager=True)
+    sh = _shingles(d).transform(cut_lineage)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -1409,7 +1411,7 @@ def qj17_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("na") + F.col("nb") - F.col("n_common"))
             ).alias("jac"),
         )
-        .localCheckpoint(eager=True)  # ONE pair computation, 4 threshold reads
+        .transform(cut_lineage)  # ONE pair computation, 4 threshold reads
     )
     out = None
     for th in _J17_THRESHOLDS:

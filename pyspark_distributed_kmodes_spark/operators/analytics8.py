@@ -21,6 +21,8 @@ windows only over bounded aggregates.
 
 from __future__ import annotations
 
+from pyspark_distributed_kmodes_spark.functions.lineage import cut_lineage
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -109,7 +111,7 @@ def qj19_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join and both tie margins: materialize once (scan-lint)
     cells = li.groupBy(
         F.col("l_quantity").alias("q"), F.col("l_discount").alias("d")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt")).localCheckpoint(eager=True)
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt")).transform(cut_lineage)
     a, b = cells.alias("a"), cells.alias("b")
     cond = (F.col("a.q") < F.col("b.q")) | (
         (F.col("a.q") == F.col("b.q")) & (F.col("a.d") < F.col("b.d"))
@@ -209,7 +211,7 @@ def qj20_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan + median join lineage (scan-lint)
     gstat = z.groupBy("grp").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_j"), dsum("z").alias("s_j")
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     gbar = gstat.select("grp", "n_j", (F.col("s_j") / F.col("n_j")).alias("zbar_j"))
     glob = gstat.agg(
         F.sum("n_j").cast("bigint").alias("n"),
@@ -385,7 +387,7 @@ def qj22_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize once so margins don't replay the scan (scan-lint)
     cells = d.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("bigint").alias("o")
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     rm = cells.groupBy("lang").agg(F.sum("o").cast("bigint").alias("r_tot"))
     cm = cells.groupBy("source").agg(F.sum("o").cast("bigint").alias("c_tot"))
     tot = cells.agg(
@@ -1329,7 +1331,7 @@ def qj34_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("bigint")
             .alias("content_checksum"),
-        ).localCheckpoint(eager=True)
+        ).transform(cut_lineage)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -1463,7 +1465,7 @@ def qj36_minmax_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # totals: materialize once (scan-lint)
     lattice = d.groupBy(F.col("n_chars").alias("v")).agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     wcum = Window.orderBy(F.asc("v"))  # bounded: value lattice aggregate
     total = lattice.agg(F.sum("cnt").alias("total"))
     ranked = lattice.withColumn("cum", F.sum("cnt").over(wcum)).crossJoin(F.broadcast(total))
@@ -1812,7 +1814,7 @@ def qj40_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
             dsum(F.when(~urgent, F.col("o_totalprice")).otherwise(F.lit(0.0))).alias(
                 "other_revenue"
             ),
-        ).localCheckpoint(eager=True)
+        ).transform(cut_lineage)
     finally:
         spark.conf.set(conf_key, old)
         shutil.rmtree(base, ignore_errors=True)

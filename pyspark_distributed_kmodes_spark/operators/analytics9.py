@@ -17,6 +17,8 @@ cast (DuckDB CAST rounds, Spark truncates).
 
 from __future__ import annotations
 
+from pyspark_distributed_kmodes_spark.functions.lineage import cut_lineage
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -192,7 +194,7 @@ def qk02_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.filter(F.col("wk") < _K02_WEEKS)
         .groupBy("user_id", "wk")
         .agg(F.max("p").alias("x"))
-        .localCheckpoint(eager=True)  # compact int grid; feeds L_i and G_j (scan-lint)
+        .transform(cut_lineage)  # compact int grid; feeds L_i and G_j (scan-lint)
     )
     # The explicit user x week zero-fill is algebraically removable:
     # absent pairs contribute 0 to every L_i, G_j and moment, so L_i
@@ -285,7 +287,7 @@ def qk03_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     # groups, ties): materialize once (scan-lint)
     lattice = d.groupBy(F.col("n_chars").alias("v"), "lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     vtot = lattice.groupBy("v").agg(F.sum("cnt").cast("bigint").alias("t"))
     w = Window.orderBy(F.asc("v"))  # bounded: length dictionary
     ranked = vtot.withColumn("cum", F.sum("t").over(w))
@@ -895,7 +897,7 @@ def qk10_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize once (scan-lint)
     daily = e.groupBy(_day_idx().alias("di")).agg(
         dsum("value").alias("rev")
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     mn = daily.agg(F.min("di").alias("mn"))
     base = daily.crossJoin(F.broadcast(mn))
     parts = []
@@ -1153,7 +1155,7 @@ def qk13_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrow = Window.partitionBy("src")
     p = counts.select(
         "src", "dst", pround(F.col("c").cast("double") / F.sum("c").over(wrow), 9).alias("p")
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     for _ in range(_K13_SQUARINGS):
         a, b = p.alias("a"), p.alias("b")
         p = (
@@ -1164,7 +1166,7 @@ def qk13_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("double")
                 .alias("p")
             )
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
     return (
         p.groupBy(F.col("dst").alias("event_type"))
@@ -1883,7 +1885,7 @@ def qk23_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("doc_id").cast("bigint").alias("id_checksum"),
             )
             .orderBy("lang")
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -1954,7 +1956,7 @@ def qk24_csv_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("n_chars"))).cast("bigint").alias(
                 "clean_chars"
             ),
-        ).localCheckpoint(eager=True)
+        ).transform(cut_lineage)
         back.unpersist()
         return out
     finally:
@@ -2008,7 +2010,7 @@ def qk25_parquet_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("content_checksum"),
             dsum("o_totalprice").alias("revenue"),
-        ).localCheckpoint(eager=True)
+        ).transform(cut_lineage)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -2370,10 +2372,10 @@ def qk31_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairwise-sum arms + a total: materialize once (scan-lint)
     la = d.filter(F.col("lang") == "en").groupBy(F.col("n_chars").alias("v")).agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     lb = d.filter(F.col("lang") == "de").groupBy(F.col("n_chars").alias("v")).agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
 
     def pair_sum(x: DataFrame, y: DataFrame) -> DataFrame:
         a, b = x.alias("a"), y.alias("b")
@@ -3006,7 +3008,7 @@ def qk39_coengagement_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides: materialize so the distinct isn't recomputed three times
     # (the df is <= 5 rows/user — same size class as the shuffle that
     # built it) (scan-lint)
-    ue = e.select("user_id", "event_type").distinct().localCheckpoint(eager=True)
+    ue = e.select("user_id", "event_type").distinct().transform(cut_lineage)
     tot = e.agg(F.count_distinct("user_id").cast("bigint").alias("n"))
     m = ue.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     a, b = ue.alias("a"), ue.alias("b")
@@ -3672,7 +3674,7 @@ def qk48_two_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.col("o_totalprice").cast("decimal(25,2)")).cast("decimal(25,2)").alias("s"),
-    ).localCheckpoint(eager=True)  # bounded a x b cell grid; five consumers (scan-lint)
+    ).transform(cut_lineage)  # bounded a x b cell grid; five consumers (scan-lint)
     tot = cells.agg(
         F.sum("n").cast("bigint").alias("nt"),
         F.sum("s").cast("decimal(38,2)").cast("double").alias("st"),
@@ -4327,7 +4329,7 @@ def l08_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     # totals, both risk branches) don't each replay the events lineage
     tally = obs.groupBy("g", "t").agg(
         F.sum("ev").cast("bigint").alias("d"), F.sum(1 - F.col("ev")).cast("bigint").alias("c")
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     times = tally.select("t").distinct()
     gs = spark.range(0, 2).select(F.col("id").alias("g"))
     grid = (
@@ -4795,7 +4797,7 @@ def l13_lloyd_step_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("fk"), F.asc("cid"))
         .limit(_L13_K)
         .drop("fk")
-        .localCheckpoint(eager=True)  # tiny constant set; breaks the reuse lineage
+        .transform(cut_lineage)  # tiny constant set; breaks the reuse lineage
     )
 
     def _key(d2: Column, cid: Column) -> Column:
@@ -4825,7 +4827,7 @@ def l13_lloyd_step_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("xq").cast("decimal(25,6)")).cast("double") / F.count(F.lit(1)), 9
             ).alias("m")
         )
-        .localCheckpoint(eager=True)  # k*dim rows; reused by d1 and shift
+        .transform(cut_lineage)  # k*dim rows; reused by d1 and shift
     )
     d1 = (
         xdim.join(c1.select("cid", "dim", "m"), "dim")

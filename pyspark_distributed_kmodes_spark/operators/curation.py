@@ -13,6 +13,8 @@ functions/deterministic.py and the round-2 knife-edge rule).
 
 from __future__ import annotations
 
+from pyspark_distributed_kmodes_spark.functions.lineage import cut_lineage
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -184,7 +186,7 @@ def qc06_logprob_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the scored join feeds the threshold learner AND the tiering pass;
     # materialize it so the b12 LM scoring pipeline runs once, and the
     # |langs|-row thresholds never replay it (scan-lint)
-    docs = d.join(scored, "doc_id").localCheckpoint(eager=True)
+    docs = d.join(scored, "doc_id").transform(cut_lineage)
     thr = docs.groupBy("lang").agg(
         pround(F.expr("percentile(avg_logprob, 0.333)"), 6).alias("p33"),
         pround(F.expr("percentile(avg_logprob, 0.667)"), 6).alias("p67"),

@@ -14,6 +14,8 @@ accumulates in DECIMAL so summation order can never drift the hash
 
 from __future__ import annotations
 
+from pyspark_distributed_kmodes_spark.functions.lineage import cut_lineage
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -174,7 +176,7 @@ def qc09_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumers: materialize once (scan-lint)
     tok = d.groupBy("source").agg(
         F.sum(F.size(_words())).cast("bigint").alias("n_tokens")
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     tot = tok.agg(F.sum("n_tokens").cast("double").alias("n"))
     powed = tok.crossJoin(F.broadcast(tot)).select(
         "source",

@@ -12,6 +12,8 @@ oracle-gated double, decimal-summed float aggregates.
 
 from __future__ import annotations
 
+from pyspark_distributed_kmodes_spark.functions.lineage import cut_lineage
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -591,7 +593,7 @@ def qe26_quality_signal_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # for its own oracle); same distinct-(doc,word) shape as b12
     dw = d.select("doc_id", F.explode(words).alias("word")).groupBy("doc_id", "word").agg(
         F.count(F.lit(1)).alias("cnt_dw")
-    ).localCheckpoint(eager=True)  # feeds the vocab census AND the score join (scan-lint)
+    ).transform(cut_lineage)  # feeds the vocab census AND the score join (scan-lint)
     freq = dw.groupBy("word").agg(F.sum("cnt_dw").alias("cnt"))
     total = freq.groupBy().agg(F.sum("cnt").cast("double").alias("n"))
     term = (
@@ -605,7 +607,7 @@ def qe26_quality_signal_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # compact per-doc signal table; the decile learner and the fusion
     # pass both consume it (scan-lint)
-    sig = base.join(lp, "doc_id").localCheckpoint(eager=True)
+    sig = base.join(lp, "doc_id").transform(cut_lineage)
     qarr = F.array(*[F.lit(q) for q in _DECILES])
     bounds = sig.agg(
         F.percentile("unique_ratio", qarr).alias("bu"),

@@ -12,6 +12,8 @@ Jaccard oracle is property-tested in tests/test_dedup.py.
 
 from __future__ import annotations
 
+from pyspark_distributed_kmodes_spark.functions.lineage import cut_lineage
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -126,13 +128,13 @@ def q63_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups = docs.select("doc_id", "text", F.md5("text").alias("_h"))
     # text-free rep table, three consumers (semi-join, rep_h, expansion):
     # materialize once (scan-lint)
-    reps = groups.groupBy("_h").agg(F.min("doc_id").alias("doc_id")).localCheckpoint(eager=True)
+    reps = groups.groupBy("_h").agg(F.min("doc_id").alias("doc_id")).transform(cut_lineage)
     rep_docs = groups.join(reps, ["_h", "doc_id"], "left_semi").select("_h", "doc_id", "text")
 
     # signatures feed three consumers (two band sides + per-pair rejoin):
     # materialize once — they are small (n_reps × 32 longs) — instead of
     # recomputing the shingle+hash pipeline per consumer
-    sigs = minhash_signatures(rep_docs.select("doc_id", "text")).localCheckpoint(eager=True)
+    sigs = minhash_signatures(rep_docs.select("doc_id", "text")).transform(cut_lineage)
     cands = lsh_candidate_pairs(sigs)
     agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
     rep_pairs = (
@@ -192,7 +194,7 @@ def q64_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups = docs.select("doc_id", "text", F.md5("text").alias("_h"))
     # text-free rep table: one grouped pass, materialized for its three
     # consumers (semi-join, rep_h, copy expansion) (scan-lint)
-    reps = groups.groupBy("_h").agg(F.min("doc_id").alias("doc_id")).localCheckpoint(eager=True)
+    reps = groups.groupBy("_h").agg(F.min("doc_id").alias("doc_id")).transform(cut_lineage)
     rep_docs = groups.join(reps, ["_h", "doc_id"], "left_semi").select("_h", "doc_id", "text")
 
     sims = simhash_col(rep_docs.select("doc_id", "text"))
@@ -207,7 +209,7 @@ def q64_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doesn't run the simhash pass twice (scan-lint)
     bucketed = sims.select(
         "doc_id", "simhash", F.explode(bands).alias("bucket")
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     a = bucketed.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "bucket")
     b = bucketed.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "bucket")
     rep_pairs = (
@@ -590,10 +592,10 @@ def q75_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # isn't replayed per consumer (scan-lint)
     tr = shingle_df(_reps(train_all)).select(
         F.col("doc_id").alias("train_doc"), "shingle"
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     ev = shingle_df(_reps(eval_all)).select(
         F.col("doc_id").alias("eval_doc"), "shingle"
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     hits = tr.join(ev, "shingle")
     # Both shingle inputs are distinct per (doc, shingle), so plain
     # COUNT(*) equals COUNT(DISTINCT shingle) on each aggregate below —
@@ -764,7 +766,7 @@ def qe22_neardup_local_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     edges = ngram_jaccard_pairs(d, threshold=0.2).select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-    ).localCheckpoint(eager=True)  # three consumers below
+    ).transform(cut_lineage)  # three consumers below
     und = edges.select(F.col("u").alias("node")).unionAll(edges.select(F.col("v").alias("node")))
     deg = und.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
@@ -863,10 +865,10 @@ def qe30_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = (
         edges.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
         .unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
-        .localCheckpoint(eager=True)  # reused every round
+        .transform(cut_lineage)  # reused every round
     )
     seed = und.agg(F.min("node").alias("node")).select("node", F.lit(0).alias("dist"))
-    labeled = seed.localCheckpoint(eager=True)
+    labeled = seed.transform(cut_lineage)
     frontier = labeled
     depth = 0
     while depth < _BFS_MAX_DEPTH:
@@ -877,11 +879,11 @@ def qe30_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(labeled.select("node"), "node", "left_anti")
             .select("node", F.lit(depth).alias("dist"))
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         if nxt.isEmpty():
             break
-        labeled = labeled.unionByName(nxt).localCheckpoint(eager=True)
+        labeled = labeled.unionByName(nxt).transform(cut_lineage)
         frontier = nxt
     return labeled.select(
         F.col("node").cast("bigint").alias("doc_id"), F.col("dist").cast("int").alias("dist")

@@ -8,6 +8,8 @@ watermark); the batch forms below are what the DuckDB oracle can check
 
 from __future__ import annotations
 
+from pyspark_distributed_kmodes_spark.functions.lineage import cut_lineage
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -434,7 +436,7 @@ def qe09_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         # scan runs once per stage, not once per consumer (scan-lint)
         nxt = e.filter(F.col("event_type") == etype)
         if prev is None:
-            return nxt.groupBy("user_id").agg(F.min("ts").alias("t")).localCheckpoint(eager=True)
+            return nxt.groupBy("user_id").agg(F.min("ts").alias("t")).transform(cut_lineage)
         return (
             nxt.join(
                 prev.select(F.col("user_id").alias("pu"), F.col("t").alias("pt")),
@@ -442,7 +444,7 @@ def qe09_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("user_id")
             .agg(F.min("ts").alias("t"))
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
 
     t1 = stage(None, "view")
@@ -887,7 +889,7 @@ def qe32_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         # scan runs once per stage, not once per consumer (scan-lint)
         nxt = e.filter(F.col("event_type") == etype)
         if prev is None:
-            return nxt.groupBy("user_id").agg(F.min("ts").alias("t")).localCheckpoint(eager=True)
+            return nxt.groupBy("user_id").agg(F.min("ts").alias("t")).transform(cut_lineage)
         return (
             nxt.join(
                 prev.select(F.col("user_id").alias("pu"), F.col("t").alias("pt")),
@@ -895,7 +897,7 @@ def qe32_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("user_id")
             .agg(F.min("ts").alias("t"))
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
 
     t1 = stage(None, "view")

@@ -20,6 +20,8 @@ and leak nothing.
 
 from __future__ import annotations
 
+from pyspark_distributed_kmodes_spark.functions.lineage import cut_lineage
+
 import shutil
 import tempfile
 
@@ -80,7 +82,7 @@ def qc01_csv_ingest_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # k-row result: pin it so the temp files can go away before the
         # caller collects
-        return out.localCheckpoint(eager=True)
+        return out.transform(cut_lineage)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -137,7 +139,7 @@ def qc02_jsonl_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("lang", "source")
         )
-        return out.localCheckpoint(eager=True)
+        return out.transform(cut_lineage)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -201,6 +203,6 @@ def qe06_jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("source")
         )
-        return out.localCheckpoint(eager=True)
+        return out.transform(cut_lineage)
     finally:
         shutil.rmtree(base, ignore_errors=True)

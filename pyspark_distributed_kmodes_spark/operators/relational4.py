@@ -9,6 +9,8 @@ TPC-H one).
 
 from __future__ import annotations
 
+from pyspark_distributed_kmodes_spark.functions.lineage import cut_lineage
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -337,7 +339,7 @@ def qb34_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # k-row result: pin it so the backing tables/files can go away
         # before the caller collects (the exchange-free join plan itself
         # is asserted in tests/test_bucketing.py over write_bucketed)
-        return out.localCheckpoint(eager=True)
+        return out.transform(cut_lineage)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {li_tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {o_tbl}")
@@ -631,7 +633,7 @@ def qe24_brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(p, li["l_partkey"] == p["p_partkey"])
         .select("l_orderkey", "p_brand")
         .distinct()
-        .localCheckpoint(eager=True)  # three consumers
+        .transform(cut_lineage)  # three consumers
     )
     n = ob.agg(F.count_distinct("l_orderkey").cast("double").alias("total"))
     br = ob.groupBy("p_brand").agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))

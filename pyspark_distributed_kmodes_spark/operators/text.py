@@ -8,6 +8,8 @@ whole-stage-codegens and scales linearly with document count.
 
 from __future__ import annotations
 
+from pyspark_distributed_kmodes_spark.functions.lineage import cut_lineage
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -256,7 +258,7 @@ def ngram_jaccard_pairs(
     # fix (scan-lint). materialize=False keeps the lineage inspectable
     # for plan pins (test_plans: the anti-join must stay in the shape).
     if materialize:
-        shingles = shingles.localCheckpoint(eager=True)
+        shingles = shingles.transform(cut_lineage)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = shingles.alias("a")
     b = shingles.alias("b")

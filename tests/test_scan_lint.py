@@ -30,18 +30,55 @@ def _tiny_matrix(spark, sf_dir):
     )
 
 
-def test_lint_fires_on_planted_uncheckpointed_loop(spark, sf_dir):
-    p = _tiny_matrix(spark, sf_dir)
-    for _ in range(3):  # lineage doubles per squaring: 2^3 = 8 scans > 4
+def _square_loop(p, rounds=3):
+    """Uncheckpointed matrix-squaring: lineage doubles per round."""
+    for _ in range(rounds):  # 2^3 = 8 scans > 4
         a, b = p.alias("a"), p.alias("b")
         p = (
             a.join(b, F.col("a.dst") == F.col("b.src"))
             .groupBy(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
             .agg(F.sum(F.col("a.p") * F.col("b.p")).alias("p"))
         )
+    return p
+
+
+def test_lint_fires_on_planted_uncheckpointed_loop(spark, sf_dir):
+    p = _square_loop(_tiny_matrix(spark, sf_dir))
     plan = formatted_plan(p)
     assert table_scan_counts(plan).get("events", 0) >= 8
     assert lint_plan("planted_loop", plan), "lint must flag the uncheckpointed loop"
+
+
+def test_plan_only_mode_counts_match_eager(spark, sf_dir, reg):
+    """scan_lint/plan_report run in PLAN-ONLY mode (functions/lineage.py:
+    lazy cut_lineage + AQE off). The lineage cut appears as a LogicalRDD
+    in the static plan either way, so per-table scan multiplicities must
+    be IDENTICAL to the eager execution mode — and the planted
+    uncheckpointed loop must still fire in the mode the tools actually
+    run in. This is the twin that licenses the round-9 switch."""
+    import os
+
+    from pyspark_distributed_kmodes_spark.functions.lineage import plan_only_mode
+
+    keys = [
+        "qk13_markov_stationary",       # per-iteration cut_lineage loop
+        "qd01_neardup_pagerank",        # power iteration, checkpointed
+        "m35_empirical_bayes_shrinkage",  # checkpointed shared cells table
+    ]
+    eager = {
+        k: table_scan_counts(formatted_plan(reg[k].fn(spark, sf_dir))) for k in keys
+    }
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        plan_only_mode(spark)
+        for k in keys:
+            got = table_scan_counts(formatted_plan(reg[k].fn(spark, sf_dir)))
+            assert got == eager[k], f"{k}: plan-only {got} != eager {eager[k]}"
+        plan = formatted_plan(_square_loop(_tiny_matrix(spark, sf_dir)))
+        assert lint_plan("planted_loop", plan), "lint must fire in plan-only mode"
+    finally:
+        os.environ.pop("SPARK_GRAFT_PLAN_ONLY", None)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
 
 
 def test_lint_quiet_on_checkpointed_loop(spark, sf_dir):

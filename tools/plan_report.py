@@ -7,6 +7,7 @@ schemas. The reviewable artifact behind the "plans hold at scale" claim.
 
 from __future__ import annotations
 
+import os
 import re
 import sys
 
@@ -27,18 +28,29 @@ def summarize(plan: str) -> dict:
         "shuffles": len(re.findall(r"\(\d+\) Exchange\b", plan)),
         "pushed": re.findall(r"PushedFilters: \[([^\]]*)\]", plan),
         "scans": len(re.findall(r"\(\d+\) Scan parquet", plan)),
-        "aqe": "AdaptiveSparkPlan" in plan,
+        # under plan-only mode the built plan has no AdaptiveSparkPlan node;
+        # report the EXECUTION default from session.py instead (header note)
+        "aqe": "AdaptiveSparkPlan" in plan
+        or os.environ.get("SPARK_GRAFT_PLAN_ONLY") == "1",
     }
 
 
 def main():
+    from pyspark_distributed_kmodes_spark.functions.lineage import plan_only_mode
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("plan-report")
+    plan_only_mode(spark)  # lazy lineage cuts: build plans, run no checkpoint jobs
     reg = load_all()
     lines = [
         "# PLANS — physical-plan evidence for bench queries (auto-generated)",
         "",
         f"Source: `python tools/plan_report.py {sf_dir}` — regenerate after plan-affecting changes.",
+        "",
+        "Plans are built in plan-only mode (functions/lineage.py): lineage cuts",
+        "stay in the plan as `Scan ExistingRDD` but their fill jobs don't run,",
+        "and AQE is disabled during plan BUILD only — execution sessions enable",
+        "it (session.py), so the AQE column reports the execution default.",
         "",
         "| query | joins | shuffles | parquet scans | filters pushed to scan | AQE |",
         "|---|---|---|---|---|---|",

@@ -10,16 +10,24 @@ audits that deliberately read a table from several angles).
 
     python tools/scan_lint.py [sf_dir]        # lint the whole registry
 
-Semantics and caveats (round-7 ADVICE):
-- Building a query's plan executes its eager localCheckpoints — that is
-  INTENTIONAL: the lint measures the as-executed scan shape, where a
-  checkpointed shared intermediate appears as an RDD scan, not a parquet
-  re-scan. A lazy-lineage mode would count the untruncated logical tree
-  and flag every checkpoint-bounded query; eager is the semantics.
-- Checkpointed RDD blocks stay pinned on executors until the Python
-  DataFrame is GC'd (ContextCleaner frees them); the registry sweep
-  gc.collect()s between queries so a 412-query pass does not accumulate
-  hundreds of pinned blocks.
+Semantics and caveats (round-7 ADVICE, revised round 9):
+- The lint measures the AS-EXECUTED scan shape, where a checkpointed
+  shared intermediate appears as an RDD scan, not a parquet re-scan. A
+  raw lazy-lineage mode would count the untruncated logical tree and
+  flag every checkpoint-bounded query — so the lineage cut must stay in
+  the plan. Round 9 moved the cut behind functions/lineage.cut_lineage:
+  this tool enables PLAN-ONLY mode (lazy localCheckpoint + AQE off),
+  where Spark still swaps the lineage for a LogicalRDD immediately —
+  scan counts are IDENTICAL to the eager mode (pinned by
+  tests/test_scan_lint.py's plan-only twin) — but the checkpoint-fill
+  jobs never run, so the 447-plan sweep stops executing ~450 queries'
+  worth of intermediates. Queries whose plan CONSTRUCTION needs a
+  driver-side scalar (collected median cuts, day dictionaries) still
+  run those jobs; that is inherent.
+- In eager contexts, checkpointed RDD blocks stay pinned on executors
+  until the Python DataFrame is GC'd (ContextCleaner frees them); the
+  registry sweep gc.collect()s between queries so a full pass does not
+  accumulate hundreds of pinned blocks.
 - Under-count caveat: 'formatted' plans deduplicate repeated scans under
   ReusedExchange / ReusedSubquery nodes, so a table consumed N times via
   one reused exchange counts once. That direction is safe for THIS lint
@@ -84,8 +92,11 @@ def main() -> int:
     from pyspark_distributed_kmodes_spark.session import get_spark
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    from pyspark_distributed_kmodes_spark.functions.lineage import plan_only_mode
+
     spark = get_spark("scan-lint")
     spark.sparkContext.setLogLevel("ERROR")
+    plan_only_mode(spark)  # lazy lineage cuts: build plans, run no checkpoint jobs
     reg = load_all()
     bad: list[tuple[str, list[str]]] = []
     worst: list[tuple[int, str, str]] = []
