@@ -3,7 +3,18 @@ stay valid and cardinalities really grow) into a temp dir, then time the
 headline queries at both scales. Near-linear growth = the plans hold;
 super-linear growth = a shuffle/crossjoin bottleneck to fix.
 
-    python tools/scale_probe.py [K]
+    python tools/scale_probe.py [K] [--unique-text] [--only q1,q2,...]
+
+--unique-text: Caesar-shift each document-text replica by its replica
+index (bijective letter map — length-preserving, within-replica dup
+structure EXACTLY preserved, cross-replica shingle sets disjoint). The
+default identical-text replication makes the TRUE near-dup pair/triangle
+workload grow ~K² (every doc gains K-1 exact twins), so readings for
+qi01/qg04/m30 measure that real quadratic workload, not a plan defect
+(the documented "replication artifact"). Unique-text mode grows true
+pair work ~linearly and is the honest probe for those queries.
+
+--only: comma-separated subset of PROBE_QUERIES to run.
 """
 
 from __future__ import annotations
@@ -111,7 +122,18 @@ PROBE_QUERIES = [
 ]
 
 
-def replicate(spark, src_dir: str, dst_dir: str, k: int) -> None:
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _caesar(col, shift: int):
+    """Per-replica bijective letter map (both cases), identity at shift 0."""
+    if shift % 26 == 0:
+        return col
+    rot = _ALPHA[shift % 26 :] + _ALPHA[: shift % 26]
+    return F.translate(col, _ALPHA + _ALPHA.upper(), rot + rot.upper())
+
+
+def replicate(spark, src_dir: str, dst_dir: str, k: int, unique_text: bool = False) -> None:
     for t in TABLES:
         df = table(spark, src_dir, t)
         if t in REPLICATED:
@@ -121,6 +143,8 @@ def replicate(spark, src_dir: str, dst_dir: str, k: int) -> None:
                 for col, stride in KEY_SHIFTS[t].items():
                     if stride:
                         rep = rep.withColumn(col, F.col(col) + F.lit(i * stride))
+                if unique_text and t == "documents":
+                    rep = rep.withColumn("text", _caesar(F.col("text"), i))
                 parts.append(rep)
             out = parts[0]
             for p in parts[1:]:
@@ -130,9 +154,9 @@ def replicate(spark, src_dir: str, dst_dir: str, k: int) -> None:
         out.write.mode("overwrite").parquet(f"{dst_dir}/{t}.parquet")
 
 
-def time_queries(spark, reg, sf_dir: str) -> dict:
+def time_queries(spark, reg, sf_dir: str, names=None) -> dict:
     out = {}
-    for name in PROBE_QUERIES:
+    for name in names or PROBE_QUERIES:
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
@@ -146,21 +170,31 @@ def time_queries(spark, reg, sf_dir: str) -> dict:
 
 
 def main():
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    k = int(pos[0]) if pos else 10
+    unique_text = "--unique-text" in sys.argv
+    names = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only"):
+            names = a.split("=", 1)[1].split(",") if "=" in a else None
+    if names is None and "--only" in sys.argv:
+        names = sys.argv[sys.argv.index("--only") + 1].split(",")
     spark = get_spark("scale-probe")
     reg = load_all()
     base = "/root/testdata/sf0.1"
     big = tempfile.mkdtemp(prefix="scale_probe_")
     try:
-        replicate(spark, base, big, k)
-        t_small = time_queries(spark, reg, base)
-        t_big = time_queries(spark, reg, big)
+        replicate(spark, base, big, k, unique_text=unique_text)
+        t_small = time_queries(spark, reg, base, names)
+        t_big = time_queries(spark, reg, big, names)
         report = {
             "k": k,
+            "unique_text": unique_text,
             "sf0.1_sec": t_small,
             f"sf0.1x{k}_sec": t_big,
             "scaling_factor": {
-                q: round(t_big[q] / max(t_small[q], 0.05), 1) for q in PROBE_QUERIES
+                q: round(t_big[q] / max(t_small[q], 0.05), 1)
+                for q in (names or PROBE_QUERIES)
             },
         }
         print(json.dumps(report, indent=2))
