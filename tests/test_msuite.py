@@ -6,7 +6,12 @@ and log loss from the confusion cells, NDCG from a hand rank loop,
 BH step-up over the p list), algebra identities (checksum merge,
 Markov row sums, Bloom no-false-negatives, triangle inequality), the
 z-order locality ordering, and the streaming pair's equality to
-one-shot batch answers.
+one-shot batch answers. The round-9 batch at the bottom adds
+sign/direction/bound invariants + brute-force re-derivations (Mood's
+median, Grubbs, odds-ratio CI, Brunner-Munzel, variance-ratio, ADF
+OLS, Nelson-Aalen, Lorenz) for the m-keys that only had oracle
+coverage — targeting the both-engines-wrong bug class the hash gate
+cannot catch (the m22 find).
 """
 
 import math
@@ -310,3 +315,224 @@ def test_m02_restart_equals_batch_counts(spark, sf_dir, reg, duck):
     assert len(got) == len(truth)
     for (gw, gt, gn), (tw, tt, tn) in zip(got, truth):
         assert (gw, gt, gn) == (tw, tt, tn)
+
+
+# ---------------------------------------------------------------------------
+# Round-9 semantic batch (verdict item 8): sign/direction/bound
+# invariants + independent re-derivations for the m-keys that only had
+# oracle coverage. These target the one bug class the hash gate cannot
+# catch — a formula wrong the same way on both engines (the m22 find).
+
+
+def test_m04_error_bounds_hold(spark, sf_dir, reg):
+    rows = reg["m04_mae_rmse_bound_audit"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.mae_le_rmse and r.rmse_le_max, r
+        assert r.n_days > 0
+        # Cauchy-Schwarz: MAE <= RMSE, independently of the audit flags
+        assert -1e-9 <= r.mae <= math.sqrt(r.mse) + 1e-9, r
+
+
+def test_m09_moods_median_matches_python(spark, sf_dir, reg, duck):
+    r = reg["m09_moods_median"].fn(spark, sf_dir).collect()[0]
+    bals = duck.execute("SELECT c_nationkey, c_acctbal FROM customer").fetchall()
+    vs = sorted(b for _, b in bals)
+    n = len(vs)
+    gm = vs[-(-n // 2) - 1]  # smallest v with cum count >= ceil(n/2)
+    assert float(r.grand_median) == float(gm)
+    cells = {}
+    for nk, b in bals:
+        a, t = cells.get(nk, (0, 0))
+        cells[nk] = (a + (1 if b > gm else 0), t + 1)
+    ga = sum(a for a, _ in cells.values())
+    gn = sum(t for _, t in cells.values())
+    assert (r.n_above, r.n_total, r.df) == (ga, gn, len(cells) - 1)
+    pa = ga / gn
+    chi2 = sum(
+        (a - t * pa) ** 2 / (t * pa) + ((t - a) - t * (1 - pa)) ** 2 / (t * (1 - pa))
+        for a, t in cells.values()
+    )
+    assert abs(r.chi2 - chi2) < 1e-3
+    assert r.chi2 >= 0
+
+
+def test_m11_grubbs_bound_and_argmax(spark, sf_dir, reg, duck):
+    r = reg["m11_grubbs_outlier"].fn(spark, sf_dir).collect()[0]
+    n = duck.execute("SELECT COUNT(*) FROM customer").fetchone()[0]
+    # self-consistency against the reported moments
+    dev = duck.execute(
+        "SELECT c_custkey, ABS(CAST(c_acctbal AS DOUBLE) - ?) AS dv FROM customer "
+        "ORDER BY dv DESC, c_custkey ASC LIMIT 1",
+        [r.mean_bal],
+    ).fetchone()
+    assert r.outlier_custkey == dev[0]
+    assert abs(r.grubbs_g - dev[1] / r.sd_bal) < 1e-4
+    # the mathematical maximum of the Grubbs statistic is (n-1)/sqrt(n)
+    assert 0 < r.grubbs_g <= (n - 1) / math.sqrt(n) + 1e-9
+
+
+def test_m12_odds_ratio_ci_identities(spark, sf_dir, reg):
+    r = reg["m12_odds_ratio_ci"].fn(spark, sf_dir).collect()[0]
+    # Haldane-Anscombe +0.5 correction (visible at sf0.001, where three
+    # cells are empty) — the estimator must match it exactly
+    a, b, c, d = r.a + 0.5, r.b + 0.5, r.c + 0.5, r.d + 0.5
+    or_ = (a * d) / (b * c)
+    assert abs(r.odds_ratio - or_) / or_ < 1e-4
+    assert 0 < r.ci_lo <= r.odds_ratio <= r.ci_hi
+    # Wald CI is symmetric in log space
+    up = math.log(r.ci_hi) - math.log(r.odds_ratio)
+    dn = math.log(r.odds_ratio) - math.log(r.ci_lo)
+    assert abs(up - dn) < 1e-3
+    # and half-width = 1.96 * sqrt(sum of reciprocal corrected cells)
+    se = math.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
+    assert abs(up - 1.96 * se) < 1e-3
+
+
+def test_m14_brunner_munzel_matches_bruteforce(spark, sf_dir, reg, duck):
+    r = reg["m14_brunner_munzel"].fn(spark, sf_dir).collect()[0]
+    from collections import Counter
+
+    en = Counter(
+        v for (v,) in duck.execute(
+            "SELECT n_chars FROM documents WHERE lang = 'en'"
+        ).fetchall()
+    )
+    de = Counter(
+        v for (v,) in duck.execute(
+            "SELECT n_chars FROM documents WHERE lang = 'de'"
+        ).fetchall()
+    )
+    n1, n2 = sum(en.values()), sum(de.values())
+    assert (r.n1, r.n2) == (n1, n2)
+    # p_hat = P(X<Y) + 0.5 P(X=Y), X ~ en lengths, Y ~ de lengths
+    num = sum(
+        cx * cy * (1.0 if x < y else 0.5 if x == y else 0.0)
+        for x, cx in en.items()
+        for y, cy in de.items()
+    )
+    p_hat = num / (n1 * n2)
+    assert abs(r.p_hat - p_hat) < 1e-5
+    assert 0.0 <= r.p_hat <= 1.0
+    # the studentized statistic must point the same way as the effect
+    if abs(r.p_hat - 0.5) > 1e-6:
+        assert (r.w_bm > 0) == (r.p_hat > 0.5)
+
+
+def _daily_log_revenue(duck):
+    rows = duck.execute(
+        """SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+                  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS rev
+           FROM events GROUP BY 1 ORDER BY d"""
+    ).fetchall()
+    return [math.log(rev) for _, rev in rows]
+
+
+def test_m17_variance_ratio_matches_python(spark, sf_dir, reg, duck):
+    r = reg["m17_variance_ratio_test"].fn(spark, sf_dir).collect()[0]
+    q = 5  # _M17_Q
+    ly = _daily_log_revenue(duck)
+    r1 = [ly[t] - ly[t - 1] for t in range(1, len(ly))]
+    rq = [ly[t] - ly[t - q] for t in range(q, len(ly))]
+    assert r.n_returns == len(r1)
+    mu1 = sum(r1) / len(r1)
+    s1 = sum((x - mu1) ** 2 for x in r1) / len(r1)
+    sq = sum((x - q * mu1) ** 2 for x in rq) / len(rq)
+    vr = sq / (q * s1)
+    assert abs(r.vr - vr) / vr < 1e-3
+    z = (vr - 1.0) / math.sqrt(2.0 * (2 * q - 1) * (q - 1) / (3.0 * q * len(r1)))
+    assert abs(r.z - z) < max(1e-2, abs(z) * 1e-2)
+    if abs(vr - 1.0) > 1e-3:
+        assert (r.z > 0) == (vr > 1.0)
+
+
+def test_m19_adf_matches_ols(spark, sf_dir, reg, duck):
+    r = reg["m19_adf_lag1"].fn(spark, sf_dir).collect()[0]
+    ly = _daily_log_revenue(duck)
+    x = ly[:-1]
+    dy = [ly[t] - ly[t - 1] for t in range(1, len(ly))]
+    n = len(x)
+    sx, sy = sum(x), sum(dy)
+    sxx = sum(v * v for v in x)
+    sxy = sum(a * b for a, b in zip(x, dy))
+    gamma = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    alpha = (sy - gamma * sx) / n
+    rss = sum((b - alpha - gamma * a) ** 2 for a, b in zip(x, dy))
+    se = math.sqrt((rss / (n - 2)) * n / (n * sxx - sx * sx))
+    assert abs(r.gamma - gamma) < max(1e-6, abs(gamma) * 1e-3)
+    assert abs(r.t_stat - gamma / se) < max(1e-3, abs(gamma / se) * 1e-2)
+    if abs(gamma) > 1e-9:
+        assert (r.t_stat < 0) == (gamma < 0)
+
+
+def test_m23_nelson_aalen_monotone_and_breslow(spark, sf_dir, reg):
+    rows = reg["m23_nelson_aalen"].fn(spark, sf_dir).collect()
+    assert rows
+    prev_h, prev_s, prev_risk = -1.0, 2.0, None
+    for r in rows:  # ordered by week
+        assert r.n_events <= r.n_at_risk
+        if prev_risk is not None:
+            assert r.n_at_risk <= prev_risk  # risk set only shrinks
+        assert r.cum_hazard >= prev_h - 1e-9  # hazard accumulates
+        assert 0.0 < r.s_breslow <= 1.0
+        assert r.s_breslow <= prev_s + 1e-9  # survival non-increasing
+        assert abs(r.s_breslow - math.exp(-r.cum_hazard)) < 1e-4
+        prev_h, prev_s, prev_risk = r.cum_hazard, r.s_breslow, r.n_at_risk
+
+
+def test_m25_wider_shingles_are_stricter(spark, sf_dir, reg):
+    rows = reg["m25_shingle_width_sweep"].fn(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    prev = None
+    for r in rows:  # ordered by width
+        assert 0.0 <= r.dup_mass <= 1.0
+        assert r.n_shared <= r.n_distinct <= r.n_occurrences
+        if prev is not None:
+            # a duplicated w+1-shingle occurrence implies duplicated
+            # w-shingle occurrences, so duplicate mass can only fall
+            assert r.dup_mass <= prev.dup_mass + 1e-9, (prev.width, r.width)
+        prev = r
+
+
+def test_m28_tombstone_ledger_identities(spark, sf_dir, reg):
+    r = reg["m28_cdc_tombstone_apply"].fn(spark, sf_dir).collect()[0]
+    assert r.n_live + r.n_tombstoned == r.n_keys
+    assert r.n_tombstoned <= r.n_delete_ops  # a delete may be overwritten
+    assert r.n_keys <= r.n_ops
+    assert r.n_live > 0 and math.isfinite(r.live_value_sum)
+
+
+def test_m31_entropy_bounds_and_identity(spark, sf_dir, reg):
+    rows = reg["m31_next_event_entropy"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_successors <= r.n_transitions
+        assert -1e-9 <= r.entropy <= math.log(r.n_successors) + 1e-6, r
+        assert -1e-6 <= r.predictability <= 1.0 + 1e-6
+        if r.n_successors > 1:
+            assert (
+                abs(r.predictability - (1.0 - r.entropy / math.log(r.n_successors)))
+                < 1e-4
+            )
+        else:
+            assert r.predictability == 1.0
+
+
+def test_m32_did_is_the_cell_difference(spark, sf_dir, reg):
+    r = reg["m32_did_estimator"].fn(spark, sf_dir).collect()[0]
+    assert abs(r.did - ((r.t_post - r.t_pre) - (r.c_post - r.c_pre))) < 1e-4
+
+
+def test_m33_lorenz_curves_well_formed(spark, sf_dir, reg):
+    rows = reg["m33_lorenz_dominance"].fn(spark, sf_dir).collect()
+    assert len(rows) == 9  # interior deciles; L(0)=0 and L(1)=1 implicit
+    prev_b, prev_o = -1e-9, -1e-9
+    flags = {r.building_dominates for r in rows}
+    assert len(flags) == 1  # the dominance verdict is a single fact
+    for r in rows:
+        assert 0.0 <= r.lorenz_building <= 1.0 and 0.0 <= r.lorenz_other <= 1.0
+        assert r.lorenz_building >= prev_b and r.lorenz_other >= prev_o
+        assert abs(r.gap - (r.lorenz_building - r.lorenz_other)) < 2e-6
+        prev_b, prev_o = r.lorenz_building, r.lorenz_other
+    dominates = all(r.gap >= -1e-6 for r in rows)
+    assert flags == {dominates}
