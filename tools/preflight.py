@@ -59,8 +59,11 @@ def run_gate(name: str, cmd: list, env: dict) -> tuple[bool, float, str]:
     lines = [
         l for l in (proc.stdout + proc.stderr).strip().splitlines()
         if l.strip() and "Stage" not in l and not l.lstrip().startswith("[")
+        and " WARN " not in l  # log4j warnings land on stderr AFTER the summary
     ]
-    last = lines[-1][:100] if lines else ""
+    # prefer the gate's own summary line over whatever happened to be last
+    summary = [l for l in lines if "pass," in l or "OK —" in l or "passed" in l]
+    last = (summary[-1] if summary else lines[-1] if lines else "")[:100]
     return proc.returncode == 0, dt, last
 
 
