@@ -92,17 +92,21 @@ this). History:
            window is exactly l01-l14 + m01-m35 + m58, which includes
            m58 === q58_language_id, the registry's last oracle-gated
            key without a driver hash row.
-  ROUND-10 PLAN (decided now, per the round-8 verdict item #2): after
-           the l/m drain there are ZERO never-driver-checked keys
-           left. Round 10 is a deliberate RE-CERTIFICATION round: the
-           l/m keys rotate out (l -> ql, m -> qm, number preserved)
-           and the window falls to the NATURAL first 50 sorted keys —
-           q01-q50, the round-1 rows, which by then are 9 rounds old
-           and predate the type-audit / scan-lint / invariance-sweep
-           eras. No renames are needed to achieve this (it is the
-           default sort order once l/m leave), and NO new suite is
-           grown just to fill the window; any n-prefix staging is
-           reserved for genuinely-new capabilities.
+  ROUND-10 PLAN (decided round 9, per the round-8 verdict item #2):
+           after the l/m drain there are ZERO never-driver-checked
+           keys left except the n-suite (below). Round 10 is a
+           re-certification round: the l/m keys rotate out (l -> ql,
+           m -> qm, number preserved) and the window falls to the
+           natural first 50 sorted keys. The n-prefix stays reserved
+           for genuinely-new CAPABILITIES (never window filler);
+           round 9 staged exactly six — n01/n02 recursive CTEs,
+           n03/n04 SQL scalar + table UDFs, n05 collated grouping,
+           n06 the state-store reader (operators/analytics11.py) —
+           so the round-10 window is n01-n06 + q01-q44: the new
+           surface gets driver-verified first, and the remaining 44
+           slots re-certify the oldest round-1 rows (9 rounds old,
+           predating the type-audit / scan-lint / invariance-sweep
+           eras). q45-q50 re-certify in round 11.
 
 Implementations live in pyspark_distributed_kmodes_spark/; this module
 is a thin adapter over its registry.

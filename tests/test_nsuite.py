@@ -1,0 +1,139 @@
+"""Independent re-derivations for the round-9 n-suite (new engine
+surface, operators/analytics11.py): a Python BFS for the recursive
+reachability, the digit-length identity for the hierarchy walk, pandas
+re-computations for the SQL-UDF aggregates and the lateral top-k
+(including the regression pin for the correlated ORDER BY+LIMIT
+table-UDF pitfall), a python token counter for the collated grouping,
+and batch-vs-state equality for the statestore reader."""
+
+from collections import Counter, defaultdict, deque
+
+import pytest
+
+from pyspark_distributed_kmodes_spark.registry import load_all
+
+
+@pytest.fixture(scope="module")
+def reg():
+    return load_all()
+
+
+def test_n01_matches_python_bfs(spark, sf_dir, reg, duck):
+    rows = reg["n01_recursive_reachability"].fn(spark, sf_dir).collect()
+    nations = duck.execute(
+        "SELECT n_nationkey, n_regionkey FROM nation ORDER BY n_nationkey"
+    ).fetchall()
+    adj = defaultdict(set)
+    for k, r in nations:
+        for k2, r2 in nations:
+            if k != k2 and (r == r2 or abs(k - k2) == 1):
+                adj[k].add(k2)
+    seed = min(k for k, _ in nations)
+    dist = {seed: 0}
+    dq = deque([seed])
+    while dq:
+        u = dq.popleft()
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    got = {r.n_nationkey: r.hops for r in rows}
+    expect = {k: d for k, d in dist.items() if d <= 6}
+    assert got == expect
+    assert got[seed] == 0
+
+
+def test_n02_depth_is_digit_length(spark, sf_dir, reg, duck):
+    rows = reg["n02_recursive_hierarchy_rollup"].fn(spark, sf_dir).collect()
+    custs = duck.execute("SELECT c_custkey, c_acctbal FROM customer").fetchall()
+    by_depth = defaultdict(list)
+    roots = defaultdict(set)
+    for k, bal in custs:
+        d = len(str(k)) - 1
+        by_depth[d].append(bal)
+        roots[d].add(int(str(k)[0]))
+    assert sorted(r.depth for r in rows) == sorted(by_depth)
+    for r in rows:
+        assert r.n_nodes == len(by_depth[r.depth])
+        assert r.n_roots == len(roots[r.depth])
+        assert abs(r.sum_acctbal - sum(by_depth[r.depth])) < 0.05
+    # every customer is reachable exactly once across all depths
+    assert sum(r.n_nodes for r in rows) == len(custs)
+
+
+def test_n03_matches_python_recompute(spark, sf_dir, reg, duck):
+    rows = reg["n03_sql_scalar_udf"].fn(spark, sf_dir).collect()
+    raw = duck.execute(
+        "SELECT l_returnflag, l_quantity, l_extendedprice, l_discount FROM lineitem"
+    ).fetchall()
+    agg = defaultdict(lambda: [0, 0.0])
+    for flag, qty, price, disc in raw:
+        band = "small" if qty < 10 else ("mid" if qty < 30 else "large")
+        agg[(flag, band)][0] += 1
+        agg[(flag, band)][1] += price * (1 - disc)
+    assert len(rows) == len(agg)
+    for r in rows:
+        n, rev = agg[(r.l_returnflag, r.qty_band)]
+        assert r.n_rows == n
+        assert abs(r.disc_revenue - rev) < 0.5  # fp accumulation slack
+
+
+def test_n04_topk_per_customer_not_global(spark, sf_dir, reg, duck):
+    """Regression pin for the correlated ORDER BY+LIMIT table-UDF
+    pitfall: the buggy form returns ONE row globally; the correct form
+    returns min(3, n_orders) rows per customer with the right keys."""
+    rows = reg["n04_sql_table_udf_lateral"].fn(spark, sf_dir).collect()
+    orders = duck.execute(
+        "SELECT o_custkey, o_orderkey, o_totalprice FROM orders WHERE o_custkey < 50"
+    ).fetchall()
+    per = defaultdict(list)
+    for ck, ok, price in orders:
+        per[ck].append((-price, ok))
+    expect = {}
+    for ck, lst in per.items():
+        expect[ck] = [ok for _, ok in sorted(lst)[:3]]
+    got = defaultdict(list)
+    for r in rows:
+        got[r.c_custkey].append(r.o_orderkey)
+    assert {k: sorted(v) for k, v in got.items()} == {
+        k: sorted(v) for k, v in expect.items()
+    }
+    # the global-limit bug would collapse this to a single row
+    assert len(rows) == sum(min(3, len(v)) for v in per.values())
+
+
+def test_n05_matches_python_counter(spark, sf_dir, reg, duck):
+    import re as _re
+
+    rows = reg["n05_collated_token_grouping"].fn(spark, sf_dir).collect()
+    texts = [t[0] for t in duck.execute("SELECT text FROM documents").fetchall()]
+    ci = Counter()
+    variants = defaultdict(set)
+    for t in texts:
+        for tok in _re.split(r"[^A-Za-z]+", t):
+            if _re.fullmatch(r"[A-Za-z]{3,}", tok):
+                ci[tok.lower()] += 1
+                variants[tok.lower()].add(tok)
+    top = sorted(ci.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r.token_ci, r.n_occ) for r in rows] == top
+    for r in rows:
+        assert r.n_case_variants == len(variants[r.token_ci])
+
+
+def test_n06_state_equals_batch(spark, sf_dir, reg, duck):
+    rows = reg["n06_statestore_reader"].fn(spark, sf_dir).collect()
+    expect = dict(
+        (t, (n, s))
+        for t, n, s in duck.execute(
+            "SELECT event_type, COUNT(*), SUM(event_id) FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    assert {r.event_type: (r.n_events, r.sum_event_id) for r in rows} == expect
+
+
+def test_sql_udf_is_inlined_not_python(spark, sf_dir, reg):
+    """The SQL scalar UDF must inline into codegen — no BatchEvalPython
+    / ArrowEvalPython node may appear in the plan."""
+    df = reg["n03_sql_scalar_udf"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
