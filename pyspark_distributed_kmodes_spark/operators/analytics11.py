@@ -20,6 +20,9 @@ proven against the DuckDB oracle:
        runs to a checkpoint, then `spark.read.format("statestore")`
        reads the operator state BACK and it must hash-match the batch
        aggregate — state introspection as a first-class source.
+  n07  session variables + EXECUTE IMMEDIATE — DECLARE VARIABLE filled
+       from a scalar subquery, bound via a ? marker into a dynamic
+       statement; the oracle computes the same cutoff inline.
 
 Per the documented round-10 plan (__spark_entry__.py), the n-prefix is
 reserved for genuinely-new capabilities; these six keys sort between
@@ -369,6 +372,60 @@ def n05_collated_token_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occ"), F.asc("token_ci"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# n07 — session variables + EXECUTE IMMEDIATE (dynamic SQL front door)
+
+_N07_EXEC = """EXECUTE IMMEDIATE
+  'SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_above,
+          {rev} AS sum_above
+   FROM orders WHERE o_totalprice > ? GROUP BY o_orderpriority
+   ORDER BY o_orderpriority'
+  USING n07_cutoff""".format(
+    rev=sql_pround("CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)", 2)
+)
+
+_N07_ORACLE = """
+WITH cutoff AS (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS c
+  FROM orders
+)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_above,
+       {rev} AS sum_above
+FROM orders, cutoff WHERE o_totalprice > cutoff.c
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""".format(rev=sql_pround("CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)", 2))
+
+
+@query("n07_session_variable_exec", oracle=_N07_ORACLE, tags=("sql", "variables"))
+def n07_session_variable_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-SQL front door: a SESSION VARIABLE (`DECLARE VARIABLE`)
+    is filled from a scalar subquery (`SET VAR ... = (SELECT avg)`),
+    then EXECUTE IMMEDIATE runs a parameterized statement binding the
+    variable through a `?` marker — orders above the mean total price,
+    counted and summed per priority. The oracle computes the identical
+    cutoff inline via a CTE, so the variable plumbing must be exactly
+    value-preserving.
+
+    Determinism: the cutoff is the decimal-exact-sum / count average
+    (one IEEE division, identical on both engines), so the `>` cut
+    classifies every row identically; the per-group sum uses the same
+    decimal pattern with one final floor-round.
+
+    Scale: SET VAR executes the scalar aggregate once on the cluster
+    and stores ONE double on the driver — the same footprint as the
+    engine's 1-row scalar-collect pattern, but expressed in pure SQL;
+    the dynamic statement plans like any static query (full pushdown,
+    map-side partial aggregation on the 5-value priority key).
+    """
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE n07_cutoff DOUBLE")
+    spark.sql(
+        "SET VAR n07_cutoff = (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) "
+        "AS DOUBLE) / COUNT(*) FROM orders)"
+    )
+    return spark.sql(_N07_EXEC)
 
 
 # ---------------------------------------------------------------------------

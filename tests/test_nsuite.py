@@ -137,3 +137,26 @@ def test_sql_udf_is_inlined_not_python(spark, sf_dir, reg):
     df = reg["n03_sql_scalar_udf"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_n07_cutoff_is_mean_and_counts_match(spark, sf_dir, reg, duck):
+    rows = reg["n07_session_variable_exec"].fn(spark, sf_dir).collect()
+    raw = duck.execute("SELECT o_orderpriority, o_totalprice FROM orders").fetchall()
+    mean = sum(p for _, p in raw) / len(raw)
+    per = defaultdict(lambda: [0, 0.0])
+    for pr, price in raw:
+        if price > mean:
+            per[pr][0] += 1
+            per[pr][1] += price
+    assert {r.o_orderpriority: r.n_above for r in rows} == {
+        k: v[0] for k, v in per.items()
+    }
+    for r in rows:
+        assert abs(r.sum_above - per[r.o_orderpriority][1]) < 0.5
+
+
+def test_named_parameter_binding(spark):
+    """pyspark parameterized SQL (named markers via args=) — the API
+    sibling of n07's EXECUTE IMMEDIATE ? binding."""
+    r = spark.sql("SELECT :a * 2 + :b AS v", args={"a": 20, "b": 2}).collect()
+    assert r[0].v == 42
