@@ -25,7 +25,7 @@ proven against the DuckDB oracle:
        statement; the oracle computes the same cutoff inline.
 
 Per the documented round-10 plan (__spark_entry__.py), the n-prefix is
-reserved for genuinely-new capabilities; these six keys sort between
+reserved for genuinely-new capabilities; these seven keys sort between
 the round-9 l/m window and the q-space, so they join the round-10
 driver window ahead of the q01+ re-certification rows.
 
@@ -74,7 +74,7 @@ WITH RECURSIVE bi(a, b) AS (
 ), reach(node, d) AS (
   SELECT CAST(MIN(n_nationkey) AS BIGINT), 0 FROM nation
   UNION ALL
-  SELECT bi.b, reach.d + 1 FROM reach JOIN bi ON bi.a = reach.node WHERE reach.d < 6
+  SELECT bi.b, reach.d + 1 FROM reach JOIN bi ON bi.a = reach.node WHERE reach.d < 4
 )
 SELECT CAST(node AS INTEGER) AS n_nationkey, CAST(MIN(d) AS INTEGER) AS hops
 FROM reach GROUP BY node ORDER BY n_nationkey
@@ -94,7 +94,7 @@ WITH RECURSIVE edges(a, b) AS (
 ), reach(node, d) AS (
   SELECT CAST(MIN(n_nationkey) AS BIGINT), 0 FROM nation
   UNION ALL
-  SELECT bi.b, reach.d + 1 FROM reach JOIN bi ON bi.a = reach.node WHERE reach.d < 6
+  SELECT bi.b, reach.d + 1 FROM reach JOIN bi ON bi.a = reach.node WHERE reach.d < 4
 )
 SELECT CAST(node AS INTEGER) AS n_nationkey, CAST(MIN(d) AS INTEGER) AS hops
 FROM reach GROUP BY node ORDER BY n_nationkey
@@ -114,12 +114,13 @@ def n01_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     Semantics: UNION ALL recursion with an explicit depth bound, then
     MIN(d) per node — textbook BFS-as-SQL (revisits at longer depth
     are collapsed by the final aggregate, so the result is the true
-    shortest-hop distance for every node within 6 hops).
+    shortest-hop distance for every node within 4 hops).
 
     Scale: the edge dictionary is nation-bounded (25 nodes, ~150
     directed edges) and localCheckpointed once, so the recursion's
     frontier join never touches a data-sized table; depth is capped at
-    6 iterations. Unbounded-graph reachability belongs to the
+    4 iterations (the 25-node graph's diameter is <=3 at every SF —
+    nation is size-fixed — so the cap is diameter+1, not a guess). Unbounded-graph reachability belongs to the
     pointer-doubling path (qc03/q97), not SQL recursion — documented
     engine guidance, not an accident.
     """

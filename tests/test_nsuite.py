@@ -38,7 +38,7 @@ def test_n01_matches_python_bfs(spark, sf_dir, reg, duck):
                 dist[v] = dist[u] + 1
                 dq.append(v)
     got = {r.n_nationkey: r.hops for r in rows}
-    expect = {k: d for k, d in dist.items() if d <= 6}
+    expect = {k: d for k, d in dist.items() if d <= 4}
     assert got == expect
     assert got[seed] == 0
 
