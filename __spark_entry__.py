@@ -99,15 +99,16 @@ this). History:
            m -> qm, number preserved) and the window falls to the
            natural first 50 sorted keys. The n-prefix stays reserved
            for genuinely-new CAPABILITIES (never window filler);
-           round 9 staged exactly seven — n01/n02 recursive CTEs,
+           round 9 staged exactly eight — n01/n02 recursive CTEs,
            n03/n04 SQL scalar + table UDFs, n05 collated grouping,
            n06 the state-store reader, n07 session variables +
-           EXECUTE IMMEDIATE (operators/analytics11.py) — so the
-           round-10 window is n01-n07 + q01-q43: the new surface
-           gets driver-verified first, and the remaining 43 slots
-           re-certify the oldest round-1 rows (9 rounds old,
-           predating the type-audit / scan-lint / invariance-sweep
-           eras). q44-q50 re-certify in round 11.
+           EXECUTE IMMEDIATE, n08 SQL pipe syntax
+           (operators/analytics11.py) — so the round-10 window is
+           n01-n08 + q01-q42: the new surface gets driver-verified
+           first, and the remaining 42 slots re-certify the oldest
+           round-1 rows (9 rounds old, predating the type-audit /
+           scan-lint / invariance-sweep eras). q43-q50 re-certify
+           in round 11.
 
 Implementations live in pyspark_distributed_kmodes_spark/; this module
 is a thin adapter over its registry.

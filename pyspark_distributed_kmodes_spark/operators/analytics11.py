@@ -23,9 +23,12 @@ proven against the DuckDB oracle:
   n07  session variables + EXECUTE IMMEDIATE — DECLARE VARIABLE filled
        from a scalar subquery, bound via a ? marker into a dynamic
        statement; the oracle computes the same cutoff inline.
+  n08  SQL pipe syntax (`|>` operators) — FROM |> WHERE |> EXTEND |>
+       AGGREGATE |> WHERE |> ORDER BY; the oracle is the classic
+       nested form.
 
 Per the documented round-10 plan (__spark_entry__.py), the n-prefix is
-reserved for genuinely-new capabilities; these seven keys sort between
+reserved for genuinely-new capabilities; these eight keys sort between
 the round-9 l/m window and the q-space, so they join the round-10
 driver window ahead of the q01+ re-certification rows.
 
@@ -373,6 +376,55 @@ def n05_collated_token_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occ"), F.asc("token_ci"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# n08 — SQL pipe syntax (|> operators)
+
+_N08_SQL = """
+FROM lineitem
+|> WHERE l_quantity < 25
+|> EXTEND CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)) AS disc_price
+|> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_rows,
+             {rev} AS revenue
+   GROUP BY l_returnflag, l_linestatus
+|> WHERE n_rows >= 10
+|> ORDER BY l_returnflag, l_linestatus
+""".format(rev=sql_pround("CAST(SUM(disc_price) AS DOUBLE)", 2))
+
+_N08_ORACLE = """
+SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {rev} AS revenue
+FROM lineitem WHERE l_quantity < 25
+GROUP BY 1, 2 HAVING COUNT(*) >= 10
+ORDER BY l_returnflag, l_linestatus
+""".format(
+    rev=sql_pround(
+        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)", 2
+    )
+)
+
+
+@query("n08_sql_pipe_syntax", oracle=_N08_ORACLE, tags=("sql", "pipe"))
+def n08_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE syntax (Spark 4 `|>` operators): the pricing summary
+    written as a linear pipeline — FROM |> WHERE |> EXTEND (computed
+    column) |> AGGREGATE ... GROUP BY |> WHERE (post-aggregation
+    filter, the HAVING equivalent) |> ORDER BY. The oracle is the
+    classic nested-SQL form; both must hash-match, proving the pipe
+    front door is pure syntax with identical semantics and plan.
+
+    Scale: Catalyst parses pipe stages into the same logical plan as
+    the nested form — pushdown, partial aggregation, and codegen are
+    unchanged (one lineitem scan, one shuffle on the 2-column group
+    key). The EXTEND column is computed once pre-aggregation, exactly
+    like a SELECT-list expression.
+
+    Determinism: the sql_dsum decimal pattern inside the pipe
+    AGGREGATE; floor-rounding once at the end.
+    """
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_N08_SQL)
 
 
 # ---------------------------------------------------------------------------

@@ -160,3 +160,21 @@ def test_named_parameter_binding(spark):
     sibling of n07's EXECUTE IMMEDIATE ? binding."""
     r = spark.sql("SELECT :a * 2 + :b AS v", args={"a": 20, "b": 2}).collect()
     assert r[0].v == 42
+
+
+def test_n08_pipe_equals_nested_form(spark, sf_dir, reg):
+    """The pipe-syntax query must produce the identical DataFrame as
+    the equivalent nested-SQL text run through the same engine."""
+    rows = reg["n08_sql_pipe_syntax"].fn(spark, sf_dir).collect()
+    nested = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               (CAST(floor(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(25,6))) AS DOUBLE) * 100.0 + 0.5) AS DOUBLE) / 100.0)
+                 AS revenue
+        FROM lineitem WHERE l_quantity < 25
+        GROUP BY 1, 2 HAVING COUNT(*) >= 10
+        ORDER BY l_returnflag, l_linestatus
+        """
+    ).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in nested]
