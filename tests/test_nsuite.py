@@ -178,3 +178,17 @@ def test_n08_pipe_equals_nested_form(spark, sf_dir, reg):
         """
     ).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in nested]
+
+
+def test_n04_decorrelates_to_window_join(spark, sf_dir, reg):
+    """The lateral TVF must decorrelate into a window + hash join with
+    the custkey predicate pushed into BOTH scans — not a per-row
+    nested-loop re-execution of the function body."""
+    df = reg["n04_sql_table_udf_lateral"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "row_number" in plan
+    assert plan.count("LessThan(o_custkey,50)") + plan.count(
+        "LessThan(c_custkey,50)"
+    ) >= 2  # pushed into both scans
