@@ -205,7 +205,11 @@ def n02_recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFram
     parent key — total work across all iterations is one row per
     customer, i.e. O(N) with log-depth rounds, the same shape Catalyst
     executes for the iterative graph operators. The final rollup is a
-    bounded (<=13-row) aggregate.
+    bounded (<=13-row) aggregate. Operational knob: Spark guards
+    runaway recursion with spark.sql.cteRecursionLevelLimit (100) and
+    spark.sql.cteRecursionRowLimit (1M cumulative rows) — a >1M-node
+    hierarchy needs the row limit raised; the depth guard keeps the
+    LEVEL limit untouchable by data growth.
     """
     table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_N02_SQL)
