@@ -192,3 +192,56 @@ def test_n04_decorrelates_to_window_join(spark, sf_dir, reg):
     assert plan.count("LessThan(o_custkey,50)") + plan.count(
         "LessThan(c_custkey,50)"
     ) >= 2  # pushed into both scans
+
+
+def test_unicode_ci_grouping_equals_lower_on_random_ascii(spark):
+    """Semantic pin for the n05 oracle-equivalence claim: on the ASCII
+    domain, UNICODE_CI grouping and lower()-keyed grouping agree — for
+    a fixed-seed randomized corpus of case-mangled words, not just the
+    testdata. (Outside ASCII they deliberately differ; the query
+    filters to [A-Za-z]{3,}.)"""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(90210)
+    base = ["alpha", "beta", "gamma", "delta", "omega", "sigma", "theta"]
+    words = [
+        "".join(ch.upper() if rng.random() < 0.5 else ch for ch in rng.choice(base))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    ci = {
+        r.k: r.n
+        for r in df.groupBy(F.collate(F.col("w"), "UNICODE_CI").alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lower(F.col("g")).cast("string").alias("k"), "n")
+        .collect()
+    }
+    lo = {
+        r.k: r.n
+        for r in df.groupBy(F.lower(F.col("w")).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert ci == lo
+
+
+def test_n03_udf_text_equals_inlined_text(spark, sf_dir, reg):
+    """Semantic pin for the SQL-UDF-as-pure-sugar claim: the UDF query
+    must equal the same statement with the function bodies inlined,
+    run through Spark itself (not just the DuckDB oracle)."""
+    rows = reg["n03_sql_scalar_udf"].fn(spark, sf_dir).collect()
+    inlined = spark.sql(
+        """
+        SELECT l_returnflag,
+               CASE WHEN l_quantity < 10 THEN 'small'
+                    WHEN l_quantity < 30 THEN 'mid' ELSE 'large' END AS qty_band,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               (CAST(floor(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(25,6))) AS DOUBLE) * 100.0 + 0.5) AS DOUBLE) / 100.0)
+                 AS disc_revenue
+        FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, qty_band
+        """
+    ).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in inlined]
