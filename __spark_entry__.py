@@ -92,23 +92,35 @@ this). History:
            window is exactly l01-l14 + m01-m35 + m58, which includes
            m58 === q58_language_id, the registry's last oracle-gated
            key without a driver hash row.
-  ROUND-10 PLAN (decided round 9, per the round-8 verdict item #2):
-           after the l/m drain there are ZERO never-driver-checked
-           keys left except the n-suite (below). Round 10 is a
-           re-certification round: the l/m keys rotate out (l -> ql,
-           m -> qm, number preserved) and the window falls to the
-           natural first 50 sorted keys. The n-prefix stays reserved
-           for genuinely-new CAPABILITIES (never window filler);
-           round 9 staged exactly eight — n01/n02 recursive CTEs,
-           n03/n04 SQL scalar + table UDFs, n05 collated grouping,
-           n06 the state-store reader, n07 session variables +
-           EXECUTE IMMEDIATE, n08 SQL pipe syntax
-           (operators/analytics11.py) — so the round-10 window is
-           n01-n08 + q01-q42: the new surface gets driver-verified
-           first, and the remaining 42 slots re-certify the oldest
-           round-1 rows (9 rounds old, predating the type-audit /
-           scan-lint / invariance-sweep eras). q43-q50 re-certify
-           in round 11.
+  round 10: executed exactly as decided in round 9 (per the round-8
+           verdict item #2): all 50 round-9 window keys came back
+           green in CORRECTNESS_r09 (the fifth consecutive 50/50
+           round, first with all 50 hash-matched), so they rotate
+           out: l01-l14 -> ql01-ql14, m01-m35 + m58 -> qm01-qm35 +
+           qm58 (number = query identity, e.g. qm58 === m58 ===
+           q58_language_id). The window falls to the natural first
+           50 sorted keys: n01-n08 + q01-q42 — the round-9 staged
+           n-suite (n01/n02 recursive CTEs, n03/n04 SQL scalar +
+           table UDFs, n05 collated grouping, n06 the state-store
+           reader, n07 session variables + EXECUTE IMMEDIATE, n08
+           SQL pipe syntax; operators/analytics11.py) gets
+           driver-verified first, and the remaining 42 slots
+           re-certify the oldest round-1 rows (9 rounds old,
+           predating the type-audit / scan-lint / invariance-sweep
+           eras). q43-q50 re-certify in round 11.
+  ROUND-11 PLAN (decided round 10, per the round-9 verdict item #4):
+           round-10's NEW capabilities are staged under the r-prefix
+           (r sorts after every q* key, so they cannot leak into the
+           round-10 window — the round-3 z-suite precedent). In
+           round 11, after n01-n08 rotate out (n -> qn), the staged
+           r-keys rename to o-keys (o sorts between qn and q01,
+           number preserved) and q43-q50 rename to o43-o50 (number =
+           query identity, the m58 precedent) so both enter the
+           window; any remaining slots re-certify the oldest round-2
+           rows by renaming q51+ into o-space (number preserved).
+           The r/o keys are genuinely-new engine surface only (SQL
+           scripting control flow, VariantType, SQL MERGE INTO front
+           door, ...), never filler.
 
 Implementations live in pyspark_distributed_kmodes_spark/; this module
 is a thin adapter over its registry.

@@ -16,11 +16,11 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 from pyspark_distributed_kmodes_spark.operators.analytics10 import (
-    m07_anderson_darling_uniformity,
-    m21_matthews_corrcoef,
-    m22_log_loss,
-    m24_ranking_quality,
-    m34_benjamini_hochberg,
+    qm07_anderson_darling_uniformity,
+    qm21_matthews_corrcoef,
+    qm22_log_loss,
+    qm24_ranking_quality,
+    qm34_benjamini_hochberg,
 )
 from pyspark_distributed_kmodes_spark.session import get_spark
 
@@ -30,26 +30,26 @@ def main():
     spark = get_spark("model-eval")
 
     print("== is the scorer any good at a threshold? (MCC, balanced acc) ==")
-    row = m21_matthews_corrcoef(spark, sf_dir)
+    row = qm21_matthews_corrcoef(spark, sf_dir)
     row.show()
     assert -1.0 <= row.collect()[0]["mcc"] <= 1.0
 
     print("== are its probabilities USEFUL? (log loss vs base rate) ==")
-    ll = m22_log_loss(spark, sf_dir)
+    ll = qm22_log_loss(spark, sf_dir)
     ll.show()
     assert ll.collect()[0]["skill"] <= 1.0
 
     print("== retrieval quality of the embedding index (NDCG@10, MRR) ==")
-    rq = m24_ranking_quality(spark, sf_dir)
+    rq = qm24_ranking_quality(spark, sf_dir)
     rq.show()
     r = rq.collect()[0]
     assert 0.0 <= r["mean_ndcg10"] <= 1.0 and 0.0 <= r["mean_mrr"] <= 1.0
 
     print("== is the md5 sampling hash actually uniform? (Anderson-Darling) ==")
-    m07_anderson_darling_uniformity(spark, sf_dir).show()
+    qm07_anderson_darling_uniformity(spark, sf_dir).show()
 
     print("== 25 segment tests at once: who survives FDR control? (BH) ==")
-    m34_benjamini_hochberg(spark, sf_dir).show(25)
+    qm34_benjamini_hochberg(spark, sf_dir).show(25)
 
     spark.stop()
 

@@ -58,7 +58,7 @@ _M03_ABS = 16.0  # absolute slack for tiny true cardinalities
 
 
 @query(
-    "m03_theta_set_algebra_audit",
+    "qm03_theta_set_algebra_audit",
     oracle=f"""
 WITH toks AS (
   SELECT DISTINCT source, unnest(string_split(lower(text), ' ')) AS token FROM documents
@@ -82,7 +82,7 @@ ORDER BY src_a, src_b
 """,
     tags=("sketch", "approx", "audit"),
 )
-def m03_theta_set_algebra_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qm03_theta_set_algebra_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta-sketch SET-ALGEBRA audit, hash-gated: per source pair,
     union/intersection/difference cardinalities estimated from one
     theta sketch per source are checked against the exact distinct
@@ -168,7 +168,7 @@ def m03_theta_set_algebra_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "m04_mae_rmse_bound_audit",
+    "qm04_mae_rmse_bound_audit",
     oracle=f"""
 WITH daily AS (
   SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
@@ -193,7 +193,7 @@ FROM paired GROUP BY event_type ORDER BY event_type
 """,
     tags=("statistics", "forecast", "audit"),
 )
-def m04_mae_rmse_bound_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qm04_mae_rmse_bound_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k12's seasonal-naive backtest invariants promoted to an
     oracle-gated audit: per event type, the 7-day-lag forecast errors
     must satisfy MAE <= RMSE <= max|e| (Cauchy-Schwarz / sup-norm
@@ -248,7 +248,7 @@ def m04_mae_rmse_bound_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "m05_markov_row_stochastic_audit",
+    "qm05_markov_row_stochastic_audit",
     oracle=f"""
 WITH seq AS (
   SELECT user_id, event_type AS a,
@@ -280,7 +280,7 @@ ORDER BY state
 """,
     tags=("statistics", "events", "audit"),
 )
-def m05_markov_row_stochastic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qm05_markov_row_stochastic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k13's Markov property test promoted to an oracle-gated audit:
     the event-type transition matrix P (per-user consecutive pairs)
     and its square P**2 must both be row-stochastic. Entries are
@@ -344,7 +344,7 @@ _M07_LAT = 1_000_000  # score lattice: (h % 1e6 + 0.5) / 1e6 in (0,1)
 
 
 @query(
-    "m07_anderson_darling_uniformity",
+    "qm07_anderson_darling_uniformity",
     oracle=f"""
 WITH users AS (
   SELECT DISTINCT user_id FROM events
@@ -373,7 +373,7 @@ FROM terms
 """,
     tags=("statistics", "audit"),
 )
-def m07_anderson_darling_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qm07_anderson_darling_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anderson-Darling test that the md5-fold sampling scores are
     Uniform(0,1) — the audit behind every hash-keyed decision in this
     engine (qe01 reservoir weights, qb42 splits, qh12 anchors, k11
@@ -427,7 +427,7 @@ def m07_anderson_darling_uniformity(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
-    "m09_moods_median",
+    "qm09_moods_median",
     oracle=f"""
 WITH dict AS (
   SELECT c_acctbal AS v, CAST(COUNT(*) AS BIGINT) AS c FROM customer GROUP BY 1
@@ -461,7 +461,7 @@ FROM chi
 """,
     tags=("statistics",),
 )
-def m09_moods_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qm09_moods_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mood's median test: does any nation's account-balance
     distribution sit above/below the GRAND median more than chance
     allows — the rank-free k-sample location test (robust to outliers,
@@ -531,7 +531,7 @@ _M08_Q_EXPR = (
 
 
 @query(
-    "m08_ljung_box",
+    "qm08_ljung_box",
     oracle=f"""
 WITH daily AS (
   SELECT CAST(date_trunc('day', ts) AS DATE) AS d, {sql_dsum('value')} AS rev
@@ -565,7 +565,7 @@ FROM rk ORDER BY lag
 """,
     tags=("statistics", "timeseries"),
 )
-def m08_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qm08_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ljung-Box portmanteau test on daily revenue: sample
     autocorrelations r_k for lags 1..{_M08_LAGS} and the cumulative
     Q(k) = n(n+2)·Σ_(j<=k) r_j²/(n−j) — the standard "is this series
@@ -633,7 +633,7 @@ def m08_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "m10_bartlett_test",
+    "qm10_bartlett_test",
     oracle=f"""
 WITH g AS (
   SELECT o_orderpriority AS grp, CAST(COUNT(*) AS BIGINT) AS n,
@@ -658,7 +658,7 @@ FROM moms
 """,
     tags=("statistics",),
 )
-def m10_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qm10_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bartlett's test for variance homogeneity of order value across
     priorities — the PARAMETRIC scale test next to qj20's Levene
     (Bartlett is more powerful under normality, fragile otherwise;
@@ -714,7 +714,7 @@ def m10_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "m11_grubbs_outlier",
+    "qm11_grubbs_outlier",
     oracle=f"""
 WITH moms AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -741,7 +741,7 @@ SELECT (SELECT n FROM mstats) AS n,
 """,
     tags=("statistics", "audit"),
 )
-def m11_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qm11_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grubbs' test statistic G = max|x−x̄|/s over customer balances —
     the single-most-extreme-point screen run before robust methods
     (qc05 MAD) take over. Deviations are EXACT decimals (balances are
@@ -789,7 +789,7 @@ def m11_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "m12_odds_ratio_ci",
+    "qm12_odds_ratio_ci",
     oracle=f"""
 WITH users AS (
   SELECT user_id,
@@ -813,7 +813,7 @@ FROM cells
 """,
     tags=("statistics", "events"),
 )
-def m12_odds_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qm12_odds_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Odds ratio of purchase given click exposure with the Wald 95%
     CI — the 2×2 effect-size report qg17's two-proportion z-test
     doesn't give (a z-test says WHETHER, the OR+CI says HOW MUCH and
@@ -858,7 +858,7 @@ _M13_BUCKET = 10_000.0  # price lattice: floor(totalprice / 10k)
 
 
 @query(
-    "m13_jonckheere_trend",
+    "qm13_jonckheere_trend",
     oracle=f"""
 WITH d AS (
   SELECT CAST(year(o_orderdate) AS BIGINT) AS g,
@@ -885,7 +885,7 @@ FROM u, moms
 """,
     tags=("statistics",),
 )
-def m13_jonckheere_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qm13_jonckheere_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jonckheere-Terpstra test for a MONOTONE trend in order value
     across years — the ordered-alternative k-sample test (more
     powerful than k03 Kruskal-Wallis when the hypothesis is "growing
@@ -942,7 +942,7 @@ def m13_jonckheere_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "m14_brunner_munzel",
+    "qm14_brunner_munzel",
     oracle=f"""
 WITH obs AS (
   SELECT CASE WHEN lang = 'en' THEN 1 ELSE 2 END AS grp, n_chars AS v
@@ -991,7 +991,7 @@ FROM sizes s
 """,
     tags=("statistics", "text"),
 )
-def m14_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qm14_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brunner-Munzel test comparing en vs de document lengths — the
     rank test that, unlike qj03 Mann-Whitney, stays valid when the two
     distributions differ in SHAPE (the generalized Behrens-Fisher
@@ -1070,7 +1070,7 @@ def m14_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "m15_ansari_bradley",
+    "qm15_ansari_bradley",
     oracle=f"""
 WITH obs AS (
   SELECT CASE WHEN l_linestatus = 'F' THEN 1 ELSE 2 END AS grp, l_quantity AS v
@@ -1107,7 +1107,7 @@ FROM ab
 """,
     tags=("statistics",),
 )
-def m15_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qm15_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ansari-Bradley two-sample SCALE test (F- vs O-status line
     quantities): scores min(r, N+1−r) fold the rank scale so extreme
     values score low — dispersion differences move the group score sum
@@ -1175,7 +1175,7 @@ def m15_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "m16_page_trend_test",
+    "qm16_page_trend_test",
     oracle=f"""
 WITH cells AS (
   SELECT CAST(year(o_orderdate) AS BIGINT) AS blk, o_orderpriority AS trt,
@@ -1208,7 +1208,7 @@ FROM dims d
 """,
     tags=("statistics",),
 )
-def m16_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qm16_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page's L test for a MONOTONE treatment trend within blocks —
     k01 Friedman's ordered-alternative sibling (Friedman asks "any
     difference between priorities, controlling for year"; Page asks
@@ -1279,7 +1279,7 @@ _M17_Q = 5
 
 
 @query(
-    "m17_variance_ratio_test",
+    "qm17_variance_ratio_test",
     oracle=f"""
 WITH daily AS (
   SELECT CAST(date_trunc('day', ts) AS DATE) AS d, {sql_dsum('value')} AS rev
@@ -1316,7 +1316,7 @@ SELECT (SELECT n1 FROM mu) AS n_returns,
 """,
     tags=("statistics", "timeseries"),
 )
-def m17_variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qm17_variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lo-MacKinlay variance-ratio test on daily log revenue: is the
     {_M17_Q}-day aggregate variance {_M17_Q}× the 1-day variance (the
     random-walk null), or does the series mean-revert (VR<1) /
@@ -1394,7 +1394,7 @@ def m17_variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "m18_turning_points_test",
+    "qm18_turning_points_test",
     oracle=f"""
 WITH daily AS (
   SELECT CAST(date_trunc('day', ts) AS DATE) AS d, {sql_dsum('value')} AS rev
@@ -1415,7 +1415,7 @@ FROM tp
 """,
     tags=("statistics", "timeseries"),
 )
-def m18_turning_points_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qm18_turning_points_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Turning-points test for serial randomness of daily revenue: a
     local max/min at t is a "turn"; an i.i.d. series has E = 2(n−2)/3
     turns with Var = (16n−29)/90 — too few turns = trending, too many
@@ -1468,7 +1468,7 @@ def m18_turning_points_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "m19_adf_lag1",
+    "qm19_adf_lag1",
     oracle=f"""
 WITH daily AS (
   SELECT CAST(date_trunc('day', ts) AS DATE) AS d, {sql_dsum('value')} AS rev
@@ -1498,7 +1498,7 @@ FROM moms
 """,
     tags=("statistics", "timeseries"),
 )
-def m19_adf_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qm19_adf_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dickey-Fuller unit-root regression on daily log revenue:
     Δy_t = α + γ·y_(t−1) + ε, closed-form OLS; γ̂ near 0 with a small
     |t| means the series is a random walk (level shocks persist —
@@ -1552,7 +1552,7 @@ def m19_adf_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "m20_cronbach_alpha",
+    "qm20_cronbach_alpha",
     oracle=f"""
 WITH peritem AS (
   SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS x
@@ -1584,7 +1584,7 @@ FROM ivars i
 """,
     tags=("statistics", "events"),
 )
-def m20_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qm20_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cronbach's alpha treating per-user event-type counts as test
     items — the internal-consistency number behind any composite
     "engagement score" (qe26 fuses signals; alpha says whether fusing
@@ -1643,7 +1643,7 @@ _M23_MAX_WEEKS = 26
 
 
 @query(
-    "m23_nelson_aalen",
+    "qm23_nelson_aalen",
     oracle=f"""
 WITH firsts AS (
   SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS d1
@@ -1680,7 +1680,7 @@ FROM risk ORDER BY week
 """,
     tags=("statistics", "survival"),
 )
-def m23_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qm23_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nelson-Aalen cumulative hazard for repeat-purchase timing —
     the same right-censored spans as qj15's Kaplan-Meier but the
     HAZARD-scale estimator H(w) = Σ d_j/n_j (more stable in small risk
@@ -1775,7 +1775,7 @@ def _m21_label_cte() -> str:
 
 
 @query(
-    "m21_matthews_corrcoef",
+    "qm21_matthews_corrcoef",
     oracle=f"""
 WITH {_m21_label_cte().lstrip()},
 cells AS (
@@ -1794,7 +1794,7 @@ FROM cells
 """,
     tags=("ml", "statistics"),
 )
-def m21_matthews_corrcoef(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qm21_matthews_corrcoef(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matthews correlation coefficient for the thresholded md5
     pseudo-scorer against the median-spend label — the single-number
     binary-classifier summary that, unlike accuracy (also emitted,
@@ -1868,7 +1868,7 @@ _M22_LAT = 10_000
 
 
 @query(
-    "m22_log_loss",
+    "qm22_log_loss",
     oracle=f"""
 WITH {_m21_label_cte().lstrip()},
 scored AS (
@@ -1892,7 +1892,7 @@ FROM moms
 """,
     tags=("ml", "statistics"),
 )
-def m22_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qm22_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log loss (cross-entropy) of the md5 pseudo-probability against
     the median-spend label (m21's — balanced at every SF, so the
     base-rate reference never degenerates to ln 0), with the skill
@@ -1947,7 +1947,7 @@ _M06_ANCHORS = 24  # hash-rank-picked vectors; C(24,3) = 2024 ordered triples
 
 
 @query(
-    "m06_triangle_inequality_audit",
+    "qm06_triangle_inequality_audit",
     oracle=f"""
 WITH anchors AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -1970,7 +1970,7 @@ FROM tri
 """,
     tags=("vector", "audit"),
 )
-def m06_triangle_inequality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qm06_triangle_inequality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The vector suite's metric-space property test promoted to an
     oracle-gated audit: euclidean distances among {_M06_ANCHORS}
     hash-rank-picked embeddings must satisfy d(a,c) ≤ d(a,b)+d(b,c)
@@ -2033,7 +2033,7 @@ _M24_K = 10
 
 
 @query(
-    "m24_ranking_quality",
+    "qm24_ranking_quality",
     oracle=f"""
 WITH q AS (
   SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe, label AS qlab FROM embeddings
@@ -2077,7 +2077,7 @@ FROM nd
 """,
     tags=("vector", "ml"),
 )
-def m24_ranking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qm24_ranking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-eval metrics for the embedding retrieval stack:
     NDCG@{_M24_K} and MRR of euclidean-distance ranking over
     {_M24_QUERIES} hash-picked queries × {_M24_CANDS} hash-picked
@@ -2192,7 +2192,7 @@ def _m25_arm_sql(w: int) -> str:
 
 
 @query(
-    "m25_shingle_width_sweep",
+    "qm25_shingle_width_sweep",
     oracle=f"""
 WITH occs AS (
 {' UNION ALL '.join(_m25_arm_sql(w) for w in _M25_WIDTHS)}
@@ -2208,7 +2208,7 @@ FROM counts GROUP BY w ORDER BY width
 """,
     tags=("dedup", "text", "audit"),
 )
-def m25_shingle_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qm25_shingle_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle WIDTH sensitivity sweep: for w ∈ {_M25_WIDTHS}, the
     distinct-shingle count, total occurrences, shared-shingle count
     and duplicated mass — the number that picks w for every
@@ -2264,7 +2264,7 @@ def m25_shingle_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "m31_next_event_entropy",
+    "qm31_next_event_entropy",
     oracle=f"""
 WITH seq AS (
   SELECT user_id, event_type AS a,
@@ -2288,7 +2288,7 @@ ORDER BY state
 """,
     tags=("events", "statistics"),
 )
-def m31_next_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qm31_next_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Next-event entropy per state: H(next | current=a) over the
     same per-user transitions as m05, plus the normalized
     predictability 1 − H/ln(k) — the one-number answer to "how
@@ -2346,7 +2346,7 @@ def _m26_pos_arms(src: str, carry: str) -> str:
 
 
 @query(
-    "m26_bloom_prefilter_audit",
+    "qm26_bloom_prefilter_audit",
     oracle=f"""
 WITH eval_keys AS (
   SELECT DISTINCT md5(text) AS key FROM documents WHERE doc_id % 97 = 0
@@ -2383,7 +2383,7 @@ FROM verdicts
 """,
     tags=("dedup", "audit"),
 )
-def m26_bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qm26_bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter prefilter audit for decontamination: the eval set
     (doc_id % 97 = 0) is folded into an EXPLICIT {_M26_BITS}-bit /
     {_M26_K}-hash Bloom bitmap built with bit_or over 32-bit words —
@@ -2477,7 +2477,7 @@ _M27_MOD = 2_305_843_009_213_693_951  # 2^61 - 1 (Mersenne): sums stay in BIGINT
 
 
 @query(
-    "m27_checksum_merge_audit",
+    "qm27_checksum_merge_audit",
     oracle=f"""
 WITH keyed AS (
   SELECT source, {_sql_md5fold('text || CAST(doc_id AS VARCHAR)')} AS h FROM documents
@@ -2505,7 +2505,7 @@ FROM merged m, direct d
 """,
     tags=("audit", "integrity"),
 )
-def m27_checksum_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qm27_checksum_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable content-checksum audit: per-source XOR and mod-2^61−1
     sum checksums of md5(text‖doc_id) must combine (XOR of XORs,
     modular sum of sums) to the checksums computed directly over the
@@ -2556,7 +2556,7 @@ _M28_SORT_KEY = "lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || lpad(CAST(event
 
 
 @query(
-    "m28_cdc_tombstone_apply",
+    "qm28_cdc_tombstone_apply",
     oracle=f"""
 WITH log AS (
   SELECT user_id,
@@ -2580,7 +2580,7 @@ FROM last
 """,
     tags=("cdc", "integrity"),
 )
-def m28_cdc_tombstone_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qm28_cdc_tombstone_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC apply with TOMBSTONES: reading events as a change log
     (error ⇒ DELETE, anything else ⇒ UPSERT of value, ordered by
     (ts, event_id)), collapse to the final table state — live-key
@@ -2645,7 +2645,7 @@ def _m29_z_expr(p: str, d: str, div: str = "//") -> str:
 
 
 @query(
-    "m29_zorder_locality_audit",
+    "qm29_zorder_locality_audit",
     oracle=f"""
 WITH bounds AS (
   SELECT CAST(MIN(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS minc,
@@ -2680,7 +2680,7 @@ FROM perfile GROUP BY layout ORDER BY layout
 """,
     tags=("audit", "layout"),
 )
-def m29_zorder_locality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qm29_zorder_locality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-ORDER locality audit: orders are bucketed onto a
     {_M29_SIDE}×{_M29_SIDE} (price, date) grid, then assigned to 256
     files two ways — by the 16-bit Morton (z-order) code and by the
@@ -2749,7 +2749,7 @@ def m29_zorder_locality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "m30_triangle_count",
+    "qm30_triangle_count",
     oracle="""
 WITH shingles AS (
   SELECT DISTINCT doc_id, shingle
@@ -2797,7 +2797,7 @@ FROM tri t, wedge w
     tags=("graph", "dedup"),
     bench=True,
 )
-def m30_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qm30_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed TRIANGLE COUNT on the near-dup graph with the
     degree-ordered orientation — each edge points from its
     lower-(degree, id) endpoint to the higher one, so every triangle
@@ -2867,7 +2867,7 @@ def m30_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "m32_did_estimator",
+    "qm32_did_estimator",
     oracle=f"""
 WITH dates AS (
   SELECT CAST(o_orderdate AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c FROM orders GROUP BY 1
@@ -2897,7 +2897,7 @@ FROM cells
 """,
     tags=("statistics", "causal"),
 )
-def m32_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qm32_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Difference-in-differences over the order panel: treated =
     customers of nations 0–11, period split at the exact median order
     date, outcome = mean order value — DiD = (T_post−T_pre) −
@@ -2957,7 +2957,7 @@ def m32_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "m33_lorenz_dominance",
+    "qm33_lorenz_dominance",
     oracle=f"""
 WITH obs AS (
   SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 'BUILDING' ELSE 'OTHER' END AS seg,
@@ -2989,7 +2989,7 @@ FROM lz ORDER BY decile
 """,
     tags=("statistics", "events"),
 )
-def m33_lorenz_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qm33_lorenz_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lorenz-curve DOMINANCE check between the BUILDING segment and
     the rest: L(p) at each decile for both segments, the per-decile
     gap, and the flag that one curve lies (weakly) above the other
@@ -3075,7 +3075,7 @@ def _m34_p_expr(z: str) -> str:
 
 
 @query(
-    "m34_benjamini_hochberg",
+    "qm34_benjamini_hochberg",
     oracle=f"""
 WITH users AS (
   SELECT c_nationkey AS nation,
@@ -3109,7 +3109,7 @@ FROM ranked ORDER BY rnk, nation
 """,
     tags=("statistics",),
 )
-def m34_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qm34_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benjamini-Hochberg FDR control over 25 simultaneous hypotheses
     (per nation: is the share of above-median balances ≠ 1/2): the
     step-up procedure rejects ranks 1..k where k = max{{i: p_(i) ≤
@@ -3181,7 +3181,7 @@ def m34_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "m35_empirical_bayes_shrinkage",
+    "qm35_empirical_bayes_shrinkage",
     oracle=f"""
 WITH med AS (
   SELECT MIN(v) AS gm FROM (
@@ -3213,7 +3213,7 @@ ORDER BY c.source
 """,
     tags=("statistics", "curation"),
 )
-def m35_empirical_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qm35_empirical_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Empirical-Bayes shrinkage of per-source "long-doc" rates
     (share of docs above the global median length) toward the corpus
     prior, with a method-of-moments beta prior: shrunk = (x + μν)/(n
@@ -3350,7 +3350,7 @@ def _time_chunk_files(spark: SparkSession, sf_dir: str, n_chunks: int) -> list:
 
 
 @query(
-    "m01_upsert_stream_convergence",
+    "qm01_upsert_stream_convergence",
     oracle=f"""
 WITH last AS (
   SELECT user_id,
@@ -3368,7 +3368,7 @@ FROM last
 """,
     tags=("streaming", "cdc", "audit"),
 )
-def m01_upsert_stream_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qm01_upsert_stream_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Structured Streaming under the hash gate: the events table
     is replayed as a 3-file stream (maxFilesPerTrigger=1, so the
     foreachBatch upsert sink executes THREE separate merge batches)
@@ -3395,8 +3395,8 @@ def m01_upsert_stream_convergence(spark: SparkSession, sf_dir: str) -> DataFrame
     from pyspark_distributed_kmodes_spark.streaming.jobs import upsert_sink_stream
 
     e = table(spark, sf_dir, "events")
-    holding = tempfile.mkdtemp(prefix="m01_chunks_")
-    stage = tempfile.mkdtemp(prefix="m01_stage_")
+    holding = tempfile.mkdtemp(prefix="qm01_chunks_")
+    stage = tempfile.mkdtemp(prefix="qm01_stage_")
     # arbitrary (non-time) split — the merge must not care
     for i in range(3):
         dest = os.path.join(holding, f"chunk{i}.parquet")
@@ -3406,7 +3406,7 @@ def m01_upsert_stream_convergence(spark: SparkSession, sf_dir: str) -> DataFrame
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
     )
-    target_root = tempfile.mkdtemp(prefix="m01_target_")
+    target_root = tempfile.mkdtemp(prefix="qm01_target_")
     target = os.path.join(target_root, "latest")
     upsert_sink_stream(
         spark,
@@ -3440,7 +3440,7 @@ def m01_upsert_stream_convergence(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
-    "m02_stream_restart_equivalence",
+    "qm02_stream_restart_equivalence",
     oracle="""
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events
@@ -3450,7 +3450,7 @@ ORDER BY window_start, event_type
 """,
     tags=("streaming", "audit"),
 )
-def m02_stream_restart_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qm02_stream_restart_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL streaming CHECKPOINT-RESTART equivalence under the hash
     gate: the event stream is replayed as three chronological chunks
     across three SEPARATE availableNow runs sharing one checkpoint —
@@ -3478,9 +3478,9 @@ def m02_stream_restart_equivalence(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     chunk_files = _time_chunk_files(spark, sf_dir, 3)
-    stage = tempfile.mkdtemp(prefix="m02_stage_")
-    ckpt = tempfile.mkdtemp(prefix="m02_ckpt_")
-    target_root = tempfile.mkdtemp(prefix="m02_target_")
+    stage = tempfile.mkdtemp(prefix="qm02_stage_")
+    ckpt = tempfile.mkdtemp(prefix="qm02_ckpt_")
+    target_root = tempfile.mkdtemp(prefix="qm02_target_")
     target = os.path.join(target_root, "rollup")
     schema = spark.read.parquet(chunk_files[0]).schema
     for f in chunk_files:  # one NEW file per restarted run

@@ -157,7 +157,7 @@ WITH RECURSIVE walk(c_custkey, root, depth) AS (
   SELECT c.c_custkey, w.root, w.depth + 1
   FROM customer c JOIN walk w
     ON CAST(floor(c.c_custkey / 10.0) AS BIGINT) = w.c_custkey
-  WHERE c.c_custkey >= 10 AND w.depth < 12
+  WHERE c.c_custkey >= 10 AND w.depth < {depth_bound}
 )
 SELECT CAST(w.depth AS INTEGER) AS depth,
        CAST(COUNT(*) AS BIGINT) AS n_nodes,
@@ -166,7 +166,8 @@ SELECT CAST(w.depth AS INTEGER) AS depth,
 FROM walk w JOIN customer c ON c.c_custkey = w.c_custkey
 GROUP BY w.depth ORDER BY depth
 """.format(
-    sum_acctbal=sql_pround("CAST(SUM(CAST(c.c_acctbal AS DECIMAL(25,6))) AS DOUBLE)", 2)
+    sum_acctbal=sql_pround("CAST(SUM(CAST(c.c_acctbal AS DECIMAL(25,6))) AS DOUBLE)", 2),
+    depth_bound="{depth_bound}",
 )
 
 # INDEPENDENT derivation: in the decimal tree parent(k) = floor(k/10),
@@ -199,8 +200,10 @@ def n02_recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFram
     (both-engines-wrong) cannot apply because the derivations share
     nothing.
 
-    Scale: recursion depth is the TREE HEIGHT = log10(max key) (~12 at
-    1000x this data, hence the explicit depth<12 guard), and each
+    Scale: recursion depth is the TREE HEIGHT = log10(max key) — the
+    guard bound is DERIVED from max(c_custkey)'s digit count at build
+    time (one 1-row scalar collect), so it tracks data scale instead
+    of a constant that silently truncates deep nodes — and each
     iteration joins customer against the previous frontier on the
     parent key — total work across all iterations is one row per
     customer, i.e. O(N) with log-depth rounds, the same shape Catalyst
@@ -211,8 +214,12 @@ def n02_recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFram
     hierarchy needs the row limit raised; the depth guard keeps the
     LEVEL limit untouchable by data growth.
     """
-    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    return spark.sql(_N02_SQL)
+    cust = table(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("customer")
+    # tree height = digits(max key) - 1; bound the recursion exactly
+    # there so the guard scales with the data (1-row scalar collect)
+    max_key = cust.agg(F.max("c_custkey").alias("m")).collect()[0]["m"]
+    return spark.sql(_N02_SQL.format(depth_bound=max(1, len(str(int(max_key))) - 1)))
 
 
 # ---------------------------------------------------------------------------
@@ -544,12 +551,22 @@ def n06_statestore_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    # availableNow must drain in one bounded pass; a wedged stream
+    # should fail the gate loudly, not hang the harness (300 s is
+    # ~100x the observed sf0.1 wall time)
+    if not q.awaitTermination(timeout=300):
+        q.stop()
+        raise TimeoutError("n06: availableNow stream did not finish within 300 s")
     # the source copy is dead weight once the stream commits; the
     # checkpoint must survive for the lazy statestore read below
     shutil.rmtree(stage, ignore_errors=True)
     _rmtree_at_exit(ckpt_root)
     st = spark.read.format("statestore").load(ckpt)
+    # `value.count` / `value.sum` are the Count/Sum aggBufferAttributes
+    # names Spark persists in the aggregation state store (verified on
+    # the pinned Spark 4.1 — tests/test_nsuite.py pins the state schema
+    # so a buffer-layout change in a future upgrade fails loudly here,
+    # as an AnalysisException, never as a wrong answer)
     return (
         st.select(
             F.col("key.event_type").alias("event_type"),

@@ -78,9 +78,9 @@ def qf17_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id join and a per-source aggregate. Integer counts, one
     division, pround(6).
     """
-    from pyspark_distributed_kmodes_spark.operators.text import m58_language_id
+    from pyspark_distributed_kmodes_spark.operators.text import qm58_language_id
 
-    pred = m58_language_id(spark, sf_dir)
+    pred = qm58_language_id(spark, sf_dir)
     src = table(spark, sf_dir, "documents").select("doc_id", "source")
     agree = F.sum((F.col("predicted_lang") == F.col("true_lang")).cast("int"))
     return (

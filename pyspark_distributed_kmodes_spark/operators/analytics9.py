@@ -3887,7 +3887,7 @@ _L02_BITS = 16
 
 
 @query(
-    "l02_simhash_audit",
+    "ql02_simhash_audit",
     oracle=f"""
 WITH words AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
@@ -3908,7 +3908,7 @@ FROM buckets
 """,
     tags=("dedup", "text"),
 )
-def l02_simhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ql02_simhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HASH-GATED SimHash collision audit — the deterministic twin of
     q64 (whose numpy-seeded hyperplanes no SQL oracle can replay): a
     {_L02_BITS}-bit SimHash where bit i is the SIGN of the sum of
@@ -3953,7 +3953,7 @@ def l02_simhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "l04_lateral_join_api",
+    "ql04_lateral_join_api",
     oracle="""
 SELECT s.s_suppkey, s.s_name, t.l_orderkey, t.l_extendedprice
 FROM supplier s,
@@ -3964,7 +3964,7 @@ ORDER BY s.s_suppkey, t.l_extendedprice DESC, t.l_orderkey
 """,
     tags=("join", "lateral"),
 )
-def l04_lateral_join_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ql04_lateral_join_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DataFrame-NATIVE lateral join (`DataFrame.lateralJoin`, new
     in Spark 4.0) — the API twin of q37's SQL `LATERAL`: each
     supplier row drives a correlated subquery (its own top-2 lineitems
@@ -3996,7 +3996,7 @@ _L05_LISTS = 8
 
 
 @query(
-    "l05_ivf_assign_audit",
+    "ql05_ivf_assign_audit",
     oracle=f"""
 WITH centroids AS (
   SELECT vec_id AS cid, embedding FROM embeddings
@@ -4022,7 +4022,7 @@ ORDER BY list_id
 """,
     tags=("vector", "audit"),
 )
-def l05_ivf_assign_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ql05_ivf_assign_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HASH-GATED IVF assignment audit — the deterministic half of q68
     (whose k-means-trained coarse quantizer no oracle can replay): fix
     the {_L05_LISTS} inverted-list centroids to hash-rank-picked
@@ -4083,7 +4083,7 @@ def l05_ivf_assign_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "l06_qq_table",
+    "ql06_qq_table",
     oracle=f"""
 WITH la AS (
   SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c FROM documents WHERE lang = 'en' GROUP BY n_chars
@@ -4109,7 +4109,7 @@ FROM q ORDER BY decile
 """,
     tags=("statistics", "text"),
 )
-def l06_qq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ql06_qq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile QQ table between the en and de length distributions: the
     discrete quantile (smallest value at cumulative rank >= ceil(d/10
     n)) of each distribution at the nine deciles, side by side with the
@@ -4162,7 +4162,7 @@ _L07_K = 10
 
 
 @query(
-    "l07_topk_stability",
+    "ql07_topk_stability",
     oracle=f"""
 WITH bounds AS (
   SELECT MIN({_SQL_DAY_IDX}) AS lo, MAX({_SQL_DAY_IDX}) AS hi FROM events
@@ -4188,7 +4188,7 @@ SELECT CAST({_L07_K} AS BIGINT) AS k,
 """,
     tags=("events", "audit"),
 )
-def l07_topk_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ql07_topk_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leaderboard stability: the top-{_L07_K} users by revenue in the
     first half of the window vs the second half, overlap and Jaccard —
     the churn-at-the-top number behind whale-management and
@@ -4228,7 +4228,7 @@ def l07_topk_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "l08_logrank_test",
+    "ql08_logrank_test",
     oracle=f"""
 WITH purch AS (
   SELECT DISTINCT user_id, {_SQL_DAY_IDX} AS di FROM events WHERE event_type = 'purchase'
@@ -4282,7 +4282,7 @@ FROM terms
 """,
     tags=("statistics", "events"),
 )
-def l08_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ql08_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log-rank test comparing TIME TO THE SECOND DISTINCT
     PURCHASE DAY between two md5-parity user cohorts, with right censoring at the data horizon
     — the standard survival-curve comparison (j15 draws one cohort's
@@ -4388,7 +4388,7 @@ def l08_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "l09_fingerprint_collision_audit",
+    "ql09_fingerprint_collision_audit",
     oracle=f"""
 WITH folds AS (
   SELECT {_sql_md5fold('text')} AS f32 FROM documents
@@ -4409,7 +4409,7 @@ FROM stats s
 """,
     tags=("dedup", "audit"),
 )
-def l09_fingerprint_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ql09_fingerprint_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fingerprint-width audit: documents folded to 32-bit keys collide
     either because the TEXTS are identical (true duplicates, counted
     via full md5) or by hash accident; the surplus over true duplicates
@@ -4450,7 +4450,7 @@ def l09_fingerprint_collision_audit(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
-    "l10_cross_lang_dup_leakage",
+    "ql10_cross_lang_dup_leakage",
     oracle="""
 WITH fp AS (
   SELECT md5(lower(text)) AS f, lang FROM documents
@@ -4467,7 +4467,7 @@ FROM spans
 """,
     tags=("dedup", "curation"),
 )
-def l10_cross_lang_dup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ql10_cross_lang_dup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-language duplicate LEAKAGE: fingerprint groups whose
     copies carry MORE THAN ONE language label — each such group is
     either a mislabeled language (the common case: same English
@@ -4514,7 +4514,7 @@ _L11_BITS = 4
 
 
 @query(
-    "l11_lsh_routing_audit",
+    "ql11_lsh_routing_audit",
     oracle=f"""
 WITH ev AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -4544,7 +4544,7 @@ ORDER BY table_id, bucket
 """,
     tags=("vector", "approx", "audit"),
 )
-def l11_lsh_routing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ql11_lsh_routing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HASH-GATED LSH routing audit — the deterministic half of q61
     (whose np.random hyperplanes no SQL oracle can replay): fix the
     {_L11_TABLES}x{_L11_BITS} sign-hash hyperplanes to hash-rank-picked
@@ -4619,7 +4619,7 @@ sh AS (
 
 
 @query(
-    "l12_minhash_band_routing",
+    "ql12_minhash_band_routing",
     oracle=f"""
 WITH {_L12_SH_CTE},
 sigs AS (
@@ -4644,7 +4644,7 @@ FROM sizes GROUP BY band ORDER BY band
 """,
     tags=("dedup", "approx", "audit"),
 )
-def l12_minhash_band_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ql12_minhash_band_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HASH-GATED minhash band-routing audit — the deterministic twin
     of q66 (whose MLlib MinHashLSH hash seeds no SQL oracle can
     replay): compute the md5-portable 8-minhash signature (qg04/qg05's
@@ -4700,7 +4700,7 @@ _L13_KEY = (
 
 
 @query(
-    "l13_lloyd_step_audit",
+    "ql13_lloyd_step_audit",
     oracle=f"""
 WITH ev AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -4762,7 +4762,7 @@ ORDER BY cluster
 """,
     tags=("vector", "ml", "audit"),
 )
-def l13_lloyd_step_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ql13_lloyd_step_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HASH-GATED Lloyd-iteration audit — the deterministic twin of
     qb29 (whose 5-iteration k-means fit no SQL oracle can replay): fix
     the {_L13_K} init centroids to hash-rank-picked corpus vectors,
@@ -4913,7 +4913,7 @@ def _l14_signs() -> list[list[float]]:
 
 
 @query(
-    "l14_projection_variance_audit",
+    "ql14_projection_variance_audit",
     oracle=f"""
 WITH ev AS (
   SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -4940,7 +4940,7 @@ ORDER BY component
 """,
     tags=("vector", "ml", "audit"),
 )
-def l14_projection_variance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ql14_projection_variance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HASH-GATED projection-variance audit — the deterministic twin of
     qe15 (whose eigendecomposition no SQL oracle can replay): project
     every embedding onto {_L14_COMPONENTS} FIXED +-1-signed components

@@ -86,7 +86,7 @@ def qe16_kmodes_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "l01_kmodes_assign_audit",
+    "ql01_kmodes_assign_audit",
     oracle="""
 WITH combos AS (
   SELECT o_orderstatus AS s, o_orderpriority AS p, CAST(COUNT(*) AS BIGINT) AS c
@@ -114,7 +114,7 @@ ORDER BY cluster
 """,
     tags=("kmodes", "ml"),
 )
-def l01_kmodes_assign_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ql01_kmodes_assign_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HASH-GATED audit of the k-modes ASSIGNMENT path (reference
     A4/A10): with the model FIXED to a deterministic set of modes (the
     4 most frequent (status, priority) combos, count-desc lexicographic
@@ -172,7 +172,7 @@ def l01_kmodes_assign_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "l03_kmodes_silhouette_audit",
+    "ql03_kmodes_silhouette_audit",
     oracle="""
 WITH combos AS (
   SELECT o_orderstatus AS s, o_orderpriority AS p, CAST(COUNT(*) AS BIGINT) AS c
@@ -216,7 +216,7 @@ ORDER BY cluster
     ),
     tags=("kmodes", "ml"),
 )
-def l03_kmodes_silhouette_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ql03_kmodes_silhouette_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HASH-GATED silhouette for the fixed-modes k-modes assignment
     (l01's model): with the clustering FIXED, the categorical
     silhouette is EXACT algebra over the (status, priority) combo

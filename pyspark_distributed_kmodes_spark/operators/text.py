@@ -375,7 +375,7 @@ def q57_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "m58_language_id",
+    "qm58_language_id",
     oracle="""
 WITH tri AS (
   SELECT doc_id, lang,
@@ -406,7 +406,7 @@ ORDER BY doc_id
 """,
     tags=("text", "ml"),
 )
-def m58_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qm58_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language identification via character-trigram profiles, fully
     relational: train per-lang top-50 trigram weights on a deterministic
     80% split (doc_id % 10 < 8), classify the rest by weighted trigram

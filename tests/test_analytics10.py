@@ -621,7 +621,7 @@ def test_k50_alpha_matches_python(spark, sf_dir, reg, duck):
 
 
 def test_l01_assignment_covers_all_orders(spark, sf_dir, reg, duck):
-    rows = reg["l01_kmodes_assign_audit"].fn(spark, sf_dir).collect()
+    rows = reg["ql01_kmodes_assign_audit"].fn(spark, sf_dir).collect()
     n = duck.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
     assert sum(r.n_members for r in rows) == n
     assert sorted(r.cluster for r in rows) == list(range(len(rows)))
@@ -636,7 +636,7 @@ def test_l02_simhash_matches_python(spark, sf_dir, reg, duck):
     """Python recompute of the md5-sign SimHash for a sample of docs."""
     import hashlib
 
-    r = reg["l02_simhash_audit"].fn(spark, sf_dir).collect()[0]
+    r = reg["ql02_simhash_audit"].fn(spark, sf_dir).collect()[0]
     docs = duck.execute("SELECT doc_id, lower(text) FROM documents").fetchall()
     assert r.n_docs == len(docs)
 
@@ -661,7 +661,7 @@ def test_l02_simhash_matches_python(spark, sf_dir, reg, duck):
 
 
 def test_l03_silhouette_bounds_and_cover(spark, sf_dir, reg, duck):
-    rows = reg["l03_kmodes_silhouette_audit"].fn(spark, sf_dir).collect()
+    rows = reg["ql03_kmodes_silhouette_audit"].fn(spark, sf_dir).collect()
     n = duck.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
     assert sum(r.n_members for r in rows) == n
     for r in rows:
@@ -672,7 +672,7 @@ def test_l04_matches_q22_style_topk(spark, sf_dir, reg):
     """lateralJoin result == the row_number top-k formulation."""
     from pyspark.sql.window import Window
 
-    rows = reg["l04_lateral_join_api"].fn(spark, sf_dir).collect()
+    rows = reg["ql04_lateral_join_api"].fn(spark, sf_dir).collect()
     li = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     w = Window.partitionBy("l_suppkey").orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"))
@@ -687,7 +687,7 @@ def test_l04_matches_q22_style_topk(spark, sf_dir, reg):
 
 
 def test_l05_lists_cover_corpus(spark, sf_dir, reg, duck):
-    rows = reg["l05_ivf_assign_audit"].fn(spark, sf_dir).collect()
+    rows = reg["ql05_ivf_assign_audit"].fn(spark, sf_dir).collect()
     n = duck.execute("SELECT COUNT(*) FROM embeddings").fetchone()[0]
     assert sum(r.n_vectors for r in rows) == n
     assert len(rows) <= 8
@@ -696,7 +696,7 @@ def test_l05_lists_cover_corpus(spark, sf_dir, reg, duck):
 
 
 def test_l06_deciles_monotone(spark, sf_dir, reg):
-    rows = reg["l06_qq_table"].fn(spark, sf_dir).collect()
+    rows = reg["ql06_qq_table"].fn(spark, sf_dir).collect()
     assert [r.decile for r in rows] == list(range(1, 10))
     q_en = [r.q_en for r in rows]
     q_de = [r.q_de for r in rows]
@@ -706,7 +706,7 @@ def test_l06_deciles_monotone(spark, sf_dir, reg):
 
 
 def test_l07_stability_bounds(spark, sf_dir, reg):
-    r = reg["l07_topk_stability"].fn(spark, sf_dir).collect()[0]
+    r = reg["ql07_topk_stability"].fn(spark, sf_dir).collect()[0]
     assert 0 <= r.n_common <= r.k == 10
     assert 0.0 <= r.jaccard <= 1.0
 
@@ -715,7 +715,7 @@ def test_l08_logrank_matches_python(spark, sf_dir, reg, duck):
     """Independent python recompute of U and V from the raw events."""
     import hashlib
 
-    r = reg["l08_logrank_test"].fn(spark, sf_dir).collect()[0]
+    r = reg["ql08_logrank_test"].fn(spark, sf_dir).collect()[0]
     rows = duck.execute(
         "SELECT DISTINCT user_id, epoch_us(date_trunc('day', ts)) // 86400000000 "
         "FROM events WHERE event_type = 'purchase'"
@@ -754,14 +754,14 @@ def test_l08_logrank_matches_python(spark, sf_dir, reg, duck):
 
 
 def test_l09_surplus_nonnegative(spark, sf_dir, reg):
-    r = reg["l09_fingerprint_collision_audit"].fn(spark, sf_dir).collect()[0]
+    r = reg["ql09_fingerprint_collision_audit"].fn(spark, sf_dir).collect()[0]
     assert r.surplus_collisions >= 0  # fold collisions include all true dups
     assert r.birthday_expected >= 0
     assert r.true_dup_rows >= 0
 
 
 def test_l10_leakage_bounds(spark, sf_dir, reg):
-    r = reg["l10_cross_lang_dup_leakage"].fn(spark, sf_dir).collect()[0]
+    r = reg["ql10_cross_lang_dup_leakage"].fn(spark, sf_dir).collect()[0]
     assert r.cross_lang_groups <= r.dup_groups
     assert r.docs_in_cross_lang_groups >= 2 * r.cross_lang_groups or r.cross_lang_groups == 0
     assert r.max_langs_per_group >= 1

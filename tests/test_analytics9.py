@@ -455,7 +455,7 @@ def test_l11_matches_python_rederivation(spark, sf_dir, reg, duck):
                 if _pr(_seqdot(v, hps[t * 4 + b][1]), 6) >= 0:
                     bucket |= 1 << b
             hist[(t, bucket)] = hist.get((t, bucket), 0) + 1
-    got = {(r.table_id, r.bucket): r.n_vectors for r in reg["l11_lsh_routing_audit"].fn(spark, sf_dir).collect()}
+    got = {(r.table_id, r.bucket): r.n_vectors for r in reg["ql11_lsh_routing_audit"].fn(spark, sf_dir).collect()}
     assert got == hist
 
 
@@ -463,7 +463,7 @@ def test_l12_band_totals_and_pair_bounds(spark, sf_dir, reg, duck):
     n_sig_docs = duck.execute(
         "SELECT COUNT(DISTINCT doc_id) FROM (SELECT doc_id FROM documents WHERE len(string_split(text,' ')) >= 3)"
     ).fetchone()[0]
-    rows = reg["l12_minhash_band_routing"].fn(spark, sf_dir).collect()
+    rows = reg["ql12_minhash_band_routing"].fn(spark, sf_dir).collect()
     assert [r.band for r in rows] == [0, 1, 2, 3]
     for r in rows:
         assert 1 <= r.n_buckets <= n_sig_docs
@@ -498,7 +498,7 @@ def test_l13_matches_python_lloyd_step(spark, sf_dir, reg, duck):
         return _pr(sum(_pr((_pr(x, 6) - y) * (_pr(x, 6) - y), 9) for x, y in zip(v, c)), 6)
 
     a1 = assign(emb, list(c1.items()), d1)
-    rows = {r.cluster: r for r in reg["l13_lloyd_step_audit"].fn(spark, sf_dir).collect()}
+    rows = {r.cluster: r for r in reg["ql13_lloyd_step_audit"].fn(spark, sf_dir).collect()}
     assert set(rows) == {c[0] for c in cents}
     for cid in rows:
         r = rows[cid]
@@ -514,7 +514,7 @@ def test_l14_ratio_normalizes_and_matches_python(spark, sf_dir, reg, duck):
     import hashlib
 
     emb = _emb(duck)
-    rows = sorted(reg["l14_projection_variance_audit"].fn(spark, sf_dir).collect(), key=lambda r: r.component)
+    rows = sorted(reg["ql14_projection_variance_audit"].fn(spark, sf_dir).collect(), key=lambda r: r.component)
     assert all(r.n == len(emb) for r in rows)
     assert abs(sum(r.var_ratio for r in rows) - 1.0) < 1e-3
     for c in (0, 5):

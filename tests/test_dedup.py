@@ -80,10 +80,10 @@ def test_simhash_identical_zero_hamming(planted):
 
 
 def test_language_id_deterministic_and_total(spark, sf_dir):
-    from pyspark_distributed_kmodes_spark.operators.text import m58_language_id
+    from pyspark_distributed_kmodes_spark.operators.text import qm58_language_id
 
-    out1 = m58_language_id(spark, sf_dir).collect()
-    out2 = m58_language_id(spark, sf_dir).collect()
+    out1 = qm58_language_id(spark, sf_dir).collect()
+    out2 = qm58_language_id(spark, sf_dir).collect()
     assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
     # every held-out doc gets exactly one prediction from the known langs
     langs = {"en", "fr", "es", "de", "zh"}

@@ -28,14 +28,17 @@ def test_driver_window_is_the_staged_suite():
     that window is exactly the never-driver-checked staged suite. Pin
     it so a mis-rotation (a key accidentally sorting into/out of the
     window) fails mechanically instead of wasting a driver round.
-    Round 9: the window is exactly l01-l14 + m01-m35 + m58."""
+    Round 10: the window is exactly n01-n08 + q01-q42 — the staged
+    n-suite first, then re-certification of the oldest round-1 rows
+    (q43-q50 re-certify in round 11). Round-11 staging (r-prefix)
+    must sort AFTER every q* key so it cannot leak into this window."""
     import __spark_entry__ as entrymod
 
     window = sorted(entrymod.queries())[:50]
-    l_keys = [k for k in window if k.startswith("l")]
-    m_keys = [k for k in window if k.startswith("m")]
-    assert len(l_keys) + len(m_keys) == 50, [
-        k for k in window if not k.startswith(("l", "m"))
+    n_keys = [k for k in window if k.startswith("n")]
+    q_keys = [k for k in window if k.startswith("q") and k[1].isdigit()]
+    assert len(n_keys) + len(q_keys) == 50, [
+        k for k in window if k not in n_keys and k not in q_keys
     ]
-    assert sorted(int(k[1:3]) for k in l_keys) == list(range(1, 15))
-    assert sorted(int(k[1:3]) for k in m_keys) == list(range(1, 36)) + [58]
+    assert sorted(int(k[1:3]) for k in n_keys) == list(range(1, 9))
+    assert sorted(int(k[1:3]) for k in q_keys) == list(range(1, 43))

@@ -31,9 +31,9 @@ QUERIES = [
     "qk32_wasserstein_distance",  # merged-lattice CDF cross-products
     "qk48_two_way_anova",  # decimal margins re-aggregation
     # round-7 conversion twins: fixed-model float folds + min_by keys
-    "l11_lsh_routing_audit",  # dot-sign folds, bit packing
-    "l13_lloyd_step_audit",  # padded-string argmin ties, DECIMAL means
-    "l14_projection_variance_audit",  # signed folds + moment identity
+    "ql11_lsh_routing_audit",  # dot-sign folds, bit packing
+    "ql13_lloyd_step_audit",  # padded-string argmin ties, DECIMAL means
+    "ql14_projection_variance_audit",  # signed folds + moment identity
 ]
 
 

@@ -33,7 +33,7 @@ def reg():
 
 
 def test_m07_anderson_darling_matches_sorted_loop(spark, sf_dir, reg, duck):
-    r = reg["m07_anderson_darling_uniformity"].fn(spark, sf_dir).collect()[0]
+    r = reg["qm07_anderson_darling_uniformity"].fn(spark, sf_dir).collect()[0]
     uids = [u[0] for u in duck.execute("SELECT DISTINCT user_id FROM events").fetchall()]
     import hashlib
 
@@ -57,7 +57,7 @@ def test_m07_anderson_darling_matches_sorted_loop(spark, sf_dir, reg, duck):
 def test_m08_ljung_box_matches_numpy(spark, sf_dir, reg, duck):
     import numpy as np
 
-    rows = reg["m08_ljung_box"].fn(spark, sf_dir).collect()
+    rows = reg["qm08_ljung_box"].fn(spark, sf_dir).collect()
     daily = duck.execute(
         "SELECT date_trunc('day', ts) AS d,"
         " CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)"
@@ -78,7 +78,7 @@ def test_m08_ljung_box_matches_numpy(spark, sf_dir, reg, duck):
 
 
 def test_m10_bartlett_matches_manual(spark, sf_dir, reg, duck):
-    r = reg["m10_bartlett_test"].fn(spark, sf_dir).collect()[0]
+    r = reg["qm10_bartlett_test"].fn(spark, sf_dir).collect()[0]
     groups = duck.execute(
         "SELECT o_orderpriority, list(o_totalprice) FROM orders GROUP BY 1"
     ).fetchall()
@@ -95,7 +95,7 @@ def test_m10_bartlett_matches_manual(spark, sf_dir, reg, duck):
 
 
 def test_m13_jonckheere_matches_bruteforce(spark, sf_dir, reg, duck):
-    r = reg["m13_jonckheere_trend"].fn(spark, sf_dir).collect()[0]
+    r = reg["qm13_jonckheere_trend"].fn(spark, sf_dir).collect()[0]
     cells = duck.execute(
         "SELECT CAST(year(o_orderdate) AS BIGINT),"
         " CAST(floor(o_totalprice / 10000) AS BIGINT), COUNT(*)"
@@ -116,14 +116,14 @@ def test_m13_jonckheere_matches_bruteforce(spark, sf_dir, reg, duck):
 def test_m15_ansari_bradley_score_symmetry(spark, sf_dir, reg):
     # AB scores satisfy sum(scores) = ties-adjusted total; the statistic
     # must sit between the min and max possible group-1 score sums
-    r = reg["m15_ansari_bradley"].fn(spark, sf_dir).collect()[0]
+    r = reg["qm15_ansari_bradley"].fn(spark, sf_dir).collect()[0]
     assert r.n1 > 0 and r.n2 > 0
     assert r.ab_stat > 0
     assert abs(r.z) < 50  # sanity: no degenerate variance
 
 
 def test_m16_page_l_between_friedman_bounds(spark, sf_dir, reg):
-    r = reg["m16_page_trend_test"].fn(spark, sf_dir).collect()[0]
+    r = reg["qm16_page_trend_test"].fn(spark, sf_dir).collect()[0]
     b, k = r.n_blocks, r.n_treatments
     # L is a weighted rank sum: between b*k(k+1)/2 (all rank 1... asc worst)
     lo = b * sum(j * (k + 1 - j) for j in range(1, k + 1))
@@ -133,7 +133,7 @@ def test_m16_page_l_between_friedman_bounds(spark, sf_dir, reg):
 
 
 def test_m18_turning_points_matches_loop(spark, sf_dir, reg, duck):
-    r = reg["m18_turning_points_test"].fn(spark, sf_dir).collect()[0]
+    r = reg["qm18_turning_points_test"].fn(spark, sf_dir).collect()[0]
     daily = duck.execute(
         "SELECT date_trunc('day', ts), CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)"
         " FROM events GROUP BY 1 ORDER BY 1"
@@ -150,7 +150,7 @@ def test_m18_turning_points_matches_loop(spark, sf_dir, reg, duck):
 def test_m20_cronbach_alpha_matches_dense(spark, sf_dir, reg, duck):
     import numpy as np
 
-    r = reg["m20_cronbach_alpha"].fn(spark, sf_dir).collect()[0]
+    r = reg["qm20_cronbach_alpha"].fn(spark, sf_dir).collect()[0]
     rows = duck.execute(
         "SELECT user_id, event_type, COUNT(*) FROM events GROUP BY 1, 2"
     ).fetchall()
@@ -168,7 +168,7 @@ def test_m20_cronbach_alpha_matches_dense(spark, sf_dir, reg, duck):
 
 
 def test_m21_m22_eval_identities(spark, sf_dir, reg):
-    r = reg["m21_matthews_corrcoef"].fn(spark, sf_dir).collect()[0]
+    r = reg["qm21_matthews_corrcoef"].fn(spark, sf_dir).collect()[0]
     tp, fp, fn, tn = r.tp, r.fp, r.fn, r.tn
     assert tp + fn > 0 and tn + fp > 0  # median-spend label is balanced
     mcc = (tp * tn - fp * fn) / math.sqrt(
@@ -176,13 +176,13 @@ def test_m21_m22_eval_identities(spark, sf_dir, reg):
     )
     assert abs(r.mcc - mcc) < 1e-6
     assert -1.0 <= r.mcc <= 1.0
-    ll = reg["m22_log_loss"].fn(spark, sf_dir).collect()[0]
+    ll = reg["qm22_log_loss"].fn(spark, sf_dir).collect()[0]
     assert ll.log_loss > 0 and ll.base_log_loss > 0
     assert ll.skill <= 1.0  # random scores shouldn't beat base by much
 
 
 def test_m34_bh_stepup_matches_loop(spark, sf_dir, reg):
-    rows = reg["m34_benjamini_hochberg"].fn(spark, sf_dir).collect()
+    rows = reg["qm34_benjamini_hochberg"].fn(spark, sf_dir).collect()
     m = len(rows)
     ps = sorted(r.p for r in rows)
     k = 0
@@ -197,7 +197,7 @@ def test_m34_bh_stepup_matches_loop(spark, sf_dir, reg):
 
 
 def test_m35_shrinkage_pulls_toward_prior(spark, sf_dir, reg):
-    rows = reg["m35_empirical_bayes_shrinkage"].fn(spark, sf_dir).collect()
+    rows = reg["qm35_empirical_bayes_shrinkage"].fn(spark, sf_dir).collect()
     mu = sum(r.raw_rate for r in rows) / len(rows)
     for r in rows:
         # shrunk lies strictly between raw and the prior mean (or equals both)
@@ -217,33 +217,33 @@ def test_m35_shrinkage_pulls_toward_prior(spark, sf_dir, reg):
 
 
 def test_m05_markov_rows_sum_to_one(spark, sf_dir, reg):
-    rows = reg["m05_markov_row_stochastic_audit"].fn(spark, sf_dir).collect()
+    rows = reg["qm05_markov_row_stochastic_audit"].fn(spark, sf_dir).collect()
     assert rows, "no states"
     for r in rows:
         assert r.p_stochastic and r.p2_stochastic, r
 
 
 def test_m06_triangle_inequality_holds(spark, sf_dir, reg):
-    r = reg["m06_triangle_inequality_audit"].fn(spark, sf_dir).collect()[0]
+    r = reg["qm06_triangle_inequality_audit"].fn(spark, sf_dir).collect()[0]
     assert r.n_triples == 2024  # C(24,3)
     assert r.n_violations == 0 and r.is_metric
 
 
 def test_m26_bloom_has_no_false_negatives(spark, sf_dir, reg):
-    r = reg["m26_bloom_prefilter_audit"].fn(spark, sf_dir).collect()[0]
+    r = reg["qm26_bloom_prefilter_audit"].fn(spark, sf_dir).collect()[0]
     assert r.no_false_negative and r.n_false_negatives == 0
     assert r.n_candidates >= r.n_members
     assert 0.0 <= r.reduction_ratio <= 1.0
 
 
 def test_m27_checksums_merge(spark, sf_dir, reg):
-    r = reg["m27_checksum_merge_audit"].fn(spark, sf_dir).collect()[0]
+    r = reg["qm27_checksum_merge_audit"].fn(spark, sf_dir).collect()[0]
     assert r.xor_merges and r.sum_merges
     assert r.n_shards > 1  # otherwise the merge identity is vacuous
 
 
 def test_m29_zorder_bounds_both_dimensions(spark, sf_dir, reg):
-    rows = {r.layout: r for r in reg["m29_zorder_locality_audit"].fn(spark, sf_dir).collect()}
+    rows = {r.layout: r for r in reg["qm29_zorder_locality_audit"].fn(spark, sf_dir).collect()}
     z, lex = rows["zorder"], rows["lexicographic"]
     # lexicographic: perfect on price, abandoned on date
     assert lex.avg_price_span <= z.avg_price_span
@@ -254,7 +254,7 @@ def test_m29_zorder_bounds_both_dimensions(spark, sf_dir, reg):
 
 
 def test_m30_triangles_match_bruteforce(spark, sf_dir, reg, duck):
-    r = reg["m30_triangle_count"].fn(spark, sf_dir).collect()[0]
+    r = reg["qm30_triangle_count"].fn(spark, sf_dir).collect()[0]
     from pyspark_distributed_kmodes_spark.operators.text import ngram_jaccard_pairs
 
     d = table(spark, sf_dir, "documents")
@@ -277,14 +277,14 @@ def test_m30_triangles_match_bruteforce(spark, sf_dir, reg, duck):
 
 
 def test_m03_theta_flags_all_true(spark, sf_dir, reg):
-    rows = reg["m03_theta_set_algebra_audit"].fn(spark, sf_dir).collect()
+    rows = reg["qm03_theta_set_algebra_audit"].fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert r.union_within and r.inter_within and r.diff_within, r
 
 
 def test_m24_ndcg_in_unit_interval(spark, sf_dir, reg):
-    r = reg["m24_ranking_quality"].fn(spark, sf_dir).collect()[0]
+    r = reg["qm24_ranking_quality"].fn(spark, sf_dir).collect()[0]
     assert r.n_queries == 20
     assert 0.0 <= r.mean_ndcg10 <= 1.0
     assert 0.0 <= r.mean_mrr <= 1.0
@@ -295,7 +295,7 @@ def test_m24_ndcg_in_unit_interval(spark, sf_dir, reg):
 
 
 def test_m01_stream_upsert_equals_batch_latest(spark, sf_dir, reg, duck):
-    r = reg["m01_upsert_stream_convergence"].fn(spark, sf_dir).collect()[0]
+    r = reg["qm01_upsert_stream_convergence"].fn(spark, sf_dir).collect()[0]
     truth = duck.execute(
         "SELECT COUNT(*), SUM(eid) FROM (SELECT user_id,"
         " MAX_BY(event_id, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')"
@@ -306,7 +306,7 @@ def test_m01_stream_upsert_equals_batch_latest(spark, sf_dir, reg, duck):
 
 
 def test_m02_restart_equals_batch_counts(spark, sf_dir, reg, duck):
-    rows = reg["m02_stream_restart_equivalence"].fn(spark, sf_dir).collect()
+    rows = reg["qm02_stream_restart_equivalence"].fn(spark, sf_dir).collect()
     truth = duck.execute(
         "SELECT date_trunc('hour', ts), event_type, COUNT(*)"
         " FROM events GROUP BY 1, 2 ORDER BY 1, 2"
@@ -325,7 +325,7 @@ def test_m02_restart_equals_batch_counts(spark, sf_dir, reg, duck):
 
 
 def test_m04_error_bounds_hold(spark, sf_dir, reg):
-    rows = reg["m04_mae_rmse_bound_audit"].fn(spark, sf_dir).collect()
+    rows = reg["qm04_mae_rmse_bound_audit"].fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert r.mae_le_rmse and r.rmse_le_max, r
@@ -335,7 +335,7 @@ def test_m04_error_bounds_hold(spark, sf_dir, reg):
 
 
 def test_m09_moods_median_matches_python(spark, sf_dir, reg, duck):
-    r = reg["m09_moods_median"].fn(spark, sf_dir).collect()[0]
+    r = reg["qm09_moods_median"].fn(spark, sf_dir).collect()[0]
     bals = duck.execute("SELECT c_nationkey, c_acctbal FROM customer").fetchall()
     vs = sorted(b for _, b in bals)
     n = len(vs)
@@ -358,7 +358,7 @@ def test_m09_moods_median_matches_python(spark, sf_dir, reg, duck):
 
 
 def test_m11_grubbs_bound_and_argmax(spark, sf_dir, reg, duck):
-    r = reg["m11_grubbs_outlier"].fn(spark, sf_dir).collect()[0]
+    r = reg["qm11_grubbs_outlier"].fn(spark, sf_dir).collect()[0]
     n = duck.execute("SELECT COUNT(*) FROM customer").fetchone()[0]
     # self-consistency against the reported moments
     dev = duck.execute(
@@ -373,7 +373,7 @@ def test_m11_grubbs_bound_and_argmax(spark, sf_dir, reg, duck):
 
 
 def test_m12_odds_ratio_ci_identities(spark, sf_dir, reg):
-    r = reg["m12_odds_ratio_ci"].fn(spark, sf_dir).collect()[0]
+    r = reg["qm12_odds_ratio_ci"].fn(spark, sf_dir).collect()[0]
     # Haldane-Anscombe +0.5 correction (visible at sf0.001, where three
     # cells are empty) — the estimator must match it exactly
     a, b, c, d = r.a + 0.5, r.b + 0.5, r.c + 0.5, r.d + 0.5
@@ -390,7 +390,7 @@ def test_m12_odds_ratio_ci_identities(spark, sf_dir, reg):
 
 
 def test_m14_brunner_munzel_matches_bruteforce(spark, sf_dir, reg, duck):
-    r = reg["m14_brunner_munzel"].fn(spark, sf_dir).collect()[0]
+    r = reg["qm14_brunner_munzel"].fn(spark, sf_dir).collect()[0]
     from collections import Counter
 
     en = Counter(
@@ -429,7 +429,7 @@ def _daily_log_revenue(duck):
 
 
 def test_m17_variance_ratio_matches_python(spark, sf_dir, reg, duck):
-    r = reg["m17_variance_ratio_test"].fn(spark, sf_dir).collect()[0]
+    r = reg["qm17_variance_ratio_test"].fn(spark, sf_dir).collect()[0]
     q = 5  # _M17_Q
     ly = _daily_log_revenue(duck)
     r1 = [ly[t] - ly[t - 1] for t in range(1, len(ly))]
@@ -447,7 +447,7 @@ def test_m17_variance_ratio_matches_python(spark, sf_dir, reg, duck):
 
 
 def test_m19_adf_matches_ols(spark, sf_dir, reg, duck):
-    r = reg["m19_adf_lag1"].fn(spark, sf_dir).collect()[0]
+    r = reg["qm19_adf_lag1"].fn(spark, sf_dir).collect()[0]
     ly = _daily_log_revenue(duck)
     x = ly[:-1]
     dy = [ly[t] - ly[t - 1] for t in range(1, len(ly))]
@@ -466,7 +466,7 @@ def test_m19_adf_matches_ols(spark, sf_dir, reg, duck):
 
 
 def test_m23_nelson_aalen_monotone_and_breslow(spark, sf_dir, reg):
-    rows = reg["m23_nelson_aalen"].fn(spark, sf_dir).collect()
+    rows = reg["qm23_nelson_aalen"].fn(spark, sf_dir).collect()
     assert rows
     prev_h, prev_s, prev_risk = -1.0, 2.0, None
     for r in rows:  # ordered by week
@@ -481,7 +481,7 @@ def test_m23_nelson_aalen_monotone_and_breslow(spark, sf_dir, reg):
 
 
 def test_m25_wider_shingles_are_stricter(spark, sf_dir, reg):
-    rows = reg["m25_shingle_width_sweep"].fn(spark, sf_dir).collect()
+    rows = reg["qm25_shingle_width_sweep"].fn(spark, sf_dir).collect()
     assert len(rows) >= 2
     prev = None
     for r in rows:  # ordered by width
@@ -495,7 +495,7 @@ def test_m25_wider_shingles_are_stricter(spark, sf_dir, reg):
 
 
 def test_m28_tombstone_ledger_identities(spark, sf_dir, reg):
-    r = reg["m28_cdc_tombstone_apply"].fn(spark, sf_dir).collect()[0]
+    r = reg["qm28_cdc_tombstone_apply"].fn(spark, sf_dir).collect()[0]
     assert r.n_live + r.n_tombstoned == r.n_keys
     assert r.n_tombstoned <= r.n_delete_ops  # a delete may be overwritten
     assert r.n_keys <= r.n_ops
@@ -503,7 +503,7 @@ def test_m28_tombstone_ledger_identities(spark, sf_dir, reg):
 
 
 def test_m31_entropy_bounds_and_identity(spark, sf_dir, reg):
-    rows = reg["m31_next_event_entropy"].fn(spark, sf_dir).collect()
+    rows = reg["qm31_next_event_entropy"].fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert r.n_successors <= r.n_transitions
@@ -519,12 +519,12 @@ def test_m31_entropy_bounds_and_identity(spark, sf_dir, reg):
 
 
 def test_m32_did_is_the_cell_difference(spark, sf_dir, reg):
-    r = reg["m32_did_estimator"].fn(spark, sf_dir).collect()[0]
+    r = reg["qm32_did_estimator"].fn(spark, sf_dir).collect()[0]
     assert abs(r.did - ((r.t_post - r.t_pre) - (r.c_post - r.c_pre))) < 1e-4
 
 
 def test_m33_lorenz_curves_well_formed(spark, sf_dir, reg):
-    rows = reg["m33_lorenz_dominance"].fn(spark, sf_dir).collect()
+    rows = reg["qm33_lorenz_dominance"].fn(spark, sf_dir).collect()
     assert len(rows) == 9  # interior deciles; L(0)=0 and L(1)=1 implicit
     prev_b, prev_o = -1e-9, -1e-9
     flags = {r.building_dominates for r in rows}

@@ -121,7 +121,17 @@ def test_n05_matches_python_counter(spark, sf_dir, reg, duck):
 
 
 def test_n06_state_equals_batch(spark, sf_dir, reg, duck):
-    rows = reg["n06_statestore_reader"].fn(spark, sf_dir).collect()
+    df = reg["n06_statestore_reader"].fn(spark, sf_dir)
+    # state-schema pin: n06 reads the Count/Sum aggBufferAttributes by
+    # name (value.count / value.sum) — if a Spark upgrade changes the
+    # persisted buffer layout, this must fail as a loud schema error,
+    # so pin the projected output schema here
+    assert [(f.name, f.dataType.simpleString()) for f in df.schema.fields] == [
+        ("event_type", "string"),
+        ("n_events", "bigint"),
+        ("sum_event_id", "bigint"),
+    ]
+    rows = df.collect()
     expect = dict(
         (t, (n, s))
         for t, n, s in duck.execute(
@@ -189,9 +199,14 @@ def test_n04_decorrelates_to_window_join(spark, sf_dir, reg):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
     assert "row_number" in plan
-    assert plan.count("LessThan(o_custkey,50)") + plan.count(
-        "LessThan(c_custkey,50)"
-    ) >= 2  # pushed into both scans
+    # the custkey<50 predicate must reach BOTH parquet scans; match the
+    # pushed-filter rendering loosely (whitespace / expr-id formatting
+    # may drift across Spark releases — the semantic claim is only
+    # "both tables' scans carry a custkey-vs-50 pushed filter")
+    import re
+
+    pushed = re.findall(r"LessThan\(\s*(o_custkey|c_custkey)[^,)]*,\s*50", plan)
+    assert {"o_custkey", "c_custkey"} <= set(pushed) or len(pushed) >= 2, plan[:2000]
 
 
 def test_unicode_ci_grouping_equals_lower_on_random_ascii(spark):

@@ -16,7 +16,7 @@ def _formatted(spark, sf_dir, key):
 def test_m24_candidates_broadcast(spark, sf_dir):
     """The fixed-budget candidate set rides a broadcast — the query/
     candidate cross join must never shuffle the corpus."""
-    plan = _formatted(spark, sf_dir, "m24_ranking_quality")
+    plan = _formatted(spark, sf_dir, "qm24_ranking_quality")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
 
 
@@ -24,7 +24,7 @@ def test_m26_bitmap_is_broadcast_and_bounded(spark, sf_dir):
     """The 2048-word Bloom bitmap joins as a broadcast; the documents
     table feeds the screen at most 4x in the static plan (eval keys
     and doc keys are checkpointed once each)."""
-    plan = _formatted(spark, sf_dir, "m26_bloom_prefilter_audit")
+    plan = _formatted(spark, sf_dir, "qm26_bloom_prefilter_audit")
     assert "BroadcastHashJoin" in plan, plan
     assert table_scan_counts(plan).get("documents", 0) <= 4, table_scan_counts(plan)
 
@@ -33,7 +33,7 @@ def test_m32_dim_join_broadcast(spark, sf_dir):
     """The customer dimension joins orders as a broadcast hash join.
     (m33's dim join sits behind its cumulative-table checkpoint, so its
     static plan shows only the 9-row probe cross — not asserted here.)"""
-    plan = _formatted(spark, sf_dir, "m32_did_estimator")
+    plan = _formatted(spark, sf_dir, "qm32_did_estimator")
     assert "BroadcastHashJoin" in plan, plan
 
 
@@ -43,7 +43,7 @@ def test_m30_triangle_join_is_equi_not_cartesian(spark, sf_dir):
     difference between sqrt(m) fan-out and m^2. The plan's
     BroadcastNestedLoopJoins are the three 1-row scalar assemblies
     (counts x triangles x wedges), which are fine."""
-    plan = _formatted(spark, sf_dir, "m30_triangle_count")
+    plan = _formatted(spark, sf_dir, "qm30_triangle_count")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
 
@@ -52,9 +52,9 @@ def test_m03_m25_single_source_pass(spark, sf_dir):
     """Multi-consumer audits hold the one-scan discipline: m03's token
     table is checkpointed (0 inline documents scans), m25's 3-width
     stack reads documents once per arm (3 scans, constant fan-out)."""
-    assert table_scan_counts(_formatted(spark, sf_dir, "m03_theta_set_algebra_audit")).get(
+    assert table_scan_counts(_formatted(spark, sf_dir, "qm03_theta_set_algebra_audit")).get(
         "documents", 0
     ) == 0
-    assert table_scan_counts(_formatted(spark, sf_dir, "m25_shingle_width_sweep")).get(
+    assert table_scan_counts(_formatted(spark, sf_dir, "qm25_shingle_width_sweep")).get(
         "documents", 0
     ) == 3

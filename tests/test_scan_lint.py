@@ -63,7 +63,7 @@ def test_plan_only_mode_counts_match_eager(spark, sf_dir, reg):
     keys = [
         "qk13_markov_stationary",       # per-iteration cut_lineage loop
         "qd01_neardup_pagerank",        # power iteration, checkpointed
-        "m35_empirical_bayes_shrinkage",  # checkpointed shared cells table
+        "qm35_empirical_bayes_shrinkage",  # checkpointed shared cells table
     ]
     eager = {
         k: table_scan_counts(formatted_plan(reg[k].fn(spark, sf_dir))) for k in keys

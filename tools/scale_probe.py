@@ -104,21 +104,21 @@ PROBE_QUERIES = [
     "qk50_powerlaw_alpha",
     # round-7 conversion twins: constant fan-outs whose growth should
     # stay ~linear (l13's exploded Lloyd step is k*dim per row)
-    "l11_lsh_routing_audit",
-    "l13_lloyd_step_audit",
-    "l14_projection_variance_audit",
+    "ql11_lsh_routing_audit",
+    "ql13_lloyd_step_audit",
+    "ql14_projection_variance_audit",
     # round-8 m-suite: the data-sized shapes (dictionaries, stacked
     # scans, pair-bounded graph joins, bitmap screens)
-    "m05_markov_row_stochastic_audit",
-    "m07_anderson_darling_uniformity",
-    "m20_cronbach_alpha",
-    "m25_shingle_width_sweep",
-    "m26_bloom_prefilter_audit",
-    "m27_checksum_merge_audit",
-    "m28_cdc_tombstone_apply",
-    "m29_zorder_locality_audit",
-    "m30_triangle_count",
-    "m58_language_id",
+    "qm05_markov_row_stochastic_audit",
+    "qm07_anderson_darling_uniformity",
+    "qm20_cronbach_alpha",
+    "qm25_shingle_width_sweep",
+    "qm26_bloom_prefilter_audit",
+    "qm27_checksum_merge_audit",
+    "qm28_cdc_tombstone_apply",
+    "qm29_zorder_locality_audit",
+    "qm30_triangle_count",
+    "qm58_language_id",
 ]
 
 
