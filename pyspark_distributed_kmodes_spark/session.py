@@ -30,8 +30,55 @@ RUNTIME_CONFS = {
 }
 
 
+# Temp-dir prefixes the engine's staging/checkpoint queries create
+# under tempfile.gettempdir() (qm01/qm02/n06, the file-format sinks,
+# the streaming stage dirs). Each query cleans up after itself (rmtree
+# post-stream or atexit), but a killed process leaks its dirs — the
+# round-9 audit found 273 stale ones. sweep_stale_tmp() removes only
+# dirs matching these prefixes AND older than a day, so concurrent
+# live sessions (whose dirs are minutes old) are never touched.
+_TMP_PREFIXES = (
+    "events_stream_", "upsert_ckpt_", "m_chunk_", "m_stream_chunks_",
+    "qm01_", "qm02_", "n06_", "qc01_csv_", "qc02_jsonl_",
+    "e06_jsonl_sink_", "qh10_orc_", "qh11_part_", "qi02_snap_",
+    "qi27_evo_", "qj08_bin_", "qj09_text_", "qj34_wap_", "qj40_dpo_",
+    "qk23_xml_", "qk24_csv_", "qk25_zstd_", "qb34_bucketed_",
+)
+_SWEEP_DONE = False
+
+
+def sweep_stale_tmp(max_age_sec: float = 86400.0) -> int:
+    """Remove engine temp dirs older than max_age_sec; returns count."""
+    global _SWEEP_DONE
+    import shutil
+    import tempfile
+    import time
+
+    _SWEEP_DONE = True
+    root = tempfile.gettempdir()
+    cutoff = time.time() - max_age_sec
+    removed = 0
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return 0
+    for name in entries:
+        if not name.startswith(_TMP_PREFIXES):
+            continue
+        path = os.path.join(root, name)
+        try:
+            if os.path.isdir(path) and os.path.getmtime(path) < cutoff:
+                shutil.rmtree(path, ignore_errors=True)
+                removed += 1
+        except OSError:
+            continue
+    return removed
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Idempotently apply runtime confs to a session we didn't build."""
+    if not _SWEEP_DONE:
+        sweep_stale_tmp()
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
