@@ -118,9 +118,14 @@ this). History:
            query identity, the m58 precedent) so both enter the
            window; any remaining slots re-certify the oldest round-2
            rows by renaming q51+ into o-space (number preserved).
-           The r/o keys are genuinely-new engine surface only (SQL
-           scripting control flow, VariantType, SQL MERGE INTO front
-           door, ...), never filler.
+           The r/o keys are genuinely-new engine surface only, never
+           filler: r01 SQL scripting, r02 VariantType, r03 XML
+           expressions, r04 approx_top_k, r05 URL parsing, r06
+           IDENTIFIER + lateral aliases, r07 UTF-8 validation
+           (operators/analytics12.py). SQL MERGE INTO was investigated
+           and is honestly unsupported on vanilla parquet v1 catalogs
+           (see analytics12.py header); CDC merge semantics remain
+           covered by operators/cdc.py.
 
 Implementations live in pyspark_distributed_kmodes_spark/; this module
 is a thin adapter over its registry.

@@ -19,6 +19,18 @@ they enter the round-11 window.
        surface — struct -> XML text -> parsed struct — with the oracle
        computing the same aggregate from the raw columns, so any
        round-trip corruption breaks the hash.
+  r04  approx_top_k (native DataSketches frequent-items, Spark 4.1)
+       with the exact GROUP BY as an in-hash audit twin — exact on a
+       bounded domain because the sketch never evicts.
+  r05  URL parsing (parse_url / try_parse_url): HOST + QUERY-param
+       extraction over synthesized URLs with planted malformed rows;
+       the oracle derives host/param from the source columns.
+  r06  IDENTIFIER() dynamic table binding + LATERAL COLUMN ALIASES —
+       analyzer-level ergonomics; the oracle inlines both, and a test
+       pins that IDENTIFIER leaves no trace in the optimized plan.
+  r07  UTF-8 validation (is_valid_utf8 / try_validate_utf8) over a
+       binary column with deterministically planted corruption — the
+       byte-level quarantine primitive of a raw-text ingest.
 
 Investigated and honestly NOT implementable on this stack (recorded so
 round 11 doesn't re-litigate): SQL MERGE INTO requires a catalog whose
@@ -215,3 +227,204 @@ def r03_xml_expression_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     e.createOrReplaceTempView("events")
     return spark.sql(_R03_SQL)
+
+
+# ---------------------------------------------------------------------------
+# r04 — native DataSketches approx_top_k with an exact-count audit twin
+
+# On a domain smaller than the sketch's tracked-item budget the
+# frequent-items sketch is EXACT (no evictions ever happen), so the
+# estimate is hash-gateable against a plain GROUP BY — the same
+# audit-twin pattern as qm03 (theta) and qg07 (HLL bounds).
+_R04_SQL = """
+WITH sk AS (
+  SELECT explode(approx_top_k_estimate(approx_top_k_accumulate(o_orderpriority), 5)) AS t
+  FROM orders
+), exact AS (
+  SELECT o_orderpriority AS pr, CAST(COUNT(*) AS BIGINT) AS exact_n
+  FROM orders GROUP BY 1
+)
+SELECT sk.t.item AS o_orderpriority,
+       CAST(sk.t.count AS BIGINT) AS sketch_n,
+       exact.exact_n AS exact_n,
+       CAST(sk.t.count - exact.exact_n AS BIGINT) AS err
+FROM sk JOIN exact ON exact.pr = sk.t.item
+ORDER BY sketch_n DESC, o_orderpriority
+"""
+
+_R04_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS sketch_n,
+       CAST(COUNT(*) AS BIGINT) AS exact_n,
+       CAST(0 AS BIGINT) AS err
+FROM orders GROUP BY 1 ORDER BY sketch_n DESC, o_orderpriority
+"""
+
+
+@query("r04_approx_top_k_audit", oracle=_R04_ORACLE, tags=("sketch", "audit"))
+def r04_approx_top_k_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native DataSketches frequent-items top-k (Spark 4.1
+    approx_top_k_accumulate/_estimate) with the exact GROUP BY as its
+    audit twin IN the hash gate: on the 5-value priority domain the
+    sketch never evicts, so sketch counts must equal exact counts and
+    err must be identically zero — the oracle asserts exactly that by
+    construction. This closes the sketch family's last gap (HLL, CMS,
+    theta, KLL were covered; frequent-items was not).
+
+    Scale: approx_top_k_accumulate is a mergeable partial aggregate
+    (map-side sketches, one combine), so the pattern holds at 100 TB
+    where the GROUP BY twin would still work but a 10^9-key domain
+    would not — there the sketch's maxItemsTracked bounds memory while
+    exact counting cannot; the audit twin quantifies the trade on a
+    domain where truth is computable.
+    """
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_R04_SQL)
+
+
+# ---------------------------------------------------------------------------
+# r05 — URL parsing (parse_url / try_parse_url) over synthesized URLs
+
+_R05_SQL = """
+WITH u AS (
+  SELECT doc_id, source, lang,
+         CASE WHEN doc_id % 13 = 0 THEN concat('::not a url::', CAST(doc_id AS STRING))
+              ELSE concat('https://', source, '.example.org/d/', CAST(doc_id AS STRING),
+                          '?lang=', lang, '&v=1')
+         END AS url
+  FROM documents
+), p AS (
+  SELECT doc_id, lang,
+         coalesce(try_parse_url(url, 'HOST'), '(invalid)') AS host,
+         try_parse_url(url, 'QUERY', 'lang') AS url_lang
+  FROM u
+)
+SELECT host,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN url_lang = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_roundtrip
+FROM p GROUP BY host ORDER BY host
+"""
+
+_R05_ORACLE = """
+SELECT CASE WHEN doc_id % 13 = 0 THEN '(invalid)'
+            ELSE source || '.example.org' END AS host,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id % 13 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_lang_roundtrip
+FROM documents GROUP BY 1 ORDER BY host
+"""
+
+
+@query("r05_url_parsing", oracle=_R05_ORACLE, tags=("text", "url"))
+def r05_url_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing surface (parse_url / try_parse_url, the try_ variant
+    new in Spark 4.1): deterministic URLs are synthesized from document
+    metadata (1-in-13 deliberately malformed), then HOST and a QUERY
+    parameter are parsed BACK and aggregated — the oracle derives the
+    same host/param directly from the source columns, so extraction
+    correctness and the try_-on-malformed NULL contract are both under
+    the hash. A web-corpus curation pipeline leans on exactly these
+    expressions for per-host mixing and dedup keys.
+
+    Scale: single scan, JVM parse expressions in the projection, one
+    shuffle on the bounded host key with map-side combine.
+    """
+    d = table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("documents")
+    return spark.sql(_R05_SQL)
+
+
+# ---------------------------------------------------------------------------
+# r06 — SQL ergonomics: IDENTIFIER() binding + lateral column aliases
+
+_R06_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS gross,
+       CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE) AS disc_amt,
+       {net} AS net
+FROM IDENTIFIER(r06_tbl)
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+_R06_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS gross,
+       CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE) AS disc_amt,
+       {net} AS net
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@query(
+    "r06_identifier_lateral_alias",
+    oracle=_R06_ORACLE.format(
+        net="(CAST(floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)"
+        " - CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE))"
+        " * 100.0 + 0.5) AS DOUBLE) / 100.0)"
+    ),
+    tags=("sql", "ergonomics"),
+)
+def r06_identifier_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two analyzer-level SQL ergonomics features under one hash:
+    IDENTIFIER() binds the scanned table from a session variable
+    (injection-safe dynamic identifiers — the sanctioned form of the
+    string-concat SQL the verbatim front door qe13 forbids), and the
+    `net` output is computed via LATERAL COLUMN ALIASES (`gross` and
+    `disc_amt` referenced by alias in a sibling select item, not
+    re-computed). The oracle inlines both: a static table name and the
+    expanded expressions — so alias resolution must be pure sugar.
+
+    Scale: IDENTIFIER resolves at analysis time; the physical plan is
+    identical to the static-name query (scan -> partial agg -> exchange
+    -> final agg) — pinned in tests by comparing the two plans.
+    """
+    from pyspark_distributed_kmodes_spark.functions.deterministic import sql_pround
+
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql("DECLARE OR REPLACE VARIABLE r06_tbl STRING")
+    spark.sql("SET VAR r06_tbl = 'lineitem'")
+    return spark.sql(_R06_SQL.format(net=sql_pround("gross - disc_amt", 2)))
+
+
+# ---------------------------------------------------------------------------
+# r07 — UTF-8 validation expressions over a binary column
+
+_R07_SQL = """
+WITH b AS (
+  SELECT source,
+         CASE WHEN doc_id % 97 = 0 THEN concat(encode(text, 'UTF-8'), X'80')
+              ELSE encode(text, 'UTF-8') END AS bin
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN is_valid_utf8(bin) THEN 0 ELSE 1 END) AS BIGINT) AS n_invalid,
+       CAST(SUM(CASE WHEN try_validate_utf8(bin) IS NULL THEN 0 ELSE length(try_validate_utf8(bin)) END) AS BIGINT) AS valid_chars
+FROM b GROUP BY source ORDER BY source
+"""
+
+_R07_ORACLE = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
+       CAST(SUM(CASE WHEN doc_id % 97 = 0 THEN 0 ELSE length(text) END) AS BIGINT) AS valid_chars
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+@query("r07_utf8_validation", oracle=_R07_ORACLE, tags=("text", "binary"))
+def r07_utf8_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTF-8 validation expressions (is_valid_utf8 / try_validate_utf8,
+    Spark 4.0+) over a BINARY column — the first scrubbing pass of any
+    100 TB raw-bytes text ingest. Corruption is planted deterministically
+    (1-in-97 docs get a lone 0x80 continuation byte appended), so the
+    oracle knows exactly which rows must fail validation and how many
+    characters the valid ones decode to; the engine must agree from the
+    bytes alone. try_validate_utf8's NULL-on-invalid contract feeds the
+    quarantine pattern (qc01's malformed-CSV shape, at the byte level).
+
+    Scale: single scan, JVM byte-inspection expressions, bounded
+    source-key aggregate with map-side combine.
+    """
+    d = table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("documents")
+    return spark.sql(_R07_SQL)

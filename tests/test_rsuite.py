@@ -125,3 +125,106 @@ def test_r_keys_sort_outside_window(reg):
     first50 = set(keys[:50])
     assert not (set(r_keys) & first50)
     assert all(k > max(q for q in keys if q.startswith("q")) for k in r_keys)
+
+
+def test_r04_sketch_exact_on_bounded_domain(spark, sf_dir, reg, duck):
+    """err must be identically 0 (no evictions on a 5-value domain) and
+    counts must match a python Counter."""
+    rows = reg["r04_approx_top_k_audit"].fn(spark, sf_dir).collect()
+    exact = dict(
+        duck.execute(
+            "SELECT o_orderpriority, COUNT(*) FROM orders GROUP BY 1"
+        ).fetchall()
+    )
+    assert len(rows) == len(exact)
+    for r in rows:
+        assert r.err == 0
+        assert r.sketch_n == r.exact_n == exact[r.o_orderpriority]
+
+
+def test_r05_matches_python_urlparse(spark, sf_dir, reg, duck):
+    from urllib.parse import urlsplit
+
+    rows = {r.host: (r.n_docs, r.n_lang_roundtrip) for r in
+            reg["r05_url_parsing"].fn(spark, sf_dir).collect()}
+    per = defaultdict(lambda: [0, 0])
+    for doc_id, src, lang in duck.execute(
+        "SELECT doc_id, source, lang FROM documents"
+    ).fetchall():
+        if doc_id % 13 == 0:
+            per["(invalid)"][0] += 1
+        else:
+            url = f"https://{src}.example.org/d/{doc_id}?lang={lang}&v=1"
+            host = urlsplit(url).hostname
+            per[host][0] += 1
+            per[host][1] += 1  # lang param round-trips by construction
+    assert rows == {h: tuple(v) for h, v in per.items()}
+
+
+def test_r06_identifier_plan_equals_static(spark, sf_dir, reg):
+    """IDENTIFIER() must resolve at analysis time: the physical plan is
+    the same as the static-name query (no extra nodes), and the result
+    matches the inlined lateral-alias expansion."""
+    df = reg["r06_identifier_lateral_alias"].fn(spark, sf_dir)
+    static = spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS gross,
+               CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE) AS disc_amt,
+               (CAST(floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)
+                    - CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE))
+                    * 100.0 + 0.5) AS DOUBLE) / 100.0) AS net
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
+    assert [tuple(r) for r in df.collect()] == [tuple(r) for r in static.collect()]
+
+    # Isolate IDENTIFIER: the SAME query text with a static table name
+    # (lateral aliases kept) must produce a node-for-node identical
+    # OPTIMIZED plan (expr-ids stripped) — IDENTIFIER resolves during
+    # analysis and leaves no trace. (The inlined `static` form above
+    # checks VALUES only: the lateral-alias sugar legitimately plans an
+    # extra Project over the Aggregate.)
+    from pyspark_distributed_kmodes_spark.operators.analytics12 import _R06_SQL
+    from pyspark_distributed_kmodes_spark.functions.deterministic import sql_pround
+
+    static_name = spark.sql(
+        _R06_SQL.format(net=sql_pround("gross - disc_amt", 2)).replace(
+            "IDENTIFIER(r06_tbl)", "lineitem"
+        )
+    )
+
+    def shape(frame):
+        import re
+
+        plan = frame._jdf.queryExecution().optimizedPlan().toString()
+        return [
+            re.sub(r"[#(].*", "", ln.strip().lstrip("+- :"))
+            for ln in plan.splitlines()
+            if ln.strip()
+        ]
+
+    assert shape(df) == shape(static_name)
+
+
+def test_r07_matches_python_utf8(spark, sf_dir, reg, duck):
+    rows = {r.source: (r.n_docs, r.n_invalid, r.valid_chars) for r in
+            reg["r07_utf8_validation"].fn(spark, sf_dir).collect()}
+    per = defaultdict(lambda: [0, 0, 0])
+    for doc_id, src, text in duck.execute(
+        "SELECT doc_id, source, text FROM documents"
+    ).fetchall():
+        per[src][0] += 1
+        if doc_id % 97 == 0:
+            # a lone 0x80 continuation byte can never complete a valid
+            # UTF-8 sequence, so the whole blob is invalid
+            assert_invalid = (text.encode("utf-8") + b"\x80")
+            try:
+                assert_invalid.decode("utf-8")
+                raise AssertionError("planted corruption decoded unexpectedly")
+            except UnicodeDecodeError:
+                pass
+            per[src][1] += 1
+        else:
+            per[src][2] += len(text)
+    assert rows == {s: tuple(v) for s, v in per.items()}
