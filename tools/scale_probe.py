@@ -119,6 +119,12 @@ PROBE_QUERIES = [
     "qm29_zorder_locality_audit",
     "qm30_triangle_count",
     "qm58_language_id",
+    # round-10 staged r-suite: the data-sized shapes (per-row JVM
+    # parse/serialize expressions feeding bounded-key aggregates)
+    "r02_variant_json_extraction",
+    "r03_xml_expression_roundtrip",
+    "r05_url_parsing",
+    "r07_utf8_validation",
 ]
 
 
