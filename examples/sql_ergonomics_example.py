@@ -1,0 +1,65 @@
+"""Tour of the round-10 staged engine surface (the r-suite,
+operators/analytics12.py) as a user would drive it:
+
+  1. SQL scripting (BEGIN...END) — variables, a FOR cursor loop and an
+     IF branch folding a rank-weighted count over bounded aggregates.
+  2. Variant — typed path extraction from the raw events.props JSON.
+  3. XML expressions — to_xml -> from_xml round-trip feeding an
+     aggregate computed only from the parsed structs.
+  4. approx_top_k — native DataSketches frequent-items with its exact
+     audit twin (err must be 0 on the bounded domain).
+  5. URL parsing — HOST/QUERY-param extraction with try_parse_url's
+     NULL contract quarantining malformed rows.
+  6. IDENTIFIER() + lateral column aliases — dynamic table binding and
+     alias-chained select items.
+  7. UTF-8 validation — byte-level quarantine over a binary column
+     with planted corruption.
+
+    python examples/sql_ergonomics_example.py [sf_dir]
+"""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark_distributed_kmodes_spark.registry import load_all
+from pyspark_distributed_kmodes_spark.session import get_spark
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("sql-ergonomics-example")
+    reg = load_all()
+
+    print("== 1. SQL scripting: FOR/IF fold over per-priority counts ==")
+    row = reg["r01_sql_scripting_controlflow"].fn(spark, sf_dir)
+    row.show()
+    assert row.collect()[0].n_groups >= 1
+
+    print("== 2. Variant: typed '$.k' extraction from events.props ==")
+    reg["r02_variant_json_extraction"].fn(spark, sf_dir).show()
+
+    print("== 3. XML round-trip: aggregate from parsed structs only ==")
+    reg["r03_xml_expression_roundtrip"].fn(spark, sf_dir).show()
+
+    print("== 4. approx_top_k vs exact counts (err pinned 0) ==")
+    topk = reg["r04_approx_top_k_audit"].fn(spark, sf_dir)
+    topk.show()
+    assert all(r.err == 0 for r in topk.collect())
+
+    print("== 5. URL parsing: per-host rollup, malformed quarantined ==")
+    reg["r05_url_parsing"].fn(spark, sf_dir).show(8)
+
+    print("== 6. IDENTIFIER() table binding + lateral column aliases ==")
+    reg["r06_identifier_lateral_alias"].fn(spark, sf_dir).show()
+
+    print("== 7. UTF-8 validation over binary (planted corruption) ==")
+    utf8 = reg["r07_utf8_validation"].fn(spark, sf_dir)
+    utf8.show(8)
+    assert sum(r.n_invalid for r in utf8.collect()) > 0
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
