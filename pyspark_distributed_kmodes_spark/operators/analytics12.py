@@ -31,6 +31,25 @@ they enter the round-11 window.
   r07  UTF-8 validation (is_valid_utf8 / try_validate_utf8) over a
        binary column with deterministically planted corruption — the
        byte-level quarantine primitive of a raw-text ingest.
+  r08  BITMAP exact-distinct rollup (bitmap_construct_agg /
+       bitmap_or_agg / bitmap_count): mergeable EXACT distinct counts —
+       per-segment bitmaps answer both the per-priority and the global
+       distinct without re-shuffling raw keys; oracle COUNT(DISTINCT).
+  r09  PARAMETERIZED SQL (named :marker binding via spark.sql(args=)):
+       the injection-safe front door — a hostile string bound through a
+       marker must stay ONE literal; the oracle inlines the literals.
+  r10  FILE-METADATA provenance (_metadata.file_path / row_index /
+       file_size) over a partitioned sink: per-file row counts and
+       row-index contiguity under the hash — the lineage primitive for
+       auditing which file contributed which rows at 100 TB.
+  r11  PASSAGE CHUNKING (overlapping token windows, W=32 stride 24):
+       the RAG / training-data chunker as pure JVM array ops
+       (split -> sequence -> slice), fingerprinted per chunk; the
+       oracle replays it with DuckDB list functions.
+  r12  STREAMING DEDUP WITH BOUNDED STATE (dropDuplicatesWithinWatermark):
+       planted +30 s duplicates across a 3-chunk chronological replay
+       must all be dropped while state stays watermark-bounded — the
+       scale answer to dropDuplicates' unbounded state.
 
 Investigated and honestly NOT implementable on this stack (recorded so
 round 11 doesn't re-litigate): SQL MERGE INTO requires a catalog whose
@@ -428,3 +447,434 @@ def r07_utf8_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     d.createOrReplaceTempView("documents")
     return spark.sql(_R07_SQL)
+
+
+# ---------------------------------------------------------------------------
+# r08 — bitmap exact-distinct rollup: mergeable exact COUNT(DISTINCT)
+
+# One scan builds per-(priority, bucket) bitmaps; those SAME partials
+# answer the per-priority distinct (sum of bitmap_count) AND the global
+# distinct (bitmap_or_agg across priorities, then count) — the rollup
+# never touches raw keys again. COUNT(DISTINCT) at 100 TB re-shuffles
+# the raw key universe per grouping; bitmap partials shuffle only
+# fixed-size buckets and MERGE, which is what makes segment-level
+# distinct rollups (per-day -> per-month -> global) cheap.
+_R08_SQL = """
+WITH b AS (
+  SELECT o_orderpriority AS pr,
+         bitmap_bucket_number(o_custkey) AS bkt,
+         bitmap_construct_agg(bitmap_bit_position(o_custkey)) AS bm
+  FROM orders GROUP BY 1, 2
+), per AS (
+  SELECT pr, CAST(SUM(bitmap_count(bm)) AS BIGINT) AS n_distinct_cust
+  FROM b GROUP BY pr
+), merged AS (
+  SELECT CAST(SUM(bitmap_count(bm)) AS BIGINT) AS n_distinct_all
+  FROM (SELECT bkt, bitmap_or_agg(bm) AS bm FROM b GROUP BY bkt)
+)
+SELECT per.pr AS o_orderpriority, per.n_distinct_cust, merged.n_distinct_all
+FROM per CROSS JOIN merged
+ORDER BY o_orderpriority
+"""
+
+_R08_ORACLE = """
+WITH per AS (
+  SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct_cust
+  FROM orders GROUP BY 1
+), m AS (
+  SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct_all FROM orders
+)
+SELECT per.o_orderpriority, per.n_distinct_cust, m.n_distinct_all
+FROM per CROSS JOIN m
+ORDER BY o_orderpriority
+"""
+
+
+@query("r08_bitmap_distinct_rollup", oracle=_R08_ORACLE, tags=("sql", "bitmap", "distinct"))
+def r08_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregates
+    (bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg /
+    bitmap_or_agg / bitmap_count): one scan builds per-(priority,
+    bucket) bitmaps, and those SAME partials answer both the
+    per-priority distinct-customer count and the global one (OR-merge
+    across priorities) — the oracle recomputes both with plain
+    COUNT(DISTINCT), so bit placement, bucket arithmetic, and the
+    OR-merge are all under the hash. This is the exact counterpart of
+    the HLL family (qg07): mergeable like a sketch, but lossless.
+
+    Scale: COUNT(DISTINCT key) re-shuffles the raw key universe for
+    every grouping it appears in; bitmap partials shuffle fixed-size
+    (4 KB-bucket) bitmaps instead and MERGE, so a day->month->global
+    distinct rollup reuses one pass — the CROSS JOIN is the house
+    1-row scalar attach (broadcast).
+    """
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_R08_SQL)
+
+
+# ---------------------------------------------------------------------------
+# r09 — parameterized SQL: named-marker binding as the injection-safe door
+
+_R09_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {rev} AS sum_price,
+       CAST(SUM(CASE WHEN o_orderstatus = :probe THEN 1 ELSE 0 END) AS BIGINT) AS n_probe_hits
+FROM orders
+WHERE o_orderstatus = :status AND o_totalprice > :minp
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+_R09_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {rev} AS sum_price,
+       CAST(0 AS BIGINT) AS n_probe_hits
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice > 1000.0
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+# the hostile bind value: as a LITERAL it can never equal a real
+# one-char status, and if it were ever spliced as TEXT the WHERE
+# clause would change shape entirely — either way the oracle's
+# n_probe_hits = 0 and literal-filter row set pin the contract
+_R09_PROBE = "F' OR '1'='1"
+
+
+@query(
+    "r09_parameterized_sql",
+    oracle=_R09_ORACLE.format(
+        rev="CAST(floor(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)"
+        " * 100.0 + 0.5) AS DOUBLE) / 100.0"
+    ),
+    tags=("sql", "api", "parameters"),
+)
+def r09_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAMETERIZED SQL (spark.sql(..., args={...}), named :markers —
+    the Spark 3.4+ binding API): the filter literals arrive as bound
+    parameters, including a deliberately hostile string
+    ("F' OR '1'='1") that must stay ONE string literal — if the engine
+    ever spliced it as text the predicate would collapse to TRUE and
+    both the row set and n_probe_hits would change. The oracle inlines
+    the same literals, so marker substitution is value-exact under the
+    hash. This is the programmatic twin of n07's EXECUTE IMMEDIATE ...
+    USING (SQL-side binding) — together they close both front doors
+    the verbatim-SQL surface (qe13) deliberately forbids string
+    concatenation for.
+
+    Scale: parameters fold to literals at analysis time — the plan is
+    byte-identical to the static query (pinned in tests), so pushdown
+    of the status+price filter into the parquet scan is unchanged.
+    """
+    from pyspark_distributed_kmodes_spark.functions.deterministic import sql_pround
+
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        _R09_SQL.format(rev=sql_pround("CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)", 2)),
+        args={"status": "F", "minp": 1000.0, "probe": _R09_PROBE},
+    )
+
+
+# ---------------------------------------------------------------------------
+# r10 — file-metadata provenance: _metadata over a partitioned sink
+
+_R10_ORACLE = """
+SELECT o_orderpriority,
+       CAST(1 AS BIGINT) AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(1 AS BIGINT) AS ri_zero_based,
+       CAST(1 AS BIGINT) AS ri_contiguous,
+       CAST(1 AS BIGINT) AS has_size
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@query("r10_file_metadata_provenance", oracle=_R10_ORACLE, tags=("source", "metadata", "lineage"))
+def r10_file_metadata_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-METADATA provenance columns (_metadata.file_path /
+    row_index / file_size) under the hash gate: orders are written
+    partitioned by priority with one shuffle partition per key (so the
+    writer provably emits exactly ONE file per partition directory),
+    read back, and audited per file — file count per key, row count,
+    zero-based and CONTIGUOUS row_index (max-min+1 == count), and a
+    positive file_size. The oracle states the invariants from the
+    source table (1 file, the group's row count, all flags 1), so the
+    hidden-column plumbing must reproduce physical layout facts
+    exactly. This is the lineage primitive a 100 TB pipeline uses to
+    answer "which file contributed which rows" (qi02's snapshot diff
+    works at row level; this works at FILE level with zero data-column
+    cost).
+
+    Idempotent (qc01 discipline): per-run temp dir, eager
+    materialization via cut_lineage, cleanup in finally.
+
+    Scale: _metadata is generated per-file at scan time (no extra IO);
+    the audit groups by file then by key — both bounded by file count,
+    not rows; repartition-by-key before partitionBy is the standard
+    one-file-per-partition write pattern that keeps 100 TB sinks from
+    exploding into small files.
+    """
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="r10_meta_")
+    try:
+        o = table(spark, sf_dir, "orders")
+        (
+            o.repartition("o_orderpriority")
+            .write.mode("overwrite")
+            .partitionBy("o_orderpriority")
+            .parquet(base + "/orders")
+        )
+        back = spark.read.parquet(base + "/orders").select(
+            "o_orderpriority",
+            F.col("_metadata.file_path").alias("fp"),
+            F.col("_metadata.row_index").alias("ri"),
+            F.col("_metadata.file_size").alias("fsize"),
+        )
+        per_file = back.groupBy("o_orderpriority", "fp").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("ri").cast("bigint").alias("ri_min"),
+            F.max("ri").cast("bigint").alias("ri_max"),
+            F.min("fsize").cast("bigint").alias("fsz"),
+        )
+        out = (
+            per_file.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_files"),
+                F.sum("n").cast("bigint").alias("n_rows"),
+                F.min(F.when(F.col("ri_min") == 0, 1).otherwise(0)).cast("bigint").alias("ri_zero_based"),
+                F.min(
+                    F.when(F.col("ri_max") - F.col("ri_min") + 1 == F.col("n"), 1).otherwise(0)
+                ).cast("bigint").alias("ri_contiguous"),
+                F.min(F.when(F.col("fsz") > 0, 1).otherwise(0)).cast("bigint").alias("has_size"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        return out.transform(cut_lineage)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# r11 — passage chunking: overlapping token windows for RAG/training prep
+
+_R11_W = 32  # window: tokens per passage
+_R11_S = 24  # stride: 8-token overlap between neighbors
+
+# n_chunks = 1 for n <= W else 1 + ceil((n-W)/S), in INTEGER arithmetic
+# on both engines ((n - W + S - 1) div S) — no float ceil knife edge.
+_R11_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, filter(split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+), sized AS (
+  SELECT doc_id, source, tk, size(tk) AS n,
+         CASE WHEN size(tk) <= {_R11_W} THEN 1
+              ELSE 1 + CAST((size(tk) - {_R11_W} + {_R11_S - 1}) DIV {_R11_S} AS INT)
+         END AS n_chunks
+  FROM toks
+), chunks AS (
+  SELECT source, slice(tk, k * {_R11_S} + 1, {_R11_W}) AS ck
+  FROM sized LATERAL VIEW explode(sequence(0, n_chunks - 1)) t AS k
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(size(ck)) AS BIGINT) AS sum_chunk_tokens,
+       CAST(SUM(CASE WHEN size(ck) = {_R11_W} THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+       CAST(COUNT(DISTINCT md5(concat_ws(' ', ck))) AS BIGINT) AS n_unique_chunks
+FROM chunks GROUP BY source ORDER BY source
+"""
+
+_R11_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+), sized AS (
+  SELECT doc_id, source, tk, len(tk) AS n,
+         CASE WHEN len(tk) <= {_R11_W} THEN 1
+              ELSE 1 + CAST((len(tk) - {_R11_W} + {_R11_S - 1}) // {_R11_S} AS INT)
+         END AS n_chunks
+  FROM toks
+), offsets AS (
+  SELECT source, tk, unnest(range(0, n_chunks)) AS k FROM sized
+), chunks AS (
+  SELECT source, list_slice(tk, k * {_R11_S} + 1, k * {_R11_S} + {_R11_W}) AS ck
+  FROM offsets
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(len(ck)) AS BIGINT) AS sum_chunk_tokens,
+       CAST(SUM(CASE WHEN len(ck) = {_R11_W} THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+       CAST(COUNT(DISTINCT md5(array_to_string(ck, ' '))) AS BIGINT) AS n_unique_chunks
+FROM chunks GROUP BY source ORDER BY source
+"""
+
+
+@query("r11_passage_chunking", oracle=_R11_ORACLE, tags=("text", "llm", "chunking"), bench=True)
+def r11_passage_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PASSAGE CHUNKING — the RAG / training-data chunker: every
+    document is tokenized (whitespace split, empties filtered) and cut
+    into overlapping windows of {W} tokens at stride {S} (final short
+    chunk kept), each chunk fingerprinted with md5 of its re-joined
+    text; the per-source audit counts chunks, summed chunk tokens,
+    full-width chunks, and DISTINCT fingerprints (the chunk-level
+    dedup signal — boilerplate passages collapse here even when whole
+    docs differ). The oracle replays the exact construction with
+    DuckDB list functions, so window placement, the integer chunk-count
+    arithmetic, short-tail clamping, and fingerprint text are all under
+    the hash.
+
+    Scale: pure JVM array ops (split -> sequence -> explode -> slice),
+    no Python; fan-out is ~n_tokens/stride rows per doc — linear in
+    corpus token count, embarrassingly parallel before the one
+    aggregation shuffle on the bounded source key (COUNT(DISTINCT md5)
+    expands to the standard two-phase distinct aggregate). At 100 TB
+    the chunker runs as a projection inside the scan stage; nothing is
+    driver-side.
+    """
+    d = table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("documents")
+    return spark.sql(_R11_SQL)
+
+
+r11_passage_chunking.__doc__ = r11_passage_chunking.__doc__.replace("{W}", str(_R11_W)).replace(
+    "{S}", str(_R11_S)
+)
+
+
+# ---------------------------------------------------------------------------
+# r12 — streaming dedup with bounded state: dropDuplicatesWithinWatermark
+
+_R12_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) + SUM(CASE WHEN event_id % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_input,
+       CAST(COUNT(*) AS BIGINT) AS n_dedup,
+       CAST(SUM(CASE WHEN event_id % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query(
+    "r12_stream_dedup_within_watermark",
+    oracle=_R12_ORACLE,
+    tags=("streaming", "dedup", "audit"),
+    bench=True,
+)
+def r12_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING DEDUP WITH BOUNDED STATE under the hash gate
+    (dropDuplicatesWithinWatermark, Spark 3.5+): duplicates are planted
+    deterministically (every event_id % 37 == 0 row re-injected with
+    ts + 30 s, full row otherwise identical), the doubled stream is
+    replayed as THREE chronological single-file micro-batches
+    (maxFilesPerTrigger=1), and the stateful dedup on event_id must
+    drop every planted copy — within a batch or across batches — while
+    the 1-hour delta keeps state bounded. Survivors land in a parquet
+    sink and are aggregated per event type; n_input is counted from the
+    STAGED files (honest: the doubled input really existed), and the
+    oracle derives every column from the plant rule, so both the drop
+    set and the survivor set are under the hash.
+
+    Determinism: planted copies differ from their originals only in ts
+    (never aggregated), so whichever copy survives a same-batch race
+    the output is identical; a copy is always <= 30 s after its
+    original while the watermark trails the chunk maximum by 1 h, so
+    no first-occurrence is ever evicted before its duplicate arrives
+    and no row is ever late (chunks are chronological).
+
+    Scale: THE reason this operator exists — plain dropDuplicates
+    keeps every key forever (state ~ distinct keys ~ 100 TB), while
+    WithinWatermark evicts keys older than the watermark, bounding
+    state by the dedup horizon x arrival rate regardless of total
+    volume. Each micro-batch shuffles once on the dedup key.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from pyspark_distributed_kmodes_spark.operators.analytics10 import (
+        _rmtree_at_exit,
+        _write_single_file,
+    )
+
+    e = table(spark, sf_dir, "events")
+    doubled = e.unionByName(
+        e.where(F.col("event_id") % 37 == 0).withColumn(
+            "ts", F.col("ts") + F.expr("INTERVAL 30 SECONDS")
+        )
+    )
+    # chronological 3-way split by day terciles of the DOUBLED stream
+    # (the m02 pattern): day-dictionary cuts, one single-file chunk each
+    days = doubled.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    n = doubled.count()
+    wd = Window.orderBy(F.asc("d"))  # bounded: day dictionary
+    cum = days.select("d", F.sum("c").over(wd).alias("cum")).transform(cut_lineage)
+    cuts = []
+    for k in range(1, 3):
+        row = (
+            cum.where(F.col("cum") >= F.lit(int(-(-(n * k) // 3))))
+            .agg(F.min("d").alias("cut"))
+            .collect()[0]
+        )
+        cuts.append(row["cut"])
+    stage = tempfile.mkdtemp(prefix="r12_stage_")
+    for i in range(3):
+        cond = F.lit(True)
+        if i > 0:
+            cond = cond & (F.date_trunc("day", "ts") >= F.lit(cuts[i - 1]))
+        if i < 2:
+            cond = cond & (F.date_trunc("day", "ts") < F.lit(cuts[i]))
+        _write_single_file(doubled.where(cond), os.path.join(stage, f"chunk{i}.parquet"))
+    # honest n_input: count the staged files themselves, per type
+    staged = spark.read.parquet(stage)
+    n_input = staged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_input")
+    ).transform(cut_lineage)
+
+    target_root = tempfile.mkdtemp(prefix="r12_target_")
+    ckpt = os.path.join(target_root, "ckpt")
+    sink = os.path.join(target_root, "survivors")
+    stream = (
+        spark.readStream.schema(staged.schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    q = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    # bounded wait (the n06 discipline): a wedged stream fails loudly
+    if not q.awaitTermination(timeout=300):
+        q.stop()
+        raise TimeoutError("r12: availableNow stream did not finish within 300 s")
+    shutil.rmtree(stage, ignore_errors=True)
+    _rmtree_at_exit(target_root)  # sink read below is lazy
+    survivors = spark.read.parquet(sink)
+    per_type = survivors.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dedup"),
+        F.sum("event_id").cast("bigint").alias("sum_event_id"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )
+    return (
+        per_type.join(n_input, "event_type")
+        .select(
+            "event_type",
+            "n_input",
+            "n_dedup",
+            (F.col("n_input") - F.col("n_dedup")).cast("bigint").alias("n_dropped"),
+            "sum_event_id",
+            "n_users",
+        )
+        .orderBy("event_type")
+    )
