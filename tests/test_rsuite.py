@@ -10,6 +10,7 @@ o-space for round 11 per the documented plan."""
 from collections import defaultdict
 
 import pytest
+from pyspark.sql import functions as F
 
 from pyspark_distributed_kmodes_spark.registry import load_all
 
@@ -120,7 +121,7 @@ def test_r_keys_sort_outside_window(reg):
     """Staging guard: every r-key must sort after every q* key so the
     round-10 window (first 50 sorted) cannot contain one."""
     keys = sorted(reg)
-    r_keys = [k for k in keys if k.startswith("r0")]
+    r_keys = [k for k in keys if k.startswith("r0") or k.startswith("r1")]
     assert r_keys, "r-suite must be registered"
     first50 = set(keys[:50])
     assert not (set(r_keys) & first50)
@@ -228,3 +229,160 @@ def test_r07_matches_python_utf8(spark, sf_dir, reg, duck):
         else:
             per[src][2] += len(text)
     assert rows == {s: tuple(v) for s, v in per.items()}
+
+
+def test_r08_matches_python_distinct(spark, sf_dir, reg, duck):
+    """Bitmap counts must equal python set cardinalities, per priority
+    and globally (the OR-merge path)."""
+    rows = reg["r08_bitmap_distinct_rollup"].fn(spark, sf_dir).collect()
+    per = defaultdict(set)
+    for pr, ck in duck.execute(
+        "SELECT o_orderpriority, o_custkey FROM orders"
+    ).fetchall():
+        per[pr].add(ck)
+    all_keys = set().union(*per.values())
+    assert len(rows) == len(per)
+    for r in rows:
+        assert r.n_distinct_cust == len(per[r.o_orderpriority])
+        assert r.n_distinct_all == len(all_keys)
+
+
+def test_r08_bitmap_position_bijective(spark):
+    """(bucket, position) must be a bijection over a dense key range —
+    the invariant that makes bitmap_count an EXACT distinct count."""
+    n = spark.sql(
+        """
+        SELECT COUNT(DISTINCT named_struct(
+                 'b', bitmap_bucket_number(k), 'p', bitmap_bit_position(k))) AS n
+        FROM (SELECT explode(sequence(1, 100000)) AS k)
+        """
+    ).collect()[0].n
+    assert n == 100000
+
+
+def test_r09_param_binding_equals_inlined(spark, sf_dir, reg):
+    """The parameterized query must return exactly the inlined-literal
+    rows, the probe column must be identically zero (the hostile bind
+    stayed ONE literal), and the optimized plan must equal the static
+    query's plan (parameters fold at analysis time)."""
+    df = reg["r09_parameterized_sql"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert rows and all(r.n_probe_hits == 0 for r in rows)
+
+    from pyspark_distributed_kmodes_spark.functions.deterministic import sql_pround
+    from pyspark_distributed_kmodes_spark.operators.analytics12 import _R09_SQL, _R09_PROBE
+
+    inlined_text = (
+        _R09_SQL.format(
+            rev=sql_pround("CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)", 2)
+        )
+        .replace(":status", "'F'")
+        .replace(":minp", "1000.0")
+        .replace(":probe", "'" + _R09_PROBE.replace("'", "''") + "'")
+    )
+    static = spark.sql(inlined_text)
+    assert [tuple(r) for r in rows] == [tuple(r) for r in static.collect()]
+
+    import re
+
+    def shape(frame):
+        plan = frame._jdf.queryExecution().optimizedPlan().toString()
+        return [
+            re.sub(r"[#(].*", "", ln.strip().lstrip("+- :"))
+            for ln in plan.splitlines()
+            if ln.strip()
+        ]
+
+    assert shape(df) == shape(static)
+
+
+def test_r09_positional_markers(spark):
+    """Breadth pin: positional ? markers bind too (the other half of
+    the parameterized-SQL API)."""
+    r = spark.sql("SELECT ? * 10 + ? AS v", args=[4, 2]).collect()
+    assert r[0].v == 42
+
+
+def test_r10_metadata_matches_files_on_disk(spark, sf_dir, reg, duck):
+    """Independent re-derivation straight from _metadata: each priority
+    maps to exactly one file whose row_index spans 0..count-1, and
+    counts equal the source group counts."""
+    rows = {r.o_orderpriority: r for r in
+            reg["r10_file_metadata_provenance"].fn(spark, sf_dir).collect()}
+    exact = dict(duck.execute(
+        "SELECT o_orderpriority, COUNT(*) FROM orders GROUP BY 1").fetchall())
+    assert set(rows) == set(exact)
+    for pr, r in rows.items():
+        assert (r.n_files, r.n_rows) == (1, exact[pr])
+        assert r.ri_zero_based == r.ri_contiguous == r.has_size == 1
+
+
+def test_r11_matches_python_chunker(spark, sf_dir, reg, duck):
+    """Full python replay of the chunker at sf0.001: window placement,
+    the integer chunk-count arithmetic, tail clamping, and the md5
+    fingerprint text must all agree."""
+    import hashlib
+
+    W, S = 32, 24
+    per = defaultdict(lambda: [0, 0, 0, set()])
+    for src, text in duck.execute("SELECT source, text FROM documents").fetchall():
+        tk = [t for t in text.split(" ") if t != ""]
+        n = len(tk)
+        n_chunks = 1 if n <= W else 1 + (n - W + S - 1) // S
+        for k in range(n_chunks):
+            ck = tk[k * S : k * S + W]
+            st = per[src]
+            st[0] += 1
+            st[1] += len(ck)
+            st[2] += 1 if len(ck) == W else 0
+            st[3].add(hashlib.md5(" ".join(ck).encode()).hexdigest())
+    rows = {r.source: r for r in reg["r11_passage_chunking"].fn(spark, sf_dir).collect()}
+    assert set(rows) == set(per)
+    for src, (nc, stok, nfull, hs) in per.items():
+        r = rows[src]
+        assert (r.n_chunks, r.sum_chunk_tokens, r.n_full, r.n_unique_chunks) == (
+            nc, stok, nfull, len(hs),
+        )
+
+
+def test_r11_neighbor_overlap_property(spark, sf_dir):
+    """Semantic invariant the aggregate can't see: consecutive full
+    chunks of one document must overlap in exactly W-S tokens."""
+    from pyspark_distributed_kmodes_spark.sources.tables import table as _table
+
+    W, S = 32, 24
+    row = (
+        _table(spark, sf_dir, "documents")
+        .selectExpr("doc_id", "filter(split(text, ' '), x -> x <> '') AS tk")
+        .where(F.size("tk") >= W + S)
+        .orderBy("doc_id")
+        .limit(1)
+        .collect()
+    )
+    assert row, "need one doc with at least W+S tokens"
+    tk = row[0].tk
+    c0, c1 = tk[0:W], tk[S : S + W]
+    assert c0[S:] == c1[: W - S] and len(c0[S:]) == W - S
+
+
+def test_r12_matches_python_dedup(spark, sf_dir, reg, duck):
+    """Every planted duplicate (event_id % 37 == 0, +30 s copy) must be
+    dropped and every original kept — re-derived from the raw table in
+    python, not from the oracle SQL."""
+    rows = {r.event_type: r for r in
+            reg["r12_stream_dedup_within_watermark"].fn(spark, sf_dir).collect()}
+    per = defaultdict(lambda: [0, 0, 0, set()])
+    for et, eid, uid in duck.execute(
+        "SELECT event_type, event_id, user_id FROM events"
+    ).fetchall():
+        st = per[et]
+        st[0] += 1 + (1 if eid % 37 == 0 else 0)  # n_input includes the copy
+        st[1] += 1                                 # survivors = originals
+        st[2] += eid
+        st[3].add(uid)
+    assert set(rows) == set(per)
+    for et, (n_in, n_ded, s_eid, users) in per.items():
+        r = rows[et]
+        assert (r.n_input, r.n_dedup, r.n_dropped, r.sum_event_id, r.n_users) == (
+            n_in, n_ded, n_in - n_ded, s_eid, len(users),
+        )

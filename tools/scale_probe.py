@@ -125,6 +125,10 @@ PROBE_QUERIES = [
     "r03_xml_expression_roundtrip",
     "r05_url_parsing",
     "r07_utf8_validation",
+    "r08_bitmap_distinct_rollup",
+    "r10_file_metadata_provenance",
+    "r11_passage_chunking",
+    "r12_stream_dedup_within_watermark",
 ]
 
 
