@@ -14,6 +14,16 @@ operators/analytics12.py) as a user would drive it:
      alias-chained select items.
   7. UTF-8 validation — byte-level quarantine over a binary column
      with planted corruption.
+  8. Bitmap distinct rollup — mergeable EXACT distinct counts; the
+     OR-merged global must equal the per-segment rollup's union.
+  9. Parameterized SQL — named :marker binding, injection-safe by
+     construction (the hostile probe stays one literal).
+  10. File-metadata provenance — _metadata.file_path/row_index audits
+     over a partitioned sink.
+  11. Passage chunking — overlapping token windows with per-chunk
+     fingerprints, the RAG/training-data chunker.
+  12. Streaming dedup with bounded state — planted +30 s duplicates
+     dropped across micro-batches by dropDuplicatesWithinWatermark.
 
     python examples/sql_ergonomics_example.py [sf_dir]
 """
@@ -57,6 +67,29 @@ def main():
     utf8 = reg["r07_utf8_validation"].fn(spark, sf_dir)
     utf8.show(8)
     assert sum(r.n_invalid for r in utf8.collect()) > 0
+
+    print("== 8. Bitmap distinct rollup (exact, mergeable) ==")
+    bm = reg["r08_bitmap_distinct_rollup"].fn(spark, sf_dir)
+    bm.show()
+    assert all(r.n_distinct_cust <= r.n_distinct_all for r in bm.collect())
+
+    print("== 9. Parameterized SQL (hostile probe stays a literal) ==")
+    ps = reg["r09_parameterized_sql"].fn(spark, sf_dir)
+    ps.show()
+    assert all(r.n_probe_hits == 0 for r in ps.collect())
+
+    print("== 10. File-metadata provenance over a partitioned sink ==")
+    meta = reg["r10_file_metadata_provenance"].fn(spark, sf_dir)
+    meta.show()
+    assert all(r.ri_contiguous == 1 for r in meta.collect())
+
+    print("== 11. Passage chunking (W=32, stride 24) ==")
+    reg["r11_passage_chunking"].fn(spark, sf_dir).show(8)
+
+    print("== 12. Streaming dedup within watermark (planted +30s dups) ==")
+    dd = reg["r12_stream_dedup_within_watermark"].fn(spark, sf_dir)
+    dd.show()
+    assert all(r.n_dropped == r.n_input - r.n_dedup for r in dd.collect())
 
     spark.stop()
 
