@@ -91,6 +91,14 @@ def main():
     dd.show()
     assert all(r.n_dropped == r.n_input - r.n_dedup for r in dd.collect())
 
+    print("== 13. variant_explode over nested JSON arrays ==")
+    reg["r13_variant_explode_lateral"].fn(spark, sf_dir).show(6)
+
+    print("== 14. Luhn checksum quarantine (planted digit corruption) ==")
+    lu = reg["r14_luhn_checksum_quarantine"].fn(spark, sf_dir)
+    lu.show(8)
+    assert sum(r.n_invalid for r in lu.collect()) > 0
+
     spark.stop()
 
 

@@ -50,6 +50,14 @@ they enter the round-11 window.
        planted +30 s duplicates across a 3-chunk chronological replay
        must all be dropped while state stays watermark-bounded — the
        scale answer to dropDuplicates' unbounded state.
+  r13  VARIANT EXPLODE (lateral variant_explode TVF): nested JSON
+       arrays synthesized from real columns, exploded to (pos, value)
+       rows with typed casts — the ARRAY side of the Variant surface
+       (r02 covered scalar paths).
+  r14  LUHN CHECKSUM QUARANTINE (luhn_check + a higher-order check-
+       digit generator fold): 1-in-23 planted single-digit corruptions
+       must all be flagged — the ID-validation primitive (URLs r05,
+       bytes r07, checksummed identifiers here).
 
 Investigated and honestly NOT implementable on this stack (recorded so
 round 11 doesn't re-litigate): SQL MERGE INTO requires a catalog whose
@@ -878,3 +886,144 @@ def r12_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# r13 — variant_explode: lateral explosion of a nested Variant array
+
+# The nested payload is SYNTHESIZED from real columns (the r05 URL
+# pattern): each event carries a JSON array of two derived ids, so the
+# oracle knows exactly what every (pos, value) must be — explosion
+# order, position numbering, and the variant->bigint cast are all
+# under the hash.
+_R13_SQL = """
+WITH ev AS (
+  SELECT event_type,
+         concat('{"ids":[', CAST(user_id AS STRING), ',',
+                CAST(event_id % 100 AS STRING), ']}') AS payload
+  FROM events
+)
+SELECT event_type, v.pos AS pos,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(v.value AS BIGINT)) AS BIGINT) AS sum_val
+FROM ev, LATERAL variant_explode(variant_get(parse_json(payload), '$.ids')) v
+GROUP BY event_type, v.pos
+ORDER BY event_type, pos
+"""
+
+_R13_ORACLE = """
+SELECT event_type, pos,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(val) AS BIGINT) AS sum_val
+FROM (
+  SELECT event_type, 0 AS pos, user_id AS val FROM events
+  UNION ALL
+  SELECT event_type, 1 AS pos, event_id % 100 AS val FROM events
+)
+GROUP BY event_type, pos
+ORDER BY event_type, pos
+"""
+
+
+@query("r13_variant_explode_lateral", oracle=_R13_ORACLE, tags=("sql", "variant", "json"))
+def r13_variant_explode_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED Variant explosion (the variant_explode table-valued
+    function, Spark 4.0+): a JSON array payload synthesized from real
+    event columns is parsed to Variant, the '$.ids' array is pulled out
+    as a Variant (typeless variant_get) and laterally exploded into
+    (pos, key, value) rows, with the variant values cast back to
+    BIGINT and aggregated per (type, position). The oracle rebuilds the
+    same rows relationally (pos 0 = user_id, pos 1 = event_id % 100),
+    so explosion order, position numbering, and the variant->int cast
+    are all under the hash. r02 covered scalar path extraction; this is
+    the ARRAY side of the Variant surface — the open-schema ingest
+    shape ("tags": [...]) a semi-structured pipeline hits first.
+
+    Scale: parse_json/variant_explode run as JVM generators inside the
+    scan stage (fan-out x2 here, x array-length in general); one
+    shuffle on the bounded (type, pos) key with map-side combine.
+    """
+    e = table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("events")
+    return spark.sql(_R13_SQL)
+
+
+# ---------------------------------------------------------------------------
+# r14 — Luhn checksum quarantine: generate, corrupt, validate
+
+# 9-digit account bases derive from c_custkey; the check digit is
+# computed IN SPARK SQL with a higher-order fold (transform +
+# aggregate over digit positions, doubling every second digit from the
+# right), then 1-in-23 accounts get a middle digit bumped by +5 mod 10
+# — a corruption the Luhn code provably always detects (the doubled-
+# digit map d -> 2d - 9*(2d>9) is injective mod 10, so ANY single-digit
+# change flips the checksum). luhn_check must then flag exactly the
+# planted rows.
+_R14_SQL = """
+WITH base AS (
+  SELECT c_custkey, CAST(c_nationkey AS INTEGER) AS nationkey,
+         lpad(CAST(c_custkey * 7919 % 1000000000 AS STRING), 9, '0') AS b
+  FROM customer
+), summed AS (
+  SELECT c_custkey, nationkey, b,
+         aggregate(
+           transform(sequence(1, 9),
+                     i -> CASE WHEN (11 - i) % 2 = 0
+                               THEN IF(CAST(substring(b, i, 1) AS INT) * 2 > 9,
+                                       CAST(substring(b, i, 1) AS INT) * 2 - 9,
+                                       CAST(substring(b, i, 1) AS INT) * 2)
+                               ELSE CAST(substring(b, i, 1) AS INT) END),
+           0, (acc, x) -> acc + x) AS s
+  FROM base
+), acct AS (
+  SELECT c_custkey, nationkey,
+         concat(b, CAST((10 - s % 10) % 10 AS STRING)) AS good
+  FROM summed
+), maybe_corrupt AS (
+  SELECT c_custkey, nationkey,
+         CASE WHEN c_custkey % 23 = 0
+              THEN concat(substring(good, 1, 4),
+                          CAST((CAST(substring(good, 5, 1) AS INT) + 5) % 10 AS STRING),
+                          substring(good, 6))
+              ELSE good END AS acct
+  FROM acct
+)
+SELECT nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_accounts,
+       CAST(SUM(CASE WHEN luhn_check(acct) THEN 0 ELSE 1 END) AS BIGINT) AS n_invalid,
+       CAST(SUM(CASE WHEN luhn_check(acct) THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
+FROM maybe_corrupt
+GROUP BY nationkey ORDER BY nationkey
+"""
+
+_R14_ORACLE = """
+SELECT CAST(c_nationkey AS INTEGER) AS nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_accounts,
+       CAST(SUM(CASE WHEN c_custkey % 23 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
+       CAST(SUM(CASE WHEN c_custkey % 23 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_valid
+FROM customer GROUP BY 1 ORDER BY nationkey
+"""
+
+
+@query("r14_luhn_checksum_quarantine", oracle=_R14_ORACLE, tags=("text", "validation"))
+def r14_luhn_checksum_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKSUM-VALIDATION quarantine (luhn_check, Spark 3.5+): 10-digit
+    account numbers are GENERATED in-engine — the Luhn check digit
+    computed with a higher-order fold (transform + aggregate over digit
+    positions, doubling every second from the right) — then 1-in-23 get
+    a middle digit bumped +5 mod 10, a corruption Luhn provably always
+    detects (the doubled-digit map is injective mod 10). luhn_check
+    must flag EXACTLY the planted rows, so the generator's fold and the
+    native validator must agree digit-for-digit; the oracle states the
+    plant rule (the r07 pattern), and a pytest re-derives the check
+    digits with textbook python Luhn. This closes the ID-validation
+    primitive of a structured-record ingest (URLs r05, bytes r07,
+    checksummed identifiers here).
+
+    Scale: single scan, pure JVM string/array expressions in the
+    projection, one shuffle on the bounded nation key with map-side
+    combine.
+    """
+    c = table(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("customer")
+    return spark.sql(_R14_SQL)

@@ -386,3 +386,90 @@ def test_r12_matches_python_dedup(spark, sf_dir, reg, duck):
         assert (r.n_input, r.n_dedup, r.n_dropped, r.sum_event_id, r.n_users) == (
             n_in, n_ded, n_in - n_ded, s_eid, len(users),
         )
+
+
+def test_r13_matches_python_explode(spark, sf_dir, reg, duck):
+    """Re-derive the exploded (type, pos) sums from the raw columns:
+    pos 0 carries user_id, pos 1 carries event_id % 100."""
+    rows = {(r.event_type, r.pos): (r.n, r.sum_val) for r in
+            reg["r13_variant_explode_lateral"].fn(spark, sf_dir).collect()}
+    per = defaultdict(lambda: [0, 0])
+    for et, uid, eid in duck.execute(
+        "SELECT event_type, user_id, event_id FROM events"
+    ).fetchall():
+        per[(et, 0)][0] += 1
+        per[(et, 0)][1] += uid
+        per[(et, 1)][0] += 1
+        per[(et, 1)][1] += eid % 100
+    assert rows == {k: tuple(v) for k, v in per.items()}
+
+
+def test_r13_object_mode_yields_keys(spark):
+    """Breadth pin: variant_explode over an OBJECT emits key names (the
+    mode the array-based query doesn't exercise)."""
+    rows = spark.sql(
+        """
+        SELECT v.key, CAST(v.value AS BIGINT) AS val
+        FROM LATERAL variant_explode(parse_json('{"a": 1, "b": 2}')) v
+        ORDER BY v.key
+        """
+    ).collect()
+    assert [(r.key, r.val) for r in rows] == [("a", 1), ("b", 2)]
+
+
+def _py_luhn_valid(acct: str) -> bool:
+    total = 0
+    for i, ch in enumerate(reversed(acct)):
+        d = int(ch)
+        if i % 2 == 1:  # every second digit from the right is doubled
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+def test_r14_generator_matches_textbook_luhn(spark):
+    """The in-SQL check-digit fold must produce accounts the textbook
+    python Luhn validates, and the +5 middle-digit corruption must
+    always invalidate them."""
+    rows = spark.sql(
+        """
+        WITH base AS (
+          SELECT k AS c_custkey,
+                 lpad(CAST(k * 7919 % 1000000000 AS STRING), 9, '0') AS b
+          FROM (SELECT explode(sequence(1, 500)) AS k)
+        ), summed AS (
+          SELECT c_custkey, b,
+                 aggregate(
+                   transform(sequence(1, 9),
+                             i -> CASE WHEN (11 - i) % 2 = 0
+                                       THEN IF(CAST(substring(b, i, 1) AS INT) * 2 > 9,
+                                               CAST(substring(b, i, 1) AS INT) * 2 - 9,
+                                               CAST(substring(b, i, 1) AS INT) * 2)
+                                       ELSE CAST(substring(b, i, 1) AS INT) END),
+                   0, (acc, x) -> acc + x) AS s
+          FROM base
+        )
+        SELECT c_custkey, concat(b, CAST((10 - s % 10) % 10 AS STRING)) AS good
+        FROM summed
+        """
+    ).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert _py_luhn_valid(r.good), r.good
+        corrupted = r.good[:4] + str((int(r.good[4]) + 5) % 10) + r.good[5:]
+        assert not _py_luhn_valid(corrupted), corrupted
+
+
+def test_r14_matches_python_plant(spark, sf_dir, reg, duck):
+    """Per-nation invalid counts must equal the plant rule re-derived
+    in python."""
+    rows = {r.nationkey: (r.n_accounts, r.n_invalid, r.n_valid) for r in
+            reg["r14_luhn_checksum_quarantine"].fn(spark, sf_dir).collect()}
+    per = defaultdict(lambda: [0, 0, 0])
+    for ck, nk in duck.execute("SELECT c_custkey, c_nationkey FROM customer").fetchall():
+        st = per[nk]
+        st[0] += 1
+        st[1 if ck % 23 == 0 else 2] += 1
+    assert rows == {nk: tuple(v) for nk, v in per.items()}

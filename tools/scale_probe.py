@@ -129,6 +129,7 @@ PROBE_QUERIES = [
     "r10_file_metadata_provenance",
     "r11_passage_chunking",
     "r12_stream_dedup_within_watermark",
+    "r13_variant_explode_lateral",
 ]
 
 
