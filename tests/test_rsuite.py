@@ -473,3 +473,30 @@ def test_r14_matches_python_plant(spark, sf_dir, reg, duck):
         st[0] += 1
         st[1 if ck % 23 == 0 else 2] += 1
     assert rows == {nk: tuple(v) for nk, v in per.items()}
+
+
+def _phys(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_r_new_keys_stay_jvm_side(spark, sf_dir, reg):
+    """Plan pins: the new r-keys are pure JVM plans — no Python eval
+    nodes anywhere, scan counts bounded (one pass over the source),
+    and the explode-based keys use the Generate operator."""
+    r08 = _phys(reg["r08_bitmap_distinct_rollup"].fn(spark, sf_dir))
+    assert "EvalPython" not in r08
+    assert r08.count("Scan parquet") <= 2  # CTE may replay the orders scan once
+
+    r11 = _phys(reg["r11_passage_chunking"].fn(spark, sf_dir))
+    assert "EvalPython" not in r11
+    assert r11.count("Scan parquet") == 1
+    assert "Generate" in r11  # the sequence/explode fan-out
+
+    r13 = _phys(reg["r13_variant_explode_lateral"].fn(spark, sf_dir))
+    assert "EvalPython" not in r13
+    assert r13.count("Scan parquet") == 1
+    assert "Generate" in r13  # variant_explode is a generator
+
+    r14 = _phys(reg["r14_luhn_checksum_quarantine"].fn(spark, sf_dir))
+    assert "EvalPython" not in r14
+    assert r14.count("Scan parquet") == 1
