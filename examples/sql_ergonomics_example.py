@@ -99,6 +99,12 @@ def main():
     lu.show(8)
     assert sum(r.n_invalid for r in lu.collect()) > 0
 
+    print("== 15. Stream-stream LEFT OUTER join (watermarked null emission) ==")
+    oj = reg["r15_stream_outer_join"].fn(spark, sf_dir)
+    oj.show()
+    row = oj.collect()[0]
+    assert row.n_null_clicks >= 0 and row.n_matched_pairs >= row.n_matched_clicks
+
     spark.stop()
 
 

@@ -58,6 +58,12 @@ they enter the round-11 window.
        digit generator fold): 1-in-23 planted single-digit corruptions
        must all be flagged — the ID-validation primitive (URLs r05,
        bytes r07, checksummed identifiers here).
+  r15  STREAM-STREAM LEFT OUTER JOIN (watermark-driven null emission):
+       matched pairs stream out as they arrive; unmatched clicks get
+       their null row once the min-of-both-sides watermark passes the
+       join window — audited over the data-derived window where
+       emission is GUARANTEED semantics (tail rows that may legally
+       die in state are excluded from both engines identically).
 
 Investigated and honestly NOT implementable on this stack (recorded so
 round 11 doesn't re-litigate): SQL MERGE INTO requires a catalog whose
@@ -752,6 +758,24 @@ r11_passage_chunking.__doc__ = r11_passage_chunking.__doc__.replace("{W}", str(_
 )
 
 
+def _order_stage_files(stage: str) -> None:
+    """Force the file-stream replay order to match the chronological
+    chunk order: FileStreamSource batches files oldest-mtime-first, and
+    chunks copied in quick succession can land with TIED mtimes, making
+    the batch order — and therefore watermark advancement — depend on
+    arbitrary listing order (a 3-chunk jumble advances the watermark
+    early, silently dropping in-order data as 'late'). Strictly
+    increasing mtimes in path order pin the replay deterministically."""
+    import os
+
+    files = sorted(
+        os.path.join(stage, f) for f in os.listdir(stage) if f.endswith(".parquet")
+    )
+    base = os.stat(files[0]).st_mtime
+    for i, f in enumerate(files):
+        os.utime(f, (base + 10.0 * i, base + 10.0 * i))
+
+
 # ---------------------------------------------------------------------------
 # r12 — streaming dedup with bounded state: dropDuplicatesWithinWatermark
 
@@ -840,6 +864,7 @@ def r12_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataF
         if i < 2:
             cond = cond & (F.date_trunc("day", "ts") < F.lit(cuts[i]))
         _write_single_file(doubled.where(cond), os.path.join(stage, f"chunk{i}.parquet"))
+    _order_stage_files(stage)
     # honest n_input: count the staged files themselves, per type
     staged = spark.read.parquet(stage)
     n_input = staged.groupBy("event_type").agg(
@@ -1027,3 +1052,194 @@ def r14_luhn_checksum_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     c.createOrReplaceTempView("customer")
     return spark.sql(_R14_SQL)
+
+
+# ---------------------------------------------------------------------------
+# r15 — stream-stream LEFT OUTER join with watermark-driven null emission
+
+# Audit boundary: only clicks whose 2 h join window closed at least
+# 1 h BEFORE the watermark available to the final micro-batch (wm =
+# max ts of chunks 1-2 minus the 4 h delay) enter the audited
+# aggregate. For those clicks the engine GUARANTEES emission: every
+# match arrived in an earlier-or-equal batch (chronological chunks),
+# and unmatched state is evicted with a null row once the watermark
+# passes the window end. Clicks nearer the stream tail may legally
+# stay in state when availableNow terminates — they are excluded from
+# BOTH engines' aggregates by the same data-derived cutoff, so the
+# hash compares only guaranteed behavior.
+_R15_WINDOW_H = 2  # click->purchase attribution window (hours)
+_R15_DELAY_H = 4   # watermark delay (hours)
+
+_R15_ORACLE = """
+WITH days AS (
+  SELECT date_trunc('day', ts) AS d, COUNT(*) AS c FROM events GROUP BY 1
+), tot AS (SELECT COUNT(*) AS n FROM events),
+cum AS (SELECT d, SUM(c) OVER (ORDER BY d) AS cum FROM days),
+cut AS (
+  SELECT MIN(d) AS d2 FROM cum, tot WHERE cum >= (2 * tot.n + 2) // 3
+), boundary AS (
+  -- the engine's global watermark is the MIN across the two sides'
+  -- watermark operators, each advancing with ITS OWN max event time
+  SELECT LEAST(
+           MAX(CASE WHEN e.event_type = 'click' THEN e.ts END),
+           MAX(CASE WHEN e.event_type = 'purchase' THEN e.ts END)
+         ) - INTERVAL 4 HOUR - INTERVAL 1 HOUR AS b
+  FROM events e, cut WHERE date_trunc('day', e.ts) < cut.d2
+), clicks AS (
+  SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts
+  FROM events, boundary
+  WHERE event_type = 'click' AND ts + INTERVAL 2 HOUR <= boundary.b
+), pairs AS (
+  SELECT c.c_id, p.event_id AS p_id
+  FROM clicks c JOIN events p
+    ON p.event_type = 'purchase' AND p.user_id = c.c_user
+   AND p.ts >= c.c_ts AND p.ts <= c.c_ts + INTERVAL 2 HOUR
+)
+SELECT CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_matched_pairs,
+       CAST((SELECT COUNT(DISTINCT c_id) FROM pairs) AS BIGINT) AS n_matched_clicks,
+       CAST((SELECT COUNT(*) FROM clicks WHERE c_id NOT IN (SELECT c_id FROM pairs)) AS BIGINT) AS n_null_clicks,
+       CAST((SELECT COALESCE(SUM(c_id + p_id), 0) FROM pairs) AS BIGINT) AS sum_pair_ids,
+       CAST((SELECT COALESCE(SUM(c_id), 0) FROM clicks WHERE c_id NOT IN (SELECT c_id FROM pairs)) AS BIGINT) AS sum_null_click_ids
+"""
+
+
+@query(
+    "r15_stream_outer_join",
+    oracle=_R15_ORACLE,
+    # deliberately NOT bench-flagged: the staging replay (3 single-file
+    # chunk writes) plus three stateful micro-batches costs ~15 s at
+    # sf0.1 standalone — harness replay cost, not operator cost; the
+    # number is recorded in ROUND_NOTES and the mirror still runs it
+    # at every SF
+    tags=("streaming", "join", "audit"),
+)
+def r15_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join under the hash gate (the engine
+    had only the inner interval join, qb35): clicks left-join purchases
+    by user within a 2 h event-time window, both sides watermarked 4 h,
+    replayed as three chronological micro-batches — matched pairs emit
+    as purchases arrive, and an UNMATCHED click emits a null-padded row
+    only after the watermark passes its window (the state-eviction
+    contract that bounds outer-join state at 100 TB). The audit
+    aggregates only clicks whose window provably closed (window end at
+    least 1 h before the final batch's watermark, a data-derived
+    cutoff the oracle replays exactly, including the day-tercile chunk
+    arithmetic) — for those, emission is guaranteed semantics, not
+    timing luck; tail clicks that may legally die in state are excluded
+    from both engines identically.
+
+    Scale: join state is bounded by (watermark delay + window) x
+    arrival rate per side — the whole point of watermarked outer joins
+    vs buffering a full side; each micro-batch shuffles both sides on
+    user_id only.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from pyspark_distributed_kmodes_spark.operators.analytics10 import (
+        _rmtree_at_exit,
+        _time_chunk_files,
+    )
+
+    chunk_files = _time_chunk_files(spark, sf_dir, 3)
+    stage = tempfile.mkdtemp(prefix="r15_stage_")
+    for f in chunk_files:
+        shutil.copy(f, stage)
+    _order_stage_files(stage)
+    shutil.rmtree(os.path.dirname(chunk_files[0]), ignore_errors=True)
+    e = table(spark, sf_dir, "events")
+    # the audited-click cutoff: final-batch watermark (max ts of
+    # chunks 1-2 minus the delay) minus a 1 h safety margin; chunks
+    # 1-2 = days strictly below the second day-tercile cut
+    days = e.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    n = e.count()
+    wd = Window.orderBy(F.asc("d"))
+    cum = days.select("d", F.sum("c").over(wd).alias("cum")).transform(cut_lineage)
+    d2 = cum.where(F.col("cum") >= F.lit(int(-(-(n * 2) // 3)))).agg(
+        F.min("d").alias("cut")
+    ).collect()[0]["cut"]
+    # the final-batch watermark is the MIN of the two sides' own
+    # watermarks (each tracks its own max event time), over chunks 1-2
+    boundary = (
+        e.where(F.date_trunc("day", "ts") < F.lit(d2))
+        .agg(
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            ).alias("m")
+        )
+        .collect()[0]["m"]
+    )
+
+    src = spark.readStream.schema(e.schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    clicks = (
+        src.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", f"{_R15_DELAY_H} hours")
+    )
+    purch = (
+        src.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", f"{_R15_DELAY_H} hours")
+    )
+    joined = clicks.join(
+        purch,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {_R15_WINDOW_H} HOURS")),
+        "leftOuter",
+    )
+    target_root = tempfile.mkdtemp(prefix="r15_target_")
+    sink = os.path.join(target_root, "sink")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(target_root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout=300):
+        q.stop()
+        raise TimeoutError("r15: availableNow stream did not finish within 300 s")
+    shutil.rmtree(stage, ignore_errors=True)
+    _rmtree_at_exit(target_root)
+    emitted = spark.read.parquet(sink).where(
+        F.col("c_ts") + F.expr(f"INTERVAL {_R15_WINDOW_H} HOURS")
+        <= F.lit(boundary) - F.expr(f"INTERVAL {_R15_DELAY_H} HOURS") - F.expr("INTERVAL 1 HOUR")
+    )
+    matched = emitted.where(F.col("p_id").isNotNull())
+    nulls = emitted.where(F.col("p_id").isNull())
+    return (
+        matched.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matched_pairs"),
+            F.count_distinct("c_id").cast("bigint").alias("n_matched_clicks"),
+            F.coalesce(F.sum(F.col("c_id") + F.col("p_id")), F.lit(0)).cast("bigint").alias("sum_pair_ids"),
+        )
+        .crossJoin(
+            nulls.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_null_clicks"),
+                F.coalesce(F.sum("c_id"), F.lit(0)).cast("bigint").alias("sum_null_click_ids"),
+            )
+        )
+        .select(
+            "n_matched_pairs",
+            "n_matched_clicks",
+            "n_null_clicks",
+            "sum_pair_ids",
+            "sum_null_click_ids",
+        )
+    )

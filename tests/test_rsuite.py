@@ -500,3 +500,107 @@ def test_r_new_keys_stay_jvm_side(spark, sf_dir, reg):
     r14 = _phys(reg["r14_luhn_checksum_quarantine"].fn(spark, sf_dir))
     assert "EvalPython" not in r14
     assert r14.count("Scan parquet") == 1
+
+
+def test_r15_matches_python_replay(spark, sf_dir, reg, duck):
+    """Full python replay of the audited outer join: the day-tercile
+    cut, the watermark boundary, the matched pair set, and the
+    null-click set re-derived from the raw table."""
+    row = reg["r15_stream_outer_join"].fn(spark, sf_dir).collect()[0]
+    import datetime
+
+    ev = duck.execute("SELECT event_id, user_id, ts, event_type FROM events").fetchall()
+    n = len(ev)
+    days = defaultdict(int)
+    for _, _, ts, _ in ev:
+        days[ts.date()] += 1
+    cum, cut2 = 0, None
+    for d in sorted(days):
+        cum += days[d]
+        if cum >= -(-(n * 2) // 3):
+            cut2 = d
+            break
+    boundary = min(  # global wm = min of the two sides' own maxima
+        max(ts for _, _, ts, t in ev if ts.date() < cut2 and t == "click"),
+        max(ts for _, _, ts, t in ev if ts.date() < cut2 and t == "purchase"),
+    )
+    audit_end = boundary - datetime.timedelta(hours=5)  # delay 4h + margin 1h
+    clicks = [(i, u, ts) for i, u, ts, t in ev if t == "click"
+              and ts + datetime.timedelta(hours=2) <= audit_end]
+    purchases = [(i, u, ts) for i, u, ts, t in ev if t == "purchase"]
+    pairs = [(c, p) for c, cu, cts in clicks for p, pu, pts in purchases
+             if pu == cu and cts <= pts <= cts + datetime.timedelta(hours=2)]
+    matched_clicks = {c for c, _ in pairs}
+    nulls = [c for c, _, _ in clicks if c not in matched_clicks]
+    assert row.n_matched_pairs == len(pairs)
+    assert row.n_matched_clicks == len(matched_clicks)
+    assert row.n_null_clicks == len(nulls)
+    assert row.sum_pair_ids == sum(c + p for c, p in pairs)
+    assert row.sum_null_click_ids == sum(nulls)
+
+
+def test_r15_outer_null_emission_unit(spark, tmp_path):
+    """Pin the core guarantee r15 relies on: a micro-batch evicts (and
+    null-emits) unmatched left rows using the watermark established by
+    the PREVIOUS batch — so the eviction needs a batch after the one
+    that advanced the watermark, which is exactly why r15's audit
+    boundary uses the max of chunks 1-2, not the global max."""
+    import os
+
+    schema = "event_id long, user_id long, ts string, event_type string"
+    t0 = "2024-01-01 00:00:00"
+    late1 = "2024-01-02 00:00:00"  # 24 h later >> 4 h delay + 2 h window
+    late2 = "2024-01-03 00:00:00"  # batch 3 evicts with the post-batch-2 wm
+    # the click side's watermark only advances with CLICK timestamps
+    # (global wm = min over both sides), so late clicks ride along
+    chunks = [
+        [(1, 10, t0, "click"), (2, 99, t0, "purchase")],
+        [(3, 99, late1, "purchase"), (5, 55, late1, "click")],
+        [(4, 99, late2, "purchase"), (6, 55, late2, "click")],
+    ]
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    import glob
+    import shutil
+
+    frames = []
+    for i, rows_i in enumerate(chunks):
+        df = spark.createDataFrame(rows_i, schema).selectExpr(
+            "event_id", "user_id", "CAST(ts AS TIMESTAMP) ts", "event_type"
+        )
+        frames.append(df)
+        df.coalesce(1).write.parquet(f"{stage}/c{i}")
+        shutil.copy(glob.glob(f"{stage}/c{i}/part-*.parquet")[0], f"{stage}/f{i}.parquet")
+        shutil.rmtree(f"{stage}/c{i}")
+    chunk1 = frames[0]
+    from pyspark_distributed_kmodes_spark.operators.analytics12 import _order_stage_files
+
+    _order_stage_files(stage)
+    src = spark.readStream.schema(chunk1.schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    from pyspark.sql import functions as SF
+
+    clicks = (src.where("event_type = 'click'")
+              .selectExpr("event_id c_id", "user_id c_user", "ts c_ts")
+              .withWatermark("c_ts", "4 hours"))
+    purch = (src.where("event_type = 'purchase'")
+             .selectExpr("event_id p_id", "user_id p_user", "ts p_ts")
+             .withWatermark("p_ts", "4 hours"))
+    j = clicks.join(
+        purch,
+        (SF.col("p_user") == SF.col("c_user"))
+        & (SF.col("p_ts") >= SF.col("c_ts"))
+        & (SF.col("p_ts") <= SF.col("c_ts") + SF.expr("INTERVAL 2 HOURS")),
+        "leftOuter",
+    )
+    sink = str(tmp_path / "sink")
+    q = (j.writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(timeout=120)
+    out = spark.read.parquet(sink).collect()
+    # clicks 1 and 5 have windows closed under the final watermark
+    # (min of both sides' maxima - 4 h) and emit null-padded; click 6's
+    # window is still open, so it legally dies in state — exactly the
+    # tail behavior r15's audit boundary excludes
+    assert sorted(r.c_id for r in out) == [1, 5]
+    assert all(r.p_id is None for r in out)

@@ -130,6 +130,7 @@ PROBE_QUERIES = [
     "r11_passage_chunking",
     "r12_stream_dedup_within_watermark",
     "r13_variant_explode_lateral",
+    "r15_stream_outer_join",
 ]
 
 
