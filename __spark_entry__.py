@@ -121,8 +121,14 @@ this). History:
            The r/o keys are genuinely-new engine surface only, never
            filler: r01 SQL scripting, r02 VariantType, r03 XML
            expressions, r04 approx_top_k, r05 URL parsing, r06
-           IDENTIFIER + lateral aliases, r07 UTF-8 validation
-           (operators/analytics12.py). SQL MERGE INTO was investigated
+           IDENTIFIER + lateral aliases, r07 UTF-8 validation, r08
+           bitmap distinct rollup, r09 parameterized SQL, r10
+           _metadata provenance, r11 passage chunking, r12
+           dropDuplicatesWithinWatermark, r13 variant_explode, r14
+           Luhn checksum quarantine, r15 stream-stream left-outer
+           join (operators/analytics12.py) — so the round-11 window is
+           o01-o15 + o43-o50 (23 slots) + ~27 oldest round-2 rows
+           renamed q51+ -> o-space. SQL MERGE INTO was investigated
            and is honestly unsupported on vanilla parquet v1 catalogs
            (see analytics12.py header); CDC merge semantics remain
            covered by operators/cdc.py.
