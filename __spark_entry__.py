@@ -126,8 +126,9 @@ this). History:
            _metadata provenance, r11 passage chunking, r12
            dropDuplicatesWithinWatermark, r13 variant_explode, r14
            Luhn checksum quarantine, r15 stream-stream left-outer
-           join (operators/analytics12.py) — so the round-11 window is
-           o01-o15 + o43-o50 (23 slots) + ~27 oldest round-2 rows
+           join, r16 state-store change feed
+           (operators/analytics12.py) — so the round-11 window is
+           o01-o16 + o43-o50 (24 slots) + ~26 oldest round-2 rows
            renamed q51+ -> o-space. SQL MERGE INTO was investigated
            and is honestly unsupported on vanilla parquet v1 catalogs
            (see analytics12.py header); CDC merge semantics remain

@@ -105,6 +105,11 @@ def main():
     row = oj.collect()[0]
     assert row.n_null_clicks >= 0 and row.n_matched_pairs >= row.n_matched_clicks
 
+    print("== 16. State-store change feed (per-batch state evolution) ==")
+    cf = reg["r16_statestore_changefeed"].fn(spark, sf_dir)
+    cf.show(15)
+    assert {r.change_type for r in cf.collect()} == {"update"}
+
     spark.stop()
 
 

@@ -64,6 +64,12 @@ they enter the round-11 window.
        join window — audited over the data-derived window where
        emission is GUARANTEED semantics (tail rows that may legally
        die in state are excluded from both engines identically).
+  r16  STATE-STORE CHANGE FEED (readChangeFeed): the per-batch
+       EVOLUTION of streaming state read back from the checkpoint —
+       one update row per (batch, key) that changed, carrying the
+       post-batch cumulative value; the oracle replays the batch
+       history relationally (n06 proved the final state, this proves
+       the history).
 
 Investigated and honestly NOT implementable on this stack (recorded so
 round 11 doesn't re-litigate): SQL MERGE INTO requires a catalog whose
@@ -1242,4 +1248,116 @@ def r15_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_pair_ids",
             "sum_null_click_ids",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# r16 — state-store CHANGE FEED: per-batch evolution of streaming state
+
+_R16_ORACLE = """
+WITH days AS (
+  SELECT date_trunc('day', ts) AS d, COUNT(*) AS c FROM events GROUP BY 1
+), tot AS (SELECT COUNT(*) AS n FROM events),
+cum AS (SELECT d, SUM(c) OVER (ORDER BY d) AS cum FROM days),
+c1 AS (SELECT MIN(d) AS d FROM cum, tot WHERE cum >= (tot.n + 2) // 3),
+c2 AS (SELECT MIN(d) AS d FROM cum, tot WHERE cum >= (2 * tot.n + 2) // 3),
+ev AS (
+  SELECT event_type, event_id,
+         CASE WHEN date_trunc('day', ts) < (SELECT d FROM c1) THEN 0
+              WHEN date_trunc('day', ts) < (SELECT d FROM c2) THEN 1
+              ELSE 2 END AS chunk
+  FROM events
+), batches AS (
+  SELECT b.batch_id, e.event_type, e.event_id, e.chunk
+  FROM ev e JOIN (VALUES (0), (1), (2)) AS b(batch_id) ON e.chunk <= b.batch_id
+)
+SELECT CAST(batch_id AS BIGINT) AS batch_id, event_type,
+       'update' AS change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+FROM batches
+GROUP BY batch_id, event_type
+HAVING SUM(CASE WHEN chunk = batch_id THEN 1 ELSE 0 END) > 0
+ORDER BY batch_id, event_type
+"""
+
+
+@query("r16_statestore_changefeed", oracle=_R16_ORACLE, tags=("streaming", "source", "audit"))
+def r16_statestore_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE-STORE CHANGE FEED under the hash gate (Spark 4
+    `format("statestore").option("readChangeFeed", true)`): a streaming
+    per-type count+sum runs over THREE chronological micro-batches
+    (maxFilesPerTrigger=1, deterministic replay order via
+    _order_stage_files), then the checkpoint's change feed is read back
+    — one `update` row per (batch, key) whose state CHANGED in that
+    batch, carrying the post-batch cumulative value. The oracle replays
+    the batch evolution relationally: day-tercile chunk assignment,
+    cumulative counts per batch, and a HAVING clause that keeps exactly
+    the (batch, type) cells with at least one event IN that batch (the
+    change-feed emission rule). n06 proved the FINAL state; this proves
+    the state's HISTORY — the audit trail an operator walks to answer
+    "when did this key's aggregate move" on a 100 TB job's checkpoint.
+
+    Determinism: cumulative bigint count/sum per key are order-free
+    within a batch; batch composition is pinned by the day-tercile
+    cuts and the mtime-ordered replay; partition_id is dropped (it
+    varies with shuffle.partitions — the invariance sweep checks).
+
+    Scale: the stream shuffles each micro-batch on the 5-value type
+    key with map-side partial aggregation; the change feed read is
+    checkpoint-sized (batches x keys), independent of data volume.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark_distributed_kmodes_spark.operators.analytics10 import (
+        _rmtree_at_exit,
+        _time_chunk_files,
+    )
+
+    chunk_files = _time_chunk_files(spark, sf_dir, 3)
+    stage = tempfile.mkdtemp(prefix="r16_stage_")
+    for f in chunk_files:
+        shutil.copy(f, stage)
+    _order_stage_files(stage)
+    shutil.rmtree(os.path.dirname(chunk_files[0]), ignore_errors=True)
+    e = table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("events")
+
+    src = spark.readStream.schema(e.schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    agg = src.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("event_id").alias("sm")
+    )
+    ckpt_root = tempfile.mkdtemp(prefix="r16_ckpt_")
+    ckpt = os.path.join(ckpt_root, "ck")
+    q = (
+        agg.writeStream.format("noop")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout=300):
+        q.stop()
+        raise TimeoutError("r16: availableNow stream did not finish within 300 s")
+    shutil.rmtree(stage, ignore_errors=True)
+    _rmtree_at_exit(ckpt_root)
+    cf = (
+        spark.read.format("statestore")
+        .option("readChangeFeed", "true")
+        .option("changeStartBatchId", 0)
+        .load(ckpt)
+    )
+    # value.count / value.sum are the Count/Sum aggBufferAttributes
+    # names (the n06 pin); change_type is part of the feed's contract
+    return (
+        cf.select(
+            F.col("batch_id").cast("bigint").alias("batch_id"),
+            F.col("key.event_type").alias("event_type"),
+            F.col("change_type").alias("change_type"),
+            F.col("value.count").cast("bigint").alias("n_events"),
+            F.col("value.sum").cast("bigint").alias("sum_event_id"),
+        )
+        .orderBy("batch_id", "event_type")
     )

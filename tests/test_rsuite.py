@@ -604,3 +604,42 @@ def test_r15_outer_null_emission_unit(spark, tmp_path):
     # tail behavior r15's audit boundary excludes
     assert sorted(r.c_id for r in out) == [1, 5]
     assert all(r.p_id is None for r in out)
+
+
+def test_r16_matches_python_batch_evolution(spark, sf_dir, reg, duck):
+    """Replay the change feed in python: per batch, cumulative
+    count/sum per type over the day-tercile chunks, with a row emitted
+    only when the type has at least one event IN that batch."""
+    from collections import Counter
+
+    rows = {(r.batch_id, r.event_type): (r.change_type, r.n_events, r.sum_event_id)
+            for r in reg["r16_statestore_changefeed"].fn(spark, sf_dir).collect()}
+    ev = duck.execute("SELECT event_type, event_id, ts FROM events").fetchall()
+    n = len(ev)
+    days = Counter(ts.date() for _, _, ts in ev)
+    cuts = []
+    for k in (1, 2):
+        cum = 0
+        for d in sorted(days):
+            cum += days[d]
+            if cum >= (k * n + 2) // 3:
+                cuts.append(d)
+                break
+    def chunk(ts):
+        if ts.date() < cuts[0]:
+            return 0
+        return 1 if ts.date() < cuts[1] else 2
+    exp = {}
+    for b in range(3):
+        per = defaultdict(lambda: [0, 0, 0])
+        for et, eid, ts in ev:
+            c = chunk(ts)
+            if c <= b:
+                st = per[et]
+                st[0] += 1
+                st[1] += eid
+                st[2] += 1 if c == b else 0
+        for et, (cnt, sm, in_batch) in per.items():
+            if in_batch > 0:
+                exp[(b, et)] = ("update", cnt, sm)
+    assert rows == exp

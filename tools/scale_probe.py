@@ -131,6 +131,7 @@ PROBE_QUERIES = [
     "r12_stream_dedup_within_watermark",
     "r13_variant_explode_lateral",
     "r15_stream_outer_join",
+    "r16_statestore_changefeed",
 ]
 
 
