@@ -42,7 +42,7 @@ def test_every_bench_query_maps_to_history_or_is_new():
     prev = bench._previous_bench()
     names = [n for n, q in load_all().items() if q.bench]
     unmapped = [n for n in names if bench._stem(n) not in prev]
-    # only genuinely NEW bench entries (the staged k/l/m/n suites) may
-    # lack history; every pre-existing entry must map through the
+    # only genuinely NEW bench entries (the staged k/l/m/n/r suites)
+    # may lack history; every pre-existing entry must map through the
     # rotation
-    assert all(n.startswith(("h", "i", "j", "k", "l", "m", "n")) for n in unmapped), unmapped
+    assert all(n.startswith(("h", "i", "j", "k", "l", "m", "n", "r")) for n in unmapped), unmapped
