@@ -126,9 +126,10 @@ this). History:
            _metadata provenance, r11 passage chunking, r12
            dropDuplicatesWithinWatermark, r13 variant_explode, r14
            Luhn checksum quarantine, r15 stream-stream left-outer
-           join, r16 state-store change feed
+           join, r16 state-store change feed, r17 dynamic-gap session
+           windows, r18 ANSI try_* arithmetic quarantine
            (operators/analytics12.py) — so the round-11 window is
-           o01-o16 + o43-o50 (24 slots) + ~26 oldest round-2 rows
+           o01-o18 + o43-o50 (26 slots) + ~24 oldest round-2 rows
            renamed q51+ -> o-space. SQL MERGE INTO was investigated
            and is honestly unsupported on vanilla parquet v1 catalogs
            (see analytics12.py header); CDC merge semantics remain

@@ -70,6 +70,20 @@ they enter the round-11 window.
        post-batch cumulative value; the oracle replays the batch
        history relationally (n06 proved the final state, this proves
        the history).
+  r17  DYNAMIC-GAP SESSION WINDOWS (F.session_window with a per-event
+       gap expression): purchase events hold sessions open 60 min,
+       views 15, others 30 — semantics a static gap (q32) cannot
+       express; the two probed merge subtleties (boundary-inclusive
+       ends, running-MAX session end) are pinned by unit test and the
+       oracle replays gaps-and-islands with a prefix-MAX over
+       per-event window ends in exact microseconds.
+  r18  ANSI try_* ARITHMETIC QUARANTINE (try_multiply / try_divide /
+       try_add / try_cast): every failure class planted
+       data-dependently (overflow past 2^63-1, div-zero, bad casts),
+       null counts AND surviving values under the hash; the oracle
+       decides the 64-bit boundary independently in DuckDB HUGEINT
+       arithmetic, and a unit test pins that the same expressions
+       WITHOUT try_ throw under the engine's default ANSI mode.
 
 Investigated and honestly NOT implementable on this stack (recorded so
 round 11 doesn't re-litigate): SQL MERGE INTO requires a catalog whose
@@ -1361,3 +1375,206 @@ def r16_statestore_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch_id", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# r17 — DYNAMIC-GAP session windows (per-event inactivity gap)
+
+_R17_ORACLE = """
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE event_type WHEN 'purchase' THEN 60
+                         WHEN 'view' THEN 15
+                         ELSE 30 END AS gap_min
+  FROM events
+), w AS (
+  SELECT user_id, ts, ts + gap_min * INTERVAL 1 MINUTE AS wend FROM e
+), m AS (
+  SELECT user_id, ts, wend,
+         MAX(wend) OVER (PARTITION BY user_id ORDER BY ts, wend
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM w
+), f AS (
+  SELECT user_id, ts, wend,
+         CASE WHEN pmax IS NULL OR ts > pmax THEN 1 ELSE 0 END AS is_new
+  FROM m
+), g AS (
+  SELECT user_id, ts, wend,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, wend
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM f
+), sess AS (
+  SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n_ev,
+         epoch_us(MAX(wend)) - epoch_us(MIN(ts)) AS dur_us
+  FROM g GROUP BY 1, 2
+), u AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         CAST(SUM(n_ev) AS BIGINT) AS n_events,
+         CAST(SUM(dur_us) AS BIGINT) AS dur_us
+  FROM sess GROUP BY 1
+)
+SELECT n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(SUM(dur_us) AS BIGINT) AS total_duration_us
+FROM u GROUP BY 1 ORDER BY n_sessions
+"""
+
+
+@query("r17_dynamic_gap_sessions", oracle=_R17_ORACLE, tags=("events", "window-agg"))
+def r17_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-GAP session windows: F.session_window with a PER-EVENT
+    inactivity gap (purchase 60 min, view 15 min, else 30 min) — the
+    behavioral-sessionization semantics q32's static 30-minute gap
+    cannot express (a purchase keeps the session alive longer than a
+    view). Two merge subtleties were probed empirically and are pinned
+    by unit test (tests/test_rsuite.py): (a) the boundary is INCLUSIVE
+    — an event at exactly the previous session end MERGES (so the
+    oracle's new-session rule is ts > running-max-end, matching q32's
+    LAG > gap convention); (b) a merged session's end is the running
+    MAX of member ends, so an early long-gap event can outlast later
+    short-gap ones. The oracle replays gaps-and-islands with a
+    prefix-MAX over per-event window ends; durations compare in exact
+    integer MICROSECONDS (unix_micros vs epoch_us), then per-user
+    session counts histogram into the final bounded table.
+
+    Scale: ONE shuffle on user_id (Spark plans session aggregation as
+    exchange on the non-session keys + a local sort feeding
+    UpdatingSessionsExec; state per user is one open session, not the
+    event list); the per-user re-aggregate and the final histogram
+    reuse / reduce that partitioning with map-side combine. No Python,
+    no windows over the full event set — the same shape at 100 TB.
+    """
+    e = table(spark, sf_dir, "events")
+    gap = (
+        F.when(F.col("event_type") == "purchase", "INTERVAL 60 MINUTES")
+        .when(F.col("event_type") == "view", "INTERVAL 15 MINUTES")
+        .otherwise("INTERVAL 30 MINUTES")
+    )
+    sess = e.groupBy(F.session_window("ts", gap).alias("w"), "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ev")
+    )
+    per_user = sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("n_ev").cast("bigint").alias("n_events"),
+        F.sum(F.unix_micros(F.col("w.end")) - F.unix_micros(F.col("w.start")))
+        .cast("bigint")
+        .alias("dur_us"),
+    )
+    return (
+        per_user.groupBy("n_sessions")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("dur_us").cast("bigint").alias("total_duration_us"),
+        )
+        .orderBy("n_sessions")
+    )
+
+
+# ---------------------------------------------------------------------------
+# r18 — ANSI try_* arithmetic quarantine (overflow / div-zero / bad cast)
+
+_R18_SQL = """
+WITH b AS (
+  SELECT o_orderpriority AS pr,
+         (o_orderkey % 900 + 124) * 10000000 AS x,
+         1000000000 + (o_custkey % 1000000) AS y,
+         o_orderkey % 13 AS d,
+         o_custkey % 1000 AS a,
+         9223372036854775807 - (o_custkey % 1000) AS addl,
+         o_orderkey % 2000 AS addr,
+         CASE WHEN o_orderkey % 19 = 0
+              THEN CONCAT('x', CAST(o_custkey AS STRING))
+              ELSE CAST(o_custkey AS STRING) END AS s
+  FROM orders
+), c AS (
+  SELECT pr,
+         try_multiply(x, y) AS prod,
+         try_divide(a, d) AS q,
+         try_add(addl, addr) AS ta,
+         try_cast(s AS BIGINT) AS tc
+  FROM b
+)
+SELECT pr,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN prod IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow_mul,
+       CAST(SUM(prod % 1000000007) AS BIGINT) AS sum_prod_mod,
+       CAST(SUM(CASE WHEN q IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_div_zero,
+       CAST(SUM(CAST(FLOOR(q * 1000) AS BIGINT)) AS BIGINT) AS sum_q_milli,
+       CAST(SUM(CASE WHEN ta IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow_add,
+       CAST(SUM(9223372036854775807 - ta) AS BIGINT) AS sum_add_margin,
+       CAST(SUM(CASE WHEN tc IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_cast,
+       CAST(SUM(tc) AS BIGINT) AS sum_cast
+FROM c GROUP BY pr ORDER BY pr
+"""
+
+_R18_ORACLE = """
+WITH b AS (
+  SELECT o_orderpriority AS pr,
+         (o_orderkey % 900 + 124) * 10000000 AS x,
+         1000000000 + (o_custkey % 1000000) AS y,
+         o_orderkey % 13 AS d,
+         o_custkey % 1000 AS a,
+         o_orderkey % 2000 AS addr,
+         CASE WHEN o_orderkey % 19 = 0 THEN NULL
+              ELSE o_custkey END AS castv
+  FROM orders
+), c AS (
+  SELECT pr,
+         CASE WHEN CAST(x AS HUGEINT) * CAST(y AS HUGEINT)
+                   <= CAST(9223372036854775807 AS HUGEINT)
+              THEN CAST(CAST(x AS HUGEINT) * CAST(y AS HUGEINT) AS BIGINT)
+              ELSE NULL END AS prod,
+         CASE WHEN d = 0 THEN NULL ELSE a / d END AS q,
+         CASE WHEN addr <= a THEN a - addr ELSE NULL END AS add_margin,
+         castv AS tc
+  FROM b
+)
+SELECT pr,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN prod IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow_mul,
+       CAST(SUM(prod % 1000000007) AS BIGINT) AS sum_prod_mod,
+       CAST(SUM(CASE WHEN q IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_div_zero,
+       CAST(SUM(CAST(FLOOR(q * 1000) AS BIGINT)) AS BIGINT) AS sum_q_milli,
+       CAST(SUM(CASE WHEN add_margin IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow_add,
+       CAST(SUM(add_margin) AS BIGINT) AS sum_add_margin,
+       CAST(SUM(CASE WHEN tc IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_cast,
+       CAST(SUM(tc) AS BIGINT) AS sum_cast
+FROM c GROUP BY pr ORDER BY pr
+"""
+
+
+@query("r18_try_arithmetic_quarantine", oracle=_R18_ORACLE, tags=("sql", "ansi"))
+def r18_try_arithmetic_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI try_* arithmetic quarantine: under ANSI mode (the engine's
+    default on Spark 4) plain arithmetic THROWS on BIGINT overflow,
+    division by zero, and malformed casts; the try_* family
+    (try_multiply / try_divide / try_add / try_cast) converts each
+    failure to NULL — the row-level quarantine contract a 100 TB
+    ingest needs (one poisoned row must not kill a 1000-executor
+    stage). Every failure class is planted DATA-DEPENDENTLY from real
+    order keys: ~top-decile x*y products overflow 2^63-1, d=0 every
+    13th key, additions overflow exactly when (o_orderkey % 2000) >
+    (o_custkey % 1000), casts break on every 19th key — and both the
+    NULL COUNTS and the surviving VALUES are under the hash (products
+    mod p, quotient milli-floors, addition margins, cast sums). The
+    oracle decides overflow in DuckDB HUGEINT (128-bit) arithmetic —
+    an independent derivation of the 64-bit boundary; quotients are
+    IEEE double divisions of the same integers in both engines, so
+    FLOOR(q*1000) is bit-identical (no decimal knife edge:
+    correctly-rounded division + multiply are deterministic, and the
+    pround rule concerns decimal rounding of sums, not floors of
+    identical doubles). A unit test pins that the SAME expressions
+    WITHOUT try_ raise under ANSI — proving the quarantine is real,
+    not a no-op alias.
+
+    Scale: one orders scan, all expressions JVM-side in whole-stage
+    codegen, one map-side-combinable shuffle on the 5-value priority
+    key. try_* evaluates inline — no second pass, no Python.
+    """
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders")
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    return spark.sql(_R18_SQL)

@@ -643,3 +643,171 @@ def test_r16_matches_python_batch_evolution(spark, sf_dir, reg, duck):
             if in_batch > 0:
                 exp[(b, et)] = ("update", cnt, sm)
     assert rows == exp
+
+
+# ---------------------------------------------------------------------------
+# r17 — dynamic-gap session windows
+
+
+def _py_dynamic_sessions(events_us):
+    """Textbook dynamic-gap sessionization over (ts_us, end_us) pairs of
+    one user, sorted by ts: an event MERGES into the open session iff
+    ts <= running max end (boundary INCLUSIVE — the empirically probed
+    Spark semantics), and the session end is the running MAX of member
+    ends (an early long-gap event can outlast later short-gap ones)."""
+    evs = sorted(events_us)
+    sessions = []
+    n = start = mx = None
+    for ts, en in evs:
+        if n is not None and ts <= mx:
+            n += 1
+            mx = max(mx, en)
+        else:
+            if n is not None:
+                sessions.append((n, mx - start))
+            n, start, mx = 1, ts, en
+    sessions.append((n, mx - start))
+    return sessions
+
+
+def test_r17_matches_python_sessionization(spark, sf_dir, reg):
+    """Full python replay of the per-event-gap sessionization over the
+    real events table, down to the exact-microsecond durations and the
+    final per-session-count histogram."""
+    from pyspark_distributed_kmodes_spark.sources.tables import table
+
+    gaps = {"purchase": 60, "view": 15}
+    raw = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.unix_micros("ts").alias("us"), "event_type")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in raw:
+        end = r.us + gaps.get(r.event_type, 30) * 60_000_000
+        by_user[r.user_id].append((r.us, end))
+    hist = defaultdict(lambda: [0, 0, 0])
+    for evs in by_user.values():
+        ss = _py_dynamic_sessions(evs)
+        h = hist[len(ss)]
+        h[0] += 1
+        h[1] += sum(n for n, _ in ss)
+        h[2] += sum(d for _, d in ss)
+    got = {
+        r.n_sessions: (r.n_users, r.n_events, r.total_duration_us)
+        for r in reg["r17_dynamic_gap_sessions"].fn(spark, sf_dir).collect()
+    }
+    assert got == {k: tuple(v) for k, v in hist.items()}
+
+
+def test_r17_boundary_inclusive_and_max_end_pins(spark):
+    """The two merge subtleties the oracle depends on, pinned exactly as
+    probed: (a) an event at EXACTLY the previous session end merges
+    (end-boundary inclusive -> oracle's new-session rule is strict >);
+    (b) the merged session end is the MAX over member ends, so a
+    60-minute purchase window absorbs later short-gap events."""
+    import datetime as dt
+
+    rows = [
+        # user 1: view end = 0:15; event at exactly 0:15 MUST merge
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), "view"),
+        (1, dt.datetime(2024, 1, 1, 0, 15, 0), "other"),
+        # user 2: purchase end = 1:00 absorbs 0:30/0:50 views; final
+        # end = max of ends = 0:50 + 15 min = 1:05
+        (2, dt.datetime(2024, 1, 1, 0, 0, 0), "purchase"),
+        (2, dt.datetime(2024, 1, 1, 0, 30, 0), "view"),
+        (2, dt.datetime(2024, 1, 1, 0, 50, 0), "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
+    gap = (
+        F.when(F.col("event_type") == "purchase", "INTERVAL 60 MINUTES")
+        .when(F.col("event_type") == "view", "INTERVAL 15 MINUTES")
+        .otherwise("INTERVAL 30 MINUTES")
+    )
+    got = {
+        (r.user_id, r["n"]): (str(r.w.start), str(r.w.end))
+        for r in df.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == {
+        (1, 2): ("2024-01-01 00:00:00", "2024-01-01 00:45:00"),
+        (2, 3): ("2024-01-01 00:00:00", "2024-01-01 01:05:00"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# r18 — ANSI try_* arithmetic quarantine
+
+
+def test_r18_matches_python_bigint_semantics(spark, sf_dir, reg, duck):
+    """Arbitrary-precision python replay of every planted failure class:
+    the 2^63-1 overflow boundary, div-zero nulls, addition margins, and
+    bad casts — including IEEE-identical FLOOR(q*1000) quotient bins."""
+    import math
+
+    maxi = (1 << 63) - 1
+    rows = duck.execute(
+        "SELECT o_orderpriority, o_orderkey, o_custkey FROM orders"
+    ).fetchall()
+    agg = {}
+    for pr, k, c in rows:
+        x = (k % 900 + 124) * 10_000_000
+        y = 1_000_000_000 + (c % 1_000_000)
+        d = k % 13
+        a = c % 1000
+        addr = k % 2000
+        prod = x * y if x * y <= maxi else None
+        q = a / d if d else None
+        margin = a - addr if addr <= a else None
+        tc = None if k % 19 == 0 else c
+        g = agg.setdefault(pr, [0] * 9)
+        g[0] += 1
+        if prod is None:
+            g[1] += 1
+        else:
+            g[2] += prod % 1000000007
+        if q is None:
+            g[3] += 1
+        else:
+            g[4] += math.floor(q * 1000)
+        if margin is None:
+            g[5] += 1
+        else:
+            g[6] += margin
+        if tc is None:
+            g[7] += 1
+        else:
+            g[8] += tc
+    got = {
+        r.pr: (
+            r.n_rows,
+            r.n_overflow_mul,
+            r.sum_prod_mod,
+            r.n_div_zero,
+            r.sum_q_milli,
+            r.n_overflow_add,
+            r.sum_add_margin,
+            r.n_bad_cast,
+            r.sum_cast,
+        )
+        for r in reg["r18_try_arithmetic_quarantine"].fn(spark, sf_dir).collect()
+    }
+    assert got == {pr: tuple(v) for pr, v in agg.items()}
+    # every failure class must actually fire on this data
+    assert sum(v[1] for v in agg.values()) > 0
+    assert sum(v[3] for v in agg.values()) > 0
+    assert sum(v[5] for v in agg.values()) > 0
+    assert sum(v[7] for v in agg.values()) > 0
+
+
+def test_r18_plain_arithmetic_raises_under_ansi(spark):
+    """The quarantine is real, not an alias: the SAME expressions
+    WITHOUT try_ throw under the engine's default ANSI mode."""
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
+        spark.sql("SELECT 4611686018427387904 * CAST(3 AS BIGINT) AS v").collect()
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        spark.sql("SELECT 1 / 0 AS v").collect()
+    with pytest.raises(Exception, match="CAST_INVALID_INPUT|invalid"):
+        spark.sql("SELECT CAST('12x' AS BIGINT) AS v").collect()

@@ -132,6 +132,8 @@ PROBE_QUERIES = [
     "r13_variant_explode_lateral",
     "r15_stream_outer_join",
     "r16_statestore_changefeed",
+    "r17_dynamic_gap_sessions",
+    "r18_try_arithmetic_quarantine",
 ]
 
 
