@@ -127,9 +127,10 @@ this). History:
            dropDuplicatesWithinWatermark, r13 variant_explode, r14
            Luhn checksum quarantine, r15 stream-stream left-outer
            join, r16 state-store change feed, r17 dynamic-gap session
-           windows, r18 ANSI try_* arithmetic quarantine
+           windows, r18 ANSI try_* arithmetic quarantine, r19 RocksDB
+           state-store provider parity, r20 rate-micro-batch source
            (operators/analytics12.py) — so the round-11 window is
-           o01-o18 + o43-o50 (26 slots) + ~24 oldest round-2 rows
+           o01-o20 + o43-o50 (28 slots) + ~22 oldest round-2 rows
            renamed q51+ -> o-space. SQL MERGE INTO was investigated
            and is honestly unsupported on vanilla parquet v1 catalogs
            (see analytics12.py header); CDC merge semantics remain

@@ -84,6 +84,20 @@ they enter the round-11 window.
        decides the 64-bit boundary independently in DuckDB HUGEINT
        arithmetic, and a unit test pins that the same expressions
        WITHOUT try_ throw under the engine's default ANSI mode.
+  r19  ROCKSDB STATE-STORE PROVIDER PARITY: the n06 streaming
+       state-reader loop re-run on RocksDBStateStoreProvider — the
+       disk-backed backend a 100 TB streaming job actually uses —
+       with a three-attribute Count+Sum+Max state row; hard-fails if
+       the checkpoint lacks RocksDB's zip-snapshot layout (no silent
+       fallback), conf snapshot/restored, and the provider layout
+       signatures (zip vs delta) contrast-pinned in tests.
+  r20  RATE-MICRO-BATCH SOURCE with restart continuation: the
+       deterministic load-generator source driven through THREE
+       availableNow restarts on one checkpoint — contiguous values,
+       millisecond-exact batch clock, offsets resumed from the
+       commit log; the oracle is a closed form over range(0,1500)
+       (value // rowsPerBatch IS the batch id). m02 proved STATE
+       survives restarts; this proves SOURCE OFFSETS do.
 
 Investigated and honestly NOT implementable on this stack (recorded so
 round 11 doesn't re-litigate): SQL MERGE INTO requires a catalog whose
@@ -1578,3 +1592,187 @@ def r18_try_arithmetic_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame
     o.createOrReplaceTempView("orders")
     assert spark.conf.get("spark.sql.ansi.enabled") == "true"
     return spark.sql(_R18_SQL)
+
+
+# ---------------------------------------------------------------------------
+# r19 — RocksDB state-store provider parity
+
+_R19_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+_R19_ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+_R19_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+       CAST(MAX(event_id) AS BIGINT) AS max_event_id
+FROM events GROUP BY 1 ORDER BY event_type
+"""
+
+
+@query("r19_rocksdb_statestore_parity", oracle=_R19_ORACLE, tags=("streaming", "state", "audit"))
+def r19_rocksdb_statestore_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROCKSDB STATE-STORE PROVIDER parity under the hash gate: the
+    n06 streaming-aggregation/state-reader loop re-run with
+    `spark.sql.streaming.stateStore.providerClass` set to the
+    RocksDBStateStoreProvider — the disk-backed state backend a REAL
+    100 TB streaming job runs on (default HDFSBacked keeps every key
+    in executor heap; RocksDB keeps working state off-heap/on-disk
+    and snapshots SSTs to the checkpoint, which is what makes
+    billion-key state survivable). The state read back from the
+    RocksDB checkpoint must hash-match the plain batch GROUP BY —
+    backend-independence of results, proved on the backend that
+    matters at scale. The query HARD-FAILS (never silently falls
+    back) if the checkpoint lacks RocksDB's zip-snapshot layout, and
+    the buffer layout here is Count+Sum+Max (value.count / value.sum
+    / value.max aggBufferAttributes — a three-attribute state row,
+    one more than n06's, pinned in tests).
+
+    Determinism: bigint count/sum/max are order- and partition-free;
+    partition_id is dropped (invariance sweep varies
+    shuffle.partitions). The provider conf is snapshotted and
+    restored in a finally; the state READ itself resolves the
+    provider from the checkpoint's OffsetSeqMetadata (probed: the
+    read succeeds even after the session conf is restored), and the
+    result is materialized via cut_lineage before the restore.
+
+    Scale: one events shuffle on the 5-value type key with map-side
+    partial aggregation; RocksDB state I/O is per-key-group local
+    disk, snapshot upload is per-batch incremental (SSTs); the
+    statestore read is checkpoint-sized, independent of data volume.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark_distributed_kmodes_spark.operators.analytics10 import _rmtree_at_exit
+
+    e = table(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="r19_stage_")
+    ckpt_root = tempfile.mkdtemp(prefix="r19_ckpt_")
+    src = os.path.join(stage, "src")
+    e.write.mode("overwrite").parquet(src)
+    prev = spark.conf.get(_R19_PROVIDER_KEY)
+    spark.conf.set(_R19_PROVIDER_KEY, _R19_ROCKSDB)
+    try:
+        stream = spark.readStream.schema(e.schema).parquet(src)
+        agg = stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("event_id").alias("sm"),
+            F.max("event_id").alias("mx"),
+        )
+        ckpt = os.path.join(ckpt_root, "ck")
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout=300):
+            q.stop()
+            raise TimeoutError("r19: availableNow stream did not finish within 300 s")
+        shutil.rmtree(stage, ignore_errors=True)
+        _rmtree_at_exit(ckpt_root)
+        # RocksDB checkpoints upload zip snapshots (+ SSTs/); the HDFS
+        # provider writes .delta files. No zip => we silently ran the
+        # wrong backend and the parity claim would be vacuous.
+        if not glob.glob(os.path.join(ckpt, "state", "0", "*", "*.zip")):
+            raise RuntimeError("r19: checkpoint lacks RocksDB snapshot layout")
+        st = spark.read.format("statestore").load(ckpt)
+        out = (
+            st.select(
+                F.col("key.event_type").alias("event_type"),
+                F.col("value.count").cast("bigint").alias("n_events"),
+                F.col("value.sum").cast("bigint").alias("sum_event_id"),
+                F.col("value.max").cast("bigint").alias("max_event_id"),
+            )
+            .orderBy("event_type")
+            .transform(cut_lineage)
+        )
+    finally:
+        spark.conf.set(_R19_PROVIDER_KEY, prev)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# r20 — rate-micro-batch source: deterministic offsets across restarts
+
+_R20_ORACLE = """
+SELECT CAST((v // 500) * 1000 AS BIGINT) AS ts_ms,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(v) AS BIGINT) AS min_value,
+       CAST(MAX(v) AS BIGINT) AS max_value,
+       CAST(SUM(v) AS BIGINT) AS sum_value
+FROM range(0, 1500) t(v)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("r20_rate_micro_batch_source", oracle=_R20_ORACLE, tags=("streaming", "source"))
+def r20_rate_micro_batch_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATE-MICRO-BATCH SOURCE with restart continuation: Spark's
+    deterministic load-generator source (`format("rate-micro-batch")`
+    — unlike plain `rate`, batch composition is pinned by OPTIONS, not
+    wall clock: batch k carries exactly rowsPerBatch values continuing
+    from the last committed offset, all stamped startTimestamp +
+    k*advanceMillisPerBatch). Three sequential availableNow RESTARTS
+    on one checkpoint must produce batches 0/1/2 with contiguous
+    values 0..1499 and millisecond-exact batch timestamps — the
+    source-offset side of the m02 restart-equivalence story (m02
+    proved aggregation state survives restarts; this proves SOURCE
+    offsets do). The oracle is a pure closed form over
+    range(0, 1500): value // 500 IS the batch id, so offset
+    continuity, batch sizing, and the timestamp clock are all under
+    the hash. Deliberately reads NOTHING from sf_dir: the contract
+    under test is the source's, independent of data scale (probed:
+    each availableNow run emits exactly one batch and resumes from
+    the checkpoint).
+
+    Scale: this is the benchmark/backfill clock primitive — a
+    1000-executor soak test generates numPartitions-parallel rows
+    with zero input I/O; the sink here is a parquet append whose
+    volume is fixed by the options (1500 rows), and the final
+    aggregate is one map-side-combinable shuffle on the 3-value
+    batch-timestamp key.
+    """
+    import os
+    import tempfile
+
+    from pyspark_distributed_kmodes_spark.operators.analytics10 import _rmtree_at_exit
+
+    root = tempfile.mkdtemp(prefix="r20_runs_")
+    out, ckpt = os.path.join(root, "out"), os.path.join(root, "ck")
+    for _ in range(3):
+        src = (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", 500)
+            .option("numPartitions", 4)
+            .option("startTimestamp", 0)
+            .option("advanceMillisPerBatch", 1000)
+            .load()
+        )
+        q = (
+            src.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout=300):
+            q.stop()
+            raise TimeoutError("r20: availableNow run did not finish within 300 s")
+    _rmtree_at_exit(root)
+    return (
+        spark.read.parquet(out)
+        .groupBy(F.unix_millis("timestamp").alias("ts_ms"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("value").cast("bigint").alias("min_value"),
+            F.max("value").cast("bigint").alias("max_value"),
+            F.sum("value").cast("bigint").alias("sum_value"),
+        )
+        .orderBy("ts_ms")
+    )

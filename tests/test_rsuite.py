@@ -811,3 +811,123 @@ def test_r18_plain_arithmetic_raises_under_ansi(spark):
         spark.sql("SELECT 1 / 0 AS v").collect()
     with pytest.raises(Exception, match="CAST_INVALID_INPUT|invalid"):
         spark.sql("SELECT CAST('12x' AS BIGINT) AS v").collect()
+
+
+# ---------------------------------------------------------------------------
+# r19 — RocksDB state-store provider parity
+
+
+def test_r19_matches_batch_and_restores_conf(spark, sf_dir, reg):
+    """The RocksDB-backed state must equal the plain batch GROUP BY,
+    and the provider conf must be restored after the query (no session
+    leakage into later streaming queries)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key)
+    got = {
+        r.event_type: (r.n_events, r.sum_event_id, r.max_event_id)
+        for r in reg["r19_rocksdb_statestore_parity"].fn(spark, sf_dir).collect()
+    }
+    assert spark.conf.get(key) == before
+    from pyspark_distributed_kmodes_spark.sources.tables import table
+
+    exp = {
+        r.event_type: (r.n, r.s, r.m)
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("event_id").cast("bigint").alias("s"),
+            F.max("event_id").cast("bigint").alias("m"),
+        )
+        .collect()
+    }
+    assert got == exp
+
+
+def test_r19_provider_layout_signatures(spark, tmp_path):
+    """The on-disk signature r19's hard-fail guard relies on: RocksDB
+    checkpoints upload *.zip snapshots; the HDFSBacked provider writes
+    *.delta files and no zips — so the guard cannot pass on a silent
+    fallback."""
+    import glob
+    import os
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key)
+    layouts = {}
+    for name, provider in [
+        ("rocksdb", "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"),
+        ("hdfs", "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"),
+    ]:
+        spark.conf.set(key, provider)
+        try:
+            df = spark.createDataFrame(
+                [(i, f"t{i % 3}") for i in range(50)], "event_id long, event_type string"
+            )
+            src = str(tmp_path / f"{name}_src")
+            ck = str(tmp_path / f"{name}_ck")
+            df.write.mode("overwrite").parquet(src)
+            stream = spark.readStream.schema(df.schema).parquet(src)
+            agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+            q = (
+                agg.writeStream.format("noop")
+                .outputMode("complete")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(timeout=120)
+        finally:
+            spark.conf.set(key, prev)
+        layouts[name] = (
+            bool(glob.glob(os.path.join(ck, "state", "0", "*", "*.zip"))),
+            bool(glob.glob(os.path.join(ck, "state", "0", "*", "*.delta"))),
+        )
+    assert layouts["rocksdb"][0] and not layouts["rocksdb"][1]
+    assert layouts["hdfs"][1] and not layouts["hdfs"][0]
+
+
+# ---------------------------------------------------------------------------
+# r20 — rate-micro-batch source: deterministic offsets across restarts
+
+
+def test_r20_matches_closed_form(spark, sf_dir, reg):
+    """The source contract replayed in python: 3 availableNow restarts
+    x 500 rows, values contiguous from the committed offset, batch k
+    stamped k*1000 ms."""
+    got = {
+        r.ts_ms: (r.n_rows, r.min_value, r.max_value, r.sum_value)
+        for r in reg["r20_rate_micro_batch_source"].fn(spark, sf_dir).collect()
+    }
+    exp = {}
+    for k in range(3):
+        vs = range(k * 500, (k + 1) * 500)
+        exp[k * 1000] = (500, vs[0], vs[-1], sum(vs))
+    assert got == exp
+
+
+def test_r20_each_restart_is_one_batch(spark, tmp_path):
+    """The contract the query relies on, pinned in isolation: every
+    availableNow restart of rate-micro-batch emits EXACTLY one more
+    batch, resuming values from the checkpointed offset."""
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    for expected_rows in (7, 14):
+        src = (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", 7)
+            .option("numPartitions", 2)
+            .option("startTimestamp", 0)
+            .option("advanceMillisPerBatch", 500)
+            .load()
+        )
+        q = (
+            src.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(timeout=120)
+        rows = spark.read.parquet(out).collect()
+        assert len(rows) == expected_rows
+        assert sorted(r.value for r in rows) == list(range(expected_rows))

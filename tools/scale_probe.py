@@ -134,6 +134,7 @@ PROBE_QUERIES = [
     "r16_statestore_changefeed",
     "r17_dynamic_gap_sessions",
     "r18_try_arithmetic_quarantine",
+    "r19_rocksdb_statestore_parity",
 ]
 
 
