@@ -98,6 +98,13 @@ they enter the round-11 window.
        commit log; the oracle is a closed form over range(0,1500)
        (value // rowsPerBatch IS the batch id). m02 proved STATE
        survives restarts; this proves SOURCE OFFSETS do.
+  r21  XPATH EXPRESSIONS (xpath / xpath_long / xpath_double — the
+       query-language side of the XML surface, complementing r03's
+       schema-based from_xml): multi-node per-order documents
+       synthesized in-engine from lineitem, interrogated with node-set
+       counts, in-document sum(), and a numeric attribute predicate
+       ([@q>30], boundary coercion pinned in tests); the oracle never
+       sees XML.
 
 Investigated and honestly NOT implementable on this stack (recorded so
 round 11 doesn't re-litigate): SQL MERGE INTO requires a catalog whose
@@ -1776,3 +1783,84 @@ def r20_rate_micro_batch_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ts_ms")
     )
+
+
+# ---------------------------------------------------------------------------
+# r21 — XPath expression family over in-engine-synthesized documents
+
+_R21_SQL = """
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(l_quantity AS BIGINT) AS q,
+         l_linenumber
+  FROM lineitem
+), docs AS (
+  SELECT l_orderkey,
+         CONCAT(
+           '<o>',
+           array_join(
+             transform(
+               array_sort(collect_list(struct(l_linenumber, q))),
+               x -> CONCAT('<li q="', CAST(x.q AS STRING), '">',
+                           CAST(x.q AS STRING), '</li>')
+             ), ''),
+           '</o>') AS xml
+  FROM li GROUP BY l_orderkey
+), ex AS (
+  SELECT l_orderkey % 7 AS bucket,
+         xpath_long(xml, 'count(/o/li)') AS n_li,
+         CAST(xpath_double(xml, 'sum(/o/li)') AS BIGINT) AS sum_q,
+         size(xpath(xml, '/o/li[@q>30]/text()')) AS n_heavy
+  FROM docs
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(n_li) AS BIGINT) AS n_lineitems,
+       CAST(SUM(sum_q) AS BIGINT) AS sum_qty,
+       CAST(SUM(n_heavy) AS BIGINT) AS n_heavy_items
+FROM ex GROUP BY bucket ORDER BY bucket
+"""
+
+_R21_ORACLE = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         l_orderkey % 7 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_li,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q,
+         CAST(SUM(CASE WHEN CAST(l_quantity AS BIGINT) > 30
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(n_li) AS BIGINT) AS n_lineitems,
+       CAST(SUM(sum_q) AS BIGINT) AS sum_qty,
+       CAST(SUM(n_heavy) AS BIGINT) AS n_heavy_items
+FROM per_order GROUP BY bucket ORDER BY bucket
+"""
+
+
+@query("r21_xpath_extraction", oracle=_R21_ORACLE, tags=("sql", "xml", "xpath"))
+def r21_xpath_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XPATH EXPRESSION family (xpath / xpath_long / xpath_double —
+    the query-language side of the XML surface; r03 covered the
+    schema-based from_xml side): multi-node per-order documents are
+    synthesized IN-ENGINE from real lineitem rows (line-number-sorted
+    <li> children), then interrogated with genuine XPath 1.0 — a
+    node-set count(), an in-document numeric sum() over element text,
+    and a NUMERIC ATTRIBUTE PREDICATE (/o/li[@q>30]) — so node
+    navigation, text extraction, XPath's string->number coercion, and
+    predicate evaluation are all under the hash against an oracle that
+    never sees XML (straight lineitem aggregates). Quantities are
+    integral by construction (pinned in tests), so sum()'s double is
+    exact and the BIGINT cast is knife-edge-free; only numeric
+    content enters the documents, so no escaping hazard.
+
+    Scale: one lineitem scan, one shuffle on l_orderkey to build
+    bounded per-order docs (collect_list is capped by lines-per-order
+    ~7, not data volume), XPath evaluation is per-row JVM work, and
+    the final 7-bucket rollup is map-side combinable. At 100 TB the
+    doc-build shuffle is the same one any per-order aggregate pays.
+    """
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_R21_SQL)

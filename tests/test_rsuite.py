@@ -931,3 +931,60 @@ def test_r20_each_restart_is_one_batch(spark, tmp_path):
         rows = spark.read.parquet(out).collect()
         assert len(rows) == expected_rows
         assert sorted(r.value for r in rows) == list(range(expected_rows))
+
+
+# ---------------------------------------------------------------------------
+# r21 — XPath expression family
+
+
+def test_r21_matches_python(spark, sf_dir, reg, duck):
+    """Python replay of the per-order aggregates the XPath pipeline
+    must reproduce from its synthesized documents."""
+    rows = duck.execute(
+        "SELECT l_orderkey, CAST(l_quantity AS BIGINT) FROM lineitem"
+    ).fetchall()
+    per_order = defaultdict(lambda: [0, 0, 0])
+    for k, q in rows:
+        st = per_order[k]
+        st[0] += 1
+        st[1] += q
+        st[2] += 1 if q > 30 else 0
+    buckets = defaultdict(lambda: [0, 0, 0, 0])
+    for k, (n, s, h) in per_order.items():
+        b = buckets[k % 7]
+        b[0] += 1
+        b[1] += n
+        b[2] += s
+        b[3] += h
+    got = {
+        r.bucket: (r.n_orders, r.n_lineitems, r.sum_qty, r.n_heavy_items)
+        for r in reg["r21_xpath_extraction"].fn(spark, sf_dir).collect()
+    }
+    assert got == {b: tuple(v) for b, v in buckets.items()}
+
+
+def test_r21_quantity_integrality_precondition(duck):
+    """The exactness precondition for sum()'s double -> BIGINT cast:
+    every l_quantity is integral."""
+    bad = duck.execute(
+        "SELECT COUNT(*) FROM lineitem WHERE l_quantity <> FLOOR(l_quantity)"
+    ).fetchone()[0]
+    assert bad == 0
+
+
+def test_r21_xpath_predicate_boundary(spark):
+    """XPath 1.0 numeric coercion on the attribute predicate, pinned at
+    the boundary: @q>30 selects 31 (string '31' coerced to number),
+    excludes 30 exactly, and the three extraction forms agree on a
+    handcrafted document."""
+    doc = '<o><li q="31">31</li><li q="30">30</li><li q="5">5</li></o>'
+    r = spark.sql(
+        f"""SELECT xpath_long(x, 'count(/o/li)') AS n,
+                   CAST(xpath_double(x, 'sum(/o/li)') AS BIGINT) AS s,
+                   xpath(x, '/o/li[@q>30]/text()') AS heavy,
+                   xpath(x, '/o/li/text()') AS all_text
+            FROM (SELECT '{doc}' AS x)"""
+    ).collect()[0]
+    assert r.n == 3 and r.s == 66
+    assert r.heavy == ["31"]
+    assert r.all_text == ["31", "30", "5"]

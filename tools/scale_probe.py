@@ -135,6 +135,7 @@ PROBE_QUERIES = [
     "r17_dynamic_gap_sessions",
     "r18_try_arithmetic_quarantine",
     "r19_rocksdb_statestore_parity",
+    "r21_xpath_extraction",
 ]
 
 
