@@ -105,6 +105,13 @@ they enter the round-11 window.
        counts, in-document sum(), and a numeric attribute predicate
        ([@q>30], boundary coercion pinned in tests); the oracle never
        sees XML.
+  r22  RUNTIME BLOOM-FILTER JOIN (InjectRuntimeFilter): a selective
+       dim-side predicate makes the optimizer inject
+       bloom_filter_agg + might_contain onto the fact scan, pruning
+       rows BEFORE the shuffle — THE selective-join optimization at
+       100 TB; hard-fails if the filter is not injected, bloom-on ==
+       bloom-off equivalence and the fires-loudly guard pinned in
+       tests; confs snapshot/restored.
 
 Investigated and honestly NOT implementable on this stack (recorded so
 round 11 doesn't re-litigate): SQL MERGE INTO requires a catalog whose
@@ -1864,3 +1871,92 @@ def r21_xpath_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_R21_SQL)
+
+
+# ---------------------------------------------------------------------------
+# r22 — runtime Bloom-filter join (injected row-level runtime filter)
+
+_R22_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # the defaults gate injection on 10 MB / 10 GB sides — far above
+    # test-SF sizes; lowering them exercises the REAL optimizer rule
+    # at test scale (at 100 TB the defaults fire on their own)
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+    # force a shuffle join: a broadcast join would make the runtime
+    # filter pointless (the whole point is pre-shuffle row pruning)
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+}
+
+_R22_ORACLE = """
+SELECT l.l_returnflag AS returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(MIN(o.o_orderkey) AS BIGINT) AS min_orderkey,
+       CAST(MAX(o.o_orderkey) AS BIGINT) AS max_orderkey
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY 1 ORDER BY returnflag
+"""
+
+
+@query("r22_runtime_bloom_filter_join", oracle=_R22_ORACLE, tags=("join", "optimizer"))
+def r22_runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNTIME BLOOM-FILTER JOIN (InjectRuntimeFilter): a selective
+    dimension-side predicate (one order priority) makes the optimizer
+    build a bloom_filter_agg over the surviving join keys and inject
+    might_contain onto the FACT side's scan — rows that cannot match
+    are dropped BEFORE the shuffle, the optimization that turns a
+    100 TB shuffle join into a ~14 TB one when the dimension filter is
+    selective. The query HARD-FAILS if the executed plan lacks the
+    injected might_contain (never a silent fall-through to an
+    unfiltered shuffle), broadcast joins are disabled so the runtime
+    filter is load-bearing, and the result — per-returnflag counts,
+    exact quantity sums, key extrema — must hash-match the plain
+    relational oracle: the bloom filter may only PRE-prune, its false
+    positives must be caught by the exact join, and nothing may be
+    lost.
+
+    Determinism: bloom false positives affect only how many rows reach
+    the exact join, never the result; all output columns are exact
+    integers.
+
+    Scale: thresholds are lowered to exercise the optimizer rule at
+    test SF (defaults 10 MB/10 GB are sized for real clusters and are
+    restored in a finally); the filter itself is a one-pass
+    mergeable sketch on the creation side + a scan-local probe on the
+    application side — no extra shuffle.
+    """
+    prev = {k: spark.conf.get(k, None) for k in _R22_CONFS}
+    for k, v in _R22_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        o = table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        l = table(spark, sf_dir, "lineitem")
+        out = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy(F.col("l_returnflag").alias("returnflag"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_items"),
+                F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
+                F.min("o_orderkey").cast("bigint").alias("min_orderkey"),
+                F.max("o_orderkey").cast("bigint").alias("max_orderkey"),
+            )
+            .orderBy("returnflag")
+        )
+        # force planning inside the conf window and prove the filter
+        # was actually injected — a config drift that suppresses it
+        # must fail loudly, not silently run the unfiltered join
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        if "might_contain" not in plan:
+            raise RuntimeError("r22: runtime bloom filter was not injected")
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out

@@ -988,3 +988,68 @@ def test_r21_xpath_predicate_boundary(spark):
     assert r.n == 3 and r.s == 66
     assert r.heavy == ["31"]
     assert r.all_text == ["31", "30", "5"]
+
+
+# ---------------------------------------------------------------------------
+# r22 — runtime Bloom-filter join
+
+
+def test_r22_bloom_on_equals_bloom_off(spark, sf_dir, reg):
+    """In-engine equivalence: the bloom-filtered join must return
+    exactly what the same join returns with runtime filters disabled —
+    the filter may only pre-prune, never change results. Also pins
+    that the query restores every conf it touches."""
+    keys = [
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    before = {k: spark.conf.get(k, None) for k in keys}
+    with_bloom = sorted(
+        tuple(r) for r in reg["r22_runtime_bloom_filter_join"].fn(spark, sf_dir).collect()
+    )
+    assert {k: spark.conf.get(k, None) for k in keys} == before
+
+    from pyspark_distributed_kmodes_spark.sources.tables import table
+
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    try:
+        o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+        l = table(spark, sf_dir, "lineitem")
+        plain = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy(F.col("l_returnflag").alias("returnflag"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_items"),
+                F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
+                F.min("o_orderkey").cast("bigint").alias("min_orderkey"),
+                F.max("o_orderkey").cast("bigint").alias("max_orderkey"),
+            )
+        )
+        assert "might_contain" not in plain._jdf.queryExecution().executedPlan().toString()
+        without_bloom = sorted(tuple(r) for r in plain.collect())
+    finally:
+        if before["spark.sql.optimizer.runtime.bloomFilter.enabled"] is None:
+            spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        else:
+            spark.conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter.enabled",
+                before["spark.sql.optimizer.runtime.bloomFilter.enabled"],
+            )
+    assert with_bloom == without_bloom
+
+
+def test_r22_injection_guard_fires(spark, sf_dir, reg, monkeypatch):
+    """The hard-fail guard is real: with injection structurally
+    impossible (creation-side threshold floored to 0 bytes), the
+    query raises instead of silently running the unfiltered join."""
+    from pyspark_distributed_kmodes_spark.operators import analytics12
+
+    broken = dict(analytics12._R22_CONFS)
+    broken["spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"] = "0"
+    broken["spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"] = "1000TB"
+    monkeypatch.setattr(analytics12, "_R22_CONFS", broken)
+    with pytest.raises(RuntimeError, match="bloom filter was not injected"):
+        reg["r22_runtime_bloom_filter_join"].fn(spark, sf_dir)

@@ -136,6 +136,7 @@ PROBE_QUERIES = [
     "r18_try_arithmetic_quarantine",
     "r19_rocksdb_statestore_parity",
     "r21_xpath_extraction",
+    "r22_runtime_bloom_filter_join",
 ]
 
 
