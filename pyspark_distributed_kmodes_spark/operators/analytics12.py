@@ -112,6 +112,10 @@ they enter the round-11 window.
        100 TB; hard-fails if the filter is not injected, bloom-on ==
        bloom-off equivalence and the fires-loudly guard pinned in
        tests; confs snapshot/restored.
+  r23  SQL TRANSFORM (Hive-style script pipe through 'cat'): the
+       external-process escape hatch; the tab-delimited serde round
+       trip is what's under the hash, with its probed edges pinned
+       (tabs escaped lossless, newlines split the row).
 
 Investigated and honestly NOT implementable on this stack (recorded so
 round 11 doesn't re-litigate): SQL MERGE INTO requires a catalog whose
@@ -1960,3 +1964,58 @@ def r22_runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame
             else:
                 spark.conf.set(k, v)
     return out
+
+
+# ---------------------------------------------------------------------------
+# r23 — SQL TRANSFORM (Hive-style script transform through a pipe)
+
+_R23_SQL = """
+WITH piped AS (
+  SELECT TRANSFORM(l_orderkey, CAST(l_quantity AS BIGINT), l_returnflag)
+         USING 'cat' AS (okey BIGINT, qty BIGINT, flag STRING)
+  FROM lineitem
+)
+SELECT flag,
+       CAST(okey % 5 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(qty) AS BIGINT) AS sum_qty,
+       CAST(SUM(okey) AS BIGINT) AS sum_okey
+FROM piped GROUP BY flag, okey % 5 ORDER BY flag, bucket
+"""
+
+_R23_ORACLE = """
+SELECT l_returnflag AS flag,
+       CAST(l_orderkey % 5 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey
+FROM lineitem GROUP BY 1, 2 ORDER BY flag, bucket
+"""
+
+
+@query("r23_sql_transform_pipe", oracle=_R23_ORACLE, tags=("sql", "transform"))
+def r23_sql_transform_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL TRANSFORM (Hive-style script transform): every row is
+    serialized to the default tab-delimited text serde, piped through
+    an EXTERNAL PROCESS per task ('cat' — the identity, so the serde
+    round-trip itself is what's under test), read back, and re-typed
+    by the AS clause (string -> BIGINT casts on the way in) — the
+    legacy escape hatch for external scorers (perl/awk pipelines) that
+    real warehouses still run. The hash gate proves the
+    row -> text -> process -> text -> typed-row loop is lossless for
+    integers and single-char flags. The serde's edges were PROBED and
+    are pinned in tests: embedded TABS are escaped (lossless,
+    contrary to the naive delimited-text expectation), but an
+    embedded NEWLINE splits the row in two — so free multi-line text
+    cannot ride this operator; r23's column choice avoids that edge
+    and records it here.
+
+    Scale: this operator is the SLOW PATH by construction — one
+    subprocess per task, every row through a pipe and a string serde,
+    ~10-100x the cost of codegen'd expressions; it exists for
+    coverage of the operator and its contract, not as a recommended
+    plan shape. The aggregate after the pipe is a normal
+    map-side-combinable shuffle on (flag, bucket).
+    """
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_R23_SQL)

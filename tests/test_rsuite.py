@@ -1053,3 +1053,57 @@ def test_r22_injection_guard_fires(spark, sf_dir, reg, monkeypatch):
     monkeypatch.setattr(analytics12, "_R22_CONFS", broken)
     with pytest.raises(RuntimeError, match="bloom filter was not injected"):
         reg["r22_runtime_bloom_filter_join"].fn(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# r23 — SQL TRANSFORM script pipe
+
+
+def test_r23_matches_python(spark, sf_dir, reg, duck):
+    """Python replay of the aggregate the piped rows must reproduce —
+    any serde/cast loss in the row->text->process->row loop shows up
+    here as well as in the hash gate."""
+    rows = duck.execute(
+        "SELECT l_returnflag, l_orderkey, CAST(l_quantity AS BIGINT) FROM lineitem"
+    ).fetchall()
+    agg = defaultdict(lambda: [0, 0, 0])
+    for f, k, q in rows:
+        st = agg[(f, k % 5)]
+        st[0] += 1
+        st[1] += q
+        st[2] += k
+    got = {
+        (r.flag, r.bucket): (r.n_rows, r.sum_qty, r.sum_okey)
+        for r in reg["r23_sql_transform_pipe"].fn(spark, sf_dir).collect()
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+def test_r23_serde_edges_tab_escaped_newline_splits(spark):
+    """The serde's edges pinned as probed on this Spark version: an
+    embedded TAB survives (the default transform serde escapes it —
+    lossless), but an embedded NEWLINE splits the ROW into two output
+    rows (one padded with NULL) — the hazard r23's column choice
+    avoids and its docstring records."""
+    tab = spark.sql(
+        """SELECT TRANSFORM(s, marker) USING 'cat' AS (x STRING, y STRING)
+           FROM VALUES (concat('p', char(9), 'q'), 'M') t(s, marker)"""
+    ).collect()
+    assert [(r.x, r.y) for r in tab] == [("p\tq", "M")]
+    nl = spark.sql(
+        """SELECT TRANSFORM(s, marker) USING 'cat' AS (x STRING, y STRING)
+           FROM VALUES (concat('p', char(10), 'q'), 'M') t(s, marker)"""
+    ).collect()
+    assert sorted(((r.x, r.y) for r in nl), key=str) == sorted(
+        [("p", None), ("q", "M")], key=str
+    )
+
+
+def test_r23_typed_roundtrip_negatives(spark):
+    """String->BIGINT re-typing on the AS clause survives negatives and
+    zero through the pipe."""
+    rows = spark.sql(
+        """SELECT TRANSFORM(a) USING 'cat' AS (v BIGINT)
+           FROM VALUES (-9223372036854775808), (0), (42) t(a)"""
+    ).collect()
+    assert sorted(r.v for r in rows) == [-9223372036854775808, 0, 42]

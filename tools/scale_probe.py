@@ -137,6 +137,7 @@ PROBE_QUERIES = [
     "r19_rocksdb_statestore_parity",
     "r21_xpath_extraction",
     "r22_runtime_bloom_filter_join",
+    "r23_sql_transform_pipe",
 ]
 
 
