@@ -116,6 +116,12 @@ they enter the round-11 window.
        external-process escape hatch; the tab-delimited serde round
        trip is what's under the hash, with its probed edges pinned
        (tabs escaped lossless, newlines split the row).
+  r24  CSV EXPRESSION round-trip (to_csv -> from_csv), completing the
+       expression-codec family (JSON q35, XML r03, Variant r02/r13):
+       every row carries a field embedding the delimiter AND a double
+       quote, so quote-and-escape is exercised on every row;
+       aggregates from the parsed struct only, oracle from raw
+       columns (parsed-length sum pins the escaping byte-for-byte).
 
 Investigated and honestly NOT implementable on this stack (recorded so
 round 11 doesn't re-litigate): SQL MERGE INTO requires a catalog whose
@@ -2019,3 +2025,56 @@ def r23_sql_transform_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_R23_SQL)
+
+
+# ---------------------------------------------------------------------------
+# r24 — CSV expression round-trip: to_csv -> from_csv with hostile quoting
+
+_R24_SQL = """
+SELECT x.p AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(x.k) AS BIGINT) AS sum_orderkey,
+       CAST(SUM(length(x.s)) AS BIGINT) AS sum_len_s
+FROM (
+  SELECT from_csv(
+           to_csv(named_struct(
+             'p', o_orderpriority,
+             'k', o_orderkey,
+             's', CONCAT('x,', o_orderstatus, '"y'))),
+           'p STRING, k BIGINT, s STRING') AS x
+  FROM orders
+)
+GROUP BY x.p ORDER BY priority
+"""
+
+_R24_ORACLE = """
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey,
+       CAST(SUM(4 + LENGTH(o_orderstatus)) AS BIGINT) AS sum_len_s
+FROM orders GROUP BY 1 ORDER BY priority
+"""
+
+
+@query("r24_csv_expression_roundtrip", oracle=_R24_ORACLE, tags=("sql", "csv"))
+def r24_csv_expression_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV EXPRESSION surface (to_csv -> from_csv — the engine had
+    only the CSV FILE source, qc01/qk24; this is the per-cell codec,
+    completing the expression-codec family: JSON q35, XML r03,
+    Variant r02/r13, CSV here) with DELIBERATELY HOSTILE content: the
+    's' field embeds both the delimiter (a comma) and a double quote,
+    so to_csv must quote-and-escape and from_csv must undo it exactly
+    — unlike r23's TRANSFORM serde (where such content is the
+    recorded hazard), quoting is the CSV codec's whole job, so here
+    it is planted on every row rather than avoided. Every output
+    aggregate is computed FROM THE PARSED STRUCT ONLY while the
+    oracle reads the raw columns (sum of parsed-string lengths pins
+    the escape/unescape byte-for-byte: len = 'x,' + status + '"y' =
+    4 + len(status)); any quoting loss breaks the hash.
+
+    Scale: one orders scan, to_csv/from_csv are JVM expressions in
+    whole-stage codegen, one map-side-combinable shuffle on the
+    5-value priority key — the same shape as r03's XML twin.
+    """
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_R24_SQL)

@@ -138,6 +138,7 @@ PROBE_QUERIES = [
     "r21_xpath_extraction",
     "r22_runtime_bloom_filter_join",
     "r23_sql_transform_pipe",
+    "r24_csv_expression_roundtrip",
 ]
 
 
