@@ -131,9 +131,10 @@ this). History:
            state-store provider parity, r20 rate-micro-batch source,
            r21 XPath expressions, r22 runtime Bloom-filter join,
            r23 SQL TRANSFORM script pipe, r24 CSV expression
-           round-trip
+           round-trip, r25 analyzer sugar (GROUP BY ALL / ORDER BY
+           ALL / SELECT * EXCEPT)
            (operators/analytics12.py) — so the round-11 window is
-           o01-o24 + o43-o50 (32 slots) + ~18 oldest round-2 rows
+           o01-o25 + o43-o50 (33 slots) + ~17 oldest round-2 rows
            renamed q51+ -> o-space. SQL MERGE INTO was investigated
            and is honestly unsupported on vanilla parquet v1 catalogs
            (see analytics12.py header); CDC merge semantics remain

@@ -122,6 +122,11 @@ they enter the round-11 window.
        quote, so quote-and-escape is exercised on every row;
        aggregates from the parsed struct only, oracle from raw
        columns (parsed-length sum pins the escaping byte-for-byte).
+  r25  ANALYZER SUGAR (GROUP BY ALL / ORDER BY ALL / SELECT *
+       EXCEPT), r06's companion: inference rules under the hash, an
+       EXCEPT'd real aggregate proving pruning removes its work, and
+       a plan-identity pin (expr-ids stripped) against the fully
+       explicit text.
 
 Investigated and honestly NOT implementable on this stack (recorded so
 round 11 doesn't re-litigate): SQL MERGE INTO requires a catalog whose
@@ -2078,3 +2083,55 @@ def r24_csv_expression_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_R24_SQL)
+
+
+# ---------------------------------------------------------------------------
+# r25 — analyzer sugar: GROUP BY ALL / ORDER BY ALL / SELECT * EXCEPT
+
+_R25_SQL = """
+SELECT * EXCEPT (sum_base)
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         CAST(SUM(l_orderkey) AS BIGINT) AS sum_base
+  FROM lineitem
+  GROUP BY ALL
+)
+ORDER BY ALL
+"""
+
+_R25_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus, n_items, sum_qty
+"""
+
+
+@query("r25_sql_sugar_all_except", oracle=_R25_ORACLE, tags=("sql", "ergonomics"))
+def r25_sql_sugar_all_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZER SUGAR, r06's companion: GROUP BY ALL must infer
+    exactly the non-aggregate output columns (flag, status) and
+    nothing else; SELECT * EXCEPT must drop the named column while
+    preserving the rest in order; ORDER BY ALL must order by every
+    remaining output column left-to-right — all three resolve at
+    ANALYSIS time, so a test pins that the optimized plan is
+    node-for-node identical (expr-ids stripped) to the fully explicit
+    text, and the oracle runs only the explicit form. The EXCEPT'd
+    column is a REAL aggregate (orderkey sum) that the explicit twin
+    never computes — so the hash also proves column pruning removes
+    the dropped aggregate's work, not just its projection.
+
+    Determinism: the (flag, status) group keys are a unique prefix of
+    the ORDER BY ALL ordering; integer-exact aggregates.
+
+    Scale: identical plan to the explicit text — one scan, one
+    map-side-combinable shuffle on the 6-cell key; sugar has no
+    runtime cost by construction (the plan-identity test is the
+    proof).
+    """
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_R25_SQL)

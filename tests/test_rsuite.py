@@ -1144,3 +1144,49 @@ def test_r24_hostile_quoting_roundtrip(spark):
     ).collect()[0]
     assert r.back.a == 'x,O"y' and r.back.b == 7
     assert r.wire.startswith('"') and "\\\"" in r.wire or '""' in r.wire
+
+
+# ---------------------------------------------------------------------------
+# r25 — GROUP BY ALL / ORDER BY ALL / SELECT * EXCEPT
+
+
+def test_r25_plan_identical_to_explicit(spark, sf_dir, reg):
+    """All three sugars resolve at analysis time: the optimized plan
+    (expr-ids stripped) is node-for-node identical to the fully
+    explicit text — which also proves the EXCEPT'd aggregate
+    (sum(l_orderkey)) is pruned, since the explicit twin never
+    computes it."""
+    import re
+
+    from pyspark_distributed_kmodes_spark.sources.tables import table
+
+    df = reg["r25_sql_sugar_all_except"].fn(spark, sf_dir)
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    explicit = spark.sql(
+        """SELECT l_returnflag, l_linestatus,
+                  CAST(COUNT(*) AS BIGINT) AS n_items,
+                  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+           FROM lineitem GROUP BY l_returnflag, l_linestatus
+           ORDER BY l_returnflag, l_linestatus, n_items, sum_qty"""
+    )
+    strip = lambda d: re.sub(r"#\d+", "#", d._jdf.queryExecution().optimizedPlan().toString())
+    a, b = strip(df), strip(explicit)
+    assert a == b
+    assert "sum(l_orderkey" not in a  # the dropped aggregate's work is gone
+    assert [tuple(r) for r in df.collect()] == [tuple(r) for r in explicit.collect()]
+
+
+def test_r25_sugar_boundaries(spark):
+    """The inference rules pinned on literals: GROUP BY ALL picks
+    exactly the non-aggregate outputs; ORDER BY ALL orders
+    left-to-right over the (post-EXCEPT) output columns."""
+    r = spark.sql(
+        """SELECT b, COUNT(*) AS n, SUM(a) AS s
+           FROM VALUES (1,'y'), (2,'x'), (3,'x') t(a, b) GROUP BY ALL"""
+    ).collect()
+    assert {(x.b, x.n, x.s) for x in r} == {("y", 1, 1), ("x", 2, 5)}
+    ordered = spark.sql(
+        """SELECT * EXCEPT (c) FROM VALUES (2,'a','z'), (1,'b','y'), (1,'a','x') t(a,b,c)
+           ORDER BY ALL"""
+    ).collect()
+    assert [(x.a, x.b) for x in ordered] == [(1, "a"), (1, "b"), (2, "a")]

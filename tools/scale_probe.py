@@ -139,6 +139,7 @@ PROBE_QUERIES = [
     "r22_runtime_bloom_filter_join",
     "r23_sql_transform_pipe",
     "r24_csv_expression_roundtrip",
+    "r25_sql_sugar_all_except",
 ]
 
 
