@@ -132,9 +132,10 @@ this). History:
            r21 XPath expressions, r22 runtime Bloom-filter join,
            r23 SQL TRANSFORM script pipe, r24 CSV expression
            round-trip, r25 analyzer sugar (GROUP BY ALL / ORDER BY
-           ALL / SELECT * EXCEPT)
+           ALL / SELECT * EXCEPT), r26 RocksDB changelog
+           checkpointing
            (operators/analytics12.py) — so the round-11 window is
-           o01-o25 + o43-o50 (33 slots) + ~17 oldest round-2 rows
+           o01-o26 + o43-o50 (34 slots) + ~16 oldest round-2 rows
            renamed q51+ -> o-space. SQL MERGE INTO was investigated
            and is honestly unsupported on vanilla parquet v1 catalogs
            (see analytics12.py header); CDC merge semantics remain

@@ -1190,3 +1190,82 @@ def test_r25_sugar_boundaries(spark):
            ORDER BY ALL"""
     ).collect()
     assert [(x.a, x.b) for x in ordered] == [(1, "a"), (1, "b"), (2, "a")]
+
+
+# ---------------------------------------------------------------------------
+# r26 — RocksDB changelog checkpointing
+
+
+def test_r26_matches_batch_and_restores_confs(spark, sf_dir, reg):
+    """The changelog-replayed state must equal the plain batch GROUP
+    BY, and both touched confs must be restored afterward."""
+    pkey = "spark.sql.streaming.stateStore.providerClass"
+    ckey = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    before = (spark.conf.get(pkey), spark.conf.get(ckey, None))
+    got = {
+        r.event_type: (r.n_events, r.sum_user, r.min_event_id)
+        for r in reg["r26_rocksdb_changelog_checkpoint"].fn(spark, sf_dir).collect()
+    }
+    assert (spark.conf.get(pkey), spark.conf.get(ckey, None)) == before
+    from pyspark_distributed_kmodes_spark.sources.tables import table
+
+    exp = {
+        r.event_type: (r.n, r.s, r.m)
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("user_id").cast("bigint").alias("s"),
+            F.min("event_id").cast("bigint").alias("m"),
+        )
+        .collect()
+    }
+    assert got == exp
+
+
+def test_r26_changelog_layout_contrast(spark, tmp_path):
+    """Layout signatures of the two RocksDB checkpointing modes,
+    pinned in isolation: changelog mode writes .changelog files and
+    (below the snapshot interval) no zips; snapshot-per-batch mode
+    writes zips and no changelogs — so r26's in-query guard cannot
+    pass in the wrong mode."""
+    import glob
+    import os
+
+    pkey = "spark.sql.streaming.stateStore.providerClass"
+    ckey = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    prev_p, prev_c = spark.conf.get(pkey), spark.conf.get(ckey, None)
+    rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    layouts = {}
+    for mode in ("true", "false"):
+        spark.conf.set(pkey, rocks)
+        spark.conf.set(ckey, mode)
+        try:
+            df = spark.createDataFrame(
+                [(i, f"t{i % 3}") for i in range(30)], "event_id long, event_type string"
+            )
+            src = str(tmp_path / f"m{mode}_src")
+            ck = str(tmp_path / f"m{mode}_ck")
+            df.write.mode("overwrite").parquet(src)
+            stream = spark.readStream.schema(df.schema).parquet(src)
+            agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+            q = (
+                agg.writeStream.format("noop")
+                .outputMode("complete")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(timeout=120)
+        finally:
+            spark.conf.set(pkey, prev_p)
+            if prev_c is None:
+                spark.conf.unset(ckey)
+            else:
+                spark.conf.set(ckey, prev_c)
+        layouts[mode] = (
+            len(glob.glob(os.path.join(ck, "state", "0", "*", "*.changelog"))),
+            len(glob.glob(os.path.join(ck, "state", "0", "*", "*.zip"))),
+        )
+    assert layouts["true"][0] > 0 and layouts["true"][1] == 0
+    assert layouts["false"][1] > 0 and layouts["false"][0] == 0

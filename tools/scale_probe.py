@@ -140,6 +140,7 @@ PROBE_QUERIES = [
     "r23_sql_transform_pipe",
     "r24_csv_expression_roundtrip",
     "r25_sql_sugar_all_except",
+    "r26_rocksdb_changelog_checkpoint",
 ]
 
 
