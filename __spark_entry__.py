@@ -108,8 +108,23 @@ this). History:
            re-certify the oldest round-1 rows (9 rounds old,
            predating the type-audit / scan-lint / invariance-sweep
            eras). q43-q50 re-certify in round 11.
-  ROUND-11 PLAN (decided round 10, per the round-9 verdict item #4):
-           round-10's NEW capabilities are staged under the r-prefix
+  round 11: executed exactly as decided in round 10 (per the round-9
+           verdict item #4): all 50 round-10 window keys came back
+           green in CORRECTNESS_r10 (the sixth consecutive 50/50
+           round), so n01-n08 rotate out (n -> qn, number = identity)
+           and the window becomes exactly 50 o-keys: the 26 staged
+           r-keys rename to o01-o26 (number preserved, r11 === o11
+           === passage chunking), q43-q50 rename to o43-o50 (number =
+           query identity, the m58 precedent), and the 16 remaining
+           slots re-certify the oldest round-2 rows — q51-q57 +
+           q59-q67 -> o51-o57 + o59-o67 (q58 already re-certified as
+           qm58 in round 9; q91 as a91->q91 in round 3). Round-11
+           staging uses the p-prefix (sorts after o67, before q01, so
+           it cannot leak into this window) and rotates into the
+           round-12 window.
+  ROUND-11 STAGING RECORD (written as decided in round 10, kept for
+           the lineage of the o-keys): round-10's NEW capabilities
+           were staged under the r-prefix
            (r sorts after every q* key, so they cannot leak into the
            round-10 window — the round-3 z-suite precedent). In
            round 11, after n01-n08 rotate out (n -> qn), the staged

@@ -84,15 +84,16 @@ def main():
 
 
 def _stem(name: str) -> str:
-    """Rotation-stable identity: strip the leading "q" of a rotated prefix.
+    """Rotation-stable identity: strip the leading letter-run.
 
-    Keys are rotation-renamed between rounds with the number preserved
-    (d01 -> qd01, e07 -> qe07, b14 -> qb14, ...), so qd01_x and d01_x are
-    the same query.  Plain qNN keys (q01_pricing_summary) are untouched.
+    Keys are rotation-renamed between rounds with the number AND suffix
+    preserved (d01_x -> qd01_x, r11_x -> o11_x, q50_x -> o50_x, ...), so
+    the digits + suffix are the query's identity across every rename;
+    only the letter prefix rotates.
     """
     import re
 
-    return name[1:] if re.match(r"q(?=[a-z]\d)", name) else name
+    return re.sub(r"^[a-z]+", "", name)
 
 
 def _previous_bench() -> dict:

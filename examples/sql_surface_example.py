@@ -31,25 +31,25 @@ def main():
     reg = load_all()
 
     print("== 1a. recursive CTE: BFS min-hop from the lowest-keyed nation ==")
-    reg["n01_recursive_reachability"].fn(spark, sf_dir).show(8)
+    reg["qn01_recursive_reachability"].fn(spark, sf_dir).show(8)
 
     print("== 1b. recursive CTE: hierarchy walk, per-depth rollup ==")
-    reg["n02_recursive_hierarchy_rollup"].fn(spark, sf_dir).show()
+    reg["qn02_recursive_hierarchy_rollup"].fn(spark, sf_dir).show()
 
     print("== 2. SQL scalar UDFs inlined into a grouped aggregate ==")
-    reg["n03_sql_scalar_udf"].fn(spark, sf_dir).show(9)
+    reg["qn03_sql_scalar_udf"].fn(spark, sf_dir).show(9)
 
     print("== 3. SQL table UDF via correlated LATERAL (top-3 per customer) ==")
-    reg["n04_sql_table_udf_lateral"].fn(spark, sf_dir).show(9)
+    reg["qn04_sql_table_udf_lateral"].fn(spark, sf_dir).show(9)
 
     print("== 4. session variable -> EXECUTE IMMEDIATE (above-mean orders) ==")
-    reg["n07_session_variable_exec"].fn(spark, sf_dir).show()
+    reg["qn07_session_variable_exec"].fn(spark, sf_dir).show()
 
     print("== 5. UNICODE_CI collated grouping (top tokens, case-insensitive) ==")
-    reg["n05_collated_token_grouping"].fn(spark, sf_dir).show(10)
+    reg["qn05_collated_token_grouping"].fn(spark, sf_dir).show(10)
 
     print("== 6. statestore reader: streaming state == batch aggregate ==")
-    state = reg["n06_statestore_reader"].fn(spark, sf_dir)
+    state = reg["qn06_statestore_reader"].fn(spark, sf_dir)
     state.show()
 
     spark.stop()

@@ -118,7 +118,7 @@ def q42_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q43_array_funcs",
+    "o43_array_funcs",
     oracle="""
 SELECT doc_id,
        len(string_split(text, ' ')) AS n_words,
@@ -131,7 +131,7 @@ ORDER BY doc_id
 """,
     tags=("scalar", "array"),
 )
-def q43_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o43_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array family over tokenized text: size/distinct/sort/slice/
     contains — all JVM higher-order-function built-ins."""
     d = table(spark, sf_dir, "documents")
@@ -147,7 +147,7 @@ def q43_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q44_higher_order_funcs",
+    "o44_higher_order_funcs",
     oracle="""
 SELECT doc_id,
        len(list_filter(string_split(text, ' '), w -> length(w) > 5)) AS n_long_words,
@@ -158,7 +158,7 @@ ORDER BY doc_id
 """,
     tags=("scalar", "array", "lambda"),
 )
-def q44_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o44_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order lambdas: filter / transform / aggregate over arrays —
     the JVM-side alternative to row-at-a-time Python UDFs."""
     d = table(spark, sf_dir, "documents")
@@ -174,7 +174,7 @@ def q44_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q45_map_funcs",
+    "o45_map_funcs",
     oracle="""
 SELECT event_type,
        CAST(map_from_entries(ARRAY[('n', CAST(COUNT(*) AS BIGINT)),
@@ -187,7 +187,7 @@ ORDER BY event_type
 """,
     tags=("scalar", "map"),
 )
-def q45_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o45_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map family: build a map from entries, extract by key (element_at).
 
     Demonstrates MapType round-tripping; the oracle mirrors with DuckDB

@@ -71,9 +71,9 @@ from pyspark_distributed_kmodes_spark.sources.tables import table
 # (functions/graph.py) is the right tool; this key proves the SQL
 # front door itself, cross-engine (Spark UnionLoop vs DuckDB's
 # recursive executor run the SAME text).
-_N01_SQL = """
+_QN01_SQL = """
 WITH RECURSIVE bi(a, b) AS (
-  SELECT a, b FROM n01_edges UNION ALL SELECT b, a FROM n01_edges
+  SELECT a, b FROM qn01_edges UNION ALL SELECT b, a FROM qn01_edges
 ), reach(node, d) AS (
   SELECT CAST(MIN(n_nationkey) AS BIGINT), 0 FROM nation
   UNION ALL
@@ -84,7 +84,7 @@ FROM reach GROUP BY node ORDER BY n_nationkey
 """
 
 # the oracle inlines the edge derivation the Spark side materializes
-_N01_ORACLE = """
+_QN01_ORACLE = """
 WITH RECURSIVE edges(a, b) AS (
   SELECT CAST(x.n_nationkey AS BIGINT), CAST(y.n_nationkey AS BIGINT)
   FROM nation x JOIN nation y
@@ -104,8 +104,8 @@ FROM reach GROUP BY node ORDER BY n_nationkey
 """
 
 
-@query("n01_recursive_reachability", oracle=_N01_ORACLE, tags=("sql", "recursive", "graph"))
-def n01_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qn01_recursive_reachability", oracle=_QN01_ORACLE, tags=("sql", "recursive", "graph"))
+def qn01_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BFS minimum-hop distance from the lowest-keyed nation over the
     region-clique + key-ladder graph, via WITH RECURSIVE — the Spark 4
     recursive-CTE front door, cross-checked against DuckDB's
@@ -143,14 +143,14 @@ def n01_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y.n_nationkey").cast("bigint").alias("b"),
     )
     edges = clique.unionAll(ladder).transform(cut_lineage)  # bounded: <=25 nodes
-    edges.createOrReplaceTempView("n01_edges")
-    return spark.sql(_N01_SQL)
+    edges.createOrReplaceTempView("qn01_edges")
+    return spark.sql(_QN01_SQL)
 
 
 # ---------------------------------------------------------------------------
 # n02 — recursive hierarchy walk + per-depth rollup, independent oracle
 
-_N02_SQL = """
+_QN02_SQL = """
 WITH RECURSIVE walk(c_custkey, root, depth) AS (
   SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 10
   UNION ALL
@@ -174,7 +174,7 @@ GROUP BY w.depth ORDER BY depth
 # a node's depth is len(digits(k)) - 1 and its root is the leading
 # digit — pure arithmetic, no recursion, so the oracle cannot share a
 # recursion bug with the engine.
-_N02_ORACLE = """
+_QN02_ORACLE = """
 SELECT CAST(length(CAST(c_custkey AS VARCHAR)) - 1 AS INTEGER) AS depth,
        CAST(COUNT(*) AS BIGINT) AS n_nodes,
        CAST(COUNT(DISTINCT CAST(floor(c_custkey / power(10.0, length(CAST(c_custkey AS VARCHAR)) - 1)) AS BIGINT)) AS BIGINT) AS n_roots,
@@ -185,8 +185,8 @@ FROM customer GROUP BY 1 ORDER BY depth
 )
 
 
-@query("n02_recursive_hierarchy_rollup", oracle=_N02_ORACLE, tags=("sql", "recursive"))
-def n02_recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qn02_recursive_hierarchy_rollup", oracle=_QN02_ORACLE, tags=("sql", "recursive"))
+def qn02_recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchy walk via WITH RECURSIVE: customers form a decimal tree
     (parent = custkey div 10, roots are custkey < 10 — dense TPC-H keys
     make every parent exist), and the recursion labels every node with
@@ -219,20 +219,20 @@ def n02_recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFram
     # tree height = digits(max key) - 1; bound the recursion exactly
     # there so the guard scales with the data (1-row scalar collect)
     max_key = cust.agg(F.max("c_custkey").alias("m")).collect()[0]["m"]
-    return spark.sql(_N02_SQL.format(depth_bound=max(1, len(str(int(max_key))) - 1)))
+    return spark.sql(_QN02_SQL.format(depth_bound=max(1, len(str(int(max_key))) - 1)))
 
 
 # ---------------------------------------------------------------------------
 # n03 — SQL scalar UDFs (CREATE FUNCTION ... RETURN expr)
 
-_N03_SQL = """
-SELECT l_returnflag, n03_qty_band(l_quantity) AS qty_band,
+_QN03_SQL = """
+SELECT l_returnflag, qn03_qty_band(l_quantity) AS qty_band,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        {rev} AS disc_revenue
 FROM lineitem GROUP BY l_returnflag, 2 ORDER BY l_returnflag, qty_band
-""".format(rev=sql_pround("CAST(SUM(n03_disc_rev(l_extendedprice, l_discount)) AS DOUBLE)", 2))
+""".format(rev=sql_pround("CAST(SUM(qn03_disc_rev(l_extendedprice, l_discount)) AS DOUBLE)", 2))
 
-_N03_ORACLE = """
+_QN03_ORACLE = """
 SELECT l_returnflag,
        CASE WHEN l_quantity < 10 THEN 'small' WHEN l_quantity < 30 THEN 'mid' ELSE 'large' END AS qty_band,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -243,8 +243,8 @@ FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, qty_band
 )
 
 
-@query("n03_sql_scalar_udf", oracle=_N03_ORACLE, tags=("sql", "udf"))
-def n03_sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qn03_sql_scalar_udf", oracle=_QN03_ORACLE, tags=("sql", "udf"))
+def qn03_sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative SQL scalar UDFs: `CREATE FUNCTION ... RETURN <expr>`
     (Spark 4 SQL UDFs) defining the discounted-revenue expression and a
     quantity band, then used inside a grouped aggregate over lineitem.
@@ -263,27 +263,27 @@ def n03_sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     spark.sql(
-        "CREATE OR REPLACE TEMPORARY FUNCTION n03_disc_rev(price DOUBLE, disc DOUBLE) "
+        "CREATE OR REPLACE TEMPORARY FUNCTION qn03_disc_rev(price DOUBLE, disc DOUBLE) "
         "RETURNS DECIMAL(25,6) RETURN CAST(price * (1 - disc) AS DECIMAL(25,6))"
     )
     spark.sql(
-        "CREATE OR REPLACE TEMPORARY FUNCTION n03_qty_band(q DOUBLE) RETURNS STRING "
+        "CREATE OR REPLACE TEMPORARY FUNCTION qn03_qty_band(q DOUBLE) RETURNS STRING "
         "RETURN CASE WHEN q < 10 THEN 'small' WHEN q < 30 THEN 'mid' ELSE 'large' END"
     )
-    return spark.sql(_N03_SQL)
+    return spark.sql(_QN03_SQL)
 
 
 # ---------------------------------------------------------------------------
 # n04 — SQL table-valued UDF + correlated LATERAL join
 
-_N04_SQL = """
+_QN04_SQL = """
 SELECT c.c_custkey, t.o_orderkey,
        {price} AS totalprice
-FROM customer c, LATERAL n04_top_orders(c.c_custkey) t
+FROM customer c, LATERAL qn04_top_orders(c.c_custkey) t
 WHERE c.c_custkey < 50 ORDER BY c.c_custkey, t.o_orderkey
 """.format(price=sql_pround("t.raw_price", 2))
 
-_N04_ORACLE = """
+_QN04_ORACLE = """
 WITH r AS (
   SELECT o_custkey, o_orderkey, o_totalprice,
          row_number() OVER (PARTITION BY o_custkey
@@ -297,8 +297,8 @@ WHERE c.c_custkey < 50 AND r.rn <= 3 ORDER BY c.c_custkey, r.o_orderkey
 """.format(price=sql_pround("r.o_totalprice", 2))
 
 
-@query("n04_sql_table_udf_lateral", oracle=_N04_ORACLE, tags=("sql", "udf", "lateral"))
-def n04_sql_table_udf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qn04_sql_table_udf_lateral", oracle=_QN04_ORACLE, tags=("sql", "udf", "lateral"))
+def qn04_sql_table_udf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL TABLE-VALUED UDF (`CREATE FUNCTION ... RETURNS TABLE`)
     invoked per-customer through a correlated LATERAL join: top-3
     orders by price for each low-keyed customer. The oracle computes
@@ -322,20 +322,20 @@ def n04_sql_table_udf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     spark.sql(
-        "CREATE OR REPLACE TEMPORARY FUNCTION n04_top_orders(ck BIGINT) "
+        "CREATE OR REPLACE TEMPORARY FUNCTION qn04_top_orders(ck BIGINT) "
         "RETURNS TABLE(o_orderkey BIGINT, raw_price DOUBLE) RETURN "
         "SELECT o_orderkey, o_totalprice FROM ("
         "  SELECT o_orderkey, o_totalprice, "
         "         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn "
         "  FROM orders WHERE o_custkey = ck) WHERE rn <= 3"
     )
-    return spark.sql(_N04_SQL)
+    return spark.sql(_QN04_SQL)
 
 
 # ---------------------------------------------------------------------------
 # n05 — collated grouping (UNICODE_CI), case-insensitive GROUP BY
 
-_N05_ORACLE = """
+_QN05_ORACLE = """
 WITH tok AS (
   SELECT unnest(regexp_split_to_array(text, '[^A-Za-z]+')) AS token FROM documents
 ), ok AS (
@@ -347,8 +347,8 @@ FROM ok GROUP BY 1 ORDER BY n_occ DESC, token_ci LIMIT 20
 """
 
 
-@query("n05_collated_token_grouping", oracle=_N05_ORACLE, tags=("text", "collation"))
-def n05_collated_token_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qn05_collated_token_grouping", oracle=_QN05_ORACLE, tags=("text", "collation"))
+def qn05_collated_token_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Case-insensitive token frequency via Spark 4 COLLATIONS: the
     group key is `collate(token, 'UNICODE_CI')` — the engine groups
     case-insensitively WITHOUT rewriting the data through lower() —
@@ -392,7 +392,7 @@ def n05_collated_token_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # n08 — SQL pipe syntax (|> operators)
 
-_N08_SQL = """
+_QN08_SQL = """
 FROM lineitem
 |> WHERE l_quantity < 25
 |> EXTEND CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)) AS disc_price
@@ -403,7 +403,7 @@ FROM lineitem
 |> ORDER BY l_returnflag, l_linestatus
 """.format(rev=sql_pround("CAST(SUM(disc_price) AS DOUBLE)", 2))
 
-_N08_ORACLE = """
+_QN08_ORACLE = """
 SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
        {rev} AS revenue
 FROM lineitem WHERE l_quantity < 25
@@ -416,8 +416,8 @@ ORDER BY l_returnflag, l_linestatus
 )
 
 
-@query("n08_sql_pipe_syntax", oracle=_N08_ORACLE, tags=("sql", "pipe"))
-def n08_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qn08_sql_pipe_syntax", oracle=_QN08_ORACLE, tags=("sql", "pipe"))
+def qn08_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL PIPE syntax (Spark 4 `|>` operators): the pricing summary
     written as a linear pipeline — FROM |> WHERE |> EXTEND (computed
     column) |> AGGREGATE ... GROUP BY |> WHERE (post-aggregation
@@ -435,22 +435,22 @@ def n08_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     AGGREGATE; floor-rounding once at the end.
     """
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(_N08_SQL)
+    return spark.sql(_QN08_SQL)
 
 
 # ---------------------------------------------------------------------------
 # n07 — session variables + EXECUTE IMMEDIATE (dynamic SQL front door)
 
-_N07_EXEC = """EXECUTE IMMEDIATE
+_QN07_EXEC = """EXECUTE IMMEDIATE
   'SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_above,
           {rev} AS sum_above
    FROM orders WHERE o_totalprice > ? GROUP BY o_orderpriority
    ORDER BY o_orderpriority'
-  USING n07_cutoff""".format(
+  USING qn07_cutoff""".format(
     rev=sql_pround("CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)", 2)
 )
 
-_N07_ORACLE = """
+_QN07_ORACLE = """
 WITH cutoff AS (
   SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS c
   FROM orders
@@ -462,8 +462,8 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """.format(rev=sql_pround("CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)", 2))
 
 
-@query("n07_session_variable_exec", oracle=_N07_ORACLE, tags=("sql", "variables"))
-def n07_session_variable_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qn07_session_variable_exec", oracle=_QN07_ORACLE, tags=("sql", "variables"))
+def qn07_session_variable_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic-SQL front door: a SESSION VARIABLE (`DECLARE VARIABLE`)
     is filled from a scalar subquery (`SET VAR ... = (SELECT avg)`),
     then EXECUTE IMMEDIATE runs a parameterized statement binding the
@@ -484,26 +484,26 @@ def n07_session_variable_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partial aggregation on the 5-value priority key).
     """
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    spark.sql("DECLARE OR REPLACE VARIABLE n07_cutoff DOUBLE")
+    spark.sql("DECLARE OR REPLACE VARIABLE qn07_cutoff DOUBLE")
     spark.sql(
-        "SET VAR n07_cutoff = (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) "
+        "SET VAR qn07_cutoff = (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) "
         "AS DOUBLE) / COUNT(*) FROM orders)"
     )
-    return spark.sql(_N07_EXEC)
+    return spark.sql(_QN07_EXEC)
 
 
 # ---------------------------------------------------------------------------
 # n06 — state-store reader: streaming operator state as a source
 
-_N06_ORACLE = """
+_QN06_ORACLE = """
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(event_id) AS BIGINT) AS sum_event_id
 FROM events GROUP BY 1 ORDER BY event_type
 """
 
 
-@query("n06_statestore_reader", oracle=_N06_ORACLE, tags=("streaming", "source", "audit"), bench=True)
-def n06_statestore_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qn06_statestore_reader", oracle=_QN06_ORACLE, tags=("streaming", "source", "audit"), bench=True)
+def qn06_statestore_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STATE-STORE READER under the hash gate: a real Structured
     Streaming aggregation (per-event-type count + event-id sum) runs
     over the events table via availableNow to a fresh checkpoint, then
@@ -535,8 +535,8 @@ def n06_statestore_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_distributed_kmodes_spark.operators.analytics10 import _rmtree_at_exit
 
     e = table(spark, sf_dir, "events")
-    stage = tempfile.mkdtemp(prefix="n06_stage_")
-    ckpt_root = tempfile.mkdtemp(prefix="n06_ckpt_")
+    stage = tempfile.mkdtemp(prefix="qn06_stage_")
+    ckpt_root = tempfile.mkdtemp(prefix="qn06_ckpt_")
     src = os.path.join(stage, "src")
     e.write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema(e.schema).parquet(src)

@@ -167,16 +167,16 @@ from pyspark_distributed_kmodes_spark.sources.tables import table
 # bookkeeping SQL scripting exists for. All comparisons are integer
 # (c * n_groups > total, never AVG-double casts) so both engines sit
 # on the same arithmetic.
-_R01_SCRIPT = """
+_O01_SCRIPT = """
 BEGIN
   DECLARE ngrp BIGINT DEFAULT 0;
   DECLARE tot BIGINT DEFAULT 0;
   DECLARE rnk INT DEFAULT 0;
   DECLARE wsum BIGINT DEFAULT 0;
   DECLARE n_hi INT DEFAULT 0;
-  SET ngrp = (SELECT COUNT(*) FROM r01_pr_counts);
-  SET tot = (SELECT SUM(c) FROM r01_pr_counts);
-  FOR r AS SELECT pr, c FROM r01_pr_counts ORDER BY pr DO
+  SET ngrp = (SELECT COUNT(*) FROM o01_pr_counts);
+  SET tot = (SELECT SUM(c) FROM o01_pr_counts);
+  FOR r AS SELECT pr, c FROM o01_pr_counts ORDER BY pr DO
     SET rnk = rnk + 1;
     SET wsum = wsum + rnk * r.c;
     IF r.c * ngrp > tot THEN
@@ -190,7 +190,7 @@ BEGIN
 END
 """
 
-_R01_ORACLE = """
+_O01_ORACLE = """
 WITH g AS (
   SELECT o_orderpriority AS pr, CAST(COUNT(*) AS BIGINT) AS c
   FROM orders GROUP BY 1
@@ -209,8 +209,8 @@ FROM r
 """
 
 
-@query("r01_sql_scripting_controlflow", oracle=_R01_ORACLE, tags=("sql", "scripting"))
-def r01_sql_scripting_controlflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("o01_sql_scripting_controlflow", oracle=_O01_ORACLE, tags=("sql", "scripting"))
+def o01_sql_scripting_controlflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL scripting (Spark 4.1 BEGIN...END) as a first-class front
     door: DECLARE'd session-scoped variables, scalar-subquery SETs, a
     FOR cursor loop over the ordered per-priority counts, and an IF
@@ -233,15 +233,15 @@ def r01_sql_scripting_controlflow(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         .transform(cut_lineage)
     )
-    grp.createOrReplaceTempView("r01_pr_counts")
+    grp.createOrReplaceTempView("o01_pr_counts")
     spark.conf.set("spark.sql.scripting.enabled", "true")
-    return spark.sql(_R01_SCRIPT)
+    return spark.sql(_O01_SCRIPT)
 
 
 # ---------------------------------------------------------------------------
 # r02 — VARIANT type: parse_json + typed variant_get path extraction
 
-_R02_SQL = """
+_O02_SQL = """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(variant_get(parse_json(props), '$.k', 'bigint')) AS BIGINT) AS sum_k,
@@ -250,7 +250,7 @@ SELECT event_type,
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
-_R02_ORACLE = """
+_O02_ORACLE = """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
@@ -260,8 +260,8 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
-@query("r02_variant_json_extraction", oracle=_R02_ORACLE, tags=("sql", "variant", "json"))
-def r02_variant_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("o02_variant_json_extraction", oracle=_O02_ORACLE, tags=("sql", "variant", "json"))
+def o02_variant_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VARIANT-typed semi-structured extraction: the real events.props
     JSON strings are parsed into Spark 4's VariantType (parse_json) and
     the '$.k' path is extracted with an explicit target type
@@ -281,13 +281,13 @@ def r02_variant_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = table(spark, sf_dir, "events")
     e.createOrReplaceTempView("events")
-    return spark.sql(_R02_SQL)
+    return spark.sql(_O02_SQL)
 
 
 # ---------------------------------------------------------------------------
 # r03 — XML expression round-trip: to_xml -> from_xml -> aggregate
 
-_R03_SQL = """
+_O03_SQL = """
 SELECT x.t AS event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(x.u) AS BIGINT) AS sum_user,
@@ -300,7 +300,7 @@ FROM (
 GROUP BY x.t ORDER BY event_type
 """
 
-_R03_ORACLE = """
+_O03_ORACLE = """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(user_id) AS BIGINT) AS sum_user,
@@ -309,8 +309,8 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
-@query("r03_xml_expression_roundtrip", oracle=_R03_ORACLE, tags=("sql", "xml"))
-def r03_xml_expression_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("o03_xml_expression_roundtrip", oracle=_O03_ORACLE, tags=("sql", "xml"))
+def o03_xml_expression_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML EXPRESSION surface (the engine previously had only the XML
     file source, qj08): every event row is serialized to an XML string
     with to_xml(named_struct(...)) and immediately re-parsed with
@@ -329,7 +329,7 @@ def r03_xml_expression_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = table(spark, sf_dir, "events")
     e.createOrReplaceTempView("events")
-    return spark.sql(_R03_SQL)
+    return spark.sql(_O03_SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -339,7 +339,7 @@ def r03_xml_expression_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # frequent-items sketch is EXACT (no evictions ever happen), so the
 # estimate is hash-gateable against a plain GROUP BY — the same
 # audit-twin pattern as qm03 (theta) and qg07 (HLL bounds).
-_R04_SQL = """
+_O04_SQL = """
 WITH sk AS (
   SELECT explode(approx_top_k_estimate(approx_top_k_accumulate(o_orderpriority), 5)) AS t
   FROM orders
@@ -355,7 +355,7 @@ FROM sk JOIN exact ON exact.pr = sk.t.item
 ORDER BY sketch_n DESC, o_orderpriority
 """
 
-_R04_ORACLE = """
+_O04_ORACLE = """
 SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS sketch_n,
        CAST(COUNT(*) AS BIGINT) AS exact_n,
@@ -364,8 +364,8 @@ FROM orders GROUP BY 1 ORDER BY sketch_n DESC, o_orderpriority
 """
 
 
-@query("r04_approx_top_k_audit", oracle=_R04_ORACLE, tags=("sketch", "audit"))
-def r04_approx_top_k_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("o04_approx_top_k_audit", oracle=_O04_ORACLE, tags=("sketch", "audit"))
+def o04_approx_top_k_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native DataSketches frequent-items top-k (Spark 4.1
     approx_top_k_accumulate/_estimate) with the exact GROUP BY as its
     audit twin IN the hash gate: on the 5-value priority domain the
@@ -382,13 +382,13 @@ def r04_approx_top_k_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain where truth is computable.
     """
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(_R04_SQL)
+    return spark.sql(_O04_SQL)
 
 
 # ---------------------------------------------------------------------------
 # r05 — URL parsing (parse_url / try_parse_url) over synthesized URLs
 
-_R05_SQL = """
+_O05_SQL = """
 WITH u AS (
   SELECT doc_id, source, lang,
          CASE WHEN doc_id % 13 = 0 THEN concat('::not a url::', CAST(doc_id AS STRING))
@@ -408,7 +408,7 @@ SELECT host,
 FROM p GROUP BY host ORDER BY host
 """
 
-_R05_ORACLE = """
+_O05_ORACLE = """
 SELECT CASE WHEN doc_id % 13 = 0 THEN '(invalid)'
             ELSE source || '.example.org' END AS host,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -417,8 +417,8 @@ FROM documents GROUP BY 1 ORDER BY host
 """
 
 
-@query("r05_url_parsing", oracle=_R05_ORACLE, tags=("text", "url"))
-def r05_url_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("o05_url_parsing", oracle=_O05_ORACLE, tags=("text", "url"))
+def o05_url_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL parsing surface (parse_url / try_parse_url, the try_ variant
     new in Spark 4.1): deterministic URLs are synthesized from document
     metadata (1-in-13 deliberately malformed), then HOST and a QUERY
@@ -433,22 +433,22 @@ def r05_url_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     d.createOrReplaceTempView("documents")
-    return spark.sql(_R05_SQL)
+    return spark.sql(_O05_SQL)
 
 
 # ---------------------------------------------------------------------------
 # r06 — SQL ergonomics: IDENTIFIER() binding + lateral column aliases
 
-_R06_SQL = """
+_O06_SQL = """
 SELECT l_returnflag,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS gross,
        CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE) AS disc_amt,
        {net} AS net
-FROM IDENTIFIER(r06_tbl)
+FROM IDENTIFIER(o06_tbl)
 GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
-_R06_ORACLE = """
+_O06_ORACLE = """
 SELECT l_returnflag,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS gross,
        CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE) AS disc_amt,
@@ -458,15 +458,15 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 
 
 @query(
-    "r06_identifier_lateral_alias",
-    oracle=_R06_ORACLE.format(
+    "o06_identifier_lateral_alias",
+    oracle=_O06_ORACLE.format(
         net="(CAST(floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)"
         " - CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE))"
         " * 100.0 + 0.5) AS DOUBLE) / 100.0)"
     ),
     tags=("sql", "ergonomics"),
 )
-def r06_identifier_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o06_identifier_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two analyzer-level SQL ergonomics features under one hash:
     IDENTIFIER() binds the scanned table from a session variable
     (injection-safe dynamic identifiers — the sanctioned form of the
@@ -483,15 +483,15 @@ def r06_identifier_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_distributed_kmodes_spark.functions.deterministic import sql_pround
 
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    spark.sql("DECLARE OR REPLACE VARIABLE r06_tbl STRING")
-    spark.sql("SET VAR r06_tbl = 'lineitem'")
-    return spark.sql(_R06_SQL.format(net=sql_pround("gross - disc_amt", 2)))
+    spark.sql("DECLARE OR REPLACE VARIABLE o06_tbl STRING")
+    spark.sql("SET VAR o06_tbl = 'lineitem'")
+    return spark.sql(_O06_SQL.format(net=sql_pround("gross - disc_amt", 2)))
 
 
 # ---------------------------------------------------------------------------
 # r07 — UTF-8 validation expressions over a binary column
 
-_R07_SQL = """
+_O07_SQL = """
 WITH b AS (
   SELECT source,
          CASE WHEN doc_id % 97 = 0 THEN concat(encode(text, 'UTF-8'), X'80')
@@ -505,7 +505,7 @@ SELECT source,
 FROM b GROUP BY source ORDER BY source
 """
 
-_R07_ORACLE = """
+_O07_ORACLE = """
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
@@ -514,8 +514,8 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
-@query("r07_utf8_validation", oracle=_R07_ORACLE, tags=("text", "binary"))
-def r07_utf8_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("o07_utf8_validation", oracle=_O07_ORACLE, tags=("text", "binary"))
+def o07_utf8_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UTF-8 validation expressions (is_valid_utf8 / try_validate_utf8,
     Spark 4.0+) over a BINARY column — the first scrubbing pass of any
     100 TB raw-bytes text ingest. Corruption is planted deterministically
@@ -530,7 +530,7 @@ def r07_utf8_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     d.createOrReplaceTempView("documents")
-    return spark.sql(_R07_SQL)
+    return spark.sql(_O07_SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -543,7 +543,7 @@ def r07_utf8_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the raw key universe per grouping; bitmap partials shuffle only
 # fixed-size buckets and MERGE, which is what makes segment-level
 # distinct rollups (per-day -> per-month -> global) cheap.
-_R08_SQL = """
+_O08_SQL = """
 WITH b AS (
   SELECT o_orderpriority AS pr,
          bitmap_bucket_number(o_custkey) AS bkt,
@@ -561,7 +561,7 @@ FROM per CROSS JOIN merged
 ORDER BY o_orderpriority
 """
 
-_R08_ORACLE = """
+_O08_ORACLE = """
 WITH per AS (
   SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct_cust
   FROM orders GROUP BY 1
@@ -574,8 +574,8 @@ ORDER BY o_orderpriority
 """
 
 
-@query("r08_bitmap_distinct_rollup", oracle=_R08_ORACLE, tags=("sql", "bitmap", "distinct"))
-def r08_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("o08_bitmap_distinct_rollup", oracle=_O08_ORACLE, tags=("sql", "bitmap", "distinct"))
+def o08_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT distinct counting via bitmap aggregates
     (bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg /
     bitmap_or_agg / bitmap_count): one scan builds per-(priority,
@@ -593,13 +593,13 @@ def r08_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row scalar attach (broadcast).
     """
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(_R08_SQL)
+    return spark.sql(_O08_SQL)
 
 
 # ---------------------------------------------------------------------------
 # r09 — parameterized SQL: named-marker binding as the injection-safe door
 
-_R09_SQL = """
+_O09_SQL = """
 SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
        {rev} AS sum_price,
@@ -609,7 +609,7 @@ WHERE o_orderstatus = :status AND o_totalprice > :minp
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
-_R09_ORACLE = """
+_O09_ORACLE = """
 SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
        {rev} AS sum_price,
@@ -623,18 +623,18 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 # one-char status, and if it were ever spliced as TEXT the WHERE
 # clause would change shape entirely — either way the oracle's
 # n_probe_hits = 0 and literal-filter row set pin the contract
-_R09_PROBE = "F' OR '1'='1"
+_O09_PROBE = "F' OR '1'='1"
 
 
 @query(
-    "r09_parameterized_sql",
-    oracle=_R09_ORACLE.format(
+    "o09_parameterized_sql",
+    oracle=_O09_ORACLE.format(
         rev="CAST(floor(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)"
         " * 100.0 + 0.5) AS DOUBLE) / 100.0"
     ),
     tags=("sql", "api", "parameters"),
 )
-def r09_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o09_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PARAMETERIZED SQL (spark.sql(..., args={...}), named :markers —
     the Spark 3.4+ binding API): the filter literals arrive as bound
     parameters, including a deliberately hostile string
@@ -655,15 +655,15 @@ def r09_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
-        _R09_SQL.format(rev=sql_pround("CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)", 2)),
-        args={"status": "F", "minp": 1000.0, "probe": _R09_PROBE},
+        _O09_SQL.format(rev=sql_pround("CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)", 2)),
+        args={"status": "F", "minp": 1000.0, "probe": _O09_PROBE},
     )
 
 
 # ---------------------------------------------------------------------------
 # r10 — file-metadata provenance: _metadata over a partitioned sink
 
-_R10_ORACLE = """
+_O10_ORACLE = """
 SELECT o_orderpriority,
        CAST(1 AS BIGINT) AS n_files,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -674,8 +674,8 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
-@query("r10_file_metadata_provenance", oracle=_R10_ORACLE, tags=("source", "metadata", "lineage"))
-def r10_file_metadata_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("o10_file_metadata_provenance", oracle=_O10_ORACLE, tags=("source", "metadata", "lineage"))
+def o10_file_metadata_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILE-METADATA provenance columns (_metadata.file_path /
     row_index / file_size) under the hash gate: orders are written
     partitioned by priority with one shuffle partition per key (so the
@@ -702,7 +702,7 @@ def r10_file_metadata_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    base = tempfile.mkdtemp(prefix="r10_meta_")
+    base = tempfile.mkdtemp(prefix="o10_meta_")
     try:
         o = table(spark, sf_dir, "orders")
         (
@@ -744,60 +744,60 @@ def r10_file_metadata_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # r11 — passage chunking: overlapping token windows for RAG/training prep
 
-_R11_W = 32  # window: tokens per passage
-_R11_S = 24  # stride: 8-token overlap between neighbors
+_O11_W = 32  # window: tokens per passage
+_O11_S = 24  # stride: 8-token overlap between neighbors
 
 # n_chunks = 1 for n <= W else 1 + ceil((n-W)/S), in INTEGER arithmetic
 # on both engines ((n - W + S - 1) div S) — no float ceil knife edge.
-_R11_SQL = f"""
+_O11_SQL = f"""
 WITH toks AS (
   SELECT doc_id, source, filter(split(text, ' '), x -> x <> '') AS tk
   FROM documents
 ), sized AS (
   SELECT doc_id, source, tk, size(tk) AS n,
-         CASE WHEN size(tk) <= {_R11_W} THEN 1
-              ELSE 1 + CAST((size(tk) - {_R11_W} + {_R11_S - 1}) DIV {_R11_S} AS INT)
+         CASE WHEN size(tk) <= {_O11_W} THEN 1
+              ELSE 1 + CAST((size(tk) - {_O11_W} + {_O11_S - 1}) DIV {_O11_S} AS INT)
          END AS n_chunks
   FROM toks
 ), chunks AS (
-  SELECT source, slice(tk, k * {_R11_S} + 1, {_R11_W}) AS ck
+  SELECT source, slice(tk, k * {_O11_S} + 1, {_O11_W}) AS ck
   FROM sized LATERAL VIEW explode(sequence(0, n_chunks - 1)) t AS k
 )
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_chunks,
        CAST(SUM(size(ck)) AS BIGINT) AS sum_chunk_tokens,
-       CAST(SUM(CASE WHEN size(ck) = {_R11_W} THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+       CAST(SUM(CASE WHEN size(ck) = {_O11_W} THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
        CAST(COUNT(DISTINCT md5(concat_ws(' ', ck))) AS BIGINT) AS n_unique_chunks
 FROM chunks GROUP BY source ORDER BY source
 """
 
-_R11_ORACLE = f"""
+_O11_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS tk
   FROM documents
 ), sized AS (
   SELECT doc_id, source, tk, len(tk) AS n,
-         CASE WHEN len(tk) <= {_R11_W} THEN 1
-              ELSE 1 + CAST((len(tk) - {_R11_W} + {_R11_S - 1}) // {_R11_S} AS INT)
+         CASE WHEN len(tk) <= {_O11_W} THEN 1
+              ELSE 1 + CAST((len(tk) - {_O11_W} + {_O11_S - 1}) // {_O11_S} AS INT)
          END AS n_chunks
   FROM toks
 ), offsets AS (
   SELECT source, tk, unnest(range(0, n_chunks)) AS k FROM sized
 ), chunks AS (
-  SELECT source, list_slice(tk, k * {_R11_S} + 1, k * {_R11_S} + {_R11_W}) AS ck
+  SELECT source, list_slice(tk, k * {_O11_S} + 1, k * {_O11_S} + {_O11_W}) AS ck
   FROM offsets
 )
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_chunks,
        CAST(SUM(len(ck)) AS BIGINT) AS sum_chunk_tokens,
-       CAST(SUM(CASE WHEN len(ck) = {_R11_W} THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+       CAST(SUM(CASE WHEN len(ck) = {_O11_W} THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
        CAST(COUNT(DISTINCT md5(array_to_string(ck, ' '))) AS BIGINT) AS n_unique_chunks
 FROM chunks GROUP BY source ORDER BY source
 """
 
 
-@query("r11_passage_chunking", oracle=_R11_ORACLE, tags=("text", "llm", "chunking"), bench=True)
-def r11_passage_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("o11_passage_chunking", oracle=_O11_ORACLE, tags=("text", "llm", "chunking"), bench=True)
+def o11_passage_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PASSAGE CHUNKING — the RAG / training-data chunker: every
     document is tokenized (whitespace split, empties filtered) and cut
     into overlapping windows of {W} tokens at stride {S} (final short
@@ -820,11 +820,11 @@ def r11_passage_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     d.createOrReplaceTempView("documents")
-    return spark.sql(_R11_SQL)
+    return spark.sql(_O11_SQL)
 
 
-r11_passage_chunking.__doc__ = r11_passage_chunking.__doc__.replace("{W}", str(_R11_W)).replace(
-    "{S}", str(_R11_S)
+o11_passage_chunking.__doc__ = o11_passage_chunking.__doc__.replace("{W}", str(_O11_W)).replace(
+    "{S}", str(_O11_S)
 )
 
 
@@ -849,7 +849,7 @@ def _order_stage_files(stage: str) -> None:
 # ---------------------------------------------------------------------------
 # r12 — streaming dedup with bounded state: dropDuplicatesWithinWatermark
 
-_R12_ORACLE = """
+_O12_ORACLE = """
 SELECT event_type,
        CAST(COUNT(*) + SUM(CASE WHEN event_id % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_input,
        CAST(COUNT(*) AS BIGINT) AS n_dedup,
@@ -861,12 +861,12 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 
 @query(
-    "r12_stream_dedup_within_watermark",
-    oracle=_R12_ORACLE,
+    "o12_stream_dedup_within_watermark",
+    oracle=_O12_ORACLE,
     tags=("streaming", "dedup", "audit"),
     bench=True,
 )
-def r12_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o12_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING DEDUP WITH BOUNDED STATE under the hash gate
     (dropDuplicatesWithinWatermark, Spark 3.5+): duplicates are planted
     deterministically (every event_id % 37 == 0 row re-injected with
@@ -926,7 +926,7 @@ def r12_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataF
             .collect()[0]
         )
         cuts.append(row["cut"])
-    stage = tempfile.mkdtemp(prefix="r12_stage_")
+    stage = tempfile.mkdtemp(prefix="o12_stage_")
     for i in range(3):
         cond = F.lit(True)
         if i > 0:
@@ -941,7 +941,7 @@ def r12_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataF
         F.count(F.lit(1)).cast("bigint").alias("n_input")
     ).transform(cut_lineage)
 
-    target_root = tempfile.mkdtemp(prefix="r12_target_")
+    target_root = tempfile.mkdtemp(prefix="o12_target_")
     ckpt = os.path.join(target_root, "ckpt")
     sink = os.path.join(target_root, "survivors")
     stream = (
@@ -991,7 +991,7 @@ def r12_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataF
 # oracle knows exactly what every (pos, value) must be — explosion
 # order, position numbering, and the variant->bigint cast are all
 # under the hash.
-_R13_SQL = """
+_O13_SQL = """
 WITH ev AS (
   SELECT event_type,
          concat('{"ids":[', CAST(user_id AS STRING), ',',
@@ -1006,7 +1006,7 @@ GROUP BY event_type, v.pos
 ORDER BY event_type, pos
 """
 
-_R13_ORACLE = """
+_O13_ORACLE = """
 SELECT event_type, pos,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(val) AS BIGINT) AS sum_val
@@ -1020,8 +1020,8 @@ ORDER BY event_type, pos
 """
 
 
-@query("r13_variant_explode_lateral", oracle=_R13_ORACLE, tags=("sql", "variant", "json"))
-def r13_variant_explode_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("o13_variant_explode_lateral", oracle=_O13_ORACLE, tags=("sql", "variant", "json"))
+def o13_variant_explode_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NESTED Variant explosion (the variant_explode table-valued
     function, Spark 4.0+): a JSON array payload synthesized from real
     event columns is parsed to Variant, the '$.ids' array is pulled out
@@ -1040,7 +1040,7 @@ def r13_variant_explode_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = table(spark, sf_dir, "events")
     e.createOrReplaceTempView("events")
-    return spark.sql(_R13_SQL)
+    return spark.sql(_O13_SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -1054,7 +1054,7 @@ def r13_variant_explode_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 # digit map d -> 2d - 9*(2d>9) is injective mod 10, so ANY single-digit
 # change flips the checksum). luhn_check must then flag exactly the
 # planted rows.
-_R14_SQL = """
+_O14_SQL = """
 WITH base AS (
   SELECT c_custkey, CAST(c_nationkey AS INTEGER) AS nationkey,
          lpad(CAST(c_custkey * 7919 % 1000000000 AS STRING), 9, '0') AS b
@@ -1091,7 +1091,7 @@ FROM maybe_corrupt
 GROUP BY nationkey ORDER BY nationkey
 """
 
-_R14_ORACLE = """
+_O14_ORACLE = """
 SELECT CAST(c_nationkey AS INTEGER) AS nationkey,
        CAST(COUNT(*) AS BIGINT) AS n_accounts,
        CAST(SUM(CASE WHEN c_custkey % 23 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
@@ -1100,8 +1100,8 @@ FROM customer GROUP BY 1 ORDER BY nationkey
 """
 
 
-@query("r14_luhn_checksum_quarantine", oracle=_R14_ORACLE, tags=("text", "validation"))
-def r14_luhn_checksum_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("o14_luhn_checksum_quarantine", oracle=_O14_ORACLE, tags=("text", "validation"))
+def o14_luhn_checksum_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHECKSUM-VALIDATION quarantine (luhn_check, Spark 3.5+): 10-digit
     account numbers are GENERATED in-engine — the Luhn check digit
     computed with a higher-order fold (transform + aggregate over digit
@@ -1121,7 +1121,7 @@ def r14_luhn_checksum_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     c = table(spark, sf_dir, "customer")
     c.createOrReplaceTempView("customer")
-    return spark.sql(_R14_SQL)
+    return spark.sql(_O14_SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -1137,10 +1137,10 @@ def r14_luhn_checksum_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stay in state when availableNow terminates — they are excluded from
 # BOTH engines' aggregates by the same data-derived cutoff, so the
 # hash compares only guaranteed behavior.
-_R15_WINDOW_H = 2  # click->purchase attribution window (hours)
-_R15_DELAY_H = 4   # watermark delay (hours)
+_O15_WINDOW_H = 2  # click->purchase attribution window (hours)
+_O15_DELAY_H = 4   # watermark delay (hours)
 
-_R15_ORACLE = """
+_O15_ORACLE = """
 WITH days AS (
   SELECT date_trunc('day', ts) AS d, COUNT(*) AS c FROM events GROUP BY 1
 ), tot AS (SELECT COUNT(*) AS n FROM events),
@@ -1174,8 +1174,8 @@ SELECT CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_matched_pairs,
 
 
 @query(
-    "r15_stream_outer_join",
-    oracle=_R15_ORACLE,
+    "o15_stream_outer_join",
+    oracle=_O15_ORACLE,
     # deliberately NOT bench-flagged: the staging replay (3 single-file
     # chunk writes) plus three stateful micro-batches costs ~15 s at
     # sf0.1 standalone — harness replay cost, not operator cost; the
@@ -1183,7 +1183,7 @@ SELECT CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_matched_pairs,
     # at every SF
     tags=("streaming", "join", "audit"),
 )
-def r15_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o15_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER join under the hash gate (the engine
     had only the inner interval join, qb35): clicks left-join purchases
     by user within a 2 h event-time window, both sides watermarked 4 h,
@@ -1215,7 +1215,7 @@ def r15_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     chunk_files = _time_chunk_files(spark, sf_dir, 3)
-    stage = tempfile.mkdtemp(prefix="r15_stage_")
+    stage = tempfile.mkdtemp(prefix="o15_stage_")
     for f in chunk_files:
         shutil.copy(f, stage)
     _order_stage_files(stage)
@@ -1254,7 +1254,7 @@ def r15_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").alias("c_user"),
             F.col("ts").alias("c_ts"),
         )
-        .withWatermark("c_ts", f"{_R15_DELAY_H} hours")
+        .withWatermark("c_ts", f"{_O15_DELAY_H} hours")
     )
     purch = (
         src.where(F.col("event_type") == "purchase")
@@ -1263,16 +1263,16 @@ def r15_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").alias("p_user"),
             F.col("ts").alias("p_ts"),
         )
-        .withWatermark("p_ts", f"{_R15_DELAY_H} hours")
+        .withWatermark("p_ts", f"{_O15_DELAY_H} hours")
     )
     joined = clicks.join(
         purch,
         (F.col("p_user") == F.col("c_user"))
         & (F.col("p_ts") >= F.col("c_ts"))
-        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {_R15_WINDOW_H} HOURS")),
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {_O15_WINDOW_H} HOURS")),
         "leftOuter",
     )
-    target_root = tempfile.mkdtemp(prefix="r15_target_")
+    target_root = tempfile.mkdtemp(prefix="o15_target_")
     sink = os.path.join(target_root, "sink")
     q = (
         joined.writeStream.format("parquet")
@@ -1288,8 +1288,8 @@ def r15_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(stage, ignore_errors=True)
     _rmtree_at_exit(target_root)
     emitted = spark.read.parquet(sink).where(
-        F.col("c_ts") + F.expr(f"INTERVAL {_R15_WINDOW_H} HOURS")
-        <= F.lit(boundary) - F.expr(f"INTERVAL {_R15_DELAY_H} HOURS") - F.expr("INTERVAL 1 HOUR")
+        F.col("c_ts") + F.expr(f"INTERVAL {_O15_WINDOW_H} HOURS")
+        <= F.lit(boundary) - F.expr(f"INTERVAL {_O15_DELAY_H} HOURS") - F.expr("INTERVAL 1 HOUR")
     )
     matched = emitted.where(F.col("p_id").isNotNull())
     nulls = emitted.where(F.col("p_id").isNull())
@@ -1318,7 +1318,7 @@ def r15_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # r16 — state-store CHANGE FEED: per-batch evolution of streaming state
 
-_R16_ORACLE = """
+_O16_ORACLE = """
 WITH days AS (
   SELECT date_trunc('day', ts) AS d, COUNT(*) AS c FROM events GROUP BY 1
 ), tot AS (SELECT COUNT(*) AS n FROM events),
@@ -1346,8 +1346,8 @@ ORDER BY batch_id, event_type
 """
 
 
-@query("r16_statestore_changefeed", oracle=_R16_ORACLE, tags=("streaming", "source", "audit"))
-def r16_statestore_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("o16_statestore_changefeed", oracle=_O16_ORACLE, tags=("streaming", "source", "audit"))
+def o16_statestore_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STATE-STORE CHANGE FEED under the hash gate (Spark 4
     `format("statestore").option("readChangeFeed", true)`): a streaming
     per-type count+sum runs over THREE chronological micro-batches
@@ -1381,7 +1381,7 @@ def r16_statestore_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     chunk_files = _time_chunk_files(spark, sf_dir, 3)
-    stage = tempfile.mkdtemp(prefix="r16_stage_")
+    stage = tempfile.mkdtemp(prefix="o16_stage_")
     for f in chunk_files:
         shutil.copy(f, stage)
     _order_stage_files(stage)
@@ -1393,7 +1393,7 @@ def r16_statestore_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = src.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("cnt"), F.sum("event_id").alias("sm")
     )
-    ckpt_root = tempfile.mkdtemp(prefix="r16_ckpt_")
+    ckpt_root = tempfile.mkdtemp(prefix="o16_ckpt_")
     ckpt = os.path.join(ckpt_root, "ck")
     q = (
         agg.writeStream.format("noop")
@@ -1430,7 +1430,7 @@ def r16_statestore_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # r17 — DYNAMIC-GAP session windows (per-event inactivity gap)
 
-_R17_ORACLE = """
+_O17_ORACLE = """
 WITH e AS (
   SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
          CASE event_type WHEN 'purchase' THEN 60
@@ -1472,8 +1472,8 @@ FROM u GROUP BY 1 ORDER BY n_sessions
 """
 
 
-@query("r17_dynamic_gap_sessions", oracle=_R17_ORACLE, tags=("events", "window-agg"))
-def r17_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("o17_dynamic_gap_sessions", oracle=_O17_ORACLE, tags=("events", "window-agg"))
+def o17_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DYNAMIC-GAP session windows: F.session_window with a PER-EVENT
     inactivity gap (purchase 60 min, view 15 min, else 30 min) — the
     behavioral-sessionization semantics q32's static 30-minute gap
@@ -1526,7 +1526,7 @@ def r17_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # r18 — ANSI try_* arithmetic quarantine (overflow / div-zero / bad cast)
 
-_R18_SQL = """
+_O18_SQL = """
 WITH b AS (
   SELECT o_orderpriority AS pr,
          (o_orderkey % 900 + 124) * 10000000 AS x,
@@ -1560,7 +1560,7 @@ SELECT pr,
 FROM c GROUP BY pr ORDER BY pr
 """
 
-_R18_ORACLE = """
+_O18_ORACLE = """
 WITH b AS (
   SELECT o_orderpriority AS pr,
          (o_orderkey % 900 + 124) * 10000000 AS x,
@@ -1596,8 +1596,8 @@ FROM c GROUP BY pr ORDER BY pr
 """
 
 
-@query("r18_try_arithmetic_quarantine", oracle=_R18_ORACLE, tags=("sql", "ansi"))
-def r18_try_arithmetic_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("o18_try_arithmetic_quarantine", oracle=_O18_ORACLE, tags=("sql", "ansi"))
+def o18_try_arithmetic_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI try_* arithmetic quarantine: under ANSI mode (the engine's
     default on Spark 4) plain arithmetic THROWS on BIGINT overflow,
     division by zero, and malformed casts; the try_* family
@@ -1627,18 +1627,18 @@ def r18_try_arithmetic_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame
     o = table(spark, sf_dir, "orders")
     o.createOrReplaceTempView("orders")
     assert spark.conf.get("spark.sql.ansi.enabled") == "true"
-    return spark.sql(_R18_SQL)
+    return spark.sql(_O18_SQL)
 
 
 # ---------------------------------------------------------------------------
 # r19 — RocksDB state-store provider parity
 
-_R19_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
-_R19_ROCKSDB = (
+_O19_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+_O19_ROCKSDB = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
 
-_R19_ORACLE = """
+_O19_ORACLE = """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
@@ -1647,8 +1647,8 @@ FROM events GROUP BY 1 ORDER BY event_type
 """
 
 
-@query("r19_rocksdb_statestore_parity", oracle=_R19_ORACLE, tags=("streaming", "state", "audit"))
-def r19_rocksdb_statestore_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("o19_rocksdb_statestore_parity", oracle=_O19_ORACLE, tags=("streaming", "state", "audit"))
+def o19_rocksdb_statestore_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROCKSDB STATE-STORE PROVIDER parity under the hash gate: the
     n06 streaming-aggregation/state-reader loop re-run with
     `spark.sql.streaming.stateStore.providerClass` set to the
@@ -1686,12 +1686,12 @@ def r19_rocksdb_statestore_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     from pyspark_distributed_kmodes_spark.operators.analytics10 import _rmtree_at_exit
 
     e = table(spark, sf_dir, "events")
-    stage = tempfile.mkdtemp(prefix="r19_stage_")
-    ckpt_root = tempfile.mkdtemp(prefix="r19_ckpt_")
+    stage = tempfile.mkdtemp(prefix="o19_stage_")
+    ckpt_root = tempfile.mkdtemp(prefix="o19_ckpt_")
     src = os.path.join(stage, "src")
     e.write.mode("overwrite").parquet(src)
-    prev = spark.conf.get(_R19_PROVIDER_KEY)
-    spark.conf.set(_R19_PROVIDER_KEY, _R19_ROCKSDB)
+    prev = spark.conf.get(_O19_PROVIDER_KEY)
+    spark.conf.set(_O19_PROVIDER_KEY, _O19_ROCKSDB)
     try:
         stream = spark.readStream.schema(e.schema).parquet(src)
         agg = stream.groupBy("event_type").agg(
@@ -1729,14 +1729,14 @@ def r19_rocksdb_statestore_parity(spark: SparkSession, sf_dir: str) -> DataFrame
             .transform(cut_lineage)
         )
     finally:
-        spark.conf.set(_R19_PROVIDER_KEY, prev)
+        spark.conf.set(_O19_PROVIDER_KEY, prev)
     return out
 
 
 # ---------------------------------------------------------------------------
 # r20 — rate-micro-batch source: deterministic offsets across restarts
 
-_R20_ORACLE = """
+_O20_ORACLE = """
 SELECT CAST((v // 500) * 1000 AS BIGINT) AS ts_ms,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(MIN(v) AS BIGINT) AS min_value,
@@ -1747,8 +1747,8 @@ GROUP BY 1 ORDER BY 1
 """
 
 
-@query("r20_rate_micro_batch_source", oracle=_R20_ORACLE, tags=("streaming", "source"))
-def r20_rate_micro_batch_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("o20_rate_micro_batch_source", oracle=_O20_ORACLE, tags=("streaming", "source"))
+def o20_rate_micro_batch_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RATE-MICRO-BATCH SOURCE with restart continuation: Spark's
     deterministic load-generator source (`format("rate-micro-batch")`
     — unlike plain `rate`, batch composition is pinned by OPTIONS, not
@@ -1779,7 +1779,7 @@ def r20_rate_micro_batch_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark_distributed_kmodes_spark.operators.analytics10 import _rmtree_at_exit
 
-    root = tempfile.mkdtemp(prefix="r20_runs_")
+    root = tempfile.mkdtemp(prefix="o20_runs_")
     out, ckpt = os.path.join(root, "out"), os.path.join(root, "ck")
     for _ in range(3):
         src = (
@@ -1817,7 +1817,7 @@ def r20_rate_micro_batch_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # r21 — XPath expression family over in-engine-synthesized documents
 
-_R21_SQL = """
+_O21_SQL = """
 WITH li AS (
   SELECT l_orderkey,
          CAST(l_quantity AS BIGINT) AS q,
@@ -1850,7 +1850,7 @@ SELECT CAST(bucket AS BIGINT) AS bucket,
 FROM ex GROUP BY bucket ORDER BY bucket
 """
 
-_R21_ORACLE = """
+_O21_ORACLE = """
 WITH per_order AS (
   SELECT l_orderkey,
          l_orderkey % 7 AS bucket,
@@ -1869,8 +1869,8 @@ FROM per_order GROUP BY bucket ORDER BY bucket
 """
 
 
-@query("r21_xpath_extraction", oracle=_R21_ORACLE, tags=("sql", "xml", "xpath"))
-def r21_xpath_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("o21_xpath_extraction", oracle=_O21_ORACLE, tags=("sql", "xml", "xpath"))
+def o21_xpath_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XPATH EXPRESSION family (xpath / xpath_long / xpath_double —
     the query-language side of the XML surface; r03 covered the
     schema-based from_xml side): multi-node per-order documents are
@@ -1892,13 +1892,13 @@ def r21_xpath_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-build shuffle is the same one any per-order aggregate pays.
     """
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(_R21_SQL)
+    return spark.sql(_O21_SQL)
 
 
 # ---------------------------------------------------------------------------
 # r22 — runtime Bloom-filter join (injected row-level runtime filter)
 
-_R22_CONFS = {
+_O22_CONFS = {
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # the defaults gate injection on 10 MB / 10 GB sides — far above
     # test-SF sizes; lowering them exercises the REAL optimizer rule
@@ -1911,7 +1911,7 @@ _R22_CONFS = {
     "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
 }
 
-_R22_ORACLE = """
+_O22_ORACLE = """
 SELECT l.l_returnflag AS returnflag,
        CAST(COUNT(*) AS BIGINT) AS n_items,
        CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -1923,8 +1923,8 @@ GROUP BY 1 ORDER BY returnflag
 """
 
 
-@query("r22_runtime_bloom_filter_join", oracle=_R22_ORACLE, tags=("join", "optimizer"))
-def r22_runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("o22_runtime_bloom_filter_join", oracle=_O22_ORACLE, tags=("join", "optimizer"))
+def o22_runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RUNTIME BLOOM-FILTER JOIN (InjectRuntimeFilter): a selective
     dimension-side predicate (one order priority) makes the optimizer
     build a bloom_filter_agg over the surviving join keys and inject
@@ -1950,8 +1950,8 @@ def r22_runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame
     mergeable sketch on the creation side + a scan-local probe on the
     application side — no extra shuffle.
     """
-    prev = {k: spark.conf.get(k, None) for k in _R22_CONFS}
-    for k, v in _R22_CONFS.items():
+    prev = {k: spark.conf.get(k, None) for k in _O22_CONFS}
+    for k, v in _O22_CONFS.items():
         spark.conf.set(k, v)
     try:
         o = table(spark, sf_dir, "orders").filter(
@@ -1987,7 +1987,7 @@ def r22_runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame
 # ---------------------------------------------------------------------------
 # r23 — SQL TRANSFORM (Hive-style script transform through a pipe)
 
-_R23_SQL = """
+_O23_SQL = """
 WITH piped AS (
   SELECT TRANSFORM(l_orderkey, CAST(l_quantity AS BIGINT), l_returnflag)
          USING 'cat' AS (okey BIGINT, qty BIGINT, flag STRING)
@@ -2001,7 +2001,7 @@ SELECT flag,
 FROM piped GROUP BY flag, okey % 5 ORDER BY flag, bucket
 """
 
-_R23_ORACLE = """
+_O23_ORACLE = """
 SELECT l_returnflag AS flag,
        CAST(l_orderkey % 5 AS BIGINT) AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -2011,8 +2011,8 @@ FROM lineitem GROUP BY 1, 2 ORDER BY flag, bucket
 """
 
 
-@query("r23_sql_transform_pipe", oracle=_R23_ORACLE, tags=("sql", "transform"))
-def r23_sql_transform_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("o23_sql_transform_pipe", oracle=_O23_ORACLE, tags=("sql", "transform"))
+def o23_sql_transform_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL TRANSFORM (Hive-style script transform): every row is
     serialized to the default tab-delimited text serde, piped through
     an EXTERNAL PROCESS per task ('cat' — the identity, so the serde
@@ -2036,13 +2036,13 @@ def r23_sql_transform_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable shuffle on (flag, bucket).
     """
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(_R23_SQL)
+    return spark.sql(_O23_SQL)
 
 
 # ---------------------------------------------------------------------------
 # r24 — CSV expression round-trip: to_csv -> from_csv with hostile quoting
 
-_R24_SQL = """
+_O24_SQL = """
 SELECT x.p AS priority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
        CAST(SUM(x.k) AS BIGINT) AS sum_orderkey,
@@ -2059,7 +2059,7 @@ FROM (
 GROUP BY x.p ORDER BY priority
 """
 
-_R24_ORACLE = """
+_O24_ORACLE = """
 SELECT o_orderpriority AS priority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
        CAST(SUM(o_orderkey) AS BIGINT) AS sum_orderkey,
@@ -2068,8 +2068,8 @@ FROM orders GROUP BY 1 ORDER BY priority
 """
 
 
-@query("r24_csv_expression_roundtrip", oracle=_R24_ORACLE, tags=("sql", "csv"))
-def r24_csv_expression_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("o24_csv_expression_roundtrip", oracle=_O24_ORACLE, tags=("sql", "csv"))
+def o24_csv_expression_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV EXPRESSION surface (to_csv -> from_csv — the engine had
     only the CSV FILE source, qc01/qk24; this is the per-cell codec,
     completing the expression-codec family: JSON q35, XML r03,
@@ -2089,13 +2089,13 @@ def r24_csv_expression_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-value priority key — the same shape as r03's XML twin.
     """
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(_R24_SQL)
+    return spark.sql(_O24_SQL)
 
 
 # ---------------------------------------------------------------------------
 # r25 — analyzer sugar: GROUP BY ALL / ORDER BY ALL / SELECT * EXCEPT
 
-_R25_SQL = """
+_O25_SQL = """
 SELECT * EXCEPT (sum_base)
 FROM (
   SELECT l_returnflag, l_linestatus,
@@ -2108,7 +2108,7 @@ FROM (
 ORDER BY ALL
 """
 
-_R25_ORACLE = """
+_O25_ORACLE = """
 SELECT l_returnflag, l_linestatus,
        CAST(COUNT(*) AS BIGINT) AS n_items,
        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
@@ -2118,8 +2118,8 @@ ORDER BY l_returnflag, l_linestatus, n_items, sum_qty
 """
 
 
-@query("r25_sql_sugar_all_except", oracle=_R25_ORACLE, tags=("sql", "ergonomics"))
-def r25_sql_sugar_all_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("o25_sql_sugar_all_except", oracle=_O25_ORACLE, tags=("sql", "ergonomics"))
+def o25_sql_sugar_all_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZER SUGAR, r06's companion: GROUP BY ALL must infer
     exactly the non-aggregate output columns (flag, status) and
     nothing else; SELECT * EXCEPT must drop the named column while
@@ -2141,17 +2141,17 @@ def r25_sql_sugar_all_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     proof).
     """
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(_R25_SQL)
+    return spark.sql(_O25_SQL)
 
 
 # ---------------------------------------------------------------------------
 # r26 — RocksDB CHANGELOG checkpointing: state reconstructed by replay
 
-_R26_CHANGELOG_KEY = (
+_O26_CHANGELOG_KEY = (
     "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
 )
 
-_R26_ORACLE = """
+_O26_ORACLE = """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(user_id) AS BIGINT) AS sum_user,
@@ -2160,8 +2160,8 @@ FROM events GROUP BY 1 ORDER BY event_type
 """
 
 
-@query("r26_rocksdb_changelog_checkpoint", oracle=_R26_ORACLE, tags=("streaming", "state", "audit"))
-def r26_rocksdb_changelog_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("o26_rocksdb_changelog_checkpoint", oracle=_O26_ORACLE, tags=("streaming", "state", "audit"))
+def o26_rocksdb_changelog_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROCKSDB CHANGELOG CHECKPOINTING (the production setting for
     billion-key state): with
     `...rocksdb.changelogCheckpointing.enabled`, each micro-batch
@@ -2200,7 +2200,7 @@ def r26_rocksdb_changelog_checkpoint(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
     chunk_files = _time_chunk_files(spark, sf_dir, 3)
-    stage = tempfile.mkdtemp(prefix="r26_stage_")
+    stage = tempfile.mkdtemp(prefix="o26_stage_")
     for f in chunk_files:
         shutil.copy(f, stage)
     _order_stage_files(stage)
@@ -2208,11 +2208,11 @@ def r26_rocksdb_changelog_checkpoint(spark: SparkSession, sf_dir: str) -> DataFr
     e = table(spark, sf_dir, "events")
 
     prev = {
-        _R19_PROVIDER_KEY: spark.conf.get(_R19_PROVIDER_KEY),
-        _R26_CHANGELOG_KEY: spark.conf.get(_R26_CHANGELOG_KEY, None),
+        _O19_PROVIDER_KEY: spark.conf.get(_O19_PROVIDER_KEY),
+        _O26_CHANGELOG_KEY: spark.conf.get(_O26_CHANGELOG_KEY, None),
     }
-    spark.conf.set(_R19_PROVIDER_KEY, _R19_ROCKSDB)
-    spark.conf.set(_R26_CHANGELOG_KEY, "true")
+    spark.conf.set(_O19_PROVIDER_KEY, _O19_ROCKSDB)
+    spark.conf.set(_O26_CHANGELOG_KEY, "true")
     try:
         src = (
             spark.readStream.schema(e.schema)
@@ -2224,7 +2224,7 @@ def r26_rocksdb_changelog_checkpoint(spark: SparkSession, sf_dir: str) -> DataFr
             F.sum("user_id").alias("su"),
             F.min("event_id").alias("mn"),
         )
-        ckpt_root = tempfile.mkdtemp(prefix="r26_ckpt_")
+        ckpt_root = tempfile.mkdtemp(prefix="o26_ckpt_")
         ckpt = os.path.join(ckpt_root, "ck")
         q = (
             agg.writeStream.format("noop")
@@ -2260,9 +2260,9 @@ def r26_rocksdb_changelog_checkpoint(spark: SparkSession, sf_dir: str) -> DataFr
             .transform(cut_lineage)
         )
     finally:
-        spark.conf.set(_R19_PROVIDER_KEY, prev[_R19_PROVIDER_KEY])
-        if prev[_R26_CHANGELOG_KEY] is None:
-            spark.conf.unset(_R26_CHANGELOG_KEY)
+        spark.conf.set(_O19_PROVIDER_KEY, prev[_O19_PROVIDER_KEY])
+        if prev[_O26_CHANGELOG_KEY] is None:
+            spark.conf.unset(_O26_CHANGELOG_KEY)
         else:
-            spark.conf.set(_R26_CHANGELOG_KEY, prev[_R26_CHANGELOG_KEY])
+            spark.conf.set(_O26_CHANGELOG_KEY, prev[_O26_CHANGELOG_KEY])
     return out

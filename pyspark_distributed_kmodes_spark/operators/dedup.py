@@ -107,8 +107,8 @@ def _expand_copy_pairs(groups: DataFrame, rep_h: DataFrame, rep_pairs: DataFrame
     return cross.unionByName(within)
 
 
-@query("q63_minhash_neardup", oracle=None, tags=("text", "dedup", "approx"), bench=True)
-def q63_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("o63_minhash_neardup", oracle=None, tags=("text", "dedup", "approx"), bench=True)
+def o63_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with estimated Jaccard ≥ 0.5.
 
     est_jaccard = fraction of agreeing signature positions (the unbiased
@@ -180,8 +180,8 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-@query("q64_simhash_neardup", oracle=None, tags=("text", "dedup", "approx"))
-def q64_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("o64_simhash_neardup", oracle=None, tags=("text", "dedup", "approx"))
+def o64_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicates: hamming distance ≤ 8 of 48 bits.
 
     Candidate generation: 4 bands of 12 bits — any pair within hamming
@@ -226,7 +226,7 @@ def q64_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q65_dedup_keep_best",
+    "o65_dedup_keep_best",
     oracle="""
 SELECT fingerprint, doc_id, lang, n_chars
 FROM (
@@ -242,7 +242,7 @@ ORDER BY fingerprint
 """,
     tags=("text", "dedup"),
 )
-def q65_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o65_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup keeping the best representative per fingerprint group
     (longest doc, then lowest id) — the keep-policy variant of q56,
     expressed as a window so the full rows survive."""
@@ -258,8 +258,8 @@ def q65_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q66_minhash_mllib", oracle=None, tags=("text", "dedup", "approx"))
-def q66_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("o66_minhash_mllib", oracle=None, tags=("text", "dedup", "approx"))
+def o66_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Library-based near-dedup: pyspark.ml MinHashLSH over HashingTF
     shingle vectors (approxSimilarityJoin) — the off-the-shelf
     alternative to the hand-rolled q63 pipeline, kept for API parity.

@@ -25,7 +25,7 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
 
 @query(
-    "q50_word_count",
+    "o50_word_count",
     oracle="""
 SELECT word, COUNT(*) AS n
 FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
@@ -36,7 +36,7 @@ LIMIT 50
     tags=("text",),
     bench=True,
 )
-def q50_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o50_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus top-50 word count: explode → groupBy → top-k.
 
     Scale: the explode fans out ~40× but partial aggregation collapses
@@ -53,7 +53,7 @@ def q50_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q51_lang_profile",
+    "o51_lang_profile",
     oracle=f"""
 SELECT lang, source,
        COUNT(*) AS n_docs,
@@ -66,7 +66,7 @@ ORDER BY lang, source
 """,
     tags=("text",),
 )
-def q51_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o51_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus profiling: doc counts and length stats per (lang, source)."""
     d = table(spark, sf_dir, "documents")
     return (
@@ -82,7 +82,7 @@ def q51_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q52_quality_score",
+    "o52_quality_score",
     oracle=f"""
 SELECT doc_id,
        n_words,
@@ -103,7 +103,7 @@ ORDER BY doc_id
 """,
     tags=("text",),
 )
-def q52_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o52_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality scoring: length, stopword ratio, lexical
     diversity, and a pass/fail gate — the standard pre-training filter
     stack, computed entirely with array built-ins."""
@@ -130,7 +130,7 @@ def q52_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q53_token_count",
+    "o53_token_count",
     oracle="""
 SELECT lang,
        COUNT(*) AS n_docs,
@@ -142,7 +142,7 @@ ORDER BY lang
 """,
     tags=("text",),
 )
-def q53_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o53_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting with a BPE-ish regex (alpha runs | digit runs |
     single non-alnum) vs whitespace words — the budget metric every
     training-data pipeline needs."""
@@ -160,7 +160,7 @@ def q53_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q54_doc_fingerprint",
+    "o54_doc_fingerprint",
     oracle="""
 SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
@@ -170,7 +170,7 @@ ORDER BY doc_id
 """,
     tags=("text", "dedup"),
 )
-def q54_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o54_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: exact content hash + an order-insensitive
     bag-of-words fingerprint (sorted unique words → md5), the cheap
     first stage of a dedup cascade."""
@@ -183,7 +183,7 @@ def q54_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-_Q55_ORACLE = """
+_O55_ORACLE = """
 WITH shingles AS (
   SELECT DISTINCT doc_id, shingle
   FROM (
@@ -279,8 +279,8 @@ def ngram_jaccard_pairs(
     )
 
 
-@query("q55_ngram_jaccard", oracle=_Q55_ORACLE, tags=("text", "dedup"))
-def q55_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("o55_ngram_jaccard", oracle=_O55_ORACLE, tags=("text", "dedup"))
+def o55_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate detection via exact 3-gram Jaccard (see
     ngram_jaccard_pairs). max_df=100_000 leaves test-scale results
     untouched (corpus df max ≪ 100k) while capping the join fan-out."""
@@ -289,7 +289,7 @@ def q55_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q56_exact_dedup",
+    "o56_exact_dedup",
     oracle="""
 SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
        COUNT(*) AS n_copies,
@@ -302,7 +302,7 @@ ORDER BY fingerprint
     tags=("text", "dedup"),
     bench=True,
 )
-def q56_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o56_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact (hash-based) dedup: group by content fingerprint, keep the
     lowest doc_id. The groupBy-on-hash formulation shuffles only
     (hash, id) pairs — never full text — which is what survives 100 TB.
@@ -319,7 +319,7 @@ def q56_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q57_tfidf_top_terms",
+    "o57_tfidf_top_terms",
     oracle="""
 WITH words AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
@@ -344,7 +344,7 @@ ORDER BY doc_id, rn
 """,
     tags=("text",),
 )
-def q57_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o57_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 terms per document, smooth-idf variant
     (idf = ln((N+1)/(df+1)) + 1, scikit-style), all relational:
     explode → two aggregations → join → window top-k. No ml-lib state;
@@ -464,7 +464,7 @@ def qm58_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q59_rolling_hash",
+    "o59_rolling_hash",
     oracle="""
 SELECT doc_id,
        list_reduce(
@@ -486,7 +486,7 @@ ORDER BY doc_id
 """,
     tags=("text", "dedup"),
 )
-def q59_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o59_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polynomial rolling-hash fingerprints, engine-portable exact
     integer math (base-131 char fold mod 2^31-1):
 

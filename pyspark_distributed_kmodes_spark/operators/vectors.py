@@ -136,7 +136,7 @@ def exact_topk(
 
 
 @query(
-    "q60_cosine_topk",
+    "o60_cosine_topk",
     oracle="""
 WITH sims AS (
   SELECT a.vec_id,
@@ -158,18 +158,18 @@ ORDER BY vec_id, rank
     tags=("vector",),
     bench=True,
 )
-def q60_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o60_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for every embedding (see exact_topk)."""
     emb = table(spark, sf_dir, "embeddings")
     return exact_topk(spark, emb, k=5).orderBy("vec_id", "rank")
 
 
 @query(
-    "q61_ann_lsh",
+    "o61_ann_lsh",
     oracle=None,  # approximate: rows-only check; recall property-tested
     tags=("vector", "approx"),
 )
-def q61_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o61_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH: L=8 tables × 5 bits (see tuning
     note below).
 
@@ -261,7 +261,7 @@ def embedding_neardup_pairs(spark: SparkSession, emb: DataFrame, threshold: floa
 
 
 @query(
-    "q62_embedding_neardup",
+    "o62_embedding_neardup",
     oracle="""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -274,7 +274,7 @@ ORDER BY vec_a, vec_b
 """,
     tags=("vector", "dedup"),
 )
-def q62_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o62_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (sim ≥ 0.85), exact form.
 
     Same block-partitioned GEMM path as q60: the reference side streams
@@ -289,7 +289,7 @@ def q62_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q67_embedding_stats",
+    "o67_embedding_stats",
     oracle="""
 SELECT label,
        COUNT(*) AS n_vecs,
@@ -304,7 +304,7 @@ ORDER BY label
 """,
     tags=("vector", "agg"),
 )
-def q67_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o67_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label vector statistics: counts, mean L2 norm (JVM
     higher-order fold — sequential, so bit-identical to the oracle's
     list_sum), mean/min/max of the first component.

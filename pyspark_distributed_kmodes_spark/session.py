@@ -39,7 +39,7 @@ RUNTIME_CONFS = {
 # live sessions (whose dirs are minutes old) are never touched.
 _TMP_PREFIXES = (
     "events_stream_", "upsert_ckpt_", "m_chunk_", "m_stream_chunks_",
-    "qm01_", "qm02_", "n06_", "qc01_csv_", "qc02_jsonl_",
+    "qm01_", "qm02_", "qn06_", "qc01_csv_", "qc02_jsonl_",
     "e06_jsonl_sink_", "qh10_orc_", "qh11_part_", "qi02_snap_",
     "qi27_evo_", "qj08_bin_", "qj09_text_", "qj34_wap_", "qj40_dpo_",
     "qk23_xml_", "qk24_csv_", "qk25_zstd_", "qb34_bucketed_",

@@ -28,17 +28,15 @@ def test_driver_window_is_the_staged_suite():
     that window is exactly the never-driver-checked staged suite. Pin
     it so a mis-rotation (a key accidentally sorting into/out of the
     window) fails mechanically instead of wasting a driver round.
-    Round 10: the window is exactly n01-n08 + q01-q42 — the staged
-    n-suite first, then re-certification of the oldest round-1 rows
-    (q43-q50 re-certify in round 11). Round-11 staging (r-prefix)
-    must sort AFTER every q* key so it cannot leak into this window."""
+    Round 11: the window is exactly the 50 o-keys — o01-o26 (the
+    round-10 staged r-suite, renamed), o43-o50 (q43-q50 re-certs),
+    and o51-o57 + o59-o67 (the oldest round-2 rows, renamed; q58
+    already re-certified as qm58 in round 9). Round-12 staging
+    (p-prefix) sorts after o67 and before q01, outside this window."""
     import __spark_entry__ as entrymod
 
     window = sorted(entrymod.queries())[:50]
-    n_keys = [k for k in window if k.startswith("n")]
-    q_keys = [k for k in window if k.startswith("q") and k[1].isdigit()]
-    assert len(n_keys) + len(q_keys) == 50, [
-        k for k in window if k not in n_keys and k not in q_keys
-    ]
-    assert sorted(int(k[1:3]) for k in n_keys) == list(range(1, 9))
-    assert sorted(int(k[1:3]) for k in q_keys) == list(range(1, 43))
+    o_keys = [k for k in window if k.startswith("o") and k[1].isdigit()]
+    assert len(o_keys) == 50, [k for k in window if k not in o_keys]
+    nums = sorted(int(k[1:3]) for k in o_keys)
+    assert nums == list(range(1, 27)) + list(range(43, 58)) + list(range(59, 68))

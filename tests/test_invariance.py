@@ -11,7 +11,7 @@ QUERIES = [
     "q01_pricing_summary",  # decimal-sum aggregation
     "q10_agg_family",  # min_by/collect_list determinism
     "q21_lag_lead_running",  # window frames
-    "q63_minhash_neardup",  # multi-stage shuffle pipeline
+    "o63_minhash_neardup",  # multi-stage shuffle pipeline
     "q97_dup_clusters",  # collapse/expand + iterative CC
     "qb06_sequence_packing",  # per-shard cumsum windows
     "qb12_unigram_logprob",  # decimal-sum of per-word logprobs

@@ -18,8 +18,8 @@ def reg():
     return load_all()
 
 
-def test_n01_matches_python_bfs(spark, sf_dir, reg, duck):
-    rows = reg["n01_recursive_reachability"].fn(spark, sf_dir).collect()
+def test_qn01_matches_python_bfs(spark, sf_dir, reg, duck):
+    rows = reg["qn01_recursive_reachability"].fn(spark, sf_dir).collect()
     nations = duck.execute(
         "SELECT n_nationkey, n_regionkey FROM nation ORDER BY n_nationkey"
     ).fetchall()
@@ -43,8 +43,8 @@ def test_n01_matches_python_bfs(spark, sf_dir, reg, duck):
     assert got[seed] == 0
 
 
-def test_n02_depth_is_digit_length(spark, sf_dir, reg, duck):
-    rows = reg["n02_recursive_hierarchy_rollup"].fn(spark, sf_dir).collect()
+def test_qn02_depth_is_digit_length(spark, sf_dir, reg, duck):
+    rows = reg["qn02_recursive_hierarchy_rollup"].fn(spark, sf_dir).collect()
     custs = duck.execute("SELECT c_custkey, c_acctbal FROM customer").fetchall()
     by_depth = defaultdict(list)
     roots = defaultdict(set)
@@ -61,8 +61,8 @@ def test_n02_depth_is_digit_length(spark, sf_dir, reg, duck):
     assert sum(r.n_nodes for r in rows) == len(custs)
 
 
-def test_n03_matches_python_recompute(spark, sf_dir, reg, duck):
-    rows = reg["n03_sql_scalar_udf"].fn(spark, sf_dir).collect()
+def test_qn03_matches_python_recompute(spark, sf_dir, reg, duck):
+    rows = reg["qn03_sql_scalar_udf"].fn(spark, sf_dir).collect()
     raw = duck.execute(
         "SELECT l_returnflag, l_quantity, l_extendedprice, l_discount FROM lineitem"
     ).fetchall()
@@ -78,11 +78,11 @@ def test_n03_matches_python_recompute(spark, sf_dir, reg, duck):
         assert abs(r.disc_revenue - rev) < 0.5  # fp accumulation slack
 
 
-def test_n04_topk_per_customer_not_global(spark, sf_dir, reg, duck):
+def test_qn04_topk_per_customer_not_global(spark, sf_dir, reg, duck):
     """Regression pin for the correlated ORDER BY+LIMIT table-UDF
     pitfall: the buggy form returns ONE row globally; the correct form
     returns min(3, n_orders) rows per customer with the right keys."""
-    rows = reg["n04_sql_table_udf_lateral"].fn(spark, sf_dir).collect()
+    rows = reg["qn04_sql_table_udf_lateral"].fn(spark, sf_dir).collect()
     orders = duck.execute(
         "SELECT o_custkey, o_orderkey, o_totalprice FROM orders WHERE o_custkey < 50"
     ).fetchall()
@@ -102,10 +102,10 @@ def test_n04_topk_per_customer_not_global(spark, sf_dir, reg, duck):
     assert len(rows) == sum(min(3, len(v)) for v in per.values())
 
 
-def test_n05_matches_python_counter(spark, sf_dir, reg, duck):
+def test_qn05_matches_python_counter(spark, sf_dir, reg, duck):
     import re as _re
 
-    rows = reg["n05_collated_token_grouping"].fn(spark, sf_dir).collect()
+    rows = reg["qn05_collated_token_grouping"].fn(spark, sf_dir).collect()
     texts = [t[0] for t in duck.execute("SELECT text FROM documents").fetchall()]
     ci = Counter()
     variants = defaultdict(set)
@@ -120,8 +120,8 @@ def test_n05_matches_python_counter(spark, sf_dir, reg, duck):
         assert r.n_case_variants == len(variants[r.token_ci])
 
 
-def test_n06_state_equals_batch(spark, sf_dir, reg, duck):
-    df = reg["n06_statestore_reader"].fn(spark, sf_dir)
+def test_qn06_state_equals_batch(spark, sf_dir, reg, duck):
+    df = reg["qn06_statestore_reader"].fn(spark, sf_dir)
     # state-schema pin: n06 reads the Count/Sum aggBufferAttributes by
     # name (value.count / value.sum) — if a Spark upgrade changes the
     # persisted buffer layout, this must fail as a loud schema error,
@@ -144,13 +144,13 @@ def test_n06_state_equals_batch(spark, sf_dir, reg, duck):
 def test_sql_udf_is_inlined_not_python(spark, sf_dir, reg):
     """The SQL scalar UDF must inline into codegen — no BatchEvalPython
     / ArrowEvalPython node may appear in the plan."""
-    df = reg["n03_sql_scalar_udf"].fn(spark, sf_dir)
+    df = reg["qn03_sql_scalar_udf"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
 
 
-def test_n07_cutoff_is_mean_and_counts_match(spark, sf_dir, reg, duck):
-    rows = reg["n07_session_variable_exec"].fn(spark, sf_dir).collect()
+def test_qn07_cutoff_is_mean_and_counts_match(spark, sf_dir, reg, duck):
+    rows = reg["qn07_session_variable_exec"].fn(spark, sf_dir).collect()
     raw = duck.execute("SELECT o_orderpriority, o_totalprice FROM orders").fetchall()
     mean = sum(p for _, p in raw) / len(raw)
     per = defaultdict(lambda: [0, 0.0])
@@ -172,10 +172,10 @@ def test_named_parameter_binding(spark):
     assert r[0].v == 42
 
 
-def test_n08_pipe_equals_nested_form(spark, sf_dir, reg):
+def test_qn08_pipe_equals_nested_form(spark, sf_dir, reg):
     """The pipe-syntax query must produce the identical DataFrame as
     the equivalent nested-SQL text run through the same engine."""
-    rows = reg["n08_sql_pipe_syntax"].fn(spark, sf_dir).collect()
+    rows = reg["qn08_sql_pipe_syntax"].fn(spark, sf_dir).collect()
     nested = spark.sql(
         """
         SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -190,11 +190,11 @@ def test_n08_pipe_equals_nested_form(spark, sf_dir, reg):
     assert [tuple(r) for r in rows] == [tuple(r) for r in nested]
 
 
-def test_n04_decorrelates_to_window_join(spark, sf_dir, reg):
+def test_qn04_decorrelates_to_window_join(spark, sf_dir, reg):
     """The lateral TVF must decorrelate into a window + hash join with
     the custkey predicate pushed into BOTH scans — not a per-row
     nested-loop re-execution of the function body."""
-    df = reg["n04_sql_table_udf_lateral"].fn(spark, sf_dir)
+    df = reg["qn04_sql_table_udf_lateral"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
@@ -242,11 +242,11 @@ def test_unicode_ci_grouping_equals_lower_on_random_ascii(spark):
     assert ci == lo
 
 
-def test_n03_udf_text_equals_inlined_text(spark, sf_dir, reg):
+def test_qn03_udf_text_equals_inlined_text(spark, sf_dir, reg):
     """Semantic pin for the SQL-UDF-as-pure-sugar claim: the UDF query
     must equal the same statement with the function bodies inlined,
     run through Spark itself (not just the DuckDB oracle)."""
-    rows = reg["n03_sql_scalar_udf"].fn(spark, sf_dir).collect()
+    rows = reg["qn03_sql_scalar_udf"].fn(spark, sf_dir).collect()
     inlined = spark.sql(
         """
         SELECT l_returnflag,

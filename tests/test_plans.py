@@ -107,7 +107,7 @@ def test_b05_chunking_no_shuffle_before_sort(spark, sf_dir):
     assert n_exchanges <= 1, f"chunking should add no exchange beyond the final sort: {n_exchanges}"
 
 
-def test_q55_stop_shingle_filter_in_plan(spark, sf_dir):
+def test_o55_stop_shingle_filter_in_plan(spark, sf_dir):
     """The max_df hot-shingle filter must appear as a broadcast anti
     join feeding the pair self-join."""
     from pyspark_distributed_kmodes_spark.operators.text import ngram_jaccard_pairs

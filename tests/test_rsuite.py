@@ -20,11 +20,11 @@ def reg():
     return load_all()
 
 
-def test_r01_matches_python_fold(spark, sf_dir, reg, duck):
+def test_o01_matches_python_fold(spark, sf_dir, reg, duck):
     """Replay the scripting FOR/IF fold in plain Python over the same
     grouped counts — iteration order, variable updates, and the
     integer above-average branch must all agree."""
-    row = reg["r01_sql_scripting_controlflow"].fn(spark, sf_dir).collect()[0]
+    row = reg["o01_sql_scripting_controlflow"].fn(spark, sf_dir).collect()[0]
     counts = duck.execute(
         "SELECT o_orderpriority, COUNT(*) FROM orders GROUP BY 1 ORDER BY 1"
     ).fetchall()
@@ -39,7 +39,7 @@ def test_r01_matches_python_fold(spark, sf_dir, reg, duck):
     )
 
 
-def test_r01_scripting_while_loop(spark):
+def test_o01_scripting_while_loop(spark):
     """Breadth pin for the scripting executor beyond FOR/IF: WHILE with
     a data-independent closed form (sum of squares below 10)."""
     spark.conf.set("spark.sql.scripting.enabled", "true")
@@ -59,8 +59,8 @@ def test_r01_scripting_while_loop(spark):
     assert r[0].v == sum(i * i for i in range(10))
 
 
-def test_r02_matches_python_json(spark, sf_dir, reg, duck):
-    rows = reg["r02_variant_json_extraction"].fn(spark, sf_dir).collect()
+def test_o02_matches_python_json(spark, sf_dir, reg, duck):
+    rows = reg["o02_variant_json_extraction"].fn(spark, sf_dir).collect()
     import json
 
     per = defaultdict(lambda: [0, 0, 0])
@@ -74,7 +74,7 @@ def test_r02_matches_python_json(spark, sf_dir, reg, duck):
     }
 
 
-def test_r02_variant_typed_null_path(spark):
+def test_o02_variant_typed_null_path(spark):
     """try_variant_get on a missing path must be NULL, and variant_get
     with an explicit type must return that type — the two behaviors the
     oracle twin cannot distinguish from string extraction."""
@@ -91,8 +91,8 @@ def test_r02_variant_typed_null_path(spark):
     assert schema["k"].dataType.simpleString() == "bigint"
 
 
-def test_r03_matches_raw_aggregate(spark, sf_dir, reg, duck):
-    rows = reg["r03_xml_expression_roundtrip"].fn(spark, sf_dir).collect()
+def test_o03_matches_raw_aggregate(spark, sf_dir, reg, duck):
+    rows = reg["o03_xml_expression_roundtrip"].fn(spark, sf_dir).collect()
     expect = {
         et: (n, su, se)
         for et, n, su, se in duck.execute(
@@ -103,7 +103,7 @@ def test_r03_matches_raw_aggregate(spark, sf_dir, reg, duck):
     assert {r.event_type: (r.n_events, r.sum_user, r.sum_event_id) for r in rows} == expect
 
 
-def test_r03_xml_roundtrip_escaping(spark):
+def test_o03_xml_roundtrip_escaping(spark):
     """The round-trip must survive XML-hostile strings (angle brackets,
     ampersands, quotes) — the failure mode the aggregate twin would
     only catch if the testdata happened to contain them."""
@@ -117,21 +117,22 @@ def test_r03_xml_roundtrip_escaping(spark):
     )
 
 
-def test_r_keys_sort_outside_window(reg):
-    """Staging guard: every r-key must sort after every q* key so the
-    round-10 window (first 50 sorted) cannot contain one."""
+def test_o_keys_fill_window(reg):
+    """Rotation guard (round 11): the former r-suite renamed into
+    o-space and now IS the driver window, together with the o43-o67
+    re-certification renames — exactly 50 o-keys, filling the first-50
+    sorted window with nothing else. Round-11 staging must use the
+    p-prefix (sorts after o, before q01) so it cannot leak in."""
     keys = sorted(reg)
-    r_keys = [k for k in keys if k[0] == "r" and k[1].isdigit()]
-    assert len(r_keys) >= 24, "the full staged r-suite must be registered"
-    first50 = set(keys[:50])
-    assert not (set(r_keys) & first50)
-    assert all(k > max(q for q in keys if q.startswith("q")) for k in r_keys)
+    o_keys = [k for k in keys if k[0] == "o" and k[1].isdigit()]
+    assert len(o_keys) == 50, "the rotated o-suite must be exactly the window"
+    assert keys[:50] == o_keys
 
 
-def test_r04_sketch_exact_on_bounded_domain(spark, sf_dir, reg, duck):
+def test_o04_sketch_exact_on_bounded_domain(spark, sf_dir, reg, duck):
     """err must be identically 0 (no evictions on a 5-value domain) and
     counts must match a python Counter."""
-    rows = reg["r04_approx_top_k_audit"].fn(spark, sf_dir).collect()
+    rows = reg["o04_approx_top_k_audit"].fn(spark, sf_dir).collect()
     exact = dict(
         duck.execute(
             "SELECT o_orderpriority, COUNT(*) FROM orders GROUP BY 1"
@@ -143,11 +144,11 @@ def test_r04_sketch_exact_on_bounded_domain(spark, sf_dir, reg, duck):
         assert r.sketch_n == r.exact_n == exact[r.o_orderpriority]
 
 
-def test_r05_matches_python_urlparse(spark, sf_dir, reg, duck):
+def test_o05_matches_python_urlparse(spark, sf_dir, reg, duck):
     from urllib.parse import urlsplit
 
     rows = {r.host: (r.n_docs, r.n_lang_roundtrip) for r in
-            reg["r05_url_parsing"].fn(spark, sf_dir).collect()}
+            reg["o05_url_parsing"].fn(spark, sf_dir).collect()}
     per = defaultdict(lambda: [0, 0])
     for doc_id, src, lang in duck.execute(
         "SELECT doc_id, source, lang FROM documents"
@@ -162,11 +163,11 @@ def test_r05_matches_python_urlparse(spark, sf_dir, reg, duck):
     assert rows == {h: tuple(v) for h, v in per.items()}
 
 
-def test_r06_identifier_plan_equals_static(spark, sf_dir, reg):
+def test_o06_identifier_plan_equals_static(spark, sf_dir, reg):
     """IDENTIFIER() must resolve at analysis time: the physical plan is
     the same as the static-name query (no extra nodes), and the result
     matches the inlined lateral-alias expansion."""
-    df = reg["r06_identifier_lateral_alias"].fn(spark, sf_dir)
+    df = reg["o06_identifier_lateral_alias"].fn(spark, sf_dir)
     static = spark.sql(
         """
         SELECT l_returnflag,
@@ -186,12 +187,12 @@ def test_r06_identifier_plan_equals_static(spark, sf_dir, reg):
     # analysis and leaves no trace. (The inlined `static` form above
     # checks VALUES only: the lateral-alias sugar legitimately plans an
     # extra Project over the Aggregate.)
-    from pyspark_distributed_kmodes_spark.operators.analytics12 import _R06_SQL
+    from pyspark_distributed_kmodes_spark.operators.analytics12 import _O06_SQL
     from pyspark_distributed_kmodes_spark.functions.deterministic import sql_pround
 
     static_name = spark.sql(
-        _R06_SQL.format(net=sql_pround("gross - disc_amt", 2)).replace(
-            "IDENTIFIER(r06_tbl)", "lineitem"
+        _O06_SQL.format(net=sql_pround("gross - disc_amt", 2)).replace(
+            "IDENTIFIER(o06_tbl)", "lineitem"
         )
     )
 
@@ -208,9 +209,9 @@ def test_r06_identifier_plan_equals_static(spark, sf_dir, reg):
     assert shape(df) == shape(static_name)
 
 
-def test_r07_matches_python_utf8(spark, sf_dir, reg, duck):
+def test_o07_matches_python_utf8(spark, sf_dir, reg, duck):
     rows = {r.source: (r.n_docs, r.n_invalid, r.valid_chars) for r in
-            reg["r07_utf8_validation"].fn(spark, sf_dir).collect()}
+            reg["o07_utf8_validation"].fn(spark, sf_dir).collect()}
     per = defaultdict(lambda: [0, 0, 0])
     for doc_id, src, text in duck.execute(
         "SELECT doc_id, source, text FROM documents"
@@ -231,10 +232,10 @@ def test_r07_matches_python_utf8(spark, sf_dir, reg, duck):
     assert rows == {s: tuple(v) for s, v in per.items()}
 
 
-def test_r08_matches_python_distinct(spark, sf_dir, reg, duck):
+def test_o08_matches_python_distinct(spark, sf_dir, reg, duck):
     """Bitmap counts must equal python set cardinalities, per priority
     and globally (the OR-merge path)."""
-    rows = reg["r08_bitmap_distinct_rollup"].fn(spark, sf_dir).collect()
+    rows = reg["o08_bitmap_distinct_rollup"].fn(spark, sf_dir).collect()
     per = defaultdict(set)
     for pr, ck in duck.execute(
         "SELECT o_orderpriority, o_custkey FROM orders"
@@ -247,7 +248,7 @@ def test_r08_matches_python_distinct(spark, sf_dir, reg, duck):
         assert r.n_distinct_all == len(all_keys)
 
 
-def test_r08_bitmap_position_bijective(spark):
+def test_o08_bitmap_position_bijective(spark):
     """(bucket, position) must be a bijection over a dense key range —
     the invariant that makes bitmap_count an EXACT distinct count."""
     n = spark.sql(
@@ -260,25 +261,25 @@ def test_r08_bitmap_position_bijective(spark):
     assert n == 100000
 
 
-def test_r09_param_binding_equals_inlined(spark, sf_dir, reg):
+def test_o09_param_binding_equals_inlined(spark, sf_dir, reg):
     """The parameterized query must return exactly the inlined-literal
     rows, the probe column must be identically zero (the hostile bind
     stayed ONE literal), and the optimized plan must equal the static
     query's plan (parameters fold at analysis time)."""
-    df = reg["r09_parameterized_sql"].fn(spark, sf_dir)
+    df = reg["o09_parameterized_sql"].fn(spark, sf_dir)
     rows = df.collect()
     assert rows and all(r.n_probe_hits == 0 for r in rows)
 
     from pyspark_distributed_kmodes_spark.functions.deterministic import sql_pround
-    from pyspark_distributed_kmodes_spark.operators.analytics12 import _R09_SQL, _R09_PROBE
+    from pyspark_distributed_kmodes_spark.operators.analytics12 import _O09_SQL, _O09_PROBE
 
     inlined_text = (
-        _R09_SQL.format(
+        _O09_SQL.format(
             rev=sql_pround("CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)", 2)
         )
         .replace(":status", "'F'")
         .replace(":minp", "1000.0")
-        .replace(":probe", "'" + _R09_PROBE.replace("'", "''") + "'")
+        .replace(":probe", "'" + _O09_PROBE.replace("'", "''") + "'")
     )
     static = spark.sql(inlined_text)
     assert [tuple(r) for r in rows] == [tuple(r) for r in static.collect()]
@@ -296,19 +297,19 @@ def test_r09_param_binding_equals_inlined(spark, sf_dir, reg):
     assert shape(df) == shape(static)
 
 
-def test_r09_positional_markers(spark):
+def test_o09_positional_markers(spark):
     """Breadth pin: positional ? markers bind too (the other half of
     the parameterized-SQL API)."""
     r = spark.sql("SELECT ? * 10 + ? AS v", args=[4, 2]).collect()
     assert r[0].v == 42
 
 
-def test_r10_metadata_matches_files_on_disk(spark, sf_dir, reg, duck):
+def test_o10_metadata_matches_files_on_disk(spark, sf_dir, reg, duck):
     """Independent re-derivation straight from _metadata: each priority
     maps to exactly one file whose row_index spans 0..count-1, and
     counts equal the source group counts."""
     rows = {r.o_orderpriority: r for r in
-            reg["r10_file_metadata_provenance"].fn(spark, sf_dir).collect()}
+            reg["o10_file_metadata_provenance"].fn(spark, sf_dir).collect()}
     exact = dict(duck.execute(
         "SELECT o_orderpriority, COUNT(*) FROM orders GROUP BY 1").fetchall())
     assert set(rows) == set(exact)
@@ -317,7 +318,7 @@ def test_r10_metadata_matches_files_on_disk(spark, sf_dir, reg, duck):
         assert r.ri_zero_based == r.ri_contiguous == r.has_size == 1
 
 
-def test_r11_matches_python_chunker(spark, sf_dir, reg, duck):
+def test_o11_matches_python_chunker(spark, sf_dir, reg, duck):
     """Full python replay of the chunker at sf0.001: window placement,
     the integer chunk-count arithmetic, tail clamping, and the md5
     fingerprint text must all agree."""
@@ -336,7 +337,7 @@ def test_r11_matches_python_chunker(spark, sf_dir, reg, duck):
             st[1] += len(ck)
             st[2] += 1 if len(ck) == W else 0
             st[3].add(hashlib.md5(" ".join(ck).encode()).hexdigest())
-    rows = {r.source: r for r in reg["r11_passage_chunking"].fn(spark, sf_dir).collect()}
+    rows = {r.source: r for r in reg["o11_passage_chunking"].fn(spark, sf_dir).collect()}
     assert set(rows) == set(per)
     for src, (nc, stok, nfull, hs) in per.items():
         r = rows[src]
@@ -345,7 +346,7 @@ def test_r11_matches_python_chunker(spark, sf_dir, reg, duck):
         )
 
 
-def test_r11_neighbor_overlap_property(spark, sf_dir):
+def test_o11_neighbor_overlap_property(spark, sf_dir):
     """Semantic invariant the aggregate can't see: consecutive full
     chunks of one document must overlap in exactly W-S tokens."""
     from pyspark_distributed_kmodes_spark.sources.tables import table as _table
@@ -365,12 +366,12 @@ def test_r11_neighbor_overlap_property(spark, sf_dir):
     assert c0[S:] == c1[: W - S] and len(c0[S:]) == W - S
 
 
-def test_r12_matches_python_dedup(spark, sf_dir, reg, duck):
+def test_o12_matches_python_dedup(spark, sf_dir, reg, duck):
     """Every planted duplicate (event_id % 37 == 0, +30 s copy) must be
     dropped and every original kept — re-derived from the raw table in
     python, not from the oracle SQL."""
     rows = {r.event_type: r for r in
-            reg["r12_stream_dedup_within_watermark"].fn(spark, sf_dir).collect()}
+            reg["o12_stream_dedup_within_watermark"].fn(spark, sf_dir).collect()}
     per = defaultdict(lambda: [0, 0, 0, set()])
     for et, eid, uid in duck.execute(
         "SELECT event_type, event_id, user_id FROM events"
@@ -388,11 +389,11 @@ def test_r12_matches_python_dedup(spark, sf_dir, reg, duck):
         )
 
 
-def test_r13_matches_python_explode(spark, sf_dir, reg, duck):
+def test_o13_matches_python_explode(spark, sf_dir, reg, duck):
     """Re-derive the exploded (type, pos) sums from the raw columns:
     pos 0 carries user_id, pos 1 carries event_id % 100."""
     rows = {(r.event_type, r.pos): (r.n, r.sum_val) for r in
-            reg["r13_variant_explode_lateral"].fn(spark, sf_dir).collect()}
+            reg["o13_variant_explode_lateral"].fn(spark, sf_dir).collect()}
     per = defaultdict(lambda: [0, 0])
     for et, uid, eid in duck.execute(
         "SELECT event_type, user_id, event_id FROM events"
@@ -404,7 +405,7 @@ def test_r13_matches_python_explode(spark, sf_dir, reg, duck):
     assert rows == {k: tuple(v) for k, v in per.items()}
 
 
-def test_r13_object_mode_yields_keys(spark):
+def test_o13_object_mode_yields_keys(spark):
     """Breadth pin: variant_explode over an OBJECT emits key names (the
     mode the array-based query doesn't exercise)."""
     rows = spark.sql(
@@ -429,7 +430,7 @@ def _py_luhn_valid(acct: str) -> bool:
     return total % 10 == 0
 
 
-def test_r14_generator_matches_textbook_luhn(spark):
+def test_o14_generator_matches_textbook_luhn(spark):
     """The in-SQL check-digit fold must produce accounts the textbook
     python Luhn validates, and the +5 middle-digit corruption must
     always invalidate them."""
@@ -462,11 +463,11 @@ def test_r14_generator_matches_textbook_luhn(spark):
         assert not _py_luhn_valid(corrupted), corrupted
 
 
-def test_r14_matches_python_plant(spark, sf_dir, reg, duck):
+def test_o14_matches_python_plant(spark, sf_dir, reg, duck):
     """Per-nation invalid counts must equal the plant rule re-derived
     in python."""
     rows = {r.nationkey: (r.n_accounts, r.n_invalid, r.n_valid) for r in
-            reg["r14_luhn_checksum_quarantine"].fn(spark, sf_dir).collect()}
+            reg["o14_luhn_checksum_quarantine"].fn(spark, sf_dir).collect()}
     per = defaultdict(lambda: [0, 0, 0])
     for ck, nk in duck.execute("SELECT c_custkey, c_nationkey FROM customer").fetchall():
         st = per[nk]
@@ -483,30 +484,30 @@ def test_r_new_keys_stay_jvm_side(spark, sf_dir, reg):
     """Plan pins: the new r-keys are pure JVM plans — no Python eval
     nodes anywhere, scan counts bounded (one pass over the source),
     and the explode-based keys use the Generate operator."""
-    r08 = _phys(reg["r08_bitmap_distinct_rollup"].fn(spark, sf_dir))
+    r08 = _phys(reg["o08_bitmap_distinct_rollup"].fn(spark, sf_dir))
     assert "EvalPython" not in r08
     assert r08.count("Scan parquet") <= 2  # CTE may replay the orders scan once
 
-    r11 = _phys(reg["r11_passage_chunking"].fn(spark, sf_dir))
+    r11 = _phys(reg["o11_passage_chunking"].fn(spark, sf_dir))
     assert "EvalPython" not in r11
     assert r11.count("Scan parquet") == 1
     assert "Generate" in r11  # the sequence/explode fan-out
 
-    r13 = _phys(reg["r13_variant_explode_lateral"].fn(spark, sf_dir))
+    r13 = _phys(reg["o13_variant_explode_lateral"].fn(spark, sf_dir))
     assert "EvalPython" not in r13
     assert r13.count("Scan parquet") == 1
     assert "Generate" in r13  # variant_explode is a generator
 
-    r14 = _phys(reg["r14_luhn_checksum_quarantine"].fn(spark, sf_dir))
+    r14 = _phys(reg["o14_luhn_checksum_quarantine"].fn(spark, sf_dir))
     assert "EvalPython" not in r14
     assert r14.count("Scan parquet") == 1
 
 
-def test_r15_matches_python_replay(spark, sf_dir, reg, duck):
+def test_o15_matches_python_replay(spark, sf_dir, reg, duck):
     """Full python replay of the audited outer join: the day-tercile
     cut, the watermark boundary, the matched pair set, and the
     null-click set re-derived from the raw table."""
-    row = reg["r15_stream_outer_join"].fn(spark, sf_dir).collect()[0]
+    row = reg["o15_stream_outer_join"].fn(spark, sf_dir).collect()[0]
     import datetime
 
     ev = duck.execute("SELECT event_id, user_id, ts, event_type FROM events").fetchall()
@@ -539,7 +540,7 @@ def test_r15_matches_python_replay(spark, sf_dir, reg, duck):
     assert row.sum_null_click_ids == sum(nulls)
 
 
-def test_r15_outer_null_emission_unit(spark, tmp_path):
+def test_o15_outer_null_emission_unit(spark, tmp_path):
     """Pin the core guarantee r15 relies on: a micro-batch evicts (and
     null-emits) unmatched left rows using the watermark established by
     the PREVIOUS batch — so the eviction needs a batch after the one
@@ -606,14 +607,14 @@ def test_r15_outer_null_emission_unit(spark, tmp_path):
     assert all(r.p_id is None for r in out)
 
 
-def test_r16_matches_python_batch_evolution(spark, sf_dir, reg, duck):
+def test_o16_matches_python_batch_evolution(spark, sf_dir, reg, duck):
     """Replay the change feed in python: per batch, cumulative
     count/sum per type over the day-tercile chunks, with a row emitted
     only when the type has at least one event IN that batch."""
     from collections import Counter
 
     rows = {(r.batch_id, r.event_type): (r.change_type, r.n_events, r.sum_event_id)
-            for r in reg["r16_statestore_changefeed"].fn(spark, sf_dir).collect()}
+            for r in reg["o16_statestore_changefeed"].fn(spark, sf_dir).collect()}
     ev = duck.execute("SELECT event_type, event_id, ts FROM events").fetchall()
     n = len(ev)
     days = Counter(ts.date() for _, _, ts in ev)
@@ -670,7 +671,7 @@ def _py_dynamic_sessions(events_us):
     return sessions
 
 
-def test_r17_matches_python_sessionization(spark, sf_dir, reg):
+def test_o17_matches_python_sessionization(spark, sf_dir, reg):
     """Full python replay of the per-event-gap sessionization over the
     real events table, down to the exact-microsecond durations and the
     final per-session-count histogram."""
@@ -695,12 +696,12 @@ def test_r17_matches_python_sessionization(spark, sf_dir, reg):
         h[2] += sum(d for _, d in ss)
     got = {
         r.n_sessions: (r.n_users, r.n_events, r.total_duration_us)
-        for r in reg["r17_dynamic_gap_sessions"].fn(spark, sf_dir).collect()
+        for r in reg["o17_dynamic_gap_sessions"].fn(spark, sf_dir).collect()
     }
     assert got == {k: tuple(v) for k, v in hist.items()}
 
 
-def test_r17_boundary_inclusive_and_max_end_pins(spark):
+def test_o17_boundary_inclusive_and_max_end_pins(spark):
     """The two merge subtleties the oracle depends on, pinned exactly as
     probed: (a) an event at EXACTLY the previous session end merges
     (end-boundary inclusive -> oracle's new-session rule is strict >);
@@ -740,7 +741,7 @@ def test_r17_boundary_inclusive_and_max_end_pins(spark):
 # r18 — ANSI try_* arithmetic quarantine
 
 
-def test_r18_matches_python_bigint_semantics(spark, sf_dir, reg, duck):
+def test_o18_matches_python_bigint_semantics(spark, sf_dir, reg, duck):
     """Arbitrary-precision python replay of every planted failure class:
     the 2^63-1 overflow boundary, div-zero nulls, addition margins, and
     bad casts — including IEEE-identical FLOOR(q*1000) quotient bins."""
@@ -791,7 +792,7 @@ def test_r18_matches_python_bigint_semantics(spark, sf_dir, reg, duck):
             r.n_bad_cast,
             r.sum_cast,
         )
-        for r in reg["r18_try_arithmetic_quarantine"].fn(spark, sf_dir).collect()
+        for r in reg["o18_try_arithmetic_quarantine"].fn(spark, sf_dir).collect()
     }
     assert got == {pr: tuple(v) for pr, v in agg.items()}
     # every failure class must actually fire on this data
@@ -801,7 +802,7 @@ def test_r18_matches_python_bigint_semantics(spark, sf_dir, reg, duck):
     assert sum(v[7] for v in agg.values()) > 0
 
 
-def test_r18_plain_arithmetic_raises_under_ansi(spark):
+def test_o18_plain_arithmetic_raises_under_ansi(spark):
     """The quarantine is real, not an alias: the SAME expressions
     WITHOUT try_ throw under the engine's default ANSI mode."""
     assert spark.conf.get("spark.sql.ansi.enabled") == "true"
@@ -817,7 +818,7 @@ def test_r18_plain_arithmetic_raises_under_ansi(spark):
 # r19 — RocksDB state-store provider parity
 
 
-def test_r19_matches_batch_and_restores_conf(spark, sf_dir, reg):
+def test_o19_matches_batch_and_restores_conf(spark, sf_dir, reg):
     """The RocksDB-backed state must equal the plain batch GROUP BY,
     and the provider conf must be restored after the query (no session
     leakage into later streaming queries)."""
@@ -825,7 +826,7 @@ def test_r19_matches_batch_and_restores_conf(spark, sf_dir, reg):
     before = spark.conf.get(key)
     got = {
         r.event_type: (r.n_events, r.sum_event_id, r.max_event_id)
-        for r in reg["r19_rocksdb_statestore_parity"].fn(spark, sf_dir).collect()
+        for r in reg["o19_rocksdb_statestore_parity"].fn(spark, sf_dir).collect()
     }
     assert spark.conf.get(key) == before
     from pyspark_distributed_kmodes_spark.sources.tables import table
@@ -844,7 +845,7 @@ def test_r19_matches_batch_and_restores_conf(spark, sf_dir, reg):
     assert got == exp
 
 
-def test_r19_provider_layout_signatures(spark, tmp_path):
+def test_o19_provider_layout_signatures(spark, tmp_path):
     """The on-disk signature r19's hard-fail guard relies on: RocksDB
     checkpoints upload *.zip snapshots; the HDFSBacked provider writes
     *.delta files and no zips — so the guard cannot pass on a silent
@@ -891,13 +892,13 @@ def test_r19_provider_layout_signatures(spark, tmp_path):
 # r20 — rate-micro-batch source: deterministic offsets across restarts
 
 
-def test_r20_matches_closed_form(spark, sf_dir, reg):
+def test_o20_matches_closed_form(spark, sf_dir, reg):
     """The source contract replayed in python: 3 availableNow restarts
     x 500 rows, values contiguous from the committed offset, batch k
     stamped k*1000 ms."""
     got = {
         r.ts_ms: (r.n_rows, r.min_value, r.max_value, r.sum_value)
-        for r in reg["r20_rate_micro_batch_source"].fn(spark, sf_dir).collect()
+        for r in reg["o20_rate_micro_batch_source"].fn(spark, sf_dir).collect()
     }
     exp = {}
     for k in range(3):
@@ -906,7 +907,7 @@ def test_r20_matches_closed_form(spark, sf_dir, reg):
     assert got == exp
 
 
-def test_r20_each_restart_is_one_batch(spark, tmp_path):
+def test_o20_each_restart_is_one_batch(spark, tmp_path):
     """The contract the query relies on, pinned in isolation: every
     availableNow restart of rate-micro-batch emits EXACTLY one more
     batch, resuming values from the checkpointed offset."""
@@ -937,7 +938,7 @@ def test_r20_each_restart_is_one_batch(spark, tmp_path):
 # r21 — XPath expression family
 
 
-def test_r21_matches_python(spark, sf_dir, reg, duck):
+def test_o21_matches_python(spark, sf_dir, reg, duck):
     """Python replay of the per-order aggregates the XPath pipeline
     must reproduce from its synthesized documents."""
     rows = duck.execute(
@@ -958,12 +959,12 @@ def test_r21_matches_python(spark, sf_dir, reg, duck):
         b[3] += h
     got = {
         r.bucket: (r.n_orders, r.n_lineitems, r.sum_qty, r.n_heavy_items)
-        for r in reg["r21_xpath_extraction"].fn(spark, sf_dir).collect()
+        for r in reg["o21_xpath_extraction"].fn(spark, sf_dir).collect()
     }
     assert got == {b: tuple(v) for b, v in buckets.items()}
 
 
-def test_r21_quantity_integrality_precondition(duck):
+def test_o21_quantity_integrality_precondition(duck):
     """The exactness precondition for sum()'s double -> BIGINT cast:
     every l_quantity is integral."""
     bad = duck.execute(
@@ -972,7 +973,7 @@ def test_r21_quantity_integrality_precondition(duck):
     assert bad == 0
 
 
-def test_r21_xpath_predicate_boundary(spark):
+def test_o21_xpath_predicate_boundary(spark):
     """XPath 1.0 numeric coercion on the attribute predicate, pinned at
     the boundary: @q>30 selects 31 (string '31' coerced to number),
     excludes 30 exactly, and the three extraction forms agree on a
@@ -994,7 +995,7 @@ def test_r21_xpath_predicate_boundary(spark):
 # r22 — runtime Bloom-filter join
 
 
-def test_r22_bloom_on_equals_bloom_off(spark, sf_dir, reg):
+def test_o22_bloom_on_equals_bloom_off(spark, sf_dir, reg):
     """In-engine equivalence: the bloom-filtered join must return
     exactly what the same join returns with runtime filters disabled —
     the filter may only pre-prune, never change results. Also pins
@@ -1008,7 +1009,7 @@ def test_r22_bloom_on_equals_bloom_off(spark, sf_dir, reg):
     ]
     before = {k: spark.conf.get(k, None) for k in keys}
     with_bloom = sorted(
-        tuple(r) for r in reg["r22_runtime_bloom_filter_join"].fn(spark, sf_dir).collect()
+        tuple(r) for r in reg["o22_runtime_bloom_filter_join"].fn(spark, sf_dir).collect()
     )
     assert {k: spark.conf.get(k, None) for k in keys} == before
 
@@ -1041,25 +1042,25 @@ def test_r22_bloom_on_equals_bloom_off(spark, sf_dir, reg):
     assert with_bloom == without_bloom
 
 
-def test_r22_injection_guard_fires(spark, sf_dir, reg, monkeypatch):
+def test_o22_injection_guard_fires(spark, sf_dir, reg, monkeypatch):
     """The hard-fail guard is real: with injection structurally
     impossible (creation-side threshold floored to 0 bytes), the
     query raises instead of silently running the unfiltered join."""
     from pyspark_distributed_kmodes_spark.operators import analytics12
 
-    broken = dict(analytics12._R22_CONFS)
+    broken = dict(analytics12._O22_CONFS)
     broken["spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"] = "0"
     broken["spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"] = "1000TB"
-    monkeypatch.setattr(analytics12, "_R22_CONFS", broken)
+    monkeypatch.setattr(analytics12, "_O22_CONFS", broken)
     with pytest.raises(RuntimeError, match="bloom filter was not injected"):
-        reg["r22_runtime_bloom_filter_join"].fn(spark, sf_dir)
+        reg["o22_runtime_bloom_filter_join"].fn(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
 # r23 — SQL TRANSFORM script pipe
 
 
-def test_r23_matches_python(spark, sf_dir, reg, duck):
+def test_o23_matches_python(spark, sf_dir, reg, duck):
     """Python replay of the aggregate the piped rows must reproduce —
     any serde/cast loss in the row->text->process->row loop shows up
     here as well as in the hash gate."""
@@ -1074,12 +1075,12 @@ def test_r23_matches_python(spark, sf_dir, reg, duck):
         st[2] += k
     got = {
         (r.flag, r.bucket): (r.n_rows, r.sum_qty, r.sum_okey)
-        for r in reg["r23_sql_transform_pipe"].fn(spark, sf_dir).collect()
+        for r in reg["o23_sql_transform_pipe"].fn(spark, sf_dir).collect()
     }
     assert got == {k: tuple(v) for k, v in agg.items()}
 
 
-def test_r23_serde_edges_tab_escaped_newline_splits(spark):
+def test_o23_serde_edges_tab_escaped_newline_splits(spark):
     """The serde's edges pinned as probed on this Spark version: an
     embedded TAB survives (the default transform serde escapes it —
     lossless), but an embedded NEWLINE splits the ROW into two output
@@ -1099,7 +1100,7 @@ def test_r23_serde_edges_tab_escaped_newline_splits(spark):
     )
 
 
-def test_r23_typed_roundtrip_negatives(spark):
+def test_o23_typed_roundtrip_negatives(spark):
     """String->BIGINT re-typing on the AS clause survives negatives and
     zero through the pipe."""
     rows = spark.sql(
@@ -1113,7 +1114,7 @@ def test_r23_typed_roundtrip_negatives(spark):
 # r24 — CSV expression round-trip
 
 
-def test_r24_matches_python(spark, sf_dir, reg, duck):
+def test_o24_matches_python(spark, sf_dir, reg, duck):
     """Python replay from raw columns: the parsed-struct aggregates
     must equal count / key-sum / 4+len(status) per priority."""
     rows = duck.execute(
@@ -1127,12 +1128,12 @@ def test_r24_matches_python(spark, sf_dir, reg, duck):
         st[2] += 4 + len(s)
     got = {
         r.priority: (r.n_orders, r.sum_orderkey, r.sum_len_s)
-        for r in reg["r24_csv_expression_roundtrip"].fn(spark, sf_dir).collect()
+        for r in reg["o24_csv_expression_roundtrip"].fn(spark, sf_dir).collect()
     }
     assert got == {p: tuple(v) for p, v in agg.items()}
 
 
-def test_r24_hostile_quoting_roundtrip(spark):
+def test_o24_hostile_quoting_roundtrip(spark):
     """The codec contract on a handcrafted hostile value: embedded
     delimiter + embedded quote survive to_csv -> from_csv exactly,
     and the wire text shows real quoting (the field is quoted and the
@@ -1150,7 +1151,7 @@ def test_r24_hostile_quoting_roundtrip(spark):
 # r25 — GROUP BY ALL / ORDER BY ALL / SELECT * EXCEPT
 
 
-def test_r25_plan_identical_to_explicit(spark, sf_dir, reg):
+def test_o25_plan_identical_to_explicit(spark, sf_dir, reg):
     """All three sugars resolve at analysis time: the optimized plan
     (expr-ids stripped) is node-for-node identical to the fully
     explicit text — which also proves the EXCEPT'd aggregate
@@ -1160,7 +1161,7 @@ def test_r25_plan_identical_to_explicit(spark, sf_dir, reg):
 
     from pyspark_distributed_kmodes_spark.sources.tables import table
 
-    df = reg["r25_sql_sugar_all_except"].fn(spark, sf_dir)
+    df = reg["o25_sql_sugar_all_except"].fn(spark, sf_dir)
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     explicit = spark.sql(
         """SELECT l_returnflag, l_linestatus,
@@ -1176,7 +1177,7 @@ def test_r25_plan_identical_to_explicit(spark, sf_dir, reg):
     assert [tuple(r) for r in df.collect()] == [tuple(r) for r in explicit.collect()]
 
 
-def test_r25_sugar_boundaries(spark):
+def test_o25_sugar_boundaries(spark):
     """The inference rules pinned on literals: GROUP BY ALL picks
     exactly the non-aggregate outputs; ORDER BY ALL orders
     left-to-right over the (post-EXCEPT) output columns."""
@@ -1196,7 +1197,7 @@ def test_r25_sugar_boundaries(spark):
 # r26 — RocksDB changelog checkpointing
 
 
-def test_r26_matches_batch_and_restores_confs(spark, sf_dir, reg):
+def test_o26_matches_batch_and_restores_confs(spark, sf_dir, reg):
     """The changelog-replayed state must equal the plain batch GROUP
     BY, and both touched confs must be restored afterward."""
     pkey = "spark.sql.streaming.stateStore.providerClass"
@@ -1204,7 +1205,7 @@ def test_r26_matches_batch_and_restores_confs(spark, sf_dir, reg):
     before = (spark.conf.get(pkey), spark.conf.get(ckey, None))
     got = {
         r.event_type: (r.n_events, r.sum_user, r.min_event_id)
-        for r in reg["r26_rocksdb_changelog_checkpoint"].fn(spark, sf_dir).collect()
+        for r in reg["o26_rocksdb_changelog_checkpoint"].fn(spark, sf_dir).collect()
     }
     assert (spark.conf.get(pkey), spark.conf.get(ckey, None)) == before
     from pyspark_distributed_kmodes_spark.sources.tables import table
@@ -1223,7 +1224,7 @@ def test_r26_matches_batch_and_restores_confs(spark, sf_dir, reg):
     assert got == exp
 
 
-def test_r26_changelog_layout_contrast(spark, tmp_path):
+def test_o26_changelog_layout_contrast(spark, tmp_path):
     """Layout signatures of the two RocksDB checkpointing modes,
     pinned in isolation: changelog mode writes .changelog files and
     (below the snapshot interval) no zips; snapshot-per-batch mode

@@ -20,10 +20,10 @@ def reg():
     return load_all()
 
 
-def test_q51_profile_partitions_corpus(spark, sf_dir, reg, duck):
+def test_o51_profile_partitions_corpus(spark, sf_dir, reg, duck):
     """min <= avg <= max per cell, and the (lang, source) cells
     partition the documents table exactly."""
-    rows = reg["q51_lang_profile"].fn(spark, sf_dir).collect()
+    rows = reg["o51_lang_profile"].fn(spark, sf_dir).collect()
     total = duck.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
     assert sum(r.n_docs for r in rows) == total
     for r in rows:
@@ -31,8 +31,8 @@ def test_q51_profile_partitions_corpus(spark, sf_dir, reg, duck):
         assert r.min_chars <= r.avg_chars <= r.max_chars
 
 
-def test_q52_quality_score_bounds(spark, sf_dir, reg):
-    for r in reg["q52_quality_score"].fn(spark, sf_dir).collect():
+def test_o52_quality_score_bounds(spark, sf_dir, reg):
+    for r in reg["o52_quality_score"].fn(spark, sf_dir).collect():
         assert r.n_words > 0
         assert r.chars_per_word > 0
         assert 0.0 <= r.stopword_ratio <= 1.0
@@ -40,8 +40,8 @@ def test_q52_quality_score_bounds(spark, sf_dir, reg):
         assert r.passes_quality in (0, 1)
 
 
-def test_q53_token_count_partitions_corpus(spark, sf_dir, reg, duck):
-    rows = reg["q53_token_count"].fn(spark, sf_dir).collect()
+def test_o53_token_count_partitions_corpus(spark, sf_dir, reg, duck):
+    rows = reg["o53_token_count"].fn(spark, sf_dir).collect()
     total = duck.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
     assert sum(r.n_docs for r in rows) == total
     for r in rows:
@@ -49,10 +49,10 @@ def test_q53_token_count_partitions_corpus(spark, sf_dir, reg, duck):
         assert r.total_words > 0
 
 
-def test_q55_jaccard_pair_canon(spark, sf_dir, reg):
+def test_o55_jaccard_pair_canon(spark, sf_dir, reg):
     """Pairs are canonical (a < b, no mirror duplicates) and the
     similarity is a true Jaccard: in (0, 1]."""
-    rows = reg["q55_ngram_jaccard"].fn(spark, sf_dir).collect()
+    rows = reg["o55_ngram_jaccard"].fn(spark, sf_dir).collect()
     seen = set()
     for r in rows:
         assert r.doc_a < r.doc_b
@@ -61,16 +61,16 @@ def test_q55_jaccard_pair_canon(spark, sf_dir, reg):
         assert 0.0 < r.jaccard <= 1.0
 
 
-def test_q56_q65_keeper_cross_identity(spark, sf_dir, reg, duck):
+def test_o56_o65_keeper_cross_identity(spark, sf_dir, reg, duck):
     """Cross-query identity: the two dedups share the fingerprint
     domain and their copy counts tile the corpus; the keep POLICIES
     differ by design (q56 keeps min doc_id, q65 keeps longest-then-
     lowest), so q65's keeper can never precede q56's min-id keeper and
     must EQUAL it on singleton groups."""
     q56 = {r.fingerprint: (r.n_copies, r.keeper_doc_id)
-           for r in reg["q56_exact_dedup"].fn(spark, sf_dir).collect()}
+           for r in reg["o56_exact_dedup"].fn(spark, sf_dir).collect()}
     q65 = {r.fingerprint: r.doc_id
-           for r in reg["q65_dedup_keep_best"].fn(spark, sf_dir).collect()}
+           for r in reg["o65_dedup_keep_best"].fn(spark, sf_dir).collect()}
     total = duck.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
     assert sum(n for n, _ in q56.values()) == total
     assert set(q65) == set(q56)
@@ -81,11 +81,11 @@ def test_q56_q65_keeper_cross_identity(spark, sf_dir, reg, duck):
             assert doc == min_id
 
 
-def test_q60_topk_ranking_laws(spark, sf_dir, reg):
+def test_o60_topk_ranking_laws(spark, sf_dir, reg):
     """Per query vector: ranks consecutive from 1, cosine in [-1,1]
     nonincreasing with rank, and no self-neighbors."""
     per = defaultdict(list)
-    for r in reg["q60_cosine_topk"].fn(spark, sf_dir).collect():
+    for r in reg["o60_cosine_topk"].fn(spark, sf_dir).collect():
         per[r.vec_id].append(r)
     assert per
     for vid, rows in per.items():

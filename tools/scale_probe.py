@@ -48,9 +48,9 @@ PROBE_QUERIES = [
     "q16_top_spenders",
     "q21_lag_lead_running",
     "q32_session_window",
-    "q50_word_count",
-    "q56_exact_dedup",
-    "q63_minhash_neardup",
+    "o50_word_count",
+    "o56_exact_dedup",
+    "o63_minhash_neardup",
     "q97_dup_clusters",
     "qb05_context_chunks",
     "qb11_duplicate_spans",
@@ -121,26 +121,26 @@ PROBE_QUERIES = [
     "qm58_language_id",
     # round-10 staged r-suite: the data-sized shapes (per-row JVM
     # parse/serialize expressions feeding bounded-key aggregates)
-    "r02_variant_json_extraction",
-    "r03_xml_expression_roundtrip",
-    "r05_url_parsing",
-    "r07_utf8_validation",
-    "r08_bitmap_distinct_rollup",
-    "r10_file_metadata_provenance",
-    "r11_passage_chunking",
-    "r12_stream_dedup_within_watermark",
-    "r13_variant_explode_lateral",
-    "r15_stream_outer_join",
-    "r16_statestore_changefeed",
-    "r17_dynamic_gap_sessions",
-    "r18_try_arithmetic_quarantine",
-    "r19_rocksdb_statestore_parity",
-    "r21_xpath_extraction",
-    "r22_runtime_bloom_filter_join",
-    "r23_sql_transform_pipe",
-    "r24_csv_expression_roundtrip",
-    "r25_sql_sugar_all_except",
-    "r26_rocksdb_changelog_checkpoint",
+    "o02_variant_json_extraction",
+    "o03_xml_expression_roundtrip",
+    "o05_url_parsing",
+    "o07_utf8_validation",
+    "o08_bitmap_distinct_rollup",
+    "o10_file_metadata_provenance",
+    "o11_passage_chunking",
+    "o12_stream_dedup_within_watermark",
+    "o13_variant_explode_lateral",
+    "o15_stream_outer_join",
+    "o16_statestore_changefeed",
+    "o17_dynamic_gap_sessions",
+    "o18_try_arithmetic_quarantine",
+    "o19_rocksdb_statestore_parity",
+    "o21_xpath_extraction",
+    "o22_runtime_bloom_filter_join",
+    "o23_sql_transform_pipe",
+    "o24_csv_expression_roundtrip",
+    "o25_sql_sugar_all_except",
+    "o26_rocksdb_changelog_checkpoint",
 ]
 
 
