@@ -927,6 +927,7 @@ def o12_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataF
         )
         cuts.append(row["cut"])
     stage = tempfile.mkdtemp(prefix="o12_stage_")
+    _rmtree_at_exit(stage)  # register NOW so the timeout/error path can't leak it
     for i in range(3):
         cond = F.lit(True)
         if i > 0:
@@ -942,6 +943,7 @@ def o12_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataF
     ).transform(cut_lineage)
 
     target_root = tempfile.mkdtemp(prefix="o12_target_")
+    _rmtree_at_exit(target_root)  # sink read below is lazy; atexit covers error paths too
     ckpt = os.path.join(target_root, "ckpt")
     sink = os.path.join(target_root, "survivors")
     stream = (
@@ -1216,6 +1218,7 @@ def o15_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     chunk_files = _time_chunk_files(spark, sf_dir, 3)
     stage = tempfile.mkdtemp(prefix="o15_stage_")
+    _rmtree_at_exit(stage)  # register NOW so the timeout/error path can't leak it
     for f in chunk_files:
         shutil.copy(f, stage)
     _order_stage_files(stage)
@@ -1273,6 +1276,7 @@ def o15_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "leftOuter",
     )
     target_root = tempfile.mkdtemp(prefix="o15_target_")
+    _rmtree_at_exit(target_root)  # sink read below is lazy; atexit covers error paths too
     sink = os.path.join(target_root, "sink")
     q = (
         joined.writeStream.format("parquet")
@@ -1382,6 +1386,7 @@ def o16_statestore_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     chunk_files = _time_chunk_files(spark, sf_dir, 3)
     stage = tempfile.mkdtemp(prefix="o16_stage_")
+    _rmtree_at_exit(stage)  # register NOW so the timeout/error path can't leak it
     for f in chunk_files:
         shutil.copy(f, stage)
     _order_stage_files(stage)
@@ -1394,6 +1399,7 @@ def o16_statestore_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"), F.sum("event_id").alias("sm")
     )
     ckpt_root = tempfile.mkdtemp(prefix="o16_ckpt_")
+    _rmtree_at_exit(ckpt_root)  # register NOW so the timeout/error path can't leak it
     ckpt = os.path.join(ckpt_root, "ck")
     q = (
         agg.writeStream.format("noop")
@@ -1688,6 +1694,8 @@ def o19_rocksdb_statestore_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     e = table(spark, sf_dir, "events")
     stage = tempfile.mkdtemp(prefix="o19_stage_")
     ckpt_root = tempfile.mkdtemp(prefix="o19_ckpt_")
+    _rmtree_at_exit(stage)  # register NOW so the timeout/error path can't leak them
+    _rmtree_at_exit(ckpt_root)
     src = os.path.join(stage, "src")
     e.write.mode("overwrite").parquet(src)
     prev = spark.conf.get(_O19_PROVIDER_KEY)
@@ -1780,6 +1788,7 @@ def o20_rate_micro_batch_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_distributed_kmodes_spark.operators.analytics10 import _rmtree_at_exit
 
     root = tempfile.mkdtemp(prefix="o20_runs_")
+    _rmtree_at_exit(root)  # register NOW so the timeout/error path can't leak it
     out, ckpt = os.path.join(root, "out"), os.path.join(root, "ck")
     for _ in range(3):
         src = (
@@ -2201,6 +2210,7 @@ def o26_rocksdb_changelog_checkpoint(spark: SparkSession, sf_dir: str) -> DataFr
 
     chunk_files = _time_chunk_files(spark, sf_dir, 3)
     stage = tempfile.mkdtemp(prefix="o26_stage_")
+    _rmtree_at_exit(stage)  # register NOW so the timeout/error path can't leak it
     for f in chunk_files:
         shutil.copy(f, stage)
     _order_stage_files(stage)
@@ -2225,6 +2235,7 @@ def o26_rocksdb_changelog_checkpoint(spark: SparkSession, sf_dir: str) -> DataFr
             F.min("event_id").alias("mn"),
         )
         ckpt_root = tempfile.mkdtemp(prefix="o26_ckpt_")
+        _rmtree_at_exit(ckpt_root)  # register NOW so the timeout/error path can't leak it
         ckpt = os.path.join(ckpt_root, "ck")
         q = (
             agg.writeStream.format("noop")

@@ -43,6 +43,12 @@ _TMP_PREFIXES = (
     "e06_jsonl_sink_", "qh10_orc_", "qh11_part_", "qi02_snap_",
     "qi27_evo_", "qj08_bin_", "qj09_text_", "qj34_wap_", "qj40_dpo_",
     "qk23_xml_", "qk24_csv_", "qk25_zstd_", "qb34_bucketed_",
+    # the former r-suite (now o-keys) streaming/staging dirs — each is
+    # also atexit-registered at mkdtemp time, so the sweeper only has
+    # to catch dirs orphaned by a killed process
+    "o10_meta_", "o12_stage_", "o12_target_", "o15_stage_",
+    "o15_target_", "o16_stage_", "o16_ckpt_", "o19_stage_",
+    "o19_ckpt_", "o20_runs_", "o26_stage_", "o26_ckpt_",
 )
 _SWEEP_DONE = False
 

@@ -718,6 +718,11 @@ def test_o17_boundary_inclusive_and_max_end_pins(spark):
         (2, dt.datetime(2024, 1, 1, 0, 0, 0), "purchase"),
         (2, dt.datetime(2024, 1, 1, 0, 30, 0), "view"),
         (2, dt.datetime(2024, 1, 1, 0, 50, 0), "view"),
+        # user 3 discriminates MAX-of-ends from last-event-end: the
+        # early purchase window (end 1:00) outlasts the final view
+        # (end 0:45) with no later events — session end must be 1:00
+        (3, dt.datetime(2024, 1, 1, 0, 0, 0), "purchase"),
+        (3, dt.datetime(2024, 1, 1, 0, 30, 0), "view"),
     ]
     df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
     gap = (
@@ -734,6 +739,7 @@ def test_o17_boundary_inclusive_and_max_end_pins(spark):
     assert got == {
         (1, 2): ("2024-01-01 00:00:00", "2024-01-01 00:45:00"),
         (2, 3): ("2024-01-01 00:00:00", "2024-01-01 01:05:00"),
+        (3, 2): ("2024-01-01 00:00:00", "2024-01-01 01:00:00"),
     }
 
 
@@ -1144,7 +1150,7 @@ def test_o24_hostile_quoting_roundtrip(spark):
                            'a STRING, b BIGINT') AS back"""
     ).collect()[0]
     assert r.back.a == 'x,O"y' and r.back.b == 7
-    assert r.wire.startswith('"') and "\\\"" in r.wire or '""' in r.wire
+    assert r.wire.startswith('"') and ("\\\"" in r.wire or '""' in r.wire)
 
 
 # ---------------------------------------------------------------------------
