@@ -902,7 +902,6 @@ def o12_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataF
     volume. Each micro-batch shuffles once on the dedup key.
     """
     import os
-    import shutil
     import tempfile
 
     from pyspark.sql import Window
@@ -974,7 +973,8 @@ def o12_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataF
     if not q.awaitTermination(timeout=300):
         q.stop()
         raise TimeoutError("r12: availableNow stream did not finish within 300 s")
-    shutil.rmtree(stage, ignore_errors=True)
+    # stage is NOT rmtree'd here: _O12_STAGE_CACHE reuses it across calls
+    # (atexit cleanup is already registered at mkdtemp time)
     _rmtree_at_exit(target_root)  # sink read below is lazy
     survivors = spark.read.parquet(sink)
     per_type = survivors.groupBy("event_type").agg(
