@@ -3,7 +3,7 @@ stay valid and cardinalities really grow) into a temp dir, then time the
 headline queries at both scales. Near-linear growth = the plans hold;
 super-linear growth = a shuffle/crossjoin bottleneck to fix.
 
-    python tools/scale_probe.py [K] [--unique-text] [--only q1,q2,...]
+    python tools/scale_probe.py [K] [--unique-text] [--unique-embeddings] [--only q1,q2,...]
 
 --unique-text: Caesar-shift each document-text replica by its replica
 index (bijective letter map — length-preserving, within-replica dup
@@ -13,6 +13,14 @@ workload grow ~K² (every doc gains K-1 exact twins), so readings for
 qi01/qg04/m30 measure that real quadratic workload, not a plan defect
 (the documented "replication artifact"). Unique-text mode grows true
 pair work ~linearly and is the honest probe for those queries.
+
+--unique-embeddings: circular-shift each embedding replica's components
+by 7x its replica index (norm-preserving bijection — within-replica
+cosine structure exactly preserved, cross-replica cosines decorrelated).
+Identical-embedding replication gives every vector K-1 exact twins, so
+true near-dup pair workload grows ~K^2 for p01/qb30-class queries (the
+embedding form of the replication artifact); this flag is the honest
+linear-workload probe for them.
 
 --only: comma-separated subset of PROBE_QUERIES to run.
 """
@@ -141,6 +149,8 @@ PROBE_QUERIES = [
     "o24_csv_expression_roundtrip",
     "o25_sql_sugar_all_except",
     "o26_rocksdb_changelog_checkpoint",
+    "p01_semantic_dedup_fixed_quantizer",
+    "p02_kmodes_fit_step_trace",
 ]
 
 
@@ -155,7 +165,22 @@ def _caesar(col, shift: int):
     return F.translate(col, _ALPHA + _ALPHA.upper(), rot + rot.upper())
 
 
-def replicate(spark, src_dir: str, dst_dir: str, k: int, unique_text: bool = False) -> None:
+def _roll(col, shift: int):
+    """Per-replica circular shift of the embedding components (identity
+    at shift 0): norm-preserving and bijective, so within-replica
+    cosine structure is EXACTLY preserved while cross-replica cosines
+    decorrelate (a rolled vector's dot with an unrolled one mixes
+    unrelated components) — the embedding analog of _caesar."""
+    if shift == 0:
+        return col
+    s = F.lit(shift % 64)
+    return F.concat(F.slice(col, s + 1, F.lit(64) - s), F.slice(col, 1, s))
+
+
+def replicate(
+    spark, src_dir: str, dst_dir: str, k: int, unique_text: bool = False,
+    unique_embeddings: bool = False,
+) -> None:
     for t in TABLES:
         df = table(spark, src_dir, t)
         if t in REPLICATED:
@@ -167,6 +192,8 @@ def replicate(spark, src_dir: str, dst_dir: str, k: int, unique_text: bool = Fal
                         rep = rep.withColumn(col, F.col(col) + F.lit(i * stride))
                 if unique_text and t == "documents":
                     rep = rep.withColumn("text", _caesar(F.col("text"), i))
+                if unique_embeddings and t == "embeddings":
+                    rep = rep.withColumn("embedding", _roll(F.col("embedding"), i * 7))
                 parts.append(rep)
             out = parts[0]
             for p in parts[1:]:
@@ -195,6 +222,7 @@ def main():
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     k = int(pos[0]) if pos else 10
     unique_text = "--unique-text" in sys.argv
+    unique_embeddings = "--unique-embeddings" in sys.argv
     names = None
     for a in sys.argv[1:]:
         if a.startswith("--only"):
@@ -206,12 +234,14 @@ def main():
     base = "/root/testdata/sf0.1"
     big = tempfile.mkdtemp(prefix="scale_probe_")
     try:
-        replicate(spark, base, big, k, unique_text=unique_text)
+        replicate(spark, base, big, k, unique_text=unique_text,
+                  unique_embeddings=unique_embeddings)
         t_small = time_queries(spark, reg, base, names)
         t_big = time_queries(spark, reg, big, names)
         report = {
             "k": k,
             "unique_text": unique_text,
+            "unique_embeddings": unique_embeddings,
             "sf0.1_sec": t_small,
             f"sf0.1x{k}_sec": t_big,
             "scaling_factor": {
