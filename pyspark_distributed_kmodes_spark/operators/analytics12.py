@@ -860,12 +860,71 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
-# staged-chunk cache keyed by sf_dir: the chunk content is a pure
-# deterministic function of the input table, so repeated calls in one
-# process (bench median-of-3/5, mirror re-runs) reuse the files and the
-# timed number measures the ENGINE (stream replay + stateful dedup),
-# not tmpfile setup. The checkpoint/sink dirs stay fresh per call.
-_O12_STAGE_CACHE: dict[str, str] = {}
+# staged-chunk cache keyed by (sf_dir, doubled): the chunk content is a
+# pure deterministic function of the input table, so repeated calls in
+# one process (bench median-of-3/5, mirror re-runs) reuse the files and
+# the timed number measures the ENGINE (stream replay + stateful ops),
+# not tmpfile setup. Checkpoint/sink dirs stay fresh per call.
+_EVENT_STAGE_CACHE: dict[tuple[str, bool], str] = {}
+
+
+def stage_event_terciles(spark: SparkSession, sf_dir: str, doubled: bool) -> str:
+    """Stage the events table as THREE chronological single-file parquet
+    chunks (day-tercile cuts, strictly increasing mtimes so the
+    FileStreamSource replay order is pinned — see _order_stage_files).
+    With doubled=True the o12 plant rule applies first (every
+    event_id % 37 == 0 row re-injected at ts + 30 s). Memoized per
+    (sf_dir, doubled); shared by every streaming audit key that replays
+    the events stream (o12, p03, p04, p05, p06)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from pyspark_distributed_kmodes_spark.operators.analytics10 import (
+        _rmtree_at_exit,
+        _write_single_file,
+    )
+
+    stage = _EVENT_STAGE_CACHE.get((sf_dir, doubled))
+    if stage is not None and os.path.isdir(stage):
+        return stage
+    e = table(spark, sf_dir, "events")
+    src = e
+    if doubled:
+        src = e.unionByName(
+            e.where(F.col("event_id") % 37 == 0).withColumn(
+                "ts", F.col("ts") + F.expr("INTERVAL 30 SECONDS")
+            )
+        )
+    # chronological 3-way split by day terciles (the m02 pattern):
+    # day-dictionary cuts, one single-file chunk each
+    days = src.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    n = src.count()
+    wd = Window.orderBy(F.asc("d"))  # bounded: day dictionary
+    cum = days.select("d", F.sum("c").over(wd).alias("cum")).transform(cut_lineage)
+    cuts = []
+    for k in range(1, 3):
+        row = (
+            cum.where(F.col("cum") >= F.lit(int(-(-(n * k) // 3))))
+            .agg(F.min("d").alias("cut"))
+            .collect()[0]
+        )
+        cuts.append(row["cut"])
+    stage = tempfile.mkdtemp(prefix="evstage_")
+    _rmtree_at_exit(stage)  # register NOW so the timeout/error path can't leak it
+    for i in range(3):
+        cond = F.lit(True)
+        if i > 0:
+            cond = cond & (F.date_trunc("day", "ts") >= F.lit(cuts[i - 1]))
+        if i < 2:
+            cond = cond & (F.date_trunc("day", "ts") < F.lit(cuts[i]))
+        _write_single_file(src.where(cond), os.path.join(stage, f"chunk{i}.parquet"))
+    _order_stage_files(stage)
+    _EVENT_STAGE_CACHE[(sf_dir, doubled)] = stage
+    return stage
 
 
 @query(
@@ -904,48 +963,9 @@ def o12_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataF
     import os
     import tempfile
 
-    from pyspark.sql import Window
+    from pyspark_distributed_kmodes_spark.operators.analytics10 import _rmtree_at_exit
 
-    from pyspark_distributed_kmodes_spark.operators.analytics10 import (
-        _rmtree_at_exit,
-        _write_single_file,
-    )
-
-    stage = _O12_STAGE_CACHE.get(sf_dir)
-    if stage is None or not os.path.isdir(stage):
-        e = table(spark, sf_dir, "events")
-        doubled = e.unionByName(
-            e.where(F.col("event_id") % 37 == 0).withColumn(
-                "ts", F.col("ts") + F.expr("INTERVAL 30 SECONDS")
-            )
-        )
-        # chronological 3-way split by day terciles of the DOUBLED stream
-        # (the m02 pattern): day-dictionary cuts, one single-file chunk each
-        days = doubled.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
-            F.count(F.lit(1)).cast("bigint").alias("c")
-        )
-        n = doubled.count()
-        wd = Window.orderBy(F.asc("d"))  # bounded: day dictionary
-        cum = days.select("d", F.sum("c").over(wd).alias("cum")).transform(cut_lineage)
-        cuts = []
-        for k in range(1, 3):
-            row = (
-                cum.where(F.col("cum") >= F.lit(int(-(-(n * k) // 3))))
-                .agg(F.min("d").alias("cut"))
-                .collect()[0]
-            )
-            cuts.append(row["cut"])
-        stage = tempfile.mkdtemp(prefix="o12_stage_")
-        _rmtree_at_exit(stage)  # register NOW so the timeout/error path can't leak it
-        for i in range(3):
-            cond = F.lit(True)
-            if i > 0:
-                cond = cond & (F.date_trunc("day", "ts") >= F.lit(cuts[i - 1]))
-            if i < 2:
-                cond = cond & (F.date_trunc("day", "ts") < F.lit(cuts[i]))
-            _write_single_file(doubled.where(cond), os.path.join(stage, f"chunk{i}.parquet"))
-        _order_stage_files(stage)
-        _O12_STAGE_CACHE[sf_dir] = stage
+    stage = stage_event_terciles(spark, sf_dir, doubled=True)
     # honest n_input: count the staged files themselves, per type
     staged = spark.read.parquet(stage)
     n_input = staged.groupBy("event_type").agg(
@@ -973,7 +993,7 @@ def o12_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataF
     if not q.awaitTermination(timeout=300):
         q.stop()
         raise TimeoutError("r12: availableNow stream did not finish within 300 s")
-    # stage is NOT rmtree'd here: _O12_STAGE_CACHE reuses it across calls
+    # stage is NOT rmtree'd here: stage_event_terciles' cache reuses it
     # (atexit cleanup is already registered at mkdtemp time)
     _rmtree_at_exit(target_root)  # sink read below is lazy
     survivors = spark.read.parquet(sink)

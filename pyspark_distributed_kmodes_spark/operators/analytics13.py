@@ -369,3 +369,414 @@ def p02_kmodes_fit_step_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
 p02_kmodes_fit_step_trace.__doc__ = p02_kmodes_fit_step_trace.__doc__.replace(
     "{k}", str(_P02_K)
 )
+
+
+# ---------------------------------------------------------------------------
+# p03 — streaming observe() metrics: the monitoring surface under the hash
+
+_P03_ORACLE = """
+WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+days AS (
+  SELECT date_trunc('day', ts) AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), cum AS (
+  SELECT d, SUM(c) OVER (ORDER BY d) AS cum FROM days
+), cut1 AS (
+  SELECT MIN(d) AS v FROM cum, tot WHERE cum >= (n * 1 + 2) // 3
+), cut2 AS (
+  SELECT MIN(d) AS v FROM cum, tot WHERE cum >= (n * 2 + 2) // 3
+), chunked AS (
+  SELECT CASE WHEN date_trunc('day', ts) < (SELECT v FROM cut1) THEN 0
+              WHEN date_trunc('day', ts) < (SELECT v FROM cut2) THEN 1
+              ELSE 2 END AS batch,
+         event_type, value
+  FROM events
+)
+SELECT CAST(batch AS BIGINT) AS batch,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+       CAST(SUM(CAST(round(value, 6) AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+FROM chunked
+GROUP BY batch
+ORDER BY batch
+"""
+
+
+@query(
+    "p03_stream_observe_metrics",
+    oracle=_P03_ORACLE,
+    tags=("streaming", "audit"),
+)
+def p03_stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING observe() METRICS under the hash gate: the events
+    stream replays as three chronological tercile chunks
+    (maxFilesPerTrigger=1, the shared o12 staging), a Dataset.observe
+    aggregate rides the stream — row count, click count, and a
+    DECIMAL-exact value sum per micro-batch — and the per-batch
+    readings are collected from the query's progress history
+    (StreamingQueryProgress.observedMetrics). The oracle re-derives
+    every batch's metrics relationally by replaying the day-tercile cut
+    rule, so batch boundaries AND metric arithmetic are both in-hash.
+    This is the monitoring primitive a production pipeline alarms on
+    (numInputRows drift, per-batch quality gauges) — proved here to
+    report exactly what the data says, not approximately.
+
+    Determinism: chunk contents are a pure function of the input (day
+    terciles); observe() aggregates run inside the batch plan, so the
+    DECIMAL sum is partition-order-free; batches arrive in staged
+    mtime order (strictly increasing — _order_stage_files).
+
+    Scale: observe() metrics are computed map-side alongside the
+    existing batch work (no extra shuffle, no second scan) and cost
+    O(1) driver memory per batch — the always-on audit channel for a
+    100 TB stream, vs re-scanning the sink to recompute QA stats.
+    """
+    import os
+    import tempfile
+
+    from pyspark_distributed_kmodes_spark.operators.analytics10 import _rmtree_at_exit
+    from pyspark_distributed_kmodes_spark.operators.analytics12 import stage_event_terciles
+
+    stage = stage_event_terciles(spark, sf_dir, doubled=False)
+    schema = spark.read.parquet(stage).schema
+    root = tempfile.mkdtemp(prefix="p03_target_")
+    _rmtree_at_exit(root)
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    obs = stream.observe(
+        "audit",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_clicks"),
+        F.sum(F.round(F.col("value"), 6).cast("decimal(25,6)")).alias("sum_value"),
+    )
+    q = (
+        obs.writeStream.format("noop")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout=300):
+        q.stop()
+        raise TimeoutError("p03: availableNow stream did not finish within 300 s")
+    batches = sorted(
+        (p for p in q.recentProgress if p["numInputRows"] > 0), key=lambda p: p["batchId"]
+    )
+    if len(batches) != 3:
+        raise AssertionError(f"p03: expected 3 data micro-batches, saw {len(batches)}")
+    rows = [
+        (
+            i,
+            int(p["observedMetrics"]["audit"]["n_rows"]),
+            int(p["observedMetrics"]["audit"]["n_clicks"]),
+            float(p["observedMetrics"]["audit"]["sum_value"]),
+        )
+        for i, p in enumerate(batches)
+    ]
+    return spark.createDataFrame(
+        rows, "batch bigint, n_rows bigint, n_clicks bigint, sum_value double"
+    ).orderBy("batch")
+
+
+# ---------------------------------------------------------------------------
+# p04 — streaming session windows (append mode, watermark-driven emission)
+
+# emission guard band: the engine filters its EMITTED sessions (and the
+# oracle its replayed ones) to end <= final_watermark - 1 s, so the
+# <-vs-<= eviction convention at the exact boundary can never matter —
+# everything at least 1 s below the watermark is provably emitted
+_P04_ORACLE = """
+WITH wm AS (
+  SELECT MAX(ts) - INTERVAL 1 HOUR - INTERVAL 1 SECOND AS cutoff FROM events
+), flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTES OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), sess AS (
+  SELECT user_id, ts, event_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+), agg AS (
+  SELECT user_id,
+         MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL 30 MINUTES AS session_end,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(event_id) AS BIGINT) AS sum_ids
+  FROM sess
+  GROUP BY user_id, session_id
+)
+SELECT user_id, session_start, session_end, n_events, sum_ids
+FROM agg, wm
+WHERE session_end <= cutoff
+ORDER BY user_id, session_start
+"""
+
+
+@query(
+    "p04_stream_session_windows",
+    oracle=_P04_ORACLE,
+    tags=("streaming", "events", "audit"),
+)
+def p04_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SESSION WINDOWS under the hash gate: q32's
+    sessionization run as a REAL streaming query — F.session_window
+    with a 30-minute gap inside readStream, 1-hour watermark, APPEND
+    mode over a 3-chunk chronological replay — so session MERGING
+    ACROSS MICRO-BATCH BOUNDARIES (the state machinery batch replay
+    cannot prove) is exercised: a session opened in chunk 0 must keep
+    absorbing chunk-1 events until the gap closes, and only emit once
+    the watermark passes its end. The oracle replays gaps-and-islands
+    relationally and both sides keep only sessions whose end clears
+    the final watermark by >= 1 s (the guard band makes the <-vs-<=
+    eviction convention at the exact boundary irrelevant; everything
+    below it is provably emitted — measured: 9525 of 9549 sessions at
+    sf0.01, the 24 tail sessions legally still in state).
+
+    Scale: session state is bounded by watermark eviction (open
+    sessions per user within the horizon), each micro-batch shuffles
+    once on user_id, and emission is incremental — the streaming
+    sessionizer a 100 TB clickstream runs on, vs re-running q32's
+    batch over a growing table.
+    """
+    import datetime
+    import os
+    import tempfile
+
+    from pyspark_distributed_kmodes_spark.operators.analytics10 import _rmtree_at_exit
+    from pyspark_distributed_kmodes_spark.operators.analytics12 import stage_event_terciles
+
+    stage = stage_event_terciles(spark, sf_dir, doubled=False)
+    staged = spark.read.parquet(stage)
+    max_ts = staged.agg(F.max("ts")).first()[0]  # bounded scalar
+    cutoff = max_ts - datetime.timedelta(hours=1, seconds=1)
+    root = tempfile.mkdtemp(prefix="p04_target_")
+    _rmtree_at_exit(root)
+    sink = os.path.join(root, "sink")
+    stream = spark.readStream.schema(staged.schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    sess = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("event_id").cast("bigint").alias("sum_ids"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_ids",
+        )
+    )
+    q = (
+        sess.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout=300):
+        q.stop()
+        raise TimeoutError("p04: availableNow stream did not finish within 300 s")
+    return (
+        spark.read.parquet(sink)
+        .where(F.col("session_end") <= F.lit(cutoff))
+        .select("user_id", "session_start", "session_end", "n_events", "sum_ids")
+        .orderBy("user_id", "session_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# p05 — chained stateful operators: window-on-window in one streaming query
+
+_P05_ORACLE = """
+WITH wm AS (
+  SELECT MAX(ts) - INTERVAL 30 MINUTES - INTERVAL 1 SECOND AS cutoff FROM events
+), hourly AS (
+  SELECT date_trunc('hour', ts) AS h, user_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), daily AS (
+  SELECT CAST(date_trunc('day', h) AS TIMESTAMP) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_user_hours,
+         CAST(SUM(n) AS BIGINT) AS n_events,
+         CAST(MAX(n) AS BIGINT) AS max_user_hour
+  FROM hourly GROUP BY 1
+)
+SELECT day, n_user_hours, n_events, max_user_hour
+FROM daily, wm
+WHERE day + INTERVAL 1 DAY <= cutoff
+ORDER BY day
+"""
+
+
+@query(
+    "p05_stream_chained_stateful",
+    oracle=_P05_ORACLE,
+    tags=("streaming", "events", "audit"),
+)
+def p05_stream_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED STATEFUL OPERATORS under the hash gate (Spark 3.5+
+    multiple stateful operators in one streaming query): a tumbling
+    1-hour per-user count feeds a SECOND tumbling 1-day aggregation —
+    window-on-window (F.window over the first window column), both
+    stateful, in ONE query over the 3-chunk replay. The first operator
+    must finalize hourly windows as the watermark passes; the second
+    must aggregate those finalized rows into daily activity stats
+    (distinct active user-hours, total events, peak user-hour) and
+    emit them when the PROPAGATED watermark clears the day. The oracle
+    replays the two-level GROUP BY relationally; both sides keep only
+    days whose window end clears the final watermark by >= 1 s (the
+    p04 guard band; measured: 29 of 30 days at sf0.01, the last day
+    legally still in state).
+
+    Before Spark 3.5 this required two queries with an intermediate
+    sink; the chained form is the 100 TB rollup-cascade primitive —
+    hour -> day -> month without landing intermediates. Each level
+    shuffles once on its window key; state per level is bounded by
+    its horizon.
+    """
+    import datetime
+    import os
+    import tempfile
+
+    from pyspark_distributed_kmodes_spark.operators.analytics10 import _rmtree_at_exit
+    from pyspark_distributed_kmodes_spark.operators.analytics12 import stage_event_terciles
+
+    stage = stage_event_terciles(spark, sf_dir, doubled=False)
+    staged = spark.read.parquet(stage)
+    max_ts = staged.agg(F.max("ts")).first()[0]  # bounded scalar
+    cutoff = max_ts - datetime.timedelta(minutes=30, seconds=1)
+    root = tempfile.mkdtemp(prefix="p05_target_")
+    _rmtree_at_exit(root)
+    sink = os.path.join(root, "sink")
+    stream = spark.readStream.schema(staged.schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    hourly = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w1"), "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    daily = (
+        hourly.groupBy(F.window(F.col("w1"), "1 day").alias("w2"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_user_hours"),
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.max("n").cast("bigint").alias("max_user_hour"),
+        )
+        .select(
+            F.col("w2.start").alias("day"), "n_user_hours", "n_events", "max_user_hour"
+        )
+    )
+    q = (
+        daily.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout=300):
+        q.stop()
+        raise TimeoutError("p05: availableNow stream did not finish within 300 s")
+    return (
+        spark.read.parquet(sink)
+        .where(F.col("day") + F.expr("INTERVAL 1 DAY") <= F.lit(cutoff))
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# p06 — plain dropDuplicates: the unbounded-state contrast key to o12
+
+_P06_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) + SUM(CASE WHEN event_id % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_input,
+       CAST(COUNT(*) AS BIGINT) AS n_dedup,
+       CAST(SUM(CASE WHEN event_id % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST((SELECT COUNT(DISTINCT event_id) FROM events) AS BIGINT) AS state_rows
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query(
+    "p06_stream_dedup_unbounded_state",
+    oracle=_P06_ORACLE,
+    tags=("streaming", "dedup", "audit"),
+)
+def p06_stream_dedup_unbounded_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLAIN STREAMING dropDuplicates under the hash gate — the
+    deliberate UNBOUNDED-STATE contrast key to o12: the same planted
+    duplicates (event_id % 37 == 0 re-injected at ts + 30 s), the same
+    3-chunk replay, but dedup WITHOUT a watermark, so the state store
+    must hold EVERY key ever seen. Correctness is identical to o12's
+    (all planted copies dropped, per-type survivor aggregates
+    in-hash); the new in-hash column is state_rows — the final
+    stateOperators.numRowsTotal from the query's own progress, which
+    must equal the total distinct-key count exactly (every key
+    retained forever). o12's watermark-bounded state is strictly
+    smaller; the pair quantifies, under the driver's gate, WHY
+    dropDuplicatesWithinWatermark exists: at 100 TB this key's state
+    is the corpus key set (a non-starter), o12's is horizon x rate.
+
+    Determinism: planted copies differ from their originals only in ts
+    (never aggregated), so whichever copy survives a same-batch race
+    the output is identical; state_rows is the distinct-key count —
+    reading it from the progress history pins the runtime's actual
+    state footprint, not a prediction of it.
+    """
+    import os
+    import tempfile
+
+    from pyspark_distributed_kmodes_spark.operators.analytics10 import _rmtree_at_exit
+    from pyspark_distributed_kmodes_spark.operators.analytics12 import stage_event_terciles
+
+    stage = stage_event_terciles(spark, sf_dir, doubled=True)
+    staged = spark.read.parquet(stage)
+    n_input = (
+        staged.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_input"))
+        .transform(cut_lineage)
+    )
+    root = tempfile.mkdtemp(prefix="p06_target_")
+    _rmtree_at_exit(root)
+    sink = os.path.join(root, "survivors")
+    stream = spark.readStream.schema(staged.schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    q = (
+        stream.dropDuplicates(["event_id"])
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout=300):
+        q.stop()
+        raise TimeoutError("p06: availableNow stream did not finish within 300 s")
+    data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    state_rows = int(
+        max(data_batches, key=lambda p: p["batchId"])["stateOperators"][0]["numRowsTotal"]
+    )
+    survivors = spark.read.parquet(sink)
+    per_type = survivors.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dedup"),
+        F.sum("event_id").cast("bigint").alias("sum_event_id"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+    )
+    return (
+        per_type.join(n_input, "event_type")
+        .select(
+            "event_type",
+            "n_input",
+            "n_dedup",
+            (F.col("n_input") - F.col("n_dedup")).cast("bigint").alias("n_dropped"),
+            "sum_event_id",
+            "n_users",
+            F.lit(state_rows).cast("bigint").alias("state_rows"),
+        )
+        .orderBy("event_type")
+    )

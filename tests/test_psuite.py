@@ -196,3 +196,263 @@ def test_p02_lloyd_step_never_increases_cost(duck):
     cost_init = sum(ham(by_okey[okey], init[c]) for okey, c in a0.items())
     cost_after = sum(v[3] for v in per.values())
     assert cost_after <= cost_init
+
+
+# -------------------------------------------------------------------------
+# p03-p06: streaming keys
+
+
+def _tercile_chunks(duck, doubled=False):
+    """Python replay of the shared staging rule (day terciles of the
+    optionally doubled events stream)."""
+    extra = ""
+    if doubled:
+        extra = """UNION ALL
+        SELECT event_id, ts + INTERVAL 30 SECONDS AS ts, user_id, event_type, value, props
+        FROM events WHERE event_id % 37 = 0"""
+    rows = duck.execute(
+        f"SELECT event_id, ts, user_id, event_type, value FROM (SELECT * FROM events {extra}) ORDER BY ts"
+    ).fetchall()
+    days = sorted({r[1].date() for r in rows})
+    per_day = {}
+    for r in rows:
+        per_day[r[1].date()] = per_day.get(r[1].date(), 0) + 1
+    n = len(rows)
+    cum, cuts = 0, []
+    cumsum = {}
+    for d in days:
+        cum += per_day[d]
+        cumsum[d] = cum
+    for k in (1, 2):
+        target = -(-n * k // 3)
+        cuts.append(min(d for d in days if cumsum[d] >= target))
+    chunks = [[], [], []]
+    for r in rows:
+        d = r[1].date()
+        idx = 0 if d < cuts[0] else (1 if d < cuts[1] else 2)
+        chunks[idx].append(r)
+    return chunks
+
+
+def test_p03_metrics_match_python_chunks(spark, sf_dir, reg, duck):
+    """The observed per-batch metrics must equal a python recount of
+    each tercile chunk (batch boundaries AND arithmetic)."""
+    chunks = _tercile_chunks(duck)
+    rows = reg["p03_stream_observe_metrics"].fn(spark, sf_dir).collect()
+    assert [r.batch for r in rows] == [0, 1, 2]
+    for r, chunk in zip(rows, chunks):
+        assert r.n_rows == len(chunk)
+        assert r.n_clicks == sum(1 for c in chunk if c[3] == "click")
+        expected = sum(round(c[4], 6) for c in chunk)
+        assert abs(r.sum_value - expected) < 1e-6
+
+
+def test_p03_listener_agrees_with_progress(spark, sf_dir):
+    """Cross-check the OTHER monitoring channel: a registered
+    StreamingQueryListener must observe the same per-batch metrics the
+    progress history reports (same source, but the listener path is
+    the push-based production hookup — prove they agree)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    from pyspark_distributed_kmodes_spark.operators.analytics12 import stage_event_terciles
+
+    seen = {}
+
+    class L(StreamingQueryListener):
+        def onQueryStarted(self, e):
+            pass
+
+        def onQueryProgress(self, e):
+            p = e.progress
+            om = p.observedMetrics.get("audit")
+            if om is not None and p.numInputRows > 0:
+                seen[p.batchId] = (om["n_rows"],)
+
+        def onQueryIdle(self, e):
+            pass
+
+        def onQueryTerminated(self, e):
+            pass
+
+    listener = L()
+    spark.streams.addListener(listener)
+    try:
+        stage = stage_event_terciles(spark, "/root/testdata/sf0.001", doubled=False)
+        schema = spark.read.parquet(stage).schema
+        root = tempfile.mkdtemp(prefix="p03_listener_")
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+        obs = stream.observe("audit", F.count(F.lit(1)).alias("n_rows"))
+        q = (
+            obs.writeStream.format("noop")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(timeout=120)
+        prog = {
+            p["batchId"]: (p["observedMetrics"]["audit"]["n_rows"],)
+            for p in q.recentProgress
+            if p["numInputRows"] > 0
+        }
+        # listener callbacks are async — wait for them to drain
+        import time
+
+        for _ in range(100):
+            if len(seen) >= len(prog):
+                break
+            time.sleep(0.1)
+        assert seen == prog
+    finally:
+        spark.streams.removeListener(listener)
+
+
+def test_p04_session_merges_across_micro_batches_planted(spark):
+    """The state claim, pinned in isolation: a session opened by
+    micro-batch 0 must stay in state and ABSORB a batch-1 event that
+    arrives within the gap, emitting once as one merged session —
+    the cross-batch merge the real corpus's day-boundary cuts happen
+    not to produce (no user straddles a cut midnight within the gap,
+    checked below), so it is planted here."""
+    import os
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    t0 = datetime(2024, 3, 1, 12, 0, 0)
+    chunk_a = [(1, t0), (1, t0 + timedelta(minutes=10))]
+    # within 30 min of chunk A's last event -> must merge; the late row
+    # advances the watermark so the merged session actually emits
+    chunk_b = [(1, t0 + timedelta(minutes=25)), (9, t0 + timedelta(hours=6))]
+    root = tempfile.mkdtemp(prefix="p04_planted_")
+    stage = os.path.join(root, "stage")
+    os.makedirs(stage)
+    for i, rows in enumerate([chunk_a, chunk_b]):
+        spark.createDataFrame(rows, "user_id bigint, ts timestamp").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(stage, f"c{i}.parquet"))
+    # strictly increasing mtimes pin the replay order (the o12 rule)
+    files = sorted(
+        os.path.join(stage, d, f)
+        for d in os.listdir(stage)
+        for f in os.listdir(os.path.join(stage, d))
+        if f.endswith(".parquet")
+    )
+    base = os.stat(files[0]).st_mtime
+    for i, f in enumerate(files):
+        os.utime(f, (base + 10.0 * i, base + 10.0 * i))
+    schema = spark.read.parquet(os.path.join(stage, "c0.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage, "*.parquet"))
+    )
+    sink = os.path.join(root, "sink")
+    q = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").alias("s"), F.col("w.end").alias("e"), "n")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(timeout=120)
+    out = {r.user_id: r for r in spark.read.parquet(sink).collect()}
+    merged = out[1]
+    assert merged.n == 3, "batch-1 event must merge into the batch-0 session"
+    assert merged.s == t0
+    assert merged.e == t0 + timedelta(minutes=55)  # last event + gap
+
+
+def test_p04_emitted_is_watermark_cleared_subset(spark, sf_dir, reg, duck):
+    """On the real corpus: the emitted set is a strict subset of all
+    sessions (the tail is legally in state), every emitted session
+    matches the python gaps-and-islands replay, and no session spans
+    a chunk cut (why the merge pin above needs planting)."""
+    chunks = _tercile_chunks(duck)
+    chunk_of = {}
+    for i, chunk in enumerate(chunks):
+        for r in chunk:
+            chunk_of[r[0]] = i
+    events = duck.execute(
+        "SELECT user_id, ts, event_id FROM events ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    from datetime import timedelta
+
+    gap = timedelta(minutes=30)
+    sessions = []
+    cur = None
+    for u, ts, eid in events:
+        if cur is None or u != cur["u"] or ts - cur["last"] > gap:
+            if cur:
+                sessions.append(cur)
+            cur = {"u": u, "start": ts, "last": ts, "ids": [eid], "n": 1}
+        else:
+            cur["last"] = ts
+            cur["ids"].append(eid)
+            cur["n"] += 1
+    if cur:
+        sessions.append(cur)
+    by_key = {(s["u"], s["start"]): s for s in sessions}
+    emitted = reg["p04_stream_session_windows"].fn(spark, sf_dir).collect()
+    assert 0 < len(emitted) < len(sessions)
+    for r in emitted:
+        s = by_key[(r.user_id, r.session_start)]
+        assert r.n_events == s["n"]
+        assert r.session_end == s["last"] + gap
+    spanning = [s for s in sessions if len({chunk_of[i] for i in s["ids"]}) >= 2]
+    assert not spanning, "corpus now spans cuts — strengthen the planted pin"
+
+
+def test_p05_last_day_legally_in_state(spark, sf_dir, reg, duck):
+    """The final day's window cannot have been emitted (its end is
+    inside the watermark horizon) — the tail-exclusion rule is
+    load-bearing, not vacuous."""
+    days = {r[0] for r in duck.execute("SELECT DISTINCT date_trunc('day', ts) FROM events").fetchall()}
+    emitted = {r.day for r in reg["p05_stream_chained_stateful"].fn(spark, sf_dir).collect()}
+    assert max(days) not in emitted
+    assert len(emitted) == len(days) - 1
+
+
+def test_p06_state_is_unbounded_vs_o12_bounded(spark, sf_dir, reg):
+    """The contrast the key exists for: plain dropDuplicates retains
+    EVERY key (state_rows == total distinct event ids), while the o12
+    watermark-bounded variant's final state is strictly smaller on the
+    same staged stream."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyspark_distributed_kmodes_spark.operators.analytics12 import stage_event_terciles
+
+    rows = reg["p06_stream_dedup_unbounded_state"].fn(spark, sf_dir).collect()
+    n_keys = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id").distinct().count()
+    assert all(r.state_rows == n_keys for r in rows)
+    # run the o12-style bounded variant on the same stage and read ITS state
+    stage = stage_event_terciles(spark, sf_dir, doubled=True)
+    schema = spark.read.parquet(stage).schema
+    root = tempfile.mkdtemp(prefix="p06_contrast_")
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    q = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .writeStream.format("noop")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(timeout=120)
+    bounded_state = max(
+        (p for p in q.recentProgress if p["numInputRows"] > 0), key=lambda p: p["batchId"]
+    )["stateOperators"][0]["numRowsTotal"]
+    assert bounded_state < n_keys, (bounded_state, n_keys)

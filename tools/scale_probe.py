@@ -151,6 +151,10 @@ PROBE_QUERIES = [
     "o26_rocksdb_changelog_checkpoint",
     "p01_semantic_dedup_fixed_quantizer",
     "p02_kmodes_fit_step_trace",
+    "p03_stream_observe_metrics",
+    "p04_stream_session_windows",
+    "p05_stream_chained_stateful",
+    "p06_stream_dedup_unbounded_state",
 ]
 
 
