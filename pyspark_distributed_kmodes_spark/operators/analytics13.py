@@ -44,6 +44,12 @@ __spark_entry__.py they rename into the round-12 window.
        seen, the documented 100 TB anti-pattern this engine's o12 path
        exists to replace); correctness under the same hash gate, the
        state-size contrast pinned in tests.
+  p07  STREAM-STREAM JOIN STATE READER (statestore joinSide option):
+       the o15-shaped interval join's BUFFERED state read back from
+       the checkpoint and hash-matched row-for-row against the
+       relational eviction law (probed at the exact boundary: a row
+       AT the watermark is retained) — closes the state-reader family
+       (n06 agg state, r16 history, r19/r26 RocksDB) with join state.
 """
 
 from __future__ import annotations
@@ -780,3 +786,122 @@ def p06_stream_dedup_unbounded_state(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# p07 — stream-stream JOIN state read back from the checkpoint
+
+_P07_ORACLE = """
+WITH wm AS (
+  SELECT least(MAX(CASE WHEN event_type = 'click' THEN ts END),
+               MAX(CASE WHEN event_type = 'purchase' THEN ts END))
+         - INTERVAL 4 HOURS AS w
+  FROM events
+)
+SELECT 'left' AS side, event_id, user_id, ts
+FROM events, wm
+WHERE event_type = 'click' AND ts + INTERVAL 2 HOURS >= w
+UNION ALL
+SELECT 'right' AS side, event_id, user_id, ts
+FROM events, wm
+WHERE event_type = 'purchase' AND ts >= w
+ORDER BY side, event_id
+"""
+
+
+@query(
+    "p07_stream_join_state_reader",
+    oracle=_P07_ORACLE,
+    tags=("streaming", "join", "audit"),
+)
+def p07_stream_join_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM JOIN STATE under the hash gate: run the o15-shaped
+    interval join (clicks x purchases by user within a 2 h event-time
+    window, both sides watermarked 4 h, 3-chunk replay), then read the
+    BUFFERED JOIN STATE back from the checkpoint with the statestore
+    reader's joinSide option — the rows o15's guaranteed-emission
+    audit deliberately excludes are exactly the rows that must still
+    be sitting in state, and this key proves that set row-for-row.
+    Eviction law (probed with a planted exact-boundary fixture, pinned
+    in tests): after the final no-data batch applies the terminal
+    watermark w = min(side maxima) - delay, the LEFT buffer retains
+    clicks with ts + window >= w (a click at exactly the boundary is
+    RETAINED) and the RIGHT buffer retains purchases with ts >= w.
+    The oracle replays that law relationally from the raw table —
+    n06 proved aggregation state, r16 its history, r19/r26 its
+    RocksDB encodings; this closes the family with JOIN state, whose
+    per-side buffers are the 100 TB cost driver of streaming joins.
+
+    Scale: the state read is a bounded scan of the final snapshot
+    (horizon x rate rows per side, NOT the corpus); the join itself
+    shuffles both sides on user_id once per micro-batch.
+    """
+    import os
+    import tempfile
+
+    from pyspark_distributed_kmodes_spark.operators.analytics10 import _rmtree_at_exit
+    from pyspark_distributed_kmodes_spark.operators.analytics12 import stage_event_terciles
+
+    stage = stage_event_terciles(spark, sf_dir, doubled=False)
+    schema = spark.read.parquet(stage).schema
+    root = tempfile.mkdtemp(prefix="p07_target_")
+    _rmtree_at_exit(root)
+    ckpt = os.path.join(root, "ckpt")
+    src = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    clicks = (
+        src.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "4 hours")
+    )
+    purch = (
+        src.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "4 hours")
+    )
+    joined = clicks.join(
+        purch,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 2 HOURS")),
+        "inner",
+    )
+    q = (
+        joined.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout=300):
+        q.stop()
+        raise TimeoutError("p07: availableNow stream did not finish within 300 s")
+    left = (
+        spark.read.format("statestore")
+        .option("joinSide", "left")
+        .load(ckpt)
+        .select(
+            F.lit("left").alias("side"),
+            F.col("value.c_id").alias("event_id"),
+            F.col("value.c_user").alias("user_id"),
+            F.col("value.c_ts").alias("ts"),
+        )
+    )
+    right = (
+        spark.read.format("statestore")
+        .option("joinSide", "right")
+        .load(ckpt)
+        .select(
+            F.lit("right").alias("side"),
+            F.col("value.p_id").alias("event_id"),
+            F.col("value.p_user").alias("user_id"),
+            F.col("value.p_ts").alias("ts"),
+        )
+    )
+    return left.unionByName(right).orderBy("side", "event_id")

@@ -1,7 +1,9 @@
 """Independent re-derivations for the round-11 staged p-suite (new
 engine surface, operators/analytics13.py): a numpy/union-find replay of
-the fixed-quantizer SemDeDup pipeline and a pure-Python replay of the
-one-iteration k-modes fit trace.
+the fixed-quantizer SemDeDup pipeline, a pure-Python replay of the
+one-iteration k-modes fit trace, and for the streaming keys (p03-p07)
+python chunk replays, planted cross-batch fixtures, listener
+cross-checks, and state-law pins.
 
 The p-prefix sorts after o67 and before q01, so these stay OUT of the
 round-11 driver window (pinned in test_entry.py) and rename into the
@@ -456,3 +458,123 @@ def test_p06_state_is_unbounded_vs_o12_bounded(spark, sf_dir, reg):
         (p for p in q.recentProgress if p["numInputRows"] > 0), key=lambda p: p["batchId"]
     )["stateOperators"][0]["numRowsTotal"]
     assert bounded_state < n_keys, (bounded_state, n_keys)
+
+
+def _p07_join_fixture(spark, root):
+    """Two-chunk planted fixture with rows EXACTLY at the terminal
+    watermark boundary (wm = min side maxima - 4h = t0+6h): click 3 has
+    c_ts + 2h == wm, purchase 4 has p_ts == wm."""
+    import os
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 3, 1, 0, 0, 0)
+    rows_a = [("click", 1, 100, t0), ("purchase", 2, 100, t0 + timedelta(minutes=5))]
+    rows_b = [
+        ("click", 3, 100, t0 + timedelta(hours=4)),
+        ("purchase", 4, 100, t0 + timedelta(hours=6)),
+        ("click", 5, 100, t0 + timedelta(hours=10)),
+        ("purchase", 6, 100, t0 + timedelta(hours=10)),
+    ]
+    stage = os.path.join(root, "stage")
+    os.makedirs(stage)
+    for i, rows in enumerate([rows_a, rows_b]):
+        spark.createDataFrame(
+            rows, "event_type string, event_id bigint, user_id bigint, ts timestamp"
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(stage, f"c{i}.parquet"))
+    files = sorted(
+        os.path.join(stage, d, f)
+        for d in os.listdir(stage)
+        for f in os.listdir(os.path.join(stage, d))
+        if f.endswith(".parquet")
+    )
+    base = os.stat(files[0]).st_mtime
+    for i, f in enumerate(files):
+        os.utime(f, (base + 10.0 * i, base + 10.0 * i))
+    return stage
+
+
+def test_p07_eviction_boundary_is_inclusive(spark):
+    """Pin the eviction law p07's oracle replays: after the terminal
+    no-data batch, a LEFT row with ts + window == watermark and a RIGHT
+    row with ts == watermark are both RETAINED (>= retention), while
+    strictly older rows are gone."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    root = tempfile.mkdtemp(prefix="p07_pin_")
+    stage = _p07_join_fixture(spark, root)
+    schema = spark.read.parquet(os.path.join(stage, "c0.parquet")).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage, "*.parquet"))
+    )
+    clicks = (
+        src.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "4 hours")
+    )
+    purch = (
+        src.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "4 hours")
+    )
+    joined = clicks.join(
+        purch,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 2 HOURS")),
+        "inner",
+    )
+    ckpt = os.path.join(root, "ckpt")
+    q = (
+        joined.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(timeout=120)
+    left = {
+        r.value[0]
+        for r in spark.read.format("statestore").option("joinSide", "left").load(ckpt).collect()
+    }
+    right = {
+        r.value[0]
+        for r in spark.read.format("statestore").option("joinSide", "right").load(ckpt).collect()
+    }
+    assert left == {3, 5}, "boundary click (ts+2h == wm) must be retained; old click evicted"
+    assert right == {4, 6}, "boundary purchase (ts == wm) must be retained; old purchase evicted"
+
+
+def test_p07_state_matches_relational_law(spark, sf_dir, reg, duck):
+    """The engine's read-back state must equal the python-derived
+    survivor set (wm = min side maxima - 4h; left keeps ts+2h >= wm,
+    right keeps ts >= wm)."""
+    from datetime import timedelta
+
+    mx = duck.execute(
+        "SELECT max(CASE WHEN event_type='click' THEN ts END),"
+        "       max(CASE WHEN event_type='purchase' THEN ts END) FROM events"
+    ).fetchone()
+    wm = min(mx) - timedelta(hours=4)
+    expected = set()
+    for et, eid, ts in duck.execute(
+        "SELECT event_type, event_id, ts FROM events WHERE event_type IN ('click','purchase')"
+    ).fetchall():
+        if et == "click" and ts + timedelta(hours=2) >= wm:
+            expected.add(("left", eid))
+        elif et == "purchase" and ts >= wm:
+            expected.add(("right", eid))
+    rows = reg["p07_stream_join_state_reader"].fn(spark, sf_dir).collect()
+    assert {(r.side, r.event_id) for r in rows} == expected
+    assert expected, "survivor set must be non-empty"

@@ -155,6 +155,7 @@ PROBE_QUERIES = [
     "p04_stream_session_windows",
     "p05_stream_chained_stateful",
     "p06_stream_dedup_unbounded_state",
+    "p07_stream_join_state_reader",
 ]
 
 
