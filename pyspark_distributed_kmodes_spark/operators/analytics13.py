@@ -50,6 +50,15 @@ __spark_entry__.py they rename into the round-12 window.
        relational eviction law (probed at the exact boundary: a row
        AT the watermark is retained) — closes the state-reader family
        (n06 agg state, r16 history, r19/r26 RocksDB) with join state.
+  p08  POLYMORPHIC PYTHON UDTF (analyze()): the output schema computed
+       at analysis time from a literal argument — the table-function
+       polymorphism qb04's static returnType cannot express; lateral
+       word expansion with null padding, list-extraction oracle.
+  p09  TIMESTAMP_NTZ expression surface over the RAW parquet encoding
+       (the ingestion path normalizes NTZ away, so the type had no
+       certified key): field extraction, make_timestamp_ntz
+       reconstruction identity, wall-clock interval arithmetic —
+       against DuckDB's naive-timestamp native replay.
 """
 
 from __future__ import annotations
@@ -905,3 +914,165 @@ def p07_stream_join_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return left.unionByName(right).orderBy("side", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# p08 — polymorphic Python UDTF (analyze() computes the schema)
+
+_P08_N = 3
+
+_P08_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+       {", ".join(f"string_split(text, ' ')[{i+1}] AS w{i+1}" for i in range(_P08_N))}
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query(
+    "p08_udtf_polymorphic_analyze",
+    oracle=_P08_ORACLE,
+    tags=("udf", "text"),
+)
+def p08_udtf_polymorphic_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF under the hash gate (Spark 4 analyze()):
+    qb04 covered the static-returnType UDTF; this one's output SCHEMA
+    is computed at ANALYSIS time from a literal argument — analyze()
+    receives the constant n and returns (n_words, w1..w{n}) — the
+    table-function polymorphism the static form cannot express
+    (tests pin that n=2 and n=4 calls really produce different
+    schemas from one registration). The lateral call expands every
+    document to its word count plus its first {n} words; the oracle
+    replays with list extraction, so the analyze-derived schema, the
+    per-row expansion, AND null padding for short documents are all
+    in-hash.
+
+    Scale note (the qb04 caveat applies): UDTFs run row-at-a-time in
+    Python — acceptable for the bounded documents table; bulk word
+    work belongs to the JVM split/posexplode path (o50, o11).
+    """
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class LeadWords:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            k = int(n.value)
+            return AnalyzeResult(
+                StructType(
+                    [StructField("n_words", IntegerType())]
+                    + [StructField(f"w{i + 1}", StringType()) for i in range(k)]
+                )
+            )
+
+        def eval(self, text: str, n: int):
+            words = (text or "").split(" ")
+            yield (len(words), *[(words[i] if i < len(words) else None) for i in range(n)])
+
+    spark.udtf.register("p08_lead_words", udtf(LeadWords))
+    d = table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("p08_documents")
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, t.*
+        FROM p08_documents d, LATERAL p08_lead_words(d.text, {_P08_N}) t
+        ORDER BY d.doc_id
+        """
+    )
+
+
+p08_udtf_polymorphic_analyze.__doc__ = p08_udtf_polymorphic_analyze.__doc__.replace(
+    "{n}", str(_P08_N)
+)
+
+
+# ---------------------------------------------------------------------------
+# p09 — TIMESTAMP_NTZ expression surface over the RAW parquet encoding
+
+_P09_ORACLE = """
+WITH raw AS (
+  SELECT ts,
+         make_timestamp(CAST(date_part('year', ts) AS BIGINT),
+                        CAST(date_part('month', ts) AS BIGINT),
+                        CAST(date_part('day', ts) AS BIGINT),
+                        CAST(date_part('hour', ts) AS BIGINT),
+                        CAST(date_part('minute', ts) AS BIGINT),
+                        CAST(date_part('second', ts) AS DOUBLE)) AS rebuilt,
+         ts + INTERVAL 90 MINUTES AS shifted
+  FROM events
+)
+SELECT CAST(date_part('hour', ts) AS INTEGER) AS hour_of_day,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN rebuilt = date_trunc('second', ts) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rebuilt_exact,
+       CAST(SUM(CASE WHEN CAST(shifted AS DATE) <> CAST(ts AS DATE) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shift_crosses_day,
+       MIN(ts) AS min_ts,
+       MAX(shifted) AS max_shifted
+FROM raw
+GROUP BY 1
+ORDER BY hour_of_day
+"""
+
+
+@query(
+    "p09_timestamp_ntz_surface",
+    oracle=_P09_ORACLE,
+    tags=("events", "types"),
+)
+def p09_timestamp_ntz_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP_NTZ expression surface under the hash gate: the events
+    parquet encodes MICROS with isAdjustedToUTC=false, which Spark
+    reads as TIMESTAMP_NTZ — the ingestion path (sources/tables.py)
+    deliberately NORMALIZES that to TIMESTAMP for windows/watermarks,
+    so the NTZ type itself had no certified key. This one reads the
+    RAW file (no normalization — a test pins the plan really carries
+    timestamp_ntz), then exercises the NTZ-native surface: field
+    extraction (hour-of-day grouping), reconstruction via
+    make_timestamp_ntz from extracted fields (must equal the
+    second-truncated original for EVERY row — in-hash), wall-clock
+    interval arithmetic (+90 min), and day-boundary crossing under
+    that shift. DuckDB's TIMESTAMP is naive, so the oracle is the
+    native replay with no timezone adjustment on either side — which
+    is exactly the NTZ contract being certified. (TIME was probed and
+    rejected as unsupported on this stack; NTZ is the supported half
+    of the wall-clock type surface.)
+
+    Scale: one scan, per-row JVM datetime expressions, one 24-key
+    map-side-combined groupBy. No shuffle beyond the bounded rollup.
+    """
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = [f.dataType.typeName() for f in raw.schema if f.name == "ts"][0]
+    if ts_type != "timestamp_ntz":
+        # a re-encoded copy (e.g. the scale probe's Spark-written
+        # replicas) lands as TIMESTAMP; convert so the NTZ expression
+        # surface still runs — the shipped testdata really being NTZ
+        # on disk is pinned in tests/test_psuite.py, not here
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    rebuilt = F.expr(
+        "make_timestamp_ntz(year(ts), month(ts), day(ts), hour(ts), minute(ts),"
+        " CAST(second(ts) AS DOUBLE))"
+    )
+    shifted = F.col("ts") + F.expr("INTERVAL 90 MINUTES")
+    return (
+        raw.select(
+            "ts",
+            rebuilt.alias("rebuilt"),
+            shifted.alias("shifted"),
+        )
+        .groupBy(F.hour("ts").cast("integer").alias("hour_of_day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                (F.col("rebuilt") == F.date_trunc("second", F.col("ts"))).cast("int")
+            ).cast("bigint").alias("n_rebuilt_exact"),
+            F.sum(
+                (F.col("shifted").cast("date") != F.col("ts").cast("date")).cast("int")
+            ).cast("bigint").alias("n_shift_crosses_day"),
+            F.min("ts").alias("min_ts"),
+            F.max("shifted").alias("max_shifted"),
+        )
+        .orderBy("hour_of_day")
+    )

@@ -578,3 +578,95 @@ def test_p07_state_matches_relational_law(spark, sf_dir, reg, duck):
     rows = reg["p07_stream_join_state_reader"].fn(spark, sf_dir).collect()
     assert {(r.side, r.event_id) for r in rows} == expected
     assert expected, "survivor set must be non-empty"
+
+
+def test_p08_analyze_is_really_polymorphic(spark):
+    """One registration, different literal n => different analysis-time
+    schemas — the polymorphism the static-returnType UDTF (qb04)
+    cannot express. Also pins null padding past the word count."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class LeadWords:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            k = int(n.value)
+            return AnalyzeResult(
+                StructType(
+                    [StructField("n_words", IntegerType())]
+                    + [StructField(f"w{i + 1}", StringType()) for i in range(k)]
+                )
+            )
+
+        def eval(self, text: str, n: int):
+            words = (text or "").split(" ")
+            yield (len(words), *[(words[i] if i < len(words) else None) for i in range(n)])
+
+    spark.udtf.register("t_lead_words", udtf(LeadWords))
+    two = spark.sql("SELECT t.* FROM VALUES ('a b c') v(s), LATERAL t_lead_words(s, 2) t")
+    four = spark.sql("SELECT t.* FROM VALUES ('a b c') v(s), LATERAL t_lead_words(s, 4) t")
+    assert two.columns == ["n_words", "w1", "w2"]
+    assert four.columns == ["n_words", "w1", "w2", "w3", "w4"]
+    r = four.collect()[0]
+    assert (r.n_words, r.w1, r.w2, r.w3, r.w4) == (3, "a", "b", "c", None)
+
+
+def test_p08_matches_python_split(spark, sf_dir, reg, duck):
+    docs = dict(duck.execute("SELECT doc_id, text FROM documents").fetchall())
+    rows = reg["p08_udtf_polymorphic_analyze"].fn(spark, sf_dir).collect()
+    assert len(rows) == len(docs)
+    for r in rows:
+        words = docs[r.doc_id].split(" ")
+        assert r.n_words == len(words)
+        for i in range(3):
+            assert getattr(r, f"w{i + 1}") == (words[i] if i < len(words) else None)
+
+
+def test_p09_testdata_is_ntz_on_disk(spark):
+    """Pin the encoding assumption the key documents: every shipped
+    events.parquet reads as TIMESTAMP_NTZ raw (MICROS with
+    isAdjustedToUTC=false), while the ingestion path normalizes to
+    TIMESTAMP with identical wall-clock values."""
+    from pyspark.sql import functions as F
+
+    from pyspark_distributed_kmodes_spark.sources.tables import table
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        raw = spark.read.parquet(f"{sf}/events.parquet")
+        (ts_type,) = [f.dataType.typeName() for f in raw.schema if f.name == "ts"]
+        assert ts_type == "timestamp_ntz", (sf, ts_type)
+        norm = table(spark, sf, "events")
+        (norm_type,) = [f.dataType.typeName() for f in norm.schema if f.name == "ts"]
+        assert norm_type == "timestamp", (sf, norm_type)
+        # identical wall-clock instants after the normalization
+        a = raw.agg(
+            F.min(F.col("ts").cast("string")), F.max(F.col("ts").cast("string"))
+        ).first()
+        b = norm.agg(
+            F.min(F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")),
+            F.max(F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")),
+        ).first()
+        assert (a[0], a[1]) == (b[0], b[1]), (sf, a, b)
+
+
+def test_p09_matches_python_rollup(spark, sf_dir, reg, duck):
+    from datetime import timedelta
+
+    rows = duck.execute("SELECT ts FROM events").fetchall()
+    per_hour = {}
+    for (ts,) in rows:
+        h = ts.hour
+        cur = per_hour.setdefault(h, [0, 0, 0, None, None])
+        cur[0] += 1
+        cur[1] += 1  # rebuilt == second-truncated original always holds
+        shifted = ts + timedelta(minutes=90)
+        cur[2] += 1 if shifted.date() != ts.date() else 0
+        cur[3] = ts if cur[3] is None else min(cur[3], ts)
+        cur[4] = shifted if cur[4] is None else max(cur[4], shifted)
+    out = reg["p09_timestamp_ntz_surface"].fn(spark, sf_dir).collect()
+    assert len(out) == len(per_hour)
+    for r in out:
+        n, n_rebuilt, n_cross, mn, mx = per_hour[r.hour_of_day]
+        assert (r.n, r.n_rebuilt_exact, r.n_shift_crosses_day) == (n, n_rebuilt, n_cross)
+        assert r.min_ts == mn and r.max_shifted == mx

@@ -156,6 +156,8 @@ PROBE_QUERIES = [
     "p05_stream_chained_stateful",
     "p06_stream_dedup_unbounded_state",
     "p07_stream_join_state_reader",
+    "p08_udtf_polymorphic_analyze",
+    "p09_timestamp_ntz_surface",
 ]
 
 
