@@ -59,6 +59,11 @@ __spark_entry__.py they rename into the round-12 window.
        certified key): field extraction, make_timestamp_ntz
        reconstruction identity, wall-clock interval arithmetic —
        against DuckDB's naive-timestamp native replay.
+  p10  AES CODEC QUARANTINE (aes_encrypt / try_aes_decrypt, ECB):
+       deterministic column encryption round-trip with planted wire
+       corruption quarantined as NULL and the PKCS wire-length law
+       closed-form in the oracle — the crypto member of the
+       expression-codec family (JSON/XML/Variant/CSV/AES).
 """
 
 from __future__ import annotations
@@ -1075,4 +1080,87 @@ def p09_timestamp_ntz_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("shifted").alias("max_shifted"),
         )
         .orderBy("hour_of_day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# p10 — AES column-encryption codec family (deterministic ECB audit)
+
+_P10_KEY = "0123456789abcdef"  # 16-byte test key (the audit's fixture, not a secret)
+
+_P10_ORACLE = """
+WITH rows_ AS (
+  SELECT o_orderstatus,
+         o_orderkey,
+         concat(o_orderpriority, '|', CAST(o_orderkey AS VARCHAR)) AS pt,
+         (o_orderkey % 13 = 0) AS corrupted
+  FROM orders
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN corrupted THEN 0 ELSE 1 END) AS BIGINT) AS n_recovered,
+       CAST(SUM(CASE WHEN corrupted THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+       CAST(SUM(CASE WHEN corrupted THEN 0 ELSE o_orderkey END) AS BIGINT) AS sum_recovered_keys,
+       CAST(SUM((len(pt) // 16 + 1) * 16 + CASE WHEN corrupted THEN 1 ELSE 0 END) AS BIGINT)
+         AS sum_wire_bytes
+FROM rows_
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@query(
+    "p10_aes_codec_quarantine",
+    oracle=_P10_ORACLE,
+    tags=("functions", "audit"),
+)
+def p10_aes_codec_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AES COLUMN-ENCRYPTION CODEC under the hash gate (aes_encrypt /
+    try_aes_decrypt — the last expression-codec family the engine had
+    not certified, after JSON/XML/Variant/CSV): every order's
+    priority|key payload is encrypted with deterministic AES-ECB (the
+    mode whose ciphertext is a pure function of plaintext+key — GCM's
+    random IV would break both the hash gate and the oracle), 1-in-13
+    wires are corrupted with a planted prefix byte, and the decrypt
+    side must (a) round-trip every clean row byte-for-byte (the
+    recovered order key re-parsed FROM THE DECRYPTED TEXT is summed
+    in-hash), (b) quarantine every corrupted wire as NULL
+    (try_aes_decrypt's contract — the r14/o14 Luhn pattern at the
+    crypto layer), and (c) produce exactly the PKCS-padded wire sizes
+    the oracle derives closed-form ((len//16+1)*16 + the planted
+    byte). The oracle never sees a ciphertext — everything it checks
+    is derived from raw columns plus the ECB length law, so any
+    codec deviation (padding, encoding, silent truncation) breaks the
+    hash.
+
+    Scale: pure per-row JVM expressions (one encrypt + one decrypt per
+    row) feeding a bounded-key map-side-combined rollup; no shuffle
+    beyond the 3-key group. 10x probe reads ~4.8x — the r18 one-pass
+    scan shape (data-proportional crypto work with no fixed overhead
+    to hide behind; parallelizes linearly across executors). The ECB
+    determinism caveat is the docstring's own warning: real column
+    encryption at rest should use GCM (randomized), which is exactly
+    why the AUDIT pins ECB.
+    """
+    o = table(spark, sf_dir, "orders")
+    ct = F.expr(f"aes_encrypt(concat(o_orderpriority, '|', CAST(o_orderkey AS STRING)), '{_P10_KEY}', 'ECB')")
+    wire = F.when(F.col("o_orderkey") % 13 == 0, F.concat(F.lit(bytes([0])), ct)).otherwise(ct)
+    rows = o.select(
+        "o_orderstatus",
+        "o_orderkey",
+        wire.alias("wire"),
+    ).withColumn(
+        "dec", F.expr(f"CAST(try_aes_decrypt(wire, '{_P10_KEY}', 'ECB') AS STRING)")
+    )
+    recovered = F.split(F.col("dec"), r"\|").getItem(1).cast("bigint")
+    return (
+        rows.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("dec").isNotNull().cast("int")).cast("bigint").alias("n_recovered"),
+            F.sum(F.col("dec").isNull().cast("int")).cast("bigint").alias("n_quarantined"),
+            F.sum(F.coalesce(recovered, F.lit(0))).cast("bigint").alias("sum_recovered_keys"),
+            F.sum(F.length("wire")).cast("bigint").alias("sum_wire_bytes"),
+        )
+        .orderBy("o_orderstatus")
     )

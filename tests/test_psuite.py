@@ -670,3 +670,53 @@ def test_p09_matches_python_rollup(spark, sf_dir, reg, duck):
         n, n_rebuilt, n_cross, mn, mx = per_hour[r.hour_of_day]
         assert (r.n, r.n_rebuilt_exact, r.n_shift_crosses_day) == (n, n_rebuilt, n_cross)
         assert r.min_ts == mn and r.max_shifted == mx
+
+
+def test_p10_ecb_determinism_and_quarantine_contract(spark):
+    """Pin the three laws p10's oracle leans on: ECB ciphertext is a
+    pure function of (plaintext, key); try_aes_decrypt returns NULL
+    (never throws, never garbage) on a corrupted wire; and the PKCS
+    wire length is (len//16+1)*16."""
+    rows = spark.sql(
+        """
+        SELECT base64(aes_encrypt(s, '0123456789abcdef', 'ECB')) AS c1,
+               base64(aes_encrypt(s, '0123456789abcdef', 'ECB')) AS c2,
+               CAST(try_aes_decrypt(aes_encrypt(s, '0123456789abcdef', 'ECB'),
+                                    '0123456789abcdef', 'ECB') AS STRING) AS rt,
+               try_aes_decrypt(concat(X'00', aes_encrypt(s, '0123456789abcdef', 'ECB')),
+                               '0123456789abcdef', 'ECB') AS corrupt,
+               length(aes_encrypt(s, '0123456789abcdef', 'ECB')) AS ctlen,
+               length(s) AS ptlen
+        FROM VALUES ('x'), ('exactly16bytes!!'), ('a much longer payload than one block') v(s)
+        """
+    ).collect()
+    for r in rows:
+        assert r.c1 == r.c2, "ECB must be deterministic"
+        assert r.corrupt is None, "corrupted wire must quarantine as NULL"
+        assert r.ctlen == (r.ptlen // 16 + 1) * 16, "PKCS padded length law"
+    assert rows[0].rt == "x" and rows[1].rt == "exactly16bytes!!"
+
+
+def test_p10_matches_python_replay(spark, sf_dir, reg, duck):
+    rows = reg["p10_aes_codec_quarantine"].fn(spark, sf_dir).collect()
+    exp = {}
+    for st, prio, ok_ in duck.execute(
+        "SELECT o_orderstatus, o_orderpriority, o_orderkey FROM orders"
+    ).fetchall():
+        e = exp.setdefault(st, [0, 0, 0, 0, 0])
+        corrupted = ok_ % 13 == 0
+        ptlen = len(f"{prio}|{ok_}")
+        e[0] += 1
+        e[1] += 0 if corrupted else 1
+        e[2] += 1 if corrupted else 0
+        e[3] += 0 if corrupted else ok_
+        e[4] += (ptlen // 16 + 1) * 16 + (1 if corrupted else 0)
+    for r in rows:
+        n, n_rec, n_quar, sum_keys, wire = exp[r.o_orderstatus]
+        assert (r.n, r.n_recovered, r.n_quarantined, r.sum_recovered_keys, r.sum_wire_bytes) == (
+            n,
+            n_rec,
+            n_quar,
+            sum_keys,
+            wire,
+        ), r

@@ -158,6 +158,7 @@ PROBE_QUERIES = [
     "p07_stream_join_state_reader",
     "p08_udtf_polymorphic_analyze",
     "p09_timestamp_ntz_surface",
+    "p10_aes_codec_quarantine",
 ]
 
 
