@@ -1164,3 +1164,188 @@ def p10_aes_codec_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# p11 — binary shard transport: chunk / reassemble / checksum / loss audit
+
+_P11_CHUNK = 64  # bytes per shard chunk
+
+_P11_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         len(text) AS nbytes,                    -- ASCII corpus: bytes == chars
+         (len(text) + {_P11_CHUNK} - 1) // {_P11_CHUNK} AS n_chunks,
+         (doc_id % 17 = 0) AS planted
+  FROM documents
+), reasm AS (
+  SELECT doc_id, nbytes, n_chunks, planted,
+         CASE WHEN planted AND nbytes > {_P11_CHUNK}
+              THEN substr(text, 1, {_P11_CHUNK}) || substr(text, 2 * {_P11_CHUNK} + 1)
+              ELSE text END AS received
+  FROM base
+)
+SELECT doc_id,
+       CAST(n_chunks - CASE WHEN planted AND nbytes > {_P11_CHUNK} THEN 1 ELSE 0 END AS INTEGER)
+         AS n_chunks_received,
+       CAST(len(received) AS BIGINT) AS bytes_received,
+       (NOT (planted AND nbytes > {_P11_CHUNK})) AS intact,
+       md5(received) AS digest
+FROM reasm
+ORDER BY doc_id
+"""
+
+
+@query(
+    "p11_binary_chunk_transport",
+    oracle=_P11_ORACLE,
+    tags=("multimodal", "binary", "audit"),
+)
+def p11_binary_chunk_transport(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY SHARD TRANSPORT under the hash gate — the multimodal
+    plumbing a 100 TB media corpus rides (payloads split into
+    fixed-size chunks for shuffle/transfer, reassembled in order,
+    integrity-checked): each document's opaque binary payload (the
+    multimodal/binary.py contract) is split into {chunk}-byte chunks
+    with JVM binary substring, the SECOND chunk of every 17th document
+    is deterministically dropped in flight, and the receiver
+    reassembles in chunk order (sorted higher-order fold over binary
+    concat — no Python, no UDF) and checksums the result. In-hash per
+    document: chunks received, bytes received, the intact verdict
+    (md5(reassembled) == md5(original)), and the received digest
+    itself — the oracle recomputes every digest from the raw text
+    (the corpus is pure printable ASCII, pinned in tests, so byte
+    slices equal character slices), so reassembly ORDER, the planted
+    gap, and the checksum algebra are all under the hash.
+
+    Scale: chunking is a per-row sequence/substring fan-out (rows x
+    len/{chunk} chunk rows — exactly what a shard writer emits);
+    reassembly is one shuffle on doc_id with a sorted in-memory fold
+    per group (bounded by the payload size, not the corpus).
+    """
+    d = table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    base = d.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.length(payload).alias("nbytes"),
+        ((F.length(payload) + F.lit(_P11_CHUNK - 1)) / F.lit(_P11_CHUNK))
+        .cast("int")
+        .alias("n_chunks"),
+        (F.col("doc_id") % 17 == 0).alias("planted"),
+    )
+    chunks = base.select(
+        "doc_id",
+        "planted",
+        F.posexplode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("idx", "_"),
+        F.col("payload"),
+    ).select(
+        "doc_id",
+        "idx",
+        F.expr(f"substring(payload, idx * {_P11_CHUNK} + 1, {_P11_CHUNK})").alias("chunk"),
+        "planted",
+    )
+    # the planted in-flight loss: chunk #1 (the second) of every 17th doc
+    delivered = chunks.where(~(F.col("planted") & (F.col("idx") == 1)))
+    reasm = (
+        delivered.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_chunks_received"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                    lambda s: s.getField("chunk"),
+                ),
+                F.expr("CAST('' AS BINARY)"),
+                lambda acc, c: F.concat(acc, c),
+            ).alias("received"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks_received",
+            F.length("received").cast("bigint").alias("bytes_received"),
+            F.col("received"),
+        )
+    )
+    return (
+        reasm.join(base.select("doc_id", "payload"), "doc_id")
+        .select(
+            "doc_id",
+            "n_chunks_received",
+            "bytes_received",
+            (F.md5("received") == F.md5("payload")).alias("intact"),
+            F.md5("received").alias("digest"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+p11_binary_chunk_transport.__doc__ = p11_binary_chunk_transport.__doc__.replace(
+    "{chunk}", str(_P11_CHUNK)
+)
+
+
+# ---------------------------------------------------------------------------
+# p12 — collation-aware JOIN (UTF8_LCASE equi-join)
+
+_P12_ORACLE = """
+WITH dim AS (
+  SELECT DISTINCT lower(o_orderpriority) AS pk FROM orders
+)
+SELECT dim.pk,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(SUM(o.o_orderkey) AS BIGINT) AS sum_keys,
+       CAST(SUM(CASE WHEN o.o_orderpriority = dim.pk THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_binary_equal
+FROM dim LEFT JOIN orders o ON lower(o.o_orderpriority) = dim.pk
+GROUP BY dim.pk
+ORDER BY dim.pk
+"""
+
+
+@query(
+    "p12_collated_join",
+    oracle=_P12_ORACLE,
+    tags=("join", "collation"),
+)
+def p12_collated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLATION-AWARE EQUI-JOIN under the hash gate: n05 certified
+    collated GROUPING; this certifies the JOIN operator path — a
+    lowercase dimension joins the mixed-case fact on a UTF8_LCASE
+    collated key, so the hash join's equality (and its hashing!) must
+    be collation-aware, not byte-wise. The in-hash n_binary_equal
+    column counts joined rows whose keys are ALSO byte-equal — 0 for
+    this uppercase corpus — proving the matches came from the
+    collation, not from incidentally equal strings; the oracle
+    replays with lower() normalization (the pre-collation idiom the
+    feature replaces).
+
+    Scale: a collated join shuffles on the collation key exactly like
+    a binary join (Spark hashes the collation sort key); the
+    alternative lower()-wrapping blocks pushdown of any other
+    predicate on the raw column — the collated form keeps the column
+    intact for pruning.
+    """
+    o = table(spark, sf_dir, "orders")
+    dim = (
+        o.select(F.lower(F.col("o_orderpriority")).alias("pk"))
+        .distinct()
+        .transform(cut_lineage)  # bounded dictionary, reused as build side
+    )
+    ck = "collate(%s, 'UTF8_LCASE')"
+    joined = dim.join(
+        o,
+        F.expr(ck % "pk") == F.expr(ck % "o_orderpriority"),
+        "left",
+    )
+    return (
+        joined.groupBy("pk")
+        .agg(
+            F.count(F.col("o_orderkey")).cast("bigint").alias("n_orders"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+            F.sum((F.col("o_orderpriority") == F.col("pk")).cast("int"))
+            .cast("bigint")
+            .alias("n_binary_equal"),
+        )
+        .orderBy("pk")
+    )

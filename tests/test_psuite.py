@@ -720,3 +720,51 @@ def test_p10_matches_python_replay(spark, sf_dir, reg, duck):
             sum_keys,
             wire,
         ), r
+
+
+def test_p11_corpus_is_printable_ascii(duck):
+    """The byte==char precondition p11's oracle leans on: every
+    document is pure printable ASCII (so DuckDB character slices equal
+    the engine's binary byte slices)."""
+    n, total = duck.execute(
+        r"SELECT SUM(CASE WHEN text ~ '^[\x20-\x7e]*$' THEN 1 ELSE 0 END), COUNT(*) FROM documents"
+    ).fetchone()
+    assert n == total
+
+
+def test_p11_matches_python_replay(spark, sf_dir, reg, duck):
+    import hashlib as _h
+
+    rows = reg["p11_binary_chunk_transport"].fn(spark, sf_dir).collect()
+    docs = dict(duck.execute("SELECT doc_id, text FROM documents").fetchall())
+    assert len(rows) == len(docs)
+    C = 64
+    for r in rows:
+        raw = docs[r.doc_id].encode()
+        chunks = [raw[i : i + C] for i in range(0, len(raw), C)]
+        if r.doc_id % 17 == 0 and len(chunks) > 1:
+            del chunks[1]
+            assert not r.intact
+        else:
+            assert r.intact
+        received = b"".join(chunks)
+        assert r.n_chunks_received == len(chunks)
+        assert r.bytes_received == len(received)
+        assert r.digest == _h.md5(received).hexdigest()
+
+
+def test_p11_losses_really_planted(spark, sf_dir, reg):
+    rows = reg["p11_binary_chunk_transport"].fn(spark, sf_dir).collect()
+    broken = [r for r in rows if not r.intact]
+    assert broken, "at least one multi-chunk doc must hit the plant rule"
+    assert all(r.doc_id % 17 == 0 for r in broken)
+
+
+def test_p12_collation_did_the_matching(spark, sf_dir, reg):
+    """Every joined row matched through the collation (n_binary_equal
+    == 0 on this uppercase corpus) and nothing was lost vs the orders
+    rowcount."""
+    rows = reg["p12_collated_join"].fn(spark, sf_dir).collect()
+    assert all(r.n_binary_equal == 0 for r in rows)
+    total = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert sum(r.n_orders for r in rows) == total

@@ -159,6 +159,8 @@ PROBE_QUERIES = [
     "p08_udtf_polymorphic_analyze",
     "p09_timestamp_ntz_surface",
     "p10_aes_codec_quarantine",
+    "p11_binary_chunk_transport",
+    "p12_collated_join",
 ]
 
 
