@@ -64,6 +64,20 @@ __spark_entry__.py they rename into the round-12 window.
        corruption quarantined as NULL and the PKCS wire-length law
        closed-form in the oracle — the crypto member of the
        expression-codec family (JSON/XML/Variant/CSV/AES).
+  p11  BINARY SHARD TRANSPORT: chunk / planted in-flight loss /
+       ordered reassembly (sorted binary-concat fold) / md5 digests
+       in-hash — the multimodal transport plumbing.
+  p12  COLLATED UTF8_LCASE EQUI-JOIN: the join operator path for
+       collations (n05 covered grouping), with the
+       collation-did-the-matching contrast column in-hash.
+  p13  STREAM-STATIC JOIN: per-micro-batch dimension enrichment with
+       a broadcast static side (no join state for the dim — the whole
+       point); sink rollup hash-matched to the relational join.
+  p14  EVENT-TIME TIMERS (applyInPandasWithState + EventTimeTimeout —
+       the uncertified timer half of arbitrary state): a custom
+       sessionizer closing sessions event-driven AND timer-driven,
+       hash-gated against gaps-and-islands and pinned EQUAL to the
+       built-in session_window key (p04) row-for-row.
 """
 
 from __future__ import annotations
@@ -1348,4 +1362,258 @@ def p12_collated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_binary_equal"),
         )
         .orderBy("pk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# p13 — stream-static join (per-batch dimension enrichment)
+
+_P13_ORACLE = """
+SELECT c.c_mktsegment, e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(e.event_id) AS BIGINT) AS sum_event_id,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY c.c_mktsegment, e.event_type
+ORDER BY c.c_mktsegment, e.event_type
+"""
+
+
+@query(
+    "p13_stream_static_join",
+    oracle=_P13_ORACLE,
+    tags=("streaming", "join", "audit"),
+)
+def p13_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC JOIN under the hash gate — the one join flavor the
+    streaming family (qb35 inner interval, o15 left-outer, p07 state)
+    had not certified: the events stream joins a STATIC dimension
+    (customer, broadcast per micro-batch) — no join state is kept for
+    the static side at all, which is exactly the 100 TB point: a
+    stream x dim enrichment must not buffer the dim in the state
+    store, it re-resolves it each batch (picking up dim updates
+    between batches for free). The enriched rows land in a parquet
+    sink across the 3-chunk replay; the per-(segment, type) rollup of
+    the SINK — counts, id sums, distinct users — is hash-matched
+    against the relational join, so a dropped or duplicated
+    enrichment in ANY batch breaks the gate. Every event's user
+    resolves (pinned in tests), so inner-join semantics lose nothing.
+
+    Scale: the dim side is broadcast (plan pinned in tests — no
+    shuffle of the stream for the join); each micro-batch is one
+    map-side join pass; the stream side never shuffles until the
+    post-hoc audit rollup.
+    """
+    import os
+    import tempfile
+
+    from pyspark_distributed_kmodes_spark.operators.analytics10 import _rmtree_at_exit
+    from pyspark_distributed_kmodes_spark.operators.analytics12 import stage_event_terciles
+
+    stage = stage_event_terciles(spark, sf_dir, doubled=False)
+    schema = spark.read.parquet(stage).schema
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    root = tempfile.mkdtemp(prefix="p13_target_")
+    _rmtree_at_exit(root)
+    sink = os.path.join(root, "sink")
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    enriched = stream.join(
+        F.broadcast(dim), stream["user_id"] == dim["c_custkey"], "inner"
+    ).select("event_id", "user_id", "event_type", "c_mktsegment")
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout=300):
+        q.stop()
+        raise TimeoutError("p13: availableNow stream did not finish within 300 s")
+    return (
+        spark.read.parquet(sink)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("event_id").cast("bigint").alias("sum_event_id"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("c_mktsegment", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# p14 — arbitrary stateful sessionizer with EVENT-TIME TIMERS
+
+_P14_GAP_MIN = 30
+
+_P14_ORACLE = f"""
+WITH wm AS (
+  SELECT MAX(ts) - INTERVAL 1 HOUR - INTERVAL 1 SECOND AS cutoff FROM events
+), flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL {_P14_GAP_MIN} MINUTES OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), sess AS (
+  SELECT user_id, ts, event_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+), agg AS (
+  SELECT user_id,
+         MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL {_P14_GAP_MIN} MINUTES AS session_end,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(event_id) AS BIGINT) AS sum_ids
+  FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, session_start, session_end, n_events, sum_ids
+FROM agg, wm
+WHERE session_end <= cutoff
+ORDER BY user_id, session_start
+"""
+
+
+@query(
+    "p14_stateful_timer_sessions",
+    oracle=_P14_ORACLE,
+    tags=("streaming", "udf", "audit"),
+)
+def p14_stateful_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARBITRARY STATEFUL PROCESSING WITH EVENT-TIME TIMERS under the
+    hash gate (applyInPandasWithState + GroupStateTimeout.
+    EventTimeTimeout — every prior arbitrary-state key used NoTimeout,
+    so the TIMER half of the API was uncertified): a custom per-user
+    sessionizer keeps the open session in state, closes it
+    EVENT-DRIVEN when a same-user event lands beyond the gap, and
+    TIMER-DRIVEN when the watermark passes last_event + gap with no
+    successor (state.hasTimedOut -> emit + remove) — the close path
+    F.session_window cannot express custom variants of (p04 is the
+    built-in twin; this is how per-key TTL/session logic is built
+    when the built-in shape doesn't fit). Timer law: the timeout
+    timestamp set to last+gap is always > the current watermark
+    (late rows never reach the function), and a timed-out group's
+    state is removed exactly once. Both engines keep sessions whose
+    end clears the final watermark by >= 1 s (the p04 guard band);
+    every such session is provably emitted — by a successor event or
+    by the terminal no-data batch's timer sweep.
+
+    Scale: state is one open session per active user (eviction by
+    timer — bounded by the gap horizon x active users, never corpus
+    keys); each micro-batch shuffles once on user_id; Arrow-batched
+    pandas, no row-at-a-time Python.
+    """
+    import os
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from pyspark_distributed_kmodes_spark.operators.analytics10 import _rmtree_at_exit
+    from pyspark_distributed_kmodes_spark.operators.analytics12 import stage_event_terciles
+
+    gap_us = _P14_GAP_MIN * 60 * 1_000_000
+    stage = stage_event_terciles(spark, sf_dir, doubled=False)
+    staged = spark.read.parquet(stage)
+    max_ts = staged.agg(F.max("ts")).first()[0]  # bounded scalar
+    import datetime
+
+    cutoff = max_ts - datetime.timedelta(hours=1, seconds=1)
+
+    out_schema = (
+        "user_id bigint, start_us bigint, end_us bigint, n_events bigint, sum_ids bigint"
+    )
+    state_schema = "start_us bigint, last_us bigint, n bigint, sum_ids bigint"
+
+    def sessionize(key, pdfs, state: GroupState):
+        uid = key[0]
+        if state.hasTimedOut:
+            start_us, last_us, n, sum_ids = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": uid,
+                        "start_us": start_us,
+                        "end_us": last_us + gap_us,
+                        "n_events": n,
+                        "sum_ids": sum_ids,
+                    }
+                ]
+            )
+            return
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        ts_us = rows["ts"].astype("datetime64[us]").astype("int64").tolist()
+        ids = rows["event_id"].tolist()
+        if state.exists:
+            start_us, last_us, n, sum_ids = state.get
+        else:
+            start_us = last_us = None
+            n = sum_ids = 0
+        closed = []
+        for t, eid in zip(ts_us, ids):
+            if start_us is None:
+                start_us, last_us, n, sum_ids = t, t, 1, eid
+            elif t - last_us > gap_us:
+                closed.append((start_us, last_us, n, sum_ids))
+                start_us, last_us, n, sum_ids = t, t, 1, eid
+            else:
+                last_us, n, sum_ids = t, n + 1, sum_ids + eid
+        state.update((start_us, last_us, n, sum_ids))
+        # ms-epoch timer: fires when the watermark passes the session end
+        state.setTimeoutTimestamp(last_us // 1000 + _P14_GAP_MIN * 60 * 1000)
+        if closed:
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": uid,
+                        "start_us": s,
+                        "end_us": l + gap_us,
+                        "n_events": nn,
+                        "sum_ids": si,
+                    }
+                    for s, l, nn, si in closed
+                ]
+            )
+
+    root = tempfile.mkdtemp(prefix="p14_target_")
+    _rmtree_at_exit(root)
+    sink = os.path.join(root, "sink")
+    stream = spark.readStream.schema(staged.schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    sess = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sessionize, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+    q = (
+        sess.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout=300):
+        q.stop()
+        raise TimeoutError("p14: availableNow stream did not finish within 300 s")
+    return (
+        spark.read.parquet(sink)
+        .select(
+            "user_id",
+            F.timestamp_micros(F.col("start_us")).alias("session_start"),
+            F.timestamp_micros(F.col("end_us")).alias("session_end"),
+            "n_events",
+            "sum_ids",
+        )
+        .where(F.col("session_end") <= F.lit(cutoff))
+        .orderBy("user_id", "session_start")
     )

@@ -768,3 +768,136 @@ def test_p12_collation_did_the_matching(spark, sf_dir, reg):
     assert all(r.n_binary_equal == 0 for r in rows)
     total = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
     assert sum(r.n_orders for r in rows) == total
+
+
+def test_p13_every_event_resolves_and_join_is_broadcast(spark, sf_dir, reg):
+    """Inner-join semantics lose nothing (every user_id has a customer
+    row) and the static side is broadcast — the stream never shuffles
+    for the enrichment."""
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    unmatched = e.join(c, e.user_id == c.c_custkey, "left_anti").count()
+    assert unmatched == 0
+    rows = reg["p13_stream_static_join"].fn(spark, sf_dir).collect()
+    assert sum(r.n for r in rows) == e.count()
+    # plan pin on the batch-equivalent join: broadcast, no shuffle of the fact
+    plan = e.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        e.user_id == c.c_custkey,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_p14_custom_timer_sessionizer_equals_builtin(spark, sf_dir, reg):
+    """The strongest pin available: the hand-rolled EventTimeTimeout
+    sessionizer must produce EXACTLY the rows of the built-in
+    F.session_window streaming key (p04) — same gap, same watermark,
+    same guard band, same schema."""
+    custom = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_ids)
+        for r in reg["p14_stateful_timer_sessions"].fn(spark, sf_dir).collect()
+    }
+    builtin = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_ids)
+        for r in reg["p04_stream_session_windows"].fn(spark, sf_dir).collect()
+    }
+    assert custom == builtin and custom
+
+
+def test_p14_timer_fires_for_tail_session(spark):
+    """Pin the TIMER path in isolation: a single user whose only
+    session has no successor event can only emit via hasTimedOut in
+    the terminal batch — if the timer half were broken, the session
+    would die silently in state."""
+    import os
+    import tempfile
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    t0 = datetime(2024, 3, 1, 12, 0, 0)
+    root = tempfile.mkdtemp(prefix="p14_pin_")
+    stage = os.path.join(root, "stage")
+    os.makedirs(stage)
+    chunk_a = [(1, 100, t0), (2, 100, t0 + timedelta(minutes=5))]
+    chunk_b = [(3, 9, t0 + timedelta(hours=6))]  # watermark driver only
+    for i, rows in enumerate([chunk_a, chunk_b]):
+        spark.createDataFrame(
+            rows, "event_id bigint, user_id bigint, ts timestamp"
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(stage, f"c{i}.parquet"))
+    files = sorted(
+        os.path.join(stage, d, f)
+        for d in os.listdir(stage)
+        for f in os.listdir(os.path.join(stage, d))
+        if f.endswith(".parquet")
+    )
+    base = os.stat(files[0]).st_mtime
+    for i, f in enumerate(files):
+        os.utime(f, (base + 10.0 * i, base + 10.0 * i))
+
+    gap_us = 30 * 60 * 1_000_000
+
+    def sessionize(key, pdfs, state: GroupState):
+        uid = key[0]
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [{"user_id": uid, "start_us": start_us, "end_us": last_us + gap_us, "n": n}]
+            )
+            return
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        ts_us = rows["ts"].astype("datetime64[us]").astype("int64").tolist()
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us = last_us = None
+            n = 0
+        for t in ts_us:
+            if start_us is None:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us > gap_us:
+                start_us, last_us, n = t, t, 1  # (tail test: no mid-closes expected)
+            else:
+                last_us, n = t, n + 1
+        state.update((start_us, last_us, n))
+        state.setTimeoutTimestamp(last_us // 1000 + 30 * 60 * 1000)
+        return
+        yield  # pragma: no cover — generator marker
+
+    schema = spark.read.parquet(os.path.join(stage, "c0.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage, "*.parquet"))
+    )
+    sess = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sessionize,
+            "user_id bigint, start_us bigint, end_us bigint, n bigint",
+            "start_us bigint, last_us bigint, n bigint",
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    sink = os.path.join(root, "sink")
+    q = (
+        sess.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(timeout=120)
+    got = {(r.user_id, r.n) for r in spark.read.parquet(sink).collect()}
+    # user 100's 2-event session emitted ONLY via the timer; user 9's
+    # own session is within the final watermark horizon => still open
+    assert got == {(100, 2)}

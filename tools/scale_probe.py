@@ -161,6 +161,8 @@ PROBE_QUERIES = [
     "p10_aes_codec_quarantine",
     "p11_binary_chunk_transport",
     "p12_collated_join",
+    "p13_stream_static_join",
+    "p14_stateful_timer_sessions",
 ]
 
 
