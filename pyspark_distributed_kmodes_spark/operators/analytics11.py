@@ -556,7 +556,7 @@ def qn06_statestore_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~100x the observed sf0.1 wall time)
     if not q.awaitTermination(timeout=300):
         q.stop()
-        raise TimeoutError("n06: availableNow stream did not finish within 300 s")
+        raise TimeoutError("qn06: availableNow stream did not finish within 300 s")
     # the source copy is dead weight once the stream commits; the
     # checkpoint must survive for the lazy statestore read below
     shutil.rmtree(stage, ignore_errors=True)

@@ -992,7 +992,7 @@ def o12_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataF
     # bounded wait (the n06 discipline): a wedged stream fails loudly
     if not q.awaitTermination(timeout=300):
         q.stop()
-        raise TimeoutError("r12: availableNow stream did not finish within 300 s")
+        raise TimeoutError("o12: availableNow stream did not finish within 300 s")
     # stage is NOT rmtree'd here: stage_event_terciles' cache reuses it
     # (atexit cleanup is already registered at mkdtemp time)
     _rmtree_at_exit(target_root)  # sink read below is lazy
@@ -1319,7 +1319,7 @@ def o15_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not q.awaitTermination(timeout=300):
         q.stop()
-        raise TimeoutError("r15: availableNow stream did not finish within 300 s")
+        raise TimeoutError("o15: availableNow stream did not finish within 300 s")
     shutil.rmtree(stage, ignore_errors=True)
     _rmtree_at_exit(target_root)
     emitted = spark.read.parquet(sink).where(
@@ -1441,7 +1441,7 @@ def o16_statestore_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not q.awaitTermination(timeout=300):
         q.stop()
-        raise TimeoutError("r16: availableNow stream did not finish within 300 s")
+        raise TimeoutError("o16: availableNow stream did not finish within 300 s")
     shutil.rmtree(stage, ignore_errors=True)
     _rmtree_at_exit(ckpt_root)
     cf = (
@@ -1748,14 +1748,14 @@ def o19_rocksdb_statestore_parity(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         if not q.awaitTermination(timeout=300):
             q.stop()
-            raise TimeoutError("r19: availableNow stream did not finish within 300 s")
+            raise TimeoutError("o19: availableNow stream did not finish within 300 s")
         shutil.rmtree(stage, ignore_errors=True)
         _rmtree_at_exit(ckpt_root)
         # RocksDB checkpoints upload zip snapshots (+ SSTs/); the HDFS
         # provider writes .delta files. No zip => we silently ran the
         # wrong backend and the parity claim would be vacuous.
         if not glob.glob(os.path.join(ckpt, "state", "0", "*", "*.zip")):
-            raise RuntimeError("r19: checkpoint lacks RocksDB snapshot layout")
+            raise RuntimeError("o19: checkpoint lacks RocksDB snapshot layout")
         st = spark.read.format("statestore").load(ckpt)
         out = (
             st.select(
@@ -1839,7 +1839,7 @@ def o20_rate_micro_batch_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if not q.awaitTermination(timeout=300):
             q.stop()
-            raise TimeoutError("r20: availableNow run did not finish within 300 s")
+            raise TimeoutError("o20: availableNow run did not finish within 300 s")
     _rmtree_at_exit(root)
     return (
         spark.read.parquet(out)
@@ -2014,7 +2014,7 @@ def o22_runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame
         # must fail loudly, not silently run the unfiltered join
         plan = out._jdf.queryExecution().executedPlan().toString()
         if "might_contain" not in plan:
-            raise RuntimeError("r22: runtime bloom filter was not injected")
+            raise RuntimeError("o22: runtime bloom filter was not injected")
     finally:
         for k, v in prev.items():
             if v is None:
@@ -2277,7 +2277,7 @@ def o26_rocksdb_changelog_checkpoint(spark: SparkSession, sf_dir: str) -> DataFr
         )
         if not q.awaitTermination(timeout=300):
             q.stop()
-            raise TimeoutError("r26: availableNow stream did not finish within 300 s")
+            raise TimeoutError("o26: availableNow stream did not finish within 300 s")
         shutil.rmtree(stage, ignore_errors=True)
         _rmtree_at_exit(ckpt_root)
         changelogs = glob.glob(os.path.join(ckpt, "state", "0", "*", "*.changelog"))
@@ -2287,7 +2287,7 @@ def o26_rocksdb_changelog_checkpoint(spark: SparkSession, sf_dir: str) -> DataFr
         # snapshot-per-batch mode fails here loudly
         if len(changelogs) < 3 or zips:
             raise RuntimeError(
-                f"r26: expected a pure changelog chain, got "
+                f"o26: expected a pure changelog chain, got "
                 f"{len(changelogs)} changelogs / {len(zips)} zips"
             )
         st = spark.read.format("statestore").load(ckpt)

@@ -1064,7 +1064,15 @@ def p09_timestamp_ntz_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = [f.dataType.typeName() for f in raw.schema if f.name == "ts"][0]
-    if ts_type != "timestamp_ntz":
+    if ts_type == "long":
+        # TIMESTAMP(NANOS) encoding (read as a nanosecond bigint via
+        # session.py's nanosAsLong): mirror tables.py's integer-DIV
+        # micros conversion, then strip the zone (UTC session — same
+        # wall clock). A direct BIGINT -> TIMESTAMP_NTZ cast throws.
+        raw = raw.withColumn(
+            "ts", F.expr("timestamp_micros(ts DIV 1000)").cast("timestamp_ntz")
+        )
+    elif ts_type != "timestamp_ntz":
         # a re-encoded copy (e.g. the scale probe's Spark-written
         # replicas) lands as TIMESTAMP; convert so the NTZ expression
         # surface still runs — the shipped testdata really being NTZ

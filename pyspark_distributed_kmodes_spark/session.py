@@ -46,9 +46,15 @@ _TMP_PREFIXES = (
     # the former r-suite (now o-keys) streaming/staging dirs — each is
     # also atexit-registered at mkdtemp time, so the sweeper only has
     # to catch dirs orphaned by a killed process
-    "o10_meta_", "o12_stage_", "o12_target_", "o15_stage_",
+    "o10_meta_", "o12_target_", "o15_stage_",
     "o15_target_", "o16_stage_", "o16_ckpt_", "o19_stage_",
     "o19_ckpt_", "o20_runs_", "o26_stage_", "o26_ckpt_",
+    # round-11 p-suite + the shared memoized events staging ("o12_stage_"
+    # retired with it — o12 now stages through evstage_)
+    "evstage_", "p03_target_", "p04_target_", "p05_target_",
+    "p06_target_", "p07_target_", "p13_target_", "p14_target_",
+    "p04_planted_", "p07_pin_", "p14_pin_", "p03_listener_",
+    "p06_contrast_",
 )
 _SWEEP_DONE = False
 

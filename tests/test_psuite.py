@@ -901,3 +901,28 @@ def test_p14_timer_fires_for_tail_session(spark):
     # user 100's 2-event session emitted ONLY via the timer; user 9's
     # own session is within the final watermark horizon => still open
     assert got == {(100, 2)}
+
+
+def test_tercile_split_implementations_agree(spark, sf_dir):
+    """Two copies of the day-tercile cut algorithm exist
+    (analytics10._time_chunk_files for the m-era replay keys,
+    analytics12.stage_event_terciles for o12/p03-p14); p03's oracle
+    and the p-suite chunk replays assume they produce the SAME split.
+    Pin it: chunk-by-chunk identical event_id sets, so a future edit
+    to one copy's cut rule fails loudly here instead of silently
+    diverging the replays."""
+    from pyspark_distributed_kmodes_spark.operators.analytics10 import _time_chunk_files
+    from pyspark_distributed_kmodes_spark.operators.analytics12 import stage_event_terciles
+
+    a_files = _time_chunk_files(spark, sf_dir, 3)
+    b_stage = stage_event_terciles(spark, sf_dir, doubled=False)
+    import os
+
+    b_files = sorted(
+        os.path.join(b_stage, f) for f in os.listdir(b_stage) if f.endswith(".parquet")
+    )
+    assert len(a_files) == len(b_files) == 3
+    for a, b in zip(a_files, b_files):
+        ids_a = {r.event_id for r in spark.read.parquet(a).select("event_id").collect()}
+        ids_b = {r.event_id for r in spark.read.parquet(b).select("event_id").collect()}
+        assert ids_a == ids_b
