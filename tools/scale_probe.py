@@ -163,6 +163,8 @@ PROBE_QUERIES = [
     "p12_collated_join",
     "p13_stream_static_join",
     "p14_stateful_timer_sessions",
+    "p15_stream_union_two_sources",
+    "p16_sorted_run_writer_audit",
 ]
 
 
