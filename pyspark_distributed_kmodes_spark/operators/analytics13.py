@@ -87,6 +87,8 @@ __spark_entry__.py they rename into the round-12 window.
        sequential fixed-size files — the bounded-file-size-without-
        breaking-the-sort contract time-ordered sinks rely on;
        closed-form ROW_NUMBER oracle.
+  p17  NTILE EQUI-DEPTH BUCKETING: the last uncovered rank-family
+       window function — remainder and tie laws in-hash.
 """
 
 from __future__ import annotations
@@ -1857,3 +1859,74 @@ def p16_sorted_run_writer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 p16_sorted_run_writer_audit.__doc__ = p16_sorted_run_writer_audit.__doc__.replace(
     "{_P16_PER_FILE}", str(_P16_PER_FILE)
 )
+
+
+# ---------------------------------------------------------------------------
+# p17 — NTILE equi-depth bucketing (the last uncovered rank-family member)
+
+_P17_TILES = 8
+
+_P17_ORACLE = f"""
+WITH tiled AS (
+  SELECT o_orderstatus, o_orderkey, o_totalprice,
+         NTILE({_P17_TILES}) OVER (PARTITION BY o_orderstatus
+                                   ORDER BY o_totalprice, o_orderkey) AS bucket
+  FROM orders
+)
+SELECT o_orderstatus, CAST(bucket AS INTEGER) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+FROM tiled
+GROUP BY o_orderstatus, bucket
+ORDER BY o_orderstatus, bucket
+"""
+
+
+@query(
+    "p17_ntile_equidepth",
+    oracle=_P17_ORACLE,
+    tags=("window", "agg"),
+)
+def p17_ntile_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE equi-depth bucketing under the hash gate — the one
+    rank-family window function (rank/dense_rank/row_number/
+    percent_rank/cume_dist are covered by the q20-family) the engine
+    had not certified: {n} equal-depth price buckets per order status,
+    with the uneven-remainder law (the first `count mod n` buckets get
+    the extra row) and the tie law (equal prices split across a bucket
+    boundary by the unique-key sort tiebreak — NTILE is order-
+    dependent, so the ORDER BY carries o_orderkey to make both engines
+    walk one total order) both in-hash via per-bucket counts, price
+    ranges, and key sums. Equi-DEPTH is the histogram the quantile
+    keys (qf23, q92's equi-width) don't give: every bucket holds the
+    same weight, so downstream samplers draw uniformly from each.
+
+    Scale: one window shuffle on the partition key; NTILE is a
+    streaming window function (no buffering beyond the partition
+    run) and the rollup is map-side combined.
+    """
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderstatus",
+            "o_orderkey",
+            "o_totalprice",
+            F.ntile(_P17_TILES).over(w).alias("bucket"),
+        )
+        .groupBy("o_orderstatus", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+        )
+        .orderBy("o_orderstatus", "bucket")
+    )
+
+
+p17_ntile_equidepth.__doc__ = p17_ntile_equidepth.__doc__.replace("{n}", str(_P17_TILES))

@@ -960,3 +960,39 @@ def test_p16_files_are_contiguous_sorted_slices(spark, sf_dir, reg, duck):
         assert r.n_rows == 2000
         assert r.max_ts <= rows[i + 1].min_ts
     assert rows[-1].n_rows == total - 2000 * (len(rows) - 1)
+
+
+def test_p17_ntile_remainder_and_tie_laws(spark, sf_dir, reg, duck):
+    """Python replay of NTILE: per status, sorted by (price, key), the
+    first `count mod 8` buckets hold ceil(count/8) rows, the rest
+    floor(count/8) — and the per-bucket key sums pin that ties at
+    bucket boundaries split by the unique-key order."""
+    rows = reg["p17_ntile_equidepth"].fn(spark, sf_dir).collect()
+    data = duck.execute(
+        "SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders"
+        " ORDER BY o_orderstatus, o_totalprice, o_orderkey"
+    ).fetchall()
+    per = {}
+    for st, okey, price in data:
+        per.setdefault(st, []).append((okey, price))
+    exp = {}
+    for st, lst in per.items():
+        n = len(lst)
+        q, r = divmod(n, 8)
+        pos = 0
+        for b in range(1, 9):
+            size = q + (1 if b <= r else 0)
+            chunk = lst[pos : pos + size]
+            pos += size
+            if chunk:
+                exp[(st, b)] = (
+                    len(chunk),
+                    min(p for _, p in chunk),
+                    max(p for _, p in chunk),
+                    sum(k for k, _ in chunk),
+                )
+    assert len(rows) == len(exp)
+    for row in rows:
+        n, mn, mx, sk = exp[(row.o_orderstatus, row.bucket)]
+        assert (row.n, row.sum_keys) == (n, sk), row
+        assert float(row.min_price) == float(mn) and float(row.max_price) == float(mx)

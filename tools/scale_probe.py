@@ -165,6 +165,7 @@ PROBE_QUERIES = [
     "p14_stateful_timer_sessions",
     "p15_stream_union_two_sources",
     "p16_sorted_run_writer_audit",
+    "p17_ntile_equidepth",
 ]
 
 
