@@ -155,6 +155,22 @@ this). History:
            and is honestly unsupported on vanilla parquet v1 catalogs
            (see analytics12.py header); CDC merge semantics remain
            covered by operators/cdc.py.
+  round 12: executed exactly as decided in round 11 (ROUND_NOTES
+           kickoff checklist item 1): all 50 round-11 window keys
+           came back green in CORRECTNESS_r11 (45 hash + the 5
+           declared rows-only sketch/ANN/MinHash/SimHash keys), so
+           the 50 o-keys rotate out (o -> qo, number = identity,
+           e.g. qo12 === o12 === r12_stream_dedup_within_watermark).
+           The staged p-suite p01-p17 enters the window, the 26
+           round-1/2-era q68-q99 rows rename to o68-o99 (number =
+           query identity; 76-79/83/84 were never occupied), and the
+           7 next-oldest driver rows — qb01-qb07, green only in
+           CORRECTNESS_r02 — rename into the freed o01-o07 slots
+           (number preserved, e.g. o01 === qb01 === grouped-agg
+           pandas UDAF). Window: o01-o07 + o68-o99 + p01-p17 =
+           exactly 50. Round-12 staging is keyed p18+ (sorts after
+           p17, before q01, outside the full window) and rotates
+           into the round-13 window.
 
 Implementations live in pyspark_distributed_kmodes_spark/; this module
 is a thin adapter over its registry.

@@ -42,71 +42,71 @@ def main():
     reg = load_all()
 
     print("== 1. SQL scripting: FOR/IF fold over per-priority counts ==")
-    row = reg["o01_sql_scripting_controlflow"].fn(spark, sf_dir)
+    row = reg["qo01_sql_scripting_controlflow"].fn(spark, sf_dir)
     row.show()
     assert row.collect()[0].n_groups >= 1
 
     print("== 2. Variant: typed '$.k' extraction from events.props ==")
-    reg["o02_variant_json_extraction"].fn(spark, sf_dir).show()
+    reg["qo02_variant_json_extraction"].fn(spark, sf_dir).show()
 
     print("== 3. XML round-trip: aggregate from parsed structs only ==")
-    reg["o03_xml_expression_roundtrip"].fn(spark, sf_dir).show()
+    reg["qo03_xml_expression_roundtrip"].fn(spark, sf_dir).show()
 
     print("== 4. approx_top_k vs exact counts (err pinned 0) ==")
-    topk = reg["o04_approx_top_k_audit"].fn(spark, sf_dir)
+    topk = reg["qo04_approx_top_k_audit"].fn(spark, sf_dir)
     topk.show()
     assert all(r.err == 0 for r in topk.collect())
 
     print("== 5. URL parsing: per-host rollup, malformed quarantined ==")
-    reg["o05_url_parsing"].fn(spark, sf_dir).show(8)
+    reg["qo05_url_parsing"].fn(spark, sf_dir).show(8)
 
     print("== 6. IDENTIFIER() table binding + lateral column aliases ==")
-    reg["o06_identifier_lateral_alias"].fn(spark, sf_dir).show()
+    reg["qo06_identifier_lateral_alias"].fn(spark, sf_dir).show()
 
     print("== 7. UTF-8 validation over binary (planted corruption) ==")
-    utf8 = reg["o07_utf8_validation"].fn(spark, sf_dir)
+    utf8 = reg["qo07_utf8_validation"].fn(spark, sf_dir)
     utf8.show(8)
     assert sum(r.n_invalid for r in utf8.collect()) > 0
 
     print("== 8. Bitmap distinct rollup (exact, mergeable) ==")
-    bm = reg["o08_bitmap_distinct_rollup"].fn(spark, sf_dir)
+    bm = reg["qo08_bitmap_distinct_rollup"].fn(spark, sf_dir)
     bm.show()
     assert all(r.n_distinct_cust <= r.n_distinct_all for r in bm.collect())
 
     print("== 9. Parameterized SQL (hostile probe stays a literal) ==")
-    ps = reg["o09_parameterized_sql"].fn(spark, sf_dir)
+    ps = reg["qo09_parameterized_sql"].fn(spark, sf_dir)
     ps.show()
     assert all(r.n_probe_hits == 0 for r in ps.collect())
 
     print("== 10. File-metadata provenance over a partitioned sink ==")
-    meta = reg["o10_file_metadata_provenance"].fn(spark, sf_dir)
+    meta = reg["qo10_file_metadata_provenance"].fn(spark, sf_dir)
     meta.show()
     assert all(r.ri_contiguous == 1 for r in meta.collect())
 
     print("== 11. Passage chunking (W=32, stride 24) ==")
-    reg["o11_passage_chunking"].fn(spark, sf_dir).show(8)
+    reg["qo11_passage_chunking"].fn(spark, sf_dir).show(8)
 
     print("== 12. Streaming dedup within watermark (planted +30s dups) ==")
-    dd = reg["o12_stream_dedup_within_watermark"].fn(spark, sf_dir)
+    dd = reg["qo12_stream_dedup_within_watermark"].fn(spark, sf_dir)
     dd.show()
     assert all(r.n_dropped == r.n_input - r.n_dedup for r in dd.collect())
 
     print("== 13. variant_explode over nested JSON arrays ==")
-    reg["o13_variant_explode_lateral"].fn(spark, sf_dir).show(6)
+    reg["qo13_variant_explode_lateral"].fn(spark, sf_dir).show(6)
 
     print("== 14. Luhn checksum quarantine (planted digit corruption) ==")
-    lu = reg["o14_luhn_checksum_quarantine"].fn(spark, sf_dir)
+    lu = reg["qo14_luhn_checksum_quarantine"].fn(spark, sf_dir)
     lu.show(8)
     assert sum(r.n_invalid for r in lu.collect()) > 0
 
     print("== 15. Stream-stream LEFT OUTER join (watermarked null emission) ==")
-    oj = reg["o15_stream_outer_join"].fn(spark, sf_dir)
+    oj = reg["qo15_stream_outer_join"].fn(spark, sf_dir)
     oj.show()
     row = oj.collect()[0]
     assert row.n_null_clicks >= 0 and row.n_matched_pairs >= row.n_matched_clicks
 
     print("== 16. State-store change feed (per-batch state evolution) ==")
-    cf = reg["o16_statestore_changefeed"].fn(spark, sf_dir)
+    cf = reg["qo16_statestore_changefeed"].fn(spark, sf_dir)
     cf.show(15)
     assert {r.change_type for r in cf.collect()} == {"update"}
 

@@ -118,7 +118,7 @@ def q42_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "o43_array_funcs",
+    "qo43_array_funcs",
     oracle="""
 SELECT doc_id,
        len(string_split(text, ' ')) AS n_words,
@@ -131,7 +131,7 @@ ORDER BY doc_id
 """,
     tags=("scalar", "array"),
 )
-def o43_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo43_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array family over tokenized text: size/distinct/sort/slice/
     contains — all JVM higher-order-function built-ins."""
     d = table(spark, sf_dir, "documents")
@@ -147,7 +147,7 @@ def o43_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "o44_higher_order_funcs",
+    "qo44_higher_order_funcs",
     oracle="""
 SELECT doc_id,
        len(list_filter(string_split(text, ' '), w -> length(w) > 5)) AS n_long_words,
@@ -158,7 +158,7 @@ ORDER BY doc_id
 """,
     tags=("scalar", "array", "lambda"),
 )
-def o44_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo44_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order lambdas: filter / transform / aggregate over arrays —
     the JVM-side alternative to row-at-a-time Python UDFs."""
     d = table(spark, sf_dir, "documents")
@@ -174,7 +174,7 @@ def o44_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "o45_map_funcs",
+    "qo45_map_funcs",
     oracle="""
 SELECT event_type,
        CAST(map_from_entries(ARRAY[('n', CAST(COUNT(*) AS BIGINT)),
@@ -187,7 +187,7 @@ ORDER BY event_type
 """,
     tags=("scalar", "map"),
 )
-def o45_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo45_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map family: build a map from entries, extract by key (element_at).
 
     Demonstrates MapType round-tripping; the oracle mirrors with DuckDB
@@ -238,7 +238,7 @@ def q36_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q90_posexplode",
+    "o90_posexplode",
     oracle="""
 SELECT doc_id,
        CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INTEGER) AS pos,
@@ -249,7 +249,7 @@ ORDER BY doc_id, pos
 """,
     tags=("scalar", "array"),
 )
-def q90_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o90_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional explode: (pos, word) pairs per document — the
     order-preserving flatten used for windowed shingling and
     position-aware tokenization."""
@@ -260,8 +260,8 @@ def q90_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q91_approx_percentiles", oracle=None, tags=("agg", "approx"))
-def q91_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("o91_approx_percentiles", oracle=None, tags=("agg", "approx"))
+def o91_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch percentiles: percentile_approx (one-pass mergeable) beside
     the exact values — the 100 TB path where exact per-group sorts are
     unaffordable. Rows-only; accuracy bound property-tested.

@@ -209,8 +209,8 @@ FROM r
 """
 
 
-@query("o01_sql_scripting_controlflow", oracle=_O01_ORACLE, tags=("sql", "scripting"))
-def o01_sql_scripting_controlflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qo01_sql_scripting_controlflow", oracle=_O01_ORACLE, tags=("sql", "scripting"))
+def qo01_sql_scripting_controlflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL scripting (Spark 4.1 BEGIN...END) as a first-class front
     door: DECLARE'd session-scoped variables, scalar-subquery SETs, a
     FOR cursor loop over the ordered per-priority counts, and an IF
@@ -260,8 +260,8 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
-@query("o02_variant_json_extraction", oracle=_O02_ORACLE, tags=("sql", "variant", "json"))
-def o02_variant_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qo02_variant_json_extraction", oracle=_O02_ORACLE, tags=("sql", "variant", "json"))
+def qo02_variant_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VARIANT-typed semi-structured extraction: the real events.props
     JSON strings are parsed into Spark 4's VariantType (parse_json) and
     the '$.k' path is extracted with an explicit target type
@@ -309,8 +309,8 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
-@query("o03_xml_expression_roundtrip", oracle=_O03_ORACLE, tags=("sql", "xml"))
-def o03_xml_expression_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qo03_xml_expression_roundtrip", oracle=_O03_ORACLE, tags=("sql", "xml"))
+def qo03_xml_expression_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML EXPRESSION surface (the engine previously had only the XML
     file source, qj08): every event row is serialized to an XML string
     with to_xml(named_struct(...)) and immediately re-parsed with
@@ -364,8 +364,8 @@ FROM orders GROUP BY 1 ORDER BY sketch_n DESC, o_orderpriority
 """
 
 
-@query("o04_approx_top_k_audit", oracle=_O04_ORACLE, tags=("sketch", "audit"))
-def o04_approx_top_k_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qo04_approx_top_k_audit", oracle=_O04_ORACLE, tags=("sketch", "audit"))
+def qo04_approx_top_k_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native DataSketches frequent-items top-k (Spark 4.1
     approx_top_k_accumulate/_estimate) with the exact GROUP BY as its
     audit twin IN the hash gate: on the 5-value priority domain the
@@ -417,8 +417,8 @@ FROM documents GROUP BY 1 ORDER BY host
 """
 
 
-@query("o05_url_parsing", oracle=_O05_ORACLE, tags=("text", "url"))
-def o05_url_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qo05_url_parsing", oracle=_O05_ORACLE, tags=("text", "url"))
+def qo05_url_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL parsing surface (parse_url / try_parse_url, the try_ variant
     new in Spark 4.1): deterministic URLs are synthesized from document
     metadata (1-in-13 deliberately malformed), then HOST and a QUERY
@@ -458,7 +458,7 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 
 
 @query(
-    "o06_identifier_lateral_alias",
+    "qo06_identifier_lateral_alias",
     oracle=_O06_ORACLE.format(
         net="(CAST(floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)"
         " - CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE))"
@@ -466,7 +466,7 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     ),
     tags=("sql", "ergonomics"),
 )
-def o06_identifier_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo06_identifier_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two analyzer-level SQL ergonomics features under one hash:
     IDENTIFIER() binds the scanned table from a session variable
     (injection-safe dynamic identifiers — the sanctioned form of the
@@ -514,8 +514,8 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
-@query("o07_utf8_validation", oracle=_O07_ORACLE, tags=("text", "binary"))
-def o07_utf8_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qo07_utf8_validation", oracle=_O07_ORACLE, tags=("text", "binary"))
+def qo07_utf8_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UTF-8 validation expressions (is_valid_utf8 / try_validate_utf8,
     Spark 4.0+) over a BINARY column — the first scrubbing pass of any
     100 TB raw-bytes text ingest. Corruption is planted deterministically
@@ -574,8 +574,8 @@ ORDER BY o_orderpriority
 """
 
 
-@query("o08_bitmap_distinct_rollup", oracle=_O08_ORACLE, tags=("sql", "bitmap", "distinct"))
-def o08_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qo08_bitmap_distinct_rollup", oracle=_O08_ORACLE, tags=("sql", "bitmap", "distinct"))
+def qo08_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT distinct counting via bitmap aggregates
     (bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg /
     bitmap_or_agg / bitmap_count): one scan builds per-(priority,
@@ -627,14 +627,14 @@ _O09_PROBE = "F' OR '1'='1"
 
 
 @query(
-    "o09_parameterized_sql",
+    "qo09_parameterized_sql",
     oracle=_O09_ORACLE.format(
         rev="CAST(floor(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)"
         " * 100.0 + 0.5) AS DOUBLE) / 100.0"
     ),
     tags=("sql", "api", "parameters"),
 )
-def o09_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo09_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PARAMETERIZED SQL (spark.sql(..., args={...}), named :markers —
     the Spark 3.4+ binding API): the filter literals arrive as bound
     parameters, including a deliberately hostile string
@@ -674,8 +674,8 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
-@query("o10_file_metadata_provenance", oracle=_O10_ORACLE, tags=("source", "metadata", "lineage"))
-def o10_file_metadata_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qo10_file_metadata_provenance", oracle=_O10_ORACLE, tags=("source", "metadata", "lineage"))
+def qo10_file_metadata_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILE-METADATA provenance columns (_metadata.file_path /
     row_index / file_size) under the hash gate: orders are written
     partitioned by priority with one shuffle partition per key (so the
@@ -796,8 +796,8 @@ FROM chunks GROUP BY source ORDER BY source
 """
 
 
-@query("o11_passage_chunking", oracle=_O11_ORACLE, tags=("text", "llm", "chunking"), bench=True)
-def o11_passage_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qo11_passage_chunking", oracle=_O11_ORACLE, tags=("text", "llm", "chunking"), bench=True)
+def qo11_passage_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PASSAGE CHUNKING — the RAG / training-data chunker: every
     document is tokenized (whitespace split, empties filtered) and cut
     into overlapping windows of {W} tokens at stride {S} (final short
@@ -823,7 +823,7 @@ def o11_passage_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_O11_SQL)
 
 
-o11_passage_chunking.__doc__ = o11_passage_chunking.__doc__.replace("{W}", str(_O11_W)).replace(
+qo11_passage_chunking.__doc__ = qo11_passage_chunking.__doc__.replace("{W}", str(_O11_W)).replace(
     "{S}", str(_O11_S)
 )
 
@@ -928,12 +928,12 @@ def stage_event_terciles(spark: SparkSession, sf_dir: str, doubled: bool) -> str
 
 
 @query(
-    "o12_stream_dedup_within_watermark",
+    "qo12_stream_dedup_within_watermark",
     oracle=_O12_ORACLE,
     tags=("streaming", "dedup", "audit"),
     bench=True,
 )
-def o12_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo12_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING DEDUP WITH BOUNDED STATE under the hash gate
     (dropDuplicatesWithinWatermark, Spark 3.5+): duplicates are planted
     deterministically (every event_id % 37 == 0 row re-injected with
@@ -1053,8 +1053,8 @@ ORDER BY event_type, pos
 """
 
 
-@query("o13_variant_explode_lateral", oracle=_O13_ORACLE, tags=("sql", "variant", "json"))
-def o13_variant_explode_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qo13_variant_explode_lateral", oracle=_O13_ORACLE, tags=("sql", "variant", "json"))
+def qo13_variant_explode_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NESTED Variant explosion (the variant_explode table-valued
     function, Spark 4.0+): a JSON array payload synthesized from real
     event columns is parsed to Variant, the '$.ids' array is pulled out
@@ -1133,8 +1133,8 @@ FROM customer GROUP BY 1 ORDER BY nationkey
 """
 
 
-@query("o14_luhn_checksum_quarantine", oracle=_O14_ORACLE, tags=("text", "validation"))
-def o14_luhn_checksum_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qo14_luhn_checksum_quarantine", oracle=_O14_ORACLE, tags=("text", "validation"))
+def qo14_luhn_checksum_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHECKSUM-VALIDATION quarantine (luhn_check, Spark 3.5+): 10-digit
     account numbers are GENERATED in-engine — the Luhn check digit
     computed with a higher-order fold (transform + aggregate over digit
@@ -1207,7 +1207,7 @@ SELECT CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_matched_pairs,
 
 
 @query(
-    "o15_stream_outer_join",
+    "qo15_stream_outer_join",
     oracle=_O15_ORACLE,
     # deliberately NOT bench-flagged: the staging replay (3 single-file
     # chunk writes) plus three stateful micro-batches costs ~15 s at
@@ -1216,7 +1216,7 @@ SELECT CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_matched_pairs,
     # at every SF
     tags=("streaming", "join", "audit"),
 )
-def o15_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo15_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER join under the hash gate (the engine
     had only the inner interval join, qb35): clicks left-join purchases
     by user within a 2 h event-time window, both sides watermarked 4 h,
@@ -1381,8 +1381,8 @@ ORDER BY batch_id, event_type
 """
 
 
-@query("o16_statestore_changefeed", oracle=_O16_ORACLE, tags=("streaming", "source", "audit"))
-def o16_statestore_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qo16_statestore_changefeed", oracle=_O16_ORACLE, tags=("streaming", "source", "audit"))
+def qo16_statestore_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STATE-STORE CHANGE FEED under the hash gate (Spark 4
     `format("statestore").option("readChangeFeed", true)`): a streaming
     per-type count+sum runs over THREE chronological micro-batches
@@ -1509,8 +1509,8 @@ FROM u GROUP BY 1 ORDER BY n_sessions
 """
 
 
-@query("o17_dynamic_gap_sessions", oracle=_O17_ORACLE, tags=("events", "window-agg"))
-def o17_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qo17_dynamic_gap_sessions", oracle=_O17_ORACLE, tags=("events", "window-agg"))
+def qo17_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DYNAMIC-GAP session windows: F.session_window with a PER-EVENT
     inactivity gap (purchase 60 min, view 15 min, else 30 min) — the
     behavioral-sessionization semantics q32's static 30-minute gap
@@ -1633,8 +1633,8 @@ FROM c GROUP BY pr ORDER BY pr
 """
 
 
-@query("o18_try_arithmetic_quarantine", oracle=_O18_ORACLE, tags=("sql", "ansi"))
-def o18_try_arithmetic_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qo18_try_arithmetic_quarantine", oracle=_O18_ORACLE, tags=("sql", "ansi"))
+def qo18_try_arithmetic_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI try_* arithmetic quarantine: under ANSI mode (the engine's
     default on Spark 4) plain arithmetic THROWS on BIGINT overflow,
     division by zero, and malformed casts; the try_* family
@@ -1684,8 +1684,8 @@ FROM events GROUP BY 1 ORDER BY event_type
 """
 
 
-@query("o19_rocksdb_statestore_parity", oracle=_O19_ORACLE, tags=("streaming", "state", "audit"))
-def o19_rocksdb_statestore_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qo19_rocksdb_statestore_parity", oracle=_O19_ORACLE, tags=("streaming", "state", "audit"))
+def qo19_rocksdb_statestore_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROCKSDB STATE-STORE PROVIDER parity under the hash gate: the
     n06 streaming-aggregation/state-reader loop re-run with
     `spark.sql.streaming.stateStore.providerClass` set to the
@@ -1786,8 +1786,8 @@ GROUP BY 1 ORDER BY 1
 """
 
 
-@query("o20_rate_micro_batch_source", oracle=_O20_ORACLE, tags=("streaming", "source"))
-def o20_rate_micro_batch_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qo20_rate_micro_batch_source", oracle=_O20_ORACLE, tags=("streaming", "source"))
+def qo20_rate_micro_batch_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RATE-MICRO-BATCH SOURCE with restart continuation: Spark's
     deterministic load-generator source (`format("rate-micro-batch")`
     — unlike plain `rate`, batch composition is pinned by OPTIONS, not
@@ -1909,8 +1909,8 @@ FROM per_order GROUP BY bucket ORDER BY bucket
 """
 
 
-@query("o21_xpath_extraction", oracle=_O21_ORACLE, tags=("sql", "xml", "xpath"))
-def o21_xpath_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qo21_xpath_extraction", oracle=_O21_ORACLE, tags=("sql", "xml", "xpath"))
+def qo21_xpath_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XPATH EXPRESSION family (xpath / xpath_long / xpath_double —
     the query-language side of the XML surface; r03 covered the
     schema-based from_xml side): multi-node per-order documents are
@@ -1963,8 +1963,8 @@ GROUP BY 1 ORDER BY returnflag
 """
 
 
-@query("o22_runtime_bloom_filter_join", oracle=_O22_ORACLE, tags=("join", "optimizer"))
-def o22_runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qo22_runtime_bloom_filter_join", oracle=_O22_ORACLE, tags=("join", "optimizer"))
+def qo22_runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RUNTIME BLOOM-FILTER JOIN (InjectRuntimeFilter): a selective
     dimension-side predicate (one order priority) makes the optimizer
     build a bloom_filter_agg over the surviving join keys and inject
@@ -2051,8 +2051,8 @@ FROM lineitem GROUP BY 1, 2 ORDER BY flag, bucket
 """
 
 
-@query("o23_sql_transform_pipe", oracle=_O23_ORACLE, tags=("sql", "transform"))
-def o23_sql_transform_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qo23_sql_transform_pipe", oracle=_O23_ORACLE, tags=("sql", "transform"))
+def qo23_sql_transform_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL TRANSFORM (Hive-style script transform): every row is
     serialized to the default tab-delimited text serde, piped through
     an EXTERNAL PROCESS per task ('cat' — the identity, so the serde
@@ -2108,8 +2108,8 @@ FROM orders GROUP BY 1 ORDER BY priority
 """
 
 
-@query("o24_csv_expression_roundtrip", oracle=_O24_ORACLE, tags=("sql", "csv"))
-def o24_csv_expression_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qo24_csv_expression_roundtrip", oracle=_O24_ORACLE, tags=("sql", "csv"))
+def qo24_csv_expression_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV EXPRESSION surface (to_csv -> from_csv — the engine had
     only the CSV FILE source, qc01/qk24; this is the per-cell codec,
     completing the expression-codec family: JSON q35, XML r03,
@@ -2158,8 +2158,8 @@ ORDER BY l_returnflag, l_linestatus, n_items, sum_qty
 """
 
 
-@query("o25_sql_sugar_all_except", oracle=_O25_ORACLE, tags=("sql", "ergonomics"))
-def o25_sql_sugar_all_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qo25_sql_sugar_all_except", oracle=_O25_ORACLE, tags=("sql", "ergonomics"))
+def qo25_sql_sugar_all_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZER SUGAR, r06's companion: GROUP BY ALL must infer
     exactly the non-aggregate output columns (flag, status) and
     nothing else; SELECT * EXCEPT must drop the named column while
@@ -2200,8 +2200,8 @@ FROM events GROUP BY 1 ORDER BY event_type
 """
 
 
-@query("o26_rocksdb_changelog_checkpoint", oracle=_O26_ORACLE, tags=("streaming", "state", "audit"))
-def o26_rocksdb_changelog_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qo26_rocksdb_changelog_checkpoint", oracle=_O26_ORACLE, tags=("streaming", "state", "audit"))
+def qo26_rocksdb_changelog_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROCKSDB CHANGELOG CHECKPOINTING (the production setting for
     billion-key state): with
     `...rocksdb.changelogCheckpointing.enabled`, each micro-batch

@@ -1267,10 +1267,17 @@ def p11_binary_chunk_transport(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_chunks"),
         (F.col("doc_id") % 17 == 0).alias("planted"),
     )
+    # Guard the fan-out: for a zero-length payload F.sequence(0, -1)
+    # yields the DESCENDING [0, -1] (2 phantom chunks), so emit an
+    # empty index array instead; the doc re-enters via the left join
+    # below with 0 chunks received, matching the oracle's closed form.
+    idx_seq = F.when(
+        F.col("n_chunks") >= 1, F.sequence(F.lit(0), F.col("n_chunks") - 1)
+    ).otherwise(F.array().cast("array<int>"))
     chunks = base.select(
         "doc_id",
         "planted",
-        F.posexplode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("idx", "_"),
+        F.posexplode(idx_seq).alias("idx", "_"),
         F.col("payload"),
     ).select(
         "doc_id",
@@ -1300,14 +1307,18 @@ def p11_binary_chunk_transport(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("received"),
         )
     )
+    empty_bin = F.expr("CAST('' AS BINARY)")
     return (
-        reasm.join(base.select("doc_id", "payload"), "doc_id")
+        base.select("doc_id", "payload")
+        .join(reasm, "doc_id", "left")
         .select(
             "doc_id",
-            "n_chunks_received",
-            "bytes_received",
-            (F.md5("received") == F.md5("payload")).alias("intact"),
-            F.md5("received").alias("digest"),
+            F.coalesce("n_chunks_received", F.lit(0)).alias("n_chunks_received"),
+            F.coalesce("bytes_received", F.lit(0).cast("bigint")).alias("bytes_received"),
+            (
+                F.md5(F.coalesce("received", empty_bin)) == F.md5("payload")
+            ).alias("intact"),
+            F.md5(F.coalesce("received", empty_bin)).alias("digest"),
         )
         .orderBy("doc_id")
     )
@@ -1648,8 +1659,10 @@ WITH unioned AS (
   SELECT 'b' AS src, ts + INTERVAL 15 MINUTES AS ts, event_id + 10000000 AS event_id
   FROM events
 ), wm AS (
-  -- the union's watermark is the MIN of the two sources' own maxima
-  -- (source a tops out 15 min before source b) minus the delay
+  -- each source has its OWN watermark operator (applied BEFORE the
+  -- union); the global watermark under multipleWatermarkPolicy=min is
+  -- the MIN of the two sources' maxima minus the delay (source a tops
+  -- out 15 min before source b, so a's maximum governs)
   SELECT MAX(ts) - INTERVAL 15 MINUTES - INTERVAL 1 HOUR - INTERVAL 1 SECOND AS cutoff
   FROM unioned
 ), agg AS (
@@ -1676,10 +1689,16 @@ def p15_stream_union_two_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     replica shifted +15 min / +10M ids) union into ONE streaming
     query — one checkpoint tracks BOTH sources' offsets independently
     (6 micro-batches total: maxFilesPerTrigger=1 alternates the
-    sources' files), and the union's event-time watermark is the MIN
-    of the two sources' own maxima minus the delay, which the oracle
-    derives closed-form (source a tops out 15 min before source b, so
-    a's maximum governs). Per-(source, day) tumbling counts land in
+    sources' files), and each source carries its OWN withWatermark
+    operator BEFORE the union, so the global watermark is genuinely
+    the multipleWatermarkPolicy=min of the two sources' maxima minus
+    the delay, which the oracle derives closed-form (source a tops
+    out 15 min before source b, so a's maximum governs — a post-union
+    single watermark would instead track the union's max, i.e. source
+    b's, and could emit windows past the min-of-sources cutoff; the
+    guard-band post-filter makes both engines comparable either way,
+    but the per-source placement is what puts the min policy genuinely
+    in play). Per-(source, day) tumbling counts land in
     an append sink; both engines keep days clearing the final
     watermark by >= 1 s (the p04 guard band). A dropped file from
     EITHER source, a mixed-up offset ledger, or a wrong min-of-sources
@@ -1732,14 +1751,22 @@ def p15_stream_union_two_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(stage_a)
         .select(F.lit("a").alias("src"), "ts", "event_id")
+        .withWatermark("ts", "1 hour")
     )
     src_b = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(stage_b)
         .select(F.lit("b").alias("src"), "ts", "event_id")
+        .withWatermark("ts", "1 hour")
     )
-    unioned = src_a.unionByName(src_b).withWatermark("ts", "1 hour")
+    # Each source carries its OWN watermark operator; the query's global
+    # watermark is governed by spark.sql.streaming.multipleWatermarkPolicy
+    # (default "min"), i.e. min(max_a, max_b) - 1h = max_a - 1h here —
+    # the genuine min-of-sources law the oracle derives closed-form. A
+    # single post-union withWatermark would instead track the UNION's
+    # max (source b), which is NOT the property this key certifies.
+    unioned = src_a.unionByName(src_b)
     agg = (
         unioned.groupBy("src", F.window("ts", "1 day").alias("w"))
         .agg(
@@ -1841,9 +1868,13 @@ def p16_sorted_run_writer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.min("ts").alias("min_ts"),
         F.max("ts").alias("max_ts"),
+        F.min("event_id").cast("bigint").alias("min_event_id"),
         F.sum("event_id").cast("bigint").alias("sum_ids"),
     )
-    w = W.orderBy(F.asc("min_ts"))  # bounded: one row per physical file
+    # (min_ts, min_event_id) is a UNIQUE per-file key even when 2000+
+    # consecutive rows share one timestamp (the run is sorted by
+    # (ts, event_id), so adjacent files can tie on min_ts alone).
+    w = W.orderBy(F.asc("min_ts"), F.asc("min_event_id"))  # bounded: one row per physical file
     return (
         per_file.select(
             (F.row_number().over(w) - 1).cast("bigint").alias("file_idx"),

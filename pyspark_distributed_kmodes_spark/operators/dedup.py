@@ -107,8 +107,8 @@ def _expand_copy_pairs(groups: DataFrame, rep_h: DataFrame, rep_pairs: DataFrame
     return cross.unionByName(within)
 
 
-@query("o63_minhash_neardup", oracle=None, tags=("text", "dedup", "approx"), bench=True)
-def o63_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qo63_minhash_neardup", oracle=None, tags=("text", "dedup", "approx"), bench=True)
+def qo63_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with estimated Jaccard ≥ 0.5.
 
     est_jaccard = fraction of agreeing signature positions (the unbiased
@@ -180,8 +180,8 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-@query("o64_simhash_neardup", oracle=None, tags=("text", "dedup", "approx"))
-def o64_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qo64_simhash_neardup", oracle=None, tags=("text", "dedup", "approx"))
+def qo64_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicates: hamming distance ≤ 8 of 48 bits.
 
     Candidate generation: 4 bands of 12 bits — any pair within hamming
@@ -226,7 +226,7 @@ def o64_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "o65_dedup_keep_best",
+    "qo65_dedup_keep_best",
     oracle="""
 SELECT fingerprint, doc_id, lang, n_chars
 FROM (
@@ -242,7 +242,7 @@ ORDER BY fingerprint
 """,
     tags=("text", "dedup"),
 )
-def o65_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo65_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup keeping the best representative per fingerprint group
     (longest doc, then lowest id) — the keep-policy variant of q56,
     expressed as a window so the full rows survive."""
@@ -258,8 +258,8 @@ def o65_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("o66_minhash_mllib", oracle=None, tags=("text", "dedup", "approx"))
-def o66_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qo66_minhash_mllib", oracle=None, tags=("text", "dedup", "approx"))
+def qo66_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Library-based near-dedup: pyspark.ml MinHashLSH over HashingTF
     shingle vectors (approxSimilarityJoin) — the off-the-shelf
     alternative to the hand-rolled q63 pipeline, kept for API parity.
@@ -384,12 +384,12 @@ ORDER BY doc_id
 
 
 @query(
-    "q97_dup_clusters",
+    "o97_dup_clusters",
     bench=True,
     oracle=_Q97_ORACLE,
     tags=("text", "dedup", "graph"),
 )
-def q97_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o97_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: exact-Jaccard pairs (≥0.2, as q55) →
     connected components → (doc, component, component size). The step
     every dedup pipeline needs after pair detection — pairs are not
@@ -433,7 +433,7 @@ def qc03_dup_clusters_distributed(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
-    "q98_dedup_canonical",
+    "o98_dedup_canonical",
     oracle="""
 WITH RECURSIVE
 shingles AS (
@@ -479,7 +479,7 @@ ORDER BY doc_id
 """,
     tags=("text", "dedup", "graph"),
 )
-def q98_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o98_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deduplicated corpus: near-dup clusters (q97's connected
     components) collapsed to ONE canonical document each — the longest
     (`n_chars` desc, doc_id tie-break) — with singleton docs (no
@@ -510,7 +510,7 @@ def q98_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q75_decontamination",
+    "o75_decontamination",
     oracle="""
 WITH shingles AS (
   SELECT DISTINCT doc_id, source, shingle
@@ -556,7 +556,7 @@ ORDER BY doc_id
 """,
     tags=("text", "dedup", "decontamination"),
 )
-def q75_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o75_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination: treat `source='src2'` documents as a
     held-out benchmark and flag every training document sharing ≥3
     distinct word trigrams with it, plus the single most-overlapping
@@ -635,7 +635,7 @@ def q75_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q69_neardup_graph_stats",
+    "o69_neardup_graph_stats",
     oracle="""
 WITH RECURSIVE
 shingles AS (
@@ -678,7 +678,7 @@ ORDER BY component_size
 """,
     tags=("text", "dedup", "graph"),
 )
-def q69_neardup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o69_neardup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster size histogram: how many near-dup components
     exist at each size, and how many documents they absorb — the
     monitoring metric that tells a pipeline whether dedup is removing a

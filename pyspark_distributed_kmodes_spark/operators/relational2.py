@@ -198,7 +198,7 @@ def q29_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "o46_unpivot",
+    "qo46_unpivot",
     oracle="""
 SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
 UNION ALL
@@ -207,7 +207,7 @@ ORDER BY p_partkey, metric
 """,
     tags=("reshape",),
 )
-def o46_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo46_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (wide → long): numeric part attributes to (metric, value)."""
     p = table(spark, sf_dir, "part")
     return (
@@ -218,7 +218,7 @@ def o46_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "o47_date_series_join",
+    "qo47_date_series_join",
     oracle=f"""
 WITH days AS (
   SELECT unnest(generate_series(TIMESTAMP '1996-01-01', TIMESTAMP '1996-03-31', INTERVAL 1 DAY)) AS day
@@ -231,7 +231,7 @@ ORDER BY d.day
 """,
     tags=("generate",),
 )
-def o47_date_series_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo47_date_series_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generated time series (gap-filling calendar): sequence + explode,
     left join facts so zero-activity days still appear."""
     o = table(spark, sf_dir, "orders")
@@ -256,7 +256,7 @@ def o47_date_series_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "o48_try_arithmetic",
+    "qo48_try_arithmetic",
     oracle="""
 SELECT event_id,
        value / nullif(CAST(json_extract_string(props, '$.k') AS INTEGER), 0) AS per_k,
@@ -267,7 +267,7 @@ ORDER BY event_id
 """,
     tags=("scalar", "ansi"),
 )
-def o48_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo48_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI-safe arithmetic: try_divide / try_cast return NULL instead of
     raising under ANSI mode (division by k=0 rows exist in events)."""
     e = table(spark, sf_dir, "events")
@@ -280,8 +280,8 @@ def o48_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
-@query("o49_sketch_distinct", oracle=None, tags=("agg", "approx"))
-def o49_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qo49_sketch_distinct", oracle=None, tags=("agg", "approx"))
+def qo49_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based distinct counting: approx_count_distinct (HLL++) and
     a mergeable Datasketches HLL (hll_sketch_agg → estimate). Rows-only:
     estimates are engine-specific; accuracy vs exact is property-tested

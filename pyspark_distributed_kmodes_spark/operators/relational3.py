@@ -12,7 +12,7 @@ from pyspark_distributed_kmodes_spark.sources.tables import table
 
 
 @query(
-    "q85_min_price_per_brand",
+    "o85_min_price_per_brand",
     oracle="""
 SELECT p.p_partkey, p.p_brand, p.p_retailprice
 FROM part p
@@ -22,7 +22,7 @@ ORDER BY p.p_brand, p.p_partkey
 """,
     tags=("subquery",),
 )
-def q85_min_price_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o85_min_price_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: correlated scalar MIN subquery — cheapest part(s)
     per brand. DataFrame form: min-over-window equality (the plan
     Catalyst decorrelates the subquery into anyway: one shuffle on
@@ -38,7 +38,7 @@ def q85_min_price_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q86_small_quantity_revenue",
+    "o86_small_quantity_revenue",
     oracle=f"""
 SELECT l.l_partkey,
        {sql_dsum('l.l_extendedprice')} AS small_lot_revenue,
@@ -51,7 +51,7 @@ ORDER BY l.l_partkey
 """,
     tags=("subquery", "agg"),
 )
-def q86_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o86_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated AVG subquery — revenue from lots
     under half the part's average quantity.
 
@@ -76,7 +76,7 @@ def q86_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q87_event_funnel",
+    "o87_event_funnel",
     oracle="""
 WITH firsts AS (
   SELECT user_id,
@@ -96,7 +96,7 @@ ORDER BY user_id
 """,
     tags=("events", "funnel"),
 )
-def q87_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o87_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel analytics: first signup → first purchase per user,
     conversion flag and time-to-convert — one conditional aggregation
     pass (no joins, no self-joins)."""
@@ -123,7 +123,7 @@ def q87_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q92_histogram",
+    "o92_histogram",
     oracle=f"""
 SELECT o_orderstatus,
        CAST(floor(o_totalprice / 50000.0) AS INTEGER) AS bucket,
@@ -135,7 +135,7 @@ ORDER BY o_orderstatus, bucket
 """,
     tags=("agg", "histogram"),
 )
-def q92_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o92_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value histogram: fixed-width 50k price buckets per status — the
     binning aggregation behind distribution profiling. Bucketing is a
     computed grouping key, so the plan is a plain map-side-combined
@@ -150,7 +150,7 @@ def q92_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q93_exact_stats",
+    "o93_exact_stats",
     oracle="""
 WITH moments AS (
   SELECT l_returnflag,
@@ -171,7 +171,7 @@ ORDER BY l_returnflag
 """,
     tags=("agg", "stats"),
 )
-def q93_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o93_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates (mean / sample stddev / sample covariance)
     computed from EXACT decimal moment sums, then one identical float
     formula per group — engine-portable where the built-in stddev/covar
@@ -242,7 +242,7 @@ def q39_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q73_market_share",
+    "o73_market_share",
     bench=True,
     oracle=f"""
 WITH all_sales AS (
@@ -271,7 +271,7 @@ ORDER BY o_year, supp_nation
 """,
     tags=("join", "tpch"),
 )
-def q73_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o73_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8-shape national market share: every supplier nation's
     slice of ASIA customers' MEDIUM-part revenue, per year — the
     nested-aggregate ratio pattern (group total ÷ window grand total).
@@ -321,7 +321,7 @@ def q73_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q74_waiting_suppliers",
+    "o74_waiting_suppliers",
     bench=True,
     oracle="""
 WITH per AS (
@@ -345,7 +345,7 @@ LIMIT 20
 """,
     tags=("join", "tpch", "window"),
 )
-def q74_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o74_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21-shape: suppliers who were the SOLE latest shipper in
     multi-supplier orders (everyone else finished earlier), top 20 by
     count. Q21's EXISTS (another supplier on the order) / NOT EXISTS

@@ -25,7 +25,7 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
 
 @query(
-    "o50_word_count",
+    "qo50_word_count",
     oracle="""
 SELECT word, COUNT(*) AS n
 FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
@@ -36,7 +36,7 @@ LIMIT 50
     tags=("text",),
     bench=True,
 )
-def o50_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo50_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus top-50 word count: explode → groupBy → top-k.
 
     Scale: the explode fans out ~40× but partial aggregation collapses
@@ -53,7 +53,7 @@ def o50_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "o51_lang_profile",
+    "qo51_lang_profile",
     oracle=f"""
 SELECT lang, source,
        COUNT(*) AS n_docs,
@@ -66,7 +66,7 @@ ORDER BY lang, source
 """,
     tags=("text",),
 )
-def o51_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo51_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus profiling: doc counts and length stats per (lang, source)."""
     d = table(spark, sf_dir, "documents")
     return (
@@ -82,7 +82,7 @@ def o51_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "o52_quality_score",
+    "qo52_quality_score",
     oracle=f"""
 SELECT doc_id,
        n_words,
@@ -103,7 +103,7 @@ ORDER BY doc_id
 """,
     tags=("text",),
 )
-def o52_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo52_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality scoring: length, stopword ratio, lexical
     diversity, and a pass/fail gate — the standard pre-training filter
     stack, computed entirely with array built-ins."""
@@ -130,7 +130,7 @@ def o52_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "o53_token_count",
+    "qo53_token_count",
     oracle="""
 SELECT lang,
        COUNT(*) AS n_docs,
@@ -142,7 +142,7 @@ ORDER BY lang
 """,
     tags=("text",),
 )
-def o53_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo53_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting with a BPE-ish regex (alpha runs | digit runs |
     single non-alnum) vs whitespace words — the budget metric every
     training-data pipeline needs."""
@@ -160,7 +160,7 @@ def o53_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "o54_doc_fingerprint",
+    "qo54_doc_fingerprint",
     oracle="""
 SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
@@ -170,7 +170,7 @@ ORDER BY doc_id
 """,
     tags=("text", "dedup"),
 )
-def o54_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo54_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: exact content hash + an order-insensitive
     bag-of-words fingerprint (sorted unique words → md5), the cheap
     first stage of a dedup cascade."""
@@ -279,8 +279,8 @@ def ngram_jaccard_pairs(
     )
 
 
-@query("o55_ngram_jaccard", oracle=_O55_ORACLE, tags=("text", "dedup"))
-def o55_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qo55_ngram_jaccard", oracle=_O55_ORACLE, tags=("text", "dedup"))
+def qo55_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate detection via exact 3-gram Jaccard (see
     ngram_jaccard_pairs). max_df=100_000 leaves test-scale results
     untouched (corpus df max ≪ 100k) while capping the join fan-out."""
@@ -289,7 +289,7 @@ def o55_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "o56_exact_dedup",
+    "qo56_exact_dedup",
     oracle="""
 SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
        COUNT(*) AS n_copies,
@@ -302,7 +302,7 @@ ORDER BY fingerprint
     tags=("text", "dedup"),
     bench=True,
 )
-def o56_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo56_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact (hash-based) dedup: group by content fingerprint, keep the
     lowest doc_id. The groupBy-on-hash formulation shuffles only
     (hash, id) pairs — never full text — which is what survives 100 TB.
@@ -319,7 +319,7 @@ def o56_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "o57_tfidf_top_terms",
+    "qo57_tfidf_top_terms",
     oracle="""
 WITH words AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
@@ -344,7 +344,7 @@ ORDER BY doc_id, rn
 """,
     tags=("text",),
 )
-def o57_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo57_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 terms per document, smooth-idf variant
     (idf = ln((N+1)/(df+1)) + 1, scikit-style), all relational:
     explode → two aggregations → join → window top-k. No ml-lib state;
@@ -464,7 +464,7 @@ def qm58_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "o59_rolling_hash",
+    "qo59_rolling_hash",
     oracle="""
 SELECT doc_id,
        list_reduce(
@@ -486,7 +486,7 @@ ORDER BY doc_id
 """,
     tags=("text", "dedup"),
 )
-def o59_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo59_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polynomial rolling-hash fingerprints, engine-portable exact
     integer math (base-131 char fold mod 2^31-1):
 
@@ -516,7 +516,7 @@ def o59_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q95_stratified_sample",
+    "o95_stratified_sample",
     oracle="""
 SELECT lang, COUNT(*) AS n_sampled,
        CAST(MIN(doc_id) AS BIGINT) AS min_id, CAST(MAX(doc_id) AS BIGINT) AS max_id
@@ -528,7 +528,7 @@ ORDER BY lang
 """,
     tags=("text", "sampling"),
 )
-def q95_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o95_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling: keep 50% of English, 10% of
     everything else, selected by a stable key-mod predicate (id-hash
     sampling — reproducible across runs/engines/cluster sizes, unlike
@@ -551,7 +551,7 @@ def q95_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q96_source_mixture",
+    "o96_source_mixture",
     oracle="""
 WITH quotas AS (
   SELECT * FROM (VALUES ('src0', 40), ('src1', 20), ('src2', 10)) AS q(source, quota)
@@ -570,7 +570,7 @@ ORDER BY source
 """,
     tags=("text", "sampling"),
 )
-def q96_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o96_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixture construction: per-source quotas filled with the
     best documents (longest first, deterministic tie-break) — the
     weighted-mixing step that turns a raw corpus into a training mix.
@@ -591,7 +591,7 @@ def q96_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q94_normalized_dedup",
+    "o94_normalized_dedup",
     oracle="""
 WITH norm AS (
   SELECT doc_id,
@@ -606,7 +606,7 @@ ORDER BY doc_id
 """,
     tags=("text", "dedup"),
 )
-def q94_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o94_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalization-invariant exact dedup: lowercase, strip
     punctuation, collapse whitespace, then group identical normalized
     forms — catches the case/punctuation variants that byte-exact
@@ -636,7 +636,7 @@ def q94_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q99_repetition_ratio",
+    "o99_repetition_ratio",
     oracle="""
 WITH bg AS (
   SELECT doc_id,
@@ -656,7 +656,7 @@ ORDER BY doc_id
 """,
     tags=("text", "quality"),
 )
-def q99_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o99_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition-based quality filter (Gopher-style): fraction of a
     document's bigrams occupied by its single most frequent bigram;
     high values flag boilerplate/spam for pre-training removal.

@@ -25,7 +25,7 @@ PACK_TARGET = 256  # words per packed training sequence
 
 
 @query(
-    "qb05_context_chunks",
+    "o05_context_chunks",
     oracle=f"""
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS words, len(string_split(text, ' ')) AS n
@@ -41,7 +41,7 @@ ORDER BY doc_id, chunk_idx
 """,
     tags=("training", "text"),
 )
-def qb05_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o05_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding context-window chunking: each document becomes overlapping
     {CHUNK_WORDS}-word chunks at stride {CHUNK_STRIDE} — the
     tokenize-and-window step that turns documents into model inputs.
@@ -68,7 +68,7 @@ def qb05_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "qb06_sequence_packing",
+    "o06_sequence_packing",
     oracle=f"""
 SELECT doc_id, source,
        CAST(n_words AS BIGINT) AS n_words,
@@ -86,7 +86,7 @@ ORDER BY source, doc_id
 """,
     tags=("training", "text"),
 )
-def qb06_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o06_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: concatenate documents in deterministic order and
     cut every {PACK_TARGET} words — each doc gets the pack id of its
     start offset (concat-and-chunk packing, the standard pre-training
@@ -110,7 +110,7 @@ def qb06_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "qb07_incremental_dedup",
+    "o07_incremental_dedup",
     oracle="""
 WITH corpus AS (
   SELECT md5(text) AS h FROM documents WHERE source <> 'src2'
@@ -124,7 +124,7 @@ ORDER BY b.doc_id
 """,
     tags=("training", "dedup"),
 )
-def qb07_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o07_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental (cross-snapshot) dedup: which docs of an incoming
     batch (source src2) are NOT already in the accepted corpus (other
     sources) — the admission check a continuously-ingesting training

@@ -136,7 +136,7 @@ def exact_topk(
 
 
 @query(
-    "o60_cosine_topk",
+    "qo60_cosine_topk",
     oracle="""
 WITH sims AS (
   SELECT a.vec_id,
@@ -158,18 +158,18 @@ ORDER BY vec_id, rank
     tags=("vector",),
     bench=True,
 )
-def o60_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo60_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for every embedding (see exact_topk)."""
     emb = table(spark, sf_dir, "embeddings")
     return exact_topk(spark, emb, k=5).orderBy("vec_id", "rank")
 
 
 @query(
-    "o61_ann_lsh",
+    "qo61_ann_lsh",
     oracle=None,  # approximate: rows-only check; recall property-tested
     tags=("vector", "approx"),
 )
-def o61_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo61_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH: L=8 tables × 5 bits (see tuning
     note below).
 
@@ -261,7 +261,7 @@ def embedding_neardup_pairs(spark: SparkSession, emb: DataFrame, threshold: floa
 
 
 @query(
-    "o62_embedding_neardup",
+    "qo62_embedding_neardup",
     oracle="""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -274,7 +274,7 @@ ORDER BY vec_a, vec_b
 """,
     tags=("vector", "dedup"),
 )
-def o62_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo62_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (sim ≥ 0.85), exact form.
 
     Same block-partitioned GEMM path as q60: the reference side streams
@@ -289,7 +289,7 @@ def o62_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "o67_embedding_stats",
+    "qo67_embedding_stats",
     oracle="""
 SELECT label,
        COUNT(*) AS n_vecs,
@@ -304,7 +304,7 @@ ORDER BY label
 """,
     tags=("vector", "agg"),
 )
-def o67_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo67_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label vector statistics: counts, mean L2 norm (JVM
     higher-order fold — sequential, so bit-identical to the oracle's
     list_sum), mean/min/max of the first component.
@@ -348,8 +348,8 @@ def _ivf_centroids(mat: np.ndarray, n_lists: int, seed: int = 7, iters: int = 5)
     return cents
 
 
-@query("q68_ann_ivf", oracle=None, tags=("vector", "approx"))
-def q68_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("o68_ann_ivf", oracle=None, tags=("vector", "approx"))
+def o68_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via IVF (inverted-file) index: coarse k-means centroids → each
     vector posted to its nearest list → queries probe the `nprobe`
     nearest lists → exact re-rank inside the probed lists.

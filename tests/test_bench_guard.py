@@ -19,13 +19,13 @@ def test_stem_strips_letter_prefix():
     assert bench._stem("q01_pricing_summary") == "01_pricing_summary"
     # the round-11 prefix-CHANGING renames (r11 -> o11, q50 -> o50) map
     # to the same stem as their history keys
-    assert bench._stem("o11_passage_chunking") == bench._stem("r11_passage_chunking")
-    assert bench._stem("o50_word_count") == bench._stem("q50_word_count")
-    assert bench._stem("o12_stream_dedup_within_watermark") == bench._stem(
+    assert bench._stem("qo11_passage_chunking") == bench._stem("r11_passage_chunking")
+    assert bench._stem("qo50_word_count") == bench._stem("q50_word_count")
+    assert bench._stem("qo12_stream_dedup_within_watermark") == bench._stem(
         "r12_stream_dedup_within_watermark"
     )
     # distinct queries sharing a number stay distinct via the suffix
-    assert bench._stem("q11_rollup") != bench._stem("o11_passage_chunking")
+    assert bench._stem("q11_rollup") != bench._stem("qo11_passage_chunking")
 
 
 def test_previous_bench_reads_driver_wrapped_shape():

@@ -56,12 +56,12 @@ def test_minhash_estimate_high_for_neardup(planted):
 def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
     """Every real-corpus pair with exact trigram Jaccard ≥ 0.5 must be
     recalled by the MinHash-LSH candidate stage."""
-    from pyspark_distributed_kmodes_spark.operators.text import o55_ngram_jaccard
+    from pyspark_distributed_kmodes_spark.operators.text import qo55_ngram_jaccard
     from pyspark_distributed_kmodes_spark.sources.tables import table
 
     exact = {
         (r.doc_a, r.doc_b)
-        for r in o55_ngram_jaccard(spark, sf_dir).collect()
+        for r in qo55_ngram_jaccard(spark, sf_dir).collect()
         if r.jaccard >= 0.5
     }
     docs = table(spark, sf_dir, "documents")

@@ -28,15 +28,19 @@ def test_driver_window_is_the_staged_suite():
     that window is exactly the never-driver-checked staged suite. Pin
     it so a mis-rotation (a key accidentally sorting into/out of the
     window) fails mechanically instead of wasting a driver round.
-    Round 11: the window is exactly the 50 o-keys — o01-o26 (the
-    round-10 staged r-suite, renamed), o43-o50 (q43-q50 re-certs),
-    and o51-o57 + o59-o67 (the oldest round-2 rows, renamed; q58
-    already re-certified as qm58 in round 9). Round-12 staging
-    (p-prefix) sorts after o67 and before q01, outside this window."""
+    Round 12: the window is o01-o07 (the 7 next-oldest round-2 rows,
+    ex-qb01-qb07, number preserved) + o68-o99 (the 26 round-1/2-era
+    q68-q99 rows, renamed; q76-q79/q83/q84 numbers were never
+    occupied) + p01-p17 (the round-11 staged suite). Round-12 staging
+    (p18+) sorts after p17 and before q01, outside this full window."""
     import __spark_entry__ as entrymod
 
     window = sorted(entrymod.queries())[:50]
     o_keys = [k for k in window if k.startswith("o") and k[1].isdigit()]
-    assert len(o_keys) == 50, [k for k in window if k not in o_keys]
-    nums = sorted(int(k[1:3]) for k in o_keys)
-    assert nums == list(range(1, 27)) + list(range(43, 58)) + list(range(59, 68))
+    p_keys = [k for k in window if k.startswith("p") and k[1].isdigit()]
+    assert len(o_keys) == 33, [k for k in window if k not in o_keys + p_keys]
+    assert len(p_keys) == 17, p_keys
+    o_nums = sorted(int(k[1:3]) for k in o_keys)
+    assert o_nums == list(range(1, 8)) + list(range(68, 76)) + [80, 81, 82] + list(range(85, 100))
+    p_nums = sorted(int(k[1:3]) for k in p_keys)
+    assert p_nums == list(range(1, 18))

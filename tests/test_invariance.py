@@ -11,9 +11,9 @@ QUERIES = [
     "q01_pricing_summary",  # decimal-sum aggregation
     "q10_agg_family",  # min_by/collect_list determinism
     "q21_lag_lead_running",  # window frames
-    "o63_minhash_neardup",  # multi-stage shuffle pipeline
-    "q97_dup_clusters",  # collapse/expand + iterative CC
-    "qb06_sequence_packing",  # per-shard cumsum windows
+    "qo63_minhash_neardup",  # multi-stage shuffle pipeline
+    "o97_dup_clusters",  # collapse/expand + iterative CC
+    "o06_sequence_packing",  # per-shard cumsum windows
     "qb12_unigram_logprob",  # decimal-sum of per-word logprobs
     "qc09_token_budget_allocation",  # integer largest-remainder bookkeeping
     "qc13_label_cohesion",  # decimal zip_with folds over broadcast centroids

@@ -73,17 +73,17 @@ def test_partition_pruning_on_partitioned_sink(spark, sf_dir, tmp_path_factory):
     assert df.count() == n_en
 
 
-def test_qb02_right_join_broadcasts(spark, sf_dir):
+def test_o02_right_join_broadcasts(spark, sf_dir):
     """Right outer join with a small preserved side must broadcast."""
-    from pyspark_distributed_kmodes_spark.operators.udfs import qb02_right_join
+    from pyspark_distributed_kmodes_spark.operators.udfs import o02_right_join
 
-    assert has_broadcast_join(qb02_right_join(spark, sf_dir))
+    assert has_broadcast_join(o02_right_join(spark, sf_dir))
 
 
-def test_qb07_incremental_dedup_no_cartesian(spark, sf_dir):
-    from pyspark_distributed_kmodes_spark.operators.training import qb07_incremental_dedup
+def test_o07_incremental_dedup_no_cartesian(spark, sf_dir):
+    from pyspark_distributed_kmodes_spark.operators.training import o07_incremental_dedup
 
-    plan = formatted_plan(qb07_incremental_dedup(spark, sf_dir))
+    plan = formatted_plan(o07_incremental_dedup(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "LeftAnti" in plan
 
@@ -98,9 +98,9 @@ def test_b11_shared_spans_broadcast_back(spark, sf_dir):
 def test_b05_chunking_no_shuffle_before_sort(spark, sf_dir):
     """Chunk generation itself is shuffle-free; the only exchange comes
     from the oracle-determinism orderBy."""
-    from pyspark_distributed_kmodes_spark.operators.training import qb05_context_chunks
+    from pyspark_distributed_kmodes_spark.operators.training import o05_context_chunks
 
-    plan = formatted_plan(qb05_context_chunks(spark, sf_dir))
+    plan = formatted_plan(o05_context_chunks(spark, sf_dir))
     import re
 
     n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", plan))

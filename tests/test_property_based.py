@@ -91,7 +91,7 @@ def test_context_chunks_cover_and_reconstruct(sparkm, docs):
     from pyspark_distributed_kmodes_spark.operators.training import (
         CHUNK_STRIDE,
         CHUNK_WORDS,
-        qb05_context_chunks,
+        o05_context_chunks,
     )
     from pyspark_distributed_kmodes_spark.operators import training as tr
 
@@ -101,7 +101,7 @@ def test_context_chunks_cover_and_reconstruct(sparkm, docs):
     orig = tr.table
     tr.table = lambda spark, sf_dir, name: df
     try:
-        out = qb05_context_chunks(sparkm, "ignored").collect()
+        out = o05_context_chunks(sparkm, "ignored").collect()
     finally:
         tr.table = orig
     by_doc = {}
@@ -134,7 +134,7 @@ def test_sequence_packing_offsets_consistent(sparkm, docs):
     orig = tr.table
     tr.table = lambda spark, sf_dir, name: df
     try:
-        out = tr.qb06_sequence_packing(sparkm, "ignored").collect()
+        out = tr.o06_sequence_packing(sparkm, "ignored").collect()
     finally:
         tr.table = orig
     for src in {r.source for r in out}:

@@ -760,6 +760,34 @@ def test_p11_losses_really_planted(spark, sf_dir, reg):
     assert all(r.doc_id % 17 == 0 for r in broken)
 
 
+def test_p11_zero_length_doc_yields_zero_chunks(spark, reg, tmp_path):
+    """Guard regression (round-12 advice): F.sequence(0, n_chunks-1)
+    with n_chunks=0 produces the DESCENDING [0, -1] on this Spark
+    build — 2 phantom chunks. A zero-length document must instead
+    come back with 0 chunks, 0 bytes, intact=true, and md5('') —
+    exactly the oracle's closed form. Planted fixture: the corpus has
+    no empty docs, so this path is unreachable from testdata."""
+    import hashlib as _h
+
+    sf = tmp_path / "sf_p11_empty"
+    sf.mkdir()
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "x" * 64), (17, "y" * 200)],  # empty / exact-1-chunk / planted-loss
+        "doc_id long, text string",
+    )
+    docs.coalesce(1).write.parquet(str(sf / "documents.parquet"))
+    rows = {r.doc_id: r for r in reg["p11_binary_chunk_transport"].fn(spark, str(sf)).collect()}
+    assert set(rows) == {1, 2, 17}
+    r1 = rows[1]
+    assert (r1.n_chunks_received, r1.bytes_received, r1.intact) == (0, 0, True)
+    assert r1.digest == _h.md5(b"").hexdigest()
+    r2 = rows[2]
+    assert (r2.n_chunks_received, r2.bytes_received, r2.intact) == (1, 64, True)
+    r17 = rows[17]  # 4 chunks, the second dropped in flight
+    assert (r17.n_chunks_received, r17.bytes_received, r17.intact) == (3, 136, False)
+    assert r17.digest == _h.md5(b"y" * 64 + b"y" * 72).hexdigest()
+
+
 def test_p12_collation_did_the_matching(spark, sf_dir, reg):
     """Every joined row matched through the collation (n_binary_equal
     == 0 on this uppercase corpus) and nothing was lost vs the orders
@@ -960,6 +988,32 @@ def test_p16_files_are_contiguous_sorted_slices(spark, sf_dir, reg, duck):
         assert r.n_rows == 2000
         assert r.max_ts <= rows[i + 1].min_ts
     assert rows[-1].n_rows == total - 2000 * (len(rows) - 1)
+
+
+def test_p16_file_idx_deterministic_under_timestamp_ties(spark, reg, tmp_path):
+    """Tiebreak regression (round-12 advice): with 2000+ consecutive
+    rows sharing ONE timestamp, adjacent physical files tie on min_ts,
+    so ordering file_idx by min_ts alone is nondeterministic. The
+    window now orders by (min_ts, min_event_id) — unique per file
+    since the run is sorted by (ts, event_id). Planted fixture: 5000
+    rows, all the same ts, so EVERY adjacent file pair ties."""
+    import datetime
+
+    sf = tmp_path / "sf_p16_ties"
+    sf.mkdir()
+    one_ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    ev = spark.createDataFrame(
+        [(one_ts, i) for i in range(5000)], "ts timestamp, event_id long"
+    )
+    ev.coalesce(1).write.parquet(str(sf / "events.parquet"))
+    rows = reg["p16_sorted_run_writer_audit"].fn(spark, str(sf)).collect()
+    assert [r.file_idx for r in rows] == [0, 1, 2]
+    assert [r.n_rows for r in rows] == [2000, 2000, 1000]
+    # closed-form sum of event_id per contiguous 2000-row slice
+    def tri(a, b):  # sum of a..b-1
+        return (a + b - 1) * (b - a) // 2
+
+    assert [r.sum_ids for r in rows] == [tri(0, 2000), tri(2000, 4000), tri(4000, 5000)]
 
 
 def test_p17_ntile_remainder_and_tie_laws(spark, sf_dir, reg, duck):

@@ -24,7 +24,7 @@ def test_o01_matches_python_fold(spark, sf_dir, reg, duck):
     """Replay the scripting FOR/IF fold in plain Python over the same
     grouped counts — iteration order, variable updates, and the
     integer above-average branch must all agree."""
-    row = reg["o01_sql_scripting_controlflow"].fn(spark, sf_dir).collect()[0]
+    row = reg["qo01_sql_scripting_controlflow"].fn(spark, sf_dir).collect()[0]
     counts = duck.execute(
         "SELECT o_orderpriority, COUNT(*) FROM orders GROUP BY 1 ORDER BY 1"
     ).fetchall()
@@ -60,7 +60,7 @@ def test_o01_scripting_while_loop(spark):
 
 
 def test_o02_matches_python_json(spark, sf_dir, reg, duck):
-    rows = reg["o02_variant_json_extraction"].fn(spark, sf_dir).collect()
+    rows = reg["qo02_variant_json_extraction"].fn(spark, sf_dir).collect()
     import json
 
     per = defaultdict(lambda: [0, 0, 0])
@@ -92,7 +92,7 @@ def test_o02_variant_typed_null_path(spark):
 
 
 def test_o03_matches_raw_aggregate(spark, sf_dir, reg, duck):
-    rows = reg["o03_xml_expression_roundtrip"].fn(spark, sf_dir).collect()
+    rows = reg["qo03_xml_expression_roundtrip"].fn(spark, sf_dir).collect()
     expect = {
         et: (n, su, se)
         for et, n, su, se in duck.execute(
@@ -118,21 +118,23 @@ def test_o03_xml_roundtrip_escaping(spark):
 
 
 def test_o_keys_fill_window(reg):
-    """Rotation guard (round 11): the former r-suite renamed into
-    o-space and now IS the driver window, together with the o43-o67
-    re-certification renames — exactly 50 o-keys, filling the first-50
-    sorted window with nothing else. Round-11 staging must use the
-    p-prefix (sorts after o, before q01) so it cannot leak in."""
+    """Rotation guard (round 12): the round-11 o-keys rotated out
+    (o -> qo) and the window is now o01-o07 (ex-qb01-qb07) + o68-o99
+    (ex-q68-q99) + the staged p-suite p01-p17 — exactly 50, nothing
+    else. Round-12 staging must use p18+ (sorts after p17, before
+    q01) so it cannot leak in."""
     keys = sorted(reg)
     o_keys = [k for k in keys if k[0] == "o" and k[1].isdigit()]
-    assert len(o_keys) == 50, "the rotated o-suite must be exactly the window"
-    assert keys[:50] == o_keys
+    p_keys = [k for k in keys if k[0] == "p" and k[1].isdigit()]
+    assert len(o_keys) == 33, "o-space must be exactly the 33 renamed re-cert rows"
+    assert len(p_keys) >= 17
+    assert keys[:50] == o_keys + p_keys[:17]
 
 
 def test_o04_sketch_exact_on_bounded_domain(spark, sf_dir, reg, duck):
     """err must be identically 0 (no evictions on a 5-value domain) and
     counts must match a python Counter."""
-    rows = reg["o04_approx_top_k_audit"].fn(spark, sf_dir).collect()
+    rows = reg["qo04_approx_top_k_audit"].fn(spark, sf_dir).collect()
     exact = dict(
         duck.execute(
             "SELECT o_orderpriority, COUNT(*) FROM orders GROUP BY 1"
@@ -148,7 +150,7 @@ def test_o05_matches_python_urlparse(spark, sf_dir, reg, duck):
     from urllib.parse import urlsplit
 
     rows = {r.host: (r.n_docs, r.n_lang_roundtrip) for r in
-            reg["o05_url_parsing"].fn(spark, sf_dir).collect()}
+            reg["qo05_url_parsing"].fn(spark, sf_dir).collect()}
     per = defaultdict(lambda: [0, 0])
     for doc_id, src, lang in duck.execute(
         "SELECT doc_id, source, lang FROM documents"
@@ -167,7 +169,7 @@ def test_o06_identifier_plan_equals_static(spark, sf_dir, reg):
     """IDENTIFIER() must resolve at analysis time: the physical plan is
     the same as the static-name query (no extra nodes), and the result
     matches the inlined lateral-alias expansion."""
-    df = reg["o06_identifier_lateral_alias"].fn(spark, sf_dir)
+    df = reg["qo06_identifier_lateral_alias"].fn(spark, sf_dir)
     static = spark.sql(
         """
         SELECT l_returnflag,
@@ -211,7 +213,7 @@ def test_o06_identifier_plan_equals_static(spark, sf_dir, reg):
 
 def test_o07_matches_python_utf8(spark, sf_dir, reg, duck):
     rows = {r.source: (r.n_docs, r.n_invalid, r.valid_chars) for r in
-            reg["o07_utf8_validation"].fn(spark, sf_dir).collect()}
+            reg["qo07_utf8_validation"].fn(spark, sf_dir).collect()}
     per = defaultdict(lambda: [0, 0, 0])
     for doc_id, src, text in duck.execute(
         "SELECT doc_id, source, text FROM documents"
@@ -235,7 +237,7 @@ def test_o07_matches_python_utf8(spark, sf_dir, reg, duck):
 def test_o08_matches_python_distinct(spark, sf_dir, reg, duck):
     """Bitmap counts must equal python set cardinalities, per priority
     and globally (the OR-merge path)."""
-    rows = reg["o08_bitmap_distinct_rollup"].fn(spark, sf_dir).collect()
+    rows = reg["qo08_bitmap_distinct_rollup"].fn(spark, sf_dir).collect()
     per = defaultdict(set)
     for pr, ck in duck.execute(
         "SELECT o_orderpriority, o_custkey FROM orders"
@@ -266,7 +268,7 @@ def test_o09_param_binding_equals_inlined(spark, sf_dir, reg):
     rows, the probe column must be identically zero (the hostile bind
     stayed ONE literal), and the optimized plan must equal the static
     query's plan (parameters fold at analysis time)."""
-    df = reg["o09_parameterized_sql"].fn(spark, sf_dir)
+    df = reg["qo09_parameterized_sql"].fn(spark, sf_dir)
     rows = df.collect()
     assert rows and all(r.n_probe_hits == 0 for r in rows)
 
@@ -309,7 +311,7 @@ def test_o10_metadata_matches_files_on_disk(spark, sf_dir, reg, duck):
     maps to exactly one file whose row_index spans 0..count-1, and
     counts equal the source group counts."""
     rows = {r.o_orderpriority: r for r in
-            reg["o10_file_metadata_provenance"].fn(spark, sf_dir).collect()}
+            reg["qo10_file_metadata_provenance"].fn(spark, sf_dir).collect()}
     exact = dict(duck.execute(
         "SELECT o_orderpriority, COUNT(*) FROM orders GROUP BY 1").fetchall())
     assert set(rows) == set(exact)
@@ -337,7 +339,7 @@ def test_o11_matches_python_chunker(spark, sf_dir, reg, duck):
             st[1] += len(ck)
             st[2] += 1 if len(ck) == W else 0
             st[3].add(hashlib.md5(" ".join(ck).encode()).hexdigest())
-    rows = {r.source: r for r in reg["o11_passage_chunking"].fn(spark, sf_dir).collect()}
+    rows = {r.source: r for r in reg["qo11_passage_chunking"].fn(spark, sf_dir).collect()}
     assert set(rows) == set(per)
     for src, (nc, stok, nfull, hs) in per.items():
         r = rows[src]
@@ -371,7 +373,7 @@ def test_o12_matches_python_dedup(spark, sf_dir, reg, duck):
     dropped and every original kept — re-derived from the raw table in
     python, not from the oracle SQL."""
     rows = {r.event_type: r for r in
-            reg["o12_stream_dedup_within_watermark"].fn(spark, sf_dir).collect()}
+            reg["qo12_stream_dedup_within_watermark"].fn(spark, sf_dir).collect()}
     per = defaultdict(lambda: [0, 0, 0, set()])
     for et, eid, uid in duck.execute(
         "SELECT event_type, event_id, user_id FROM events"
@@ -393,7 +395,7 @@ def test_o13_matches_python_explode(spark, sf_dir, reg, duck):
     """Re-derive the exploded (type, pos) sums from the raw columns:
     pos 0 carries user_id, pos 1 carries event_id % 100."""
     rows = {(r.event_type, r.pos): (r.n, r.sum_val) for r in
-            reg["o13_variant_explode_lateral"].fn(spark, sf_dir).collect()}
+            reg["qo13_variant_explode_lateral"].fn(spark, sf_dir).collect()}
     per = defaultdict(lambda: [0, 0])
     for et, uid, eid in duck.execute(
         "SELECT event_type, user_id, event_id FROM events"
@@ -467,7 +469,7 @@ def test_o14_matches_python_plant(spark, sf_dir, reg, duck):
     """Per-nation invalid counts must equal the plant rule re-derived
     in python."""
     rows = {r.nationkey: (r.n_accounts, r.n_invalid, r.n_valid) for r in
-            reg["o14_luhn_checksum_quarantine"].fn(spark, sf_dir).collect()}
+            reg["qo14_luhn_checksum_quarantine"].fn(spark, sf_dir).collect()}
     per = defaultdict(lambda: [0, 0, 0])
     for ck, nk in duck.execute("SELECT c_custkey, c_nationkey FROM customer").fetchall():
         st = per[nk]
@@ -484,21 +486,21 @@ def test_r_new_keys_stay_jvm_side(spark, sf_dir, reg):
     """Plan pins: the new r-keys are pure JVM plans — no Python eval
     nodes anywhere, scan counts bounded (one pass over the source),
     and the explode-based keys use the Generate operator."""
-    r08 = _phys(reg["o08_bitmap_distinct_rollup"].fn(spark, sf_dir))
+    r08 = _phys(reg["qo08_bitmap_distinct_rollup"].fn(spark, sf_dir))
     assert "EvalPython" not in r08
     assert r08.count("Scan parquet") <= 2  # CTE may replay the orders scan once
 
-    r11 = _phys(reg["o11_passage_chunking"].fn(spark, sf_dir))
+    r11 = _phys(reg["qo11_passage_chunking"].fn(spark, sf_dir))
     assert "EvalPython" not in r11
     assert r11.count("Scan parquet") == 1
     assert "Generate" in r11  # the sequence/explode fan-out
 
-    r13 = _phys(reg["o13_variant_explode_lateral"].fn(spark, sf_dir))
+    r13 = _phys(reg["qo13_variant_explode_lateral"].fn(spark, sf_dir))
     assert "EvalPython" not in r13
     assert r13.count("Scan parquet") == 1
     assert "Generate" in r13  # variant_explode is a generator
 
-    r14 = _phys(reg["o14_luhn_checksum_quarantine"].fn(spark, sf_dir))
+    r14 = _phys(reg["qo14_luhn_checksum_quarantine"].fn(spark, sf_dir))
     assert "EvalPython" not in r14
     assert r14.count("Scan parquet") == 1
 
@@ -507,7 +509,7 @@ def test_o15_matches_python_replay(spark, sf_dir, reg, duck):
     """Full python replay of the audited outer join: the day-tercile
     cut, the watermark boundary, the matched pair set, and the
     null-click set re-derived from the raw table."""
-    row = reg["o15_stream_outer_join"].fn(spark, sf_dir).collect()[0]
+    row = reg["qo15_stream_outer_join"].fn(spark, sf_dir).collect()[0]
     import datetime
 
     ev = duck.execute("SELECT event_id, user_id, ts, event_type FROM events").fetchall()
@@ -614,7 +616,7 @@ def test_o16_matches_python_batch_evolution(spark, sf_dir, reg, duck):
     from collections import Counter
 
     rows = {(r.batch_id, r.event_type): (r.change_type, r.n_events, r.sum_event_id)
-            for r in reg["o16_statestore_changefeed"].fn(spark, sf_dir).collect()}
+            for r in reg["qo16_statestore_changefeed"].fn(spark, sf_dir).collect()}
     ev = duck.execute("SELECT event_type, event_id, ts FROM events").fetchall()
     n = len(ev)
     days = Counter(ts.date() for _, _, ts in ev)
@@ -696,7 +698,7 @@ def test_o17_matches_python_sessionization(spark, sf_dir, reg):
         h[2] += sum(d for _, d in ss)
     got = {
         r.n_sessions: (r.n_users, r.n_events, r.total_duration_us)
-        for r in reg["o17_dynamic_gap_sessions"].fn(spark, sf_dir).collect()
+        for r in reg["qo17_dynamic_gap_sessions"].fn(spark, sf_dir).collect()
     }
     assert got == {k: tuple(v) for k, v in hist.items()}
 
@@ -798,7 +800,7 @@ def test_o18_matches_python_bigint_semantics(spark, sf_dir, reg, duck):
             r.n_bad_cast,
             r.sum_cast,
         )
-        for r in reg["o18_try_arithmetic_quarantine"].fn(spark, sf_dir).collect()
+        for r in reg["qo18_try_arithmetic_quarantine"].fn(spark, sf_dir).collect()
     }
     assert got == {pr: tuple(v) for pr, v in agg.items()}
     # every failure class must actually fire on this data
@@ -832,7 +834,7 @@ def test_o19_matches_batch_and_restores_conf(spark, sf_dir, reg):
     before = spark.conf.get(key)
     got = {
         r.event_type: (r.n_events, r.sum_event_id, r.max_event_id)
-        for r in reg["o19_rocksdb_statestore_parity"].fn(spark, sf_dir).collect()
+        for r in reg["qo19_rocksdb_statestore_parity"].fn(spark, sf_dir).collect()
     }
     assert spark.conf.get(key) == before
     from pyspark_distributed_kmodes_spark.sources.tables import table
@@ -904,7 +906,7 @@ def test_o20_matches_closed_form(spark, sf_dir, reg):
     stamped k*1000 ms."""
     got = {
         r.ts_ms: (r.n_rows, r.min_value, r.max_value, r.sum_value)
-        for r in reg["o20_rate_micro_batch_source"].fn(spark, sf_dir).collect()
+        for r in reg["qo20_rate_micro_batch_source"].fn(spark, sf_dir).collect()
     }
     exp = {}
     for k in range(3):
@@ -965,7 +967,7 @@ def test_o21_matches_python(spark, sf_dir, reg, duck):
         b[3] += h
     got = {
         r.bucket: (r.n_orders, r.n_lineitems, r.sum_qty, r.n_heavy_items)
-        for r in reg["o21_xpath_extraction"].fn(spark, sf_dir).collect()
+        for r in reg["qo21_xpath_extraction"].fn(spark, sf_dir).collect()
     }
     assert got == {b: tuple(v) for b, v in buckets.items()}
 
@@ -1015,7 +1017,7 @@ def test_o22_bloom_on_equals_bloom_off(spark, sf_dir, reg):
     ]
     before = {k: spark.conf.get(k, None) for k in keys}
     with_bloom = sorted(
-        tuple(r) for r in reg["o22_runtime_bloom_filter_join"].fn(spark, sf_dir).collect()
+        tuple(r) for r in reg["qo22_runtime_bloom_filter_join"].fn(spark, sf_dir).collect()
     )
     assert {k: spark.conf.get(k, None) for k in keys} == before
 
@@ -1059,7 +1061,7 @@ def test_o22_injection_guard_fires(spark, sf_dir, reg, monkeypatch):
     broken["spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"] = "1000TB"
     monkeypatch.setattr(analytics12, "_O22_CONFS", broken)
     with pytest.raises(RuntimeError, match="bloom filter was not injected"):
-        reg["o22_runtime_bloom_filter_join"].fn(spark, sf_dir)
+        reg["qo22_runtime_bloom_filter_join"].fn(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -1081,7 +1083,7 @@ def test_o23_matches_python(spark, sf_dir, reg, duck):
         st[2] += k
     got = {
         (r.flag, r.bucket): (r.n_rows, r.sum_qty, r.sum_okey)
-        for r in reg["o23_sql_transform_pipe"].fn(spark, sf_dir).collect()
+        for r in reg["qo23_sql_transform_pipe"].fn(spark, sf_dir).collect()
     }
     assert got == {k: tuple(v) for k, v in agg.items()}
 
@@ -1134,7 +1136,7 @@ def test_o24_matches_python(spark, sf_dir, reg, duck):
         st[2] += 4 + len(s)
     got = {
         r.priority: (r.n_orders, r.sum_orderkey, r.sum_len_s)
-        for r in reg["o24_csv_expression_roundtrip"].fn(spark, sf_dir).collect()
+        for r in reg["qo24_csv_expression_roundtrip"].fn(spark, sf_dir).collect()
     }
     assert got == {p: tuple(v) for p, v in agg.items()}
 
@@ -1167,7 +1169,7 @@ def test_o25_plan_identical_to_explicit(spark, sf_dir, reg):
 
     from pyspark_distributed_kmodes_spark.sources.tables import table
 
-    df = reg["o25_sql_sugar_all_except"].fn(spark, sf_dir)
+    df = reg["qo25_sql_sugar_all_except"].fn(spark, sf_dir)
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     explicit = spark.sql(
         """SELECT l_returnflag, l_linestatus,
@@ -1211,7 +1213,7 @@ def test_o26_matches_batch_and_restores_confs(spark, sf_dir, reg):
     before = (spark.conf.get(pkey), spark.conf.get(ckey, None))
     got = {
         r.event_type: (r.n_events, r.sum_user, r.min_event_id)
-        for r in reg["o26_rocksdb_changelog_checkpoint"].fn(spark, sf_dir).collect()
+        for r in reg["qo26_rocksdb_changelog_checkpoint"].fn(spark, sf_dir).collect()
     }
     assert (spark.conf.get(pkey), spark.conf.get(ckey, None)) == before
     from pyspark_distributed_kmodes_spark.sources.tables import table

@@ -199,17 +199,17 @@ def test_q33_asof_picks_latest_past_order(spark, sf_dir, reg, duck):
     assert checked > 0
 
 
-def test_o48_try_arithmetic_null_contract(spark, sf_dir, reg):
+def test_qo48_try_arithmetic_null_contract(spark, sf_dir, reg):
     """try_divide is NULL exactly when the divisor is zero; the
     impossible cast is always NULL; k is nonnegative."""
-    for r in reg["o48_try_arithmetic"].fn(spark, sf_dir).collect():
+    for r in reg["qo48_try_arithmetic"].fn(spark, sf_dir).collect():
         assert r.bad_cast is None
         assert r.k_int >= 0
         assert (r.per_k is None) == (r.k_int == 0)
 
 
-def test_o50_word_count_positive_and_sorted(spark, sf_dir, reg):
-    rows = reg["o50_word_count"].fn(spark, sf_dir).collect()
+def test_qo50_word_count_positive_and_sorted(spark, sf_dir, reg):
+    rows = reg["qo50_word_count"].fn(spark, sf_dir).collect()
     assert rows
     counts = [r.n for r in rows]
     assert all(c > 0 for c in counts)

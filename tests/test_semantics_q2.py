@@ -23,7 +23,7 @@ def reg():
 def test_o51_profile_partitions_corpus(spark, sf_dir, reg, duck):
     """min <= avg <= max per cell, and the (lang, source) cells
     partition the documents table exactly."""
-    rows = reg["o51_lang_profile"].fn(spark, sf_dir).collect()
+    rows = reg["qo51_lang_profile"].fn(spark, sf_dir).collect()
     total = duck.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
     assert sum(r.n_docs for r in rows) == total
     for r in rows:
@@ -31,8 +31,8 @@ def test_o51_profile_partitions_corpus(spark, sf_dir, reg, duck):
         assert r.min_chars <= r.avg_chars <= r.max_chars
 
 
-def test_o52_quality_score_bounds(spark, sf_dir, reg):
-    for r in reg["o52_quality_score"].fn(spark, sf_dir).collect():
+def test_qo52_quality_score_bounds(spark, sf_dir, reg):
+    for r in reg["qo52_quality_score"].fn(spark, sf_dir).collect():
         assert r.n_words > 0
         assert r.chars_per_word > 0
         assert 0.0 <= r.stopword_ratio <= 1.0
@@ -40,8 +40,8 @@ def test_o52_quality_score_bounds(spark, sf_dir, reg):
         assert r.passes_quality in (0, 1)
 
 
-def test_o53_token_count_partitions_corpus(spark, sf_dir, reg, duck):
-    rows = reg["o53_token_count"].fn(spark, sf_dir).collect()
+def test_qo53_token_count_partitions_corpus(spark, sf_dir, reg, duck):
+    rows = reg["qo53_token_count"].fn(spark, sf_dir).collect()
     total = duck.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
     assert sum(r.n_docs for r in rows) == total
     for r in rows:
@@ -52,7 +52,7 @@ def test_o53_token_count_partitions_corpus(spark, sf_dir, reg, duck):
 def test_o55_jaccard_pair_canon(spark, sf_dir, reg):
     """Pairs are canonical (a < b, no mirror duplicates) and the
     similarity is a true Jaccard: in (0, 1]."""
-    rows = reg["o55_ngram_jaccard"].fn(spark, sf_dir).collect()
+    rows = reg["qo55_ngram_jaccard"].fn(spark, sf_dir).collect()
     seen = set()
     for r in rows:
         assert r.doc_a < r.doc_b
@@ -68,9 +68,9 @@ def test_o56_o65_keeper_cross_identity(spark, sf_dir, reg, duck):
     lowest), so q65's keeper can never precede q56's min-id keeper and
     must EQUAL it on singleton groups."""
     q56 = {r.fingerprint: (r.n_copies, r.keeper_doc_id)
-           for r in reg["o56_exact_dedup"].fn(spark, sf_dir).collect()}
+           for r in reg["qo56_exact_dedup"].fn(spark, sf_dir).collect()}
     q65 = {r.fingerprint: r.doc_id
-           for r in reg["o65_dedup_keep_best"].fn(spark, sf_dir).collect()}
+           for r in reg["qo65_dedup_keep_best"].fn(spark, sf_dir).collect()}
     total = duck.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
     assert sum(n for n, _ in q56.values()) == total
     assert set(q65) == set(q56)
@@ -85,7 +85,7 @@ def test_o60_topk_ranking_laws(spark, sf_dir, reg):
     """Per query vector: ranks consecutive from 1, cosine in [-1,1]
     nonincreasing with rank, and no self-neighbors."""
     per = defaultdict(list)
-    for r in reg["o60_cosine_topk"].fn(spark, sf_dir).collect():
+    for r in reg["qo60_cosine_topk"].fn(spark, sf_dir).collect():
         per[r.vec_id].append(r)
     assert per
     for vid, rows in per.items():
@@ -97,10 +97,10 @@ def test_o60_topk_ranking_laws(spark, sf_dir, reg):
         assert all(r.neighbor_id != vid for r in rows)
 
 
-def test_q75_decontamination_hit_contract(spark, sf_dir, reg):
+def test_o75_decontamination_hit_contract(spark, sf_dir, reg):
     """A contaminated doc has a positive shared-shingle count and a
     concrete eval-doc attribution; counts are never negative."""
-    rows = reg["q75_decontamination"].fn(spark, sf_dir).collect()
+    rows = reg["o75_decontamination"].fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert r.n_shared_shingles > 0
@@ -111,7 +111,7 @@ def test_q87_funnel_conversion_contract(spark, sf_dir, reg):
     """converted is binary; a conversion requires both timestamps in
     order and secs_to_convert equal to their difference; a
     non-conversion carries no latency."""
-    rows = reg["q87_event_funnel"].fn(spark, sf_dir).collect()
+    rows = reg["o87_event_funnel"].fn(spark, sf_dir).collect()
     assert any(r.converted == 1 for r in rows)
     for r in rows:
         assert r.converted in (0, 1)
@@ -131,7 +131,7 @@ def test_q88_scd2_intervals_well_formed(spark, sf_dir, reg):
     valid_from never precedes the prior valid_to), with at most one
     open (NULL valid_to) current row."""
     per = defaultdict(list)
-    for r in reg["q88_scd2_history"].fn(spark, sf_dir).collect():
+    for r in reg["o88_scd2_history"].fn(spark, sf_dir).collect():
         per[r.user_id].append(r)
     assert per
     for rows in per.values():
@@ -147,10 +147,10 @@ def test_q88_scd2_intervals_well_formed(spark, sf_dir, reg):
             assert b.valid_from >= a.valid_to
 
 
-def test_q92_histogram_tiles_orders(spark, sf_dir, reg, duck):
+def test_o92_histogram_tiles_orders(spark, sf_dir, reg, duck):
     """Bucket counts per status sum to the status's row count — the
     histogram tiles the table with nothing dropped."""
-    rows = reg["q92_histogram"].fn(spark, sf_dir).collect()
+    rows = reg["o92_histogram"].fn(spark, sf_dir).collect()
     expect = dict(
         duck.execute("SELECT o_orderstatus, COUNT(*) FROM orders GROUP BY 1").fetchall()
     )
@@ -173,19 +173,19 @@ def test_q93_moment_bounds(spark, sf_dir, reg, duck):
             "FROM lineitem GROUP BY 1"
         ).fetchall()
     }
-    for r in reg["q93_exact_stats"].fn(spark, sf_dir).collect():
+    for r in reg["o93_exact_stats"].fn(spark, sf_dir).collect():
         n, lo, hi = bounds[r.l_returnflag]
         assert r.n == n
         assert lo <= r.mean_qty <= hi
         assert 0.0 <= r.stddev_qty <= (hi - lo)
 
 
-def test_q95_stratified_sample_deterministic(spark, sf_dir, reg, duck):
+def test_o95_stratified_sample_deterministic(spark, sf_dir, reg, duck):
     """The seeded-hash sample is a function of the data, not the run:
     two invocations agree exactly, and no stratum over-samples its
     population."""
-    a = sorted(map(tuple, reg["q95_stratified_sample"].fn(spark, sf_dir).collect()))
-    b = sorted(map(tuple, reg["q95_stratified_sample"].fn(spark, sf_dir).collect()))
+    a = sorted(map(tuple, reg["o95_stratified_sample"].fn(spark, sf_dir).collect()))
+    b = sorted(map(tuple, reg["o95_stratified_sample"].fn(spark, sf_dir).collect()))
     assert a == b
     pop = dict(duck.execute("SELECT lang, COUNT(*) FROM documents GROUP BY 1").fetchall())
     for lang, n_sampled, min_id, max_id in a:
@@ -199,7 +199,7 @@ def test_q96_mixture_respects_quotas(spark, sf_dir, reg, duck):
     total_chars equals the independent top-quota sum."""
     quotas = {"src0": 40, "src1": 20, "src2": 10}
     rows = {r.source: (r.n_docs, r.total_chars)
-            for r in reg["q96_source_mixture"].fn(spark, sf_dir).collect()}
+            for r in reg["o96_source_mixture"].fn(spark, sf_dir).collect()}
     assert set(rows) <= set(quotas)
     for src, quota in quotas.items():
         docs = sorted(
@@ -218,7 +218,7 @@ def test_q96_mixture_respects_quotas(spark, sf_dir, reg, duck):
 
 
 def test_q99_repetition_bounds(spark, sf_dir, reg):
-    for r in reg["q99_repetition_ratio"].fn(spark, sf_dir).collect():
+    for r in reg["o99_repetition_ratio"].fn(spark, sf_dir).collect():
         assert r.n_bigrams >= 0
         if r.n_bigrams > 0:
             assert 0.0 < r.top_bigram_frac <= 1.0

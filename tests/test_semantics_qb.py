@@ -21,11 +21,11 @@ def reg():
     return load_all()
 
 
-def test_qb02_right_join_preserves_nation(spark, sf_dir, reg, duck):
+def test_o02_right_join_preserves_nation(spark, sf_dir, reg, duck):
     """Right-outer law: every nation appears; NULL-supplier rows are
     exactly the nations with no qualifying supplier; each qualifying
     supplier appears exactly once."""
-    rows = reg["qb02_right_join"].fn(spark, sf_dir).collect()
+    rows = reg["o02_right_join"].fn(spark, sf_dir).collect()
     nations = {n for (n,) in duck.execute("SELECT n_name FROM nation").fetchall()}
     no_sup = {
         n

@@ -1,11 +1,11 @@
 """Sketch accuracy properties: approximate distinct counts must land
 within tolerance of exact (the rows-only stand-in for the hash oracle)."""
 
-from pyspark_distributed_kmodes_spark.operators.relational2 import o49_sketch_distinct
+from pyspark_distributed_kmodes_spark.operators.relational2 import qo49_sketch_distinct
 
 
 def test_sketch_estimates_within_tolerance(spark, sf_dir):
-    for r in o49_sketch_distinct(spark, sf_dir).collect():
+    for r in qo49_sketch_distinct(spark, sf_dir).collect():
         assert abs(r.approx_parts - r.exact_parts) / r.exact_parts < 0.1
         assert abs(r.hll_supps - r.exact_parts * 0) >= 0  # hll present
         # hll estimates supplier distinct (10 at sf0.001) — small sets are exact
@@ -13,9 +13,9 @@ def test_sketch_estimates_within_tolerance(spark, sf_dir):
 
 
 def test_approx_percentile_accuracy(spark, sf_dir):
-    from pyspark_distributed_kmodes_spark.functions.scalar_queries import q91_approx_percentiles
+    from pyspark_distributed_kmodes_spark.functions.scalar_queries import o91_approx_percentiles
 
-    for r in q91_approx_percentiles(spark, sf_dir).collect():
+    for r in o91_approx_percentiles(spark, sf_dir).collect():
         assert abs(r.approx_median - r.exact_median) / r.exact_median < 0.02
         assert r.approx_p25 <= r.approx_median <= r.approx_p75
 

@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 from pyspark.sql import types as T
 
-from pyspark_distributed_kmodes_spark.operators.vectors import exact_topk, o60_cosine_topk, o61_ann_lsh
+from pyspark_distributed_kmodes_spark.operators.vectors import exact_topk, qo60_cosine_topk, qo61_ann_lsh
 from pyspark_distributed_kmodes_spark.sources.tables import table
 
 VEC_SCHEMA = T.StructType(
@@ -24,7 +24,7 @@ def test_planted_duplicate_is_top1(spark):
 
 def test_topk_is_symmetric_on_duplicate_sim(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
-    out = o60_cosine_topk(spark, sf_dir).collect()
+    out = qo60_cosine_topk(spark, sf_dir).collect()
     assert len(out) == emb.count() * 5
     by_vec = {}
     for r in out:
@@ -39,9 +39,9 @@ def test_lsh_recall_of_exact_top1(spark, sf_dir):
     """The LSH path must recover a decent share of true top-1 neighbors
     (random-hyperplane LSH, 1 table × 16 bits — recall is limited by
     design; the scale win is the sub-quadratic candidate set)."""
-    exact = {r.vec_id: r.neighbor_id for r in o60_cosine_topk(spark, sf_dir).collect() if r.rank == 1}
+    exact = {r.vec_id: r.neighbor_id for r in qo60_cosine_topk(spark, sf_dir).collect() if r.rank == 1}
     approx = {}
-    for r in o61_ann_lsh(spark, sf_dir).collect():
+    for r in qo61_ann_lsh(spark, sf_dir).collect():
         if r.rank == 1:
             approx[r.vec_id] = r.neighbor_id
     hits = sum(1 for v, n in approx.items() if exact.get(v) == n)
@@ -53,10 +53,10 @@ def test_ivf_recall_beats_lsh_floor(spark, sf_dir):
     """IVF with nprobe=4/16 must recover most true top-1 neighbors
     (probing a quarter of the space; far better than LSH on this
     low-similarity corpus)."""
-    from pyspark_distributed_kmodes_spark.operators.vectors import q68_ann_ivf
+    from pyspark_distributed_kmodes_spark.operators.vectors import o68_ann_ivf
 
-    exact = {r.vec_id: r.neighbor_id for r in o60_cosine_topk(spark, sf_dir).collect() if r.rank == 1}
-    approx = {r.vec_id: r.neighbor_id for r in q68_ann_ivf(spark, sf_dir).collect() if r.rank == 1}
+    exact = {r.vec_id: r.neighbor_id for r in qo60_cosine_topk(spark, sf_dir).collect() if r.rank == 1}
+    approx = {r.vec_id: r.neighbor_id for r in o68_ann_ivf(spark, sf_dir).collect() if r.rank == 1}
     hits = sum(1 for v, n in approx.items() if exact.get(v) == n)
     assert len(approx) >= 400  # nearly all vectors produce candidates
     assert hits / len(approx) > 0.5

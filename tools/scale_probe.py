@@ -56,11 +56,11 @@ PROBE_QUERIES = [
     "q16_top_spenders",
     "q21_lag_lead_running",
     "q32_session_window",
-    "o50_word_count",
-    "o56_exact_dedup",
-    "o63_minhash_neardup",
-    "q97_dup_clusters",
-    "qb05_context_chunks",
+    "qo50_word_count",
+    "qo56_exact_dedup",
+    "qo63_minhash_neardup",
+    "o97_dup_clusters",
+    "o05_context_chunks",
     "qb11_duplicate_spans",
     "qb12_unigram_logprob",
     "qc03_dup_clusters_distributed",
@@ -129,26 +129,26 @@ PROBE_QUERIES = [
     "qm58_language_id",
     # round-10 staged r-suite: the data-sized shapes (per-row JVM
     # parse/serialize expressions feeding bounded-key aggregates)
-    "o02_variant_json_extraction",
-    "o03_xml_expression_roundtrip",
-    "o05_url_parsing",
-    "o07_utf8_validation",
-    "o08_bitmap_distinct_rollup",
-    "o10_file_metadata_provenance",
-    "o11_passage_chunking",
-    "o12_stream_dedup_within_watermark",
-    "o13_variant_explode_lateral",
-    "o15_stream_outer_join",
-    "o16_statestore_changefeed",
-    "o17_dynamic_gap_sessions",
-    "o18_try_arithmetic_quarantine",
-    "o19_rocksdb_statestore_parity",
-    "o21_xpath_extraction",
-    "o22_runtime_bloom_filter_join",
-    "o23_sql_transform_pipe",
-    "o24_csv_expression_roundtrip",
-    "o25_sql_sugar_all_except",
-    "o26_rocksdb_changelog_checkpoint",
+    "qo02_variant_json_extraction",
+    "qo03_xml_expression_roundtrip",
+    "qo05_url_parsing",
+    "qo07_utf8_validation",
+    "qo08_bitmap_distinct_rollup",
+    "qo10_file_metadata_provenance",
+    "qo11_passage_chunking",
+    "qo12_stream_dedup_within_watermark",
+    "qo13_variant_explode_lateral",
+    "qo15_stream_outer_join",
+    "qo16_statestore_changefeed",
+    "qo17_dynamic_gap_sessions",
+    "qo18_try_arithmetic_quarantine",
+    "qo19_rocksdb_statestore_parity",
+    "qo21_xpath_extraction",
+    "qo22_runtime_bloom_filter_join",
+    "qo23_sql_transform_pipe",
+    "qo24_csv_expression_roundtrip",
+    "qo25_sql_sugar_all_except",
+    "qo26_rocksdb_changelog_checkpoint",
     "p01_semantic_dedup_fixed_quantizer",
     "p02_kmodes_fit_step_trace",
     "p03_stream_observe_metrics",
@@ -185,11 +185,17 @@ def _roll(col, shift: int):
     at shift 0): norm-preserving and bijective, so within-replica
     cosine structure is EXACTLY preserved while cross-replica cosines
     decorrelate (a rolled vector's dot with an unrolled one mixes
-    unrelated components) — the embedding analog of _caesar."""
+    unrelated components) — the embedding analog of _caesar. The
+    dimension is taken from the data (F.size), not hardcoded, so a
+    changed embedding width still yields a true rotation rather than
+    a silently truncated/padded vector."""
     if shift == 0:
         return col
-    s = F.lit(shift % 64)
-    return F.concat(F.slice(col, s + 1, F.lit(64) - s), F.slice(col, 1, s))
+    dim = F.size(col)
+    s = F.lit(shift) % dim
+    return F.when(s == 0, col).otherwise(
+        F.concat(F.slice(col, s + 1, dim - s), F.slice(col, 1, s))
+    )
 
 
 def replicate(
