@@ -67,6 +67,30 @@ def main():
             remeasured[name] = {"first_median": first, "remeasured_median": again, "prev_round": old}
             timings[name] = again
     total = round(sum(timings.values()), 3)
+
+    # Streaming lane (round-12 verdict item 2): engine-only medians for
+    # three real Structured Streaming keys. The first call per key runs
+    # UNTIMED to warm the memoized one-time file staging
+    # (stage_event_terciles & friends), so the reported medians measure
+    # micro-batch execution + state management, not fixture staging —
+    # every timed run still replays the full stream from a fresh
+    # checkpoint. Kept OUT of the headline total so round-over-round
+    # comparisons of `value` stay apples-to-apples.
+    streaming = {}
+    for name in _STREAMING_LANE:
+        q = reg.get(name)
+        if q is None:
+            continue
+        q.fn(spark, sf_dir).collect()  # warm staging, untimed
+        gc.collect()
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            len(q.fn(spark, sf_dir).collect())
+            runs.append(time.time() - t0)
+        streaming[name] = round(sorted(runs)[1], 3)
+        gc.collect()
+
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
@@ -75,12 +99,28 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "streaming": streaming,
+                "streaming_note": (
+                    "engine-only medians of 3 full stream replays (fresh "
+                    "checkpoint each run); one-time file staging warmed "
+                    "untimed beforehand and excluded from the timer"
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 **({"remeasured": remeasured} if remeasured else {}),
             }
         )
     )
     spark.stop()
+
+
+# Streaming bench lane: steady-state stream dedup (bounded state via
+# dropDuplicatesWithinWatermark), chained stateful window-on-window, and
+# the stream-stream join whose buffer is read back via the state reader.
+_STREAMING_LANE = [
+    "qo12_stream_dedup_within_watermark",
+    "p05_stream_chained_stateful",
+    "p07_stream_join_state_reader",
+]
 
 
 def _stem(name: str) -> str:

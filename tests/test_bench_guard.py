@@ -47,3 +47,17 @@ def test_every_bench_query_maps_to_history_or_is_new():
     # may lack history; every pre-existing entry must map through the
     # rotation (o-keys carry r/q history stems, so they must all map)
     assert all(n.startswith(("p",)) for n in unmapped), unmapped
+
+
+def test_streaming_lane_keys_exist_and_are_streaming():
+    """The round-12 streaming bench lane (verdict item 2): every lane
+    key must exist in the registry and carry the streaming tag, so a
+    rotation rename that forgets bench._STREAMING_LANE fails here
+    instead of silently dropping the lane from BENCH_r{N}."""
+    from pyspark_distributed_kmodes_spark.registry import load_all
+
+    reg = load_all()
+    assert len(bench._STREAMING_LANE) == 3
+    for name in bench._STREAMING_LANE:
+        assert name in reg, name
+        assert "streaming" in reg[name].tags or "stream" in name, name
