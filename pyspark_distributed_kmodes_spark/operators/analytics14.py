@@ -14,13 +14,14 @@ in __spark_entry__.py these rename into the round-13 window.
        occupancy and id-sum under the value hash. Converts the LSH
        bucket-routing half of qo61 from rows-only to oracle-gated
        (the recall property stays tested, the qg04 precedent).
-  p19  PYTHON DATASOURCE COMMIT/ABORT PROTOCOL AUDIT — a batch write
-       through a custom Python DataSource whose writer plants a
-       per-task failure on first attempt: commit() must see exactly
-       the retried task's messages, abort() must fire for the failed
-       attempt, and no duplicate/partial output may survive — the
-       exactly-once sink contract, with the committed payload
-       hash-matched relationally.
+  p19  PYTHON DATASOURCE COMMIT/ABORT PROTOCOL AUDIT — a planted
+       mid-write task failure kills phase A: abort() must fire and
+       ledger it, no partial shard may publish, no _SUCCESS may
+       appear; phase B's clean overwrite commit() must publish all
+       shards, sweep phase A's orphan temp file, and supersede the
+       abort ledger. All six filesystem-observable protocol facts
+       ride the hash next to the read-back rollup — the exactly-once
+       sink contract qe06's happy path never exercises.
   p20  STATE READER PARTITION PRUNING — the state-store reader's
        snapshotStartBatchId/partition_id surface: read ONE shuffle
        partition's aggregation state and hash-match it against the
@@ -167,3 +168,446 @@ def p18_lsh_bucket_assign_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 p18_lsh_bucket_assign_audit.__doc__ = p18_lsh_bucket_assign_audit.__doc__.replace(
     "{_P18_TABLES}", str(_P18_TABLES)
 ).replace("{_P18_BITS}", str(_P18_BITS))
+
+
+# ---------------------------------------------------------------------------
+# p19 — Python DataSource commit/abort protocol audit
+
+_P19_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+       -- protocol facts the ENGINE measures from the filesystem; any
+       -- protocol violation lands a different value and breaks the hash
+       CAST(1 AS INTEGER) AS aborted_ledger_after_failure,
+       CAST(0 AS INTEGER) AS parts_visible_after_failure,
+       CAST(0 AS INTEGER) AS success_marker_after_failure,
+       CAST(0 AS INTEGER) AS orphan_tmp_after_commit,
+       CAST(0 AS INTEGER) AS aborted_ledger_after_commit,
+       CAST(1 AS INTEGER) AS success_marker_after_commit
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@query(
+    "p19_datasource_abort_protocol",
+    oracle=_P19_ORACLE,
+    tags=("source", "datasource", "sink", "audit"),
+)
+def p19_datasource_abort_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PYTHON DATASOURCE COMMIT/ABORT PROTOCOL under the hash gate —
+    the exactly-once sink contract qe06's happy path never exercises.
+    Phase A plants a task failure (fail_after=100: the task streams
+    100 rows into its temp shard, then raises — a partial orphan is
+    ON DISK when the job dies); the two-phase commit must contain it:
+    abort() fires and writes the _ABORTED ledger, NO part-* shard is
+    published, NO _SUCCESS appears — a reader targeting the part-*
+    glob sees an empty (not partial) dataset. Phase B re-runs the same
+    write clean in overwrite mode: commit() must publish every shard,
+    sweep Phase A's orphan temp file, supersede the _ABORTED ledger,
+    and write _SUCCESS. All six filesystem-observable protocol facts
+    ride the hash as columns next to the read-back rollup (orders per
+    status via the custom reader), so a leaked partial shard, a
+    missing abort, an unswept orphan, or a lost row breaks the gate.
+
+    Scale: the protocol is what makes the sink safe at 1000 tasks —
+    task attempts write uuid-unique temp names, only driver-side
+    commit() publishes (atomic renames), failed/speculative attempts
+    are swept, and the driver handles file NAMES only. The planted
+    failure here is one task; the containment argument is per-task,
+    so it holds unchanged at any fan-out.
+
+    Reference parity note: the public reference has no sink protocol;
+    this is engine surface (pyspark.sql.datasource two-phase commit).
+    """
+    import os
+    import tempfile
+
+    from pyspark_distributed_kmodes_spark.operators.analytics10 import _rmtree_at_exit
+    from pyspark_distributed_kmodes_spark.sources import jsonl
+
+    jsonl.register(spark)
+    root = tempfile.mkdtemp(prefix="p19_target_")
+    _rmtree_at_exit(root)
+    target = os.path.join(root, "orders_sink")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+
+    # Phase A: planted mid-write task failure; the job MUST die and the
+    # protocol MUST contain it (single task => deterministic: exactly
+    # one orphan temp shard, zero published shards, abort ledger).
+    failed = False
+    try:
+        (
+            o.repartition(1)
+            .write.format("jsonl_docs")
+            .option("path", target)
+            .option("fail_after", "100")
+            .mode("overwrite")
+            .save()
+        )
+    except Exception:
+        failed = True
+    if not failed:
+        raise AssertionError("p19: the planted fail_after task failure did not surface")
+
+    def _n(pattern: str) -> int:
+        import glob as g
+
+        return len(g.glob(os.path.join(target, pattern)))
+
+    aborted_after_failure = int(os.path.exists(os.path.join(target, "_ABORTED")))
+    parts_after_failure = _n("part-*.jsonl")
+    success_after_failure = int(os.path.exists(os.path.join(target, "_SUCCESS")))
+
+    # Phase B: clean overwrite of the same target; commit() publishes,
+    # sweeps Phase A's orphan, supersedes the abort ledger.
+    (
+        o.repartition(4)
+        .write.format("jsonl_docs")
+        .option("path", target)
+        .mode("overwrite")
+        .save()
+    )
+    orphan_tmp_after_commit = _n("_tmp-*.jsonl")
+    aborted_after_commit = int(os.path.exists(os.path.join(target, "_ABORTED")))
+    success_after_commit = int(os.path.exists(os.path.join(target, "_SUCCESS")))
+
+    back = (
+        spark.read.format("jsonl_docs")
+        .schema("o_orderkey bigint, o_orderstatus string")
+        .option("path", os.path.join(target, "part-*.jsonl"))
+        .load()
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            "sum_keys",
+            F.lit(aborted_after_failure).cast("int").alias("aborted_ledger_after_failure"),
+            F.lit(parts_after_failure).cast("int").alias("parts_visible_after_failure"),
+            F.lit(success_after_failure).cast("int").alias("success_marker_after_failure"),
+            F.lit(orphan_tmp_after_commit).cast("int").alias("orphan_tmp_after_commit"),
+            F.lit(aborted_after_commit).cast("int").alias("aborted_ledger_after_commit"),
+            F.lit(success_after_commit).cast("int").alias("success_marker_after_commit"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# p20 — state-store reader partition pruning (snapshotStartBatchId +
+#        snapshotPartitionId)
+
+_P20_PARTS = 8  # state partitions pinned at stream start (deterministic
+#                 across sessions: the vanilla driver session defaults
+#                 to 200 shuffle partitions, and state partitioning is
+#                 frozen into the checkpoint at first query start)
+
+_P20_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+       CAST(1 AS INTEGER) AS partition_sets_match,
+       CAST(1 AS INTEGER) AS pruned_reads_pure,
+       CAST(0 AS INTEGER) AS pruned_vs_full_diff
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@query(
+    "p20_state_reader_partition_pruning",
+    oracle=_P20_ORACLE,
+    tags=("streaming", "statestore", "audit"),
+)
+def p20_state_reader_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE-STORE READER PARTITION PRUNING under the hash gate — the
+    snapshotStartBatchId + snapshotPartitionId surface (the one state
+    reader flavor qn06/qo16/p07 left uncovered): a per-user streaming
+    aggregation runs to completion (availableNow over the tercile
+    staging), a second idle run of the same checkpoint keeps the
+    providers loaded while forced maintenance writes per-partition
+    SNAPSHOT files, and the final state is then reconstructed ONE
+    PARTITION AT A TIME — each read loads only that partition's newest
+    snapshot and replays its delta tail, never touching the other
+    partitions' files. The UNION of the pruned reads (not the full
+    scan) produces the hash-gated per-user totals, so a wrong snapshot
+    base, a missed delta replay, or cross-partition leakage breaks the
+    gate; purity (each pruned read returns ONLY its own partition_id)
+    and the pruned-vs-full exceptAll diff ride the hash as fact
+    columns next to the rollup.
+
+    Scale: this is the operational path for inspecting one hot shard
+    of a 10k-partition production store — a pruned read is O(that
+    partition's snapshot + tail), not O(store); state partitions are
+    pinned to {n} here so the audit reads a fixed partition set at
+    every SF.
+    """
+    import glob as _g
+    import os
+    import tempfile
+    import time
+
+    from pyspark_distributed_kmodes_spark.operators.analytics10 import _rmtree_at_exit
+    from pyspark_distributed_kmodes_spark.operators.analytics12 import stage_event_terciles
+
+    stage = stage_event_terciles(spark, sf_dir, doubled=False)
+    staged = spark.read.parquet(stage)
+    expected_rows = staged.count()  # bounded scalar: completion target
+    root = tempfile.mkdtemp(prefix="p20_target_")
+    _rmtree_at_exit(root)
+    ckpt = os.path.join(root, "ckpt")
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    old_min = spark.conf.get("spark.sql.streaming.stateStore.minDeltasForSnapshot", "10")
+    old_int = spark.conf.get("spark.sql.streaming.stateStore.maintenanceInterval", "60s")
+    spark.conf.set("spark.sql.shuffle.partitions", str(_P20_PARTS))
+    spark.conf.set("spark.sql.streaming.stateStore.minDeltasForSnapshot", "1")
+    spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "500ms")
+    try:
+        def _start(trigger_kwargs):
+            stream = (
+                spark.readStream.schema(staged.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(stage)
+            )
+            agg = stream.groupBy("user_id").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum("event_id").cast("bigint").alias("sum_ids"),
+            )
+            return (
+                agg.writeStream.format("noop")
+                .option("checkpointLocation", ckpt)
+                .outputMode("update")
+                .trigger(**trigger_kwargs)
+                .start()
+            )
+
+        # Run 1: consume every staged file; terminates deterministically.
+        q = _start({"availableNow": True})
+        if not q.awaitTermination(timeout=300):
+            q.stop()
+            raise TimeoutError("p20: availableNow stream did not finish within 300 s")
+        done = sum(p["numInputRows"] for p in (q.recentProgress or []))
+        if done != expected_rows:
+            raise AssertionError(f"p20: consumed {done} of {expected_rows} staged rows")
+
+        # Run 2: idle restart of the same checkpoint — providers stay
+        # loaded so the forced maintenance writes every partition's
+        # snapshot; poll for all of them, then stop.
+        q = _start({"processingTime": "500 milliseconds"})
+        deadline = time.time() + 180
+        def _missing():
+            return [
+                p
+                for p in range(_P20_PARTS)
+                if not _g.glob(os.path.join(ckpt, "state/0", str(p), "*.snapshot"))
+            ]
+        while time.time() < deadline and _missing():
+            time.sleep(0.5)
+        q.stop()
+        missing = _missing()
+        if missing:
+            raise TimeoutError(f"p20: no snapshot for partitions {missing} within 180 s")
+
+        full = (
+            spark.read.format("statestore")
+            .option("path", ckpt)
+            .load()
+            .select(
+                F.col("key.user_id").alias("user_id"),
+                F.col("value.count").alias("n_events"),
+                F.col("value.sum").alias("sum_ids"),
+                "partition_id",
+            )
+        )
+        pruned_parts = []
+        pure = 1
+        for p in range(_P20_PARTS):
+            snaps = sorted(
+                int(os.path.basename(s).split(".")[0])
+                for s in _g.glob(os.path.join(ckpt, "state/0", str(p), "*.snapshot"))
+            )
+            pr = (
+                spark.read.format("statestore")
+                .option("path", ckpt)
+                .option("snapshotStartBatchId", snaps[-1] - 1)
+                .option("snapshotPartitionId", p)
+                .load()
+                .select(
+                    F.col("key.user_id").alias("user_id"),
+                    F.col("value.count").alias("n_events"),
+                    F.col("value.sum").alias("sum_ids"),
+                    "partition_id",
+                )
+            )
+            pr = pr.cache()
+            if pr.where(F.col("partition_id") != p).count() > 0:
+                pure = 0
+            pruned_parts.append(pr)
+        union = pruned_parts[0]
+        for pr in pruned_parts[1:]:
+            union = union.unionByName(pr)
+        diff = (
+            union.exceptAll(full).count() + full.exceptAll(union).count()
+        )  # bounded: state rows, two distributed anti-joins
+        # at tiny SFs some of the 8 partitions hold no keys, so gate the
+        # SET equality (pruned reads saw exactly the full scan's
+        # partitions), not a raw count the oracle cannot derive
+        full_pids = {r.partition_id for r in full.select("partition_id").distinct().collect()}
+        union_pids = {r.partition_id for r in union.select("partition_id").distinct().collect()}
+        sets_match = int(full_pids == union_pids and union_pids <= set(range(_P20_PARTS)))
+        return (
+            union.select("user_id", "n_events", "sum_ids")
+            .withColumn("partition_sets_match", F.lit(sets_match).cast("int"))
+            .withColumn("pruned_reads_pure", F.lit(pure).cast("int"))
+            .withColumn("pruned_vs_full_diff", F.lit(diff).cast("int"))
+            .orderBy("user_id")
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        spark.conf.set("spark.sql.streaming.stateStore.minDeltasForSnapshot", old_min)
+        spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", old_int)
+
+
+p20_state_reader_partition_pruning.__doc__ = p20_state_reader_partition_pruning.__doc__.replace(
+    "{n}", str(_P20_PARTS)
+)
+
+
+# ---------------------------------------------------------------------------
+# p21 — foreachBatch multi-sink fan-out under Trigger.AvailableNow
+
+_P21_ORACLE = """
+WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+days AS (
+  SELECT date_trunc('day', ts) AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), cum AS (
+  SELECT d, SUM(c) OVER (ORDER BY d) AS cum FROM days
+), cut1 AS (
+  SELECT MIN(d) AS v FROM cum, tot WHERE cum >= (n * 1 + 2) // 3
+), cut2 AS (
+  SELECT MIN(d) AS v FROM cum, tot WHERE cum >= (n * 2 + 2) // 3
+), chunked AS (
+  SELECT CASE WHEN date_trunc('day', ts) < (SELECT v FROM cut1) THEN 0
+              WHEN date_trunc('day', ts) < (SELECT v FROM cut2) THEN 1
+              ELSE 2 END AS batch_id,
+         event_type, value
+  FROM events
+), a AS (
+  SELECT batch_id, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(round(value, 6) AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+  FROM chunked GROUP BY batch_id, event_type
+), b AS (
+  SELECT batch_id, CAST(COUNT(*) AS BIGINT) AS ledger_rows FROM chunked GROUP BY batch_id
+)
+SELECT CAST(a.batch_id AS BIGINT) AS batch_id, a.event_type, a.n_rows, a.sum_value,
+       b.ledger_rows
+FROM a JOIN b ON a.batch_id = b.batch_id
+ORDER BY batch_id, event_type
+"""
+
+
+@query(
+    "p21_foreachbatch_multi_sink",
+    oracle=_P21_ORACLE,
+    tags=("streaming", "sink", "audit"),
+)
+def p21_foreachbatch_multi_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch MULTI-SINK FAN-OUT under the hash gate
+    (Trigger.AvailableNow): the events stream replays as three
+    chronological tercile chunks, and every micro-batch is written by
+    ONE foreachBatch callback to TWO sinks — sink A gets the
+    per-event-type rollup, sink B the one-row-per-batch epoch ledger —
+    each row tagged with the callback's batch_id (the epoch a
+    transactional consumer keys idempotence on). The batch is
+    persisted across the two writes, so both sinks see the SAME data
+    even though the source is consumed once. The returned result joins
+    sink A to sink B on batch_id, so batch boundaries (the p03 tercile
+    law), both sinks' contents, the A-vs-B consistency (each batch's
+    type-rollup counts must sum to its ledger row count — the join
+    makes a mismatch visible as wrong ledger_rows), and the batch-id
+    tagging are ALL under the oracle hash.
+
+    This is the one streaming sink flavor the suite lacked: format
+    sinks (parquet/memory/noop), the custom Python DataSourceStream
+    writer (qe06's streaming half), and the statestore readers are
+    covered; foreachBatch is how production pipelines fan one stream
+    into warehouses + indexes + metrics atomically-per-epoch.
+
+    Scale: foreachBatch hands the driver a DataFrame handle, not rows;
+    persist() makes the double write one source scan + one cache read
+    (executor-side), and each sink write is a normal distributed job.
+    The ledger keyed by batch_id is what makes retried epochs
+    idempotent at 100 TB (the qe06 stream-writer commit-ledger law,
+    here at the orchestration layer).
+    """
+    import os
+    import tempfile
+
+    from pyspark_distributed_kmodes_spark.operators.analytics10 import _rmtree_at_exit
+    from pyspark_distributed_kmodes_spark.operators.analytics12 import stage_event_terciles
+
+    stage = stage_event_terciles(spark, sf_dir, doubled=False)
+    staged = spark.read.parquet(stage)
+    root = tempfile.mkdtemp(prefix="p21_target_")
+    _rmtree_at_exit(root)
+    sink_a = os.path.join(root, "sink_a")
+    sink_b = os.path.join(root, "sink_b")
+
+    def fan_out(batch_df, batch_id: int):
+        batch_df.persist()
+        try:
+            (
+                batch_df.groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                    F.sum(F.round(F.col("value"), 6).cast("decimal(25,6)"))
+                    .cast("double")
+                    .alias("sum_value"),
+                )
+                .withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+                .write.mode("append")
+                .parquet(sink_a)
+            )
+            (
+                batch_df.agg(F.count(F.lit(1)).cast("bigint").alias("ledger_rows"))
+                .withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+                .write.mode("append")
+                .parquet(sink_b)
+            )
+        finally:
+            batch_df.unpersist()
+
+    stream = (
+        spark.readStream.schema(staged.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .select("ts", "event_type", "value")
+    )
+    q = (
+        stream.writeStream.foreachBatch(fan_out)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout=300):
+        q.stop()
+        raise TimeoutError("p21: availableNow stream did not finish within 300 s")
+    a = spark.read.parquet(sink_a)
+    b = spark.read.parquet(sink_b)
+    return (
+        a.join(b, "batch_id")
+        .select("batch_id", "event_type", "n_rows", "sum_value", "ledger_rows")
+        .orderBy("batch_id", "event_type")
+    )

@@ -173,6 +173,10 @@ class JsonlDocsWriter(DataSourceWriter):
         self.dir = options["path"]
         self.fields = [f.name for f in schema.fields]
         self.overwrite = overwrite
+        # fault injection for protocol audits (p19): raise after N rows,
+        # leaving a partial orphan temp shard on disk — the failure mode
+        # the two-phase commit exists to contain
+        self.fail_after = int(options.get("fail_after", "0"))
 
     def write(self, iterator):
         import os
@@ -185,6 +189,10 @@ class JsonlDocsWriter(DataSourceWriter):
             for row in iterator:
                 f.write(json.dumps(dict(zip(self.fields, row)), default=str) + "\n")
                 n += 1
+                if self.fail_after and n >= self.fail_after:
+                    raise RuntimeError(
+                        f"jsonl_docs: planted task failure after {n} rows (fail_after)"
+                    )
         return JsonlShardCommit(tmp, n)
 
     def commit(self, messages):
@@ -202,18 +210,31 @@ class JsonlDocsWriter(DataSourceWriter):
             total += m.n_rows
         for stale in _glob.glob(os.path.join(self.dir, "_tmp-*.jsonl")):
             os.remove(stale)  # orphaned attempts: never published
+        aborted = os.path.join(self.dir, "_ABORTED")
+        if os.path.exists(aborted):
+            os.remove(aborted)  # a successful job supersedes a prior abort
         with open(os.path.join(self.dir, "_SUCCESS"), "w") as f:
             f.write(json.dumps({"rows": total, "shards": sum(m is not None for m in messages)}))
 
     def abort(self, messages):
         import os
 
+        reported = 0
         for m in messages:
             if m is not None:
+                reported += 1
                 try:
                     os.remove(m.tmp_path)
                 except OSError:
                     pass
+        # abort ledger: the observable protocol fact p19 audits (a sink
+        # consumer must be able to SEE that a job aborted rather than
+        # infer it from a missing _SUCCESS)
+        try:
+            with open(os.path.join(self.dir, "_ABORTED"), "w") as f:
+                f.write(json.dumps({"reported_attempts_cleaned": reported}))
+        except OSError:
+            pass
 
 
 class JsonlDocsStreamWriter(DataSourceStreamWriter):

@@ -81,3 +81,107 @@ def test_p18_planes_are_balanced_enough(spark, sf_dir, reg):
     for r in rows:
         buckets_per_table.setdefault(r.tbl, set()).add(r.bucket)
     assert all(len(v) >= 4 for v in buckets_per_table.values()), buckets_per_table
+
+
+# ---------------------------------------------------------------------------
+# p19 — DataSource commit/abort protocol
+
+
+def test_p19_planted_failure_leaves_contained_orphan(spark, sf_dir, tmp_path):
+    """Replay phase A standalone: the planted mid-write failure must
+    leave exactly one orphan temp shard (the failed attempt's partial
+    file), publish nothing, and ledger the abort with 0 reported
+    attempts (the single task never returned a commit message)."""
+    import glob
+    import json
+    import os
+
+    from pyspark_distributed_kmodes_spark.sources import jsonl
+    from pyspark_distributed_kmodes_spark.sources.tables import table
+
+    jsonl.register(spark)
+    target = str(tmp_path / "sink")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    try:
+        (
+            o.repartition(1)
+            .write.format("jsonl_docs")
+            .option("path", target)
+            .option("fail_after", "100")
+            .mode("overwrite")
+            .save()
+        )
+        raise AssertionError("planted failure did not surface")
+    except AssertionError:
+        raise
+    except Exception as e:
+        assert "planted task failure" in str(e), str(e)[:300]
+    assert glob.glob(os.path.join(target, "part-*.jsonl")) == []
+    assert not os.path.exists(os.path.join(target, "_SUCCESS"))
+    orphans = glob.glob(os.path.join(target, "_tmp-*.jsonl"))
+    assert len(orphans) == 1
+    # the partial shard holds exactly the rows written before the raise
+    assert sum(1 for _ in open(orphans[0])) == 100
+    with open(os.path.join(target, "_ABORTED")) as f:
+        assert json.load(f) == {"reported_attempts_cleaned": 0}
+
+
+def test_p19_result_protocol_facts_are_green(spark, sf_dir, reg):
+    rows = reg["p19_datasource_abort_protocol"].fn(spark, sf_dir).collect()
+    assert rows, "expected per-status rows"
+    for r in rows:
+        assert r.aborted_ledger_after_failure == 1
+        assert r.parts_visible_after_failure == 0
+        assert r.success_marker_after_failure == 0
+        assert r.orphan_tmp_after_commit == 0
+        assert r.aborted_ledger_after_commit == 0
+        assert r.success_marker_after_commit == 1
+
+
+# ---------------------------------------------------------------------------
+# p20 — state reader partition pruning
+
+
+def test_p20_matches_python_replay(spark, sf_dir, reg, duck):
+    """Third engine: the union of pruned per-partition state reads must
+    equal a python per-user groupby of the raw events."""
+    rows = reg["p20_state_reader_partition_pruning"].fn(spark, sf_dir).collect()
+    expect = {
+        u: (n, s)
+        for u, n, s in duck.execute(
+            "SELECT user_id, COUNT(*), SUM(event_id) FROM events GROUP BY user_id"
+        ).fetchall()
+    }
+    got = {r.user_id: (r.n_events, r.sum_ids) for r in rows}
+    assert got == expect
+    assert all(r.partition_sets_match == 1 for r in rows)
+    assert all(r.pruned_reads_pure == 1 for r in rows)
+    assert all(r.pruned_vs_full_diff == 0 for r in rows)
+
+
+def test_p20_shuffle_partitions_conf_restored(spark, sf_dir, reg):
+    """The key pins state partitions by temporarily setting
+    spark.sql.shuffle.partitions; the session conf must come back."""
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    reg["p20_state_reader_partition_pruning"].fn(spark, sf_dir).collect()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+# ---------------------------------------------------------------------------
+# p21 — foreachBatch multi-sink
+
+
+def test_p21_epoch_ledger_and_consistency(spark, sf_dir, reg):
+    """Batch ids are exactly {0,1,2} (the tercile replay), each batch's
+    per-type counts sum to its ledger row, and the ledger is one row
+    per epoch (duplicate epochs would double sink B)."""
+    rows = reg["p21_foreachbatch_multi_sink"].fn(spark, sf_dir).collect()
+    assert {r.batch_id for r in rows} == {0, 1, 2}
+    per_batch = {}
+    for r in rows:
+        n, ledgers = per_batch.get(r.batch_id, (0, set()))
+        ledgers.add(r.ledger_rows)
+        per_batch[r.batch_id] = (n + r.n_rows, ledgers)
+    for b, (n, ledgers) in per_batch.items():
+        assert len(ledgers) == 1, f"batch {b}: ledger not unique"
+        assert n == next(iter(ledgers)), f"batch {b}: A-vs-B mismatch"
