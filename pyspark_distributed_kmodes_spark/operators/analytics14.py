@@ -33,6 +33,18 @@ in __spark_entry__.py these rename into the round-13 window.
        batch-id-tagged rows (the epoch ledger a transactional
        foreachBatch consumer keys idempotence on); both sinks'
        contents and the batch-id partitioning law under the hash.
+  p22  BUCKET PRUNING AUDIT — the read-side half of the bucketing
+       contract (qb34 proved the exchange-free join): a point lookup
+       on the bucket key must scan only the matching bucket files;
+       SelectedBucketsCount parsed from the executed plan rides the
+       hash as two binary facts beside the looked-up rows.
+  p23  PANDAS-ON-SPARK front door (pyspark.pandas) — read_parquet
+       with explicit index_col, `//` banding + astype, two-key
+       groupby().agg() named aggregations, to_spark(); the pandas
+       dialect hash-matched against the relational replay.
+  p24  window_time() — the event-time accessor for window aggregates
+       (window.end - 1 µs); the off-by-one-microsecond convention
+       itself derived closed-form by the oracle.
 """
 
 from __future__ import annotations
@@ -610,4 +622,238 @@ def p21_foreachbatch_multi_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "batch_id")
         .select("batch_id", "event_type", "n_rows", "sum_value", "ledger_rows")
         .orderBy("batch_id", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# p22 — bucket pruning audit (SelectedBucketsCount on a point-lookup scan)
+
+_P22_BUCKETS = 8
+
+_P22_ORACLE = """
+WITH keys AS (
+  SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3
+)
+SELECT o.o_orderkey, o.o_orderstatus,
+       CAST(o.o_totalprice AS DOUBLE) AS total_price,
+       CAST(1 AS INTEGER) AS pruning_effective,
+       CAST(1 AS INTEGER) AS selected_within_key_count
+FROM orders o JOIN keys k ON o.o_orderkey = k.o_orderkey
+ORDER BY o.o_orderkey
+"""
+
+
+@query(
+    "p22_bucket_pruning_audit",
+    oracle=_P22_ORACLE,
+    tags=("source", "bucketing", "audit"),
+)
+def p22_bucket_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKET PRUNING under the hash gate — the READ-side half of the
+    bucketing contract (qb34 certified the exchange-free join; this
+    certifies that a point lookup on the bucket key scans only the
+    matching bucket FILES): orders is persisted bucketed on o_orderkey
+    into {n} buckets, then filtered with an IN-list of the 3 smallest
+    keys. The physical scan must report SelectedBucketsCount <= 3 out
+    of {n} — parsed from the executed plan and turned into two binary
+    facts that ride the hash (pruning_effective: fewer buckets than
+    the table has; selected_within_key_count: no more buckets than
+    lookup keys — Murmur3 may collide two keys into one bucket, never
+    split one into two). The looked-up rows themselves hash-match the
+    relational point lookup, so pruning can never trade correctness
+    for I/O.
+
+    Scale: this is THE point-lookup path on a 100 TB bucketed fact —
+    a 3-key probe reads 3/{n} of the files (and 1/N-th per bucket at
+    production bucket counts) instead of a full scan + filter; the
+    law certified here (bucket routing at write == bucket selection
+    at read) is what makes that safe.
+    """
+    import tempfile
+    import uuid
+
+    from pyspark_distributed_kmodes_spark.operators.analytics10 import _rmtree_at_exit
+    from pyspark_distributed_kmodes_spark.sources.tables import write_bucketed
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    keys = [r.o_orderkey for r in o.orderBy("o_orderkey").limit(3).collect()]  # bounded
+    base = tempfile.mkdtemp(prefix="p22_bucketed_")
+    _rmtree_at_exit(base)
+    run = uuid.uuid4().hex[:12]
+    tbl = f"p22_orders_bucketed_{run}"
+    write_bucketed(o, tbl, "o_orderkey", _P22_BUCKETS, path=f"{base}/orders")
+    # the planner auto-DISABLES bucketed scans when no operator needs
+    # the bucket distribution (autoBucketedScan) — but bucket PRUNING
+    # only happens on a bucketed scan, so pin it on for the probe
+    old_auto = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        probe = spark.table(tbl).where(F.col("o_orderkey").isin(keys))
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        import re as _re
+
+        m = _re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        if m is None:
+            raise AssertionError("p22: scan did not report bucket selection (pruning off?)")
+        selected, total = int(m.group(1)), int(m.group(2))
+        if total != _P22_BUCKETS:
+            raise AssertionError(f"p22: expected {_P22_BUCKETS} buckets, scan shows {total}")
+        return (
+            probe.select(
+                "o_orderkey",
+                "o_orderstatus",
+                F.col("o_totalprice").cast("double").alias("total_price"),
+            )
+            .withColumn("pruning_effective", F.lit(int(selected < total)).cast("int"))
+            .withColumn(
+                "selected_within_key_count", F.lit(int(selected <= len(keys))).cast("int")
+            )
+            .orderBy("o_orderkey")
+            # materialize before the catalog entry is dropped below
+            .transform(lambda df: spark.createDataFrame(df.collect(), df.schema))
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", old_auto)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+p22_bucket_pruning_audit.__doc__ = p22_bucket_pruning_audit.__doc__.replace(
+    "{n}", str(_P22_BUCKETS)
+)
+
+
+# ---------------------------------------------------------------------------
+# p23 — pandas-on-Spark front door (pyspark.pandas)
+
+_P23_ORACLE = """
+WITH banded AS (
+  SELECT o_orderstatus,
+         CAST(floor(o_totalprice / 50000) AS BIGINT) AS price_band,
+         o_orderkey, o_totalprice
+  FROM orders
+)
+SELECT o_orderstatus, price_band,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM banded
+GROUP BY o_orderstatus, price_band
+ORDER BY o_orderstatus, price_band
+"""
+
+
+@query(
+    "p23_pandas_on_spark_groupby",
+    oracle=_P23_ORACLE,
+    tags=("api", "pandas", "audit"),
+)
+def p23_pandas_on_spark_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PANDAS-ON-SPARK front door under the hash gate — the one API
+    family the suite had never exercised (pyspark.pandas, the drop-in
+    pandas dialect data scientists reach for first): read_parquet with
+    an explicit index_col (avoiding the distributed-sequence default
+    index and its extra job), a pandas-style derived column
+    (floor-division price banding via `//` + astype), a two-key
+    groupby().agg() with named aggregations, and reset_index()
+    .to_spark() back to the DataFrame world. The oracle replays the
+    banding and rollup relationally, so the pandas dialect's floor
+    division, groupby semantics (dropna default on a non-null key),
+    and dtype mapping (int64 band, bigint counts) are all under the
+    same value hash as every native-API key — proving the pandas
+    front door reaches the SAME engine results, not a lookalike.
+
+    Determinism note: aggregates are count/sum over integers and
+    min/max over doubles — no float accumulation order in the hash.
+
+    Scale: pyspark.pandas compiles to the same Catalyst plans as the
+    DataFrame API (one shuffle for the two-key groupby here); the
+    index_col choice matters at 100 TB — the default distributed-
+    sequence index forces an extra stage to number rows, which
+    read_parquet(index_col=...) avoids entirely.
+    """
+    import pyspark.pandas as ps
+
+    # table() handles events-ts normalization only; orders reads clean,
+    # but go through the same path for cache consistency
+    table(spark, sf_dir, "orders")
+    psdf = ps.read_parquet(f"{sf_dir}/orders.parquet", index_col="o_orderkey")
+    psdf = psdf.assign(price_band=(psdf["o_totalprice"] // 50000).astype("int64"))
+    out = (
+        psdf.reset_index()
+        .groupby(["o_orderstatus", "price_band"])
+        .agg(
+            n=("o_orderkey", "count"),
+            sum_keys=("o_orderkey", "sum"),
+            min_price=("o_totalprice", "min"),
+            max_price=("o_totalprice", "max"),
+        )
+    )
+    return (
+        out.reset_index()
+        .to_spark()
+        .select(
+            "o_orderstatus",
+            F.col("price_band").cast("bigint").alias("price_band"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("sum_keys").cast("bigint").alias("sum_keys"),
+            "min_price",
+            "max_price",
+        )
+        .orderBy("o_orderstatus", "price_band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# p24 — window_time() event-time column over batch tumbling windows
+
+_P24_ORACLE = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+       CAST(date_trunc('day', ts) + INTERVAL 1 DAY - INTERVAL 1 MICROSECOND
+            AS TIMESTAMP) AS day_event_time,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS sum_ids
+FROM events
+GROUP BY 1, 2
+ORDER BY day_start
+"""
+
+
+@query(
+    "p24_window_time_column",
+    oracle=_P24_ORACLE,
+    tags=("window", "time", "audit"),
+)
+def p24_window_time_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.window_time under the hash gate — the event-time accessor for
+    window aggregates (window.end minus exactly 1 microsecond: the
+    largest timestamp that still BELONGS to the window, which is what
+    a chained window/watermark must consume — using window.end
+    directly would leak each row into the NEXT window). Tumbling
+    per-day rollup over events with both window.start and
+    window_time(window) in-hash; the oracle derives the accessor
+    closed-form (day + 1 day - 1 µs), so the off-by-one-microsecond
+    convention itself is what the hash certifies.
+
+    Scale: window() + window_time are pure JVM expressions on the
+    grouping key — one map-side-combinable shuffle, no state; the
+    same expression drives streaming chains (p05 consumed window.end
+    with an explicit guard band; window_time is the built-in that
+    makes such chains off-by-one-safe).
+    """
+    e = table(spark, sf_dir, "events")
+    w = F.window("ts", "1 day")
+    return (
+        e.groupBy(w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("event_id").cast("bigint").alias("sum_ids"),
+        )
+        .select(
+            F.col("w.start").alias("day_start"),
+            F.window_time("w").alias("day_event_time"),
+            "n_events",
+            "sum_ids",
+        )
+        .orderBy("day_start")
     )

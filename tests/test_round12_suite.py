@@ -185,3 +185,66 @@ def test_p21_epoch_ledger_and_consistency(spark, sf_dir, reg):
     for b, (n, ledgers) in per_batch.items():
         assert len(ledgers) == 1, f"batch {b}: ledger not unique"
         assert n == next(iter(ledgers)), f"batch {b}: A-vs-B mismatch"
+
+
+# ---------------------------------------------------------------------------
+# p22 — bucket pruning
+
+
+def test_p22_rows_and_facts(spark, sf_dir, reg, duck):
+    rows = reg["p22_bucket_pruning_audit"].fn(spark, sf_dir).collect()
+    expect = duck.execute(
+        "SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE)"
+        " FROM orders ORDER BY o_orderkey LIMIT 3"
+    ).fetchall()
+    assert [(r.o_orderkey, r.o_orderstatus, r.total_price) for r in rows] == [
+        tuple(e) for e in expect
+    ]
+    assert all(r.pruning_effective == 1 and r.selected_within_key_count == 1 for r in rows)
+
+
+def test_p22_restores_auto_bucketed_scan_conf(spark, sf_dir, reg):
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    before = spark.conf.get(key)
+    reg["p22_bucket_pruning_audit"].fn(spark, sf_dir).collect()
+    assert spark.conf.get(key) == before
+
+
+# ---------------------------------------------------------------------------
+# p23 — pandas-on-Spark
+
+
+def test_p23_matches_real_pandas(spark, sf_dir, reg):
+    """Third engine: ACTUAL pandas (not pyspark.pandas) must produce
+    the same banded rollup — the dialect-fidelity check the DuckDB
+    oracle can't make (it replays SQL semantics, not pandas ones)."""
+    import pandas as pd
+
+    rows = reg["p23_pandas_on_spark_groupby"].fn(spark, sf_dir).collect()
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+    pdf = pdf.assign(price_band=(pdf["o_totalprice"] // 50000).astype("int64"))
+    exp = (
+        pdf.groupby(["o_orderstatus", "price_band"])
+        .agg(
+            n=("o_orderkey", "count"),
+            sum_keys=("o_orderkey", "sum"),
+            min_price=("o_totalprice", "min"),
+            max_price=("o_totalprice", "max"),
+        )
+        .reset_index()
+        .sort_values(["o_orderstatus", "price_band"])
+    )
+    got = [(r.o_orderstatus, r.price_band, r.n, r.sum_keys, r.min_price, r.max_price) for r in rows]
+    assert got == [tuple(t) for t in exp.itertuples(index=False)]
+
+
+# ---------------------------------------------------------------------------
+# p24 — window_time
+
+
+def test_p24_window_time_is_end_minus_one_microsecond(spark, sf_dir, reg):
+    import datetime
+
+    rows = reg["p24_window_time_column"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert r.day_event_time == r.day_start + datetime.timedelta(days=1, microseconds=-1)
