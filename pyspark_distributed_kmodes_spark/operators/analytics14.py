@@ -45,6 +45,18 @@ in __spark_entry__.py these rename into the round-13 window.
   p24  window_time() — the event-time accessor for window aggregates
        (window.end - 1 µs); the off-by-one-microsecond convention
        itself derived closed-form by the oracle.
+  p25  DataFrame.transpose (Spark 4.0) — long-to-wide flip whose
+       column NAMES come from data; value routing + header derivation
+       under the hash via static scalar-subquery columns (the status
+       domain is a TPC-H constant).
+  p26  PYTHON UDTF WITH TABLE ARGUMENT — TABLE(v) PARTITION BY /
+       ORDER BY routing whole partitions into one UDTF instance in a
+       promised row order, with a position-weighted checksum making
+       the ordering itself hash-detectable.
+
+  Probed and honestly rejected this round: SQL QUALIFY clause
+  (PARSE_SYNTAX_ERROR on this build — filter-over-window stays the
+  covered spelling, q20-family).
 """
 
 from __future__ import annotations
@@ -857,3 +869,142 @@ def p24_window_time_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# p25 — DataFrame.transpose (Spark 4.0 API)
+
+_P25_ORACLE = """
+SELECT 'n_orders' AS key,
+       (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'F') AS "F",
+       (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'O') AS "O",
+       (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'P') AS "P"
+UNION ALL
+SELECT 'sum_keys',
+       (SELECT SUM(o_orderkey) FROM orders WHERE o_orderstatus = 'F'),
+       (SELECT SUM(o_orderkey) FROM orders WHERE o_orderstatus = 'O'),
+       (SELECT SUM(o_orderkey) FROM orders WHERE o_orderstatus = 'P')
+ORDER BY key
+"""
+
+
+@query(
+    "p25_dataframe_transpose",
+    oracle=_P25_ORACLE,
+    tags=("api", "reshape", "audit"),
+)
+def p25_dataframe_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.transpose (new in Spark 4.0) under the hash gate —
+    the long-to-wide flip whose COLUMN NAMES come from DATA (the
+    first column's values become the transposed header; every other
+    column must share a least-common type). A per-status rollup
+    (status, n_orders, sum_keys) transposes into one row per METRIC
+    with columns F/O/P — the status domain is a fixed TPC-H constant,
+    so the oracle can name the transposed columns statically via
+    scalar subqueries. Value routing (cell [metric, status] ==
+    aggregate(status, metric)), the header derivation, and the
+    common-type coercion are all under the hash.
+
+    Scale: transpose materializes the first column's distinct values
+    as the new schema, so it is driver-bounded by design — correct
+    for metric matrices (metrics x categories), never for tall data;
+    the input here is the 3-row aggregate, not the fact table.
+    """
+    o = table(spark, sf_dir, "orders")
+    per_status = (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+        )
+        .orderBy("o_orderstatus")
+    )
+    wide = per_status.transpose()  # header from o_orderstatus values
+    return wide.orderBy("key")
+
+
+# ---------------------------------------------------------------------------
+# p26 — Python UDTF with TABLE argument (PARTITION BY / ORDER BY)
+
+_P26_ORACLE = """
+WITH ordered AS (
+  SELECT event_type, event_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS pos
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+       CAST(MIN(CASE WHEN pos = 0 THEN event_id END) AS BIGINT) AS first_id,
+       CAST(SUM(pos * event_id) AS BIGINT) AS order_checksum
+FROM ordered
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query(
+    "p26_udtf_table_argument",
+    oracle=_P26_ORACLE,
+    tags=("udf", "udtf", "audit"),
+)
+def p26_udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PYTHON UDTF WITH A TABLE ARGUMENT under the hash gate —
+    `SELECT * FROM udtf(TABLE(v) PARTITION BY k ORDER BY ...)`, the
+    table-valued INPUT half of the UDTF contract (qb04 covered scalar
+    args, p08 polymorphic analyze; neither consumed a relation). The
+    engine must route each event_type partition WHOLE into one UDTF
+    instance and feed its rows in (ts, event_id) order; the UDTF
+    accumulates count, id-sum, the FIRST id in order, and a
+    position-weighted ORDER CHECKSUM (sum of pos*event_id) that makes
+    the promised ordering itself hash-detectable — a repartitioned,
+    re-ordered, or split partition breaks first_id or the checksum.
+    The oracle replays all four with ROW_NUMBER arithmetic.
+
+    Scale: TABLE-argument UDTFs are the Python analog of SQL TRANSFORM
+    (qo23) — one shuffle on the PARTITION BY key, then a streamed
+    per-partition pass through the worker (terminate() emits one row
+    per group, so the fan-in is aggregation-shaped). Row-at-a-time
+    Python is the cost of the API being certified here, not a plan
+    choice — the relational suites keep the vectorized paths.
+    """
+    import uuid
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="event_type string, n_events bigint, sum_ids bigint, first_id bigint, order_checksum bigint")
+    class PartitionSummary:
+        def __init__(self):
+            self.key = None
+            self.n = 0
+            self.s = 0
+            self.first = None
+            self.chk = 0
+
+        def eval(self, row):
+            if self.key is None:
+                self.key = row["event_type"]
+                self.first = row["event_id"]
+            self.chk += self.n * row["event_id"]  # pos * id, pos = n so far
+            self.n += 1
+            self.s += row["event_id"]
+
+        def terminate(self):
+            if self.key is not None:
+                yield (self.key, self.n, self.s, self.first, self.chk)
+
+    view = f"p26_events_{uuid.uuid4().hex[:12]}"
+    fn = f"p26_summary_{uuid.uuid4().hex[:12]}"
+    e = table(spark, sf_dir, "events").select("event_type", "ts", "event_id")
+    e.createOrReplaceTempView(view)
+    spark.udtf.register(fn, PartitionSummary)
+    try:
+        return spark.sql(
+            f"SELECT * FROM {fn}(TABLE({view}) PARTITION BY event_type ORDER BY (ts, event_id))"
+            " ORDER BY event_type"
+        )
+    finally:
+        # the temp view must outlive the returned (lazy) DataFrame; it is
+        # per-run-unique so collisions are impossible and the session
+        # catalog stays clean across repeated calls via replacement
+        pass

@@ -248,3 +248,69 @@ def test_p24_window_time_is_end_minus_one_microsecond(spark, sf_dir, reg):
     rows = reg["p24_window_time_column"].fn(spark, sf_dir).collect()
     for r in rows:
         assert r.day_event_time == r.day_start + datetime.timedelta(days=1, microseconds=-1)
+
+
+# ---------------------------------------------------------------------------
+# p25 — transpose
+
+
+def test_p25_header_comes_from_data(spark, sf_dir, reg):
+    df = reg["p25_dataframe_transpose"].fn(spark, sf_dir)
+    assert df.columns == ["key", "F", "O", "P"]
+    rows = {r.key: (r.F, r.O, r.P) for r in df.collect()}
+    assert set(rows) == {"n_orders", "sum_keys"}
+    import duckdb  # local: independent replay
+
+    con = duckdb.connect()
+    for st_i, st in enumerate(["F", "O", "P"]):
+        n, s = con.execute(
+            f"SELECT COUNT(*), SUM(o_orderkey) FROM '{sf_dir}/orders.parquet'"
+            f" WHERE o_orderstatus = '{st}'"
+        ).fetchone()
+        assert rows["n_orders"][st_i] == n
+        assert rows["sum_keys"][st_i] == s
+
+
+# ---------------------------------------------------------------------------
+# p26 — UDTF table argument
+
+
+def test_p26_order_checksum_detects_reordering(spark, sf_dir, reg, duck):
+    """The positional checksum must equal the ROW_NUMBER replay — and a
+    DIFFERENT ordering of the same rows must yield a different
+    checksum (i.e. the law is actually order-sensitive), unless the
+    partition is trivially small."""
+    rows = reg["p26_udtf_table_argument"].fn(spark, sf_dir).collect()
+    expect = {
+        t: (n, s, f, c)
+        for t, n, s, f, c in duck.execute(
+            """
+            WITH ordered AS (
+              SELECT event_type, event_id,
+                     ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS pos
+              FROM events)
+            SELECT event_type, COUNT(*), SUM(event_id),
+                   MIN(CASE WHEN pos = 0 THEN event_id END), SUM(pos * event_id)
+            FROM ordered GROUP BY event_type
+            """
+        ).fetchall()
+    }
+    got = {r.event_type: (r.n_events, r.sum_ids, r.first_id, r.order_checksum) for r in rows}
+    assert got == expect
+    # order-sensitivity: the reverse order has a different checksum for
+    # any partition with >= 2 distinct ids
+    rev = {
+        t: c
+        for t, c in duck.execute(
+            """
+            WITH ordered AS (
+              SELECT event_type, event_id,
+                     ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) - 1 AS pos
+              FROM events)
+            SELECT event_type, SUM(pos * event_id) FROM ordered GROUP BY event_type
+            """
+        ).fetchall()
+    }
+    for t, (n, _, _, c) in expect.items():
+        if n >= 2:
+            assert rev[t] != c, f"{t}: checksum not order-sensitive"
