@@ -54,6 +54,15 @@ in __spark_entry__.py these rename into the round-13 window.
        promised row order, with a position-weighted checksum making
        the ordering itself hash-detectable.
 
+  p27  JOIN STRATEGY HINTS — the same rollup under BROADCAST / MERGE
+       / SHUFFLE_HASH hints: each hinted operator must appear in its
+       executed plan, and all three results must be row-identical;
+       plan-presence + agreement facts ride the hash.
+  p28  PANDAS-ON-SPARK groupby-ROLLING — the pandas window dialect:
+       rolling(5, min_periods=1).sum() must compile to ROWS BETWEEN 4
+       PRECEDING AND CURRENT ROW (partial leading frames, not NULLs);
+       oracle replays the exact frame.
+
   Probed and honestly rejected this round: SQL QUALIFY clause
   (PARSE_SYNTAX_ERROR on this build — filter-over-window stays the
   covered spelling, q20-family).
@@ -1008,3 +1017,149 @@ def p26_udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per-run-unique so collisions are impossible and the session
         # catalog stays clean across repeated calls via replacement
         pass
+
+
+# ---------------------------------------------------------------------------
+# p27 — join strategy hints (BROADCAST / MERGE / SHUFFLE_HASH)
+
+_P27_ORACLE = """
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o.o_orderkey) AS BIGINT) AS sum_keys,
+       CAST(1 AS INTEGER) AS used_broadcast,
+       CAST(1 AS INTEGER) AS used_sort_merge,
+       CAST(1 AS INTEGER) AS used_shuffle_hash,
+       CAST(1 AS INTEGER) AS all_strategies_agree
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+@query(
+    "p27_join_strategy_hints",
+    oracle=_P27_ORACLE,
+    tags=("join", "hints", "audit"),
+)
+def p27_join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN STRATEGY HINTS under the hash gate: the SAME orders ⋈
+    customer rollup executes three times under BROADCAST, MERGE, and
+    SHUFFLE_HASH hints; each executed plan must actually contain the
+    hinted operator (BroadcastHashJoin / SortMergeJoin /
+    ShuffledHashJoin — a hint Catalyst ignores silently would leave
+    the default pick), and all three results must be row-identical
+    (exceptAll both ways == 0). The broadcast-hinted result carries
+    the rollup values plus four binary facts: each strategy's
+    plan-presence and the three-way agreement. Physical join strategy
+    MUST NOT change answers — that is the optimizer contract this key
+    pins.
+
+    Scale: this is the knob that matters when AQE's estimates are
+    wrong at 100 TB — a dim that just exceeds the broadcast threshold
+    (force BROADCAST), a skewed build side OOMing ShuffledHashJoin
+    (force MERGE), or a sort dominating (force SHUFFLE_HASH); the
+    certification here is that reaching for the knob never trades
+    correctness.
+    """
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+
+    def rollup(hint: str):
+        j = o.join(c.hint(hint), o["o_custkey"] == c["c_custkey"])
+        return j.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+        )
+
+    def plan_has(df: DataFrame, op: str) -> int:
+        return int(op in df._jdf.queryExecution().executedPlan().toString())
+
+    by_hint = {h: rollup(h) for h in ("broadcast", "merge", "shuffle_hash")}
+    used_b = plan_has(by_hint["broadcast"], "BroadcastHashJoin")
+    used_m = plan_has(by_hint["merge"], "SortMergeJoin")
+    used_s = plan_has(by_hint["shuffle_hash"], "ShuffledHashJoin")
+    agree = int(
+        by_hint["broadcast"].exceptAll(by_hint["merge"]).count() == 0
+        and by_hint["merge"].exceptAll(by_hint["broadcast"]).count() == 0
+        and by_hint["broadcast"].exceptAll(by_hint["shuffle_hash"]).count() == 0
+        and by_hint["shuffle_hash"].exceptAll(by_hint["broadcast"]).count() == 0
+    )
+    return (
+        by_hint["broadcast"]
+        .withColumn("used_broadcast", F.lit(used_b).cast("int"))
+        .withColumn("used_sort_merge", F.lit(used_m).cast("int"))
+        .withColumn("used_shuffle_hash", F.lit(used_s).cast("int"))
+        .withColumn("all_strategies_agree", F.lit(agree).cast("int"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# p28 — pandas-on-Spark groupby-rolling window
+
+_P28_ORACLE = """
+WITH rolled AS (
+  SELECT o_orderstatus,
+         SUM(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+                               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS rs
+  FROM orders
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(rs) AS BIGINT) AS sum_rolling,
+       CAST(MIN(rs) AS BIGINT) AS min_rolling,
+       CAST(MAX(rs) AS BIGINT) AS max_rolling
+FROM rolled
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@query(
+    "p28_pandas_on_spark_rolling",
+    oracle=_P28_ORACLE,
+    tags=("api", "pandas", "window", "audit"),
+)
+def p28_pandas_on_spark_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PANDAS-ON-SPARK groupby-ROLLING under the hash gate — the
+    pandas window dialect (p23 covered groupby-agg): per status,
+    sorted by the index (o_orderkey), a 5-row rolling sum with
+    min_periods=1, which must compile to the SQL frame `ROWS BETWEEN
+    4 PRECEDING AND CURRENT ROW` — the oracle replays exactly that
+    window and rolls it up (count / sum / min / max of the rolling
+    series per status). min_periods=1 is the pandas-ism under test:
+    the first 4 rows of each group emit partial sums, not NULLs.
+    Integer payloads keep the rolling arithmetic exact in both
+    engines (pandas rolling returns float64; sums stay < 2^53).
+
+    Scale: ps rolling compiles to ONE Spark window (shuffle on the
+    group key, streamed frame — no per-group materialization), not a
+    pandas loop; the index choice (read_parquet index_col) again
+    avoids the distributed-sequence numbering stage.
+    """
+    import pyspark.pandas as ps
+
+    table(spark, sf_dir, "orders")  # shared cache path
+    psdf = ps.read_parquet(f"{sf_dir}/orders.parquet", index_col="o_orderkey")
+    # rolling over the KEY itself keeps arithmetic integer-exact; ps
+    # disallows rolling on the index, so materialize it as a column
+    psdf = psdf.assign(key_val=psdf.index.to_series())
+    rolling = (
+        psdf.sort_index()
+        .groupby("o_orderstatus")["key_val"]
+        .rolling(5, min_periods=1)
+        .sum()
+    )
+    sdf = rolling.reset_index().to_spark()
+    # columns: o_orderstatus, o_orderkey (index), key_val (rolling sum)
+    rs = F.col("key_val").cast("bigint")
+    return (
+        sdf.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(rs).cast("bigint").alias("sum_rolling"),
+            F.min(rs).cast("bigint").alias("min_rolling"),
+            F.max(rs).cast("bigint").alias("max_rolling"),
+        )
+        .orderBy("o_orderstatus")
+    )

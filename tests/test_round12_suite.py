@@ -314,3 +314,49 @@ def test_p26_order_checksum_detects_reordering(spark, sf_dir, reg, duck):
     for t, (n, _, _, c) in expect.items():
         if n >= 2:
             assert rev[t] != c, f"{t}: checksum not order-sensitive"
+
+
+# ---------------------------------------------------------------------------
+# p27 — join strategy hints
+
+
+def test_p27_all_hints_honored(spark, sf_dir, reg):
+    rows = reg["p27_join_strategy_hints"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.used_broadcast == 1
+        assert r.used_sort_merge == 1
+        assert r.used_shuffle_hash == 1
+        assert r.all_strategies_agree == 1
+
+
+# ---------------------------------------------------------------------------
+# p28 — pandas-on-Spark rolling
+
+
+def test_p28_matches_real_pandas_rolling(spark, sf_dir, reg):
+    """Dialect fidelity: REAL pandas groupby-rolling (min_periods=1)
+    must reproduce the rollup — including the partial leading frames
+    pandas emits where SQL would need the explicit ROWS frame."""
+    import pandas as pd
+
+    rows = reg["p28_pandas_on_spark_rolling"].fn(spark, sf_dir).collect()
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"])
+    pdf = pdf.sort_values("o_orderkey")
+    rs = (
+        pdf.groupby("o_orderstatus")["o_orderkey"]
+        .rolling(5, min_periods=1)
+        .sum()
+        .reset_index(level=0)
+    )
+    exp = (
+        rs.groupby("o_orderstatus")["o_orderkey"]
+        .agg(["count", "sum", "min", "max"])
+        .reset_index()
+        .sort_values("o_orderstatus")
+    )
+    got = [(r.o_orderstatus, r.n, r.sum_rolling, r.min_rolling, r.max_rolling) for r in rows]
+    assert got == [
+        (t.o_orderstatus, int(t.count), int(t.sum), int(t.min), int(t.max))
+        for t in exp.itertuples(index=False)
+    ]
