@@ -63,9 +63,19 @@ in __spark_entry__.py these rename into the round-13 window.
        PRECEDING AND CURRENT ROW (partial leading frames, not NULLs);
        oracle replays the exact frame.
 
+  p29  CHANGE FEED OVER JOIN STATE — readChangeFeed via the storeName
+       route (joinSide+readChangeFeed conflict on this build, probed):
+       insert/evict churn of the left-keyToNumValues store; presence
+       replay vs direct read, insert ledger, and the p07 eviction law
+       all in-hash. Values come from the direct read: a batch can
+       both shrink and grow one key's count and the feed does not
+       expose intra-batch ordering (observed at sf0.1).
+
   Probed and honestly rejected this round: SQL QUALIFY clause
   (PARSE_SYNTAX_ERROR on this build — filter-over-window stays the
-  covered spelling, q20-family).
+  covered spelling, q20-family), and joinSide+readChangeFeed
+  combined (STDS_CONFLICT_OPTIONS — the storeName route is the
+  certified alternative, p29).
 """
 
 from __future__ import annotations
@@ -1162,4 +1172,168 @@ def p28_pandas_on_spark_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(rs).cast("bigint").alias("max_rolling"),
         )
         .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# p29 — change feed over stream-stream JOIN state (storeName route)
+
+_P29_ORACLE = """
+WITH wm AS (
+  SELECT least(MAX(CASE WHEN event_type = 'click' THEN ts END),
+               MAX(CASE WHEN event_type = 'purchase' THEN ts END))
+         - INTERVAL 4 HOURS AS w
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_buffered,
+       CAST((SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = 'click')
+            AS BIGINT) AS n_inserted_keys,
+       CAST(1 AS INTEGER) AS feed_presence_equals_direct,
+       CAST(1 AS INTEGER) AS evictions_seen
+FROM events, wm
+WHERE event_type = 'click' AND ts + INTERVAL 2 HOURS >= w
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@query(
+    "p29_join_state_change_feed",
+    oracle=_P29_ORACLE,
+    tags=("streaming", "statestore", "join", "audit"),
+)
+def p29_join_state_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE FEED OVER STREAM-STREAM JOIN STATE under the hash gate —
+    readChangeFeed on the join's internal `left-keyToNumValues` store
+    (the per-key buffered-row counter). The joinSide and readChangeFeed
+    options are mutually exclusive on this build (STDS_CONFLICT_OPTIONS
+    — probed first), so the certified route is the storeName one:
+    qo16 proved the change feed over AGGREGATION state; this closes it
+    over JOIN state, whose churn (inserts per arriving row, deletes on
+    watermark eviction — deletes appear in MID-RUN batches here, not
+    just the terminal one) is the 100 TB streaming-join cost ledger.
+    The feed is REPLAYED to a net PRESENCE set (per key: the last
+    batch containing changes wins; absent iff that batch holds a
+    delete) which must equal the direct store read's key set — an
+    in-hash fact. Within one batch a key's count can both shrink
+    (partial eviction) and grow, and the feed does not expose
+    intra-batch ordering (observed at sf0.1: a batch holding updates
+    [1, 7] with final count 1), so VALUES come from the direct read,
+    whose per-user counts must obey p07's relational eviction law
+    (the oracle rows). Every insert is ledgered: distinct inserted
+    keys == distinct click users (in-hash scalar).
+
+    Scale: the feed is an O(churn) read of the changelog between two
+    batch ids — the audit trail for state-growth debugging without
+    snapshotting the full store; replay is two groupBys on the key.
+    """
+    import os
+    import tempfile
+
+    from pyspark_distributed_kmodes_spark.operators.analytics10 import _rmtree_at_exit
+    from pyspark_distributed_kmodes_spark.operators.analytics12 import stage_event_terciles
+
+    stage = stage_event_terciles(spark, sf_dir, doubled=False)
+    staged = spark.read.parquet(stage)
+    root = tempfile.mkdtemp(prefix="p29_target_")
+    _rmtree_at_exit(root)
+    ckpt = os.path.join(root, "ckpt")
+    # pin state partitioning (the p20 rule): a vanilla 200-partition
+    # session would freeze 200 state partitions into the checkpoint and
+    # pay 200-task statestore scans for a 32-core box
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        return _p29_run(spark, stage, staged, ckpt)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def _p29_run(spark: SparkSession, stage: str, staged: DataFrame, ckpt: str) -> DataFrame:
+    src = spark.readStream.schema(staged.schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    clicks = (
+        src.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "4 hours")
+    )
+    purch = (
+        src.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "4 hours")
+    )
+    joined = clicks.join(
+        purch,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 2 HOURS")),
+        "inner",
+    )
+    q = (
+        joined.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout=300):
+        q.stop()
+        raise TimeoutError("p29: availableNow stream did not finish within 300 s")
+
+    feed = (
+        spark.read.format("statestore")
+        .option("readChangeFeed", "true")
+        .option("changeStartBatchId", 0)
+        .option("storeName", "left-keyToNumValues")
+        .load(ckpt)
+        .select(
+            "batch_id",
+            "change_type",
+            F.col("key.field0").alias("user_id"),
+            F.col("value.value").alias("num_values"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    last_batch = feed.groupBy("user_id").agg(F.max("batch_id").alias("mb"))
+    lb = last_batch.select(F.col("user_id").alias("lb_user"), "mb")
+    last_changes = feed.join(
+        lb, (feed["user_id"] == F.col("lb_user")) & (feed["batch_id"] == F.col("mb"))
+    ).select(feed["user_id"].alias("user_id"), "change_type")
+    present = (
+        last_changes.groupBy("user_id")
+        .agg(F.max((F.col("change_type") == "delete").cast("int")).alias("has_delete"))
+        .where(F.col("has_delete") == 0)
+        .select("user_id")
+    )
+    direct = (
+        spark.read.format("statestore")
+        .option("storeName", "left-keyToNumValues")
+        .load(ckpt)
+        .select(
+            F.col("key.field0").alias("user_id"),
+            F.col("value.value").cast("bigint").alias("n_buffered"),
+        )
+    )
+    direct_keys = direct.select("user_id")
+    feed_eq = int(
+        present.exceptAll(direct_keys).count() == 0
+        and direct_keys.exceptAll(present).count() == 0
+    )
+    n_inserted = feed.where(F.col("change_type") == "update").select("user_id").distinct().count()
+    evictions = int(feed.where(F.col("change_type") == "delete").count() > 0)
+    return (
+        direct.withColumn("n_inserted_keys", F.lit(n_inserted).cast("bigint"))
+        .withColumn("feed_presence_equals_direct", F.lit(feed_eq).cast("int"))
+        .withColumn("evictions_seen", F.lit(evictions).cast("int"))
+        .orderBy("user_id")
+        # materialize under the pinned conf (the caller restores it on return)
+        .transform(lambda df: spark.createDataFrame(df.collect(), df.schema))
     )

@@ -360,3 +360,41 @@ def test_p28_matches_real_pandas_rolling(spark, sf_dir, reg):
         (t.o_orderstatus, int(t.count), int(t.sum), int(t.min), int(t.max))
         for t in exp.itertuples(index=False)
     ]
+
+
+# ---------------------------------------------------------------------------
+# p29 — join-state change feed
+
+
+def test_p29_facts_and_law(spark, sf_dir, reg, duck):
+    rows = reg["p29_join_state_change_feed"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.feed_presence_equals_direct == 1
+        assert r.evictions_seen == 1
+    n_click_users = duck.execute(
+        "SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = 'click'"
+    ).fetchone()[0]
+    assert all(r.n_inserted_keys == n_click_users for r in rows)
+    # the buffered counts obey the p07 eviction law
+    law = {
+        u: n
+        for u, n in duck.execute(
+            """
+            WITH wm AS (
+              SELECT least(MAX(CASE WHEN event_type='click' THEN ts END),
+                           MAX(CASE WHEN event_type='purchase' THEN ts END))
+                     - INTERVAL 4 HOURS AS w FROM events)
+            SELECT user_id, COUNT(*) FROM events, wm
+            WHERE event_type='click' AND ts + INTERVAL 2 HOURS >= w
+            GROUP BY user_id
+            """
+        ).fetchall()
+    }
+    assert {r.user_id: r.n_buffered for r in rows} == law
+
+
+def test_p29_restores_shuffle_partitions(spark, sf_dir, reg):
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    reg["p29_join_state_change_feed"].fn(spark, sf_dir).collect()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
