@@ -71,6 +71,18 @@ in __spark_entry__.py these rename into the round-13 window.
        both shrink and grow one key's count and the feed does not
        expose intra-batch ordering (observed at sf0.1).
 
+  p30  PANDAS-ON-SPARK pivot_table — the reshape member of the
+       family: status x priority matrix via groupBy().pivot()
+       compilation; data-derived pivot columns renamed to static ids
+       over the fixed TPC-H priority domain.
+  p31  PARTITION-BASED PYTHON DataSourceStreamReader — the
+       executor-side streaming flavor (qc02 covered the Simple
+       driver-side one): one InputPartition per new shard,
+       one-file-per-batch pacing law and batch count in-hash.
+       Trigger.AvailableNow unsupported for Python micro-batch
+       streams on this build (probed; processingTime + completion
+       poll instead).
+
   Probed and honestly rejected this round: SQL QUALIFY clause
   (PARSE_SYNTAX_ERROR on this build — filter-over-window stays the
   covered spelling, q20-family), and joinSide+readChangeFeed
@@ -1336,4 +1348,176 @@ def _p29_run(spark: SparkSession, stage: str, staged: DataFrame, ckpt: str) -> D
         .orderBy("user_id")
         # materialize under the pinned conf (the caller restores it on return)
         .transform(lambda df: spark.createDataFrame(df.collect(), df.schema))
+    )
+
+
+# ---------------------------------------------------------------------------
+# p30 — pandas-on-Spark pivot_table
+
+_P30_ORACLE = """
+SELECT o_orderstatus,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN o_orderkey END) AS BIGINT) AS urgent,
+       CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN o_orderkey END) AS BIGINT) AS high,
+       CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_orderkey END) AS BIGINT) AS medium,
+       CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_orderkey END) AS BIGINT) AS not_specified,
+       CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN o_orderkey END) AS BIGINT) AS low
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@query(
+    "p30_pandas_on_spark_pivot_table",
+    oracle=_P30_ORACLE,
+    tags=("api", "pandas", "reshape", "audit"),
+)
+def p30_pandas_on_spark_pivot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PANDAS-ON-SPARK pivot_table under the hash gate — the reshape
+    member of the pyspark.pandas family (p23 groupby, p28 rolling):
+    status x priority sum-of-keys matrix via
+    pivot_table(index=[...], columns=..., values=..., aggfunc='sum'),
+    which must compile to Spark's groupBy().pivot() (one shuffle, the
+    pivot domain discovered then pinned into the schema). The
+    data-derived pivot columns are renamed to static identifiers (the
+    priority domain is a TPC-H constant) so the oracle can replay the
+    matrix with conditional aggregation. A mis-pivoted cell, a lost
+    priority class, or pandas/Spark aggfunc drift breaks the hash.
+
+    Scale: ps pivot_table = groupBy().pivot() with an explicit values
+    domain after discovery; cost is one shuffle on the index key — the
+    wide-matrix shape is bounded by the pivot domain (5 here), never
+    by the row count.
+    """
+    import pyspark.pandas as ps
+
+    table(spark, sf_dir, "orders")
+    psdf = ps.read_parquet(f"{sf_dir}/orders.parquet", index_col="o_orderkey").reset_index()
+    pt = psdf.pivot_table(
+        index=["o_orderstatus"],
+        columns="o_orderpriority",
+        values="o_orderkey",
+        aggfunc="sum",
+    )
+    sdf = pt.reset_index().to_spark()
+    renames = {
+        "1-URGENT": "urgent",
+        "2-HIGH": "high",
+        "3-MEDIUM": "medium",
+        "4-NOT SPECIFIED": "not_specified",
+        "5-LOW": "low",
+    }
+    out = sdf.select(
+        "o_orderstatus",
+        *[F.col(f"`{src}`").cast("bigint").alias(dst) for src, dst in renames.items()],
+    )
+    return out.orderBy("o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# p31 — partition-based Python DataSourceStreamReader (executor-side reads)
+
+_P31_ORACLE = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(3 AS INTEGER) AS n_data_batches,
+       CAST(1 AS INTEGER) AS one_file_per_batch
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query(
+    "p31_datasource_stream_partitions",
+    oracle=_P31_ORACLE,
+    tags=("source", "datasource", "streaming", "audit"),
+)
+def p31_datasource_stream_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-BASED PYTHON DataSourceStreamReader under the hash
+    gate — the executor-side streaming flavor (qc02 certified the
+    SimpleDataSourceStreamReader, whose read() materializes each batch
+    ON THE DRIVER — its documented 100 TB limitation): the new
+    `jsonl_shards` source plans one InputPartition per new shard file
+    and reads rows in read(partition) on executors, with offsets
+    carrying file names only and latestOffset() pacing ONE file per
+    micro-batch. Documents staged as three doc_id-tercile shards
+    stream back as exactly three data batches (in-hash fact, plus the
+    one-file-per-batch pacing law: max files per data batch == 1
+    derived from per-batch input counts vs per-shard line counts);
+    the per-source rollup hash-matches the relational aggregate, so a
+    lost shard, a re-read shard, or a field mis-projection breaks the
+    gate. Note: Trigger.AvailableNow is not supported by Python
+    micro-batch streams on this build (falls back to single-batch —
+    probed), so the run paces with a processingTime trigger and stops
+    on a completion poll.
+
+    Scale: this is the shard-stream shape for corpora whose shards
+    do not fit on the driver — per-batch memory is per-TASK; the
+    driver holds names; a 10k-shard backlog replays as 10k bounded
+    micro-batches (or files_per_batch-sized groups).
+    """
+    import json as _json
+    import os
+    import tempfile
+    import time
+
+    from pyspark_distributed_kmodes_spark.operators.analytics10 import _rmtree_at_exit
+    from pyspark_distributed_kmodes_spark.sources import jsonl
+
+    jsonl.register_shards(spark)
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    rows = d.collect()  # bounded: the documents table is the corpus dim here
+    rows.sort(key=lambda r: r.doc_id)
+    root = tempfile.mkdtemp(prefix="p31_target_")
+    _rmtree_at_exit(root)
+    n = len(rows)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    shard_lines = []
+    for i in range(3):
+        chunk = rows[cuts[i] : cuts[i + 1]]
+        shard_lines.append(len(chunk))
+        with open(os.path.join(root, f"shard-{i}.jsonl"), "w") as f:
+            for r in chunk:
+                f.write(
+                    _json.dumps({"doc_id": r.doc_id, "source": r.source, "n_chars": r.n_chars})
+                    + "\n"
+                )
+    stream = (
+        spark.readStream.format("jsonl_shards")
+        .schema("doc_id bigint, source string, n_chars bigint")
+        .option("path", os.path.join(root, "shard-*.jsonl"))
+        .option("files_per_batch", "1")
+        .load()
+    )
+    sink = os.path.join(root, "sink")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        progressed = sum(int(p["numInputRows"]) for p in (q.recentProgress or []))
+        if progressed >= n:
+            break
+        time.sleep(0.3)
+    data_batches = [int(p["numInputRows"]) for p in (q.recentProgress or []) if int(p["numInputRows"]) > 0]
+    q.stop()
+    if sum(data_batches) != n:
+        raise AssertionError(f"p31: consumed {sum(data_batches)} of {n} staged rows")
+    one_per_batch = int(sorted(data_batches) == sorted(shard_lines))
+    back = spark.read.parquet(sink)
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .withColumn("n_data_batches", F.lit(len(data_batches)).cast("int"))
+        .withColumn("one_file_per_batch", F.lit(one_per_batch).cast("int"))
+        .orderBy("source")
     )

@@ -24,6 +24,7 @@ import json
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
@@ -361,3 +362,76 @@ class JsonlDocsDataSource(DataSource):
 
 def register(spark) -> None:
     spark.dataSource.register(JsonlDocsDataSource)
+
+
+class JsonlShardsStreamReader(DataSourceStreamReader):
+    """PARTITION-BASED streaming reader (pyspark.sql.datasource
+    DataSourceStreamReader) — the executor-side sibling of
+    JsonlDocsStreamReader's Simple flavor: offsets still carry file
+    NAMES only, but each new shard becomes an InputPartition whose rows
+    are read ON EXECUTORS in read(partition), so per-batch memory is
+    per-task, not driver-side — the flavor a 100 TB shard stream needs
+    (the Simple reader's driver-materialized batch is the documented
+    limitation it exists to remove).
+
+    Batch pacing: latestOffset() advances at most `files_per_batch`
+    (option, default 1) new files past the current committed offset,
+    so a backlog replays as a deterministic one-file-per-micro-batch
+    sequence (the tercile-staging replay shape).
+    """
+
+    def __init__(self, options: dict, schema):
+        self.glob = options["path"]
+        self.fields = [f.name for f in schema.fields]
+        self.files_per_batch = int(options.get("files_per_batch", "1"))
+        self._current = {"done": []}
+
+    def initialOffset(self):
+        return {"done": []}
+
+    def latestOffset(self):
+        done = set(self._current["done"])
+        new = sorted(p for p in _glob.glob(self.glob) if p not in done)
+        advance = new[: self.files_per_batch]
+        self._current = {"done": sorted(done | set(advance))}
+        return self._current
+
+    def partitions(self, start, end):
+        fresh = sorted(set(end["done"]) - set(start["done"]))
+        return [JsonlFilePartition(p) for p in fresh]
+
+    def read(self, partition: JsonlFilePartition):
+        # executor-side: one shard per task, streamed line by line
+        with open(partition.path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    obj = json.loads(line)
+                    yield tuple(obj.get(k) for k in self.fields)
+
+    def commit(self, end):
+        pass
+
+
+class JsonlShardsDataSource(DataSource):
+    """`jsonl_shards`: the partition-based streaming flavor. Kept as a
+    SEPARATE format from `jsonl_docs` so the Simple-reader path that
+    qc02 certified stays exactly what it certifies (a DataSource
+    exposing streamReader() would shadow simpleStreamReader())."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_shards"
+
+    def schema(self) -> str:
+        return "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+    def reader(self, schema) -> JsonlDocsReader:
+        return JsonlDocsReader(self.options, schema)
+
+    def streamReader(self, schema) -> JsonlShardsStreamReader:
+        return JsonlShardsStreamReader(self.options, schema)
+
+
+def register_shards(spark) -> None:
+    spark.dataSource.register(JsonlShardsDataSource)

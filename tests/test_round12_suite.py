@@ -398,3 +398,76 @@ def test_p29_restores_shuffle_partitions(spark, sf_dir, reg):
     before = spark.conf.get("spark.sql.shuffle.partitions")
     reg["p29_join_state_change_feed"].fn(spark, sf_dir).collect()
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+# ---------------------------------------------------------------------------
+# p30 — pandas-on-Spark pivot_table
+
+
+def test_p30_matches_real_pandas_pivot(spark, sf_dir, reg):
+    import pandas as pd
+
+    rows = reg["p30_pandas_on_spark_pivot_table"].fn(spark, sf_dir).collect()
+    pdf = pd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus", "o_orderpriority"]
+    )
+    pt = pd.pivot_table(
+        pdf, index="o_orderstatus", columns="o_orderpriority", values="o_orderkey", aggfunc="sum"
+    )
+    for r in rows:
+        for dst, src in [
+            ("urgent", "1-URGENT"),
+            ("high", "2-HIGH"),
+            ("medium", "3-MEDIUM"),
+            ("not_specified", "4-NOT SPECIFIED"),
+            ("low", "5-LOW"),
+        ]:
+            assert getattr(r, dst) == int(pt.loc[r.o_orderstatus, src])
+
+
+# ---------------------------------------------------------------------------
+# p31 — partition-based DataSourceStreamReader
+
+
+def test_p31_batches_and_pacing(spark, sf_dir, reg):
+    rows = reg["p31_datasource_stream_partitions"].fn(spark, sf_dir).collect()
+    assert rows
+    assert all(r.n_data_batches == 3 for r in rows)
+    assert all(r.one_file_per_batch == 1 for r in rows)
+
+
+def test_p31_reader_reads_on_executors(spark, tmp_path):
+    """The partition-based flavor must NOT materialize rows on the
+    driver: read(partition) only ever runs where the partition object
+    was shipped. Pin it by asserting partitions() plans one partition
+    per file and read() is a generator over one file."""
+    import json as _json
+
+    from pyspark_distributed_kmodes_spark.sources.jsonl import (
+        JsonlFilePartition,
+        JsonlShardsStreamReader,
+    )
+
+    for i in range(2):
+        with open(tmp_path / f"s{i}.jsonl", "w") as f:
+            f.write(_json.dumps({"doc_id": i, "source": "x", "n_chars": 1}) + "\n")
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    r = JsonlShardsStreamReader({"path": str(tmp_path / "s*.jsonl")}, schema)
+    start = r.initialOffset()
+    o1 = r.latestOffset()
+    assert len(o1["done"]) == 1  # one file per batch
+    parts = r.partitions(start, o1)
+    assert len(parts) == 1 and isinstance(parts[0], JsonlFilePartition)
+    got = list(r.read(parts[0]))
+    assert got == [(0, "x", 1)]
+    o2 = r.latestOffset()
+    assert len(o2["done"]) == 2
+    assert len(r.partitions(o1, o2)) == 1
