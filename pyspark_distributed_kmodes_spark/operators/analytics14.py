@@ -83,6 +83,11 @@ in __spark_entry__.py these rename into the round-13 window.
        streams on this build (probed; processingTime + completion
        poll instead).
 
+  p32  HIVE-STYLE PARTITION PRUNING — the directory sibling of p22:
+       partitionBy layout, plan-time PartitionFilters AND the runtime
+       touched-file set (_metadata from the result rows) both
+       in-hash beside the rollup.
+
   Probed and honestly rejected this round: SQL QUALIFY clause
   (PARSE_SYNTAX_ERROR on this build — filter-over-window stays the
   covered spelling, q20-family), and joinSide+readChangeFeed
@@ -1520,4 +1525,76 @@ def p31_datasource_stream_partitions(spark: SparkSession, sf_dir: str) -> DataFr
         .withColumn("n_data_batches", F.lit(len(data_batches)).cast("int"))
         .withColumn("one_file_per_batch", F.lit(one_per_batch).cast("int"))
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# p32 — hive-style partition pruning audit (partitionBy + directory pruning)
+
+_P32_ORACLE = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+       CAST(1 AS INTEGER) AS files_from_one_partition,
+       CAST(1 AS INTEGER) AS partition_filter_pushed
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY 1
+ORDER BY day
+"""
+
+
+@query(
+    "p32_partition_pruning_audit",
+    oracle=_P32_ORACLE,
+    tags=("source", "partitioning", "audit"),
+)
+def p32_partition_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIVE-STYLE PARTITION PRUNING under the hash gate — the
+    directory sibling of p22's bucket pruning: events written
+    partitionBy("event_type"), then filtered to ONE type. Two facts
+    ride the hash beside the per-day rollup: every file the scan
+    actually touched (_metadata.file_path, collected from the result
+    rows themselves — not the plan's promise) lives under the
+    event_type=purchase directory, and the executed plan carries the
+    filter as a PartitionFilter (pruning at PLANNING time, before any
+    file is listed for other partitions). The rollup hash-matches the
+    relational filter, so pruning cannot silently drop or duplicate
+    rows.
+
+    Scale: partition-directory layout is THE coarse pruning lever for
+    100 TB fact tables (scan 1/N-th of the files for a partition-key
+    predicate, no file footers read elsewhere); this key certifies
+    both halves — plan-time pruning AND the runtime file set.
+    """
+    import os
+    import tempfile
+
+    from pyspark_distributed_kmodes_spark.operators.analytics10 import _rmtree_at_exit
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    root = tempfile.mkdtemp(prefix="p32_target_")
+    _rmtree_at_exit(root)
+    out = os.path.join(root, "events_by_type")
+    e.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    scan = spark.read.parquet(out).where(F.col("event_type") == "purchase")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    pushed = int("PartitionFilters: [" in plan and "event_type" in plan.split("PartitionFilters:")[1].split("]")[0])
+    touched = (
+        scan.select(F.col("_metadata.file_path").alias("fp"))
+        .distinct()
+        .collect()
+    )  # bounded: file names only
+    one_dir = int(
+        len(touched) > 0 and all("event_type=purchase" in r.fp for r in touched)
+    )
+    return (
+        scan.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("event_id").cast("bigint").alias("sum_ids"),
+        )
+        .withColumn("files_from_one_partition", F.lit(one_dir).cast("int"))
+        .withColumn("partition_filter_pushed", F.lit(pushed).cast("int"))
+        .orderBy("day")
     )

@@ -471,3 +471,26 @@ def test_p31_reader_reads_on_executors(spark, tmp_path):
     o2 = r.latestOffset()
     assert len(o2["done"]) == 2
     assert len(r.partitions(o1, o2)) == 1
+
+
+# ---------------------------------------------------------------------------
+# p32 — partition pruning
+
+
+def test_p32_facts_green_and_negative_control(spark, sf_dir, reg, tmp_path):
+    rows = reg["p32_partition_pruning_audit"].fn(spark, sf_dir).collect()
+    assert rows
+    assert all(r.files_from_one_partition == 1 and r.partition_filter_pushed == 1 for r in rows)
+    # negative control: an UNpartitioned copy of the same data must NOT
+    # report a partition filter (the fact detects real pruning, not
+    # string luck)
+    from pyspark.sql import functions as F
+    from pyspark_distributed_kmodes_spark.sources.tables import table
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    flat = str(tmp_path / "flat")
+    e.write.parquet(flat)
+    scan = spark.read.parquet(flat).where(F.col("event_type") == "purchase")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters:")[1].split("]")[0] if "PartitionFilters:" in plan else ""
+    assert "event_type" not in pf
