@@ -60,5 +60,12 @@ def pround(col: Column | str, nd: int = 6) -> Column:
 
 
 def sql_pround(expr: str, nd: int = 6) -> str:
+    # Caveat (round-12 hypothesis find): a 17-digit DECIMAL LITERAL fed
+    # into `expr` goes through DuckDB's decimal parse (scaled-integer /
+    # 10^k), which can land 1 ulp off python/Spark's correctly-rounded
+    # float parse — a literal-transport artifact, deterministic per
+    # literal (a key that passes once passes always), and absent for
+    # values transported via parquet or bound parameters. Keep embedded
+    # oracle literals short, or verify the key at all SFs as usual.
     s = float(10**nd)
     return f"(CAST(floor(({expr}) * {s} + 0.5) AS DOUBLE) / {s})"

@@ -88,6 +88,12 @@ in __spark_entry__.py these rename into the round-13 window.
        touched-file set (_metadata from the result rows) both
        in-hash beside the rollup.
 
+  p33  FILE-STREAM SOURCE HYGIENE (cleanSource=archive) — consumed
+       files MOVE to the archive at the start of the next batch, so a
+       3-file replay archives exactly the first two; archive counts,
+       leftover count, and relocation row conservation all in-hash
+       (private staging copy — archiving mutates the source dir).
+
   Probed and honestly rejected this round: SQL QUALIFY clause
   (PARSE_SYNTAX_ERROR on this build — filter-over-window stays the
   covered spelling, q20-family), and joinSide+readChangeFeed
@@ -1597,4 +1603,119 @@ def p32_partition_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("files_from_one_partition", F.lit(one_dir).cast("int"))
         .withColumn("partition_filter_pushed", F.lit(pushed).cast("int"))
         .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# p33 — file-stream source hygiene: cleanSource=archive
+
+_P33_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+       CAST(2 AS INTEGER) AS n_archived_files,
+       CAST(1 AS INTEGER) AS n_source_files_left,
+       CAST(1 AS INTEGER) AS archive_preserves_rows
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query(
+    "p33_file_stream_clean_source_archive",
+    oracle=_P33_ORACLE,
+    tags=("source", "streaming", "audit"),
+)
+def p33_file_stream_clean_source_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-STREAM SOURCE HYGIENE under the hash gate (cleanSource=
+    archive + sourceArchiveDir): consumed input files must MOVE to the
+    archive instead of accumulating in the landing dir — the
+    operational contract that keeps a 100 TB landing zone's file
+    listing O(new), not O(ever). Law (probed first): a consumed file
+    is archived at the start of the NEXT batch, so a 3-file
+    availableNow replay archives exactly the first two files and
+    leaves the last in place. In-hash facts: archived-file count (2),
+    source-files-left count (1), and rows(archive ∪ leftover) ==
+    rows(original staging) — relocation must lose nothing. The sink
+    rollup hash-matches the relational aggregate, so consumption and
+    relocation are both under the gate. The staging is a PRIVATE copy
+    (archiving mutates the source dir; the shared memoized tercile
+    staging must never be consumed destructively).
+
+    Scale: the alternative (cleanSource=off) makes every micro-batch
+    re-list an ever-growing directory — the silent file-source killer;
+    archive/delete bounds the listing and preserves replayability of
+    unconsumed tails.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark_distributed_kmodes_spark.operators.analytics10 import _rmtree_at_exit
+    from pyspark_distributed_kmodes_spark.operators.analytics12 import (
+        _order_stage_files,
+        stage_event_terciles,
+    )
+
+    shared = stage_event_terciles(spark, sf_dir, doubled=False)
+    root = tempfile.mkdtemp(prefix="p33_target_")
+    _rmtree_at_exit(root)
+    src = os.path.join(root, "landing")
+    arch = os.path.join(root, "archive")
+    os.makedirs(src)
+    for f in sorted(os.listdir(shared)):
+        if f.endswith(".parquet"):
+            shutil.copy2(os.path.join(shared, f), os.path.join(src, f))
+    _order_stage_files(src)
+    n_staged = spark.read.parquet(src).count()  # bounded scalar
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("cleanSource", "archive")
+        .option("sourceArchiveDir", arch)
+        .parquet(src + "/*")
+    )
+    sink = os.path.join(root, "sink")
+    q = (
+        stream.select("event_id", "event_type").writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout=300):
+        q.stop()
+        raise TimeoutError("p33: availableNow stream did not finish within 300 s")
+    import glob as _g
+
+    stage_names = {f for f in os.listdir(shared) if f.endswith(".parquet")}
+    left = [
+        p
+        for p in _g.glob(os.path.join(src, "*.parquet"))
+        if os.path.isfile(p) and os.path.basename(p) in stage_names
+    ]
+    # the archive preserves the ORIGINAL absolute path under arch; the
+    # staged chunks are single parquet FILES, so match them by name
+    archived = [
+        p
+        for p in _g.glob(os.path.join(arch, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(p) and os.path.basename(p) in stage_names
+    ]
+    n_archived = len(archived)
+    n_left = len(left)
+    relocated_rows = sum(spark.read.parquet(p).count() for p in sorted(archived + left))
+    preserved = int(relocated_rows == n_staged)
+    return (
+        spark.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("event_id").cast("bigint").alias("sum_ids"),
+        )
+        .withColumn("n_archived_files", F.lit(n_archived).cast("int"))
+        .withColumn("n_source_files_left", F.lit(n_left).cast("int"))
+        .withColumn("archive_preserves_rows", F.lit(preserved).cast("int"))
+        .orderBy("event_type")
     )

@@ -197,7 +197,17 @@ def test_pround_engine_agreement_fuzz(xs, nd):
     scale = float(10**nd)
     for x in xs:
         expect = math.floor(x * scale + 0.5) / scale
-        got = con.execute(f"SELECT {sql_pround(f'CAST({x!r} AS DOUBLE)', nd)}").fetchone()[0]
+        # Bind the double as a NATIVE parameter: a 17-digit SQL literal
+        # goes through DuckDB's DECIMAL parse (scaled-integer / 10^k
+        # division), which can land 1 ulp off the correctly-rounded
+        # python float — a literal-TRANSPORT artifact, not a pround
+        # divergence (hypothesis found x=900720.7557529723, nd=9 in
+        # round 12). Real queries transport doubles via parquet,
+        # bit-identical; oracle SQL texts only embed short (<= 6
+        # significant digit) literals, which both parses round alike.
+        got = con.execute(
+            f"SELECT {sql_pround('CAST(? AS DOUBLE)', nd)}", [x]
+        ).fetchone()[0]
         assert got == expect or (math.isnan(got) and math.isnan(expect)), (x, nd, got, expect)
 
 

@@ -494,3 +494,28 @@ def test_p32_facts_green_and_negative_control(spark, sf_dir, reg, tmp_path):
     plan = scan._jdf.queryExecution().executedPlan().toString()
     pf = plan.split("PartitionFilters:")[1].split("]")[0] if "PartitionFilters:" in plan else ""
     assert "event_type" not in pf
+
+
+# ---------------------------------------------------------------------------
+# p33 — cleanSource archive
+
+
+def test_p33_archive_law(spark, sf_dir, reg):
+    rows = reg["p33_file_stream_clean_source_archive"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_archived_files == 2  # all but the last batch's file
+        assert r.n_source_files_left == 1
+        assert r.archive_preserves_rows == 1
+
+
+def test_p33_never_consumes_the_shared_staging(spark, sf_dir, reg):
+    """Archiving MUTATES the source dir; the key must work on a private
+    copy — the shared memoized tercile staging must keep all 3 files."""
+    import os
+
+    from pyspark_distributed_kmodes_spark.operators.analytics12 import stage_event_terciles
+
+    reg["p33_file_stream_clean_source_archive"].fn(spark, sf_dir).collect()
+    shared = stage_event_terciles(spark, sf_dir, doubled=False)
+    assert len([f for f in os.listdir(shared) if f.endswith(".parquet")]) == 3
