@@ -94,6 +94,39 @@ in __spark_entry__.py these rename into the round-13 window.
        leftover count, and relocation row conservation all in-hash
        (private staging copy — archiving mutates the source dir).
 
+  p34  LIMIT/OFFSET PAGINATION — DataFrame.offset + limit fused into
+       ONE TakeOrderedAndProject(limit=offset+page, offset=n) pass
+       (never a global sort); fusion fact + SQL-spelling agreement
+       in-hash beside the exact page rows.
+  p35  BYTE-CAPPED STREAM ADMISSION — maxBytesPerTrigger set to
+       exactly size(file0)+size(file1) (derived at runtime, so the
+       law is SF-independent) must admit the first two tercile files
+       in batch 0 and the third in batch 1; per-batch aggregates
+       replayed by the oracle's tercile-cut rule.
+  p36  PANDAS-ON-SPARK merge() — the join member of the ps family:
+       left merge onto a mask-filtered frame, NaN-skipping
+       count()/sum() hash-matched against the LEFT JOIN's
+       NULL-skipping COUNT(col)/SUM(col).
+  p37  describe() PROFILE AUDIT — the string matrix melted to long
+       and hash-matched exactly (integral sums < 2^53 make Spark's
+       double-accumulated mean order-independent; shortest-round-trip
+       printing makes the string cast lossless); stddev rides as a
+       closed-form-agreement binary fact (cross-engine double
+       accumulation is not bit-stable).
+  p38  crosstab() CONTINGENCY — the wide matrix melted back to long
+       via stack() over the produced headers, so header set,
+       zero-fill rule, and every cell count are in-hash; oracle =
+       distinct-domain cross join LEFT-joined to pair counts.
+  p39  df.toArrow() ROUND TRIP — Spark 4.0 Arrow interchange on a
+       bounded rollup: export, re-import via createDataFrame(
+       pa.Table), hash the ROUND-TRIPPED frame + schema/row-count
+       facts.
+  p40  EXACT-MODE GK QUANTILES — approxQuantile(relativeError=0.0)
+       degenerates to exact rank selection over data elements, the
+       same contract as DuckDB quantile_disc: an 8-probability ladder
+       over the multi-column API form, both endpoints included,
+       pins the rank convention cross-engine.
+
   Probed and honestly rejected this round: SQL QUALIFY clause
   (PARSE_SYNTAX_ERROR on this build — filter-over-window stays the
   covered spelling, q20-family), and joinSide+readChangeFeed
@@ -1719,3 +1752,529 @@ def p33_file_stream_clean_source_archive(spark: SparkSession, sf_dir: str) -> Da
         .withColumn("archive_preserves_rows", F.lit(preserved).cast("int"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# p34 — LIMIT/OFFSET pagination fused into one top-K pass
+
+_P34_OFFSET = 40
+_P34_PAGE = 20
+
+_P34_ORACLE = f"""
+SELECT o_orderkey, o_orderstatus,
+       CAST(o_totalprice AS DOUBLE) AS total_price,
+       CAST(1 AS INTEGER) AS plan_fused_topk,
+       CAST(1 AS INTEGER) AS sql_api_agree
+FROM orders
+ORDER BY o_orderkey
+LIMIT {_P34_PAGE} OFFSET {_P34_OFFSET}
+"""
+
+
+@query(
+    "p34_limit_offset_pagination",
+    oracle=_P34_ORACLE,
+    tags=("relational", "audit"),
+)
+def p34_limit_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET PAGINATION under the hash gate — DataFrame.offset
+    (Spark 3.4+) composed with limit() over a total order, the
+    page-N-of-a-result API a reporting layer calls in a loop. Two
+    facts ride the hash beside the page rows: the executed plan fuses
+    ORDER BY + OFFSET + LIMIT into ONE TakeOrderedAndProject with
+    limit = offset + page and an explicit offset (a single O(offset +
+    page) heap pass per partition + one driver merge — never a global
+    sort), and the SQL spelling `LIMIT k OFFSET n` returns the
+    IDENTICAL page (API and SQL route through the same plan). The page
+    itself hash-matches DuckDB's LIMIT/OFFSET over the same total
+    order, so the skip arithmetic (rows 41-60 of the o_orderkey order)
+    is exact.
+
+    Scale: the fusion fact is the whole point at 100 TB — a paginated
+    top-k keeps a bounded heap of offset+page rows per partition and
+    never materializes or globally sorts the input; an unfused
+    offset (Sort + GlobalLimit) would shuffle the world. Deep offsets
+    grow the heap linearly, which is why real pipelines keyset-
+    paginate past page ~1000 — this key certifies the shallow-page
+    fast path.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("double").alias("total_price")
+    )
+    page = o.orderBy("o_orderkey").offset(_P34_OFFSET).limit(_P34_PAGE)
+    plan = page._jdf.queryExecution().executedPlan().toString()
+    fused = int(
+        f"TakeOrderedAndProject(limit={_P34_OFFSET + _P34_PAGE}, offset={_P34_OFFSET}" in plan
+    )
+    o.createOrReplaceTempView("p34_orders")
+    sql_page = spark.sql(
+        f"SELECT o_orderkey, o_orderstatus, total_price FROM p34_orders "
+        f"ORDER BY o_orderkey LIMIT {_P34_PAGE} OFFSET {_P34_OFFSET}"
+    )
+    api_rows = [tuple(r) for r in page.collect()]  # bounded: one page
+    sql_rows = [tuple(r) for r in sql_page.collect()]  # bounded: one page
+    agree = int(api_rows == sql_rows)
+    return (
+        page.withColumn("plan_fused_topk", F.lit(fused).cast("int"))
+        .withColumn("sql_api_agree", F.lit(agree).cast("int"))
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# p35 — byte-capped stream admission (maxBytesPerTrigger) under availableNow
+
+_P35_ORACLE = """
+WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+days AS (
+  SELECT date_trunc('day', ts) AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), cum AS (
+  SELECT d, SUM(c) OVER (ORDER BY d) AS cum FROM days
+), cut1 AS (
+  SELECT MIN(d) AS v FROM cum, tot WHERE cum >= (n * 1 + 2) // 3
+), cut2 AS (
+  SELECT MIN(d) AS v FROM cum, tot WHERE cum >= (n * 2 + 2) // 3
+), chunked AS (
+  SELECT CASE WHEN date_trunc('day', ts) < (SELECT v FROM cut2) THEN 0
+              ELSE 1 END AS batch,
+         event_id
+  FROM events
+)
+SELECT CAST(batch AS BIGINT) AS batch,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+       CAST(1 AS INTEGER) AS byte_cap_split_two_batches,
+       CAST(1 AS INTEGER) AS first_batch_is_first_two_files
+FROM chunked
+GROUP BY batch
+ORDER BY batch
+"""
+
+
+@query(
+    "p35_stream_byte_cap_admission",
+    oracle=_P35_ORACLE,
+    tags=("streaming", "source", "audit"),
+)
+def p35_stream_byte_cap_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-CAPPED STREAM ADMISSION under the hash gate
+    (maxBytesPerTrigger, the size-based sibling of p33's
+    maxFilesPerTrigger pacing): the three chronological tercile files
+    replay under availableNow with the byte cap set to EXACTLY
+    size(file0) + size(file1) — derived at runtime from the staged
+    files, so the law is SF-independent. Admission rule (probed
+    first): the source admits whole files while the cumulative size
+    stays under the cap, always at least one — so batch 0 must admit
+    exactly the first two mtime-ordered files and batch 1 the third.
+    In-hash: per-batch row counts and event_id sums (the oracle
+    replays the day-tercile cut rule and merges terciles 0+1 into
+    batch 0), plus two binary facts — the replay split into exactly
+    two batches, and batch 0's row count equals the first two files'
+    combined rows. Admission is read-only (no cleanSource), so the
+    SHARED memoized staging is used directly.
+
+    Scale: byte-based admission is how a production file stream keeps
+    micro-batches memory-bounded when file sizes vary wildly (the
+    landing zone's 100 MB-to-10 GB skew) — files-per-trigger caps
+    count, not bytes, and one fat file can still blow the executor;
+    this key certifies the byte budget actually governs admission.
+    """
+    import os
+    import tempfile
+
+    from pyspark_distributed_kmodes_spark.operators.analytics10 import _rmtree_at_exit
+    from pyspark_distributed_kmodes_spark.operators.analytics12 import stage_event_terciles
+
+    stage = stage_event_terciles(spark, sf_dir, doubled=False)
+    chunks = sorted(
+        (
+            os.path.join(stage, f)
+            for f in os.listdir(stage)
+            if f.endswith(".parquet") and os.path.isfile(os.path.join(stage, f))
+        ),
+        key=os.path.getmtime,
+    )
+    if len(chunks) != 3:
+        raise AssertionError(f"p35: expected 3 staged tercile files, got {len(chunks)}")
+    cap = os.path.getsize(chunks[0]) + os.path.getsize(chunks[1])
+    first_two_rows = sum(spark.read.parquet(p).count() for p in chunks[:2])  # bounded scalars
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxBytesPerTrigger", str(cap))
+        .parquet(stage + "/*")
+    )
+    batches: list[tuple[int, int, int]] = []
+
+    def _fb(df: DataFrame, bid: int) -> None:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s")
+        ).collect()[0]  # bounded: one row per micro-batch
+        batches.append((bid, int(row["n"]), int(row["s"])))
+
+    root = tempfile.mkdtemp(prefix="p35_ckpt_")
+    _rmtree_at_exit(root)
+    q = (
+        stream.select("event_id")
+        .writeStream.foreachBatch(_fb)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout=300):
+        q.stop()
+        raise TimeoutError("p35: availableNow stream did not finish within 300 s")
+    two = int(len(batches) == 2)
+    first_two = int(len(batches) >= 1 and batches[0][1] == first_two_rows)
+    out = spark.createDataFrame(
+        [(int(b), int(n), int(s)) for b, n, s in sorted(batches)],
+        "batch bigint, n_events bigint, sum_ids bigint",
+    )
+    return (
+        out.withColumn("byte_cap_split_two_batches", F.lit(two).cast("int"))
+        .withColumn("first_batch_is_first_two_files", F.lit(first_two).cast("int"))
+        .orderBy("batch")
+    )
+
+
+# ---------------------------------------------------------------------------
+# p36 — pandas-on-Spark merge (left join dialect with NaN-skipping aggs)
+
+_P36_ORACLE = """
+WITH c3 AS (SELECT * FROM customer WHERE c_custkey % 3 = 0)
+SELECT o.o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(c3.c_custkey) AS BIGINT) AS n_matched,
+       CAST(COALESCE(SUM(c3.c_custkey), 0) AS BIGINT) AS sum_matched_cust
+FROM orders o LEFT JOIN c3 ON o.o_custkey = c3.c_custkey
+GROUP BY o.o_orderstatus
+ORDER BY o.o_orderstatus
+"""
+
+
+@query(
+    "p36_pandas_on_spark_merge",
+    oracle=_P36_ORACLE,
+    tags=("api", "pandas", "join", "audit"),
+)
+def p36_pandas_on_spark_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PANDAS-ON-SPARK merge() under the hash gate — the join member
+    of the pyspark.pandas family (p23 groupby, p28 rolling, p30
+    pivot_table): orders LEFT-merged with a boolean-mask-filtered
+    customer frame (c_custkey % 3 == 0) on o_custkey == c_custkey,
+    then a groupby whose aggregates exercise pandas' NaN contract —
+    count() skips the unmatched rows' NaN keys, sum() treats them as
+    absent. The oracle replays the LEFT JOIN relationally (COUNT(col)
+    and SUM(col) skip NULLs — the two dialects' missing-data rules
+    must land on identical numbers). The unmatched keys surface as
+    float64 NaN in pandas; every custkey is < 2^53 so the float sum
+    is exact and the bigint cast is lossless.
+
+    Scale: ps.merge compiles to the SAME Catalyst join as the
+    DataFrame API (one shuffle here, broadcast-eligible when the
+    right side is small) — certifying that the pandas dialect's
+    how='left'/NaN semantics ride the optimized join, not a
+    row-at-a-time fallback.
+    """
+    import pyspark.pandas as ps
+
+    table(spark, sf_dir, "orders")  # cache-consistency path (see p23)
+    table(spark, sf_dir, "customer")
+    po = ps.read_parquet(f"{sf_dir}/orders.parquet", index_col="o_orderkey")
+    c = ps.read_parquet(f"{sf_dir}/customer.parquet", index_col="c_custkey").reset_index()
+    c3 = c[c["c_custkey"] % 3 == 0]
+    m = po.reset_index().merge(c3, left_on="o_custkey", right_on="c_custkey", how="left")
+    g = m.groupby("o_orderstatus").agg(
+        n_orders=("o_orderkey", "count"),
+        n_matched=("c_custkey", "count"),
+        sum_matched_cust=("c_custkey", "sum"),
+    )
+    return (
+        g.reset_index()
+        .to_spark()
+        .select(
+            "o_orderstatus",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.col("n_matched").cast("bigint").alias("n_matched"),
+            F.coalesce(F.col("sum_matched_cust"), F.lit(0)).cast("bigint").alias("sum_matched_cust"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# p37 — describe()/summary() audit: the profiling surface under the hash
+
+_P37_ORACLE = """
+WITH s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(o_custkey) AS BIGINT) AS sum_c,
+         CAST(MIN(o_custkey) AS BIGINT) AS min_c,
+         CAST(MAX(o_custkey) AS BIGINT) AS max_c,
+         CAST(SUM(o_orderkey) AS BIGINT) AS sum_k,
+         CAST(MIN(o_orderkey) AS BIGINT) AS min_k,
+         CAST(MAX(o_orderkey) AS BIGINT) AS max_k
+  FROM orders
+)
+SELECT stat, col, val,
+       CAST(1 AS INTEGER) AS stddev_matches_closed_form
+FROM (
+  SELECT 'count' AS stat, 'o_custkey' AS col, CAST(n AS DOUBLE) AS val FROM s
+  UNION ALL SELECT 'mean', 'o_custkey', CAST(sum_c AS DOUBLE) / n FROM s
+  UNION ALL SELECT 'min', 'o_custkey', CAST(min_c AS DOUBLE) FROM s
+  UNION ALL SELECT 'max', 'o_custkey', CAST(max_c AS DOUBLE) FROM s
+  UNION ALL SELECT 'count', 'o_orderkey', CAST(n AS DOUBLE) FROM s
+  UNION ALL SELECT 'mean', 'o_orderkey', CAST(sum_k AS DOUBLE) / n FROM s
+  UNION ALL SELECT 'min', 'o_orderkey', CAST(min_k AS DOUBLE) FROM s
+  UNION ALL SELECT 'max', 'o_orderkey', CAST(max_k AS DOUBLE) FROM s
+)
+ORDER BY stat, col
+"""
+
+
+@query(
+    "p37_describe_profile_audit",
+    oracle=_P37_ORACLE,
+    tags=("relational", "stats", "audit"),
+)
+def p37_describe_profile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.describe() under the hash gate — the one-call
+    profiling surface every notebook reaches for first. describe()
+    returns STRINGS (one row per statistic); this key melts the wide
+    string matrix to long (stat, col, val) and hash-matches the exact
+    statistics — count, mean, min, max over two BIGINT columns —
+    against the oracle's closed forms. Exactness argument: integral
+    sums stay below 2^53, so Spark's double-accumulated average is
+    order-independent and equals the oracle's SUM/COUNT to the bit;
+    Java's shortest-round-trip double printing makes the string→double
+    cast lossless. stddev (sample, double-accumulated central
+    moments) is NOT bit-stable across engines, so it rides as a
+    binary fact instead: describe's stddev must match the closed form
+    sqrt((n·Σx² − (Σx)²)/(n(n−1))) — computed in EXACT python
+    integers from decimal-summed Σx² — to 1e-9 relative, per column.
+
+    Scale: describe is one aggregation pass (count/avg/stddev/min/max
+    fused into a single partial-aggregate tree) — the profiling cost
+    at 100 TB is one scan, certified here to produce exact numbers,
+    not estimates.
+    """
+    import math
+
+    o = table(spark, sf_dir, "orders")
+    d = {r["summary"]: r for r in o.select("o_custkey", "o_orderkey").describe().collect()}
+    # exact integer moments for the stddev closed form (decimal: Σx²
+    # overflows bigint at production key magnitudes)
+    mom = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_custkey").alias("sc"),
+        F.sum(F.col("o_custkey").cast("decimal(38,0)") * F.col("o_custkey")).alias("sc2"),
+        F.sum("o_orderkey").alias("sk"),
+        F.sum(F.col("o_orderkey").cast("decimal(38,0)") * F.col("o_orderkey")).alias("sk2"),
+    ).collect()[0]
+    n = int(mom["n"])
+
+    def _closed_form(sx: int, sx2: int) -> float:
+        num = n * sx2 - sx * sx  # exact python ints
+        return math.sqrt(float(num) / float(n * (n - 1)))
+
+    ok = 1
+    for col, sx, sx2 in (
+        ("o_custkey", int(mom["sc"]), int(mom["sc2"])),
+        ("o_orderkey", int(mom["sk"]), int(mom["sk2"])),
+    ):
+        ref = _closed_form(sx, sx2)
+        got = float(d["stddev"][col])
+        if not math.isclose(got, ref, rel_tol=1e-9):
+            ok = 0
+    rows = [
+        (stat, col, float(d[stat][col]))
+        for stat in ("count", "mean", "min", "max")
+        for col in ("o_custkey", "o_orderkey")
+    ]
+    return (
+        spark.createDataFrame(rows, "stat string, col string, val double")
+        .withColumn("stddev_matches_closed_form", F.lit(ok).cast("int"))
+        .orderBy("stat", "col")
+    )
+
+
+# ---------------------------------------------------------------------------
+# p38 — crosstab contingency matrix, melted back to long for the hash
+
+_P38_ORACLE = """
+WITH s AS (SELECT DISTINCT o_orderstatus FROM orders),
+p AS (SELECT DISTINCT o_orderpriority FROM orders),
+counts AS (
+  SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2
+)
+SELECT s.o_orderstatus AS status,
+       p.o_orderpriority AS priority,
+       CAST(COALESCE(counts.c, 0) AS BIGINT) AS n,
+       CAST(1 AS INTEGER) AS header_is_colpair_name
+FROM s CROSS JOIN p
+LEFT JOIN counts ON counts.o_orderstatus = s.o_orderstatus
+                AND counts.o_orderpriority = p.o_orderpriority
+ORDER BY status, priority
+"""
+
+
+@query(
+    "p38_crosstab_contingency",
+    oracle=_P38_ORACLE,
+    tags=("relational", "stats", "audit"),
+)
+def p38_crosstab_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.stat.crosstab() under the hash gate — the pairwise
+    contingency-table primitive (status × priority). crosstab returns
+    a WIDE frame whose column NAMES are data values (one per distinct
+    priority) and whose first column is named after the column PAIR;
+    this key melts the matrix back to long (status, priority, n) via
+    stack() built from the actual produced headers — so the header
+    set, the zero-fill rule (absent combinations must be 0, not
+    missing), and every cell count are all under the value hash. The
+    oracle replays the semantics as the distinct-domains cross join
+    LEFT-joined to the pair counts. One binary fact rides along: the
+    key column is named 'o_orderstatus_o_orderpriority' (the
+    documented pair-name contract).
+
+    Scale: crosstab is a single groupBy(col1, col2).count() + a
+    driver-side pivot over the DISTINCT value pairs — safe only for
+    low-cardinality pairs (the result is rows × cols cells on the
+    driver); this key certifies the cell arithmetic on a 3×5 domain,
+    the shape it is designed for.
+    """
+    o = table(spark, sf_dir, "orders")
+    ct = o.stat.crosstab("o_orderstatus", "o_orderpriority")
+    header = ct.columns[0]
+    header_ok = int(header == "o_orderstatus_o_orderpriority")
+    prio_cols = sorted(ct.columns[1:])
+    stack_args = ", ".join(f"'{c}', `{c}`" for c in prio_cols)
+    return (
+        ct.select(
+            F.col(header).alias("status"),
+            F.expr(f"stack({len(prio_cols)}, {stack_args}) AS (priority, n)"),
+        )
+        .select(
+            "status",
+            "priority",
+            F.col("n").cast("bigint").alias("n"),
+            F.lit(header_ok).cast("int").alias("header_is_colpair_name"),
+        )
+        .orderBy("status", "priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# p39 — df.toArrow() round trip: the Arrow interchange surface
+
+_P39_ORACLE = """
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(c_custkey) AS BIGINT) AS sum_custkeys,
+       CAST(1 AS INTEGER) AS arrow_schema_names_match,
+       CAST(1 AS INTEGER) AS arrow_row_count_matches
+FROM customer
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+@query(
+    "p39_arrow_interchange_roundtrip",
+    oracle=_P39_ORACLE,
+    tags=("api", "arrow", "audit"),
+)
+def p39_arrow_interchange_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.toArrow() ROUND TRIP under the hash gate — the Spark 4.0
+    Arrow interchange surface (the zero-copy bridge to DuckDB, Polars,
+    and the pyarrow ecosystem): a BOUNDED per-nation rollup (≤ 25
+    rows) exports via toArrow() to a pyarrow Table, and the Table goes
+    straight back through spark.createDataFrame(pa.Table). What rides
+    the hash is the ROUND-TRIPPED frame — so a type mangled or a value
+    corrupted in either direction breaks the gate — plus two binary
+    facts: the Arrow schema preserved the column names in order, and
+    the Table's num_rows equals the frame's count. The oracle replays
+    the rollup relationally.
+
+    Scale: toArrow() COLLECTS to the driver — correct only for
+    bounded results like this pre-aggregated rollup (the same
+    discipline as every .collect() in the suite); the certified
+    pattern is aggregate-in-cluster, interchange-the-summary. The
+    Arrow path is the vectorized one (no row-at-a-time pickling) —
+    the same transport the pandas UDF keys ride.
+    """
+    c = table(spark, sf_dir, "customer")
+    agg = (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("c_custkey").cast("bigint").alias("sum_custkeys"),
+        )
+        .orderBy("c_nationkey")
+    )
+    at = agg.toArrow()  # bounded: one row per nation
+    names_ok = int(at.schema.names == agg.columns)
+    rows_ok = int(at.num_rows == agg.count())
+    back = spark.createDataFrame(at)
+    return (
+        back.withColumn("arrow_schema_names_match", F.lit(names_ok).cast("int"))
+        .withColumn("arrow_row_count_matches", F.lit(rows_ok).cast("int"))
+        .orderBy("c_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# p40 — exact-mode Greenwald-Khanna quantiles vs discrete quantiles
+
+_P40_PROBS = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+
+_P40_PROBS_SQL = "[0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]"
+
+_P40_ORACLE = f"""
+WITH q AS (
+  SELECT quantile_disc(o_totalprice, {_P40_PROBS_SQL}) AS pq,
+         quantile_disc(o_custkey, {_P40_PROBS_SQL}) AS cq
+  FROM orders
+), idx AS (SELECT UNNEST(range(1, 9)) AS i)
+SELECT CAST({_P40_PROBS_SQL}[i] AS DOUBLE) AS p,
+       pq[i] AS price_quantile,
+       CAST(cq[i] AS DOUBLE) AS custkey_quantile
+FROM q CROSS JOIN idx
+ORDER BY p
+"""
+
+
+@query(
+    "p40_exact_quantiles_gk",
+    oracle=_P40_ORACLE,
+    tags=("relational", "stats", "audit"),
+)
+def p40_exact_quantiles_gk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approxQuantile(relativeError=0.0) under the hash gate — the
+    EXACT mode of the Greenwald-Khanna sketch (the one quantile
+    surface the suite still carried as approximate-only: the qg07 KLL
+    audit gates error BOUNDS; this key gates exact VALUES). At zero
+    relative error GK degenerates to exact rank selection over
+    dataset ELEMENTS, which is the same contract as DuckDB's
+    quantile_disc — both return an actual data value, never an
+    interpolation — so an 8-probability ladder over BOTH columns of
+    the multi-column API form (approxQuantile(["o_totalprice",
+    "o_custkey"], probs, 0.0)) hash-matches the oracle at p ∈ {{0,
+    .1, .25, .5, .75, .9, .99, 1}}, pinning the rank convention
+    (including both endpoints) across engines.
+
+    Scale: relativeError=0 forces the sketch to keep every distinct
+    rank — O(n) state, exact answers; production at 100 TB sets ε > 0
+    for O((1/ε) log(εn)) memory (the qg07-audited regime). This key
+    certifies the ε→0 limit the approximate regime converges to.
+    """
+    o = table(spark, sf_dir, "orders")
+    qs = o.stat.approxQuantile(["o_totalprice", "o_custkey"], _P40_PROBS, 0.0)
+    rows = [
+        (float(p), float(qs[0][i]), float(qs[1][i])) for i, p in enumerate(_P40_PROBS)
+    ]  # bounded: 8 rows
+    return spark.createDataFrame(
+        rows, "p double, price_quantile double, custkey_quantile double"
+    ).orderBy("p")

@@ -519,3 +519,204 @@ def test_p33_never_consumes_the_shared_staging(spark, sf_dir, reg):
     reg["p33_file_stream_clean_source_archive"].fn(spark, sf_dir).collect()
     shared = stage_event_terciles(spark, sf_dir, doubled=False)
     assert len([f for f in os.listdir(shared) if f.endswith(".parquet")]) == 3
+
+
+# ---------------------------------------------------------------------------
+# p34 — limit/offset pagination
+
+
+def test_p34_page_matches_python_slice(spark, sf_dir, reg):
+    """Third engine: pandas sort + iloc[40:60] must reproduce the page."""
+    import pandas as pd
+
+    rows = reg["p34_limit_offset_pagination"].fn(spark, sf_dir).collect()
+    pdf = (
+        pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+        .sort_values("o_orderkey")
+        .iloc[40:60]
+    )
+    got = [(r.o_orderkey, r.o_orderstatus, r.total_price) for r in rows]
+    assert got == [tuple(t) for t in pdf.itertuples(index=False)]
+    assert all(r.plan_fused_topk == 1 and r.sql_api_agree == 1 for r in rows)
+
+
+def test_p34_pages_are_disjoint_and_contiguous(spark, sf_dir):
+    from pyspark_distributed_kmodes_spark.sources.tables import table
+
+    o = table(spark, sf_dir, "orders").orderBy("o_orderkey")
+    p0 = [r.o_orderkey for r in o.limit(40).collect()]
+    p1 = [r.o_orderkey for r in o.offset(40).limit(20).collect()]
+    assert not set(p0) & set(p1)
+    assert max(p0) < min(p1)
+
+
+# ---------------------------------------------------------------------------
+# p35 — byte-capped stream admission
+
+
+def test_p35_batches_match_python_tercile_replay(spark, sf_dir, reg):
+    """Third engine: replay the day-tercile cut rule in pandas and
+    merge terciles 0+1 — must reproduce both batches exactly."""
+    import math
+
+    import pandas as pd
+
+    rows = reg["p35_stream_byte_cap_admission"].fn(spark, sf_dir).collect()
+    pdf = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+    pdf["d"] = pdf["ts"].dt.floor("D")
+    days = pdf.groupby("d").size().sort_index()
+    cum = days.cumsum()
+    n = len(pdf)
+    cut2 = cum[cum >= math.ceil(n * 2 / 3)].index[0]
+    batch = (pdf["d"] >= cut2).astype(int)
+    exp = pdf.groupby(batch).agg(n_events=("event_id", "size"), sum_ids=("event_id", "sum"))
+    got = {r.batch: (r.n_events, r.sum_ids) for r in rows}
+    assert got == {int(b): (int(v.n_events), int(v.sum_ids)) for b, v in exp.iterrows()}
+    assert all(r.byte_cap_split_two_batches == 1 and r.first_batch_is_first_two_files == 1 for r in rows)
+
+
+def test_p35_minimal_cap_degenerates_to_one_file_per_batch(spark, sf_dir):
+    """The at-least-one-file rule: a 1-byte cap must still make
+    progress — three files, three batches."""
+    import os
+    import tempfile
+
+    from pyspark_distributed_kmodes_spark.operators.analytics10 import _rmtree_at_exit
+    from pyspark_distributed_kmodes_spark.operators.analytics12 import stage_event_terciles
+
+    stage = stage_event_terciles(spark, sf_dir, doubled=False)
+    schema = spark.read.parquet(stage).schema
+    seen = []
+    root = tempfile.mkdtemp(prefix="p35_min_")
+    _rmtree_at_exit(root)
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxBytesPerTrigger", "1")
+        .parquet(stage + "/*")
+        .select("event_id")
+        .writeStream.foreachBatch(lambda df, bid: seen.append((bid, df.count())))
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(timeout=300)
+    assert len(seen) == 3 and all(n > 0 for _, n in seen)
+
+
+# ---------------------------------------------------------------------------
+# p36 — pandas-on-Spark merge
+
+
+def test_p36_matches_real_pandas_merge(spark, sf_dir, reg):
+    """Third engine: ACTUAL pandas merge + NaN-skipping aggs."""
+    import pandas as pd
+
+    rows = reg["p36_pandas_on_spark_merge"].fn(spark, sf_dir).collect()
+    po = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderstatus"])
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    c3 = c[c["c_custkey"] % 3 == 0]
+    m = po.merge(c3, left_on="o_custkey", right_on="c_custkey", how="left")
+    exp = (
+        m.groupby("o_orderstatus")
+        .agg(
+            n_orders=("o_orderkey", "count"),
+            n_matched=("c_custkey", "count"),
+            sum_matched_cust=("c_custkey", "sum"),
+        )
+        .sort_index()
+    )
+    got = [(r.o_orderstatus, r.n_orders, r.n_matched, r.sum_matched_cust) for r in rows]
+    assert got == [(i, int(v.n_orders), int(v.n_matched), int(v.sum_matched_cust)) for i, v in exp.iterrows()]
+
+
+# ---------------------------------------------------------------------------
+# p37 — describe profile audit
+
+
+def test_p37_mean_is_exact_integer_arithmetic(spark, sf_dir, reg):
+    """The exactness claim itself: describe's mean must equal the
+    python exact-int sum divided as one float op — bit equality."""
+    import pandas as pd
+
+    rows = {(r.stat, r.col): r.val for r in reg["p37_describe_profile_audit"].fn(spark, sf_dir).collect()}
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey"])
+    n = len(pdf)
+    for col in ("o_custkey", "o_orderkey"):
+        exact = [int(x) for x in pdf[col]]
+        assert rows[("count", col)] == float(n)
+        assert rows[("mean", col)] == float(sum(exact)) / n  # bit-exact
+        assert rows[("min", col)] == float(min(exact))
+        assert rows[("max", col)] == float(max(exact))
+    assert all(
+        r.stddev_matches_closed_form == 1
+        for r in reg["p37_describe_profile_audit"].fn(spark, sf_dir).collect()
+    )
+
+
+# ---------------------------------------------------------------------------
+# p38 — crosstab contingency
+
+
+def test_p38_matches_real_pandas_crosstab(spark, sf_dir, reg):
+    """Third engine: pandas.crosstab over the same pair."""
+    import pandas as pd
+
+    rows = reg["p38_crosstab_contingency"].fn(spark, sf_dir).collect()
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderstatus", "o_orderpriority"])
+    ct = pd.crosstab(pdf["o_orderstatus"], pdf["o_orderpriority"])
+    got = {(r.status, r.priority): r.n for r in rows}
+    exp = {
+        (s, p): int(ct.loc[s, p]) for s in ct.index for p in ct.columns
+    }
+    assert got == exp
+    assert all(r.header_is_colpair_name == 1 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# p39 — Arrow interchange round trip
+
+
+def test_p39_roundtrip_is_identity(spark, sf_dir, reg):
+    """The round-tripped frame must equal the in-cluster aggregate
+    row-for-row, and the facts must be green."""
+    from pyspark.sql import functions as F
+
+    from pyspark_distributed_kmodes_spark.sources.tables import table
+
+    rows = reg["p39_arrow_interchange_roundtrip"].fn(spark, sf_dir).collect()
+    direct = (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("c_custkey").cast("bigint").alias("s"),
+        )
+        .orderBy("c_nationkey")
+        .collect()
+    )
+    assert [(r.c_nationkey, r.n_customers, r.sum_custkeys) for r in rows] == [
+        (r.c_nationkey, r.n, r.s) for r in direct
+    ]
+    assert all(r.arrow_schema_names_match == 1 and r.arrow_row_count_matches == 1 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# p40 — exact-mode GK quantiles
+
+
+def test_p40_matches_python_rank_selection(spark, sf_dir, reg):
+    """Third engine: sorted-list selection at floor((n-1)*p) must
+    reproduce every quantile for both columns."""
+    import math
+
+    import pandas as pd
+
+    rows = reg["p40_exact_quantiles_gk"].fn(spark, sf_dir).collect()
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice", "o_custkey"])
+    price = sorted(float(x) for x in pdf["o_totalprice"])
+    cust = sorted(int(x) for x in pdf["o_custkey"])
+    n = len(price)
+    for r in rows:
+        i = int(math.floor((n - 1) * r.p))
+        assert r.price_quantile == price[i]
+        assert r.custkey_quantile == float(cust[i])
