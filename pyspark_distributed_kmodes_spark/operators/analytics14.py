@@ -2278,3 +2278,207 @@ def p40_exact_quantiles_gk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "p double, price_quantile double, custkey_quantile double"
     ).orderBy("p")
+
+
+# ---------------------------------------------------------------------------
+# p41 — nested struct surgery: withField / dropFields
+
+_P41_ORACLE = """
+SELECT o_orderkey,
+       CAST(o_totalprice + 1 AS DOUBLE) AS price_plus_one,
+       CAST(o_custkey * 2 AS BIGINT) AS cust_doubled,
+       CAST(1 AS INTEGER) AS struct_fields_are_exact
+FROM orders
+WHERE o_orderkey < 50
+ORDER BY o_orderkey
+"""
+
+
+@query(
+    "p41_struct_field_surgery",
+    oracle=_P41_ORACLE,
+    tags=("functions", "nested", "audit"),
+)
+def p41_struct_field_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED STRUCT SURGERY under the hash gate — Column.withField /
+    dropFields, the in-place editors for deeply nested schemas (the
+    alternative is rebuilding the whole struct by hand, which silently
+    drops sibling fields on schema drift). Three edits chain on one
+    struct: withField REPLACES an existing field (o_totalprice + 1),
+    withField ADDS a new one (cust = o_custkey * 2), and dropFields
+    REMOVES the key field — then the surviving fields are extracted
+    and hash-matched against plain column arithmetic. One binary fact
+    rides along: the post-surgery struct schema is EXACTLY
+    [o_totalprice, cust] in that order (replace keeps position, add
+    appends, drop removes — the documented field-ordering contract).
+
+    Scale: withField compiles to UpdateFields, a pure projection —
+    no shuffle, fully codegen'd, and column-prunable; on a 100 TB
+    nested-event table it beats the rebuild-the-struct idiom exactly
+    because Catalyst can still prune the untouched siblings.
+    """
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 50)
+    s = o.select("o_orderkey", F.struct("o_orderkey", "o_totalprice").alias("st"), "o_custkey")
+    s = (
+        s.withColumn("st", F.col("st").withField("o_totalprice", F.col("st.o_totalprice") + 1))
+        .withColumn("st", F.col("st").withField("cust", F.col("o_custkey") * 2))
+        .withColumn("st", F.col("st").dropFields("o_orderkey"))
+    )
+    fields = [f.name for f in s.schema["st"].dataType.fields]
+    exact = int(fields == ["o_totalprice", "cust"])
+    return s.select(
+        "o_orderkey",
+        F.col("st.o_totalprice").cast("double").alias("price_plus_one"),
+        F.col("st.cust").cast("bigint").alias("cust_doubled"),
+        F.lit(exact).cast("int").alias("struct_fields_are_exact"),
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# p42 — map higher-order functions: the long tail
+
+_P42_ORACLE = """
+SELECT o_orderkey,
+       CAST(o_orderkey AS BIGINT) AS upper_key_k,
+       CAST(o_custkey * 10 AS BIGINT) AS tenfold_c,
+       CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END
+            + CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END AS INTEGER) AS n_even,
+       CAST(o_orderkey * 11 AS BIGINT) AS zipped_k
+FROM orders
+WHERE o_orderkey < 30
+ORDER BY o_orderkey
+"""
+
+
+@query(
+    "p42_map_higher_order_funcs",
+    oracle=_P42_ORACLE,
+    tags=("functions", "map", "audit"),
+)
+def p42_map_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP HIGHER-ORDER FUNCTIONS under the hash gate — the four map
+    combinators the suite's map coverage (o45) never exercised:
+    transform_keys (upper-cases the key space), transform_values
+    (value × 10), map_filter (keep even values, surfaced as a count),
+    and map_zip_with (joins two maps key-wise, here mp ⊕ tenfold →
+    k×11). Each lambda runs as a Catalyst expression (no Python),
+    and the results are extracted back to scalars per row so the
+    oracle can replay them as plain arithmetic — proving the lambda
+    plumbing (key matching, null-on-missing, per-entry evaluation)
+    computes exactly what the scalar algebra says.
+
+    Scale: map HOFs are codegen'd expression trees — per-row, no
+    shuffle, no UDF serialization; the 100 TB-relevant fact is that
+    feature-map transformations stay inside WholeStageCodegen instead
+    of dropping to a Python worker per batch.
+    """
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 30)
+    m = o.select(
+        "o_orderkey",
+        F.map_from_arrays(
+            F.array(F.lit("k"), F.lit("c")),
+            F.array(F.col("o_orderkey"), F.col("o_custkey")),
+        ).alias("mp"),
+    )
+    m = m.select(
+        "o_orderkey",
+        F.transform_keys("mp", lambda k, v: F.upper(k)).alias("tk"),
+        F.transform_values("mp", lambda k, v: v * 10).alias("tv"),
+        F.map_filter("mp", lambda k, v: v % 2 == 0).alias("mf"),
+        "mp",
+    )
+    m = m.select(
+        "o_orderkey",
+        "tk",
+        "mf",
+        F.map_zip_with("mp", "tv", lambda k, a, b: a + b).alias("mz"),
+        "tv",
+    )
+    return m.select(
+        "o_orderkey",
+        F.element_at("tk", "K").cast("bigint").alias("upper_key_k"),
+        F.element_at("tv", "c").cast("bigint").alias("tenfold_c"),
+        F.size("mf").cast("int").alias("n_even"),
+        F.element_at("mz", "k").cast("bigint").alias("zipped_k"),
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# p43 — datetime long tail: months_between / next_day / intervals / tz
+
+_P43_ORACLE = """
+SELECT o_orderkey,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+       ROUND((EXTRACT(day FROM last_day(CAST(o_orderdate AS DATE)))
+              - EXTRACT(day FROM o_orderdate)) / 31.0, 8) AS months_to_end,
+       CAST(CAST(o_orderdate AS DATE)
+            + CAST((5 - isodow(CAST(o_orderdate AS DATE)) + 6) % 7 + 1 AS INTEGER)
+            AS DATE) AS next_friday,
+       CAST(date_part('quarter', o_orderdate) AS BIGINT) AS qtr,
+       CAST(o_orderdate + INTERVAL '1 day' + INTERVAL '2:03:04.5' AS TIMESTAMP) AS shifted,
+       CAST(timezone('America/New_York', o_orderdate AT TIME ZONE 'UTC') AS TIMESTAMP) AS ny_wallclock,
+       CAST(1 AS INTEGER) AS try_parse_quarantined
+FROM orders
+WHERE o_orderkey < 40
+ORDER BY o_orderkey
+"""
+
+
+@query(
+    "p43_datetime_long_tail",
+    oracle=_P43_ORACLE,
+    tags=("functions", "datetime", "audit"),
+)
+def p43_datetime_long_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATETIME LONG TAIL under the hash gate — the calendar functions
+    the q41-era date coverage never reached: months_between (the
+    31-day-denominator fractional-month rule, rounded to 8 decimals —
+    the oracle re-derives the convention arithmetically), next_day
+    (next-strictly-after weekday, replayed via isodow modular
+    arithmetic), last_day, date_part('quarter'), make_dt_interval
+    day-time interval addition (1d 2h 3m 4.5s, microsecond-exact),
+    and convert_timezone UTC→America/New_York across order dates that
+    span DST transitions in both directions (the oracle replays via
+    IANA tz arithmetic — a 07:00 winter / 08:00 summer wall-clock
+    shift must agree engine-for-engine). try_to_timestamp rides as a
+    fact: an always-invalid month-13 parse must quarantine to NULL on
+    every row while the valid parse round-trips.
+
+    Scale: all pure codegen'd projections — the point at 100 TB is
+    that calendar normalization (fiscal quarters, tz-local
+    sessionization cutoffs) never leaves the JVM.
+    """
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 40)
+    d = F.to_date("o_orderdate")
+    ts = F.col("o_orderdate")
+    enriched = o.select(
+        "o_orderkey",
+        F.last_day(d).alias("month_end"),
+        F.months_between(F.last_day(d), d).alias("months_to_end"),
+        F.next_day(d, "Friday").alias("next_friday"),
+        F.date_part(F.lit("quarter"), d).cast("bigint").alias("qtr"),
+        (ts + F.make_dt_interval(F.lit(1), F.lit(2), F.lit(3), F.lit(4.5))).alias("shifted"),
+        F.convert_timezone(
+            F.lit("UTC"), F.lit("America/New_York"), ts.cast("timestamp_ntz")
+        ).cast("timestamp").alias("ny_wallclock"),
+        F.try_to_timestamp(
+            F.concat(F.year(d).cast("string"), F.lit("-13-01")), F.lit("yyyy-MM-dd")
+        ).alias("bad_parse"),
+        F.try_to_timestamp(F.date_format(d, "yyyy-MM-dd"), F.lit("yyyy-MM-dd")).alias("good_parse"),
+    )
+    quarantined = int(
+        enriched.where(
+            F.col("bad_parse").isNotNull() | (F.col("good_parse") != d.cast("timestamp"))
+        ).count()
+        == 0
+    )
+    return enriched.select(
+        "o_orderkey",
+        "month_end",
+        "months_to_end",
+        "next_friday",
+        "qtr",
+        "shifted",
+        "ny_wallclock",
+        F.lit(quarantined).cast("int").alias("try_parse_quarantined"),
+    ).orderBy("o_orderkey")

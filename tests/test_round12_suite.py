@@ -720,3 +720,83 @@ def test_p40_matches_python_rank_selection(spark, sf_dir, reg):
         i = int(math.floor((n - 1) * r.p))
         assert r.price_quantile == price[i]
         assert r.custkey_quantile == float(cust[i])
+
+
+# ---------------------------------------------------------------------------
+# p41 — struct field surgery
+
+
+def test_p41_matches_python_arithmetic(spark, sf_dir, reg):
+    """Third engine: the post-surgery extracted fields must equal plain
+    python arithmetic on the source columns, and the schema fact (exact
+    field list [o_totalprice, cust] after replace/add/drop) must hold."""
+    import pandas as pd
+
+    rows = reg["p41_struct_field_surgery"].fn(spark, sf_dir).collect()
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice", "o_custkey"])
+    pdf = pdf[pdf.o_orderkey < 50].set_index("o_orderkey")
+    assert len(rows) == len(pdf)
+    for r in rows:
+        assert r.price_plus_one == float(pdf.loc[r.o_orderkey, "o_totalprice"]) + 1.0
+        assert r.cust_doubled == int(pdf.loc[r.o_orderkey, "o_custkey"]) * 2
+        assert r.struct_fields_are_exact == 1
+
+
+# ---------------------------------------------------------------------------
+# p42 — map higher-order functions
+
+
+def test_p42_matches_python_replay(spark, sf_dir, reg):
+    """Third engine: each map-HOF extract reduces to scalar arithmetic —
+    transform_keys(upper) key survives as K, transform_values is v*10,
+    map_filter keeps even values, map_zip_with adds pointwise (k + 10k)."""
+    import pandas as pd
+
+    rows = reg["p42_map_higher_order_funcs"].fn(spark, sf_dir).collect()
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    pdf = pdf[pdf.o_orderkey < 30].set_index("o_orderkey")
+    assert len(rows) == len(pdf)
+    for r in rows:
+        k, c = int(r.o_orderkey), int(pdf.loc[r.o_orderkey, "o_custkey"])
+        assert r.upper_key_k == k
+        assert r.tenfold_c == c * 10
+        assert r.n_even == (k % 2 == 0) + (c % 2 == 0)
+        assert r.zipped_k == 11 * k
+
+
+# ---------------------------------------------------------------------------
+# p43 — datetime long tail
+
+
+def test_p43_matches_python_calendar(spark, sf_dir, reg):
+    """Third engine: stdlib calendar/zoneinfo replay — last_day via
+    calendar.monthrange, months_between's 31-day rule via Decimal
+    HALF_UP (mirroring Spark's BigDecimal round-off), next_day via
+    weekday modular arithmetic, the day-time interval via timedelta,
+    and the DST-crossing tz conversion via IANA zoneinfo."""
+    import calendar
+    import datetime as dt
+    from decimal import ROUND_HALF_UP, Decimal
+    from zoneinfo import ZoneInfo
+
+    import pandas as pd
+
+    rows = reg["p43_datetime_long_tail"].fn(spark, sf_dir).collect()
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"])
+    pdf = pdf[pdf.o_orderkey < 40].set_index("o_orderkey")
+    assert len(rows) == len(pdf)
+    utc, ny = ZoneInfo("UTC"), ZoneInfo("America/New_York")
+    for r in rows:
+        ts = pdf.loc[r.o_orderkey, "o_orderdate"].to_pydatetime()
+        d = ts.date()
+        last_dom = calendar.monthrange(d.year, d.month)[1]
+        assert r.month_end == d.replace(day=last_dom)
+        frac = (last_dom - d.day) / 31.0
+        expect_mb = float(Decimal(repr(frac)).quantize(Decimal("1e-8"), ROUND_HALF_UP))
+        assert r.months_to_end == expect_mb
+        delta = (4 - d.weekday()) % 7 or 7  # Friday = weekday 4; strictly after
+        assert r.next_friday == d + dt.timedelta(days=delta)
+        assert r.qtr == (d.month - 1) // 3 + 1
+        assert r.shifted == ts + dt.timedelta(days=1, hours=2, minutes=3, seconds=4.5)
+        assert r.ny_wallclock == ts.replace(tzinfo=utc).astimezone(ny).replace(tzinfo=None)
+        assert r.try_parse_quarantined == 1
