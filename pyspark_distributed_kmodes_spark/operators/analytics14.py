@@ -126,6 +126,35 @@ in __spark_entry__.py these rename into the round-13 window.
        same contract as DuckDB quantile_disc: an 8-probability ladder
        over the multi-column API form, both endpoints included,
        pins the rank convention cross-engine.
+  p41  NESTED STRUCT SURGERY — Column.withField (replace + add) /
+       dropFields chained on one struct; surviving fields extracted
+       and hash-matched to plain arithmetic, exact post-surgery
+       field-list/order as a fact (UpdateFields stays a prunable
+       projection — no struct rebuild).
+  p42  MAP HIGHER-ORDER LONG TAIL — transform_keys /
+       transform_values / map_filter / map_zip_with as Catalyst
+       lambdas, each extracted back to a per-row scalar the oracle
+       replays as arithmetic.
+  p43  DATETIME LONG TAIL — months_between's 31-day fractional rule,
+       next_day via isodow modular arithmetic, last_day, date_part,
+       make_dt_interval microsecond-exact addition, convert_timezone
+       across DST both directions, try_to_timestamp quarantine fact.
+  p44  RANGE REPARTITION + REBALANCE — repartitionByRange's
+       clustered-write law (per-partition intervals disjoint, domain
+       covered, RangePartitioning exchange in plan) + the AQE
+       REBALANCE marker; sampled boundaries stay out of hash.
+  p45  PARTITION-METADATA FUNCTIONS — monotonically_increasing_id
+       bit-layout law (mid >> 33 == spark_partition_id), global
+       uniqueness, pid bounds, input_file_name ≡ _metadata.file_path.
+  p46  randomSplit LAW — splits disjoint + exactly partition the
+       table + seed-replayable id-sums; per-split contents (engine
+       RNG) out of hash.
+  p47  freqItems SUPERSET LAW — KSP heavy hitters' no-false-negative
+       side: truly-frequent values (exact counts in-hash) must all
+       be surfaced; false-positive side deliberately unasserted.
+  p48  width_bucket HISTOGRAM — 2^15-wide buckets make the edge
+       arithmetic IEEE-exact cross-engine; out-of-range 0 / n+1 law
+       pinned via literal probes.
 
   Probed and honestly rejected this round: SQL QUALIFY clause
   (PARSE_SYNTAX_ERROR on this build — filter-over-window stays the
@@ -2482,3 +2511,339 @@ def p43_datetime_long_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ny_wallclock",
         F.lit(quarantined).cast("int").alias("try_parse_quarantined"),
     ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# p44 — range repartitioning + REBALANCE: the write-layout primitives
+
+_P44_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+       CAST(MIN(o_orderkey) AS BIGINT) AS global_min,
+       CAST(MAX(o_orderkey) AS BIGINT) AS global_max,
+       CAST(8 AS INTEGER) AS n_parts,
+       CAST(1 AS INTEGER) AS ranges_non_overlapping,
+       CAST(1 AS INTEGER) AS ranges_cover_domain,
+       CAST(1 AS INTEGER) AS plan_has_range_partitioning,
+       CAST(1 AS INTEGER) AS rebalance_plan_marker
+FROM orders
+"""
+
+
+@query(
+    "p44_range_repartition_audit",
+    oracle=_P44_ORACLE,
+    tags=("plans", "partitioning", "audit"),
+)
+def p44_range_repartition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE REPARTITIONING LAW under the hash gate — repartitionByRange
+    is the primitive behind writing globally-clustered parquet (each
+    output file covers a disjoint key interval, so downstream range
+    predicates prune whole files). The law certified here: after
+    repartitionByRange(8, key), per-partition [min, max] intervals are
+    pairwise NON-OVERLAPPING in partition order and their union covers
+    [global_min, global_max]; the executed plan carries a
+    RangePartitioning exchange (sampled boundaries, one shuffle). The
+    REBALANCE hint — AQE's small-partition coalescer for skew-free
+    writes — must leave its marker in the optimized plan. Boundary
+    VALUES are sampling-dependent so they stay out of the hash; the
+    laws and the repartition-invariant rollup ride it.
+
+    Scale: this is THE 100 TB write path — range-cluster on the sort
+    key, one exchange, no global sort; AQE rebalance then equalizes
+    output file sizes without a second shuffle.
+    """
+    o = table(spark, sf_dir, "orders")
+    r = o.repartitionByRange(8, "o_orderkey")
+    per = (
+        r.select("o_orderkey", F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .agg(F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx"))
+        .orderBy("pid")
+        .collect()
+    )  # bounded: 8 rows of partition metadata
+    non_overlap = int(
+        len(per) <= 8 and all(per[i].mx < per[i + 1].mn for i in range(len(per) - 1))
+    )
+    tot = o.agg(
+        F.count("*").alias("n"),
+        F.sum("o_orderkey").alias("s"),
+        F.min("o_orderkey").alias("lo"),
+        F.max("o_orderkey").alias("hi"),
+    ).first()
+    covers = int(per[0].mn == tot.lo and per[-1].mx == tot.hi)
+    plan = r._jdf.queryExecution().executedPlan().toString()
+    has_range = int("rangepartitioning" in plan.lower())
+    reb_plan = (
+        spark.sql("SELECT /*+ REBALANCE */ * FROM {o}", o=o)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    has_rebalance = int("rebalance" in reb_plan.lower())
+    return spark.createDataFrame(
+        [
+            (
+                int(tot.n),
+                int(tot.s),
+                int(tot.lo),
+                int(tot.hi),
+                len(per),
+                non_overlap,
+                covers,
+                has_range,
+                has_rebalance,
+            )
+        ],
+        "n_rows bigint, sum_keys bigint, global_min bigint, global_max bigint, "
+        "n_parts int, ranges_non_overlapping int, ranges_cover_domain int, "
+        "plan_has_range_partitioning int, rebalance_plan_marker int",
+    )
+
+
+# ---------------------------------------------------------------------------
+# p45 — partition-metadata functions: mid / spark_partition_id / file path
+
+_P45_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+       CAST(1 AS INTEGER) AS mid_all_unique,
+       CAST(1 AS INTEGER) AS mid_prefix_is_partition_id,
+       CAST(1 AS INTEGER) AS pid_within_bounds,
+       CAST(1 AS INTEGER) AS file_name_matches_metadata
+FROM orders
+"""
+
+
+@query(
+    "p45_partition_metadata_funcs",
+    oracle=_P45_ORACLE,
+    tags=("functions", "partitioning", "audit"),
+)
+def p45_partition_metadata_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-METADATA FUNCTION LAWS under the hash gate —
+    monotonically_increasing_id's documented bit layout (upper 31 bits
+    = partition id, i.e. mid >> 33 == spark_partition_id, which is
+    what makes it collision-free WITHOUT coordination), global
+    uniqueness (distinct count == row count), spark_partition_id
+    bounded by the actual partition count, and input_file_name()
+    agreeing with the _metadata.file_path hidden column (scheme
+    normalized: file:/// vs file:/ spellings differ, path must not).
+    The relational rollup rides the hash; each law is a binary fact.
+
+    Scale: mid is the zero-shuffle surrogate-key generator at 100 TB —
+    the law that it never collides ACROSS executors is exactly the
+    bit-layout fact certified here; _metadata is the lineage column
+    that survives file compaction audits.
+    """
+    o = table(spark, sf_dir, "orders")
+    df = o.repartition(6).select(
+        "o_orderkey",
+        F.monotonically_increasing_id().alias("mid"),
+        F.spark_partition_id().alias("pid"),
+    )
+    agg = df.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("mid").alias("n_mid"),
+        F.sum(
+            (F.shiftright("mid", 33) != F.col("pid").cast("bigint")).cast("int")
+        ).alias("bad_prefix"),
+        F.max("pid").alias("max_pid"),
+        F.min("pid").alias("min_pid"),
+        F.sum("o_orderkey").alias("s"),
+    ).first()
+    n_parts = df.rdd.getNumPartitions()
+    meta = (
+        o.select(
+            F.regexp_replace(F.input_file_name(), "^file:/+", "file:/").alias("ifn"),
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "file:/").alias("fp"),
+        )
+        .agg(F.sum((F.col("ifn") != F.col("fp")).cast("int")).alias("bad"))
+        .first()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(agg.n),
+                int(agg.s),
+                int(agg.n == agg.n_mid),
+                int(agg.bad_prefix == 0),
+                int(agg.min_pid >= 0 and agg.max_pid < n_parts),
+                int(meta.bad == 0),
+            )
+        ],
+        "n_rows bigint, sum_keys bigint, mid_all_unique int, "
+        "mid_prefix_is_partition_id int, pid_within_bounds int, "
+        "file_name_matches_metadata int",
+    )
+
+
+# ---------------------------------------------------------------------------
+# p46 — randomSplit: disjoint, complete, seed-deterministic
+
+_P46_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+       CAST(3 AS INTEGER) AS n_splits,
+       CAST(1 AS INTEGER) AS splits_disjoint,
+       CAST(1 AS INTEGER) AS splits_complete,
+       CAST(1 AS INTEGER) AS seed_repeatable
+FROM orders
+"""
+
+
+@query(
+    "p46_random_split_law",
+    oracle=_P46_ORACLE,
+    tags=("ml", "sampling", "audit"),
+)
+def p46_random_split_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """randomSplit LAW AUDIT under the hash gate — the train/val/test
+    splitter's three contracts: the splits PARTITION the input (pairwise
+    disjoint AND their union is exactly the table — Spark guarantees
+    this by per-partition sorting before sampling, without which rows
+    could land in two splits or none), and a fixed seed makes the
+    assignment REPLAYABLE (two independent randomSplit calls with
+    seed=42 must produce identical per-split id-sums). Per-split
+    contents are engine RNG so they stay out of the hash; the laws and
+    the split-invariant table rollup ride it.
+
+    Scale: the disjoint/complete law is what makes distributed
+    train/test splits trustworthy at 100 TB — no coordinator, no
+    global shuffle, yet no leakage between splits.
+    """
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    a1, a2, a3 = o.randomSplit([0.25, 0.25, 0.5], seed=42)
+    b1, b2, b3 = o.randomSplit([0.25, 0.25, 0.5], seed=42)
+
+    def sig(df: DataFrame):
+        r = df.agg(F.count("*").alias("n"), F.sum("o_orderkey").alias("s")).first()
+        return (int(r.n), int(r.s or 0))
+
+    sig_a, sig_b = [sig(x) for x in (a1, a2, a3)], [sig(x) for x in (b1, b2, b3)]
+    repeatable = int(sig_a == sig_b)
+    union = a1.unionAll(a2).unionAll(a3)
+    tot = o.agg(F.count("*").alias("n"), F.sum("o_orderkey").alias("s")).first()
+    u = union.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("o_orderkey").alias("nd"),
+        F.sum("o_orderkey").alias("s"),
+    ).first()
+    disjoint = int(u.n == u.nd)  # keys unique in table; a double-assign would dup
+    complete = int(u.n == tot.n and u.s == tot.s)
+    return spark.createDataFrame(
+        [(int(tot.n), int(tot.s), 3, disjoint, complete, repeatable)],
+        "n_rows bigint, sum_keys bigint, n_splits int, splits_disjoint int, "
+        "splits_complete int, seed_repeatable int",
+    )
+
+
+# ---------------------------------------------------------------------------
+# p47 — freqItems superset guarantee
+
+_P47_ORACLE = """
+WITH tot AS (SELECT COUNT(*) AS n FROM orders)
+SELECT o.o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS exact_count,
+       CAST(1 AS INTEGER) AS present_in_freq_items
+FROM orders o, tot
+GROUP BY o.o_orderstatus, tot.n
+HAVING COUNT(*) > 0.15 * ANY_VALUE(tot.n)
+ORDER BY status
+"""
+
+
+@query(
+    "p47_freq_items_superset_law",
+    oracle=_P47_ORACLE,
+    tags=("stat", "sketch", "audit"),
+)
+def p47_freq_items_superset_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.freqItems SUPERSET LAW under the hash gate — the
+    Karp-Schenker-Papadimitriou one-pass heavy-hitter sketch promises
+    NO FALSE NEGATIVES: every value with true frequency > support·n
+    must appear in the result (false positives allowed — that side is
+    deliberately NOT asserted). The hash carries the relationally
+    replayable half: each truly-frequent o_orderstatus with its exact
+    count, plus the membership fact that freqItems(support=0.15)
+    surfaced it. One bounded single-row collect fetches the sketch
+    output (an array per column, constant-size).
+
+    Scale: KSP is the mergeable streaming-pass answer to "which enum
+    values dominate this 100 TB column" — one map-side pass, counters
+    bounded by 1/support, no shuffle of raw values.
+    """
+    o = table(spark, sf_dir, "orders")
+    items = set(o.freqItems(["o_orderstatus"], support=0.15).first()[0])
+    n = o.count()
+    truly = (
+        o.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.count("*").alias("exact_count"))
+        .where(F.col("exact_count") > 0.15 * n)
+    )
+    return truly.select(
+        "status",
+        F.col("exact_count").cast("bigint"),
+        F.col("status").isin(*items).cast("int").alias("present_in_freq_items"),
+    ).orderBy("status")
+
+
+# ---------------------------------------------------------------------------
+# p48 — width_bucket equi-width histogram
+
+_P48_ORACLE = """
+SELECT CAST(FLOOR(o_totalprice / 32768.0) + 1 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+       CAST(1 AS INTEGER) AS edge_law_holds
+FROM orders
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+@query(
+    "p48_width_bucket_histogram",
+    oracle=_P48_ORACLE,
+    tags=("functions", "stat", "audit"),
+)
+def p48_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """width_bucket EQUI-WIDTH HISTOGRAM under the hash gate — the SQL
+    standard bucketing function over [0, 524288) in 16 buckets. The
+    bounds are chosen so the bucket width (32768 = 2^15) is a power of
+    two: dividing a double by 2^15 is EXACT in IEEE-754, so Spark's
+    width_bucket and the oracle's floor(x / 32768) + 1 agree bit-for-bit
+    even for values landing exactly on a bucket edge (with a
+    non-power-of-two width the two engines' internal arithmetic could
+    disagree by one ULP at edges — the classic histogram portability
+    trap, dodged by construction and documented here). The out-of-range
+    law (below → 0, at-or-above max → numBuckets+1) is pinned as a fact
+    from two literal probes since the corpus never leaves range.
+
+    Scale: equi-width histograms are the one-shuffle profiling
+    primitive; width_bucket keeps the binning in codegen instead of a
+    CASE ladder or a Python cut().
+    """
+    o = table(spark, sf_dir, "orders")
+    probe = spark.range(1).select(
+        F.width_bucket(F.lit(-1.0), F.lit(0.0), F.lit(524288.0), F.lit(16)).alias("below"),
+        F.width_bucket(F.lit(524288.0), F.lit(0.0), F.lit(524288.0), F.lit(16)).alias("at_max"),
+    ).first()
+    edge_ok = int(probe.below == 0 and probe.at_max == 17)
+    return (
+        o.select(
+            F.width_bucket(
+                F.col("o_totalprice"), F.lit(0.0), F.lit(524288.0), F.lit(16)
+            ).alias("bucket"),
+            "o_orderkey",
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.sum("o_orderkey").alias("sum_keys"))
+        .select(
+            "bucket",
+            F.col("n").cast("bigint"),
+            F.col("sum_keys").cast("bigint"),
+            F.lit(edge_ok).cast("int").alias("edge_law_holds"),
+        )
+        .orderBy("bucket")
+    )

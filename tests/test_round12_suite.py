@@ -800,3 +800,116 @@ def test_p43_matches_python_calendar(spark, sf_dir, reg):
         assert r.shifted == ts + dt.timedelta(days=1, hours=2, minutes=3, seconds=4.5)
         assert r.ny_wallclock == ts.replace(tzinfo=utc).astimezone(ny).replace(tzinfo=None)
         assert r.try_parse_quarantined == 1
+
+
+# ---------------------------------------------------------------------------
+# p44 — range repartitioning law
+
+
+def test_p44_rollup_matches_pandas_and_facts_hold(spark, sf_dir, reg):
+    import pandas as pd
+
+    r = reg["p44_range_repartition_audit"].fn(spark, sf_dir).first()
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    assert r.n_rows == len(pdf)
+    assert r.sum_keys == int(pdf.o_orderkey.sum())
+    assert r.global_min == int(pdf.o_orderkey.min())
+    assert r.global_max == int(pdf.o_orderkey.max())
+    assert (
+        r.ranges_non_overlapping,
+        r.ranges_cover_domain,
+        r.plan_has_range_partitioning,
+        r.rebalance_plan_marker,
+    ) == (1, 1, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# p45 — partition-metadata function laws
+
+
+def test_p45_facts_hold_and_mid_law_reproduces(spark, sf_dir, reg):
+    """Independent replay of the bit-layout law on a fresh frame: every
+    collected (mid, pid) pair must satisfy mid >> 33 == pid."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    r = reg["p45_partition_metadata_funcs"].fn(spark, sf_dir).first()
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    assert r.n_rows == len(pdf) and r.sum_keys == int(pdf.o_orderkey.sum())
+    assert (
+        r.mid_all_unique,
+        r.mid_prefix_is_partition_id,
+        r.pid_within_bounds,
+        r.file_name_matches_metadata,
+    ) == (1, 1, 1, 1)
+    pairs = (
+        spark.range(0, 5000)
+        .repartition(7)
+        .select(
+            F.monotonically_increasing_id().alias("mid"),
+            F.spark_partition_id().alias("pid"),
+        )
+        .collect()
+    )
+    mids = [p.mid for p in pairs]
+    assert len(set(mids)) == len(mids)
+    assert all((p.mid >> 33) == p.pid for p in pairs)
+
+
+# ---------------------------------------------------------------------------
+# p46 — randomSplit partition law
+
+
+def test_p46_splits_partition_the_keyset(spark, sf_dir, reg):
+    """Independent set-algebra replay: collect each split's key set and
+    check pairwise disjointness + exact union against the parquet keys."""
+    import pandas as pd
+
+    from pyspark_distributed_kmodes_spark.sources.tables import table
+
+    r = reg["p46_random_split_law"].fn(spark, sf_dir).first()
+    assert (r.splits_disjoint, r.splits_complete, r.seed_repeatable) == (1, 1, 1)
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    sets = [
+        {x.o_orderkey for x in s.collect()}
+        for s in o.randomSplit([0.25, 0.25, 0.5], seed=42)
+    ]
+    assert not (sets[0] & sets[1]) and not (sets[0] & sets[2]) and not (sets[1] & sets[2])
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    assert sets[0] | sets[1] | sets[2] == set(int(x) for x in pdf.o_orderkey)
+
+
+# ---------------------------------------------------------------------------
+# p47 — freqItems superset law
+
+
+def test_p47_matches_pandas_value_counts(spark, sf_dir, reg):
+    import pandas as pd
+
+    rows = reg["p47_freq_items_superset_law"].fn(spark, sf_dir).collect()
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderstatus"])
+    vc = pdf.o_orderstatus.value_counts()
+    truly = {k: int(v) for k, v in vc.items() if v > 0.15 * len(pdf)}
+    assert {r.status: r.exact_count for r in rows} == truly
+    assert all(r.present_in_freq_items == 1 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# p48 — width_bucket histogram
+
+
+def test_p48_matches_python_binning(spark, sf_dir, reg):
+    import math
+
+    import pandas as pd
+
+    rows = reg["p48_width_bucket_histogram"].fn(spark, sf_dir).collect()
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    expect = {}
+    for k, x in zip(pdf.o_orderkey, pdf.o_totalprice):
+        b = int(math.floor(float(x) / 32768.0)) + 1 if 0 <= x < 524288.0 else (0 if x < 0 else 17)
+        n, s = expect.get(b, (0, 0))
+        expect[b] = (n + 1, s + int(k))
+    assert {r.bucket: (r.n, r.sum_keys) for r in rows} == expect
+    assert all(r.edge_law_holds == 1 for r in rows)
