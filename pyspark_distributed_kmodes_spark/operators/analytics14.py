@@ -155,6 +155,18 @@ in __spark_entry__.py these rename into the round-13 window.
   p48  width_bucket HISTOGRAM — 2^15-wide buckets make the edge
        arithmetic IEEE-exact cross-engine; out-of-range 0 / n+1 law
        pinned via literal probes.
+  p49  REGRESSION AGGREGATES — regr_slope/intercept/r2/count,
+       covar_pop/samp: exact DECIMAL(38,0) sufficient statistics
+       in-hash, engine doubles as 1e-9 closed-form agreement facts.
+  p50  BINARY ENCODINGS — bit_count/getbit/shiftleft arithmetic,
+       hex/base64/sha2-256 byte-for-byte vs DuckDB, inverse-identity
+       facts, crc32 known-answer vector.
+  p51  try_* QUARANTINE — happy paths hash-matched; overflow,
+       mod-zero, bad-index, bad-date NULL-quarantine facts.
+  p52  STRING LONG TAIL — split_part/substring_index/initcap/
+       translate/overlay/elt/find_in_set/format_string/locate/
+       octet_length/bit_length, each with a distinct oracle
+       derivation.
 
   Probed and honestly rejected this round: SQL QUALIFY clause
   (PARSE_SYNTAX_ERROR on this build — filter-over-window stays the
@@ -2847,3 +2859,346 @@ def p48_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# p49 — linear-regression aggregates: sufficient statistics + agreement
+
+_P49_ORACLE = """
+SELECT o_orderpriority AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_custkey AS HUGEINT)) AS DECIMAL(38,0)) AS sx,
+       CAST(SUM(CAST(o_orderkey AS HUGEINT)) AS DECIMAL(38,0)) AS sy,
+       CAST(SUM(CAST(o_custkey AS HUGEINT) * o_orderkey) AS DECIMAL(38,0)) AS sxy,
+       CAST(SUM(CAST(o_custkey AS HUGEINT) * o_custkey) AS DECIMAL(38,0)) AS sxx,
+       CAST(SUM(CAST(o_orderkey AS HUGEINT) * o_orderkey) AS DECIMAL(38,0)) AS syy,
+       CAST(1 AS INTEGER) AS slope_agrees,
+       CAST(1 AS INTEGER) AS intercept_agrees,
+       CAST(1 AS INTEGER) AS r2_agrees,
+       CAST(1 AS INTEGER) AS covar_pop_agrees,
+       CAST(1 AS INTEGER) AS covar_samp_agrees,
+       CAST(1 AS INTEGER) AS regr_count_exact
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY grp
+"""
+
+
+@query(
+    "p49_regression_aggregates",
+    oracle=_P49_ORACLE,
+    tags=("stat", "agg", "audit"),
+)
+def p49_regression_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR-REGRESSION AGGREGATES under the hash gate — regr_slope /
+    regr_intercept / regr_r2 / regr_count / covar_pop / covar_samp,
+    certified by the p37-stddev precedent: the HASH carries the exact
+    integer SUFFICIENT STATISTICS (n, Σx, Σy, Σxy, Σx², Σy² as
+    DECIMAL(38,0) — overflow-proof at any SF where BIGINT squares
+    would wrap), and each double-accumulating engine function rides as
+    a closed-form AGREEMENT FACT (|fn − derived| ≤ 1e-9·(1+|derived|);
+    cross-engine double accumulation order is not bit-stable, so the
+    raw doubles stay out of the hash by design). x = o_custkey,
+    y = o_orderkey: both exact integers, no float ingestion anywhere.
+
+    Scale: regr_* are single-pass map-side-combinable moments — the
+    one-shuffle way to fit 10^5 per-group trend lines over 100 TB
+    without MLlib; the sufficient-statistic form is also exactly what
+    you persist for incremental refresh.
+    """
+    o = table(spark, sf_dir, "orders")
+    x = F.col("o_custkey")
+    y = F.col("o_orderkey")
+    g = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast("decimal(38,0)")).alias("sx"),
+        F.sum(y.cast("decimal(38,0)")).alias("sy"),
+        F.sum((x.cast("decimal(38,0)") * y).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((x.cast("decimal(38,0)") * x).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((y.cast("decimal(38,0)") * y).cast("decimal(38,0)")).alias("syy"),
+        F.regr_slope(y, x).alias("f_slope"),
+        F.regr_intercept(y, x).alias("f_icpt"),
+        F.regr_r2(y, x).alias("f_r2"),
+        F.regr_count(y, x).alias("f_cnt"),
+        F.covar_pop(y, x).alias("f_cvp"),
+        F.covar_samp(y, x).alias("f_cvs"),
+    )
+    n = F.col("n").cast("double")
+    dsx, dsy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    dsxy, dsxx, dsyy = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
+    num = n * dsxy - dsx * dsy
+    denx = n * dsxx - dsx * dsx
+    deny = n * dsyy - dsy * dsy
+    slope = num / denx
+    icpt = (dsy - slope * dsx) / n
+    r2 = (num * num) / (denx * deny)
+    cvp = num / (n * n)
+    cvs = num / (n * (n - F.lit(1.0)))
+
+    def agrees(fn, derived):
+        return (
+            F.abs(fn - derived) <= F.lit(1e-9) * (F.lit(1.0) + F.abs(derived))
+        ).cast("int")
+
+    return g.select(
+        "grp",
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        "syy",
+        agrees(F.col("f_slope"), slope).alias("slope_agrees"),
+        agrees(F.col("f_icpt"), icpt).alias("intercept_agrees"),
+        agrees(F.col("f_r2"), r2).alias("r2_agrees"),
+        agrees(F.col("f_cvp"), cvp).alias("covar_pop_agrees"),
+        agrees(F.col("f_cvs"), cvs).alias("covar_samp_agrees"),
+        (F.col("f_cnt") == F.col("n")).cast("int").alias("regr_count_exact"),
+    ).orderBy("grp")
+
+
+# ---------------------------------------------------------------------------
+# p50 — binary encodings: hex / base64 / sha2 / bit ops
+
+_P50_ORACLE = """
+SELECT o_orderkey,
+       CAST(bit_count(CAST(o_orderkey AS BIGINT)) AS INTEGER) AS bits_set,
+       CAST(o_orderkey % 2 AS INTEGER) AS bit0,
+       CAST(o_orderkey * 8 AS BIGINT) AS shifted3,
+       to_hex(CAST(o_orderkey AS BIGINT)) AS key_hex,
+       to_base64(CAST(substr(o_orderstatus || '-' || o_orderpriority || '-' || CAST(o_orderkey AS VARCHAR), 1, 12) AS BLOB)) AS frag_b64,
+       sha256(substr(o_orderstatus || '-' || o_orderpriority || '-' || CAST(o_orderkey AS VARCHAR), 1, 12)) AS frag_sha,
+       CAST(1 AS INTEGER) AS hex_roundtrips,
+       CAST(1 AS INTEGER) AS b64_roundtrips,
+       CAST(1 AS INTEGER) AS crc32_known_vector
+FROM orders
+WHERE o_orderkey < 40
+ORDER BY o_orderkey
+"""
+
+
+@query(
+    "p50_binary_encoding_funcs",
+    oracle=_P50_ORACLE,
+    tags=("functions", "binary", "audit"),
+)
+def p50_binary_encoding_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY ENCODING FUNCTIONS under the hash gate — bit_count /
+    getbit / shiftleft replayed as arithmetic (popcount, parity bit,
+    ×2³), hex() against DuckDB to_hex (both emit minimal uppercase),
+    base64() against to_base64 over the same 12-byte slice of a
+    string both engines construct identically from status/priority/key
+    (the slim testdata schema carries no comment column; short enough
+    that MIME line-wrapping can't diverge), and sha2(·, 256) against
+    sha256 — the content-addressing primitive every dedup ledger in
+    this suite keys on, here certified byte-for-byte at the function
+    level. Inverses ride as facts: unhex∘hex and
+    unbase64∘base64 must be identity on every row, and crc32 is
+    pinned to the public test vector crc32('abc') = 891568578
+    (DuckDB lacks crc32, so the known-answer test stands in).
+
+    Scale: all codegen'd projections; sha2/base64 at 100 TB are
+    map-side content hashing — no shuffle, no Python.
+    """
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 40)
+    frag = F.substring(
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority", F.col("o_orderkey").cast("string")),
+        1,
+        12,
+    )
+    crc_known = int(
+        spark.range(1)
+        .select(F.crc32(F.lit("abc").cast("binary")).alias("c"))
+        .first()
+        .c
+        == 891568578
+    )
+    return o.select(
+        "o_orderkey",
+        F.bit_count("o_orderkey").cast("int").alias("bits_set"),
+        F.getbit("o_orderkey", F.lit(0)).cast("int").alias("bit0"),
+        F.shiftleft(F.col("o_orderkey"), 3).cast("bigint").alias("shifted3"),
+        F.hex("o_orderkey").alias("key_hex"),
+        F.base64(frag.cast("binary")).alias("frag_b64"),
+        F.sha2(frag.cast("binary"), 256).alias("frag_sha"),
+        (F.unhex(F.hex(frag)).cast("string") == frag).cast("int").alias("hex_roundtrips"),
+        (F.unbase64(F.base64(frag.cast("binary"))).cast("string") == frag)
+        .cast("int")
+        .alias("b64_roundtrips"),
+        F.lit(crc_known).cast("int").alias("crc32_known_vector"),
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# p51 — try_* arithmetic: ANSI safety valves
+
+_P51_ORACLE = """
+SELECT o_orderpriority AS grp,
+       CAST(SUM(o_orderkey) AS BIGINT) AS try_sum_keys,
+       AVG(o_orderkey) AS try_avg_keys,
+       CAST(SUM(o_orderkey - 10) AS BIGINT) AS sum_try_subtract,
+       CAST(SUM(o_orderkey % 7) AS BIGINT) AS sum_try_mod,
+       CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN o_custkey ELSE o_orderkey END) AS BIGINT)
+           AS sum_try_element,
+       CAST(1 AS INTEGER) AS overflow_quarantined,
+       CAST(1 AS INTEGER) AS div_zero_quarantined,
+       CAST(1 AS INTEGER) AS bad_index_quarantined,
+       CAST(1 AS INTEGER) AS bad_date_quarantined
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY grp
+"""
+
+
+@query(
+    "p51_try_arithmetic_quarantine",
+    oracle=_P51_ORACLE,
+    tags=("functions", "ansi", "audit"),
+)
+def p51_try_arithmetic_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_* ANSI SAFETY VALVES under the hash gate — the functions that
+    turn would-be runtime errors into NULL quarantine instead of
+    killing a 1000-executor job at hour nine: try_sum / try_avg
+    (hash-matched on the happy path against plain SUM/AVG — avg over
+    exact BIGINTs is one correctly-rounded double division, so it IS
+    cross-engine stable), try_subtract, try_mod, and try_element_at
+    (per-row results re-aggregated; element lookup alternates between
+    a hit and a fallback so both branches execute). The quarantine
+    side rides as four literal-probe facts: BIGINT overflow
+    (MIN_LONG − 1), mod-by-zero, out-of-bounds array index, and an
+    unparseable date each must yield NULL, not an exception.
+
+    Scale: the try_* family is the difference between "3 bad rows in
+    100 TB poison the job" and "3 NULLs in the output you can audit" —
+    the same contract the ingest suite's PERMISSIVE mode certifies at
+    the reader layer, here at the expression layer.
+    """
+    o = table(spark, sf_dir, "orders")
+    probes = (
+        spark.range(1)
+        .select(
+            F.try_subtract(F.lit(-9223372036854775808), F.lit(1)).alias("ovf"),
+            F.try_mod(F.lit(5), F.lit(0)).alias("dz"),
+            F.try_element_at(F.array(F.lit(1), F.lit(2)), F.lit(9)).alias("bi"),
+            F.try_to_date(F.lit("2024-40-01")).alias("bd"),
+        )
+        .first()
+    )
+    facts = {
+        "overflow_quarantined": int(probes.ovf is None),
+        "div_zero_quarantined": int(probes.dz is None),
+        "bad_index_quarantined": int(probes.bi is None),
+        "bad_date_quarantined": int(probes.bd is None),
+    }
+    per_row = o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.try_subtract(F.col("o_orderkey"), F.lit(10)).alias("sub10"),
+        F.try_mod(F.col("o_orderkey"), F.lit(7)).alias("mod7"),
+        F.try_element_at(
+            F.array(F.col("o_custkey"), F.col("o_orderkey")),
+            F.when(F.col("o_orderkey") % 2 == 0, F.lit(1)).otherwise(F.lit(2)),
+        ).alias("elem"),
+    )
+    out = per_row.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.try_sum("o_orderkey").cast("bigint").alias("try_sum_keys"),
+        F.try_avg("o_orderkey").alias("try_avg_keys"),
+        F.sum("sub10").cast("bigint").alias("sum_try_subtract"),
+        F.sum("mod7").cast("bigint").alias("sum_try_mod"),
+        F.sum("elem").cast("bigint").alias("sum_try_element"),
+    )
+    for name, val in facts.items():
+        out = out.withColumn(name, F.lit(val).cast("int"))
+    return out.orderBy("grp")
+
+
+# ---------------------------------------------------------------------------
+# p52 — string long tail: split_part / initcap / overlay / elt / locate
+
+_P52_ORACLE = """
+WITH c AS (
+  SELECT *,
+         CAST(c_custkey % 90 + 10 AS VARCHAR) || '-'
+           || CAST(c_nationkey AS VARCHAR) || '-'
+           || CAST(c_custkey * 7 % 10000 AS VARCHAR) AS c_phone
+  FROM customer
+  WHERE c_custkey < 40
+)
+SELECT c_custkey,
+       split_part(c_name, '#', 2) AS name_num,
+       array_to_string(str_split(c_phone, '-')[1:2], '-') AS phone_prefix,
+       array_to_string(
+         list_transform(str_split(lower(c_mktsegment) || ' ' || lower(c_name), ' '),
+                        x -> upper(x[1:1]) || lower(x[2:])), ' ') AS title_cased,
+       translate(c_phone, '-', '.') AS phone_dotted,
+       substr(c_name, 1, 9) || 'XX' || substr(c_name, 12) AS name_overlaid,
+       CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment ELSE c_phone END AS elt_pick,
+       CAST(list_position(str_split('AUTOMOBILE,BUILDING,FURNITURE,MACHINERY,HOUSEHOLD', ','),
+                          c_mktsegment) AS INTEGER) AS segment_slot,
+       printf('%s|%07d', c_mktsegment, c_custkey) AS formatted,
+       CAST(strpos(c_phone, '-') AS INTEGER) AS first_dash,
+       CAST(length(c_phone) AS INTEGER) AS phone_octets,
+       CAST(length(c_phone) * 8 AS INTEGER) AS phone_bits
+FROM c
+ORDER BY c_custkey
+"""
+
+
+@query(
+    "p52_string_long_tail",
+    oracle=_P52_ORACLE,
+    tags=("functions", "string", "audit"),
+)
+def p52_string_long_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING LONG TAIL under the hash gate — the ten string functions
+    the q40-era coverage never reached, each replayed by a different
+    DuckDB derivation: split_part (native), substring_index (array
+    slice + rejoin), initcap (a list_transform lambda re-implements
+    the capitalize-each-space-delimited-word contract), translate
+    (native), overlay (substr composition), elt (CASE dispatch),
+    find_in_set (list_position), format_string (printf with a %07d
+    zero-pad), locate (strpos), and octet_length/bit_length (the
+    corpus is ASCII, pinned by the p11-precedent test, so length and
+    length×8 replay them exactly).
+
+    Scale: every one is a codegen'd projection — the 100 TB point is
+    the same as p42's: string normalization pipelines stay JVM-side,
+    and the oracle diversity here is what catches off-by-one
+    conventions (1-based locate, inclusive overlay) that survive
+    same-engine testing.
+    """
+    c = table(spark, sf_dir, "customer").where(F.col("c_custkey") < 40)
+    # The slim testdata schema has no c_phone; both engines construct the
+    # same dashed pseudo-phone from integer columns, deterministically.
+    c = c.withColumn(
+        "c_phone",
+        F.concat_ws(
+            "-",
+            (F.col("c_custkey") % 90 + 10).cast("string"),
+            F.col("c_nationkey").cast("string"),
+            (F.col("c_custkey") * 7 % 10000).cast("string"),
+        ),
+    )
+    return c.select(
+        "c_custkey",
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_num"),
+        F.substring_index(F.col("c_phone"), "-", 2).alias("phone_prefix"),
+        F.initcap(
+            F.concat(F.lower("c_mktsegment"), F.lit(" "), F.lower("c_name"))
+        ).alias("title_cased"),
+        F.translate(F.col("c_phone"), "-", ".").alias("phone_dotted"),
+        F.overlay(F.col("c_name"), F.lit("XX"), 10, 2).alias("name_overlaid"),
+        F.elt(
+            (F.col("c_custkey") % 2 == 0).cast("int") + 1,
+            F.col("c_phone"),
+            F.col("c_mktsegment"),
+        ).alias("elt_pick"),
+        F.find_in_set(
+            F.col("c_mktsegment"),
+            F.lit("AUTOMOBILE,BUILDING,FURNITURE,MACHINERY,HOUSEHOLD"),
+        ).cast("int").alias("segment_slot"),
+        F.format_string("%s|%07d", F.col("c_mktsegment"), F.col("c_custkey")).alias("formatted"),
+        F.locate("-", F.col("c_phone")).cast("int").alias("first_dash"),
+        F.octet_length("c_phone").cast("int").alias("phone_octets"),
+        F.bit_length("c_phone").cast("int").alias("phone_bits"),
+    ).orderBy("c_custkey")

@@ -913,3 +913,128 @@ def test_p48_matches_python_binning(spark, sf_dir, reg):
         expect[b] = (n + 1, s + int(k))
     assert {r.bucket: (r.n, r.sum_keys) for r in rows} == expect
     assert all(r.edge_law_holds == 1 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# p49 — regression aggregates
+
+
+def test_p49_matches_python_moments(spark, sf_dir, reg):
+    """Third engine: exact integer sufficient statistics re-derived in
+    pure python; slope cross-checked against the closed form."""
+    import pandas as pd
+
+    rows = reg["p49_regression_aggregates"].fn(spark, sf_dir).collect()
+    pdf = pd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_custkey", "o_orderkey"]
+    )
+    for r in rows:
+        g = pdf[pdf.o_orderpriority == r.grp]
+        xs = [int(v) for v in g.o_custkey]
+        ys = [int(v) for v in g.o_orderkey]
+        assert r.n == len(xs)
+        assert int(r.sx) == sum(xs) and int(r.sy) == sum(ys)
+        assert int(r.sxy) == sum(a * b for a, b in zip(xs, ys))
+        assert int(r.sxx) == sum(a * a for a in xs)
+        assert int(r.syy) == sum(b * b for b in ys)
+        assert (
+            r.slope_agrees,
+            r.intercept_agrees,
+            r.r2_agrees,
+            r.covar_pop_agrees,
+            r.covar_samp_agrees,
+            r.regr_count_exact,
+        ) == (1, 1, 1, 1, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# p50 — binary encodings
+
+
+def test_p50_matches_python_codecs(spark, sf_dir, reg):
+    """Third engine: stdlib bin()/hex()/base64/hashlib replay of every
+    encoded column from the same constructed fragment."""
+    import base64 as b64
+    import hashlib
+
+    import pandas as pd
+
+    rows = reg["p50_binary_encoding_funcs"].fn(spark, sf_dir).collect()
+    pdf = pd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_orderpriority"],
+    )
+    pdf = pdf[pdf.o_orderkey < 40].set_index("o_orderkey")
+    assert len(rows) == len(pdf)
+    for r in rows:
+        k = int(r.o_orderkey)
+        frag = f"{pdf.loc[k, 'o_orderstatus']}-{pdf.loc[k, 'o_orderpriority']}-{k}"[:12]
+        assert r.bits_set == bin(k).count("1")
+        assert r.bit0 == k % 2
+        assert r.shifted3 == k * 8
+        assert r.key_hex == format(k, "X")
+        assert r.frag_b64 == b64.b64encode(frag.encode()).decode()
+        assert r.frag_sha == hashlib.sha256(frag.encode()).hexdigest()
+        assert (r.hex_roundtrips, r.b64_roundtrips, r.crc32_known_vector) == (1, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# p51 — try_* quarantine
+
+
+def test_p51_matches_pandas_groupby(spark, sf_dir, reg):
+    import pandas as pd
+
+    rows = reg["p51_try_arithmetic_quarantine"].fn(spark, sf_dir).collect()
+    pdf = pd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_orderkey", "o_custkey"]
+    )
+    for r in rows:
+        g = pdf[pdf.o_orderpriority == r.grp]
+        ks = [int(v) for v in g.o_orderkey]
+        cs = [int(v) for v in g.o_custkey]
+        assert r.try_sum_keys == sum(ks)
+        assert r.try_avg_keys == float(sum(ks)) / len(ks)
+        assert r.sum_try_subtract == sum(k - 10 for k in ks)
+        assert r.sum_try_mod == sum(k % 7 for k in ks)
+        assert r.sum_try_element == sum(c if k % 2 == 0 else k for k, c in zip(ks, cs))
+        assert (
+            r.overflow_quarantined,
+            r.div_zero_quarantined,
+            r.bad_index_quarantined,
+            r.bad_date_quarantined,
+        ) == (1, 1, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# p52 — string long tail
+
+
+def test_p52_matches_python_string_ops(spark, sf_dir, reg):
+    import pandas as pd
+
+    rows = reg["p52_string_long_tail"].fn(spark, sf_dir).collect()
+    pdf = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+    )
+    pdf = pdf[pdf.c_custkey < 40].set_index("c_custkey")
+    segs = "AUTOMOBILE,BUILDING,FURNITURE,MACHINERY,HOUSEHOLD".split(",")
+    assert len(rows) == len(pdf)
+    for r in rows:
+        k = int(r.c_custkey)
+        name = pdf.loc[k, "c_name"]
+        seg = pdf.loc[k, "c_mktsegment"]
+        phone = f"{k % 90 + 10}-{int(pdf.loc[k, 'c_nationkey'])}-{k * 7 % 10000}"
+        assert r.name_num == name.split("#")[1]
+        assert r.phone_prefix == "-".join(phone.split("-")[:2])
+        assert r.title_cased == " ".join(
+            w[:1].upper() + w[1:].lower() for w in f"{seg.lower()} {name.lower()}".split(" ")
+        )
+        assert r.phone_dotted == phone.replace("-", ".")
+        assert r.name_overlaid == name[:9] + "XX" + name[11:]
+        assert r.elt_pick == (seg if k % 2 == 0 else phone)
+        assert r.segment_slot == segs.index(seg) + 1
+        assert r.formatted == f"{seg}|{k:07d}"
+        assert r.first_dash == phone.index("-") + 1
+        assert r.phone_octets == len(phone)
+        assert r.phone_bits == len(phone) * 8
