@@ -167,6 +167,18 @@ in __spark_entry__.py these rename into the round-13 window.
        translate/overlay/elt/find_in_set/format_string/locate/
        octet_length/bit_length, each with a distinct oracle
        derivation.
+  p53  URL + MASK — parse_url parts from a column-constructed URL,
+       url_encode/decode with engineered replays + gamut roundtrip,
+       mask() default/custom via ordered regexp chains.
+  p54  DOCUMENT EXTRACTION — xpath_string/int/boolean/node-list +
+       json_tuple/json_object_keys/json_array_length over
+       column-constructed documents; oracle by construction.
+  p55  DATETIME CONVERSIONS — epoch family, unix_date, make_date,
+       trunc, day/month names, ISO week, timestamp_add/diff with
+       midnight-aligned anchors (truncation vs crossing documented).
+  p56  BOOLEAN/BITWISE/PRODUCT AGGREGATES — bool_and/every,
+       bool_or/some, count_if, bit_and/or/xor, product() hash-safe
+       via powers-of-two factors.
 
   Probed and honestly rejected this round: SQL QUALIFY clause
   (PARSE_SYNTAX_ERROR on this build — filter-over-window stays the
@@ -3202,3 +3214,303 @@ def p52_string_long_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("c_phone").cast("int").alias("phone_octets"),
         F.bit_length("c_phone").cast("int").alias("phone_bits"),
     ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# p53 — URL functions + mask: PII-surface primitives
+
+_P53_ORACLE = """
+SELECT c_custkey,
+       'https' AS proto,
+       'h' || CAST(c_nationkey AS VARCHAR) || '.example.com' AS host,
+       '/p/' || CAST(c_custkey AS VARCHAR) AS path,
+       replace(replace(c_mktsegment || ' ' || c_name, ' ', '+'), '#', '%23') AS query_raw,
+       c_mktsegment || ' ' || c_name AS query_decoded,
+       regexp_replace(regexp_replace(regexp_replace(c_name,
+           '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS name_masked,
+       regexp_replace(regexp_replace(c_name, '[A-Z]', 'U', 'g'), '[0-9]', '9', 'g')
+           AS name_masked_custom,
+       CAST(1 AS INTEGER) AS encode_decode_roundtrips
+FROM customer
+WHERE c_custkey < 40
+ORDER BY c_custkey
+"""
+
+
+@query(
+    "p53_url_and_mask_funcs",
+    oracle=_P53_ORACLE,
+    tags=("functions", "string", "audit"),
+)
+def p53_url_and_mask_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL + MASK FUNCTIONS under the hash gate — the PII-handling
+    primitives: a URL is CONSTRUCTED from columns (so the oracle knows
+    every part by construction), then parse_url must recover PROTOCOL /
+    HOST / PATH / the raw still-encoded QUERY value, url_encode's
+    form-encoding is replayed by targeted replaces (the payload is
+    engineered so space→+ and #→%23 are the only transforms), and
+    url_decode∘url_encode must be identity — plus a literal-probe
+    roundtrip fact over the full reserved-character gamut. mask() is
+    replayed by an ORDERED regexp_replace chain (upper→X first, then
+    lower→x, then digit→n — substitution characters are chosen so no
+    later pass re-matches an earlier output), both in default and
+    custom-alphabet form (lowercase preserved via NULL).
+
+    Scale: log/clickstream URL decomposition and PII masking are
+    per-row codegen'd projections — the 100 TB point is they never
+    leave the JVM, unlike the regex-UDF idiom they replace.
+    """
+    c = table(spark, sf_dir, "customer").where(F.col("c_custkey") < 40)
+    payload = F.concat_ws(" ", "c_mktsegment", "c_name")
+    url = F.concat(
+        F.lit("https://h"),
+        F.col("c_nationkey").cast("string"),
+        F.lit(".example.com/p/"),
+        F.col("c_custkey").cast("string"),
+        F.lit("?q="),
+        F.url_encode(payload),
+    )
+    gamut = "a b&c=d/e#f%g+h?i"
+    probe = (
+        spark.range(1)
+        .select((F.url_decode(F.url_encode(F.lit(gamut))) == F.lit(gamut)).alias("ok"))
+        .first()
+    )
+    return c.select(
+        "c_custkey",
+        F.parse_url(url, F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("q")).alias("query_raw"),
+        F.url_decode(F.parse_url(url, F.lit("QUERY"), F.lit("q"))).alias("query_decoded"),
+        F.mask("c_name").alias("name_masked"),
+        F.mask("c_name", F.lit("U"), F.lit(None), F.lit("9"), F.lit(None)).alias(
+            "name_masked_custom"
+        ),
+        F.lit(int(probe.ok)).cast("int").alias("encode_decode_roundtrips"),
+    ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# p54 — document extraction: xpath family + json long tail
+
+_P54_ORACLE = """
+SELECT o_orderkey,
+       CAST(o_orderkey AS BIGINT) AS xml_key,
+       o_orderstatus AS xml_status,
+       CAST(1 AS INTEGER) AS xml_node_exists,
+       CAST(0 AS INTEGER) AS xml_ghost_exists,
+       CAST(o_orderkey % 3 + 1 AS INTEGER) AS xml_tag_count,
+       o_orderstatus AS json_a,
+       CAST(o_orderkey AS BIGINT) AS json_n,
+       'a,n' AS json_key_list,
+       CAST(o_orderkey % 3 + 1 AS INTEGER) AS json_arr_len
+FROM orders
+WHERE o_orderkey < 40
+ORDER BY o_orderkey
+"""
+
+
+@query(
+    "p54_document_extraction_funcs",
+    oracle=_P54_ORACLE,
+    tags=("functions", "semistructured", "audit"),
+)
+def p54_document_extraction_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCUMENT EXTRACTION LONG TAIL under the hash gate — the xpath_*
+    family (string / int / boolean / node-list, the legacy-ETL XML
+    surface DuckDB lacks entirely) and the JSON functions o02-era
+    coverage never reached (json_tuple's multi-column extraction,
+    json_object_keys, json_array_length). Both documents are BUILT
+    from table columns, so the oracle replays every extraction by
+    construction: the XML carries the key, the status, and a
+    repeated-tag run of length key%3+1 (counted via the xpath
+    node-list); the JSON object carries {a: status, n: key}; the JSON
+    array carries key%3+1 elements. xpath_boolean certifies both the
+    present-node true AND the absent-node false.
+
+    Scale: xpath/json extraction is per-row and codegen'd; at 100 TB
+    the pattern is schema-on-read promotion of archival XML/JSON
+    columns without a Python parser in the hot path.
+    """
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 40)
+    key_s = F.col("o_orderkey").cast("string")
+    n_tags = (F.col("o_orderkey") % 3 + 1).cast("int")
+    xml = F.concat(
+        F.lit("<o><k>"),
+        key_s,
+        F.lit("</k><s>"),
+        F.col("o_orderstatus"),
+        F.lit("</s>"),
+        F.repeat(F.lit("<t>x</t>"), n_tags),
+        F.lit("</o>"),
+    )
+    j = F.concat(
+        F.lit('{"a":"'), F.col("o_orderstatus"), F.lit('","n":'), key_s, F.lit("}")
+    )
+    arr = F.concat(
+        F.lit("["),
+        F.array_join(F.transform(F.sequence(F.lit(1), n_tags), lambda x: x.cast("string")), ","),
+        F.lit("]"),
+    )
+    base = o.select("o_orderkey", "o_orderstatus", xml.alias("xml"), j.alias("j"), arr.alias("arr"))
+    tup = base.select(
+        "o_orderkey",
+        F.xpath_int(F.col("xml"), F.lit("o/k")).cast("bigint").alias("xml_key"),
+        F.xpath_string(F.col("xml"), F.lit("o/s")).alias("xml_status"),
+        F.xpath_boolean(F.col("xml"), F.lit("o/s")).cast("int").alias("xml_node_exists"),
+        F.xpath_boolean(F.col("xml"), F.lit("o/ghost")).cast("int").alias("xml_ghost_exists"),
+        F.size(F.xpath(F.col("xml"), F.lit("o/t/text()"))).cast("int").alias("xml_tag_count"),
+        F.json_tuple(F.col("j"), "a", "n").alias("json_a", "json_n_str"),
+        F.array_join(F.json_object_keys(F.col("j")), ",").alias("json_key_list"),
+        F.json_array_length(F.col("arr")).cast("int").alias("json_arr_len"),
+    )
+    return tup.select(
+        "o_orderkey",
+        "xml_key",
+        "xml_status",
+        "xml_node_exists",
+        "xml_ghost_exists",
+        "xml_tag_count",
+        "json_a",
+        F.col("json_n_str").cast("bigint").alias("json_n"),
+        "json_key_list",
+        "json_arr_len",
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# p55 — datetime conversion long tail: epoch / unix-date / trunc / names
+
+_P55_ORACLE = """
+SELECT o_orderkey,
+       CAST(epoch(o_orderdate) AS BIGINT) AS unix_secs,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS from_unix_str,
+       CAST(o_orderdate AS TIMESTAMP) AS seconds_roundtrip,
+       o_orderdate + INTERVAL '250 milliseconds' AS millis_plus_quarter,
+       CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
+           AS days_since_epoch,
+       CAST(o_orderdate AS DATE) AS unix_date_roundtrip,
+       make_date(CAST(date_part('year', o_orderdate) AS INTEGER), 12, 28) AS year_anchor,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       substr(dayname(CAST(o_orderdate AS DATE)), 1, 3) AS day_abbrev,
+       substr(monthname(CAST(o_orderdate AS DATE)), 1, 3) AS month_abbrev,
+       CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+       CAST(dayofyear(o_orderdate) AS INTEGER) AS day_of_year,
+       o_orderdate + (o_orderkey % 48) * INTERVAL 1 HOUR AS hours_added,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-06-01') AS BIGINT)
+           AS days_to_anchor
+FROM orders
+WHERE o_orderkey < 40
+ORDER BY o_orderkey
+"""
+
+
+@query(
+    "p55_datetime_conversion_funcs",
+    oracle=_P55_ORACLE,
+    tags=("functions", "datetime", "audit"),
+)
+def p55_datetime_conversion_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATETIME CONVERSION LONG TAIL under the hash gate — the epoch
+    family p43 didn't reach: to_unix_timestamp vs DuckDB epoch(),
+    from_unixtime's string rendering (both sessions run UTC — the
+    strftime replay would catch a session-timezone drift immediately),
+    timestamp_seconds/timestamp_millis (the millis path shifted by
+    250 ms to prove sub-second units), unix_date/date_from_unix_date
+    (replayed as day-diff from 1970-01-01 and its inverse), make_date,
+    trunc-to-month, dayname/monthname (DuckDB emits full names —
+    sliced to Spark's 3-letter abbreviation; locale-stable on the
+    tested corpus), ISO weekofyear, dayofyear, and timestamp_add /
+    timestamp_diff. The diff anchors are midnight-aligned BY
+    CONSTRUCTION so Spark's complete-units truncation and DuckDB's
+    boundary-crossing count cannot diverge — the convention mismatch
+    is documented here rather than papered over with a tolerance.
+
+    Scale: epoch normalization is the first projection of every
+    event-log pipeline; all codegen'd, no shuffle.
+    """
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 40)
+    ts = F.col("o_orderdate")
+    d = F.to_date(ts)
+    secs = F.to_unix_timestamp(ts)
+    return o.select(
+        "o_orderkey",
+        secs.cast("bigint").alias("unix_secs"),
+        F.from_unixtime(secs).alias("from_unix_str"),
+        F.timestamp_seconds(secs).alias("seconds_roundtrip"),
+        F.timestamp_millis(secs * 1000 + 250).alias("millis_plus_quarter"),
+        F.unix_date(d).cast("int").alias("days_since_epoch"),
+        F.date_from_unix_date(F.unix_date(d)).alias("unix_date_roundtrip"),
+        F.make_date(F.year(d), F.lit(12), F.lit(28)).alias("year_anchor"),
+        F.trunc(d, "month").alias("month_start"),
+        F.dayname(d).alias("day_abbrev"),
+        F.monthname(d).alias("month_abbrev"),
+        F.weekofyear(d).cast("int").alias("iso_week"),
+        F.dayofyear(d).cast("int").alias("day_of_year"),
+        F.timestamp_add("HOUR", (F.col("o_orderkey") % 48).cast("int"), ts).alias("hours_added"),
+        F.timestamp_diff("DAY", ts, F.lit("1998-06-01").cast("timestamp")).alias("days_to_anchor"),
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# p56 — boolean / bitwise / product aggregates
+
+_P56_ORACLE = """
+SELECT o_orderpriority AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(bool_and(o_orderkey % 2 = 0) AS INTEGER) AS all_even,
+       CAST(bool_or(o_orderkey % 2 = 0) AS INTEGER) AS any_even,
+       CAST(bool_and(o_orderkey % 2 = 0) AS INTEGER) AS every_even,
+       CAST(bool_or(o_orderkey % 2 = 0) AS INTEGER) AS some_even,
+       CAST(count_if(o_orderkey % 2 = 0) AS BIGINT) AS n_even,
+       CAST(bit_and(o_orderkey) AS BIGINT) AS keys_and,
+       CAST(bit_or(o_orderkey) AS BIGINT) AS keys_or,
+       CAST(bit_xor(o_orderkey) AS BIGINT) AS keys_xor,
+       product(power(2, o_orderkey % 3)) AS pow2_product
+FROM orders
+WHERE o_orderkey < 200
+GROUP BY o_orderpriority
+ORDER BY grp
+"""
+
+
+@query(
+    "p56_boolean_bitwise_aggregates",
+    oracle=_P56_ORACLE,
+    tags=("agg", "functions", "audit"),
+)
+def p56_boolean_bitwise_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOOLEAN / BITWISE / PRODUCT AGGREGATES under the hash gate —
+    bool_and + its ANSI alias every, bool_or + some, count_if, the
+    bitwise reduction aggregates bit_and / bit_or / bit_xor (all
+    order-independent by algebra, so safely in-hash), and product().
+    product is floating-point and order-DEPENDENT in general — here
+    every factor is a power of two (2^(key%3)), so each partial
+    product is exact in IEEE-754 and any combine order yields the
+    same double; the bounded key<200 slice keeps the exponent sum far
+    from overflow. That construction is the difference between
+    certifying product() and getting a flaky one-ulp hash.
+
+    Scale: all map-side-combinable single-pass aggregates; bit_or is
+    the idiomatic distributed bitmap/flag-union primitive (the o08
+    bitmap rollup's scalar cousin).
+    """
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 200)
+    even = F.col("o_orderkey") % 2 == 0
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("grp"))
+        .agg(
+            F.count("*").alias("n"),
+            F.bool_and(even).cast("int").alias("all_even"),
+            F.bool_or(even).cast("int").alias("any_even"),
+            F.every(even).cast("int").alias("every_even"),
+            F.some(even).cast("int").alias("some_even"),
+            F.count_if(even).cast("bigint").alias("n_even"),
+            F.bit_and("o_orderkey").cast("bigint").alias("keys_and"),
+            F.bit_or("o_orderkey").cast("bigint").alias("keys_or"),
+            F.bit_xor("o_orderkey").cast("bigint").alias("keys_xor"),
+            F.product(F.pow(F.lit(2.0), F.col("o_orderkey") % 3)).alias("pow2_product"),
+        )
+        .orderBy("grp")
+    )

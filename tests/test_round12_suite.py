@@ -1038,3 +1038,147 @@ def test_p52_matches_python_string_ops(spark, sf_dir, reg):
         assert r.first_dash == phone.index("-") + 1
         assert r.phone_octets == len(phone)
         assert r.phone_bits == len(phone) * 8
+
+
+# ---------------------------------------------------------------------------
+# p53 — URL + mask
+
+
+def test_p53_matches_python_urllib(spark, sf_dir, reg):
+    """Third engine: urllib.parse re-derives host/path/query and the
+    form-encoding; mask replayed with str.translate-style logic."""
+    import urllib.parse
+
+    import pandas as pd
+
+    rows = reg["p53_url_and_mask_funcs"].fn(spark, sf_dir).collect()
+    pdf = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+    )
+    pdf = pdf[pdf.c_custkey < 40].set_index("c_custkey")
+    assert len(rows) == len(pdf)
+
+    def mask(s, up="X", lo="x", dig="n"):
+        out = []
+        for ch in s:
+            if ch.isupper():
+                out.append(up)
+            elif ch.islower():
+                out.append(lo)
+            elif ch.isdigit():
+                out.append(dig)
+            else:
+                out.append(ch)
+        return "".join(out)
+
+    for r in rows:
+        k = int(r.c_custkey)
+        name, seg = pdf.loc[k, "c_name"], pdf.loc[k, "c_mktsegment"]
+        payload = f"{seg} {name}"
+        url = f"https://h{int(pdf.loc[k, 'c_nationkey'])}.example.com/p/{k}?q=" + urllib.parse.quote_plus(payload)
+        parsed = urllib.parse.urlparse(url)
+        assert r.proto == parsed.scheme
+        assert r.host == parsed.netloc
+        assert r.path == parsed.path
+        assert r.query_raw == urllib.parse.quote_plus(payload)
+        assert r.query_decoded == payload
+        assert r.name_masked == mask(name)
+        # custom mask keeps lowercase (NULL replacement char): replay explicitly
+        assert r.name_masked_custom == "".join(
+            "U" if c.isupper() else ("9" if c.isdigit() else c) for c in name
+        )
+        assert r.encode_decode_roundtrips == 1
+
+
+# ---------------------------------------------------------------------------
+# p54 — xpath + json extraction
+
+
+def test_p54_matches_python_parsers(spark, sf_dir, reg):
+    """Third engine: xml.etree + json stdlib parse the SAME constructed
+    documents and must reproduce every extracted value."""
+    import json as jsonlib
+    import xml.etree.ElementTree as ET
+
+    import pandas as pd
+
+    rows = reg["p54_document_extraction_funcs"].fn(spark, sf_dir).collect()
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"])
+    pdf = pdf[pdf.o_orderkey < 40].set_index("o_orderkey")
+    assert len(rows) == len(pdf)
+    for r in rows:
+        k = int(r.o_orderkey)
+        status = pdf.loc[k, "o_orderstatus"]
+        n = k % 3 + 1
+        xml = f"<o><k>{k}</k><s>{status}</s>" + "<t>x</t>" * n + "</o>"
+        root = ET.fromstring(xml)
+        assert r.xml_key == int(root.find("k").text)
+        assert r.xml_status == root.find("s").text
+        assert (r.xml_node_exists, r.xml_ghost_exists) == (1, 0)
+        assert r.xml_tag_count == len(root.findall("t")) == n
+        doc = jsonlib.loads(f'{{"a":"{status}","n":{k}}}')
+        assert r.json_a == doc["a"]
+        assert r.json_n == doc["n"]
+        assert r.json_key_list == ",".join(doc.keys())
+        assert r.json_arr_len == len(jsonlib.loads("[" + ",".join(map(str, range(1, n + 1))) + "]"))
+
+
+# ---------------------------------------------------------------------------
+# p55 — datetime conversions
+
+
+def test_p55_matches_python_datetime(spark, sf_dir, reg):
+    """Third engine: stdlib datetime/calendar replay of the epoch
+    family, unix-date arithmetic, truncation, and name abbreviations."""
+    import datetime as dt
+
+    import pandas as pd
+
+    rows = reg["p55_datetime_conversion_funcs"].fn(spark, sf_dir).collect()
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"])
+    pdf = pdf[pdf.o_orderkey < 40].set_index("o_orderkey")
+    epoch = dt.datetime(1970, 1, 1)
+    assert len(rows) == len(pdf)
+    for r in rows:
+        k = int(r.o_orderkey)
+        ts = pdf.loc[k, "o_orderdate"].to_pydatetime()
+        d = ts.date()
+        secs = int((ts - epoch).total_seconds())
+        assert r.unix_secs == secs
+        assert r.from_unix_str == ts.strftime("%Y-%m-%d %H:%M:%S")
+        assert r.seconds_roundtrip == ts
+        assert r.millis_plus_quarter == ts + dt.timedelta(milliseconds=250)
+        assert r.days_since_epoch == (d - epoch.date()).days
+        assert r.unix_date_roundtrip == d
+        assert r.year_anchor == dt.date(d.year, 12, 28)
+        assert r.month_start == d.replace(day=1)
+        assert r.day_abbrev == d.strftime("%a")
+        assert r.month_abbrev == d.strftime("%b")
+        assert r.iso_week == d.isocalendar()[1]
+        assert r.day_of_year == d.timetuple().tm_yday
+        assert r.hours_added == ts + dt.timedelta(hours=k % 48)
+        assert r.days_to_anchor == (dt.date(1998, 6, 1) - d).days
+
+
+# ---------------------------------------------------------------------------
+# p56 — boolean / bitwise / product aggregates
+
+
+def test_p56_matches_python_reduction(spark, sf_dir, reg):
+    import functools
+
+    import pandas as pd
+
+    rows = reg["p56_boolean_bitwise_aggregates"].fn(spark, sf_dir).collect()
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
+    pdf = pdf[pdf.o_orderkey < 200]
+    for r in rows:
+        ks = [int(v) for v in pdf[pdf.o_orderpriority == r.grp].o_orderkey]
+        assert r.n == len(ks)
+        assert r.all_even == int(all(k % 2 == 0 for k in ks)) == r.every_even
+        assert r.any_even == int(any(k % 2 == 0 for k in ks)) == r.some_even
+        assert r.n_even == sum(k % 2 == 0 for k in ks)
+        assert r.keys_and == functools.reduce(lambda a, b: a & b, ks)
+        assert r.keys_or == functools.reduce(lambda a, b: a | b, ks)
+        assert r.keys_xor == functools.reduce(lambda a, b: a ^ b, ks)
+        assert r.pow2_product == float(2 ** sum(k % 3 for k in ks))
