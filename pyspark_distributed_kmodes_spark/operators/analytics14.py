@@ -1004,14 +1004,14 @@ def p24_window_time_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _P25_ORACLE = """
 SELECT 'n_orders' AS key,
-       (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'F') AS "F",
-       (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'O') AS "O",
-       (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'P') AS "P"
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderstatus = 'F') AS "F",
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderstatus = 'O') AS "O",
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderstatus = 'P') AS "P"
 UNION ALL
 SELECT 'sum_keys',
-       (SELECT SUM(o_orderkey) FROM orders WHERE o_orderstatus = 'F'),
-       (SELECT SUM(o_orderkey) FROM orders WHERE o_orderstatus = 'O'),
-       (SELECT SUM(o_orderkey) FROM orders WHERE o_orderstatus = 'P')
+       (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders WHERE o_orderstatus = 'F'),
+       (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders WHERE o_orderstatus = 'O'),
+       (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders WHERE o_orderstatus = 'P')
 ORDER BY key
 """
 
@@ -2879,11 +2879,11 @@ def p48_width_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 _P49_ORACLE = """
 SELECT o_orderpriority AS grp,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(o_custkey AS HUGEINT)) AS DECIMAL(38,0)) AS sx,
-       CAST(SUM(CAST(o_orderkey AS HUGEINT)) AS DECIMAL(38,0)) AS sy,
-       CAST(SUM(CAST(o_custkey AS HUGEINT) * o_orderkey) AS DECIMAL(38,0)) AS sxy,
-       CAST(SUM(CAST(o_custkey AS HUGEINT) * o_custkey) AS DECIMAL(38,0)) AS sxx,
-       CAST(SUM(CAST(o_orderkey AS HUGEINT) * o_orderkey) AS DECIMAL(38,0)) AS syy,
+       CAST(SUM(CAST(o_custkey AS HUGEINT)) AS BIGINT) AS sx,
+       CAST(SUM(CAST(o_orderkey AS HUGEINT)) AS BIGINT) AS sy,
+       CAST(SUM(CAST(o_custkey AS HUGEINT) * o_orderkey) AS BIGINT) AS sxy,
+       CAST(SUM(CAST(o_custkey AS HUGEINT) * o_custkey) AS BIGINT) AS sxx,
+       CAST(SUM(CAST(o_orderkey AS HUGEINT) * o_orderkey) AS BIGINT) AS syy,
        CAST(1 AS INTEGER) AS slope_agrees,
        CAST(1 AS INTEGER) AS intercept_agrees,
        CAST(1 AS INTEGER) AS r2_agrees,
@@ -2905,9 +2905,13 @@ def p49_regression_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LINEAR-REGRESSION AGGREGATES under the hash gate — regr_slope /
     regr_intercept / regr_r2 / regr_count / covar_pop / covar_samp,
     certified by the p37-stddev precedent: the HASH carries the exact
-    integer SUFFICIENT STATISTICS (n, Σx, Σy, Σxy, Σx², Σy² as
-    DECIMAL(38,0) — overflow-proof at any SF where BIGINT squares
-    would wrap), and each double-accumulating engine function rides as
+    integer SUFFICIENT STATISTICS (n, Σx, Σy, Σxy, Σx², Σy² —
+    accumulated as DECIMAL(38,0)/HUGEINT internally per the house
+    decimal-sum pattern, SURFACED as BIGINT per the no-decimal-schema
+    convention the type audit enforces; the largest moment here is
+    ~5e16 at sf0.1, four orders of magnitude under the BIGINT rim,
+    and the interior stays overflow-proof regardless), and each
+    double-accumulating engine function rides as
     a closed-form AGREEMENT FACT (|fn − derived| ≤ 1e-9·(1+|derived|);
     cross-engine double accumulation order is not bit-stable, so the
     raw doubles stay out of the hash by design). x = o_custkey,
@@ -2955,11 +2959,11 @@ def p49_regression_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "grp",
         "n",
-        "sx",
-        "sy",
-        "sxy",
-        "sxx",
-        "syy",
+        F.col("sx").cast("bigint").alias("sx"),
+        F.col("sy").cast("bigint").alias("sy"),
+        F.col("sxy").cast("bigint").alias("sxy"),
+        F.col("sxx").cast("bigint").alias("sxx"),
+        F.col("syy").cast("bigint").alias("syy"),
         agrees(F.col("f_slope"), slope).alias("slope_agrees"),
         agrees(F.col("f_icpt"), icpt).alias("intercept_agrees"),
         agrees(F.col("f_r2"), r2).alias("r2_agrees"),
