@@ -171,6 +171,26 @@ this). History:
            exactly 50. Round-12 staging is keyed p18+ (sorts after
            p17, before q01, outside the full window) and rotates
            into the round-13 window.
+  round 13: executed exactly as decided in round 12 (ROUND_NOTES
+           kickoff checklist item 1): all 50 round-12 window keys
+           came back green in CORRECTNESS_r12 (45 hash + the 5
+           declared rows-only keys), so they rotate out — the 33
+           o-keys gain a q (o01 -> qo01_grouped_agg_udaf etc.; two
+           qo01-numbered keys now coexist, which is fine: key
+           identity is NUMBER + SUFFIX, never prefix) and p01-p17 ->
+           qp01-qp17 (number = query identity, e.g. qp07 === p07 ===
+           stream-join state reader). The round-12 staged suite
+           p18-p56 (39 keys) now sorts first among p-keys; the
+           remaining 11 slots take the oldest driver rows —
+           qb08-qb13 + qb15-qb19, green only in CORRECTNESS_r03 —
+           renamed into freed o-space with number preserved (qb08 ->
+           o08_embedding_centroids ... qb19 -> o19_retention_cohorts;
+           o14 stays empty because qb14 re-certified under its own
+           key in round 4). Window = o08-o13 + o15-o19 + p18-p56 =
+           exactly 50. Round-13 staging is keyed z01+ (sorts after
+           every q* key, outside the window — the round-3 z-suite
+           precedent) and renames into the round-14 window at the
+           next rotation.
 
 Implementations live in pyspark_distributed_kmodes_spark/; this module
 is a thin adapter over its registry.

@@ -118,8 +118,8 @@ def main():
 # the stream-stream join whose buffer is read back via the state reader.
 _STREAMING_LANE = [
     "qo12_stream_dedup_within_watermark",
-    "p05_stream_chained_stateful",
-    "p07_stream_join_state_reader",
+    "qp05_stream_chained_stateful",
+    "qp07_stream_join_state_reader",
 ]
 
 

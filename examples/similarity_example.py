@@ -11,7 +11,7 @@ sys.path.insert(0, "/root/repo")
 from pyspark_distributed_kmodes_spark.operators.vectors import (
     exact_topk,
     qo61_ann_lsh,
-    o68_ann_ivf,
+    qo68_ann_ivf,
 )
 from pyspark_distributed_kmodes_spark.session import get_spark
 from pyspark_distributed_kmodes_spark.sources.tables import table
@@ -29,7 +29,7 @@ def main():
     exact = top1(exact_topk(spark, emb, k=5).collect())
     print(f"exact top-5 computed for {len(exact)} vectors (blocked GEMM)")
 
-    for name, fn in [("hyperplane LSH", qo61_ann_lsh), ("IVF nprobe=4/16", o68_ann_ivf)]:
+    for name, fn in [("hyperplane LSH", qo61_ann_lsh), ("IVF nprobe=4/16", qo68_ann_ivf)]:
         approx = top1(fn(spark, sf_dir).collect())
         hit = sum(1 for v, n in exact.items() if approx.get(v) == n)
         print(f"{name}: top-1 recall {hit / len(exact):.2f} over {len(approx)} answered")

@@ -238,7 +238,7 @@ def q36_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "o90_posexplode",
+    "qo90_posexplode",
     oracle="""
 SELECT doc_id,
        CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INTEGER) AS pos,
@@ -249,7 +249,7 @@ ORDER BY doc_id, pos
 """,
     tags=("scalar", "array"),
 )
-def o90_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo90_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional explode: (pos, word) pairs per document — the
     order-preserving flatten used for windowed shingling and
     position-aware tokenization."""
@@ -260,8 +260,8 @@ def o90_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("o91_approx_percentiles", oracle=None, tags=("agg", "approx"))
-def o91_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qo91_approx_percentiles", oracle=None, tags=("agg", "approx"))
+def qo91_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch percentiles: percentile_approx (one-pass mergeable) beside
     the exact values — the 100 TB path where exact per-group sorts are
     unaffordable. Rows-only; accuracy bound property-tested.

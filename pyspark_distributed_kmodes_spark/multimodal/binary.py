@@ -71,7 +71,7 @@ def with_blob(docs: DataFrame) -> DataFrame:
 
 
 @query(
-    "o80_multimodal_decode",
+    "qo80_multimodal_decode",
     oracle="""
 SELECT doc_id,
        CAST(n_chars AS BIGINT) AS byte_len,
@@ -83,7 +83,7 @@ ORDER BY doc_id
 """,
     tags=("multimodal",),
 )
-def o80_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo80_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary decode pipeline: text → binary payload → mapInPandas
     "decode" → typed metadata. The oracle reproduces the deterministic
     fake from n_chars (text is ASCII: byte_len == n_chars)."""
@@ -97,7 +97,7 @@ def o80_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "o81_multimodal_filter_join",
+    "qo81_multimodal_filter_join",
     oracle="""
 SELECT d.lang,
        COUNT(*) AS n_large,
@@ -109,7 +109,7 @@ ORDER BY d.lang
 """,
     tags=("multimodal",),
 )
-def o81_multimodal_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo81_multimodal_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-predicate scan over decoded multimodal columns: filter on
     decoded width, aggregate payload bytes per lang — the "select the
     frames worth training on" access pattern."""
@@ -156,7 +156,7 @@ def extract_features(doc_ids: pd.Series, payloads: pd.Series) -> pd.DataFrame:
 
 
 @query(
-    "o82_multimodal_features",
+    "qo82_multimodal_features",
     oracle="""
 WITH feats AS (
   SELECT doc_id,
@@ -177,7 +177,7 @@ ORDER BY doc_id
 """,
     tags=("multimodal",),
 )
-def o82_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo82_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads: Arrow-batched numpy
     histogramming + frame-index sampling via mapInPandas. The oracle
     reproduces both from the text (ASCII payload: byte == ascii(char),

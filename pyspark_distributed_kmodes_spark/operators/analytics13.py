@@ -158,11 +158,11 @@ ORDER BY vec_id
 
 
 @query(
-    "p01_semantic_dedup_fixed_quantizer",
+    "qp01_semantic_dedup_fixed_quantizer",
     oracle=_P01_ORACLE,
     tags=("vector", "dedup", "audit"),
 )
-def p01_semantic_dedup_fixed_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qp01_semantic_dedup_fixed_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HASH-GATED SemDeDup audit — the deterministic twin of qb30
     (whose iterative k-means coarse stage no SQL oracle can replay):
     the coarse lists are FIXED to hash-rank-picked corpus vectors (the
@@ -311,11 +311,11 @@ ORDER BY cluster
 
 
 @query(
-    "p02_kmodes_fit_step_trace",
+    "qp02_kmodes_fit_step_trace",
     oracle=_P02_ORACLE,
     tags=("kmodes", "ml", "audit"),
 )
-def p02_kmodes_fit_step_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qp02_kmodes_fit_step_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HASH-GATED k-modes FIT-STEP trace — the fit-side twin ql01's
     assignment audit could not give (round-10 verdict item 8): from a
     FIXED deterministic init (the {k} most frequent (status, priority)
@@ -411,7 +411,7 @@ def p02_kmodes_fit_step_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-p02_kmodes_fit_step_trace.__doc__ = p02_kmodes_fit_step_trace.__doc__.replace(
+qp02_kmodes_fit_step_trace.__doc__ = qp02_kmodes_fit_step_trace.__doc__.replace(
     "{k}", str(_P02_K)
 )
 
@@ -448,11 +448,11 @@ ORDER BY batch
 
 
 @query(
-    "p03_stream_observe_metrics",
+    "qp03_stream_observe_metrics",
     oracle=_P03_ORACLE,
     tags=("streaming", "audit"),
 )
-def p03_stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qp03_stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING observe() METRICS under the hash gate: the events
     stream replays as three chronological tercile chunks
     (maxFilesPerTrigger=1, the shared o12 staging), a Dataset.observe
@@ -560,11 +560,11 @@ ORDER BY user_id, session_start
 
 
 @query(
-    "p04_stream_session_windows",
+    "qp04_stream_session_windows",
     oracle=_P04_ORACLE,
     tags=("streaming", "events", "audit"),
 )
-def p04_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qp04_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING SESSION WINDOWS under the hash gate: q32's
     sessionization run as a REAL streaming query — F.session_window
     with a 30-minute gap inside readStream, 1-hour watermark, APPEND
@@ -658,11 +658,11 @@ ORDER BY day
 
 
 @query(
-    "p05_stream_chained_stateful",
+    "qp05_stream_chained_stateful",
     oracle=_P05_ORACLE,
     tags=("streaming", "events", "audit"),
 )
-def p05_stream_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qp05_stream_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHAINED STATEFUL OPERATORS under the hash gate (Spark 3.5+
     multiple stateful operators in one streaming query): a tumbling
     1-hour per-user count feeds a SECOND tumbling 1-day aggregation —
@@ -748,11 +748,11 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 
 @query(
-    "p06_stream_dedup_unbounded_state",
+    "qp06_stream_dedup_unbounded_state",
     oracle=_P06_ORACLE,
     tags=("streaming", "dedup", "audit"),
 )
-def p06_stream_dedup_unbounded_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qp06_stream_dedup_unbounded_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PLAIN STREAMING dropDuplicates under the hash gate — the
     deliberate UNBOUNDED-STATE contrast key to o12: the same planted
     duplicates (event_id % 37 == 0 re-injected at ts + 30 s), the same
@@ -849,11 +849,11 @@ ORDER BY side, event_id
 
 
 @query(
-    "p07_stream_join_state_reader",
+    "qp07_stream_join_state_reader",
     oracle=_P07_ORACLE,
     tags=("streaming", "join", "audit"),
 )
-def p07_stream_join_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qp07_stream_join_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STREAM JOIN STATE under the hash gate: run the o15-shaped
     interval join (clicks x purchases by user within a 2 h event-time
     window, both sides watermarked 4 h, 3-chunk replay), then read the
@@ -961,11 +961,11 @@ ORDER BY doc_id
 
 
 @query(
-    "p08_udtf_polymorphic_analyze",
+    "qp08_udtf_polymorphic_analyze",
     oracle=_P08_ORACLE,
     tags=("udf", "text"),
 )
-def p08_udtf_polymorphic_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qp08_udtf_polymorphic_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     """POLYMORPHIC Python UDTF under the hash gate (Spark 4 analyze()):
     qb04 covered the static-returnType UDTF; this one's output SCHEMA
     is computed at ANALYSIS time from a literal argument — analyze()
@@ -1013,7 +1013,7 @@ def p08_udtf_polymorphic_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-p08_udtf_polymorphic_analyze.__doc__ = p08_udtf_polymorphic_analyze.__doc__.replace(
+qp08_udtf_polymorphic_analyze.__doc__ = qp08_udtf_polymorphic_analyze.__doc__.replace(
     "{n}", str(_P08_N)
 )
 
@@ -1048,11 +1048,11 @@ ORDER BY hour_of_day
 
 
 @query(
-    "p09_timestamp_ntz_surface",
+    "qp09_timestamp_ntz_surface",
     oracle=_P09_ORACLE,
     tags=("events", "types"),
 )
-def p09_timestamp_ntz_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qp09_timestamp_ntz_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIMESTAMP_NTZ expression surface under the hash gate: the events
     parquet encodes MICROS with isAdjustedToUTC=false, which Spark
     reads as TIMESTAMP_NTZ — the ingestion path (sources/tables.py)
@@ -1143,11 +1143,11 @@ ORDER BY o_orderstatus
 
 
 @query(
-    "p10_aes_codec_quarantine",
+    "qp10_aes_codec_quarantine",
     oracle=_P10_ORACLE,
     tags=("functions", "audit"),
 )
-def p10_aes_codec_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qp10_aes_codec_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AES COLUMN-ENCRYPTION CODEC under the hash gate (aes_encrypt /
     try_aes_decrypt — the last expression-codec family the engine had
     not certified, after JSON/XML/Variant/CSV): every order's
@@ -1230,11 +1230,11 @@ ORDER BY doc_id
 
 
 @query(
-    "p11_binary_chunk_transport",
+    "qp11_binary_chunk_transport",
     oracle=_P11_ORACLE,
     tags=("multimodal", "binary", "audit"),
 )
-def p11_binary_chunk_transport(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qp11_binary_chunk_transport(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BINARY SHARD TRANSPORT under the hash gate — the multimodal
     plumbing a 100 TB media corpus rides (payloads split into
     fixed-size chunks for shuffle/transfer, reassembled in order,
@@ -1324,7 +1324,7 @@ def p11_binary_chunk_transport(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-p11_binary_chunk_transport.__doc__ = p11_binary_chunk_transport.__doc__.replace(
+qp11_binary_chunk_transport.__doc__ = qp11_binary_chunk_transport.__doc__.replace(
     "{chunk}", str(_P11_CHUNK)
 )
 
@@ -1348,11 +1348,11 @@ ORDER BY dim.pk
 
 
 @query(
-    "p12_collated_join",
+    "qp12_collated_join",
     oracle=_P12_ORACLE,
     tags=("join", "collation"),
 )
-def p12_collated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qp12_collated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COLLATION-AWARE EQUI-JOIN under the hash gate: n05 certified
     collated GROUPING; this certifies the JOIN operator path — a
     lowercase dimension joins the mixed-case fact on a UTF8_LCASE
@@ -1411,11 +1411,11 @@ ORDER BY c.c_mktsegment, e.event_type
 
 
 @query(
-    "p13_stream_static_join",
+    "qp13_stream_static_join",
     oracle=_P13_ORACLE,
     tags=("streaming", "join", "audit"),
 )
-def p13_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qp13_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STATIC JOIN under the hash gate — the one join flavor the
     streaming family (qb35 inner interval, o15 left-outer, p07 state)
     had not certified: the events stream joins a STATIC dimension
@@ -1512,11 +1512,11 @@ ORDER BY user_id, session_start
 
 
 @query(
-    "p14_stateful_timer_sessions",
+    "qp14_stateful_timer_sessions",
     oracle=_P14_ORACLE,
     tags=("streaming", "udf", "audit"),
 )
-def p14_stateful_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qp14_stateful_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ARBITRARY STATEFUL PROCESSING WITH EVENT-TIME TIMERS under the
     hash gate (applyInPandasWithState + GroupStateTimeout.
     EventTimeTimeout — every prior arbitrary-state key used NoTimeout,
@@ -1679,11 +1679,11 @@ ORDER BY src, day
 
 
 @query(
-    "p15_stream_union_two_sources",
+    "qp15_stream_union_two_sources",
     oracle=_P15_ORACLE,
     tags=("streaming", "audit"),
 )
-def p15_stream_union_two_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qp15_stream_union_two_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTI-SOURCE UNION STREAM under the hash gate: TWO independent
     file-stream sources (the shared tercile staging, and a derived
     replica shifted +15 min / +10M ids) union into ONE streaming
@@ -1817,11 +1817,11 @@ ORDER BY file_idx
 
 
 @query(
-    "p16_sorted_run_writer_audit",
+    "qp16_sorted_run_writer_audit",
     oracle=_P16_ORACLE,
     tags=("sink", "audit"),
 )
-def p16_sorted_run_writer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qp16_sorted_run_writer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SORTED-RUN WRITER under the hash gate (maxRecordsPerFile +
     _metadata read-back): events globally sorted by (ts, event_id) are
     written as a single sorted run with maxRecordsPerFile=
@@ -1887,7 +1887,7 @@ def p16_sorted_run_writer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-p16_sorted_run_writer_audit.__doc__ = p16_sorted_run_writer_audit.__doc__.replace(
+qp16_sorted_run_writer_audit.__doc__ = qp16_sorted_run_writer_audit.__doc__.replace(
     "{_P16_PER_FILE}", str(_P16_PER_FILE)
 )
 
@@ -1916,11 +1916,11 @@ ORDER BY o_orderstatus, bucket
 
 
 @query(
-    "p17_ntile_equidepth",
+    "qp17_ntile_equidepth",
     oracle=_P17_ORACLE,
     tags=("window", "agg"),
 )
-def p17_ntile_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qp17_ntile_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE equi-depth bucketing under the hash gate — the one
     rank-family window function (rank/dense_rank/row_number/
     percent_rank/cume_dist are covered by the q20-family) the engine
@@ -1960,4 +1960,4 @@ def p17_ntile_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-p17_ntile_equidepth.__doc__ = p17_ntile_equidepth.__doc__.replace("{n}", str(_P17_TILES))
+qp17_ntile_equidepth.__doc__ = qp17_ntile_equidepth.__doc__.replace("{n}", str(_P17_TILES))

@@ -57,7 +57,7 @@ def scd2_history(df: DataFrame, key: str, attr: str, ts: str, tie_break: str) ->
 
 
 @query(
-    "o88_scd2_history",
+    "qo88_scd2_history",
     oracle="""
 WITH flagged AS (
   SELECT user_id, event_type, ts, event_id,
@@ -86,7 +86,7 @@ ORDER BY user_id, valid_from
 """,
     tags=("cdc", "window"),
 )
-def o88_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo88_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 validity intervals over the event log: one row per run of
     identical event_type per user, with [valid_from, valid_to)."""
     e = table(spark, sf_dir, "events")
@@ -97,7 +97,7 @@ def o88_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "o89_merge_upsert",
+    "qo89_merge_upsert",
     oracle="""
 WITH updates AS (
   SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000.0 AS c_acctbal, c_mktsegment
@@ -111,7 +111,7 @@ ORDER BY c_custkey
 """,
     tags=("cdc",),
 )
-def o89_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo89_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO emulation: apply a +1000 balance adjustment to every
     10th customer (update) keeping all others (no-op insert set here) —
     the anti-join+union upsert pattern."""

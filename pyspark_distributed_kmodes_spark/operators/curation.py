@@ -179,10 +179,10 @@ def qc06_logprob_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass, then a |langs|-row threshold aggregate broadcast back — one
     extra tiny join over the score computation, nothing driver-side.
     """
-    from pyspark_distributed_kmodes_spark.operators.training import qb12_unigram_logprob
+    from pyspark_distributed_kmodes_spark.operators.training import o12_unigram_logprob
 
     d = table(spark, sf_dir, "documents").select("doc_id", "lang")
-    scored = qb12_unigram_logprob(spark, sf_dir).select("doc_id", "avg_logprob")
+    scored = o12_unigram_logprob(spark, sf_dir).select("doc_id", "avg_logprob")
     # the scored join feeds the threshold learner AND the tiering pass;
     # materialize it so the b12 LM scoring pipeline runs once, and the
     # |langs|-row thresholds never replay it (scan-lint)

@@ -384,12 +384,12 @@ ORDER BY doc_id
 
 
 @query(
-    "o97_dup_clusters",
+    "qo97_dup_clusters",
     bench=True,
     oracle=_Q97_ORACLE,
     tags=("text", "dedup", "graph"),
 )
-def o97_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo97_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: exact-Jaccard pairs (≥0.2, as q55) →
     connected components → (doc, component, component size). The step
     every dedup pipeline needs after pair detection — pairs are not
@@ -433,7 +433,7 @@ def qc03_dup_clusters_distributed(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
-    "o98_dedup_canonical",
+    "qo98_dedup_canonical",
     oracle="""
 WITH RECURSIVE
 shingles AS (
@@ -479,7 +479,7 @@ ORDER BY doc_id
 """,
     tags=("text", "dedup", "graph"),
 )
-def o98_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo98_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deduplicated corpus: near-dup clusters (q97's connected
     components) collapsed to ONE canonical document each — the longest
     (`n_chars` desc, doc_id tie-break) — with singleton docs (no
@@ -510,7 +510,7 @@ def o98_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "o75_decontamination",
+    "qo75_decontamination",
     oracle="""
 WITH shingles AS (
   SELECT DISTINCT doc_id, source, shingle
@@ -556,7 +556,7 @@ ORDER BY doc_id
 """,
     tags=("text", "dedup", "decontamination"),
 )
-def o75_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo75_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination: treat `source='src2'` documents as a
     held-out benchmark and flag every training document sharing ≥3
     distinct word trigrams with it, plus the single most-overlapping
@@ -635,7 +635,7 @@ def o75_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "o69_neardup_graph_stats",
+    "qo69_neardup_graph_stats",
     oracle="""
 WITH RECURSIVE
 shingles AS (
@@ -678,7 +678,7 @@ ORDER BY component_size
 """,
     tags=("text", "dedup", "graph"),
 )
-def o69_neardup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo69_neardup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster size histogram: how many near-dup components
     exist at each size, and how many documents they absorb — the
     monitoring metric that tells a pipeline whether dedup is removing a

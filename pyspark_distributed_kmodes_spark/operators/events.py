@@ -263,7 +263,7 @@ def q35_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "qb19_retention_cohorts",
+    "o19_retention_cohorts",
     oracle="""
 WITH weekly AS (
   SELECT DISTINCT user_id, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week_idx
@@ -287,7 +287,7 @@ ORDER BY cohort_week, weeks_since
 """,
     tags=("events", "analytics"),
 )
-def qb19_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o19_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention cohort analysis: users grouped by first-active week,
     tracked by distinct activity in each subsequent week — the standard
     product-analytics rollup (and, for training pipelines, the shape of

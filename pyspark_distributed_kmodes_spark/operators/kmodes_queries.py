@@ -16,8 +16,8 @@ from pyspark_distributed_kmodes_spark.sources.tables import table
 KMODES_COLS = ("o_orderstatus", "o_orderpriority")
 
 
-@query("o70_kmodes_fit", oracle=None, tags=("kmodes", "ml"), bench=True)
-def o70_kmodes_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qo70_kmodes_fit", oracle=None, tags=("kmodes", "ml"), bench=True)
+def qo70_kmodes_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global Lloyd k-modes (k=5) on orders categorical columns; returns
     per-cluster size + mode — the DataFrame-native form of the
     reference's EnsembleKModes.fit output (modes + assignment counts)."""
@@ -38,8 +38,8 @@ def o70_kmodes_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.select("cluster", "n_members", *mode_cols).orderBy("cluster")
 
 
-@query("o71_kmodes_ensemble_fit", oracle=None, tags=("kmodes", "ml"))
-def o71_kmodes_ensemble_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qo71_kmodes_ensemble_fit", oracle=None, tags=("kmodes", "ml"))
+def qo71_kmodes_ensemble_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-parity two-level ensemble k-modes (A6/A9): independent
     per-partition k-modes via applyInPandas, meta-clustering on driver."""
     o = table(spark, sf_dir, "orders")
@@ -53,8 +53,8 @@ def o71_kmodes_ensemble_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("o72_kmodes_predict", oracle=None, tags=("kmodes", "ml"))
-def o72_kmodes_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qo72_kmodes_predict", oracle=None, tags=("kmodes", "ml"))
+def qo72_kmodes_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """model.predict parity (reference A10): fit on orders, transform the
     same relation, emit (keys → cluster) for every row."""
     o = table(spark, sf_dir, "orders")

@@ -12,7 +12,7 @@ from pyspark_distributed_kmodes_spark.sources.tables import table
 
 
 @query(
-    "o85_min_price_per_brand",
+    "qo85_min_price_per_brand",
     oracle="""
 SELECT p.p_partkey, p.p_brand, p.p_retailprice
 FROM part p
@@ -22,7 +22,7 @@ ORDER BY p.p_brand, p.p_partkey
 """,
     tags=("subquery",),
 )
-def o85_min_price_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo85_min_price_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: correlated scalar MIN subquery — cheapest part(s)
     per brand. DataFrame form: min-over-window equality (the plan
     Catalyst decorrelates the subquery into anyway: one shuffle on
@@ -38,7 +38,7 @@ def o85_min_price_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "o86_small_quantity_revenue",
+    "qo86_small_quantity_revenue",
     oracle=f"""
 SELECT l.l_partkey,
        {sql_dsum('l.l_extendedprice')} AS small_lot_revenue,
@@ -51,7 +51,7 @@ ORDER BY l.l_partkey
 """,
     tags=("subquery", "agg"),
 )
-def o86_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo86_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated AVG subquery — revenue from lots
     under half the part's average quantity.
 
@@ -76,7 +76,7 @@ def o86_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "o87_event_funnel",
+    "qo87_event_funnel",
     oracle="""
 WITH firsts AS (
   SELECT user_id,
@@ -96,7 +96,7 @@ ORDER BY user_id
 """,
     tags=("events", "funnel"),
 )
-def o87_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo87_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel analytics: first signup → first purchase per user,
     conversion flag and time-to-convert — one conditional aggregation
     pass (no joins, no self-joins)."""
@@ -123,7 +123,7 @@ def o87_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "o92_histogram",
+    "qo92_histogram",
     oracle=f"""
 SELECT o_orderstatus,
        CAST(floor(o_totalprice / 50000.0) AS INTEGER) AS bucket,
@@ -135,7 +135,7 @@ ORDER BY o_orderstatus, bucket
 """,
     tags=("agg", "histogram"),
 )
-def o92_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo92_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value histogram: fixed-width 50k price buckets per status — the
     binning aggregation behind distribution profiling. Bucketing is a
     computed grouping key, so the plan is a plain map-side-combined
@@ -150,7 +150,7 @@ def o92_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "o93_exact_stats",
+    "qo93_exact_stats",
     oracle="""
 WITH moments AS (
   SELECT l_returnflag,
@@ -171,7 +171,7 @@ ORDER BY l_returnflag
 """,
     tags=("agg", "stats"),
 )
-def o93_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo93_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates (mean / sample stddev / sample covariance)
     computed from EXACT decimal moment sums, then one identical float
     formula per group — engine-portable where the built-in stddev/covar
@@ -242,7 +242,7 @@ def q39_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "o73_market_share",
+    "qo73_market_share",
     bench=True,
     oracle=f"""
 WITH all_sales AS (
@@ -271,7 +271,7 @@ ORDER BY o_year, supp_nation
 """,
     tags=("join", "tpch"),
 )
-def o73_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo73_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8-shape national market share: every supplier nation's
     slice of ASIA customers' MEDIUM-part revenue, per year — the
     nested-aggregate ratio pattern (group total ÷ window grand total).
@@ -321,7 +321,7 @@ def o73_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "o74_waiting_suppliers",
+    "qo74_waiting_suppliers",
     bench=True,
     oracle="""
 WITH per AS (
@@ -345,7 +345,7 @@ LIMIT 20
 """,
     tags=("join", "tpch", "window"),
 )
-def o74_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo74_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21-shape: suppliers who were the SOLE latest shipper in
     multi-supplier orders (everyone else finished earlier), top 20 by
     count. Q21's EXISTS (another supplier on the order) / NOT EXISTS
@@ -380,7 +380,7 @@ def o74_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "qb16_volume_shipping",
+    "o16_volume_shipping",
     bench=True,
     oracle=f"""
 SELECT n1.n_name AS supp_nation,
@@ -401,7 +401,7 @@ ORDER BY supp_nation, cust_nation, l_year
 """,
     tags=("join", "tpch"),
 )
-def qb16_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o16_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral shipping volume between two nations by
     year — a 6-table join where the same dimension (nation) enters
     twice under different roles.
@@ -438,7 +438,7 @@ def qb16_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "qb17_promo_revenue",
+    "o17_promo_revenue",
     oracle=f"""
 SELECT CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
        CAST(month(l.l_shipdate) AS INTEGER) AS l_month,
@@ -450,7 +450,7 @@ ORDER BY l_year, l_month
 """,
     tags=("join", "tpch"),
 )
-def qb17_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o17_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: monthly share of revenue from promotional parts
     — conditional aggregation as a ratio of two decimal-exact sums.
 
@@ -473,7 +473,7 @@ def qb17_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "qb18_brand_band_revenue",
+    "o18_brand_band_revenue",
     oracle=f"""
 SELECT p.p_brand,
        {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
@@ -487,7 +487,7 @@ ORDER BY p.p_brand
 """,
     tags=("join", "tpch"),
 )
-def qb18_brand_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o18_brand_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: revenue from brand-specific quantity bands — a
     disjunctive join-filter Catalyst must keep OUT of the join condition
     (it references both sides; naive placement forces a nested-loop).

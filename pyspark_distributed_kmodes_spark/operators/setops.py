@@ -63,7 +63,7 @@ def q27_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "qb10_intersect_except_all",
+    "o10_intersect_except_all",
     oracle="""
 SELECT op, nationkey, COUNT(*) AS n
 FROM (
@@ -84,7 +84,7 @@ ORDER BY op, nationkey
 """,
     tags=("setop",),
 )
-def qb10_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o10_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT ALL / EXCEPT ALL (bag semantics): per nation,
     min(customer-count, supplier-count) copies survive intersectAll and
     max(customer-count − supplier-count, 0) survive exceptAll; the

@@ -516,7 +516,7 @@ def qo59_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "o95_stratified_sample",
+    "qo95_stratified_sample",
     oracle="""
 SELECT lang, COUNT(*) AS n_sampled,
        CAST(MIN(doc_id) AS BIGINT) AS min_id, CAST(MAX(doc_id) AS BIGINT) AS max_id
@@ -528,7 +528,7 @@ ORDER BY lang
 """,
     tags=("text", "sampling"),
 )
-def o95_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo95_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling: keep 50% of English, 10% of
     everything else, selected by a stable key-mod predicate (id-hash
     sampling — reproducible across runs/engines/cluster sizes, unlike
@@ -551,7 +551,7 @@ def o95_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "o96_source_mixture",
+    "qo96_source_mixture",
     oracle="""
 WITH quotas AS (
   SELECT * FROM (VALUES ('src0', 40), ('src1', 20), ('src2', 10)) AS q(source, quota)
@@ -570,7 +570,7 @@ ORDER BY source
 """,
     tags=("text", "sampling"),
 )
-def o96_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo96_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixture construction: per-source quotas filled with the
     best documents (longest first, deterministic tie-break) — the
     weighted-mixing step that turns a raw corpus into a training mix.
@@ -591,7 +591,7 @@ def o96_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "o94_normalized_dedup",
+    "qo94_normalized_dedup",
     oracle="""
 WITH norm AS (
   SELECT doc_id,
@@ -606,7 +606,7 @@ ORDER BY doc_id
 """,
     tags=("text", "dedup"),
 )
-def o94_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo94_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalization-invariant exact dedup: lowercase, strip
     punctuation, collapse whitespace, then group identical normalized
     forms — catches the case/punctuation variants that byte-exact
@@ -636,7 +636,7 @@ def o94_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "o99_repetition_ratio",
+    "qo99_repetition_ratio",
     oracle="""
 WITH bg AS (
   SELECT doc_id,
@@ -656,7 +656,7 @@ ORDER BY doc_id
 """,
     tags=("text", "quality"),
 )
-def o99_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo99_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition-based quality filter (Gopher-style): fraction of a
     document's bigrams occupied by its single most frequent bigram;
     high values flag boilerplate/spam for pre-training removal.

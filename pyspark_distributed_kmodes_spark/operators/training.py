@@ -25,7 +25,7 @@ PACK_TARGET = 256  # words per packed training sequence
 
 
 @query(
-    "o05_context_chunks",
+    "qo05_context_chunks",
     oracle=f"""
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS words, len(string_split(text, ' ')) AS n
@@ -41,7 +41,7 @@ ORDER BY doc_id, chunk_idx
 """,
     tags=("training", "text"),
 )
-def o05_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo05_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding context-window chunking: each document becomes overlapping
     {CHUNK_WORDS}-word chunks at stride {CHUNK_STRIDE} — the
     tokenize-and-window step that turns documents into model inputs.
@@ -68,7 +68,7 @@ def o05_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "o06_sequence_packing",
+    "qo06_sequence_packing",
     oracle=f"""
 SELECT doc_id, source,
        CAST(n_words AS BIGINT) AS n_words,
@@ -86,7 +86,7 @@ ORDER BY source, doc_id
 """,
     tags=("training", "text"),
 )
-def o06_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo06_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: concatenate documents in deterministic order and
     cut every {PACK_TARGET} words — each doc gets the pack id of its
     start offset (concat-and-chunk packing, the standard pre-training
@@ -110,7 +110,7 @@ def o06_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "o07_incremental_dedup",
+    "qo07_incremental_dedup",
     oracle="""
 WITH corpus AS (
   SELECT md5(text) AS h FROM documents WHERE source <> 'src2'
@@ -124,7 +124,7 @@ ORDER BY b.doc_id
 """,
     tags=("training", "dedup"),
 )
-def o07_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo07_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental (cross-snapshot) dedup: which docs of an incoming
     batch (source src2) are NOT already in the accepted corpus (other
     sources) — the admission check a continuously-ingesting training
@@ -141,7 +141,7 @@ def o07_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "qb08_embedding_centroids",
+    "o08_embedding_centroids",
     oracle="""
 SELECT label,
        CAST(t.pos AS INTEGER) AS pos,
@@ -157,7 +157,7 @@ ORDER BY label, pos
 """,
     tags=("training", "vector"),
 )
-def qb08_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o08_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid, dimension-wise: posexplode the
     vector → one (label, pos) aggregation. The distributed mean-vector
     primitive behind IVF list training, class prototypes, and drift
@@ -183,7 +183,7 @@ def qb08_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "qb09_int8_quantization",
+    "o09_int8_quantization",
     oracle="""
 SELECT vec_id,
        (CAST(floor((list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0) AS max_abs,
@@ -196,7 +196,7 @@ ORDER BY vec_id
 """,
     tags=("training", "vector"),
 )
-def qb09_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o09_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 embedding quantization: per-vector scale =
     127/max|x|, codes = round(x·scale) — storage compression every
     vector store applies before ANN serving. Emits the scale basis and
@@ -225,7 +225,7 @@ NGRAM_SPAN = 8  # span length for duplicate-substring detection
 
 
 @query(
-    "qb11_duplicate_spans",
+    "o11_duplicate_spans",
     bench=True,
     oracle=f"""
 WITH grams AS (
@@ -247,7 +247,7 @@ ORDER BY g.doc_id
 """,
     tags=("training", "dedup"),
 )
-def qb11_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o11_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-substring metric: fraction of each document's
     {NGRAM_SPAN}-gram start positions whose span also appears in
     ANOTHER document — the per-doc signal behind exact-substring dedup
@@ -296,7 +296,7 @@ def qb11_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "qb12_unigram_logprob",
+    "o12_unigram_logprob",
     oracle="""
 WITH words AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
@@ -314,7 +314,7 @@ ORDER BY w.doc_id
 """,
     tags=("training", "quality"),
 )
-def qb12_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o12_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram language-model scoring: mean per-word log-probability of
     each document under the corpus unigram distribution — the cheap
     KenLM-style perplexity proxy used to quality-filter pre-training
@@ -351,7 +351,7 @@ def qb12_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "qb13_model_quality_scores",
+    "o13_model_quality_scores",
     oracle="""
 SELECT doc_id,
        round(CAST(list_reduce(
@@ -369,7 +369,7 @@ ORDER BY doc_id
 """,
     tags=("training", "udf", "quality"),
 )
-def qb13_model_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o13_model_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality scoring, the batched-inference shape: an
     Arrow-batched pandas UDF scores each document and a threshold gates
     it — exactly how a fastText/BERT quality classifier plugs into the
@@ -490,7 +490,7 @@ def qb14_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "qb15_packed_sequences",
+    "o15_packed_sequences",
     oracle=f"""
 WITH packed AS (
   SELECT doc_id, source, text,
@@ -509,7 +509,7 @@ ORDER BY source, pack_id
 """,
     tags=("training", "text"),
 )
-def qb15_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+def o15_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized packed sequences: concatenate each pack's documents
     in doc_id order into one training-sequence text (emitted here as
     its md5 + stats so the oracle hash stays compact) — the writer

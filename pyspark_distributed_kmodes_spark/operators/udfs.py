@@ -21,7 +21,7 @@ from pyspark_distributed_kmodes_spark.sources.tables import table
 
 
 @query(
-    "o01_grouped_agg_udaf",
+    "qo01_grouped_agg_udaf",
     oracle="""
 SELECT o_orderpriority,
        COUNT(*) AS n_orders,
@@ -34,7 +34,7 @@ ORDER BY o_orderpriority
 """,
     tags=("udf", "agg"),
 )
-def o01_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo01_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom mergeable metric as a GROUPED-AGG pandas UDF (SURVEY §2
     "custom cost metrics" row): root-mean-square order price per
     priority, computed inside `.agg()`. (Spark disallows mixing
@@ -74,7 +74,7 @@ def o01_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "o02_right_join",
+    "qo02_right_join",
     oracle="""
 SELECT n.n_name, s.s_name, s.s_acctbal
 FROM (SELECT * FROM supplier WHERE s_acctbal > 9000) s
@@ -83,7 +83,7 @@ ORDER BY n.n_name ASC, s.s_name ASC NULLS LAST
 """,
     tags=("join",),
 )
-def o02_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo02_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right outer join (SURVEY §2 join-family row): high-balance
     suppliers right-joined onto nation — every nation survives, nations
     with no qualifying supplier carry NULL supplier columns.
@@ -103,7 +103,7 @@ def o02_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "o03_mapinarrow_doc_stats",
+    "qo03_mapinarrow_doc_stats",
     oracle="""
 SELECT doc_id,
        CAST(strlen(text) AS BIGINT) AS n_bytes,
@@ -113,7 +113,7 @@ ORDER BY doc_id
 """,
     tags=("udf", "text"),
 )
-def o03_mapinarrow_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo03_mapinarrow_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInArrow (SURVEY §2 UDTF/mapInArrow row): per-document byte and
     word counts computed directly on Arrow RecordBatches with pyarrow
     compute kernels — zero pandas materialization, zero copies beyond
@@ -144,7 +144,7 @@ def o03_mapinarrow_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "o04_udtf_first_words",
+    "qo04_udtf_first_words",
     oracle="""
 SELECT doc_id, CAST(s.pos AS INTEGER) AS pos, s.word
 FROM (
@@ -157,7 +157,7 @@ ORDER BY doc_id, pos
 """,
     tags=("udf", "text"),
 )
-def o04_udtf_first_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qo04_udtf_first_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (table function, SURVEY §2 UDTF row): expands each
     document into its first 3 (pos, word) rows — the one-row-in,
     many-rows-out shape (tokenizers, parsers, span extractors) that

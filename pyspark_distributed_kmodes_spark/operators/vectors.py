@@ -348,8 +348,8 @@ def _ivf_centroids(mat: np.ndarray, n_lists: int, seed: int = 7, iters: int = 5)
     return cents
 
 
-@query("o68_ann_ivf", oracle=None, tags=("vector", "approx"))
-def o68_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("qo68_ann_ivf", oracle=None, tags=("vector", "approx"))
+def qo68_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via IVF (inverted-file) index: coarse k-means centroids → each
     vector posted to its nearest list → queries probe the `nprobe`
     nearest lists → exact re-rank inside the probed lists.

@@ -12,9 +12,9 @@ QUERIES = [
     "q10_agg_family",  # min_by/collect_list determinism
     "q21_lag_lead_running",  # window frames
     "qo63_minhash_neardup",  # multi-stage shuffle pipeline
-    "o97_dup_clusters",  # collapse/expand + iterative CC
-    "o06_sequence_packing",  # per-shard cumsum windows
-    "qb12_unigram_logprob",  # decimal-sum of per-word logprobs
+    "qo97_dup_clusters",  # collapse/expand + iterative CC
+    "qo06_sequence_packing",  # per-shard cumsum windows
+    "o12_unigram_logprob",  # decimal-sum of per-word logprobs
     "qc09_token_budget_allocation",  # integer largest-remainder bookkeeping
     "qc13_label_cohesion",  # decimal zip_with folds over broadcast centroids
     "qe01_weighted_reservoir_sample",  # hash-keyed sampling, WindowGroupLimit

@@ -8,7 +8,7 @@ from pyspark_distributed_kmodes_spark.multimodal.binary import (
     decode_audio,
     decode_image,
     fake_decode_meta,
-    o80_multimodal_decode,
+    qo80_multimodal_decode,
     with_blob,
 )
 from pyspark_distributed_kmodes_spark.sources.tables import table
@@ -34,7 +34,7 @@ def test_fake_decode_deterministic():
 
 
 def test_decode_pipeline_schema_and_rows(spark, sf_dir):
-    out = o80_multimodal_decode(spark, sf_dir)
+    out = qo80_multimodal_decode(spark, sf_dir)
     assert [f.name for f in out.schema.fields] == ["doc_id", "byte_len", "width", "height", "n_frames"]
     rows = out.collect()
     assert len(rows) == table(spark, sf_dir, "documents").count()

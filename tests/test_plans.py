@@ -75,32 +75,32 @@ def test_partition_pruning_on_partitioned_sink(spark, sf_dir, tmp_path_factory):
 
 def test_o02_right_join_broadcasts(spark, sf_dir):
     """Right outer join with a small preserved side must broadcast."""
-    from pyspark_distributed_kmodes_spark.operators.udfs import o02_right_join
+    from pyspark_distributed_kmodes_spark.operators.udfs import qo02_right_join
 
-    assert has_broadcast_join(o02_right_join(spark, sf_dir))
+    assert has_broadcast_join(qo02_right_join(spark, sf_dir))
 
 
 def test_o07_incremental_dedup_no_cartesian(spark, sf_dir):
-    from pyspark_distributed_kmodes_spark.operators.training import o07_incremental_dedup
+    from pyspark_distributed_kmodes_spark.operators.training import qo07_incremental_dedup
 
-    plan = formatted_plan(o07_incremental_dedup(spark, sf_dir))
+    plan = formatted_plan(qo07_incremental_dedup(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "LeftAnti" in plan
 
 
 def test_b11_shared_spans_broadcast_back(spark, sf_dir):
     """The tiny shared-span table must broadcast into the back-join."""
-    from pyspark_distributed_kmodes_spark.operators.training import qb11_duplicate_spans
+    from pyspark_distributed_kmodes_spark.operators.training import o11_duplicate_spans
 
-    assert has_broadcast_join(qb11_duplicate_spans(spark, sf_dir))
+    assert has_broadcast_join(o11_duplicate_spans(spark, sf_dir))
 
 
 def test_b05_chunking_no_shuffle_before_sort(spark, sf_dir):
     """Chunk generation itself is shuffle-free; the only exchange comes
     from the oracle-determinism orderBy."""
-    from pyspark_distributed_kmodes_spark.operators.training import o05_context_chunks
+    from pyspark_distributed_kmodes_spark.operators.training import qo05_context_chunks
 
-    plan = formatted_plan(o05_context_chunks(spark, sf_dir))
+    plan = formatted_plan(qo05_context_chunks(spark, sf_dir))
     import re
 
     n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", plan))

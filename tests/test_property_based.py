@@ -91,7 +91,7 @@ def test_context_chunks_cover_and_reconstruct(sparkm, docs):
     from pyspark_distributed_kmodes_spark.operators.training import (
         CHUNK_STRIDE,
         CHUNK_WORDS,
-        o05_context_chunks,
+        qo05_context_chunks,
     )
     from pyspark_distributed_kmodes_spark.operators import training as tr
 
@@ -101,7 +101,7 @@ def test_context_chunks_cover_and_reconstruct(sparkm, docs):
     orig = tr.table
     tr.table = lambda spark, sf_dir, name: df
     try:
-        out = o05_context_chunks(sparkm, "ignored").collect()
+        out = qo05_context_chunks(sparkm, "ignored").collect()
     finally:
         tr.table = orig
     by_doc = {}
@@ -134,7 +134,7 @@ def test_sequence_packing_offsets_consistent(sparkm, docs):
     orig = tr.table
     tr.table = lambda spark, sf_dir, name: df
     try:
-        out = tr.o06_sequence_packing(sparkm, "ignored").collect()
+        out = tr.qo06_sequence_packing(sparkm, "ignored").collect()
     finally:
         tr.table = orig
     for src in {r.source for r in out}:

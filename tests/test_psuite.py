@@ -88,7 +88,7 @@ def p01_replay(duck):
 
 def test_p01_matches_python_replay(spark, sf_dir, reg, p01_replay):
     assign, comp, _ = p01_replay
-    rows = reg["p01_semantic_dedup_fixed_quantizer"].fn(spark, sf_dir).collect()
+    rows = reg["qp01_semantic_dedup_fixed_quantizer"].fn(spark, sf_dir).collect()
     assert len(rows) == len(assign)
     sizes = {}
     for c in comp.values():
@@ -104,7 +104,7 @@ def test_p01_components_stay_within_one_list(spark, sf_dir, reg):
     """Edges are intra-list only, so every component must live inside a
     single coarse list — the SemDeDup candidate-bound property the
     whole 100 TB argument rests on."""
-    rows = reg["p01_semantic_dedup_fixed_quantizer"].fn(spark, sf_dir).collect()
+    rows = reg["qp01_semantic_dedup_fixed_quantizer"].fn(spark, sf_dir).collect()
     lists_per_comp = {}
     keeps = {}
     for r in rows:
@@ -172,7 +172,7 @@ def _p02_python_replay(duck, k=5):
 
 def test_p02_matches_python_replay(spark, sf_dir, reg, duck):
     init, new_modes, per, _, _, _ = _p02_python_replay(duck)
-    rows = reg["p02_kmodes_fit_step_trace"].fn(spark, sf_dir).collect()
+    rows = reg["qp02_kmodes_fit_step_trace"].fn(spark, sf_dir).collect()
     assert len(rows) == 5
     for r in rows:
         n_init, n_after, n_stayed, cost, mode = per[r.cluster]
@@ -240,7 +240,7 @@ def test_p03_metrics_match_python_chunks(spark, sf_dir, reg, duck):
     """The observed per-batch metrics must equal a python recount of
     each tercile chunk (batch boundaries AND arithmetic)."""
     chunks = _tercile_chunks(duck)
-    rows = reg["p03_stream_observe_metrics"].fn(spark, sf_dir).collect()
+    rows = reg["qp03_stream_observe_metrics"].fn(spark, sf_dir).collect()
     assert [r.batch for r in rows] == [0, 1, 2]
     for r, chunk in zip(rows, chunks):
         assert r.n_rows == len(chunk)
@@ -404,7 +404,7 @@ def test_p04_emitted_is_watermark_cleared_subset(spark, sf_dir, reg, duck):
     if cur:
         sessions.append(cur)
     by_key = {(s["u"], s["start"]): s for s in sessions}
-    emitted = reg["p04_stream_session_windows"].fn(spark, sf_dir).collect()
+    emitted = reg["qp04_stream_session_windows"].fn(spark, sf_dir).collect()
     assert 0 < len(emitted) < len(sessions)
     for r in emitted:
         s = by_key[(r.user_id, r.session_start)]
@@ -419,7 +419,7 @@ def test_p05_last_day_legally_in_state(spark, sf_dir, reg, duck):
     inside the watermark horizon) — the tail-exclusion rule is
     load-bearing, not vacuous."""
     days = {r[0] for r in duck.execute("SELECT DISTINCT date_trunc('day', ts) FROM events").fetchall()}
-    emitted = {r.day for r in reg["p05_stream_chained_stateful"].fn(spark, sf_dir).collect()}
+    emitted = {r.day for r in reg["qp05_stream_chained_stateful"].fn(spark, sf_dir).collect()}
     assert max(days) not in emitted
     assert len(emitted) == len(days) - 1
 
@@ -436,7 +436,7 @@ def test_p06_state_is_unbounded_vs_o12_bounded(spark, sf_dir, reg):
 
     from pyspark_distributed_kmodes_spark.operators.analytics12 import stage_event_terciles
 
-    rows = reg["p06_stream_dedup_unbounded_state"].fn(spark, sf_dir).collect()
+    rows = reg["qp06_stream_dedup_unbounded_state"].fn(spark, sf_dir).collect()
     n_keys = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id").distinct().count()
     assert all(r.state_rows == n_keys for r in rows)
     # run the o12-style bounded variant on the same stage and read ITS state
@@ -575,7 +575,7 @@ def test_p07_state_matches_relational_law(spark, sf_dir, reg, duck):
             expected.add(("left", eid))
         elif et == "purchase" and ts >= wm:
             expected.add(("right", eid))
-    rows = reg["p07_stream_join_state_reader"].fn(spark, sf_dir).collect()
+    rows = reg["qp07_stream_join_state_reader"].fn(spark, sf_dir).collect()
     assert {(r.side, r.event_id) for r in rows} == expected
     assert expected, "survivor set must be non-empty"
 
@@ -614,7 +614,7 @@ def test_p08_analyze_is_really_polymorphic(spark):
 
 def test_p08_matches_python_split(spark, sf_dir, reg, duck):
     docs = dict(duck.execute("SELECT doc_id, text FROM documents").fetchall())
-    rows = reg["p08_udtf_polymorphic_analyze"].fn(spark, sf_dir).collect()
+    rows = reg["qp08_udtf_polymorphic_analyze"].fn(spark, sf_dir).collect()
     assert len(rows) == len(docs)
     for r in rows:
         words = docs[r.doc_id].split(" ")
@@ -664,7 +664,7 @@ def test_p09_matches_python_rollup(spark, sf_dir, reg, duck):
         cur[2] += 1 if shifted.date() != ts.date() else 0
         cur[3] = ts if cur[3] is None else min(cur[3], ts)
         cur[4] = shifted if cur[4] is None else max(cur[4], shifted)
-    out = reg["p09_timestamp_ntz_surface"].fn(spark, sf_dir).collect()
+    out = reg["qp09_timestamp_ntz_surface"].fn(spark, sf_dir).collect()
     assert len(out) == len(per_hour)
     for r in out:
         n, n_rebuilt, n_cross, mn, mx = per_hour[r.hour_of_day]
@@ -698,7 +698,7 @@ def test_p10_ecb_determinism_and_quarantine_contract(spark):
 
 
 def test_p10_matches_python_replay(spark, sf_dir, reg, duck):
-    rows = reg["p10_aes_codec_quarantine"].fn(spark, sf_dir).collect()
+    rows = reg["qp10_aes_codec_quarantine"].fn(spark, sf_dir).collect()
     exp = {}
     for st, prio, ok_ in duck.execute(
         "SELECT o_orderstatus, o_orderpriority, o_orderkey FROM orders"
@@ -735,7 +735,7 @@ def test_p11_corpus_is_printable_ascii(duck):
 def test_p11_matches_python_replay(spark, sf_dir, reg, duck):
     import hashlib as _h
 
-    rows = reg["p11_binary_chunk_transport"].fn(spark, sf_dir).collect()
+    rows = reg["qp11_binary_chunk_transport"].fn(spark, sf_dir).collect()
     docs = dict(duck.execute("SELECT doc_id, text FROM documents").fetchall())
     assert len(rows) == len(docs)
     C = 64
@@ -754,7 +754,7 @@ def test_p11_matches_python_replay(spark, sf_dir, reg, duck):
 
 
 def test_p11_losses_really_planted(spark, sf_dir, reg):
-    rows = reg["p11_binary_chunk_transport"].fn(spark, sf_dir).collect()
+    rows = reg["qp11_binary_chunk_transport"].fn(spark, sf_dir).collect()
     broken = [r for r in rows if not r.intact]
     assert broken, "at least one multi-chunk doc must hit the plant rule"
     assert all(r.doc_id % 17 == 0 for r in broken)
@@ -776,7 +776,7 @@ def test_p11_zero_length_doc_yields_zero_chunks(spark, reg, tmp_path):
         "doc_id long, text string",
     )
     docs.coalesce(1).write.parquet(str(sf / "documents.parquet"))
-    rows = {r.doc_id: r for r in reg["p11_binary_chunk_transport"].fn(spark, str(sf)).collect()}
+    rows = {r.doc_id: r for r in reg["qp11_binary_chunk_transport"].fn(spark, str(sf)).collect()}
     assert set(rows) == {1, 2, 17}
     r1 = rows[1]
     assert (r1.n_chunks_received, r1.bytes_received, r1.intact) == (0, 0, True)
@@ -792,7 +792,7 @@ def test_p12_collation_did_the_matching(spark, sf_dir, reg):
     """Every joined row matched through the collation (n_binary_equal
     == 0 on this uppercase corpus) and nothing was lost vs the orders
     rowcount."""
-    rows = reg["p12_collated_join"].fn(spark, sf_dir).collect()
+    rows = reg["qp12_collated_join"].fn(spark, sf_dir).collect()
     assert all(r.n_binary_equal == 0 for r in rows)
     total = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
     assert sum(r.n_orders for r in rows) == total
@@ -808,7 +808,7 @@ def test_p13_every_event_resolves_and_join_is_broadcast(spark, sf_dir, reg):
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     unmatched = e.join(c, e.user_id == c.c_custkey, "left_anti").count()
     assert unmatched == 0
-    rows = reg["p13_stream_static_join"].fn(spark, sf_dir).collect()
+    rows = reg["qp13_stream_static_join"].fn(spark, sf_dir).collect()
     assert sum(r.n for r in rows) == e.count()
     # plan pin on the batch-equivalent join: broadcast, no shuffle of the fact
     plan = e.join(
@@ -826,11 +826,11 @@ def test_p14_custom_timer_sessionizer_equals_builtin(spark, sf_dir, reg):
     same guard band, same schema."""
     custom = {
         (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_ids)
-        for r in reg["p14_stateful_timer_sessions"].fn(spark, sf_dir).collect()
+        for r in reg["qp14_stateful_timer_sessions"].fn(spark, sf_dir).collect()
     }
     builtin = {
         (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_ids)
-        for r in reg["p04_stream_session_windows"].fn(spark, sf_dir).collect()
+        for r in reg["qp04_stream_session_windows"].fn(spark, sf_dir).collect()
     }
     assert custom == builtin and custom
 
@@ -963,7 +963,7 @@ def test_p15_watermark_is_min_of_sources(spark, sf_dir, reg, duck):
     source against a python replay."""
     from datetime import timedelta
 
-    rows = reg["p15_stream_union_two_sources"].fn(spark, sf_dir).collect()
+    rows = reg["qp15_stream_union_two_sources"].fn(spark, sf_dir).collect()
     assert rows
     mx_a = duck.execute("SELECT MAX(ts) FROM events").fetchone()[0]
     cutoff = mx_a - timedelta(hours=1, seconds=1)  # min-of-sources wm - 1 s
@@ -981,7 +981,7 @@ def test_p16_files_are_contiguous_sorted_slices(spark, sf_dir, reg, duck):
     k's max_ts <= file k+1's min_ts (contiguous time slices), every
     file but the last holds exactly the cap, and the total row count
     is the table's."""
-    rows = reg["p16_sorted_run_writer_audit"].fn(spark, sf_dir).collect()
+    rows = reg["qp16_sorted_run_writer_audit"].fn(spark, sf_dir).collect()
     total = duck.execute("SELECT COUNT(*) FROM events").fetchone()[0]
     assert sum(r.n_rows for r in rows) == total
     for i, r in enumerate(rows[:-1]):
@@ -1006,7 +1006,7 @@ def test_p16_file_idx_deterministic_under_timestamp_ties(spark, reg, tmp_path):
         [(one_ts, i) for i in range(5000)], "ts timestamp, event_id long"
     )
     ev.coalesce(1).write.parquet(str(sf / "events.parquet"))
-    rows = reg["p16_sorted_run_writer_audit"].fn(spark, str(sf)).collect()
+    rows = reg["qp16_sorted_run_writer_audit"].fn(spark, str(sf)).collect()
     assert [r.file_idx for r in rows] == [0, 1, 2]
     assert [r.n_rows for r in rows] == [2000, 2000, 1000]
     # closed-form sum of event_id per contiguous 2000-row slice
@@ -1021,7 +1021,7 @@ def test_p17_ntile_remainder_and_tie_laws(spark, sf_dir, reg, duck):
     first `count mod 8` buckets hold ceil(count/8) rows, the rest
     floor(count/8) — and the per-bucket key sums pin that ties at
     bucket boundaries split by the unique-key order."""
-    rows = reg["p17_ntile_equidepth"].fn(spark, sf_dir).collect()
+    rows = reg["qp17_ntile_equidepth"].fn(spark, sf_dir).collect()
     data = duck.execute(
         "SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders"
         " ORDER BY o_orderstatus, o_totalprice, o_orderkey"

@@ -118,17 +118,18 @@ def test_o03_xml_roundtrip_escaping(spark):
 
 
 def test_o_keys_fill_window(reg):
-    """Rotation guard (round 12): the round-11 o-keys rotated out
-    (o -> qo) and the window is now o01-o07 (ex-qb01-qb07) + o68-o99
-    (ex-q68-q99) + the staged p-suite p01-p17 — exactly 50, nothing
-    else. Round-12 staging must use p18+ (sorts after p17, before
-    q01) so it cannot leak in."""
+    """Rotation guard (round 13): the round-12 window rotated out
+    (o -> qo number+suffix preserved, p01-p17 -> qp01-qp17) and the
+    window is now o08-o13 + o15-o19 (ex-qb08-qb13/qb15-qb19, the 11
+    oldest round-3 driver rows) + the staged p18-p56 — exactly 50,
+    nothing else. Round-13 staging must use z01+ (sorts after every
+    q* key) so it cannot leak in."""
     keys = sorted(reg)
     o_keys = [k for k in keys if k[0] == "o" and k[1].isdigit()]
     p_keys = [k for k in keys if k[0] == "p" and k[1].isdigit()]
-    assert len(o_keys) == 33, "o-space must be exactly the 33 renamed re-cert rows"
-    assert len(p_keys) >= 17
-    assert keys[:50] == o_keys + p_keys[:17]
+    assert len(o_keys) == 11, "o-space must be exactly the 11 renamed re-cert rows"
+    assert len(p_keys) == 39
+    assert keys[:50] == o_keys + p_keys
 
 
 def test_o04_sketch_exact_on_bounded_domain(spark, sf_dir, reg, duck):

@@ -100,7 +100,7 @@ def test_o60_topk_ranking_laws(spark, sf_dir, reg):
 def test_o75_decontamination_hit_contract(spark, sf_dir, reg):
     """A contaminated doc has a positive shared-shingle count and a
     concrete eval-doc attribution; counts are never negative."""
-    rows = reg["o75_decontamination"].fn(spark, sf_dir).collect()
+    rows = reg["qo75_decontamination"].fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert r.n_shared_shingles > 0
@@ -111,7 +111,7 @@ def test_q87_funnel_conversion_contract(spark, sf_dir, reg):
     """converted is binary; a conversion requires both timestamps in
     order and secs_to_convert equal to their difference; a
     non-conversion carries no latency."""
-    rows = reg["o87_event_funnel"].fn(spark, sf_dir).collect()
+    rows = reg["qo87_event_funnel"].fn(spark, sf_dir).collect()
     assert any(r.converted == 1 for r in rows)
     for r in rows:
         assert r.converted in (0, 1)
@@ -131,7 +131,7 @@ def test_q88_scd2_intervals_well_formed(spark, sf_dir, reg):
     valid_from never precedes the prior valid_to), with at most one
     open (NULL valid_to) current row."""
     per = defaultdict(list)
-    for r in reg["o88_scd2_history"].fn(spark, sf_dir).collect():
+    for r in reg["qo88_scd2_history"].fn(spark, sf_dir).collect():
         per[r.user_id].append(r)
     assert per
     for rows in per.values():
@@ -150,7 +150,7 @@ def test_q88_scd2_intervals_well_formed(spark, sf_dir, reg):
 def test_o92_histogram_tiles_orders(spark, sf_dir, reg, duck):
     """Bucket counts per status sum to the status's row count — the
     histogram tiles the table with nothing dropped."""
-    rows = reg["o92_histogram"].fn(spark, sf_dir).collect()
+    rows = reg["qo92_histogram"].fn(spark, sf_dir).collect()
     expect = dict(
         duck.execute("SELECT o_orderstatus, COUNT(*) FROM orders GROUP BY 1").fetchall()
     )
@@ -173,7 +173,7 @@ def test_q93_moment_bounds(spark, sf_dir, reg, duck):
             "FROM lineitem GROUP BY 1"
         ).fetchall()
     }
-    for r in reg["o93_exact_stats"].fn(spark, sf_dir).collect():
+    for r in reg["qo93_exact_stats"].fn(spark, sf_dir).collect():
         n, lo, hi = bounds[r.l_returnflag]
         assert r.n == n
         assert lo <= r.mean_qty <= hi
@@ -184,8 +184,8 @@ def test_o95_stratified_sample_deterministic(spark, sf_dir, reg, duck):
     """The seeded-hash sample is a function of the data, not the run:
     two invocations agree exactly, and no stratum over-samples its
     population."""
-    a = sorted(map(tuple, reg["o95_stratified_sample"].fn(spark, sf_dir).collect()))
-    b = sorted(map(tuple, reg["o95_stratified_sample"].fn(spark, sf_dir).collect()))
+    a = sorted(map(tuple, reg["qo95_stratified_sample"].fn(spark, sf_dir).collect()))
+    b = sorted(map(tuple, reg["qo95_stratified_sample"].fn(spark, sf_dir).collect()))
     assert a == b
     pop = dict(duck.execute("SELECT lang, COUNT(*) FROM documents GROUP BY 1").fetchall())
     for lang, n_sampled, min_id, max_id in a:
@@ -199,7 +199,7 @@ def test_q96_mixture_respects_quotas(spark, sf_dir, reg, duck):
     total_chars equals the independent top-quota sum."""
     quotas = {"src0": 40, "src1": 20, "src2": 10}
     rows = {r.source: (r.n_docs, r.total_chars)
-            for r in reg["o96_source_mixture"].fn(spark, sf_dir).collect()}
+            for r in reg["qo96_source_mixture"].fn(spark, sf_dir).collect()}
     assert set(rows) <= set(quotas)
     for src, quota in quotas.items():
         docs = sorted(
@@ -218,7 +218,7 @@ def test_q96_mixture_respects_quotas(spark, sf_dir, reg, duck):
 
 
 def test_q99_repetition_bounds(spark, sf_dir, reg):
-    for r in reg["o99_repetition_ratio"].fn(spark, sf_dir).collect():
+    for r in reg["qo99_repetition_ratio"].fn(spark, sf_dir).collect():
         assert r.n_bigrams >= 0
         if r.n_bigrams > 0:
             assert 0.0 < r.top_bigram_frac <= 1.0

@@ -25,7 +25,7 @@ def test_o02_right_join_preserves_nation(spark, sf_dir, reg, duck):
     """Right-outer law: every nation appears; NULL-supplier rows are
     exactly the nations with no qualifying supplier; each qualifying
     supplier appears exactly once."""
-    rows = reg["o02_right_join"].fn(spark, sf_dir).collect()
+    rows = reg["qo02_right_join"].fn(spark, sf_dir).collect()
     nations = {n for (n,) in duck.execute("SELECT n_name FROM nation").fetchall()}
     no_sup = {
         n
@@ -47,7 +47,7 @@ def test_qb10_bag_algebra_identities(spark, sf_dir, reg, duck):
     copies and INTERSECT ALL + EXCEPT ALL reassembles the left side's
     multiplicity exactly."""
     per = defaultdict(dict)
-    for r in reg["qb10_intersect_except_all"].fn(spark, sf_dir).collect():
+    for r in reg["o10_intersect_except_all"].fn(spark, sf_dir).collect():
         per[r.nationkey][r.op] = r.n
     c = dict(duck.execute("SELECT c_nationkey, COUNT(*) FROM customer GROUP BY 1").fetchall())
     s = dict(duck.execute("SELECT s_nationkey, COUNT(*) FROM supplier GROUP BY 1").fetchall())
@@ -60,7 +60,7 @@ def test_qb10_bag_algebra_identities(spark, sf_dir, reg, duck):
 def test_qb12_logprob_bounds(spark, sf_dir, reg, duck):
     """A unigram LM's average log-probability is strictly negative,
     word counts are positive, and every document scores."""
-    rows = reg["qb12_unigram_logprob"].fn(spark, sf_dir).collect()
+    rows = reg["o12_unigram_logprob"].fn(spark, sf_dir).collect()
     n_docs = duck.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
     assert len(rows) == n_docs
     assert all(r.avg_logprob < 0 for r in rows)
@@ -70,7 +70,7 @@ def test_qb12_logprob_bounds(spark, sf_dir, reg, duck):
 def test_qb17_promo_pct_is_a_percentage(spark, sf_dir, reg):
     """A revenue share lies in [0, 100] and months are calendar
     months."""
-    rows = reg["qb17_promo_revenue"].fn(spark, sf_dir).collect()
+    rows = reg["o17_promo_revenue"].fn(spark, sf_dir).collect()
     assert rows
     assert all(0.0 <= r.promo_pct <= 100.0 for r in rows)
     assert all(1 <= r.l_month <= 12 for r in rows)
@@ -80,7 +80,7 @@ def test_qb19_retention_laws(spark, sf_dir, reg):
     """Cohort laws: week 0 retains the whole cohort, no week retains
     more than the cohort, and the reported ratio IS n_active divided
     by cohort_size."""
-    rows = reg["qb19_retention_cohorts"].fn(spark, sf_dir).collect()
+    rows = reg["o19_retention_cohorts"].fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert r.n_active <= r.cohort_size

@@ -13,9 +13,9 @@ def test_sketch_estimates_within_tolerance(spark, sf_dir):
 
 
 def test_approx_percentile_accuracy(spark, sf_dir):
-    from pyspark_distributed_kmodes_spark.functions.scalar_queries import o91_approx_percentiles
+    from pyspark_distributed_kmodes_spark.functions.scalar_queries import qo91_approx_percentiles
 
-    for r in o91_approx_percentiles(spark, sf_dir).collect():
+    for r in qo91_approx_percentiles(spark, sf_dir).collect():
         assert abs(r.approx_median - r.exact_median) / r.exact_median < 0.02
         assert r.approx_p25 <= r.approx_median <= r.approx_p75
 

@@ -53,10 +53,10 @@ def test_ivf_recall_beats_lsh_floor(spark, sf_dir):
     """IVF with nprobe=4/16 must recover most true top-1 neighbors
     (probing a quarter of the space; far better than LSH on this
     low-similarity corpus)."""
-    from pyspark_distributed_kmodes_spark.operators.vectors import o68_ann_ivf
+    from pyspark_distributed_kmodes_spark.operators.vectors import qo68_ann_ivf
 
     exact = {r.vec_id: r.neighbor_id for r in qo60_cosine_topk(spark, sf_dir).collect() if r.rank == 1}
-    approx = {r.vec_id: r.neighbor_id for r in o68_ann_ivf(spark, sf_dir).collect() if r.rank == 1}
+    approx = {r.vec_id: r.neighbor_id for r in qo68_ann_ivf(spark, sf_dir).collect() if r.rank == 1}
     hits = sum(1 for v, n in approx.items() if exact.get(v) == n)
     assert len(approx) >= 400  # nearly all vectors produce candidates
     assert hits / len(approx) > 0.5

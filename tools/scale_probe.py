@@ -59,10 +59,10 @@ PROBE_QUERIES = [
     "qo50_word_count",
     "qo56_exact_dedup",
     "qo63_minhash_neardup",
-    "o97_dup_clusters",
-    "o05_context_chunks",
-    "qb11_duplicate_spans",
-    "qb12_unigram_logprob",
+    "qo97_dup_clusters",
+    "qo05_context_chunks",
+    "o11_duplicate_spans",
+    "o12_unigram_logprob",
     "qc03_dup_clusters_distributed",
     "qc06_logprob_quality_tiers",
     "qc11_shingle_novelty",
@@ -149,23 +149,23 @@ PROBE_QUERIES = [
     "qo24_csv_expression_roundtrip",
     "qo25_sql_sugar_all_except",
     "qo26_rocksdb_changelog_checkpoint",
-    "p01_semantic_dedup_fixed_quantizer",
-    "p02_kmodes_fit_step_trace",
-    "p03_stream_observe_metrics",
-    "p04_stream_session_windows",
-    "p05_stream_chained_stateful",
-    "p06_stream_dedup_unbounded_state",
-    "p07_stream_join_state_reader",
-    "p08_udtf_polymorphic_analyze",
-    "p09_timestamp_ntz_surface",
-    "p10_aes_codec_quarantine",
-    "p11_binary_chunk_transport",
-    "p12_collated_join",
-    "p13_stream_static_join",
-    "p14_stateful_timer_sessions",
-    "p15_stream_union_two_sources",
-    "p16_sorted_run_writer_audit",
-    "p17_ntile_equidepth",
+    "qp01_semantic_dedup_fixed_quantizer",
+    "qp02_kmodes_fit_step_trace",
+    "qp03_stream_observe_metrics",
+    "qp04_stream_session_windows",
+    "qp05_stream_chained_stateful",
+    "qp06_stream_dedup_unbounded_state",
+    "qp07_stream_join_state_reader",
+    "qp08_udtf_polymorphic_analyze",
+    "qp09_timestamp_ntz_surface",
+    "qp10_aes_codec_quarantine",
+    "qp11_binary_chunk_transport",
+    "qp12_collated_join",
+    "qp13_stream_static_join",
+    "qp14_stateful_timer_sessions",
+    "qp15_stream_union_two_sources",
+    "qp16_sorted_run_writer_audit",
+    "qp17_ntile_equidepth",
 ]
 
 
