@@ -1539,8 +1539,11 @@ def p31_datasource_stream_partitions(spark: SparkSession, sf_dir: str) -> DataFr
     `jsonl_shards` source plans one InputPartition per new shard file
     and reads rows in read(partition) on executors, with offsets
     carrying file names only and latestOffset() pacing ONE file per
-    micro-batch. Documents staged as three doc_id-tercile shards
-    stream back as exactly three data batches (in-hash fact, plus the
+    micro-batch. Documents staged as three doc_id-hash shards by a
+    DISTRIBUTED write (df.repartition(3, doc_id).write.json — one
+    jsonl file per partition, no corpus-sized driver collect, so the
+    fixture idiom matches the scale story the key certifies) stream
+    back as exactly three data batches (in-hash fact, plus the
     one-file-per-batch pacing law: max files per data batch == 1
     derived from per-batch input counts vs per-shard line counts);
     the per-source rollup hash-matches the relational aggregate, so a
@@ -1555,7 +1558,6 @@ def p31_datasource_stream_partitions(spark: SparkSession, sf_dir: str) -> DataFr
     driver holds names; a 10k-shard backlog replays as 10k bounded
     micro-batches (or files_per_batch-sized groups).
     """
-    import json as _json
     import os
     import tempfile
     import time
@@ -1565,26 +1567,25 @@ def p31_datasource_stream_partitions(spark: SparkSession, sf_dir: str) -> DataFr
 
     jsonl.register_shards(spark)
     d = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
-    rows = d.collect()  # bounded: the documents table is the corpus dim here
-    rows.sort(key=lambda r: r.doc_id)
     root = tempfile.mkdtemp(prefix="p31_target_")
     _rmtree_at_exit(root)
-    n = len(rows)
-    cuts = [0, n // 3, 2 * n // 3, n]
-    shard_lines = []
-    for i in range(3):
-        chunk = rows[cuts[i] : cuts[i + 1]]
-        shard_lines.append(len(chunk))
-        with open(os.path.join(root, f"shard-{i}.jsonl"), "w") as f:
-            for r in chunk:
-                f.write(
-                    _json.dumps({"doc_id": r.doc_id, "source": r.source, "n_chars": r.n_chars})
-                    + "\n"
-                )
+    stage = os.path.join(root, "stage")
+    d.repartition(3, "doc_id").write.json(stage)
+    per_file = (
+        spark.read.schema("doc_id bigint, source string, n_chars bigint")
+        .json(os.path.join(stage, "part-*.json"))
+        .groupBy(F.input_file_name().alias("fp"))
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .collect()
+    )  # bounded: one row per shard file (3)
+    shard_lines = [r.n_lines for r in per_file]
+    if len(shard_lines) != 3:
+        raise AssertionError(f"p31: staged {len(shard_lines)} shards, wanted 3")
+    n = sum(shard_lines)
     stream = (
         spark.readStream.format("jsonl_shards")
         .schema("doc_id bigint, source string, n_chars bigint")
-        .option("path", os.path.join(root, "shard-*.jsonl"))
+        .option("path", os.path.join(stage, "part-*.json"))
         .option("files_per_batch", "1")
         .load()
     )
