@@ -83,6 +83,7 @@ def load_all() -> dict[str, Query]:
     import pyspark_distributed_kmodes_spark.operators.analytics12  # noqa: F401
     import pyspark_distributed_kmodes_spark.operators.analytics13  # noqa: F401
     import pyspark_distributed_kmodes_spark.operators.analytics14  # noqa: F401
+    import pyspark_distributed_kmodes_spark.operators.analytics15  # noqa: F401
     import pyspark_distributed_kmodes_spark.operators.constraints  # noqa: F401
     import pyspark_distributed_kmodes_spark.functions.scalar_queries  # noqa: F401
     import pyspark_distributed_kmodes_spark.multimodal.binary  # noqa: F401

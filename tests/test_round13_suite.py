@@ -1,0 +1,150 @@
+"""Independent re-derivations for the round-13 staged suite (z01+,
+operators/analytics15.py): REAL-pandas replays, planted protocol
+fixtures, and law pins. The z-keys sort after every q* key, so they
+stay OUT of the round-13 driver window (pinned in test_entry.py) and
+rename into the round-14 window per the documented plan."""
+
+import pandas as pd
+import pytest
+
+from pyspark_distributed_kmodes_spark.registry import load_all
+
+
+@pytest.fixture(scope="module")
+def reg():
+    return load_all()
+
+
+@pytest.fixture(scope="module")
+def docs_pd(sf_dir):
+    return pd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def orders_pd(sf_dir):
+    return pd.read_parquet(f"{sf_dir}/orders.parquet")
+
+
+# ---------------------------------------------------------------------------
+# z01 — ps.melt + stack vs REAL pandas melt/stack
+
+
+def test_z01_matches_real_pandas_melt(spark, sf_dir, reg, docs_pd):
+    """Third engine: pandas' own melt over the same stats matrix must
+    reproduce every (source, stat, value) row, and stack must agree
+    (melt_eq_stack fact == 1)."""
+    rows = reg["z01_pandas_on_spark_melt_stack"].fn(spark, sf_dir).collect()
+    wide = (
+        docs_pd.groupby("source")
+        .agg(n_docs=("doc_id", "count"), sum_chars=("n_chars", "sum"), max_chars=("n_chars", "max"))
+        .astype("float64")
+        .reset_index()
+    )
+    melted = wide.melt(
+        id_vars=["source"],
+        value_vars=["n_docs", "sum_chars", "max_chars"],
+        var_name="stat",
+        value_name="value",
+    )
+    expect = {(r.source, r.stat): r.value for r in melted.itertuples()}
+    got = {(r.source, r.stat): r.value for r in rows}
+    assert got == expect
+    assert all(r.melt_eq_stack == 1 for r in rows)
+    # pandas stack agrees with pandas melt too (the law both engines pin)
+    stacked = wide.set_index("source").stack().rename("value").reset_index()
+    assert {(r.source, r.level_1): r.value for r in stacked.itertuples()} == expect
+
+
+# ---------------------------------------------------------------------------
+# z02 — ps.expanding vs REAL pandas groupby.expanding
+
+
+def test_z02_matches_real_pandas_expanding(spark, sf_dir, reg, docs_pd):
+    """Third engine: pandas groupby(...).expanding() over the doc_id-
+    sorted frame must reproduce every cumulative row."""
+    rows = reg["z02_pandas_on_spark_expanding"].fn(spark, sf_dir).collect()
+    p = docs_pd.sort_values("doc_id").set_index("doc_id")
+    g = p.groupby("source")[["n_chars"]].expanding()
+    exp = (
+        g.count()["n_chars"].rename("cum_n").to_frame()
+        .join(g.sum()["n_chars"].rename("cum_chars"))
+        .join(g.max()["n_chars"].rename("cum_max"))
+        .reset_index()
+    )
+    expect = {
+        (r.source, r.doc_id): (int(r.cum_n), int(r.cum_chars), int(r.cum_max))
+        for r in exp.itertuples()
+    }
+    got = {(r.source, r.doc_id): (r.cum_n, r.cum_chars, r.cum_max) for r in rows}
+    assert got == expect
+
+
+def test_z02_first_row_per_group_is_its_own_cumulative(spark, sf_dir, reg):
+    """min_periods=1 law: the first doc of every source emits cum_n=1
+    and cum_chars == cum_max == its own n_chars."""
+    rows = reg["z02_pandas_on_spark_expanding"].fn(spark, sf_dir).collect()
+    first = {}
+    for r in rows:  # rows come ordered by source, doc_id
+        first.setdefault(r.source, r)
+    for r in first.values():
+        assert r.cum_n == 1
+        assert r.cum_chars == r.cum_max
+
+
+# ---------------------------------------------------------------------------
+# z03 — ps.ewm vs REAL pandas ewm
+
+
+def test_z03_matches_real_pandas_ewm(spark, sf_dir, reg, orders_pd):
+    """Third engine: pandas Series.ewm(alpha=0.5, adjust=True).mean()
+    over the same 60-order prefix must reproduce every value to the
+    pround(6) pin."""
+    from pyspark_distributed_kmodes_spark.operators.analytics15 import _Z03_N
+
+    rows = reg["z03_pandas_on_spark_ewm"].fn(spark, sf_dir).collect()
+    p = orders_pd.sort_values("o_orderkey").head(_Z03_N).set_index("o_orderkey")
+    ew = p["o_totalprice"].ewm(alpha=0.5, adjust=True).mean()
+    assert len(rows) == _Z03_N
+    for r in rows:
+        assert abs(r.ewm_price - round(float(ew.loc[r.o_orderkey]), 6)) < 1e-6
+
+
+def test_z03_converges_to_recent_values(spark, sf_dir, reg, orders_pd):
+    """EWM law: every output is inside the running [min, max] envelope
+    of the inputs seen so far (a weighted mean cannot escape it)."""
+    from pyspark_distributed_kmodes_spark.operators.analytics15 import _Z03_N
+
+    rows = reg["z03_pandas_on_spark_ewm"].fn(spark, sf_dir).collect()
+    p = orders_pd.sort_values("o_orderkey").head(_Z03_N)
+    lo, hi = float("inf"), float("-inf")
+    for r, x in zip(rows, p["o_totalprice"]):
+        lo, hi = min(lo, x), max(hi, x)
+        assert lo - 1e-6 <= r.ewm_price <= hi + 1e-6
+
+
+# ---------------------------------------------------------------------------
+# z04 — ps.get_dummies vs REAL pandas get_dummies
+
+
+def test_z04_matches_real_pandas_get_dummies(spark, sf_dir, reg, orders_pd):
+    """Third engine: pandas get_dummies + groupby sum reproduces every
+    cell, and per-status dummies sum to the status row count."""
+    rows = reg["z04_pandas_on_spark_get_dummies"].fn(spark, sf_dir).collect()
+    d = pd.get_dummies(
+        orders_pd[["o_orderstatus", "o_orderpriority"]],
+        columns=["o_orderpriority"],
+        prefix="pri",
+        dtype="int64",
+    )
+    agg = d.groupby("o_orderstatus").sum()
+    for r in rows:
+        exp = agg.loc[r.o_orderstatus]
+        assert r.pri_1_urgent == exp["pri_1-URGENT"]
+        assert r.pri_2_high == exp["pri_2-HIGH"]
+        assert r.pri_3_medium == exp["pri_3-MEDIUM"]
+        assert r.pri_4_not_specified == exp["pri_4-NOT SPECIFIED"]
+        assert r.pri_5_low == exp["pri_5-LOW"]
+        assert (
+            r.pri_1_urgent + r.pri_2_high + r.pri_3_medium + r.pri_4_not_specified + r.pri_5_low
+            == r.n_orders
+        )
