@@ -395,3 +395,601 @@ def z04_pandas_on_spark_get_dummies(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# z05 — DataSourceStreamWriter commit/replay protocol (stream twin of p19)
+
+_Z05_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+       CAST(3 AS INTEGER) AS ledger_batches,
+       CAST(3 AS INTEGER) AS ledger_batches_after_replay,
+       CAST(1 AS INTEGER) AS replay_discarded,
+       CAST(0 AS INTEGER) AS tmp_orphans_after_replay
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query(
+    "z05_stream_sink_replay_protocol",
+    oracle=_Z05_ORACLE,
+    tags=("streaming", "sink", "datasource", "audit"),
+)
+def z05_stream_sink_replay_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataSourceStreamWriter COMMIT/REPLAY PROTOCOL under the hash
+    gate — the STREAM twin of p19's batch commit/abort audit, driven
+    by a REAL checkpoint-recovery replay rather than a planted unit
+    call: the events terciles stream through the Python jsonl sink
+    (3 micro-batches, batch-id ledger appended per commit), then the
+    engine-side commit marker of the LAST batch is removed from the
+    checkpoint and the SAME query restarts — Structured Streaming
+    re-executes that batch (its offsets are durable; the source replay
+    is deterministic), hands the sink the SAME batchId, and the sink's
+    ledger must DISCARD the republish: ledger stays 3 lines, the
+    published batch-file set is unchanged, no temp shard survives.
+    The read-back per-type rollup hash-matches the full relational
+    aggregate, so a doubled batch, a dropped batch, or a partial
+    publish all break the gate; the ledger/file-count/orphan facts
+    ride beside it.
+
+    Scale: recovery replays are a FACT OF LIFE at 1000 executors (any
+    driver restart re-runs the last uncommitted batch); per-batch
+    idempotence via the sink's own ledger is what upgrades "at least
+    once" to "exactly once" without coordinating with the engine. The
+    ledger is one JSON line per batch — driver state stays O(batches).
+    """
+    import glob as g
+    import os
+    import tempfile
+    import time
+
+    from pyspark_distributed_kmodes_spark.operators.analytics10 import _rmtree_at_exit
+    from pyspark_distributed_kmodes_spark.operators.analytics12 import stage_event_terciles
+    from pyspark_distributed_kmodes_spark.sources import jsonl
+
+    jsonl.register(spark)
+    stage = stage_event_terciles(spark, sf_dir, doubled=False)
+    staged = spark.read.parquet(stage)
+    root = tempfile.mkdtemp(prefix="z05_target_")
+    _rmtree_at_exit(root)
+    sink = os.path.join(root, "sink")
+    ckpt = os.path.join(root, "ckpt")
+
+    def _run() -> None:
+        src = (
+            spark.readStream.schema(staged.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .select("event_id", "event_type")
+        )
+        q = (
+            src.writeStream.format("jsonl_docs")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout=300):
+            q.stop()
+            raise TimeoutError("z05: availableNow stream did not finish within 300 s")
+        q.stop()
+        deadline = time.time() + 60
+        while q.isActive and time.time() < deadline:
+            time.sleep(0.1)
+
+    def _ledger_lines() -> int:
+        path = os.path.join(sink, "_commits.jsonl")
+        if not os.path.exists(path):
+            return 0
+        with open(path) as f:
+            return sum(1 for line in f if line.strip())
+
+    def _published() -> list:
+        return sorted(g.glob(os.path.join(sink, "batch-*-part-*.jsonl")))
+
+    _run()
+    ledger_1 = _ledger_lines()
+    files_1 = _published()
+
+    # remove the LAST engine commit marker: on restart the engine must
+    # re-execute that batch (same batchId, same deterministic source
+    # slice) and the sink must discard the republish
+    commits = sorted(
+        int(os.path.basename(p))
+        for p in g.glob(os.path.join(ckpt, "commits", "*"))
+        if os.path.basename(p).isdigit()
+    )
+    if not commits:
+        raise AssertionError("z05: no engine commit markers found in the checkpoint")
+    os.remove(os.path.join(ckpt, "commits", str(commits[-1])))
+    # the checksum sibling must go too, or the checkpoint file manager
+    # reads the dangling .crc as concurrent modification and aborts
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    _run()
+    ledger_2 = _ledger_lines()
+    files_2 = _published()
+    tmp_orphans = len(g.glob(os.path.join(sink, "_tmp-*.jsonl")))
+    replay_discarded = int(ledger_2 == ledger_1 and files_2 == files_1)
+
+    back = (
+        spark.read.schema("event_id bigint, event_type string")
+        .json(os.path.join(sink, "batch-*-part-*.jsonl"))
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("event_id").cast("bigint").alias("sum_ids"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "sum_ids",
+            F.lit(ledger_1).cast("int").alias("ledger_batches"),
+            F.lit(ledger_2).cast("int").alias("ledger_batches_after_replay"),
+            F.lit(replay_discarded).cast("int").alias("replay_discarded"),
+            F.lit(tmp_orphans).cast("int").alias("tmp_orphans_after_replay"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# z06 — RocksDB + changelog checkpointing + stream-stream JOIN state
+
+_Z06_ORACLE = """
+WITH wm AS (
+  SELECT least(MAX(CASE WHEN event_type = 'click' THEN ts END),
+               MAX(CASE WHEN event_type = 'purchase' THEN ts END))
+         - INTERVAL 4 HOURS AS w
+  FROM events
+)
+SELECT side, event_id, user_id, ts,
+       CAST(1 AS INTEGER) AS changelog_chain_present,
+       CAST(1 AS INTEGER) AS no_zip_snapshots
+FROM (
+  SELECT 'left' AS side, event_id, user_id, ts
+  FROM events, wm
+  WHERE event_type = 'click' AND ts + INTERVAL 2 HOURS >= w
+  UNION ALL
+  SELECT 'right', event_id, user_id, ts
+  FROM events, wm
+  WHERE event_type = 'purchase' AND ts >= w
+)
+ORDER BY side, event_id
+"""
+
+
+@query(
+    "z06_rocksdb_changelog_join_state",
+    oracle=_Z06_ORACLE,
+    tags=("streaming", "state", "join", "rocksdb", "audit"),
+)
+def z06_rocksdb_changelog_join_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROCKSDB + CHANGELOG CHECKPOINTING over STREAM-STREAM JOIN STATE
+    under the hash gate — the combination the family audits left open:
+    qo19 proved RocksDB provider parity and qo26 the changelog chain,
+    both on AGGREGATION state; qp07/p29 proved join-state readback on
+    the default provider. Here the qp07 interval join (clicks x
+    purchases by user within 2 h, both sides watermarked 4 h, 3-chunk
+    chronological replay) runs with RocksDBStateStoreProvider AND
+    changelogCheckpointing enabled, so each of the join's FOUR stores
+    per partition uploads O(delta) changelogs and, at the default
+    snapshot interval, NO zip snapshot — both facts in-hash
+    (changelog_chain_present / no_zip_snapshots). The state reader
+    then reconstructs BOTH side buffers purely by replaying the
+    changelog chains (the recovery path a restarted 100 TB join
+    restores through), and the buffered sets must match the
+    relational eviction law row-for-row: left retains clicks with
+    ts + 2 h >= w, right retains purchases with ts >= w, for terminal
+    watermark w = min(side maxima) - 4 h.
+
+    Determinism: batch composition pinned by day-tercile cuts and
+    mtime-ordered replay; both confs and the shuffle-partition pin
+    are snapshotted and restored in a finally; the result is
+    materialized (lineage cut) before the confs are restored.
+
+    Scale: join state is the dominant streaming-state cost at 100 TB
+    (two sides x horizon x rate); RocksDB moves it off-heap/on-disk
+    and changelog checkpointing makes per-batch upload O(churn)
+    instead of O(buffer) — this key certifies that the combination is
+    value-exact, not just that it runs.
+    """
+    import glob as g
+    import os
+    import tempfile
+
+    from pyspark_distributed_kmodes_spark.functions.lineage import cut_lineage
+    from pyspark_distributed_kmodes_spark.operators.analytics10 import _rmtree_at_exit
+    from pyspark_distributed_kmodes_spark.operators.analytics12 import (
+        _O19_PROVIDER_KEY,
+        _O19_ROCKSDB,
+        _O26_CHANGELOG_KEY,
+        stage_event_terciles,
+    )
+
+    stage = stage_event_terciles(spark, sf_dir, doubled=False)
+    staged = spark.read.parquet(stage)
+    root = tempfile.mkdtemp(prefix="z06_target_")
+    _rmtree_at_exit(root)
+    ckpt = os.path.join(root, "ckpt")
+
+    prev = {
+        _O19_PROVIDER_KEY: spark.conf.get(_O19_PROVIDER_KEY),
+        _O26_CHANGELOG_KEY: spark.conf.get(_O26_CHANGELOG_KEY, None),
+        "spark.sql.shuffle.partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+    }
+    spark.conf.set(_O19_PROVIDER_KEY, _O19_ROCKSDB)
+    spark.conf.set(_O26_CHANGELOG_KEY, "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        src = (
+            spark.readStream.schema(staged.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        clicks = (
+            src.where(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("c_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "4 hours")
+        )
+        purch = (
+            src.where(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("p_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "4 hours")
+        )
+        joined = clicks.join(
+            purch,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 2 HOURS")),
+            "inner",
+        )
+        q = (
+            joined.writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout=300):
+            q.stop()
+            raise TimeoutError("z06: availableNow stream did not finish within 300 s")
+
+        changelogs = g.glob(os.path.join(ckpt, "state", "0", "*", "*", "*.changelog"))
+        zips = g.glob(os.path.join(ckpt, "state", "0", "*", "*", "*.zip"))
+        left_logs = [p for p in changelogs if "left-keyToNumValues" in p]
+        right_logs = [p for p in changelogs if "right-keyToNumValues" in p]
+        chain = int(len(left_logs) >= 3 and len(right_logs) >= 3)
+        no_zips = int(len(zips) == 0)
+
+        left = (
+            spark.read.format("statestore")
+            .option("joinSide", "left")
+            .load(ckpt)
+            .select(
+                F.lit("left").alias("side"),
+                F.col("value.c_id").alias("event_id"),
+                F.col("value.c_user").alias("user_id"),
+                F.col("value.c_ts").alias("ts"),
+            )
+        )
+        right = (
+            spark.read.format("statestore")
+            .option("joinSide", "right")
+            .load(ckpt)
+            .select(
+                F.lit("right").alias("side"),
+                F.col("value.p_id").alias("event_id"),
+                F.col("value.p_user").alias("user_id"),
+                F.col("value.p_ts").alias("ts"),
+            )
+        )
+        out = (
+            left.unionByName(right)
+            .withColumn("changelog_chain_present", F.lit(chain).cast("int"))
+            .withColumn("no_zip_snapshots", F.lit(no_zips).cast("int"))
+            .orderBy("side", "event_id")
+            .transform(cut_lineage)
+        )
+    finally:
+        spark.conf.set(_O19_PROVIDER_KEY, prev[_O19_PROVIDER_KEY])
+        if prev[_O26_CHANGELOG_KEY] is None:
+            spark.conf.unset(_O26_CHANGELOG_KEY)
+        else:
+            spark.conf.set(_O26_CHANGELOG_KEY, prev[_O26_CHANGELOG_KEY])
+        spark.conf.set("spark.sql.shuffle.partitions", prev["spark.sql.shuffle.partitions"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# z07 — checkpoint restart resume: exactly-once across stop + new data
+
+_Z07_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+       CAST(2 AS INTEGER) AS phase_a_batches,
+       CAST(2 AS INTEGER) AS phase_b_new_batches,
+       CAST(1 AS INTEGER) AS exactly_once
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query(
+    "z07_stream_restart_resume",
+    oracle=_Z07_ORACLE,
+    tags=("streaming", "checkpoint", "audit"),
+)
+def z07_stream_restart_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKPOINT RESTART RESUME under the hash gate — the stop /
+    new-data / restart lifecycle every production file backlog lives
+    through, which the suite's streaming keys (single-run availableNow
+    replays) never exercised end-to-end. Phase A streams the first TWO
+    chronological event tranches to a parquet sink (availableNow,
+    maxFilesPerTrigger=1 -> exactly 2 engine batches) and terminates.
+    Two MORE tranches then land in the source directory and the SAME
+    query restarts from the SAME checkpoint: the source's seen-files
+    log must skip the already-ingested tranches and the engine must
+    process exactly the two new ones (2 new commit markers). The
+    read-back per-type rollup hash-matches the full-table relational
+    aggregate and the exactly_once probe (row count == distinct
+    event_id count) rides the hash — a re-ingested tranche, a skipped
+    tranche, or a sink double-write all break the gate.
+
+    Scale: restart-resume is THE operational loop of a 100 TB landing
+    zone (stop for a deploy, backlog accumulates, restart). The
+    seen-files log and commit markers are O(files) and O(batches) —
+    driver-sized metadata, never data.
+    """
+    import glob as g
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark_distributed_kmodes_spark.operators.analytics10 import (
+        _rmtree_at_exit,
+        _time_chunk_files,
+    )
+    from pyspark_distributed_kmodes_spark.operators.analytics12 import _order_stage_files
+
+    chunk_files = _time_chunk_files(spark, sf_dir, 4)
+    holding = os.path.dirname(chunk_files[0])
+    root = tempfile.mkdtemp(prefix="z07_target_")
+    _rmtree_at_exit(root)
+    stage = os.path.join(root, "stage")
+    os.makedirs(stage)
+    sink = os.path.join(root, "sink")
+    ckpt = os.path.join(root, "ckpt")
+    e_schema = spark.read.parquet(chunk_files[0]).schema
+
+    def _run() -> None:
+        import time
+
+        src = (
+            spark.readStream.schema(e_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .select("event_id", "event_type", "user_id", "ts")
+        )
+        q = (
+            src.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout=300):
+            q.stop()
+            raise TimeoutError("z07: availableNow stream did not finish within 300 s")
+        q.stop()
+        deadline = time.time() + 60
+        while q.isActive and time.time() < deadline:
+            time.sleep(0.1)
+
+    def _n_commits() -> int:
+        return len(
+            [
+                p
+                for p in g.glob(os.path.join(ckpt, "commits", "*"))
+                if os.path.basename(p).isdigit()
+            ]
+        )
+
+    # Phase A: first two chronological tranches
+    for f in chunk_files[:2]:
+        shutil.copy(f, stage)
+    _order_stage_files(stage)
+    _run()
+    batches_a = _n_commits()
+
+    # backlog lands while the query is down; restart from the SAME ckpt
+    for f in chunk_files[2:]:
+        shutil.copy(f, stage)
+    _order_stage_files(stage)
+    shutil.rmtree(holding, ignore_errors=True)
+    _run()
+    batches_b_new = _n_commits() - batches_a
+
+    back = spark.read.parquet(sink)
+    n_rows = back.count()
+    n_distinct = back.select("event_id").distinct().count()
+    exactly_once = int(n_rows == n_distinct)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("event_id").cast("bigint").alias("sum_ids"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "sum_ids",
+            F.lit(batches_a).cast("int").alias("phase_a_batches"),
+            F.lit(batches_b_new).cast("int").alias("phase_b_new_batches"),
+            F.lit(exactly_once).cast("int").alias("exactly_once"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# z08 — output-mode matrix: append vs update vs complete
+
+_Z08_ORACLE = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+       CAST(1 AS INTEGER) AS append_subset_of_complete,
+       CAST(1 AS INTEGER) AS append_windows_closed,
+       CAST(1 AS INTEGER) AS update_keys_cover_complete
+FROM events
+GROUP BY 1, 2
+ORDER BY day_start, event_type
+"""
+
+
+@query(
+    "z08_stream_output_mode_matrix",
+    oracle=_Z08_ORACLE,
+    tags=("streaming", "watermark", "audit"),
+)
+def z08_stream_output_mode_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTPUT-MODE MATRIX under the hash gate — the SAME per-day
+    per-type windowed aggregate replayed three times over identical
+    staged micro-batches, once per output mode, into memory sinks:
+
+    - COMPLETE's final snapshot is the product: it must hash-match the
+      relational rollup (this is the mode a dashboard sink consumes).
+    - APPEND (2 h watermark) may only emit CLOSED windows, exactly
+      once, with their FINAL values: every appended row must appear in
+      complete with identical values (append_subset_of_complete), and
+      every appended window must satisfy window_end <= terminal
+      watermark = max(ts) - 2 h (append_windows_closed) — emitting an
+      open window, or a closed one with a stale value, breaks the
+      fact.
+    - UPDATE must touch every key at least once: the distinct key set
+      of its accumulated emissions equals complete's key set
+      (update_keys_cover_complete) — a mode that skipped re-emitting
+      a changed key would show here.
+
+    Scale: the three modes share one plan shape (map-side partial agg,
+    one shuffle on the window+type key, state store holds open
+    windows); the mode choice only changes WHAT leaves the state
+    store per batch — append is O(closed windows), update O(changed
+    keys), complete O(all keys). Knowing their laws is what lets a
+    100 TB pipeline pick the cheapest sink-compatible mode.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark_distributed_kmodes_spark.operators.analytics10 import _rmtree_at_exit
+    from pyspark_distributed_kmodes_spark.operators.analytics12 import stage_event_terciles
+
+    stage = stage_event_terciles(spark, sf_dir, doubled=False)
+    staged = spark.read.parquet(stage)
+    root = tempfile.mkdtemp(prefix="z08_target_")
+    _rmtree_at_exit(root)
+    tag = uuid.uuid4().hex[:8]
+    # pin state partitioning (the p20/p29 rule): a vanilla 200-partition
+    # session would pay 3 x 200 state-store tasks per micro-batch here
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+    def _run(mode: str) -> DataFrame:
+        import time
+
+        src = (
+            spark.readStream.schema(staged.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .withWatermark("ts", "2 hours")
+        )
+        agg = src.groupBy(F.window("ts", "1 day").alias("w"), "event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("event_id").cast("bigint").alias("sum_ids"),
+        )
+        name = f"z08_{mode}_{tag}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", os.path.join(root, f"ckpt_{mode}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout=300):
+            q.stop()
+            raise TimeoutError(f"z08: {mode} stream did not finish within 300 s")
+        q.stop()
+        deadline = time.time() + 60
+        while q.isActive and time.time() < deadline:
+            time.sleep(0.1)
+        return spark.table(name).select(
+            F.col("w.start").alias("day_start"),
+            F.col("w.end").alias("day_end"),
+            "event_type",
+            "n_events",
+            "sum_ids",
+        )
+
+    try:
+        complete = _run("complete").cache()
+        append = _run("append").cache()
+        update = _run("update")
+
+        wm = staged.agg(F.max("ts").alias("m")).collect()[0]["m"]  # bounded: 1 row
+        import datetime
+
+        terminal_wm = wm - datetime.timedelta(hours=2)
+
+        comp_vals = complete.select("day_start", "event_type", "n_events", "sum_ids")
+        app_vals = append.select("day_start", "event_type", "n_events", "sum_ids")
+        append_subset = int(app_vals.exceptAll(comp_vals).count() == 0)
+        append_closed = int(
+            append.where(F.col("day_end") > F.lit(terminal_wm)).count() == 0
+        )
+        comp_keys = complete.select("day_start", "event_type")
+        upd_keys = update.select("day_start", "event_type").distinct()
+        update_covers = int(
+            comp_keys.exceptAll(upd_keys).count() == 0
+            and upd_keys.exceptAll(comp_keys).count() == 0
+        )
+        out = (
+            comp_vals.select(
+                "day_start",
+                "event_type",
+                "n_events",
+                "sum_ids",
+                F.lit(append_subset).cast("int").alias("append_subset_of_complete"),
+                F.lit(append_closed).cast("int").alias("append_windows_closed"),
+                F.lit(update_covers).cast("int").alias("update_keys_cover_complete"),
+            )
+            .orderBy("day_start", "event_type")
+            # materialize under the pinned conf (bounded: one row per
+            # (day, type) cell), then release the cached snapshots
+            .transform(lambda df: spark.createDataFrame(df.collect(), df.schema))
+        )
+        complete.unpersist()
+        append.unpersist()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return out

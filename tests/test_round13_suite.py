@@ -148,3 +148,122 @@ def test_z04_matches_real_pandas_get_dummies(spark, sf_dir, reg, orders_pd):
             r.pri_1_urgent + r.pri_2_high + r.pri_3_medium + r.pri_4_not_specified + r.pri_5_low
             == r.n_orders
         )
+
+
+# ---------------------------------------------------------------------------
+# z05 — stream sink commit/replay protocol
+
+
+def test_z05_protocol_facts_and_rollup(spark, sf_dir, reg, docs_pd):
+    """The replay must be discarded (facts pinned) and the read-back
+    rollup must equal a pandas aggregate of the raw events."""
+    rows = reg["z05_stream_sink_replay_protocol"].fn(spark, sf_dir).collect()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    agg = ev.groupby("event_type").agg(n=("event_id", "count"), s=("event_id", "sum"))
+    assert len(rows) == len(agg)
+    for r in rows:
+        assert r.ledger_batches == 3
+        assert r.ledger_batches_after_replay == 3
+        assert r.replay_discarded == 1
+        assert r.tmp_orphans_after_replay == 0
+        assert r.n_events == agg.loc[r.event_type, "n"]
+        assert r.sum_ids == agg.loc[r.event_type, "s"]
+
+
+def test_z05_stream_writer_unit_replay_discard(spark, tmp_path):
+    """Planted protocol fixture: committing the SAME batchId twice must
+    publish once — the second commit deletes its temp shards."""
+    import glob
+    import json
+    import os
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from pyspark_distributed_kmodes_spark.sources.jsonl import (
+        JsonlDocsStreamWriter,
+        JsonlShardCommit,
+    )
+
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    schema = StructType([StructField("x", LongType())])
+    w = JsonlDocsStreamWriter({"path": out}, schema, overwrite=False)
+
+    def shard(vals):
+        p = os.path.join(out, f"_tmp-{len(glob.glob(os.path.join(out, '*')))}.jsonl")
+        with open(p, "w") as f:
+            for v in vals:
+                f.write(json.dumps({"x": v}) + "\n")
+        return JsonlShardCommit(p, len(vals))
+
+    w.commit([shard([1, 2])], 7)
+    w.commit([shard([1, 2])], 7)  # replay: must be discarded
+    published = glob.glob(os.path.join(out, "batch-*-part-*.jsonl"))
+    assert len(published) == 1
+    with open(os.path.join(out, "_commits.jsonl")) as f:
+        assert sum(1 for line in f if line.strip()) == 1
+    assert not glob.glob(os.path.join(out, "_tmp-*.jsonl"))
+
+
+# ---------------------------------------------------------------------------
+# z06 — RocksDB changelog + join state
+
+
+def test_z06_matches_python_eviction_law(spark, sf_dir, reg):
+    """Third engine: the retained buffers derived in pure python from
+    the raw events (w = min(side maxima) - 4 h; left keeps clicks with
+    ts + 2 h >= w, right keeps purchases with ts >= w) must equal the
+    changelog-reconstructed state row sets."""
+    import datetime
+
+    rows = reg["z06_rocksdb_changelog_join_state"].fn(spark, sf_dir).collect()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    clicks = ev[ev.event_type == "click"]
+    purch = ev[ev.event_type == "purchase"]
+    w = min(clicks.ts.max(), purch.ts.max()) - datetime.timedelta(hours=4)
+    exp_left = set(clicks[clicks.ts + datetime.timedelta(hours=2) >= w].event_id)
+    exp_right = set(purch[purch.ts >= w].event_id)
+    assert {r.event_id for r in rows if r.side == "left"} == exp_left
+    assert {r.event_id for r in rows if r.side == "right"} == exp_right
+    assert all(r.changelog_chain_present == 1 for r in rows)
+    assert all(r.no_zip_snapshots == 1 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# z07 — restart resume
+
+
+def test_z07_exactly_once_and_batch_split(spark, sf_dir, reg):
+    """Phase A ingests 2 tranches, the restart ingests exactly the 2
+    new ones, and the union equals the raw table (pandas replay)."""
+    rows = reg["z07_stream_restart_resume"].fn(spark, sf_dir).collect()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    agg = ev.groupby("event_type").agg(n=("event_id", "count"), s=("event_id", "sum"))
+    assert len(rows) == len(agg)
+    for r in rows:
+        assert r.phase_a_batches == 2
+        assert r.phase_b_new_batches == 2
+        assert r.exactly_once == 1
+        assert r.n_events == agg.loc[r.event_type, "n"]
+        assert r.sum_ids == agg.loc[r.event_type, "s"]
+
+
+# ---------------------------------------------------------------------------
+# z08 — output-mode matrix
+
+
+def test_z08_complete_matches_pandas_and_laws_hold(spark, sf_dir, reg):
+    """Third engine: complete-mode snapshot equals a pandas per-day
+    per-type rollup; the cross-mode laws all hold."""
+    rows = reg["z08_stream_output_mode_matrix"].fn(spark, sf_dir).collect()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev.assign(day=ev.ts.dt.floor("D"))
+    agg = ev.groupby(["day", "event_type"]).agg(n=("event_id", "count"), s=("event_id", "sum"))
+    assert len(rows) == len(agg)
+    for r in rows:
+        key = (pd.Timestamp(r.day_start), r.event_type)
+        assert r.n_events == agg.loc[key, "n"]
+        assert r.sum_ids == agg.loc[key, "s"]
+        assert r.append_subset_of_complete == 1
+        assert r.append_windows_closed == 1
+        assert r.update_keys_cover_complete == 1
