@@ -121,30 +121,38 @@ def connected_components(
         .select(F.col("a").alias("v"), "label")
         .transform(cut_lineage)
     )
+    # Convergence check: labels only ever DECREASE (both update terms
+    # are ≤ the current label set's minima), so the label sum is a
+    # strictly decreasing monotone of progress and the fixpoint is
+    # exactly "sum unchanged". One tiny aggregate over the freshly
+    # checkpointed labels replaces the former new⋈old join + count
+    # action (2 exchanges + 1 join per round). DECIMAL(38,0) sum: exact
+    # and overflow-free at any vertex-id/count scale.
+    def _label_sum(lab: DataFrame):
+        return lab.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         neighbor_min = sym.join(
             labels.select(F.col("v").alias("b"), "label"), "b"
         ).select(F.col("a").alias("v"), "label")
-        # pointer doubling: label(v) ← label(label(v))
+        # pointer doubling: label(v) ← label(label(v)). label(x) ≤ x for
+        # every vertex, so this term is ≤ the current label — the
+        # explicit keep-leg of the union (the old labels themselves) is
+        # redundant and was dropped: doubling alone preserves
+        # monotonicity, and every v joins (its label is itself a vertex).
         doubled = labels.join(
             labels.select(F.col("v").alias("label"), F.col("label").alias("label2")),
             "label",
         ).select("v", F.col("label2").alias("label"))
-        new_labels = (
-            labels.unionByName(neighbor_min)
-            .unionByName(doubled)
+        labels = (
+            neighbor_min.unionByName(doubled)
             .groupBy("v")
             .agg(F.min("label").alias("label"))
             .transform(cut_lineage)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = _label_sum(labels)
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(F.col("v").alias("vertex"), F.col("label").alias("component"))

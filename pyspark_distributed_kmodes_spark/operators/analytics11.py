@@ -534,7 +534,10 @@ def qn06_statestore_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark_distributed_kmodes_spark.operators.analytics10 import _rmtree_at_exit
 
-    e = table(spark, sf_dir, "events")
+    # project BEFORE the staging write: the streaming aggregation only
+    # touches (event_type, event_id), so staging the full events row
+    # multiplies write AND stream-read bytes for nothing (guide §2.3)
+    e = table(spark, sf_dir, "events").select("event_type", "event_id")
     stage = tempfile.mkdtemp(prefix="qn06_stage_")
     ckpt_root = tempfile.mkdtemp(prefix="qn06_ckpt_")
     src = os.path.join(stage, "src")

@@ -980,7 +980,11 @@ def qo12_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> Data
         spark.readStream.schema(staged.schema).option("maxFilesPerTrigger", 1).parquet(stage)
     )
     q = (
-        stream.withWatermark("ts", "1 hour")
+        # project to the columns the dedup + downstream rollup touch:
+        # `value`/`props` (the widest column) otherwise ride through
+        # every micro-batch shuffle AND the survivor sink (guide §2.3)
+        stream.select("event_id", "user_id", "event_type", "ts")
+        .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["event_id"])
         .writeStream.format("parquet")
         .option("path", sink)

@@ -179,14 +179,19 @@ def qf02_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bg")
         .agg(F.count(F.lit(1)).alias("k"))
     )
-    corpus = db.groupBy("bg").agg(F.sum("k").alias("c12"))
+    # corpus bigram totals via a window over the SAME bg key — one
+    # exchange of the (doc, bigram) table where the former
+    # aggregate-and-rejoin paid the aggregation exchange AND re-shuffled
+    # db into the join (round-13; result identical: c12 = Σk per bg)
+    from pyspark.sql import Window
+
     ua = uni.select(F.col("w").alias("w1"), "c1")
     term = F.round(F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v"))), 6).cast(
         "decimal(25,6)"
     )
     return (
-        db.withColumn("w1", F.split("bg", " ")[0])
-        .join(corpus, "bg")
+        db.withColumn("c12", F.sum("k").over(Window.partitionBy("bg")))
+        .withColumn("w1", F.split("bg", " ")[0])
         .join(ua, "w1")
         .crossJoin(F.broadcast(v))
         .groupBy("doc_id")

@@ -134,29 +134,38 @@ def qf18_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     page, which is how eval leakage actually happens.
 
     Scale: the join key is the n-gram itself (inverted index — only
-    docs SHARING an n-gram ever meet, never corpus x eval); the eval
-    side is distinct-collapsed first. DISTINCT per doc keeps the
-    count a per-doc unique-overlap measure. Integer counts only.
+    docs SHARING an n-gram ever meet, never corpus x eval), as a
+    LEFT SEMI join so the eval side needs no global distinct and the
+    probe cannot fan out. Per-doc n-gram dedup is local
+    (array_distinct), keeping the count a per-doc unique-overlap
+    measure with plain COUNT(*). Integer counts only.
     """
     d = table(spark, sf_dir, "documents")
     words = F.split("text", " ")
     n_words = F.size(words)
     starts = F.sequence(F.lit(1), F.greatest(n_words - (_DECON_N - 1), F.lit(0)))
-    grams = (
-        d.select(
-            "doc_id",
-            "source",
-            F.explode(F.transform(starts, lambda s: F.slice(words, s, _DECON_N))).alias("gm"),
-        )
-        .select("doc_id", "source", F.array_join("gm", " ").alias("g"))
-        .distinct()
+    # per-doc distinct n-grams computed LOCALLY (array_distinct): the
+    # old cross-row .distinct() paid a full (doc, source, gram)
+    # exchange for a dedup the row already contains
+    grams = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.transform(starts, lambda s: F.array_join(F.slice(words, s, _DECON_N), " "))
+            )
+        ).alias("g"),
     )
-    eval_grams = grams.filter(F.col("source") == _EVAL_SOURCE).select("g").distinct()
+    eval_grams = grams.filter(F.col("source") == _EVAL_SOURCE).select("g")
+    # left_semi keeps each unique (train doc, gram) row at most once —
+    # the eval side needs NO global distinct and the join cannot fan
+    # out, so the per-doc COUNT(*) below equals COUNT(DISTINCT g)
+    # without distinct-set aggregation state
     hits = (
         grams.filter(F.col("source") != _EVAL_SOURCE)
-        .join(eval_grams, "g")
+        .join(eval_grams, "g", "left_semi")
         .groupBy("doc_id")
-        .agg(F.count_distinct("g").alias("n_shared"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     return (
         d.filter(F.col("source") != _EVAL_SOURCE)

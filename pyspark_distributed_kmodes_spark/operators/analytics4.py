@@ -164,9 +164,13 @@ def qg01_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", pround(F.col("n_chars") / F.col("tot"), 9).alias("tele"))
         .transform(cut_lineage)
     )
+    # static (node, nbr, degree) adjacency attached ONCE — each power
+    # iteration then pays a single rank join instead of rank + degree
+    # joins (round-13: one exchange fewer per iteration)
+    und_deg = und.join(deg, "node").transform(cut_lineage)
     pr = tele.select("node", F.col("tele").alias("pr"))
     for _ in range(_PPR_ITERS):
-        contrib = und.join(pr, "node").join(deg, "node").select(
+        contrib = und_deg.join(pr, "node").select(
             F.col("nbr"), _dterm(F.col("pr") / F.col("degree")).alias("t")
         )
         pr = (
@@ -519,16 +523,21 @@ _MH_K = 8
 _MH_BANDS = 4
 
 
-def _mh_mins(shingles: DataFrame) -> DataFrame:
-    """(doc_id, h0..h7): md5-fold minhash signature over a (doc_id,
-    shingle) DataFrame — ONE groupBy computes all k mins. md5 (not
-    xxhash64) so DuckDB can replicate the signature bit-for-bit; q63's
-    production path keeps the cheaper xxhash64."""
+def _mh_mins(doc_sh: DataFrame) -> DataFrame:
+    """(doc_id, h0..h7): md5-fold minhash signature folded LOCALLY over
+    a (doc_id, sh: array<string>) DataFrame — array_min over a
+    transform, ZERO shuffles (the old explode + groupBy form paid one
+    exchange of every shingle row for the same mins). Docs with no
+    shingles drop out, exactly as they produced no grouped row before.
+    md5 (not xxhash64) so DuckDB can replicate the signature
+    bit-for-bit; q63's production path keeps the cheaper xxhash64."""
     mins = [
-        F.min(_md5fold(F.concat_ws("#", F.col("shingle"), F.lit(str(i))))).alias(f"h{i}")
+        F.array_min(
+            F.transform("sh", lambda x: _md5fold(F.concat_ws("#", x, F.lit(str(i)))))
+        ).alias(f"h{i}")
         for i in range(_MH_K)
     ]
-    return shingles.groupBy("doc_id").agg(*mins)
+    return doc_sh.filter(F.size("sh") >= 1).select("doc_id", *mins)
 
 
 def _sql_mh_mins(src: str = "shingles") -> str:
@@ -539,15 +548,26 @@ def _sql_mh_mins(src: str = "shingles") -> str:
     return f"SELECT doc_id, {mins} FROM {src} GROUP BY doc_id"
 
 
-def _doc_shingles(d: DataFrame) -> DataFrame:
-    """Distinct word-trigram shingles, the _SHINGLE_CTE mirror."""
+def _doc_shingle_arrays(d: DataFrame) -> DataFrame:
+    """(doc_id, sh: array<string>) — distinct word-trigram shingles per
+    doc, computed LOCALLY (array_distinct; empty array for <3-word
+    docs). Signature folds consume the array without any shuffle."""
     words = F.split("text", " ")
     n = F.size(words)
     grams = F.when(
         n >= 3,
-        F.transform(F.sequence(F.lit(1), n - 2), lambda i: F.array_join(F.slice(words, i, 3), " ")),
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n - 2), lambda i: F.array_join(F.slice(words, i, 3), " "))
+        ),
     ).otherwise(F.array().cast("array<string>"))
-    return spread(d, "doc_id").select("doc_id", F.explode(grams).alias("shingle")).distinct()
+    return spread(d, "doc_id").select("doc_id", grams.alias("sh"))
+
+
+def _doc_shingles(d: DataFrame) -> DataFrame:
+    """Distinct word-trigram shingles, the _SHINGLE_CTE mirror — the
+    per-doc dedup happens locally in _doc_shingle_arrays (no cross-row
+    distinct exchange)."""
+    return _doc_shingle_arrays(d).select("doc_id", F.explode("sh").alias("shingle"))
 
 
 @query(
@@ -602,9 +622,20 @@ def qg04_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark_distributed_kmodes_spark.operators.text import ngram_jaccard_pairs
 
+    from pyspark_distributed_kmodes_spark.operators.text import doc_trigram_shingles
+
     d = table(spark, sf_dir, "documents")
-    truth = ngram_jaccard_pairs(d, threshold=0.5).select("doc_a", "doc_b")
-    sigs = _mh_mins(_doc_shingles(d)).transform(cut_lineage)
+    # ONE materialized shingle index serves BOTH passes (round-13): the
+    # exact-Jaccard truth join and the signature aggregation previously
+    # each built their own explode+distinct pipeline; sharing the
+    # checkpoint halves the shingle work and shortens the critical path
+    sh = doc_trigram_shingles(d).transform(cut_lineage)
+    truth = ngram_jaccard_pairs(d, threshold=0.5, shingles=sh).select("doc_a", "doc_b")
+    mins = [
+        F.min(_md5fold(F.concat_ws("#", F.col("shingle"), F.lit(str(i))))).alias(f"h{i}")
+        for i in range(_MH_K)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*mins).transform(cut_lineage)
     bucket = F.explode(
         F.array(
             *[
@@ -700,20 +731,23 @@ def qg05_minhash_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     <= {_MH_K + 1}-row histogram. md5-portable like g04, integers out.
     """
     d = table(spark, sf_dir, "documents")
-    sig_raw = _mh_mins(_doc_shingles(d))
+    sig_raw = _mh_mins(_doc_shingle_arrays(d))
     words = F.split("text", " ")
     norm = F.filter(words, lambda w: ~w.isin(*_G05_STOPWORDS))
     n = F.size(norm)
     grams = F.when(
         n >= 3,
-        F.transform(
-            F.sequence(F.lit(1), n - 2),
-            lambda i: F.array_join(F.slice(norm, i, 3), " "),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - 2),
+                lambda i: F.array_join(F.slice(norm, i, 3), " "),
+            )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    norm_sh = (
-        spread(d, "doc_id").select("doc_id", F.explode(grams).alias("shingle")).distinct()
-    )
+    # per-doc dedup is local (array_distinct) and the signature folds
+    # over the array — the old explode+distinct+groupBy paid two
+    # exchanges for the same mins
+    norm_sh = spread(d, "doc_id").select("doc_id", grams.alias("sh"))
     sig_norm = _mh_mins(norm_sh)
     r = sig_raw.alias("r")
     m = sig_norm.alias("m")
@@ -1366,12 +1400,20 @@ def qg14_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = _md5fold(
         F.concat_ws("", F.col("o_orderkey").cast("string"), F.lit("#"), F.col("b").cast("string"))
     )
-    u = (h.cast("double") + 0.5) / float(2**32)
+    # materialize u in its OWN projection: inlining it into the CASE
+    # gave a plan whose five WHEN branches each re-evaluated the full
+    # md5 fold (5 md5s/row in the round-13 before-plan); a non-cheap
+    # expression referenced 5x is not re-collapsed by the optimizer, so
+    # this evaluates md5 exactly once per (row, replicate)
+    drawn = reps.select(
+        "b", "o_totalprice", ((h.cast("double") + 0.5) / float(2**32)).alias("u")
+    )
+    u = F.col("u")
     w = F.when(u < _G14_CDF[0], 0)
     for k in range(1, 5):
         w = w.when(u < _G14_CDF[k], k)
     w = w.otherwise(5)
-    weighted = reps.select(F.col("b").cast("int").alias("b"), w.alias("w"), "o_totalprice")
+    weighted = drawn.select(F.col("b").cast("int").alias("b"), w.alias("w"), "o_totalprice")
     return (
         weighted.groupBy("b")
         .agg(

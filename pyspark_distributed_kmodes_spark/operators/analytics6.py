@@ -39,14 +39,18 @@ from pyspark_distributed_kmodes_spark.sources.tables import spread, table
 
 def _shingles(d: DataFrame) -> DataFrame:
     """Distinct (doc_id, word-trigram shingle) — the inverted-index unit
-    shared with text.ngram_jaccard_pairs (same guard for <3-word docs)."""
+    shared with text.ngram_jaccard_pairs (same guard for <3-word docs).
+    Per-doc dedup is LOCAL (array_distinct before the explode); the old
+    cross-row .distinct() paid a full exchange for the same rows."""
     words = F.split("text", " ")
     n = F.size(words)
     arr = F.when(
         n >= 3,
-        F.transform(F.sequence(F.lit(1), n - 2), lambda i: F.array_join(F.slice(words, i, 3), " ")),
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n - 2), lambda i: F.array_join(F.slice(words, i, 3), " "))
+        ),
     ).otherwise(F.array().cast("array<string>"))
-    return spread(d, "doc_id").select("doc_id", F.explode(arr).alias("shingle")).distinct()
+    return spread(d, "doc_id").select("doc_id", F.explode(arr).alias("shingle"))
 
 
 _I_SHINGLE_CTE = """
@@ -120,26 +124,30 @@ def qi01_incremental_neardup_edges(spark: SparkSession, sf_dir: str) -> DataFram
     actual production near-dup loop): the corpus arrives as a base
     snapshot (doc_id % 3 != 0) plus a delta batch; the incremental path
     computes base-base edges once from the base-only run, then on delta
-    arrival joins ONLY delta shingles against the stored shingle index
-    to discover every edge touching a delta doc — it never re-pairs
-    base docs. The audit reconciles (base-base ∪ delta-touching)
-    against a full recompute: missing/extra must be 0, which holds
-    because pair Jaccard depends only on the two docs' shingle sets.
+    arrival pairs ONLY delta docs against the stored inverted-index
+    entries to discover every edge touching a delta doc — it never
+    re-pairs base docs. The audit reconciles (base-base ∪
+    delta-touching) against a full recompute: missing/extra must be 0,
+    which holds because pair Jaccard depends only on the two docs'
+    shingle sets.
 
-    Scale: the delta join is |delta shingles| ⋈ shingle index — cost
-    proportional to the DELTA, not the corpus; the stored state is the
-    inverted index + per-doc sizes, exactly what an append pipeline
-    persists. Spark side runs the honest two-run construction (base-run
-    edges, not a filter of the full run). Cites the same edge rule as
-    qd01/qf04 (word-trigram Jaccard >= 0.2).
+    Scale: the delta pass expands only bucket pairs touching a delta
+    doc — cost proportional to the DELTA's bucket membership, not the
+    corpus; the stored state is the inverted index (per-shingle doc
+    lists) + per-doc sizes, exactly what an append pipeline persists.
+    The three pair sets (full / base-run / delta-touching) expand
+    INDEPENDENTLY from that index — the base run works on each
+    bucket restricted to base members, which IS the pre-delta index
+    entry, not a filter of the full run's pair output. Cites the same
+    edge rule as qd01/qf04 (word-trigram Jaccard >= 0.2).
     """
     d = table(spark, sf_dir, "documents")
     # ONE shingle index (the stored state) feeds every path: a doc's
     # shingle set is independent of the rest of the corpus, so the
     # base-only run's shingles are exactly sh_all filtered to base —
     # computing them once is identical to two runs, minus a second
-    # scan+explode+distinct (bench: i01 5.8 s -> shared-index form).
-    sh_all = _shingles(d).transform(cut_lineage)
+    # scan+explode (bench: i01 5.8 s -> shared-index form).
+    sh_all = _shingles(d)
     sizes = sh_all.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     sizes = sizes.transform(cut_lineage)
     sa = sizes.select(F.col("doc_id").alias("u"), F.col("n_shingles").alias("na"))
@@ -156,40 +164,44 @@ def qi01_incremental_neardup_edges(spark: SparkSession, sf_dir: str) -> DataFram
             .select("u", "v")
         )
 
-    a = sh_all.alias("a")
-    b = sh_all.alias("b")
-    full_pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # The inverted index as per-shingle sorted doc lists (ONE grouped
+    # collect — round-13 optimization: the former three self-joins of
+    # sh_all each paid two exchanges + a join for pair sets this frame
+    # expands locally). Buckets of one doc pair with nothing and are
+    # dropped up front.
+    buckets = (
+        sh_all.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .transform(cut_lineage)  # reused by the three pair expansions
     )
-    full = edges_from(full_pairs).transform(cut_lineage)  # reused by 3 counters
-    # base-only run: pairs among base shingles (the pre-delta state)
-    sh_base = sh_all.filter(F.col("doc_id") % 3 != 0)
-    ba = sh_base.alias("a")
-    bb = sh_base.alias("b")
-    base_pairs = (
-        ba.join(bb, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    base_edges = edges_from(base_pairs)
-    # incremental: delta shingles vs the full shingle index (stored state)
-    sh_delta = sh_all.filter(F.col("doc_id") % 3 == 0)
-    dp = (
-        sh_delta.alias("d")
-        .join(sh_all.alias("o"), "shingle")
-        .filter(F.col("d.doc_id") != F.col("o.doc_id"))
-        .select(
-            F.least("d.doc_id", "o.doc_id").alias("u"),
-            F.greatest("d.doc_id", "o.doc_id").alias("v"),
-            "shingle",
+
+    def pair_counts(ds_col, pred=None) -> DataFrame:
+        """(u, v, n_common) from local in-bucket expansion of i < j
+        pairs of the (possibly locally filtered) bucket doc list."""
+        b = buckets.select(ds_col.alias("ds")).filter(F.size("ds") >= 2)
+        member = b.select(F.posexplode("ds").alias("i", "u"), "ds")
+        p = member.select(
+            "u", F.explode(F.slice("ds", F.col("i") + 2, F.size("ds"))).alias("v")
         )
-        .distinct()
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        if pred is not None:
+            p = p.filter(pred)
+        return p.groupBy("u", "v").agg(F.count(F.lit(1)).alias("n_common"))
+
+    full_pairs = pair_counts(F.col("ds"))
+    full = edges_from(full_pairs).transform(cut_lineage)  # reused by 3 counters
+    # base-only run: pairs among base docs — each bucket restricted to
+    # its base members IS that bucket in the pre-delta index (shingle
+    # sets are per-doc)
+    base_pairs = pair_counts(F.filter("ds", lambda x: x % 3 != 0))
+    base_edges = edges_from(base_pairs)
+    # incremental: delta docs paired against the full index entry —
+    # every in-bucket pair touching a delta doc, each shared shingle
+    # counted once (the bucket holds distinct docs per shingle)
+    delta_pairs = pair_counts(
+        F.col("ds"), pred=(F.col("u") % 3 == 0) | (F.col("v") % 3 == 0)
     )
-    delta_edges = edges_from(dp)
+    delta_edges = edges_from(delta_pairs)
     incr = base_edges.unionByName(delta_edges).distinct().transform(cut_lineage)
 
     def cnt(df: DataFrame, name: str) -> DataFrame:

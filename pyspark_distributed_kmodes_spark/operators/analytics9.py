@@ -4664,10 +4664,10 @@ def ql12_minhash_band_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     count comes from the bucket-size histogram, not from enumerating
     pairs.
     """
-    from pyspark_distributed_kmodes_spark.operators.analytics4 import _doc_shingles, _mh_mins
+    from pyspark_distributed_kmodes_spark.operators.analytics4 import _doc_shingle_arrays, _mh_mins
 
     d = table(spark, sf_dir, "documents")
-    sigs = _mh_mins(_doc_shingles(d))
+    sigs = _mh_mins(_doc_shingle_arrays(d))
     band_structs = F.array(
         *[
             F.struct(

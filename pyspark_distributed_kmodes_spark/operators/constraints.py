@@ -99,29 +99,47 @@ def check_constraints(
     each ForeignKey one anti-join count. At 100 TB the row-local pass
     dominates and stays a single whole-stage-codegen scan.
     """
-    rows = []
+    # Build every constraint's count as a 1-row aggregate and cross-join
+    # them into ONE plan collected by ONE action (round-13: the former
+    # per-family sequential collects paid a full job launch each — 3
+    # driver round-trips for qe14 where this pays 1; the independent
+    # subtrees' stages run concurrently inside the single job).
+    names: list[str] = []
+    parts: list[DataFrame] = []
     rowlocal = [c for c in constraints if hasattr(c, "violation")]
     if rowlocal:
-        agg = df.agg(
-            *[F.sum(F.when(c.violation(), 1).otherwise(0)).cast("bigint").alias(c.name) for c in rowlocal]
+        parts.append(
+            df.agg(
+                *[
+                    F.sum(F.when(c.violation(), 1).otherwise(0)).cast("bigint").alias(f"_c{len(names) + i}")
+                    for i, c in enumerate(rowlocal)
+                ]
+            )
         )
-        vals = agg.collect()[0].asDict()
-        rows += [(n, vals[n]) for n in vals]
+        names += [c.name for c in rowlocal]
     for c in constraints:
         if isinstance(c, Unique):
-            n = df.groupBy(*c.cols).count().filter(F.col("count") > 1).agg(
-                F.coalesce(F.sum(F.col("count") - 1), F.lit(0)).cast("bigint").alias("v")
-            ).collect()[0]["v"]
-            rows.append((c.name, n))
+            parts.append(
+                df.groupBy(*c.cols)
+                .count()
+                .filter(F.col("count") > 1)
+                .agg(F.coalesce(F.sum(F.col("count") - 1), F.lit(0)).cast("bigint").alias(f"_c{len(names)}"))
+            )
+            names.append(c.name)
         elif isinstance(c, ForeignKey):
             parent = (parents or {})[c.parent].select(F.col(c.parent_col).alias(c.col)).distinct()
-            n = (
+            parts.append(
                 df.select(c.col)
                 .filter(F.col(c.col).isNotNull())
                 .join(parent, c.col, "left_anti")
-                .count()
+                .agg(F.count(F.lit(1)).cast("bigint").alias(f"_c{len(names)}"))
             )
-            rows.append((c.name, n))
+            names.append(c.name)
+    combined = parts[0]
+    for p in parts[1:]:
+        combined = combined.crossJoin(p)
+    vals = combined.collect()[0] if parts else []
+    rows = list(zip(names, vals))
     out = spark.createDataFrame(
         [(name, int(v), "pass" if v == 0 else "fail") for name, v in rows],
         "check_name string, n_violations bigint, status string",

@@ -209,14 +209,43 @@ ORDER BY doc_a, doc_b
 """
 
 
+def doc_trigram_shingles(d: DataFrame) -> DataFrame:
+    """(doc_id, shingle) — per-doc DISTINCT word-trigram shingles, the
+    dedup happening LOCALLY (array_distinct before the explode; the old
+    cross-row .distinct() paid a full exchange for the same rows).
+    Shared by ngram_jaccard_pairs and callers that also need the index
+    for another pass (qg04's signatures) so one materialization serves
+    both."""
+    words = F.split("text", " ")
+    n = F.size(words)
+    # trigram shingles: words[i..i+2] for i in 0..n-3 (1-based slice);
+    # guarded so docs with <3 words produce an empty array, not a crash
+    shingle_arr = F.when(
+        n >= 3,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n - 2), lambda i: F.array_join(F.slice(words, i, 3), " "))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    from pyspark_distributed_kmodes_spark.sources.tables import spread
+
+    return spread(d, "doc_id").select("doc_id", F.explode(shingle_arr).alias("shingle"))
+
+
 def ngram_jaccard_pairs(
-    d: DataFrame, threshold: float = 0.2, max_df: int | None = None, materialize: bool = True
+    d: DataFrame,
+    threshold: float = 0.2,
+    max_df: int | None = None,
+    materialize: bool = True,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact word-trigram Jaccard pairs over a `documents`-shaped DataFrame.
 
-    Inverted-index formulation: explode distinct shingles, self-join on
-    shingle (only docs SHARING a shingle ever meet — no cross join),
-    count intersections, Jaccard = |∩| / (|A|+|B|-|∩|).
+    Inverted-index formulation: per-doc DISTINCT shingles are computed
+    locally (array_distinct — the round-12 form paid a full cross-row
+    .distinct() exchange for a dedup each row already contains), then
+    the index self-joins on shingle (only docs SHARING a shingle ever
+    meet — no cross join), counts intersections,
+    Jaccard = |∩| / (|A|+|B|-|∩|).
 
     `max_df` — stop-shingle cap: a shingle appearing in more than max_df
     documents is removed from the universe (sizes AND intersections)
@@ -226,23 +255,27 @@ def ngram_jaccard_pairs(
     (df > max_df) so it broadcasts into a left-anti join. MinHash (q63)
     is the sub-quadratic successor at full scale.
 
+    Round-13 note: a grouped-bucket form (collect_list per shingle +
+    local i<j pair expansion, replacing the self-join) was prototyped
+    and MEASURED SLOWER (16 vs 7 JVM-CPU-seconds at sf0.1): the df
+    census + per-shingle list aggregation each cost as much as the
+    whole distinct+self-join path, which AQE turns into a broadcast
+    hash join at this scale. Kept: the self-join, which also streams
+    hot buckets instead of materializing per-shingle arrays.
+
     Short docs (< 3 words) yield no shingles — same as the SQL oracle,
     where the slice range is empty; the unguarded sequence(1, n-2) would
     instead go DESCENDING through 0 and crash F.slice.
-    """
-    words = F.split("text", " ")
-    n = F.size(words)
-    # trigram shingles: words[i..i+2] for i in 0..n-3 (1-based slice);
-    # guarded so docs with <3 words produce an empty array, not a crash
-    shingle_arr = F.when(
-        n >= 3,
-        F.transform(F.sequence(F.lit(1), n - 2), lambda i: F.array_join(F.slice(words, i, 3), " ")),
-    ).otherwise(F.array().cast("array<string>"))
-    from pyspark_distributed_kmodes_spark.sources.tables import spread
 
-    shingles = (
-        spread(d, "doc_id").select("doc_id", F.explode(shingle_arr).alias("shingle")).distinct()
-    )
+    `shingles` — an optional pre-built AND pre-materialized
+    (doc_id, shingle) index in doc_trigram_shingles' shape; callers
+    that need the same index for another pass hand it in so it is
+    computed once (qg04: truth pairs + MinHash signatures). A provided
+    index is used as-is (no second lineage cut).
+    """
+    provided = shingles is not None
+    if shingles is None:
+        shingles = doc_trigram_shingles(d)
     if max_df is not None:
         hot = (
             shingles.groupBy("shingle")
@@ -253,11 +286,11 @@ def ngram_jaccard_pairs(
         shingles = shingles.join(F.broadcast(hot), "shingle", "left_anti")
     # the shingle index feeds sizes AND both self-join sides (plus the
     # hot-set scan above): materialize once instead of recomputing the
-    # explode+distinct per consumer — the same size class as the shuffle
+    # scan+explode per consumer — the same size class as the shuffle
     # that built it, and the ~10 callers of this helper all inherit the
     # fix (scan-lint). materialize=False keeps the lineage inspectable
     # for plan pins (test_plans: the anti-join must stay in the shape).
-    if materialize:
+    if materialize and (max_df is not None or not provided):
         shingles = shingles.transform(cut_lineage)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = shingles.alias("a")

@@ -253,17 +253,16 @@ def o11_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANOTHER document — the per-doc signal behind exact-substring dedup
     ("train-on-it-once" policies) and memorization audits.
 
-    Shape: positional n-gram explode → document-frequency of each span
-    (map-side combined) → join back. The shared-span table only holds
-    cross-doc repeats, so on an organic corpus it is tiny — but its
-    size is DATA-DEPENDENT (a heavily templated corpus can push it
-    toward the full distinct-gram count), so the join strategy is left
-    to AQE rather than a forced broadcast: AQE picks broadcast when the
-    runtime size is small and keeps a shuffle join when it is not (a
-    forced broadcast measured 7.7× growth on the 10×-replicated scale
-    probe, where every span becomes cross-doc shared). Docs shorter
-    than {NGRAM_SPAN} words emit no spans (guarded sequence) and drop
-    out — same as the oracle.
+    Shape: positional n-gram explode → ONE gram-keyed window pass that
+    computes each span's distinct-document frequency in place
+    (max-of-dense_rank == COUNT DISTINCT) → per-doc rollup. The
+    round-13 optimization replaced the former shared-span aggregate +
+    join-back (whose strategy had to be left to AQE because the shared
+    set's size is DATA-DEPENDENT — a forced broadcast measured 7.7×
+    growth on the 10×-replicated scale probe) with this join-free form:
+    2 exchanges instead of 4, and no data-dependent join side at all.
+    Docs shorter than {NGRAM_SPAN} words emit no spans (guarded
+    sequence) and drop out — same as the oracle.
     """
     from pyspark_distributed_kmodes_spark.sources.tables import spread
 
@@ -277,19 +276,28 @@ def o11_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.transform(starts, lambda s: F.array_join(F.slice(words, s, NGRAM_SPAN), " "))).alias("gram"),
     )
-    shared = (
-        grams.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") >= 2)
-        .select("gram", F.lit(1).alias("is_dup"))
+    # document frequency per span via ONE gram-keyed window pass:
+    # df = max(dense_rank over doc_id) within the gram partition ==
+    # COUNT(DISTINCT doc_id). The old form aggregated a shared-span
+    # table (two-phase distinct exchange) and joined it back (another
+    # gram exchange) — 2 exchanges and a join more than this for the
+    # same per-row shared flag. AQE still picks the join strategy for
+    # nothing: there is no join left.
+    from pyspark.sql import Window
+
+    w_go = Window.partitionBy("gram").orderBy("doc_id")
+    w_g = Window.partitionBy("gram")
+    flagged = (
+        grams.withColumn("_dr", F.dense_rank().over(w_go))
+        .withColumn("_df", F.max("_dr").over(w_g))
     )
+    is_dup = (F.col("_df") >= 2).cast("int")
     return (
-        grams.join(shared, "gram", "left")
-        .groupBy("doc_id")
+        flagged.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
-            F.count("is_dup").alias("n_dup_spans"),
-            pround(F.count("is_dup").cast("double") / F.count(F.lit(1)), 6).alias("dup_frac"),
+            F.sum(is_dup).alias("n_dup_spans"),
+            pround(F.sum(is_dup).cast("double") / F.count(F.lit(1)), 6).alias("dup_frac"),
         )
         .orderBy("doc_id")
     )

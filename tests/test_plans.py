@@ -88,11 +88,21 @@ def test_o07_incremental_dedup_no_cartesian(spark, sf_dir):
     assert "LeftAnti" in plan
 
 
-def test_b11_shared_spans_broadcast_back(spark, sf_dir):
-    """The tiny shared-span table must broadcast into the back-join."""
+def test_b11_duplicate_spans_join_free(spark, sf_dir):
+    """Round-13 shape: the span document-frequency comes from ONE
+    gram-keyed window pass (max-of-dense_rank), so the plan has NO join
+    at all — the former shared-span aggregate + broadcast back-join
+    (and its data-dependent build side) is gone."""
     from pyspark_distributed_kmodes_spark.operators.training import o11_duplicate_spans
 
-    assert has_broadcast_join(o11_duplicate_spans(spark, sf_dir))
+    plan = formatted_plan(o11_duplicate_spans(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "Window" in plan
+    import re
+
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    # spread() repartition + gram window + doc rollup + final sort
+    assert n_exchanges <= 4, f"expected spread + gram-window + doc rollup + sort only: {n_exchanges}"
 
 
 def test_b05_chunking_no_shuffle_before_sort(spark, sf_dir):
