@@ -126,24 +126,27 @@ def qd01_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iteration then pays a single rank join instead of rank + degree
     # joins (round-13: one exchange fewer per iteration)
     und_deg = und.join(deg, "node").transform(cut_lineage)
-    nn = deg.agg(F.count(F.lit(1)).cast("double").alias("c"))
-    pr = deg.crossJoin(F.broadcast(nn)).select(
-        "node", pround(F.lit(1.0) / F.col("c"), 9).alias("pr")
-    )
-    for _ in range(_PR_ITERS):
+    # node count: ONE bounded 1-row read replaces a broadcast-exchange
+    # crossJoin re-planned inside every power iteration (r13); the
+    # divisions still run in the JVM on the same IEEE doubles
+    nn = float(deg.agg(F.count(F.lit(1)).cast("double")).collect()[0][0])
+    pr = deg.select("node", pround(F.lit(1.0) / F.lit(nn), 9).alias("pr"))
+    for i in range(_PR_ITERS):
         contrib = und_deg.join(pr, "node").select(
             F.col("nbr"), _dterm(F.col("pr") / F.col("degree")).alias("t")
         )
-        pr = (
-            contrib.groupBy(F.col("nbr").alias("node"))
-            .agg(F.sum("t").cast("double").alias("s"))
-            .crossJoin(F.broadcast(nn))
-            .select(
-                "node",
-                pround((1.0 - _PR_DAMP) / F.col("c") + _PR_DAMP * F.col("s"), 9).alias("pr"),
-            )
-            .transform(cut_lineage)
+        pr = contrib.groupBy(F.col("nbr").alias("node")).agg(
+            F.sum("t").cast("double").alias("s")
+        ).select(
+            "node",
+            pround(F.lit((1.0 - _PR_DAMP)) / F.lit(nn) + _PR_DAMP * F.col("s"), 9).alias("pr"),
         )
+        # lineage here grows LINEARLY (the adjacency side is a static
+        # checkpoint; pr appears once per iteration), so an eager
+        # checkpoint every 3rd round bounds plan depth at scale while
+        # paying a third of the per-iteration materialization jobs (r13)
+        if i % 3 == 2 or i == _PR_ITERS - 1:
+            pr = pr.transform(cut_lineage)
     return (
         pr.join(deg, "node")
         .select(F.col("node").alias("doc_id"), "degree", pround(F.col("pr"), 6).alias("pagerank"))

@@ -960,14 +960,20 @@ def qf13_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pround(6).
     """
     d = table(spark, sf_dir, "documents")
-    words = F.split("text", " ")
+    # split materialized once per row — captured in the transform lambda
+    # it re-runs per segment start (r13 HOF-capture fix)
+    words = F.col("_w")
     starts = F.sequence(F.lit(1), F.size(words), F.lit(_SEG_WORDS))
-    segs = d.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(starts, lambda s: F.slice(words, s, _SEG_WORDS))
-        ).alias("seg_idx", "seg"),
-    ).select("doc_id", F.md5(F.array_join("seg", " ")).alias("seg_hash"))
+    segs = (
+        d.withColumn("_w", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(starts, lambda s: F.slice(words, s, _SEG_WORDS))
+            ).alias("seg_idx", "seg"),
+        )
+        .select("doc_id", F.md5(F.array_join("seg", " ")).alias("seg_hash"))
+    )
     freq = segs.groupBy("seg_hash").agg(F.count_distinct("doc_id").alias("df"))
     shared = F.sum(F.when(F.col("df") > 1, 1).otherwise(0))
     return (

@@ -169,7 +169,7 @@ def qg01_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # joins (round-13: one exchange fewer per iteration)
     und_deg = und.join(deg, "node").transform(cut_lineage)
     pr = tele.select("node", F.col("tele").alias("pr"))
-    for _ in range(_PPR_ITERS):
+    for i in range(_PPR_ITERS):
         contrib = und_deg.join(pr, "node").select(
             F.col("nbr"), _dterm(F.col("pr") / F.col("degree")).alias("t")
         )
@@ -181,8 +181,12 @@ def qg01_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "node",
                 pround((1.0 - _PPR_DAMP) * F.col("tele") + _PPR_DAMP * F.col("s"), 9).alias("pr"),
             )
-            .transform(cut_lineage)
         )
+        # linear lineage (adjacency and tele are static checkpoints):
+        # checkpoint every 3rd iteration — bounded plan depth at scale,
+        # a third of the materialization jobs (r13, same as qd01)
+        if i % 3 == 2 or i == _PPR_ITERS - 1:
+            pr = pr.transform(cut_lineage)
     return (
         pr.join(deg, "node")
         .join(tele, "node")
@@ -410,7 +414,8 @@ def qg09_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integers end to end.
     """
     d = table(spark, sf_dir, "documents")
-    words = F.split("text", " ")
+    # split materialized once per row (r13 HOF-capture fix)
+    words = F.col("_w")
     n = F.size(words)
     grams = F.when(
         n >= 2,
@@ -418,6 +423,7 @@ def qg09_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     firsts = (
         spread(d, "doc_id")
+        .withColumn("_w", F.split("text", " "))
         .select("doc_id", F.explode(grams).alias("gram"))
         .groupBy("gram")
         .agg(F.min("doc_id").alias("first_doc"))
@@ -487,13 +493,15 @@ def qg10_repetition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pround(9)->DECIMAL summed.
     """
     d = table(spark, sf_dir, "documents")
-    words = F.split("text", " ")
+    # split materialized once per row (r13 HOF-capture fix)
+    words = F.col("_w")
     n = F.size(words)
     grams = F.transform(
         F.sequence(F.lit(1), n - 2), lambda i: F.array_join(F.slice(words, i, 3), " ")
     )
     counts = (
         spread(d, "doc_id")
+        .withColumn("_w", F.split("text", " "))
         .filter(n >= 3)
         .select("doc_id", F.explode(grams).alias("gram"))
         .groupBy("doc_id", "gram")
@@ -552,7 +560,8 @@ def _doc_shingle_arrays(d: DataFrame) -> DataFrame:
     """(doc_id, sh: array<string>) — distinct word-trigram shingles per
     doc, computed LOCALLY (array_distinct; empty array for <3-word
     docs). Signature folds consume the array without any shuffle."""
-    words = F.split("text", " ")
+    # split materialized once per row (r13 HOF-capture fix)
+    words = F.col("_w")
     n = F.size(words)
     grams = F.when(
         n >= 3,
@@ -560,7 +569,11 @@ def _doc_shingle_arrays(d: DataFrame) -> DataFrame:
             F.transform(F.sequence(F.lit(1), n - 2), lambda i: F.array_join(F.slice(words, i, 3), " "))
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return spread(d, "doc_id").select("doc_id", grams.alias("sh"))
+    return (
+        spread(d, "doc_id")
+        .withColumn("_w", F.split("text", " "))
+        .select("doc_id", grams.alias("sh"))
+    )
 
 
 def _doc_shingles(d: DataFrame) -> DataFrame:
@@ -659,6 +672,12 @@ def qg04_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
+    # truth and cands each feed TWO consumers (their own count + the
+    # hits semi-join): checkpoint the bounded pair sets once instead of
+    # re-running the exact-Jaccard join and the band self-join twice
+    # (r13 — halves the audit's heavy passes)
+    truth = truth.transform(cut_lineage)
+    cands = cands.transform(cut_lineage)
     hits = truth.join(cands, ["doc_a", "doc_b"], "left_semi")
     nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"))
     nc = cands.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
@@ -732,8 +751,10 @@ def qg05_minhash_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     sig_raw = _mh_mins(_doc_shingle_arrays(d))
-    words = F.split("text", " ")
-    norm = F.filter(words, lambda w: ~w.isin(*_G05_STOPWORDS))
+    # normalized word array materialized once per row — captured in the
+    # transform lambda it re-runs split+stopword-filter per shingle
+    # position (r13 HOF-capture fix)
+    norm = F.col("_nw")
     n = F.size(norm)
     grams = F.when(
         n >= 3,
@@ -747,7 +768,14 @@ def qg05_minhash_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc dedup is local (array_distinct) and the signature folds
     # over the array — the old explode+distinct+groupBy paid two
     # exchanges for the same mins
-    norm_sh = spread(d, "doc_id").select("doc_id", grams.alias("sh"))
+    norm_sh = (
+        spread(d, "doc_id")
+        .withColumn(
+            "_nw",
+            F.filter(F.split("text", " "), lambda w: ~w.isin(*_G05_STOPWORDS)),
+        )
+        .select("doc_id", grams.alias("sh"))
+    )
     sig_norm = _mh_mins(norm_sh)
     r = sig_raw.alias("r")
     m = sig_norm.alias("m")
@@ -1563,6 +1591,12 @@ def qg18_char_ngram_compressibility(spark: SparkSession, sf_dir: str) -> DataFra
     keeps sublinear in corpus size. No Python, no windows.
     """
     d = table(spark, sf_dir, "documents")
+    # r13 note: a split form (per-doc scalars for total_grams/n_docs with
+    # no explode + a lone (source, g) distinct) was prototyped to dodge
+    # the multi-count_distinct Expand and MEASURED SLOWER (13.8 vs 8.4
+    # warm JVM-CPU-s at sf0.1): the Expand path's partial aggregate
+    # already dedups map-side, so the extra scan + join only added cost.
+    # Kept: the single multi-distinct aggregate.
     grams = (
         spread(d, "doc_id")
         .filter(F.length("text") >= 4)

@@ -1481,7 +1481,9 @@ def qj18_filter_attrition_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle per gate), one grouped rollup.
     """
     d = table(spark, sf_dir, "documents")
-    words = F.split("text", " ")
+    # split materialized once per row — captured in the nested lambdas it
+    # re-ran per (distinct word × word) compare (r13 HOF-capture fix)
+    words = F.col("_w")
     nw = F.size(words)
     # top-word count without explode: fold the distinct words' counts
     top = F.array_max(
@@ -1490,7 +1492,7 @@ def qj18_filter_attrition_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda w: F.size(F.filter(words, lambda x: x == w)),
         )
     )
-    scored = d.select(
+    scored = d.withColumn("_w", F.split("text", " ")).select(
         "source",
         (F.col("n_chars") >= _J18_MIN_CHARS).alias("g1"),
         (nw >= _J18_MIN_WORDS).alias("g2"),

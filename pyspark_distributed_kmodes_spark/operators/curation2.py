@@ -326,15 +326,22 @@ def qc11_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays linear in distinct-shingle count. Integers + one pround ratio.
     """
     d = table(spark, sf_dir, "documents")
-    n = F.size(_words())
+    # split materialized once per row — captured in the transform lambda
+    # it re-runs per shingle position (r13 HOF-capture fix)
+    wcol = F.col("_w")
+    n = F.size(wcol)
     shingle_arr = F.when(
         n >= 3,
         F.transform(
             F.sequence(F.lit(0), n - 3),
-            lambda i: F.array_join(F.slice(_words(), i + 1, 3), " "),
+            lambda i: F.array_join(F.slice(wcol, i + 1, 3), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    sh = d.select("source", F.explode(shingle_arr).alias("shingle")).distinct()
+    sh = (
+        d.withColumn("_w", _words())
+        .select("source", F.explode(shingle_arr).alias("shingle"))
+        .distinct()
+    )
     nsrc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_sources"))
     excl = F.when(F.col("n_sources") == 1, 1).otherwise(0)
     return (

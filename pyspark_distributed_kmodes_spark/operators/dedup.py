@@ -31,7 +31,10 @@ def doc_shingle_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
     doc, computed LOCALLY (array_distinct inside the row): no cross-row
     distinct exchange, and signature functions can fold over the array
     without ever exploding it."""
-    words = F.split("text", " ")
+    # split materialized as its own projection: captured inside the
+    # transform lambda it would re-run per shingle position (O(words²)
+    # splits per doc — see doc_trigram_shingles, same fix)
+    words = F.col("_w")
     count = F.size(words) - (n - 1)
     shingle_arr = F.when(
         count >= 1,
@@ -39,7 +42,11 @@ def doc_shingle_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
             F.transform(F.sequence(F.lit(1), count), lambda i: F.array_join(F.slice(words, i, n), " "))
         ),
     ).otherwise(F.array(F.col("text")))
-    return spread(docs, "doc_id").select("doc_id", shingle_arr.alias("sh"))
+    return (
+        spread(docs, "doc_id")
+        .withColumn("_w", F.split("text", " "))
+        .select("doc_id", shingle_arr.alias("sh"))
+    )
 
 
 def shingle_df(docs: DataFrame, n: int = 3) -> DataFrame:

@@ -216,7 +216,12 @@ def doc_trigram_shingles(d: DataFrame) -> DataFrame:
     Shared by ngram_jaccard_pairs and callers that also need the index
     for another pass (qg04's signatures) so one materialization serves
     both."""
-    words = F.split("text", " ")
+    # the split is materialized as its own projection BEFORE the
+    # transform: an expression captured inside a higher-order-function
+    # lambda is re-evaluated PER ELEMENT (the round-13 profile showed
+    # the full split(text) running once per shingle position — O(words²)
+    # splits per doc, ~2× the CPU of the whole shingle stage)
+    words = F.col("_w")
     n = F.size(words)
     # trigram shingles: words[i..i+2] for i in 0..n-3 (1-based slice);
     # guarded so docs with <3 words produce an empty array, not a crash
@@ -228,7 +233,11 @@ def doc_trigram_shingles(d: DataFrame) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     from pyspark_distributed_kmodes_spark.sources.tables import spread
 
-    return spread(d, "doc_id").select("doc_id", F.explode(shingle_arr).alias("shingle"))
+    return (
+        spread(d, "doc_id")
+        .withColumn("_w", F.split("text", " "))
+        .select("doc_id", F.explode(shingle_arr).alias("shingle"))
+    )
 
 
 def ngram_jaccard_pairs(
@@ -277,6 +286,14 @@ def ngram_jaccard_pairs(
     if shingles is None:
         shingles = doc_trigram_shingles(d)
     if max_df is not None:
+        # materialize the RAW index FIRST (r13): the census aggregate and
+        # the anti-join left side both consume it, so checkpointing after
+        # the anti-join paid the explode twice and re-ran the whole census
+        # pipeline inside the checkpoint job. One raw materialization +
+        # census-from-checkpoint + lazy anti-join is the same 100 TB size
+        # class with one explode pass instead of three.
+        if materialize and not provided:
+            shingles = shingles.transform(cut_lineage)
         hot = (
             shingles.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
@@ -290,7 +307,7 @@ def ngram_jaccard_pairs(
     # that built it, and the ~10 callers of this helper all inherit the
     # fix (scan-lint). materialize=False keeps the lineage inspectable
     # for plan pins (test_plans: the anti-join must stay in the shape).
-    if materialize and (max_df is not None or not provided):
+    elif materialize and not provided:
         shingles = shingles.transform(cut_lineage)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = shingles.alias("a")
@@ -699,7 +716,9 @@ def qo99_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, not bigram text fan-out.
     """
     d = table(spark, sf_dir, "documents")
-    words = F.split("text", " ")
+    # split materialized once per row — captured in the transform lambda
+    # it re-runs per bigram position (r13 HOF-capture fix)
+    words = F.col("_w")
     # guarded: single-word docs yield no bigrams (the oracle's range is
     # empty); unguarded sequence(1, 0) would descend through 0 and crash
     bigrams = F.when(
@@ -707,7 +726,8 @@ def qo99_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.sequence(F.lit(1), F.size(words) - 1), lambda i: F.array_join(F.slice(words, i, 2), " ")),
     ).otherwise(F.array().cast("array<string>"))
     cnt = (
-        d.select("doc_id", F.explode(bigrams).alias("bigram"))
+        d.withColumn("_w", F.split("text", " "))
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
         .groupBy("doc_id", "bigram")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -907,7 +927,8 @@ def qb33_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     d = table(spark, sf_dir, "documents")
-    words = F.split("text", " ")
+    # split materialized once per row (r13 HOF-capture fix)
+    words = F.col("_w")
     n = F.size(words)
     shingle_arr = F.when(
         n >= 3,
@@ -917,6 +938,7 @@ def qb33_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df_tbl = (
         spread(d, "doc_id")
+        .withColumn("_w", F.split("text", " "))
         .select("source", "doc_id", F.explode(shingle_arr).alias("shingle"))
         .distinct()
         .groupBy("source", "shingle")

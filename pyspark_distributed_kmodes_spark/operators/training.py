@@ -51,12 +51,15 @@ def qo05_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     The final orderBy exists only for the deterministic oracle hash.
     """
     d = table(spark, sf_dir, "documents")
-    words = F.split("text", " ")
+    # split materialized once per row — captured in the transform lambda
+    # it re-runs per chunk start (r13 HOF-capture fix)
+    words = F.col("_w")
     n = F.size(words)
     starts = F.sequence(F.lit(1), n, F.lit(CHUNK_STRIDE))
     chunks = F.transform(starts, lambda s: F.slice(words, s, CHUNK_WORDS))
     return (
-        d.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        d.withColumn("_w", F.split("text", " "))
+        .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
         .select(
             "doc_id",
             F.col("chunk_idx").cast("int").alias("chunk_idx"),
@@ -208,11 +211,15 @@ def o09_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = table(spark, sf_dir, "embeddings")
     xs = F.transform("embedding", lambda x: x.cast("double"))
-    max_abs = F.array_max(F.transform(xs, lambda x: F.abs(x)))
+    # max_abs hoisted into its own projection: captured inside the codes
+    # lambda it re-runs the full array_max fold PER ELEMENT — O(d²)
+    # per vector (r13 HOF-capture fix)
+    max_abs = F.col("_max_abs")
     codes = F.transform(xs, lambda x: F.round(x * 127.0 / max_abs).cast("bigint"))
     q_sq_sum = F.aggregate(codes, F.lit(0).cast("bigint"), lambda acc, c: acc + c * c)
     return (
-        emb.select(
+        emb.withColumn("_max_abs", F.array_max(F.transform(xs, lambda x: F.abs(x))))
+        .select(
             "vec_id",
             pround(max_abs, 6).alias("max_abs"),
             q_sq_sum.alias("q_sq_sum"),
@@ -267,12 +274,14 @@ def o11_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_distributed_kmodes_spark.sources.tables import spread
 
     d = spread(table(spark, sf_dir, "documents"), "doc_id")
-    words = F.split("text", " ")
+    # split materialized once per row — captured in the transform lambda
+    # it re-runs per span start (r13 HOF-capture fix)
+    words = F.col("_w")
     n = F.size(words)
     starts = F.when(
         n >= NGRAM_SPAN, F.sequence(F.lit(1), n - (NGRAM_SPAN - 1))
     ).otherwise(F.array().cast("array<int>"))
-    grams = d.select(
+    grams = d.withColumn("_w", F.split("text", " ")).select(
         "doc_id",
         F.explode(F.transform(starts, lambda s: F.array_join(F.slice(words, s, NGRAM_SPAN), " "))).alias("gram"),
     )
