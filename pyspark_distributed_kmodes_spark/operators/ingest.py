@@ -34,6 +34,29 @@ from pyspark_distributed_kmodes_spark.registry import query
 from pyspark_distributed_kmodes_spark.sources.tables import read_csv, table
 
 
+_SHARD_TARGET_BYTES = 32 * 1024 * 1024
+
+
+def _shard_count(df, floor: int = 4) -> int:
+    """Input-size-derived shard count for staging writes: one shard per
+    ~32 MB of source parquet, floored at `floor` (r13). A constant
+    caps large-corpus parallelism; a parallelism-proportional count
+    pays per-task python-worker overhead on small corpora (measured
+    4x CPU at sf0.1). Input size is a bounded driver-side metadata
+    read (file sizes of the frame's backing files)."""
+    import os as _os
+
+    try:
+        nbytes = sum(
+            _os.path.getsize(f[7:] if f.startswith("file:///") else f)
+            for f in df.inputFiles()
+            if f.startswith(("file:/", "/"))
+        )
+    except OSError:
+        nbytes = 0
+    return max(floor, min(100_000, -(-nbytes // _SHARD_TARGET_BYTES)))
+
+
 @query(
     "qc01_csv_ingest_agg",
     oracle=f"""
@@ -119,10 +142,17 @@ def qc02_jsonl_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         d = table(spark, sf_dir, "documents")
         # spark's json writer emits JSON-lines part files — exactly the
-        # shard layout the custom source plans one partition per file
-        d.select("doc_id", "text", "lang", "source").repartition(4).write.mode("overwrite").json(
-            base + "/docs"
-        )
+        # shard layout the custom source plans one partition per file.
+        # Shard count is derived from input size (r13): a constant
+        # would cap a large corpus' write AND its shard-per-partition
+        # read at that constant, while parallelism-proportional shards
+        # drown small corpora in per-task python overhead (measured:
+        # 32 shards = 4x the CPU of 4 at sf0.1). ~32 MB per shard,
+        # floored at the historical 4.
+        shards = _shard_count(d)
+        d.select("doc_id", "text", "lang", "source").repartition(shards).write.mode(
+            "overwrite"
+        ).json(base + "/docs")
         jsonl.register(spark)
         back = (
             spark.read.format("jsonl_docs")
@@ -180,9 +210,12 @@ def qe06_jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         jsonl.register(spark)
         d = table(spark, sf_dir, "documents")
+        # input-size-derived shard count (r13, same rationale and
+        # measurement as qc02)
+        shards = _shard_count(d)
         (
             d.select("doc_id", "source", "n_chars")
-            .repartition(4)
+            .repartition(shards)
             .write.format("jsonl_docs")
             .option("path", base + "/docs")
             .mode("overwrite")
