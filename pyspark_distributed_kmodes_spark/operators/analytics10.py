@@ -2221,8 +2221,10 @@ def qm25_shingle_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one stacked explode (constant 3-arm fan-out over one text
     scan), one count collapse per width — no pair joins anywhere.
     """
-    d = table(spark, sf_dir, "documents")
-    words = F.split("text", " ")
+    # split materialized once per row — captured in the transform lambda
+    # it re-runs per shingle position (r13 HOF-capture fix)
+    d = table(spark, sf_dir, "documents").withColumn("_w", F.split("text", " "))
+    words = F.col("_w")
 
     def arm(w: int) -> Column:
         # NB: the transform lambda must be 1-arg — a second arg (even a

@@ -141,13 +141,15 @@ def qf18_ngram_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     measure with plain COUNT(*). Integer counts only.
     """
     d = table(spark, sf_dir, "documents")
-    words = F.split("text", " ")
+    # split materialized once per row — captured in the transform lambda
+    # it re-runs per n-gram position (r13 HOF-capture fix)
+    words = F.col("_w")
     n_words = F.size(words)
     starts = F.sequence(F.lit(1), F.greatest(n_words - (_DECON_N - 1), F.lit(0)))
     # per-doc distinct n-grams computed LOCALLY (array_distinct): the
     # old cross-row .distinct() paid a full (doc, source, gram)
     # exchange for a dedup the row already contains
-    grams = d.select(
+    grams = d.withColumn("_w", F.split("text", " ")).select(
         "doc_id",
         "source",
         F.explode(

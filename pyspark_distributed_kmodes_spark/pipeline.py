@@ -33,13 +33,17 @@ def quality_filter(
 ) -> DataFrame:
     """Length + lexical-diversity gate (a52), optionally with the
     Gopher-style repetition cap (a99). Pure filters — no shuffle."""
-    words = F.split("text", " ")
+    # split (and the derived bigram array) materialized once per row —
+    # captured in a transform/filter lambda they re-run per element
+    # (r13 HOF-capture fix); helper columns dropped before returning
+    words = F.col("_w")
     keep = (F.size(words) >= min_words) & (
         F.size(F.array_distinct(words)).cast("double") / F.size(words) > min_unique_ratio
     )
-    out = docs.filter(keep)
+    out = docs.withColumn("_w", F.split("text", " ")).filter(keep)
     if max_top_bigram_frac is not None:
-        bigrams = F.when(
+        bigrams = F.col("_bg")
+        bg_expr = F.when(
             F.size(words) >= 2,
             F.transform(
                 F.sequence(F.lit(1), F.size(words) - 1),
@@ -54,8 +58,10 @@ def quality_filter(
             )
         )
         frac = top.cast("double") / F.size(bigrams)
-        out = out.filter((F.size(bigrams) == 0) | (frac <= max_top_bigram_frac))
-    return out
+        out = out.withColumn("_bg", bg_expr).filter(
+            (F.size(bigrams) == 0) | (frac <= max_top_bigram_frac)
+        ).drop("_bg")
+    return out.drop("_w")
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
