@@ -32,6 +32,9 @@ def main():
 
     timings = {}
     for name, q in bench_queries.items():
+        # label jobs for the UI / event logs (guide §1.5); set OUTSIDE
+        # the timed region, methodology unchanged
+        spark.sparkContext.setJobDescription(f"bench:{name}")
         runs = []
         for _ in range(3):  # median-of-3: robust round-over-round comparison
             t0 = time.time()
@@ -58,6 +61,7 @@ def main():
         ratio = first / old if old else 1.0
         if ratio > 2.0 or ratio < 0.5:
             gc.collect()
+            spark.sparkContext.setJobDescription(f"bench-remeasure:{name}")
             runs = []
             for _ in range(3):
                 t0 = time.time()
@@ -81,6 +85,7 @@ def main():
         q = reg.get(name)
         if q is None:
             continue
+        spark.sparkContext.setJobDescription(f"bench-streaming:{name}")
         q.fn(spark, sf_dir).collect()  # warm staging, untimed
         gc.collect()
         runs = []
@@ -91,6 +96,7 @@ def main():
         streaming[name] = round(sorted(runs)[1], 3)
         gc.collect()
 
+    spark.sparkContext.setJobDescription(None)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
         json.dumps(

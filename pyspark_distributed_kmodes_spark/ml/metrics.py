@@ -26,17 +26,28 @@ from pyspark_distributed_kmodes_spark.ml.kmodes import KModesModel
 
 def silhouette_scores(model: KModesModel, df: DataFrame) -> DataFrame:
     """Per-row mode-silhouette: input columns + `prediction` + `s`."""
-    dists = model._dist_array()  # array<struct<dist,idx>>
-    own = F.array_min(dists)
-    a = own.getField("dist").cast("double")
-    pred = own.getField("idx")
+    # dist array and its argmin materialized once per row — `pred`
+    # captured inside the filter lambda would re-run array_min(dists)
+    # (itself k Hamming distances) per array element: O(k²·n_cols)/row
+    staged = df.withColumn("_dists", model._dist_array()).withColumn(
+        "_own", F.array_min(F.col("_dists"))
+    )
+    a = F.col("_own").getField("dist").cast("double")
+    pred = F.col("_own").getField("idx")
     b = F.array_min(
-        F.filter(dists, lambda d: d.getField("idx") != pred)
+        F.filter(
+            F.col("_dists"),
+            lambda d: d.getField("idx") != F.col("_own").getField("idx"),
+        )
     ).getField("dist").cast("double")
     s = F.when(F.greatest(a, b) == 0.0, F.lit(0.0)).otherwise(
         (b - a) / F.greatest(a, b)
     )
-    return df.withColumn("prediction", pred).withColumn("s", s)
+    return (
+        staged.withColumn("prediction", pred)
+        .withColumn("s", s)
+        .drop("_dists", "_own")
+    )
 
 
 def silhouette_report(model: KModesModel, df: DataFrame) -> DataFrame:

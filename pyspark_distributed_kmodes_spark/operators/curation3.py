@@ -145,7 +145,10 @@ def qe02_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles both engines); the emitted copy is pround(6).
     """
     d = table(spark, sf_dir, "documents")
-    words = _words()
+    # split materialized once per row — captured in the transform lambda
+    # it re-runs per shingle position (O(words²) splits per doc; the
+    # r13 HOF-capture fix, same as curation2's shingle pipeline)
+    words = F.col("_w")
     n = F.size(words)
     shingle_arr = F.when(
         n >= 3,
@@ -154,7 +157,11 @@ def qe02_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.array_join(F.slice(words, i + 1, 3), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    shingles = d.select("doc_id", F.explode(shingle_arr).alias("shingle")).distinct()
+    shingles = (
+        d.withColumn("_w", _words())
+        .select("doc_id", F.explode(shingle_arr).alias("shingle"))
+        .distinct()
+    )
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = shingles.alias("a"), shingles.alias("b")
     pairs = (

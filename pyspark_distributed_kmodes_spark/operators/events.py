@@ -680,10 +680,17 @@ def qe21_sax_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = F.aggregate("s", F.lit(0.0), lambda a, x: a + x)
     mu = tot / _TS_DAYS
+    # mu materialized as its own projection BEFORE the variance fold —
+    # captured inside the transform lambda, the full sum-over-s fold
+    # re-ran per element (O(days²) per user; r13 HOF-capture fix)
     var = F.aggregate(
-        F.transform("s", lambda x: (x - mu) * (x - mu)), F.lit(0.0), lambda a, x: a + x
+        F.transform("s", lambda x: (x - F.col("mu")) * (x - F.col("mu"))),
+        F.lit(0.0),
+        lambda a, x: a + x,
     ) / _TS_DAYS
-    stats = series.select("user_id", "s", mu.alias("mu"), F.sqrt(var).alias("sd"))
+    stats = series.select("user_id", "s", mu.alias("mu")).select(
+        "user_id", "s", "mu", F.sqrt(var).alias("sd")
+    )
     z = F.when(F.col("sd") == 0.0, F.transform("s", lambda x: F.lit(0.0))).otherwise(
         F.transform("s", lambda x: (x - F.col("mu")) / F.col("sd"))
     )
