@@ -37,7 +37,7 @@ propagation converges to the same minimum).
 
 from __future__ import annotations
 
-from pyspark_distributed_kmodes_spark.functions.lineage import cut_lineage
+from pyspark_distributed_kmodes_spark.functions.lineage import cut_lineage, cut_lineage_lazy
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -86,40 +86,60 @@ def connected_components(
     the distributed loop, converging in O(log diameter) rounds via
     pointer doubling; `max_iter` is a safety bound, not the expected
     count. Set ``driver_edge_limit=0`` to force the distributed path."""
-    # Materialize the (a, b) projection ONCE: every strategy below needs
-    # it at least twice (count + collect, or symmetrize + iterate), and
-    # without the cut the upstream pair-generation plan would re-execute
-    # per consumer. Never use limit().collect() to probe size — Spark's
-    # CollectLimit runs the child in incremental partition waves through
-    # a single-partition pull, re-running the expensive upstream and
-    # buffering through one task (measured: OOM on a default-heap
-    # driver where the full-parallel count + collect path is fine).
-    proj = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .transform(cut_lineage)
-    )
-    if driver_edge_limit > 0 and proj.count() <= driver_edge_limit:
-        vt = edges.schema[src].dataType
-        out_schema = T.StructType(
-            [T.StructField("vertex", vt), T.StructField("component", vt)]
-        )
-        spark = edges.sparkSession
-        return spark.createDataFrame(
-            _driver_union_find(proj.collect(), vt), out_schema
-        )
+    proj = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if driver_edge_limit > 0:
+        # Materialize the (a, b) projection ONCE: the driver path needs
+        # it twice (count + collect) and the distributed fallback once
+        # more; without the cut the upstream pair-generation plan would
+        # re-execute per consumer. Never use limit().collect() to probe
+        # size — Spark's CollectLimit runs the child in incremental
+        # partition waves through a single-partition pull, re-running
+        # the expensive upstream and buffering through one task
+        # (measured: OOM on a default-heap driver where the
+        # full-parallel count + collect path is fine).
+        proj = proj.transform(cut_lineage)
+        if proj.count() <= driver_edge_limit:
+            vt = edges.schema[src].dataType
+            out_schema = T.StructType(
+                [T.StructField("vertex", vt), T.StructField("component", vt)]
+            )
+            spark = edges.sparkSession
+            return spark.createDataFrame(
+                _driver_union_find(proj.collect(), vt), out_schema
+            )
+    # Symmetrize in ONE pass over proj (explode of the 2-element
+    # [(a,b),(b,a)] array) instead of union-of-two-scans — with
+    # driver_edge_limit=0 this makes proj single-consumer, removing its
+    # standalone materialization job (r14). The .distinct() stays: a
+    # generic edge list may carry duplicates / both orientations, and
+    # the in-bucket doc pairs feeding the dedup callers are distinct
+    # per (a,b) but a<b-ordered, so the symmetrized rows stay distinct
+    # through the union — the exchange also establishes the hash
+    # partitioning the round-0 aggregation reuses.
     sym = (
-        proj.unionByName(proj.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        proj.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .distinct()
         .transform(cut_lineage)
     )
     # fused round 0: label(v) = min(v, min neighbor) straight from the
     # edge aggregation — one shuffle replaces a full propagate round
-    # (identity-label round 1 would also make pointer doubling a no-op)
+    # (identity-label round 1 would also make pointer doubling a no-op).
+    # Lazy cut (r14): the convergence aggregate below is the first
+    # action anyway — it materializes AND pins the labels in one job,
+    # where the eager form paid a separate checkpoint job per round.
     labels = (
         sym.groupBy("a")
         .agg(F.least(F.col("a"), F.min("b")).alias("label"))
         .select(F.col("a").alias("v"), "label")
-        .transform(cut_lineage)
+        .transform(cut_lineage_lazy)
     )
     # Convergence check: labels only ever DECREASE (both update terms
     # are ≤ the current label set's minima), so the label sum is a
@@ -133,23 +153,24 @@ def connected_components(
 
     prev_sum = _label_sum(labels)
     for _ in range(max_iter):
-        neighbor_min = sym.join(
-            labels.select(F.col("v").alias("b"), "label"), "b"
-        ).select(F.col("a").alias("v"), "label")
-        # pointer doubling: label(v) ← label(label(v)). label(x) ≤ x for
-        # every vertex, so this term is ≤ the current label — the
-        # explicit keep-leg of the union (the old labels themselves) is
-        # redundant and was dropped: doubling alone preserves
-        # monotonicity, and every v joins (its label is itself a vertex).
-        doubled = labels.join(
-            labels.select(F.col("v").alias("label"), F.col("label").alias("label2")),
-            "label",
-        ).select("v", F.col("label2").alias("label"))
+        # ONE join per round (r14; was two + a union): treat the label
+        # map itself as extra edges v → label(v) and look up label(b)
+        # over (sym ∪ label-edges). The sym rows contribute
+        # min-over-neighbors label(u); the label-edge rows contribute
+        # label(label(v)) — exactly the former neighbor_min ∪ doubled
+        # terms, and every v still appears (its label-edge always
+        # joins: a label is itself a vertex). Pointer doubling: both
+        # terms are ≤ the current label, so monotonicity (and the
+        # sum-fixpoint test) is preserved unchanged.
+        cand = sym.unionByName(
+            labels.select(F.col("v").alias("a"), F.col("label").alias("b"))
+        )
         labels = (
-            neighbor_min.unionByName(doubled)
+            cand.join(labels.select(F.col("v").alias("b"), "label"), "b")
+            .select(F.col("a").alias("v"), "label")
             .groupBy("v")
             .agg(F.min("label").alias("label"))
-            .transform(cut_lineage)
+            .transform(cut_lineage_lazy)
         )
         new_sum = _label_sum(labels)
         if new_sum == prev_sum:

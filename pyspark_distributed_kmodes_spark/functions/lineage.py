@@ -46,6 +46,28 @@ def cut_lineage(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=not os.environ.get(_ENV))
 
 
+def cut_lineage_lazy(df: DataFrame) -> DataFrame:
+    """Lineage cut whose materialization is DEFERRED to the first action
+    that computes it (localCheckpoint(eager=False)): the logical plan is
+    truncated to a LogicalRDD immediately — identical plan shape and
+    scan counts to `cut_lineage` — but no standalone materialization job
+    runs. The first downstream action computes the RDD once and pins its
+    blocks (RDD.doCheckpoint runs at job end and recurses through marked
+    ancestors), so every later consumer reads the pinned blocks exactly
+    as with the eager form.
+
+    Use this when a cut intermediate's first consumer is itself an
+    action the caller runs anyway (an iterative loop's convergence
+    aggregate, a final collect): the eager form would pay one extra
+    result-stage pass + one extra job round-trip per cut for nothing.
+    NOTE (same caveat as plan-only mode, measured round 9): under AQE
+    the .rdd conversion still executes the plan's SHUFFLE stages at
+    build time — only the result stage is deferred. That work is needed
+    regardless; it just runs earlier, inside DataFrame construction.
+    """
+    return df.localCheckpoint(eager=False)
+
+
 def plan_only_mode(spark: SparkSession) -> None:
     """Enter plan-only mode: lazy lineage cuts + AQE off (see module doc)."""
     os.environ[_ENV] = "1"

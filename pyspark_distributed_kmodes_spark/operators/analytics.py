@@ -111,21 +111,31 @@ def qd01_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark_distributed_kmodes_spark.operators.text import ngram_jaccard_pairs
 
+    from pyspark_distributed_kmodes_spark.functions.lineage import cut_lineage_lazy
+
     d = table(spark, sf_dir, "documents")
     edges = ngram_jaccard_pairs(d, threshold=0.2).select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
+    # Every cut below is LAZY (r14): each still truncates the logical
+    # plan (bounded depth at scale, unchanged shape), but the blocks pin
+    # on first computation instead of via standalone checkpoint jobs —
+    # the nn collect materializes und+deg, the final collect the rest.
+    # Within that one final plan the three iterations reference the SAME
+    # und_deg LogicalRDD, so its exchange canonicalizes equal and is
+    # planned once (exchange reuse) where the eager per-checkpoint jobs
+    # re-shuffled it per iteration.
     und = (
         edges.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
         .unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
-        .transform(cut_lineage)  # consumed once per iteration + deg
+        .transform(cut_lineage_lazy)  # consumed once per iteration + deg
     )
     deg = und.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
-    deg = deg.transform(cut_lineage)
+    deg = deg.transform(cut_lineage_lazy)
     # static (node, nbr, degree) adjacency attached ONCE — each power
     # iteration then pays a single rank join instead of rank + degree
     # joins (round-13: one exchange fewer per iteration)
-    und_deg = und.join(deg, "node").transform(cut_lineage)
+    und_deg = und.join(deg, "node").transform(cut_lineage_lazy)
     # node count: ONE bounded 1-row read replaces a broadcast-exchange
     # crossJoin re-planned inside every power iteration (r13); the
     # divisions still run in the JVM on the same IEEE doubles
@@ -142,11 +152,11 @@ def qd01_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.lit((1.0 - _PR_DAMP)) / F.lit(nn) + _PR_DAMP * F.col("s"), 9).alias("pr"),
         )
         # lineage here grows LINEARLY (the adjacency side is a static
-        # checkpoint; pr appears once per iteration), so an eager
-        # checkpoint every 3rd round bounds plan depth at scale while
-        # paying a third of the per-iteration materialization jobs (r13)
+        # checkpoint; pr appears once per iteration), so a lineage cut
+        # every 3rd round bounds plan depth at scale (r13 cadence; r14
+        # makes it lazy — the final collect materializes it)
         if i % 3 == 2 or i == _PR_ITERS - 1:
-            pr = pr.transform(cut_lineage)
+            pr = pr.transform(cut_lineage_lazy)
     return (
         pr.join(deg, "node")
         .select(F.col("node").alias("doc_id"), "degree", pround(F.col("pr"), 6).alias("pagerank"))

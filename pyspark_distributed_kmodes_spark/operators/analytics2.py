@@ -29,7 +29,7 @@ from pyspark_distributed_kmodes_spark.functions.deterministic import (
 from pyspark_distributed_kmodes_spark.operators.curation2 import _dterm, _sql_dterm
 from pyspark_distributed_kmodes_spark.operators.curation3 import _hash_u, _sql_hash_u
 from pyspark_distributed_kmodes_spark.registry import query
-from pyspark_distributed_kmodes_spark.sources.tables import table
+from pyspark_distributed_kmodes_spark.sources.tables import spread, table
 
 _PSI_BASELINE = "src0"
 _PSI_BINS = [i / 10.0 for i in range(1, 10)]  # baseline deciles -> 10 bins
@@ -158,7 +158,10 @@ def qf02_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     are vocabulary-bounded, join strategy AQE's call. Determinism:
     round(6) per term, DECIMAL sum, one division, pround(6).
     """
-    d = table(spark, sf_dir, "documents")
+    # spread BEFORE the word/bigram explodes (r14): the sf-scale
+    # documents table is one parquet split, so both explode+partial-agg
+    # stages otherwise run single-core; no-op at real scale (guard).
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
     words = F.split("text", " ")
     uni = (
         d.select(F.explode(words).alias("w"))

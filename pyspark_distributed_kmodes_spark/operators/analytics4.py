@@ -146,15 +146,22 @@ def qg01_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = ngram_jaccard_pairs(d, threshold=0.2).select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
+    from pyspark_distributed_kmodes_spark.functions.lineage import cut_lineage_lazy
+
+    # Lazy cuts throughout (r14, same as qd01): plan depth still
+    # truncates at every LogicalRDD, but all materialization happens
+    # inside the ONE final action instead of five standalone checkpoint
+    # jobs, and the per-iteration und_deg exchange canonicalizes equal
+    # within that single plan (exchange reuse).
     und = (
         edges.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
         .unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
-        .transform(cut_lineage)
+        .transform(cut_lineage_lazy)
     )
     deg = (
         und.groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
-        .transform(cut_lineage)
+        .transform(cut_lineage_lazy)
     )
     chars = d.select(F.col("doc_id").alias("node"), "n_chars")
     seeded = deg.join(chars, "node")
@@ -162,12 +169,12 @@ def qg01_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tele = (
         seeded.crossJoin(F.broadcast(tot))
         .select("node", pround(F.col("n_chars") / F.col("tot"), 9).alias("tele"))
-        .transform(cut_lineage)
+        .transform(cut_lineage_lazy)
     )
     # static (node, nbr, degree) adjacency attached ONCE — each power
     # iteration then pays a single rank join instead of rank + degree
     # joins (round-13: one exchange fewer per iteration)
-    und_deg = und.join(deg, "node").transform(cut_lineage)
+    und_deg = und.join(deg, "node").transform(cut_lineage_lazy)
     pr = tele.select("node", F.col("tele").alias("pr"))
     for i in range(_PPR_ITERS):
         contrib = und_deg.join(pr, "node").select(
@@ -183,10 +190,11 @@ def qg01_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         # linear lineage (adjacency and tele are static checkpoints):
-        # checkpoint every 3rd iteration — bounded plan depth at scale,
-        # a third of the materialization jobs (r13, same as qd01)
+        # lineage cut every 3rd iteration — bounded plan depth at scale
+        # (r13 cadence; r14 makes it lazy — the final collect
+        # materializes it)
         if i % 3 == 2 or i == _PPR_ITERS - 1:
-            pr = pr.transform(cut_lineage)
+            pr = pr.transform(cut_lineage_lazy)
     return (
         pr.join(deg, "node")
         .join(tele, "node")
@@ -1421,7 +1429,11 @@ def qg14_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-integer lattice (+0.5, the qe01 idiom), thresholds are shared
     full-precision literals.
     """
-    o = table(spark, sf_dir, "orders")
+    # spread BEFORE the x20 explode (r14): sf-scale orders arrives as a
+    # single parquet split (one row group), so the whole 20x md5 fan-out
+    # stage otherwise runs on ONE core; at real scale the scan is
+    # already parallel and spread() is a no-op (partition-count guard).
+    o = spread(table(spark, sf_dir, "orders"), "o_orderkey")
     reps = o.select(
         "o_orderkey", "o_totalprice", F.explode(F.sequence(F.lit(0), F.lit(_G14_B - 1))).alias("b")
     )

@@ -35,7 +35,7 @@ from pyspark_distributed_kmodes_spark.functions.deterministic import (
 )
 from pyspark_distributed_kmodes_spark.operators.analytics4 import _md5fold, _sql_md5fold
 from pyspark_distributed_kmodes_spark.registry import query
-from pyspark_distributed_kmodes_spark.sources.tables import table
+from pyspark_distributed_kmodes_spark.sources.tables import spread, table
 
 _DAY_US = 86_400_000_000
 
@@ -2165,7 +2165,10 @@ def qj45_boilerplate_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-doc df, join back on hash) plus a constant-width position
     classification; the final rollup has three rows.
     """
-    d = table(spark, sf_dir, "documents")
+    # spread BEFORE the segment explode + per-segment md5 (r14): the
+    # sf-scale documents table is one parquet split, so the hash stage
+    # otherwise runs single-core; no-op at real scale (guard).
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
     words = F.split("text", " ")
     starts = F.sequence(F.lit(1), F.size(words), F.lit(_J45_SEG_WORDS))
     n_segs = F.floor((F.size(words) + (_J45_SEG_WORDS - 1)) / _J45_SEG_WORDS).cast("bigint")

@@ -476,10 +476,6 @@ def qc13_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c")
         )
     )
-    carr = cent.groupBy("label").agg(
-        F.transform(F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]).alias("carr")
-    )
-    v = F.transform("embedding", lambda x: x.cast("double"))
 
     def dfold(terms: Column) -> Column:
         return F.aggregate(
@@ -488,11 +484,22 @@ def qc13_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: (acc + x).cast("decimal(25,12)"),
         ).cast("double")
 
+    # centroid norm hoisted to the label table (r14): it depends only on
+    # carr, so folding it per MEMBER row re-ran a dim-element DECIMAL
+    # fold n_vecs times for |labels| distinct values. Same fold over the
+    # same pround(6) centroid values → identical doubles.
+    carr = cent.groupBy("label").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]).alias("carr")
+    )
+    carr = carr.withColumn(
+        "nc", F.sqrt(dfold(F.transform(F.col("carr"), lambda b: _dterm(b * b))))
+    )
+    v = F.transform("embedding", lambda x: x.cast("double"))
+
     dot = dfold(F.zip_with(v, F.col("carr"), lambda a, b: _dterm(a * b)))
     nv2 = dfold(F.transform(v, lambda a: _dterm(a * a)))
-    nc2 = dfold(F.transform(F.col("carr"), lambda b: _dterm(b * b)))
     pv = emb.join(F.broadcast(carr), "label").select(
-        "label", (dot / (F.sqrt(nv2) * F.sqrt(nc2))).alias("cos")
+        "label", (dot / (F.sqrt(nv2) * F.col("nc"))).alias("cos")
     )
     return (
         pv.groupBy("label")

@@ -25,7 +25,11 @@ def main():
     spark = get_spark("plans")
     reg = load_all()
     names = only or [n for n, q in sorted(reg.items()) if q.bench]
-    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+    outdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLAN_DIR", "r14"),
+    )
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         try:
