@@ -315,8 +315,20 @@ def qb34_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark_distributed_kmodes_spark.sources.tables import write_bucketed
 
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    from pyspark_distributed_kmodes_spark.sources.tables import spread
+
+    # spread BEFORE the bucketed writes (r14): the sf-scale inputs are
+    # single-split scans, so each bucketed write's hash+sort+encode ran
+    # on ONE core; no-op at real scale (guard). The reader still groups
+    # files by bucket id, so the join stays exchange-free
+    # (test_bucketing pins the plan).
+    li = spread(
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"),
+        "l_orderkey",
+    )
+    o = spread(
+        table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"), "o_orderkey"
+    )
     # explicit temp paths: the hosting session's warehouse dir defaults
     # to the process cwd, which this query must not write into
     base = tempfile.mkdtemp(prefix="qb34_bucketed_")

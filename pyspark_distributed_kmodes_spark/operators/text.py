@@ -210,12 +210,16 @@ ORDER BY doc_a, doc_b
 
 
 def doc_trigram_shingles(d: DataFrame) -> DataFrame:
-    """(doc_id, shingle) — per-doc DISTINCT word-trigram shingles, the
-    dedup happening LOCALLY (array_distinct before the explode; the old
-    cross-row .distinct() paid a full exchange for the same rows).
-    Shared by ngram_jaccard_pairs and callers that also need the index
-    for another pass (qg04's signatures) so one materialization serves
-    both."""
+    """(doc_id, n_sh, shingle) — per-doc DISTINCT word-trigram shingles,
+    the dedup happening LOCALLY (array_distinct before the explode; the
+    old cross-row .distinct() paid a full exchange for the same rows).
+    `n_sh` = the doc's distinct-shingle-set size, computed from the
+    SAME array the explode consumes (r14): riding it on every index row
+    costs one int per row but lets ngram_jaccard_pairs drop its
+    index-wide sizes aggregate AND both pair⋈sizes joins — at 100 TB
+    those are two corpus-scale shuffles. Shared by ngram_jaccard_pairs
+    and callers that also need the index for another pass (qg04's
+    signatures) so one materialization serves both."""
     # the split is materialized as its own projection BEFORE the
     # transform: an expression captured inside a higher-order-function
     # lambda is re-evaluated PER ELEMENT (the round-13 profile showed
@@ -233,10 +237,23 @@ def doc_trigram_shingles(d: DataFrame) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     from pyspark_distributed_kmodes_spark.sources.tables import spread
 
+    # the explode argument is WRAPPED in a cheap column-ref CASE: a bare
+    # column generator triggers InferFiltersFromGenerate, whose inferred
+    # size(...)>0 filter is pushed below the _sh/_w projections with the
+    # FULL expression substituted back in — re-running the per-element
+    # split the _w hoist exists to avoid, per row, in the filter
+    # (measured 2x the whole pipeline). A CASE generator is skipped by
+    # the rule (same shape the pre-r14 code had); semantics unchanged
+    # (empty arrays explode to no rows either way).
     return (
         spread(d, "doc_id")
         .withColumn("_w", F.split("text", " "))
-        .select("doc_id", F.explode(shingle_arr).alias("shingle"))
+        .withColumn("_sh", shingle_arr)
+        .select(
+            "doc_id",
+            F.size("_sh").alias("n_sh"),
+            F.explode(F.when(F.size("_sh") > 0, F.col("_sh"))).alias("shingle"),
+        )
     )
 
 
@@ -285,6 +302,15 @@ def ngram_jaccard_pairs(
     provided = shingles is not None
     if shingles is None:
         shingles = doc_trigram_shingles(d)
+    # r14: the per-doc set size `n_sh` rides on every index row (one int
+    # — computed from the SAME pre-explode array), so the pair join can
+    # GROUP the sizes through instead of re-deriving them with an
+    # index-wide aggregate + two pair⋈sizes joins. At 100 TB the sizes
+    # table is corpus-sized (one row per doc) — those two joins were two
+    # full shuffles of the pair set. A provided index without n_sh
+    # (back-compat) falls back to the aggregate+join form.
+    has_nsh = "n_sh" in shingles.columns
+    corr = None  # per-doc count of CAPPED shingles (max_df path only)
     if max_df is not None:
         # materialize the RAW index FIRST (r13): the census aggregate and
         # the anti-join left side both consume it, so checkpointing after
@@ -300,30 +326,67 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") > max_df)
             .select("shingle")
         )
+        if has_nsh:
+            # max_df removes hot shingles from the universe, so a doc's
+            # EFFECTIVE size is n_sh minus its hot members. The
+            # correction table is bounded by docs-that-contain-a-hot-
+            # shingle (usually empty; hot sets are tiny by construction)
+            # — two broadcast joins of it replace the two corpus-scale
+            # sizes joins. Identical numbers: n_sh − n_hot ==
+            # count(filtered index rows per doc), the former sizes.
+            corr = (
+                shingles.join(F.broadcast(hot), "shingle", "left_semi")
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_hot"))
+            )
         shingles = shingles.join(F.broadcast(hot), "shingle", "left_anti")
-    # the shingle index feeds sizes AND both self-join sides (plus the
-    # hot-set scan above): materialize once instead of recomputing the
+    # the shingle index feeds both self-join sides (plus the hot-set
+    # scan above): materialize once instead of recomputing the
     # scan+explode per consumer — the same size class as the shuffle
     # that built it, and the ~10 callers of this helper all inherit the
     # fix (scan-lint). materialize=False keeps the lineage inspectable
     # for plan pins (test_plans: the anti-join must stay in the shape).
     elif materialize and not provided:
         shingles = shingles.transform(cut_lineage)
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = shingles.alias("a")
     b = shingles.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    joined = a.join(
+        b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    if has_nsh:
+        # na/nb are functionally dependent on doc_a/doc_b — grouping by
+        # them adds no groups and removes both sizes joins
+        pairs = joined.groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        ).agg(F.count(F.lit(1)).alias("n_common"))
+        if corr is not None:
+            ca = corr.select(F.col("doc_id").alias("doc_a"), F.col("n_hot").alias("_ha"))
+            cb = corr.select(F.col("doc_id").alias("doc_b"), F.col("n_hot").alias("_hb"))
+            pairs = (
+                pairs.join(F.broadcast(ca), "doc_a", "left")
+                .join(F.broadcast(cb), "doc_b", "left")
+                .select(
+                    "doc_a",
+                    "doc_b",
+                    "n_common",
+                    (F.col("na") - F.coalesce("_ha", F.lit(0))).alias("na"),
+                    (F.col("nb") - F.coalesce("_hb", F.lit(0))).alias("nb"),
+                )
+            )
+    else:
+        sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+        pairs = joined.groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        ).agg(F.count(F.lit(1)).alias("n_common"))
+        sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+        sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+        pairs = pairs.join(sa, "doc_a").join(sb, "doc_b")
     jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= threshold)
+        pairs.filter(jac >= threshold)
         .select("doc_a", "doc_b", pround(jac, 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
